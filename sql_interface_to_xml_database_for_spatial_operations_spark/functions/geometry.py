@@ -1,0 +1,482 @@
+"""Pure-Python planar geometry over WKT.
+
+The reference delegates all geometry evaluation to external engines —
+BaseX/eXist's EXPath geo module for pushed-down predicates
+(reference: extension/basex/basex_extension.ts:385-438) and PostGIS for
+everything else (reference: src/index.ts:44-63).  This engine carries
+geometry as WKT strings in ordinary columns and evaluates predicates in
+vectorized pandas UDFs (see .spatial), backed by this dependency-free
+module (Shapely is not available in the runtime).
+
+Coordinates are planar (x=lon, y=lat); SRID is fixed at 4326 like the
+reference's data. We deliberately do NOT replicate the reference's
+degrees→meters ``c * 111.32 * 1000`` heuristic
+(reference: extension/mongodb/mongo_extension.ts:142-151):
+``st_distance`` is planar in coordinate units, and ``st_distance_sphere``
+provides honest haversine meters.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Sequence
+
+Point = tuple[float, float]
+Ring = list[Point]
+
+_NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
+_POINT_RE = re.compile(rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
+
+
+class Geometry:
+    """A parsed WKT geometry: POINT, LINESTRING, POLYGON, MULTIPOLYGON,
+    MULTIPOINT. Rings/lines are lists of (x, y)."""
+
+    __slots__ = ("kind", "coords")
+
+    def __init__(self, kind: str, coords):
+        self.kind = kind  # "Point" | "LineString" | "Polygon" | "MultiPolygon" | "MultiPoint"
+        self.coords = coords
+
+    # -- constructors -----------------------------------------------------
+    @staticmethod
+    def point(x: float, y: float) -> "Geometry":
+        return Geometry("Point", (float(x), float(y)))
+
+    @staticmethod
+    def box(minx: float, miny: float, maxx: float, maxy: float) -> "Geometry":
+        ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]
+        return Geometry("Polygon", [ring])
+
+
+def _parse_coord_seq(body: str) -> Ring:
+    pts = []
+    for pair in body.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return pts
+
+
+def _split_rings(body: str) -> list[str]:
+    """Split '(...),(...)' at depth-0 commas."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return [p.strip() for p in parts]
+
+
+def parse_wkt(wkt: str) -> Geometry | None:
+    """Parse a WKT string. Returns None for null/empty/invalid input
+    (null-safe, unlike the reference's null→0/"" coercion — SURVEY.md §1.2)."""
+    if wkt is None:
+        return None
+    s = wkt.strip()
+    if not s:
+        return None
+    m = _POINT_RE.match(s)
+    if m:  # fast path: points dominate the fixtures
+        return Geometry("Point", (float(m.group(1)), float(m.group(2))))
+    try:
+        head, _, tail = s.partition("(")
+        kind = head.strip().upper()
+        body = tail.rsplit(")", 1)[0]
+        if kind == "LINESTRING":
+            return Geometry("LineString", _parse_coord_seq(body))
+        if kind == "MULTIPOINT":
+            pts = []
+            for part in _split_rings(body):
+                part = part.strip().strip("()")
+                xy = part.split()
+                pts.append((float(xy[0]), float(xy[1])))
+            return Geometry("MultiPoint", pts)
+        if kind == "POLYGON":
+            rings = [_parse_coord_seq(r.strip().strip("()")) for r in _split_rings(body)]
+            return Geometry("Polygon", rings)
+        if kind == "MULTIPOLYGON":
+            polys = []
+            for poly in _split_rings(body):
+                poly = poly.strip()
+                poly_body = poly[1:-1] if poly.startswith("(") else poly
+                polys.append([_parse_coord_seq(r.strip().strip("()")) for r in _split_rings(poly_body)])
+            return Geometry("MultiPolygon", polys)
+        if kind == "POINT":
+            xy = body.split()
+            return Geometry("Point", (float(xy[0]), float(xy[1])))
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def _fmt(v: float) -> str:
+    return repr(int(v)) if float(v).is_integer() else repr(v)
+
+
+def _ring_wkt(ring: Sequence[Point]) -> str:
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
+
+
+def to_wkt(g: Geometry) -> str:
+    if g.kind == "Point":
+        return f"POINT ({_fmt(g.coords[0])} {_fmt(g.coords[1])})"
+    if g.kind == "LineString":
+        return "LINESTRING " + _ring_wkt(g.coords)
+    if g.kind == "MultiPoint":
+        return "MULTIPOINT " + _ring_wkt(g.coords)
+    if g.kind == "Polygon":
+        return "POLYGON (" + ", ".join(_ring_wkt(r) for r in g.coords) + ")"
+    if g.kind == "MultiPolygon":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join("(" + ", ".join(_ring_wkt(r) for r in poly) + ")" for poly in g.coords)
+            + ")"
+        )
+    raise ValueError(g.kind)
+
+
+def to_geojson(g: Geometry) -> str:
+    """GeoJSON geometry string, RFC 7946 member order [type, coordinates].
+
+    Mirrors the reference's ST_AsGeoJSON output path
+    (reference: src/index.ts:323-347)."""
+
+    def coord(p: Point) -> str:
+        return f"[{_fmt(p[0])},{_fmt(p[1])}]"
+
+    def ring(r: Sequence[Point]) -> str:
+        return "[" + ",".join(coord(p) for p in r) + "]"
+
+    if g.kind == "Point":
+        body = coord(g.coords)
+    elif g.kind in ("LineString", "MultiPoint"):
+        body = ring(g.coords)
+    elif g.kind == "Polygon":
+        body = "[" + ",".join(ring(r) for r in g.coords) + "]"
+    elif g.kind == "MultiPolygon":
+        body = "[" + ",".join("[" + ",".join(ring(r) for r in poly) + "]" for poly in g.coords) + "]"
+    else:
+        raise ValueError(g.kind)
+    return f'{{"type":"{g.kind}","coordinates":{body}}}'
+
+
+def from_geojson(obj) -> Geometry | None:
+    """Build a Geometry from a parsed GeoJSON geometry dict (the reference's
+    ST_GeomFromGeoJSON ingestion path, json_extension.ts:131-158)."""
+    if not obj or "type" not in obj:
+        return None
+    t = obj["type"]
+    c = obj.get("coordinates")
+    if t == "Point":
+        return Geometry("Point", (float(c[0]), float(c[1])))
+    if t == "LineString":
+        return Geometry("LineString", [(float(x), float(y)) for x, y in c])
+    if t == "MultiPoint":
+        return Geometry("MultiPoint", [(float(x), float(y)) for x, y in c])
+    if t == "Polygon":
+        return Geometry("Polygon", [[(float(x), float(y)) for x, y in ring] for ring in c])
+    if t == "MultiPolygon":
+        return Geometry(
+            "MultiPolygon",
+            [[[(float(x), float(y)) for x, y in ring] for ring in poly] for poly in c],
+        )
+    return None
+
+
+# -- predicates & measures -----------------------------------------------
+
+
+def bbox(g: Geometry) -> tuple[float, float, float, float]:
+    if g.kind == "Point":
+        x, y = g.coords
+        return (x, y, x, y)
+    if g.kind in ("LineString", "MultiPoint"):
+        pts = g.coords
+    elif g.kind == "Polygon":
+        pts = [p for r in g.coords for p in r]
+    else:  # MultiPolygon
+        pts = [p for poly in g.coords for r in poly for p in r]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def _point_in_ring(x: float, y: float, ring: Ring) -> bool:
+    """Ray casting; boundary points count as inside."""
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        # on-segment check
+        if (min(x1, x2) <= x <= max(x1, x2)) and (min(y1, y2) <= y <= max(y1, y2)):
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if cross == 0.0:
+                return True
+        if (y1 > y) != (y2 > y):
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xint:
+                inside = not inside
+    return inside
+
+
+def _point_in_polygon(x: float, y: float, rings: list[Ring]) -> bool:
+    if not rings or not _point_in_ring(x, y, rings[0]):
+        return False
+    for hole in rings[1:]:
+        if _point_in_ring(x, y, hole):
+            # boundary of a hole still counts as inside the polygon
+            on_boundary = False
+            for i in range(len(hole) - 1):
+                x1, y1 = hole[i]
+                x2, y2 = hole[i + 1]
+                if (
+                    min(x1, x2) <= x <= max(x1, x2)
+                    and min(y1, y2) <= y <= max(y1, y2)
+                    and (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) == 0.0
+                ):
+                    on_boundary = True
+                    break
+            if not on_boundary:
+                return False
+    return True
+
+
+def _polys(g: Geometry) -> list[list[Ring]]:
+    if g.kind == "Polygon":
+        return [g.coords]
+    if g.kind == "MultiPolygon":
+        return g.coords
+    return []
+
+
+def _points(g: Geometry) -> list[Point]:
+    if g.kind == "Point":
+        return [g.coords]
+    if g.kind in ("LineString", "MultiPoint"):
+        return list(g.coords)
+    if g.kind == "Polygon":
+        return [p for r in g.coords for p in r]
+    return [p for poly in g.coords for r in poly for p in r]
+
+
+def _seg_distance(p: Point, a: Point, b: Point) -> float:
+    """Distance from point p to segment ab."""
+    px, py = p
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    if dx == 0.0 and dy == 0.0:
+        return math.hypot(px - ax, py - ay)
+    t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
+    t = max(0.0, min(1.0, t))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _segments(g: Geometry):
+    if g.kind == "LineString":
+        seq = [g.coords]
+    elif g.kind == "Polygon":
+        seq = g.coords
+    elif g.kind == "MultiPolygon":
+        seq = [r for poly in g.coords for r in poly]
+    else:
+        return
+    for line in seq:
+        for i in range(len(line) - 1):
+            yield line[i], line[i + 1]
+
+
+def _segs_intersect(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(p, q, r):
+        return min(p[0], r[0]) <= q[0] <= max(p[0], r[0]) and min(p[1], r[1]) <= q[1] <= max(p[1], r[1])
+
+    o1, o2 = orient(a1, a2, b1), orient(a1, a2, b2)
+    o3, o4 = orient(b1, b2, a1), orient(b1, b2, a2)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and on_seg(a1, b1, a2):
+        return True
+    if o2 == 0 and on_seg(a1, b2, a2):
+        return True
+    if o3 == 0 and on_seg(b1, a1, b2):
+        return True
+    if o4 == 0 and on_seg(b1, a2, b2):
+        return True
+    return False
+
+
+def distance(g1: Geometry, g2: Geometry) -> float:
+    """Planar min distance. 0 when intersecting."""
+    if intersects(g1, g2):
+        return 0.0
+    best = math.inf
+    pts1, pts2 = _points(g1), _points(g2)
+    segs1, segs2 = list(_segments(g1)), list(_segments(g2))
+    if segs2:
+        for p in pts1:
+            for a, b in segs2:
+                d = _seg_distance(p, a, b)
+                if d < best:
+                    best = d
+    if segs1:
+        for p in pts2:
+            for a, b in segs1:
+                d = _seg_distance(p, a, b)
+                if d < best:
+                    best = d
+    if not segs1 and not segs2:
+        for x1, y1 in pts1:
+            for x2, y2 in pts2:
+                d = math.hypot(x1 - x2, y1 - y2)
+                if d < best:
+                    best = d
+    return best
+
+
+def distance_sphere(g1: Geometry, g2: Geometry) -> float:
+    """Haversine meters between two POINTs (lon/lat degrees), the honest
+    replacement for the reference's degree-scaling hack."""
+    (lon1, lat1), (lon2, lat2) = g1.coords, g2.coords
+    r = 6371008.8
+    phi1, phi2 = math.radians(lat1), math.radians(lat2)
+    dphi = phi2 - phi1
+    dlmb = math.radians(lon2 - lon1)
+    a = math.sin(dphi / 2) ** 2 + math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def within(g1: Geometry, g2: Geometry) -> bool:
+    """g1 within g2. Point/line/polygon vs polygon; point vs point."""
+    if g2.kind in ("Polygon", "MultiPolygon"):
+        for x, y in _points(g1):
+            if not any(_point_in_polygon(x, y, rings) for rings in _polys(g2)):
+                return False
+        # vertices inside; for polygon-in-polygon also require no edge crossing
+        if g1.kind in ("Polygon", "MultiPolygon", "LineString"):
+            for a1, a2 in _segments(g1):
+                mid = ((a1[0] + a2[0]) / 2, (a1[1] + a2[1]) / 2)
+                if not any(_point_in_polygon(mid[0], mid[1], rings) for rings in _polys(g2)):
+                    return False
+        return True
+    if g2.kind == "Point" and g1.kind == "Point":
+        return g1.coords == g2.coords
+    return False
+
+
+def contains(g1: Geometry, g2: Geometry) -> bool:
+    return within(g2, g1)
+
+
+def intersects(g1: Geometry, g2: Geometry) -> bool:
+    b1, b2 = bbox(g1), bbox(g2)
+    if b1[0] > b2[2] or b2[0] > b1[2] or b1[1] > b2[3] or b2[1] > b1[3]:
+        return False
+    # any vertex containment
+    for rings in _polys(g2):
+        for x, y in _points(g1):
+            if _point_in_polygon(x, y, [rings[0]]):
+                return True
+    for rings in _polys(g1):
+        for x, y in _points(g2):
+            if _point_in_polygon(x, y, [rings[0]]):
+                return True
+    # segment crossings
+    segs1, segs2 = list(_segments(g1)), list(_segments(g2))
+    for a1, a2 in segs1:
+        for b1_, b2_ in segs2:
+            if _segs_intersect(a1, a2, b1_, b2_):
+                return True
+    if g1.kind == "Point" and g2.kind == "Point":
+        return g1.coords == g2.coords
+    if g1.kind == "Point" and segs2 and not _polys(g2):
+        return any(_seg_distance(g1.coords, a, b) == 0.0 for a, b in segs2)
+    if g2.kind == "Point" and segs1 and not _polys(g1):
+        return any(_seg_distance(g2.coords, a, b) == 0.0 for a, b in segs1)
+    return False
+
+
+def area(g: Geometry) -> float:
+    """Shoelace area; holes subtract. 0 for points/lines."""
+    total = 0.0
+    for rings in _polys(g):
+        for i, ring in enumerate(rings):
+            s = 0.0
+            for j in range(len(ring) - 1):
+                x1, y1 = ring[j]
+                x2, y2 = ring[j + 1]
+                s += x1 * y2 - x2 * y1
+            ring_area = abs(s) / 2.0
+            total += ring_area if i == 0 else -ring_area
+    return total
+
+
+def length(g: Geometry) -> float:
+    tot = 0.0
+    for a, b in _segments(g):
+        tot += math.hypot(b[0] - a[0], b[1] - a[1])
+    return tot
+
+
+def dimension(g: Geometry) -> int:
+    """Topological dimension (reference F4: geo:dimension,
+    basex_extension.ts:415-438)."""
+    if g.kind in ("Point", "MultiPoint"):
+        return 0
+    if g.kind == "LineString":
+        return 1
+    return 2
+
+
+def geometry_type(g: Geometry) -> str:
+    """PostGIS-style ST_GeometryType tag (reference F5)."""
+    return "ST_" + g.kind
+
+
+def centroid(g: Geometry) -> Point:
+    if g.kind == "Point":
+        return g.coords
+    pts = _points(g)
+    if g.kind in ("MultiPoint", "LineString"):
+        return (sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
+    # polygon centroid (first ring of first polygon weighting by signed area)
+    cx = cy = a_sum = 0.0
+    for rings in _polys(g):
+        ring = rings[0]
+        for j in range(len(ring) - 1):
+            x1, y1 = ring[j]
+            x2, y2 = ring[j + 1]
+            cross = x1 * y2 - x2 * y1
+            a_sum += cross
+            cx += (x1 + x2) * cross
+            cy += (y1 + y2) * cross
+    if a_sum == 0.0:
+        pts = _points(g)
+        return (sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
+    return (cx / (3 * a_sum), cy / (3 * a_sum))
+
+
+def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
+    """Approximate buffer: circle polygon for points, bbox expansion for
+    other kinds (documented approximation; PostGIS parity not claimed)."""
+    if g.kind == "Point":
+        x, y = g.coords
+        n = max(4, quad_segs * 4)
+        ring = []
+        for i in range(n):
+            ang = 2 * math.pi * i / n
+            ring.append((x + dist * math.cos(ang), y + dist * math.sin(ang)))
+        ring.append(ring[0])
+        return Geometry("Polygon", [ring])
+    minx, miny, maxx, maxy = bbox(g)
+    return Geometry.box(minx - dist, miny - dist, maxx + dist, maxy + dist)

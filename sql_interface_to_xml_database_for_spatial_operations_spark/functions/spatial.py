@@ -1,0 +1,293 @@
+"""Spatial function registry: PostGIS-style ``st_*`` over WKT columns.
+
+Covers the reference's user-visible spatial surface (SURVEY.md §2.6):
+the pushdown-translated functions F1-F11 (ST_Distance, ST_Within,
+ST_Intersects, ST_Dimension, ST_GeometryType, ST_SRID, ST_AsText,
+ST_GeomFrom*) and the "whatever PostGIS accepts" remainder (F12) that the
+reference shipped to PostgreSQL — here they are one registry of Arrow-
+vectorized pandas UDFs, usable from both the DataFrame API and
+``spark.sql`` strings.
+
+Scale design: UDFs are the slow path, so (a) everything is a pandas UDF
+(Arrow batches, no per-row pickling); (b) point-only batches take a pure
+numpy vectorized path with zero Python-object geometry; (c) the spatial
+*join* operators in ``operators.spatial_ops`` pre-filter with JVM-side
+bbox range predicates so these UDFs only see candidate pairs (the moral
+equivalent of the reference's Mongo ``$near`` pushdown, its only real
+optimization — mongo_extension.ts:129-152).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
+
+from . import geometry as G
+
+_POINT_EXTRACT = r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$"
+
+
+def _point_xy(s: pd.Series):
+    """Vectorized POINT coordinate extraction. Returns (x, y) float arrays
+    with NaN where the value is not a simple point."""
+    ext = s.astype("string").str.extract(_POINT_EXTRACT)
+    x = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64)
+    y = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64)
+    return x, y
+
+
+def _parse_series(s: pd.Series) -> list:
+    return [G.parse_wkt(v) if isinstance(v, str) else None for v in s]
+
+
+def _binary_fallback(a: pd.Series, b: pd.Series, fn, dtype=object) -> pd.Series:
+    ga, gb = _parse_series(a), _parse_series(b)
+    out = [fn(x, y) if x is not None and y is not None else None for x, y in zip(ga, gb)]
+    return pd.Series(out, dtype=dtype)
+
+
+# -- constructors ---------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (xv is None or yv is None or pd.isna(xv) or pd.isna(yv)) else G.to_wkt(G.Geometry.point(xv, yv))
+            for xv, yv in zip(x, y)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def st_makeenvelope(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+    return pd.Series(
+        [G.to_wkt(G.Geometry.box(a, b, c, d)) for a, b, c, d in zip(minx, miny, maxx, maxy)],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    """Parse + re-serialize (normalizes whitespace/case; None if invalid)."""
+    return pd.Series([(lambda g: G.to_wkt(g) if g else None)(G.parse_wkt(v) if isinstance(v, str) else None) for v in wkt], dtype=object)
+
+
+@pandas_udf(StringType())
+def st_geomfromgeojson(js: pd.Series) -> pd.Series:
+    """GeoJSON geometry (or full Feature) string → WKT.
+    Reference: json_extension.ts:131-158 (ST_GeomFromGeoJSON ingestion)."""
+    out = []
+    for v in js:
+        g = None
+        if isinstance(v, str) and v.strip():
+            try:
+                obj = json.loads(v)
+                if isinstance(obj, dict) and obj.get("type") == "Feature":
+                    obj = obj.get("geometry")
+                g = G.from_geojson(obj)
+            except (ValueError, TypeError, KeyError):
+                g = None
+        out.append(G.to_wkt(g) if g else None)
+    return pd.Series(out, dtype=object)
+
+
+# -- serializers ----------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def st_astext(wkt: pd.Series) -> pd.Series:
+    return pd.Series([(lambda g: G.to_wkt(g) if g else None)(G.parse_wkt(v) if isinstance(v, str) else None) for v in wkt], dtype=object)
+
+
+@pandas_udf(StringType())
+def st_asgeojson(wkt: pd.Series) -> pd.Series:
+    return pd.Series(
+        [(lambda g: G.to_geojson(g) if g else None)(G.parse_wkt(v) if isinstance(v, str) else None) for v in wkt],
+        dtype=object,
+    )
+
+
+# -- accessors ------------------------------------------------------------
+
+
+@pandas_udf(DoubleType())
+def st_x(wkt: pd.Series) -> pd.Series:
+    x, _ = _point_xy(wkt)
+    return pd.Series(x)
+
+
+@pandas_udf(DoubleType())
+def st_y(wkt: pd.Series) -> pd.Series:
+    _, y = _point_xy(wkt)
+    return pd.Series(y)
+
+
+@pandas_udf(IntegerType())
+def st_srid(wkt: pd.Series) -> pd.Series:
+    """Fixed 4326 like the reference's data (F6: geo:srid, BaseX 9.7)."""
+    return pd.Series([4326 if isinstance(v, str) and v.strip() else None for v in wkt], dtype="Int32")
+
+
+@pandas_udf(IntegerType())
+def st_dimension(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.dimension(g) if g else None)
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(StringType())
+def st_geometrytype(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.geometry_type(g) if g else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_area(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.area(g) if g else None)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_length(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.length(g) if g else None)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(StringType())
+def st_centroid(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.to_wkt(G.Geometry.point(*G.centroid(g))) if g else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_buffer(wkt: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for v, d in zip(wkt, dist):
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.to_wkt(G.buffer(g, float(d))) if g is not None and d is not None else None)
+    return pd.Series(out, dtype=object)
+
+
+# -- binary predicates & measures ----------------------------------------
+
+
+@pandas_udf(DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Planar distance (F1). Point-point batches run fully in numpy."""
+    ax, ay = _point_xy(a)
+    bx, by = _point_xy(b)
+    fast = ~(np.isnan(ax) | np.isnan(bx))
+    if fast.all():
+        return pd.Series(np.hypot(ax - bx, ay - by))
+    res = np.full(len(a), np.nan)
+    res[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast])
+    slow_idx = np.flatnonzero(~fast)
+    av, bv = a.reset_index(drop=True), b.reset_index(drop=True)
+    for i in slow_idx:
+        ga = G.parse_wkt(av.iloc[i]) if isinstance(av.iloc[i], str) else None
+        gb = G.parse_wkt(bv.iloc[i]) if isinstance(bv.iloc[i], str) else None
+        if ga is not None and gb is not None:
+            res[i] = G.distance(ga, gb)
+    return pd.Series(res)
+
+
+@pandas_udf(DoubleType())
+def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Haversine meters between points — replaces the reference's
+    ``c*111.32*1000`` degrees hack (mongo_extension.ts:142-151)."""
+    ax, ay = _point_xy(a)
+    bx, by = _point_xy(b)
+    r = 6371008.8
+    phi1, phi2 = np.radians(ay), np.radians(by)
+    dphi = phi2 - phi1
+    dlmb = np.radians(bx - ax)
+    h = np.sin(dphi / 2) ** 2 + np.cos(phi1) * np.cos(phi2) * np.sin(dlmb / 2) ** 2
+    return pd.Series(2 * r * np.arcsin(np.sqrt(h)))
+
+
+@pandas_udf(BooleanType())
+def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_fallback(a, b, G.within, dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_fallback(a, b, G.contains, dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_intersects(a: pd.Series, b: pd.Series) -> pd.Series:
+    return _binary_fallback(a, b, G.intersects, dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    ax, ay = _point_xy(a)
+    bx, by = _point_xy(b)
+    fast = ~(np.isnan(ax) | np.isnan(bx))
+    out = pd.Series([None] * len(a), dtype="boolean")
+    dv = pd.to_numeric(d, errors="coerce").to_numpy(dtype=np.float64)
+    out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast]) <= dv[fast]
+    slow_idx = np.flatnonzero(~fast)
+    av, bv = a.reset_index(drop=True), b.reset_index(drop=True)
+    for i in slow_idx:
+        ga = G.parse_wkt(av.iloc[i]) if isinstance(av.iloc[i], str) else None
+        gb = G.parse_wkt(bv.iloc[i]) if isinstance(bv.iloc[i], str) else None
+        if ga is not None and gb is not None:
+            out.iloc[i] = G.distance(ga, gb) <= dv[i]
+    return out
+
+
+ALL_FUNCTIONS = {
+    "st_point": st_point,
+    "st_makeenvelope": st_makeenvelope,
+    "st_geomfromtext": st_geomfromtext,
+    "st_geomfromgeojson": st_geomfromgeojson,
+    "st_astext": st_astext,
+    "st_asgeojson": st_asgeojson,
+    "st_x": st_x,
+    "st_y": st_y,
+    "st_srid": st_srid,
+    "st_dimension": st_dimension,
+    "st_geometrytype": st_geometrytype,
+    "st_area": st_area,
+    "st_length": st_length,
+    "st_centroid": st_centroid,
+    "st_buffer": st_buffer,
+    "st_distance": st_distance,
+    "st_distance_sphere": st_distance_sphere,
+    "st_within": st_within,
+    "st_contains": st_contains,
+    "st_intersects": st_intersects,
+    "st_dwithin": st_dwithin,
+}
+
+
+def register_spatial_functions(spark: SparkSession) -> None:
+    """Register every st_* function for use in spark.sql strings — the
+    engine-side analog of the reference's per-driver capability tables
+    (extension/extension.ts:35-83)."""
+    for name, fn in ALL_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -1,0 +1,19 @@
+"""Operator implementations backing ``__spark_entry__.queries()``.
+
+Each module registers named queries (Spark callable + DuckDB oracle SQL)
+into :mod:`.registry`, covering SURVEY.md §2's inventory plus the
+LLM-data-pipeline extensions (dedup, similarity, text, multimodal).
+"""
+
+from . import registry  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every query-defining module (registration side effects)."""
+    from . import relational  # noqa: F401
+    from . import spatial_ops  # noqa: F401
+    from . import text_ops  # noqa: F401
+    from . import dedup  # noqa: F401
+    from . import similarity  # noqa: F401
+    from . import events_ops  # noqa: F401
+    from . import multimodal  # noqa: F401

@@ -1,0 +1,47 @@
+"""Fixture-table loading and view registration.
+
+Replaces the reference's four per-DBMS collection scans (SURVEY.md §2.1
+S1-S4: BaseX/eXist XQuery scans, Mongo ``find``, CouchDB ``_find`` with
+hand-rolled pagination) with a single partitioned columnar read: Catalyst
+gets predicate pushdown + column pruning on every table for free, and the
+parquet row-group layout replaces client-side pagination.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Filters/projections applied downstream reach
+    the parquet reader via Catalyst (check ``PushedFilters`` in explain)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` queries
+    (the reference's user surface, SURVEY.md §3.1) see the same catalog the
+    DuckDB oracle does."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
