@@ -469,7 +469,7 @@ def q22_agg_global(spark, sf_dir):
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -481,7 +481,7 @@ def q23_agg_pricing_summary(spark, sf_dir):
     disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
     charge = dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -755,7 +755,7 @@ def q35_correlated_exists(spark, sf_dir):
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            CAST(count(*) AS BIGINT) AS n
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-02-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
     GROUP BY order_year, order_month
     """,
 )
@@ -764,7 +764,7 @@ def q36_date_functions(spark, sf_dir):
     predicates, basex_extension.ts:131-136) + date-part extraction."""
     o = T(spark, sf_dir, "orders")
     return (
-        o.filter(F.col("o_orderdate") >= F.lit("2024-02-01 00:00:00").cast("timestamp"))
+        o.filter(F.col("o_orderdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
         .groupBy(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
             F.month("o_orderdate").cast("bigint").alias("order_month"),

@@ -31,8 +31,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied downstream reach
-    the parquet reader via Catalyst (check ``PushedFilters`` in explain)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    the parquet reader via Catalyst (check ``PushedFilters`` in explain).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
+    truncate to microseconds (integer ``div`` — same ns→µs truncation
+    DuckDB applies), restoring a proper timestamp column."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
