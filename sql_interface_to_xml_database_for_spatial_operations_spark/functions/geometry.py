@@ -273,10 +273,12 @@ def _seg_distance(p: Point, a: Point, b: Point) -> float:
     bx, by = b
     dx, dy = bx - ax, by - ay
     if dx == 0.0 and dy == 0.0:
-        return math.hypot(px - ax, py - ay)
+        ex, ey = px - ax, py - ay
+        return math.sqrt(ex * ex + ey * ey)
     t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
     t = max(0.0, min(1.0, t))
-    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+    ex, ey = px - (ax + t * dx), py - (ay + t * dy)
+    return math.sqrt(ex * ex + ey * ey)
 
 
 def _segments(g: Geometry):
@@ -338,7 +340,8 @@ def distance(g1: Geometry, g2: Geometry) -> float:
     if not segs1 and not segs2:
         for x1, y1 in pts1:
             for x2, y2 in pts2:
-                d = math.hypot(x1 - x2, y1 - y2)
+                ex, ey = x1 - x2, y1 - y2
+                d = math.sqrt(ex * ex + ey * ey)
                 if d < best:
                     best = d
     return best

@@ -35,10 +35,14 @@ _POINT_EXTRACT = r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$"
 
 def _point_xy(s: pd.Series):
     """Vectorized POINT coordinate extraction. Returns (x, y) float arrays
-    with NaN where the value is not a simple point."""
+    with NaN where the value is not a simple point.
+
+    Parsing goes through numpy's strtod (correctly rounded) — NOT
+    ``pd.to_numeric``, whose fast path (xstrtod) loses ulps on long
+    decimal strings and would break exact WKT round-trips."""
     ext = s.astype("string").str.extract(_POINT_EXTRACT)
-    x = pd.to_numeric(ext[0], errors="coerce").to_numpy(dtype=np.float64)
-    y = pd.to_numeric(ext[1], errors="coerce").to_numpy(dtype=np.float64)
+    x = ext[0].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
+    y = ext[1].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
     return x, y
 
 
@@ -200,9 +204,11 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     bx, by = _point_xy(b)
     fast = ~(np.isnan(ax) | np.isnan(bx))
     if fast.all():
-        return pd.Series(np.hypot(ax - bx, ay - by))
+        dx, dy = ax - bx, ay - by
+        return pd.Series(np.sqrt(dx * dx + dy * dy))
     res = np.full(len(a), np.nan)
-    res[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast])
+    dx, dy = ax[fast] - bx[fast], ay[fast] - by[fast]
+    res[fast] = np.sqrt(dx * dx + dy * dy)
     slow_idx = np.flatnonzero(~fast)
     av, bv = a.reset_index(drop=True), b.reset_index(drop=True)
     for i in slow_idx:
@@ -249,7 +255,8 @@ def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     fast = ~(np.isnan(ax) | np.isnan(bx))
     out = pd.Series([None] * len(a), dtype="boolean")
     dv = pd.to_numeric(d, errors="coerce").to_numpy(dtype=np.float64)
-    out[fast] = np.hypot(ax[fast] - bx[fast], ay[fast] - by[fast]) <= dv[fast]
+    dxf, dyf = ax[fast] - bx[fast], ay[fast] - by[fast]
+    out[fast] = np.sqrt(dxf * dxf + dyf * dyf) <= dv[fast]
     slow_idx = np.flatnonzero(~fast)
     av, bv = a.reset_index(drop=True), b.reset_index(drop=True)
     for i in slow_idx:

@@ -1,1 +1,477 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Spatial operator suite (SURVEY.md §2.6 F1-F12 + spatial joins).
+
+The fixture tables carry no geometry, so deterministic coordinates are
+derived from integer keys (identical integer→double arithmetic on the
+Spark and DuckDB sides); the Spark side then goes through the *real* WKT
++ UDF path (st_point → st_within/st_distance/...), while the oracle
+re-expresses the predicate in plain SQL math over the raw coordinates —
+so the WKT serialization, parsing, and geometry evaluation are what is
+actually under test.
+
+Scale pattern (the one that matters at 100 TB): every spatial join first
+applies a JVM-side bounding-box range predicate — Catalyst-planned,
+codegen'd, pushdown-friendly — and only the surviving candidate pairs
+reach the vectorized Python UDF. This is the honest generalization of
+the reference's only real optimization, the Mongo ``$near`` pushdown
+(reference: extension/mongodb/mongo_extension.ts:129-152).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Derived geometry fixtures (same arithmetic both engines, bit-identical)
+# ---------------------------------------------------------------------------
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point features from customer keys (analog of the reference's
+    puskesmas/masjid point tables, SURVEY.md §5)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 17000) / 100.0 - 85.0).alias("lat"),
+    )
+
+
+CUSTOMER_POINTS_SQL = """
+    SELECT c_custkey, c_nationkey,
+           ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon,
+           ((c_custkey * 104729) % 17000) / 100.0 - 85.0 AS lat
+    FROM customer
+"""
+
+
+def nation_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-aligned polygon features from nation keys (analog of the
+    reference's kecamatan/province polygon tables)."""
+    n = load_table(spark, sf_dir, "nation")
+    minx = (F.col("n_nationkey") % 12) * 30.0 - 180.0
+    miny = (F.col("n_nationkey") * 7 % 8) * 20.0 - 80.0
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        minx.alias("minx"),
+        miny.alias("miny"),
+        (minx + 30.0 + (F.col("n_nationkey") % 3) * 15.0).alias("maxx"),
+        (miny + 20.0 + (F.col("n_nationkey") % 2) * 10.0).alias("maxy"),
+    )
+
+
+NATION_BOXES_SQL = """
+    SELECT n_nationkey, n_name,
+           (n_nationkey % 12) * 30.0 - 180.0 AS minx,
+           ((n_nationkey * 7) % 8) * 20.0 - 80.0 AS miny,
+           (n_nationkey % 12) * 30.0 - 180.0 + 30.0 + (n_nationkey % 3) * 15.0 AS maxx,
+           ((n_nationkey * 7) % 8) * 20.0 - 80.0 + 20.0 + (n_nationkey % 2) * 10.0 AS maxy
+    FROM nation
+"""
+
+
+def region_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    minx = (F.col("r_regionkey") % 5) * 72.0 - 180.0
+    miny = (F.col("r_regionkey") % 4) * 40.0 - 80.0
+    return r.select(
+        "r_regionkey",
+        "r_name",
+        minx.alias("minx"),
+        miny.alias("miny"),
+        (minx + 90.0).alias("maxx"),
+        (miny + 60.0).alias("maxy"),
+    )
+
+
+REGION_BOXES_SQL = """
+    SELECT r_regionkey, r_name,
+           (r_regionkey % 5) * 72.0 - 180.0 AS minx,
+           (r_regionkey % 4) * 40.0 - 80.0 AS miny,
+           (r_regionkey % 5) * 72.0 - 180.0 + 90.0 AS maxx,
+           (r_regionkey % 4) * 40.0 - 80.0 + 60.0 AS maxy
+    FROM region
+"""
+
+
+def _fmt_sql(expr: str) -> str:
+    """DuckDB expression printing a double exactly like the engine's WKT
+    serializer (Python repr: integers lose the trailing .0)."""
+    return (
+        f"CASE WHEN floor({expr}) = ({expr}) "
+        f"THEN CAST(CAST({expr} AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST({expr} AS VARCHAR) END"
+    )
+
+
+def _pts(spark, sf_dir, with_geom=True) -> DataFrame:
+    df = customer_points(spark, sf_dir)
+    if with_geom:
+        df = df.withColumn("geom", F.expr("st_point(lon, lat)"))
+    return df
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_st_point_accessors",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey, lon AS x, lat AS y,
+           CAST(4326 AS BIGINT) AS srid, 'ST_Point' AS gtype
+    FROM pts
+    """,
+)
+def q41_st_point_accessors(spark, sf_dir):
+    """F6/F5 + accessors: build WKT points, read back x/y/srid/type through
+    the UDF path (reference: geo:srid basex_extension.ts:78,
+    geometry-type 432-436)."""
+    _ensure_udfs(spark)
+    return _pts(spark, sf_dir).select(
+        "c_custkey",
+        F.expr("st_x(geom)").alias("x"),
+        F.expr("st_y(geom)").alias("y"),
+        F.expr("st_srid(geom)").cast("bigint").alias("srid"),
+        F.expr("st_geometrytype(geom)").alias("gtype"),
+    )
+
+
+@query(
+    "q42_st_astext",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           'POINT (' || {_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")} || ')' AS wkt
+    FROM pts
+    """,
+)
+def q42_st_astext(spark, sf_dir):
+    """F7/F9: WKT serialization (reference: geo:as-text,
+    basex_extension.ts:50-52; ST_AsText regexes 143-148)."""
+    _ensure_udfs(spark)
+    return _pts(spark, sf_dir).select("c_custkey", F.expr("st_astext(geom)").alias("wkt"))
+
+
+@query(
+    "q43_st_distance_radius",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey, round(sqrt(lon*lon + lat*lat), 6) AS dist
+    FROM pts
+    WHERE sqrt(lon*lon + lat*lat) < 40
+    """,
+)
+def q43_st_distance_radius(spark, sf_dir):
+    """F1: ST_Distance(g, const) θ c — the reference's flagship pushdown
+    predicate (basex regex 156-161; mongo $near/$maxDistance 47-51,
+    129-152). Planar units, honest semantics (no 111.32 hack)."""
+    _ensure_udfs(spark)
+    d = F.expr("st_distance(geom, 'POINT (0 0)')")
+    return (
+        _pts(spark, sf_dir)
+        .withColumn("dist_raw", d)
+        .filter(F.col("dist_raw") < 40)
+        .select("c_custkey", F.round("dist_raw", 6).alias("dist"))
+    )
+
+
+@query(
+    "q44_spatial_join_within",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL}), boxes AS ({NATION_BOXES_SQL})
+    SELECT n_nationkey AS boxkey, CAST(count(*) AS BIGINT) AS n_points
+    FROM boxes JOIN pts
+      ON lon BETWEEN minx AND maxx AND lat BETWEEN miny AND maxy
+    GROUP BY n_nationkey
+    """,
+)
+def q44_spatial_join_within(spark, sf_dir):
+    """F2 as a JOIN: ST_Within(point, polygon) — points-in-polygons count
+    (the reference's Q-B join suite shape, SURVEY.md §5). JVM bbox range
+    join generates candidates; the st_within UDF verifies them; polygons
+    broadcast (25 rows vs millions of points at scale)."""
+    _ensure_udfs(spark)
+    pts = _pts(spark, sf_dir)
+    boxes = nation_boxes(spark, sf_dir).withColumn(
+        "box_geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
+    )
+    return (
+        pts.join(
+            F.broadcast(boxes),
+            F.col("lon").between(F.col("minx"), F.col("maxx"))
+            & F.col("lat").between(F.col("miny"), F.col("maxy")),
+        )
+        .filter(F.expr("st_within(geom, box_geom)"))
+        .groupBy(F.col("n_nationkey").alias("boxkey"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+@query(
+    "q45_spatial_join_intersects",
+    oracle=f"""
+    WITH nb AS ({NATION_BOXES_SQL}), rb AS ({REGION_BOXES_SQL})
+    SELECT n_nationkey, r_regionkey
+    FROM nb JOIN rb
+      ON nb.minx <= rb.maxx AND rb.minx <= nb.maxx
+     AND nb.miny <= rb.maxy AND rb.miny <= nb.maxy
+    """,
+)
+def q45_spatial_join_intersects(spark, sf_dir):
+    """F3: ST_Intersects polygon×polygon join (reference:
+    geo:intersects, basex_extension.ts:403-411 — BaseX 9.7 only).
+    bbox-overlap candidates JVM-side, exact predicate in the UDF."""
+    _ensure_udfs(spark)
+    nb = nation_boxes(spark, sf_dir).withColumnRenamed("minx", "nminx").withColumnRenamed(
+        "miny", "nminy"
+    ).withColumnRenamed("maxx", "nmaxx").withColumnRenamed("maxy", "nmaxy")
+    rb = region_boxes(spark, sf_dir)
+    nb = nb.withColumn("ngeom", F.expr("st_makeenvelope(nminx, nminy, nmaxx, nmaxy)"))
+    rb = rb.withColumn("rgeom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)"))
+    return (
+        nb.join(
+            F.broadcast(rb),
+            (F.col("nminx") <= F.col("maxx"))
+            & (F.col("minx") <= F.col("nmaxx"))
+            & (F.col("nminy") <= F.col("maxy"))
+            & (F.col("miny") <= F.col("nmaxy")),
+        )
+        .filter(F.expr("st_intersects(ngeom, rgeom)"))
+        .select("n_nationkey", "r_regionkey")
+    )
+
+
+@query(
+    "q46_st_area_props",
+    oracle=f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT n_nationkey, (maxx - minx) * (maxy - miny) AS area,
+           CAST(2 AS BIGINT) AS dim, 'ST_Polygon' AS gtype
+    FROM boxes
+    """,
+)
+def q46_st_area_props(spark, sf_dir):
+    """F4/F5 + ST_Area: polygon measures (reference: geo:dimension
+    basex_extension.ts:415-438; ST_Area was PG-only — F12)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir).withColumn(
+        "box_geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
+    )
+    return boxes.select(
+        "n_nationkey",
+        F.expr("st_area(box_geom)").alias("area"),
+        F.expr("st_dimension(box_geom)").cast("bigint").alias("dim"),
+        F.expr("st_geometrytype(box_geom)").alias("gtype"),
+    )
+
+
+@query(
+    "q47_dwithin_pairs",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2
+    FROM pts a JOIN pts b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+     AND abs(a.lon - b.lon) <= 3.0 AND abs(a.lat - b.lat) <= 3.0
+    WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) <= 3.0
+    """,
+)
+def q47_dwithin_pairs(spark, sf_dir):
+    """ST_DWithin self-join: same-nation customer pairs within 3 planar
+    units. Equi key (nation) drives the shuffle; |Δlon|/|Δlat| range
+    residuals prune JVM-side; the distance UDF sees only candidates —
+    the pattern that keeps this O(candidates) instead of the reference's
+    O(n·m) XQuery nested loop (BASELINE.md: 5-10 min at 40k rows)."""
+    _ensure_udfs(spark)
+    a = _pts(spark, sf_dir).select(
+        F.col("c_custkey").alias("custkey1"),
+        F.col("c_nationkey").alias("nk1"),
+        F.col("lon").alias("lon1"),
+        F.col("lat").alias("lat1"),
+        F.col("geom").alias("geom1"),
+    )
+    b = _pts(spark, sf_dir).select(
+        F.col("c_custkey").alias("custkey2"),
+        F.col("c_nationkey").alias("nk2"),
+        F.col("lon").alias("lon2"),
+        F.col("lat").alias("lat2"),
+        F.col("geom").alias("geom2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nk1") == F.col("nk2"))
+            & (F.col("custkey1") < F.col("custkey2"))
+            & (F.abs(F.col("lon1") - F.col("lon2")) <= 3.0)
+            & (F.abs(F.col("lat1") - F.col("lat2")) <= 3.0),
+        )
+        .filter(F.expr("st_dwithin(geom1, geom2, 3.0D)"))
+        .select("custkey1", "custkey2")
+    )
+
+
+@query(
+    "q48_distance_sphere_count",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_near
+    FROM pts
+    WHERE 2 * 6371008.8 * asin(sqrt(
+            sin((radians(lat) - radians(10.0)) / 2) * sin((radians(lat) - radians(10.0)) / 2)
+            + cos(radians(10.0)) * cos(radians(lat))
+              * sin((radians(lon) - radians(10.0)) / 2) * sin((radians(lon) - radians(10.0)) / 2)
+          )) <= 2000000.0
+    GROUP BY c_nationkey
+    """,
+)
+def q48_distance_sphere_count(spark, sf_dir):
+    """ST_DistanceSphere: honest haversine meters (replacing the
+    reference's degrees×111.32 km heuristic, mongo_extension.ts:142-151).
+    Customers within 2,000 km of POINT(10 10), counted per nation."""
+    _ensure_udfs(spark)
+    return (
+        _pts(spark, sf_dir)
+        .filter(F.expr("st_distance_sphere('POINT (10 10)', geom)") <= 2000000.0)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+
+@query(
+    "q49_st_asgeojson",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           '{{"type":"Point","coordinates":[' || {_fmt_sql("lon")} || ',' || {_fmt_sql("lat")} || ']}}' AS geojson
+    FROM pts WHERE c_custkey < 100
+    """,
+)
+def q49_st_asgeojson(spark, sf_dir):
+    """S10/F12: GeoJSON output (reference: convertRestoGeoJSON,
+    src/index.ts:323-347)."""
+    _ensure_udfs(spark)
+    return (
+        _pts(spark, sf_dir)
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", F.expr("st_asgeojson(geom)").alias("geojson"))
+    )
+
+
+@query(
+    "q50_st_geomfromtext",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           'POINT (' || {_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")} || ')' AS wkt
+    FROM pts WHERE c_custkey < 200
+    """,
+)
+def q50_st_geomfromtext(spark, sf_dir):
+    """F8: WKT ingestion with messy input — lowercase tag + stray spaces,
+    JVM-concatenated, normalized by st_geomfromtext∘st_astext."""
+    _ensure_udfs(spark)
+    messy = F.concat(
+        F.lit("  point( "),
+        F.col("lon").cast("string"),
+        F.lit("   "),
+        F.col("lat").cast("string"),
+        F.lit(" )  "),
+    )
+    return (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") < 200)
+        .withColumn("messy", messy)
+        .select("c_custkey", F.expr("st_astext(st_geomfromtext(messy))").alias("wkt"))
+    )
+
+
+@query(
+    "q51_st_geomfromgeojson",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           'POINT (' || {_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")} || ')' AS wkt
+    FROM pts WHERE c_custkey < 200
+    """,
+)
+def q51_st_geomfromgeojson(spark, sf_dir):
+    """F8: GeoJSON geometry ingestion (reference: json_extension.ts:131-158)
+    — JVM-built Feature JSON parsed back to WKT by the UDF."""
+    _ensure_udfs(spark)
+    gj = F.concat(
+        F.lit('{"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":['),
+        F.col("lon").cast("string"),
+        F.lit(","),
+        F.col("lat").cast("string"),
+        F.lit("]}}"),
+    )
+    return (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") < 200)
+        .withColumn("gj", gj)
+        .select("c_custkey", F.expr("st_astext(st_geomfromgeojson(gj))").alias("wkt"))
+    )
+
+
+@query(
+    "q52_centroid_perimeter",
+    oracle=f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT n_nationkey,
+           (minx + maxx) / 2 AS cx, (miny + maxy) / 2 AS cy,
+           2 * (maxx - minx) + 2 * (maxy - miny) AS perimeter
+    FROM boxes
+    """,
+)
+def q52_centroid_perimeter(spark, sf_dir):
+    """F12: ST_Centroid + ST_Length over polygon rings (PG-side in the
+    reference). Box coords are integer-valued doubles → exact."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir).withColumn(
+        "box_geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
+    )
+    return boxes.select(
+        "n_nationkey",
+        F.expr("st_x(st_centroid(box_geom))").alias("cx"),
+        F.expr("st_y(st_centroid(box_geom))").alias("cy"),
+        F.expr("st_length(box_geom)").alias("perimeter"),
+    )
+
+
+@query(
+    "q53_buffer_contains",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           round(0.5 * 32 * 4.0 * sin(2 * pi() / 32), 6) AS buf_area
+    FROM pts WHERE c_custkey < 100
+    """,
+)
+def q53_buffer_contains(spark, sf_dir):
+    """F12: ST_Buffer (documented approximation: 32-gon for points). The
+    oracle uses the closed-form n-gon area ½·n·r²·sin(2π/n); shoelace over
+    the generated vertices must agree to <1e-12."""
+    _ensure_udfs(spark)
+    return (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") < 100)
+        .withColumn("geom", F.expr("st_point(lon, lat)"))
+        .select(
+            "c_custkey",
+            F.round(F.expr("st_area(st_buffer(geom, 2.0D))"), 6).alias("buf_area"),
+        )
+    )
