@@ -1,1 +1,315 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Beyond-reference surface: the dedup half of a training-data pipeline —
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+All candidate generation is blocked (same-language, shared shingle, shared
+LSH band, same label) so no stage is O(n²) over the corpus: at 100 TB the
+only full shuffles are groupBys on doc_id/shingle, and verification cost
+scales with candidate count, not corpus size².
+
+Everything is built-in JVM expressions (md5 / explode / groupBy /
+window) — portable hashes (md5 hex strings, min() lexicographic) rather
+than engine-specific hash() so the DuckDB oracle can recompute them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q64_dedup_exact",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+         canon AS (SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h)
+    SELECT doc_id, canonical_id, CAST(doc_id <> canonical_id AS BOOLEAN) AS is_duplicate
+    FROM hashed JOIN canon USING (h)
+    """,
+)
+def q64_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id per group.
+    One shuffle on the 128-bit hash — the canonical exact-dedup plan at
+    any scale (hash first, never shuffle full text)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    canon = d.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    return d.join(canon, "h").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+def _word_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Distinct word-k-gram shingles per document (JVM: slice+transform)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    return (
+        d.select("doc_id", "lang", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, k)),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+4], ' ') AS sh
+    FROM (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+    WHERE len(ws) >= 5
+"""
+
+
+@query(
+    "q65_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_both
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2,
+           round(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both) >= 0.2
+    """,
+)
+def q65_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: word-5-gram shingles; candidate pairs must
+    share ≥1 shingle AND language (blocking — the shingle join IS the
+    candidate generator, so cost is O(pairs sharing a shingle), never
+    O(n²)); exact Jaccard ≥ 0.2 verified from intersection/sizes."""
+    sh = _word_shingles(spark, sf_dir, 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter((F.col("lang1") == F.col("lang2")) & (F.col("doc1") < F.col("doc2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("n_both").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_both"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(jac >= 0.2)
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+N_MINHASH = 8
+BAND_SIZE = 2  # → 4 bands of 2 rows (b=4, r=2)
+
+
+@query(
+    "q66_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mins AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band, string_agg(mh, '' ORDER BY seed) AS band_val
+      FROM mins GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_both
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN cand ON cand.doc1 = a.doc_id AND cand.doc2 = b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc1, doc2, round(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both), 6) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+    """,
+)
+def q66_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8 seeded min-hashes → 4 bands of 2
+    → band-bucket join for candidates → exact Jaccard verify. The banding
+    join touches only (band, band_val) buckets, so candidate generation is
+    a hash join on band values — the scale path for corpus-level dedup.
+    Hashes are md5 hex strings (min = lexicographic) for oracle parity."""
+    sh = _word_shingles(spark, sf_dir, 5)
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    mins = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select("doc_id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mins.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]),
+                "",
+            ).alias("band_val")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc1"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc2"), "band", "band_val")
+    cand = a.join(b, ["band", "band_val"]).filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc1"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc2"), "sh")
+    inter = (
+        sa.join(sb, ["sh"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .join(cand, ["doc1", "doc2"], "left_semi")
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    jac = F.col("n_both").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_both"))
+    return (
+        inter.join(s1, "doc1").join(s2, "doc2").select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "q67_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(w), b + 1, 1)) - 1) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM words, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q67_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit): per distinct word, md5 hex digit b's
+    parity votes ±1 on bit b; positive sum → 1. Pure JVM expressions, one
+    groupBy — at corpus scale this is a map-side-combinable aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
+        .distinct()
+    )
+    bits_df = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    vote = F.when(
+        F.expr("(instr('0123456789abcdef', substr(md5(w), b + 1, 1)) - 1) % 2") == 1, 1
+    ).otherwise(-1)
+    bits = (
+        words.crossJoin(F.broadcast(bits_df))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(vote).alias("v"))
+        .select("doc_id", "b", F.when(F.col("v") > 0, 1).otherwise(0).cast("bigint").alias("bit"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(1, b)")).cast("bigint").alias("simhash")
+    )
+
+
+@query(
+    "q68_simhash_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(w), b + 1, 1)) - 1) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM words, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
+      GROUP BY doc_id, b
+    ),
+    sh AS (SELECT doc_id, CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+    docs AS (SELECT doc_id, lang, simhash FROM sh JOIN documents USING (doc_id))
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS BIGINT) AS hamming
+    FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 2
+    """,
+)
+def q68_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: same-language blocking, Hamming distance ≤ 2
+    on the 16-bit fingerprints (bit_count(xor))."""
+    sims = q67_simhash(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = sims.join(d, "doc_id")
+    a = docs.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), F.col("simhash").alias("sh1"))
+    b = docs.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), F.col("simhash").alias("sh2"))
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("bigint")
+    return (
+        a.join(b, (F.col("lang1") == F.col("lang2")) & (F.col("doc1") < F.col("doc2")))
+        .filter(hamming <= 2)
+        .select("doc1", "doc2", hamming.alias("hamming"))
+    )
+
+
+COSINE_SQL_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) "
+    "/ (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x)) "
+    "* sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))"
+)
+
+
+@query(
+    "q69_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def q69_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: same-label blocking (the ANN-bucket
+    stand-in), JVM-side fold for the dot product (F.aggregate/zip_with —
+    no Python in the pair loop), cosine ≥ 0.4."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("label1"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("label2"), F.col("v").alias("vb"))
+    cos = F.expr(COSINE_SQL_EXPR.format(a="va", b="vb"))
+    return (
+        a.join(b, (F.col("label1") == F.col("label2")) & (F.col("vec1") < F.col("vec2")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec1", "vec2", F.round("cos_raw", 6).alias("cos_sim"))
+    )

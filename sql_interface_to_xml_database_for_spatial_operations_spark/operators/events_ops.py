@@ -1,1 +1,166 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Event-stream operators in their batch form over the ``events`` table.
+
+The reference has no streaming at all (SURVEY.md §2.9); these queries
+define the *semantics* (tumbling/sliding windows, sessionization, keyed
+dedup, JSON property extraction) in deterministic batch form so the
+DuckDB oracle can check them; the ``streaming`` package runs the same
+logic as Structured Streaming with watermarks (tested separately —
+streaming output is not oracle-hashable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q75_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def q75_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour windows (batch semantics of
+    ``groupBy(window(ts, '1 hour'))``): count/sum/distinct per window ×
+    event type — map-side-combinable, one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q76_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned GROUP BY ws
+    """,
+)
+def q76_sliding_window(spark, sf_dir):
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows — ``F.window(ts, '2 hours', '1 hour')``. The oracle assigns
+    the same two window starts by explicit truncation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q77_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def q77_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands — the
+    deterministic batch semantics of ``session_window``/
+    ``applyInPandasWithState``. Single shuffle on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = e.withColumn(
+        "new_session", F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q78_keyed_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q78_keyed_dedup_first(spark, sf_dir):
+    """Keyed dedup keeping the first event per (user, type) — the batch
+    semantics of streaming ``dropDuplicates(['user_id','event_type'])``,
+    made deterministic by (ts, event_id) ordering."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "q79_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q79_json_props(spark, sf_dir):
+    """Semi-structured property access: JSON path extraction from the
+    ``props`` column (the document-model remnant — reference rows are
+    JSON/XML documents, SURVEY.md §1.1), JVM-side via get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

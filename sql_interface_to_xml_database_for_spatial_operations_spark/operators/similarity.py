@@ -1,1 +1,174 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Beyond-reference surface: brute-force cosine top-k as the exact baseline,
+and random-hyperplane LSH bucketing as the scale path (bucket join keeps
+candidate generation O(bucket sizes), not O(n²)). Dot products are
+JVM-side folds (``aggregate``/``zip_with``) — no Python UDF in the pair
+loop; hyperplanes are derived from md5 parities so the DuckDB oracle can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .dedup import COSINE_SQL_EXPR
+from .registry import query
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+N_PLANES = 8
+DIM = 64
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+@query(
+    "q70_ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT qid, cand_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT qid, cand_id, cos_sim, rank FROM (
+      SELECT qid, cand_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q70_ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for each query vector: broadcast the tiny
+    query set against the corpus, window-rank per query. Rank runs on the
+    6-dp-rounded similarity with vec_id tie-break so ordering is exact.
+    At scale the corpus side stays partitioned; only k rows per query
+    survive the window."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cand_id", "cos_sim", "rank")
+    )
+
+
+_WEIGHTS_SQL = f"""
+    SELECT h, j,
+           CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(CAST(h AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                THEN 1.0 ELSE -1.0 END AS w
+    FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS h),
+         (SELECT unnest(generate_series(0, {DIM - 1})) AS j)
+"""
+
+_BUCKETS_SQL = f"""
+    WITH weights AS ({_WEIGHTS_SQL}),
+    comp AS (
+      SELECT vec_id, label, j - 1 AS j, v[j] AS x
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, {DIM})) AS j)
+    ),
+    dots AS (
+      SELECT vec_id, label, h, sum(x * w) AS dot
+      FROM comp JOIN weights USING (j)
+      GROUP BY vec_id, label, h
+    )
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN dot > 0 THEN 1 << h ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id, label
+"""
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane signatures: 8 md5-derived ±1 hyperplanes; the
+    sign pattern of the 8 dot products is the bucket id."""
+    e = _vectors(spark, sf_dir)
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("h"))
+    dims = spark.range(DIM).select(F.col("id").cast("int").alias("j"))
+    parity = F.expr(
+        "(instr('0123456789abcdef', "
+        "substr(md5(concat(cast(h as string), '_', cast(j as string))), 1, 1)) - 1) % 2"
+    )
+    weights = planes.crossJoin(dims).select("h", "j", F.when(parity == 1, 1.0).otherwise(-1.0).alias("w"))
+    comp = e.select("vec_id", "label", F.posexplode("v").alias("j", "x"))
+    dots = (
+        comp.join(F.broadcast(weights), "j")
+        .groupBy("vec_id", "label", "h")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    return dots.groupBy("vec_id", "label").agg(
+        F.sum(F.when(F.col("dot") > 0, F.expr("shiftleft(1, h)")).otherwise(0))
+        .cast("bigint")
+        .alias("bucket")
+    )
+
+
+@query(
+    "q71_ann_lsh_buckets",
+    oracle=f"""
+    WITH b AS ({_BUCKETS_SQL})
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM b GROUP BY bucket
+    """,
+)
+def q71_ann_lsh_buckets(spark, sf_dir):
+    """LSH bucket histogram — the partition-friendly ANN index: vectors
+    sharing a sign-pattern bucket are each other's candidates. At 100 TB
+    the bucket id is the shuffle/partition key."""
+    return _lsh_buckets(spark, sf_dir).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "q72_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS ({_BUCKETS_SQL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT b.vec_id AS qid, bucket, v AS qv FROM b JOIN e ON b.vec_id = e.vec_id WHERE b.vec_id < {N_QUERIES}),
+    c AS (SELECT b.vec_id AS cand_id, bucket, v AS cv FROM b JOIN e ON b.vec_id = e.vec_id WHERE b.vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT qid, cand_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM q JOIN c USING (bucket)
+    )
+    SELECT qid, cand_id, cos_sim, rank FROM (
+      SELECT qid, cand_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q72_ann_lsh_topk(spark, sf_dir):
+    """LSH-accelerated top-5: candidates restricted to the query's bucket
+    (approximate — the recall/cost tradeoff of the scale path), then exact
+    cosine rank within the bucket."""
+    buckets = _lsh_buckets(spark, sf_dir)
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    withv = buckets.join(e, "vec_id")
+    q = withv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "bucket", F.col("v").alias("qv")
+    )
+    c = withv.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), "bucket", F.col("v").alias("cv")
+    )
+    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "cand_id", "cos_sim", "rank")
+    )

@@ -1,1 +1,162 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference surface (BASELINE.json north star): the text half of a
+large-scale training-data pipeline — token counting, quality scoring,
+language ID, document fingerprinting. Everything is expressed in built-in
+JVM functions (split/explode/regexp/md5/aggregations) — no Python UDFs in
+any hot path — so whole-stage codegen covers the entire plan and the only
+shuffles are the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q60_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q60_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    ([a-z]+|[0-9]+ word pieces), all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("bigint").alias("n_re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "q61_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           round(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 6) AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           CASE WHEN n_words >= 30 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.02 AND 0.5
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM t
+    """,
+)
+def q61_quality_score(spark, sf_dir):
+    """Quality scoring: length/stopword heuristics → keep/drop bucket
+    (the usual pre-training corpus filter shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.filter(F.split("text", " "), lambda x: x.isin("the", "a"))).cast("bigint").alias("n_stop"),
+    )
+    swr = F.col("n_stop").cast("double") / F.col("n_words")
+    return t.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round((F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col("n_words"), 6).alias(
+            "avg_word_len"
+        ),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.when((F.col("n_words") >= 30) & swr.between(0.02, 0.5), "keep")
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+LEXICON = [
+    ("en", "the"), ("en", "a"), ("en", "fast"), ("en", "slow"),
+    ("de", "table"), ("de", "scan"), ("de", "row"),
+    ("es", "data"), ("es", "query"), ("es", "value"),
+    ("fr", "join"), ("fr", "merge"), ("fr", "sort"),
+    ("zh", "batch"), ("zh", "stream"), ("zh", "window"),
+]
+
+_LEXICON_SQL = "VALUES " + ", ".join(f"('{lang}', '{w}')" for lang, w in LEXICON)
+
+
+@query(
+    "q62_language_id",
+    oracle=f"""
+    WITH lex(lang, word) AS ({_LEXICON_SQL}),
+    hits AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS score
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w
+      JOIN lex USING (word)
+      GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      FROM hits
+    )
+    SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
+    """,
+)
+def q62_language_id(spark, sf_dir):
+    """Language ID via stopword-lexicon scoring: explode words, broadcast
+    the lexicon, argmax per doc (deterministic tie-break). The lexicon is
+    synthetic (the fixture corpus is an English word-salad) but the
+    operator shape is the real n-gram/stopword classifier."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, "lang string, word string")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hits = (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+@query(
+    "q63_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, md5(substr(text, p, 4)) AS h
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, CAST(length(text) AS BIGINT) - 3)) AS p)
+      WHERE length(text) >= 4
+    )
+    SELECT doc_id, min(h) AS fp_min, CAST(count(DISTINCT h) AS BIGINT) AS n_grams
+    FROM grams GROUP BY doc_id
+    """,
+)
+def q63_fingerprint(spark, sf_dir):
+    """Document fingerprinting: rolling char-4-gram hashes, min-hash
+    fingerprint + distinct-gram cardinality (winnowing-lite). The gram
+    explosion is JVM-side (sequence + explode + substring + md5)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text").cast("bigint") - 3)).alias("p"),
+        "text",
+    ).select("doc_id", F.md5(F.expr("substr(text, p, 4)")).alias("h"))
+    return grams.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.countDistinct("h").alias("n_grams"),
+    )
