@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q...": sec, ...}, "sf": <sf>}
+
+Context (BASELINE.md): the reference's kinerja suite runs 5 684 ms for a
+40k-row scan+filter and 321-533 s for 40k-row joins (string-built
+nested-loop XQuery). Our fixture at sf0.1 is ~600k lineitem rows — 15×
+larger — so any query finishing in single-digit seconds here beats the
+reference's throughput by orders of magnitude.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan/filter, agg, multiway join,
+# window, spatial join, distance self-join, jaccard dedup, minhash LSH,
+# simhash, ANN top-k, tumbling window, sessionize).
+HEADLINE = [
+    "q01_filter_pushdown",
+    "q16_join_multiway",
+    "q23_agg_pricing_summary",
+    "q31_window_rank",
+    "q44_spatial_join_within",
+    "q47_dwithin_pairs",
+    "q64_dedup_exact",
+    "q65_dedup_ngram_jaccard",
+    "q66_minhash_lsh",
+    "q67_simhash",
+    "q70_ann_bruteforce_topk",
+    "q75_tumbling_window",
+    "q77_sessionize",
+]
+
+
+def main() -> None:
+    from sql_interface_to_xml_database_for_spatial_operations_spark import (
+        get_spark,
+        register_spatial_functions,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark import operators
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import (
+        QUERIES,
+    )
+
+    operators.load_all()
+    spark = get_spark("bench")
+    register_spatial_functions(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        fn(spark, SF_DIR).count()  # warm: plan + scan caches, JVM JIT
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
