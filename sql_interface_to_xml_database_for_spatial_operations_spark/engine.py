@@ -1,0 +1,98 @@
+"""Engine facade: the reference's ``processQuery`` surface, Spark-first.
+
+Reference lifecycle (SURVEY.md §3.1): parse → normalize → pushdown split
+→ per-DBMS native queries → fetch → VALUES-inline rebuild → PostgreSQL →
+optional GeoJSON conversion (src/index.ts:349-371). Here the entire
+lifecycle is ``spark.sql`` + Catalyst; this class supplies the same
+*user surface*: register document tables (parquet / GeoJSON / XML), run
+SQL with spatial functions, get rowsets or GeoJSON FeatureCollections,
+with per-query timing like the reference's demo UI stats
+(demo/routes.ts:144-171).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.spatial import register_spatial_functions
+from .sources import sinks
+from .sources.geojson import read_geojson
+from .sources.tables import TABLES, load_tables
+from .sources.xml import read_xml
+
+
+@dataclass
+class QueryStats:
+    """Per-query timing — the engine analog of the reference's
+    executionTime / dbms_executionTime / pg_executionTime split."""
+
+    sql: str
+    plan_seconds: float
+    fetch_seconds: float
+    rows: int
+
+
+@dataclass
+class SpatialSQLEngine:
+    spark: SparkSession
+    stats: list[QueryStats] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        register_spatial_functions(self.spark)
+
+    # -- table registration (S1-S4 replacement) ---------------------------
+    def register_parquet_dir(self, sf_dir: str) -> None:
+        for name, df in load_tables(self.spark, sf_dir).items():
+            df.createOrReplaceTempView(name)
+
+    def register_geojson(self, name: str, path: str, lines: bool = False) -> None:
+        read_geojson(self.spark, path, lines=lines).createOrReplaceTempView(name)
+
+    def register_xml(self, name: str, path: str, row_tag: str | None = None) -> None:
+        read_xml(self.spark, path, row_tag=row_tag).createOrReplaceTempView(name)
+
+    def tables(self) -> list[str]:
+        """S8: catalog listing (reference: db:list / listCollections)."""
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    # -- query execution --------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        t0 = time.perf_counter()
+        df = self.spark.sql(query)
+        self.stats.append(
+            QueryStats(sql=query, plan_seconds=round(time.perf_counter() - t0, 4), fetch_seconds=0.0, rows=-1)
+        )
+        return df
+
+    def sql_rows(self, query: str) -> list:
+        """S9: rowset result with timing."""
+        df = self.sql(query)
+        t0 = time.perf_counter()
+        rows = df.collect()
+        self.stats[-1].fetch_seconds = round(time.perf_counter() - t0, 4)
+        self.stats[-1].rows = len(rows)
+        return rows
+
+    def sql_geojson(self, query: str, geometry_col: str = "geometry", limit: int | None = 10000) -> dict:
+        """S10: FeatureCollection result (reference: convertRestoGeoJSON,
+        src/index.ts:360-363 — triggered there by an st_asgeojson
+        projection; here an explicit method)."""
+        df = self.sql(query)
+        t0 = time.perf_counter()
+        fc = sinks.to_feature_collection(df, geometry_col=geometry_col, limit=limit)
+        self.stats[-1].fetch_seconds = round(time.perf_counter() - t0, 4)
+        self.stats[-1].rows = len(fc["features"])
+        return fc
+
+
+def create_engine(spark: SparkSession, sf_dir: str | None = None) -> SpatialSQLEngine:
+    eng = SpatialSQLEngine(spark)
+    if sf_dir:
+        eng.register_parquet_dir(sf_dir)
+    return eng
+
+
+__all__ = ["SpatialSQLEngine", "create_engine", "QueryStats", "TABLES"]

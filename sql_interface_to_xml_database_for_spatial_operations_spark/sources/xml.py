@@ -1,0 +1,223 @@
+"""XML document reader: GML feature collections and KML placemarks →
+DataFrames.
+
+Replaces the reference's BaseX/eXist-db scan + XQuery flattening pipeline
+(SURVEY.md §2.1 S1/S2/S5/S6; reference: extension/xml_extension.ts:495-548
+row-path extraction, 236-273 first-row type sniffing, 78-101 namespace
+auto-detect) with a two-phase Spark read:
+
+1. files → one row per file (``spark.read.text(wholetext)``), parsed
+   per-partition with ``xml.etree`` into JSON-encoded rows;
+2. ``spark.read.json`` over those rows → schema inference over ALL rows
+   (not the reference's first-row sample — SURVEY.md §1.2's bug class),
+   nested elements becoming StructType, repeated elements ArrayType.
+
+Flattening convention vs the reference (SURVEY.md §1.3):
+- ``parent__child``          ≡ ``col("parent.child")`` (nested struct)
+- ``_attribute__attr``       ≡ ``col("_attr")`` (row-element attribute)
+- ``_attribute__elem__attr`` ≡ ``col("elem._attr")``
+- element text when the element also has attributes → ``elem._VALUE``
+- ``@_is_collection`` nested collections ≡ ArrayType + ``explode``
+- geometry (gml:* / kml:Point...) → WKT string column ``geometry``
+
+Scale: each input file parses independently inside a partition (no
+driver-side XML), so ingest parallelism = file count; schema inference is
+one extra distributed pass, and an explicit schema skips it.
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions import geometry as G
+
+GML_NS = "http://www.opengis.net/gml"
+KML_ROW_TAGS = ("Placemark",)
+GML_ROW_TAGS = ("featureMember", "member")
+
+_GEOM_TAGS = {
+    "Point",
+    "LineString",
+    "Polygon",
+    "MultiPolygon",
+    "MultiPoint",
+    "MultiGeometry",
+}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_coords_text(text: str, swap: bool = False) -> list[tuple[float, float]]:
+    """GML <coordinates> 'x,y x,y' or <posList>/<pos> 'x y x y'."""
+    text = (text or "").strip()
+    if not text:
+        return []
+    if "," in text:
+        pts = []
+        for tok in text.split():
+            parts = tok.split(",")
+            pts.append((float(parts[0]), float(parts[1])))
+    else:
+        nums = [float(t) for t in text.split()]
+        pts = list(zip(nums[0::2], nums[1::2]))
+    if swap:
+        pts = [(y, x) for x, y in pts]
+    return pts
+
+
+def _gml_geometry_to_wkt(el: ET.Element) -> str | None:
+    """Convert a GML/KML geometry element to WKT.
+
+    GML ``pos``/``posList`` axis order is (lat lon) per EPSG:4326 in many
+    datasets, but the reference treats coordinates as-is; we do the same
+    (documented divergence: no axis swapping)."""
+    tag = _local(el.tag)
+    if tag == "MultiGeometry":
+        for child in el:
+            wkt = _gml_geometry_to_wkt(child)
+            if wkt:
+                return wkt
+        return None
+    if tag == "Point":
+        for sub in el.iter():
+            if _local(sub.tag) in ("coordinates", "pos"):
+                pts = _parse_coords_text(sub.text)
+                if pts:
+                    return G.to_wkt(G.Geometry.point(*pts[0]))
+        return None
+    if tag == "LineString":
+        for sub in el.iter():
+            if _local(sub.tag) in ("coordinates", "posList"):
+                pts = _parse_coords_text(sub.text)
+                if pts:
+                    return G.to_wkt(G.Geometry("LineString", pts))
+        return None
+    if tag in ("Polygon", "MultiPolygon"):
+        rings: list[list[tuple[float, float]]] = []
+        outer: list[list[tuple[float, float]]] = []
+        for sub in el.iter():
+            lsub = _local(sub.tag)
+            if lsub in ("exterior", "outerBoundaryIs", "outerBoundary"):
+                for c in sub.iter():
+                    if _local(c.tag) in ("coordinates", "posList"):
+                        outer.append(_parse_coords_text(c.text))
+            elif lsub in ("interior", "innerBoundaryIs"):
+                for c in sub.iter():
+                    if _local(c.tag) in ("coordinates", "posList"):
+                        rings.append(_parse_coords_text(c.text))
+        if outer:
+            ring = outer[0]
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])
+            closed_holes = []
+            for h in rings:
+                if h and h[0] != h[-1]:
+                    h.append(h[0])
+                closed_holes.append(h)
+            return G.to_wkt(G.Geometry("Polygon", [ring] + closed_holes))
+        return None
+    return None
+
+
+def _collection_names(root: ET.Element) -> set[str]:
+    """Element names that appear more than once under any single parent
+    anywhere in the document — the engine's version of the reference's
+    per-element ``@_is_collection="true"`` marker
+    (xml_extension.ts:822-836). Forcing these to lists in EVERY row keeps
+    the JSON schema consistent (a name that is sometimes scalar and
+    sometimes repeated would otherwise degrade to string on inference)."""
+    names: set[str] = set()
+    for parent in root.iter():
+        seen: set[str] = set()
+        for child in parent:
+            name = _local(child.tag)
+            if name in seen:
+                names.add(name)
+            seen.add(name)
+    return names
+
+
+def _element_to_value(el: ET.Element, collections: set[str]):
+    """Recursive XML element → JSON-able value, spark-xml conventions:
+    attributes prefixed ``_``, text alongside attributes as ``_VALUE``,
+    collection-shaped child names → list (the reference's
+    ``@_is_collection``)."""
+    children = list(el)
+    attrs = {f"_{k.rsplit('}', 1)[-1]}": v for k, v in el.attrib.items()}
+    if not children:
+        text = (el.text or "").strip() or None
+        if attrs:
+            if text is not None:
+                attrs["_VALUE"] = text
+            return attrs
+        return text
+    out: dict = dict(attrs)
+    by_name: dict[str, list] = {}
+    for child in children:
+        by_name.setdefault(_local(child.tag), []).append(child)
+    for name, elems in by_name.items():
+        if name in _GEOM_TAGS:
+            wkt = _gml_geometry_to_wkt(elems[0])
+            out["geometry"] = wkt
+            continue
+        vals = [_element_to_value(c, collections) for c in elems]
+        out[name] = vals if (len(vals) > 1 or name in collections) else vals[0]
+    return out
+
+
+def _rows_from_xml(content: str, row_tag: str | None) -> list[dict]:
+    """Extract row dicts from one XML document.
+
+    Row path auto-detection mirrors the reference's namespace probe
+    (S6, xml_extension.ts:78-101): gml featureMember children, else kml
+    Placemark elements, else children of the root."""
+    root = ET.fromstring(content)
+    collections = _collection_names(root)
+    rows: list[ET.Element] = []
+    if row_tag:
+        rows = [el for el in root.iter() if _local(el.tag) == row_tag]
+        # GML convention: the featureMember element WRAPS the feature
+        if rows and row_tag in GML_ROW_TAGS:
+            rows = [child for el in rows for child in el]
+    else:
+        members = [el for el in root.iter() if _local(el.tag) in GML_ROW_TAGS]
+        if members:
+            rows = [child for el in members for child in el]
+        else:
+            placemarks = [el for el in root.iter() if _local(el.tag) in KML_ROW_TAGS]
+            rows = placemarks if placemarks else list(root)
+    out = []
+    for el in rows:
+        val = _element_to_value(el, collections)
+        if isinstance(val, dict):
+            val["_feature_type"] = _local(el.tag)
+            out.append(val)
+    return out
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str | None = None) -> DataFrame:
+    """Read GML/KML documents into a DataFrame (S1/S2 replacement).
+
+    ``row_tag`` mirrors spark-xml's option; when None the row path is
+    auto-detected per document."""
+    files = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for content in pdf["value"]:
+                for row in _rows_from_xml(content, row_tag):
+                    lines.append(json.dumps(row))
+            yield pd.DataFrame({"json": lines})
+
+    json_rows = files.mapInPandas(parse, StructType([StructField("json", StringType())]))
+    # schema inference over all rows (vs the reference's 1-row sample)
+    return spark.read.json(json_rows.rdd.map(lambda r: r.json))

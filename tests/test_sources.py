@@ -1,0 +1,178 @@
+"""Source/sink tests: GML + KML XML readers (row-path detection,
+attribute/nested-collection flattening per SURVEY.md §1.3), GeoJSON
+reader, GeoJSON FeatureCollection sink, and the engine facade."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.engine import create_engine
+from sql_interface_to_xml_database_for_spatial_operations_spark.sources.geojson import read_geojson
+from sql_interface_to_xml_database_for_spatial_operations_spark.sources.sinks import (
+    feature_lines,
+    to_feature_collection,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.sources.xml import read_xml
+
+from conftest import SF_DIR
+
+GML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember>
+    <puskesmas srid="4326">
+      <nama>PKM Satu</nama>
+      <kapasitas>120</kapasitas>
+      <nilai><njop>5000</njop><tahun>2020</tahun></nilai>
+      <pemilik><nama>Andi</nama><porsi>0.6</porsi></pemilik>
+      <pemilik><nama>Budi</nama><porsi>0.4</porsi></pemilik>
+      <gml:Point><gml:coordinates>106.8,-6.2</gml:coordinates></gml:Point>
+    </puskesmas>
+  </gml:featureMember>
+  <gml:featureMember>
+    <puskesmas srid="4326">
+      <nama>PKM Dua</nama>
+      <kapasitas>80</kapasitas>
+      <nilai><njop>3000</njop><tahun>2021</tahun></nilai>
+      <pemilik><nama>Cici</nama><porsi>1.0</porsi></pemilik>
+      <gml:Point><gml:coordinates>107.1,-6.5</gml:coordinates></gml:Point>
+    </puskesmas>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+
+KML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+  <Document>
+    <Placemark>
+      <name>Masjid A</name>
+      <description>first</description>
+      <Point><coordinates>124.84,1.48</coordinates></Point>
+    </Placemark>
+    <Placemark>
+      <name>Masjid B</name>
+      <description>second</description>
+      <Point><coordinates>124.91,1.45</coordinates></Point>
+    </Placemark>
+  </Document>
+</kml>
+"""
+
+
+@pytest.fixture(scope="module")
+def gml_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gml")
+    (d / "puskesmas.xml").write_text(GML_DOC)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def kml_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kml")
+    (d / "masjid.kml").write_text(KML_DOC)
+    return str(d)
+
+
+def test_read_gml_rows_and_nesting(spark, gml_path):
+    df = read_xml(spark, gml_path)
+    rows = {r["nama"]: r for r in df.collect()}
+    assert set(rows) == {"PKM Satu", "PKM Dua"}
+    r = rows["PKM Satu"]
+    # typed-ish values arrive as strings/longs from JSON inference
+    assert int(r["kapasitas"]) == 120
+    # row-element attribute (reference: _attribute__srid)
+    assert r["_srid"] == "4326"
+    # nested element (reference: nilai__njop ≡ col("nilai.njop"))
+    assert int(r["nilai"]["njop"]) == 5000
+    # geometry → WKT
+    assert r["geometry"] == "POINT (106.8 -6.2)"
+    # nested collection (reference: @_is_collection) → array
+    assert len(r["pemilik"]) == 2
+
+
+def test_gml_nested_collection_explode(spark, gml_path):
+    """The reference's nested-collection lateral join (J6,
+    xml_extension.ts:1373-1428) ≡ explode()."""
+    df = read_xml(spark, gml_path)
+    # single-element rows infer as struct OR array depending on data; the
+    # fixture has one row with 2 pemilik and one with 1 → array of struct
+    exploded = df.select("nama", F.explode("pemilik").alias("p")).select(
+        "nama", F.col("p.nama").alias("pemilik_nama"), F.col("p.porsi").alias("porsi")
+    )
+    got = {(r.nama, r.pemilik_nama) for r in exploded.collect()}
+    assert ("PKM Satu", "Andi") in got and ("PKM Satu", "Budi") in got and ("PKM Dua", "Cici") in got
+
+
+def test_read_kml_placemarks(spark, kml_path):
+    df = read_xml(spark, kml_path)
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"Masjid A", "Masjid B"}
+    assert rows["Masjid A"]["geometry"] == "POINT (124.84 1.48)"
+    assert rows["Masjid A"]["_feature_type"] == "Placemark"
+
+
+def test_read_geojson_collection(spark, tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"nama": "RS Satu", "beds": 200},
+                "geometry": {"type": "Point", "coordinates": [106.9, -6.3]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"nama": "RS Dua", "beds": 90},
+                "geometry": {"type": "Point", "coordinates": [107.0, -6.1]},
+            },
+        ],
+    }
+    p = tmp_path / "rs.geojson"
+    p.write_text(json.dumps(fc))
+    df = read_geojson(spark, str(p))
+    rows = {r["nama"]: r for r in df.collect()}
+    assert rows["RS Satu"]["beds"] == 200
+    assert rows["RS Satu"]["geometry"] == "POINT (106.9 -6.3)"
+
+
+def test_feature_collection_sink_roundtrip(spark, tmp_path):
+    fc_in = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"nama": "X", "v": 1},
+                "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+            }
+        ],
+    }
+    p = tmp_path / "x.geojson"
+    p.write_text(json.dumps(fc_in))
+    df = read_geojson(spark, str(p))
+    out = to_feature_collection(df)
+    assert out["type"] == "FeatureCollection"
+    f = out["features"][0]
+    assert f["geometry"] == {"type": "Point", "coordinates": [1.5, 2.5]}
+    assert f["properties"]["nama"] == "X"
+    # scalable variant: one JSON Feature per line
+    lines = feature_lines(df).collect()
+    assert json.loads(lines[0].feature)["type"] == "Feature"
+
+
+def test_engine_facade_sql_and_geojson(spark, gml_path):
+    eng = create_engine(spark, SF_DIR)
+    eng.register_xml("puskesmas", gml_path)
+    assert "puskesmas" in eng.tables()
+    rows = eng.sql_rows(
+        "SELECT nama, st_x(geometry) AS lon FROM puskesmas WHERE CAST(kapasitas AS INT) > 100"
+    )
+    assert [r.nama for r in rows] == ["PKM Satu"]
+    assert rows[0].lon == 106.8
+    fc = eng.sql_geojson("SELECT nama, geometry FROM puskesmas")
+    assert len(fc["features"]) == 2
+    assert eng.stats[-1].rows == 2
+    # relational tables registered too
+    n = eng.sql_rows("SELECT count(*) AS n FROM nation")[0].n
+    assert n == 25
