@@ -1,0 +1,127 @@
+"""Unit tests for the pure-Python geometry core: WKT/GeoJSON round-trips,
+predicates on edge cases (holes, boundaries, touching boxes), measures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+
+
+def test_parse_point_roundtrip():
+    g = G.parse_wkt("POINT (106.8 -6.2)")
+    assert g.kind == "Point" and g.coords == (106.8, -6.2)
+    assert G.to_wkt(g) == "POINT (106.8 -6.2)"
+    # messy input normalizes
+    assert G.to_wkt(G.parse_wkt("  point( 1   2 )  ")) == "POINT (1 2)"
+
+
+def test_parse_invalid_returns_none():
+    assert G.parse_wkt(None) is None
+    assert G.parse_wkt("") is None
+    assert G.parse_wkt("POLYGON garbage") is None
+    assert G.parse_wkt("FOO (1 2)") is None
+
+
+def test_polygon_roundtrip_with_hole():
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    g = G.parse_wkt(wkt)
+    assert g.kind == "Polygon" and len(g.coords) == 2
+    assert G.to_wkt(g) == wkt
+    assert G.area(g) == 100 - 4
+
+
+def test_multipolygon_roundtrip():
+    wkt = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    g = G.parse_wkt(wkt)
+    assert g.kind == "MultiPolygon" and len(g.coords) == 2
+    assert G.to_wkt(g) == wkt
+    assert G.area(g) == 2.0
+
+
+def test_linestring_length_and_dimension():
+    g = G.parse_wkt("LINESTRING (0 0, 3 4, 3 8)")
+    assert G.length(g) == 9.0
+    assert G.dimension(g) == 1
+    assert G.geometry_type(g) == "ST_LineString"
+
+
+def test_point_in_polygon_with_hole():
+    poly = G.parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert G.within(G.Geometry.point(2, 2), poly)
+    assert not G.within(G.Geometry.point(5, 5), poly)  # inside the hole
+    assert G.within(G.Geometry.point(0, 5), poly)  # on outer boundary
+    assert G.within(G.Geometry.point(4, 5), poly)  # on hole boundary
+
+
+def test_polygon_within_polygon():
+    outer = G.Geometry.box(0, 0, 10, 10)
+    inner = G.Geometry.box(2, 2, 4, 4)
+    overlapping = G.Geometry.box(8, 8, 12, 12)
+    assert G.within(inner, outer)
+    assert G.contains(outer, inner)
+    assert not G.within(overlapping, outer)
+
+
+def test_intersects_cases():
+    a = G.Geometry.box(0, 0, 10, 10)
+    assert G.intersects(a, G.Geometry.box(5, 5, 15, 15))  # overlap
+    assert G.intersects(a, G.Geometry.box(10, 0, 20, 10))  # touching edge
+    assert not G.intersects(a, G.Geometry.box(11, 11, 20, 20))  # disjoint
+    assert G.intersects(a, G.Geometry.box(2, 2, 3, 3))  # containment
+    # crossing polygons with no contained vertices
+    cross1 = G.parse_wkt("POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))")
+    cross2 = G.parse_wkt("POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))")
+    assert G.intersects(cross1, cross2)
+
+
+def test_distance():
+    p1, p2 = G.Geometry.point(0, 0), G.Geometry.point(3, 4)
+    assert G.distance(p1, p2) == 5.0
+    box = G.Geometry.box(10, 0, 20, 10)
+    assert G.distance(p1, box) == 10.0  # to the nearest edge
+    assert G.distance(G.Geometry.point(15, 5), box) == 0.0  # inside
+    line = G.parse_wkt("LINESTRING (0 10, 10 10)")
+    assert G.distance(G.Geometry.point(5, 6), line) == 4.0
+
+
+def test_distance_sphere_known_value():
+    # one degree of longitude at the equator ≈ 111.195 km on the sphere
+    d = G.distance_sphere(G.Geometry.point(0, 0), G.Geometry.point(1, 0))
+    assert d == pytest.approx(111195, rel=1e-3)
+    # symmetric and zero at identity
+    assert G.distance_sphere(G.Geometry.point(5, 5), G.Geometry.point(5, 5)) == 0.0
+
+
+def test_centroid():
+    assert G.centroid(G.Geometry.box(0, 0, 10, 20)) == (5.0, 10.0)
+    assert G.centroid(G.parse_wkt("LINESTRING (0 0, 10 0)")) == (5.0, 0.0)
+
+
+def test_buffer_point_is_ngon():
+    g = G.buffer(G.Geometry.point(0, 0), 2.0)
+    assert g.kind == "Polygon"
+    n = len(g.coords[0]) - 1
+    assert n == 32
+    expected = 0.5 * n * 4.0 * math.sin(2 * math.pi / n)
+    assert G.area(g) == pytest.approx(expected, abs=1e-9)
+    # all vertices at radius 2
+    for x, y in g.coords[0]:
+        assert math.sqrt(x * x + y * y) == pytest.approx(2.0, abs=1e-12)
+
+
+def test_geojson_roundtrip():
+    g = G.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    gj = G.to_geojson(g)
+    assert gj == '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}'
+    import json
+
+    g2 = G.from_geojson(json.loads(gj))
+    assert G.to_wkt(g2) == G.to_wkt(g)
+
+
+def test_bbox():
+    g = G.parse_wkt("MULTIPOINT ((1 2), (5 -3), (0 7))")
+    assert G.bbox(g) == (0, -3, 5, 7)
