@@ -156,22 +156,21 @@ def q66_minhash_lsh(spark, sf_dir):
     a hash join on band values — the scale path for corpus-level dedup.
     Hashes are md5 hex strings (min = lexicographic) for oracle parity."""
     sh = _word_shingles(spark, sf_dir, 5)
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    mins = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh"))).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    # All 8 min-hashes in ONE aggregation over the shingle set (no seed
+    # crossJoin 8×-ing the shuffle volume; partial aggregation combines
+    # map-side) — then unpivot signature columns into 4 bands via stack.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ]
     )
-    bands = (
-        mins.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]),
-                "",
-            ).alias("band_val")
-        )
+    band_pairs = ", ".join(
+        f"{b}, concat(h{b * BAND_SIZE}, h{b * BAND_SIZE + 1})"
+        for b in range(N_MINHASH // BAND_SIZE)
+    )
+    bands = mins.selectExpr(
+        "doc_id", f"stack({N_MINHASH // BAND_SIZE}, {band_pairs}) AS (band, band_val)"
     )
     a = bands.select(F.col("doc_id").alias("doc1"), "band", "band_val")
     b = bands.select(F.col("doc_id").alias("doc2"), "band", "band_val")
