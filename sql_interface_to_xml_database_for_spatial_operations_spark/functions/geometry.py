@@ -189,6 +189,83 @@ def from_geojson(obj) -> Geometry | None:
     return None
 
 
+def _xml_local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].rsplit(":", 1)[-1].lower()
+
+
+def _xml_coords(el) -> Ring:
+    """Coordinate list from a GML/KML coordinate-bearing element.
+
+    ``<coordinates>`` holds comma-separated tuples split by whitespace
+    (``x,y[,z] x,y[,z] ...`` — GML 2 and KML); ``<pos>``/``<posList>``
+    hold whitespace-separated scalars (``x y x y ...`` — GML 3, kept in
+    document x-y order as PostGIS ST_GeomFromGML does)."""
+    name = _xml_local(el.tag)
+    text = (el.text or "").strip()
+    if not text:
+        return []
+    if name == "coordinates":
+        pts = []
+        for tup in text.split():
+            parts = tup.split(",")
+            pts.append((float(parts[0]), float(parts[1])))
+        return pts
+    nums = [float(t) for t in text.split()]
+    return [(nums[i], nums[i + 1]) for i in range(0, len(nums) - 1, 2)]
+
+
+def _xml_find_coords(el) -> Ring:
+    for child in el.iter():
+        if _xml_local(child.tag) in ("coordinates", "pos", "poslist"):
+            return _xml_coords(child)
+    return []
+
+
+def from_xml_geometry(s: str) -> Geometry | None:
+    """Build a Geometry from a GML (2/3) or KML fragment — the reference's
+    ST_GeomFromGML / ST_GeomFromKML ingestion path
+    (reference: extension/xml_extension.ts:283-308, 340-369).
+
+    Namespace-agnostic: elements are matched by local name, and common
+    prefixes are pre-declared so bare ``<gml:Point>`` fragments (no xmlns
+    attribute, as stored inside featureMember documents) still parse."""
+    import xml.etree.ElementTree as ET
+
+    if not isinstance(s, str) or not s.strip():
+        return None
+    wrapped = (
+        '<_r xmlns:gml="http://www.opengis.net/gml" '
+        'xmlns:kml="http://www.opengis.net/kml/2.2">' + s + "</_r>"
+    )
+    try:
+        root = ET.fromstring(wrapped)
+    except ET.ParseError:
+        return None
+    for el in root.iter():
+        kind = _xml_local(el.tag)
+        if kind == "point":
+            pts = _xml_find_coords(el)
+            return Geometry("Point", pts[0]) if pts else None
+        if kind == "linestring":
+            pts = _xml_find_coords(el)
+            return Geometry("LineString", pts) if len(pts) >= 2 else None
+        if kind == "polygon":
+            exterior: Ring = []
+            interiors: list[Ring] = []
+            for b in el.iter():
+                bname = _xml_local(b.tag)
+                if bname in ("outerboundaryis", "exterior"):
+                    exterior = _xml_find_coords(b)
+                elif bname in ("innerboundaryis", "interior"):
+                    ring = _xml_find_coords(b)
+                    if ring:
+                        interiors.append(ring)
+            if not exterior:
+                exterior = _xml_find_coords(el)
+            return Geometry("Polygon", [exterior] + interiors) if exterior else None
+    return None
+
+
 # -- predicates & measures -----------------------------------------------
 
 

@@ -103,6 +103,27 @@ def st_geomfromgeojson(js: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_geomfromgml(xml: pd.Series) -> pd.Series:
+    """GML 2/3 fragment (Point/LineString/Polygon, coordinates or
+    pos/posList) → WKT. Reference: extension/xml_extension.ts:283-308
+    (ST_GeomFromGML injected into the rebuilt projection)."""
+    return pd.Series(
+        [(lambda g: G.to_wkt(g) if g else None)(G.from_xml_geometry(v) if isinstance(v, str) else None) for v in xml],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
+def st_geomfromkml(xml: pd.Series) -> pd.Series:
+    """KML fragment (Point/LineString/Polygon Placemark geometry) → WKT.
+    Reference: extension/xml_extension.ts:340-369 (ST_GeomFromKML)."""
+    return pd.Series(
+        [(lambda g: G.to_wkt(g) if g else None)(G.from_xml_geometry(v) if isinstance(v, str) else None) for v in xml],
+        dtype=object,
+    )
+
+
 # -- serializers ----------------------------------------------------------
 
 
@@ -272,6 +293,8 @@ ALL_FUNCTIONS = {
     "st_makeenvelope": st_makeenvelope,
     "st_geomfromtext": st_geomfromtext,
     "st_geomfromgeojson": st_geomfromgeojson,
+    "st_geomfromgml": st_geomfromgml,
+    "st_geomfromkml": st_geomfromkml,
     "st_astext": st_astext,
     "st_asgeojson": st_asgeojson,
     "st_x": st_x,

@@ -16,4 +16,5 @@ def load_all() -> None:
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import events_ops  # noqa: F401
+    from . import temporal  # noqa: F401
     from . import multimodal  # noqa: F401

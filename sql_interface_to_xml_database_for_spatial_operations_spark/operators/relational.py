@@ -862,3 +862,117 @@ def q40_math_functions(spark, sf_dir):
         F.ceil("s_acctbal").cast("bigint").alias("ceil_bal"),
         F.sqrt(F.col("s_suppkey").cast("double")).alias("sqrt_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extras the reference lacks but Spark gives natively (SURVEY A4 note):
+# cube / rollup / grouping sets / multi-distinct / approx distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q54_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q54_cube(spark, sf_dir):
+    """CUBE over two low-cardinality dims — all 4 grouping combinations in
+    one pass (Spark Expand + single shuffle; the reference would need 4
+    separate PostgreSQL queries — SURVEY.md §2.4 'not in the reference')."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "q55_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q55_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent group-bys share one scan
+    and one Expand-fed shuffle instead of two full passes over the table."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q56_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q56_pivot(spark, sf_dir):
+    """PIVOT on l_linestatus. With the pivot values enumerated up front
+    Spark plans ONE aggregate (no extra distinct-values job and no second
+    shuffle); the oracle states the same thing as FILTERed aggregates."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+@query(
+    "q57_count_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q57_count_distinct_multi(spark, sf_dir):
+    """Two COUNT(DISTINCT) over different columns in one aggregate — Spark
+    plans this as a single Expand + two-stage aggregation (partial
+    distinct per mapper, final merge), not two scans."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q58_approx_count_distinct", oracle=None)
+def q58_approx_count_distinct(spark, sf_dir):
+    """HLL++ approximate distinct (rsd 2%) — the single-pass, fixed-memory
+    sketch that replaces exact distinct at 100 TB (exact needs a shuffle of
+    every distinct value; the sketch merges map-side in O(kB) per group).
+    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    the driver runs the rows-only check; the companion
+    q57_count_distinct_multi pins down exact-distinct correctness."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_order"),
+    )

@@ -172,3 +172,114 @@ def q72_ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("qid", "cand_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path besides LSH
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _lit_array_sql(vec) -> str:
+    """A SQL double-array literal for one centroid vector."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+@query(
+    "q73_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT c.vec_id, ct.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cid ASC
+               ) AS rn
+        FROM corpus c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, ct.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC, ct.cid ASC
+               ) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent ct
+      ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id AS cand_id,
+             round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim
+      FROM probe p
+      JOIN assign a USING (cid)
+      JOIN e qe ON qe.vec_id = p.qid
+      JOIN e ce ON ce.vec_id = a.vec_id
+    )
+    SELECT qid, cand_id, cos_sim, rank FROM (
+      SELECT qid, cand_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q73_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10: a 16-centroid inverted-file index. The centroid set
+    is a driver-side model (16 × 64 doubles — like a broadcast MLlib
+    KMeans model, NOT a data collect), so cluster assignment is a
+    MAP-ONLY projection: per row, argmax over 16 inlined-literal cosine
+    scores — no shuffle touches the corpus until the final per-query
+    top-k window. Queries probe their NPROBE=4 nearest centroids and
+    brute-force only those clusters — the recall/cost dial of IVF."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    cents = sorted(
+        (r["vec_id"], r["v"])
+        for r in e.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        ).collect()
+    )
+
+    def scored_array(vcol: str):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(F.expr(COSINE_SQL_EXPR.format(a=vcol, b=_lit_array_sql(cv))), 6).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    assigned = corpus.withColumn("cid", -F.array_max(scored_array("v"))["negcid"])
+
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scored_array("v"))), 1, NPROBE)
+            ).alias("probe"),
+        )
+        .select("qid", "qv", (-F.col("probe.negcid")).alias("cid"))
+    )
+
+    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="v")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .withColumnRenamed("vec_id", "cand_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cand_id", "cos_sim", "rank")
+    )

@@ -475,3 +475,49 @@ def q53_buffer_contains(spark, sf_dir):
             F.round(F.expr("st_area(st_buffer(geom, 2.0D))"), 6).alias("buf_area"),
         )
     )
+
+
+@query(
+    "q59_st_geomfromgml_kml",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_custkey,
+           'POINT (' || {_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")} || ')' AS wkt_gml,
+           'POINT (' || {_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")} || ')' AS wkt_kml,
+           CAST(lon AS DOUBLE) AS x_gml
+    FROM pts WHERE c_custkey < 150
+    """,
+)
+def q59_st_geomfromgml_kml(spark, sf_dir):
+    """F8: GML and KML geometry ingestion (reference:
+    extension/xml_extension.ts:283-308 ST_GeomFromGML, 340-369
+    ST_GeomFromKML). JVM-concatenated GML 3 <gml:Point><gml:pos> and KML
+    <Point><coordinates> fragments are parsed back to WKT by the UDFs;
+    both must round-trip to the same point."""
+    _ensure_udfs(spark)
+    gml = F.concat(
+        F.lit("<gml:Point srsName=\"EPSG:4326\"><gml:pos>"),
+        F.col("lon").cast("string"),
+        F.lit(" "),
+        F.col("lat").cast("string"),
+        F.lit("</gml:pos></gml:Point>"),
+    )
+    kml = F.concat(
+        F.lit("<Point><coordinates>"),
+        F.col("lon").cast("string"),
+        F.lit(","),
+        F.col("lat").cast("string"),
+        F.lit(",0</coordinates></Point>"),
+    )
+    return (
+        customer_points(spark, sf_dir)
+        .filter(F.col("c_custkey") < 150)
+        .withColumn("gml", gml)
+        .withColumn("kml", kml)
+        .select(
+            "c_custkey",
+            F.expr("st_astext(st_geomfromgml(gml))").alias("wkt_gml"),
+            F.expr("st_astext(st_geomfromkml(kml))").alias("wkt_kml"),
+            F.expr("st_x(st_geomfromgml(gml))").alias("x_gml"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Temporal join operators over the ``events`` table.
+
+Beyond-reference surface (the reference is pure request/response SELECT
+federation — SURVEY.md §2.3 notes as-of and range joins are absent):
+these are the two joins every event/time-series workload needs, written
+so the *plan* survives 100 TB:
+
+- **As-of join** via union + partitioned window, NOT a per-row lookup
+  join: both sides shuffle ONCE on the key, then a single ordered pass
+  per key carries the latest left-side row forward (``last(...,
+  ignorenulls)``). No broadcast of a big side, no O(n·m) nested loop,
+  and skew is bounded by events-per-key.
+- **Range (interval) join** via band bucketing: an inequality-only join
+  would plan as BroadcastNestedLoopJoin (O(n·m) at scale); bucketing ts
+  into band-width buckets and equi-joining on (key, bucket, bucket+1)
+  turns it into a shuffled hash join whose candidate set is only
+  adjacent buckets, with the exact predicate re-checked after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+BAND_SECONDS = 300  # range-join width: 5 minutes
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+) -> DataFrame:
+    """Generic as-of join: for every ``left`` row, attach the most recent
+    ``right`` row with ``right.ts <= left.ts`` and the same key.
+
+    Implemented as union + window (one shuffle total): right rows sort
+    before left rows at equal ts (tag 0 < 1), so an exact-ts right row IS
+    visible to the left row, matching ASOF semantics. Right columns other
+    than (on, ts) are carried as a struct and split back out by caller.
+    """
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        F.struct(*[c for c in right.columns if c not in (on,)]).alias("_r"),
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_tag"),
+        F.struct(*[c for c in left.columns if c not in (on,)]).alias("_l"),
+    )
+    unioned = l.unionByName(r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType)), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+        .drop("_tag", "_r")
+    )
+
+
+@query(
+    "q83_asof_join",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           v.event_id AS view_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q83_asof_join(spark, sf_dir):
+    """As-of join: each purchase paired with the user's most recent prior
+    (or same-instant) view. One shuffle on user_id via union+window — the
+    scale path for trades-vs-quotes style joins."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    joined = asof_join(purchases, views, on="user_id")
+    return joined.select(
+        F.col("_l.event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.col("_l.value").cast("double").alias("purchase_value"),
+        F.col("_match.event_id").alias("view_id"),
+        F.date_format("_match.ts", TS_FMT).alias("view_ts"),
+    )
+
+
+@query(
+    "q84_range_join_banded",
+    oracle=f"""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_a,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL {BAND_SECONDS} SECOND
+     AND a.event_id <> b.event_id
+    """,
+)
+def q84_range_join_banded(spark, sf_dir):
+    """Interval self-join: pairs of same-user events within 5 minutes.
+    The inequality predicate alone would plan as a nested-loop join;
+    bucketing ts into 5-minute bands and equi-joining each left row to
+    its own and the next band makes it a shuffled hash join — candidate
+    pairs are only same/adjacent buckets, the exact range predicate is
+    re-applied after the join."""
+    e = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts"))
+    bucket = F.floor(micros / (BAND_SECONDS * 1_000_000))
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("tsa"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("tsb"),
+        bucket.alias("bucket"),
+    )
+    pairs = a.join(b, (a.user_id == b.user_b) & (a.bucket == b.bucket)).filter(
+        (F.col("tsb") >= F.col("tsa"))
+        & (F.col("tsb") <= F.col("tsa") + F.expr(f"INTERVAL {BAND_SECONDS} SECONDS"))
+        & (F.col("id_a") != F.col("id_b"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "user_id",
+        "type_a",
+        "type_b",
+        F.date_format("tsa", TS_FMT).alias("ts_a"),
+        F.date_format("tsb", TS_FMT).alias("ts_b"),
+    )

@@ -125,3 +125,66 @@ def test_geojson_roundtrip():
 def test_bbox():
     g = G.parse_wkt("MULTIPOINT ((1 2), (5 -3), (0 7))")
     assert G.bbox(g) == (0, -3, 5, 7)
+
+
+class TestXmlGeometry:
+    """GML 2/3 and KML fragment ingestion (reference F8:
+    xml_extension.ts:283-308, 340-369)."""
+
+    def test_gml3_point_pos(self):
+        g = G.from_xml_geometry("<gml:Point><gml:pos>106.8 -6.2</gml:pos></gml:Point>")
+        assert G.to_wkt(g) == "POINT (106.8 -6.2)"
+
+    def test_gml2_point_coordinates(self):
+        g = G.from_xml_geometry("<gml:Point><gml:coordinates>106.8,-6.2</gml:coordinates></gml:Point>")
+        assert G.to_wkt(g) == "POINT (106.8 -6.2)"
+
+    def test_kml_point_with_altitude(self):
+        g = G.from_xml_geometry("<Point><coordinates>106.8,-6.2,35.0</coordinates></Point>")
+        assert G.to_wkt(g) == "POINT (106.8 -6.2)"
+
+    def test_gml3_polygon_poslist(self):
+        g = G.from_xml_geometry(
+            "<gml:Polygon><gml:exterior><gml:LinearRing>"
+            "<gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList>"
+            "</gml:LinearRing></gml:exterior></gml:Polygon>"
+        )
+        assert g.kind == "Polygon"
+        assert G.area(g) == 16.0
+
+    def test_kml_polygon_outer_boundary(self):
+        g = G.from_xml_geometry(
+            "<Polygon><outerBoundaryIs><LinearRing>"
+            "<coordinates>0,0 2,0 2,2 0,2 0,0</coordinates>"
+            "</LinearRing></outerBoundaryIs></Polygon>"
+        )
+        assert g.kind == "Polygon"
+        assert G.area(g) == 4.0
+
+    def test_polygon_with_hole(self):
+        g = G.from_xml_geometry(
+            "<gml:Polygon>"
+            "<gml:exterior><gml:LinearRing><gml:posList>0 0 10 0 10 10 0 10 0 0</gml:posList></gml:LinearRing></gml:exterior>"
+            "<gml:interior><gml:LinearRing><gml:posList>2 2 4 2 4 4 2 4 2 2</gml:posList></gml:LinearRing></gml:interior>"
+            "</gml:Polygon>"
+        )
+        assert G.area(g) == 96.0
+
+    def test_linestring(self):
+        g = G.from_xml_geometry("<LineString><coordinates>0,0 3,4</coordinates></LineString>")
+        assert G.to_wkt(g) == "LINESTRING (0 0, 3 4)"
+        assert G.length(g) == 5.0
+
+    def test_unprefixed_namespaced_and_bare_both_parse(self):
+        bare = G.from_xml_geometry("<Point><coordinates>1,2</coordinates></Point>")
+        ns = G.from_xml_geometry(
+            '<gml:Point xmlns:gml="http://www.opengis.net/gml"><gml:pos>1 2</gml:pos></gml:Point>'
+        )
+        assert G.to_wkt(bare) == G.to_wkt(ns) == "POINT (1 2)"
+
+    def test_malformed_inputs_return_none(self):
+        assert G.from_xml_geometry("<gml:Point>") is None
+        assert G.from_xml_geometry("junk") is None
+        assert G.from_xml_geometry("") is None
+        assert G.from_xml_geometry(None) is None
+        assert G.from_xml_geometry("<gml:Point><gml:pos></gml:pos></gml:Point>") is None
