@@ -25,7 +25,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (scan/filter, agg, multiway join,
 # window, spatial join, distance self-join, jaccard dedup, minhash LSH,
-# simhash, ANN top-k, tumbling window, sessionize).
+# simhash, ANN brute/IVF, as-of join, banded range join, tumbling window,
+# sessionize).
 HEADLINE = [
     "q01_filter_pushdown",
     "q16_join_multiway",
@@ -38,8 +39,11 @@ HEADLINE = [
     "q66_minhash_lsh",
     "q67_simhash",
     "q70_ann_bruteforce_topk",
+    "q73_ann_ivf_topk",
     "q75_tumbling_window",
     "q77_sessionize",
+    "q83_asof_join",
+    "q84_range_join_banded",
 ]
 
 

@@ -81,3 +81,39 @@ def test_topk_uses_take_ordered(spark):
     df = q("q27_orderby_limit_topk")(spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    # as-of via union+window: NO join operator at all — one hash exchange
+    # on the key plus an ordered window pass (the O(n log n) scale path;
+    # a lookup-join formulation would be O(n·m))
+    df = q("q83_asof_join")(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_range_join_banded_is_hash_join(spark):
+    # band bucketing must turn the interval predicate into an equi hash
+    # join; a plain inequality join would plan as BroadcastNestedLoopJoin
+    df = q("q84_range_join_banded")(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_ivf_assignment_is_map_only(spark):
+    # cluster assignment inlines the 16-centroid model as literals: the
+    # corpus must not be shuffled or joined before the probe hash join —
+    # exactly one hash join (candidates×probes) and one window (top-k)
+    df = q("q73_ann_ivf_topk")(spark, SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
