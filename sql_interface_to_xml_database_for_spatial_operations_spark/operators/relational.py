@@ -976,3 +976,41 @@ def q58_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_order"),
     )
+
+
+@query(
+    "q86_skew_salted_join",
+    oracle="""
+    SELECT l.l_returnflag AS flag, f.flag_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')) AS f(flag, flag_name)
+      ON l.l_returnflag = f.flag
+    GROUP BY l.l_returnflag, f.flag_name
+    """,
+)
+def q86_skew_salted_join(spark, sf_dir):
+    """Skew-salted join: l_returnflag has 3 distinct values, the
+    worst-case skewed key (3 reducers own the whole shuffle). Salting
+    appends hash(l_orderkey) % 16 to the key on the big side and explodes
+    the small side 16×, fanning each hot key over 16 reducers; results
+    are identical to the plain join (the oracle). This is the manual
+    fallback when AQE skew-join can't kick in (e.g. the skewed side
+    already exchanged for a prior stage)."""
+    SALT = 16
+    li = T(spark, sf_dir, "lineitem")
+    flags = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")], ["flag", "flag_name"]
+    )
+    salted_li = li.withColumn("salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT)))
+    salted_flags = flags.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    return (
+        salted_li.join(salted_flags, (salted_li.l_returnflag == salted_flags.flag) & (salted_li.salt == salted_flags.salt))
+        .groupBy(F.col("l_returnflag").alias("flag2"), "flag_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .select(F.col("flag2").alias("flag"), "flag_name", "n", "revenue")
+    )

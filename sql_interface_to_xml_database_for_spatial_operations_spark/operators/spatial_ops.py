@@ -521,3 +521,67 @@ def q59_st_geomfromgml_kml(spark, sf_dir):
             F.expr("st_x(st_geomfromgml(gml))").alias("x_gml"),
         )
     )
+
+
+@query(
+    "q85_st_extent_agg",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_nationkey,
+           min(lon) AS minx, min(lat) AS miny,
+           max(lon) AS maxx, max(lat) AS maxy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pts GROUP BY c_nationkey
+    """,
+)
+def q85_st_extent_agg(spark, sf_dir):
+    """ST_Extent — PostGIS's bbox *aggregate* (the reference's users get
+    it from PostgreSQL, SURVEY.md §2.6 F12; §2.8 maps aggregates to
+    pandas UDAFs). A grouped-agg pandas UDF folds each group's WKT
+    geometries into a bounding box; partial aggregation applies, so each
+    partition ships one 4-double box per group, not its geometries."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions import geometry as G
+
+    _ensure_udfs(spark)
+
+    # explicit GROUPED_AGG: this module's postponed annotations keep the
+    # type-hint route from inferring the aggregate signature
+    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def st_extent(wkt):
+        box = [None, None, None, None]
+        for v in wkt:
+            g = G.parse_wkt(v) if isinstance(v, str) else None
+            if g is None:
+                continue
+            x0, y0, x1, y1 = G.bbox(g)
+            box[0] = x0 if box[0] is None else min(box[0], x0)
+            box[1] = y0 if box[1] is None else min(box[1], y0)
+            box[2] = x1 if box[2] is None else max(box[2], x1)
+            box[3] = y1 if box[3] is None else max(box[3], y1)
+        return box
+
+    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
+    def n_rows(wkt):
+        # Spark disallows mixing grouped-agg pandas UDFs with JVM
+        # aggregates in one agg, so the count rides along as pandas too
+        return len(wkt)
+
+    pts = _pts(spark, sf_dir)
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(
+            st_extent("geom").alias("ext"),
+            n_rows("geom").alias("n"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("ext")[0].alias("minx"),
+            F.col("ext")[1].alias("miny"),
+            F.col("ext")[2].alias("maxx"),
+            F.col("ext")[3].alias("maxy"),
+            "n",
+        )
+    )

@@ -9,6 +9,7 @@ same logic runs incrementally with state + watermarks.
 
 from .windows import (
     read_events_stream,
+    stateful_user_totals,
     sessionized,
     sliding_counts,
     stream_dedup,
@@ -17,6 +18,7 @@ from .windows import (
 
 __all__ = [
     "read_events_stream",
+    "stateful_user_totals",
     "tumbling_counts",
     "sliding_counts",
     "sessionized",

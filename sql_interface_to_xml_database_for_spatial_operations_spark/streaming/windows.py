@@ -97,3 +97,50 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+STATEFUL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+STATEFUL_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime running totals, one emission per micro-batch that touches
+    the user (the pattern for per-entity counters / fraud scores /
+    feature freshness that windowed aggregation can't express).
+
+    Scale: state is one (long, double) pair per user, hash-sharded by
+    the group key across executors; each micro-batch only loads state
+    for the keys it contains. Arrow moves the batch rows — no per-row
+    Python overhead."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -119,3 +119,58 @@ def test_stream_dedup_bounded(spark, events_dir):
     # one output row per key (single availableNow run over one file)
     assert len(got) == len(got.drop_duplicates())
     assert len(got) == len(batch_keys)
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must persist across micro-batches —
+    with the events split into two files and maxFilesPerTrigger=1, each
+    user's final (cumulative) emission equals the whole-table totals."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming import (
+        stateful_user_totals,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    # split events into two files (two micro-batches)
+    full = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    d = str(tmp_path / "two_batches")
+    full.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(d)
+    full.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        stateful_user_totals(events)
+        .writeStream.format("memory")
+        .queryName("stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stateful").toPandas()
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    # cumulative semantics: the max emission per user is the lifetime total
+    final = got.groupby("user_id")["n_events"].max()
+    expected = batch.set_index("user_id")["n_events"].sort_index()
+    pd.testing.assert_series_equal(final.sort_index(), expected, check_names=False)
+    # at least one user was updated in both micro-batches (2 emissions)
+    assert (got.groupby("user_id").size() > 1).any()
+    # the emission with the highest n_events is the final state (n is
+    # cumulative, so monotonic — unlike total_value, which could dip if
+    # values were negative)
+    final_rows = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+    final_val = final_rows.set_index("user_id")["total_value"].sort_index()
+    expected_val = batch.set_index("user_id")["total_value"].sort_index()
+    pd.testing.assert_series_equal(final_val, expected_val, check_names=False, rtol=1e-9)
