@@ -1,0 +1,97 @@
+"""Reference-naming compatibility layer (SURVEY.md §1.3).
+
+The reference flattens XML/JSON nesting into column *names* with ``__``
+separators (`parent__child`, `_attribute__attr`, `_attribute__elem__attr`,
+`_undef__col`) and resolves them back to path expressions at pushdown
+time (reference: extension/xml_extension.ts:1660-1751 selection paths,
+1831-2044 projection paths; support matrix src/preprocessing.ts:90-106).
+
+Our engine keeps honest nested types (StructType/ArrayType), but a user
+migrating from the reference has queries written against the flattened
+names. ``flattened_view`` projects a nested DataFrame to exactly those
+names, and ``undef_column`` reproduces the ``_undef__`` "column whose
+location is unknown" semantics (xml_extension.ts:1711-1737: an OR over
+element text / row attribute / child-element locations) as a `coalesce`
+over every schema path with that local name.
+
+All of this is pure projection — Catalyst still prunes and pushes down
+through it, so the compat layer costs nothing at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+ATTR_PREFIX = "_"  # the XML reader stores element attributes as `_name`
+
+_INTERNAL = {"_feature_type"}  # reader-added metadata, not XML attributes
+
+
+def _is_attr(name: str) -> bool:
+    return name.startswith(ATTR_PREFIX) and not name.startswith("__") and name not in _INTERNAL
+
+
+def _flat_entries(schema: StructType) -> list[tuple[str, str]]:
+    """(flattened_name, spark_path) pairs for one level of nesting —
+    the exact surface the reference supports (deeper paths were marked
+    unsupported and shipped to PostgreSQL, preprocessing.ts:97-100)."""
+    out: list[tuple[str, str]] = []
+    for f in schema.fields:
+        name = f.name
+        if isinstance(f.dataType, StructType):
+            for sub in f.dataType.fields:
+                if _is_attr(sub.name):
+                    # `_attribute__elem__attr` ≡ col("elem._attr")
+                    out.append((f"_attribute__{name}__{sub.name[1:]}", f"{name}.{sub.name}"))
+                elif sub.name == "_VALUE":
+                    # element text when the element also has attributes
+                    out.append((name, f"{name}._VALUE"))
+                elif not isinstance(sub.dataType, (StructType, ArrayType)):
+                    # `parent__child` ≡ col("parent.child")
+                    out.append((f"{name}__{sub.name}", f"{name}.{sub.name}"))
+        elif isinstance(f.dataType, ArrayType):
+            # nested collection (`@_is_collection`): kept as the array —
+            # the reference iterates these with a lateral join (J6),
+            # which is `explode()` on this column
+            out.append((name, name))
+        elif _is_attr(name):
+            # `_attribute__attr` ≡ row-element attribute col("_attr")
+            out.append((f"_attribute__{name[1:]}", name))
+        else:
+            out.append((name, name))
+    return out
+
+
+def flattened_view(df: DataFrame) -> DataFrame:
+    """Project a nested document DataFrame to the reference's flattened
+    column names. Pure projection — pushdown/pruning still apply."""
+    return df.select(
+        *[F.col(path).alias(flat) for flat, path in _flat_entries(df.schema)]
+    )
+
+
+def undef_column(df: DataFrame, name: str) -> Column:
+    """`_undef__<name>` semantics: the value of ``name`` wherever it
+    lives — top-level element, row attribute, or inside any child struct
+    (the reference emits an OR over all three locations,
+    xml_extension.ts:1711-1737; we coalesce in the same precedence:
+    element text, then attribute, then nested)."""
+    candidates: list[Column] = []
+    for f in df.schema.fields:
+        if f.name == name:
+            candidates.append(F.col(name).cast("string"))
+    for f in df.schema.fields:
+        if f.name == ATTR_PREFIX + name:
+            candidates.append(F.col(f.name).cast("string"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StructType):
+            for sub in f.dataType.fields:
+                if sub.name == name and not isinstance(sub.dataType, (StructType, ArrayType)):
+                    candidates.append(F.col(f"{f.name}.{sub.name}").cast("string"))
+                elif sub.name == ATTR_PREFIX + name:
+                    candidates.append(F.col(f"{f.name}.{sub.name}").cast("string"))
+    if not candidates:
+        return F.lit(None).cast("string")
+    return F.coalesce(*candidates)

@@ -176,3 +176,72 @@ def test_engine_facade_sql_and_geojson(spark, gml_path):
     # relational tables registered too
     n = eng.sql_rows("SELECT count(*) AS n FROM nation")[0].n
     assert n == 25
+
+
+# -- reference flattened-naming compat (SURVEY.md §1.3) --------------------
+
+UNDEF_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember>
+    <f><kode>A1</kode><nama>elem-loc</nama></f>
+  </gml:featureMember>
+  <gml:featureMember>
+    <f kode="A2"><nama>attr-loc</nama></f>
+  </gml:featureMember>
+  <gml:featureMember>
+    <f><info><kode>A3</kode></info><nama>nested-loc</nama></f>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+
+
+def test_flattened_view_reference_names(spark, gml_path):
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.compat import (
+        flattened_view,
+    )
+
+    flat = flattened_view(read_xml(spark, gml_path))
+    cols = set(flat.columns)
+    # parent__child for the nested struct, _attribute__attr for the row
+    # attribute — exactly the reference's naming (xml_extension.ts:1738-1751)
+    assert {"nilai__njop", "nilai__tahun", "_attribute__srid", "nama", "kapasitas"} <= cols
+    rows = {r["nama"]: r for r in flat.collect()}
+    assert rows["PKM Satu"]["nilai__njop"] == "5000"
+    assert rows["PKM Satu"]["_attribute__srid"] == "4326"
+    # nested collection stays an array (reference J6 lateral join ≡ explode)
+    assert [p["nama"] for p in rows["PKM Satu"]["pemilik"]] == ["Andi", "Budi"]
+
+
+def test_flattened_view_is_pure_projection(spark, gml_path, tmp_path):
+    """The compat layer must not break Catalyst pruning: over a columnar
+    source, selecting one flattened column prunes the scan down to its
+    struct (ReadSchema shows only nilai.njop — nothing else is read)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.compat import (
+        flattened_view,
+    )
+
+    pq = str(tmp_path / "persil.parquet")
+    read_xml(spark, gml_path).write.parquet(pq)
+    flat = flattened_view(spark.read.parquet(pq)).select("nilai__njop")
+    plan = flat._sc._jvm.PythonSQLUtils.explainString(flat._jdf.queryExecution(), "formatted")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "njop" in read_schema
+    assert "kapasitas" not in read_schema and "pemilik" not in read_schema
+
+
+def test_undef_column_searches_all_locations(spark, tmp_path):
+    """_undef__ semantics: element text, row attribute, and nested child
+    locations all resolve (reference: xml_extension.ts:1711-1737)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.compat import (
+        undef_column,
+    )
+
+    d = tmp_path / "undef"
+    d.mkdir()
+    (d / "f.xml").write_text(UNDEF_DOC)
+    df = read_xml(spark, str(d))
+    got = {
+        r["nama"]: r["kode"]
+        for r in df.select("nama", undef_column(df, "kode").alias("kode")).collect()
+    }
+    assert got == {"elem-loc": "A1", "attr-loc": "A2", "nested-loc": "A3"}
