@@ -529,13 +529,18 @@ def centroid(g: Geometry) -> Point:
     pts = _points(g)
     if g.kind in ("MultiPoint", "LineString"):
         return (sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
-    # polygon centroid (first ring of first polygon weighting by signed area)
+    # polygon centroid (first ring of first polygon weighting by signed
+    # area). The shoelace runs relative to the bbox corner: cross terms of
+    # far-from-origin rings are ~scale³ and cancel catastrophically (a thin
+    # box at y≈4e5 came out >1 unit off); translating first keeps the
+    # arithmetic at ring-extent magnitude, then translates back.
+    ox, oy, _, _ = bbox(g)
     cx = cy = a_sum = 0.0
     for rings in _polys(g):
         ring = rings[0]
         for j in range(len(ring) - 1):
-            x1, y1 = ring[j]
-            x2, y2 = ring[j + 1]
+            x1, y1 = ring[j][0] - ox, ring[j][1] - oy
+            x2, y2 = ring[j + 1][0] - ox, ring[j + 1][1] - oy
             cross = x1 * y2 - x2 * y1
             a_sum += cross
             cx += (x1 + x2) * cross
@@ -543,7 +548,7 @@ def centroid(g: Geometry) -> Point:
     if a_sum == 0.0:
         pts = _points(g)
         return (sum(p[0] for p in pts) / len(pts), sum(p[1] for p in pts) / len(pts))
-    return (cx / (3 * a_sum), cy / (3 * a_sum))
+    return (ox + cx / (3 * a_sum), oy + cy / (3 * a_sum))
 
 
 def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
