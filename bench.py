@@ -77,6 +77,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Direct comparison against the reference's kinerja suite (BASELINE.md):
+    # its shapes mapped to our equivalent operators, with the reference's
+    # published end-to-end ms on ~40k rows (our sf0.1 lineitem is ~600k —
+    # 15× their volume) for the fastest backend per row.
+    kinerja = {
+        "Q-D1_scan_filter": {"ours": "q01_filter_pushdown", "sec": timings["q01_filter_pushdown"], "reference_ms": 5684},
+        "Q-D3_join": {"ours": "q16_join_multiway", "sec": timings["q16_join_multiway"], "reference_ms": 523905},
+        "Q-D5_join_agg": {"ours": "q23_agg_pricing_summary", "sec": timings["q23_agg_pricing_summary"], "reference_ms": 204379},
+    }
     print(
         json.dumps(
             {
@@ -85,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "kinerja_analogs": kinerja,
             }
         )
     )

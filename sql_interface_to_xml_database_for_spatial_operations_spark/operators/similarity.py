@@ -239,6 +239,8 @@ def q73_ann_ivf_topk(spark, sf_dir):
     scores — no shuffle touches the corpus until the final per-query
     top-k window. Queries probe their NPROBE=4 nearest centroids and
     brute-force only those clusters — the recall/cost dial of IVF."""
+    import math
+
     e = _vectors(spark, sf_dir).select("vec_id", "v")
     cents = sorted(
         (r["vec_id"], r["v"])
@@ -247,27 +249,46 @@ def q73_ann_ivf_topk(spark, sf_dir):
         ).collect()
     )
 
-    def scored_array(vcol: str):
+    # norm of v folds once per row (not once per centroid); centroid norms
+    # are Python floats — same left-fold-then-sqrt shape as the SQL
+    # aggregate, so the quotient stays bit-identical to COSINE_SQL_EXPR
+    vnorm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+
+    def _dot_lit(cv) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(v, {_lit_array_sql(cv)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+
+    def _cnorm(cv) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def scored_array(vnorm_col):
         return F.array(
             *[
                 F.struct(
-                    F.round(F.expr(COSINE_SQL_EXPR.format(a=vcol, b=_lit_array_sql(cv))), 6).alias("s"),
+                    F.round(_dot_lit(cv) / (vnorm_col * F.lit(_cnorm(cv))), 6).alias("s"),
                     F.lit(-cid).alias("negcid"),
                 )
                 for cid, cv in cents
             ]
         )
 
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    assigned = corpus.withColumn("cid", -F.array_max(scored_array("v"))["negcid"])
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).withColumn("vnorm", vnorm)
+    assigned = corpus.withColumn(
+        "cid", -F.array_max(scored_array(F.col("vnorm")))["negcid"]
+    ).drop("vnorm")
 
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vnorm", vnorm)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             F.explode(
-                F.slice(F.reverse(F.array_sort(scored_array("v"))), 1, NPROBE)
+                F.slice(F.reverse(F.array_sort(scored_array(F.col("vnorm")))), 1, NPROBE)
             ).alias("probe"),
         )
         .select("qid", "qv", (-F.col("probe.negcid")).alias("cid"))
