@@ -1014,3 +1014,27 @@ def q86_skew_salted_join(spark, sf_dir):
         )
         .select(F.col("flag2").alias("flag"), "flag_name", "n", "revenue")
     )
+
+
+@query(
+    "q87_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q87_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (PostGIS users get
+    percentile_cont from PostgreSQL — reference F12 surface). Spark's
+    percentile is a single-pass typed aggregate; at 100 TB switch to
+    approx_percentile (t-digest sketch, fixed memory) the same way q58
+    swaps exact distinct for HLL."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9D)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias("p50_price"),
+    )

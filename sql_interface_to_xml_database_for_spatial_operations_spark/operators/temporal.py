@@ -161,3 +161,52 @@ def q84_range_join_banded(spark, sf_dir):
         F.date_format("tsa", TS_FMT).alias("ts_a"),
         F.date_format("tsb", TS_FMT).alias("ts_b"),
     )
+
+
+@query(
+    "q89_gap_fill_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY user_id, hour
+    )
+    SELECT s.user_id,
+           strftime(s.hour, '%Y-%m-%d %H:00') AS hour,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.hour = a.hour
+    """,
+)
+def q89_gap_fill_spine(spark, sf_dir):
+    """Time-spine gap filling: a dense hourly series per user (sequence()
+    between each user's min/max hour, exploded) left-joined to actual
+    hourly counts — zero-filled gaps, the shape every time-series rollup
+    needs. The spine generates from per-user bounds (one aggregate), so
+    spine size is hours-in-range per user, never a global cross join."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("hour"),
+    )
+    actual = e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(actual, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
