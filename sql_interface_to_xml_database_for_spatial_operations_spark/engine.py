@@ -76,6 +76,45 @@ class SpatialSQLEngine:
         self.stats[-1].rows = len(rows)
         return rows
 
+    def process_query(self, query: str, limit: int | None = 10000) -> dict:
+        """The reference's full ``processQuery`` behavior (src/index.ts:
+        349-371 + demo/routes.ts:144-171): run the SQL, return rows +
+        field names + timing stats, and — exactly like the reference —
+        when the projection contains ``st_asgeojson`` also return the
+        rows wrapped as a GeoJSON FeatureCollection (convertRestoGeoJSON,
+        src/index.ts:360-363)."""
+        df = self.sql(query)
+        t0 = time.perf_counter()
+        rows = df.limit(limit).collect() if limit is not None else df.collect()
+        self.stats[-1].fetch_seconds = round(time.perf_counter() - t0, 4)
+        self.stats[-1].rows = len(rows)
+        result = {
+            "rows": [r.asDict() for r in rows],
+            "fields": df.columns,
+            "executionTime": self.stats[-1].plan_seconds + self.stats[-1].fetch_seconds,
+            "totalData": len(rows),
+        }
+        geojson_cols = [
+            c for c in df.columns if "st_asgeojson" in c.lower() or c.lower() == "geojson"
+        ]
+        if geojson_cols:
+            import json as _json
+
+            gcol = geojson_cols[0]
+            features = []
+            for r in rows:
+                d = r.asDict()
+                geom = d.pop(gcol, None)
+                features.append(
+                    {
+                        "type": "Feature",
+                        "properties": d,
+                        "geometry": _json.loads(geom) if isinstance(geom, str) else None,
+                    }
+                )
+            result["geojson"] = {"type": "FeatureCollection", "features": features}
+        return result
+
     def sql_geojson(self, query: str, geometry_col: str = "geometry", limit: int | None = 10000) -> dict:
         """S10: FeatureCollection result (reference: convertRestoGeoJSON,
         src/index.ts:360-363 — triggered there by an st_asgeojson

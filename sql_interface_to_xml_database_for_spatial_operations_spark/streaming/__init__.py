@@ -8,6 +8,7 @@ same logic runs incrementally with state + watermarks.
 """
 
 from .windows import (
+    enrich_stream,
     read_events_stream,
     stateful_user_totals,
     sessionized,
@@ -17,6 +18,7 @@ from .windows import (
 )
 
 __all__ = [
+    "enrich_stream",
     "read_events_stream",
     "stateful_user_totals",
     "tumbling_counts",

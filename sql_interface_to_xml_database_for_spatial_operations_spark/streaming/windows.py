@@ -144,3 +144,12 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch hash-joins against
+    the static dimension — the standard pattern for attaching user/device/
+    geo attributes to an event stream. The dimension re-resolves per batch
+    (so slowly-changing dims refresh without restarting the query); small
+    dims broadcast, so the stream side never shuffles."""
+    return events.join(F.broadcast(dim), on)

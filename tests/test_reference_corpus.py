@@ -239,3 +239,23 @@ def test_q1d_feature_collection_output(engine):
     f0 = min(fc["features"], key=lambda f: f["properties"]["nama"])
     assert f0["geometry"] == {"type": "Point", "coordinates": [0, 2]}
     assert f0["properties"]["beds"] == 100
+
+
+def test_process_query_auto_geojson(engine):
+    """processQuery parity: an st_asgeojson projection triggers automatic
+    FeatureCollection wrapping, like the reference's convertRestoGeoJSON
+    (src/index.ts:360-363); without it only rows come back."""
+    res = engine.process_query(
+        "SELECT nama, beds, st_asgeojson(geometry) AS st_asgeojson FROM rs WHERE beds <= 102"
+    )
+    assert res["totalData"] == 3
+    assert "geojson" in res
+    fc = res["geojson"]
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 3
+    f = min(fc["features"], key=lambda f: f["properties"]["nama"])
+    assert f["geometry"] == {"type": "Point", "coordinates": [0, 2]}
+    assert f["properties"] == {"nama": "RS 0", "beds": 100}
+
+    plain = engine.process_query("SELECT nama FROM rs")
+    assert "geojson" not in plain and plain["totalData"] == N_RS
+    assert plain["fields"] == ["nama"]

@@ -174,3 +174,30 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     final_val = final_rows.set_index("user_id")["total_value"].sort_index()
     expected_val = batch.set_index("user_id")["total_value"].sort_index()
     pd.testing.assert_series_equal(final_val, expected_val, check_names=False, rtol=1e-9)
+
+
+def test_enrich_stream_static_join(spark, events_dir):
+    """Stream-static broadcast join: streamed events pick up dimension
+    attributes; row count and attachment match the batch join."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming import (
+        enrich_stream,
+        read_events_stream,
+    )
+
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("cohort"),
+    )
+    q = (
+        enrich_stream(read_events_stream(spark, events_dir), dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, cohort, event_id FROM enriched").toPandas()
+    batch = load_table(spark, SF_DIR, "events").join(dim, "user_id").toPandas()
+    assert len(got) == len(batch)
+    assert (got["cohort"].astype(int) == got["user_id"] % 5).all()
