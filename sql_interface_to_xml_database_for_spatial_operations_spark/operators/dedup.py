@@ -72,9 +72,7 @@ _SHINGLES_SQL = """
 """
 
 
-@query(
-    "q65_dedup_ngram_jaccard",
-    oracle=f"""
+_JACCARD_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -88,13 +86,12 @@ _SHINGLES_SQL = """
     JOIN sizes s1 ON s1.doc_id = doc1
     JOIN sizes s2 ON s2.doc_id = doc2
     WHERE CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both) >= 0.2
-    """,
-)
-def q65_dedup_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup: word-5-gram shingles; candidate pairs must
-    share ≥1 shingle AND language (blocking — the shingle join IS the
-    candidate generator, so cost is O(pairs sharing a shingle), never
-    O(n²)); exact Jaccard ≥ 0.2 verified from intersection/sizes."""
+"""
+
+
+def jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs with exact Jaccard ≥ 0.2 (shared by q65
+    and the q90 clustering stage)."""
     sh = _word_shingles(spark, sf_dir, 5)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
@@ -114,6 +111,15 @@ def q65_dedup_ngram_jaccard(spark, sf_dir):
         .filter(jac >= 0.2)
         .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query("q65_dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
+def q65_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: word-5-gram shingles; candidate pairs must
+    share ≥1 shingle AND language (blocking — the shingle join IS the
+    candidate generator, so cost is O(pairs sharing a shingle), never
+    O(n²)); exact Jaccard ≥ 0.2 verified from intersection/sizes."""
+    return jaccard_pairs(spark, sf_dir)
 
 
 N_MINHASH = 8
@@ -312,3 +318,61 @@ def q69_embedding_neardup(spark, sf_dir):
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec1", "vec2", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "q90_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def q90_dedup_clusters(spark, sf_dir):
+    """Dedup cluster assignment: connected components over the near-dup
+    pair graph (the step after pair generation — each component keeps one
+    canonical doc, min doc_id). Iterative min-label propagation: every
+    round is one shuffle-join (neighbor labels) + one aggregate; rounds ≈
+    component diameter, which for dup clusters is tiny. State lives in a
+    cached DataFrame, never on the driver (the loop only reads the
+    converged? counter) — the standard Spark shape for iterative graph
+    algorithms. Oracle: DuckDB recursive-CTE transitive closure."""
+    pairs = jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(pairs.select(F.col("doc2"), F.col("doc1"))).toDF("src", "dst").cache()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    for _ in range(20):  # diameter bound; dup components converge in 2-3
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id"))
