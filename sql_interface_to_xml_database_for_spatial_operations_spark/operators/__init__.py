@@ -17,4 +17,5 @@ def load_all() -> None:
     from . import similarity  # noqa: F401
     from . import events_ops  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import pipeline  # noqa: F401
     from . import multimodal  # noqa: F401

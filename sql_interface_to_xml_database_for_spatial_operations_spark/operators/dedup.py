@@ -341,16 +341,27 @@ def q69_embedding_neardup(spark, sf_dir):
 def q90_dedup_clusters(spark, sf_dir):
     """Dedup cluster assignment: connected components over the near-dup
     pair graph (the step after pair generation — each component keeps one
-    canonical doc, min doc_id). Iterative min-label propagation: every
-    round is one shuffle-join (neighbor labels) + one aggregate; rounds ≈
-    component diameter, which for dup clusters is tiny. State lives in a
-    cached DataFrame, never on the driver (the loop only reads the
-    converged? counter) — the standard Spark shape for iterative graph
-    algorithms. Oracle: DuckDB recursive-CTE transitive closure."""
+    canonical doc, min doc_id). Oracle: DuckDB recursive-CTE transitive
+    closure."""
     pairs = jaccard_pairs(spark, sf_dir).select("doc1", "doc2")
-    edges = pairs.union(pairs.select(F.col("doc2"), F.col("doc1"))).toDF("src", "dst").cache()
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components of an undirected pair graph → (id, label) with
+    label = component min id. Iterative min-label propagation: every
+    round is one shuffle-join (neighbor labels) + one aggregate; rounds ≈
+    component diameter, tiny for dup clusters. State lives in cached
+    DataFrames, never on the driver (the loop only reads the convergence
+    counter) — the standard Spark shape for iterative graph algorithms."""
+    c1, c2 = pairs.columns[0], pairs.columns[1]
+    edges = (
+        pairs.select(c1, c2).union(pairs.select(F.col(c2), F.col(c1))).toDF("src", "dst").cache()
+    )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
-    for _ in range(20):  # diameter bound; dup components converge in 2-3
+    for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -375,4 +386,4 @@ def q90_dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id"))
+    return labels

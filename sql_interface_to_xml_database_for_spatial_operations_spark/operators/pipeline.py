@@ -1,0 +1,115 @@
+"""The capstone training-data pipeline: every corpus-preparation stage
+composed into ONE declarative DataFrame plan (plus the one legitimately
+iterative stage, component clustering).
+
+Stage order mirrors a production pre-training data pipeline:
+quality filter → exact dedup → near-dup pair generation (blocked) →
+cluster components → keep canonical doc per cluster → corpus stats.
+
+Scale shape: stages 1-2 are map + one hash shuffle; pair generation is
+the blocked shingle join (never O(n²)); clustering shuffles only the
+pair graph (≪ corpus); the final stats are one partial-aggregated
+groupBy. Nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import _JACCARD_PAIRS_SQL, connected_components, jaccard_pairs
+from .registry import query
+
+# oracle building blocks: the same quality predicate as q61, the same
+# pair generator as q65/q90 but over the filtered+exact-deduped doc set
+_QUALITY_KEEP_SQL = """
+    SELECT doc_id, lang, text,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words
+    FROM (
+      SELECT doc_id, lang, text,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS ns
+      FROM documents
+    )
+    WHERE nw >= 30 AND CAST(ns AS DOUBLE) / nw BETWEEN 0.02 AND 0.5
+"""
+
+_PAIRS_ON_DEDUP1_SQL = _JACCARD_PAIRS_SQL.replace("FROM documents", "FROM dedup1")
+
+
+@query(
+    "q91_training_pipeline",
+    oracle=f"""
+    WITH RECURSIVE keep AS ({_QUALITY_KEEP_SQL}),
+    hashed AS (SELECT doc_id, lang, text, n_words, md5(text) AS h FROM keep),
+    exact_canon AS (SELECT h, min(doc_id) AS cid FROM hashed GROUP BY h),
+    dedup1 AS (
+      SELECT doc_id, lang, text, n_words FROM hashed JOIN exact_canon
+        ON hashed.h = exact_canon.h AND hashed.doc_id = exact_canon.cid
+    ),
+    pairs AS ({_PAIRS_ON_DEDUP1_SQL}),
+    edges AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+    final AS (
+      SELECT d.lang, d.n_words FROM dedup1 d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM final GROUP BY lang
+    """,
+)
+def q91_training_pipeline(spark, sf_dir):
+    """documents → quality filter (q61's predicate) → exact dedup (q64) →
+    near-dup clusters on survivors (q65 pairs + q90 components) → keep
+    one canonical doc per cluster → per-language corpus stats. The whole
+    pipeline is one lazy plan except the bounded clustering loop."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.filter(F.split("text", " "), lambda x: x.isin("the", "a"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(stops).cast("bigint").alias("n_stop"),
+    )
+    swr = F.col("n_stop").cast("double") / F.col("n_words")
+    keep = scored.filter((F.col("n_words") >= 30) & swr.between(0.02, 0.5)).drop("n_stop")
+
+    hashed = keep.withColumn("h", F.md5("text"))
+    # a doc survives exact dedup iff it IS its hash group's canonical
+    # (min doc_id) — a semi join on the (h, doc_id=cid) pair
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    dedup1 = (
+        hashed.join(canon, ["h", "doc_id"], "left_semi")
+        .select("doc_id", "lang", "text", "n_words")
+        .cache()
+    )
+
+    ids = dedup1.select("doc_id")
+    pairs = (
+        jaccard_pairs(spark, sf_dir)
+        .join(ids.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(ids.withColumnRenamed("doc_id", "doc2"), "doc2")
+        .select("doc1", "doc2")
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+    final = dedup1.join(comp, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+    )
