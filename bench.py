@@ -44,6 +44,7 @@ HEADLINE = [
     "q77_sessionize",
     "q83_asof_join",
     "q84_range_join_banded",
+    "q91_training_pipeline",
 ]
 
 
