@@ -245,3 +245,49 @@ def test_undef_column_searches_all_locations(spark, tmp_path):
         for r in df.select("nama", undef_column(df, "kode").alias("kode")).collect()
     }
     assert got == {"elem-loc": "A1", "attr-loc": "A2", "nested-loc": "A3"}
+
+
+# -- empty-result robustness (verify-skill probe class) --------------------
+
+
+def test_empty_results_through_engine_surfaces(spark, gml_path):
+    """Empty result sets must flow cleanly through every sink surface:
+    rowset, FeatureCollection (0 features), and processQuery payload."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.engine import create_engine
+
+    eng = create_engine(spark)
+    eng.register_xml("pkm", gml_path)
+
+    rows = eng.sql_rows("SELECT nama FROM pkm WHERE kapasitas > 99999")
+    assert rows == []
+
+    fc = eng.sql_geojson("SELECT nama, geometry FROM pkm WHERE 1 = 0")
+    assert fc == {"type": "FeatureCollection", "features": []}
+
+    res = eng.process_query(
+        "SELECT nama, st_asgeojson(geometry) AS st_asgeojson FROM pkm WHERE 1 = 0"
+    )
+    assert res["totalData"] == 0
+    assert res["rows"] == []
+    assert res["geojson"]["features"] == []
+
+
+def test_empty_input_operators(spark, tmp_path):
+    """Operators over an empty (zero-row) table must return empty, not
+    fail — a 100 TB run will hit empty partitions and empty filters."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
+        load_table,
+    )
+
+    src = load_table(spark, SF_DIR, "documents").limit(0)
+    d = str(tmp_path / "empty_docs")
+    src.write.parquet(f"{d}/documents.parquet")
+    # shingle → pair generation over zero docs
+    assert jaccard_pairs(spark, d).count() == 0
+    # component clustering over an empty pair graph
+    empty_pairs = spark.createDataFrame([], "doc1 bigint, doc2 bigint")
+    assert connected_components(empty_pairs).count() == 0
