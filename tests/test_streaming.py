@@ -201,3 +201,73 @@ def test_enrich_stream_static_join(spark, events_dir):
     batch = load_table(spark, SF_DIR, "events").join(dim, "user_id").toPandas()
     assert len(got) == len(batch)
     assert (got["cohort"].astype(int) == got["user_id"] % 5).all()
+
+
+def test_watermark_finalization_append_mode(spark, tmp_path):
+    """Watermark semantics that Spark GUARANTEES (late-row dropping is
+    best-effort per the docs; state cleanup + append-mode finalization
+    are the contract): in append mode a window emits exactly once, and
+    only once its end falls at or below the watermark.
+
+    Batch 1 (earlier mtime): events 10:00-11:59 → watermark 10:59.
+    Batch 2: 08:30 (late — may aggregate, but its window finalizes
+    immediately) and 12:30 (on time; final watermark 11:30, so neither
+    the 11:00 nor the 12:00 window may ever emit)."""
+    import os
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming import (
+        tumbling_counts,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    def ns(hour, minute):
+        # 2024-06-01 HH:MM UTC in TIMESTAMP(NANOS) longs
+        return (1717200000 + hour * 3600 + minute * 60) * 1_000_000_000
+
+    def rows(batch):
+        return [
+            (i, t, 1, "click", 1.0, None) for i, t in enumerate(batch)
+        ]
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    b1 = spark.createDataFrame(
+        rows([ns(10, 0), ns(10, 30), ns(11, 0), ns(11, 59)]), EVENTS_RAW_SCHEMA
+    )
+    b2 = spark.createDataFrame(rows([ns(8, 30), ns(12, 30)]), EVENTS_RAW_SCHEMA)
+    b1.coalesce(1).write.parquet(d + "/b1")
+    b2.coalesce(1).write.parquet(d + "/b2")
+    files1 = [f for f in os.listdir(d + "/b1") if f.endswith(".parquet")]
+    files2 = [f for f in os.listdir(d + "/b2") if f.endswith(".parquet")]
+    os.rename(f"{d}/b1/{files1[0]}", f"{d}/f1.parquet")
+    os.rename(f"{d}/b2/{files2[0]}", f"{d}/f2.parquet")
+    os.utime(f"{d}/f1.parquet", (1_000_000, 1_000_000))
+    os.utime(f"{d}/f2.parquet", (2_000_000, 2_000_000))
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        tumbling_counts(events, window="1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM late_drop").toPandas()
+    hours = {str(w)[11:13] for w in got["window_start"]}
+    # final watermark = 12:30 - 1h = 11:30 → only windows ending <= 11:30
+    # may emit: the 10:00 window (end 11:00) must; the 11:00 window (end
+    # 12:00) and 12:00 window must NOT — they are still open when the
+    # stream ends, which is exactly the state the next incremental run
+    # would resume
+    assert "10" in hours
+    assert "11" not in hours
+    assert "12" not in hours
+    # exactly-once per finalized window
+    assert got["window_start"].is_unique
+    ten = got[[str(w)[11:13] == "10" for w in got["window_start"]]]
+    assert ten["n_events"].tolist() == [2]
