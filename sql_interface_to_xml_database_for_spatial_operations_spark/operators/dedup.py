@@ -91,8 +91,13 @@ _JACCARD_PAIRS_SQL = f"""
 
 def jaccard_pairs(spark, sf_dir):
     """Near-dup candidate pairs with exact Jaccard ≥ 0.2 (shared by q65
-    and the q90 clustering stage)."""
-    sh = _word_shingles(spark, sf_dir, 5)
+    and the q90 clustering stage).
+
+    The shingle set feeds three consumers (sizes + both join sides), so
+    it persists (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding
+    the corpus per consumer — at 100 TB use DISK_ONLY or a materialized
+    shingle table, same plan shape."""
+    sh = _word_shingles(spark, sf_dir, 5).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), "sh")
@@ -160,8 +165,10 @@ def q66_minhash_lsh(spark, sf_dir):
     → band-bucket join for candidates → exact Jaccard verify. The banding
     join touches only (band, band_val) buckets, so candidate generation is
     a hash join on band values — the scale path for corpus-level dedup.
-    Hashes are md5 hex strings (min = lexicographic) for oracle parity."""
-    sh = _word_shingles(spark, sf_dir, 5)
+    Hashes are md5 hex strings (min = lexicographic) for oracle parity.
+    Shingles persist — the signature path and the exact-verify path both
+    consume them (see jaccard_pairs note)."""
+    sh = _word_shingles(spark, sf_dir, 5).persist()
     # All 8 min-hashes in ONE aggregation over the shingle set (no seed
     # crossJoin 8×-ing the shuffle volume; partial aggregation combines
     # map-side) — then unpivot signature columns into 4 bands via stack.
