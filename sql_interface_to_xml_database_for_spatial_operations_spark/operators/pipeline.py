@@ -113,3 +113,65 @@ def q91_training_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "q92_hash_sample",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 3
+    GROUP BY lang
+    """,
+)
+def q92_hash_sample(spark, sf_dir):
+    """Reproducible ~18.75% sample (first md5 nibble < 3) — the
+    deterministic alternative to rand()-based TABLESAMPLE that training
+    pipelines need: the same doc is in or out of the sample on every run,
+    every engine, every partition layout. Pure map-side predicate — at
+    100 TB the sample costs one scan, no shuffle before the stats."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1")
+    return (
+        d.filter(nibble < 3)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+        )
+    )
+
+
+@query(
+    "q93_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN h < 8 THEN 'train' WHEN h < 12 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT lang,
+               strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h
+        FROM documents
+      )
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def q93_train_val_test_split(spark, sf_dir):
+    """Deterministic 50/25/25 train/val/test assignment by content-stable
+    hash — no document ever migrates between splits across runs or
+    engines (the property rand(seed) cannot give across partitionings).
+    Map-side assignment; the only shuffle is the audit aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1")
+    split = (
+        F.when(h < 8, "train").when(h < 12, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
