@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .vectors import BUCKETS_SQL, COSINE_SQL_EXPR, lsh_buckets, vectors
 
 
 @query(
@@ -276,53 +277,78 @@ def q67_simhash(spark, sf_dir):
     """,
 )
 def q68_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: same-language blocking, Hamming distance ≤ 2
-    on the 16-bit fingerprints (bit_count(xor))."""
+    """SimHash near-dup pairs, Hamming distance ≤ 2 on the 16-bit
+    fingerprints (bit_count(xor)).
+
+    Candidate generation is banded exactly like q66's MinHash LSH: the
+    fingerprint splits into 4 × 4-bit chunks, and by pigeonhole any pair
+    within Hamming ≤ 2 differs in at most 2 chunks, so it shares ≥ 2
+    exact chunks — joining on (chunk_idx, chunk_value, lang) finds every
+    qualifying pair (at least twice, hence the distinct) while the
+    shuffle key stays high-cardinality. Exact Hamming verifies the
+    candidates, so the result equals the all-pairs oracle without an
+    O(n²)-per-language pair join."""
     sims = q67_simhash(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     docs = sims.join(d, "doc_id")
-    a = docs.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), F.col("simhash").alias("sh1"))
-    b = docs.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), F.col("simhash").alias("sh2"))
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("bigint")
-    return (
-        a.join(b, (F.col("lang1") == F.col("lang2")) & (F.col("doc1") < F.col("doc2")))
-        .filter(hamming <= 2)
-        .select("doc1", "doc2", hamming.alias("hamming"))
+    n_chunks = SIMHASH_BITS // 4
+    chunk_vals = F.array(
+        *[F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(15)) for i in range(n_chunks)]
     )
-
-
-COSINE_SQL_EXPR = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x) "
-    "/ (sqrt(aggregate({a}, 0D, (acc, x) -> acc + x * x)) "
-    "* sqrt(aggregate({b}, 0D, (acc, x) -> acc + x * x)))"
-)
+    chunks = docs.select(
+        "doc_id", "lang", "simhash", F.posexplode(chunk_vals).alias("ci", "cv")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc1"), "lang", F.col("simhash").alias("sh1"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc2"), "lang", F.col("simhash").alias("sh2"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv", "lang"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("bigint")
+    return cand.filter(hamming <= 2).select("doc1", "doc2", hamming.alias("hamming"))
 
 
 @query(
     "q69_embedding_neardup",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    oracle=f"""
+    WITH b AS ({BUCKETS_SQL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS vec1, bb.vec_id AS vec2
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    )
+    SELECT vec1, vec2, round(list_cosine_similarity(e1.v, e2.v), 6) AS cos_sim
+    FROM cand
+    JOIN e e1 ON e1.vec_id = vec1
+    JOIN e e2 ON e2.vec_id = vec2
+    WHERE list_cosine_similarity(e1.v, e2.v) >= 0.2
     """,
 )
 def q69_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup: same-label blocking (the ANN-bucket
-    stand-in), JVM-side fold for the dot product (F.aggregate/zip_with —
-    no Python in the pair loop), cosine ≥ 0.4."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    )
-    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("label1"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("label2"), F.col("v").alias("vb"))
+    """Embedding-cosine near-dup: candidates share a random-hyperplane
+    LSH bucket (the same signature the ANN family indexes with —
+    operators/vectors.py), then a JVM-side fold (F.aggregate/zip_with, no
+    Python in the pair loop) verifies cosine ≥ 0.2. The bucket id is the
+    shuffle key, so candidate generation is O(pairs per bucket) — the
+    approximate-recall/cost trade every corpus-scale near-dup pass makes
+    (mirrors q66's MinHash banding; the oracle blocks identically)."""
+    b = lsh_buckets(spark, sf_dir)
+    e = vectors(spark, sf_dir).select("vec_id", "v")
+    withv = b.join(e, "vec_id")
+    a = withv.select(F.col("vec_id").alias("vec1"), "bucket", F.col("v").alias("va"))
+    c = withv.select(F.col("vec_id").alias("vec2"), "bucket", F.col("v").alias("vb"))
     cos = F.expr(COSINE_SQL_EXPR.format(a="va", b="vb"))
     return (
-        a.join(b, (F.col("label1") == F.col("label2")) & (F.col("vec1") < F.col("vec2")))
+        a.join(c, "bucket")
+        .filter(F.col("vec1") < F.col("vec2"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
+        .filter(F.col("cos_raw") >= 0.2)
         .select("vec1", "vec2", F.round("cos_raw", 6).alias("cos_sim"))
     )
 
