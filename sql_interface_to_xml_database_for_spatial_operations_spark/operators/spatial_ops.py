@@ -279,6 +279,9 @@ def q46_st_area_props(spark, sf_dir):
     )
 
 
+DWITHIN_DIST = 3.0
+
+
 @query(
     "q47_dwithin_pairs",
     oracle=f"""
@@ -292,34 +295,64 @@ def q46_st_area_props(spark, sf_dir):
 )
 def q47_dwithin_pairs(spark, sf_dir):
     """ST_DWithin self-join: same-nation customer pairs within 3 planar
-    units. Equi key (nation) drives the shuffle; |Δlon|/|Δlat| range
+    units, candidates generated by 2-D grid-cell bucketing (the spatial
+    analog of the band-bucketed range join, temporal.py): cell size =
+    the distance bound, side A keyed by its home cell, side B replicated
+    into its 3×3 neighborhood, equi-join on (cell_x, cell_y). Any pair
+    within the bound shares exactly one (home, neighbor) cell match, so
+    recall is exact and no distinct is needed. The shuffle key
+    cardinality scales with covered area — not with a 25-value nation
+    key whose per-key pair count grows quadratically. |Δlon|/|Δlat|
     residuals prune JVM-side; the distance UDF sees only candidates —
-    the pattern that keeps this O(candidates) instead of the reference's
-    O(n·m) XQuery nested loop (BASELINE.md: 5-10 min at 40k rows)."""
+    O(candidates) instead of the reference's O(n·m) XQuery nested loop
+    (BASELINE.md: 5-10 min at 40k rows)."""
     _ensure_udfs(spark)
+    cell = lambda c: F.floor(c / DWITHIN_DIST).cast("int")  # noqa: E731
     a = _pts(spark, sf_dir).select(
         F.col("c_custkey").alias("custkey1"),
         F.col("c_nationkey").alias("nk1"),
         F.col("lon").alias("lon1"),
         F.col("lat").alias("lat1"),
         F.col("geom").alias("geom1"),
+        cell(F.col("lon")).alias("cx"),
+        cell(F.col("lat")).alias("cy"),
     )
-    b = _pts(spark, sf_dir).select(
-        F.col("c_custkey").alias("custkey2"),
-        F.col("c_nationkey").alias("nk2"),
-        F.col("lon").alias("lon2"),
-        F.col("lat").alias("lat2"),
-        F.col("geom").alias("geom2"),
+    neighborhood = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    b = (
+        _pts(spark, sf_dir)
+        .select(
+            F.col("c_custkey").alias("custkey2"),
+            F.col("c_nationkey").alias("nk2"),
+            F.col("lon").alias("lon2"),
+            F.col("lat").alias("lat2"),
+            F.col("geom").alias("geom2"),
+            F.explode(neighborhood).alias("o"),
+        )
+        .select(
+            "custkey2",
+            "nk2",
+            "lon2",
+            "lat2",
+            "geom2",
+            (cell(F.col("lon2")) + F.col("o.dx")).alias("cx"),
+            (cell(F.col("lat2")) + F.col("o.dy")).alias("cy"),
+        )
     )
     return (
-        a.join(
-            b,
+        a.join(b, ["cx", "cy"])
+        .filter(
             (F.col("nk1") == F.col("nk2"))
             & (F.col("custkey1") < F.col("custkey2"))
-            & (F.abs(F.col("lon1") - F.col("lon2")) <= 3.0)
-            & (F.abs(F.col("lat1") - F.col("lat2")) <= 3.0),
+            & (F.abs(F.col("lon1") - F.col("lon2")) <= DWITHIN_DIST)
+            & (F.abs(F.col("lat1") - F.col("lat2")) <= DWITHIN_DIST)
         )
-        .filter(F.expr("st_dwithin(geom1, geom2, 3.0D)"))
+        .filter(F.expr(f"st_dwithin(geom1, geom2, {DWITHIN_DIST}D)"))
         .select("custkey1", "custkey2")
     )
 

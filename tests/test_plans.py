@@ -61,12 +61,18 @@ def test_spatial_join_no_cartesian(spark):
     assert_broadcast_join(df)
 
 
-def test_dwithin_self_join_uses_equi_key(spark):
+def test_dwithin_self_join_uses_grid_cell_key(spark):
     df = q("q47_dwithin_pairs")(spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-    # nation equi-key must drive a hash-based join (SortMerge or
+    # grid-cell equi-keys must drive a hash-based join (SortMerge or
     # ShuffledHash or Broadcast), not BNLJ over all pairs
     assert any(k in plan for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+    # and the join key must be the (cx, cy) cell — area-scaled
+    # cardinality, not the 25-value nation key
+    import re
+
+    join_keys = re.findall(r"(?:Left|right) keys(?: \[\d+\])?: \[([^\]]*)\]", plan, re.I)
+    assert join_keys and all("cx" in k and "cy" in k for k in join_keys), plan
     assert_no_cartesian(df)
 
 
