@@ -30,13 +30,16 @@ _POINT_RE = re.compile(rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$", re.I)
 
 
 class Geometry:
-    """A parsed WKT geometry: POINT, LINESTRING, POLYGON, MULTIPOLYGON,
-    MULTIPOINT. Rings/lines are lists of (x, y)."""
+    """A parsed WKT geometry: POINT, LINESTRING, POLYGON, MULTIPOINT,
+    MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION. Rings/lines are
+    lists of (x, y); a GeometryCollection's coords is a list of Geometry."""
 
     __slots__ = ("kind", "coords")
 
     def __init__(self, kind: str, coords):
-        self.kind = kind  # "Point" | "LineString" | "Polygon" | "MultiPolygon" | "MultiPoint"
+        # "Point" | "LineString" | "Polygon" | "MultiPoint" |
+        # "MultiLineString" | "MultiPolygon" | "GeometryCollection"
+        self.kind = kind
         self.coords = coords
 
     # -- constructors -----------------------------------------------------
@@ -97,9 +100,17 @@ def parse_wkt(wkt: str) -> Geometry | None:
                 xy = part.split()
                 pts.append((float(xy[0]), float(xy[1])))
             return Geometry("MultiPoint", pts)
+        if kind == "MULTILINESTRING":
+            lines = [_parse_coord_seq(r.strip().strip("()")) for r in _split_rings(body)]
+            return Geometry("MultiLineString", lines)
         if kind == "POLYGON":
             rings = [_parse_coord_seq(r.strip().strip("()")) for r in _split_rings(body)]
             return Geometry("Polygon", rings)
+        if kind == "GEOMETRYCOLLECTION":
+            geoms = [parse_wkt(part) for part in _split_rings(body)]
+            if any(g is None for g in geoms):
+                return None
+            return Geometry("GeometryCollection", geoms)
         if kind == "MULTIPOLYGON":
             polys = []
             for poly in _split_rings(body):
@@ -130,6 +141,8 @@ def to_wkt(g: Geometry) -> str:
         return "LINESTRING " + _ring_wkt(g.coords)
     if g.kind == "MultiPoint":
         return "MULTIPOINT " + _ring_wkt(g.coords)
+    if g.kind == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(_ring_wkt(line) for line in g.coords) + ")"
     if g.kind == "Polygon":
         return "POLYGON (" + ", ".join(_ring_wkt(r) for r in g.coords) + ")"
     if g.kind == "MultiPolygon":
@@ -138,6 +151,8 @@ def to_wkt(g: Geometry) -> str:
             + ", ".join("(" + ", ".join(_ring_wkt(r) for r in poly) + ")" for poly in g.coords)
             + ")"
         )
+    if g.kind == "GeometryCollection":
+        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(sub) for sub in g.coords) + ")"
     raise ValueError(g.kind)
 
 
@@ -153,11 +168,17 @@ def to_geojson(g: Geometry) -> str:
     def ring(r: Sequence[Point]) -> str:
         return "[" + ",".join(coord(p) for p in r) + "]"
 
+    if g.kind == "GeometryCollection":
+        return (
+            '{"type":"GeometryCollection","geometries":['
+            + ",".join(to_geojson(sub) for sub in g.coords)
+            + "]}"
+        )
     if g.kind == "Point":
         body = coord(g.coords)
     elif g.kind in ("LineString", "MultiPoint"):
         body = ring(g.coords)
-    elif g.kind == "Polygon":
+    elif g.kind in ("Polygon", "MultiLineString"):
         body = "[" + ",".join(ring(r) for r in g.coords) + "]"
     elif g.kind == "MultiPolygon":
         body = "[" + ",".join("[" + ",".join(ring(r) for r in poly) + "]" for poly in g.coords) + "]"
@@ -181,11 +202,20 @@ def from_geojson(obj) -> Geometry | None:
         return Geometry("MultiPoint", [(float(x), float(y)) for x, y in c])
     if t == "Polygon":
         return Geometry("Polygon", [[(float(x), float(y)) for x, y in ring] for ring in c])
+    if t == "MultiLineString":
+        return Geometry(
+            "MultiLineString", [[(float(x), float(y)) for x, y in line] for line in c]
+        )
     if t == "MultiPolygon":
         return Geometry(
             "MultiPolygon",
             [[[(float(x), float(y)) for x, y in ring] for ring in poly] for poly in c],
         )
+    if t == "GeometryCollection":
+        subs = [from_geojson(sub) for sub in obj.get("geometries", [])]
+        if not subs or any(s is None for s in subs):
+            return None
+        return Geometry("GeometryCollection", subs)
     return None
 
 
@@ -221,6 +251,83 @@ def _xml_find_coords(el) -> Ring:
     return []
 
 
+def _close_ring(ring: Ring) -> Ring:
+    if ring and ring[0] != ring[-1]:
+        return ring + [ring[0]]
+    return ring
+
+
+# Multi-geometry container tags (GML 2/3 + KML) → the homogeneous kind
+# they aggregate; MultiGeometry/GeometryCollection may hold mixed kinds.
+_MULTI_TAGS = {
+    "multipoint": "Point",
+    "multilinestring": "LineString",
+    "multicurve": "LineString",
+    "multipolygon": "Polygon",
+    "multisurface": "Polygon",
+    "multigeometry": None,
+    "geometrycollection": None,
+}
+
+
+def geom_from_xml_element(el) -> Geometry | None:
+    """Recursive GML/KML element → Geometry, including multi-part
+    containers. Children of a multi element may sit behind ``*Member`` /
+    ``*Members`` wrappers (gml:polygonMember etc.) — any intermediate
+    element that is not itself a geometry is descended through, matching
+    PostGIS ST_GeomFromGML's whole-fragment conversion (the reference's
+    ingest path, xml_extension.ts:283-308)."""
+    kind = _xml_local(el.tag)
+    if kind == "point":
+        pts = _xml_find_coords(el)
+        return Geometry("Point", pts[0]) if pts else None
+    if kind == "linestring":
+        pts = _xml_find_coords(el)
+        return Geometry("LineString", pts) if len(pts) >= 2 else None
+    if kind == "polygon":
+        exterior: Ring = []
+        interiors: list[Ring] = []
+        for b in el.iter():
+            bname = _xml_local(b.tag)
+            if bname in ("outerboundaryis", "exterior"):
+                exterior = _xml_find_coords(b)
+            elif bname in ("innerboundaryis", "interior"):
+                ring = _xml_find_coords(b)
+                if ring:
+                    interiors.append(ring)
+        if not exterior:
+            exterior = _xml_find_coords(el)
+        if not exterior:
+            return None
+        return Geometry("Polygon", [_close_ring(exterior)] + [_close_ring(r) for r in interiors])
+    if kind in _MULTI_TAGS:
+        subs = _child_geometries(el)
+        if not subs:
+            return None
+        kinds = {s.kind for s in subs}
+        if kinds == {"Point"}:
+            return Geometry("MultiPoint", [s.coords for s in subs])
+        if kinds == {"LineString"}:
+            return Geometry("MultiLineString", [s.coords for s in subs])
+        if kinds == {"Polygon"}:
+            return Geometry("MultiPolygon", [s.coords for s in subs])
+        return Geometry("GeometryCollection", subs)
+    return None
+
+
+def _child_geometries(el) -> list[Geometry]:
+    """Geometries among el's descendants, descending through non-geometry
+    wrappers (member elements) but never into a matched geometry."""
+    out: list[Geometry] = []
+    for child in el:
+        g = geom_from_xml_element(child)
+        if g is not None:
+            out.append(g)
+        else:
+            out.extend(_child_geometries(child))
+    return out
+
+
 def from_xml_geometry(s: str) -> Geometry | None:
     """Build a Geometry from a GML (2/3) or KML fragment — the reference's
     ST_GeomFromGML / ST_GeomFromKML ingestion path
@@ -228,7 +335,10 @@ def from_xml_geometry(s: str) -> Geometry | None:
 
     Namespace-agnostic: elements are matched by local name, and common
     prefixes are pre-declared so bare ``<gml:Point>`` fragments (no xmlns
-    attribute, as stored inside featureMember documents) still parse."""
+    attribute, as stored inside featureMember documents) still parse.
+    Multi-part input (MultiGeometry/MultiPolygon/...) converts whole —
+    MULTIPOINT/MULTILINESTRING/MULTIPOLYGON, or GEOMETRYCOLLECTION for
+    mixed kinds — never just the first part."""
     import xml.etree.ElementTree as ET
 
     if not isinstance(s, str) or not s.strip():
@@ -241,29 +351,8 @@ def from_xml_geometry(s: str) -> Geometry | None:
         root = ET.fromstring(wrapped)
     except ET.ParseError:
         return None
-    for el in root.iter():
-        kind = _xml_local(el.tag)
-        if kind == "point":
-            pts = _xml_find_coords(el)
-            return Geometry("Point", pts[0]) if pts else None
-        if kind == "linestring":
-            pts = _xml_find_coords(el)
-            return Geometry("LineString", pts) if len(pts) >= 2 else None
-        if kind == "polygon":
-            exterior: Ring = []
-            interiors: list[Ring] = []
-            for b in el.iter():
-                bname = _xml_local(b.tag)
-                if bname in ("outerboundaryis", "exterior"):
-                    exterior = _xml_find_coords(b)
-                elif bname in ("innerboundaryis", "interior"):
-                    ring = _xml_find_coords(b)
-                    if ring:
-                        interiors.append(ring)
-            if not exterior:
-                exterior = _xml_find_coords(el)
-            return Geometry("Polygon", [exterior] + interiors) if exterior else None
-    return None
+    geoms = _child_geometries(root)
+    return geoms[0] if geoms else None
 
 
 # -- predicates & measures -----------------------------------------------
@@ -273,12 +362,7 @@ def bbox(g: Geometry) -> tuple[float, float, float, float]:
     if g.kind == "Point":
         x, y = g.coords
         return (x, y, x, y)
-    if g.kind in ("LineString", "MultiPoint"):
-        pts = g.coords
-    elif g.kind == "Polygon":
-        pts = [p for r in g.coords for p in r]
-    else:  # MultiPolygon
-        pts = [p for poly in g.coords for r in poly for p in r]
+    pts = _points(g)
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     return (min(xs), min(ys), max(xs), max(ys))
@@ -330,6 +414,8 @@ def _polys(g: Geometry) -> list[list[Ring]]:
         return [g.coords]
     if g.kind == "MultiPolygon":
         return g.coords
+    if g.kind == "GeometryCollection":
+        return [rings for sub in g.coords for rings in _polys(sub)]
     return []
 
 
@@ -338,8 +424,10 @@ def _points(g: Geometry) -> list[Point]:
         return [g.coords]
     if g.kind in ("LineString", "MultiPoint"):
         return list(g.coords)
-    if g.kind == "Polygon":
+    if g.kind in ("Polygon", "MultiLineString"):
         return [p for r in g.coords for p in r]
+    if g.kind == "GeometryCollection":
+        return [p for sub in g.coords for p in _points(sub)]
     return [p for poly in g.coords for r in poly for p in r]
 
 
@@ -361,10 +449,14 @@ def _seg_distance(p: Point, a: Point, b: Point) -> float:
 def _segments(g: Geometry):
     if g.kind == "LineString":
         seq = [g.coords]
-    elif g.kind == "Polygon":
+    elif g.kind in ("Polygon", "MultiLineString"):
         seq = g.coords
     elif g.kind == "MultiPolygon":
         seq = [r for poly in g.coords for r in poly]
+    elif g.kind == "GeometryCollection":
+        for sub in g.coords:
+            yield from _segments(sub)
+        return
     else:
         return
     for line in seq:
@@ -513,8 +605,10 @@ def dimension(g: Geometry) -> int:
     basex_extension.ts:415-438)."""
     if g.kind in ("Point", "MultiPoint"):
         return 0
-    if g.kind == "LineString":
+    if g.kind in ("LineString", "MultiLineString"):
         return 1
+    if g.kind == "GeometryCollection":
+        return max((dimension(sub) for sub in g.coords), default=0)
     return 2
 
 

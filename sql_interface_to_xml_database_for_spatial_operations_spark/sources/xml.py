@@ -45,9 +45,13 @@ _GEOM_TAGS = {
     "Point",
     "LineString",
     "Polygon",
-    "MultiPolygon",
     "MultiPoint",
+    "MultiLineString",
+    "MultiCurve",
+    "MultiPolygon",
+    "MultiSurface",
     "MultiGeometry",
+    "GeometryCollection",
 }
 
 
@@ -55,76 +59,18 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def _parse_coords_text(text: str, swap: bool = False) -> list[tuple[float, float]]:
-    """GML <coordinates> 'x,y x,y' or <posList>/<pos> 'x y x y'."""
-    text = (text or "").strip()
-    if not text:
-        return []
-    if "," in text:
-        pts = []
-        for tok in text.split():
-            parts = tok.split(",")
-            pts.append((float(parts[0]), float(parts[1])))
-    else:
-        nums = [float(t) for t in text.split()]
-        pts = list(zip(nums[0::2], nums[1::2]))
-    if swap:
-        pts = [(y, x) for x, y in pts]
-    return pts
-
-
 def _gml_geometry_to_wkt(el: ET.Element) -> str | None:
-    """Convert a GML/KML geometry element to WKT.
+    """Convert a GML/KML geometry element to WKT — one code path with the
+    ST_GeomFromGML/KML UDFs (functions.geometry.geom_from_xml_element),
+    so multi-part geometries (MultiPolygon, MultiGeometry, ...) convert
+    whole, matching the reference's full-fragment PostGIS conversion
+    (reference src/index.ts:44-63 via xml_extension.ts:283-308).
 
     GML ``pos``/``posList`` axis order is (lat lon) per EPSG:4326 in many
     datasets, but the reference treats coordinates as-is; we do the same
     (documented divergence: no axis swapping)."""
-    tag = _local(el.tag)
-    if tag == "MultiGeometry":
-        for child in el:
-            wkt = _gml_geometry_to_wkt(child)
-            if wkt:
-                return wkt
-        return None
-    if tag == "Point":
-        for sub in el.iter():
-            if _local(sub.tag) in ("coordinates", "pos"):
-                pts = _parse_coords_text(sub.text)
-                if pts:
-                    return G.to_wkt(G.Geometry.point(*pts[0]))
-        return None
-    if tag == "LineString":
-        for sub in el.iter():
-            if _local(sub.tag) in ("coordinates", "posList"):
-                pts = _parse_coords_text(sub.text)
-                if pts:
-                    return G.to_wkt(G.Geometry("LineString", pts))
-        return None
-    if tag in ("Polygon", "MultiPolygon"):
-        rings: list[list[tuple[float, float]]] = []
-        outer: list[list[tuple[float, float]]] = []
-        for sub in el.iter():
-            lsub = _local(sub.tag)
-            if lsub in ("exterior", "outerBoundaryIs", "outerBoundary"):
-                for c in sub.iter():
-                    if _local(c.tag) in ("coordinates", "posList"):
-                        outer.append(_parse_coords_text(c.text))
-            elif lsub in ("interior", "innerBoundaryIs"):
-                for c in sub.iter():
-                    if _local(c.tag) in ("coordinates", "posList"):
-                        rings.append(_parse_coords_text(c.text))
-        if outer:
-            ring = outer[0]
-            if ring and ring[0] != ring[-1]:
-                ring.append(ring[0])
-            closed_holes = []
-            for h in rings:
-                if h and h[0] != h[-1]:
-                    h.append(h[0])
-                closed_holes.append(h)
-            return G.to_wkt(G.Geometry("Polygon", [ring] + closed_holes))
-        return None
-    return None
+    g = G.geom_from_xml_element(el)
+    return G.to_wkt(g) if g is not None else None
 
 
 def _collection_names(root: ET.Element) -> set[str]:
