@@ -528,18 +528,45 @@ def distance_sphere(g1: Geometry, g2: Geometry) -> float:
     return 2 * r * math.asin(math.sqrt(a))
 
 
+def _segs_cross_properly(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
+    """Strict interior crossing: endpoints strictly on opposite sides of
+    each other's line. Touch-only contact (shared vertex, endpoint on the
+    other segment, collinear overlap) does NOT count — those are legal
+    for ``within`` (boundaries may touch)."""
+
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(a1, a2, b1), orient(a1, a2, b2)
+    o3, o4 = orient(b1, b2, a1), orient(b1, b2, a2)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
 def within(g1: Geometry, g2: Geometry) -> bool:
-    """g1 within g2. Point/line/polygon vs polygon; point vs point."""
+    """g1 within g2. Point/line/polygon vs polygon; point vs point.
+
+    For line/polygon g1 the test is: every vertex and edge midpoint of
+    g1 inside g2, and no edge of g1 properly crossing any boundary
+    segment of g2 — correct for concave containers and holes (an edge
+    that dips outside must cross the boundary). Remaining documented
+    approximation: an edge that exits and re-enters exactly through
+    boundary vertices without a proper crossing (degenerate tangency)
+    can be missed; the reference delegated these cases to EXPath
+    geo/PostGIS (basex_extension.ts:385-438)."""
     if g2.kind in ("Polygon", "MultiPolygon"):
         for x, y in _points(g1):
             if not any(_point_in_polygon(x, y, rings) for rings in _polys(g2)):
                 return False
-        # vertices inside; for polygon-in-polygon also require no edge crossing
-        if g1.kind in ("Polygon", "MultiPolygon", "LineString"):
+        if g1.kind in ("Polygon", "MultiPolygon", "LineString", "MultiLineString"):
+            segs2 = list(_segments(g2))
             for a1, a2 in _segments(g1):
                 mid = ((a1[0] + a2[0]) / 2, (a1[1] + a2[1]) / 2)
                 if not any(_point_in_polygon(mid[0], mid[1], rings) for rings in _polys(g2)):
                     return False
+                for b1, b2 in segs2:
+                    if _segs_cross_properly(a1, a2, b1, b2):
+                        return False
         return True
     if g2.kind == "Point" and g1.kind == "Point":
         return g1.coords == g2.coords
@@ -551,17 +578,21 @@ def contains(g1: Geometry, g2: Geometry) -> bool:
 
 
 def intersects(g1: Geometry, g2: Geometry) -> bool:
+    """Shared-point test. Vertex containment uses the FULL ring list
+    (holes subtract — a vertex inside a hole is not inside the polygon);
+    boundary crossings are caught by the segment test, so a part lying
+    across a hole still intersects via its crossing edges."""
     b1, b2 = bbox(g1), bbox(g2)
     if b1[0] > b2[2] or b2[0] > b1[2] or b1[1] > b2[3] or b2[1] > b1[3]:
         return False
-    # any vertex containment
+    # any vertex containment (full rings: holes excluded)
     for rings in _polys(g2):
         for x, y in _points(g1):
-            if _point_in_polygon(x, y, [rings[0]]):
+            if _point_in_polygon(x, y, rings):
                 return True
     for rings in _polys(g1):
         for x, y in _points(g2):
-            if _point_in_polygon(x, y, [rings[0]]):
+            if _point_in_polygon(x, y, rings):
                 return True
     # segment crossings
     segs1, segs2 = list(_segments(g1)), list(_segments(g2))

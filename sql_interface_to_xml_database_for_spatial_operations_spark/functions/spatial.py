@@ -73,7 +73,12 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def st_makeenvelope(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
     return pd.Series(
-        [G.to_wkt(G.Geometry.box(a, b, c, d)) for a, b, c, d in zip(minx, miny, maxx, maxy)],
+        [
+            None
+            if any(v is None or pd.isna(v) for v in (a, b, c, d))
+            else G.to_wkt(G.Geometry.box(a, b, c, d))
+            for a, b, c, d in zip(minx, miny, maxx, maxy)
+        ],
         dtype=object,
     )
 
@@ -157,8 +162,17 @@ def st_y(wkt: pd.Series) -> pd.Series:
 
 @pandas_udf(IntegerType())
 def st_srid(wkt: pd.Series) -> pd.Series:
-    """Fixed 4326 like the reference's data (F6: geo:srid, BaseX 9.7)."""
-    return pd.Series([4326 if isinstance(v, str) and v.strip() else None for v in wkt], dtype="Int32")
+    """Fixed 4326 like the reference's data (F6: geo:srid, BaseX 9.7);
+    NULL for unparseable input like every sibling accessor."""
+    return pd.Series(
+        [
+            4326
+            if isinstance(v, str) and G.parse_wkt(v) is not None
+            else None
+            for v in wkt
+        ],
+        dtype="Int32",
+    )
 
 
 @pandas_udf(IntegerType())
@@ -177,6 +191,44 @@ def st_geometrytype(wkt: pd.Series) -> pd.Series:
         g = G.parse_wkt(v) if isinstance(v, str) else None
         out.append(G.geometry_type(g) if g else None)
     return pd.Series(out, dtype=object)
+
+
+def _bbox_coord(wkt: pd.Series, idx: int) -> pd.Series:
+    """One bbox coordinate per geometry (PostGIS ST_XMin/YMin/XMax/YMax).
+    Point batches take the vectorized numpy path (x == xmin == xmax)."""
+    x, y = _point_xy(wkt)
+    fast_vals = (x, y, x, y)[idx]
+    fast = ~np.isnan(fast_vals)
+    if fast.all():
+        return pd.Series(fast_vals)
+    res = np.full(len(wkt), np.nan)
+    res[fast] = fast_vals[fast]
+    wv = wkt.reset_index(drop=True)
+    for i in np.flatnonzero(~fast):
+        g = G.parse_wkt(wv.iloc[i]) if isinstance(wv.iloc[i], str) else None
+        if g is not None:
+            res[i] = G.bbox(g)[idx]
+    return pd.Series(res)
+
+
+@pandas_udf(DoubleType())
+def st_xmin(wkt: pd.Series) -> pd.Series:
+    return _bbox_coord(wkt, 0)
+
+
+@pandas_udf(DoubleType())
+def st_ymin(wkt: pd.Series) -> pd.Series:
+    return _bbox_coord(wkt, 1)
+
+
+@pandas_udf(DoubleType())
+def st_xmax(wkt: pd.Series) -> pd.Series:
+    return _bbox_coord(wkt, 2)
+
+
+@pandas_udf(DoubleType())
+def st_ymax(wkt: pd.Series) -> pd.Series:
+    return _bbox_coord(wkt, 3)
 
 
 @pandas_udf(DoubleType())
@@ -300,6 +352,10 @@ ALL_FUNCTIONS = {
     "st_x": st_x,
     "st_y": st_y,
     "st_srid": st_srid,
+    "st_xmin": st_xmin,
+    "st_ymin": st_ymin,
+    "st_xmax": st_xmax,
+    "st_ymax": st_ymax,
     "st_dimension": st_dimension,
     "st_geometrytype": st_geometrytype,
     "st_area": st_area,

@@ -103,9 +103,13 @@ def q77_sessionize(spark, sf_dir):
     ``applyInPandasWithState``. Single shuffle on user_id."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # full-precision gap: cast('long') truncates to whole seconds, so a
+    # 1800.05 s gap would floor to 1800 and miss the oracle's
+    # > INTERVAL 30 MINUTE boundary — compare microseconds instead
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = e.withColumn(
-        "new_session", F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     return marked.groupBy("user_id").agg(
         F.sum("new_session").cast("bigint").alias("n_sessions"),

@@ -569,52 +569,29 @@ def q59_st_geomfromgml_kml(spark, sf_dir):
 )
 def q85_st_extent_agg(spark, sf_dir):
     """ST_Extent — PostGIS's bbox *aggregate* (the reference's users get
-    it from PostgreSQL, SURVEY.md §2.6 F12; §2.8 maps aggregates to
-    pandas UDAFs). A grouped-agg pandas UDF folds each group's WKT
-    geometries into a bounding box; partial aggregation applies, so each
-    partition ships one 4-double box per group, not its geometries."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    from ..functions import geometry as G
-
+    it from PostgreSQL, SURVEY.md §2.6 F12). Shape: the pandas UDFs
+    (st_x/st_y) extract per-row bbox coordinates map-side, then plain
+    JVM min/max/count aggregate them — partial (map-side) aggregation
+    applies, so each partition ships one 4-double box per group instead
+    of its geometries. A GROUPED_AGG pandas UDF would NOT get this:
+    Spark plans those as AggregateInPandas after a full shuffle of every
+    group row — the wrong plan at 100 TB."""
     _ensure_udfs(spark)
-
-    # explicit GROUPED_AGG: this module's postponed annotations keep the
-    # type-hint route from inferring the aggregate signature
-    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
-    def st_extent(wkt):
-        box = [None, None, None, None]
-        for v in wkt:
-            g = G.parse_wkt(v) if isinstance(v, str) else None
-            if g is None:
-                continue
-            x0, y0, x1, y1 = G.bbox(g)
-            box[0] = x0 if box[0] is None else min(box[0], x0)
-            box[1] = y0 if box[1] is None else min(box[1], y0)
-            box[2] = x1 if box[2] is None else max(box[2], x1)
-            box[3] = y1 if box[3] is None else max(box[3], y1)
-        return box
-
-    @pandas_udf("bigint", PandasUDFType.GROUPED_AGG)
-    def n_rows(wkt):
-        # Spark disallows mixing grouped-agg pandas UDFs with JVM
-        # aggregates in one agg, so the count rides along as pandas too
-        return len(wkt)
-
     pts = _pts(spark, sf_dir)
     return (
-        pts.groupBy("c_nationkey")
-        .agg(
-            st_extent("geom").alias("ext"),
-            n_rows("geom").alias("n"),
-        )
-        .select(
+        pts.select(
             "c_nationkey",
-            F.col("ext")[0].alias("minx"),
-            F.col("ext")[1].alias("miny"),
-            F.col("ext")[2].alias("maxx"),
-            F.col("ext")[3].alias("maxy"),
-            "n",
+            F.expr("st_xmin(geom)").alias("x0"),
+            F.expr("st_ymin(geom)").alias("y0"),
+            F.expr("st_xmax(geom)").alias("x1"),
+            F.expr("st_ymax(geom)").alias("y1"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("x0").alias("minx"),
+            F.min("y0").alias("miny"),
+            F.max("x1").alias("maxx"),
+            F.max("y1").alias("maxy"),
+            F.count(F.lit(1)).alias("n"),
         )
     )

@@ -279,3 +279,55 @@ class TestMultiPartGeometry:
         assert not G.within(G.parse_wkt("POINT (7 7)"), mp)
         assert G.intersects(mp, G.parse_wkt("POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"))
         assert G.dimension(G.parse_wkt("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4))")) == 1
+
+
+class TestConcaveGeometry:
+    """within/intersects on concave polygons and holes (ADVICE r1 #1):
+    an edge can dip outside a concave container between its midpoint and
+    endpoints, and a geometry inside a hole is NOT inside the polygon."""
+
+    # U-shape: opens upward, the notch spans x∈[2,6], y∈[2,8]
+    U = G.parse_wkt(
+        "POLYGON ((0 0, 8 0, 8 8, 6 8, 6 2, 2 2, 2 8, 0 8, 0 0))"
+    )
+    # 10×10 box with a 4×4 hole at [3,7]²
+    HOLED = G.parse_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    )
+
+    def test_within_edge_dips_through_notch(self):
+        # both endpoints (and the line) are inside the U's arms only at
+        # the ends — the segment crosses the notch, so NOT within
+        line = G.parse_wkt("LINESTRING (1 7, 7 7)")
+        assert not G.within(line, self.U)
+        # a line living inside one arm IS within
+        assert G.within(G.parse_wkt("LINESTRING (0.5 1, 7 1)"), self.U)
+
+    def test_within_polygon_spanning_notch(self):
+        spanning = G.parse_wkt("POLYGON ((1 6, 7 6, 7 7, 1 7, 1 6))")
+        assert not G.within(spanning, self.U)
+
+    def test_within_hole_excluded(self):
+        assert not G.within(G.parse_wkt("POINT (5 5)"), self.HOLED)
+        assert not G.within(G.parse_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"), self.HOLED)
+        assert G.within(G.parse_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"), self.HOLED)
+        # polygon straddling the hole boundary: not within
+        assert not G.within(G.parse_wkt("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"), self.HOLED)
+
+    def test_intersects_point_in_hole(self):
+        assert not G.intersects(G.parse_wkt("POINT (5 5)"), self.HOLED)
+        assert not G.intersects(self.HOLED, G.parse_wkt("POINT (5 5)"))
+        # a polygon fully inside the hole does not intersect
+        assert not G.intersects(
+            G.parse_wkt("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"), self.HOLED
+        )
+        # but one crossing the hole boundary does
+        assert G.intersects(
+            G.parse_wkt("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"), self.HOLED
+        )
+
+    def test_intersects_concave_notch(self):
+        # polygon sitting wholly inside the U's notch: no intersection
+        assert not G.intersects(G.parse_wkt("POLYGON ((3 4, 5 4, 5 6, 3 6, 3 4))"), self.U)
+        # touching the notch wall: intersects
+        assert G.intersects(G.parse_wkt("POLYGON ((2 4, 5 4, 5 6, 2 6, 2 4))"), self.U)

@@ -123,3 +123,12 @@ def test_ivf_assignment_is_map_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_extent_agg_is_partial(spark):
+    # ST_Extent must plan as map-side UDF projection + JVM partial/final
+    # HashAggregate — NOT AggregateInPandas (full shuffle of group rows)
+    df = q("q85_st_extent_agg")(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "AggregateInPandas" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

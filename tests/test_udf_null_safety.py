@@ -1,0 +1,48 @@
+"""Every registered st_* UDF must be null-safe: NULL/malformed input
+yields NULL (or NaN for numeric outputs), never a raised exception that
+fails the whole query (ADVICE r1: st_makeenvelope was the one outlier).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
+    ALL_FUNCTIONS,
+)
+
+D = "CAST(NULL AS DOUBLE)"
+S = "CAST(NULL AS STRING)"
+
+# name → SQL argument list matching the UDF's arity/types
+_NULL_ARGS = {
+    "st_point": f"{D}, {D}",
+    "st_makeenvelope": f"{D}, {D}, {D}, {D}",
+    "st_buffer": f"{S}, {D}",
+    "st_distance": f"{S}, {S}",
+    "st_distance_sphere": f"{S}, {S}",
+    "st_within": f"{S}, {S}",
+    "st_contains": f"{S}, {S}",
+    "st_intersects": f"{S}, {S}",
+    "st_dwithin": f"{S}, {S}, {D}",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FUNCTIONS))
+def test_null_input_yields_null(spark, name):
+    args = _NULL_ARGS.get(name, S)
+    val = spark.sql(f"SELECT {name}({args}) AS v").collect()[0]["v"]
+    assert val is None or (isinstance(val, float) and math.isnan(val)), (name, val)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_FUNCTIONS))
+def test_malformed_wkt_yields_null_not_crash(spark, name):
+    junk = "'POLYGON garbage (('"
+    args = _NULL_ARGS.get(name, junk).replace(S, junk)
+    val = spark.sql(f"SELECT {name}({args}) AS v").collect()[0]["v"]
+    assert val is None or (isinstance(val, float) and math.isnan(val)) or val is False, (
+        name,
+        val,
+    )
