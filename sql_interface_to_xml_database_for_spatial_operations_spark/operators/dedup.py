@@ -44,9 +44,13 @@ def q64_dedup_exact(spark, sf_dir):
     )
 
 
-def _word_shingles(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Distinct word-k-gram shingles per document (JVM: slice+transform)."""
-    d = load_table(spark, sf_dir, "documents")
+def _word_shingles(
+    spark: SparkSession, sf_dir: str, k: int = 5, docs: DataFrame | None = None
+) -> DataFrame:
+    """Distinct word-k-gram shingles per document (JVM: slice+transform).
+    ``docs`` overrides the source (must carry doc_id, lang, text) so
+    pipeline stages shingle only their surviving subset."""
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     return (
         d.select("doc_id", "lang", ws.alias("ws"))
@@ -90,15 +94,16 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-def jaccard_pairs(spark, sf_dir):
+def jaccard_pairs(spark, sf_dir, docs: DataFrame | None = None):
     """Near-dup candidate pairs with exact Jaccard ≥ 0.2 (shared by q65
-    and the q90 clustering stage).
+    and the q90 clustering stage); ``docs`` restricts the corpus (q91
+    shingles only its quality+exact-dedup survivors).
 
     The shingle set feeds three consumers (sizes + both join sides), so
     it persists (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding
     the corpus per consumer — at 100 TB use DISK_ONLY or a materialized
     shingle table, same plan shape."""
-    sh = _word_shingles(spark, sf_dir, 5).persist()
+    sh = _word_shingles(spark, sf_dir, 5, docs=docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), "sh")
@@ -382,41 +387,63 @@ def q90_dedup_clusters(spark, sf_dir):
     )
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50, check_every: int = 2
+) -> DataFrame:
     """Connected components of an undirected pair graph → (id, label) with
     label = component min id. Iterative min-label propagation: every
     round is one shuffle-join (neighbor labels) + one aggregate; rounds ≈
     component diameter, tiny for dup clusters. State lives in cached
     DataFrames, never on the driver (the loop only reads the convergence
-    counter) — the standard Spark shape for iterative graph algorithms."""
+    counter) — the standard Spark shape for iterative graph algorithms.
+
+    Three loop-cost controls:
+
+    - min-label propagation is monotone (labels only ever decrease), so
+      convergence is detected by comparing ``sum(label)`` across checks —
+      one map-side-combinable aggregate, no join against the previous
+      state (decimal(38,0) so corpus-scale id sums can't overflow);
+    - the check runs only every ``check_every`` rounds — at worst
+      check_every-1 extra cheap rounds after convergence;
+    - each check localCheckpoints the labels, truncating lineage so the
+      plan doesn't grow with iteration count (20+ chained joins would
+      stall the optimizer long before the data is the problem).
+
+    Exceeding ``max_iters`` without converging raises: silently returning
+    half-propagated labels would yield wrong cluster ids (ADVICE r1)."""
     c1, c2 = pairs.columns[0], pairs.columns[1]
     edges = (
         pairs.select(c1, c2).union(pairs.select(F.col(c2), F.col(c1))).toDF("src", "dst").cache()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
-    for _ in range(max_iters):
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    converged = False
+    for i in range(1, max_iters + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
-            .cache()
+        new_labels = labels.join(neigh, labels.id == neigh.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        if i % check_every == 0 or i == max_iters:
+            new_labels = new_labels.localCheckpoint(eager=True)  # materialize + cut lineage
+            cur_sum = new_labels.agg(label_sum).collect()[0]["s"]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        else:
+            labels = new_labels  # lazy: folded into the next check's plan
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} iterations; "
+            "raise max_iters (component diameter exceeds the bound)"
+        )
     return labels

@@ -95,13 +95,10 @@ def q91_training_pipeline(spark, sf_dir):
         .cache()
     )
 
-    ids = dedup1.select("doc_id")
-    pairs = (
-        jaccard_pairs(spark, sf_dir)
-        .join(ids.withColumnRenamed("doc_id", "doc1"), "doc1")
-        .join(ids.withColumnRenamed("doc_id", "doc2"), "doc2")
-        .select("doc1", "doc2")
-    )
+    # shingle only the survivors (the oracle's pairs-over-dedup1): Jaccard
+    # depends on the two docs alone, so restricting the corpus first is
+    # result-identical and skips exploding docs that already dropped out
+    pairs = jaccard_pairs(spark, sf_dir, docs=dedup1).select("doc1", "doc2")
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
