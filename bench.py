@@ -33,6 +33,7 @@ HEADLINE = [
     "q23_agg_pricing_summary",
     "q31_window_rank",
     "q44_spatial_join_within",
+    "q45_spatial_join_intersects",
     "q47_dwithin_pairs",
     "q64_dedup_exact",
     "q65_dedup_ngram_jaccard",
@@ -41,6 +42,7 @@ HEADLINE = [
     "q70_ann_bruteforce_topk",
     "q73_ann_ivf_topk",
     "q75_tumbling_window",
+    "q76_sliding_window",
     "q77_sessionize",
     "q83_asof_join",
     "q84_range_join_banded",

@@ -35,3 +35,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert len(df.schema.fields) == 4
+
+
+def test_q58_approx_within_error_bound(spark):
+    """q58 has no DuckDB oracle (different sketch), but 'no oracle' must
+    not mean 'no check': the HLL++ estimate (rsd 2%) must sit within 5%
+    relative error of q57's exact distinct counts (VERDICT r1 item 6)."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q58_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
+        load_table,
+    )
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_orderkey").alias("n_order"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag, a in approx.items():
+        e = exact[flag]
+        for acol, ecol in (("approx_supp", "n_supp"), ("approx_order", "n_order")):
+            rel = abs(a[acol] - e[ecol]) / e[ecol]
+            assert rel < 0.05, (flag, acol, a[acol], e[ecol], rel)
