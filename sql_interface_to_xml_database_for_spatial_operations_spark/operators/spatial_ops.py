@@ -595,3 +595,109 @@ def q85_st_extent_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q94_multipart_gml_ingest",
+    oracle=f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT n_nationkey,
+           'ST_MultiPolygon' AS gtype,
+           CAST(2 AS BIGINT) AS dim,
+           24.0 + ((n_nationkey % 3) * 2 + 2) * ((n_nationkey % 2) * 2 + 2) AS area,
+           20.0 + 2 * (((n_nationkey % 3) * 2 + 2) + ((n_nationkey % 2) * 2 + 2)) AS perimeter,
+           minx AS xmin,
+           miny + 8 + ((n_nationkey % 2) * 2 + 2) AS ymax
+    FROM boxes
+    """,
+)
+def q94_multipart_gml_ingest(spark, sf_dir):
+    """Multi-part GML ingestion end-to-end (reference: full-fragment
+    ST_GeomFromGML conversion, src/index.ts:44-63 via
+    xml_extension.ts:283-308): each nation becomes a 2-polygon
+    archipelago as a GML MultiPolygon fragment, parsed by st_geomfromgml,
+    measured by st_area/st_length/st_dimension and the bbox accessors.
+    Both parts must survive — the area/perimeter/bbox oracle values are
+    the closed forms over BOTH boxes, so a first-part-only reader fails.
+    The fragment build is JVM concat; only the parse+measure UDFs run
+    Python (Arrow-vectorized)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+    w = (F.col("n_nationkey") % 3) * 2 + 2
+    h = (F.col("n_nationkey") % 2) * 2 + 2
+
+    def ring(x0, y0, x1, y1):
+        s = lambda c: c.cast("string")  # noqa: E731
+        return F.concat_ws(
+            " ", s(x0), s(y0), s(x1), s(y0), s(x1), s(y1), s(x0), s(y1), s(x0), s(y0)
+        )
+
+    def member(r):
+        return F.concat(
+            F.lit("<gml:polygonMember><gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>"),
+            r,
+            F.lit("</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></gml:polygonMember>"),
+        )
+
+    b1 = ring(F.col("minx"), F.col("miny"), F.col("minx") + 6, F.col("miny") + 4)
+    b2 = ring(F.col("minx") + 10, F.col("miny") + 8, F.col("minx") + 10 + w, F.col("miny") + 8 + h)
+    gml = F.concat(F.lit("<gml:MultiPolygon>"), member(b1), member(b2), F.lit("</gml:MultiPolygon>"))
+    return (
+        boxes.withColumn("gml", gml)
+        .select(
+            "n_nationkey",
+            F.expr("st_geometrytype(st_geomfromgml(gml))").alias("gtype"),
+            F.expr("st_dimension(st_geomfromgml(gml))").cast("bigint").alias("dim"),
+            F.expr("st_area(st_geomfromgml(gml))").alias("area"),
+            F.expr("st_length(st_geomfromgml(gml))").alias("perimeter"),
+            F.expr("st_xmin(st_geomfromgml(gml))").alias("xmin"),
+            F.expr("st_ymax(st_geomfromgml(gml))").alias("ymax"),
+        )
+    )
+
+
+@query(
+    "q95_st_collect_agg",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL})
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           'MULTIPOINT (' || string_agg({_fmt_sql("lon")} || ' ' || {_fmt_sql("lat")}, ', ' ORDER BY c_custkey) || ')' AS wkt,
+           'ST_MultiPoint' AS gtype
+    FROM pts GROUP BY c_nationkey
+    """,
+)
+def q95_st_collect_agg(spark, sf_dir):
+    """ST_Collect — PostGIS's geometry-collecting aggregate (F12 surface):
+    per nation, customers fold into one MULTIPOINT (members ordered by
+    custkey for determinism). Pure JVM collect_list + sort_array +
+    concat_ws — partial aggregation applies, no Python in the aggregate;
+    the built WKT then round-trips st_geomfromtext→st_geometrytype to
+    prove the engine parses its own large multi-part output."""
+    _ensure_udfs(spark)
+    pts = customer_points(spark, sf_dir)
+
+    def fmt_num(c):
+        return F.when(F.floor(c) == c, c.cast("bigint").cast("string")).otherwise(
+            c.cast("string")
+        )
+
+    pt = F.concat_ws(" ", fmt_num(F.col("lon")), fmt_num(F.col("lat")))
+    return (
+        pts.select("c_nationkey", F.struct(F.col("c_custkey"), pt.alias("pt")).alias("m"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.concat(
+                F.lit("MULTIPOINT ("),
+                F.concat_ws(", ", F.transform(F.sort_array(F.collect_list("m")), lambda m: m["pt"])),
+                F.lit(")"),
+            ).alias("wkt"),
+        )
+        .select(
+            "c_nationkey",
+            "n_points",
+            "wkt",
+            F.expr("st_geometrytype(st_geomfromtext(wkt))").alias("gtype"),
+        )
+    )
