@@ -168,3 +168,43 @@ def q79_json_props(spark, sf_dir):
         F.max(k).cast("bigint").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q96_event_attribution",
+    oracle="""
+    SELECT a.user_id, a.event_id AS view_event, b.event_id AS click_event
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q96_event_attribution(spark, sf_dir):
+    """Event attribution: each click joined to the same user's preceding
+    views within 30 minutes — the batch semantics of the watermarked
+    stream-stream interval join (streaming/windows.py
+    stream_stream_join; incremental parity in tests/test_streaming.py).
+    Type filters apply before the join (state/scan pruning), the equi key
+    is user_id, and the interval predicate is a residual on the hash
+    join — never a BNLJ over the full stream."""
+    e = load_table(spark, sf_dir, "events")
+    lv = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("view_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    rc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("click_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return (
+        lv.join(
+            rc,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(F.col("l_user").alias("user_id"), "view_event", "click_event")
+    )

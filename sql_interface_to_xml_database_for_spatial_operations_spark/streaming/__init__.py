@@ -14,6 +14,7 @@ from .windows import (
     sessionized,
     sliding_counts,
     stream_dedup,
+    stream_stream_join,
     tumbling_counts,
 )
 
@@ -21,6 +22,7 @@ __all__ = [
     "enrich_stream",
     "read_events_stream",
     "stateful_user_totals",
+    "stream_stream_join",
     "tumbling_counts",
     "sliding_counts",
     "sessionized",

@@ -153,3 +153,49 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     (so slowly-changing dims refresh without restarting the query); small
     dims broadcast, so the stream side never shuffles."""
     return events.join(F.broadcast(dim), on)
+
+
+def stream_stream_join(
+    events: DataFrame,
+    other: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    watermark: str = "1 hour",
+    within_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each
+    ``right_type`` event to the same user's preceding ``left_type`` event
+    within ``within_minutes`` (the view→click attribution shape).
+
+    Scale design: BOTH sides carry a watermark and the join condition
+    bounds the event-time distance, so Spark can size and expire join
+    state — per side it holds at most (watermark + interval) of rows per
+    user shard; an unbounded-condition stream-stream join would grow
+    state forever. Type filters apply BEFORE the join so non-matching
+    events never enter state."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        other.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_user").alias("user_id"), "l_event", "r_event", "l_ts", "r_ts"
+    )

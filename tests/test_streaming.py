@@ -271,3 +271,44 @@ def test_watermark_finalization_append_mode(spark, tmp_path):
     assert got["window_start"].is_unique
     ten = got[[str(w)[11:13] == "10" for w in got["window_start"]]]
     assert ten["n_events"].tolist() == [2]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (view→click attribution
+    within 30 min) must produce exactly the batch join's pairs once all
+    input is processed (availableNow replay)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.streaming import (
+        stream_stream_join,
+    )
+
+    s = read_events_stream(spark, events_dir)
+    joined = stream_stream_join(s, read_events_stream(spark, events_dir))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, l_event, r_event FROM ssjoin").toPandas()
+
+    e = load_table(spark, SF_DIR, "events")
+    lv = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_user"), F.col("event_id").alias("l_event"), F.col("ts").alias("l_ts")
+    )
+    rc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("event_id").alias("r_event"), F.col("ts").alias("r_ts")
+    )
+    batch = (
+        lv.join(
+            rc,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(F.col("l_user").alias("user_id"), "l_event", "r_event")
+        .toPandas()
+    )
+    assert len(batch) > 0  # non-trivial fixture overlap
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(batch))
