@@ -33,34 +33,53 @@ def _is_attr(name: str) -> bool:
     return name.startswith(ATTR_PREFIX) and not name.startswith("__") and name not in _INTERNAL
 
 
-def _flat_entries(schema: StructType) -> list[tuple[str, str]]:
-    """(flattened_name, spark_path) pairs for one level of nesting —
-    the exact surface the reference supports (deeper paths were marked
-    unsupported and shipped to PostgreSQL, preprocessing.ts:97-100)."""
+def _flat_entries(
+    schema: StructType, flat_prefix: str = "", path_prefix: str = ""
+) -> list[tuple[str, str]]:
+    """(flattened_name, spark_path) pairs, recursing through nested
+    structs to ANY depth. The reference supports these names only to
+    depth 3 and marks `_attribute__coll__elem__attr`-style level-4 paths
+    unsupported (preprocessing.ts:97-100); recursion costs nothing here
+    because every entry is still a pure column path, so this engine
+    flattens `a__b__c__d` and `_attribute__a__b__attr` too."""
     out: list[tuple[str, str]] = []
     for f in schema.fields:
         name = f.name
+        flat = flat_prefix + name
+        path = path_prefix + name
         if isinstance(f.dataType, StructType):
+            has_value = any(sub.name == "_VALUE" for sub in f.dataType.fields)
+            if has_value:
+                # element text when the element also has attributes
+                out.append((flat, f"{path}._VALUE"))
             for sub in f.dataType.fields:
                 if _is_attr(sub.name):
-                    # `_attribute__elem__attr` ≡ col("elem._attr")
-                    out.append((f"_attribute__{name}__{sub.name[1:]}", f"{name}.{sub.name}"))
+                    # `_attribute__<elem path>__attr` ≡ col("<path>._attr")
+                    out.append((f"_attribute__{flat}__{sub.name[1:]}", f"{path}.{sub.name}"))
                 elif sub.name == "_VALUE":
-                    # element text when the element also has attributes
-                    out.append((name, f"{name}._VALUE"))
-                elif not isinstance(sub.dataType, (StructType, ArrayType)):
+                    pass  # handled above
+                elif isinstance(sub.dataType, StructType):
+                    out.extend(
+                        _flat_entries(
+                            StructType([sub]), flat_prefix=flat + "__", path_prefix=path + "."
+                        )
+                    )
+                elif isinstance(sub.dataType, ArrayType):
+                    # nested collection stays an array (lateral ≡ explode)
+                    out.append((f"{flat}__{sub.name}", f"{path}.{sub.name}"))
+                else:
                     # `parent__child` ≡ col("parent.child")
-                    out.append((f"{name}__{sub.name}", f"{name}.{sub.name}"))
+                    out.append((f"{flat}__{sub.name}", f"{path}.{sub.name}"))
         elif isinstance(f.dataType, ArrayType):
             # nested collection (`@_is_collection`): kept as the array —
             # the reference iterates these with a lateral join (J6),
             # which is `explode()` on this column
-            out.append((name, name))
+            out.append((flat, path))
         elif _is_attr(name):
             # `_attribute__attr` ≡ row-element attribute col("_attr")
-            out.append((f"_attribute__{name[1:]}", name))
+            out.append((f"_attribute__{flat_prefix}{name[1:]}", path))
         else:
-            out.append((name, name))
+            out.append((flat, path))
     return out
 
 

@@ -356,3 +356,38 @@ def test_st_geomfromgml_multipart_roundtrip(spark):
         "((10 10, 12 10, 12 12, 10 12, 10 10)))"
     )
     assert row["a"] == 20.0 and row["t"] == "ST_MultiPolygon"
+
+
+DEEP_GML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember>
+    <persil>
+      <nilai>
+        <pajak tahun="2021">
+          <njop kelas="A">5000</njop>
+        </pajak>
+      </nilai>
+      <gml:Point><gml:coordinates>106.8,-6.2</gml:coordinates></gml:Point>
+    </persil>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+
+
+def test_flattened_view_deep_paths(spark, tmp_path):
+    """Depth-4 flattened names (`a__b__c` values, `_attribute__a__b__attr`)
+    — the reference marks these unsupported (preprocessing.ts:97-100);
+    pure-projection recursion makes them free here."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.compat import (
+        flattened_view,
+    )
+
+    d = tmp_path / "deepgml"
+    d.mkdir()
+    (d / "persil.xml").write_text(DEEP_GML_DOC)
+    flat = flattened_view(read_xml(spark, str(d)))
+    row = flat.collect()[0]
+    assert row["nilai__pajak__njop"] == "5000"
+    assert row["_attribute__nilai__pajak__tahun"] == "2021"
+    assert row["_attribute__nilai__pajak__njop__kelas"] == "A"
+    assert row["geometry"] == "POINT (106.8 -6.2)"
