@@ -131,3 +131,50 @@ def test_xml_geometry_never_raises_on_garbage(s):
         raise AssertionError(f"from_xml_geometry raised {e!r} on {s!r}") from e
     if g is not None:
         assert isinstance(G.to_wkt(g), str)
+
+
+@st.composite
+def multi_geometries(draw):
+    """Random multi-part geometries over integer-ish coords (exact WKT
+    round-trips need exactly-representable numbers)."""
+    ic = st.integers(min_value=-1000, max_value=1000).map(float)
+    kind = draw(st.sampled_from(["MultiPoint", "MultiLineString", "MultiPolygon", "GeometryCollection"]))
+    if kind == "MultiPoint":
+        pts = draw(st.lists(st.tuples(ic, ic), min_size=1, max_size=5))
+        return G.Geometry("MultiPoint", pts)
+    if kind == "MultiLineString":
+        lines = draw(
+            st.lists(st.lists(st.tuples(ic, ic), min_size=2, max_size=4), min_size=1, max_size=3)
+        )
+        return G.Geometry("MultiLineString", lines)
+    if kind == "MultiPolygon":
+        polys = []
+        for _ in range(draw(st.integers(min_value=1, max_value=3))):
+            x0, y0 = draw(ic), draw(ic)
+            w, h = draw(st.integers(min_value=1, max_value=50)), draw(st.integers(min_value=1, max_value=50))
+            polys.append(G.Geometry.box(x0, y0, x0 + w, y0 + h).coords)
+        return G.Geometry("MultiPolygon", polys)
+    subs = [
+        G.Geometry("Point", (draw(ic), draw(ic))),
+        G.Geometry("LineString", [(draw(ic), draw(ic)), (draw(ic), draw(ic))]),
+    ]
+    return G.Geometry("GeometryCollection", subs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(multi_geometries())
+def test_multipart_wkt_roundtrip_property(g):
+    parsed = G.parse_wkt(G.to_wkt(g))
+    assert parsed is not None and parsed.kind == g.kind
+    assert G.to_wkt(parsed) == G.to_wkt(g)
+    # bbox / points survive the round trip
+    assert G.bbox(parsed) == G.bbox(g)
+
+
+@settings(max_examples=100, deadline=None)
+@given(multi_geometries())
+def test_multipart_geojson_roundtrip_property(g):
+    import json as _json
+
+    back = G.from_geojson(_json.loads(G.to_geojson(g)))
+    assert back is not None and G.to_wkt(back) == G.to_wkt(g)
