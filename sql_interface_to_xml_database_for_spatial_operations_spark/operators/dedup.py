@@ -417,7 +417,7 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    prev_sum = None  # first check can't conclude; saves materializing round 0
     converged = False
     for i in range(1, max_iters + 1):
         neigh = (
