@@ -132,3 +132,12 @@ def test_extent_agg_is_partial(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "AggregateInPandas" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_event_attribution_is_hash_join(spark):
+    # the interval condition must ride as a residual on a hash join keyed
+    # by user_id — never a BNLJ/cartesian over the full event stream
+    df = q("q96_event_attribution")(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "HashJoin" in plan, plan
+    assert_no_cartesian(df)
