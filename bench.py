@@ -78,6 +78,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (shingle sets etc.) so queries are
+        # timed independently instead of competing for executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # Direct comparison against the reference's kinerja suite (BASELINE.md):
