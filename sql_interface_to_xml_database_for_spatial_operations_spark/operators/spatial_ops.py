@@ -307,7 +307,21 @@ def q47_dwithin_pairs(spark, sf_dir):
     O(candidates) instead of the reference's O(n·m) XQuery nested loop
     (BASELINE.md: 5-10 min at 40k rows)."""
     _ensure_udfs(spark)
-    cell = lambda c: F.floor(c / DWITHIN_DIST).cast("int")  # noqa: E731
+    return (
+        _grid_candidates(spark, sf_dir, DWITHIN_DIST)
+        .filter((F.col("nk1") == F.col("nk2")) & (F.col("custkey1") < F.col("custkey2")))
+        .filter(F.expr(f"st_dwithin(geom1, geom2, {DWITHIN_DIST}D)"))
+        .select("custkey1", "custkey2")
+    )
+
+
+def _grid_candidates(spark, sf_dir, dist: float) -> DataFrame:
+    """Grid-cell candidate pairs within ``dist``: side A keyed on its
+    home cell, side B replicated into its 3×3 neighborhood, equi-join on
+    (cx, cy), |Δlon|/|Δlat| ≤ dist residual. Every pair within the bound
+    appears exactly once (B's single replica in A's home cell). Shared by
+    the DWithin self-join (q47) and the radius-bounded KNN join (q97)."""
+    cell = lambda c: F.floor(c / dist).cast("int")  # noqa: E731
     a = _pts(spark, sf_dir).select(
         F.col("c_custkey").alias("custkey1"),
         F.col("c_nationkey").alias("nk1"),
@@ -344,16 +358,9 @@ def q47_dwithin_pairs(spark, sf_dir):
             (cell(F.col("lat2")) + F.col("o.dy")).alias("cy"),
         )
     )
-    return (
-        a.join(b, ["cx", "cy"])
-        .filter(
-            (F.col("nk1") == F.col("nk2"))
-            & (F.col("custkey1") < F.col("custkey2"))
-            & (F.abs(F.col("lon1") - F.col("lon2")) <= DWITHIN_DIST)
-            & (F.abs(F.col("lat1") - F.col("lat2")) <= DWITHIN_DIST)
-        )
-        .filter(F.expr(f"st_dwithin(geom1, geom2, {DWITHIN_DIST}D)"))
-        .select("custkey1", "custkey2")
+    return a.join(b, ["cx", "cy"]).filter(
+        (F.abs(F.col("lon1") - F.col("lon2")) <= dist)
+        & (F.abs(F.col("lat1") - F.col("lat2")) <= dist)
     )
 
 
@@ -700,4 +707,52 @@ def q95_st_collect_agg(spark, sf_dir):
             "wkt",
             F.expr("st_geometrytype(st_geomfromtext(wkt))").alias("gtype"),
         )
+    )
+
+
+@query(
+    "q97_knn_within_radius",
+    oracle=f"""
+    WITH pts AS ({CUSTOMER_POINTS_SQL}),
+    cand AS (
+      SELECT a.c_custkey AS custkey1, b.c_custkey AS custkey2,
+             round(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                      + (a.lat - b.lat) * (a.lat - b.lat)), 6) AS dist
+      FROM pts a JOIN pts b
+        ON a.c_custkey <> b.c_custkey
+       AND abs(a.lon - b.lon) <= 3.0 AND abs(a.lat - b.lat) <= 3.0
+      WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon)
+               + (a.lat - b.lat) * (a.lat - b.lat)) <= 3.0
+    )
+    SELECT custkey1, custkey2, dist, rank FROM (
+      SELECT custkey1, custkey2, dist,
+             CAST(row_number() OVER (
+               PARTITION BY custkey1 ORDER BY dist, custkey2
+             ) AS BIGINT) AS rank
+      FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def q97_knn_within_radius(spark, sf_dir):
+    """Radius-bounded KNN join: each point's 3 nearest neighbors within
+    3 planar units — the scale-correct KNN formulation (unbounded KNN
+    needs either all-pairs or an expanding search; bounding the radius
+    makes grid-cell blocking exact). Candidates come from the shared
+    grid machinery (_grid_candidates), the exact distance verifies
+    UDF-side, and a per-point window keeps the top 3 by (distance,
+    custkey). The window shuffle key is custkey1 — fine at any scale
+    since only candidate rows (≤ points × neighbors-in-radius) reach it."""
+    _ensure_udfs(spark)
+    from pyspark.sql.window import Window
+
+    dist = F.round(F.expr("st_distance(geom1, geom2)"), 6)
+    w = Window.partitionBy("custkey1").orderBy(F.col("dist").asc(), F.col("custkey2").asc())
+    return (
+        _grid_candidates(spark, sf_dir, DWITHIN_DIST)
+        .filter(F.col("custkey1") != F.col("custkey2"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= DWITHIN_DIST)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("custkey1", "custkey2", "dist", "rank")
     )
