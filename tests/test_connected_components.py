@@ -1,0 +1,41 @@
+"""connected_components unit tests: long-chain label propagation, the
+batched sum-based convergence check, and the non-convergence guard
+(ADVICE r1: silent truncation must not return wrong cluster ids)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc1 long, doc2 long")
+
+
+def test_path_graph_converges_to_min_label(spark):
+    # a 9-node path: diameter 8, needs several propagation rounds
+    pairs = _pairs(spark, [(i, i + 1) for i in range(10, 18)])
+    labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {i: 10 for i in range(10, 19)}
+
+
+def test_two_components_stay_separate(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (7, 9)])
+    labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_nonconvergence_raises(spark):
+    # diameter 8 cannot converge within 2 rounds — must raise, never
+    # return half-propagated labels
+    pairs = _pairs(spark, [(i, i + 1) for i in range(10, 18)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+
+
+def test_empty_graph(spark):
+    pairs = _pairs(spark, [])
+    assert connected_components(pairs).count() == 0
