@@ -115,6 +115,15 @@ class SpatialSQLEngine:
             result["geojson"] = {"type": "FeatureCollection", "features": features}
         return result
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """The debug surface the reference got by printing its rewritten
+        XQuery/Mongo/SQL (src/index.ts logs each native query): here the
+        single source of truth is Catalyst, so return the physical plan
+        (``mode`` ∈ simple/extended/formatted/cost/codegen) — pushdown
+        and pruning are directly visible as PushedFilters/ReadSchema."""
+        df = self.spark.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
     def sql_geojson(self, query: str, geometry_col: str = "geometry", limit: int | None = 10000) -> dict:
         """S10: FeatureCollection result (reference: convertRestoGeoJSON,
         src/index.ts:360-363 — triggered there by an st_asgeojson

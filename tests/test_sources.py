@@ -391,3 +391,11 @@ def test_flattened_view_deep_paths(spark, tmp_path):
     assert row["_attribute__nilai__pajak__tahun"] == "2021"
     assert row["_attribute__nilai__pajak__njop__kelas"] == "A"
     assert row["geometry"] == "POINT (106.8 -6.2)"
+
+
+def test_engine_explain_surface(spark, gml_path):
+    """engine.explain: pushdown must be visible in the returned plan —
+    the analog of the reference printing its rewritten native queries."""
+    eng = create_engine(spark, SF_DIR)
+    plan = eng.explain("SELECT o_orderkey FROM orders WHERE o_orderkey < 100")
+    assert "PushedFilters" in plan and "o_orderkey" in plan
