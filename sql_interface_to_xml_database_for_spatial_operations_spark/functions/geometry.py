@@ -676,6 +676,48 @@ def centroid(g: Geometry) -> Point:
     return (ox + cx / (3 * a_sum), oy + cy / (3 * a_sum))
 
 
+def envelope(g: Geometry) -> Geometry:
+    """Bounding-box polygon (PostGIS ST_Envelope); degenerate inputs
+    (single point / zero-extent) still return the Point itself."""
+    minx, miny, maxx, maxy = bbox(g)
+    if minx == maxx and miny == maxy:
+        return Geometry("Point", (minx, miny))
+    return Geometry.box(minx, miny, maxx, maxy)
+
+
+def n_points(g: Geometry) -> int:
+    """Vertex count (PostGIS ST_NPoints): every coordinate including
+    ring-closing repeats, summed over all parts."""
+    return len(_points(g))
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Convex hull via Andrew's monotone chain (PostGIS ST_ConvexHull).
+    Degenerate inputs collapse like PostGIS: 1 unique point → POINT,
+    collinear points → LINESTRING (endpoints), else POLYGON (CCW ring)."""
+    pts = sorted(set(_points(g)))
+    if len(pts) == 1:
+        return Geometry("Point", pts[0])
+
+    def cross(o: Point, a: Point, b: Point) -> float:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        out: list[Point] = []
+        for p in seq:
+            while len(out) >= 2 and cross(out[-2], out[-1], p) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return Geometry("LineString", [pts[0], pts[-1]])
+    return Geometry("Polygon", [hull + [hull[0]]])
+
+
 def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     """Approximate buffer: circle polygon for points, bbox expansion for
     other kinds (documented approximation; PostGIS parity not claimed)."""

@@ -250,6 +250,33 @@ def st_length(wkt: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def st_envelope(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.to_wkt(G.envelope(g)) if g else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_convexhull(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.to_wkt(G.convex_hull(g)) if g else None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(IntegerType())
+def st_npoints(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.n_points(g) if g else None)
+    return pd.Series(out, dtype="Int32")
+
+
+@pandas_udf(StringType())
 def st_centroid(wkt: pd.Series) -> pd.Series:
     out = []
     for v in wkt:
@@ -360,6 +387,9 @@ ALL_FUNCTIONS = {
     "st_geometrytype": st_geometrytype,
     "st_area": st_area,
     "st_length": st_length,
+    "st_envelope": st_envelope,
+    "st_convexhull": st_convexhull,
+    "st_npoints": st_npoints,
     "st_centroid": st_centroid,
     "st_buffer": st_buffer,
     "st_distance": st_distance,

@@ -604,6 +604,33 @@ def q85_st_extent_agg(spark, sf_dir):
     )
 
 
+def _archipelago_gml() -> F.Column:
+    """GML MultiPolygon fragment column for the 2-box nation archipelago
+    (box1 6×4 at (minx, miny); box2 w×h at (minx+10, miny+8), w/h derived
+    from the key). Shared by q94 (ingest+measure) and q98 (hull/envelope)."""
+    w = (F.col("n_nationkey") % 3) * 2 + 2
+    h = (F.col("n_nationkey") % 2) * 2 + 2
+
+    def ring(x0, y0, x1, y1):
+        s = lambda c: c.cast("string")  # noqa: E731
+        return F.concat_ws(
+            " ", s(x0), s(y0), s(x1), s(y0), s(x1), s(y1), s(x0), s(y1), s(x0), s(y0)
+        )
+
+    def member(r):
+        return F.concat(
+            F.lit("<gml:polygonMember><gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>"),
+            r,
+            F.lit("</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></gml:polygonMember>"),
+        )
+
+    b1 = ring(F.col("minx"), F.col("miny"), F.col("minx") + 6, F.col("miny") + 4)
+    b2 = ring(F.col("minx") + 10, F.col("miny") + 8, F.col("minx") + 10 + w, F.col("miny") + 8 + h)
+    return F.concat(
+        F.lit("<gml:MultiPolygon>"), member(b1), member(b2), F.lit("</gml:MultiPolygon>")
+    )
+
+
 @query(
     "q94_multipart_gml_ingest",
     oracle=f"""
@@ -630,25 +657,7 @@ def q94_multipart_gml_ingest(spark, sf_dir):
     Python (Arrow-vectorized)."""
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
-    w = (F.col("n_nationkey") % 3) * 2 + 2
-    h = (F.col("n_nationkey") % 2) * 2 + 2
-
-    def ring(x0, y0, x1, y1):
-        s = lambda c: c.cast("string")  # noqa: E731
-        return F.concat_ws(
-            " ", s(x0), s(y0), s(x1), s(y0), s(x1), s(y1), s(x0), s(y1), s(x0), s(y0)
-        )
-
-    def member(r):
-        return F.concat(
-            F.lit("<gml:polygonMember><gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>"),
-            r,
-            F.lit("</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon></gml:polygonMember>"),
-        )
-
-    b1 = ring(F.col("minx"), F.col("miny"), F.col("minx") + 6, F.col("miny") + 4)
-    b2 = ring(F.col("minx") + 10, F.col("miny") + 8, F.col("minx") + 10 + w, F.col("miny") + 8 + h)
-    gml = F.concat(F.lit("<gml:MultiPolygon>"), member(b1), member(b2), F.lit("</gml:MultiPolygon>"))
+    gml = _archipelago_gml()
     return (
         boxes.withColumn("gml", gml)
         .select(
@@ -755,4 +764,45 @@ def q97_knn_within_radius(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("custkey1", "custkey2", "dist", "rank")
+    )
+
+
+@query(
+    "q98_hull_envelope",
+    oracle=f"""
+    WITH boxes AS ({NATION_BOXES_SQL}),
+    dims AS (
+      SELECT n_nationkey, minx, miny,
+             (n_nationkey % 3) * 2 + 2 AS w,
+             (n_nationkey % 2) * 2 + 2 AS h
+      FROM boxes
+    )
+    SELECT n_nationkey,
+           44.0 + 5 * h + 4 * w + w * h AS hull_area,
+           CAST(7 AS BIGINT) AS hull_npoints,
+           (10.0 + w) * (8.0 + h) AS env_area,
+           'ST_Polygon' AS hull_type
+    FROM dims
+    """,
+)
+def q98_hull_envelope(spark, sf_dir):
+    """ST_ConvexHull + ST_Envelope + ST_NPoints over the 2-box
+    archipelago (F12 surface — the reference's users got these from
+    PostgreSQL). The hull of the fixed two-box arrangement is always the
+    6-vertex polygon A(0,0) B(6,0) F(10+w,8) G(10+w,8+h) H(10,8+h)
+    D(0,4) in local coords, so its shoelace area has the closed form
+    44 + 5h + 4w + wh the oracle computes — a wrong hull (missed part,
+    wrong chain) breaks area AND vertex count."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+    return (
+        boxes.withColumn("gml", _archipelago_gml())
+        .withColumn("hull", F.expr("st_convexhull(st_geomfromgml(gml))"))
+        .select(
+            "n_nationkey",
+            F.expr("st_area(hull)").alias("hull_area"),
+            F.expr("st_npoints(hull)").cast("bigint").alias("hull_npoints"),
+            F.expr("st_area(st_envelope(st_geomfromgml(gml)))").alias("env_area"),
+            F.expr("st_geometrytype(hull)").alias("hull_type"),
+        )
     )

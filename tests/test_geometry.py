@@ -331,3 +331,40 @@ class TestConcaveGeometry:
         assert not G.intersects(G.parse_wkt("POLYGON ((3 4, 5 4, 5 6, 3 6, 3 4))"), self.U)
         # touching the notch wall: intersects
         assert G.intersects(G.parse_wkt("POLYGON ((2 4, 5 4, 5 6, 2 6, 2 4))"), self.U)
+
+
+class TestHullEnvelope:
+    """ST_ConvexHull / ST_Envelope / ST_NPoints kernel functions
+    (PostGIS F12 surface the reference shipped to PostgreSQL)."""
+
+    def test_hull_of_box_with_interior_points(self):
+        g = G.parse_wkt("MULTIPOINT (0 0, 4 0, 4 4, 0 4, 2 2, 1 3)")
+        hull = G.convex_hull(g)
+        assert hull.kind == "Polygon" and G.area(hull) == 16.0
+        assert set(hull.coords[0]) == {(0, 0), (4, 0), (4, 4), (0, 4)}
+
+    def test_hull_collinear_is_linestring(self):
+        hull = G.convex_hull(G.parse_wkt("MULTIPOINT (0 0, 1 1, 2 2, 3 3)"))
+        assert G.to_wkt(hull) == "LINESTRING (0 0, 3 3)"
+
+    def test_hull_single_point(self):
+        assert G.to_wkt(G.convex_hull(G.parse_wkt("POINT (5 7)"))) == "POINT (5 7)"
+
+    def test_hull_of_two_boxes(self):
+        mp = G.parse_wkt(
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+        )
+        hull = G.convex_hull(mp)
+        # hull area >= sum of parts, and every vertex is within the hull
+        assert G.area(hull) > G.area(mp)
+        for p in (G.parse_wkt("POINT (1 1)"), G.parse_wkt("POINT (11 11)")):
+            assert G.within(p, hull)
+
+    def test_envelope(self):
+        g = G.parse_wkt("LINESTRING (1 2, 5 -1, 3 4)")
+        assert G.to_wkt(G.envelope(g)) == "POLYGON ((1 -1, 5 -1, 5 4, 1 4, 1 -1))"
+        assert G.to_wkt(G.envelope(G.parse_wkt("POINT (3 3)"))) == "POINT (3 3)"
+
+    def test_npoints(self):
+        assert G.n_points(G.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")) == 5
+        assert G.n_points(G.parse_wkt("MULTIPOINT (1 2, 3 4)")) == 2
