@@ -98,19 +98,29 @@ def undef_column(df: DataFrame, name: str) -> Column:
     xml_extension.ts:1711-1737; we coalesce in the same precedence:
     element text, then attribute, then nested)."""
     candidates: list[Column] = []
-    for f in df.schema.fields:
-        if f.name == name:
-            candidates.append(F.col(name).cast("string"))
-    for f in df.schema.fields:
-        if f.name == ATTR_PREFIX + name:
-            candidates.append(F.col(f.name).cast("string"))
-    for f in df.schema.fields:
-        if isinstance(f.dataType, StructType):
-            for sub in f.dataType.fields:
-                if sub.name == name and not isinstance(sub.dataType, (StructType, ArrayType)):
-                    candidates.append(F.col(f"{f.name}.{sub.name}").cast("string"))
-                elif sub.name == ATTR_PREFIX + name:
-                    candidates.append(F.col(f"{f.name}.{sub.name}").cast("string"))
+
+    def walk(schema: StructType, prefix: str) -> None:
+        # per level: element text first, then attribute (the reference's
+        # OR precedence), then descend — the reference stopped at one
+        # level of nesting; recursion keeps the same precedence deeper
+        for f in schema.fields:
+            if f.name == name and not isinstance(f.dataType, (StructType, ArrayType)):
+                candidates.append(F.col(prefix + f.name).cast("string"))
+            elif (
+                f.name == name
+                and isinstance(f.dataType, StructType)
+                and any(s.name == "_VALUE" for s in f.dataType.fields)
+            ):
+                # element text when the element also carries attributes
+                candidates.append(F.col(prefix + f.name + "._VALUE").cast("string"))
+        for f in schema.fields:
+            if f.name == ATTR_PREFIX + name:
+                candidates.append(F.col(prefix + f.name).cast("string"))
+        for f in schema.fields:
+            if isinstance(f.dataType, StructType):
+                walk(f.dataType, prefix + f.name + ".")
+
+    walk(df.schema, "")
     if not candidates:
         return F.lit(None).cast("string")
     return F.coalesce(*candidates)

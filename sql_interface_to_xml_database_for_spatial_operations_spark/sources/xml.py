@@ -149,18 +149,35 @@ def _rows_from_xml(content: str, row_tag: str | None) -> list[dict]:
     return out
 
 
-def read_xml(spark: SparkSession, path: str, row_tag: str | None = None) -> DataFrame:
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str | None = None,
+    mode: str = "failfast",
+) -> DataFrame:
     """Read GML/KML documents into a DataFrame (S1/S2 replacement).
 
     ``row_tag`` mirrors spark-xml's option; when None the row path is
-    auto-detected per document."""
+    auto-detected per document. ``mode`` mirrors Spark's reader modes:
+    ``failfast`` (default) raises on an unparseable document;
+    ``permissive`` skips it and keeps the job alive — at 100 TB one
+    corrupt file must not kill the ingest (DROPMALFORMED semantics;
+    emit a metrics row from the same hook if auditing is needed)."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     files = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lines = []
             for content in pdf["value"]:
-                for row in _rows_from_xml(content, row_tag):
+                try:
+                    rows = _rows_from_xml(content, row_tag)
+                except ET.ParseError:
+                    if mode == "failfast":
+                        raise
+                    continue
+                for row in rows:
                     lines.append(json.dumps(row))
             yield pd.DataFrame({"json": lines})
 

@@ -399,3 +399,34 @@ def test_engine_explain_surface(spark, gml_path):
     eng = create_engine(spark, SF_DIR)
     plan = eng.explain("SELECT o_orderkey FROM orders WHERE o_orderkey < 100")
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_read_xml_permissive_skips_corrupt_files(spark, tmp_path):
+    """One corrupt file must not kill a 100 TB ingest: permissive mode
+    drops the malformed document and keeps every good row; failfast
+    (the default) raises."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.xml").write_text(GML_DOC)
+    (d / "bad.xml").write_text("<gml:FeatureCollection><broken")
+    ok = read_xml(spark, str(d), mode="permissive")
+    assert ok.count() == 2 and set(r["nama"] for r in ok.collect()) == {"PKM Satu", "PKM Dua"}
+    with pytest.raises(Exception):
+        read_xml(spark, str(d)).count()
+
+
+def test_undef_column_finds_deeply_nested(spark, tmp_path):
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.compat import (
+        undef_column,
+    )
+
+    d = tmp_path / "deepundef"
+    d.mkdir()
+    (d / "persil.xml").write_text(DEEP_GML_DOC)
+    df = read_xml(spark, str(d))
+    # njop lives 3 structs deep (nilai.pajak.njop, with attributes so the
+    # text is njop._VALUE) — the reference's one-level _undef__ OR misses
+    # it; recursive descent finds it
+    assert df.select(undef_column(df, "njop").alias("v")).collect()[0]["v"] == "5000"
+    assert df.select(undef_column(df, "tahun").alias("v")).collect()[0]["v"] == "2021"
+    assert df.select(undef_column(df, "missing").alias("v")).collect()[0]["v"] is None
