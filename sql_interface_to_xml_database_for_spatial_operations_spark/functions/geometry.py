@@ -543,6 +543,16 @@ def _segs_cross_properly(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
     return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
 
 
+def _seg_bboxes(segs):
+    """Per-segment (xmin, ymin, xmax, ymax) — prescreen so the O(|E1|·|E2|)
+    orientation loops only run the cross test on overlapping envelopes
+    (ADVICE r2: prune before the orientation test)."""
+    return [
+        (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+        for a, b in segs
+    ]
+
+
 def within(g1: Geometry, g2: Geometry) -> bool:
     """g1 within g2. Point/line/polygon vs polygon; point vs point.
 
@@ -560,11 +570,16 @@ def within(g1: Geometry, g2: Geometry) -> bool:
                 return False
         if g1.kind in ("Polygon", "MultiPolygon", "LineString", "MultiLineString"):
             segs2 = list(_segments(g2))
+            bb2 = _seg_bboxes(segs2)
             for a1, a2 in _segments(g1):
                 mid = ((a1[0] + a2[0]) / 2, (a1[1] + a2[1]) / 2)
                 if not any(_point_in_polygon(mid[0], mid[1], rings) for rings in _polys(g2)):
                     return False
-                for b1, b2 in segs2:
+                axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
+                aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
+                for (b1, b2), (bxmin, bymin, bxmax, bymax) in zip(segs2, bb2):
+                    if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
+                        continue
                     if _segs_cross_properly(a1, a2, b1, b2):
                         return False
         return True
@@ -594,10 +609,15 @@ def intersects(g1: Geometry, g2: Geometry) -> bool:
         for x, y in _points(g2):
             if _point_in_polygon(x, y, rings):
                 return True
-    # segment crossings
+    # segment crossings (bbox-prescreened pairs only)
     segs1, segs2 = list(_segments(g1)), list(_segments(g2))
+    bb2s = _seg_bboxes(segs2)
     for a1, a2 in segs1:
-        for b1_, b2_ in segs2:
+        axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
+        aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
+        for (b1_, b2_), (bxmin, bymin, bxmax, bymax) in zip(segs2, bb2s):
+            if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
+                continue
             if _segs_intersect(a1, a2, b1_, b2_):
                 return True
     if g1.kind == "Point" and g2.kind == "Point":

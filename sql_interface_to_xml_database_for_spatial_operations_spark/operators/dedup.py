@@ -410,11 +410,22 @@ def connected_components(
       stall the optimizer long before the data is the problem).
 
     Exceeding ``max_iters`` without converging raises: silently returning
-    half-propagated labels would yield wrong cluster ids (ADVICE r1)."""
+    half-propagated labels would yield wrong cluster ids (ADVICE r1).
+
+    The sum-convergence check requires numeric ids (a decimal cast of a
+    string label is NULL, so every check would see None == None and
+    "converge" with half-propagated labels — ADVICE r2). Non-numeric ids
+    fall back to a changed-row-count check: min-label propagation is a
+    fixpoint iteration, so one round with zero changed labels proves
+    global convergence. That check is a join+count per check instead of
+    one map-side-combinable aggregate, so numeric ids stay the fast path."""
+    from pyspark.sql.types import NumericType
+
     c1, c2 = pairs.columns[0], pairs.columns[1]
     edges = (
         pairs.select(c1, c2).union(pairs.select(F.col(c2), F.col(c1))).toDF("src", "dst").cache()
     )
+    id_is_numeric = isinstance(edges.schema["src"].dataType, NumericType)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = None  # first check can't conclude; saves materializing round 0
@@ -431,13 +442,26 @@ def connected_components(
         )
         if i % check_every == 0 or i == max_iters:
             new_labels = new_labels.localCheckpoint(eager=True)  # materialize + cut lineage
-            cur_sum = new_labels.agg(label_sum).collect()[0]["s"]
+            if id_is_numeric:
+                row = new_labels.agg(label_sum, F.count(F.lit(1)).alias("n")).collect()[0]
+                cur_sum = row["s"]
+                # n == 0 → empty graph, trivially converged; a NULL sum on a
+                # non-empty graph must never count as convergence.
+                converged = row["n"] == 0 or (cur_sum is not None and cur_sum == prev_sum)
+                prev_sum = cur_sum
+            else:
+                prev = labels.select("id", F.col("label").alias("plabel"))
+                converged = (
+                    new_labels.join(prev, "id")
+                    .filter(F.col("label") != F.col("plabel"))
+                    .limit(1)
+                    .count()
+                    == 0
+                )
             labels.unpersist()
             labels = new_labels
-            if cur_sum == prev_sum:
-                converged = True
+            if converged:
                 break
-            prev_sum = cur_sum
         else:
             labels = new_labels  # lazy: folded into the next check's plan
     edges.unpersist()

@@ -750,17 +750,21 @@ def q97_knn_within_radius(spark, sf_dir):
     grid machinery (_grid_candidates), the exact distance verifies
     UDF-side, and a per-point window keeps the top 3 by (distance,
     custkey). The window shuffle key is custkey1 — fine at any scale
-    since only candidate rows (≤ points × neighbors-in-radius) reach it."""
+    since only candidate rows (≤ points × neighbors-in-radius) reach it.
+
+    The radius filter uses the RAW distance; rounding happens only in the
+    output column — same WHERE-then-round order as the oracle, so a true
+    distance in (3.0, 3.0000005) is excluded by both engines (ADVICE r2)."""
     _ensure_udfs(spark)
     from pyspark.sql.window import Window
 
-    dist = F.round(F.expr("st_distance(geom1, geom2)"), 6)
     w = Window.partitionBy("custkey1").orderBy(F.col("dist").asc(), F.col("custkey2").asc())
     return (
         _grid_candidates(spark, sf_dir, DWITHIN_DIST)
         .filter(F.col("custkey1") != F.col("custkey2"))
-        .withColumn("dist", dist)
-        .filter(F.col("dist") <= DWITHIN_DIST)
+        .withColumn("raw_dist", F.expr("st_distance(geom1, geom2)"))
+        .filter(F.col("raw_dist") <= DWITHIN_DIST)
+        .withColumn("dist", F.round(F.col("raw_dist"), 6))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("custkey1", "custkey2", "dist", "rank")

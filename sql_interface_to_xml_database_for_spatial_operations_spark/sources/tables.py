@@ -36,7 +36,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is physically TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
     truncate to microseconds (integer ``div`` — same ns→µs truncation
-    DuckDB applies), restoring a proper timestamp column."""
+    DuckDB applies), restoring a proper timestamp column.
+
+    The nanos conf is set here at runtime (it is runtime-settable) rather
+    than only in ``session.get_spark``: callers such as the round driver
+    supply their own vanilla SparkSession, which would otherwise die with
+    ``PARQUET_TYPE_ILLEGAL`` on the TIMESTAMP(NANOS) events file."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F

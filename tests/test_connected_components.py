@@ -39,3 +39,24 @@ def test_nonconvergence_raises(spark):
 def test_empty_graph(spark):
     pairs = _pairs(spark, [])
     assert connected_components(pairs).count() == 0
+
+
+def test_string_ids_converge_correctly(spark):
+    # ADVICE r2: string ids made the decimal-sum convergence check see
+    # NULL == NULL and return half-propagated labels. The changed-row
+    # fallback must fully propagate instead.
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(10, 18)] + [("x1", "x2")],
+        "doc1 string, doc2 string",
+    )
+    labels = {r["id"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {f"d{i:02d}": "d10" for i in range(10, 19)} | {"x1": "x1", "x2": "x1"}
+
+
+def test_string_ids_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(10, 18)],
+        "doc1 string, doc2 string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
