@@ -76,9 +76,21 @@ _SHINGLES_SQL = """
     WHERE len(ws) >= 5
 """
 
+# A shingle present in k same-language documents contributes k·(k-1)/2
+# candidate rows to the self-join — one boilerplate 5-gram in 10⁶ docs
+# would be 5·10¹¹ pairs. Shingles with document frequency above this cap
+# are dropped from the q65 representation entirely (sizes AND
+# intersection), in both engines; true near-dups at Jaccard ≥ 0.2 share
+# many non-viral shingles, so recall survives. See SCALE.md.
+MAX_SHINGLE_DF = 50
 
 _JACCARD_PAIRS_SQL = f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    lowdf AS (
+      SELECT sh, lang FROM sh0 GROUP BY sh, lang
+      HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN lowdf USING (sh, lang)),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_both
@@ -102,8 +114,22 @@ def jaccard_pairs(spark, sf_dir, docs: DataFrame | None = None):
     The shingle set feeds three consumers (sizes + both join sides), so
     it persists (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding
     the corpus per consumer — at 100 TB use DISK_ONLY or a materialized
-    shingle table, same plan shape."""
-    sh = _word_shingles(spark, sf_dir, 5, docs=docs).persist()
+    shingle table, same plan shape.
+
+    Viral shingles (document frequency > MAX_SHINGLE_DF per language)
+    are dropped before the self-join: the df aggregate is map-side
+    combinable, the surviving-key removal is a broadcast anti-join (the
+    viral set is tiny by construction — boilerplate n-grams — so the big
+    shingle set is never reshuffled for the cap). Caps the worst-case
+    per-shingle pair enumeration at MAX_SHINGLE_DF²/2 (VERDICT r2 #4)."""
+    sh0 = _word_shingles(spark, sf_dir, 5, docs=docs).persist()
+    viral = (
+        sh0.groupBy("sh", "lang")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("sh", "lang")
+    )
+    sh = sh0.join(F.broadcast(viral), ["sh", "lang"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), "sh")
