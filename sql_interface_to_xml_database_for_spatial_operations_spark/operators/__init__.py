@@ -19,3 +19,4 @@ def load_all() -> None:
     from . import temporal  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import ingest  # noqa: F401

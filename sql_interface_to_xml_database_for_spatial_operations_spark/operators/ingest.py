@@ -1,0 +1,121 @@
+"""Driver-checkable ingest queries: the file-based XML reader and the
+engine facade, exercised end-to-end with a DuckDB oracle.
+
+The rest of the registry reads the parquet fixtures directly, so the
+S1/S2/S5/S6 file-reader path (row-path detection, attribute mapping,
+schema inference, geometry conversion — reference
+xml_extension.ts:495-548) and the S9 rowset facade (processQuery,
+src/index.ts:349-371) previously had only pytest coverage. These two
+queries give both surfaces CORRECTNESS rows (VERDICT r2 items 5 and 7):
+the XML query derives its document deterministically from fixture rows,
+so the oracle is plain SQL over the same fixture.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from xml.sax.saxutils import escape
+
+from pyspark.sql import functions as F
+
+from ..engine import SpatialSQLEngine
+from ..sources.tables import load_table
+from ..sources.xml import read_xml
+from .registry import query
+
+
+def _nation_gml(rows) -> str:
+    """Deterministic GML FeatureCollection for a list of nation Rows:
+    per feature an ``iso`` ATTRIBUTE on the row element, scalar child
+    elements, a nested ``meta`` element (struct flattening), and a
+    ``gml:Point`` at integer coords (regionkey, nationkey) so the WKT
+    the reader emits is exactly reproducible in SQL."""
+    feats = []
+    for r in rows:
+        feats.append(
+            f'<gml:featureMember><Nation iso="N{r.n_nationkey}">'
+            f"<n_nationkey>{r.n_nationkey}</n_nationkey>"
+            f"<n_name>{escape(r.n_name)}</n_name>"
+            f"<n_regionkey>{r.n_regionkey}</n_regionkey>"
+            f"<meta><origin>tpch</origin><seq>{2 * r.n_nationkey}</seq></meta>"
+            f"<gml:Point><gml:pos>{r.n_regionkey} {r.n_nationkey}</gml:pos></gml:Point>"
+            f"</Nation></gml:featureMember>"
+        )
+    return (
+        '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">'
+        + "".join(feats)
+        + "</gml:FeatureCollection>"
+    )
+
+
+@query(
+    "q99_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           'N' || CAST(n_nationkey AS VARCHAR) AS iso,
+           CAST(2 * n_nationkey AS BIGINT) AS seq,
+           'POINT (' || CAST(n_regionkey AS VARCHAR) || ' '
+                     || CAST(n_nationkey AS VARCHAR) || ')' AS wkt
+    FROM nation
+    """,
+)
+def q99_xml_roundtrip(spark, sf_dir):
+    """S1/S2/S5/S6 end-to-end: build a GML document from the nation
+    fixture, write it to files, read it back through ``read_xml`` (GML
+    row-path auto-detection, ``_attribute__`` mapping, nested-struct
+    flattening, gml:Point → WKT), and project the flattened columns.
+
+    The 25-row collect is the document GENERATOR, not the query path —
+    the read itself is distributed (one task per file; rows split across
+    two files so multi-file ingest + cross-file schema inference is
+    exercised, reference xml_extension.ts:236-273 first-row sniffing
+    being the bug class this avoids)."""
+    rows = sorted(
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    out_dir = tempfile.mkdtemp(prefix="q99_gml_")
+    for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
+        with open(os.path.join(out_dir, f"nation_{tag}.gml"), "w") as f:
+            f.write(_nation_gml(part))
+    df = read_xml(spark, out_dir)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.col("_iso").alias("iso"),
+        F.col("meta.seq").cast("bigint").alias("seq"),
+        F.col("geometry").alias("wkt"),
+    )
+
+
+@query(
+    "q100_engine_rowset",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(max(CAST(n_nationkey AS DOUBLE)), 6) AS max_dist
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q100_engine_rowset(spark, sf_dir):
+    """S9 facade: the query text enters through ``SpatialSQLEngine.sql``
+    (register tables → spark.sql with spatial UDFs → timed rowset —
+    the reference's processQuery lifecycle, src/index.ts:349-371) rather
+    than the DataFrame API. st_distance(st_point(k, 0), origin) = k, so
+    the oracle needs no spatial engine."""
+    eng = SpatialSQLEngine(spark)
+    eng.register_parquet_dir(sf_dir)
+    return eng.sql(
+        """
+        SELECT n_regionkey,
+               count(*) AS n_nations,
+               round(max(st_distance(
+                   st_point(CAST(n_nationkey AS DOUBLE), 0.0D),
+                   st_point(0.0D, 0.0D))), 6) AS max_dist
+        FROM nation GROUP BY n_regionkey
+        """
+    )

@@ -25,14 +25,26 @@ class RegisteredQuery:
 
 QUERIES: dict[str, RegisteredQuery] = {}
 
-# Round-1 driver-verified queries (green rows in CORRECTNESS_r01.json).
-# The driver's per-round correctness check covers the first 50 entries in
-# exposure order, so already-proven queries yield their slots to the
-# families that have never had a driver row (spatial joins, dedup, ANN,
-# text, temporal, streaming-batch, pipeline, multimodal). Exposure order
-# only — registration order and query semantics are unchanged.
+# Queries with a green driver CORRECTNESS row in a PRIOR round whose
+# implementation (including transitive helpers) is UNCHANGED since that
+# row was recorded. The driver's per-round correctness check covers the
+# first 50 entries in exposure order; entries NOT in this set — never
+# checked, red last round, or touched by this round's diff — are exposed
+# first so they are (re-)checked, and the remaining slots fall to the
+# stalest greens in registration order. Exposure order only —
+# registration order and query semantics are unchanged.
+#
+# Maintenance rule (ADVICE r2): whenever a round's diff changes code a
+# verified query depends on, REMOVE that query here so the next driver
+# run re-verifies it. Round 3 removed q44/q45/q53 (geometry within/
+# intersects/contains rewrite: bbox prescreen), q65/q90/q91 (shingle df
+# cap + connected-components convergence rework) and q97 (round-order
+# fix); the events family and q58 are non-green, so they are not listed.
+# The cap itself belongs to the harness — see README.md "Driver
+# correctness window" for the note to the harness owner.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # r01 greens, untouched since
         "q01_filter_pushdown", "q02_projection_pruning", "q03_select_star",
         "q04_alias_expressions", "q05_where_and_or", "q06_in_list",
         "q07_not_in_list", "q08_null_predicates", "q09_where_bool_literal",
@@ -48,8 +60,21 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q38_string_functions", "q39_case_expression", "q40_math_functions",
         "q41_st_point_accessors", "q42_st_astext", "q43_st_distance_radius",
         "q54_cube", "q55_grouping_sets", "q56_pivot",
-        "q57_count_distinct_multi", "q58_approx_count_distinct",
+        "q57_count_distinct_multi",
         "q86_skew_salted_join", "q87_percentiles",
+        # r02 greens, untouched since
+        "q46_st_area_props", "q47_dwithin_pairs", "q48_distance_sphere_count",
+        "q49_st_asgeojson", "q50_st_geomfromtext", "q51_st_geomfromgeojson",
+        "q52_centroid_perimeter", "q59_st_geomfromgml_kml",
+        "q60_token_count", "q61_quality_score", "q62_language_id",
+        "q63_fingerprint", "q64_dedup_exact", "q66_minhash_lsh",
+        "q67_simhash", "q68_simhash_pairs", "q69_embedding_neardup",
+        "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
+        "q73_ann_ivf_topk", "q80_multimodal_metadata",
+        "q81_multimodal_features", "q82_frame_sample", "q85_st_extent_agg",
+        "q88_levenshtein_neardup", "q92_hash_sample",
+        "q93_train_val_test_split", "q94_multipart_gml_ingest",
+        "q95_st_collect_agg", "q98_hull_envelope",
     }
 )
 
