@@ -93,6 +93,102 @@ def q99_xml_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q101_geojson_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           'POINT (' || CAST(n_regionkey AS VARCHAR) || ' '
+                     || CAST(n_nationkey AS VARCHAR) || ')' AS wkt
+    FROM nation
+    """,
+)
+def q101_geojson_roundtrip(spark, sf_dir):
+    """S3/S4 end-to-end: nation rows → NDJSON GeoJSON Features (the
+    splittable scale format, one Feature per line) across two files →
+    ``read_geojson(lines=True)`` (property flattening + geometry →
+    WKT via st_geomfromgeojson, reference mongo_extension.ts:84-101 /
+    json_extension.ts:131-158). Generator collect is 25 rows; the read
+    is distributed."""
+    import json
+
+    from ..sources.geojson import read_geojson
+
+    rows = sorted(
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    out_dir = tempfile.mkdtemp(prefix="q101_geojson_")
+    for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
+        with open(os.path.join(out_dir, f"nation_{tag}.ndjson"), "w") as f:
+            for r in part:
+                f.write(
+                    json.dumps(
+                        {
+                            "type": "Feature",
+                            "properties": {
+                                "n_nationkey": r.n_nationkey,
+                                "n_name": r.n_name,
+                                "n_regionkey": r.n_regionkey,
+                            },
+                            "geometry": {
+                                "type": "Point",
+                                "coordinates": [r.n_regionkey, r.n_nationkey],
+                            },
+                        }
+                    )
+                    + "\n"
+                )
+    df = read_geojson(spark, out_dir, lines=True)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.col("geometry").alias("wkt"),
+    )
+
+
+@query(
+    "q102_geojson_sink_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           'POINT (' || CAST(n_regionkey AS VARCHAR) || ' '
+                     || CAST(n_nationkey AS VARCHAR) || ')' AS wkt
+    FROM nation
+    """,
+)
+def q102_geojson_sink_roundtrip(spark, sf_dir):
+    """S10 end-to-end: a result with a geometry column exits through the
+    GeoJSONSeq sink (``sinks.feature_lines`` → executor-side
+    ``write.text``, the scalable variant of the reference's driver-built
+    FeatureCollection, src/index.ts:323-347) and is read back by the
+    S3/S4 reader — sink and reader must agree on the Feature schema for
+    the round trip to hash-match the SQL oracle."""
+    from ..sources.geojson import read_geojson
+    from ..sources.sinks import feature_lines
+
+    wkt = F.concat(
+        F.lit("POINT ("),
+        F.col("n_regionkey").cast("string"),
+        F.lit(" "),
+        F.col("n_nationkey").cast("string"),
+        F.lit(")"),
+    )
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", wkt.alias("geometry"))
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="q102_geojson_"), "out")
+    feature_lines(src).write.text(out_dir)
+    df = read_geojson(spark, out_dir, lines=True)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name").alias("n_name"),
+        F.col("geometry").alias("wkt"),
+    )
+
+
+@query(
     "q100_engine_rowset",
     oracle="""
     SELECT n_regionkey,
