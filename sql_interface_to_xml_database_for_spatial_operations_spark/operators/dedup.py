@@ -448,8 +448,14 @@ def connected_components(
     from pyspark.sql.types import NumericType
 
     c1, c2 = pairs.columns[0], pairs.columns[1]
+    # materialize the pair list ONCE before mirroring it: the union's two
+    # branches would otherwise each recompute the (potentially expensive)
+    # pair-generation plan — for q91 that is the whole shingle self-join.
+    # localCheckpoint also truncates the lineage the loop plans grow from.
+    # The pair graph is ≪ corpus (near-dup pairs only), so this is small.
+    pairs = pairs.select(c1, c2).localCheckpoint(eager=True)
     edges = (
-        pairs.select(c1, c2).union(pairs.select(F.col(c2), F.col(c1))).toDF("src", "dst").cache()
+        pairs.union(pairs.select(F.col(c2), F.col(c1))).toDF("src", "dst").cache()
     )
     id_is_numeric = isinstance(edges.schema["src"].dataType, NumericType)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id")).cache()
