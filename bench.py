@@ -75,12 +75,18 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name].fn
         fn(spark, SF_DIR).count()  # warm: plan + scan caches, JVM JIT
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # drop persisted intermediates (shingle sets etc.) so queries are
-        # timed independently instead of competing for executor memory
         spark.catalog.clearCache()
+        # min of 2 timed runs: single-run numbers at sf0.1 carry ±10%
+        # scheduler/GC noise (r02's q66 "regression" was exactly this)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+            # drop persisted intermediates (shingle sets etc.) so queries
+            # are timed independently, not competing for executor memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # Direct comparison against the reference's kinerja suite (BASELINE.md):
@@ -98,6 +104,7 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                "timing": "per query: min of 2 timed runs after 1 warm-up",
                 "queries": timings,
                 "sf": sf_num,
                 "kinerja_analogs": kinerja,

@@ -141,3 +141,22 @@ def test_event_attribution_is_hash_join(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "HashJoin" in plan, plan
     assert_no_cartesian(df)
+
+
+def test_shingle_df_cap_is_broadcast_anti_join(spark):
+    """The q65 viral-shingle cap must stay a broadcast anti-join: a
+    shuffle-based removal would re-shuffle the whole shingle set by
+    (sh, lang) and put every viral key on one partition — the exact skew
+    the cap exists to prevent (SCALE.md, VERDICT r2 #4)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q65_dedup_ngram_jaccard")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, f"df cap lost its anti-join:\n{plan}"
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert any("Broadcast" in ln for ln in anti_lines), (
+        f"anti-join is not broadcast:\n{plan}"
+    )
+    assert_no_cartesian(df)
