@@ -172,3 +172,163 @@ def q93_train_val_test_split(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_NWORDS = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+
+@query(
+    "q103_stratified_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM t
+    WHERE h < CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 8 WHEN 'fr' THEN 12 ELSE 2 END
+    GROUP BY lang
+    """,
+)
+def q103_stratified_sample(spark, sf_dir):
+    """Per-stratum sampling with DIFFERENT rates per language (downsample
+    the over-represented stratum, keep the rare ones) — the data-mixing
+    primitive behind language-balance rebalancing. Same content-stable
+    md5-nibble mechanism as q92, so membership is reproducible across
+    runs/engines/partitionings; rates are per-lang CASE thresholds over
+    sixteenths (en 4/16, de 8/16, fr 12/16, default 2/16). Map-side
+    predicate — no shuffle before the audit aggregate; at 100 TB this is
+    exactly ``sampleBy`` semantics without its seed-dependence."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1")
+    thr = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang") == "de", 8)
+        .when(F.col("lang") == "fr", 12)
+        .otherwise(2)
+    )
+    return (
+        d.filter(h < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+        )
+    )
+
+
+@query(
+    "q104_language_quota",
+    oracle=f"""
+    SELECT lang, doc_id, rank FROM (
+      SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_words DESC, doc_id
+             ) AS BIGINT) AS rank
+      FROM (SELECT lang, doc_id, {_NWORDS} AS n_words FROM documents)
+    ) WHERE rank <= 20
+    """,
+)
+def q104_language_quota(spark, sf_dir):
+    """Quota selection: keep the top 20 docs per language by length —
+    the 'best-of per stratum' shape quality-weighted mixing uses (rank by
+    any quality signal; word count keeps the oracle deterministic).
+    One shuffle on lang for the window; at 100 TB rank-within-stratum
+    over a skewed stratum salts into (lang, shard) sub-windows with a
+    per-shard pre-rank, same plan family as q86's salted join."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = Window.partitionBy("lang").orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", F.col("doc_id").cast("bigint").alias("doc_id"), n_words.alias("n_words"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "doc_id", "rank")
+    )
+
+
+@query(
+    "q105_mixture_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(sum({_NWORDS}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.3)
+                 / sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) OVER (), 6) AS weight
+    FROM t
+    """,
+)
+def q105_mixture_weights(spark, sf_dir):
+    """Temperature-based mixture weights: per-language sampling weight
+    ∝ tokens^(1/T) with T≈3.33 (the standard multilingual rebalancing
+    that upweights low-resource languages). The token count is one
+    partial-aggregated groupBy; the normalization window runs over the
+    per-language aggregate (5 rows), so the global window is free at any
+    corpus scale."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    agg = d.groupBy("lang").agg(F.sum(n_words).cast("bigint").alias("n_tokens"))
+    p = F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))
+    return agg.select(
+        "lang",
+        "n_tokens",
+        F.round(p / F.sum(p).over(Window.partitionBy()), 6).alias("weight"),
+    )
+
+
+@query(
+    "q106_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, {_NWORDS} AS n_words FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_words,
+             sum(n_words) OVER (
+               PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(floor((cum - n_words) / 512.0) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def q106_sequence_packing(spark, sf_dir):
+    """Sequence packing: assign consecutive docs (per language, doc_id
+    order) to fixed-budget packs of 512 tokens by binning the EXCLUSIVE
+    running token total — the concat-then-chunk packing a pretraining
+    tokenizer pipeline performs before writing example shards. The
+    running sum is one window over (lang ORDER BY doc_id); pack stats are
+    a map-side-combinable groupBy. At 100 TB the window partitions by
+    (lang, shard) with per-shard offsets re-based by a 2nd tiny agg —
+    same two-phase shape as the salted quota window (q104)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("lang", "doc_id", n_words.alias("n_words")).withColumn(
+        "cum", F.sum("n_words").over(w)
+    )
+    pack = F.floor((F.col("cum") - F.col("n_words")) / F.lit(512.0)).cast("bigint")
+    return (
+        c.withColumn("pack_id", pack)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+    )
