@@ -332,3 +332,63 @@ def q106_sequence_packing(spark, sf_dir):
             F.sum("n_words").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q107_decontamination",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i)
+      WHERE len(ws) >= 5
+    ),
+    h AS (
+      SELECT doc_id, sh,
+             strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+      FROM sh
+    ),
+    bench AS (SELECT DISTINCT sh FROM h WHERE nib = 15),
+    corpus AS (SELECT doc_id, sh FROM h WHERE nib < 15),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY doc_id),
+    hit AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM corpus c JOIN bench b USING (sh) GROUP BY c.doc_id
+    )
+    SELECT CAST(hit.doc_id AS BIGINT) AS doc_id, n_shingles, n_shared,
+           n_shared >= 3 AS contaminated
+    FROM hit JOIN tot ON hit.doc_id = tot.doc_id
+    """,
+)
+def q107_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing 5-gram
+    shingles with a held-out benchmark set (here the md5-nibble==15
+    bucket stands in for the benchmark corpus; in production it is the
+    eval suites). The benchmark shingle set is SMALL by nature, so it
+    broadcasts and the corpus side is a map-only probe — no corpus
+    shuffle at any scale, and because the bench side is distinct, each
+    corpus shingle row matches at most one bench row (no pair blowup,
+    unlike the q65 self-join — no df cap needed). Same shingle helper as
+    the dedup family (dedup._word_shingles)."""
+    from .dedup import _word_shingles
+
+    sh = _word_shingles(spark, sf_dir, 5).select("doc_id", "sh")
+    nib = F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1")
+    h = sh.withColumn("nib", nib)
+    bench = h.filter(F.col("nib") == 15).select("sh").distinct()
+    corpus = h.filter(F.col("nib") < 15).select("doc_id", "sh")
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(tot, "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") >= 3).alias("contaminated"),
+        )
+    )
