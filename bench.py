@@ -47,6 +47,8 @@ HEADLINE = [
     "q83_asof_join",
     "q84_range_join_banded",
     "q91_training_pipeline",
+    "q106_sequence_packing",
+    "q107_decontamination",
 ]
 
 

@@ -215,3 +215,57 @@ def q100_engine_rowset(spark, sf_dir):
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+def _nation_kml(rows) -> str:
+    """Deterministic KML Document: one Placemark per nation row, KML
+    comma-separated ``coordinates`` syntax (lon,lat) — the OTHER row-path
+    family (Placemark auto-detect rather than GML featureMember)."""
+    marks = []
+    for r in rows:
+        marks.append(
+            "<Placemark>"
+            f"<name>{escape(r.n_name)}</name>"
+            f"<n_nationkey>{r.n_nationkey}</n_nationkey>"
+            f"<Point><coordinates>{r.n_regionkey},{r.n_nationkey}</coordinates></Point>"
+            "</Placemark>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+        + "".join(marks)
+        + "</Document></kml>"
+    )
+
+
+@query(
+    "q108_kml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name AS name,
+           'POINT (' || CAST(n_regionkey AS VARCHAR) || ' '
+                     || CAST(n_nationkey AS VARCHAR) || ')' AS wkt
+    FROM nation
+    """,
+)
+def q108_kml_roundtrip(spark, sf_dir):
+    """S1/S2/S5 via the KML branch: Placemark row-path auto-detection and
+    comma-separated ``coordinates`` parsing (reference served KML from
+    eXist-db collections the same way it served GML —
+    xml_extension.ts:495-548). Same two-file distributed-read shape as
+    q99."""
+    rows = sorted(
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    out_dir = tempfile.mkdtemp(prefix="q108_kml_")
+    for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
+        with open(os.path.join(out_dir, f"nation_{tag}.kml"), "w") as f:
+            f.write(_nation_kml(part))
+    df = read_xml(spark, out_dir)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("name").alias("name"),
+        F.col("geometry").alias("wkt"),
+    )
