@@ -49,6 +49,10 @@ assert qs["q75_tumbling_window"](spark, sf).count() > 0
 # session).
 assert qs["q44_spatial_join_within"](spark, sf).count() > 0
 
+# One file-ingest round trip (read_xml's mapInPandas + rdd-json inference
+# must not depend on get_spark-only confs either).
+assert qs["q99_xml_roundtrip"](spark, sf).count() > 0
+
 spark.stop()
 print("VANILLA_OK")
 """
