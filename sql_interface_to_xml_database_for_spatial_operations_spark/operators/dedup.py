@@ -223,10 +223,15 @@ def q66_minhash_lsh(spark, sf_dir):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc1"), "sh")
     sb = sh.select(F.col("doc_id").alias("doc2"), "sh")
+    # Candidate-DRIVEN verify: expand each candidate pair with doc1's
+    # shingles, then equi-join doc2's shingles on (doc2, sh) — shared
+    # shingles per pair, without ever self-joining the shingle table on
+    # sh (which would enumerate k² rows for a k-doc shingle, the exact
+    # blowup q65 needs a df cap for). Verify cost scales with candidate
+    # count × doc length, independent of corpus-wide shingle frequency.
     inter = (
-        sa.join(sb, ["sh"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        .join(cand, ["doc1", "doc2"], "left_semi")
+        cand.join(sa, "doc1")
+        .join(sb, ["doc2", "sh"])
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
