@@ -52,6 +52,11 @@ def _word_shingles(
     pipeline stages shingle only their surviving subset."""
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda x: x != "")
+    # duplicate shingles only occur WITHIN a document (doc_id/lang ride
+    # along every row), so array_distinct before the explode gives the
+    # exact distinct-(doc_id, lang, sh) set map-side — no shuffle, where
+    # a post-explode .distinct() would reshuffle the whole shingle set
+    # for every consumer (q65/q66/q90/q91/q107)
     return (
         d.select("doc_id", "lang", ws.alias("ws"))
         .filter(F.size("ws") >= k)
@@ -59,13 +64,14 @@ def _word_shingles(
             "doc_id",
             "lang",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("ws", i, k)),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("ws", i, k)),
+                    )
                 )
             ).alias("sh"),
         )
-        .distinct()
     )
 
 
