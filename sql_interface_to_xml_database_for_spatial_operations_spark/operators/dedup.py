@@ -276,9 +276,13 @@ def q67_simhash(spark, sf_dir):
     parity votes ±1 on bit b; positive sum → 1. Pure JVM expressions, one
     groupBy — at corpus scale this is a map-side-combinable aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"))
-        .distinct()
+    # intra-doc dedup map-side (see _word_shingles): no shuffle for the
+    # distinct word set
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("w"),
     )
     bits_df = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
     vote = F.when(

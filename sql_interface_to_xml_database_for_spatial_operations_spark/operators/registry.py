@@ -68,8 +68,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q52_centroid_perimeter", "q59_st_geomfromgml_kml",
         "q60_token_count", "q61_quality_score", "q62_language_id",
         "q63_fingerprint", "q64_dedup_exact",
-        # q66 removed: candidate-driven verify rewrite this round
-        "q67_simhash", "q68_simhash_pairs", "q69_embedding_neardup",
+        # q66/q67/q68 removed: candidate-driven verify + map-side word
+        # dedup rewrites this round
+        "q69_embedding_neardup",
         "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
         "q73_ann_ivf_topk", "q80_multimodal_metadata",
         "q81_multimodal_features", "q82_frame_sample", "q85_st_extent_agg",
