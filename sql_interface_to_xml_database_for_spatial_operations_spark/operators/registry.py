@@ -67,9 +67,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q49_st_asgeojson", "q50_st_geomfromtext", "q51_st_geomfromgeojson",
         "q52_centroid_perimeter", "q59_st_geomfromgml_kml",
         "q60_token_count", "q61_quality_score", "q62_language_id",
-        "q63_fingerprint", "q64_dedup_exact",
-        # q66/q67/q68 removed: candidate-driven verify + map-side word
-        # dedup rewrites this round
+        "q64_dedup_exact",
+        # q63/q66/q67/q68 removed: shuffle-elimination rewrites this
+        # round (in-row fingerprint, candidate-driven verify, map-side
+        # word dedup)
         "q69_embedding_neardup",
         "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
         "q73_ann_ivf_topk", "q80_multimodal_metadata",

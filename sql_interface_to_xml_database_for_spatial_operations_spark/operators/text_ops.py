@@ -148,17 +148,22 @@ def q62_language_id(spark, sf_dir):
 )
 def q63_fingerprint(spark, sf_dir):
     """Document fingerprinting: rolling char-4-gram hashes, min-hash
-    fingerprint + distinct-gram cardinality (winnowing-lite). The gram
-    explosion is JVM-side (sequence + explode + substring + md5)."""
+    fingerprint + distinct-gram cardinality (winnowing-lite). Both stats
+    are per-document functions of the gram array, so they compute IN-ROW
+    (transform → array_min / array_distinct): no explode, no groupBy —
+    the whole query is a single map-side projection with zero shuffles
+    (the explode+groupBy formulation shuffled every gram hash by
+    doc_id). Memory is one gram array per row, transient — the same
+    volume the shuffle would have carried, minus the network."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
-    grams = d.select(
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 3),
+        lambda p: F.md5(F.col("text").substr(p, F.lit(4))),
+    )
+    return d.select("doc_id", grams.alias("g")).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text").cast("bigint") - 3)).alias("p"),
-        "text",
-    ).select("doc_id", F.md5(F.expr("substr(text, p, 4)")).alias("h"))
-    return grams.groupBy("doc_id").agg(
-        F.min("h").alias("fp_min"),
-        F.countDistinct("h").alias("n_grams"),
+        F.array_min("g").alias("fp_min"),
+        F.size(F.array_distinct("g")).cast("bigint").alias("n_grams"),
     )
 
 
