@@ -66,11 +66,11 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q46_st_area_props", "q47_dwithin_pairs", "q48_distance_sphere_count",
         "q49_st_asgeojson", "q50_st_geomfromtext", "q51_st_geomfromgeojson",
         "q52_centroid_perimeter", "q59_st_geomfromgml_kml",
-        "q60_token_count", "q61_quality_score", "q62_language_id",
+        "q60_token_count", "q61_quality_score",
         "q64_dedup_exact",
-        # q63/q66/q67/q68 removed: shuffle-elimination rewrites this
-        # round (in-row fingerprint, candidate-driven verify, map-side
-        # word dedup)
+        # q62/q63/q66/q67/q68 removed: shuffle-elimination rewrites this
+        # round (in-row language-ID argmax, in-row fingerprint,
+        # candidate-driven verify, map-side word dedup)
         "q69_embedding_neardup",
         "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
         "q73_ann_ivf_topk", "q80_multimodal_metadata",

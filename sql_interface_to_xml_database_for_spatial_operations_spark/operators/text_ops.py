@@ -112,25 +112,43 @@ _LEXICON_SQL = "VALUES " + ", ".join(f"('{lang}', '{w}')" for lang, w in LEXICON
     """,
 )
 def q62_language_id(spark, sf_dir):
-    """Language ID via stopword-lexicon scoring: explode words, broadcast
-    the lexicon, argmax per doc (deterministic tie-break). The lexicon is
+    """Language ID via stopword-lexicon scoring, computed entirely
+    IN-ROW: the lexicon is a small constant, so each language's
+    occurrence count is size(filter(words, w ∈ lex_lang)) and the argmax
+    (score DESC, lang ASC — the oracle's tie-break) is a comparator
+    array_sort over the 5-element (score, lang) array. Zero shuffles —
+    the explode + broadcast-join + groupBy + window formulation carried
+    two shuffles for what is a per-document function. The lexicon is
     synthetic (the fixture corpus is an English word-salad) but the
     operator shape is the real n-gram/stopword classifier."""
     d = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(LEXICON, "lang string, word string")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    hits = (
-        words.join(F.broadcast(lex), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("score"))
+    by_lang: dict[str, list[str]] = {}
+    for lang, w in LEXICON:
+        by_lang.setdefault(lang, []).append(w)
+    words = F.split("text", " ")
+    entries = [
+        F.struct(
+            F.size(F.filter(words, lambda x: x.isin(*ws))).cast("bigint").alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(by_lang.items())
+    ]
+    cmp = lambda l, r: (  # noqa: E731 — score DESC, lang ASC
+        F.when(l["score"] > r["score"], -1)
+        .when(l["score"] < r["score"], 1)
+        .when(l["lang"] < r["lang"], -1)
+        .when(l["lang"] > r["lang"], 1)
+        .otherwise(0)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang").asc())
+    best = F.array_sort(F.array(*entries), cmp)[0]
     return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+        d.select("doc_id", best.alias("best"))
+        .filter(F.col("best.score") >= 1)  # oracle's inner join drops no-hit docs
+        .select(
+            "doc_id",
+            F.col("best.lang").alias("pred_lang"),
+            F.col("best.score").alias("score"),
+        )
     )
 
 
