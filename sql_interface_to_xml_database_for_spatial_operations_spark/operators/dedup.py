@@ -173,9 +173,10 @@ BAND_SIZE = 2  # → 4 bands of 2 rows (b=4, r=2)
     "q66_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    m AS (SELECT doc_id, sh, md5(sh) || md5('x' || sh) AS m64 FROM sh),
     mins AS (
-      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-      FROM sh, LATERAL (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+      SELECT doc_id, seed, min(substr(m64, seed * 8 + 1, 8)) AS mh
+      FROM m, LATERAL (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
       GROUP BY doc_id, seed
     ),
     bands AS (
@@ -187,15 +188,11 @@ BAND_SIZE = 2  # → 4 bands of 2 rows (b=4, r=2)
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_both
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      JOIN cand ON cand.doc1 = a.doc_id AND cand.doc2 = b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc1, doc2, round(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both), 6) AS jaccard
-    FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+    arrs AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
+    SELECT doc1, doc2,
+           round(CAST(len(list_intersect(a1.shs, a2.shs)) AS DOUBLE)
+                 / (len(a1.shs) + len(a2.shs) - len(list_intersect(a1.shs, a2.shs))), 6) AS jaccard
+    FROM cand JOIN arrs a1 ON a1.doc_id = doc1 JOIN arrs a2 ON a2.doc_id = doc2
     """,
 )
 def q66_minhash_lsh(spark, sf_dir):
@@ -204,48 +201,93 @@ def q66_minhash_lsh(spark, sf_dir):
     join touches only (band, band_val) buckets, so candidate generation is
     a hash join on band values — the scale path for corpus-level dedup.
     Hashes are md5 hex strings (min = lexicographic) for oracle parity.
-    Shingles persist — the signature path and the exact-verify path both
-    consume them (see jaccard_pairs note)."""
-    sh = _word_shingles(spark, sf_dir, 5).persist()
-    # All 8 min-hashes in ONE aggregation over the shingle set (no seed
-    # crossJoin 8×-ing the shuffle volume; partial aggregation combines
-    # map-side) — then unpivot signature columns into 4 bands via stack.
-    mins = sh.groupBy("doc_id").agg(
+
+    Everything per-document computes IN-ROW over the distinct-shingle
+    ARRAY (no explode): the 8 min-hashes are array_min over 8-hex-char
+    SLICES of two md5s per shingle (8 independent 32-bit hash functions
+    at a quarter of the digest cost of 8 seeded md5s), so signature
+    generation is a map-only pass over the corpus — where the exploded
+    formulation shuffled every shingle by doc_id just to re-aggregate
+    mins. The only shuffles left are the tiny band-bucket grouping and
+    the candidate⋈array joins; the exact verify is
+    size(array_intersect(...)) in-row per candidate pair — the oracle
+    mirrors with list_intersect, so even a 32-bit min collision (a
+    zero-overlap candidate) yields identical jaccard=0 rows in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    k = 5
+    arr = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, k)),
+                )
+            ).alias("shs"),
+        )
+        # two digests per shingle, sliced 8× below; materialized once so
+        # neither the slices nor the verify recompute the digest map
+        .withColumn(
+            "m64",
+            F.transform(
+                F.col("shs"),
+                lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s))),
+            ),
+        )
+        .persist()  # signature path + verify path both consume it
+    )
+    sig = arr.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
-            for s in range(N_MINHASH)
-        ]
+            F.array_min(
+                F.transform(F.col("m64"), lambda x: x.substr(h * 8 + 1, 8))
+            ).alias(f"h{h}")
+            for h in range(N_MINHASH)
+        ],
     )
     band_pairs = ", ".join(
         f"{b}, concat(h{b * BAND_SIZE}, h{b * BAND_SIZE + 1})"
         for b in range(N_MINHASH // BAND_SIZE)
     )
-    bands = mins.selectExpr(
+    bands = sig.selectExpr(
         "doc_id", f"stack({N_MINHASH // BAND_SIZE}, {band_pairs}) AS (band, band_val)"
     )
-    a = bands.select(F.col("doc_id").alias("doc1"), "band", "band_val")
-    b = bands.select(F.col("doc_id").alias("doc2"), "band", "band_val")
-    cand = a.join(b, ["band", "band_val"]).filter(F.col("doc1") < F.col("doc2")).select("doc1", "doc2").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc1"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc2"), "sh")
-    # Candidate-DRIVEN verify: expand each candidate pair with doc1's
-    # shingles, then equi-join doc2's shingles on (doc2, sh) — shared
-    # shingles per pair, without ever self-joining the shingle table on
-    # sh (which would enumerate k² rows for a k-doc shingle, the exact
-    # blowup q65 needs a df cap for). Verify cost scales with candidate
-    # count × doc length, independent of corpus-wide shingle frequency.
-    inter = (
-        cand.join(sa, "doc1")
-        .join(sb, ["doc2", "sh"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # Candidates via bucket-GROUPING, not a bands self-join: one shuffle
+    # of the (band, band_val, doc_id) rows, signature projection computed
+    # ONCE (a self-join re-evaluates the 8-hash map on both sides), then
+    # in-bucket pairs enumerated in-row from the sorted member array.
+    ds = F.array_sort(F.collect_list("doc_id"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
-    jac = F.col("n_both").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_both"))
+    cand = (
+        bands.groupBy("band", "band_val")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc1", "p.doc2")
+        .distinct()
+    )
+    a1 = arr.select(F.col("doc_id").alias("doc1"), F.col("shs").alias("shs1"))
+    a2 = arr.select(F.col("doc_id").alias("doc2"), F.col("shs").alias("shs2"))
+    n_both = F.size(F.array_intersect("shs1", "shs2")).cast("bigint")
+    jac = n_both.cast("double") / (
+        F.size("shs1").cast("bigint") + F.size("shs2").cast("bigint") - n_both
+    )
     return (
-        inter.join(s1, "doc1").join(s2, "doc2").select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -248,3 +248,54 @@ def q73_ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("qid", "cand_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "q111_centroid_outliers",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label, j - 1 AS pos, v[j] AS x
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)
+    ),
+    cent AS (SELECT label, pos, avg(x) AS c FROM comp GROUP BY label, pos),
+    cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos_centroid
+      FROM embeddings e JOIN cvec c USING (label)
+    )
+    SELECT vec_id, label, cos_centroid FROM (
+      SELECT vec_id, label, cos_centroid,
+             row_number() OVER (PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q111_centroid_outliers(spark, sf_dir):
+    """Embedding-cluster outlier detection: per-label centroid (position-
+    wise mean), then the 3 vectors per label FARTHEST from their own
+    centroid by cosine — the usual embedding-space quality sweep before
+    training. Scale shape: the centroid is a posexplode + partial-
+    aggregated groupBy(label, pos) whose output is |labels|·dim rows (a
+    model, not data); those model rows are reassembled into per-label
+    arrays and BROADCAST to the scoring join, so the scoring pass is
+    map-only over the corpus — no corpus-sized shuffle anywhere, and the
+    final window ranks within labels only."""
+    e = _vectors(spark, sf_dir)
+    comp = e.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="v", b="cv")), 6)
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+    return (
+        e.join(F.broadcast(cvec), "label")
+        .withColumn("cos_centroid", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "label", "cos_centroid")
+    )

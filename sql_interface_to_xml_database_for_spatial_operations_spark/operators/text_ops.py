@@ -186,6 +186,152 @@ def q63_fingerprint(spark, sf_dir):
 
 
 @query(
+    "q109_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE word <> '' GROUP BY lang, word
+    ),
+    df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM words WHERE word <> '' GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, word, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT lang, word, tf, df, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS rn
+      FROM scored
+    )
+    SELECT lang, word, tf, df, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def q109_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-5 terms per language partition by
+    tf·ln(N/df). Scale shape: the explode feeds two PARTIAL-aggregated
+    groupBys whose outputs are vocabulary-sized (≪ corpus — map-side
+    combine collapses each partition to its distinct words first), the
+    tf⋈df join is vocab×vocab on the word key (plain shuffle join — at
+    web scale the vocabulary is too big to broadcast), the doc count N
+    is a 1-row broadcast, and the final window ranks the vocab-sized
+    result only. No stage carries corpus-cardinality rows past the
+    first aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").cast("bigint").alias("tf"))
+    df = words.groupBy("word").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "q110_repetition_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, words,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+             CAST(list_aggregate(
+                 list_transform(list_distinct(words),
+                                w -> len(list_filter(words, x -> x = w))),
+                 'max') AS BIGINT) AS top_word_count,
+             CAST(len(list_distinct(
+                 list_transform(generate_series(1, len(words) - 1),
+                                i -> words[i] || ' ' || words[i + 1])
+             )) AS BIGINT) AS n_distinct_2grams
+      FROM t WHERE len(words) >= 2
+    )
+    SELECT doc_id, n_words, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+           round(CAST(top_word_count AS DOUBLE) / n_words, 6) AS top_word_frac,
+           round(1.0 - CAST(n_distinct_2grams AS DOUBLE) / (n_words - 1), 6) AS dup_2gram_frac,
+           CASE WHEN CAST(n_distinct AS DOUBLE) / n_words >= 0.4
+                 AND CAST(top_word_count AS DOUBLE) / n_words <= 0.12
+                THEN 'keep' ELSE 'drop' END AS rep_bucket
+    FROM m
+    """,
+)
+def q110_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filters: distinct-word ratio, most-common-
+    word fraction, duplicate-2-gram fraction → keep/drop bucket. Every
+    statistic is a per-document function of the word array, so the whole
+    query is a single zero-shuffle map-side projection (same in-row
+    pattern as q62/q63). The top-word count is an in-row
+    O(|distinct|·|words|) transform — bounded by document length, not
+    corpus size, so it scales linearly with data volume."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    t = d.select("doc_id", words.alias("words")).filter(F.size("words") >= 2)
+    dw = F.array_distinct("words")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("words") - 1),
+        lambda i: F.concat(
+            F.element_at("words", i), F.lit(" "), F.element_at("words", i + 1)
+        ),
+    )
+    m = t.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size(dw).cast("bigint").alias("n_distinct"),
+        F.array_max(
+            F.transform(dw, lambda w: F.size(F.filter(F.col("words"), lambda x: x == w)))
+        )
+        .cast("bigint")
+        .alias("top_word_count"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_2grams"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_words")
+    top_word_frac = F.col("top_word_count").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / (F.col("n_words") - 1), 6
+        ).alias("dup_2gram_frac"),
+        F.when((distinct_ratio >= 0.4) & (top_word_frac <= 0.12), "keep")
+        .otherwise("drop")
+        .alias("rep_bucket"),
+    )
+
+
+@query(
     "q88_levenshtein_neardup",
     oracle="""
     SELECT a.doc_id AS doc1, b.doc_id AS doc2,
