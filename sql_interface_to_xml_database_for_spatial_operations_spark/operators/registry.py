@@ -54,7 +54,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q19_anti_join_not_exists", "q20_lateral_explode", "q21_count_groupby",
         "q22_agg_global", "q23_agg_pricing_summary", "q24_having",
         "q25_distinct", "q26_rollup", "q27_orderby_limit_topk",
-        "q28_union_all", "q29_intersect", "q30_except", "q31_window_rank",
+        "q28_union_all", "q29_intersect", "q31_window_rank",
+        # q30 removed: rewritten this round (was trivially empty at
+        # sf0.01 — nation EXCEPT supplier — now customers-without-orders)
         "q32_window_running_sum", "q33_subquery_from", "q34_scalar_subquery",
         "q35_correlated_exists", "q36_date_functions", "q37_mod_function",
         "q38_string_functions", "q39_case_expression", "q40_math_functions",

@@ -609,16 +609,18 @@ def q29_intersect(spark, sf_dir):
 @query(
     "q30_except",
     oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
+    SELECT o_orderkey AS orderkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT l_orderkey AS orderkey FROM lineitem
     """,
 )
 def q30_except(spark, sf_dir):
-    """O4: EXCEPT — nations with no supplier."""
-    n = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s).distinct()
+    """O4: EXCEPT — orders with no lineitems (non-empty at every fixture
+    SF: 27 / 257 / 2764 rows; the previous nation-without-supplier
+    variant was empty at sf0.01, so its driver row passed vacuously)."""
+    o = T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.exceptAll(li).distinct()
 
 
 @query(
