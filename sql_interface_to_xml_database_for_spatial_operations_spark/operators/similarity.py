@@ -126,11 +126,6 @@ N_CENTROIDS = 16
 NPROBE = 4
 
 
-def _lit_array_sql(vec) -> str:
-    """A SQL double-array literal for one centroid vector."""
-    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
-
-
 @query(
     "q73_ann_ivf_topk",
     oracle=f"""
@@ -198,26 +193,44 @@ def q73_ann_ivf_topk(spark, sf_dir):
     # aggregate, so the quotient stays bit-identical to COSINE_SQL_EXPR
     vnorm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
 
-    def _dot_lit(cv) -> F.Column:
-        return F.expr(
-            f"aggregate(zip_with(v, {_lit_array_sql(cv)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-        )
-
     def _cnorm(cv) -> float:
         acc = 0.0
         for x in cv:
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
+    # The centroid model enters the plan as ONE constant-foldable literal
+    # (array of (cv, cn, negcid) structs) scored by a single transform
+    # lambda — not 16 separately SQL-parsed 64-literal dot expressions,
+    # which cost more in parse + Janino compile time than the whole query
+    # spends on data. Fold order inside the transform matches
+    # COSINE_SQL_EXPR exactly (zip_with then left-fold sum).
+    model = F.array(
+        *[
+            F.struct(
+                F.lit(cv).alias("cv"),
+                F.lit(_cnorm(cv)).alias("cn"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
     def scored_array(vnorm_col):
-        return F.array(
-            *[
-                F.struct(
-                    F.round(_dot_lit(cv) / (vnorm_col * F.lit(_cnorm(cv))), 6).alias("s"),
-                    F.lit(-cid).alias("negcid"),
-                )
-                for cid, cv in cents
-            ]
+        return F.transform(
+            model,
+            lambda m: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), m["cv"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (vnorm_col * m["cn"]),
+                    6,
+                ).alias("s"),
+                m["negcid"].alias("negcid"),
+            ),
         )
 
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).withColumn("vnorm", vnorm)
