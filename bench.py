@@ -49,6 +49,9 @@ HEADLINE = [
     "q91_training_pipeline",
     "q106_sequence_packing",
     "q107_decontamination",
+    "q109_tfidf_top_terms",
+    "q110_repetition_metrics",
+    "q111_centroid_outliers",
 ]
 
 
