@@ -160,3 +160,51 @@ def test_shingle_df_cap_is_broadcast_anti_join(spark):
         f"anti-join is not broadcast:\n{plan}"
     )
     assert_no_cartesian(df)
+
+
+def test_repetition_metrics_zero_shuffle(spark):
+    """q110's claim is zero shuffles — every statistic is in-row. Any
+    Exchange in the plan means someone reintroduced an explode+groupBy."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q110_repetition_metrics")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, f"q110 grew a shuffle:\n{plan}"
+
+
+def test_tfidf_aggregates_are_partial(spark):
+    # both the tf and df aggregations must partial-combine map-side
+    # (vocabulary-sized shuffles); the doc-count side joins as a 1-row
+    # broadcast, never a cartesian product
+    df = q("q109_tfidf_top_terms")(spark, SF_DIR)
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × tf,df
+    assert_no_cartesian(df)
+
+
+def test_centroid_outliers_scoring_is_broadcast(spark):
+    # the |labels|×dim centroid model must broadcast back to the corpus —
+    # a shuffle join here would move the whole embedding table
+    df = q("q111_centroid_outliers")(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_minhash_signatures_have_no_shingle_shuffle(spark):
+    """q66 signatures compute in-row: no SortMergeJoin anywhere, and no
+    aggregate runs before the band-bucket grouping (the old formulation
+    shuffled every exploded shingle through a groupBy(doc_id))."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q66_minhash_lsh")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
