@@ -674,6 +674,70 @@ def q32_window_running_sum(spark, sf_dir):
     )
 
 
+@query(
+    "q112_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q112_window_lag_lead(spark, sf_dir):
+    """O5: lag/lead offset windows + inter-order gap in days — the
+    per-entity sequence-delta shape (same single shuffle on the
+    partition key as any window; offsets add no extra exchange)."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "q113_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def q113_window_distribution(spark, sf_dir):
+    """O5: distribution windows (ntile quartiles, percent_rank,
+    cume_dist) per nation — deterministic via the c_custkey tiebreak in
+    the window ordering."""
+    from pyspark.sql.window import Window
+
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Subqueries  (Q1-Q3)
 # ---------------------------------------------------------------------------
