@@ -269,3 +269,51 @@ def q108_kml_roundtrip(spark, sf_dir):
         F.col("name").alias("name"),
         F.col("geometry").alias("wkt"),
     )
+
+
+@query(
+    "q114_compat_flattened",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS n_name_flat,
+           'N' || CAST(n_nationkey AS VARCHAR) AS attr_iso,
+           CAST(2 * n_nationkey AS BIGINT) AS meta_seq,
+           'tpch' AS undef_origin,
+           CAST(2 * n_nationkey AS BIGINT) AS undef_seq
+    FROM nation
+    """,
+)
+def q114_compat_flattened(spark, sf_dir):
+    """§1.3 end-to-end: the q99 GML document read back and projected
+    through the REFERENCE's flattened naming — ``meta__seq``
+    (`parent__child`, xml_extension.ts:1831-2044), ``_attribute__iso``
+    (row-element attribute, preprocessing.ts:90-106) via
+    ``flattened_view``, plus ``_undef__``-style location-unknown columns
+    via ``undef_column`` (coalesce over element/attribute/nested
+    locations, xml_extension.ts:1711-1737). Pure projection over the
+    reader output, so Catalyst pruning still reaches the parse."""
+    from ..sources.compat import flattened_view, undef_column
+
+    rows = sorted(
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect(),
+        key=lambda r: r.n_nationkey,
+    )
+    out_dir = tempfile.mkdtemp(prefix="q114_gml_")
+    for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
+        with open(os.path.join(out_dir, f"nation_{tag}.gml"), "w") as f:
+            f.write(_nation_gml(part))
+    df = read_xml(spark, out_dir)
+    flat = flattened_view(df).select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name").alias("n_name_flat"),
+        F.col("_attribute__iso").alias("attr_iso"),
+        F.col("meta__seq").cast("bigint").alias("meta_seq"),
+    )
+    undef = df.select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        undef_column(df, "origin").alias("undef_origin"),
+        undef_column(df, "seq").cast("bigint").alias("undef_seq"),
+    )
+    return flat.join(undef, flat.n_nationkey == undef.k).drop("k")
