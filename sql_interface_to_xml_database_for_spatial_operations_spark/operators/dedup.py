@@ -471,7 +471,7 @@ def q90_dedup_clusters(spark, sf_dir):
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50, check_every: int = 2
+    pairs: DataFrame, max_iters: int = 50, check_every: int = 1
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (id, label) with
     label = component min id. Iterative min-label propagation: every
@@ -486,8 +486,13 @@ def connected_components(
       convergence is detected by comparing ``sum(label)`` across checks —
       one map-side-combinable aggregate, no join against the previous
       state (decimal(38,0) so corpus-scale id sums can't overflow);
-    - the check runs only every ``check_every`` rounds — at worst
-      check_every-1 extra cheap rounds after convergence;
+    - the check runs every ``check_every`` rounds. Default 1: near-dup
+      graphs are near-cliques (diameter 1-2), and the first conclusive
+      sum comparison needs two checks, so per-round checking detects a
+      round-1 convergence at round 2 where check_every=2 runs four
+      propagation rounds to conclude at its second check (measured
+      -24 % on the q91 pipeline at sf0.1). Raise it for long-chain
+      graphs where extra checkpoints outweigh saved rounds;
     - each check localCheckpoints the labels, truncating lineage so the
       plan doesn't grow with iteration count (20+ chained joins would
       stall the optimizer long before the data is the problem).
