@@ -75,7 +75,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         # candidate-driven verify, map-side word dedup)
         "q69_embedding_neardup",
         "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
-        "q73_ann_ivf_topk", "q80_multimodal_metadata",
+        # q73 removed: centroid model rebuilt as a constant-folded literal
+        # this round — re-exposed for driver re-check
+        "q80_multimodal_metadata",
         "q81_multimodal_features", "q82_frame_sample", "q85_st_extent_agg",
         "q88_levenshtein_neardup", "q92_hash_sample",
         "q93_train_val_test_split", "q94_multipart_gml_ingest",
