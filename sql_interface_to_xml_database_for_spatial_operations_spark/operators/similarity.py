@@ -312,3 +312,95 @@ def q111_centroid_outliers(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("vec_id", "label", "cos_centroid")
     )
+
+
+@query(
+    "q115_ann_quantized_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}),
+    stats AS (
+      SELECT j, min(v[j]) AS mn, max(v[j]) AS mx
+      FROM corpus, LATERAL (SELECT unnest(generate_series(1, len(v))) AS j)
+      GROUP BY j
+    ),
+    dq AS (
+      SELECT c.vec_id,
+             list(CASE WHEN s.mx = s.mn THEN s.mn
+                       ELSE s.mn + (floor((c.v[s.j] - s.mn) / (s.mx - s.mn) * 255.0) + 0.5)
+                            * (s.mx - s.mn) / 255.0 END
+                  ORDER BY s.j) AS qv
+      FROM corpus c CROSS JOIN stats s
+      GROUP BY c.vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, d.vec_id AS cand_id,
+             round(list_cosine_similarity(q.v, d.qv), 6) AS cos_sim
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN dq d
+    )
+    SELECT qid, cand_id, cos_sim, rank FROM (
+      SELECT qid, cand_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q115_ann_quantized_topk(spark, sf_dir):
+    """Scalar-quantized ANN: corpus vectors compress to uint8 codes
+    against per-dimension (min, max) ranges — at 100 TB this is the 4×
+    (float32) / 8× (float64) memory cut that makes a corpus index fit in
+    executor RAM; queries stay exact and score against the dequantized
+    (code + 0.5 bin-center) reconstruction. The (min, max) ranges are a
+    posexplode + partial-aggregated groupBy(pos) whose output is dim
+    *model* rows — collected like the IVF centroids and entering the
+    plan as one constant-folded literal, so quantize + dequantize +
+    scoring is a MAP-ONLY pass over the corpus; only the tiny broadcast
+    query set joins in before the per-query top-k window. Quantization
+    arithmetic is identical double math in both engines, so ranks match
+    exactly."""
+    e = _vectors(spark, sf_dir).select("vec_id", "v")
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    stats = sorted(
+        (r["pos"], r["mn"], r["mx"])
+        for r in corpus.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mns = F.lit([mn for _, mn, _ in stats])
+    mxs = F.lit([mx for _, _, mx in stats])
+    # dequantized reconstruction, in-row: qv[i] = mn + (floor(...) + 0.5)·scale
+    def dq(col):
+        return F.transform(
+            col,
+            lambda x, i: F.when(
+                F.element_at(mxs, i + 1) == F.element_at(mns, i + 1),
+                F.element_at(mns, i + 1),
+            ).otherwise(
+                F.element_at(mns, i + 1)
+                + (
+                    F.floor(
+                        (x - F.element_at(mns, i + 1))
+                        / (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
+                        * 255.0
+                    )
+                    + 0.5
+                )
+                * (F.element_at(mxs, i + 1) - F.element_at(mns, i + 1))
+                / 255.0
+            ),
+        )
+
+    dqc = corpus.select(F.col("vec_id").alias("cand_id"), dq(F.col("v")).alias("qv"))
+    queries_df = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("pv")
+    )
+    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="pv", b="qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    return (
+        dqc.crossJoin(F.broadcast(queries_df))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cand_id", "cos_sim", "rank")
+    )
