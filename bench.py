@@ -52,6 +52,7 @@ HEADLINE = [
     "q109_tfidf_top_terms",
     "q110_repetition_metrics",
     "q111_centroid_outliers",
+    "q115_ann_quantized_topk",
 ]
 
 
