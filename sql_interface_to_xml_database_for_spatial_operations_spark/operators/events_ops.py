@@ -208,3 +208,38 @@ def q96_event_attribution(spark, sf_dir):
         )
         .select(F.col("l_user").alias("user_id"), "view_event", "click_event")
     )
+
+
+@query(
+    "q116_trailing_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q116_trailing_range_window(spark, sf_dir):
+    """Per-user trailing 1-hour RANGE window (value-based frame, unlike
+    q76's fixed slide buckets): for every event, how many events / how
+    much value the same user produced in the preceding hour — the
+    velocity/rate-limit feature shape. Frames order on epoch MICROS (a
+    long) so the 3 600 000 000-µs bound is exact in both engines —
+    ordering on seconds would truncate sub-second timestamps and shift
+    frame edges. One shuffle on user_id; the frame scan is a single
+    ordered pass per partition, and decimal summation keeps the running
+    aggregate order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_trailing_1h"),
+    )

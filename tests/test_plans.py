@@ -208,3 +208,17 @@ def test_minhash_signatures_have_no_shingle_shuffle(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quantized_ann_scoring_is_map_only(spark):
+    # the (min,max) range model is a constant-folded literal: the corpus
+    # must reach the top-k window through a broadcast of the tiny query
+    # set only — no SMJ, no shuffle join against the range model
+    df = q("q115_ann_quantized_topk")(spark, SF_DIR)
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
