@@ -1104,3 +1104,22 @@ def q87_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.9D)"), 6).alias("p90_qty"),
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias("p50_price"),
     )
+
+
+@query("q117_approx_percentiles", oracle=None)
+def q117_approx_percentiles(spark, sf_dir):
+    """Approximate per-group percentiles (Greenwald-Khanna sketch,
+    accuracy 10 000 → rank error ≤ 1/10 000) — the fixed-memory,
+    map-side-mergeable swap for q87's exact percentile at 100 TB, the
+    same trade q58 makes for distinct counts. No oracle: DuckDB's
+    approx_quantile uses a different sketch, so the driver runs the
+    rows-only check; tests/test_parity.py bounds the estimates against
+    q87's exact values at <1 % relative error."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_quantity, 0.5D, 10000)"), 6).alias("ap50_qty"),
+        F.round(F.expr("approx_percentile(l_quantity, 0.9D, 10000)"), 6).alias("ap90_qty"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 6).alias(
+            "ap50_price"
+        ),
+    )

@@ -67,3 +67,25 @@ def test_q58_approx_within_error_bound(spark):
         for acol, ecol in (("approx_supp", "n_supp"), ("approx_order", "n_order")):
             rel = abs(a[acol] - e[ecol]) / e[ecol]
             assert rel < 0.05, (flag, acol, a[acol], e[ecol], rel)
+
+
+def test_q117_approx_within_error_bound(spark):
+    """q117 has no DuckDB oracle (different quantile sketch), but the
+    GK estimates must sit within 1% relative error of q87's exact
+    percentiles (same no-oracle-still-checked policy as q58)."""
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q117_approx_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r for r in QUERIES["q87_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for acol, ecol in (
+            ("ap50_qty", "p50_qty"),
+            ("ap90_qty", "p90_qty"),
+            ("ap50_price", "p50_price"),
+        ):
+            assert abs(a[acol] - e[ecol]) <= 0.01 * abs(e[ecol]), (flag, acol, a[acol], e[ecol])

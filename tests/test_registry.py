@@ -46,7 +46,10 @@ def test_exposure_is_a_permutation_of_registrations():
 
 def test_oracle_coverage_is_total_except_documented_rows_only():
     rows_only = {n for n in QUERIES if QUERIES[n].oracle is None}
-    assert rows_only == {"q58_approx_count_distinct"}, (
+    assert rows_only == {
+        "q58_approx_count_distinct",
+        "q117_approx_percentiles",
+    }, (
         "every query needs a DuckDB oracle unless documented rows-only: "
         f"{sorted(rows_only)}"
     )
