@@ -317,3 +317,42 @@ def q114_compat_flattened(spark, sf_dir):
         undef_column(df, "seq").cast("bigint").alias("undef_seq"),
     )
     return flat.join(undef, flat.n_nationkey == undef.k).drop("k")
+
+
+@query(
+    "q118_bucketed_join",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q118_bucketed_join(spark, sf_dir):
+    """Storage-layout surface end-to-end: both join sides written as
+    bucketed+sorted managed tables on the join key, then joined through
+    ``bucketed_join`` — the plan has ZERO Exchange nodes on either side
+    (asserted in tests/test_layout.py), which at 100 TB amortizes the
+    fact-join shuffle into a one-time write. The write happens inside
+    the query so the driver exercises write + bucketed read + join;
+    results are layout-independent, so the oracle is the plain join."""
+    from ..sources.layout import bucketed_join, write_bucketed
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        "q118_orders_b",
+        "custkey",
+        buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        "q118_customer_b",
+        "custkey",
+        buckets=8,
+    )
+    j = bucketed_join(spark, "q118_orders_b", "q118_customer_b", ["custkey"])
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

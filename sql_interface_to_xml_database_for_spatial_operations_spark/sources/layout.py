@@ -17,6 +17,9 @@ two layout tools that decide whether a 100 TB workload shuffles:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -33,6 +36,16 @@ def write_bucketed(
     table size / 128 MiB) rounded to a power of two, identically for
     every table sharing the join key."""
     keys = [key] if isinstance(key, str) else key
+    # a managed-table location can survive a previous session whose
+    # metastore is gone; overwrite mode then fails with
+    # LOCATION_ALREADY_EXISTS, so drop both the catalog entry and any
+    # stale directory before writing
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)
