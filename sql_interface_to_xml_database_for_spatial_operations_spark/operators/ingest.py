@@ -1,14 +1,16 @@
-"""Driver-checkable ingest queries: the file-based XML reader and the
-engine facade, exercised end-to-end with a DuckDB oracle.
+"""Driver-checkable infrastructure queries: file readers (GML / KML /
+GeoJSON), sinks, the engine facade, the flattened-naming compat layer,
+and the bucketed storage layout — each exercised end-to-end with a
+DuckDB oracle.
 
-The rest of the registry reads the parquet fixtures directly, so the
-S1/S2/S5/S6 file-reader path (row-path detection, attribute mapping,
-schema inference, geometry conversion — reference
-xml_extension.ts:495-548) and the S9 rowset facade (processQuery,
-src/index.ts:349-371) previously had only pytest coverage. These two
-queries give both surfaces CORRECTNESS rows (VERDICT r2 items 5 and 7):
-the XML query derives its document deterministically from fixture rows,
-so the oracle is plain SQL over the same fixture.
+The rest of the registry reads the parquet fixtures directly, so these
+surfaces — the S1/S2/S5/S6 file-reader path (row-path detection,
+attribute mapping, schema inference, geometry conversion — reference
+xml_extension.ts:495-548), the S3/S4 GeoJSON path, the S9/S10 rowset +
+FeatureCollection facade (processQuery, src/index.ts:349-371), §1.3
+flattening compat, and the bucketed-join layout — previously had only
+pytest coverage. Every query here derives its input deterministically
+from fixture rows, so the oracle is plain SQL over the same fixture.
 """
 
 from __future__ import annotations
