@@ -47,7 +47,21 @@ def _point_xy(s: pd.Series):
 
 
 def _parse_series(s: pd.Series) -> list:
-    return [G.parse_wkt(v) if isinstance(v, str) else None for v in s]
+    # memoize by WKT string within the batch: spatial joins broadcast a
+    # small geometry side against many probe rows, so a batch typically
+    # carries thousands of copies of a few dozen distinct WKTs — parse
+    # each once, not once per row
+    cache: dict[str, object] = {}
+    out = []
+    for v in s:
+        if not isinstance(v, str):
+            out.append(None)
+        elif v in cache:
+            out.append(cache[v])
+        else:
+            cache[v] = g = G.parse_wkt(v)
+            out.append(g)
+    return out
 
 
 def _binary_fallback(a: pd.Series, b: pd.Series, fn, dtype=object) -> pd.Series:
