@@ -243,3 +243,87 @@ def q116_trailing_range_window(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_trailing_1h"),
     )
+
+
+@query(
+    "q119_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_n,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, act_week
+    """,
+)
+def q119_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week, counted in every later week they return — the standard
+    engagement rollup. Both inputs partial-aggregate to |users|-sized
+    tables before the equi-join on user_id (the raw event stream never
+    joins anything), and week_n derives from the two week-start dates
+    in-row, so the whole query is two map-combined aggregations + one
+    user-keyed join at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", F.date_trunc("week", "ts").alias("act_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_week", "act_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            F.floor(F.datediff("act_week", "cohort_week") / 7).cast("bigint").alias("week_n"),
+            F.col("n_users"),
+        )
+    )
+
+
+@query(
+    "q120_event_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(t_view) AS BIGINT) AS n_viewed,
+      CAST(count(*) FILTER (WHERE t_view < t_click) AS BIGINT) AS n_view_then_click,
+      CAST(count(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase) AS BIGINT)
+        AS n_full_funnel
+    FROM m
+    """,
+)
+def q120_event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel via conditional MIN pivots:
+    one user-keyed aggregation collapses each user's history to three
+    first-occurrence timestamps (map-side combinable — the classic
+    funnel shape that needs no self-join and no window), then the
+    ordering predicates count in a single global reduce. NULL semantics
+    do the stage gating: a user missing a stage yields NULL and fails
+    the < comparison in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+            for t in ("view", "click", "purchase")
+        ]
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count_if(F.col("t_view") < F.col("t_click")).alias("n_view_then_click"),
+        F.count_if(
+            (F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purchase"))
+        ).alias("n_full_funnel"),
+    )
