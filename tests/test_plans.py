@@ -222,3 +222,47 @@ def test_quantized_ann_scoring_is_map_only(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_funnel_is_aggregation_only(spark):
+    # the ordered funnel must stay one user-keyed aggregation + a global
+    # reduce — no self-join of the event stream, no window
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q120_event_funnel")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 aggs
+
+
+def test_cohort_join_is_user_sized(spark):
+    # both join inputs must aggregate/distinct BEFORE the join: the plan
+    # may contain exactly one join, keyed on user_id
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q119_cohort_retention")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree_joins = [ln for ln in plan.splitlines() if "Join" in ln and ("+-" in ln or ":-" in ln)]
+    assert len(tree_joins) == 1, plan  # exactly one join, after both aggs
+    assert "BroadcastHashJoin" in tree_joins[0] or "SortMergeJoin" in tree_joins[0], plan
+    assert_no_cartesian(df)
+
+
+def test_trailing_range_window_single_shuffle(spark):
+    # one hash exchange on user_id feeds the RANGE frame — offsets and
+    # frames add no extra exchange
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans import (
+        formatted_plan,
+    )
+
+    df = q("q116_trailing_range_window")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and ("+-" in ln or ":-" in ln)
+    ]
+    assert len(tree_exchanges) == 1, plan
