@@ -77,22 +77,28 @@ def main() -> None:
     except ValueError:
         sf_num = None
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         fn(spark, SF_DIR).count()  # warm: plan + scan caches, JVM JIT
         spark.catalog.clearCache()
-        # min of 2 timed runs: single-run numbers at sf0.1 carry ±10%
-        # scheduler/GC noise (r02's q66 "regression" was exactly this)
-        best = float("inf")
-        for _ in range(2):
+        # min of n>=3 timed runs + stddev (VERDICT r3 #7): single-run
+        # numbers at sf0.1 carry ±10-25% scheduler/GC noise — 10 of 19
+        # r03 carried-over queries "regressed" 15-26% in lockstep, which
+        # was environmental; the stddev lets real regressions stand out.
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # drop persisted intermediates (shingle sets etc.) so queries
             # are timed independently, not competing for executor memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        mean = sum(runs) / len(runs)
+        spreads[name] = round((sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3)
 
     total = round(sum(timings.values()), 3)
     # Direct comparison against the reference's kinerja suite (BASELINE.md):
@@ -110,8 +116,9 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "timing": "per query: min of 2 timed runs after 1 warm-up",
+                "timing": f"per query: min of {n_runs} timed runs after 1 warm-up",
                 "queries": timings,
+                "query_stddev_sec": spreads,
                 "sf": sf_num,
                 "kinerja_analogs": kinerja,
             }

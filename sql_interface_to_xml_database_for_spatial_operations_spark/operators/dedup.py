@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..sources.tables import load_table
 from .registry import query
 from .vectors import BUCKETS_SQL, COSINE_SQL_EXPR, lsh_buckets, vectors
@@ -128,7 +129,7 @@ def jaccard_pairs(spark, sf_dir, docs: DataFrame | None = None):
     viral set is tiny by construction — boilerplate n-grams — so the big
     shingle set is never reshuffled for the cap). Caps the worst-case
     per-shingle pair enumeration at MAX_SHINGLE_DF²/2 (VERDICT r2 #4)."""
-    sh0 = _word_shingles(spark, sf_dir, 5, docs=docs).persist()
+    sh0 = tracked_persist(_word_shingles(spark, sf_dir, 5, docs=docs))
     viral = (
         sh0.groupBy("sh", "lang")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -238,8 +239,10 @@ def q66_minhash_lsh(spark, sf_dir):
                 lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s))),
             ),
         )
-        .persist()  # signature path + verify path both consume it
     )
+    # signature path + verify path both consume it; released at the next
+    # registered-query entry (caching.py)
+    arr = tracked_persist(arr)
     sig = arr.select(
         "doc_id",
         *[

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..sources.tables import load_table
 from .dedup import _JACCARD_PAIRS_SQL, connected_components, jaccard_pairs
 from .registry import query
@@ -92,8 +93,10 @@ def q91_training_pipeline(spark, sf_dir):
     dedup1 = (
         hashed.join(canon, ["h", "doc_id"], "left_semi")
         .select("doc_id", "lang", "text", "n_words")
-        .cache()
     )
+    # consumed by the shingle stage, the clustering join, and the final
+    # stats; released at the next registered-query entry (caching.py)
+    dedup1 = tracked_persist(dedup1)
 
     # shingle only the survivors (the oracle's pairs-over-dedup1): Jaccard
     # depends on the two docs alone, so restricting the corpus first is

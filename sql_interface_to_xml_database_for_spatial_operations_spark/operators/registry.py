@@ -12,6 +12,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import release_tracked
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -56,7 +58,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q25_distinct", "q26_rollup", "q27_orderby_limit_topk",
         "q28_union_all", "q29_intersect", "q31_window_rank",
         # q30 removed: rewritten this round (was trivially empty at
-        # sf0.01 — nation EXCEPT supplier — now customers-without-orders)
+        # sf0.01 — nation EXCEPT supplier — now orders-without-lineitems)
         "q32_window_running_sum", "q33_subquery_from", "q34_scalar_subquery",
         "q35_correlated_exists", "q36_date_functions", "q37_mod_function",
         "q38_string_functions", "q39_case_expression", "q40_math_functions",
@@ -99,7 +101,20 @@ def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        # Entry hook: drop the previous query's tracked persists (see
+        # caching.py) so sequential multi-query runs (the driver's
+        # correctness sweep) hold at most one query's intermediates.
+        # The ORIGINAL fn is returned/used for in-package helper calls,
+        # so a query composing another query's body never releases its
+        # own caches mid-plan.
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__name__ = fn.__name__
+        QUERIES[name] = RegisteredQuery(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco
