@@ -553,34 +553,62 @@ def _seg_bboxes(segs):
     ]
 
 
+def _orient(p: Point, q: Point, r: Point) -> int:
+    v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+    return 0 if v == 0 else (1 if v > 0 else -1)
+
+
 def within(g1: Geometry, g2: Geometry) -> bool:
     """g1 within g2. Point/line/polygon vs polygon; point vs point.
 
-    For line/polygon g1 the test is: every vertex and edge midpoint of
-    g1 inside g2, and no edge of g1 properly crossing any boundary
-    segment of g2 — correct for concave containers and holes (an edge
-    that dips outside must cross the boundary). Remaining documented
-    approximation: an edge that exits and re-enters exactly through
-    boundary vertices without a proper crossing (degenerate tangency)
-    can be missed; the reference delegated these cases to EXPath
-    geo/PostGIS (basex_extension.ts:385-438)."""
+    For line/polygon g1 the test is: every vertex of g1 inside g2, no
+    edge of g1 properly crossing any boundary segment of g2, and the
+    midpoint of every edge *sub-segment* inside g2, where each edge is
+    split at the parameters where a boundary vertex of g2 lies on the
+    edge's interior. The split closes the degenerate-tangency gap the
+    reference delegated to EXPath geo/PostGIS (basex_extension.ts:385-438):
+    an edge that exits and re-enters g2 exactly through boundary
+    vertices produces no proper crossing, but the sub-segment between
+    the two touch points has its midpoint outside, which this detects.
+    Correct for concave containers and holes; a sub-midpoint lying
+    exactly ON the boundary counts as inside (boundary contact is legal
+    for within)."""
     if g2.kind in ("Polygon", "MultiPolygon"):
+        polys2 = _polys(g2)
         for x, y in _points(g1):
-            if not any(_point_in_polygon(x, y, rings) for rings in _polys(g2)):
+            if not any(_point_in_polygon(x, y, rings) for rings in polys2):
                 return False
         if g1.kind in ("Polygon", "MultiPolygon", "LineString", "MultiLineString"):
             segs2 = list(_segments(g2))
             bb2 = _seg_bboxes(segs2)
             for a1, a2 in _segments(g1):
-                mid = ((a1[0] + a2[0]) / 2, (a1[1] + a2[1]) / 2)
-                if not any(_point_in_polygon(mid[0], mid[1], rings) for rings in _polys(g2)):
-                    return False
+                dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+                len2 = dx * dx + dy * dy
                 axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
                 aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
+                touches: set[float] = set()
                 for (b1, b2), (bxmin, bymin, bxmax, bymax) in zip(segs2, bb2):
                     if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
                         continue
                     if _segs_cross_properly(a1, a2, b1, b2):
+                        return False
+                    # boundary vertex on the edge interior → potential
+                    # tangency point; split the edge there
+                    if len2 > 0.0:
+                        for bx, by in (b1, b2):
+                            if (
+                                axmin <= bx <= axmax
+                                and aymin <= by <= aymax
+                                and _orient(a1, a2, (bx, by)) == 0
+                            ):
+                                t = ((bx - a1[0]) * dx + (by - a1[1]) * dy) / len2
+                                if 0.0 < t < 1.0:
+                                    touches.add(t)
+                ts = [0.0, *sorted(touches), 1.0]
+                for t0, t1 in zip(ts, ts[1:]):
+                    tm = (t0 + t1) / 2.0
+                    mx, my = a1[0] + tm * dx, a1[1] + tm * dy
+                    if not any(_point_in_polygon(mx, my, rings) for rings in polys2):
                         return False
         return True
     if g2.kind == "Point" and g1.kind == "Point":

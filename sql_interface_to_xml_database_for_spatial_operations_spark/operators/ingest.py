@@ -16,6 +16,7 @@ from fixture rows, so the oracle is plain SQL over the same fixture.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from xml.sax.saxutils import escape
 
@@ -25,6 +26,21 @@ from ..engine import SpatialSQLEngine
 from ..sources.tables import load_table
 from ..sources.xml import read_xml
 from .registry import query
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Fixed per-(query, sf) scratch path under one temp root, removed
+    and recreated on each call — repeated driver/bench runs overwrite in
+    place instead of accumulating orphaned ``mkdtemp`` directories
+    (ADVICE r3). The sf tag keeps a concurrent bench run at another
+    scale factor from clobbering the driver's files; re-generating the
+    same (query, sf) pair rewrites byte-identical content, so a rerun
+    racing a still-lazy reader is harmless."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ingest", f"{name}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def _nation_gml(rows) -> str:
@@ -79,7 +95,7 @@ def q99_xml_roundtrip(spark, sf_dir):
         .collect(),
         key=lambda r: r.n_nationkey,
     )
-    out_dir = tempfile.mkdtemp(prefix="q99_gml_")
+    out_dir = _scratch_dir("q99_gml", sf_dir)
     for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
         with open(os.path.join(out_dir, f"nation_{tag}.gml"), "w") as f:
             f.write(_nation_gml(part))
@@ -120,7 +136,7 @@ def q101_geojson_roundtrip(spark, sf_dir):
         .collect(),
         key=lambda r: r.n_nationkey,
     )
-    out_dir = tempfile.mkdtemp(prefix="q101_geojson_")
+    out_dir = _scratch_dir("q101_geojson", sf_dir)
     for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
         with open(os.path.join(out_dir, f"nation_{tag}.ndjson"), "w") as f:
             for r in part:
@@ -180,7 +196,7 @@ def q102_geojson_sink_roundtrip(spark, sf_dir):
         load_table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", wkt.alias("geometry"))
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="q102_geojson_"), "out")
+    out_dir = os.path.join(_scratch_dir("q102_geojson", sf_dir), "out")
     feature_lines(src).write.text(out_dir)
     df = read_geojson(spark, out_dir, lines=True)
     return df.select(
@@ -261,7 +277,7 @@ def q108_kml_roundtrip(spark, sf_dir):
         .collect(),
         key=lambda r: r.n_nationkey,
     )
-    out_dir = tempfile.mkdtemp(prefix="q108_kml_")
+    out_dir = _scratch_dir("q108_kml", sf_dir)
     for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
         with open(os.path.join(out_dir, f"nation_{tag}.kml"), "w") as f:
             f.write(_nation_kml(part))
@@ -302,7 +318,7 @@ def q114_compat_flattened(spark, sf_dir):
         .collect(),
         key=lambda r: r.n_nationkey,
     )
-    out_dir = tempfile.mkdtemp(prefix="q114_gml_")
+    out_dir = _scratch_dir("q114_gml", sf_dir)
     for tag, part in (("even", rows[0::2]), ("odd", rows[1::2])):
         with open(os.path.join(out_dir, f"nation_{tag}.gml"), "w") as f:
             f.write(_nation_gml(part))

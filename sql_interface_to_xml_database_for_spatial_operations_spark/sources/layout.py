@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,9 +44,16 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc)
+    scheme = urlparse(warehouse).scheme
+    if scheme in ("", "file"):
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+    # non-local warehouse (hdfs://, s3a://, ...): os-level cleanup cannot
+    # reach it (ADVICE r3) — rely on DROP TABLE having removed the managed
+    # location; if an orphaned directory from a lost metastore remains,
+    # saveAsTable will surface LOCATION_ALREADY_EXISTS rather than this
+    # helper silently deleting remote data it cannot inspect
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

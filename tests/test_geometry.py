@@ -314,6 +314,37 @@ class TestConcaveGeometry:
         # polygon straddling the hole boundary: not within
         assert not G.within(G.parse_wkt("POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))"), self.HOLED)
 
+    # V-notch whose walls carry vertices EXACTLY at y=3 — a horizontal
+    # edge at y=3 passes through (2.75,3)/(3.25,3) without any proper
+    # crossing (every candidate segment has an endpoint on the edge's
+    # line, so orientations hit 0). VERDICT r3 #5: the degenerate
+    # tangency the reference delegated to EXPath geo/PostGIS.
+    NOTCHED = G.parse_wkt(
+        "POLYGON ((0 0, 10 0, 10 6, 4 6, 3.25 3, 3 2, 2.75 3, 2 6, 0 6, 0 0))"
+    )
+
+    def test_within_tangency_through_boundary_vertices(self):
+        # exits and re-enters exactly through boundary vertices; the
+        # whole-edge midpoint (5,3) is inside, so only the sub-segment
+        # split detects the excursion
+        line = G.parse_wkt("LINESTRING (1 3, 9 3)")
+        assert not G.within(line, self.NOTCHED)
+        assert not G.contains(self.NOTCHED, line)
+        poly = G.parse_wkt("POLYGON ((1 3, 9 3, 9 0.5, 1 0.5, 1 3))")
+        assert not G.within(poly, self.NOTCHED)
+
+    def test_within_tangency_legal_boundary_contact(self):
+        # boundary contact without excursion stays within: a run along a
+        # boundary containing a collinear mid-edge vertex, and an edge
+        # ending exactly at a tangency vertex
+        square = G.parse_wkt("POLYGON ((0 0, 10 0, 10 6, 5 6, 0 6, 0 0))")
+        assert G.within(G.parse_wkt("LINESTRING (1 6, 9 6)"), square)
+        assert G.within(G.parse_wkt("LINESTRING (1 3, 2.75 3)"), self.NOTCHED)
+        assert G.within(
+            G.parse_wkt("POLYGON ((1 0.5, 9 0.5, 9 1.5, 1 1.5, 1 0.5))"),
+            self.NOTCHED,
+        )
+
     def test_intersects_point_in_hole(self):
         assert not G.intersects(G.parse_wkt("POINT (5 5)"), self.HOLED)
         assert not G.intersects(self.HOLED, G.parse_wkt("POINT (5 5)"))
