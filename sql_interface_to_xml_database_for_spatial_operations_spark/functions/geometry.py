@@ -368,6 +368,27 @@ def bbox(g: Geometry) -> tuple[float, float, float, float]:
     return (min(xs), min(ys), max(xs), max(ys))
 
 
+def swap_axes(g: Geometry | None) -> Geometry | None:
+    """Swap every coordinate pair (x y) → (y x). GML 3 with EPSG:4326
+    declares latitude-first axis order; datasets following it need the
+    swap to yield lon-lat WKT. Exposed to the XML reader's
+    ``axis_order`` option (reader default is as-is, matching the
+    reference's no-swap behavior — xml_extension.ts:283-308)."""
+    if g is None:
+        return None
+    if g.kind == "Point":
+        return Geometry("Point", (g.coords[1], g.coords[0]))
+    if g.kind == "GeometryCollection":
+        return Geometry("GeometryCollection", [swap_axes(s) for s in g.coords])
+
+    def rec(c):
+        if isinstance(c, tuple):
+            return (c[1], c[0])
+        return [rec(x) for x in c]
+
+    return Geometry(g.kind, rec(g.coords))
+
+
 def _point_in_ring(x: float, y: float, ring: Ring) -> bool:
     """Ray casting; boundary points count as inside."""
     inside = False

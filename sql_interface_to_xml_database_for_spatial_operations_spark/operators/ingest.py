@@ -23,7 +23,7 @@ from xml.sax.saxutils import escape
 from pyspark.sql import functions as F
 
 from ..engine import SpatialSQLEngine
-from ..sources.tables import load_table
+from ..sources.tables import TABLES, load_table
 from ..sources.xml import read_xml
 from .registry import query
 
@@ -335,6 +335,30 @@ def q114_compat_flattened(spark, sf_dir):
         undef_column(df, "seq").cast("bigint").alias("undef_seq"),
     )
     return flat.join(undef, flat.n_nationkey == undef.k).drop("k")
+
+
+@query(
+    "q121_catalog_tables",
+    oracle="""
+    SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+                          ('events'), ('lineitem'), ('nation'), ('orders'),
+                          ('part'), ('region'), ('supplier')) AS t(table_name)
+    """,
+)
+def q121_catalog_tables(spark, sf_dir):
+    """S8 catalog listing end-to-end (reference: BaseX ``db:list`` /
+    Mongo ``listCollections``, basex_extension.ts:358-377): register the
+    fixture directory through the engine facade, list the catalog back
+    through ``SpatialSQLEngine.tables()``, and return the fixture-table
+    rows. Catalog metadata is inherently driver-side (the reference's
+    listing was a server round-trip the same way), so the 10-name list →
+    DataFrame is the surface under test, not a data collect. Filtered to
+    the fixture set because a shared session may carry other temp views
+    (e.g. q118's bucketed tables)."""
+    eng = SpatialSQLEngine(spark)
+    eng.register_parquet_dir(sf_dir)
+    names = sorted(n for n in set(eng.tables()) if n in TABLES)
+    return spark.createDataFrame([(n,) for n in names], ["table_name"])
 
 
 @query(

@@ -38,27 +38,40 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #
 # Maintenance rule (ADVICE r2): whenever a round's diff changes code a
 # verified query depends on, REMOVE that query here so the next driver
-# run re-verifies it. Round 3 removed q44/q45/q53 (geometry within/
-# intersects/contains rewrite: bbox prescreen), q65/q90/q91 (shingle df
-# cap + connected-components convergence rework) and q97 (round-order
-# fix); the events family and q58 are non-green, so they are not listed.
+# run re-verifies it — helpers count, not just direct rewrites
+# (VERDICT r3 #1). tests/test_registry.py now enforces this
+# automatically: every name listed here must carry an unchanged
+# source-fingerprint in operators/_verified_fingerprints.json, so a
+# diff touching a green query's module fails the suite until the query
+# is either re-exposed or its fingerprint deliberately re-recorded.
+#
+# Round 4 state: the r03 sweep turned every exposed row green (48/50;
+# union across rounds 117/119 green), so this set is the r01-r03 green
+# union MINUS three groups re-exposed for round 4:
+#   - staleness (VERDICT r3 #1): the spatial r02 block (q46-q52, q85,
+#     q94, q95, q98) riding on r3's _parse_series/load_table helper
+#     changes, and the oldest r1 relational block (q05-q15);
+#   - this round's diff: q44/q53 (within() tangency fix), q65/q66/q91
+#     (tracked_persist lifecycle), q99/q101/q102/q108/q114 (ingest
+#     scratch-dir rework + xml axis-order option), q118 (bucketed-write
+#     cleanup scheme guard);
+#   - never green: q58/q117 (now bounded-comparison oracles, VERDICT r3
+#     #6) and the new q121 catalog row.
+# The registry-entry release_tracked() hook wraps every query but is
+# result-invariant (unpersisting only drops cached blocks — lazy plans
+# recompute identically) and is itself exercised by all 50 r4 rows.
 # The cap itself belongs to the harness — see README.md "Driver
 # correctness window" for the note to the harness owner.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        # r01 greens, untouched since
+        # r01 greens (q05-q15 re-exposed for staleness)
         "q01_filter_pushdown", "q02_projection_pruning", "q03_select_star",
-        "q04_alias_expressions", "q05_where_and_or", "q06_in_list",
-        "q07_not_in_list", "q08_null_predicates", "q09_where_bool_literal",
-        "q10_between_range", "q11_join_inner_equi", "q12_join_theta",
-        "q13_join_left_outer", "q14_join_right_outer", "q15_join_full_outer",
+        "q04_alias_expressions",
         "q16_join_multiway", "q17_natural_join", "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists", "q20_lateral_explode", "q21_count_groupby",
         "q22_agg_global", "q23_agg_pricing_summary", "q24_having",
         "q25_distinct", "q26_rollup", "q27_orderby_limit_topk",
         "q28_union_all", "q29_intersect", "q31_window_rank",
-        # q30 removed: rewritten this round (was trivially empty at
-        # sf0.01 — nation EXCEPT supplier — now orders-without-lineitems)
         "q32_window_running_sum", "q33_subquery_from", "q34_scalar_subquery",
         "q35_correlated_exists", "q36_date_functions", "q37_mod_function",
         "q38_string_functions", "q39_case_expression", "q40_math_functions",
@@ -66,24 +79,37 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q54_cube", "q55_grouping_sets", "q56_pivot",
         "q57_count_distinct_multi",
         "q86_skew_salted_join", "q87_percentiles",
-        # r02 greens, untouched since
-        "q46_st_area_props", "q47_dwithin_pairs", "q48_distance_sphere_count",
-        "q49_st_asgeojson", "q50_st_geomfromtext", "q51_st_geomfromgeojson",
-        "q52_centroid_perimeter", "q59_st_geomfromgml_kml",
+        # r02 greens (spatial block re-exposed for staleness; q99-family
+        # and q65/q66/q91 re-exposed for this round's diff)
+        "q59_st_geomfromgml_kml",
         "q60_token_count", "q61_quality_score",
         "q64_dedup_exact",
-        # q62/q63/q66/q67/q68 removed: shuffle-elimination rewrites this
-        # round (in-row language-ID argmax, in-row fingerprint,
-        # candidate-driven verify, map-side word dedup)
         "q69_embedding_neardup",
         "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
-        # q73 removed: centroid model rebuilt as a constant-folded literal
-        # this round — re-exposed for driver re-check
         "q80_multimodal_metadata",
-        "q81_multimodal_features", "q82_frame_sample", "q85_st_extent_agg",
+        "q81_multimodal_features", "q82_frame_sample",
         "q88_levenshtein_neardup", "q92_hash_sample",
-        "q93_train_val_test_split", "q94_multipart_gml_ingest",
-        "q95_st_collect_agg", "q98_hull_envelope",
+        "q93_train_val_test_split",
+        # r03 greens, untouched by the r4 diff
+        "q30_except",
+        "q45_spatial_join_intersects",
+        "q62_language_id", "q63_fingerprint",
+        "q67_simhash", "q68_simhash_pairs",
+        "q73_ann_ivf_topk",
+        "q75_tumbling_window", "q76_sliding_window", "q77_sessionize",
+        "q78_keyed_dedup_first", "q79_json_props",
+        "q83_asof_join", "q84_range_join_banded",
+        "q89_gap_fill_spine", "q90_dedup_clusters",
+        "q96_event_attribution", "q97_knn_within_radius",
+        "q100_engine_rowset",
+        "q103_stratified_sample", "q104_language_quota",
+        "q105_mixture_weights", "q106_sequence_packing",
+        "q107_decontamination",
+        "q109_tfidf_top_terms", "q110_repetition_metrics",
+        "q111_centroid_outliers",
+        "q112_window_lag_lead", "q113_window_distribution",
+        "q115_ann_quantized_topk", "q116_trailing_range_window",
+        "q119_cohort_retention", "q120_event_funnel",
     }
 )
 
@@ -114,6 +140,8 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__doc__ = fn.__doc__
         wrapped.__name__ = fn.__name__
+        wrapped.__module__ = fn.__module__  # staleness fingerprints resolve
+        wrapped.__wrapped__ = fn  # the defining module, not the registry
         QUERIES[name] = RegisteredQuery(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 

@@ -1029,18 +1029,46 @@ def q57_count_distinct_multi(spark, sf_dir):
     )
 
 
-@query("q58_approx_count_distinct", oracle=None)
+@query(
+    "q58_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_order,
+           true AS supp_in_bound,
+           true AS order_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q58_approx_count_distinct(spark, sf_dir):
     """HLL++ approximate distinct (rsd 2%) — the single-pass, fixed-memory
     sketch that replaces exact distinct at 100 TB (exact needs a shuffle of
     every distinct value; the sketch merges map-side in O(kB) per group).
-    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
-    the driver runs the rows-only check; the companion
-    q57_count_distinct_multi pins down exact-distinct correctness."""
+
+    DuckDB cannot mirror the HLL++ estimate value, so the driver row is a
+    BOUNDED comparison (VERDICT r3 #6): the query returns the exact counts
+    (which the oracle mirrors) plus booleans asserting the estimate sits
+    within 3·rsd = 6% of exact — a sketch regression flips a boolean into
+    a hash mismatch. The exact aggregate here is the verification harness,
+    not the production path (at 100 TB you ship only the sketch);
+    tests/test_parity.py pins the tighter 5% bound on the raw estimates."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_order"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_orderkey").alias("n_order"),
+    )
+
+    def in_bound(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= 0.06 * F.col(e)
+
+    return agg.select(
+        "l_returnflag",
+        "n_supp",
+        "n_order",
+        in_bound("approx_supp", "n_supp").alias("supp_in_bound"),
+        in_bound("approx_order", "n_order").alias("order_in_bound"),
     )
 
 
@@ -1106,20 +1134,50 @@ def q87_percentiles(spark, sf_dir):
     )
 
 
-@query("q117_approx_percentiles", oracle=None)
+@query(
+    "q117_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           true AS p50_qty_in_bound,
+           true AS p90_qty_in_bound,
+           true AS p50_price_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q117_approx_percentiles(spark, sf_dir):
     """Approximate per-group percentiles (Greenwald-Khanna sketch,
     accuracy 10 000 → rank error ≤ 1/10 000) — the fixed-memory,
     map-side-mergeable swap for q87's exact percentile at 100 TB, the
-    same trade q58 makes for distinct counts. No oracle: DuckDB's
-    approx_quantile uses a different sketch, so the driver runs the
-    rows-only check; tests/test_parity.py bounds the estimates against
-    q87's exact values at <1 % relative error."""
+    same trade q58 makes for distinct counts.
+
+    Same bounded-comparison driver row as q58 (VERDICT r3 #6): DuckDB
+    cannot mirror the GK estimates, so the row carries the exact
+    percentiles (mirrored by quantile_cont, exactly as q87 hash-matches)
+    plus booleans asserting each estimate sits within 1% relative error
+    of exact. tests/test_parity.py pins the same bound on the raw
+    estimates."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("approx_percentile(l_quantity, 0.5D, 10000)"), 6).alias("ap50_qty"),
-        F.round(F.expr("approx_percentile(l_quantity, 0.9D, 10000)"), 6).alias("ap90_qty"),
-        F.round(F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 6).alias(
-            "ap50_price"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("e50_qty"),
+        F.expr("percentile(l_quantity, 0.9D)").alias("e90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("e50_price"),
+        F.expr("approx_percentile(l_quantity, 0.5D, 10000)").alias("a50_qty"),
+        F.expr("approx_percentile(l_quantity, 0.9D, 10000)").alias("a90_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("a50_price"),
+    )
+
+    def in_bound(a: str, e: str):
+        return F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
+
+    return agg.select(
+        "l_returnflag",
+        F.round("e50_qty", 6).alias("p50_qty"),
+        F.round("e90_qty", 6).alias("p90_qty"),
+        F.round("e50_price", 6).alias("p50_price"),
+        in_bound("a50_qty", "e50_qty").alias("p50_qty_in_bound"),
+        in_bound("a90_qty", "e90_qty").alias("p90_qty_in_bound"),
+        in_bound("a50_price", "e50_price").alias("p50_price_in_bound"),
     )

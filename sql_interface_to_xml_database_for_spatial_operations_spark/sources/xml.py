@@ -59,7 +59,7 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def _gml_geometry_to_wkt(el: ET.Element) -> str | None:
+def _gml_geometry_to_wkt(el: ET.Element, swap: bool = False) -> str | None:
     """Convert a GML/KML geometry element to WKT — one code path with the
     ST_GeomFromGML/KML UDFs (functions.geometry.geom_from_xml_element),
     so multi-part geometries (MultiPolygon, MultiGeometry, ...) convert
@@ -67,9 +67,12 @@ def _gml_geometry_to_wkt(el: ET.Element) -> str | None:
     (reference src/index.ts:44-63 via xml_extension.ts:283-308).
 
     GML ``pos``/``posList`` axis order is (lat lon) per EPSG:4326 in many
-    datasets, but the reference treats coordinates as-is; we do the same
-    (documented divergence: no axis swapping)."""
+    datasets; the reference treats coordinates as-is and so does the
+    default here, but ``swap`` (reader option ``axis_order="latlon"``)
+    normalizes latitude-first input to lon-lat WKT."""
     g = G.geom_from_xml_element(el)
+    if swap:
+        g = G.swap_axes(g)
     return G.to_wkt(g) if g is not None else None
 
 
@@ -91,7 +94,7 @@ def _collection_names(root: ET.Element) -> set[str]:
     return names
 
 
-def _element_to_value(el: ET.Element, collections: set[str]):
+def _element_to_value(el: ET.Element, collections: set[str], swap: bool = False):
     """Recursive XML element → JSON-able value, spark-xml conventions:
     attributes prefixed ``_``, text alongside attributes as ``_VALUE``,
     collection-shaped child names → list (the reference's
@@ -111,15 +114,15 @@ def _element_to_value(el: ET.Element, collections: set[str]):
         by_name.setdefault(_local(child.tag), []).append(child)
     for name, elems in by_name.items():
         if name in _GEOM_TAGS:
-            wkt = _gml_geometry_to_wkt(elems[0])
+            wkt = _gml_geometry_to_wkt(elems[0], swap=swap)
             out["geometry"] = wkt
             continue
-        vals = [_element_to_value(c, collections) for c in elems]
+        vals = [_element_to_value(c, collections, swap) for c in elems]
         out[name] = vals if (len(vals) > 1 or name in collections) else vals[0]
     return out
 
 
-def _rows_from_xml(content: str, row_tag: str | None) -> list[dict]:
+def _rows_from_xml(content: str, row_tag: str | None, swap: bool = False) -> list[dict]:
     """Extract row dicts from one XML document.
 
     Row path auto-detection mirrors the reference's namespace probe
@@ -142,7 +145,7 @@ def _rows_from_xml(content: str, row_tag: str | None) -> list[dict]:
             rows = placemarks if placemarks else list(root)
     out = []
     for el in rows:
-        val = _element_to_value(el, collections)
+        val = _element_to_value(el, collections, swap)
         if isinstance(val, dict):
             val["_feature_type"] = _local(el.tag)
             out.append(val)
@@ -154,6 +157,7 @@ def read_xml(
     path: str,
     row_tag: str | None = None,
     mode: str = "failfast",
+    axis_order: str = "asis",
 ) -> DataFrame:
     """Read GML/KML documents into a DataFrame (S1/S2 replacement).
 
@@ -162,9 +166,16 @@ def read_xml(
     ``failfast`` (default) raises on an unparseable document;
     ``permissive`` skips it and keeps the job alive — at 100 TB one
     corrupt file must not kill the ingest (DROPMALFORMED semantics;
-    emit a metrics row from the same hook if auditing is needed)."""
+    emit a metrics row from the same hook if auditing is needed).
+    ``axis_order``: ``"asis"`` (default — coordinates taken in document
+    order, matching the reference) or ``"latlon"`` (the document stores
+    latitude-first pairs, as GML 3 + EPSG:4326 prescribes; every
+    geometry is swapped to lon-lat WKT at parse time, VERDICT r3 #8)."""
     if mode not in ("failfast", "permissive"):
         raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    if axis_order not in ("asis", "latlon"):
+        raise ValueError(f"axis_order must be asis|latlon, got {axis_order!r}")
+    swap = axis_order == "latlon"
     files = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -172,7 +183,7 @@ def read_xml(
             lines = []
             for content in pdf["value"]:
                 try:
-                    rows = _rows_from_xml(content, row_tag)
+                    rows = _rows_from_xml(content, row_tag, swap)
                 except ET.ParseError:
                     if mode == "failfast":
                         raise

@@ -38,44 +38,62 @@ def test_entry_smoke(spark):
 
 
 def test_q58_approx_within_error_bound(spark):
-    """q58 has no DuckDB oracle (different sketch), but 'no oracle' must
-    not mean 'no check': the HLL++ estimate (rsd 2%) must sit within 5%
-    relative error of q57's exact distinct counts (VERDICT r1 item 6)."""
-    approx = {
-        r["l_returnflag"]: r
-        for r in QUERIES["q58_approx_count_distinct"].fn(spark, SF_DIR).collect()
-    }
+    """The HLL++ estimate (rsd 2%) must sit within 5% relative error of
+    the exact distinct counts (VERDICT r1 item 6) — tighter than the 6%
+    bound the q58 driver row itself asserts, and computed on the RAW
+    estimates (the registered query returns exact counts + in-bound
+    booleans for the DuckDB hash compare, VERDICT r3 #6)."""
     from pyspark.sql import functions as F
 
     from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
         load_table,
     )
 
-    exact = {
+    rows = {
         r["l_returnflag"]: r
         for r in load_table(spark, SF_DIR, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supp"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_order"),
             F.countDistinct("l_suppkey").alias("n_supp"),
             F.countDistinct("l_orderkey").alias("n_order"),
         )
         .collect()
     }
-    assert set(approx) == set(exact) and approx
-    for flag, a in approx.items():
-        e = exact[flag]
+    assert rows
+    for flag, r in rows.items():
         for acol, ecol in (("approx_supp", "n_supp"), ("approx_order", "n_order")):
-            rel = abs(a[acol] - e[ecol]) / e[ecol]
-            assert rel < 0.05, (flag, acol, a[acol], e[ecol], rel)
+            rel = abs(r[acol] - r[ecol]) / r[ecol]
+            assert rel < 0.05, (flag, acol, r[acol], r[ecol], rel)
+    # and the registered bounded-comparison row itself holds
+    for r in QUERIES["q58_approx_count_distinct"].fn(spark, SF_DIR).collect():
+        assert r["supp_in_bound"] and r["order_in_bound"], r
 
 
 def test_q117_approx_within_error_bound(spark):
-    """q117 has no DuckDB oracle (different quantile sketch), but the
-    GK estimates must sit within 1% relative error of q87's exact
-    percentiles (same no-oracle-still-checked policy as q58)."""
+    """The GK estimates must sit within 1% relative error of q87's exact
+    percentiles, computed on the RAW estimates (the registered query
+    returns exact percentiles + in-bound booleans for the DuckDB hash
+    compare, VERDICT r3 #6)."""
+    from pyspark.sql import functions as F
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
+        load_table,
+    )
+
     approx = {
         r["l_returnflag"]: r
-        for r in QUERIES["q117_approx_percentiles"].fn(spark, SF_DIR).collect()
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("approx_percentile(l_quantity, 0.5D, 10000)"), 6).alias("ap50_qty"),
+            F.round(F.expr("approx_percentile(l_quantity, 0.9D, 10000)"), 6).alias("ap90_qty"),
+            F.round(F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 6).alias(
+                "ap50_price"
+            ),
+        )
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r for r in QUERIES["q87_percentiles"].fn(spark, SF_DIR).collect()
@@ -89,3 +107,6 @@ def test_q117_approx_within_error_bound(spark):
             ("ap50_price", "p50_price"),
         ):
             assert abs(a[acol] - e[ecol]) <= 0.01 * abs(e[ecol]), (flag, acol, a[acol], e[ecol])
+    # and the registered bounded-comparison row itself holds
+    for r in QUERIES["q117_approx_percentiles"].fn(spark, SF_DIR).collect():
+        assert r["p50_qty_in_bound"] and r["p90_qty_in_bound"] and r["p50_price_in_bound"], r

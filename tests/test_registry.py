@@ -44,12 +44,44 @@ def test_exposure_is_a_permutation_of_registrations():
     assert set(oracle_queries()) <= set(QUERIES)
 
 
-def test_oracle_coverage_is_total_except_documented_rows_only():
+def test_oracle_coverage_is_total():
+    # q58/q117 carry bounded-comparison oracles since r4 (exact values +
+    # in-bound booleans), so every registered query has a DuckDB oracle
     rows_only = {n for n in QUERIES if QUERIES[n].oracle is None}
-    assert rows_only == {
-        "q58_approx_count_distinct",
-        "q117_approx_percentiles",
-    }, (
-        "every query needs a DuckDB oracle unless documented rows-only: "
-        f"{sorted(rows_only)}"
+    assert not rows_only, (
+        f"every query needs a DuckDB oracle: {sorted(rows_only)}"
+    )
+
+
+def test_verified_fingerprints_unchanged():
+    """Automated rotation hygiene (ADVICE r3): a query may only stay in
+    _DRIVER_VERIFIED while the source of its defining module and every
+    package module it transitively imports is byte-identical to what was
+    recorded when the set was last updated. A diff that touches a
+    verified query's code fails here until the author either RE-EXPOSES
+    the query (remove from _DRIVER_VERIFIED) or deliberately re-records
+    (python -m sql_interface_to_xml_database_for_spatial_operations_spark.staleness — a
+    visible act in the JSON's git diff, reserved for result-invariant
+    infra changes)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark import staleness
+
+    recorded = staleness.recorded_fingerprints()
+    current = staleness.current_fingerprints()
+    unrecorded = sorted(_DRIVER_VERIFIED - set(recorded))
+    assert not unrecorded, (
+        f"verified queries with no recorded fingerprint: {unrecorded}; "
+        "run python -m sql_interface_to_xml_database_for_spatial_operations_spark.staleness"
+    )
+    drifted = sorted(
+        n for n in _DRIVER_VERIFIED if current[n] != recorded[n]
+    )
+    assert not drifted, (
+        f"verified queries whose implementation changed since verification: "
+        f"{drifted}; re-expose them (remove from _DRIVER_VERIFIED) or, for "
+        "result-invariant infra changes, re-record fingerprints"
+    )
+    stale_entries = sorted(set(recorded) - _DRIVER_VERIFIED)
+    assert not stale_entries, (
+        f"fingerprints recorded for non-verified queries: {stale_entries}; "
+        "re-record to prune"
     )

@@ -105,6 +105,40 @@ def test_gml_nested_collection_explode(spark, gml_path):
     assert ("PKM Satu", "Andi") in got and ("PKM Satu", "Budi") in got and ("PKM Dua", "Cici") in got
 
 
+def test_read_xml_axis_order(spark, tmp_path):
+    """axis_order="latlon" (VERDICT r3 #8): a GML 3 / EPSG:4326 document
+    storing latitude-first pos pairs normalizes to lon-lat WKT; the
+    default stays as-is for reference parity (same doc, swapped result).
+    Multi-part geometries swap every pair."""
+    doc = """<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+      <gml:featureMember><city>
+        <name>Jakarta</name>
+        <gml:Point><gml:pos>-6.2 106.8</gml:pos></gml:Point>
+      </city></gml:featureMember>
+      <gml:featureMember><city>
+        <name>Box</name>
+        <gml:Polygon><gml:exterior><gml:LinearRing>
+          <gml:posList>-6 106 -6 107 -5 107 -5 106 -6 106</gml:posList>
+        </gml:LinearRing></gml:exterior></gml:Polygon>
+      </city></gml:featureMember>
+    </gml:FeatureCollection>"""
+    d = tmp_path / "latlon"
+    d.mkdir()
+    (d / "cities.gml").write_text(doc)
+    asis = {r["name"]: r["geometry"] for r in read_xml(spark, str(d)).collect()}
+    swapped = {
+        r["name"]: r["geometry"]
+        for r in read_xml(spark, str(d), axis_order="latlon").collect()
+    }
+    assert asis["Jakarta"] == "POINT (-6.2 106.8)"
+    assert swapped["Jakarta"] == "POINT (106.8 -6.2)"
+    assert swapped["Box"] == (
+        "POLYGON ((106 -6, 107 -6, 107 -5, 106 -5, 106 -6))"
+    )
+    with pytest.raises(ValueError):
+        read_xml(spark, str(d), axis_order="bogus")
+
+
 def test_read_kml_placemarks(spark, kml_path):
     df = read_xml(spark, kml_path)
     rows = {r["name"]: r for r in df.collect()}
