@@ -85,7 +85,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q60_token_count", "q61_quality_score",
         "q64_dedup_exact",
         "q69_embedding_neardup",
-        "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
+        # q70/q71/q72 re-exposed: similarity.py changed this round (q73
+        # literal-model revert) — their code paths are untouched, but the
+        # staleness rule is module-granular on purpose
         "q80_multimodal_metadata",
         "q81_multimodal_features", "q82_frame_sample",
         "q88_levenshtein_neardup", "q92_hash_sample",
@@ -95,7 +97,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q45_spatial_join_intersects",
         "q62_language_id", "q63_fingerprint",
         "q67_simhash", "q68_simhash_pairs",
-        "q73_ann_ivf_topk",
+        # q73 re-exposed: reverted to per-centroid expressions after the
+        # r4 n=3 A/B; q111/q115 re-exposed with it (same module)
         "q75_tumbling_window", "q76_sliding_window", "q77_sessionize",
         "q78_keyed_dedup_first", "q79_json_props",
         "q83_asof_join", "q84_range_join_banded",
@@ -106,9 +109,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q105_mixture_weights", "q106_sequence_packing",
         "q107_decontamination",
         "q109_tfidf_top_terms", "q110_repetition_metrics",
-        "q111_centroid_outliers",
         "q112_window_lag_lead", "q113_window_distribution",
-        "q115_ann_quantized_topk", "q116_trailing_range_window",
+        "q116_trailing_range_window",
         "q119_cohort_retention", "q120_event_funnel",
     }
 )

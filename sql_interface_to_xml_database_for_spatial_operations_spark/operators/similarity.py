@@ -126,6 +126,11 @@ N_CENTROIDS = 16
 NPROBE = 4
 
 
+def _lit_array_sql(vec) -> str:
+    """A SQL double-array literal for one centroid vector."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 @query(
     "q73_ann_ivf_topk",
     oracle=f"""
@@ -177,7 +182,13 @@ def q73_ann_ivf_topk(spark, sf_dir):
     MAP-ONLY projection: per row, argmax over 16 inlined-literal cosine
     scores — no shuffle touches the corpus until the final per-query
     top-k window. Queries probe their NPROBE=4 nearest centroids and
-    brute-force only those clusters — the recall/cost dial of IVF."""
+    brute-force only those clusters — the recall/cost dial of IVF.
+
+    The r3 single-literal-array-of-structs model form (scored by one
+    transform lambda) was REVERTED after an n=3 A/B at sf0.1 (VERDICT r3
+    #3): per-centroid expressions run 1.72 s min-of-3 vs 1.94-2.47 s for
+    the transform form — Catalyst codegens the 16 independent fold
+    expressions but interprets the higher-order transform per row."""
     import math
 
     e = _vectors(spark, sf_dir).select("vec_id", "v")
@@ -193,44 +204,26 @@ def q73_ann_ivf_topk(spark, sf_dir):
     # aggregate, so the quotient stays bit-identical to COSINE_SQL_EXPR
     vnorm = F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
 
+    def _dot_lit(cv) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(v, {_lit_array_sql(cv)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+
     def _cnorm(cv) -> float:
         acc = 0.0
         for x in cv:
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    # The centroid model enters the plan as ONE constant-foldable literal
-    # (array of (cv, cn, negcid) structs) scored by a single transform
-    # lambda — not 16 separately SQL-parsed 64-literal dot expressions,
-    # which cost more in parse + Janino compile time than the whole query
-    # spends on data. Fold order inside the transform matches
-    # COSINE_SQL_EXPR exactly (zip_with then left-fold sum).
-    model = F.array(
-        *[
-            F.struct(
-                F.lit(cv).alias("cv"),
-                F.lit(_cnorm(cv)).alias("cn"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-
     def scored_array(vnorm_col):
-        return F.transform(
-            model,
-            lambda m: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(F.col("v"), m["cv"], lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (vnorm_col * m["cn"]),
-                    6,
-                ).alias("s"),
-                m["negcid"].alias("negcid"),
-            ),
+        return F.array(
+            *[
+                F.struct(
+                    F.round(_dot_lit(cv) / (vnorm_col * F.lit(_cnorm(cv))), 6).alias("s"),
+                    F.lit(-cid).alias("negcid"),
+                )
+                for cid, cv in cents
+            ]
         )
 
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).withColumn("vnorm", vnorm)
