@@ -20,3 +20,4 @@ def load_all() -> None:
     from . import pipeline  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import ingest  # noqa: F401
+    from . import relations_ops  # noqa: F401

@@ -42,9 +42,10 @@ def get_spark(app_name: str = "spatial-sql-engine", cpus: str | None = None) -> 
         # --- Python boundary: always Arrow, never per-row ----------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects by default; read as long and convert in the loader
-        # (sources.tables.load_table truncates to micros like DuckDB does).
+        # Older testdata generations carry events.ts as TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects by default; read as long and
+        # convert in the loader (sources.tables.load_table normalizes both
+        # the nanos-long and TIMESTAMP_NTZ-micros generations).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast joins for dimension tables (explicit hints added too).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

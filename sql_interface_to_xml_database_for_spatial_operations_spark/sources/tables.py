@@ -33,24 +33,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied downstream reach
     the parquet reader via Catalyst (check ``PushedFilters`` in explain).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
-    truncate to microseconds (integer ``div`` — same ns→µs truncation
-    DuckDB applies), restoring a proper timestamp column.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations, both normalized here to a plain TIMESTAMP (LTZ) column so
+    every downstream operator sees one type:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      arrives as a long that we truncate to microseconds (integer ``div``
+      — same ns→µs truncation DuckDB applies);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ, which functions like ``unix_micros`` reject. Cast to
+      TIMESTAMP. The cast applies the session timezone, but no query emits
+      absolute epoch numbers — ``unix_micros`` feeds only relative
+      arithmetic (bucketing, gaps, range frames, ordering) and formatted
+      output renders back through the same session zone — so results are
+      timezone-invariant either way.
 
     The nanos conf is set here at runtime (it is runtime-settable) rather
     than only in ``session.get_spark``: callers such as the round driver
     supply their own vanilla SparkSession, which would otherwise die with
-    ``PARQUET_TYPE_ILLEGAL`` on the TIMESTAMP(NANOS) events file."""
+    ``PARQUET_TYPE_ILLEGAL`` on a TIMESTAMP(NANOS) events file."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

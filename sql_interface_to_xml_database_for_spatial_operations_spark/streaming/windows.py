@@ -22,8 +22,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical schema of events.parquet (ts is TIMESTAMP(NANOS) read as long
-# under nanosAsLong — converted to a proper timestamp below).
+# Reference physical schema of events.parquet in its TIMESTAMP(NANOS)
+# generation (ts read as long under nanosAsLong). Newer testdata ships ts
+# as TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ;
+# ``read_events_stream`` probes the actual footer schema and normalizes
+# either form, mirroring ``sources.tables.load_table``.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -38,9 +41,24 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet (one file = one micro-batch
-    unit; ``maxFilesPerTrigger`` shapes batch size in production)."""
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    unit; ``maxFilesPerTrigger`` shapes batch size in production).
+
+    File streams require an explicit schema; it is probed from the
+    existing files' parquet footers (a driver-side metadata read, not a
+    data scan) so both testdata generations of ``ts`` work — long nanos
+    under ``nanosAsLong`` and TIMESTAMP_NTZ micros — normalized to a
+    plain TIMESTAMP exactly like the batch loader."""
+    from pyspark.sql.types import TimestampNTZType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(str(path)).schema
+    raw = spark.readStream.schema(batch_schema).parquet(str(path))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:

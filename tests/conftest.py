@@ -18,6 +18,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark import (  # noqa
     get_spark,
     register_spatial_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (  # noqa: E402
+    register_relation_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -29,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark("tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     register_spatial_functions(s)
+    register_relation_functions(s)
     yield s
 
 

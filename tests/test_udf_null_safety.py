@@ -9,9 +9,17 @@ import math
 
 import pytest
 
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+    ALL_RELATION_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
+
+# Relation predicates (st_touches etc.) are binary WKT→bool like
+# st_within; the default (S, S) / junk-junk argument builders below cover
+# them without per-name entries.
+_SWEPT = {**ALL_FUNCTIONS, **ALL_RELATION_FUNCTIONS}
 
 D = "CAST(NULL AS DOUBLE)"
 S = "CAST(NULL AS STRING)"
@@ -27,17 +35,22 @@ _NULL_ARGS = {
     "st_contains": f"{S}, {S}",
     "st_intersects": f"{S}, {S}",
     "st_dwithin": f"{S}, {S}, {D}",
+    "st_touches": f"{S}, {S}",
+    "st_disjoint": f"{S}, {S}",
+    "st_equals": f"{S}, {S}",
+    "st_overlaps": f"{S}, {S}",
+    "st_crosses": f"{S}, {S}",
 }
 
 
-@pytest.mark.parametrize("name", sorted(ALL_FUNCTIONS))
+@pytest.mark.parametrize("name", sorted(_SWEPT))
 def test_null_input_yields_null(spark, name):
     args = _NULL_ARGS.get(name, S)
     val = spark.sql(f"SELECT {name}({args}) AS v").collect()[0]["v"]
     assert val is None or (isinstance(val, float) and math.isnan(val)), (name, val)
 
 
-@pytest.mark.parametrize("name", sorted(ALL_FUNCTIONS))
+@pytest.mark.parametrize("name", sorted(_SWEPT))
 def test_malformed_wkt_yields_null_not_crash(spark, name):
     junk = "'POLYGON garbage (('"
     args = _NULL_ARGS.get(name, junk).replace(S, junk)
