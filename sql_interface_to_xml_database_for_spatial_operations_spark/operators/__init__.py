@@ -21,3 +21,4 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import ingest  # noqa: F401
     from . import relations_ops  # noqa: F401
+    from . import streaming_ops  # noqa: F401

@@ -1,0 +1,142 @@
+"""Driver-checkable end-to-end run of the incremental streaming path.
+
+q75-q79 verify the *batch analogs* of the streaming operators; this module
+registers a query that runs the actual ``streaming/windows.py`` watermarked
+tumbling aggregation as a Structured Streaming job — file-source
+micro-batches, append output mode, watermark-driven finalization — into a
+memory sink, and exposes the result to the driver's DuckDB comparison
+(VERDICT r4 item 7: prove the watermark path in the driver gate, not just
+pytest).
+
+How the stream result becomes batch-equal (and therefore oracle-checkable):
+
+1. Events are staged into three time-banded files plus one far-future
+   sentinel event file, with ascending modification times so the file
+   source (``maxFilesPerTrigger=1``) replays them in time order — a
+   faithful miniature of a historical backfill.
+2. In append mode a window emits only once the watermark passes its end.
+   The watermark is derived from *seen* event time, so without the
+   sentinel the last window(s) would still be open (unemitted) when
+   available data runs out. The sentinel pushes the final watermark past
+   every real window's end; the engine's closing no-data micro-batch
+   (``spark.sql.streaming.noDataMicroBatches.enabled``, on by default;
+   behavior pinned by tests/test_streaming.py
+   ``test_watermark_finalization_append_mode``) then emits them all.
+3. The sentinel's own window never closes, so it never reaches the sink:
+   the appended rows are exactly the batch tumbling aggregation over the
+   real events — which is the DuckDB oracle.
+
+Scale: this is the identical graph a 100 TB replay would run —
+``availableNow`` over a file listing, per-file micro-batches, state
+bounded by (watermark + window) per key — just pointed at three staged
+files. Staging writes through Spark (no driver-side materialization of
+the table); only the 1-row sentinel is created driver-side.
+
+Reference parity: the reference has no streaming surface at all
+(SURVEY.md §2.9 — beyond-reference); semantics follow the public
+Structured Streaming contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming.windows import read_events_stream, tumbling_counts
+from .registry import query
+
+_RUN_IDS = count()
+
+_Q123_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@query("q123_stream_tumbling_e2e", oracle=_Q123_ORACLE)
+def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts computed BY THE STREAMING ENGINE
+    (file-source micro-batches → append mode → memory sink) over the
+    events table, equal to the batch/DuckDB aggregation once the sentinel
+    advances the final watermark past every real window."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+
+    run = f"q123_{os.getpid()}_{next(_RUN_IDS)}"
+    stage = tempfile.mkdtemp(prefix=f"{run}_src_")
+    ckpt = tempfile.mkdtemp(prefix=f"{run}_ckpt_")
+    try:
+        # Three contiguous time bands -> three micro-batches in time order.
+        span = (hi - lo) / 3
+        bounds = [lo, lo + span, lo + 2 * span]
+        for i, start in enumerate(bounds):
+            band = events.filter(F.col("ts") >= F.lit(start))
+            if i < 2:
+                band = band.filter(F.col("ts") < F.lit(bounds[i + 1]))
+            band.coalesce(1).write.parquet(f"{stage}/b{i}")
+            _promote(stage, f"b{i}", f"f{i}.parquet", mtime=1_000_000 + i)
+        # Sentinel: one event far past max(ts) + watermark + window, so the
+        # closing watermark exceeds every real window end. Its own window
+        # never finalizes, so it never appears in the sink.
+        sentinel = spark.createDataFrame(
+            [(-1, "sentinel", -1)], "event_id long, event_type string, user_id long"
+        ).select(
+            "event_id",
+            (F.lit(hi) + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        sentinel.coalesce(1).write.parquet(f"{stage}/bs")
+        _promote(stage, "bs", "f3.parquet", mtime=1_000_000 + 3)
+
+        stream = tumbling_counts(
+            read_events_stream(spark, stage), window="1 hour", watermark="1 hour"
+        )
+        handle = (
+            stream.writeStream.format("memory")
+            .queryName(run)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination(300)
+        if handle.isActive:  # pragma: no cover - hung stream safety valve
+            handle.stop()
+            raise RuntimeError("q123 stream did not finish within 300s")
+        # Memory-sink rows live on the driver; the staged files and
+        # checkpoint are no longer needed once the query terminates.
+        return spark.table(run).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _promote(stage: str, subdir: str, name: str, mtime: int) -> None:
+    """Move the single part-file of a 1-partition write up into the stream
+    source dir under a stable name with a controlled modification time
+    (the file source orders discovery by mtime)."""
+    part = next(
+        f for f in os.listdir(f"{stage}/{subdir}") if f.endswith(".parquet")
+    )
+    os.rename(f"{stage}/{subdir}/{part}", f"{stage}/{name}")
+    shutil.rmtree(f"{stage}/{subdir}", ignore_errors=True)
+    os.utime(f"{stage}/{name}", (mtime, mtime))
