@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.relations import register_relation_functions
 from .functions.spatial import register_spatial_functions
+from .functions.union_ops import register_union_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -44,6 +45,7 @@ class SpatialSQLEngine:
     def __post_init__(self) -> None:
         register_spatial_functions(self.spark)
         register_relation_functions(self.spark)
+        register_union_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------
     def register_parquet_dir(self, sf_dir: str) -> None:

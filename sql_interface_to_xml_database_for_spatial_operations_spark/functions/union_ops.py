@@ -1,0 +1,344 @@
+"""ST_Union — PostGIS's dissolving union, scalar and aggregate form.
+
+The reference forwards unknown PostGIS names straight to PostGIS
+(reference src/index.ts:44-63), so ``ST_Union`` is part of its accepted
+SQL surface (SURVEY.md §2.6 F12); VERDICT r4 item 5 flagged it as the
+last common PostGIS name missing here. This module implements the
+dissolve over the WKT geometry model of ``geometry.py``:
+
+- **Axis-aligned rectangle parts** (every polygon in the fixture world:
+  nation/region boxes, envelopes, buffers of points) are unioned
+  EXACTLY: coordinate-compress the rectangle corners into a grid, mark
+  covered cells, then trace the covered-region boundary with the
+  interior kept on the walk's left. Exterior rings come out CCW and
+  holes CW, so ring roles fall out of the signed area — a box frame
+  built from four overlapping rectangles yields a polygon WITH its hole.
+  All arithmetic is comparisons and copies of input coordinates (the
+  only derived values are edge midpoints used for hole assignment), so
+  integer-valued inputs produce bit-exact output.
+- **Non-rectangular parts** are pruned when covered by another part
+  (``geometry.within``) and otherwise appended undissolved. The result
+  is always the correct point set; for *partially overlapping*
+  non-rectangular polygons the overlap is represented as stacked parts,
+  so downstream ``st_area`` would double-count — documented divergence
+  from PostGIS (which re-nodes), chosen over shipping a half-trusted
+  general clipper. Points/lines union by dedup + covered-by-polygon
+  pruning, GeometryCollection when dimensions stay mixed.
+
+Scale shape (SCALE.md "st_union"): the aggregate is exposed as the
+scalar ``st_union_all(array<wkt>)`` so ``collect_list`` does the
+grouping — but the registered query (operators/union_agg.py) does NOT
+ship every geometry to its group: a ``mapInPandas`` pass first unions
+each *partition's* geometries per key (PostGIS "cascaded union" done as
+map-side partial aggregation), so the shuffle carries one partial
+geometry per (partition, key) instead of one row per input geometry.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from .geometry import Geometry
+
+Pt = tuple[float, float]
+
+# ---------------------------------------------------------------------------
+# part decomposition
+# ---------------------------------------------------------------------------
+
+
+def _flatten(g: Geometry) -> list[Geometry]:
+    """Simple (non-multi) parts, recursively through collections."""
+    if g.kind == "MultiPoint":
+        return [Geometry("Point", p) for p in g.coords]
+    if g.kind == "MultiLineString":
+        return [Geometry("LineString", line) for line in g.coords]
+    if g.kind == "MultiPolygon":
+        return [Geometry("Polygon", rings) for rings in g.coords]
+    if g.kind == "GeometryCollection":
+        return [p for sub in g.coords for p in _flatten(sub)]
+    return [g]
+
+
+def _as_rect(g: Geometry) -> tuple[float, float, float, float] | None:
+    """(x0, y0, x1, y1) iff ``g`` is a hole-free axis-aligned rectangle
+    with positive area (vertex order / orientation irrelevant)."""
+    if g.kind != "Polygon" or len(g.coords) != 1:
+        return None
+    ring = g.coords[0]
+    if len(ring) != 5 or ring[0] != ring[-1]:
+        return None
+    xs = {p[0] for p in ring}
+    ys = {p[1] for p in ring}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        if ax != bx and ay != by:  # diagonal edge
+            return None
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    if x0 == x1 or y0 == y1:
+        return None
+    return (x0, y0, x1, y1)
+
+
+# ---------------------------------------------------------------------------
+# exact rectilinear union
+# ---------------------------------------------------------------------------
+
+
+def _rect_union_polys(rects: list[tuple[float, float, float, float]]) -> list[list[list[Pt]]]:
+    """Dissolve axis-aligned rectangles into polygons (exterior ring
+    first, then holes; rings closed). Grid size is O(n²) cells for n
+    rectangles — fine because callers bound n (per-batch partial unions,
+    then one final union of partials; see module docstring)."""
+    xs = sorted({r[0] for r in rects} | {r[2] for r in rects})
+    ys = sorted({r[1] for r in rects} | {r[3] for r in rects})
+    nx, ny = len(xs) - 1, len(ys) - 1
+    covered = [[False] * ny for _ in range(nx)]
+    for x0, y0, x1, y1 in rects:
+        for i in range(bisect_left(xs, x0), bisect_left(xs, x1)):
+            for j in range(bisect_left(ys, y0), bisect_left(ys, y1)):
+                covered[i][j] = True
+
+    # Directed boundary edges with the covered region on the LEFT of the
+    # walk: exteriors trace CCW, holes CW.
+    edges: list[tuple[Pt, Pt]] = []
+    for i in range(nx + 1):  # vertical grid lines x = xs[i]
+        for j in range(ny):
+            west = covered[i - 1][j] if i > 0 else False
+            east = covered[i][j] if i < nx else False
+            if east and not west:  # interior to the east → walk south
+                edges.append(((xs[i], ys[j + 1]), (xs[i], ys[j])))
+            elif west and not east:  # interior to the west → walk north
+                edges.append(((xs[i], ys[j]), (xs[i], ys[j + 1])))
+    for j in range(ny + 1):  # horizontal grid lines y = ys[j]
+        for i in range(nx):
+            south = covered[i][j - 1] if j > 0 else False
+            north = covered[i][j] if j < ny else False
+            if north and not south:  # interior to the north → walk east
+                edges.append(((xs[i], ys[j]), (xs[i + 1], ys[j])))
+            elif south and not north:  # interior to the south → walk west
+                edges.append(((xs[i + 1], ys[j]), (xs[i], ys[j])))
+
+    out: dict[Pt, list[Pt]] = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+
+    def turn_pref(d_in: Pt, d_out: Pt) -> int:
+        """Left turn < straight < right turn < U-turn: keeps rings that
+        meet at a checkerboard corner separated instead of figure-8'd."""
+        cross = d_in[0] * d_out[1] - d_in[1] * d_out[0]
+        dot = d_in[0] * d_out[0] + d_in[1] * d_out[1]
+        if cross > 0:
+            return 0
+        if cross == 0:
+            return 1 if dot > 0 else 3
+        return 2
+
+    rings: list[tuple[list[Pt], Pt]] = []  # (closed raw ring, sample point)
+    for a, b in edges:
+        if b not in out.get(a, ()):  # already consumed
+            continue
+        out[a].remove(b)
+        ring = [a, b]
+        # Sample point for hole assignment: midpoint of the first RAW
+        # edge — strictly between adjacent grid coordinates, so a
+        # horizontal ray through it never meets a grid vertex.
+        sample = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        while ring[-1] != ring[0]:
+            cur, prev = ring[-1], ring[-2]
+            d_in = (cur[0] - prev[0], cur[1] - prev[1])
+            nxt = min(
+                out[cur],
+                key=lambda c: turn_pref(d_in, (c[0] - cur[0], c[1] - cur[1])),
+            )
+            out[cur].remove(nxt)
+            ring.append(nxt)
+        rings.append((ring, sample))
+
+    def simplify(ring: list[Pt]) -> list[Pt]:
+        """Merge collinear runs; input closed, output closed."""
+        pts = ring[:-1]
+        keep = []
+        n = len(pts)
+        for k in range(n):
+            p0, p1, p2 = pts[k - 1], pts[k], pts[(k + 1) % n]
+            if (p1[0] - p0[0]) * (p2[1] - p1[1]) != (p1[1] - p0[1]) * (p2[0] - p1[0]):
+                keep.append(p1)
+        return keep + [keep[0]]
+
+    def signed_area(ring: list[Pt]) -> float:
+        s = 0.0
+        for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+            s += ax * by - bx * ay
+        return s / 2.0
+
+    def in_ring(p: Pt, ring: list[Pt]) -> bool:
+        """Even-odd horizontal ray cast. Callers guarantee p.y is never a
+        vertex y of ``ring`` (sample points sit between grid lines)."""
+        px, py = p
+        inside = False
+        for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+            if ax == bx and ax > px and min(ay, by) < py < max(ay, by):
+                inside = not inside
+        return inside
+
+    exteriors: list[tuple[list[Pt], float]] = []
+    holes: list[tuple[list[Pt], Pt]] = []
+    for ring, sample in rings:
+        slim = simplify(ring)
+        a = signed_area(slim)
+        if a > 0:
+            exteriors.append((slim, a))
+        else:
+            holes.append((slim, sample))
+
+    polys: list[list[list[Pt]]] = [[ext] for ext, _ in exteriors]
+    for hole, sample in holes:
+        candidates = [
+            (area, idx)
+            for idx, (ext, area) in enumerate(exteriors)
+            if in_ring(sample, ext)
+        ]
+        _, idx = min(candidates)  # smallest containing exterior = direct parent
+        polys[idx].append(hole)
+    return polys
+
+
+# ---------------------------------------------------------------------------
+# general union
+# ---------------------------------------------------------------------------
+
+
+def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
+    """Union of a list of geometries (nulls skipped, like a SQL
+    aggregate). See module docstring for exactness boundaries."""
+    parts = [p for g in geoms if g is not None for p in _flatten(g)]
+    if not parts:
+        return None
+
+    rects: list[tuple[float, float, float, float]] = []
+    other_polys: list[Geometry] = []
+    lines: list[Geometry] = []
+    points: list[Geometry] = []
+    for p in parts:
+        if p.kind == "Polygon":
+            r = _as_rect(p)
+            if r is not None:
+                rects.append(r)
+            else:
+                other_polys.append(p)
+        elif p.kind == "LineString":
+            lines.append(p)
+        elif p.kind == "Point":
+            points.append(p)
+
+    poly_parts: list[Geometry] = [
+        Geometry("Polygon", rings) for rings in _rect_union_polys(sorted(set(rects)))
+    ] if rects else []
+    poly_parts.extend(other_polys)
+
+    # Prune parts covered by another part (first survivor wins on ties,
+    # so duplicate parts collapse to one).
+    kept: list[Geometry] = []
+    for i, p in enumerate(poly_parts):
+        covered = any(
+            G.within(p, q) for j, q in enumerate(poly_parts) if j != i and (j < i or not G.within(q, p))
+        )
+        if not covered:
+            kept.append(p)
+
+    poly_geom: Geometry | None = None
+    if len(kept) == 1:
+        poly_geom = kept[0]
+    elif kept:
+        poly_geom = Geometry("MultiPolygon", [p.coords for p in kept])
+
+    def uncovered(g: Geometry) -> bool:
+        return poly_geom is None or not G.within(g, poly_geom)
+
+    kept_lines = []
+    seen_l: set[tuple] = set()
+    for line in lines:
+        key = tuple(line.coords)
+        if key not in seen_l and uncovered(line):
+            seen_l.add(key)
+            kept_lines.append(line)
+    kept_points = []
+    seen_p: set[Pt] = set()
+    for pt in points:
+        if pt.coords not in seen_p and uncovered(pt) and not any(
+            G.within(pt, line) for line in kept_lines
+        ):
+            seen_p.add(pt.coords)
+            kept_points.append(pt)
+
+    pieces: list[Geometry] = []
+    if poly_geom is not None:
+        pieces.append(poly_geom)
+    if kept_lines:
+        pieces.append(
+            kept_lines[0]
+            if len(kept_lines) == 1
+            else Geometry("MultiLineString", [line.coords for line in kept_lines])
+        )
+    if kept_points:
+        pieces.append(
+            kept_points[0]
+            if len(kept_points) == 1
+            else Geometry("MultiPoint", [pt.coords for pt in kept_points])
+        )
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return pieces[0]
+    return Geometry("GeometryCollection", pieces)
+
+
+def union_wkts(wkts) -> str | None:
+    geoms = [G.parse_wkt(w) for w in wkts if w is not None and not pd.isna(w)]
+    g = union_geoms(geoms)
+    return G.to_wkt(g) if g is not None else None
+
+
+# ---------------------------------------------------------------------------
+# UDF surface
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def st_union(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Binary ST_Union. PostGIS semantics for NULLs: union with NULL is
+    the other geometry (aggregate-style), NULL only when both are."""
+    out = []
+    for x, y in zip(a, b):
+        out.append(union_wkts([x, y]))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_union_all(arr: pd.Series) -> pd.Series:
+    """ST_Union aggregate form, over a collected array of WKTs:
+    ``st_union_all(collect_list(geom))``. NULL/empty arrays → NULL."""
+    return pd.Series(
+        [None if a is None else union_wkts(list(a)) for a in arr], dtype=object
+    )
+
+
+ALL_UNION_FUNCTIONS = {
+    "st_union": st_union,
+    "st_union_all": st_union_all,
+}
+
+
+def register_union_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_UNION_FUNCTIONS.items():
+        spark.udf.register(name, fn)

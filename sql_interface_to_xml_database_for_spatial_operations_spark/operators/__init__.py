@@ -22,3 +22,4 @@ def load_all() -> None:
     from . import ingest  # noqa: F401
     from . import relations_ops  # noqa: F401
     from . import streaming_ops  # noqa: F401
+    from . import union_agg  # noqa: F401

@@ -1,0 +1,159 @@
+"""ST_Union aggregate driver query (F12 remainder, VERDICT r4 item 5).
+
+``functions/union_ops.py`` holds the dissolve; this module registers the
+driver-checkable aggregate query over the nation-box fixture
+(spatial_ops.nation_boxes — overlapping, touching, and duplicated
+axis-aligned boxes, so the dissolve is non-trivial in every group).
+
+Scale shape — PostGIS "cascaded union" as map-side partial aggregation:
+
+1. ``mapInPandas`` unions each *partition's* boxes per group key first,
+   so the shuffle carries one partial geometry (plus its input count)
+   per (partition, group) instead of one row per geometry. At 100 TB
+   this is the difference between shuffling the dataset and shuffling
+   ~(#partitions × #groups) rows.
+2. ``groupBy(key).agg(collect_list(partial))`` then one
+   ``st_union_all`` call dissolves the partials per group. The final
+   union input is bounded by the partition count, not the data size.
+3. Metrics (area / perimeter / bbox) come from the single union WKT via
+   the vectorized spatial UDFs.
+
+Oracle: exact grid decomposition in DuckDB SQL — compress each group's
+box corners into x/y intervals, mark a cell covered when some box spans
+it, then union area = Σ covered-cell areas and perimeter = Σ covered-cell
+edges whose neighbor cell is uncovered (computed with self-joins on the
+aligned intervals). Every value is sums/products of integer-valued
+doubles, so both sides are bit-exact; what is actually under test is the
+rectilinear dissolve's ring tracing (area wrong if cells are mis-merged,
+perimeter wrong if rings are mis-traced, e.g. a dropped hole shows up as
+missing perimeter but unchanged bbox).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_BOXES_SQL = """
+    SELECT n_regionkey AS g,
+           (n_nationkey % 12) * 30.0 - 180.0 AS x0,
+           ((n_nationkey * 7) % 8) * 20.0 - 80.0 AS y0,
+           (n_nationkey % 12) * 30.0 - 180.0 + 30.0 + (n_nationkey % 3) * 15.0 AS x1,
+           ((n_nationkey * 7) % 8) * 20.0 - 80.0 + 20.0 + (n_nationkey % 2) * 10.0 AS y1
+    FROM nation
+"""
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.spatial import register_spatial_functions
+    from ..functions.union_ops import register_union_functions
+
+    register_spatial_functions(spark)
+    register_union_functions(spark)
+
+
+def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-batch per-group partial union (stage 1 of the cascade)."""
+    from ..functions.union_ops import union_wkts
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        agg = pdf.groupby("g")["wkt"].agg(list)
+        yield pd.DataFrame(
+            {
+                "g": agg.index,
+                "wkt": [union_wkts(ws) for ws in agg.values],
+                "n": pdf.groupby("g").size().reindex(agg.index).values,
+            }
+        )
+
+
+@query(
+    "q124_st_union_agg",
+    oracle=f"""
+    WITH b AS ({_BOXES_SQL}),
+    xs AS (SELECT DISTINCT g, x0 AS x FROM b UNION SELECT DISTINCT g, x1 FROM b),
+    xi AS (SELECT g, x AS xa, lead(x) OVER (PARTITION BY g ORDER BY x) AS xb FROM xs),
+    ys AS (SELECT DISTINCT g, y0 AS y FROM b UNION SELECT DISTINCT g, y1 FROM b),
+    yi AS (SELECT g, y AS ya, lead(y) OVER (PARTITION BY g ORDER BY y) AS yb FROM ys),
+    cells AS (
+      SELECT xi.g, xa, xb, ya, yb FROM xi JOIN yi ON xi.g = yi.g
+      WHERE xb IS NOT NULL AND yb IS NOT NULL
+    ),
+    cov AS (
+      SELECT DISTINCT c.g, c.xa, c.xb, c.ya, c.yb
+      FROM cells c JOIN b
+        ON b.g = c.g AND b.x0 <= c.xa AND b.x1 >= c.xb
+       AND b.y0 <= c.ya AND b.y1 >= c.yb
+    ),
+    metrics AS (
+      SELECT c.g,
+             sum((c.xb - c.xa) * (c.yb - c.ya)) AS union_area,
+             sum(CASE WHEN w.g IS NULL THEN c.yb - c.ya ELSE 0 END
+               + CASE WHEN e.g IS NULL THEN c.yb - c.ya ELSE 0 END
+               + CASE WHEN s.g IS NULL THEN c.xb - c.xa ELSE 0 END
+               + CASE WHEN n2.g IS NULL THEN c.xb - c.xa ELSE 0 END) AS perimeter
+      FROM cov c
+      LEFT JOIN cov w  ON w.g = c.g AND w.xb = c.xa AND w.ya = c.ya
+      LEFT JOIN cov e  ON e.g = c.g AND e.xa = c.xb AND e.ya = c.ya
+      LEFT JOIN cov s  ON s.g = c.g AND s.yb = c.ya AND s.xa = c.xa
+      LEFT JOIN cov n2 ON n2.g = c.g AND n2.ya = c.yb AND n2.xa = c.xa
+      GROUP BY c.g
+    ),
+    inputs AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_boxes,
+             min(x0) AS minx, min(y0) AS miny,
+             max(x1) AS maxx, max(y1) AS maxy
+      FROM b GROUP BY g
+    )
+    SELECT i.g AS n_regionkey, i.n_boxes, m.union_area, m.perimeter,
+           i.minx, i.miny, i.maxx, i.maxy
+    FROM inputs i JOIN metrics m ON i.g = m.g
+    """,
+)
+def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union as a grouped aggregate: dissolve each region's nation
+    boxes into one geometry, then measure it. Two-level cascade (module
+    docstring): partition-local partial unions via mapInPandas, then one
+    final union of partials per group."""
+    _ensure_udfs(spark)
+    n = load_table(spark, sf_dir, "nation")
+    minx = (F.col("n_nationkey") % 12) * 30.0 - 180.0
+    miny = (F.col("n_nationkey") * 7 % 8) * 20.0 - 80.0
+    maxx = minx + 30.0 + (F.col("n_nationkey") % 3) * 15.0
+    maxy = miny + 20.0 + (F.col("n_nationkey") % 2) * 10.0
+    boxes = n.select(
+        F.col("n_regionkey").alias("g"),
+        F.call_function(
+            "st_makeenvelope",
+            minx.cast("double"),
+            miny.cast("double"),
+            maxx.cast("double"),
+            maxy.cast("double"),
+        ).alias("wkt"),
+    )
+    partials = boxes.mapInPandas(_partial_union, schema="g long, wkt string, n long")
+    unions = (
+        partials.groupBy("g")
+        .agg(
+            F.sum("n").alias("n_boxes"),
+            F.expr("st_union_all(collect_list(wkt))").alias("uwkt"),
+        )
+    )
+    return unions.select(
+        F.col("g").alias("n_regionkey"),
+        "n_boxes",
+        F.expr("st_area(uwkt)").alias("union_area"),
+        F.expr("st_length(uwkt)").alias("perimeter"),
+        F.expr("st_xmin(uwkt)").alias("minx"),
+        F.expr("st_ymin(uwkt)").alias("miny"),
+        F.expr("st_xmax(uwkt)").alias("maxx"),
+        F.expr("st_ymax(uwkt)").alias("maxy"),
+    )

@@ -21,6 +21,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark import (  # noqa
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (  # noqa: E402
     register_relation_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (  # noqa: E402
+    register_union_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -33,6 +36,7 @@ def spark():
     s = get_spark("tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     register_spatial_functions(s)
     register_relation_functions(s)
+    register_union_functions(s)
     yield s
 
 

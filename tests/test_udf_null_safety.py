@@ -15,11 +15,14 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relati
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (
+    ALL_UNION_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
 # them without per-name entries.
-_SWEPT = {**ALL_FUNCTIONS, **ALL_RELATION_FUNCTIONS}
+_SWEPT = {**ALL_FUNCTIONS, **ALL_RELATION_FUNCTIONS, **ALL_UNION_FUNCTIONS}
 
 D = "CAST(NULL AS DOUBLE)"
 S = "CAST(NULL AS STRING)"
@@ -40,6 +43,8 @@ _NULL_ARGS = {
     "st_equals": f"{S}, {S}",
     "st_overlaps": f"{S}, {S}",
     "st_crosses": f"{S}, {S}",
+    "st_union": f"{S}, {S}",
+    "st_union_all": "CAST(NULL AS ARRAY<STRING>)",
 }
 
 
