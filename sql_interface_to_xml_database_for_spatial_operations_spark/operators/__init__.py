@@ -23,3 +23,4 @@ def load_all() -> None:
     from . import relations_ops  # noqa: F401
     from . import streaming_ops  # noqa: F401
     from . import union_agg  # noqa: F401
+    from . import text_extract  # noqa: F401

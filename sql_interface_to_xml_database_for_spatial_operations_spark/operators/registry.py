@@ -61,7 +61,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     q31-q43, q54-q57, q86, q87 — 29 entries, 5 rounds stale; q01-q04
 #     and q16-q19 were refreshed green in r5 and stay).
 #   - never green: the new q122 (DE-9IM relation predicates), q123
-#     (streaming e2e), q124 (ST_Union aggregate).
+#     (streaming e2e), q124 (ST_Union aggregate), q125-q127 (chunking /
+#     PII / URL extraction). With these the exposed set is exactly 50 —
+#     the full driver window — so no further driver rows this round.
 #   - engine.py gained register_union_functions this round — a
 #     result-invariant infra change for the 8 verified queries whose
 #     closure includes it (q99-q102, q108, q114, q118, q121: the new
