@@ -165,3 +165,95 @@ class TestDriverRow:
         # In the physical tree string, children print BELOW parents, so
         # the exchange (parent) must appear before mapInPandas (child).
         assert simple.index("Exchange") < simple.index("MapInPandas")
+
+
+# ---------------------------------------------------------------------------
+# property-based: random rectangle sets vs brute-force grid truth
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _int_rects(draw):
+    """2-8 rectangles on a small integer grid: maximizes shared edges,
+    corner touches, duplicates, containment — every degenerate dissolve
+    configuration — while keeping the brute-force truth exact."""
+    n = draw(st.integers(min_value=2, max_value=8))
+    rects = []
+    for _ in range(n):
+        x0 = draw(st.integers(min_value=-5, max_value=4))
+        y0 = draw(st.integers(min_value=-5, max_value=4))
+        rects.append(
+            (
+                float(x0),
+                float(y0),
+                float(x0 + draw(st.integers(min_value=1, max_value=5))),
+                float(y0 + draw(st.integers(min_value=1, max_value=5))),
+            )
+        )
+    return rects
+
+
+def _truth(rects):
+    """Unit-cell brute force on the integer grid: area, perimeter, and
+    part count (4-connected components of covered cells)."""
+    cells = {
+        (i, j)
+        for x0, y0, x1, y1 in rects
+        for i in range(int(x0), int(x1))
+        for j in range(int(y0), int(y1))
+    }
+    area = float(len(cells))
+    perim = float(
+        sum(
+            (i + 1, j) not in cells
+            for i, j in cells
+        )
+        + sum((i - 1, j) not in cells for i, j in cells)
+        + sum((i, j + 1) not in cells for i, j in cells)
+        + sum((i, j - 1) not in cells for i, j in cells)
+    )
+    comps = 0
+    seen = set()
+    for c in cells:
+        if c in seen:
+            continue
+        comps += 1
+        stack = [c]
+        seen.add(c)
+        while stack:
+            i, j = stack.pop()
+            for nb in ((i + 1, j), (i - 1, j), (i, j + 1), (i, j - 1)):
+                if nb in cells and nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+    return area, perim, comps
+
+
+@settings(max_examples=300, deadline=None)
+@given(_int_rects())
+def test_dissolve_matches_bruteforce(rects):
+    g = U.union_geoms([G.Geometry.box(*r) for r in rects])
+    area, perim, comps = _truth(rects)
+    assert G.area(g) == area
+    assert G.length(g) == perim
+    n_parts = len(g.coords) if g.kind == "MultiPolygon" else 1
+    assert n_parts == comps
+    # Round-trip: the emitted WKT must re-parse to the same measures
+    # (exercises hole ordering in to_wkt/parse_wkt).
+    rt = G.parse_wkt(G.to_wkt(g))
+    assert G.area(rt) == area and G.length(rt) == perim
+
+
+@settings(max_examples=150, deadline=None)
+@given(_int_rects(), _int_rects())
+def test_union_is_idempotent_and_commutative(rects_a, rects_b):
+    ga = [G.Geometry.box(*r) for r in rects_a]
+    gb = [G.Geometry.box(*r) for r in rects_b]
+    ab = U.union_geoms(ga + gb)
+    ba = U.union_geoms(gb + ga)
+    again = U.union_geoms([ab, ba])
+    assert G.area(ab) == G.area(ba) == G.area(again)
+    assert G.length(ab) == G.length(ba) == G.length(again)
