@@ -4,18 +4,23 @@ Beyond-reference surface (BASELINE.json north star): image/audio/video
 handled as ``binary`` columns with a metadata struct, processed by
 Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for two containers:
+Decode is REAL for three containers:
 
 - SIMG, the documented synthetic container below (fixed binary header
   parsed with ``struct.unpack``);
 - JPEG **headers** (VERDICT r4 item 6): a marker-segment walk that reads
   width/height/component-count from the SOF0-SOF15 frame header and the
   entropy-data offset from SOS — the standard public JFIF layout — with
-  no pixel decode and no new dependency. Pixel decoding (and PNG/libav
-  formats) still needs PIL/libav, which this runtime lacks, and stays
-  behind an explicit ``NotImplementedError`` — swapping codecs in
-  changes one dispatcher branch, none of the Spark plumbing (schema,
-  partitioning, batch shapes).
+  no pixel decode and no new dependency;
+- PCM WAV **headers**: a RIFF chunk walk (``fmt ``/``data``, declared
+  little-endian sizes, odd-size padding) yielding channels/rate/bits
+  and the exact sample count — the audio modality's metadata stage.
+
+Pixel/sample decoding (and PNG/libav formats) still needs PIL/libav,
+which this runtime lacks, and stays behind an explicit
+``NotImplementedError`` — swapping codecs in changes one dispatcher
+branch, none of the Spark plumbing (schema, partitioning, batch
+shapes).
 
 SIMG container layout (big-endian):
 
@@ -174,6 +179,123 @@ def decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, int, in
         f"no codec for {media_type!r} in this runtime (install PIL/libav and "
         "add a branch here; the Spark plumbing is format-agnostic)"
     )
+
+
+WAV_MEDIA_TYPE = "audio/wav"
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("channels", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("bits", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_us", LongType(), True),
+    ]
+)
+
+
+def encode_wav(channels: int, sample_rate: int, bits: int, body: bytes) -> bytes:
+    """Minimal canonical PCM WAV (public RIFF/WAVE layout): RIFF header,
+    16-byte ``fmt `` chunk, ``data`` chunk = ``body``. ``body`` length
+    should be a multiple of the block align (channels·bits/8) for the
+    sample count to be exact."""
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(body))
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Walk the RIFF chunk list → (channels, sample_rate, bits,
+    data_offset, data_len). A real parse of the public container: chunks
+    are skipped by their declared little-endian sizes (odd sizes padded
+    per RIFF), ``fmt `` yields the sample format, ``data`` the payload
+    slice. No sample decode."""
+    b = bytes(payload) if payload is not None else b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + size > len(b):
+            raise ValueError(f"truncated RIFF chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            _fmt_tag, channels, rate, _brate, _block, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = (i + 8, size)
+        i += 8 + size + (size & 1)  # odd chunk sizes carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return (*fmt, *data)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas audio metadata extraction — the audio analog of
+    ``extract_features``: per-partition, shuffle-free; sample counts and
+    duration come from the REAL container header, not row metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                ch, rate, bits, _off, dlen = parse_wav_header(p)
+                n = dlen // (ch * (bits // 8))
+                rows.append((int(aid), ch, rate, bits, n, n * 1_000_000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "channels", "sample_rate", "bits", "n_samples", "duration_us",
+                ],
+            )
+
+    return assets.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_audio(spark, sf_dir: str) -> DataFrame:
+    """One PCM WAV asset per document: format parameters derived from
+    doc_id (channels = id%2+1, rate ∈ {8000, 16000, 44100}, bits ∈
+    {8, 16}), body = the document's utf-8 bytes truncated to a whole
+    number of sample blocks. Same encode→bytes→decode round-trip design
+    as ``synthetic_images``."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                ch, rate, bits = i % 2 + 1, (8000, 16000, 44100)[i % 3], (8, 16)[i % 2]
+                block = ch * (bits // 8)
+                body = t.encode("utf-8")
+                body = body[: len(body) - len(body) % block]
+                payloads.append(encode_wav(ch, rate, bits, body))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": [WAV_MEDIA_TYPE] * len(pdf),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("media_type", StringType(), True),
+        ]
+    )
+    return d.mapInPandas(run, schema)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -105,3 +105,80 @@ def test_extract_features_reads_real_headers(spark):
             simgs += 1
     # the fixture genuinely mixes containers
     assert jpegs > 0 and simgs > 0
+
+
+# -- WAV / audio ------------------------------------------------------------
+
+
+def test_wav_header_roundtrip():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav_header,
+    )
+
+    body = b"0123456789ab"
+    ch, rate, bits, off, dlen = parse_wav_header(encode_wav(2, 16000, 16, body))
+    assert (ch, rate, bits) == (2, 16000, 16)
+    assert dlen == len(body)
+    assert encode_wav(2, 16000, 16, body)[off : off + dlen] == body
+
+
+def test_wav_chunk_walk_skips_unknown_chunks():
+    """Real WAVs carry LIST/INFO etc. between fmt and data; the parser
+    must skip by declared size (odd sizes padded), not assume layout."""
+    import struct as _s
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    junk = b"junk!"  # odd size → 1 pad byte
+    data = b"abc"
+    payload = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE"
+        + b"LIST" + _s.pack("<I", len(junk)) + junk + b"\x00"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    ch, rate, bits, off, dlen = parse_wav_header(payload)
+    assert (ch, rate, bits, dlen) == (1, 8000, 8, 3)
+    assert payload[off : off + dlen] == data
+
+
+def test_wav_rejects_malformed():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav_header,
+    )
+
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", encode_wav(1, 8000, 8, b"x")[:-1]):
+        with pytest.raises(ValueError):
+            parse_wav_header(bad)
+
+
+def test_audio_features_match_formula(spark):
+    """encode→bytes→decode round trip for the audio stage: per-doc format
+    parameters and sample counts recomputed from the generator formulas
+    must equal what the RIFF parse reads back out of the payloads."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_audio,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import load_table
+
+    feats = {
+        r["asset_id"]: r
+        for r in extract_audio_features(synthetic_audio(spark, SF_DIR)).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(feats) == len(docs) > 0
+    for d in docs:
+        i = int(d["doc_id"])
+        ch, rate, bits = i % 2 + 1, (8000, 16000, 44100)[i % 3], (8, 16)[i % 2]
+        block = ch * (bits // 8)
+        n = len(d["text"].encode("utf-8")) // block
+        r = feats[i]
+        assert (r["channels"], r["sample_rate"], r["bits"]) == (ch, rate, bits)
+        assert r["n_samples"] == n
+        assert r["duration_us"] == n * 1_000_000 // rate
