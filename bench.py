@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (scan/filter, agg, multiway join,
-# window, spatial join, distance self-join, DE-9IM relations, jaccard
-# dedup, minhash LSH, simhash, ANN brute/IVF, as-of join, banded range
-# join, tumbling window, sessionize, bucketed storage join).
+# window, spatial join, distance self-join, DE-9IM relations, ST_Union
+# cascade, jaccard dedup, minhash LSH, simhash, ANN brute/IVF, as-of
+# join, banded range join, tumbling window, sessionize, bucketed storage
+# join, token chunking).
 HEADLINE = [
     "q01_filter_pushdown",
     "q16_join_multiway",
@@ -36,6 +37,7 @@ HEADLINE = [
     "q45_spatial_join_intersects",
     "q47_dwithin_pairs",
     "q122_st_relations",
+    "q124_st_union_agg",
     "q64_dedup_exact",
     "q65_dedup_ngram_jaccard",
     "q66_minhash_lsh",
@@ -53,6 +55,7 @@ HEADLINE = [
     "q107_decontamination",
     "q109_tfidf_top_terms",
     "q110_repetition_metrics",
+    "q125_document_chunking",
     "q111_centroid_outliers",
     "q115_ann_quantized_topk",
 ]
