@@ -101,6 +101,23 @@ class TestDissolveCore:
         assert got.kind == "Polygon"  # triangle within box → pruned
         assert G.area(got) == 4.0
 
+    def test_non_rect_inside_hole_survives(self):
+        # Pruning uses within() against the dissolved rect union, whose
+        # holes subtract: a part inside the HOLE is not covered and must
+        # be kept as its own piece.
+        tri = "POLYGON ((2 2, 3 2, 2.5 3, 2 2))"
+        got = G.parse_wkt(
+            _u(
+                "POLYGON ((0 0, 5 0, 5 1, 0 1, 0 0))",
+                "POLYGON ((0 4, 5 4, 5 5, 0 5, 0 4))",
+                "POLYGON ((0 0, 1 0, 1 5, 0 5, 0 0))",
+                "POLYGON ((4 0, 5 0, 5 5, 4 5, 4 0))",
+                tri,
+            )
+        )
+        assert got.kind == "MultiPolygon"
+        assert G.area(got) == 16.0 + 0.5  # frame (25−9) + triangle
+
     def test_empty_and_null(self):
         from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
             relations as R,
