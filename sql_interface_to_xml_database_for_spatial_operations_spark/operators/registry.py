@@ -62,8 +62,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     and q16-q19 were refreshed green in r5 and stay).
 #   - never green: the new q122 (DE-9IM relation predicates), q123
 #     (streaming e2e), q124 (ST_Union aggregate), q125-q127 (chunking /
-#     PII / URL extraction). With these the exposed set is exactly 50 —
-#     the full driver window — so no further driver rows this round.
+#     PII / URL extraction).
+#   - late re-expose: q113 (oracle tie-stability fix, see the note in
+#     the set below). Its slot comes from deferring ONE entry of the
+#     stale-green block — q40_math_functions, green in r1, source
+#     fingerprint-verified unchanged since — to the front of next
+#     round's staleness queue, keeping the exposed set at exactly the
+#     50-row window (changed code outranks a stale-but-unchanged green).
 #   - engine.py gained register_union_functions this round — a
 #     result-invariant infra change for the 8 verified queries whose
 #     closure includes it (q99-q102, q108, q114, q118, q121: the new
@@ -79,6 +84,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         # r01 greens, refreshed green in r5
         "q01_filter_pushdown", "q02_projection_pruning", "q03_select_star",
         "q04_alias_expressions",
+        # r01 green, deferred from the r6 stale re-expose block to make
+        # room for the q113 re-check (see rotation note above); first in
+        # next round's staleness queue
+        "q40_math_functions",
         "q16_join_multiway", "q17_natural_join", "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         # r02 greens (q59-q64/q69/q88/q92/q93 last checked r2 — next in
@@ -103,7 +112,15 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q105_mixture_weights", "q106_sequence_packing",
         "q107_decontamination",
         "q109_tfidf_top_terms", "q110_repetition_metrics",
-        "q112_window_lag_lead", "q113_window_distribution",
+        "q112_window_lag_lead",
+        # q113_window_distribution REMOVED (re-exposed): the r6 sf0.1
+        # sweep caught its oracle's round(x, 6) diverging from Spark at
+        # exact decimal ties; both sides now emit micro-unit integers
+        # (relational.py q113). This makes 51 exposed queries for a
+        # 50-row window — the displaced row is q127_url_domains (newest
+        # registration), which holds pytest parity at sf0.001/0.01/0.1
+        # and takes its driver row next round; changed code outranks new
+        # code for driver verification.
         # r05 greens (CORRECTNESS_r05, all 42 non-fill rows)
         "q05_where_and_or", "q06_in_list", "q07_not_in_list",
         "q08_null_predicates", "q09_where_bool_literal", "q10_between_range",

@@ -710,19 +710,30 @@ def q112_window_lag_lead(spark, sf_dir):
 
 @query(
     "q113_window_distribution",
+    # Micro-unit integers, not round(x, 6): cume_dist yields values like
+    # 333/640 whose decimal expansion ties exactly at the 6th place, and
+    # there round() is engine-dependent three ways — Spark HALF_UPs the
+    # double's SHORTEST DECIMAL REPR ("0.5203125" → 0.520313) while the
+    # actual double is below the tie (0.52031249999999995559…), DuckDB
+    # rounds the double numerically. floor(x·1e6 + 0.5) is pure IEEE
+    # arithmetic on bit-identical inputs (both engines compute the same
+    # k/n division), so it is deterministic and identical at every SF.
+    # Found by the round-6 full-registry sweep at sf0.1 (3 rows in
+    # nation 11); sf0.01 never hit a tie, which is why the round() form
+    # survived four driver rounds.
     oracle="""
     SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cum_dist
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cum_dist_e6
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
 )
 def q113_window_distribution(spark, sf_dir):
     """O5: distribution windows (ntile quartiles, percent_rank,
-    cume_dist) per nation — deterministic via the c_custkey tiebreak in
-    the window ordering."""
+    cume_dist as micro-unit integers) per nation — deterministic via the
+    c_custkey tiebreak in the window ordering."""
     from pyspark.sql.window import Window
 
     c = T(spark, sf_dir, "customer")
@@ -733,8 +744,8 @@ def q113_window_distribution(spark, sf_dir):
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.floor(F.percent_rank().over(w) * 1000000 + 0.5).cast("bigint").alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000 + 0.5).cast("bigint").alias("cum_dist_e6"),
     )
 
 
