@@ -466,7 +466,7 @@ def q22_agg_global(spark, sf_dir):
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT) AS avg_qty_e6,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -488,7 +488,13 @@ def q23_agg_pricing_summary(spark, sf_dir):
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            # floor-micro-int, not round(x, 6): the average is a ratio of
+            # a 2-dp decimal sum to an integer count, which CAN tie
+            # exactly at the 6th decimal, where Spark/DuckDB round()
+            # semantics diverge (see q113's note).
+            F.floor(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)) * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("avg_qty_e6"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1125,9 +1131,9 @@ def q86_skew_salted_join(spark, sf_dir):
     "q87_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
-           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+           CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_qty_e6,
+           CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_qty_e6,
+           CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_price_e6
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1138,10 +1144,18 @@ def q87_percentiles(spark, sf_dir):
     approx_percentile (t-digest sketch, fixed memory) the same way q58
     swaps exact distinct for HLL."""
     li = T(spark, sf_dir, "lineitem")
+    # floor-micro-int comparison: interpolated quantiles of 2-dp decimals
+    # can tie exactly at the 6th decimal (see q113's note).
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9D)"), 6).alias("p90_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 6).alias("p50_price"),
+        F.floor(F.expr("percentile(l_quantity, 0.5D)") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("p50_qty_e6"),
+        F.floor(F.expr("percentile(l_quantity, 0.9D)") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("p90_qty_e6"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.5D)") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("p50_price_e6"),
     )
 
 
