@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.relations import register_relation_functions
+from .functions.simplify import register_simplify_functions
 from .functions.spatial import register_spatial_functions
 from .functions.union_ops import register_union_functions
 from .sources import sinks
@@ -46,6 +47,7 @@ class SpatialSQLEngine:
         register_spatial_functions(self.spark)
         register_relation_functions(self.spark)
         register_union_functions(self.spark)
+        register_simplify_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------
     def register_parquet_dir(self, sf_dir: str) -> None:

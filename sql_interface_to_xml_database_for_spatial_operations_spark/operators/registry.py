@@ -69,14 +69,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     fingerprint-verified unchanged since — to the front of next
 #     round's staleness queue, keeping the exposed set at exactly the
 #     50-row window (changed code outranks a stale-but-unchanged green).
-#   - engine.py gained register_union_functions this round — a
-#     result-invariant infra change for the 8 verified queries whose
-#     closure includes it (q99-q102, q108, q114, q118, q121: the new
-#     registration adds names to the session and changes nothing those
-#     queries execute), so their fingerprints were deliberately
-#     re-recorded rather than re-exposed (the exposure window is at 50
-#     as-is; displacing re-checks of actually-changed code with no-op
-#     re-checks would be the worse trade).
+#   - engine.py gained register_union_functions and
+#     register_simplify_functions this round — result-invariant infra
+#     changes for the 8 verified queries whose closure includes it
+#     (q99-q102, q108, q114, q118, q121: the new registrations add names
+#     to the session and change nothing those queries execute), so their
+#     fingerprints were deliberately re-recorded rather than re-exposed
+#     (the exposure window is at 50 as-is; displacing re-checks of
+#     actually-changed code with no-op re-checks would be the worse
+#     trade).
 # The cap itself belongs to the harness — see README.md "Driver
 # correctness window" for the note to the harness owner.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(

@@ -21,6 +21,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark import (  # noqa
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (  # noqa: E402
     register_relation_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
+    register_simplify_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (  # noqa: E402
     register_union_functions,
 )
@@ -37,6 +40,7 @@ def spark():
     register_spatial_functions(s)
     register_relation_functions(s)
     register_union_functions(s)
+    register_simplify_functions(s)
     yield s
 
 

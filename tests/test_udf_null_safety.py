@@ -15,6 +15,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relati
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
+    ALL_SIMPLIFY_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (
     ALL_UNION_FUNCTIONS,
 )
@@ -22,7 +25,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
 # them without per-name entries.
-_SWEPT = {**ALL_FUNCTIONS, **ALL_RELATION_FUNCTIONS, **ALL_UNION_FUNCTIONS}
+_SWEPT = {
+    **ALL_FUNCTIONS,
+    **ALL_RELATION_FUNCTIONS,
+    **ALL_UNION_FUNCTIONS,
+    **ALL_SIMPLIFY_FUNCTIONS,
+}
 
 D = "CAST(NULL AS DOUBLE)"
 S = "CAST(NULL AS STRING)"
@@ -45,6 +53,7 @@ _NULL_ARGS = {
     "st_crosses": f"{S}, {S}",
     "st_union": f"{S}, {S}",
     "st_union_all": "CAST(NULL AS ARRAY<STRING>)",
+    "st_simplify": f"{S}, {D}",
 }
 
 
