@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.projection import register_projection_functions
 from .functions.relations import register_relation_functions
 from .functions.simplify import register_simplify_functions
 from .functions.spatial import register_spatial_functions
@@ -48,6 +49,7 @@ class SpatialSQLEngine:
         register_relation_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
+        register_projection_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------
     def register_parquet_dir(self, sf_dir: str) -> None:

@@ -21,6 +21,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark import (  # noqa
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (  # noqa: E402
     register_relation_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (  # noqa: E402
+    register_projection_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -41,6 +44,7 @@ def spark():
     register_relation_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
+    register_projection_functions(s)
     yield s
 
 

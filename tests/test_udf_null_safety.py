@@ -15,6 +15,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relati
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+    ALL_PROJECTION_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
     ALL_SIMPLIFY_FUNCTIONS,
 )
@@ -30,6 +33,7 @@ _SWEPT = {
     **ALL_RELATION_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
+    **ALL_PROJECTION_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -54,6 +58,7 @@ _NULL_ARGS = {
     "st_union": f"{S}, {S}",
     "st_union_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_simplify": f"{S}, {D}",
+    "st_transform": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
 }
 
 
