@@ -100,8 +100,8 @@ def simplify(g: Geometry, tol: float) -> Geometry | None:
         parts = [p for p in parts if len(p) >= 2]
         if not parts:
             return None
-        if len(parts) == 1:
-            return Geometry("LineString", parts[0])
+        # PostGIS ST_Simplify preserves the Multi* type even when only
+        # one part survives (unlike ST_Union, which collapses).
         return Geometry("MultiLineString", parts)
     if g.kind == "Polygon":
         ext = _simplify_ring(g.coords[0], tol)
@@ -117,13 +117,13 @@ def simplify(g: Geometry, tol: float) -> Geometry | None:
                 polys.append(p.coords)
         if not polys:
             return None
-        return Geometry("Polygon", polys[0]) if len(polys) == 1 else Geometry("MultiPolygon", polys)
+        return Geometry("MultiPolygon", polys)  # type preserved (see above)
     if g.kind == "GeometryCollection":
         subs = [simplify(sub, tol) for sub in g.coords]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
-        return subs[0] if len(subs) == 1 else Geometry("GeometryCollection", subs)
+        return Geometry("GeometryCollection", subs)  # type preserved
     return None
 
 

@@ -56,7 +56,8 @@ def test_multipolygon_partial_collapse():
         " ((20 0, 30 0, 30 0.01, 20 0.01, 20 0)))"
     )
     got = G.parse_wkt(_s(wkt, 1.0))
-    assert got.kind == "Polygon"  # one part survives → plain Polygon
+    # PostGIS preserves the Multi* type even with one surviving part
+    assert got.kind == "MultiPolygon" and len(got.coords) == 1
     assert G.area(got) == 25.0
 
 
