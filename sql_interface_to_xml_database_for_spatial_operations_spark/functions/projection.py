@@ -35,7 +35,7 @@ import math
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import DoubleType, StringType
 
 from . import geometry as G
 from .geometry import Geometry
@@ -103,7 +103,28 @@ def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd
     return pd.Series(out, dtype=object)
 
 
-ALL_PROJECTION_FUNCTIONS = {"st_transform": st_transform}
+@pandas_udf(DoubleType())
+def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Azimuth: bearing from point a to point b in radians, clockwise
+    from north (PostGIS convention: atan2(Δx, Δy) normalized to [0, 2π)).
+    NULL for non-points, NULL inputs, or coincident points (where PostGIS
+    errors; the registry convention is NULL-never-crash)."""
+    out = []
+    for wa, wb in zip(a, b):
+        ga = G.parse_wkt(wa) if wa is not None else None
+        gb = G.parse_wkt(wb) if wb is not None else None
+        if ga is None or gb is None or ga.kind != "Point" or gb.kind != "Point":
+            out.append(None)
+            continue
+        dx, dy = gb.coords[0] - ga.coords[0], gb.coords[1] - ga.coords[1]
+        if dx == 0.0 and dy == 0.0:
+            out.append(None)
+            continue
+        out.append(math.atan2(dx, dy) % (2.0 * math.pi))
+    return pd.Series(out, dtype="float64")
+
+
+ALL_PROJECTION_FUNCTIONS = {"st_transform": st_transform, "st_azimuth": st_azimuth}
 
 
 def register_projection_functions(spark: SparkSession) -> None:

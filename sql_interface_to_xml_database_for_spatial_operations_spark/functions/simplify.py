@@ -1,4 +1,5 @@
-"""ST_Simplify — Douglas-Peucker vertex reduction (F12 remainder).
+"""ST_Simplify / ST_SnapToGrid — vertex reduction and precision
+management (F12 remainder).
 
 PostGIS users get ``ST_Simplify(geom, tolerance)`` from the forwarding
 surface (reference src/index.ts:44-63); this implements the standard
@@ -127,6 +128,78 @@ def simplify(g: Geometry, tol: float) -> Geometry | None:
     return None
 
 
+def _snap_seq(points: list[Pt], size: float) -> list[Pt]:
+    """Snap each vertex to the grid, then drop consecutive duplicates."""
+    out: list[Pt] = []
+    for x, y in points:
+        p = (round(x / size) * size, round(y / size) * size)
+        if not out or out[-1] != p:
+            out.append(p)
+    return out
+
+
+def snap_to_grid(g: Geometry, size: float) -> Geometry | None:
+    """ST_SnapToGrid: round every coordinate to the nearest multiple of
+    ``size`` (origin 0,0). Same collapse rules as ``simplify``: degenerate
+    lines/rings drop, Multi*/Collection types are preserved."""
+    if g is None or size <= 0:
+        return None
+    if g.kind == "Point":
+        return Geometry("Point", _snap_seq([g.coords], size)[0])
+    if g.kind == "MultiPoint":
+        seen: list[Pt] = []
+        for p in g.coords:
+            s = _snap_seq([p], size)[0]
+            if s not in seen:
+                seen.append(s)
+        return Geometry("MultiPoint", seen)
+    if g.kind == "LineString":
+        out = _snap_seq(g.coords, size)
+        return Geometry("LineString", out) if len(out) >= 2 else None
+    if g.kind == "MultiLineString":
+        parts = [_snap_seq(line, size) for line in g.coords]
+        parts = [p for p in parts if len(p) >= 2]
+        return Geometry("MultiLineString", parts) if parts else None
+    if g.kind == "Polygon":
+
+        def ring(r: list[Pt]) -> list[Pt] | None:
+            out = _snap_seq(r, size)
+            if out[0] != out[-1]:
+                out.append(out[0])
+            return out if len(out) >= 4 else None
+
+        ext = ring(g.coords[0])
+        if ext is None:
+            return None
+        holes = [ring(r) for r in g.coords[1:]]
+        return Geometry("Polygon", [ext] + [h for h in holes if h is not None])
+    if g.kind == "MultiPolygon":
+        polys = []
+        for rings in g.coords:
+            p = snap_to_grid(Geometry("Polygon", rings), size)
+            if p is not None:
+                polys.append(p.coords)
+        return Geometry("MultiPolygon", polys) if polys else None
+    if g.kind == "GeometryCollection":
+        subs = [snap_to_grid(sub, size) for sub in g.coords]
+        subs = [s for s in subs if s is not None]
+        return Geometry("GeometryCollection", subs) if subs else None
+    return None
+
+
+@pandas_udf(StringType())
+def st_snaptogrid(wkt: pd.Series, size: pd.Series) -> pd.Series:
+    out = []
+    for w, s in zip(wkt, size):
+        if w is None or s is None or (isinstance(s, float) and pd.isna(s)):
+            out.append(None)
+            continue
+        g = G.parse_wkt(w)
+        snapped = snap_to_grid(g, float(s)) if g is not None else None
+        out.append(G.to_wkt(snapped) if snapped is not None else None)
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(StringType())
 def st_simplify(wkt: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
@@ -140,7 +213,7 @@ def st_simplify(wkt: pd.Series, tol: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-ALL_SIMPLIFY_FUNCTIONS = {"st_simplify": st_simplify}
+ALL_SIMPLIFY_FUNCTIONS = {"st_simplify": st_simplify, "st_snaptogrid": st_snaptogrid}
 
 
 def register_simplify_functions(spark: SparkSession) -> None:

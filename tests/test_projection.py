@@ -80,3 +80,22 @@ def test_sql_surface(spark):
     ).collect()[0]
     assert row["a"] == "POINT (0 0)"
     assert row["b"] is None
+
+
+# -- ST_Azimuth -------------------------------------------------------------
+
+
+def test_azimuth_cardinal_directions(spark):
+    rows = spark.sql(
+        "SELECT st_azimuth('POINT (0 0)', 'POINT (0 1)') AS north,"
+        " st_azimuth('POINT (0 0)', 'POINT (1 0)') AS east,"
+        " st_azimuth('POINT (0 0)', 'POINT (0 -1)') AS south,"
+        " st_azimuth('POINT (0 0)', 'POINT (-1 0)') AS west,"
+        " st_azimuth('POINT (0 0)', 'POINT (0 0)') AS degenerate,"
+        " st_azimuth('LINESTRING (0 0, 1 1)', 'POINT (0 0)') AS nonpoint"
+    ).collect()[0]
+    assert rows["north"] == 0.0
+    assert abs(rows["east"] - math.pi / 2) < 1e-12
+    assert abs(rows["south"] - math.pi) < 1e-12
+    assert abs(rows["west"] - 3 * math.pi / 2) < 1e-12
+    assert rows["degenerate"] is None and rows["nonpoint"] is None

@@ -97,3 +97,36 @@ def test_sql_surface_and_nulls(spark):
     ).collect()[0]
     assert row["a"] == "LINESTRING (0 0, 2 0)"
     assert row["b"] is None and row["c"] is None
+
+
+# -- ST_SnapToGrid ----------------------------------------------------------
+
+
+def test_snap_basic_and_duplicate_collapse():
+    got = S.snap_to_grid(G.parse_wkt("LINESTRING (0.04 0.04, 0.96 0.04, 1.04 0.04, 2.2 1.9)"), 0.5)
+    # 0.96 and 1.04 both snap to 1.0 → one vertex survives
+    assert G.to_wkt(got) == "LINESTRING (0 0, 1 0, 2 2)"
+
+
+def test_snap_ring_closure_and_collapse():
+    got = S.snap_to_grid(
+        G.parse_wkt("POLYGON ((0.1 0.1, 4.9 0.1, 4.9 4.9, 0.1 4.9, 0.1 0.1))"), 1.0
+    )
+    assert G.to_wkt(got) == "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"
+    # sliver collapses entirely
+    assert S.snap_to_grid(G.parse_wkt("POLYGON ((0 0, 1 0, 1 0.1, 0 0.1, 0 0))"), 1.0) is None
+
+
+def test_snap_multipoint_dedup_and_type_preserved():
+    got = S.snap_to_grid(G.parse_wkt("MULTIPOINT ((0.1 0.1), (0.2 0.2), (5 5))"), 1.0)
+    assert got.kind == "MultiPoint"
+    assert G.to_wkt(got) == "MULTIPOINT (0 0, 5 5)"
+
+
+def test_snap_sql_surface(spark):
+    row = spark.sql(
+        "SELECT st_snaptogrid('POINT (1.26 -3.74)', 0.5D) AS a,"
+        " st_snaptogrid('POINT (1 1)', CAST(NULL AS DOUBLE)) AS b"
+    ).collect()[0]
+    assert row["a"] == "POINT (1.5 -3.5)"
+    assert row["b"] is None
