@@ -123,6 +123,27 @@ class SpatialSQLEngine:
             result["geojson"] = {"type": "FeatureCollection", "features": features}
         return result
 
+    def process_query_safe(self, query: str, limit: int | None = 10000) -> dict:
+        """``process_query`` with the reference's error contract
+        (demo/routes.ts:173-186): a failing query returns a payload with
+        ``error`` set and the input echoed, instead of raising — the
+        shape a UI or API layer renders directly. Analysis errors
+        (unknown table/function, syntax) surface the Spark message."""
+        try:
+            result = self.process_query(query, limit=limit)
+            result["error"] = None
+            result["input"] = query
+            return result
+        except Exception as e:  # noqa: BLE001 — the surface IS the catch-all
+            return {
+                "rows": [],
+                "fields": [],
+                "executionTime": 0.0,
+                "totalData": 0,
+                "error": str(e),
+                "input": query,
+            }
+
     def explain(self, query: str, mode: str = "formatted") -> str:
         """The debug surface the reference got by printing its rewritten
         XQuery/Mongo/SQL (src/index.ts logs each native query): here the

@@ -464,3 +464,25 @@ def test_undef_column_finds_deeply_nested(spark, tmp_path):
     assert df.select(undef_column(df, "njop").alias("v")).collect()[0]["v"] == "5000"
     assert df.select(undef_column(df, "tahun").alias("v")).collect()[0]["v"] == "2021"
     assert df.select(undef_column(df, "missing").alias("v")).collect()[0]["v"] is None
+
+
+def test_engine_safe_query_error_contract(spark, gml_path):
+    """process_query_safe mirrors the reference's catch-and-render error
+    shape (demo/routes.ts:173-186): error message + echoed input + empty
+    rowset, never a raised exception."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.engine import SpatialSQLEngine
+
+    eng = SpatialSQLEngine(spark=spark)
+    eng.register_xml("safe_t", gml_path)
+
+    ok = eng.process_query_safe("SELECT count(*) AS n FROM safe_t")
+    assert ok["error"] is None and ok["totalData"] == 1
+
+    for bad in (
+        "SELECT * FROM no_such_table_xyz",
+        "SELECT not_a_function(1)",
+        "SELEC syntax error",
+    ):
+        res = eng.process_query_safe(bad)
+        assert res["error"] and res["input"] == bad
+        assert res["rows"] == [] and res["totalData"] == 0
