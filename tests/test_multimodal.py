@@ -182,3 +182,72 @@ def test_audio_features_match_formula(spark):
         assert (r["channels"], r["sample_rate"], r["bits"]) == (ch, rate, bits)
         assert r["n_samples"] == n
         assert r["duration_us"] == n * 1_000_000 // rate
+
+
+# -- SRAS raster resize -----------------------------------------------------
+
+
+def test_raster_roundtrip_and_validation():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_raster,
+        encode_raster,
+    )
+
+    w, h, body = decode_raster(encode_raster(3, 2, bytes(range(6))))
+    assert (w, h, body) == (3, 2, bytes(range(6)))
+    with pytest.raises(ValueError):
+        encode_raster(3, 2, b"12345")  # wrong body length
+    with pytest.raises(ValueError):
+        decode_raster(b"SRASxxxx")
+
+
+def test_resize_nearest_neighbor_known_values():
+    import numpy as np
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_raster,
+        encode_raster,
+        resize_raster,
+    )
+
+    # 2x2 checkerboard upscaled 2x: each pixel becomes a 2x2 block.
+    src = encode_raster(2, 2, bytes([0, 255, 255, 0]))
+    w, h, body = decode_raster(resize_raster(src, 4, 4))
+    img = np.frombuffer(body, dtype=np.uint8).reshape(4, 4)
+    assert (w, h) == (4, 4)
+    assert img.tolist() == [
+        [0, 0, 255, 255],
+        [0, 0, 255, 255],
+        [255, 255, 0, 0],
+        [255, 255, 0, 0],
+    ]
+    # Downscale back: nearest-neighbor recovers the original exactly.
+    w2, h2, body2 = decode_raster(resize_raster(resize_raster(src, 4, 4), 2, 2))
+    assert (w2, h2, body2) == (2, 2, bytes([0, 255, 255, 0]))
+
+
+def test_resize_stage_over_spark(spark):
+    """The mapInPandas resize stage: every asset lands at the target
+    dimensions with a valid strict-layout body, and pixel values match
+    the generator formula sampled through the index mapping."""
+    import numpy as np
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_raster,
+        resize_images,
+        synthetic_rasters,
+    )
+
+    out = resize_images(synthetic_rasters(spark, SF_DIR), 8, 8).collect()
+    assert out
+    for r in out:
+        i = int(r["asset_id"])
+        w, h, body = decode_raster(r["payload"])
+        assert (w, h) == (8, 8)
+        src_w, src_h = i % 16 + 4, (i * 3) % 16 + 4
+        img = np.frombuffer(body, dtype=np.uint8).reshape(8, 8)
+        for dr in (0, 7):
+            for dc in (0, 7):
+                sr = min(int(dr * (src_h / 8)), src_h - 1)
+                sc = min(int(dc * (src_w / 8)), src_w - 1)
+                assert img[dr, dc] == (i + sr * 31 + sc * 7) % 256
