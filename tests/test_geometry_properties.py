@@ -178,3 +178,21 @@ def test_multipart_geojson_roundtrip_property(g):
 
     back = G.from_geojson(_json.loads(G.to_geojson(g)))
     assert back is not None and G.to_wkt(back) == G.to_wkt(g)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(max_size=60))
+def test_parse_wkt_never_raises_on_junk(s):
+    """parse_wkt is the floor under every null-safe UDF: arbitrary junk
+    must yield None or a Geometry, never an exception."""
+    g = G.parse_wkt(s)
+    assert g is None or isinstance(g, G.Geometry)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="POLYGONLINESTRINGMULTI Y(),.0123456789-", max_size=80))
+def test_parse_wkt_never_raises_on_wkt_shaped_junk(s):
+    """Near-miss WKT (right alphabet, wrong structure) is the harder
+    case: truncated rings, stray parens, half-numbers."""
+    g = G.parse_wkt(s)
+    assert g is None or isinstance(g, G.Geometry)
