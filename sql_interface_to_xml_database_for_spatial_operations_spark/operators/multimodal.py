@@ -175,6 +175,9 @@ def decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, int, in
         if bytes(payload[-2:]) == b"\xff\xd9":
             end -= 2
         return w, h, 1, off, end
+    if media_type == SRAS_MEDIA_TYPE:
+        w, h, _body = decode_raster(payload)
+        return w, h, 1, SRAS_HEADER_LEN, len(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this runtime (install PIL/libav and "
         "add a branch here; the Spark plumbing is format-agnostic)"

@@ -251,3 +251,16 @@ def test_resize_stage_over_spark(spark):
                 sr = min(int(dr * (src_h / 8)), src_h - 1)
                 sc = min(int(dc * (src_w / 8)), src_w - 1)
                 assert img[dr, dc] == (i + sr * 31 + sc * 7) % 256
+
+
+def test_feature_stage_covers_raster_container(spark):
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        extract_features,
+        synthetic_rasters,
+    )
+
+    rows = extract_features(synthetic_rasters(spark, SF_DIR)).collect()
+    assert rows
+    for r in rows:
+        i = int(r["asset_id"])
+        assert (r["width"], r["height"], r["n_frames"]) == (i % 16 + 4, (i * 3) % 16 + 4, 1)
