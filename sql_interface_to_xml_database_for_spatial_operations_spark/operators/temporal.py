@@ -210,3 +210,69 @@ def q89_gap_fill_spine(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup (continuous-aggregate pattern; driver row next round)
+# ---------------------------------------------------------------------------
+
+
+def hypertable_rollup(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """TimescaleDB-style continuous-aggregate rollup: minute-level
+    partials are computed from the raw events ONCE, then the hour and
+    day levels re-aggregate the PARTIALS — never the event stream. At
+    100 TB this is the difference between one scan and three: the
+    minute aggregate is ~10⁴-10⁵× smaller than the raw table, so the
+    coarser levels are near-free, exactly how a materialized
+    continuous aggregate refreshes incrementally. Sums and counts
+    re-aggregate losslessly (avg is derived, never averaged-of-avgs);
+    the minute partial is ``tracked_persist``-ed so the two coarser
+    levels share one physical computation.
+
+    Output: one row per (level, bucket_start, event_type) with
+    level ∈ {minute, hour, day}, n events and value stats.
+    """
+    from ..caching import tracked_persist
+
+    minute = tracked_persist(
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("value_sum"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+        )
+    )
+
+    def coarsen(src: DataFrame, unit: str) -> DataFrame:
+        return src.groupBy(
+            F.date_trunc(unit, F.col("bucket")).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.sum("n").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+
+    hour = coarsen(minute, "hour")
+    day = coarsen(hour, "day")
+
+    def leveled(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            "bucket",
+            "event_type",
+            "n",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+
+    return (
+        leveled(minute, "minute")
+        .unionByName(leveled(hour, "hour"))
+        .unionByName(leveled(day, "day"))
+    )
