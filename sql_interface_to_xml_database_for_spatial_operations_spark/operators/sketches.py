@@ -52,16 +52,21 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def cms_estimate(
-    sketch: DataFrame, items: DataFrame, col: str, width: int = CMS_WIDTH
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Point-estimate counts for ``items[col]`` → (item, est). Each item
     probes its depth buckets (broadcast-sized probe set joins the
     sketch rows); the estimate is the MIN over seeds, with missing
-    buckets counting as zero — the standard CMS read."""
+    buckets counting as zero — the standard CMS read. depth/width must
+    match the build geometry."""
     probes = (
         items.select(F.col(col).cast("string").alias("item"))
         .distinct()
-        .select("item", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("seed"))
+        .select("item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"))
         .select("item", "seed", F.pmod(F.xxhash64("item", "seed"), F.lit(width)).alias("bucket"))
     )
     return (
