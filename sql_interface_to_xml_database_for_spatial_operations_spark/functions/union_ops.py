@@ -6,16 +6,21 @@ SQL surface (SURVEY.md §2.6 F12); VERDICT r4 item 5 flagged it as the
 last common PostGIS name missing here. This module implements the
 dissolve over the WKT geometry model of ``geometry.py``:
 
-- **Axis-aligned rectangle parts** (every polygon in the fixture world:
-  nation/region boxes, envelopes, buffers of points) are unioned
-  EXACTLY: coordinate-compress the rectangle corners into a grid, mark
-  covered cells, then trace the covered-region boundary with the
-  interior kept on the walk's left. Exterior rings come out CCW and
-  holes CW, so ring roles fall out of the signed area — a box frame
-  built from four overlapping rectangles yields a polygon WITH its hole.
-  All arithmetic is comparisons and copies of input coordinates (the
-  only derived values are edge midpoints used for hole assignment), so
-  integer-valued inputs produce bit-exact output.
+- **Rectilinear parts** (every polygon in the fixture world — boxes,
+  envelopes, point buffers — plus anything a previous union produced:
+  L-shapes, frames with holes) are unioned EXACTLY: rectangles go into
+  the pool directly, other rectilinear polygons are decomposed into
+  covered grid cells first (``_rectilinear_cells``), then the pool is
+  coordinate-compressed into a grid, covered cells are marked, and the
+  covered-region boundary is traced with the interior kept on the
+  walk's left. Exterior rings come out CCW and holes CW, so ring roles
+  fall out of the signed area — a box frame built from four overlapping
+  rectangles yields a polygon WITH its hole. Closure under union is
+  what makes the cascaded aggregate exact: re-unioning stage-1 partials
+  re-dissolves across partition boundaries instead of stacking
+  overlapping partials. All arithmetic is comparisons and copies of
+  input coordinates (the only derived values are cell/edge midpoints),
+  so integer-valued inputs produce bit-exact output.
 - **Non-rectangular parts** are pruned when covered by another part
   (``geometry.within``) and otherwise appended undissolved. The result
   is always the correct point set; for *partially overlapping*
@@ -86,7 +91,41 @@ def _as_rect(g: Geometry) -> tuple[float, float, float, float] | None:
     y0, y1 = min(ys), max(ys)
     if x0 == x1 or y0 == y1:
         return None
+    # Each corner exactly once: rejects degenerate backtracking rings
+    # like (0 0, 1 0, 1 1, 1 0, 0 0) — 5 closed points, 2 distinct
+    # xs/ys, axis-parallel edges, but zero shoelace area.
+    if sorted(ring[:-1]) != sorted([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]):
+        return None
     return (x0, y0, x1, y1)
+
+
+def _rectilinear_cells(
+    rings: list[list[Pt]],
+) -> list[tuple[float, float, float, float]] | None:
+    """Decompose a RECTILINEAR polygon (every edge axis-parallel, holes
+    allowed) into covered grid-cell rectangles — None if any edge is
+    diagonal. This is what makes the two-stage cascade EXACT: stage-1
+    partial unions emit L-shaped/holed rectilinear polygons, and feeding
+    their cells back into the rectangle pool lets stage 2 re-dissolve
+    across partial boundaries instead of stacking overlapping partials
+    (which would double-count area whenever one group's inputs span
+    multiple partitions). Cell centers sit strictly between grid lines,
+    and every edge lies ON a grid line, so the even-odd test is never
+    evaluated on a boundary."""
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+            if ax != bx and ay != by:
+                return None
+    xs = sorted({p[0] for ring in rings for p in ring})
+    ys = sorted({p[1] for ring in rings for p in ring})
+    out = []
+    for i in range(len(xs) - 1):
+        cx = (xs[i] + xs[i + 1]) / 2.0
+        for j in range(len(ys) - 1):
+            cy = (ys[j] + ys[j + 1]) / 2.0
+            if G._point_in_polygon(cx, cy, rings):
+                out.append((xs[i], ys[j], xs[i + 1], ys[j + 1]))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +273,10 @@ def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
             r = _as_rect(p)
             if r is not None:
                 rects.append(r)
+                continue
+            cells = _rectilinear_cells(p.coords)
+            if cells is not None:
+                rects.extend(cells)  # L-shapes/holed partials re-dissolve
             else:
                 other_polys.append(p)
         elif p.kind == "LineString":

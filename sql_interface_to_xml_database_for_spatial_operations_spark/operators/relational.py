@@ -1161,11 +1161,15 @@ def q87_percentiles(spark, sf_dir):
 
 @query(
     "q117_approx_percentiles",
+    # Mirrored exact percentiles use the same floor-micro-int compare as
+    # q87 (and for the same reason — interpolated quantiles of 2-dp
+    # decimals tie exactly at the 6th decimal, where round() is
+    # engine-dependent; see q113's note).
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
-           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_qty_e6,
+           CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_qty_e6,
+           CAST(floor(quantile_cont(l_extendedprice, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_price_e6,
            true AS p50_qty_in_bound,
            true AS p90_qty_in_bound,
            true AS p50_price_in_bound
@@ -1197,11 +1201,14 @@ def q117_approx_percentiles(spark, sf_dir):
     def in_bound(a: str, e: str):
         return F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
 
+    def e6(c: str):
+        return F.floor(F.col(c) * 1000000 + 0.5).cast("bigint")
+
     return agg.select(
         "l_returnflag",
-        F.round("e50_qty", 6).alias("p50_qty"),
-        F.round("e90_qty", 6).alias("p90_qty"),
-        F.round("e50_price", 6).alias("p50_price"),
+        e6("e50_qty").alias("p50_qty_e6"),
+        e6("e90_qty").alias("p90_qty_e6"),
+        e6("e50_price").alias("p50_price_e6"),
         in_bound("a50_qty", "e50_qty").alias("p50_qty_in_bound"),
         in_bound("a90_qty", "e90_qty").alias("p90_qty_in_bound"),
         in_bound("a50_price", "e50_price").alias("p50_price_in_bound"),

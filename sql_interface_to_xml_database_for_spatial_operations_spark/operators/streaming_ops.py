@@ -102,14 +102,19 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _promote(stage, "bs", "f3.parquet", mtime=1_000_000 + 3)
 
         stream = tumbling_counts(
-            read_events_stream(spark, stage), window="1 hour", watermark="1 hour"
+            # maxFilesPerTrigger is a SOURCE option: on the writer it is
+            # silently ignored and all files collapse into one batch
+            # (caught in the r6 self-review — the per-file replay below
+            # is the point of this driver row).
+            read_events_stream(spark, stage, max_files_per_trigger=1),
+            window="1 hour",
+            watermark="1 hour",
         )
         handle = (
             stream.writeStream.format("memory")
             .queryName(run)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .option("maxFilesPerTrigger", 1)
             .trigger(availableNow=True)
             .start()
         )

@@ -39,14 +39,15 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
-_BOXES_SQL = """
-    SELECT n_regionkey AS g,
-           (n_nationkey % 12) * 30.0 - 180.0 AS x0,
-           ((n_nationkey * 7) % 8) * 20.0 - 80.0 AS y0,
-           (n_nationkey % 12) * 30.0 - 180.0 + 30.0 + (n_nationkey % 3) * 15.0 AS x1,
-           ((n_nationkey * 7) % 8) * 20.0 - 80.0 + 20.0 + (n_nationkey % 2) * 10.0 AS y1
-    FROM nation
+# The SAME box formulas as every other nation-box query (q44, q122...):
+# reusing spatial_ops' definitions keeps this oracle from silently
+# de-syncing if the shared fixture arithmetic ever changes.
+_BOXES_SQL = f"""
+    SELECT n_regionkey AS g, b.minx AS x0, b.miny AS y0,
+           b.maxx AS x1, b.maxy AS y1
+    FROM ({NATION_BOXES_SQL}) b JOIN nation USING (n_nationkey)
 """
 
 
@@ -124,20 +125,20 @@ def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring): partition-local partial unions via mapInPandas, then one
     final union of partials per group."""
     _ensure_udfs(spark)
-    n = load_table(spark, sf_dir, "nation")
-    minx = (F.col("n_nationkey") % 12) * 30.0 - 180.0
-    miny = (F.col("n_nationkey") * 7 % 8) * 20.0 - 80.0
-    maxx = minx + 30.0 + (F.col("n_nationkey") % 3) * 15.0
-    maxy = miny + 20.0 + (F.col("n_nationkey") % 2) * 10.0
-    boxes = n.select(
-        F.col("n_regionkey").alias("g"),
-        F.call_function(
-            "st_makeenvelope",
-            minx.cast("double"),
-            miny.cast("double"),
-            maxx.cast("double"),
-            maxy.cast("double"),
-        ).alias("wkt"),
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    boxes = (
+        nation_boxes(spark, sf_dir)
+        .join(n, "n_nationkey")
+        .select(
+            F.col("n_regionkey").alias("g"),
+            F.call_function(
+                "st_makeenvelope",
+                F.col("minx").cast("double"),
+                F.col("miny").cast("double"),
+                F.col("maxx").cast("double"),
+                F.col("maxy").cast("double"),
+            ).alias("wkt"),
+        )
     )
     partials = boxes.mapInPandas(_partial_union, schema="g long, wkt string, n long")
     unions = (

@@ -42,18 +42,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       — same ns→µs truncation DuckDB applies);
     - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
       TIMESTAMP_NTZ, which functions like ``unix_micros`` reject. Cast to
-      TIMESTAMP. The cast applies the session timezone, but no query emits
-      absolute epoch numbers — ``unix_micros`` feeds only relative
-      arithmetic (bucketing, gaps, range frames, ordering) and formatted
-      output renders back through the same session zone — so results are
-      timezone-invariant either way.
+      TIMESTAMP.
 
-    The nanos conf is set here at runtime (it is runtime-settable) rather
-    than only in ``session.get_spark``: callers such as the round driver
-    supply their own vanilla SparkSession, which would otherwise die with
-    ``PARQUET_TYPE_ILLEGAL`` on a TIMESTAMP(NANOS) events file."""
+    Event time in this engine is DEFINED as naive wall time = UTC, and
+    the session timezone is pinned to UTC here to make that hold on any
+    host: the NTZ→TIMESTAMP cast and every downstream date_trunc/
+    date_format/unix_micros are session-zone-relative, and under a
+    DST zone (e.g. a host in America/New_York) wall times inside a
+    spring-forward gap would shift by an hour and interval arithmetic
+    would warp across transitions — diverging from the DuckDB oracle's
+    naive reads (r6 self-review finding). Under UTC the mapping
+    wall↔instant is linear and the oracle comparison is exact.
+
+    Both confs are set here at runtime (they are runtime-settable)
+    rather than only in ``session.get_spark``: callers such as the
+    round driver supply their own vanilla SparkSession, which would
+    otherwise die with ``PARQUET_TYPE_ILLEGAL`` on a TIMESTAMP(NANOS)
+    events file (and inherit the host zone)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F

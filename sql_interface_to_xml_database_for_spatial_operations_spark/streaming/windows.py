@@ -39,9 +39,14 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet (one file = one micro-batch
-    unit; ``maxFilesPerTrigger`` shapes batch size in production).
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet. ``max_files_per_trigger``
+    bounds each micro-batch's file count — it is a SOURCE option
+    (readStream), not a sink option; setting it on the writer is
+    silently ignored, which is exactly the kind of quiet misconfig that
+    turns a per-file replay into one giant batch.
 
     File streams require an explicit schema; it is probed from the
     existing files' parquet footers (a driver-side metadata read, not a
@@ -51,8 +56,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Event time = naive wall time = UTC (see sources/tables.py): pinned
+    # here too so the streaming path is host-timezone-deterministic.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(str(path)).schema
-    raw = spark.readStream.schema(batch_schema).parquet(str(path))
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(str(path))
     ts_type = batch_schema["ts"].dataType
     if isinstance(ts_type, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

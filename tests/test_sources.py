@@ -486,3 +486,41 @@ def test_engine_safe_query_error_contract(spark, gml_path):
         res = eng.process_query_safe(bad)
         assert res["error"] and res["input"] == bad
         assert res["rows"] == [] and res["totalData"] == 0
+
+
+def test_events_load_pins_utc_session_zone(spark):
+    """Event time is defined as naive-wall-time-= -UTC: a host session
+    zone with DST (r6 self-review) must not warp NTZ casts or
+    date_trunc bucketing away from the oracle's naive reads. The loader
+    pins the session zone at events load; this simulates the hostile
+    host by un-pinning first."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
+        load_table,
+    )
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        events = load_table(spark, SF_DIR, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        import pyspark.sql.functions as F
+
+        row = (
+            events.select(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("wall"),
+                F.unix_micros("ts").alias("us"),
+            )
+            .orderBy("us")
+            .first()
+        )
+        # Under UTC, the rendered wall time IS the epoch value: linear
+        # mapping, no DST gap/overlap possible.
+        import datetime as dt
+
+        rendered = dt.datetime.strptime(row["wall"], "%Y-%m-%d %H:%M:%S")
+        epoch = dt.datetime(1970, 1, 1)
+        assert int((rendered - epoch).total_seconds()) * 1_000_000 == (
+            row["us"] - row["us"] % 1_000_000
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)

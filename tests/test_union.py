@@ -1,8 +1,10 @@
 """ST_Union: rectilinear dissolve core, SQL surface, q124 parity + plan.
 
-The dissolve's exactness boundary (union_ops.py docstring): axis-aligned
-rectangles are exact — including holes and checkerboard corners — while
-non-rectangular overlaps degrade to stacked parts with the point set
+The dissolve's exactness boundary (union_ops.py docstring): ALL
+rectilinear geometry is exact — rectangles, L-shapes, frames with holes,
+checkerboard corners, and re-unions of any of those (closure is what
+makes the cascaded aggregate partition-invariant) — while
+non-rectilinear overlaps degrade to stacked parts with the point set
 preserved. Cases here pin each behavior.
 """
 
@@ -172,6 +174,49 @@ class TestDriverRow:
         q = QUERIES["q124_st_union_agg"]
         assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, q.name)
 
+    def test_q124_partition_invariant(self, spark):
+        """The cascade must give identical results however the boxes are
+        split across partitions: force an 8-way split so every region's
+        boxes straddle partials, and compare against the 1-partition
+        run."""
+        from pyspark.sql import functions as F
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.union_agg import (
+            _partial_union,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (
+            load_table,
+        )
+
+        n = load_table(spark, SF_DIR, "nation")
+        minx = (F.col("n_nationkey") % 12) * 30.0 - 180.0
+        miny = (F.col("n_nationkey") * 7 % 8) * 20.0 - 80.0
+        boxes = n.select(
+            F.col("n_regionkey").alias("g"),
+            F.call_function(
+                "st_makeenvelope",
+                minx.cast("double"),
+                miny.cast("double"),
+                (minx + 30.0 + (F.col("n_nationkey") % 3) * 15.0).cast("double"),
+                (miny + 20.0 + (F.col("n_nationkey") % 2) * 10.0).cast("double"),
+            ).alias("wkt"),
+        )
+
+        def run(src):
+            partials = src.mapInPandas(_partial_union, schema="g long, wkt string, n long")
+            return {
+                r["g"]: (r["n"], r["area"], r["perim"])
+                for r in partials.groupBy("g")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.expr("st_area(st_union_all(collect_list(wkt)))").alias("area"),
+                    F.expr("st_length(st_union_all(collect_list(wkt)))").alias("perim"),
+                )
+                .collect()
+            }
+
+        assert run(boxes.repartition(8)) == run(boxes.coalesce(1))
+
     def test_q124_plan_is_cascaded(self, spark):
         """The shuffle input must be the mapInPandas PARTIALS, not the raw
         boxes: MapInPandas runs before the exchange, so shuffle volume is
@@ -274,3 +319,52 @@ def test_union_is_idempotent_and_commutative(rects_a, rects_b):
     again = U.union_geoms([ab, ba])
     assert G.area(ab) == G.area(ba) == G.area(again)
     assert G.length(ab) == G.length(ba) == G.length(again)
+
+
+class TestCascadeExactness:
+    """Stage-2 of the q124 cascade re-unions stage-1 PARTIALS, which are
+    L-shaped/holed rectilinear polygons, not rectangles. Closure under
+    union (rectilinear decomposition) is what makes the cascade
+    partition-count-invariant; these pin it."""
+
+    def test_degenerate_backtracking_ring_rejected(self):
+        # 5 closed points, 2 distinct xs/ys, axis-parallel edges, but
+        # zero shoelace area: must NOT be treated as a unit square.
+        assert U._as_rect(G.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 1 0, 0 0))")) is None
+
+    def test_lshape_plus_overlapping_rect_dissolves(self):
+        l_shape = _u(  # L covering [0,2]x[0,1] + [0,1]x[1,2]
+            "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))",
+            "POLYGON ((0 1, 1 1, 1 2, 0 2, 0 1))",
+        )
+        assert G.parse_wkt(l_shape).kind == "Polygon"  # a real L, not a rect
+        merged = G.parse_wkt(_u(l_shape, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+        assert merged.kind == "Polygon"
+        assert G.area(merged) == 4.0  # full square, no double-count
+
+    def test_holed_partial_re_dissolves(self):
+        frame = _u(
+            "POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))",
+            "POLYGON ((0 2, 3 2, 3 3, 0 3, 0 2))",
+            "POLYGON ((0 0, 1 0, 1 3, 0 3, 0 0))",
+            "POLYGON ((2 0, 3 0, 3 3, 2 3, 2 0))",
+        )
+        assert len(G.parse_wkt(frame).coords) == 2  # frame with hole
+        # Union the holed partial with a plug for its hole: solid square.
+        solid = G.parse_wkt(_u(frame, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+        assert solid.kind == "Polygon" and len(solid.coords) == 1
+        assert G.area(solid) == 9.0
+
+    @settings(max_examples=200, deadline=None)
+    @given(_int_rects(), st.integers(min_value=1, max_value=7))
+    def test_split_union_equals_whole_union(self, rects, split):
+        """The cascade invariant itself: union(union(A), union(B)) must
+        equal union(A ∪ B) for every way of splitting the input — the
+        partition-layout independence q124 relies on."""
+        boxes = [G.Geometry.box(*r) for r in rects]
+        a, b = boxes[:split], boxes[split:]
+        whole = U.union_geoms(boxes)
+        partials = [U.union_geoms(grp) for grp in (a, b) if grp]
+        cascaded = U.union_geoms(partials)
+        assert G.area(cascaded) == G.area(whole)
+        assert G.length(cascaded) == G.length(whole)
