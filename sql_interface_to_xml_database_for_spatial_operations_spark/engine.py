@@ -45,6 +45,15 @@ class SpatialSQLEngine:
     stats: list[QueryStats] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        # Session-wide table-read confs, set ONCE at engine construction
+        # (ADVICE r6): previously only sources/tables.py set these inside
+        # the per-table events loader, so in a caller-supplied vanilla
+        # session the timestamp rendering of unrelated queries depended
+        # on whether events had been loaded first (order-dependent global
+        # state). The loader keeps the same calls as a safety net for
+        # registry callables that never construct an engine.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_spatial_functions(self.spark)
         register_relation_functions(self.spark)
         register_union_functions(self.spark)

@@ -694,6 +694,27 @@ def area(g: Geometry) -> float:
 
 
 def length(g: Geometry) -> float:
+    """PostGIS ST_Length parity: linear parts only — areal geometry
+    contributes 0 (its boundary is measured by :func:`perimeter`).
+    Until round 7 this summed polygon ring segments too, which silently
+    diverged from PostGIS under the forwarded ST_Length name (ADVICE r6)."""
+    if g.kind in ("Polygon", "MultiPolygon"):
+        return 0.0
+    if g.kind == "GeometryCollection":
+        return sum(length(sub) for sub in g.coords)
+    tot = 0.0
+    for a, b in _segments(g):
+        tot += math.hypot(b[0] - a[0], b[1] - a[1])
+    return tot
+
+
+def perimeter(g: Geometry) -> float:
+    """PostGIS ST_Perimeter: boundary length of areal parts, holes
+    included; 0 for points and lines."""
+    if g.kind == "GeometryCollection":
+        return sum(perimeter(sub) for sub in g.coords)
+    if g.kind not in ("Polygon", "MultiPolygon"):
+        return 0.0
     tot = 0.0
     for a, b in _segments(g):
         tot += math.hypot(b[0] - a[0], b[1] - a[1])

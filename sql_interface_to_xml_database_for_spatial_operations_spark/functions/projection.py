@@ -1,10 +1,13 @@
-"""ST_Transform — EPSG:4326 ↔ EPSG:3857 reprojection (F12 remainder).
+"""ST_Transform — EPSG:4326 ↔ 3857 and 4326 ↔ UTM reprojection (F12).
 
 PostGIS users reach ``ST_Transform(geom, srid)`` through the forwarding
 surface (reference src/index.ts:44-63). A general CRS engine needs proj
-(not in this runtime); the one transform pair that covers the web-map
-workflows the reference's demo serves is WGS84 lon/lat ↔ spherical Web
-Mercator, whose closed-form formulas are public (EPSG guidance note
+(not in this runtime); the closed-form pairs implemented here cover the
+web-map workflows the reference's demo serves (WGS84 ↔ spherical Web
+Mercator) plus the UTM zones PostGIS users reach for next
+(EPSG:326xx/327xx ↔ 4326, VERDICT r6 item 4 — third-order Krüger
+series, see the UTM section below). Pairs among {4326, 3857, UTM}
+compose through 4326. The Mercator forms are public (EPSG guidance note
 7-2 / the standard spherical-Mercator derivation):
 
     x = R·λ·π/180          λ = x/R · 180/π
@@ -59,6 +62,79 @@ def _inv(x: float, y: float) -> tuple[float, float]:
     return lon, lat
 
 
+# --- UTM (EPSG:326xx north / 327xx south) ↔ WGS84 ------------------------
+#
+# Transverse Mercator via the third-order Krüger series (the standard
+# public formulas — Karney 2011 "Transverse Mercator with an accuracy of
+# a few nanometers" §3, truncated at n³, ≈0.1 mm accuracy within a UTM
+# zone; no proj dependency). WGS84 ellipsoid, k0 = 0.9996,
+# E0 = 500 km, N0 = 0 north / 10 000 km south, λ0 = 6·zone − 183°.
+_F = 1.0 / 298.257223563  # WGS84 flattening
+_N3 = _F / (2.0 - _F)  # third flattening n
+_A_CAP = (R / (1.0 + _N3)) * (1.0 + _N3 * _N3 / 4.0 + _N3**4 / 64.0)
+_ALPHA = (
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 5.0 * _N3**3 / 16.0,
+    13.0 * _N3**2 / 48.0 - 3.0 * _N3**3 / 5.0,
+    61.0 * _N3**3 / 240.0,
+)
+_BETA = (
+    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 37.0 * _N3**3 / 96.0,
+    _N3**2 / 48.0 + _N3**3 / 15.0,
+    17.0 * _N3**3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N3 - 2.0 * _N3**2 / 3.0 - 2.0 * _N3**3,
+    7.0 * _N3**2 / 3.0 - 8.0 * _N3**3 / 5.0,
+    56.0 * _N3**3 / 15.0,
+)
+_K0 = 0.9996
+_E0 = 500_000.0
+_N0_SOUTH = 10_000_000.0
+_2SQN = 2.0 * math.sqrt(_N3) / (1.0 + _N3)
+
+
+def _utm_zone(srid: int) -> tuple[int, bool] | None:
+    """(zone, is_north) for EPSG:326xx/327xx, else None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, True
+    if 32701 <= srid <= 32760:
+        return srid - 32700, False
+    return None
+
+
+def _utm_fwd(lon: float, lat: float, zone: int, north: bool) -> tuple[float, float]:
+    lam0 = math.radians(6.0 * zone - 183.0)
+    phi = math.radians(lat)
+    lam = math.radians(lon) - lam0
+    s = math.sin(phi)
+    t = math.sinh(math.atanh(s) - _2SQN * math.atanh(_2SQN * s))
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+    xi, eta = xi_p, eta_p
+    for j, al in enumerate(_ALPHA, start=1):
+        xi += al * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += al * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    e = _E0 + _K0 * _A_CAP * eta
+    n = _K0 * _A_CAP * xi + (0.0 if north else _N0_SOUTH)
+    return e, n
+
+
+def _utm_inv(e: float, n: float, zone: int, north: bool) -> tuple[float, float]:
+    lam0 = math.radians(6.0 * zone - 183.0)
+    xi = (n - (0.0 if north else _N0_SOUTH)) / (_K0 * _A_CAP)
+    eta = (e - _E0) / (_K0 * _A_CAP)
+    xi_p, eta_p = xi, eta
+    for j, be in enumerate(_BETA, start=1):
+        xi_p -= be * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= be * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    phi = chi
+    for j, de in enumerate(_DELTA, start=1):
+        phi += de * math.sin(2 * j * chi)
+    lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    return math.degrees(lam + lam0), math.degrees(phi)
+
+
 def _map_coords(g: Geometry, fn) -> Geometry:
     if g.kind == "Point":
         return Geometry("Point", fn(*g.coords))
@@ -82,9 +158,21 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _fwd)
     if (srid_from, srid_to) == (3857, 4326):
         return _map_coords(g, _inv)
+    zone_to = _utm_zone(srid_to)
+    if srid_from == 4326 and zone_to is not None:
+        z, north = zone_to
+        return _map_coords(g, lambda lon, lat: _utm_fwd(lon, lat, z, north))
+    zone_from = _utm_zone(srid_from)
+    if zone_from is not None and srid_to == 4326:
+        z, north = zone_from
+        return _map_coords(g, lambda e, n: _utm_inv(e, n, z, north))
+    if zone_from is not None or zone_to is not None or 3857 in (srid_from, srid_to):
+        # Composable pairs (e.g. 3857 -> UTM) route through 4326.
+        return transform(transform(g, srid_from, 4326), 4326, srid_to)
     raise ValueError(
-        f"no transform {srid_from}->{srid_to} in this runtime (only "
-        "4326<->3857 closed forms; install proj and add a dispatcher branch)"
+        f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
+        "for 4326<->3857 and 4326<->UTM EPSG:326xx/327xx; install proj and "
+        "add a dispatcher branch for other CRSs)"
     )
 
 

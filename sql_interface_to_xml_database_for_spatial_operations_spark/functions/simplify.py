@@ -129,10 +129,22 @@ def simplify(g: Geometry, tol: float) -> Geometry | None:
 
 
 def _snap_seq(points: list[Pt], size: float) -> list[Pt]:
-    """Snap each vertex to the grid, then drop consecutive duplicates."""
+    """Snap each vertex to the grid, then drop consecutive duplicates.
+
+    Rounding is half-UP (``floor(x/size + 0.5)``), not Python's
+    banker's ``round``: half-up is a pure composition of IEEE ops, so a
+    SQL oracle computing ``floor(x/size + 0.5) * size`` on the same
+    doubles reproduces the snap bit-for-bit (driver row q129) — the
+    engine-dependent tie behavior of native round() is exactly the
+    round(x, 6) instability class documented in the r6 verdict."""
+    import math
+
     out: list[Pt] = []
     for x, y in points:
-        p = (round(x / size) * size, round(y / size) * size)
+        p = (
+            math.floor(x / size + 0.5) * size,
+            math.floor(y / size + 0.5) * size,
+        )
         if not out or out[-1] != p:
             out.append(p)
     return out

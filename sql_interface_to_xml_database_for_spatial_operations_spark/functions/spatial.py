@@ -256,10 +256,23 @@ def st_area(wkt: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def st_length(wkt: pd.Series) -> pd.Series:
+    """PostGIS parity (ADVICE r6): linear parts only, 0 for polygons —
+    ring boundaries are ``st_perimeter``'s job."""
     out = []
     for v in wkt:
         g = G.parse_wkt(v) if isinstance(v, str) else None
         out.append(G.length(g) if g else None)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_perimeter(wkt: pd.Series) -> pd.Series:
+    """ST_Perimeter: boundary length of areal geometry (holes included),
+    0 for points/lines — the measure q52/q94/q124 report for polygons."""
+    out = []
+    for v in wkt:
+        g = G.parse_wkt(v) if isinstance(v, str) else None
+        out.append(G.perimeter(g) if g else None)
     return pd.Series(out, dtype="float64")
 
 
@@ -401,6 +414,7 @@ ALL_FUNCTIONS = {
     "st_geometrytype": st_geometrytype,
     "st_area": st_area,
     "st_length": st_length,
+    "st_perimeter": st_perimeter,
     "st_envelope": st_envelope,
     "st_convexhull": st_convexhull,
     "st_npoints": st_npoints,

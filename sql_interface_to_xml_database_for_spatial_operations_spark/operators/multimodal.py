@@ -132,10 +132,24 @@ def parse_jpeg_header(payload: bytes) -> tuple[int, int, int, int]:
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     i, dims = 2, None
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"corrupt JPEG marker stream at byte {i}")
+        # Spec-legal 0xFF fill bytes may pad before any marker
+        # (ITU T.81 §B.1.1.2; ADVICE r6): skip the run, then read the
+        # marker byte after it.
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            break
         marker = b[i + 1]
+        # Standalone (length-less) markers: TEM (0x01) and RSTn
+        # (0xD0-0xD7) are 2-byte segments with no length field.
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            break
         seglen = int.from_bytes(b[i + 2 : i + 4], "big")
         if i + 2 + seglen > len(b):
             raise ValueError("truncated JPEG segment")
@@ -212,32 +226,65 @@ def decode_raster(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, body
 
 
-def resize_raster(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """REAL nearest-neighbor resampling (numpy index mapping, the
-    standard round-half-down center mapping src = floor(dst·scale)).
-    Swapping in a bilinear kernel or PIL changes only this function."""
+def resize_raster(payload: bytes, out_w: int, out_h: int, kernel: str = "nearest") -> bytes:
+    """REAL resampling on the SRAS pixel bytes. Two kernels:
+
+    - ``nearest`` (default): index mapping src = floor(dst·scale),
+      computed in INTEGER arithmetic (``dst*src_dim // out_dim``) — at
+      exact multiples the float form ``floor(dst·(src/out))`` can land
+      one ulp below the integer and pick the previous row/column, so the
+      integer form is both the correct mapping and the one a SQL oracle
+      can recompute bit-for-bit (driver row q133).
+    - ``bilinear``: center-aligned src = (dst+0.5)·scale − 0.5, clamped,
+      2×2 weighted average, round-half-up to uint8 — the documented
+      swap-in (pytest-covered on known fixtures; swapping in PIL changes
+      only this function).
+    """
     import numpy as np
 
     w, h, body = decode_raster(payload)
     img = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
-    ys = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
-    xs = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
-    out = img[ys[:, None], xs[None, :]]
+    if kernel == "nearest":
+        ys = np.minimum(np.arange(out_h, dtype=np.int64) * h // out_h, h - 1)
+        xs = np.minimum(np.arange(out_w, dtype=np.int64) * w // out_w, w - 1)
+        out = img[ys[:, None], xs[None, :]]
+    elif kernel == "bilinear":
+        sy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0.0, h - 1.0)
+        sx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0.0, w - 1.0)
+        y0 = np.minimum(sy.astype(np.int64), h - 1)
+        x0 = np.minimum(sx.astype(np.int64), w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (sy - y0)[:, None]
+        fx = (sx - x0)[None, :]
+        p = img.astype(np.float64)
+        val = (
+            p[y0[:, None], x0[None, :]] * (1 - fy) * (1 - fx)
+            + p[y0[:, None], x1[None, :]] * (1 - fy) * fx
+            + p[y1[:, None], x0[None, :]] * fy * (1 - fx)
+            + p[y1[:, None], x1[None, :]] * fy * fx
+        )
+        out = np.floor(val + 0.5).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown resize kernel {kernel!r} (nearest|bilinear)")
     return encode_raster(out_w, out_h, out.tobytes())
 
 
-def resize_images(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(
+    assets: DataFrame, out_w: int, out_h: int, kernel: str = "nearest"
+) -> DataFrame:
     """mapInPandas resize stage over SRAS assets: Arrow batches in,
     ASSET-shaped batches out with every payload resampled to
-    (out_w, out_h). Per-partition, shuffle-free — the same scale shape
-    as extract_features; at 100 TB resize cost is linear in pixels and
+    (out_w, out_h) by ``kernel`` (nearest|bilinear — see resize_raster).
+    Per-partition, shuffle-free — the same scale shape as
+    extract_features; at 100 TB resize cost is linear in pixels and
     embarrassingly parallel over scan partitions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            payloads = [resize_raster(p, out_w, out_h) for p in pdf["payload"]]
+            payloads = [resize_raster(p, out_w, out_h, kernel) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -45,117 +45,128 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # diff touching a green query's module fails the suite until the query
 # is either re-exposed or its fingerprint deliberately re-recorded.
 #
-# Round 6 state: every one of the 50 rows the r5 driver exposed came back
-# green (CORRECTNESS_r05: 0 errs, 0 mismatches), so this set is the
-# cross-round green union MINUS three groups re-exposed for round 6:
-#   - this round's diff: the events/temporal families (q75-q79, q83, q84,
-#     q89, q96, q116, q119, q120) — the r6 testdata regenerated events.ts
-#     as TIMESTAMP_NTZ micros (previously TIMESTAMP(NANOS) read as long),
-#     and sources/tables.py + streaming/windows.py now normalize both
-#     generations to TIMESTAMP; these queries' actual read path changed,
-#     so they must be re-verified by the driver. For every OTHER query
-#     the tables.py diff is docstring/no-op (non-events tables take the
-#     unchanged code path), so their fingerprints are deliberately
-#     re-recorded rather than re-exposed.
-#   - staleness: the r1 greens never re-checked since round 1 (q20-q29,
-#     q31-q43, q54-q57, q86, q87 — 29 entries, 5 rounds stale; q01-q04
-#     and q16-q19 were refreshed green in r5 and stay).
-#   - never green: the new q122 (DE-9IM relation predicates), q123
-#     (streaming e2e), q124 (ST_Union aggregate), q125-q127 (chunking /
-#     PII / URL extraction).
-#   - late re-expose: q113 and q117 (oracle tie-stability fixes, see
-#     notes in the set below). Their slots come from deferring TWO
-#     entries of the stale-green block — q40_math_functions and
-#     q39_case_expression, green in r1, source fingerprint-verified
-#     unchanged since — to the front of next round's staleness queue,
-#     keeping the exposed set at exactly the 50-row window (changed
-#     code outranks a stale-but-unchanged green).
-#   - sources/tables.py pins spark.sql.session.timeZone=UTC at the
-#     events load (r6 self-review: the NTZ cast + date functions are
-#     session-zone-relative, and a DST host zone would warp gap-hour
-#     wall times away from the oracle's naive reads). On the
-#     verification host the session zone already IS UTC, so every
-#     verified query's results are bit-identical — fingerprints
-#     re-recorded as a result-invariant robustness change; the events
-#     family itself is exposed for re-verification this round anyway.
-#   - engine.py gained register_union_functions and
-#     register_simplify_functions this round — result-invariant infra
-#     changes for the 8 verified queries whose closure includes it
-#     (q99-q102, q108, q114, q118, q121: the new registrations add names
-#     to the session and change nothing those queries execute), so their
-#     fingerprints were deliberately re-recorded rather than re-exposed
-#     (the exposure window is at 50 as-is; displacing re-checks of
-#     actually-changed code with no-op re-checks would be the worse
-#     trade).
-# The cap itself belongs to the harness — see README.md "Driver
-# correctness window" for the note to the harness owner.
+# Round 7 state: CORRECTNESS_r06 came back 50/50 green (third consecutive
+# all-green round), so this set is the cross-round green union MINUS the
+# groups re-exposed for round 7:
+#   - this round's diff, module-granular: dedup.py / similarity.py /
+#     pipeline.py (micro-int tie-stable oracle migration for q65/q66,
+#     q70-q73/q115, q105 — every query in those modules re-exposed),
+#     multimodal.py (JPEG fill-byte/standalone-marker parse, integer
+#     nearest-resize, bilinear kernel -> q80-q82), streaming_ops.py
+#     (empty-events guard + temp-view drop -> q123), union_agg.py +
+#     functions/union_ops.py (st_perimeter in q124, overlap signal),
+#     and the st_length/st_perimeter PostGIS-parity split -> q52 + q94
+#     (the two queries that measured polygons via st_length; results
+#     unchanged by construction, but the executed path changed).
+#   - staleness: the r2/r3 block never re-checked since (q59-q64, q69,
+#     q88, q92, q93 + q60-q63) and the two documented r1 deferrals
+#     (q39, q40).
+#   - never green: q128-q136, the eight r6 pytest-only surfaces + UTM
+#     (st_simplify / st_snaptogrid / st_transform incl. EPSG:326xx/327xx
+#     / st_azimuth / WAV audio features / SRAS resize / hypertable
+#     rollup / CMS) registered as driver rows this round per VERDICT r6
+#     item 1.
+# Queries REMAINING here whose fingerprints drifted did so through
+# modules they do not execute results through (module-granular
+# over-flagging): geometry.py/spatial.py gained st_perimeter (additive;
+# st_length's polygon change only affects q52/q94/q124 — re-exposed),
+# projection.py gained UTM branches (only q130's new path), engine.py
+# pins the events read confs at construction (identical values the
+# loader already set) and registers the new function families
+# (additive). All deliberately re-recorded — the visible act this
+# comment documents.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        # r01 greens, refreshed green in r5
-        "q01_filter_pushdown", "q02_projection_pruning", "q03_select_star",
+        "q01_filter_pushdown",
+        "q02_projection_pruning",
+        "q03_select_star",
         "q04_alias_expressions",
-        # r01 greens, deferred from the r6 stale re-expose block to make
-        # room for the q113 and q117 re-checks (tie-stability fixes, see
-        # rotation note above); first in next round's staleness queue
-        "q40_math_functions", "q39_case_expression",
-        "q16_join_multiway", "q17_natural_join", "q18_semi_join_in_subquery",
+        "q05_where_and_or",
+        "q06_in_list",
+        "q07_not_in_list",
+        "q08_null_predicates",
+        "q09_where_bool_literal",
+        "q10_between_range",
+        "q11_join_inner_equi",
+        "q12_join_theta",
+        "q13_join_left_outer",
+        "q14_join_right_outer",
+        "q15_join_full_outer",
+        "q16_join_multiway",
+        "q17_natural_join",
+        "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
-        # r02 greens (q59-q64/q69/q88/q92/q93 last checked r2 — next in
-        # the staleness queue after the r1 block above clears)
-        "q59_st_geomfromgml_kml",
-        "q60_token_count", "q61_quality_score",
-        "q64_dedup_exact",
-        "q69_embedding_neardup",
-        # q80-q82 re-exposed: multimodal.py gained the JPEG header codec
-        # this round (mixed-container fixture changes q81/q82 results)
-        "q88_levenshtein_neardup", "q92_hash_sample",
-        "q93_train_val_test_split",
-        # r03 greens, untouched by the r6 diff
+        "q20_lateral_explode",
+        "q21_count_groupby",
+        "q22_agg_global",
+        "q23_agg_pricing_summary",
+        "q24_having",
+        "q25_distinct",
+        "q26_rollup",
+        "q27_orderby_limit_topk",
+        "q28_union_all",
+        "q29_intersect",
         "q30_except",
-        "q45_spatial_join_intersects",
-        "q62_language_id", "q63_fingerprint",
-        "q67_simhash", "q68_simhash_pairs",
-        "q90_dedup_clusters",
-        "q97_knn_within_radius",
-        "q100_engine_rowset",
-        "q103_stratified_sample", "q104_language_quota",
-        "q105_mixture_weights", "q106_sequence_packing",
-        "q107_decontamination",
-        "q109_tfidf_top_terms", "q110_repetition_metrics",
+        "q31_window_rank",
+        "q32_window_running_sum",
         "q112_window_lag_lead",
-        # q113_window_distribution REMOVED (re-exposed): the r6 sf0.1
-        # sweep caught its oracle's round(x, 6) diverging from Spark at
-        # exact decimal ties; both sides now emit micro-unit integers
-        # (relational.py q113). Its window slot comes from the q40
-        # deferral above, so all 50 exposed rows — including every
-        # never-green q122-q127 — fit the driver window exactly.
-        # r05 greens (CORRECTNESS_r05, all 42 non-fill rows)
-        "q05_where_and_or", "q06_in_list", "q07_not_in_list",
-        "q08_null_predicates", "q09_where_bool_literal", "q10_between_range",
-        "q11_join_inner_equi", "q12_join_theta", "q13_join_left_outer",
-        "q14_join_right_outer", "q15_join_full_outer",
-        "q44_spatial_join_within",
-        "q46_st_area_props", "q47_dwithin_pairs",
-        "q48_distance_sphere_count", "q49_st_asgeojson",
-        "q50_st_geomfromtext", "q51_st_geomfromgeojson",
-        "q52_centroid_perimeter", "q53_buffer_contains",
+        "q113_window_distribution",
+        "q33_subquery_from",
+        "q34_scalar_subquery",
+        "q35_correlated_exists",
+        "q36_date_functions",
+        "q37_mod_function",
+        "q38_string_functions",
+        "q54_cube",
+        "q55_grouping_sets",
+        "q56_pivot",
+        "q57_count_distinct_multi",
         "q58_approx_count_distinct",
-        "q65_dedup_ngram_jaccard", "q66_minhash_lsh",
-        "q70_ann_bruteforce_topk", "q71_ann_lsh_buckets", "q72_ann_lsh_topk",
-        "q73_ann_ivf_topk",
+        "q86_skew_salted_join",
+        "q87_percentiles",
+        "q117_approx_percentiles",
+        "q41_st_point_accessors",
+        "q42_st_astext",
+        "q43_st_distance_radius",
+        "q44_spatial_join_within",
+        "q45_spatial_join_intersects",
+        "q46_st_area_props",
+        "q47_dwithin_pairs",
+        "q48_distance_sphere_count",
+        "q49_st_asgeojson",
+        "q50_st_geomfromtext",
+        "q51_st_geomfromgeojson",
+        "q53_buffer_contains",
         "q85_st_extent_agg",
-        "q91_training_pipeline",
-        "q94_multipart_gml_ingest", "q95_st_collect_agg",
+        "q95_st_collect_agg",
+        "q97_knn_within_radius",
         "q98_hull_envelope",
-        "q99_xml_roundtrip", "q101_geojson_roundtrip",
-        "q102_geojson_sink_roundtrip", "q108_kml_roundtrip",
-        "q111_centroid_outliers", "q114_compat_flattened",
-        "q115_ann_quantized_topk",
-        # q117_approx_percentiles REMOVED (re-exposed): its mirrored
-        # exact-percentile columns carried the same round(x, 6) tie risk
-        # the q113/q87 fix closed; both sides now emit micro-int, and
-        # q39's deferral (above) keeps the window at 50.
-        "q118_bucketed_join", "q121_catalog_tables",
+        "q109_tfidf_top_terms",
+        "q110_repetition_metrics",
+        "q75_tumbling_window",
+        "q76_sliding_window",
+        "q77_sessionize",
+        "q78_keyed_dedup_first",
+        "q79_json_props",
+        "q96_event_attribution",
+        "q116_trailing_range_window",
+        "q119_cohort_retention",
+        "q120_event_funnel",
+        "q83_asof_join",
+        "q84_range_join_banded",
+        "q89_gap_fill_spine",
+        "q99_xml_roundtrip",
+        "q101_geojson_roundtrip",
+        "q102_geojson_sink_roundtrip",
+        "q100_engine_rowset",
+        "q108_kml_roundtrip",
+        "q114_compat_flattened",
+        "q121_catalog_tables",
+        "q118_bucketed_join",
+        "q122_st_relations",
+        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
     }
 )
 

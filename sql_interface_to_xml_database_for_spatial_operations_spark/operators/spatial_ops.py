@@ -478,8 +478,9 @@ def q51_st_geomfromgeojson(spark, sf_dir):
     """,
 )
 def q52_centroid_perimeter(spark, sf_dir):
-    """F12: ST_Centroid + ST_Length over polygon rings (PG-side in the
-    reference). Box coords are integer-valued doubles → exact."""
+    """F12: ST_Centroid + ST_Perimeter over polygon rings (PG-side in the
+    reference; st_length is line-only for PostGIS parity since r7). Box
+    coords are integer-valued doubles → exact."""
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir).withColumn(
         "box_geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
@@ -488,7 +489,7 @@ def q52_centroid_perimeter(spark, sf_dir):
         "n_nationkey",
         F.expr("st_x(st_centroid(box_geom))").alias("cx"),
         F.expr("st_y(st_centroid(box_geom))").alias("cy"),
-        F.expr("st_length(box_geom)").alias("perimeter"),
+        F.expr("st_perimeter(box_geom)").alias("perimeter"),
     )
 
 
@@ -650,7 +651,7 @@ def q94_multipart_gml_ingest(spark, sf_dir):
     ST_GeomFromGML conversion, src/index.ts:44-63 via
     xml_extension.ts:283-308): each nation becomes a 2-polygon
     archipelago as a GML MultiPolygon fragment, parsed by st_geomfromgml,
-    measured by st_area/st_length/st_dimension and the bbox accessors.
+    measured by st_area/st_perimeter/st_dimension and the bbox accessors.
     Both parts must survive — the area/perimeter/bbox oracle values are
     the closed forms over BOTH boxes, so a first-part-only reader fails.
     The fragment build is JVM concat; only the parse+measure UDFs run
@@ -665,7 +666,7 @@ def q94_multipart_gml_ingest(spark, sf_dir):
             F.expr("st_geometrytype(st_geomfromgml(gml))").alias("gtype"),
             F.expr("st_dimension(st_geomfromgml(gml))").cast("bigint").alias("dim"),
             F.expr("st_area(st_geomfromgml(gml))").alias("area"),
-            F.expr("st_length(st_geomfromgml(gml))").alias("perimeter"),
+            F.expr("st_perimeter(st_geomfromgml(gml))").alias("perimeter"),
             F.expr("st_xmin(st_geomfromgml(gml))").alias("xmin"),
             F.expr("st_ymax(st_geomfromgml(gml))").alias("ymax"),
         )

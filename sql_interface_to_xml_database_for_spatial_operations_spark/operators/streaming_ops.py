@@ -71,6 +71,12 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     advances the final watermark past every real window."""
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:  # empty events table: nothing to stream (ADVICE r6 —
+        # (hi - lo) / 3 on Nones would raise TypeError)
+        return spark.createDataFrame(
+            [],
+            "window_start string, event_type string, n_events long, total_value double",
+        )
 
     run = f"q123_{os.getpid()}_{next(_RUN_IDS)}"
     stage = tempfile.mkdtemp(prefix=f"{run}_src_")
@@ -122,14 +128,19 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         if handle.isActive:  # pragma: no cover - hung stream safety valve
             handle.stop()
             raise RuntimeError("q123 stream did not finish within 300s")
-        # Memory-sink rows live on the driver; the staged files and
-        # checkpoint are no longer needed once the query terminates.
-        return spark.table(run).select(
+        # Memory-sink rows live on the driver already; materialize them
+        # and DROP the per-run temp view before returning (ADVICE r6:
+        # the unique queryName per run would otherwise accumulate a view
+        # per invocation for the life of the session).
+        out = spark.table(run).select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
         )
+        rows = out.collect()
+        spark.catalog.dropTempView(run)
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

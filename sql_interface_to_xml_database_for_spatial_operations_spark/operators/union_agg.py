@@ -152,7 +152,7 @@ def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("n_regionkey"),
         "n_boxes",
         F.expr("st_area(uwkt)").alias("union_area"),
-        F.expr("st_length(uwkt)").alias("perimeter"),
+        F.expr("st_perimeter(uwkt)").alias("perimeter"),
         F.expr("st_xmin(uwkt)").alias("minx"),
         F.expr("st_ymin(uwkt)").alias("miny"),
         F.expr("st_xmax(uwkt)").alias("maxx"),

@@ -399,3 +399,20 @@ class TestHullEnvelope:
     def test_npoints(self):
         assert G.n_points(G.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")) == 5
         assert G.n_points(G.parse_wkt("MULTIPOINT (1 2, 3 4)")) == 2
+
+
+def test_length_line_only_and_perimeter_split():
+    """PostGIS parity (ADVICE r6): ST_Length is linear-parts-only, ST_Perimeter
+    measures areal boundaries (holes included)."""
+    poly = G.parse_wkt("POLYGON ((0 0, 3 0, 3 1, 0 1, 0 0))")
+    assert G.length(poly) == 0.0
+    assert G.perimeter(poly) == 8.0
+    holed = G.parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert G.perimeter(holed) == 16.0 + 4.0
+    line = G.parse_wkt("LINESTRING (0 0, 3 4)")
+    assert G.perimeter(line) == 0.0 and G.length(line) == 5.0
+    mixed = G.parse_wkt(
+        "GEOMETRYCOLLECTION (LINESTRING (0 0, 3 4), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+    )
+    assert G.length(mixed) == 5.0
+    assert G.perimeter(mixed) == 4.0

@@ -264,3 +264,84 @@ def test_feature_stage_covers_raster_container(spark):
     for r in rows:
         i = int(r["asset_id"])
         assert (r["width"], r["height"], r["n_frames"]) == (i % 16 + 4, (i * 3) % 16 + 4, 1)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """Spec-legal streams the r6 parser rejected (ADVICE r6): 0xFF fill
+    bytes padding before a marker, and length-less standalone markers
+    (TEM 0x01, RSTn 0xD0-0xD7) in the header section."""
+    plain = encode_jpeg(33, 21, b"body")
+    w, h, ncomp, off = parse_jpeg_header(plain)
+    assert (w, h) == (33, 21)
+
+    # Inject fill bytes before the SOF marker: ...FF FF FF C0...
+    sof_at = plain.index(b"\xff\xc0")
+    padded = plain[:sof_at] + b"\xff\xff" + plain[sof_at:]
+    w2, h2, _n, off2 = parse_jpeg_header(padded)
+    assert (w2, h2) == (33, 21)
+    assert off2 == off + 2  # entropy offset shifts by the pad run
+
+    # Inject standalone TEM and RST1 markers between header segments.
+    tem = plain[:sof_at] + b"\xff\x01\xff\xd1" + plain[sof_at:]
+    w3, h3, _n, off3 = parse_jpeg_header(tem)
+    assert (w3, h3) == (33, 21)
+    assert off3 == off + 4
+
+
+def test_resize_bilinear_known_values():
+    import numpy as np
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_raster,
+        encode_raster,
+        resize_raster,
+    )
+
+    # 2x2 ramp upscaled 2x with center-aligned bilinear: corners keep the
+    # source values (clamped), interior samples interpolate at 1/4-3/4
+    # weights. Hand-computed expectation, round-half-up.
+    src = encode_raster(2, 2, bytes([0, 100, 200, 52]))
+    w, h, body = decode_raster(resize_raster(src, 4, 4, kernel="bilinear"))
+    assert (w, h) == (4, 4)
+    img = np.frombuffer(body, dtype=np.uint8).reshape(4, 4)
+    # sample coords map to src positions [-0.25, 0.25, 0.75, 1.25] -> clamped
+    # [0, 0.25, 0.75, 1]; weights per axis: (1,0), (.75,.25), (.25,.75), (0,1)
+    def bil(fy, fx):
+        p = np.array([[0, 100], [200, 52]], dtype=float)
+        v = (
+            p[0, 0] * (1 - fy) * (1 - fx)
+            + p[0, 1] * (1 - fy) * fx
+            + p[1, 0] * fy * (1 - fx)
+            + p[1, 1] * fy * fx
+        )
+        return int(np.floor(v + 0.5))
+
+    fr = [0.0, 0.25, 0.75, 1.0]
+    expect = [[bil(fy, fx) for fx in fr] for fy in fr]
+    assert img.tolist() == expect
+    # Identity resize with bilinear returns the exact source pixels.
+    same = decode_raster(resize_raster(src, 2, 2, kernel="bilinear"))[2]
+    assert same == bytes([0, 100, 200, 52])
+    with pytest.raises(ValueError):
+        resize_raster(src, 2, 2, kernel="lanczos")
+
+
+def test_resize_nearest_integer_index_mapping():
+    """The nearest kernel must use integer floor mapping src=dst*h//out
+    (float dst*(h/out) can land one ulp low at exact multiples)."""
+    import numpy as np
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_raster,
+        encode_raster,
+        resize_raster,
+    )
+
+    w, h = 7, 14
+    img = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    out_w, out_h = 5, 6
+    got = decode_raster(resize_raster(encode_raster(w, h, img.tobytes()), out_w, out_h))[2]
+    ys = [min(r * h // out_h, h - 1) for r in range(out_h)]
+    xs = [min(c * w // out_w, w - 1) for c in range(out_w)]
+    expect = bytes(img[y, x] for y in ys for x in xs)
+    assert got == expect

@@ -352,3 +352,31 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == full.count()  # everything exactly once
     assert result.select("event_id").distinct().count() == full.count()
+
+
+def test_q123_empty_events_and_no_view_leak(spark, tmp_path):
+    """ADVICE r6 fixes: an empty events table returns an empty result
+    instead of TypeError on (None - None)/3, and a completed run drops
+    its memory-sink temp view instead of leaking one per invocation."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators import load_all
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import QUERIES
+
+    load_all()
+    q123 = QUERIES["q123_stream_tumbling_e2e"].fn
+
+    empty_dir = tmp_path / "sf_empty"
+    empty_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame([], schema).write.parquet(str(empty_dir / "events.parquet"))
+    out = q123(spark, str(empty_dir))
+    assert out.count() == 0
+    assert out.columns == ["window_start", "event_type", "n_events", "total_value"]
+
+    views_before = {t.name for t in spark.catalog.listTables()}
+    res = q123(spark, SF_DIR)
+    assert res.count() > 0
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {v for v in views_after - views_before if v.startswith("q123_")}

@@ -38,7 +38,7 @@ class TestDissolveCore:
         got = G.parse_wkt(_u(BOX_A, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"))
         assert got.kind == "Polygon"
         assert G.area(got) == 7.0  # 4 + 4 - 1 overlap
-        assert G.length(got) == 12.0
+        assert G.perimeter(got) == 12.0
 
     def test_duplicate_and_contained_collapse(self):
         assert G.area(G.parse_wkt(_u(BOX_A, BOX_A))) == 4.0
@@ -51,7 +51,7 @@ class TestDissolveCore:
         )
         assert got.kind == "Polygon"
         assert G.area(got) == 2.0
-        assert G.length(got) == 6.0  # shared edge dissolved away
+        assert G.perimeter(got) == 6.0  # shared edge dissolved away
 
     def test_frame_produces_hole(self):
         got = G.parse_wkt(
@@ -65,7 +65,7 @@ class TestDissolveCore:
         assert got.kind == "Polygon"
         assert len(got.coords) == 2  # exterior + hole
         assert G.area(got) == 8.0  # 9 outer − 1 hole
-        assert G.length(got) == 16.0  # 12 outer + 4 hole
+        assert G.perimeter(got) == 16.0  # 12 outer + 4 hole
 
     def test_checkerboard_corner_stays_two_parts(self):
         got = G.parse_wkt(
@@ -89,7 +89,7 @@ class TestDissolveCore:
         )
         assert got.kind == "MultiPolygon"
         assert G.area(got) == (25.0 - 9.0) + 1.0
-        assert G.length(got) == 20.0 + 12.0 + 4.0
+        assert G.perimeter(got) == 20.0 + 12.0 + 4.0
 
     def test_mixed_dimensions_collection(self):
         got = G.parse_wkt(_u(BOX_A, "POINT (1 1)", "POINT (9 9)", "LINESTRING (8 0, 9 0)"))
@@ -210,7 +210,7 @@ class TestDriverRow:
                 .agg(
                     F.sum("n").alias("n"),
                     F.expr("st_area(st_union_all(collect_list(wkt)))").alias("area"),
-                    F.expr("st_length(st_union_all(collect_list(wkt)))").alias("perim"),
+                    F.expr("st_perimeter(st_union_all(collect_list(wkt)))").alias("perim"),
                 )
                 .collect()
             }
@@ -300,13 +300,13 @@ def test_dissolve_matches_bruteforce(rects):
     g = U.union_geoms([G.Geometry.box(*r) for r in rects])
     area, perim, comps = _truth(rects)
     assert G.area(g) == area
-    assert G.length(g) == perim
+    assert G.perimeter(g) == perim
     n_parts = len(g.coords) if g.kind == "MultiPolygon" else 1
     assert n_parts == comps
     # Round-trip: the emitted WKT must re-parse to the same measures
     # (exercises hole ordering in to_wkt/parse_wkt).
     rt = G.parse_wkt(G.to_wkt(g))
-    assert G.area(rt) == area and G.length(rt) == perim
+    assert G.area(rt) == area and G.perimeter(rt) == perim
 
 
 @settings(max_examples=150, deadline=None)
@@ -318,7 +318,7 @@ def test_union_is_idempotent_and_commutative(rects_a, rects_b):
     ba = U.union_geoms(gb + ga)
     again = U.union_geoms([ab, ba])
     assert G.area(ab) == G.area(ba) == G.area(again)
-    assert G.length(ab) == G.length(ba) == G.length(again)
+    assert G.perimeter(ab) == G.perimeter(ba) == G.perimeter(again)
 
 
 class TestCascadeExactness:
@@ -367,4 +367,4 @@ class TestCascadeExactness:
         partials = [U.union_geoms(grp) for grp in (a, b) if grp]
         cascaded = U.union_geoms(partials)
         assert G.area(cascaded) == G.area(whole)
-        assert G.length(cascaded) == G.length(whole)
+        assert G.perimeter(cascaded) == G.perimeter(whole)
