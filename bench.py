@@ -27,7 +27,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # window, spatial join, distance self-join, DE-9IM relations, ST_Union
 # cascade, jaccard dedup, minhash LSH, simhash, ANN brute/IVF, as-of
 # join, banded range join, tumbling window, sessionize, bucketed storage
-# join, token chunking).
+# join, token chunking; r7 adds the PII/URL extraction rows and one row
+# per new family — geometry functions incl. UTM transform, audio
+# features, raster resize, hypertable rollup, CMS — so every family the
+# registry covers keeps a tracked number, VERDICT r6 item 8).
 HEADLINE = [
     "q01_filter_pushdown",
     "q16_join_multiway",
@@ -58,6 +61,13 @@ HEADLINE = [
     "q125_document_chunking",
     "q111_centroid_outliers",
     "q115_ann_quantized_topk",
+    "q126_pii_redaction",
+    "q127_url_domains",
+    "q130_st_transform",
+    "q132_audio_features",
+    "q133_resize_images",
+    "q134_hypertable_rollup",
+    "q135_cms_heavy_hitters",
 ]
 
 

@@ -22,13 +22,19 @@ dissolve over the WKT geometry model of ``geometry.py``:
   input coordinates (the only derived values are cell/edge midpoints),
   so integer-valued inputs produce bit-exact output.
 - **Non-rectangular parts** are pruned when covered by another part
-  (``geometry.within``) and otherwise appended undissolved. The result
-  is always the correct point set; for *partially overlapping*
-  non-rectangular polygons the overlap is represented as stacked parts,
-  so downstream ``st_area`` would double-count — documented divergence
-  from PostGIS (which re-nodes), chosen over shipping a half-trusted
-  general clipper. Points/lines union by dedup + covered-by-polygon
-  pruning, GeometryCollection when dimensions stay mixed.
+  (``geometry.within``); overlapping CONVEX pairs then dissolve
+  EXACTLY (r7 — candidate vertices + Sutherland-Hodgman edge
+  intersections walked by angle around an intersection-interior
+  anchor, see ``_convex_union_pair``), which covers the common
+  dissolve case. What remains (overlapping NON-convex parts, or 3+
+  mutually overlapping convex parts whose first merge went
+  non-convex) is appended undissolved: the result is the correct
+  point set, but ``st_area``/``st_perimeter`` double-count the
+  overlap — a RuntimeWarning fires when this happens (ADVICE r6),
+  documented divergence from PostGIS (which re-nodes), chosen over
+  shipping a half-trusted general clipper. Points/lines union by
+  dedup + covered-by-polygon pruning, GeometryCollection when
+  dimensions stay mixed.
 
 Scale shape (SCALE.md "st_union"): the aggregate is exposed as the
 scalar ``st_union_all(array<wkt>)`` so ``collect_list`` does the
@@ -253,6 +259,141 @@ def _rect_union_polys(rects: list[tuple[float, float, float, float]]) -> list[li
 
 
 # ---------------------------------------------------------------------------
+# exact convex-pair union (r7, VERDICT r6 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _signed_area_ring(ring: list[Pt]) -> float:
+    s = 0.0
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        s += ax * by - bx * ay
+    return s / 2.0
+
+
+def _is_convex_ring(ring: list[Pt]) -> bool:
+    """True iff the closed ring is convex (collinear runs allowed)."""
+    sign = 0
+    pts = ring[:-1]
+    n = len(pts)
+    for k in range(n):
+        o, a, b = pts[k], pts[(k + 1) % n], pts[(k + 2) % n]
+        cr = (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        if cr != 0.0:
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def _clip_convex(subject: list[Pt], clip: list[Pt]) -> list[Pt]:
+    """Sutherland-Hodgman: subject polygon ∩ CONVEX clip polygon (both
+    closed rings, any orientation) → open vertex list (may be empty /
+    degenerate). The standard published algorithm — each clip edge
+    half-plane clips the running vertex list."""
+    if _signed_area_ring(clip) < 0:
+        clip = clip[::-1]  # inside == left of each directed clip edge
+    out = list(subject[:-1])
+    for (cx1, cy1), (cx2, cy2) in zip(clip, clip[1:]):
+        if not out:
+            return []
+        inp, out = out, []
+        ex, ey = cx2 - cx1, cy2 - cy1
+
+        def side(p: Pt) -> float:
+            return ex * (p[1] - cy1) - ey * (p[0] - cx1)
+
+        def hit(p: Pt, q: Pt) -> Pt:
+            # side(p + t·(q−p)) = side(p) + t·den = 0  →  t = −side(p)/den;
+            # den ≠ 0 whenever SH calls this (the segment strictly
+            # straddles the clip line, so it cannot be parallel to it)
+            den = ex * (q[1] - p[1]) - ey * (q[0] - p[0])
+            t = -side(p) / den
+            return (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+
+        for i, p in enumerate(inp):
+            q = inp[(i + 1) % len(inp)]
+            sp, sq = side(p), side(q)
+            if sp >= 0:
+                out.append(p)
+                if sq < 0:
+                    out.append(hit(p, q))
+            elif sq >= 0:
+                out.append(hit(p, q))
+    return out
+
+
+def _seg_intersections(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> list[Pt]:
+    """Proper or endpoint intersection points of two segments (collinear
+    overlaps contribute their endpoints via the vertex candidates, so
+    they are deliberately skipped here)."""
+    d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
+    d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+    den = d1x * d2y - d1y * d2x
+    if den == 0.0:
+        return []
+    t = ((b1[0] - a1[0]) * d2y - (b1[1] - a1[1]) * d2x) / den
+    u = ((b1[0] - a1[0]) * d1y - (b1[1] - a1[1]) * d1x) / den
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return [(a1[0] + t * d1x, a1[1] + t * d1y)]
+    return []
+
+
+def _strictly_inside_convex(p: Pt, ring: list[Pt]) -> bool:
+    if _signed_area_ring(ring) < 0:
+        ring = ring[::-1]
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        if (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) <= 0.0:
+            return False
+    return True
+
+
+def _convex_union_pair(pring: list[Pt], qring: list[Pt]) -> list[Pt] | None:
+    """EXACT union ring of two OVERLAPPING convex polygons, or None when
+    their interiors do not overlap (touching/disjoint pairs are handled
+    by the caller's existing paths).
+
+    Why this shape is correct: the union of two convex polygons is
+    star-shaped with respect to any interior point of their intersection
+    (segments from such a point to any union point stay inside whichever
+    polygon the endpoint belongs to), and every union-boundary vertex is
+    either an input vertex not strictly inside the other polygon or an
+    edge-pair intersection point — so sorting those candidates by angle
+    around an intersection-interior anchor yields the boundary walk.
+    No two candidates share an angle: a boundary edge collinear with a
+    ray through the anchor would put the anchor ON that edge's line,
+    contradicting the anchor being strictly inside both polygons."""
+    import math
+
+    inter = _clip_convex(pring, qring)
+    if len(inter) < 3:
+        return None
+    closed = inter + [inter[0]]
+    if abs(_signed_area_ring(closed)) < 1e-12:
+        return None  # touching or sliver — stacked parts are exact there
+    ax = sum(p[0] for p in inter) / len(inter)
+    ay = sum(p[1] for p in inter) / len(inter)
+
+    cands: set[Pt] = set()
+    for v in pring[:-1]:
+        if not _strictly_inside_convex(v, qring):
+            cands.add(v)
+    for v in qring[:-1]:
+        if not _strictly_inside_convex(v, pring):
+            cands.add(v)
+    for i in range(len(pring) - 1):
+        for j in range(len(qring) - 1):
+            for pt in _seg_intersections(pring[i], pring[i + 1], qring[j], qring[j + 1]):
+                cands.add(pt)
+
+    ring = sorted(cands, key=lambda p: math.atan2(p[1] - ay, p[0] - ax))
+    if len(ring) < 3:
+        return None
+    return ring + [ring[0]]
+
+
+# ---------------------------------------------------------------------------
 # general union
 # ---------------------------------------------------------------------------
 
@@ -298,6 +439,70 @@ def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
         )
         if not covered:
             kept.append(p)
+
+    # Overlapping CONVEX pairs dissolve exactly (r7, VERDICT r6 item 6):
+    # repeat until no hole-free convex pair overlaps. The merged ring is
+    # generally non-convex, so chains of 3+ mutually overlapping convex
+    # parts may stop merging after the first pair — any overlap still
+    # standing afterward is warned about below.
+    merged = True
+    while merged and len(kept) > 1:
+        merged = False
+        for i in range(len(kept)):
+            pi = kept[i]
+            if len(pi.coords) != 1 or not _is_convex_ring(pi.coords[0]):
+                continue
+            for j in range(i + 1, len(kept)):
+                pj = kept[j]
+                if len(pj.coords) != 1 or not _is_convex_ring(pj.coords[0]):
+                    continue
+                u = _convex_union_pair(pi.coords[0], pj.coords[0])
+                if u is not None:
+                    kept[i] = Geometry("Polygon", [u])
+                    del kept[j]
+                    merged = True
+                    break
+            if merged:
+                break
+
+    # A merged pair may now cover parts that survived the first prune
+    # (e.g. a part inside the union of two others): re-prune.
+    if len(kept) > 1:
+        kept = [
+            p
+            for i, p in enumerate(kept)
+            if not any(
+                G.within(p, q)
+                for j, q in enumerate(kept)
+                if j != i and (j < i or not G.within(q, p))
+            )
+        ]
+
+    # Loud signal for the remaining inexact case (ADVICE r6): interiors
+    # that still overlap are kept as stacked parts — the point set is
+    # right but st_area/st_perimeter over the union double-count the
+    # overlap (PostGIS re-nodes; see module docstring).
+    if len(kept) > 1:
+        from . import relations as _rel
+
+        for i in range(len(kept)):
+            stacked = False
+            for j in range(i + 1, len(kept)):
+                if _rel.interiors_intersect(kept[i], kept[j]):
+                    import warnings
+
+                    warnings.warn(
+                        "st_union: non-convex overlapping polygon parts kept "
+                        "as stacked MultiPolygon members — st_area/st_perimeter "
+                        "over this union double-count the overlap (exact for "
+                        "rectilinear and convex-pair inputs; PostGIS re-nodes)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    stacked = True
+                    break
+            if stacked:
+                break
 
     poly_geom: Geometry | None = None
     if len(kept) == 1:

@@ -24,3 +24,7 @@ def load_all() -> None:
     from . import streaming_ops  # noqa: F401
     from . import union_agg  # noqa: F401
     from . import text_extract  # noqa: F401
+    from . import geo_fn_ops  # noqa: F401
+    from . import media_ops  # noqa: F401
+    from . import rollup_ops  # noqa: F401
+    from . import sketch_ops  # noqa: F401

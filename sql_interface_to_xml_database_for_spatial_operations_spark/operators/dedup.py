@@ -105,7 +105,8 @@ _JACCARD_PAIRS_SQL = f"""
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc1, doc2,
-           round(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both), 6) AS jaccard
+           CAST(floor(CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both) * 1000000 + 0.5)
+                AS BIGINT) AS jaccard_micro
     FROM inter
     JOIN sizes s1 ON s1.doc_id = doc1
     JOIN sizes s2 ON s2.doc_id = doc2
@@ -153,7 +154,14 @@ def jaccard_pairs(spark, sf_dir, docs: DataFrame | None = None):
         inter.join(s1, "doc1")
         .join(s2, "doc2")
         .filter(jac >= 0.2)
-        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        # micro-int, not round(x, 6): jaccard is a ratio of integers and
+        # can tie exactly at the 6th decimal, where round() is
+        # engine-dependent (the q113 class, VERDICT r6)
+        .select(
+            "doc1",
+            "doc2",
+            F.floor(jac * 1000000 + F.lit(0.5)).cast("bigint").alias("jaccard_micro"),
+        )
     )
 
 
@@ -191,8 +199,9 @@ BAND_SIZE = 2  # → 4 bands of 2 rows (b=4, r=2)
     ),
     arrs AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id)
     SELECT doc1, doc2,
-           round(CAST(len(list_intersect(a1.shs, a2.shs)) AS DOUBLE)
-                 / (len(a1.shs) + len(a2.shs) - len(list_intersect(a1.shs, a2.shs))), 6) AS jaccard
+           CAST(floor(CAST(len(list_intersect(a1.shs, a2.shs)) AS DOUBLE)
+                 / (len(a1.shs) + len(a2.shs) - len(list_intersect(a1.shs, a2.shs)))
+                 * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
     FROM cand JOIN arrs a1 ON a1.doc_id = doc1 JOIN arrs a2 ON a2.doc_id = doc2
     """,
 )
@@ -290,7 +299,12 @@ def q66_minhash_lsh(spark, sf_dir):
     return (
         cand.join(a1, "doc1")
         .join(a2, "doc2")
-        .select("doc1", "doc2", F.round(jac, 6).alias("jaccard"))
+        # micro-int, not round(x, 6) — same tie-stability rationale as q65
+        .select(
+            "doc1",
+            "doc2",
+            F.floor(jac * 1000000 + F.lit(0.5)).cast("bigint").alias("jaccard_micro"),
+        )
     )
 
 
@@ -414,7 +428,9 @@ def q68_simhash_pairs(spark, sf_dir):
       SELECT a.vec_id AS vec1, bb.vec_id AS vec2
       FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
     )
-    SELECT vec1, vec2, round(list_cosine_similarity(e1.v, e2.v), 6) AS cos_sim
+    SELECT vec1, vec2,
+           CAST(floor(list_cosine_similarity(e1.v, e2.v) * 1000000 + 0.5) AS BIGINT)
+             AS cos_sim_micro
     FROM cand
     JOIN e e1 ON e1.vec_id = vec1
     JOIN e e2 ON e2.vec_id = vec2
@@ -440,7 +456,12 @@ def q69_embedding_neardup(spark, sf_dir):
         .filter(F.col("vec1") < F.col("vec2"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.2)
-        .select("vec1", "vec2", F.round("cos_raw", 6).alias("cos_sim"))
+        # micro-int, not round(x, 6) — tie-stability (VERDICT r6 / q113)
+        .select(
+            "vec1",
+            "vec2",
+            F.floor(F.col("cos_raw") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_sim_micro"),
+        )
     )
 
 

@@ -1,0 +1,300 @@
+"""Driver rows for the r6 geometry-function remainder (VERDICT r6 #1/#4):
+st_simplify, st_snaptogrid, st_transform (incl. UTM), st_azimuth.
+
+The reference forwards these PostGIS names to PostGIS itself
+(reference src/index.ts:44-63); the implementations live in
+``functions/simplify.py`` and ``functions/projection.py``. This module
+registers the oracle-gated queries, in a separate module so staleness
+fingerprints of the verified spatial families stay untouched
+(same rationale as relations_ops.py).
+
+Oracle design per query (every fixture value derives from integer keys
+with identical arithmetic on both engines):
+
+- **q128**: Douglas-Peucker with tolerance 0 removes exactly the
+  collinear vertices, so the expected simplified WKT is STRING-BUILDABLE
+  in SQL — the oracle reconstructs the full zigzag WKT with midpoints
+  dropped, checking the parse → DP → serialize path end to end.
+- **q129**: the snap is ``floor(x/size + 0.5) * size`` (half-up — see
+  functions/simplify.py::_snap_seq), a pure composition of IEEE double
+  ops, so DuckDB recomputes the snapped coordinates bit-for-bit.
+- **q130**: Mercator x is transcendental-free (R·lon·π/180) and compares
+  as an exact micro-meter integer; Mercator y compares at whole meters
+  (the ln-vs-atanh formulation differs by ~1 ulp ≈ 4e-9 m — meter
+  flooring puts the noise 8 orders of magnitude below the quantum);
+  round-trips (4326→3857→4326 and 4326→UTM→4326) compare at
+  micro-degrees against the ORIGINAL coordinates, which the oracle
+  recomputes from keys exactly — fixture coordinates are integral in
+  micro-degrees, and round-trip error is ≤3.3e-9 deg (0.0033 µdeg), so
+  the floor is deterministic with 150× margin. UTM forward accuracy
+  itself is pinned by tests/test_projection.py's independent
+  meridian-arc integration (the oracle only sanity-bounds the easting).
+- **q131**: azimuth = atan2 over small-integer deltas; both engines see
+  bit-identical inputs and the result compares at micro-radians (libm
+  disagreement would need the value within 1e-9 of a floor boundary for
+  one of 35 distinct delta pairs). Coincident points exercise the
+  NULL-not-crash convention on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.projection import register_projection_functions
+    from ..functions.simplify import register_simplify_functions
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    register_simplify_functions(spark)
+    register_projection_functions(spark)
+
+
+# ---------------------------------------------------------------------------
+# q128: ST_Simplify (tolerance 0 → exact collinear-vertex removal)
+# ---------------------------------------------------------------------------
+
+# Zigzag with m = n%4 + 2 segments: real vertices (10k, (k%2)*10) for
+# k = 0..m, midpoints ((10k+5), 5) inserted between each pair. Midpoints
+# lie exactly on their segment (all-small-integer float math), so DP at
+# tolerance 0 removes them and nothing else.
+_Q128_ORACLE = """
+    WITH k AS (
+      SELECT n_nationkey, n_nationkey % 4 + 2 AS m FROM nation
+    ),
+    verts AS (
+      SELECT n_nationkey, m, i,
+             CAST(i * 10 AS BIGINT) AS x, CAST((i % 2) * 10 AS BIGINT) AS y
+      FROM k, LATERAL unnest(generate_series(0, m)) AS t(i)
+    )
+    SELECT n_nationkey,
+           CAST(2 * m + 1 AS BIGINT) AS n_before,
+           CAST(m + 1 AS BIGINT) AS n_after,
+           'LINESTRING (' || string_agg(x || ' ' || y, ', ' ORDER BY i) || ')'
+             AS line_simplified,
+           CAST(9 AS BIGINT) AS ring_before,
+           CAST(5 AS BIGINT) AS ring_after,
+           'POLYGON ((0 0, ' || (10 * (n_nationkey % 2 + 1)) || ' 0, '
+             || (10 * (n_nationkey % 2 + 1)) || ' 10, 0 10, 0 0))'
+             AS ring_simplified
+    FROM verts
+    GROUP BY n_nationkey, m
+"""
+
+
+@query("q128_st_simplify", oracle=_Q128_ORACLE)
+def q128_st_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Simplify driver row (functions/simplify.py — Douglas-Peucker,
+    reference F12 surface src/index.ts:44-63). Tolerance 0 keeps exactly
+    the non-collinear vertices, so the oracle string-builds the expected
+    output WKT. The WKT fixture build is JVM concat over a sequence();
+    only the simplify UDF runs Python (Arrow-vectorized, map-only)."""
+    from ..sources.tables import load_table
+
+    _ensure_udfs(spark)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", (F.col("n_nationkey") % 4 + 2).alias("m")
+    )
+    # Interleaved real/midpoint vertices: index i in 0..2m, even i are
+    # real vertex i/2, odd i the midpoint of (i div 2, i div 2 + 1).
+    line = F.expr(
+        "concat('LINESTRING (', array_join(transform(sequence(0, 2*m), i -> "
+        "CASE WHEN i % 2 = 0 THEN concat(string((i div 2) * 10), ' ', string(((i div 2) % 2) * 10)) "
+        "ELSE concat(string((i div 2) * 10 + 5), ' 5') END), ', '), ')')"
+    )
+    w = F.expr("10 * (n_nationkey % 2 + 1)")
+    ring = F.concat(
+        F.lit("POLYGON ((0 0, "),
+        (w / 2).cast("bigint").cast("string"), F.lit(" 0, "),
+        w.cast("bigint").cast("string"), F.lit(" 0, "),
+        w.cast("bigint").cast("string"), F.lit(" 5, "),
+        w.cast("bigint").cast("string"), F.lit(" 10, "),
+        (w / 2).cast("bigint").cast("string"), F.lit(" 10, "),
+        F.lit("0 10, 0 5, 0 0))"),
+    )
+    return (
+        n.withColumn("line", line)
+        .withColumn("ring", ring)
+        .select(
+            "n_nationkey",
+            F.expr("st_npoints(line)").cast("bigint").alias("n_before"),
+            F.expr("st_npoints(st_simplify(line, 0.0D))").cast("bigint").alias("n_after"),
+            F.expr("st_simplify(line, 0.0D)").alias("line_simplified"),
+            F.expr("st_npoints(ring)").cast("bigint").alias("ring_before"),
+            F.expr("st_npoints(st_simplify(ring, 0.0D))").cast("bigint").alias("ring_after"),
+            F.expr("st_simplify(ring, 0.0D)").alias("ring_simplified"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129: ST_SnapToGrid (exact half-up grid rounding)
+# ---------------------------------------------------------------------------
+
+_Q129_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon,
+             ((c_custkey * 104729) % 17000) / 100.0 - 85.0 AS lat
+      FROM customer WHERE c_custkey < 500
+    )
+    SELECT c_custkey,
+           floor(lon / 0.5 + 0.5) * 0.5 AS sx,
+           floor(lat / 0.5 + 0.5) * 0.5 AS sy,
+           CAST(CASE WHEN floor(lon / 0.5 + 0.5) = floor((lon + 0.1) / 0.5 + 0.5)
+                THEN 2 ELSE 3 END AS BIGINT) AS line_n_after
+    FROM pts
+"""
+
+
+@query("q129_st_snaptogrid", oracle=_Q129_ORACLE)
+def q129_st_snaptogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SnapToGrid driver row: snapped point coordinates read back via
+    st_x/st_y, plus consecutive-duplicate collapse on a 3-vertex line
+    whose first two vertices may or may not share a snapped cell. The
+    half-up snap is pure IEEE ops, so the oracle recomputes it exactly
+    (functions/simplify.py::_snap_seq docstring)."""
+    from .spatial_ops import customer_points
+
+    _ensure_udfs(spark)
+    pts = customer_points(spark, sf_dir).filter(F.col("c_custkey") < 500)
+    line = F.concat(
+        F.lit("LINESTRING ("),
+        F.col("lon").cast("string"), F.lit(" "), F.col("lat").cast("string"), F.lit(", "),
+        (F.col("lon") + 0.1).cast("string"), F.lit(" "), F.col("lat").cast("string"), F.lit(", "),
+        (F.col("lon") + 2.0).cast("string"), F.lit(" "), F.col("lat").cast("string"),
+        F.lit(")"),
+    )
+    return (
+        pts.withColumn("snapped", F.expr("st_snaptogrid(st_point(lon, lat), 0.5D)"))
+        .withColumn("line", line)
+        .select(
+            "c_custkey",
+            F.expr("st_x(snapped)").alias("sx"),
+            F.expr("st_y(snapped)").alias("sy"),
+            F.expr("st_npoints(st_snaptogrid(line, 0.5D))").cast("bigint").alias("line_n_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130: ST_Transform — 3857 forward/round-trip + UTM round-trip
+# ---------------------------------------------------------------------------
+
+# In-zone UTM fixture: zone = key%60 + 1 (central meridian 6*zone-183),
+# lon = west edge + 1.5..5.25 in 0.75 steps, lat in [-79.75, 79.25] in
+# 0.25 steps — every coordinate integral in micro-degrees.
+_Q130_FIXTURE = """
+      SELECT c_custkey,
+             (c_custkey % 60) * 6 - 180 + 1.5 + (c_custkey % 6) * 0.75 AS lon,
+             ((c_custkey * 13) % 160) - 80 + 0.25 + (c_custkey % 2) * 0.5 AS lat,
+             c_custkey % 60 + 1 AS zone
+      FROM customer WHERE c_custkey < 300
+"""
+
+_Q130_ORACLE = f"""
+    WITH pts AS ({_Q130_FIXTURE})
+    SELECT c_custkey,
+           CAST(floor(6378137.0 * (lon * (pi() / 180.0)) * 1000000 + 0.5) AS BIGINT)
+             AS merc_x_micro,
+           CAST(floor(6378137.0 * 0.5 * ln((1.0 + sin(lat * (pi() / 180.0)))
+                / (1.0 - sin(lat * (pi() / 180.0)))) + 0.5) AS BIGINT)
+             AS merc_y_m,
+           CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS rt_lon_micro,
+           CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS rt_lat_micro,
+           CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS utm_rt_lon_micro,
+           CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS utm_rt_lat_micro,
+           TRUE AS utm_easting_in_range
+    FROM pts
+"""
+
+
+@query("q130_st_transform", oracle=_Q130_ORACLE)
+def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform driver row (functions/projection.py): Web-Mercator
+    forward (x exact in micro-meters — no transcendentals; y at whole
+    meters), 3857 round-trip and UTM (EPSG:326xx/327xx, Krüger series —
+    VERDICT r6 item 4) round-trip at micro-degrees vs the original
+    key-derived coordinates. See module docstring for why every floor is
+    deterministic."""
+    from ..sources.tables import load_table
+
+    _ensure_udfs(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 60) * 6 - 180 + 1.5 + (F.col("c_custkey") % 6) * 0.75).alias("lon"),
+        (((F.col("c_custkey") * 13) % 160) - 80 + 0.25 + (F.col("c_custkey") % 2) * 0.5).alias("lat"),
+        (F.col("c_custkey") % 60 + 1).alias("zone"),
+    )
+    utm_srid = (F.when(F.col("lat") >= 0, F.lit(32600)).otherwise(F.lit(32700)) + F.col("zone")).cast("int")
+    df = (
+        pts.withColumn("g", F.expr("st_point(lon, lat)"))
+        .withColumn("merc", F.expr("st_transform(g, 4326, 3857)"))
+        .withColumn("back", F.expr("st_transform(merc, 3857, 4326)"))
+        .withColumn("utm", F.call_function("st_transform", F.col("g"), F.lit(4326), utm_srid))
+        .withColumn("utm_back", F.call_function("st_transform", F.col("utm"), utm_srid, F.lit(4326)))
+    )
+    micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return df.select(
+        "c_custkey",
+        micro(F.expr("st_x(merc)")).alias("merc_x_micro"),
+        F.floor(F.expr("st_y(merc)") + F.lit(0.5)).cast("bigint").alias("merc_y_m"),
+        micro(F.expr("st_x(back)")).alias("rt_lon_micro"),
+        micro(F.expr("st_y(back)")).alias("rt_lat_micro"),
+        micro(F.expr("st_x(utm_back)")).alias("utm_rt_lon_micro"),
+        micro(F.expr("st_y(utm_back)")).alias("utm_rt_lat_micro"),
+        F.expr("st_x(utm)").between(100000.0, 900000.0).alias("utm_easting_in_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131: ST_Azimuth (micro-radian compare, NULL on coincident points)
+# ---------------------------------------------------------------------------
+
+_Q131_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey * 7919) % 36000) / 100.0 - 180.0 AS lon,
+             ((c_custkey * 104729) % 17000) / 100.0 - 85.0 AS lat,
+             CAST(c_custkey % 7 AS DOUBLE) - 3.0 AS dx,
+             CAST(c_custkey % 5 AS DOUBLE) - 2.0 AS dy
+      FROM customer WHERE c_custkey < 1000
+    )
+    SELECT c_custkey,
+           CASE WHEN dx = 0 AND dy = 0 THEN NULL
+                ELSE CAST(floor(
+                  (CASE WHEN atan2(dx, dy) < 0
+                        THEN atan2(dx, dy) + 2 * pi()
+                        ELSE atan2(dx, dy) END) * 1000000 + 0.5) AS BIGINT)
+           END AS az_micro
+    FROM pts
+"""
+
+
+@query("q131_st_azimuth", oracle=_Q131_ORACLE)
+def q131_st_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Azimuth driver row: bearing a→b where b = a + small integer
+    deltas (35 distinct delta pairs, all four quadrants plus the axes);
+    c_custkey ≡ 17 (mod 35) yields coincident points → NULL on both
+    sides (the registry's NULL-never-crash convention vs PostGIS's
+    error)."""
+    from .spatial_ops import customer_points
+
+    _ensure_udfs(spark)
+    pts = customer_points(spark, sf_dir).filter(F.col("c_custkey") < 1000).select(
+        "c_custkey",
+        "lon",
+        "lat",
+        (F.col("c_custkey") % 7 - 3).cast("double").alias("dx"),
+        (F.col("c_custkey") % 5 - 2).cast("double").alias("dy"),
+    )
+    az = F.expr("st_azimuth(st_point(lon, lat), st_point(lon + dx, lat + dy))")
+    return pts.select(
+        "c_custkey",
+        F.floor(az * 1000000 + F.lit(0.5)).cast("bigint").alias("az_micro"),
+    )

@@ -261,8 +261,9 @@ def q104_language_quota(spark, sf_dir):
       FROM documents GROUP BY lang
     )
     SELECT lang, n_tokens,
-           round(pow(CAST(n_tokens AS DOUBLE), 0.3)
-                 / sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) OVER (), 6) AS weight
+           CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3)
+                 / sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) OVER ()
+                 * 1000000 + 0.5) AS BIGINT) AS weight_micro
     FROM t
     """,
 )
@@ -282,7 +283,10 @@ def q105_mixture_weights(spark, sf_dir):
     return agg.select(
         "lang",
         "n_tokens",
-        F.round(p / F.sum(p).over(Window.partitionBy()), 6).alias("weight"),
+        # micro-int, not round(x, 6) — tie-stability (VERDICT r6 / q113)
+        F.floor(p / F.sum(p).over(Window.partitionBy()) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_micro"),
     )
 
 

@@ -49,8 +49,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # all-green round), so this set is the cross-round green union MINUS the
 # groups re-exposed for round 7:
 #   - this round's diff, module-granular: dedup.py / similarity.py /
-#     pipeline.py (micro-int tie-stable oracle migration for q65/q66,
-#     q70-q73/q115, q105 — every query in those modules re-exposed),
+#     pipeline.py / text_ops.py (micro-int tie-stable oracle migration
+#     for q65/q66/q69, q70-q73/q111/q115, q105, q61/q109/q110 — every
+#     query in those modules re-exposed),
 #     multimodal.py (JPEG fill-byte/standalone-marker parse, integer
 #     nearest-resize, bilinear kernel -> q80-q82), streaming_ops.py
 #     (empty-events guard + temp-view drop -> q123), union_agg.py +
@@ -61,11 +62,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   - staleness: the r2/r3 block never re-checked since (q59-q64, q69,
 #     q88, q92, q93 + q60-q63) and the two documented r1 deferrals
 #     (q39, q40).
-#   - never green: q128-q136, the eight r6 pytest-only surfaces + UTM
-#     (st_simplify / st_snaptogrid / st_transform incl. EPSG:326xx/327xx
-#     / st_azimuth / WAV audio features / SRAS resize / hypertable
-#     rollup / CMS) registered as driver rows this round per VERDICT r6
-#     item 1.
+#   - never green: q128-q135, the eight r6 pytest-only surfaces
+#     (st_simplify / st_snaptogrid / st_transform — now incl. UTM
+#     EPSG:326xx/327xx per VERDICT r6 item 4 — / st_azimuth / WAV audio
+#     features / SRAS resize / hypertable rollup / CMS) registered as
+#     driver rows this round per VERDICT r6 item 1.
 # Queries REMAINING here whose fingerprints drifted did so through
 # modules they do not execute results through (module-granular
 # over-flagging): geometry.py/spatial.py gained st_perimeter (additive;
@@ -141,8 +142,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q95_st_collect_agg",
         "q97_knn_within_radius",
         "q98_hull_envelope",
-        "q109_tfidf_top_terms",
-        "q110_repetition_metrics",
         "q75_tumbling_window",
         "q76_sliding_window",
         "q77_sessionize",

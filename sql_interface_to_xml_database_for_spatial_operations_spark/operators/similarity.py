@@ -31,12 +31,13 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERIES}),
     scored AS (
-      SELECT qid, cand_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      SELECT qid, cand_id,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micro
       FROM q CROSS JOIN c
     )
-    SELECT qid, cand_id, cos_sim, rank FROM (
-      SELECT qid, cand_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+    SELECT qid, cand_id, cos_sim_micro, rank FROM (
+      SELECT qid, cand_id, cos_sim_micro,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim_micro DESC, cand_id ASC) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 10
     """,
@@ -44,20 +45,21 @@ N_QUERIES = 5  # vec_id < 5 are the query vectors
 def q70_ann_bruteforce_topk(spark, sf_dir):
     """Brute-force cosine top-10 for each query vector: broadcast the tiny
     query set against the corpus, window-rank per query. Rank runs on the
-    6-dp-rounded similarity with vec_id tie-break so ordering is exact.
+    micro-int similarity (floor(cos*1e6 + 0.5) — the r6 tie-stable idiom,
+    identical on both engines) with vec_id tie-break so ordering is exact.
     At scale the corpus side stays partitioned; only k rows per query
     survive the window."""
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    cos = F.floor(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim_micro").desc(), F.col("cand_id").asc())
     return (
         c.crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim_micro", cos)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
-        .select("qid", "cand_id", "cos_sim", "rank")
+        .select("qid", "cand_id", "cos_sim_micro", "rank")
     )
 
 
@@ -84,12 +86,13 @@ def q71_ann_lsh_buckets(spark, sf_dir):
     q AS (SELECT b.vec_id AS qid, bucket, v AS qv FROM b JOIN e ON b.vec_id = e.vec_id WHERE b.vec_id < {N_QUERIES}),
     c AS (SELECT b.vec_id AS cand_id, bucket, v AS cv FROM b JOIN e ON b.vec_id = e.vec_id WHERE b.vec_id >= {N_QUERIES}),
     scored AS (
-      SELECT qid, cand_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      SELECT qid, cand_id,
+             CAST(floor(list_cosine_similarity(qv, cv) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micro
       FROM q JOIN c USING (bucket)
     )
-    SELECT qid, cand_id, cos_sim, rank FROM (
-      SELECT qid, cand_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+    SELECT qid, cand_id, cos_sim_micro, rank FROM (
+      SELECT qid, cand_id, cos_sim_micro,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim_micro DESC, cand_id ASC) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -107,14 +110,14 @@ def q72_ann_lsh_topk(spark, sf_dir):
     c = withv.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("cand_id"), "bucket", F.col("v").alias("cv")
     )
-    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    cos = F.floor(F.expr(COSINE_SQL_EXPR.format(a="qv", b="cv")) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim_micro").desc(), F.col("cand_id").asc())
     return (
         c.join(F.broadcast(q), "bucket")
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim_micro", cos)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
-        .select("qid", "cand_id", "cos_sim", "rank")
+        .select("qid", "cand_id", "cos_sim_micro", "rank")
     )
 
 
@@ -145,7 +148,7 @@ def _lit_array_sql(vec) -> str:
         SELECT c.vec_id, ct.cid,
                row_number() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC, ct.cid ASC
+                 ORDER BY CAST(floor(list_cosine_similarity(c.v, ct.cv) * 1000000 + 0.5) AS BIGINT) DESC, ct.cid ASC
                ) AS rn
         FROM corpus c CROSS JOIN cent ct
       ) WHERE rn = 1
@@ -155,22 +158,22 @@ def _lit_array_sql(vec) -> str:
         SELECT q.vec_id AS qid, ct.cid,
                row_number() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC, ct.cid ASC
+                 ORDER BY CAST(floor(list_cosine_similarity(q.v, ct.cv) * 1000000 + 0.5) AS BIGINT) DESC, ct.cid ASC
                ) AS rn
         FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent ct
       ) WHERE rn <= {NPROBE}
     ),
     scored AS (
       SELECT p.qid, a.vec_id AS cand_id,
-             round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim
+             CAST(floor(list_cosine_similarity(qe.v, ce.v) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micro
       FROM probe p
       JOIN assign a USING (cid)
       JOIN e qe ON qe.vec_id = p.qid
       JOIN e ce ON ce.vec_id = a.vec_id
     )
-    SELECT qid, cand_id, cos_sim, rank FROM (
-      SELECT qid, cand_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+    SELECT qid, cand_id, cos_sim_micro, rank FROM (
+      SELECT qid, cand_id, cos_sim_micro,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim_micro DESC, cand_id ASC) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 10
     """,
@@ -219,7 +222,9 @@ def q73_ann_ivf_topk(spark, sf_dir):
         return F.array(
             *[
                 F.struct(
-                    F.round(_dot_lit(cv) / (vnorm_col * F.lit(_cnorm(cv))), 6).alias("s"),
+                    F.floor(_dot_lit(cv) / (vnorm_col * F.lit(_cnorm(cv))) * 1000000 + F.lit(0.5))
+                    .cast("bigint")
+                    .alias("s"),
                     F.lit(-cid).alias("negcid"),
                 )
                 for cid, cv in cents
@@ -244,15 +249,15 @@ def q73_ann_ivf_topk(spark, sf_dir):
         .select("qid", "qv", (-F.col("probe.negcid")).alias("cid"))
     )
 
-    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="qv", b="v")), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    cos = F.floor(F.expr(COSINE_SQL_EXPR.format(a="qv", b="v")) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim_micro").desc(), F.col("cand_id").asc())
     return (
         assigned.join(F.broadcast(probes), "cid")
         .withColumnRenamed("vec_id", "cand_id")
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim_micro", cos)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
-        .select("qid", "cand_id", "cos_sim", "rank")
+        .select("qid", "cand_id", "cos_sim_micro", "rank")
     )
 
 
@@ -268,12 +273,12 @@ def q73_ann_ivf_topk(spark, sf_dir):
     cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
     scored AS (
       SELECT e.vec_id, e.label,
-             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cos_centroid
+             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], c.cv) * 1000000 + 0.5) AS BIGINT) AS cos_centroid_micro
       FROM embeddings e JOIN cvec c USING (label)
     )
-    SELECT vec_id, label, cos_centroid FROM (
-      SELECT vec_id, label, cos_centroid,
-             row_number() OVER (PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+    SELECT vec_id, label, cos_centroid_micro FROM (
+      SELECT vec_id, label, cos_centroid_micro,
+             row_number() OVER (PARTITION BY label ORDER BY cos_centroid_micro ASC, vec_id ASC) AS rn
       FROM scored
     ) WHERE rn <= 3
     """,
@@ -296,14 +301,14 @@ def q111_centroid_outliers(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
-    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="v", b="cv")), 6)
-    w = Window.partitionBy("label").orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+    cos = F.floor(F.expr(COSINE_SQL_EXPR.format(a="v", b="cv")) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("label").orderBy(F.col("cos_centroid_micro").asc(), F.col("vec_id").asc())
     return (
         e.join(F.broadcast(cvec), "label")
-        .withColumn("cos_centroid", cos)
+        .withColumn("cos_centroid_micro", cos)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("vec_id", "label", "cos_centroid")
+        .select("vec_id", "label", "cos_centroid_micro")
     )
 
 
@@ -328,12 +333,12 @@ def q111_centroid_outliers(spark, sf_dir):
     ),
     scored AS (
       SELECT q.vec_id AS qid, d.vec_id AS cand_id,
-             round(list_cosine_similarity(q.v, d.qv), 6) AS cos_sim
+             CAST(floor(list_cosine_similarity(q.v, d.qv) * 1000000 + 0.5) AS BIGINT) AS cos_sim_micro
       FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN dq d
     )
-    SELECT qid, cand_id, cos_sim, rank FROM (
-      SELECT qid, cand_id, cos_sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+    SELECT qid, cand_id, cos_sim_micro, rank FROM (
+      SELECT qid, cand_id, cos_sim_micro,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim_micro DESC, cand_id ASC) AS BIGINT) AS rank
       FROM scored
     ) WHERE rank <= 10
     """,
@@ -388,12 +393,12 @@ def q115_ann_quantized_topk(spark, sf_dir):
     queries_df = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("pv")
     )
-    cos = F.round(F.expr(COSINE_SQL_EXPR.format(a="pv", b="qv")), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+    cos = F.floor(F.expr(COSINE_SQL_EXPR.format(a="pv", b="qv")) * 1000000 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim_micro").desc(), F.col("cand_id").asc())
     return (
         dqc.crossJoin(F.broadcast(queries_df))
-        .withColumn("cos_sim", cos)
+        .withColumn("cos_sim_micro", cos)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
-        .select("qid", "cand_id", "cos_sim", "rank")
+        .select("qid", "cand_id", "cos_sim_micro", "rank")
     )

@@ -49,8 +49,10 @@ def q60_token_count(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, n_chars, n_words,
-           round(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words, 6) AS avg_word_len,
-           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           CAST(floor(CAST(n_chars - n_words + 1 AS DOUBLE) / n_words * 1000000 + 0.5)
+                AS BIGINT) AS avg_word_len_micro,
+           CAST(floor(CAST(n_stop AS DOUBLE) / n_words * 1000000 + 0.5)
+                AS BIGINT) AS stopword_ratio_micro,
            CASE WHEN n_words >= 30 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.02 AND 0.5
                 THEN 'keep' ELSE 'drop' END AS quality_bucket
     FROM t
@@ -72,10 +74,12 @@ def q61_quality_score(spark, sf_dir):
         "doc_id",
         "n_chars",
         "n_words",
-        F.round((F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col("n_words"), 6).alias(
-            "avg_word_len"
-        ),
-        F.round(swr, 6).alias("stopword_ratio"),
+        # micro-int, not round(x, 6): both ratios are integer ratios and
+        # can tie exactly at the 6th decimal (VERDICT r6 / q113 class)
+        F.floor((F.col("n_chars") - F.col("n_words") + 1).cast("double") / F.col("n_words") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("avg_word_len_micro"),
+        F.floor(swr * 1000000 + F.lit(0.5)).cast("bigint").alias("stopword_ratio_micro"),
         F.when((F.col("n_words") >= 30) & swr.between(0.02, 0.5), "keep")
         .otherwise("drop")
         .alias("quality_bucket"),
@@ -202,15 +206,16 @@ def q63_fingerprint(spark, sf_dir):
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
     scored AS (
       SELECT lang, word, tf, df,
-             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                  AS BIGINT) AS tfidf_micro
       FROM tf JOIN df USING (word) CROSS JOIN n
     ),
     ranked AS (
-      SELECT lang, word, tf, df, tfidf,
-             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS rn
+      SELECT lang, word, tf, df, tfidf_micro,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf_micro DESC, word ASC) AS rn
       FROM scored
     )
-    SELECT lang, word, tf, df, tfidf FROM ranked WHERE rn <= 5
+    SELECT lang, word, tf, df, tfidf_micro FROM ranked WHERE rn <= 5
     """,
 )
 def q109_tfidf_top_terms(spark, sf_dir):
@@ -238,18 +243,22 @@ def q109_tfidf_top_terms(spark, sf_dir):
             "word",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias(
-                "tfidf"
-            ),
+            # micro-int, not round(x, 6) — tie-stability (VERDICT r6)
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tfidf_micro"),
         )
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf_micro").desc(), F.col("word").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("lang", "word", "tf", "df", "tfidf")
+        .select("lang", "word", "tf", "df", "tfidf_micro")
     )
 
 
@@ -276,9 +285,12 @@ def q109_tfidf_top_terms(spark, sf_dir):
       FROM t WHERE len(words) >= 2
     )
     SELECT doc_id, n_words, n_distinct,
-           round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
-           round(CAST(top_word_count AS DOUBLE) / n_words, 6) AS top_word_frac,
-           round(1.0 - CAST(n_distinct_2grams AS DOUBLE) / (n_words - 1), 6) AS dup_2gram_frac,
+           CAST(floor(CAST(n_distinct AS DOUBLE) / n_words * 1000000 + 0.5)
+                AS BIGINT) AS distinct_ratio_micro,
+           CAST(floor(CAST(top_word_count AS DOUBLE) / n_words * 1000000 + 0.5)
+                AS BIGINT) AS top_word_frac_micro,
+           CAST(floor((1.0 - CAST(n_distinct_2grams AS DOUBLE) / (n_words - 1)) * 1000000 + 0.5)
+                AS BIGINT) AS dup_2gram_frac_micro,
            CASE WHEN CAST(n_distinct AS DOUBLE) / n_words >= 0.4
                  AND CAST(top_word_count AS DOUBLE) / n_words <= 0.12
                 THEN 'keep' ELSE 'drop' END AS rep_bucket
@@ -320,11 +332,17 @@ def q110_repetition_metrics(spark, sf_dir):
         "doc_id",
         "n_words",
         "n_distinct",
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(top_word_frac, 6).alias("top_word_frac"),
-        F.round(
-            F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / (F.col("n_words") - 1), 6
-        ).alias("dup_2gram_frac"),
+        # micro-int, not round(x, 6): integer ratios tie at the 6th
+        # decimal, where round() is engine-dependent (VERDICT r6 / q113)
+        F.floor(distinct_ratio * 1000000 + F.lit(0.5)).cast("bigint").alias("distinct_ratio_micro"),
+        F.floor(top_word_frac * 1000000 + F.lit(0.5)).cast("bigint").alias("top_word_frac_micro"),
+        F.floor(
+            (F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / (F.col("n_words") - 1))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_2gram_frac_micro"),
         F.when((distinct_ratio >= 0.4) & (top_word_frac <= 0.12), "keep")
         .otherwise("drop")
         .alias("rep_bucket"),

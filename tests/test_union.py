@@ -368,3 +368,75 @@ class TestCascadeExactness:
         cascaded = U.union_geoms(partials)
         assert G.area(cascaded) == G.area(whole)
         assert G.perimeter(cascaded) == G.perimeter(whole)
+
+
+class TestConvexPairUnion:
+    """r7 (VERDICT r6 item 6): overlapping convex pairs dissolve exactly;
+    remaining overlaps warn instead of silently double-counting."""
+
+    def test_overlapping_triangles_known_area(self):
+        # Right triangles: P = (0,0)(4,0)(4,4), Q = (2,0)(6,0)(2,4)... use
+        # a hand-checked pair: P covers x in [0,4] under y=x; Q is the
+        # square's other half shifted right. Expect exact union area via
+        # inclusion-exclusion with a hand-computed intersection.
+        p = "POLYGON ((0 0, 4 0, 4 4, 0 0))"          # area 8
+        q = "POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0))"     # area 16
+        # intersection: region of square x>=2 under the line y=x-? P's
+        # hypotenuse is y=x (from (0,0) to (4,4)); inside P: y<=x, x<=4.
+        # Within the square [2,6]x[0,4]: x in [2,4], y<=x -> trapezoid
+        # with vertices (2,0),(4,0),(4,4),(2,2): area = ((2+4)/2)*2 = 6.
+        got = G.parse_wkt(_u(p, q))
+        assert got.kind == "Polygon"
+        assert abs(G.area(got) - (8 + 16 - 6)) < 1e-9
+        # invariants: union covers both inputs
+        assert G.within(G.parse_wkt(p), got)
+        assert G.within(G.parse_wkt(q), got)
+
+    def test_union_with_self_is_identity(self):
+        p = "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+        got = G.parse_wkt(_u(p, p))
+        assert abs(G.area(got) - 8.0) < 1e-12
+
+    def test_commutative(self):
+        p = "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+        q = "POLYGON ((2 0, 6 0, 6 4, 2 4, 2 0))"
+        a1 = G.area(G.parse_wkt(_u(p, q)))
+        a2 = G.area(G.parse_wkt(_u(q, p)))
+        assert a1 == a2
+
+    def test_touching_convex_pair_stays_multi_no_warning(self):
+        import warnings as w
+
+        p = "POLYGON ((0 0, 2 0, 1 2, 0 0))"
+        q = "POLYGON ((2 0, 4 0, 3 2, 2 0))"  # shares only vertex (2, 0)
+        with w.catch_warnings():
+            w.simplefilter("error")
+            got = G.parse_wkt(_u(p, q))
+        assert got.kind == "MultiPolygon"
+        assert G.area(got) == 4.0  # 2 + 2, nothing double-counted
+
+    def test_nonconvex_overlap_warns(self):
+        import pytest as _pt
+
+        # L-shaped (non-convex, NON-rectilinear so the grid path skips it)
+        l_poly = "POLYGON ((0 0, 4 0, 4 1, 1.5 1.25, 1 4, 0 4, 0 0))"
+        q = "POLYGON ((3 0.5, 6 0.5, 6 3, 3 3, 3 0.5))"
+        with _pt.warns(RuntimeWarning, match="double-count"):
+            G.parse_wkt(_u(l_poly, q))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(-5, 5), st.integers(-5, 5), st.integers(1, 6), st.integers(1, 6),
+        st.integers(-5, 5), st.integers(-5, 5), st.integers(1, 6), st.integers(1, 6),
+    )
+    def test_convex_union_inclusion_exclusion(self, x1, y1, w1, h1, x2, y2, w2, h2):
+        """Triangle x rect pairs: union area must equal
+        area(P) + area(Q) - area(P ∩ Q) with the intersection from the
+        independent Sutherland-Hodgman clip."""
+        p = G.Geometry("Polygon", [[(x1, y1), (x1 + w1, y1), (x1, y1 + h1), (x1, y1)]])
+        q = G.Geometry("Polygon", [[(x2, y2), (x2 + w2, y2), (x2 + w2, y2 + h2), (x2, y2 + h2), (x2, y2)]])
+        inter = U._clip_convex(p.coords[0], q.coords[0])
+        ia = abs(U._signed_area_ring(inter + [inter[0]])) if len(inter) >= 3 else 0.0
+        got = U.union_geoms([p, q])
+        expect = G.area(p) + G.area(q) - ia
+        assert abs(G.area(got) - expect) < 1e-9
