@@ -266,3 +266,43 @@ def test_trailing_range_window_single_shuffle(spark):
         ln for ln in plan.splitlines() if "Exchange" in ln and ("+-" in ln or ":-" in ln)
     ]
     assert len(tree_exchanges) == 1, plan
+
+
+def test_geo_fn_queries_are_map_only(spark):
+    """q128/q129/q131: simplify/snap/azimuth are pure map-side UDF
+    projections — zero Exchange nodes anywhere in the plan."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    for name in ("q128_st_simplify", "q129_st_snaptogrid", "q131_st_azimuth"):
+        plan = formatted_plan(q(name)(spark, SF_DIR))
+        assert "Exchange" not in plan, name
+
+
+def test_transform_query_is_map_only(spark):
+    """q130: four chained st_transform UDFs stay a shuffle-free
+    projection pipeline over the customer scan."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q130_st_transform")(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_resize_pipeline_is_shuffle_free(spark):
+    """q133: synthetic-raster encode -> resize -> checksum is three
+    chained mapInPandas stages over the documents scan — no Exchange."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q133_resize_images")(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") >= 3
+
+
+def test_cms_query_partially_aggregates(spark):
+    """q135: both the sketch build and the estimate group with
+    partial_ aggregation (map-side combine bounds shuffle volume by
+    depth x width per partition)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q135_cms_heavy_hitters")(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
