@@ -68,6 +68,7 @@ HEADLINE = [
     "q133_resize_images",
     "q134_hypertable_rollup",
     "q135_cms_heavy_hitters",
+    "q136_image_dhash_neardup",
 ]
 
 

@@ -1,5 +1,6 @@
 """Driver rows for the r6 multimodal remainder (VERDICT r6 item 1):
-WAV audio feature extraction (q132) and SRAS raster resize (q133).
+WAV audio feature extraction (q132), SRAS raster resize (q133), and —
+beyond the remainder — perceptual-dHash image dedup (q136).
 
 The implementations live in ``multimodal.py`` (real RIFF-chunk and SRAS
 header parses, integer nearest-neighbor resampling); this module adds
@@ -20,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .registry import query
 
@@ -121,4 +123,87 @@ def q133_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         stats,
         "asset_id long, out_w long, out_h long, n_bytes long, pix_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136: image near-dup via dHash (difference hash) on REAL pixels
+# ---------------------------------------------------------------------------
+
+# dHash (public perceptual-hash recipe): resize to 9×8, then bit(r, c) =
+# [p(r, c+1) > p(r, c)] for c in 0..7 — 64 bits, gradient-direction
+# signature invariant to scale and global brightness shifts. The image
+# analog of q64's exact text dedup: map-side hash, one groupBy on the
+# hash. Both halves of the pipeline are shared with q133: the SAME
+# integer nearest-neighbor resize produces the 9×8 thumbnail, so the
+# oracle can recompute every pixel (and therefore every bit) exactly.
+_DH_W, _DH_H = 9, 8
+
+_Q136_ORACLE = f"""
+    WITH src AS (
+      SELECT doc_id, doc_id % 16 + 4 AS w, (doc_id * 3) % 16 + 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, r, c,
+             (doc_id + 31 * LEAST((r * h) // {_DH_H}, h - 1)
+                     + 7 * LEAST((c * w) // {_DH_W}, w - 1)) % 256 AS p
+      FROM src,
+           LATERAL unnest(generate_series(0, {_DH_H} - 1)) AS tr(r),
+           LATERAL unnest(generate_series(0, {_DH_W} - 1)) AS tc(c)
+    ),
+    bits AS (
+      SELECT a.doc_id, a.r * 8 + a.c AS idx,
+             CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN idx >= 32 THEN bit << (idx - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN idx < 32 THEN bit << idx ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT dhash_hi, dhash_lo,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS rep_asset
+    FROM hashes
+    GROUP BY dhash_hi, dhash_lo
+"""
+
+
+@query("q136_image_dhash_neardup", oracle=_Q136_ORACLE)
+def q136_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual dHash over REAL pixel bytes: every SRAS
+    raster is resized to 9×8 with the integer nearest-neighbor kernel
+    (the q133 path), the 64 gradient bits are packed into two BIGINT
+    halves, and images group by hash — map-side hashing plus ONE
+    bounded-cardinality shuffle, the exact-dedup scale shape (q64) on
+    the image modality. Hamming-banded near-dup pairing over these
+    hashes is the q68 simhash recipe verbatim. The oracle recomputes
+    resize mapping, pixels, bits and packing in closed form, so a
+    mis-mapped pixel or bit order diverges."""
+    import numpy as np
+
+    from .multimodal import decode_raster, resize_images, synthetic_rasters
+
+    thumbs = resize_images(synthetic_rasters(spark, sf_dir), _DH_W, _DH_H)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, body = decode_raster(p)
+                img = np.frombuffer(body, dtype=np.uint8).reshape(h, w).astype(np.int32)
+                bits = (img[:, 1:] > img[:, :-1]).astype(np.int64)  # (8, 8)
+                idx = np.arange(64, dtype=np.int64).reshape(8, 8)
+                hi = int((bits * np.where(idx >= 32, 1 << (idx - 32), 0)).sum())
+                lo = int((bits * np.where(idx < 32, 1 << idx, 0)).sum())
+                rows.append((int(aid), hi, lo))
+            yield pd.DataFrame(rows, columns=["asset_id", "dhash_hi", "dhash_lo"])
+
+    hashes = thumbs.mapInPandas(dhash, "asset_id long, dhash_hi long, dhash_lo long")
+    return hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("asset_id").alias("rep_asset"),
     )

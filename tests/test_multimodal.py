@@ -6,6 +6,8 @@ decode stage parses actual bytes instead of faking dimensions
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
     SIMG_HEADER_LEN,
@@ -345,3 +347,72 @@ def test_resize_nearest_integer_index_mapping():
     xs = [min(c * w // out_w, w - 1) for c in range(out_w)]
     expect = bytes(img[y, x] for y in ys for x in xs)
     assert got == expect
+
+
+class TestContainerParserFuzz:
+    """r7: the binary-container analog of the r6 WKT fuzz — junk and
+    near-miss byte streams through every parser must yield ValueError
+    (or a clean parse), never IndexError/struct.error/KeyError or a
+    hang. These parsers sit inside mapInPandas stages where one
+    unexpected exception type kills the whole task."""
+
+    def _roundtrippable(self, parse, payload):
+        import struct
+
+        try:
+            parse(payload)
+        except ValueError:
+            pass  # the documented failure mode
+        except (IndexError, KeyError, struct.error, ZeroDivisionError) as e:
+            raise AssertionError(f"wrong exception type {type(e).__name__}") from e
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def test_wav_junk(self, b):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            parse_wav_header,
+        )
+
+        self._roundtrippable(parse_wav_header, b)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def test_wav_near_miss(self, b):
+        """Valid RIFF/WAVE prefix + junk chunk stream."""
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            parse_wav_header,
+        )
+
+        self._roundtrippable(parse_wav_header, b"RIFF\x10\x00\x00\x00WAVE" + b)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def test_sras_junk_and_near_miss(self, b):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            decode_raster,
+        )
+
+        self._roundtrippable(decode_raster, b)
+        self._roundtrippable(decode_raster, b"SRAS" + b)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def test_jpeg_junk_and_near_miss(self, b):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            parse_jpeg_header,
+        )
+
+        self._roundtrippable(parse_jpeg_header, b)
+        self._roundtrippable(parse_jpeg_header, b"\xff\xd8" + b)
+
+    def test_wav_truncated_fmt_declared_size_lies(self):
+        import pytest as _pt
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            encode_wav,
+            parse_wav_header,
+        )
+
+        good = encode_wav(1, 8000, 8, b"xx")
+        with _pt.raises(ValueError):
+            parse_wav_header(good[:-3])  # data chunk shorter than declared
