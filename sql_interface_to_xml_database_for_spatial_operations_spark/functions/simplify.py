@@ -28,6 +28,8 @@ every downstream geometry payload.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -137,8 +139,6 @@ def _snap_seq(points: list[Pt], size: float) -> list[Pt]:
     doubles reproduces the snap bit-for-bit (driver row q129) — the
     engine-dependent tie behavior of native round() is exactly the
     round(x, 6) instability class documented in the r6 verdict."""
-    import math
-
     out: list[Pt] = []
     for x, y in points:
         p = (

@@ -22,17 +22,21 @@ dissolve over the WKT geometry model of ``geometry.py``:
   input coordinates (the only derived values are cell/edge midpoints),
   so integer-valued inputs produce bit-exact output.
 - **Non-rectangular parts** are pruned when covered by another part
-  (``geometry.within``); overlapping CONVEX pairs then dissolve
-  EXACTLY (r7 — candidate vertices + Sutherland-Hodgman edge
-  intersections walked by angle around an intersection-interior
-  anchor, see ``_convex_union_pair``), which covers the common
-  dissolve case. What remains (overlapping NON-convex parts, or 3+
-  mutually overlapping convex parts whose first merge went
-  non-convex) is appended undissolved: the result is the correct
+  (``geometry.within``); a convex pair forming its own 2-member
+  interior-overlap component then dissolves EXACTLY (r7 — candidate
+  vertices + Sutherland-Hodgman edge intersections walked by angle
+  around an intersection-interior anchor, see ``_convex_union_pair``;
+  component-restricted so the result is a function of the part SET,
+  never of input order), which covers the common dissolve case. What
+  remains (overlapping NON-convex parts, 3+-member overlap
+  components) is appended undissolved: the result is the correct
   point set, but ``st_area``/``st_perimeter`` double-count the
   overlap — a RuntimeWarning fires when this happens (ADVICE r6),
   documented divergence from PostGIS (which re-nodes), chosen over
-  shipping a half-trusted general clipper. Points/lines union by
+  shipping a half-trusted general clipper. Cascade stage-1 partials
+  skip the convex merge entirely (``merge_convex=False``) so the
+  final union makes the component decision globally — keeping the
+  aggregate partition-layout-independent. Points/lines union by
   dedup + covered-by-polygon pruning, GeometryCollection when
   dimensions stay mixed.
 
@@ -47,6 +51,8 @@ geometry per (partition, key) instead of one row per input geometry.
 
 from __future__ import annotations
 
+import math
+import warnings
 from bisect import bisect_left
 from collections import defaultdict
 
@@ -364,8 +370,6 @@ def _convex_union_pair(pring: list[Pt], qring: list[Pt]) -> list[Pt] | None:
     No two candidates share an angle: a boundary edge collinear with a
     ray through the anchor would put the anchor ON that edge's line,
     contradicting the anchor being strictly inside both polygons."""
-    import math
-
     inter = _clip_convex(pring, qring)
     if len(inter) < 3:
         return None
@@ -398,9 +402,19 @@ def _convex_union_pair(pring: list[Pt], qring: list[Pt]) -> list[Pt] | None:
 # ---------------------------------------------------------------------------
 
 
-def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
+def union_geoms(
+    geoms: list[Geometry | None], merge_convex: bool = True
+) -> Geometry | None:
     """Union of a list of geometries (nulls skipped, like a SQL
-    aggregate). See module docstring for exactness boundaries."""
+    aggregate). See module docstring for exactness boundaries.
+
+    ``merge_convex=False`` skips the convex-pair dissolve (and its
+    warning): cascade STAGE-1 partial unions must pass non-rectilinear
+    parts through untouched so the FINAL union sees every original
+    part and makes the merge decision globally — a stage-1 partial
+    that greedily merged two members of a 3-way overlap component
+    would make the result depend on how rows split across partitions
+    (r7 self-review finding)."""
     parts = [p for g in geoms if g is not None for p in _flatten(g)]
     if not parts:
         return None
@@ -440,69 +454,86 @@ def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
         if not covered:
             kept.append(p)
 
-    # Overlapping CONVEX pairs dissolve exactly (r7, VERDICT r6 item 6):
-    # repeat until no hole-free convex pair overlaps. The merged ring is
-    # generally non-convex, so chains of 3+ mutually overlapping convex
-    # parts may stop merging after the first pair — any overlap still
-    # standing afterward is warned about below.
-    merged = True
-    while merged and len(kept) > 1:
-        merged = False
-        for i in range(len(kept)):
-            pi = kept[i]
-            if len(pi.coords) != 1 or not _is_convex_ring(pi.coords[0]):
-                continue
-            for j in range(i + 1, len(kept)):
-                pj = kept[j]
-                if len(pj.coords) != 1 or not _is_convex_ring(pj.coords[0]):
-                    continue
-                u = _convex_union_pair(pi.coords[0], pj.coords[0])
-                if u is not None:
-                    kept[i] = Geometry("Polygon", [u])
-                    del kept[j]
-                    merged = True
-                    break
-            if merged:
-                break
-
-    # A merged pair may now cover parts that survived the first prune
-    # (e.g. a part inside the union of two others): re-prune.
-    if len(kept) > 1:
-        kept = [
-            p
-            for i, p in enumerate(kept)
-            if not any(
-                G.within(p, q)
-                for j, q in enumerate(kept)
-                if j != i and (j < i or not G.within(q, p))
-            )
-        ]
-
-    # Loud signal for the remaining inexact case (ADVICE r6): interiors
-    # that still overlap are kept as stacked parts — the point set is
-    # right but st_area/st_perimeter over the union double-count the
-    # overlap (PostGIS re-nodes; see module docstring).
-    if len(kept) > 1:
+    # Overlapping CONVEX pairs dissolve exactly (r7, VERDICT r6 item 6),
+    # but ONLY when the pair forms its own interior-overlap component:
+    # merging two members of a 3+-way overlap would leave a non-convex
+    # blocker whose shape depends on which pair merged first, making the
+    # result input-order-dependent (r7 self-review finding — verified by
+    # permuting a rect + two triangles). Component-restricted merging is
+    # order-independent: the overlap graph (and therefore the unique
+    # 2-member components) is a function of the part SET alone, and a
+    # merged pair's union cannot grow the graph (an open set meeting the
+    # union's interior must meet one member's interior).
+    if merge_convex and len(kept) > 1:
         from . import relations as _rel
 
-        for i in range(len(kept)):
-            stacked = False
-            for j in range(i + 1, len(kept)):
+        n = len(kept)
+        adj = [set() for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
                 if _rel.interiors_intersect(kept[i], kept[j]):
-                    import warnings
+                    adj[i].add(j)
+                    adj[j].add(i)
+        comp = list(range(n))
+        for i in range(n):  # tiny n: label propagation is fine
+            for j in adj[i]:
+                a, b = comp[i], comp[j]
+                if a != b:
+                    lo, hi = min(a, b), max(a, b)
+                    comp = [lo if c == hi else c for c in comp]
+        by_comp: dict[int, list[int]] = defaultdict(list)
+        for i, c in enumerate(comp):
+            by_comp[c].append(i)
 
-                    warnings.warn(
-                        "st_union: non-convex overlapping polygon parts kept "
-                        "as stacked MultiPolygon members — st_area/st_perimeter "
-                        "over this union double-count the overlap (exact for "
-                        "rectilinear and convex-pair inputs; PostGIS re-nodes)",
-                        RuntimeWarning,
-                        stacklevel=2,
+        merged_out: list[Geometry] = []
+        drop: set[int] = set()
+        unresolved_overlap = False
+        for members in by_comp.values():
+            if len(members) == 1:
+                continue
+            i, j = members[0], members[1]
+            u = None
+            if (
+                len(members) == 2
+                and len(kept[i].coords) == 1
+                and len(kept[j].coords) == 1
+                and _is_convex_ring(kept[i].coords[0])
+                and _is_convex_ring(kept[j].coords[0])
+            ):
+                u = _convex_union_pair(kept[i].coords[0], kept[j].coords[0])
+            if u is not None:
+                merged_out.append(Geometry("Polygon", [u]))
+                drop.update(members)
+            else:
+                unresolved_overlap = True
+        if drop:
+            kept = [p for i, p in enumerate(kept) if i not in drop] + merged_out
+            # A merged union may now cover parts outside its component's
+            # interiors (touching-only parts): re-prune.
+            if len(kept) > 1:
+                kept = [
+                    p
+                    for i, p in enumerate(kept)
+                    if not any(
+                        G.within(p, q)
+                        for j, q in enumerate(kept)
+                        if j != i and (j < i or not G.within(q, p))
                     )
-                    stacked = True
-                    break
-            if stacked:
-                break
+                ]
+
+        # Loud signal for the remaining inexact case (ADVICE r6):
+        # interiors that still overlap are kept as stacked parts — the
+        # point set is right but st_area/st_perimeter over the union
+        # double-count the overlap (PostGIS re-nodes; module docstring).
+        if unresolved_overlap:
+            warnings.warn(
+                "st_union: overlapping polygon parts kept as stacked "
+                "MultiPolygon members — st_area/st_perimeter over this "
+                "union double-count the overlap (exact for rectilinear "
+                "inputs and isolated convex pairs; PostGIS re-nodes)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     poly_geom: Geometry | None = None
     if len(kept) == 1:
@@ -551,9 +582,9 @@ def union_geoms(geoms: list[Geometry | None]) -> Geometry | None:
     return Geometry("GeometryCollection", pieces)
 
 
-def union_wkts(wkts) -> str | None:
+def union_wkts(wkts, merge_convex: bool = True) -> str | None:
     geoms = [G.parse_wkt(w) for w in wkts if w is not None and not pd.isna(w)]
-    g = union_geoms(geoms)
+    g = union_geoms(geoms, merge_convex=merge_convex)
     return G.to_wkt(g) if g is not None else None
 
 

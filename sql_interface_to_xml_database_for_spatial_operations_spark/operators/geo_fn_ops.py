@@ -29,11 +29,15 @@ with identical arithmetic on both engines):
   the floor is deterministic with 150× margin. UTM forward accuracy
   itself is pinned by tests/test_projection.py's independent
   meridian-arc integration (the oracle only sanity-bounds the easting).
-- **q131**: azimuth = atan2 over small-integer deltas; both engines see
-  bit-identical inputs and the result compares at micro-radians (libm
-  disagreement would need the value within 1e-9 of a floor boundary for
-  one of 35 distinct delta pairs). Coincident points exercise the
-  NULL-not-crash convention on both sides.
+- **q131**: azimuth = atan2 over small-integer deltas, compared at
+  micro-radians. The engine's delta is ``(lon+dx) − lon`` — equal to
+  ``dx`` only to ~1 ulp of ``lon`` — while the oracle uses exact
+  ``dx``; that perturbs the azimuth by ≲1e-8 µrad, 7 orders of
+  magnitude under the floor quantum, so a flip would need one of the
+  ~1000 fixture azimuths within 1e-8 of a micro-radian boundary
+  (deterministic per fixture; the three-SF sweep confirms none are).
+  Coincident points exercise the NULL-not-crash convention on both
+  sides.
 """
 
 from __future__ import annotations

@@ -195,11 +195,14 @@ def q136_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, body = decode_raster(p)
                 img = np.frombuffer(body, dtype=np.uint8).reshape(h, w).astype(np.int32)
-                bits = (img[:, 1:] > img[:, :-1]).astype(np.int64)  # (8, 8)
-                idx = np.arange(64, dtype=np.int64).reshape(8, 8)
-                hi = int((bits * np.where(idx >= 32, 1 << (idx - 32), 0)).sum())
-                lo = int((bits * np.where(idx < 32, 1 << idx, 0)).sum())
-                rows.append((int(aid), hi, lo))
+                bits = (img[:, 1:] > img[:, :-1]).astype(np.int64).ravel()  # 64 bits
+                # shift counts clamped to [0, 31] BEFORE shifting: numpy
+                # evaluates both np.where branches eagerly, and << with a
+                # negative or >=64 count is undefined (r7 self-review)
+                idx = np.arange(64, dtype=np.int64)
+                w_hi = np.where(idx >= 32, np.int64(1) << np.clip(idx - 32, 0, 31), 0)
+                w_lo = np.where(idx < 32, np.int64(1) << np.clip(idx, 0, 31), 0)
+                rows.append((int(aid), int((bits * w_hi).sum()), int((bits * w_lo).sum())))
             yield pd.DataFrame(rows, columns=["asset_id", "dhash_hi", "dhash_lo"])
 
     hashes = thumbs.mapInPandas(dhash, "asset_id long, dhash_hi long, dhash_lo long")

@@ -60,7 +60,15 @@ def _ensure_udfs(spark: SparkSession) -> None:
 
 
 def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-batch per-group partial union (stage 1 of the cascade)."""
+    """Per-batch per-group partial union (stage 1 of the cascade).
+
+    ``merge_convex=False``: a stage-1 partial only sees its partition's
+    slice of the group, so a convex-pair merge here would make the final
+    geometry depend on how rows split across partitions (a partial that
+    greedily merged two members of a 3-way overlap blocks the global
+    decision). Rectilinear dissolve stays (it is closed under union, so
+    stage 2 re-dissolves partials exactly); non-rectilinear parts pass
+    through for the FINAL union to merge component-wise."""
     from ..functions.union_ops import union_wkts
 
     for pdf in batches:
@@ -70,7 +78,7 @@ def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "g": agg.index,
-                "wkt": [union_wkts(ws) for ws in agg.values],
+                "wkt": [union_wkts(ws, merge_convex=False) for ws in agg.values],
                 "n": pdf.groupby("g").size().reindex(agg.index).values,
             }
         )

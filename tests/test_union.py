@@ -440,3 +440,61 @@ class TestConvexPairUnion:
         got = U.union_geoms([p, q])
         expect = G.area(p) + G.area(q) - ia
         assert abs(G.area(got) - expect) < 1e-9
+
+
+class TestConvexMergeDeterminism:
+    """r7 self-review fix: the convex merge must be a function of the
+    part SET (component-restricted), never of input order or of how the
+    cascade splits rows across partitions."""
+
+    PARTS = [
+        "POLYGON ((0 0, 6 0, 6 4, 0 4, 0 0))",       # rect
+        "POLYGON ((1 1, 5 1, 3 6, 1 1))",             # triangle overlapping rect
+        "POLYGON ((2 -1, 7 -1, 7 3, 2 -1))",          # second triangle, overlaps both
+    ]
+
+    def test_three_way_overlap_is_permutation_invariant(self):
+        import itertools
+        import warnings as w
+
+        areas = set()
+        for perm in itertools.permutations(self.PARTS):
+            with w.catch_warnings():
+                w.simplefilter("ignore")
+                areas.add(G.area(G.parse_wkt(_u(*perm))))
+        assert len(areas) == 1, areas  # greedy first-pair merge broke this
+
+    def test_isolated_pair_merges_regardless_of_extras(self):
+        # A disjoint convex pair elsewhere must still merge exactly.
+        import warnings as w
+
+        p = "POLYGON ((100 100, 104 100, 104 104, 100 100))"
+        q = "POLYGON ((102 100, 106 100, 106 104, 102 104, 102 100))"
+        with w.catch_warnings():
+            w.simplefilter("ignore")
+            got = G.parse_wkt(_u(*self.PARTS, p, q))
+        # the far pair contributes inclusion-exclusion area exactly
+        far = G.area(G.parse_wkt(_u(p, q)))
+        assert abs(far - (8 + 16 - 6)) < 1e-9
+
+    def test_cascade_split_invariance_with_convex_parts(self):
+        """union(union(A), union(B)) == union(A ∪ B) for every split —
+        stage-1 partials must NOT convex-merge (merge_convex=False), so
+        the final union sees all parts and decides component-wise."""
+        import itertools
+        import warnings as w
+
+        boxes = [G.parse_wkt(x) for x in self.PARTS] + [
+            G.Geometry.box(8.0, 0.0, 9.0, 1.0)
+        ]
+        with w.catch_warnings():
+            w.simplefilter("ignore")
+            whole = U.union_geoms(boxes)
+            for split in range(1, len(boxes)):
+                a, b = boxes[:split], boxes[split:]
+                partials = [
+                    G.parse_wkt(U.union_wkts([G.to_wkt(g) for g in grp], merge_convex=False))
+                    for grp in (a, b)
+                ]
+                cascaded = U.union_geoms(partials)
+                assert G.area(cascaded) == G.area(whole), split
