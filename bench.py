@@ -69,6 +69,7 @@ HEADLINE = [
     "q134_hypertable_rollup",
     "q135_cms_heavy_hitters",
     "q136_image_dhash_neardup",
+    "q137_stream_session_e2e",
 ]
 
 

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..streaming.windows import read_events_stream, tumbling_counts
+from ..streaming.windows import read_events_stream, sessionized, tumbling_counts
 from .registry import query
 
 _RUN_IDS = count()
@@ -63,22 +63,19 @@ _Q123_ORACLE = """
 """
 
 
-@query("q123_stream_tumbling_e2e", oracle=_Q123_ORACLE)
-def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window counts computed BY THE STREAMING ENGINE
-    (file-source micro-batches → append mode → memory sink) over the
-    events table, equal to the batch/DuckDB aggregation once the sentinel
-    advances the final watermark past every real window."""
+def _run_staged_stream(spark: SparkSession, sf_dir: str, name: str, build, out_select):
+    """Shared harness for the streaming e2e driver rows: stage the events
+    table as three time-banded files plus a far-future sentinel (module
+    docstring), replay them as per-file micro-batches through ``build``'s
+    watermarked streaming aggregation into a memory sink, and return the
+    materialized finalized rows (``out_select`` shapes the sink table).
+    Returns None when the events table is empty (ADVICE r6 guard)."""
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    if lo is None:  # empty events table: nothing to stream (ADVICE r6 —
-        # (hi - lo) / 3 on Nones would raise TypeError)
-        return spark.createDataFrame(
-            [],
-            "window_start string, event_type string, n_events long, total_value double",
-        )
+    if lo is None:
+        return None
 
-    run = f"q123_{os.getpid()}_{next(_RUN_IDS)}"
+    run = f"{name}_{os.getpid()}_{next(_RUN_IDS)}"
     stage = tempfile.mkdtemp(prefix=f"{run}_src_")
     ckpt = tempfile.mkdtemp(prefix=f"{run}_ckpt_")
     try:
@@ -91,9 +88,9 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 band = band.filter(F.col("ts") < F.lit(bounds[i + 1]))
             band.coalesce(1).write.parquet(f"{stage}/b{i}")
             _promote(stage, f"b{i}", f"f{i}.parquet", mtime=1_000_000 + i)
-        # Sentinel: one event far past max(ts) + watermark + window, so the
-        # closing watermark exceeds every real window end. Its own window
-        # never finalizes, so it never appears in the sink.
+        # Sentinel: one event far past max(ts) + watermark + window/gap, so
+        # the closing watermark exceeds every real window's (or session's)
+        # end. Its own window never finalizes, so it never reaches the sink.
         sentinel = spark.createDataFrame(
             [(-1, "sentinel", -1)], "event_id long, event_type string, user_id long"
         ).select(
@@ -107,14 +104,12 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel.coalesce(1).write.parquet(f"{stage}/bs")
         _promote(stage, "bs", "f3.parquet", mtime=1_000_000 + 3)
 
-        stream = tumbling_counts(
+        stream = build(
             # maxFilesPerTrigger is a SOURCE option: on the writer it is
             # silently ignored and all files collapse into one batch
-            # (caught in the r6 self-review — the per-file replay below
-            # is the point of this driver row).
-            read_events_stream(spark, stage, max_files_per_trigger=1),
-            window="1 hour",
-            watermark="1 hour",
+            # (caught in the r6 self-review — the per-file replay here
+            # is the point of these driver rows).
+            read_events_stream(spark, stage, max_files_per_trigger=1)
         )
         handle = (
             stream.writeStream.format("memory")
@@ -127,23 +122,102 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle.awaitTermination(300)
         if handle.isActive:  # pragma: no cover - hung stream safety valve
             handle.stop()
-            raise RuntimeError("q123 stream did not finish within 300s")
+            raise RuntimeError(f"{name} stream did not finish within 300s")
         # Memory-sink rows live on the driver already; materialize them
         # and DROP the per-run temp view before returning (ADVICE r6:
         # the unique queryName per run would otherwise accumulate a view
         # per invocation for the life of the session).
-        out = spark.table(run).select(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+        out = out_select(spark.table(run))
         rows = out.collect()
         spark.catalog.dropTempView(run)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query("q123_stream_tumbling_e2e", oracle=_Q123_ORACLE)
+def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts computed BY THE STREAMING ENGINE
+    (file-source micro-batches → append mode → memory sink) over the
+    events table, equal to the batch/DuckDB aggregation once the sentinel
+    advances the final watermark past every real window."""
+    out = _run_staged_stream(
+        spark,
+        sf_dir,
+        "q123",
+        lambda src: tumbling_counts(src, window="1 hour", watermark="1 hour"),
+        lambda t: t.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        ),
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "window_start string, event_type string, n_events long, total_value double",
+        )
+    return out
+
+
+# Session-window merge semantics (public Structured Streaming contract):
+# an event EXTENDS the current session iff its time is strictly inside
+# [start, last + gap), so a gap of EXACTLY the session timeout starts a
+# NEW session — the oracle's island condition is therefore >= 30 min,
+# one ulp-class different from q77's batch gaps-and-islands (> 30 min),
+# and this oracle encodes the streaming engine's semantics, not q77's.
+_Q137_ORACLE = """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@query("q137_stream_session_e2e", oracle=_Q137_ORACLE)
+def q137_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) computed BY THE STREAMING ENGINE —
+    ``session_window`` state merging across micro-batch boundaries is
+    exactly what the time-banded replay exercises: sessions spanning a
+    band boundary must merge across batches, and append mode only emits
+    a session once the watermark passes its end (last event + gap),
+    which the sentinel guarantees for every real session. The DuckDB
+    oracle recomputes sessions batch-side with the engine's >=-gap
+    island rule."""
+    out = _run_staged_stream(
+        spark,
+        sf_dir,
+        "q137",
+        lambda src: sessionized(src, gap="30 minutes", watermark="1 hour"),
+        lambda t: t.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        ),
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [], "user_id long, session_start string, session_end string, n_events long"
+        )
+    return out
 
 
 def _promote(stage: str, subdir: str, name: str, mtime: int) -> None:
