@@ -69,7 +69,12 @@ HEADLINE = [
     "q134_hypertable_rollup",
     "q135_cms_heavy_hitters",
     "q136_image_dhash_neardup",
-    "q137_stream_session_e2e",
+    # The streaming e2e rows (q123/q137/q138) are deliberately NOT
+    # benched: each runs a real Structured Streaming job (~13 s at
+    # sf0.1, dominated by micro-batch scheduling, not data volume), so
+    # a timing would measure the harness, not the operator. Their batch
+    # analogs (q75-q77, q96) carry the family's tracked numbers; the
+    # streaming paths are correctness-gated by their driver rows.
 ]
 
 

@@ -48,7 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..streaming.windows import read_events_stream, sessionized, tumbling_counts
+from ..streaming.windows import (
+    read_events_stream,
+    sessionized,
+    stream_stream_join,
+    tumbling_counts,
+)
 from .registry import query
 
 _RUN_IDS = count()
@@ -104,13 +109,16 @@ def _run_staged_stream(spark: SparkSession, sf_dir: str, name: str, build, out_s
         sentinel.coalesce(1).write.parquet(f"{stage}/bs")
         _promote(stage, "bs", "f3.parquet", mtime=1_000_000 + 3)
 
-        stream = build(
+        def make_src():
             # maxFilesPerTrigger is a SOURCE option: on the writer it is
             # silently ignored and all files collapse into one batch
             # (caught in the r6 self-review — the per-file replay here
-            # is the point of these driver rows).
-            read_events_stream(spark, stage, max_files_per_trigger=1)
-        )
+            # is the point of these driver rows). A factory rather than
+            # one DataFrame: stream-stream joins (q138) need their own
+            # reader per side.
+            return read_events_stream(spark, stage, max_files_per_trigger=1)
+
+        stream = build(make_src)
         handle = (
             stream.writeStream.format("memory")
             .queryName(run)
@@ -146,7 +154,7 @@ def q123_stream_tumbling_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "q123",
-        lambda src: tumbling_counts(src, window="1 hour", watermark="1 hour"),
+        lambda src: tumbling_counts(src(), window="1 hour", watermark="1 hour"),
         lambda t: t.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -205,7 +213,7 @@ def q137_stream_session_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "q137",
-        lambda src: sessionized(src, gap="30 minutes", watermark="1 hour"),
+        lambda src: sessionized(src(), gap="30 minutes", watermark="1 hour"),
         lambda t: t.select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -230,3 +238,46 @@ def _promote(stage: str, subdir: str, name: str, mtime: int) -> None:
     os.rename(f"{stage}/{subdir}/{part}", f"{stage}/{name}")
     shutil.rmtree(f"{stage}/{subdir}", ignore_errors=True)
     os.utime(f"{stage}/{name}", (mtime, mtime))
+
+
+_Q138_ORACLE = """
+    SELECT a.user_id, a.event_id AS view_event, b.event_id AS click_event,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("q138_stream_interval_join_e2e", oracle=_Q138_ORACLE)
+def q138_stream_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run BY THE STREAMING
+    ENGINE (q96's batch attribution as the oracle): each side reads the
+    staged band files independently, both carry watermarks, and the
+    bounded event-time condition lets Spark expire join state — the
+    per-file replay forces matches whose view and click arrive in
+    DIFFERENT micro-batches through the state store. Inner-join rows
+    emit as they match; the sentinel (type 'sentinel') is filtered
+    before entering state on either side."""
+    out = _run_staged_stream(
+        spark,
+        sf_dir,
+        "q138",
+        lambda src: stream_stream_join(src(), src(), within_minutes=30),
+        lambda t: t.select(
+            "user_id",
+            F.col("l_event").alias("view_event"),
+            F.col("r_event").alias("click_event"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        ),
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "user_id long, view_event long, click_event long, "
+            "view_ts string, click_ts string",
+        )
+    return out
