@@ -69,6 +69,9 @@ HEADLINE = [
     "q134_hypertable_rollup",
     "q135_cms_heavy_hitters",
     "q136_image_dhash_neardup",
+    "q139_st_intersection",
+    "q140_wkb_roundtrip",
+    "q141_boilerplate_removal",
     # The streaming e2e rows (q123/q137/q138) are deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
     # sf0.1, dominated by micro-batch scheduling, not data volume), so

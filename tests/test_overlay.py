@@ -1,0 +1,274 @@
+"""ST_Intersection / ST_Difference: exact-class unit cases, grid-truth
+property tests, SQL surface, and q139 oracle parity.
+
+The overlay exactness boundary (functions/overlay.py docstring):
+rectilinear×rectilinear and convex×convex are exact; outside the class
+the functions return NULL (never a silently wrong geometry)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import union_ops as U
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+    difference_wkt,
+    intersection_wkt,
+    register_overlay_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators import load_all
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import QUERIES
+
+from conftest import SF_DIR, assert_parity
+
+BOX = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def _area(wkt: str) -> float:
+    if wkt.endswith("EMPTY"):
+        return 0.0
+    return G.area(G.parse_wkt(wkt))
+
+
+class TestKnownCases:
+    def test_rect_rect_overlap(self):
+        b = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+        assert intersection_wkt(BOX, b) == "POLYGON ((5 10, 5 5, 10 5, 10 10, 5 10))"
+        assert _area(difference_wkt(BOX, b)) == 75.0
+        assert _area(difference_wkt(b, BOX)) == 75.0
+
+    def test_disjoint_is_empty(self):
+        far = "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))"
+        assert intersection_wkt(BOX, far) == "POLYGON EMPTY"
+        # kept whole, re-serialized by the dissolve (its own ring walk)
+        assert difference_wkt(BOX, far) == "POLYGON ((0 10, 0 0, 10 0, 10 10, 0 10))"
+
+    def test_contained(self):
+        inner = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+        assert intersection_wkt(BOX, inner) == intersection_wkt(inner, BOX)
+        assert _area(intersection_wkt(BOX, inner)) == 4.0
+        assert difference_wkt(inner, BOX) == "POLYGON EMPTY"
+        got = G.parse_wkt(difference_wkt(BOX, inner))
+        assert G.area(got) == 96.0
+        assert len(got.coords) == 2  # hole
+
+    def test_edge_touch_only(self):
+        nbr = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+        # shared edge has zero area: intersection of interiors is empty
+        assert intersection_wkt(BOX, nbr) == "POLYGON EMPTY"
+        assert _area(difference_wkt(BOX, nbr)) == 100.0
+
+    def test_lshape_difference_splits(self):
+        lsh = "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"
+        sub = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        got = G.parse_wkt(difference_wkt(lsh, sub))
+        assert got.kind == "MultiPolygon"
+        assert G.area(got) == 200.0
+
+    def test_triangle_intersection_known(self):
+        t1 = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
+        t2 = "POLYGON ((2 -1, 6 -1, 4 3, 2 -1))"
+        got = intersection_wkt(t1, t2)
+        assert got == "POLYGON ((2.5 0, 4 0, 3.25 1.5, 2.5 0))"
+        assert intersection_wkt(t2, t1) is not None
+        assert _area(intersection_wkt(t2, t1)) == _area(got)
+
+    def test_convex_difference_partial_is_null(self):
+        t1 = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
+        t2 = "POLYGON ((2 -1, 6 -1, 4 3, 2 -1))"
+        assert difference_wkt(t1, t2) is None  # non-convex result: loud NULL
+
+    def test_convex_difference_disjoint_and_swallowed(self):
+        t1 = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
+        far = "POLYGON ((50 50, 54 50, 52 54, 50 50))"
+        assert difference_wkt(t1, far) == t1
+        big = "POLYGON ((-10 -10, 30 -10, 10 30, -10 -10))"
+        assert difference_wkt(t1, big) == "POLYGON EMPTY"
+
+    def test_point_cases(self):
+        assert intersection_wkt("POINT (1 1)", BOX) == "POINT (1 1)"
+        assert intersection_wkt("POINT (0 5)", BOX) == "POINT (0 5)"  # boundary: closure
+        assert intersection_wkt("POINT (50 50)", BOX) == "POLYGON EMPTY"
+        assert difference_wkt("POINT (1 1)", BOX) == "POLYGON EMPTY"
+        assert difference_wkt("POINT (50 50)", BOX) == "POINT (50 50)"
+
+    def test_multipoint_membership(self):
+        mp = "MULTIPOINT (1 1, 50 50, 3 3)"
+        assert intersection_wkt(mp, BOX) == "MULTIPOINT (1 1, 3 3)"
+        assert difference_wkt(mp, BOX) == "POINT (50 50)"
+
+    def test_line_clip_convex(self):
+        assert intersection_wkt("LINESTRING (-5 5, 20 5)", BOX) == "LINESTRING (0 5, 10 5)"
+        tri = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
+        got = G.parse_wkt(intersection_wkt("LINESTRING (-1 1, 5 1)", tri))
+        assert got.kind == "LineString"
+        assert G.length(got) == 3.0  # chord at y=1: x in [0.5, 3.5]
+
+    def test_line_outside_is_empty(self):
+        assert intersection_wkt("LINESTRING (-5 50, 20 50)", BOX) == "POLYGON EMPTY"
+
+    def test_unsupported_pairs_return_null(self):
+        nonconvex = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
+        tilted = "POLYGON ((1 0.5, 5 0.3, 3 5, 1 0.5))"
+        assert intersection_wkt(nonconvex, tilted) is None
+        assert difference_wkt(nonconvex, tilted) is None
+        assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 0, 0 1)") is None
+
+    def test_rectilinear_nonconvex_with_convex(self):
+        lsh = "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"
+        tri = "POLYGON ((-10 -10, 40 -10, 15 40, -10 -10))"  # covers lsh? partially
+        got = intersection_wkt(lsh, tri)
+        assert got is not None
+        # pieces are disjoint cell clips: total area below both inputs
+        assert 0.0 < _area(got) <= 300.0
+
+    def test_null_and_empty_inputs(self):
+        assert intersection_wkt(None, BOX) is None
+        assert intersection_wkt("junk((", BOX) is None
+        assert intersection_wkt("POLYGON EMPTY", BOX) == "POLYGON EMPTY"
+        assert difference_wkt(BOX, "POLYGON EMPTY") == BOX
+        assert difference_wkt("POLYGON EMPTY", BOX) == "POLYGON EMPTY"
+
+
+# ---------------------------------------------------------------------------
+# grid-truth property tests (same cell brute force as test_union.py)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _int_rects(draw, max_n=5):
+    n = draw(st.integers(min_value=1, max_value=max_n))
+    rects = []
+    for _ in range(n):
+        x0 = draw(st.integers(min_value=-5, max_value=4))
+        y0 = draw(st.integers(min_value=-5, max_value=4))
+        rects.append(
+            (
+                float(x0),
+                float(y0),
+                float(x0 + draw(st.integers(min_value=1, max_value=5))),
+                float(y0 + draw(st.integers(min_value=1, max_value=5))),
+            )
+        )
+    return rects
+
+
+def _cells(rects):
+    return {
+        (i, j)
+        for x0, y0, x1, y1 in rects
+        for i in range(int(x0), int(x1))
+        for j in range(int(y0), int(y1))
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(_int_rects(), _int_rects())
+def test_rectilinear_overlay_matches_bruteforce(ra, rb):
+    """a∩b and a−b over arbitrary rectilinear unions: areas equal the
+    unit-cell truth, and the partition a = (a∩b) ⊎ (a−b) holds."""
+    ga = U.union_geoms([G.Geometry.box(*r) for r in ra])
+    gb = U.union_geoms([G.Geometry.box(*r) for r in rb])
+    wa, wb = G.to_wkt(ga), G.to_wkt(gb)
+    ca, cb = _cells(ra), _cells(rb)
+    inter, diff = intersection_wkt(wa, wb), difference_wkt(wa, wb)
+    assert inter is not None and diff is not None
+    assert _area(inter) == float(len(ca & cb))
+    assert _area(diff) == float(len(ca - cb))
+    assert _area(inter) + _area(diff) == _area(wa)
+    # commutativity of intersection
+    assert _area(intersection_wkt(wb, wa)) == _area(inter)
+    # WKT round-trips (empty stays empty, geometry re-parses)
+    if not inter.endswith("EMPTY"):
+        assert G.area(G.parse_wkt(G.to_wkt(G.parse_wkt(inter)))) == _area(inter)
+
+
+@st.composite
+def _convex_poly(draw):
+    """Random convex polygon: convex hull of integer points."""
+    pts = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-8, max_value=8),
+                st.integers(min_value=-8, max_value=8),
+            ),
+            min_size=3,
+            max_size=8,
+            unique=True,
+        )
+    )
+    hull = G.convex_hull(G.Geometry("MultiPoint", [(float(x), float(y)) for x, y in pts]))
+    if hull.kind != "Polygon":
+        return None
+    return G.to_wkt(hull)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_convex_poly(), _convex_poly())
+def test_convex_intersection_properties(wa, wb):
+    """Convex∩convex: symmetric area, bounded by both inputs, idempotent
+    on self, and every output vertex lies in both closures."""
+    if wa is None or wb is None:
+        return
+    assert _area(intersection_wkt(wa, wa)) == _area(wa)
+    inter = intersection_wkt(wa, wb)
+    assert inter is not None
+    ia = _area(inter)
+    assert ia <= min(_area(wa), _area(wb)) + 1e-9
+    assert abs(_area(intersection_wkt(wb, wa)) - ia) < 1e-9
+    if not inter.endswith("EMPTY"):
+        gi = G.parse_wkt(inter)
+        ga, gb = G.parse_wkt(wa), G.parse_wkt(wb)
+        for x, y in gi.coords[0]:
+            # clip vertices carry ≤1-ulp FP error off the true boundary
+            # point, so membership is asserted within 1e-9
+            pt = G.Geometry("Point", (x, y))
+            assert G.distance(pt, ga) <= 1e-9
+            assert G.distance(pt, gb) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# SQL surface + driver row
+# ---------------------------------------------------------------------------
+
+
+class TestSqlSurface:
+    def test_st_intersection_sql(self, spark):
+        register_overlay_functions(spark)
+        row = spark.sql(
+            "SELECT st_area(st_intersection("
+            "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', "
+            "'POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))')) AS a, "
+            "st_area(st_difference("
+            "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', "
+            "'POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))')) AS d"
+        ).collect()[0]
+        assert row.a == 25.0
+        assert row.d == 75.0
+
+    def test_null_propagates(self, spark):
+        register_overlay_functions(spark)
+        row = spark.sql(
+            "SELECT st_intersection(NULL, 'POINT (0 0)') AS i, "
+            "st_difference('POINT (0 0)', NULL) AS d"
+        ).collect()[0]
+        assert row.i is None and row.d is None
+
+
+class TestQ139:
+    def test_oracle_parity(self, spark, oracle):
+        load_all()
+        q = QUERIES["q139_st_intersection"]
+        assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, "q139")
+
+    def test_plan_broadcasts_box_join(self, spark):
+        load_all()
+        plan = (
+            QUERIES["q139_st_intersection"]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

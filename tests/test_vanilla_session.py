@@ -53,6 +53,13 @@ assert qs["q44_spatial_join_within"](spark, sf).count() > 0
 # must not depend on get_spark-only confs either).
 assert qs["q99_xml_roundtrip"](spark, sf).count() > 0
 
+# WKB codec (r7 failure class: Spark 4.1 ships flag-gated geospatial
+# BUILTINS named st_asbinary / st_geomfromwkb / st_srid; builtin
+# resolution precedes session functions, so on a vanilla session the
+# names throw GEOSPATIAL_DISABLED unless registration REPLACES them —
+# udf.register does, and this pins it).
+assert qs["q140_wkb_roundtrip"](spark, sf).count() > 0
+
 spark.stop()
 print("VANILLA_OK")
 """

@@ -1,0 +1,142 @@
+"""WKB codec: struct-level ground truth, roundtrips for every geometry
+kind, big-endian decode, malformed-buffer fuzz, SQL surface, q140
+oracle parity."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (
+    geom_to_wkb,
+    register_wkb_functions,
+    wkb_to_geom,
+    wkb_to_wkt,
+    wkt_to_wkb,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators import load_all
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import QUERIES
+
+from conftest import SF_DIR, assert_parity
+
+KINDS = [
+    "POINT (3 4)",
+    "POINT (-1.5 2.25)",
+    "LINESTRING (0 0, 1 1, 2 0)",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "MULTIPOINT (1 1, 2 2)",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+]
+
+
+class TestGroundTruth:
+    def test_point_bytes_match_struct(self):
+        wkb = wkt_to_wkb("POINT (3 4)")
+        assert wkb == struct.pack("<BI2d", 1, 1, 3.0, 4.0)
+        assert len(wkb) == 21
+        assert wkb[:5] == bytes.fromhex("0101000000")
+
+    def test_box_polygon_layout(self):
+        wkb = wkt_to_wkb("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        # header(5) + nrings(4) + npts(4) + 5 * 16
+        assert len(wkb) == 93
+        assert wkb[:5] == bytes.fromhex("0103000000")
+        assert struct.unpack_from("<I", wkb, 5)[0] == 1
+        assert struct.unpack_from("<I", wkb, 9)[0] == 5
+        assert struct.unpack_from("<2d", wkb, 13) == (0.0, 0.0)
+        assert struct.unpack_from("<2d", wkb, 29) == (10.0, 0.0)
+
+    def test_big_endian_decode(self):
+        be = struct.pack(">BI2d", 0, 1, 3.0, 4.0)
+        assert wkb_to_wkt(be) == "POINT (3 4)"
+
+    def test_mixed_endian_nested(self):
+        inner_be = struct.pack(">BI2d", 0, 1, 1.0, 2.0)
+        inner_le = struct.pack("<BI2d", 1, 1, 3.0, 4.0)
+        multi = struct.pack("<BII", 1, 4, 2) + inner_be + inner_le
+        assert wkb_to_wkt(multi) == "MULTIPOINT (1 2, 3 4)"
+
+
+class TestRoundtrip:
+    def test_all_kinds(self):
+        for wkt in KINDS:
+            assert wkb_to_wkt(wkt_to_wkb(wkt)) == wkt
+
+    def test_exact_double_preservation(self):
+        wkt = "POINT (0.1 -179.30000000000001)"
+        g = G.parse_wkt(wkt)
+        rt = wkb_to_geom(geom_to_wkb(g))
+        assert rt.coords == g.coords  # bit-exact through IEEE754
+
+
+class TestMalformed:
+    def test_null_and_garbage(self):
+        assert wkb_to_wkt(None) is None
+        assert wkb_to_wkt(b"") is None
+        assert wkb_to_wkt(b"\x02\x01\x00\x00\x00") is None  # bad byte order
+        assert wkt_to_wkb(None) is None
+        assert wkt_to_wkb("junk((") is None
+
+    def test_truncations_never_crash(self):
+        for wkt in KINDS:
+            full = wkt_to_wkb(wkt)
+            for cut in range(len(full)):
+                assert wkb_to_wkt(full[:cut]) is None
+
+    def test_trailing_bytes_rejected(self):
+        assert wkb_to_wkt(wkt_to_wkb("POINT (1 2)") + b"\x00") is None
+
+    def test_ewkb_flags_rejected_not_misread(self):
+        # PostGIS EWKB: type 1 | 0x20000000 (SRID flag) — must be NULL,
+        # never a silently wrong point read from offset garbage.
+        buf = struct.pack("<BIi2d", 1, 1 | 0x20000000, 4326, 3.0, 4.0)
+        assert wkb_to_wkt(buf) is None
+
+    def test_implausible_count_rejected(self):
+        buf = struct.pack("<BII", 1, 2, 0xFFFFFFF0)
+        assert wkb_to_wkt(buf) is None
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=60))
+    def test_random_bytes_never_crash(self, buf):
+        out = wkb_to_wkt(buf)
+        assert out is None or isinstance(out, str)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.sampled_from(KINDS),
+        st.integers(min_value=0, max_value=200),
+        st.binary(min_size=1, max_size=4),
+    )
+    def test_near_miss_mutations_never_crash(self, wkt, pos, junk):
+        full = bytearray(wkt_to_wkb(wkt))
+        p = pos % len(full)
+        full[p : p + len(junk)] = junk
+        out = wkb_to_wkt(bytes(full))
+        assert out is None or isinstance(out, str)
+
+
+class TestSqlSurface:
+    def test_roundtrip_in_sql(self, spark):
+        register_wkb_functions(spark)
+        row = spark.sql(
+            "SELECT st_geomfromwkb(st_asbinary('POINT (3 4)')) AS w, "
+            "hex(st_asbinary('POINT (3 4)')) AS h, "
+            "length(st_asbinary('POINT (3 4)')) AS n"
+        ).collect()[0]
+        assert row.w == "POINT (3 4)"
+        assert row.h.startswith("0101000000")
+        assert row.n == 21
+
+
+class TestQ140:
+    def test_oracle_parity(self, spark, oracle):
+        load_all()
+        q = QUERIES["q140_wkb_roundtrip"]
+        assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, "q140")
