@@ -21,17 +21,20 @@ outside it):
   output polygons are clean (no seams, no stacked parts).
 - **convex polygon × convex polygon** — Sutherland–Hodgman clipping
   (union_ops._clip_convex) for the intersection: exact, convex output.
-  The difference of two properly-overlapping convex polygons is
-  generally non-convex and NOT representable in this engine's exact
-  class, so it yields NULL unless the pair is disjoint (a kept whole)
-  or a ⊆ b (empty).
+  Difference uses the standard half-plane decomposition (piece_i = a
+  right of b's edge i, left of edges 0..i−1): exact, a MultiPolygon of
+  disjoint convex pieces — area and point set exact; internal seams
+  between pieces are a representation artifact (st_perimeter over such
+  a result counts seam edges, like any seamed MultiPolygon).
 - **rectilinear × convex** — intersection clips each covered cell by
   the convex ring; the pieces have disjoint interiors by construction
   (cells partition the rectilinear polygon), so the MultiPolygon
-  result is exact as a point set and in area. Difference: NULL unless
-  disjoint / fully covered (same reason as convex−convex).
-- **LineString × convex polygon** — parametric (Cyrus–Beck style)
-  clipping of each segment to the convex interior: exact.
+  result is exact as a point set and in area. Difference runs the same
+  half-plane decomposition per cell (cells are convex), exact with the
+  same seam caveat.
+- **LineString × convex/rectilinear polygon** — parametric (Cyrus–Beck
+  style) clipping of each segment to the convex interior (intersection)
+  or its complement spans (difference): exact.
 - anything else → NULL (documented here, in COVERAGE.md §2.6, and in
   the registered function docstrings — the ADVICE r6 "loud, not
   silently wrong" contract).
@@ -246,61 +249,170 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
     raise _Unsupported("polygon pair outside the rectilinear/convex class")
 
 
-def _covers_all(pa: Geometry, b_parts: list[Geometry]) -> bool:
-    """True iff pa ⊆ union of b parts, decidable exactly for the cases
-    _pair_difference needs (pa convex or rectilinear vs one covering
-    part; multi-part covering falls to the rectilinear path)."""
-    return any(G.within(pa, pb) for pb in b_parts)
+def _clip_halfplane(pts: list[Pt], a: Pt, b: Pt, keep_left: bool) -> list[Pt]:
+    """Clip an OPEN convex vertex list to one side of the directed line
+    a→b (the Sutherland–Hodgman single-edge step, exposed standalone)."""
+    ex, ey = b[0] - a[0], b[1] - a[1]
+
+    def side(p: Pt) -> float:
+        s = ex * (p[1] - a[1]) - ey * (p[0] - a[0])
+        return s if keep_left else -s
+
+    out: list[Pt] = []
+    for i, p in enumerate(pts):
+        q = pts[(i + 1) % len(pts)]
+        sp, sq = side(p), side(q)
+        if sp >= 0:
+            out.append(p)
+        if (sp >= 0) != (sq >= 0):
+            den = side(q) - side(p)
+            t = -sp / den
+            out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
+    return out
+
+
+def _convex_difference(ca: list[Pt], cb: list[Pt]) -> list[list[Pt]]:
+    """EXACT a − b for CLOSED convex rings, as a list of closed convex
+    rings with pairwise-disjoint interiors.
+
+    The standard half-plane decomposition: orient b CCW; piece_i is a
+    clipped to the RIGHT of b's edge i and to the LEFT of edges 0..i−1.
+    Any point of a outside b is right of at least one edge and lands in
+    the piece of the FIRST such edge (left of all earlier ones), points
+    inside b are right of no edge — so the pieces partition a − b."""
+    if _signed_area_ring(cb) < 0:
+        cb = cb[::-1]
+    pieces: list[list[Pt]] = []
+    for i in range(len(cb) - 1):
+        work = list(ca[:-1])
+        work = _clip_halfplane(work, cb[i], cb[i + 1], keep_left=False)
+        for j in range(i):
+            if not work:
+                break
+            work = _clip_halfplane(work, cb[j], cb[j + 1], keep_left=True)
+        if len(work) >= 3 and _ring_area(work) > 0.0:
+            pieces.append(work + [work[0]])
+    return pieces
+
+
+def _rings_minus_part(rings: list[list[Pt]], pb: Geometry) -> list[list[Pt]]:
+    """Subtract polygon part ``pb`` from a list of closed CONVEX rings,
+    staying inside the exact class (pb convex, or rectilinear via its
+    cells — cells are rectangles, hence convex)."""
+    sub_rings: list[list[Pt]]
+    cb = _convex_ring_of(pb.coords)
+    if cb is not None:
+        sub_rings = [cb]
+    else:
+        cells = _rects_of(pb.coords)
+        if cells is None:
+            raise _Unsupported("subtrahend outside the rectilinear/convex class")
+        sub_rings = [
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            for x0, y0, x1, y1 in cells
+        ]
+    def diff_one(r: list[Pt], s: list[Pt]) -> list[list[Pt]]:
+        # disjoint (or 1-D touch): keep the ring whole rather than
+        # letting the half-plane decomposition split it along s's
+        # extended edge lines
+        if _clip_to_poly(r, s) is None:
+            return [r]
+        return _convex_difference(r, s)
+
+    work = rings
+    for s in sub_rings:
+        work = [piece for r in work for piece in diff_one(r, s)]
+        if not work:
+            break
+    return work
+
+
+def _line_minus_convex(p: Pt, q: Pt, ring: list[Pt]) -> list[tuple[Pt, Pt]]:
+    """Segment p→q minus the (closed) convex ring's interior: the ≤2
+    complement sub-segments of the clipped [t0, t1] span."""
+    seg = _clip_segment_convex(p, q, ring)
+    if seg is None:
+        return [(p, q)]
+    (a, b) = seg
+    out: list[tuple[Pt, Pt]] = []
+    if a != p:
+        out.append((p, a))
+    if b != q:
+        out.append((b, q))
+    return out
 
 
 def _pair_difference(pieces: list, pb: Geometry) -> list:
     """Subtract simple part ``pb`` from each piece in ``pieces``
-    (points / rects / convex polygons), or raise _Unsupported."""
+    (points / segments-as-LineStrings / rects / convex polygons), or
+    raise _Unsupported. Zero-area subtrahends (points, lines) remove
+    nothing from 2-D pieces — PostGIS closure semantics."""
+    if pb.kind == "Point":
+        return [
+            p
+            for p in pieces
+            if isinstance(p, tuple)
+            or p.kind != "Point"
+            or p.coords != pb.coords
+        ]
     out: list = []
     for p in pieces:
         if isinstance(p, tuple):  # Rect piece
             rb = _rects_of(pb.coords) if pb.kind == "Polygon" else None
-            if pb.kind == "Point":
-                out.append(p)
-                continue
-            if rb is None:
-                # rect − convex: exact only when disjoint or swallowed
-                cb = _convex_ring_of(pb.coords) if pb.kind == "Polygon" else None
-                if cb is None:
-                    raise _Unsupported(f"rect - {pb.kind}")
-                x0, y0, x1, y1 = p
-                cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
-                ring = _clip_to_poly(cell, cb)
-                if ring is None:
-                    out.append(p)  # disjoint (or 1-D touch): keep whole
-                elif _ring_area(ring[:-1]) == (x1 - x0) * (y1 - y0):
-                    continue  # fully covered: drop
-                else:
-                    raise _Unsupported("rect - convex partial overlap")
-            else:
+            if pb.kind == "LineString":
+                out.append(p)  # 1-D subtrahend: area untouched
+            elif rb is not None:
                 work = [p]
                 for c in rb:
                     work = [piece for r in work for piece in _rect_sub(r, c)]
                 out.extend(work)
+            elif pb.kind == "Polygon":
+                x0, y0, x1, y1 = p
+                cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                out.extend(
+                    Geometry("Polygon", [r]) for r in _rings_minus_part([cell], pb)
+                )
+            else:
+                raise _Unsupported(f"rect - {pb.kind}")
         elif p.kind == "Point":
             if not _point_in_closure(p.coords, pb):
                 out.append(p)
+        elif p.kind == "LineString":
+            if pb.kind == "LineString":
+                out.append(p)  # line − line: 1-D ∩ is measure-zero
+                continue
+            if pb.kind != "Polygon":
+                raise _Unsupported(f"line - {pb.kind}")
+            cb = _convex_ring_of(pb.coords)
+            cells = None if cb is not None else _rects_of(pb.coords)
+            if cb is None and cells is None:
+                raise _Unsupported("line - non-convex non-rectilinear polygon")
+            sub_rings = (
+                [cb]
+                if cb is not None
+                else [
+                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                    for x0, y0, x1, y1 in cells
+                ]
+            )
+            segs = list(zip(p.coords, p.coords[1:]))
+            for s in sub_rings:
+                segs = [piece for (u, v) in segs for piece in _line_minus_convex(u, v, s)]
+                if not segs:
+                    break
+            out.extend(Geometry("LineString", [u, v]) for u, v in segs)
         elif p.kind == "Polygon":  # convex piece
             ca = _convex_ring_of(p.coords)
             if ca is None:
                 raise _Unsupported("non-convex residual")
-            inter = _pair_intersection(p, pb) if pb.kind == "Polygon" else None
-            if pb.kind != "Polygon":
-                if pb.kind == "Point":
-                    out.append(p)
-                    continue
-                raise _Unsupported(f"polygon - {pb.kind}")
-            if not inter:
+            if pb.kind == "LineString":
                 out.append(p)
-            elif G.within(p, pb):
                 continue
-            else:
-                raise _Unsupported("convex - polygon partial overlap")
+            if pb.kind != "Polygon":
+                raise _Unsupported(f"polygon - {pb.kind}")
+            out.extend(
+                Geometry("Polygon", [r]) for r in _rings_minus_part([ca], pb)
+            )
         else:
             raise _Unsupported(f"{p.kind} difference")
     return out

@@ -74,10 +74,28 @@ class TestKnownCases:
         assert intersection_wkt(t2, t1) is not None
         assert _area(intersection_wkt(t2, t1)) == _area(got)
 
-    def test_convex_difference_partial_is_null(self):
+    def test_convex_difference_partial_exact(self):
         t1 = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
         t2 = "POLYGON ((2 -1, 6 -1, 4 3, 2 -1))"
-        assert difference_wkt(t1, t2) is None  # non-convex result: loud NULL
+        # half-plane decomposition: area(a−b) = area(a) − area(a∩b)
+        assert abs(
+            _area(difference_wkt(t1, t2)) - (_area(t1) - _area(intersection_wkt(t1, t2)))
+        ) < 1e-9
+
+    def test_convex_slab_difference_splits_two(self):
+        sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        # a convex slab cutting clean through the square leaves 2 parts
+        slab = "POLYGON ((4 -5, 6 -5, 6 15, 4 15, 4 -5))"
+        got = G.parse_wkt(difference_wkt(sq, slab))
+        assert G.area(got) == 80.0
+
+    def test_line_difference(self):
+        got = difference_wkt("LINESTRING (-5 5, 20 5)", BOX)
+        g = G.parse_wkt(got)
+        assert g.kind == "MultiLineString"
+        assert G.length(g) == 15.0  # 25 total − 10 inside
+        tri = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
+        assert _area(intersection_wkt("LINESTRING (0 1, 1 1)", tri)) == 0.0  # degenerate ok
 
     def test_convex_difference_disjoint_and_swallowed(self):
         t1 = "POLYGON ((0 0, 4 0, 2 4, 0 0))"
@@ -202,6 +220,21 @@ def _convex_poly(draw):
     if hull.kind != "Polygon":
         return None
     return G.to_wkt(hull)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_convex_poly(), _convex_poly())
+def test_convex_difference_complement_identity(wa, wb):
+    """area(a−b) + area(a∩b) = area(a) for arbitrary convex pairs (the
+    half-plane decomposition's defining property), and a−a is empty."""
+    if wa is None or wb is None:
+        return
+    assert difference_wkt(wa, wa) == "POLYGON EMPTY"
+    inter, diff = intersection_wkt(wa, wb), difference_wkt(wa, wb)
+    assert inter is not None and diff is not None
+    assert abs(_area(diff) + _area(inter) - _area(wa)) < 1e-6
+    # subtracting something disjoint keeps the full area
+    assert _area(difference_wkt(wa, "POLYGON ((900 900, 910 900, 905 910, 900 900))")) == _area(wa)
 
 
 @settings(max_examples=200, deadline=None)
