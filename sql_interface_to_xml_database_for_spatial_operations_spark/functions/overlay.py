@@ -20,7 +20,8 @@ outside it):
   result is re-dissolved through union_ops._rect_union_polys, so
   output polygons are clean (no seams, no stacked parts).
 - **convex polygon × convex polygon** — Sutherland–Hodgman clipping
-  (union_ops._clip_convex) for the intersection: exact, convex output.
+  (successive _clip_halfplane passes) for the intersection: exact,
+  convex output.
   Difference uses the standard half-plane decomposition (piece_i = a
   right of b's edge i, left of edges 0..i−1): exact, a MultiPolygon of
   disjoint convex pieces — area and point set exact; internal seams
@@ -35,9 +36,16 @@ outside it):
 - **LineString × convex/rectilinear polygon** — parametric (Cyrus–Beck
   style) clipping of each segment to the convex interior (intersection)
   or its complement spans (difference): exact.
-- anything else → NULL (documented here, in COVERAGE.md §2.6, and in
-  the registered function docstrings — the ADVICE r6 "loud, not
-  silently wrong" contract).
+- **any SIMPLE hole-free polygon** — ear-clipping triangulation
+  (_triangulate, the standard published O(n²) algorithm) reduces it to
+  disjoint convex triangles, so every simple hole-free polygon pair —
+  convex or not — resolves through the convex kernels above: exact in
+  area and point set, output a seamed MultiPolygon of disjoint pieces.
+- anything else — polygons with NON-rectilinear holes, and
+  self-intersecting rings (ear clipping stalls and reports them) →
+  NULL (documented here, in COVERAGE.md §2.6, and in the registered
+  function docstrings — the ADVICE r6 "loud, not silently wrong"
+  contract).
 
 Empty results serialize as ``'POLYGON EMPTY'`` (PostGIS emits a typed
 EMPTY too); both UDFs accept ``'... EMPTY'`` WKT back as input. This
@@ -62,7 +70,6 @@ from . import geometry as G
 from .geometry import Geometry
 from .union_ops import (
     _as_rect,
-    _clip_convex,
     _flatten,
     _is_convex_ring,
     _rect_union_polys,
@@ -144,11 +151,33 @@ def _ring_area(ring_open: list[Pt]) -> float:
     return abs(_signed_area_ring(ring_open + [ring_open[0]]))
 
 
+def _sliver_eps(ring: list[Pt]) -> float:
+    """Relative area floor: pieces below it are FP residue, not
+    geometry. Bit-exact inputs (integer/dyadic coordinates — the exact
+    class) never produce genuine pieces this small; irrational
+    coordinates already carry ulp-level noise that materializes as
+    ~1e-16 slivers when a polygon is clipped along its own edges."""
+    return 1e-12 * max(1.0, _ring_area(ring[:-1] if ring[0] == ring[-1] else ring))
+
+
 def _clip_to_poly(subject: list[Pt], clip: list[Pt]) -> list[Pt] | None:
     """Closed output ring of subject ∩ convex clip, or None if empty /
-    degenerate (zero-area sliver)."""
-    out = _clip_convex(subject, clip)
-    if len(out) < 3 or _ring_area(out) == 0.0:
+    degenerate (sliver below the relative FP floor).
+
+    Implemented as successive _clip_halfplane passes rather than
+    union_ops._clip_convex: the half-plane form derives its segment
+    parameter from SIDE-VALUE differences, which cannot be zero when
+    the endpoint signs straddle — union_ops' cross-product denominator
+    can round to exactly 0 on a near-parallel straddling edge
+    (observed under the star-polygon fuzz) and divide by zero."""
+    if _signed_area_ring(clip) < 0:
+        clip = clip[::-1]
+    out = list(subject[:-1] if subject[0] == subject[-1] else subject)
+    for i in range(len(clip) - 1):
+        if not out:
+            break
+        out = _clip_halfplane(out, clip[i], clip[i + 1], keep_left=True)
+    if len(out) < 3 or _ring_area(out) <= _sliver_eps(subject):
         return None
     return out + [out[0]]
 
@@ -207,14 +236,17 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
         line, poly = (a, b) if a.kind == "LineString" else (b, a)
         if poly.kind != "Polygon":
             raise _Unsupported(f"line x {poly.kind}")
-        ring = _convex_ring_of(poly.coords)
-        if ring is None:
-            raise _Unsupported("line x non-convex polygon")
+        rings = _convex_pieces_of(poly.coords)
+        if rings is None:
+            raise _Unsupported("line x undecomposable polygon")
         pieces = []
         for p, q in zip(line.coords, line.coords[1:]):
-            seg = _clip_segment_convex(p, q, ring)
-            if seg is not None:
-                pieces.append(Geometry("LineString", [seg[0], seg[1]]))
+            # pieces are interior-disjoint, so per-piece clips of one
+            # segment are disjoint sub-segments
+            for ring in rings:
+                seg = _clip_segment_convex(p, q, ring)
+                if seg is not None:
+                    pieces.append(Geometry("LineString", [seg[0], seg[1]]))
         return pieces
 
     if a.kind != "Polygon" or b.kind != "Polygon":
@@ -230,23 +262,87 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
                     out.append(c)
         return out
 
-    ca, cb = _convex_ring_of(a.coords), _convex_ring_of(b.coords)
-    if ca is not None and cb is not None:
-        ring = _clip_to_poly(ca, cb)
-        return [Geometry("Polygon", [ring])] if ring else []
-
-    # one rectilinear, one convex: clip each covered cell
-    cells, conv = (ra, cb) if ra is not None else (rb, ca)
-    if cells is not None and conv is not None:
-        pieces = []
-        for x0, y0, x1, y1 in cells:
-            cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
-            ring = _clip_to_poly(cell, conv)
+    pa, pb = _convex_pieces_of(a.coords), _convex_pieces_of(b.coords)
+    if pa is None or pb is None:
+        raise _Unsupported("polygon pair outside the decomposable class")
+    pieces = []
+    for car in pa:
+        for cbr in pb:
+            ring = _clip_to_poly(car, cbr)
             if ring:
                 pieces.append(Geometry("Polygon", [ring]))
-        return pieces
+    return pieces
 
-    raise _Unsupported("polygon pair outside the rectilinear/convex class")
+
+def _triangulate(ring_closed: list[Pt]) -> list[list[Pt]] | None:
+    """Ear-clipping triangulation of a SIMPLE hole-free polygon ring →
+    list of closed CCW triangle rings with disjoint interiors, or None
+    if clipping stalls (self-intersecting / degenerate input). The
+    standard published O(n²) algorithm: repeatedly cut a convex vertex
+    whose triangle contains no other reflex vertex."""
+    pts = list(ring_closed[:-1])
+    # Simplicity check FIRST: naive ear clipping can still find "ears"
+    # on a self-intersecting ring (e.g. a bowtie) and return triangles
+    # covering the hull — silently wrong. Non-adjacent edge pairs of a
+    # simple ring share no point; O(n²) over the ring, n is per-row.
+    n0 = len(pts)
+    edges = [(pts[i], pts[(i + 1) % n0]) for i in range(n0)]
+    for i in range(n0):
+        for j in range(i + 1, n0):
+            if j == i + 1 or (i == 0 and j == n0 - 1):
+                continue  # adjacent (shares a vertex)
+            if G._segs_intersect(*edges[i], *edges[j]):
+                return None
+    if _signed_area_ring(pts + [pts[0]]) < 0:
+        pts = pts[::-1]
+
+    def cross(o: Pt, a: Pt, b: Pt) -> float:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_tri(p: Pt, a: Pt, b: Pt, c: Pt) -> bool:
+        # strict interior-or-edge containment for the ear test
+        return cross(a, b, p) >= 0 and cross(b, c, p) >= 0 and cross(c, a, p) >= 0
+
+    tris: list[list[Pt]] = []
+    while len(pts) > 3:
+        n = len(pts)
+        for i in range(n):
+            a, b, c = pts[(i - 1) % n], pts[i], pts[(i + 1) % n]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or collinear: not an ear tip
+            if any(
+                in_tri(p, a, b, c)
+                for j, p in enumerate(pts)
+                if j not in ((i - 1) % n, i, (i + 1) % n)
+            ):
+                continue
+            tris.append([a, b, c, a])
+            del pts[i]
+            break
+        else:
+            return None  # no ear found: not a simple polygon
+    if len(pts) == 3 and abs(cross(*pts)) > 0.0:
+        tris.append(pts + [pts[0]])
+    return tris
+
+
+def _convex_pieces_of(poly_rings: list[list[Pt]]) -> list[list[Pt]] | None:
+    """Decompose a polygon into closed CONVEX rings with disjoint
+    interiors: the ring itself if convex, its cells if rectilinear
+    (holes allowed), else an ear-clipping triangulation (hole-free
+    simple polygons). None outside those classes."""
+    conv = _convex_ring_of(poly_rings)
+    if conv is not None:
+        return [conv]
+    cells = _rects_of(poly_rings)
+    if cells is not None:
+        return [
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            for x0, y0, x1, y1 in cells
+        ]
+    if len(poly_rings) != 1:
+        return None  # holes without rectilinearity
+    return _triangulate(poly_rings[0])
 
 
 def _clip_halfplane(pts: list[Pt], a: Pt, b: Pt, keep_left: bool) -> list[Pt]:
@@ -290,7 +386,7 @@ def _convex_difference(ca: list[Pt], cb: list[Pt]) -> list[list[Pt]]:
             if not work:
                 break
             work = _clip_halfplane(work, cb[j], cb[j + 1], keep_left=True)
-        if len(work) >= 3 and _ring_area(work) > 0.0:
+        if len(work) >= 3 and _ring_area(work) > _sliver_eps(ca):
             pieces.append(work + [work[0]])
     return pieces
 
@@ -299,18 +395,9 @@ def _rings_minus_part(rings: list[list[Pt]], pb: Geometry) -> list[list[Pt]]:
     """Subtract polygon part ``pb`` from a list of closed CONVEX rings,
     staying inside the exact class (pb convex, or rectilinear via its
     cells — cells are rectangles, hence convex)."""
-    sub_rings: list[list[Pt]]
-    cb = _convex_ring_of(pb.coords)
-    if cb is not None:
-        sub_rings = [cb]
-    else:
-        cells = _rects_of(pb.coords)
-        if cells is None:
-            raise _Unsupported("subtrahend outside the rectilinear/convex class")
-        sub_rings = [
-            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
-            for x0, y0, x1, y1 in cells
-        ]
+    sub_rings = _convex_pieces_of(pb.coords)
+    if sub_rings is None:
+        raise _Unsupported("subtrahend outside the decomposable class")
     def diff_one(r: list[Pt], s: list[Pt]) -> list[list[Pt]]:
         # disjoint (or 1-D touch): keep the ring whole rather than
         # letting the half-plane decomposition split it along s's
@@ -383,18 +470,9 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
                 continue
             if pb.kind != "Polygon":
                 raise _Unsupported(f"line - {pb.kind}")
-            cb = _convex_ring_of(pb.coords)
-            cells = None if cb is not None else _rects_of(pb.coords)
-            if cb is None and cells is None:
-                raise _Unsupported("line - non-convex non-rectilinear polygon")
-            sub_rings = (
-                [cb]
-                if cb is not None
-                else [
-                    [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
-                    for x0, y0, x1, y1 in cells
-                ]
-            )
+            sub_rings = _convex_pieces_of(pb.coords)
+            if sub_rings is None:
+                raise _Unsupported("line - undecomposable polygon")
             segs = list(zip(p.coords, p.coords[1:]))
             for s in sub_rings:
                 segs = [piece for (u, v) in segs for piece in _line_minus_convex(u, v, s)]
@@ -473,7 +551,13 @@ def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
     for pa in _flatten(a):
         if pa.kind == "Polygon":
             r = _rects_of(pa.coords)
-            pieces: list = list(r) if r is not None else [pa]
+            if r is not None:
+                pieces: list = list(r)  # rect cells: dissolved output
+            else:
+                rings = _convex_pieces_of(pa.coords)
+                if rings is None:
+                    raise _Unsupported("minuend outside the decomposable class")
+                pieces = [Geometry("Polygon", [ring]) for ring in rings]
         else:
             pieces = [pa]
         for pb in b_parts:

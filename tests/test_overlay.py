@@ -126,11 +126,22 @@ class TestKnownCases:
     def test_line_outside_is_empty(self):
         assert intersection_wkt("LINESTRING (-5 50, 20 50)", BOX) == "POLYGON EMPTY"
 
-    def test_unsupported_pairs_return_null(self):
-        nonconvex = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"
+    def test_nonconvex_pairs_triangulate_exact(self):
+        nonconvex = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"  # area 10
         tilted = "POLYGON ((1 0.5, 5 0.3, 3 5, 1 0.5))"
-        assert intersection_wkt(nonconvex, tilted) is None
-        assert difference_wkt(nonconvex, tilted) is None
+        inter, diff = intersection_wkt(nonconvex, tilted), difference_wkt(nonconvex, tilted)
+        assert inter is not None and diff is not None
+        assert abs(_area(inter) + _area(diff) - 10.0) < 1e-9
+        assert abs(_area(intersection_wkt(tilted, nonconvex)) - _area(inter)) < 1e-9
+
+    def test_unsupported_pairs_return_null(self):
+        holed = "POLYGON ((0 0, 10 0, 5 9, 0 0), (4 1, 6 1, 5 2, 4 1))"
+        tri = "POLYGON ((1 0.5, 5 0.3, 3 5, 1 0.5))"
+        assert intersection_wkt(holed, tri) is None  # non-rectilinear hole
+        assert difference_wkt(holed, tri) is None
+        assert difference_wkt(tri, holed) is None
+        bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"  # self-intersecting
+        assert intersection_wkt(bowtie, tri) is None
         assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 0, 0 1)") is None
 
     def test_rectilinear_nonconvex_with_convex(self):
@@ -220,6 +231,39 @@ def _convex_poly(draw):
     if hull.kind != "Polygon":
         return None
     return G.to_wkt(hull)
+
+
+@st.composite
+def _star_poly(draw):
+    """Random star-shaped (always simple, usually non-convex) polygon:
+    vertices at increasing angles around a center with varying radii."""
+    import math as m
+
+    n = draw(st.integers(min_value=4, max_value=9))
+    cx = draw(st.integers(min_value=-3, max_value=3))
+    cy = draw(st.integers(min_value=-3, max_value=3))
+    radii = [draw(st.integers(min_value=1, max_value=7)) for _ in range(n)]
+    ring = [
+        (cx + r * m.cos(2 * m.pi * k / n), cy + r * m.sin(2 * m.pi * k / n))
+        for k, r in enumerate(radii)
+    ]
+    ring.append(ring[0])
+    return G.to_wkt(G.Geometry("Polygon", [ring]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_star_poly(), _star_poly())
+def test_simple_polygon_overlay_identities(wa, wb):
+    """Arbitrary simple (star-shaped, mostly non-convex) polygon pairs
+    resolve via triangulation: complement identity, symmetry, and
+    self-consistency all hold."""
+    inter, diff = intersection_wkt(wa, wb), difference_wkt(wa, wb)
+    assert inter is not None and diff is not None
+    tol = 1e-6 * max(1.0, _area(wa))
+    assert abs(_area(inter) + _area(diff) - _area(wa)) < tol
+    assert abs(_area(intersection_wkt(wb, wa)) - _area(inter)) < tol
+    assert difference_wkt(wa, wa) == "POLYGON EMPTY"
+    assert abs(_area(intersection_wkt(wa, wa)) - _area(wa)) < tol
 
 
 @settings(max_examples=200, deadline=None)
