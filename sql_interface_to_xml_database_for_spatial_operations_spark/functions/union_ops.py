@@ -27,13 +27,18 @@ dissolve over the WKT geometry model of ``geometry.py``:
   vertices + Sutherland-Hodgman edge intersections walked by angle
   around an intersection-interior anchor, see ``_convex_union_pair``;
   component-restricted so the result is a function of the part SET,
-  never of input order), which covers the common dissolve case. What
-  remains (overlapping NON-convex parts, 3+-member overlap
-  components) is appended undissolved: the result is the correct
-  point set, but ``st_area``/``st_perimeter`` double-count the
+  never of input order), which covers the common dissolve case. Any
+  other overlap component whose parts are SIMPLE HOLE-FREE (or
+  rectilinear-holed) polygons resolves EXACTLY through the overlay
+  decomposition (r7, ``overlay._rings_minus_part`` — later members
+  contribute member − earlier-members pieces in canonical WKT order):
+  area and point set exact, with internal seams between pieces (a
+  representation artifact affecting only boundary-length readings).
+  Only components containing a polygon with a NON-rectilinear hole or
+  a self-intersecting ring are appended undissolved: the result is the
+  correct point set, but ``st_area``/``st_perimeter`` double-count the
   overlap — a RuntimeWarning fires when this happens (ADVICE r6),
-  documented divergence from PostGIS (which re-nodes), chosen over
-  shipping a half-trusted general clipper. Cascade stage-1 partials
+  documented divergence from PostGIS (which re-nodes). Cascade stage-1 partials
   skip the convex merge entirely (``merge_convex=False``) so the
   final union makes the component decision globally — keeping the
   aggregate partition-layout-independent. Points/lines union by
@@ -505,7 +510,36 @@ def union_geoms(
                 merged_out.append(Geometry("Polygon", [u]))
                 drop.update(members)
             else:
-                unresolved_overlap = True
+                # Overlay-based disjoint decomposition (r7): any overlap
+                # component whose parts are simple hole-free (or
+                # rectilinear-holed) polygons resolves EXACTLY — the
+                # first member stays whole and each later member
+                # contributes member − (earlier members) via
+                # overlay._rings_minus_part, so piece interiors are
+                # pairwise disjoint and the union area is exact (seams
+                # between pieces remain, like any seamed MultiPolygon).
+                # Members are processed in canonical WKT order, making
+                # the piece set a function of the part SET alone —
+                # preserving the permutation/partition invariance the
+                # convex merge established (TestConvexMergeDeterminism).
+                from . import overlay as _ov
+
+                mem = sorted(members, key=lambda k: G.to_wkt(kept[k]))
+                try:
+                    new_parts = [kept[mem[0]]]
+                    for pos, k in enumerate(mem[1:], start=1):
+                        rings = _ov._convex_pieces_of(kept[k].coords)
+                        if rings is None:
+                            raise _ov._Unsupported("undecomposable part")
+                        for prev in mem[:pos]:
+                            rings = _ov._rings_minus_part(rings, kept[prev])
+                            if not rings:
+                                break
+                        new_parts.extend(Geometry("Polygon", [r]) for r in rings)
+                    merged_out.extend(new_parts)
+                    drop.update(members)
+                except _ov._Unsupported:
+                    unresolved_overlap = True
         if drop:
             kept = [p for i, p in enumerate(kept) if i not in drop] + merged_out
             # A merged union may now cover parts outside its component's

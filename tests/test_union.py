@@ -415,14 +415,33 @@ class TestConvexPairUnion:
         assert got.kind == "MultiPolygon"
         assert G.area(got) == 4.0  # 2 + 2, nothing double-counted
 
-    def test_nonconvex_overlap_warns(self):
-        import pytest as _pt
+    def test_nonconvex_overlap_resolves_exact_no_warning(self):
+        # L-shaped (non-convex, NON-rectilinear so the grid path skips
+        # it): since r7 the overlay decomposition resolves it exactly.
+        import warnings as w
 
-        # L-shaped (non-convex, NON-rectilinear so the grid path skips it)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            intersection_wkt,
+        )
+
         l_poly = "POLYGON ((0 0, 4 0, 4 1, 1.5 1.25, 1 4, 0 4, 0 0))"
         q = "POLYGON ((3 0.5, 6 0.5, 6 3, 3 3, 3 0.5))"
+        with w.catch_warnings():
+            w.simplefilter("error")
+            got = G.parse_wkt(_u(l_poly, q))
+        ia = G.area(G.parse_wkt(intersection_wkt(l_poly, q)))
+        expect = G.area(G.parse_wkt(l_poly)) + G.area(G.parse_wkt(q)) - ia
+        assert abs(G.area(got) - expect) < 1e-9
+
+    def test_undecomposable_overlap_warns(self):
+        import pytest as _pt
+
+        # A polygon with a NON-rectilinear hole is outside the overlay
+        # class: overlapping it still degrades to stacked parts, loudly.
+        holed = "POLYGON ((0 0, 10 0, 5 9, 0 0), (4 1, 6 1, 5 2, 4 1))"
+        q = "POLYGON ((4 0, 12 0, 12 4, 4 4, 4 0))"
         with _pt.warns(RuntimeWarning, match="double-count"):
-            G.parse_wkt(_u(l_poly, q))
+            G.parse_wkt(_u(holed, q))
 
     @settings(max_examples=200, deadline=None)
     @given(
