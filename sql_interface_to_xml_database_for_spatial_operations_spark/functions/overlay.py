@@ -36,16 +36,18 @@ outside it):
 - **LineString × convex/rectilinear polygon** — parametric (Cyrus–Beck
   style) clipping of each segment to the convex interior (intersection)
   or its complement spans (difference): exact.
-- **any SIMPLE hole-free polygon** — ear-clipping triangulation
-  (_triangulate, the standard published O(n²) algorithm) reduces it to
-  disjoint convex triangles, so every simple hole-free polygon pair —
-  convex or not — resolves through the convex kernels above: exact in
-  area and point set, output a seamed MultiPolygon of disjoint pieces.
-- anything else — polygons with NON-rectilinear holes, and
-  self-intersecting rings (ear clipping stalls and reports them) →
-  NULL (documented here, in COVERAGE.md §2.6, and in the registered
-  function docstrings — the ADVICE r6 "loud, not silently wrong"
-  contract).
+- **any SIMPLE polygon** — ear-clipping triangulation (_triangulate,
+  the standard published O(n²) algorithm) reduces a hole-free simple
+  ring to disjoint convex triangles, and a polygon WITH holes is its
+  outer ring's decomposition minus each hole (the same subtraction
+  machinery, applied recursively) — so every simple-ring polygon pair,
+  convex or not, holed or not, resolves through the convex kernels
+  above: exact in area and point set, output a seamed MultiPolygon of
+  disjoint pieces.
+- anything else — self-intersecting rings, which a non-adjacent-edge
+  crossing check detects explicitly → NULL (documented here, in
+  COVERAGE.md §2.6, and in the registered function docstrings — the
+  ADVICE r6 "loud, not silently wrong" contract).
 
 Empty results serialize as ``'POLYGON EMPTY'`` (PostGIS emits a typed
 EMPTY too); both UDFs accept ``'... EMPTY'`` WKT back as input. This
@@ -329,8 +331,11 @@ def _triangulate(ring_closed: list[Pt]) -> list[list[Pt]] | None:
 def _convex_pieces_of(poly_rings: list[list[Pt]]) -> list[list[Pt]] | None:
     """Decompose a polygon into closed CONVEX rings with disjoint
     interiors: the ring itself if convex, its cells if rectilinear
-    (holes allowed), else an ear-clipping triangulation (hole-free
-    simple polygons). None outside those classes."""
+    (holes allowed), an ear-clipping triangulation for hole-free simple
+    rings, and for holed polygons the outer ring's decomposition minus
+    each hole (a polygon with holes IS outer − holes, and the
+    subtraction machinery below is exact for simple rings). None only
+    when some ring is self-intersecting/degenerate."""
     conv = _convex_ring_of(poly_rings)
     if conv is not None:
         return [conv]
@@ -341,7 +346,17 @@ def _convex_pieces_of(poly_rings: list[list[Pt]]) -> list[list[Pt]] | None:
             for x0, y0, x1, y1 in cells
         ]
     if len(poly_rings) != 1:
-        return None  # holes without rectilinearity
+        work = _convex_pieces_of([poly_rings[0]])
+        if work is None:
+            return None
+        try:
+            for hole in poly_rings[1:]:
+                work = _rings_minus_part(work, Geometry("Polygon", [hole]))
+                if not work:
+                    break
+        except _Unsupported:
+            return None
+        return work
     return _triangulate(poly_rings[0])
 
 

@@ -491,6 +491,7 @@ def union_geoms(
             by_comp[c].append(i)
 
         merged_out: list[Geometry] = []
+        seamed_out: list[Geometry] = []  # decomposition pieces: disjoint
         drop: set[int] = set()
         unresolved_overlap = False
         for members in by_comp.values():
@@ -536,14 +537,20 @@ def union_geoms(
                             if not rings:
                                 break
                         new_parts.extend(Geometry("Polygon", [r]) for r in rings)
-                    merged_out.extend(new_parts)
+                    seamed_out.extend(new_parts)
                     drop.update(members)
                 except _ov._Unsupported:
                     unresolved_overlap = True
         if drop:
             kept = [p for i, p in enumerate(kept) if i not in drop] + merged_out
             # A merged union may now cover parts outside its component's
-            # interiors (touching-only parts): re-prune.
+            # interiors (touching-only parts): re-prune. Decomposition
+            # pieces (seamed_out) are EXCLUDED: they are disjoint from
+            # everything by construction, and a hole-filling piece's
+            # boundary can coincide with another part's hole boundary,
+            # which the boundary-tolerant `within` would misread as
+            # covered (observed: the piece of a rect that fills a holed
+            # triangle's hole).
             if len(kept) > 1:
                 kept = [
                     p
@@ -554,6 +561,7 @@ def union_geoms(
                         if j != i and (j < i or not G.within(q, p))
                     )
                 ]
+            kept += seamed_out
 
         # Loud signal for the remaining inexact case (ADVICE r6):
         # interiors that still overlap are kept as stacked parts — the

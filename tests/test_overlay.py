@@ -134,14 +134,24 @@ class TestKnownCases:
         assert abs(_area(inter) + _area(diff) - 10.0) < 1e-9
         assert abs(_area(intersection_wkt(tilted, nonconvex)) - _area(inter)) < 1e-9
 
-    def test_unsupported_pairs_return_null(self):
+    def test_holed_nonrectilinear_resolves_exact(self):
+        # triangle (area 45) with a triangular hole (area 1) = outer − hole
         holed = "POLYGON ((0 0, 10 0, 5 9, 0 0), (4 1, 6 1, 5 2, 4 1))"
+        assert abs(_area(intersection_wkt(holed, holed)) - 44.0) < 1e-9
+        assert difference_wkt(holed, holed) == "POLYGON EMPTY"
+        big = "POLYGON ((-1 -1, 11 -1, 11 10, -1 10, -1 -1))"
+        assert abs(_area(intersection_wkt(holed, big)) - 44.0) < 1e-9
+        # a probe fully inside the HOLE intersects nothing
+        inhole = "POLYGON ((4.6 1.2, 5.4 1.2, 5 1.6, 4.6 1.2))"
+        assert intersection_wkt(holed, inhole) == "POLYGON EMPTY"
+        assert abs(_area(difference_wkt(inhole, holed)) - _area(inhole)) < 1e-9
+
+    def test_unsupported_pairs_return_null(self):
         tri = "POLYGON ((1 0.5, 5 0.3, 3 5, 1 0.5))"
-        assert intersection_wkt(holed, tri) is None  # non-rectilinear hole
-        assert difference_wkt(holed, tri) is None
-        assert difference_wkt(tri, holed) is None
         bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"  # self-intersecting
         assert intersection_wkt(bowtie, tri) is None
+        assert difference_wkt(bowtie, tri) is None
+        assert difference_wkt(tri, bowtie) is None
         assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 0, 0 1)") is None
 
     def test_rectilinear_nonconvex_with_convex(self):

@@ -433,15 +433,34 @@ class TestConvexPairUnion:
         expect = G.area(G.parse_wkt(l_poly)) + G.area(G.parse_wkt(q)) - ia
         assert abs(G.area(got) - expect) < 1e-9
 
+    def test_holed_nonrectilinear_overlap_resolves_exact(self):
+        # Holed polygons decompose as outer − holes (overlay, r7), so
+        # this overlap resolves exactly too: union area by hand = holed
+        # area (45 − 1 = 44) + rect area (32) − their intersection.
+        import warnings as w
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            intersection_wkt,
+        )
+
+        holed = "POLYGON ((0 0, 10 0, 5 9, 0 0), (4 1, 6 1, 5 2, 4 1))"
+        q = "POLYGON ((4 0, 12 0, 12 4, 4 4, 4 0))"
+        with w.catch_warnings():
+            w.simplefilter("error")
+            got = G.parse_wkt(_u(holed, q))
+        ia = G.area(G.parse_wkt(intersection_wkt(holed, q)))
+        assert abs(G.area(got) - (44.0 + 32.0 - ia)) < 1e-9
+
     def test_undecomposable_overlap_warns(self):
         import pytest as _pt
 
-        # A polygon with a NON-rectilinear hole is outside the overlay
-        # class: overlapping it still degrades to stacked parts, loudly.
-        holed = "POLYGON ((0 0, 10 0, 5 9, 0 0), (4 1, 6 1, 5 2, 4 1))"
-        q = "POLYGON ((4 0, 12 0, 12 4, 4 4, 4 0))"
+        # A self-intersecting ring is outside the overlay class (the
+        # triangulation's simplicity check rejects it): overlapping it
+        # still degrades to stacked parts, loudly.
+        bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+        q = "POLYGON ((0.5 0.2, 3 0.2, 3 1.8, 0.5 1.8, 0.5 0.2))"
         with _pt.warns(RuntimeWarning, match="double-count"):
-            G.parse_wkt(_u(holed, q))
+            G.parse_wkt(_u(bowtie, q))
 
     @settings(max_examples=200, deadline=None)
     @given(
