@@ -76,6 +76,7 @@ from .union_ops import (
     _is_convex_ring,
     _rect_union_polys,
     _rectilinear_cells,
+    _seg_intersections,
     _signed_area_ring,
 )
 
@@ -234,7 +235,21 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
 
     if a.kind == "LineString" or b.kind == "LineString":
         if a.kind == "LineString" and b.kind == "LineString":
-            raise _Unsupported("line x line")
+            # line ∩ line = crossing/touch points (PostGIS returns the
+            # 0-D intersection); collinear overlapping spans would be
+            # 1-D and are not enumerated by _seg_intersections → those
+            # pairs stay unsupported rather than silently lossy.
+            pts: list[Pt] = []
+            for p1, q1 in zip(a.coords, a.coords[1:]):
+                for p2, q2 in zip(b.coords, b.coords[1:]):
+                    d1 = (q1[0] - p1[0], q1[1] - p1[1])
+                    d2 = (q2[0] - p2[0], q2[1] - p2[1])
+                    if d1[0] * d2[1] - d1[1] * d2[0] == 0.0 and G._segs_intersect(
+                        p1, q1, p2, q2
+                    ):
+                        raise _Unsupported("collinear overlapping lines")
+                    pts.extend(_seg_intersections(p1, q1, p2, q2))
+            return [Geometry("Point", p) for p in sorted(set(pts))]
         line, poly = (a, b) if a.kind == "LineString" else (b, a)
         if poly.kind != "Polygon":
             raise _Unsupported(f"line x {poly.kind}")

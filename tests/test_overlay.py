@@ -152,7 +152,16 @@ class TestKnownCases:
         assert intersection_wkt(bowtie, tri) is None
         assert difference_wkt(bowtie, tri) is None
         assert difference_wkt(tri, bowtie) is None
-        assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 0, 0 1)") is None
+        # collinear overlapping lines: 1-D intersection, unsupported
+        assert intersection_wkt("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)") is None
+
+    def test_line_line_crossing_points(self):
+        assert intersection_wkt("LINESTRING (0 0, 2 2)", "LINESTRING (2 0, 0 2)") == "POINT (1 1)"
+        got = intersection_wkt("LINESTRING (0 1, 10 1)", "LINESTRING (1 0, 1 2, 3 2, 3 0)")
+        assert got == "MULTIPOINT (1 1, 3 1)"
+        assert intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (5 5, 6 6)") == "POLYGON EMPTY"
+        # endpoint touch counts (closure semantics)
+        assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)") == "POINT (1 1)"
 
     def test_rectilinear_nonconvex_with_convex(self):
         lsh = "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"
