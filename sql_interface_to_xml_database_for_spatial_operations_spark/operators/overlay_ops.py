@@ -3,17 +3,22 @@
 The reference forwards both names to PostGIS (reference
 src/index.ts:44-63 — any PostGIS-accepted function rides the rebuilt
 PostgreSQL query); here they are native pandas UDFs and this row gates
-them with an exact closed-form oracle.
+them with an exact oracle over two fixture families:
 
-Fixture: the nation_boxes rectilinear polygons (integer-valued
-coordinates, multiples of 5), self-joined on STRICT bbox overlap —
-the intersection of two axis-aligned rectangles is the rectangle of
-coordinate-wise max/min bounds, so DuckDB reconstructs the expected
-intersection WKT **string** (exact vertex walk of the engine's
-dissolve serializer: (x0 y1, x0 y0, x1 y0, x1 y1, x0 y1) — pinned by
-tests/test_overlay.py) and both areas in closed form. diff_area checks
-the complement identity area(a−b) = area(a) − area(a∩b), which holds
-exactly because every quantity is integer-valued.
+- **box × box** (rectilinear path): the intersection of two
+  axis-aligned rectangles is the rectangle of coordinate-wise max/min
+  bounds, so DuckDB reconstructs the expected intersection WKT
+  **string** (exact vertex walk of the engine's dissolve serializer:
+  (x0 y1, x0 y0, x1 y0, x1 y1, x0 y1) — pinned by
+  tests/test_overlay.py) and both areas in closed form.
+- **arrowhead × box** (triangulation path): a NON-convex quad overlaps
+  its nation's box, exercising ear clipping + half-plane decomposition.
+  Its clipped shape is not string-buildable in SQL, so the oracle pins
+  the exact INVARIANTS instead (the q58-style bounded-oracle pattern):
+  inclusion-exclusion residual area(a∩b) + area(a−b) − area(a) = 0 in
+  micro-units (coordinates are integers, so genuine errors are ≥ whole
+  units; FP noise is ~1e-10), intersection symmetry in micro-units, and
+  a non-triviality flag proving the overlap isn't vacuous.
 
 Scale shape: the pair generator is a broadcast range join on bbox
 bounds (boxes are a dimension table; at 100 TB the same query over a
@@ -21,9 +26,6 @@ large polygon table uses the grid-cell candidate machinery of
 spatial_ops._grid_candidates — the overlay UDF itself is map-only
 either way). New module so spatial_ops.py's verified fingerprints
 stay untouched (same rationale as relations_ops.py).
-
-Separate module = separate staleness fingerprint; registration order
-(operators/__init__.load_all) places q139 after the sketch rows.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ _Q139_ORACLE = f"""
        AND a.minx < b.maxx AND b.minx < a.maxx
        AND a.miny < b.maxy AND b.miny < a.maxy
     )
-    SELECT key1, key2,
+    SELECT 'box' AS fam, key1, key2,
            'POLYGON ((' || {_fmt_sql("ix0")} || ' ' || {_fmt_sql("iy1")} || ', '
                         || {_fmt_sql("ix0")} || ' ' || {_fmt_sql("iy0")} || ', '
                         || {_fmt_sql("ix1")} || ' ' || {_fmt_sql("iy0")} || ', '
@@ -63,18 +65,28 @@ _Q139_ORACLE = f"""
                         || {_fmt_sql("ix0")} || ' ' || {_fmt_sql("iy1")} || '))'
              AS inter_wkt,
            (ix1 - ix0) * (iy1 - iy0) AS inter_area,
-           area_a - (ix1 - ix0) * (iy1 - iy0) AS diff_area
+           area_a - (ix1 - ix0) * (iy1 - iy0) AS diff_area,
+           CAST(0 AS BIGINT) AS residual_micro,
+           CAST(0 AS BIGINT) AS sym_micro,
+           TRUE AS nontrivial
     FROM pairs
+    UNION ALL
+    SELECT 'arrow' AS fam, n_nationkey AS key1, n_nationkey AS key2,
+           CAST(NULL AS VARCHAR) AS inter_wkt,
+           CAST(NULL AS DOUBLE) AS inter_area,
+           CAST(NULL AS DOUBLE) AS diff_area,
+           CAST(0 AS BIGINT) AS residual_micro,
+           CAST(0 AS BIGINT) AS sym_micro,
+           TRUE AS nontrivial
+    FROM boxes
 """
 
 
 @query("q139_st_intersection", oracle=_Q139_ORACLE)
 def q139_st_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12: ST_Intersection + ST_Difference over overlapping box pairs.
-    Strict-overlap pairs come from a broadcast theta join on bbox
-    bounds; the overlay UDFs then run map-only per pair. diff_area
-    exercises st_difference end-to-end (guillotine split + re-dissolve)
-    against the closed-form complement."""
+    """F12: ST_Intersection + ST_Difference. Box pairs check exact
+    values; arrowhead-vs-box rows check exact invariants through the
+    triangulation path (module docstring)."""
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir).withColumn(
         "geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
@@ -99,15 +111,69 @@ def q139_st_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # st_area parses WKT geometry and does not know typed EMPTY (that
     # extension stays local to overlay.py — see its module docstring),
-    # so the a ⊆ b case ('POLYGON EMPTY' difference) maps to 0 area
-    # explicitly, matching PostGIS ST_Area(empty) = 0.
-    return pairs.select(
+    # so EMPTY maps to 0 area explicitly: PostGIS ST_Area(empty) = 0.
+    area0 = "IF(endswith({g}, 'EMPTY'), 0.0D, st_area({g}))"
+    box_rows = pairs.select(
+        F.lit("box").alias("fam"),
         "key1",
         "key2",
         F.expr("st_intersection(geom_a, geom_b)").alias("inter_wkt"),
         F.expr("st_area(st_intersection(geom_a, geom_b))").alias("inter_area"),
+        F.expr(area0.format(g="st_difference(geom_a, geom_b)")).alias("diff_area"),
         F.expr(
-            "IF(endswith(st_difference(geom_a, geom_b), 'EMPTY'), "
-            "0.0D, st_area(st_difference(geom_a, geom_b)))"
-        ).alias("diff_area"),
+            "CAST(floor(("
+            + area0.format(g="st_intersection(geom_a, geom_b)")
+            + " + " + area0.format(g="st_difference(geom_a, geom_b)")
+            + " - st_area(geom_a)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("residual_micro"),
+        F.expr(
+            "CAST(floor(("
+            + area0.format(g="st_intersection(geom_a, geom_b)")
+            + " - " + area0.format(g="st_intersection(geom_b, geom_a)")
+            + ") * 1000000 + 0.5) AS BIGINT)"
+        ).alias("sym_micro"),
+        F.expr(area0.format(g="st_intersection(geom_a, geom_b)") + " > 0").alias(
+            "nontrivial"
+        ),
     )
+
+    # Non-convex arrowhead anchored at its box's (minx, miny): spans
+    # x0..x0+40, y0..y0+30 with a reflex dip at (x0+20, y0+5) — always
+    # properly overlapping its box (boxes are >= 30 x 20).
+    i = lambda c: F.col(c).cast("bigint").cast("string")  # noqa: E731
+    arrow_wkt = F.concat(
+        F.lit("POLYGON (("),
+        i("minx"), F.lit(" "), i("miny"), F.lit(", "),
+        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
+        (F.col("miny") + 5).cast("bigint").cast("string"), F.lit(", "),
+        (F.col("minx") + 40).cast("bigint").cast("string"), F.lit(" "),
+        i("miny"), F.lit(", "),
+        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
+        (F.col("miny") + 30).cast("bigint").cast("string"), F.lit(", "),
+        i("minx"), F.lit(" "), i("miny"), F.lit("))"),
+    )
+    arrows = boxes.withColumn("arrow", arrow_wkt)
+    arrow_rows = arrows.select(
+        F.lit("arrow").alias("fam"),
+        F.col("n_nationkey").alias("key1"),
+        F.col("n_nationkey").alias("key2"),
+        F.lit(None).cast("string").alias("inter_wkt"),
+        F.lit(None).cast("double").alias("inter_area"),
+        F.lit(None).cast("double").alias("diff_area"),
+        F.expr(
+            "CAST(floor(("
+            + area0.format(g="st_intersection(arrow, geom)")
+            + " + " + area0.format(g="st_difference(arrow, geom)")
+            + " - st_area(arrow)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("residual_micro"),
+        F.expr(
+            "CAST(floor(("
+            + area0.format(g="st_intersection(arrow, geom)")
+            + " - " + area0.format(g="st_intersection(geom, arrow)")
+            + ") * 1000000 + 0.5) AS BIGINT)"
+        ).alias("sym_micro"),
+        F.expr(area0.format(g="st_intersection(arrow, geom)") + " > 0").alias(
+            "nontrivial"
+        ),
+    )
+    return box_rows.unionByName(arrow_rows)
