@@ -14,6 +14,14 @@ outside it):
 - **point × anything** — membership tests (closure semantics: a point
   on a polygon boundary intersects it, matching PostGIS
   ``ST_Intersection``/``ST_Difference`` which operate on closures).
+  DOCUMENTED DIVERGENCE for dimensionally-collapsed results between
+  2-D inputs: polygon pairs sharing only a boundary return
+  ``POLYGON EMPTY`` where PostGIS returns the shared 1-D edge as a
+  LINESTRING — this engine's polygon kernels compute the
+  interior-overlap region (area consumers see the same 0 either way);
+  likewise a 1-D polygon∩line touch of zero length returns EMPTY.
+  Collinear line pairs sharing a SPAN return NULL (the 1-D overlap is
+  representable but not computed here) — loud, not lossy.
 - **rectilinear polygon × rectilinear polygon** (holes allowed, Multi*
   allowed) — cell decomposition (union_ops._rectilinear_cells); the
   pairwise rect∩rect / rect−rect pieces are closed-form, and the
@@ -63,6 +71,8 @@ operators/overlay_ops.py).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -90,24 +100,42 @@ class _Unsupported(Exception):
     """Raised when a pairwise overlay falls outside the exact class."""
 
 
+_EMPTY_RE = re.compile(
+    r"^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING"
+    r"|MULTIPOLYGON|GEOMETRYCOLLECTION)\s+EMPTY$"
+)
+
+
 def _parse(wkt) -> Geometry | None | str:
     """Parse WKT; returns the string ``"EMPTY"`` sentinel for typed
-    EMPTY inputs, None for null/unparseable."""
+    EMPTY inputs (``<KIND> EMPTY`` exactly — a bare EMPTY suffix on
+    garbage must stay NULL, not become an empty geometry), None for
+    null/unparseable."""
     if wkt is None:
         return None
     s = str(wkt).strip()
-    if s.upper().endswith("EMPTY"):
+    if _EMPTY_RE.match(s.upper()):
         return "EMPTY"
     return G.parse_wkt(s)
 
 
 def _rects_of(poly_rings: list[list[Pt]]) -> list[Rect] | None:
     """Cell rectangles of a rectilinear polygon (fast path: a plain
-    rectangle is its own single cell)."""
+    rectangle is its own single cell). A SELF-INTERSECTING axis-parallel
+    ring would pass the cell decomposition (even-odd reinterpretation)
+    and come back silently rewritten, so simplicity gates this path too
+    (code-review r7) — raising, not returning None, because None means
+    'not rectilinear, try the other decompositions' and those must not
+    see the ring either."""
     r = _as_rect(Geometry("Polygon", poly_rings))
     if r is not None:
         return [r]
-    return _rectilinear_cells(poly_rings)
+    cells = _rectilinear_cells(poly_rings)
+    if cells is None:
+        return None
+    if not all(_is_simple_ring(ring) for ring in poly_rings):
+        raise _Unsupported("self-intersecting rectilinear ring")
+    return cells
 
 
 def _rect_clip(a: Rect, b: Rect) -> Rect | None:
@@ -244,9 +272,30 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
                 for p2, q2 in zip(b.coords, b.coords[1:]):
                     d1 = (q1[0] - p1[0], q1[1] - p1[1])
                     d2 = (q2[0] - p2[0], q2[1] - p2[1])
+                    if d1 == (0.0, 0.0) or d2 == (0.0, 0.0):
+                        # zero-length segment (repeated vertex): the
+                        # cross product is 0 against ANYTHING, so route
+                        # it as a point-vs-segment test instead
+                        pt, s0, s1_ = (
+                            (p1, p2, q2) if d1 == (0.0, 0.0) else (p2, p1, q1)
+                        )
+                        if G._segs_intersect(pt, pt, s0, s1_):
+                            pts.append(pt)
+                        continue
                     if d1[0] * d2[1] - d1[1] * d2[0] == 0.0 and G._segs_intersect(
                         p1, q1, p2, q2
                     ):
+                        # collinear contact: a touch at exactly one
+                        # shared endpoint is a representable 0-D point;
+                        # a positive-length shared span is 1-D →
+                        # unsupported rather than silently lossy
+                        shared = {p1, q1} & {p2, q2}
+                        if len(shared) == 1 and not (
+                            G._segs_intersect(p1, q1, p2, p2)
+                            and G._segs_intersect(p1, q1, q2, q2)
+                        ):
+                            pts.append(shared.pop())
+                            continue
                         raise _Unsupported("collinear overlapping lines")
                     pts.extend(_seg_intersections(p1, q1, p2, q2))
             return [Geometry("Point", p) for p in sorted(set(pts))]
@@ -291,25 +340,34 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
     return pieces
 
 
+def _is_simple_ring(ring_closed: list[Pt]) -> bool:
+    """No two non-adjacent edges of the closed ring intersect (simple
+    rings satisfy this; a bowtie or self-touching ring does not).
+    O(n²) over one ring — per-row cost."""
+    pts = ring_closed[:-1]
+    n = len(pts)
+    edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue  # adjacent (shares a vertex)
+            if G._segs_intersect(*edges[i], *edges[j]):
+                return False
+    return True
+
+
 def _triangulate(ring_closed: list[Pt]) -> list[list[Pt]] | None:
     """Ear-clipping triangulation of a SIMPLE hole-free polygon ring →
     list of closed CCW triangle rings with disjoint interiors, or None
     if clipping stalls (self-intersecting / degenerate input). The
     standard published O(n²) algorithm: repeatedly cut a convex vertex
     whose triangle contains no other reflex vertex."""
-    pts = list(ring_closed[:-1])
     # Simplicity check FIRST: naive ear clipping can still find "ears"
     # on a self-intersecting ring (e.g. a bowtie) and return triangles
-    # covering the hull — silently wrong. Non-adjacent edge pairs of a
-    # simple ring share no point; O(n²) over the ring, n is per-row.
-    n0 = len(pts)
-    edges = [(pts[i], pts[(i + 1) % n0]) for i in range(n0)]
-    for i in range(n0):
-        for j in range(i + 1, n0):
-            if j == i + 1 or (i == 0 and j == n0 - 1):
-                continue  # adjacent (shares a vertex)
-            if G._segs_intersect(*edges[i], *edges[j]):
-                return None
+    # covering the hull — silently wrong.
+    if not _is_simple_ring(ring_closed):
+        return None
+    pts = list(ring_closed[:-1])
     if _signed_area_ring(pts + [pts[0]]) < 0:
         pts = pts[::-1]
 
@@ -421,6 +479,41 @@ def _convex_difference(ca: list[Pt], cb: list[Pt]) -> list[list[Pt]]:
     return pieces
 
 
+def _ring_bbox(ring: list[Pt]) -> Rect:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def _bboxes_overlap(a: Rect, b: Rect) -> bool:
+    return a[0] < b[2] and b[0] < a[2] and a[1] < b[3] and b[1] < a[3]
+
+
+def _rings_minus_sub(
+    rings: list[list[Pt]], sub_rings: list[list[Pt]]
+) -> list[list[Pt]]:
+    """Subtract a PRE-DECOMPOSED list of convex subtrahend rings from a
+    list of closed CONVEX rings. Callers subtracting the same part from
+    many pieces decompose it ONCE and pass the rings here (code-review
+    r7 — the per-piece re-decomposition was O(pieces · n²))."""
+    subs = [(s, _ring_bbox(s)) for s in sub_rings]
+
+    def diff_one(r: list[Pt], s: list[Pt], sb: Rect) -> list[list[Pt]]:
+        # bbox reject, then clip test: disjoint (or 1-D touch) keeps
+        # the ring whole rather than letting the half-plane
+        # decomposition split it along s's extended edge lines
+        if not _bboxes_overlap(_ring_bbox(r), sb) or _clip_to_poly(r, s) is None:
+            return [r]
+        return _convex_difference(r, s)
+
+    work = rings
+    for s, sb in subs:
+        work = [piece for r in work for piece in diff_one(r, s, sb)]
+        if not work:
+            break
+    return work
+
+
 def _rings_minus_part(rings: list[list[Pt]], pb: Geometry) -> list[list[Pt]]:
     """Subtract polygon part ``pb`` from a list of closed CONVEX rings,
     staying inside the exact class (pb convex, or rectilinear via its
@@ -428,20 +521,7 @@ def _rings_minus_part(rings: list[list[Pt]], pb: Geometry) -> list[list[Pt]]:
     sub_rings = _convex_pieces_of(pb.coords)
     if sub_rings is None:
         raise _Unsupported("subtrahend outside the decomposable class")
-    def diff_one(r: list[Pt], s: list[Pt]) -> list[list[Pt]]:
-        # disjoint (or 1-D touch): keep the ring whole rather than
-        # letting the half-plane decomposition split it along s's
-        # extended edge lines
-        if _clip_to_poly(r, s) is None:
-            return [r]
-        return _convex_difference(r, s)
-
-    work = rings
-    for s in sub_rings:
-        work = [piece for r in work for piece in diff_one(r, s)]
-        if not work:
-            break
-    return work
+    return _rings_minus_sub(rings, sub_rings)
 
 
 def _line_minus_convex(p: Pt, q: Pt, ring: list[Pt]) -> list[tuple[Pt, Pt]]:
@@ -472,22 +552,40 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
             or p.kind != "Point"
             or p.coords != pb.coords
         ]
+    # Decompose the subtrahend ONCE for the whole piece loop
+    # (code-review r7): pb_rects feeds the rect−rect fast path,
+    # pb_rings everything else.
+    pb_rects: list[Rect] | None = None
+    pb_rings: list[list[Pt]] | None = None
+    if pb.kind == "Polygon":
+        pb_rects = _rects_of(pb.coords)
+        pb_rings = (
+            [
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                for x0, y0, x1, y1 in pb_rects
+            ]
+            if pb_rects is not None
+            else _convex_pieces_of(pb.coords)
+        )
+        if pb_rings is None:
+            raise _Unsupported("undecomposable subtrahend")
+
     out: list = []
     for p in pieces:
         if isinstance(p, tuple):  # Rect piece
-            rb = _rects_of(pb.coords) if pb.kind == "Polygon" else None
             if pb.kind == "LineString":
                 out.append(p)  # 1-D subtrahend: area untouched
-            elif rb is not None:
+            elif pb_rects is not None:
                 work = [p]
-                for c in rb:
+                for c in pb_rects:
                     work = [piece for r in work for piece in _rect_sub(r, c)]
                 out.extend(work)
             elif pb.kind == "Polygon":
                 x0, y0, x1, y1 = p
                 cell = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
                 out.extend(
-                    Geometry("Polygon", [r]) for r in _rings_minus_part([cell], pb)
+                    Geometry("Polygon", [r])
+                    for r in _rings_minus_sub([cell], pb_rings)
                 )
             else:
                 raise _Unsupported(f"rect - {pb.kind}")
@@ -500,11 +598,8 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
                 continue
             if pb.kind != "Polygon":
                 raise _Unsupported(f"line - {pb.kind}")
-            sub_rings = _convex_pieces_of(pb.coords)
-            if sub_rings is None:
-                raise _Unsupported("line - undecomposable polygon")
             segs = list(zip(p.coords, p.coords[1:]))
-            for s in sub_rings:
+            for s in pb_rings:
                 segs = [piece for (u, v) in segs for piece in _line_minus_convex(u, v, s)]
                 if not segs:
                     break
@@ -519,7 +614,7 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
             if pb.kind != "Polygon":
                 raise _Unsupported(f"polygon - {pb.kind}")
             out.extend(
-                Geometry("Polygon", [r]) for r in _rings_minus_part([ca], pb)
+                Geometry("Polygon", [r]) for r in _rings_minus_sub([ca], pb_rings)
             )
         else:
             raise _Unsupported(f"{p.kind} difference")

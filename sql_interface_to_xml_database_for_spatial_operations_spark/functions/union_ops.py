@@ -34,8 +34,9 @@ dissolve over the WKT geometry model of ``geometry.py``:
   contribute member − earlier-members pieces in canonical WKT order):
   area and point set exact, with internal seams between pieces (a
   representation artifact affecting only boundary-length readings).
-  Only components containing a polygon with a NON-rectilinear hole or
-  a self-intersecting ring are appended undissolved: the result is the
+  Holed polygons participate too (their decomposition is outer −
+  holes, overlay._convex_pieces_of). Only components containing a
+  SELF-INTERSECTING ring are appended undissolved: the result is the
   correct point set, but ``st_area``/``st_perimeter`` double-count the
   overlap — a RuntimeWarning fires when this happens (ADVICE r6),
   documented divergence from PostGIS (which re-nodes). Cascade stage-1 partials
@@ -527,13 +528,23 @@ def union_geoms(
 
                 mem = sorted(members, key=lambda k: G.to_wkt(kept[k]))
                 try:
+                    decomp: dict[int, list] = {}
+
+                    def dec(k: int) -> list:
+                        # each member decomposes ONCE, not once per
+                        # later member (code-review r7)
+                        if k not in decomp:
+                            rings = _ov._convex_pieces_of(kept[k].coords)
+                            if rings is None:
+                                raise _ov._Unsupported("undecomposable part")
+                            decomp[k] = rings
+                        return decomp[k]
+
                     new_parts = [kept[mem[0]]]
                     for pos, k in enumerate(mem[1:], start=1):
-                        rings = _ov._convex_pieces_of(kept[k].coords)
-                        if rings is None:
-                            raise _ov._Unsupported("undecomposable part")
+                        rings = dec(k)
                         for prev in mem[:pos]:
-                            rings = _ov._rings_minus_part(rings, kept[prev])
+                            rings = _ov._rings_minus_sub(rings, dec(prev))
                             if not rings:
                                 break
                         new_parts.extend(Geometry("Polygon", [r]) for r in rings)

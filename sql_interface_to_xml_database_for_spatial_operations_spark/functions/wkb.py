@@ -95,9 +95,14 @@ class _Reader:
 
 
 _MAX_COUNT = 10_000_000  # sanity bound: rejects garbage counts early
+_MAX_DEPTH = 32  # nesting cap: a ~9 KB buffer of nested collection
+# headers would otherwise recurse past Python's limit and crash the
+# task instead of NULLing the row (code-review r7)
 
 
-def _read_geom(r: _Reader) -> Geometry:
+def _read_geom(r: _Reader, depth: int = 0) -> Geometry:
+    if depth > _MAX_DEPTH:
+        raise ValueError("nesting too deep")
     (order,) = r.take("B")
     if order == 0:
         e = ">"
@@ -123,14 +128,19 @@ def _read_geom(r: _Reader) -> Geometry:
         return Geometry("LineString", [tuple(r.take(e + "2d")) for _ in range(count())])
     if kind == "Polygon":
         n_rings = count()
-        return Geometry(
-            "Polygon",
-            [
-                [tuple(r.take(e + "2d")) for _ in range(count())]
-                for _ in range(n_rings)
-            ],
-        )
-    members = [_read_geom(r) for _ in range(count())]
+        rings = []
+        for _ in range(n_rings):
+            n_pts = count()
+            if n_pts == 0:
+                raise ValueError("zero-point ring")
+            rings.append([tuple(r.take(e + "2d")) for _ in range(n_pts)])
+        return Geometry("Polygon", rings)
+    members = [_read_geom(r, depth + 1) for _ in range(count())]
+    # nested typed-EMPTY members (legal but exotic WKB) have no WKT
+    # representation in this engine's model → loud NULL, never
+    # 'MULTIPOLYGON (())'
+    if any(m.kind != "Point" and not m.coords for m in members):
+        raise ValueError("nested empty member")
     if kind == "MultiPoint":
         if any(m.kind != "Point" for m in members):
             raise ValueError("MULTIPOINT member is not a point")
@@ -161,16 +171,45 @@ def wkb_to_geom(buf) -> Geometry | None:
         return None
 
 
+_EMPTY_KINDS = {
+    "POINT": 1,
+    "LINESTRING": 2,
+    "POLYGON": 3,
+    "MULTIPOINT": 4,
+    "MULTILINESTRING": 5,
+    "MULTIPOLYGON": 6,
+    "GEOMETRYCOLLECTION": 7,
+}
+
+
 def wkt_to_wkb(wkt) -> bytes | None:
     if wkt is None:
         return None
-    g = G.parse_wkt(str(wkt))
+    s = str(wkt).strip()
+    up = s.upper()
+    # Typed EMPTY (e.g. the overlay functions emit 'POLYGON EMPTY'):
+    # PostGIS encodes POINT EMPTY as (NaN, NaN) and every other kind
+    # as a zero-count body.
+    for kind, code in _EMPTY_KINDS.items():
+        if up == f"{kind} EMPTY":
+            if code == 1:
+                return struct.pack("<BI2d", 1, 1, float("nan"), float("nan"))
+            return struct.pack("<BII", 1, code, 0)
+    g = G.parse_wkt(s)
     return None if g is None else geom_to_wkb(g)
 
 
 def wkb_to_wkt(buf) -> str | None:
     g = wkb_to_geom(buf)
-    return None if g is None else G.to_wkt(g)
+    if g is None:
+        return None
+    # empty bodies round-trip as typed EMPTY, never 'LINESTRING ()'
+    # (which the engine's own parser would reject)
+    if g.kind == "Point" and g.coords[0] != g.coords[0]:  # NaN
+        return "POINT EMPTY"
+    if g.kind != "Point" and not g.coords:
+        return g.kind.upper() + " EMPTY"
+    return G.to_wkt(g)
 
 
 @pandas_udf(BinaryType())

@@ -53,14 +53,23 @@ _HDR2 = "copyright {s} all rights reserved terms privacy cookies sitemap feedbac
 
 
 def _raw_with_boilerplate(d: DataFrame) -> DataFrame:
-    hdr1 = F.concat_ws(" ", *[
-        F.col("source") if w == "{s}" else F.lit(w) for w in _HDR1.split(" ")
-    ])
-    hdr2 = F.concat_ws(" ", *[
-        F.col("source") if w == "{s}" else F.lit(w) for w in _HDR2.split(" ")
-    ])
+    # F.concat, NOT concat_ws: the oracle's `||` propagates NULL (a
+    # NULL text/source row vanishes from both sides identically),
+    # whereas concat_ws would silently skip the NULL and diverge —
+    # same idiom as text_extract._raw_with_pii (code-review r7).
+    def hdr(tmpl: str):
+        parts = []
+        for w in tmpl.split(" "):
+            if parts:
+                parts.append(F.lit(" "))
+            parts.append(F.col("source") if w == "{s}" else F.lit(w))
+        return F.concat(*parts)
+
     return d.select(
-        "doc_id", F.concat_ws(" ", hdr1, hdr2, F.col("text")).alias("raw")
+        "doc_id",
+        F.concat(hdr(_HDR1), F.lit(" "), hdr(_HDR2), F.lit(" "), F.col("text")).alias(
+            "raw"
+        ),
     )
 
 

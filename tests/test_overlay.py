@@ -177,6 +177,26 @@ class TestKnownCases:
         assert intersection_wkt("POLYGON EMPTY", BOX) == "POLYGON EMPTY"
         assert difference_wkt(BOX, "POLYGON EMPTY") == BOX
         assert difference_wkt("POLYGON EMPTY", BOX) == "POLYGON EMPTY"
+        # a bare EMPTY suffix on garbage is NOT an empty geometry
+        assert intersection_wkt("NOT_A_GEOMEMPTY", BOX) is None
+        assert intersection_wkt("FOO EMPTY", BOX) is None
+
+    def test_self_intersecting_rectilinear_ring_is_null(self):
+        # axis-parallel but self-crossing at (2,2): the cell path would
+        # silently reinterpret it even-odd — must be NULL instead
+        twisted = "POLYGON ((0 0, 3 0, 3 2, 1 2, 1 1, 2 1, 2 3, 0 3, 0 0))"
+        assert intersection_wkt(twisted, BOX) is None
+        assert difference_wkt(twisted, BOX) is None
+        assert difference_wkt(BOX, twisted) is None
+
+    def test_collinear_endpoint_touch_is_point(self):
+        got = intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (1 0, 2 0)")
+        assert got == "POINT (1 0)"
+        # positive-length collinear span stays NULL
+        assert intersection_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)") is None
+        # zero-length (repeated-vertex) segment vs crossing line
+        got2 = intersection_wkt("LINESTRING (1 1, 1 1)", "LINESTRING (0 0, 2 2)")
+        assert got2 == "POINT (1 1)"
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,38 @@ class TestMalformed:
         buf = struct.pack("<BII", 1, 2, 0xFFFFFFF0)
         assert wkb_to_wkt(buf) is None
 
+    def test_deep_nesting_nulls_not_crashes(self):
+        # ~1000 nested GEOMETRYCOLLECTION headers must NULL via the
+        # depth cap, not blow the recursion limit and kill the task
+        buf = struct.pack("<BII", 1, 7, 1) * 1000 + wkt_to_wkb("POINT (1 2)")
+        assert wkb_to_wkt(buf) is None
+
+    def test_empty_geometries_roundtrip(self):
+        for kind in (
+            "POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+            "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION",
+        ):
+            wkt = f"{kind} EMPTY"
+            buf = wkt_to_wkb(wkt)
+            assert buf is not None, wkt
+            assert wkb_to_wkt(buf) == wkt
+        # PostGIS encodes POINT EMPTY as NaN coords; zero-count bodies
+        # decode as typed EMPTY, never 'LINESTRING ()'
+        assert len(wkt_to_wkb("POINT EMPTY")) == 21
+        assert wkb_to_wkt(struct.pack("<BII", 1, 2, 0)) == "LINESTRING EMPTY"
+        # overlay composition: encoding an EMPTY intersection result works
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            intersection_wkt,
+        )
+        empty = intersection_wkt(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+        )
+        assert wkb_to_wkt(wkt_to_wkb(empty)) == "POLYGON EMPTY"
+
+    def test_zero_point_ring_rejected(self):
+        assert wkb_to_wkt(struct.pack("<BIII", 1, 3, 1, 0)) is None
+
     @settings(max_examples=200, deadline=None)
     @given(st.binary(min_size=0, max_size=60))
     def test_random_bytes_never_crash(self, buf):
