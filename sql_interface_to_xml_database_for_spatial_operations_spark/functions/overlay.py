@@ -72,6 +72,7 @@ operators/overlay_ops.py).
 from __future__ import annotations
 
 import re
+from fractions import Fraction
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -98,6 +99,96 @@ EMPTY_WKT = "POLYGON EMPTY"
 
 class _Unsupported(Exception):
     """Raised when a pairwise overlay falls outside the exact class."""
+
+
+# ---------------------------------------------------------------------------
+# exact rational arithmetic
+#
+# Every input coordinate is a float — an exact binary rational — so the
+# polygon kernels run on Fraction coordinates: orientation tests,
+# clipping parameters, ear tests and areas are then EXACT for every
+# input, not just integer/dyadic fixtures (the same stance as
+# relations.py's exact-arithmetic DE-9IM predicates). The star-polygon
+# fuzz demonstrated why: float kernels mis-triangulated and drifted
+# piece subtractions on nearly-degenerate irrational rings. Results
+# convert back to float only at assembly (round-to-nearest per vertex).
+# ---------------------------------------------------------------------------
+
+
+def _frac_pt(p: Pt):
+    return (Fraction(p[0]), Fraction(p[1]))
+
+
+def _frac_ring(ring: list[Pt]) -> list:
+    return [_frac_pt(p) for p in ring]
+
+
+def _frac_part(g: Geometry) -> Geometry:
+    """Exact-rational copy of a SIMPLE (flattened) part. Raises
+    _Unsupported on non-finite coordinates (NaN/inf have no rational
+    value)."""
+    try:
+        if g.kind == "Point":
+            return Geometry("Point", _frac_pt(g.coords))
+        if g.kind == "LineString":
+            return Geometry("LineString", _frac_ring(g.coords))
+        if g.kind == "Polygon":
+            return Geometry("Polygon", [_frac_ring(r) for r in g.coords])
+    except (ValueError, OverflowError) as ex:  # NaN / inf coordinate
+        raise _Unsupported("non-finite coordinate") from ex
+    raise _Unsupported(f"unflattened {g.kind}")
+
+
+def _float_pt(p) -> Pt:
+    return (float(p[0]), float(p[1]))
+
+
+def _float_geom(g: Geometry) -> Geometry:
+    if g.kind == "Point":
+        return Geometry("Point", _float_pt(g.coords))
+    if g.kind in ("LineString", "MultiPoint"):
+        return Geometry(g.kind, [_float_pt(p) for p in g.coords])
+    if g.kind in ("Polygon", "MultiLineString"):
+        return Geometry(g.kind, [[_float_pt(p) for p in r] for r in g.coords])
+    if g.kind == "MultiPolygon":
+        return Geometry(
+            g.kind, [[[_float_pt(p) for p in r] for r in poly] for poly in g.coords]
+        )
+    return Geometry("GeometryCollection", [_float_geom(s) for s in g.coords])
+
+
+def _drop_degenerate_float(g: Geometry | None) -> Geometry | None:
+    """Remove polygon parts whose FLOAT-converted ring collapses to
+    zero area. Exact-arithmetic piecework can emit artifact slivers of
+    area ~1e-33 (a degenerate micro-ring passes the local-convexity
+    test, so its own half-plane self-subtraction cannot eliminate it);
+    such a piece has no representable area in the float output domain
+    — its vertices round to collinear points — so it does not exist in
+    the result. Genuine pieces keep their float area and survive."""
+    if g is None:
+        return None
+
+    def ok_poly(rings) -> bool:
+        return G.area(Geometry("Polygon", rings)) > 0.0
+
+    if g.kind == "Polygon":
+        return g if ok_poly(g.coords) else None
+    if g.kind == "MultiPolygon":
+        kept = [rings for rings in g.coords if ok_poly(rings)]
+        if not kept:
+            return None
+        if len(kept) == 1:
+            return Geometry("Polygon", kept[0])
+        return Geometry("MultiPolygon", kept)
+    if g.kind == "GeometryCollection":
+        subs = [_drop_degenerate_float(s) for s in g.coords]
+        subs = [s for s in subs if s is not None]
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return Geometry("GeometryCollection", subs)
+    return g
 
 
 _EMPTY_RE = re.compile(
@@ -182,13 +273,8 @@ def _ring_area(ring_open: list[Pt]) -> float:
     return abs(_signed_area_ring(ring_open + [ring_open[0]]))
 
 
-def _sliver_eps(ring: list[Pt]) -> float:
-    """Relative area floor: pieces below it are FP residue, not
-    geometry. Bit-exact inputs (integer/dyadic coordinates — the exact
-    class) never produce genuine pieces this small; irrational
-    coordinates already carry ulp-level noise that materializes as
-    ~1e-16 slivers when a polygon is clipped along its own edges."""
-    return 1e-12 * max(1.0, _ring_area(ring[:-1] if ring[0] == ring[-1] else ring))
+# With Fraction coordinates a degenerate sliver has EXACTLY zero area,
+# so piece filters compare against literal 0 — no epsilon floors.
 
 
 def _clip_to_poly(subject: list[Pt], clip: list[Pt]) -> list[Pt] | None:
@@ -201,6 +287,9 @@ def _clip_to_poly(subject: list[Pt], clip: list[Pt]) -> list[Pt] | None:
     the endpoint signs straddle — union_ops' cross-product denominator
     can round to exactly 0 on a near-parallel straddling edge
     (observed under the star-polygon fuzz) and divide by zero."""
+    clip = _dedupe_closed(clip)
+    if len(clip) < 4:
+        return None  # degenerate clip ring
     if _signed_area_ring(clip) < 0:
         clip = clip[::-1]
     out = list(subject[:-1] if subject[0] == subject[-1] else subject)
@@ -208,9 +297,9 @@ def _clip_to_poly(subject: list[Pt], clip: list[Pt]) -> list[Pt] | None:
         if not out:
             break
         out = _clip_halfplane(out, clip[i], clip[i + 1], keep_left=True)
-    if len(out) < 3 or _ring_area(out) <= _sliver_eps(subject):
+    if len(out) < 3 or _ring_area(out) == 0:
         return None
-    return out + [out[0]]
+    return _dedupe_closed(out + [out[0]])
 
 
 def _point_in_closure(p: Pt, g: Geometry) -> bool:
@@ -223,7 +312,9 @@ def _clip_segment_convex(p: Pt, q: Pt, ring: list[Pt]) -> tuple[Pt, Pt] | None:
     ring edge constrains t ∈ [t0, t1]."""
     if _signed_area_ring(ring) < 0:
         ring = ring[::-1]
-    t0, t1 = 0.0, 1.0
+    # Fraction bounds: a float 0.0/1.0 would drag the clip parameters
+    # (and the hit coordinates) back to float via Fraction.__rmul__
+    t0, t1 = Fraction(0), Fraction(1)
     dx, dy = q[0] - p[0], q[1] - p[1]
     for (ax, ay), (bx, by) in zip(ring, ring[1:]):
         ex, ey = bx - ax, by - ay
@@ -341,18 +432,33 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
 
 
 def _is_simple_ring(ring_closed: list[Pt]) -> bool:
-    """No two non-adjacent edges of the closed ring intersect (simple
-    rings satisfy this; a bowtie or self-touching ring does not).
-    O(n²) over one ring — per-row cost."""
+    """Non-adjacent edges may touch ONLY at a shared endpoint (a
+    pinched ring — the rectilinear dissolve legitimately emits those
+    for regions touching at a corner); proper crossings, T-contacts
+    (an endpoint interior to another edge) and collinear span overlaps
+    make the ring non-simple. O(n²) over one ring — per-row cost."""
     pts = ring_closed[:-1]
     n = len(pts)
     edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+
+    def on_seg(p: Pt, e: tuple[Pt, Pt]) -> bool:
+        return G._segs_intersect(p, p, e[0], e[1])
+
     for i in range(n):
         for j in range(i + 1, n):
             if j == i + 1 or (i == 0 and j == n - 1):
                 continue  # adjacent (shares a vertex)
-            if G._segs_intersect(*edges[i], *edges[j]):
-                return False
+            e1, e2 = edges[i], edges[j]
+            if not G._segs_intersect(*e1, *e2):
+                continue
+            shared = {e1[0], e1[1]} & {e2[0], e2[1]}
+            if len(shared) != 1:
+                return False  # crossing, span overlap, or duplicate edge
+            v = next(iter(shared))
+            o1 = e1[1] if e1[0] == v else e1[0]
+            o2 = e2[1] if e2[0] == v else e2[0]
+            if on_seg(o1, e2) or on_seg(o2, e1):
+                return False  # contact extends beyond the shared vertex
     return True
 
 
@@ -398,6 +504,16 @@ def _triangulate(ring_closed: list[Pt]) -> list[list[Pt]] | None:
             return None  # no ear found: not a simple polygon
     if len(pts) == 3 and abs(cross(*pts)) > 0.0:
         tris.append(pts + [pts[0]])
+    # Consistency guard: FP orientation tests on NEARLY-degenerate
+    # irrational rings (found by the holed-star fuzz) can cut slightly
+    # overlapping ears; the triangle areas then stop summing to the
+    # ring's shoelace area. Loud NULL beats a silently-wrong
+    # decomposition — bit-exact inputs (integer/dyadic coords) are
+    # unaffected, their sums match exactly.
+    total = sum(_ring_area(t[:-1]) for t in tris)
+    ring_area = _ring_area(ring_closed[:-1])
+    if abs(total - ring_area) > 1e-9 * max(1.0, ring_area):
+        return None
     return tris
 
 
@@ -408,7 +524,13 @@ def _convex_pieces_of(poly_rings: list[list[Pt]]) -> list[list[Pt]] | None:
     rings, and for holed polygons the outer ring's decomposition minus
     each hole (a polygon with holes IS outer − holes, and the
     subtraction machinery below is exact for simple rings). None only
-    when some ring is self-intersecting/degenerate."""
+    when some ring is self-intersecting/degenerate. Coordinates are
+    normalized to Fractions here so every caller (including
+    union_ops) gets exact-rational pieces."""
+    try:
+        poly_rings = [_frac_ring(r) for r in poly_rings]
+    except (ValueError, OverflowError):
+        return None  # non-finite coordinate
     conv = _convex_ring_of(poly_rings)
     if conv is not None:
         return [conv]
@@ -429,8 +551,53 @@ def _convex_pieces_of(poly_rings: list[list[Pt]]) -> list[list[Pt]] | None:
                     break
         except _Unsupported:
             return None
+        # Consistency guard (same rationale as _triangulate's): for a
+        # VALID polygon (holes strictly inside the outer ring, pairwise
+        # disjoint) the pieces must sum to outer − Σholes; FP-degenerate
+        # subtractions (e.g. a scaled-copy hole whose edges run parallel
+        # to the outer ring's) can drift, and invalid hole layouts
+        # cannot satisfy it either way → loud NULL for both.
+        outer_area = _ring_area(poly_rings[0][:-1])
+        holes_area = sum(_ring_area(h[:-1]) for h in poly_rings[1:])
+        got = sum(_ring_area(r[:-1]) for r in work)
+        if abs(got - (outer_area - holes_area)) > 1e-9 * max(1.0, outer_area):
+            return None
         return work
     return _triangulate(poly_rings[0])
+
+
+def _dedupe_closed(ring: list[Pt]) -> list[Pt]:
+    """Normalize a CLOSED ring: drop consecutive duplicate vertices and
+    zero-width SPIKES (A→B→A backtracks), iterating to a fixed point.
+    Clip outputs produce both when vertices land exactly on clip lines.
+    Critical for correctness, not just hygiene: a zero-length edge fed
+    to the half-plane machinery has side(p) = 0 for every p (so as a
+    DIFFERENCE constraint it keeps the entire minuend), and a spike's
+    two anti-parallel edges impose contradictory half-plane
+    constraints — the holed-star fuzz caught self-differences
+    returning spurious pieces through both paths."""
+    pts = list(ring[:-1])
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        # consecutive duplicates (cyclic)
+        out = []
+        for p in pts:
+            if not out or p != out[-1]:
+                out.append(p)
+        if len(out) > 1 and out[0] == out[-1]:
+            out.pop()
+        if len(out) != len(pts):
+            pts, changed = out, True
+            continue
+        # spikes: prev == next (cyclic)
+        n = len(pts)
+        for i in range(n):
+            if pts[(i - 1) % n] == pts[(i + 1) % n]:
+                del pts[i]
+                changed = True
+                break
+    return pts + pts[:1]
 
 
 def _clip_halfplane(pts: list[Pt], a: Pt, b: Pt, keep_left: bool) -> list[Pt]:
@@ -463,7 +630,14 @@ def _convex_difference(ca: list[Pt], cb: list[Pt]) -> list[list[Pt]]:
     clipped to the RIGHT of b's edge i and to the LEFT of edges 0..i−1.
     Any point of a outside b is right of at least one edge and lands in
     the piece of the FIRST such edge (left of all earlier ones), points
-    inside b are right of no edge — so the pieces partition a − b."""
+    inside b are right of no edge — so the pieces partition a − b.
+
+    ``cb`` MUST be duplicate-free (see _dedupe_closed): a zero-length
+    edge's right-half-plane is everything, which would emit all of
+    ``ca`` as a piece."""
+    cb = _dedupe_closed(cb)
+    if len(cb) < 4:
+        return [ca]  # zero-area subtrahend removes nothing
     if _signed_area_ring(cb) < 0:
         cb = cb[::-1]
     pieces: list[list[Pt]] = []
@@ -474,8 +648,8 @@ def _convex_difference(ca: list[Pt], cb: list[Pt]) -> list[list[Pt]]:
             if not work:
                 break
             work = _clip_halfplane(work, cb[j], cb[j + 1], keep_left=True)
-        if len(work) >= 3 and _ring_area(work) > _sliver_eps(ca):
-            pieces.append(work + [work[0]])
+        if len(work) >= 3 and _ring_area(work) > 0:
+            pieces.append(_dedupe_closed(work + [work[0]]))
     return pieces
 
 
@@ -661,19 +835,22 @@ def intersection_geoms(a: Geometry, b: Geometry) -> Geometry | None:
     """a ∩ b over flattened simple parts (parts of a valid Multi* have
     disjoint interiors, so piecewise intersections are disjoint too).
     Returns None for EMPTY. Raises _Unsupported outside the class."""
+    a_parts = [_frac_part(p) for p in _flatten(a)]
+    b_parts = [_frac_part(p) for p in _flatten(b)]
     pieces: list = []
-    for pa in _flatten(a):
-        for pb in _flatten(b):
+    for pa in a_parts:
+        for pb in b_parts:
             pieces.extend(_pair_intersection(pa, pb))
-    return _assemble(pieces)
+    out = _assemble(pieces)
+    return None if out is None else _drop_degenerate_float(_float_geom(out))
 
 
 def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
     """a − b: each part of a successively loses every part of b.
     Returns None for EMPTY. Raises _Unsupported outside the class."""
-    b_parts = _flatten(b)
+    b_parts = [_frac_part(p) for p in _flatten(b)]
     out: list = []
-    for pa in _flatten(a):
+    for pa in [_frac_part(p) for p in _flatten(a)]:
         if pa.kind == "Polygon":
             r = _rects_of(pa.coords)
             if r is not None:
@@ -690,7 +867,8 @@ def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
             if not pieces:
                 break
         out.extend(pieces)
-    return _assemble(out)
+    res = _assemble(out)
+    return None if res is None else _drop_degenerate_float(_float_geom(res))
 
 
 # ---------------------------------------------------------------------------

@@ -138,9 +138,9 @@ def _rectilinear_cells(
     ys = sorted({p[1] for ring in rings for p in ring})
     out = []
     for i in range(len(xs) - 1):
-        cx = (xs[i] + xs[i + 1]) / 2.0
+        cx = (xs[i] + xs[i + 1]) / 2  # / 2 not / 2.0: Fractions stay exact
         for j in range(len(ys) - 1):
-            cy = (ys[j] + ys[j + 1]) / 2.0
+            cy = (ys[j] + ys[j + 1]) / 2
             if G._point_in_polygon(cx, cy, rings):
                 out.append((xs[i], ys[j], xs[i + 1], ys[j + 1]))
     return out
@@ -209,7 +209,7 @@ def _rect_union_polys(rects: list[tuple[float, float, float, float]]) -> list[li
         # Sample point for hole assignment: midpoint of the first RAW
         # edge — strictly between adjacent grid coordinates, so a
         # horizontal ray through it never meets a grid vertex.
-        sample = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        sample = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
         while ring[-1] != ring[0]:
             cur, prev = ring[-1], ring[-2]
             d_in = (cur[0] - prev[0], cur[1] - prev[1])
@@ -236,7 +236,7 @@ def _rect_union_polys(rects: list[tuple[float, float, float, float]]) -> list[li
         s = 0.0
         for (ax, ay), (bx, by) in zip(ring, ring[1:]):
             s += ax * by - bx * ay
-        return s / 2.0
+        return s / 2
 
     def in_ring(p: Pt, ring: list[Pt]) -> bool:
         """Even-odd horizontal ray cast. Callers guarantee p.y is never a
@@ -279,7 +279,7 @@ def _signed_area_ring(ring: list[Pt]) -> float:
     s = 0.0
     for (ax, ay), (bx, by) in zip(ring, ring[1:]):
         s += ax * by - bx * ay
-    return s / 2.0
+    return s / 2
 
 
 def _is_convex_ring(ring: list[Pt]) -> bool:
@@ -547,8 +547,15 @@ def union_geoms(
                             rings = _ov._rings_minus_sub(rings, dec(prev))
                             if not rings:
                                 break
-                        new_parts.extend(Geometry("Polygon", [r]) for r in rings)
-                    seamed_out.extend(new_parts)
+                        # overlay kernels run on Fraction coordinates
+                        # (exact); serialize back to float for WKT
+                        new_parts.extend(
+                            _ov._drop_degenerate_float(
+                                _ov._float_geom(Geometry("Polygon", [r]))
+                            )
+                            for r in rings
+                        )
+                    seamed_out.extend(p for p in new_parts if p is not None)
                     drop.update(members)
                 except _ov._Unsupported:
                     unresolved_overlap = True

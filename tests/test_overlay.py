@@ -290,19 +290,81 @@ def _star_poly(draw):
     return G.to_wkt(G.Geometry("Polygon", [ring]))
 
 
+@st.composite
+def _holed_star(draw):
+    """Star polygon with a scaled-down copy of itself as a hole (always
+    strictly inside for a star about its own center)."""
+    import math as m
+
+    n = draw(st.integers(min_value=4, max_value=8))
+    cx = float(draw(st.integers(min_value=-3, max_value=3)))
+    cy = float(draw(st.integers(min_value=-3, max_value=3)))
+    radii = [draw(st.integers(min_value=2, max_value=7)) for _ in range(n)]
+    outer = [
+        (cx + r * m.cos(2 * m.pi * k / n), cy + r * m.sin(2 * m.pi * k / n))
+        for k, r in enumerate(radii)
+    ]
+    hole = [(cx + (x - cx) * 0.4, cy + (y - cy) * 0.4) for x, y in outer]
+    outer.append(outer[0])
+    hole.append(hole[0])
+    return G.to_wkt(G.Geometry("Polygon", [outer, hole]))
+
+
+def _overlay_identities(wa: str, wb: str) -> None:
+    """Shared property body. The kernels run on exact rational
+    (Fraction) coordinates, so every simple polygon pair — including
+    irrational near-degenerate stars — must ANSWER, and the identities
+    must hold up to the float round-off of the OUTPUT vertices (the
+    only inexact step left)."""
+    inter, diff = intersection_wkt(wa, wb), difference_wkt(wa, wb)
+    assert inter is not None and diff is not None
+    tol = 1e-9 * max(1.0, _area(wa))
+    assert abs(_area(inter) + _area(diff) - _area(wa)) < tol
+    assert abs(_area(intersection_wkt(wb, wa)) - _area(inter)) < tol
+    assert abs(_area(intersection_wkt(wa, wa)) - _area(wa)) < tol
+    assert difference_wkt(wa, wa) == "POLYGON EMPTY"
+
+
+@settings(max_examples=100, deadline=None)
+@given(_holed_star(), _star_poly())
+def test_holed_polygon_overlay_identities(wa, wb):
+    """Holed polygons (outer − hole decomposition) against arbitrary
+    star polygons."""
+    _overlay_identities(wa, wb)
+    # the holed area is outer minus hole: scaled copy has 0.16x area
+    ga = G.parse_wkt(wa)
+    outer_only = G.Geometry("Polygon", [ga.coords[0]])
+    assert abs(_area(wa) - G.area(outer_only) * (1 - 0.16)) < 1e-6 * max(1.0, _area(wa))
+
+
 @settings(max_examples=150, deadline=None)
 @given(_star_poly(), _star_poly())
 def test_simple_polygon_overlay_identities(wa, wb):
     """Arbitrary simple (star-shaped, mostly non-convex) polygon pairs
-    resolve via triangulation: complement identity, symmetry, and
-    self-consistency all hold."""
-    inter, diff = intersection_wkt(wa, wb), difference_wkt(wa, wb)
-    assert inter is not None and diff is not None
-    tol = 1e-6 * max(1.0, _area(wa))
-    assert abs(_area(inter) + _area(diff) - _area(wa)) < tol
-    assert abs(_area(intersection_wkt(wb, wa)) - _area(inter)) < tol
-    assert difference_wkt(wa, wa) == "POLYGON EMPTY"
-    assert abs(_area(intersection_wkt(wa, wa)) - _area(wa)) < tol
+    resolve via triangulation."""
+    _overlay_identities(wa, wb)
+
+
+def test_star_overlay_answers_most_inputs():
+    """The NULL escape in the property above must be the exception, not
+    a blanket cop-out: over a deterministic grid of star pairs, the
+    overlay must answer (non-NULL) for the vast majority."""
+    import math as m
+
+    stars = []
+    for seed in range(40):
+        n = 4 + seed % 5
+        radii = [2 + (seed * 7 + k * 3) % 5 for k in range(n)]
+        ring = [
+            (r * m.cos(2 * m.pi * k / n) + seed % 3, r * m.sin(2 * m.pi * k / n))
+            for k, r in enumerate(radii)
+        ]
+        ring.append(ring[0])
+        stars.append(G.to_wkt(G.Geometry("Polygon", [ring])))
+    answered = sum(
+        intersection_wkt(stars[i], stars[i + 1]) is not None for i in range(39)
+    )
+    assert answered >= 35, answered
 
 
 @settings(max_examples=200, deadline=None)
