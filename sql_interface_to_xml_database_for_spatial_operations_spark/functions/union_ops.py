@@ -471,13 +471,35 @@ def union_geoms(
     # merged pair's union cannot grow the graph (an open set meeting the
     # union's interior must meet one member's interior).
     if merge_convex and len(kept) > 1:
+        from . import overlay as _ov_pred
         from . import relations as _rel
+
+        def _interiors_overlap(pi: Geometry, pj: Geometry) -> bool:
+            # Exact-rational witness first (r7): the overlay
+            # intersection has positive area iff the interiors truly
+            # overlap — the crossing/vertex-based predicate missed
+            # IDENTICAL polygons whose coincident boundaries admit no
+            # proper crossing (star fuzz: duplicates stacked silently,
+            # doubling the union's area). Fall back to the predicate
+            # only outside the overlay's decomposable class. Strict
+            # bbox overlap prescreens: the dissolve's disjoint parts
+            # almost never share bboxes, and the exact clip is the
+            # expensive path.
+            (ax0, ay0, ax1, ay1) = G.bbox(pi)
+            (bx0, by0, bx1, by1) = G.bbox(pj)
+            if not (ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1):
+                return False
+            try:
+                gi = _ov_pred.intersection_geoms(pi, pj)
+            except _ov_pred._Unsupported:
+                return _rel.interiors_intersect(pi, pj)
+            return gi is not None and G.area(gi) > 0.0
 
         n = len(kept)
         adj = [set() for _ in range(n)]
         for i in range(n):
             for j in range(i + 1, n):
-                if _rel.interiors_intersect(kept[i], kept[j]):
+                if _interiors_overlap(kept[i], kept[j]):
                     adj[i].add(j)
                     adj[j].add(i)
         comp = list(range(n))
@@ -507,7 +529,13 @@ def union_geoms(
                 and _is_convex_ring(kept[i].coords[0])
                 and _is_convex_ring(kept[j].coords[0])
             ):
-                u = _convex_union_pair(kept[i].coords[0], kept[j].coords[0])
+                try:
+                    u = _convex_union_pair(kept[i].coords[0], kept[j].coords[0])
+                except ZeroDivisionError:
+                    # FP-degenerate clip (near-parallel straddling edge
+                    # rounds its cross product to 0): fall through to
+                    # the exact-rational decomposition below
+                    u = None
             if u is not None:
                 merged_out.append(Geometry("Polygon", [u]))
                 drop.update(members)

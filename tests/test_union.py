@@ -480,6 +480,48 @@ class TestConvexPairUnion:
         assert abs(G.area(got) - expect) < 1e-9
 
 
+@st.composite
+def _star_ring(draw):
+    import math as m
+
+    n = draw(st.integers(min_value=4, max_value=7))
+    cx = draw(st.integers(min_value=-3, max_value=3))
+    cy = draw(st.integers(min_value=-3, max_value=3))
+    radii = [draw(st.integers(min_value=1, max_value=6)) for _ in range(n)]
+    ring = [
+        (cx + r * m.cos(2 * m.pi * k / n), cy + r * m.sin(2 * m.pi * k / n))
+        for k, r in enumerate(radii)
+    ]
+    return G.to_wkt(G.Geometry("Polygon", [ring + [ring[0]]]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(_star_ring(), _star_ring())
+def test_union_star_pair_inclusion_exclusion(wa_, wb_):
+    ga, gb = G.parse_wkt(wa_), G.parse_wkt(wb_)
+    """Non-convex (star) overlap pairs resolve through the overlay
+    decomposition: union area = a + b − a∩b exactly (the overlay
+    intersection is the independent exact witness), permutation
+    invariant, no warning."""
+    import warnings as w
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+        intersection_wkt,
+    )
+
+    wa, wb = G.to_wkt(ga), G.to_wkt(gb)
+    inter = intersection_wkt(wa, wb)
+    ia = 0.0 if inter.endswith("EMPTY") else G.area(G.parse_wkt(inter))
+    with w.catch_warnings():
+        w.simplefilter("error")
+        u1 = U.union_geoms([ga, gb])
+        u2 = U.union_geoms([gb, ga])
+    expect = G.area(ga) + G.area(gb) - ia
+    tol = 1e-9 * max(1.0, expect)
+    assert abs(G.area(u1) - expect) < tol
+    assert abs(G.area(u2) - expect) < tol
+
+
 class TestConvexMergeDeterminism:
     """r7 self-review fix: the convex merge must be a function of the
     part SET (component-restricted), never of input order or of how the
