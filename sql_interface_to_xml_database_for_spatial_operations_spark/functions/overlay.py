@@ -143,17 +143,25 @@ def _float_pt(p) -> Pt:
     return (float(p[0]), float(p[1]))
 
 
+def _float_ring(r: list) -> list[Pt]:
+    """Float-convert a closed ring and RE-NORMALIZE: exact-distinct
+    adjacent vertices can round to the same float, and an un-deduped
+    output ring would carry zero-length edges (the class _dedupe_closed
+    exists to kill) back into any consumer (code-review r7)."""
+    return _dedupe_closed([_float_pt(p) for p in r])
+
+
 def _float_geom(g: Geometry) -> Geometry:
     if g.kind == "Point":
         return Geometry("Point", _float_pt(g.coords))
     if g.kind in ("LineString", "MultiPoint"):
         return Geometry(g.kind, [_float_pt(p) for p in g.coords])
-    if g.kind in ("Polygon", "MultiLineString"):
+    if g.kind == "MultiLineString":
         return Geometry(g.kind, [[_float_pt(p) for p in r] for r in g.coords])
+    if g.kind == "Polygon":
+        return Geometry(g.kind, [_float_ring(r) for r in g.coords])
     if g.kind == "MultiPolygon":
-        return Geometry(
-            g.kind, [[[_float_pt(p) for p in r] for r in poly] for poly in g.coords]
-        )
+        return Geometry(g.kind, [[_float_ring(r) for r in poly] for poly in g.coords])
     return Geometry("GeometryCollection", [_float_geom(s) for s in g.coords])
 
 
@@ -169,7 +177,19 @@ def _drop_degenerate_float(g: Geometry | None) -> Geometry | None:
         return None
 
     def ok_poly(rings) -> bool:
-        return G.area(Geometry("Polygon", rings)) > 0.0
+        # Relative floor at OUTPUT precision: float vertices carry
+        # ~1e-16 relative noise, so a piece whose area is below
+        # 1e-12 × its own bbox extent² is rounding residue, not
+        # geometry (an exact-arithmetic artifact sliver can round to a
+        # positive sub-ulp float area instead of exactly 0 —
+        # code-review r7 found a 3e-16 spike surviving the == 0 test).
+        outer = rings[0]
+        if len(outer) < 4:
+            return False
+        xs = [p[0] for p in outer]
+        ys = [p[1] for p in outer]
+        extent = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+        return G.area(Geometry("Polygon", rings)) > 1e-12 * extent * extent
 
     if g.kind == "Polygon":
         return g if ok_poly(g.coords) else None
@@ -258,13 +278,20 @@ def _rect_sub(r: Rect, c: Rect) -> list[Rect]:
 
 
 def _convex_ring_of(poly_rings: list[list[Pt]]) -> list[Pt] | None:
-    """The (closed) outer ring iff the polygon is hole-free and convex."""
+    """The (closed) outer ring iff the polygon is hole-free, convex AND
+    simple. The simplicity check is not redundant: a multiply-wound
+    ring (e.g. a pentagram, vertices at angles 4πk/5) turns the same
+    way at every vertex, so the turn-sign test alone would accept a
+    self-intersecting ring and the overlay would return it as a
+    'convex' piece (code-review r7)."""
     if len(poly_rings) != 1:
         return None
     ring = poly_rings[0]
     if len(ring) < 4 or ring[0] != ring[-1]:
         return None
     if not _is_convex_ring(ring):
+        return None
+    if not _is_simple_ring(ring):
         return None
     return ring
 

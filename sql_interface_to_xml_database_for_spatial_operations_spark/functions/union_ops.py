@@ -471,12 +471,22 @@ def union_geoms(
     # merged pair's union cannot grow the graph (an open set meeting the
     # union's interior must meet one member's interior).
     if merge_convex and len(kept) > 1:
-        from . import overlay as _ov_pred
+        from . import overlay as _ov
         from . import relations as _rel
 
-        def _interiors_overlap(pi: Geometry, pj: Geometry) -> bool:
-            # Exact-rational witness first (r7): the overlay
-            # intersection has positive area iff the interiors truly
+        # Each part decomposes into exact-rational convex pieces at
+        # most ONCE (code-review r7): the adjacency test and the
+        # seamed-resolution path below share this cache.
+        decomp: dict[int, list | None] = {}
+
+        def dec(k: int) -> list | None:
+            if k not in decomp:
+                decomp[k] = _ov._convex_pieces_of(kept[k].coords)
+            return decomp[k]
+
+        def _interiors_overlap(i: int, j: int) -> bool:
+            # Exact-rational witness first (r7): some pair of convex
+            # pieces clips to positive area iff the interiors truly
             # overlap — the crossing/vertex-based predicate missed
             # IDENTICAL polygons whose coincident boundaries admit no
             # proper crossing (star fuzz: duplicates stacked silently,
@@ -485,21 +495,22 @@ def union_geoms(
             # bbox overlap prescreens: the dissolve's disjoint parts
             # almost never share bboxes, and the exact clip is the
             # expensive path.
-            (ax0, ay0, ax1, ay1) = G.bbox(pi)
-            (bx0, by0, bx1, by1) = G.bbox(pj)
+            (ax0, ay0, ax1, ay1) = G.bbox(kept[i])
+            (bx0, by0, bx1, by1) = G.bbox(kept[j])
             if not (ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1):
                 return False
-            try:
-                gi = _ov_pred.intersection_geoms(pi, pj)
-            except _ov_pred._Unsupported:
-                return _rel.interiors_intersect(pi, pj)
-            return gi is not None and G.area(gi) > 0.0
+            pi, pj = dec(i), dec(j)
+            if pi is None or pj is None:
+                return _rel.interiors_intersect(kept[i], kept[j])
+            return any(
+                _ov._clip_to_poly(ra, rb) is not None for ra in pi for rb in pj
+            )
 
         n = len(kept)
         adj = [set() for _ in range(n)]
         for i in range(n):
             for j in range(i + 1, n):
-                if _interiors_overlap(kept[i], kept[j]):
+                if _interiors_overlap(i, j):
                     adj[i].add(j)
                     adj[j].add(i)
         comp = list(range(n))
@@ -528,6 +539,10 @@ def union_geoms(
                 and len(kept[j].coords) == 1
                 and _is_convex_ring(kept[i].coords[0])
                 and _is_convex_ring(kept[j].coords[0])
+                # multiply-wound rings (pentagram) pass the turn-sign
+                # test; the boundary walk would emit garbage for them
+                and _ov._is_simple_ring(kept[i].coords[0])
+                and _ov._is_simple_ring(kept[j].coords[0])
             ):
                 try:
                     u = _convex_union_pair(kept[i].coords[0], kept[j].coords[0])
@@ -552,27 +567,19 @@ def union_geoms(
                 # the piece set a function of the part SET alone —
                 # preserving the permutation/partition invariance the
                 # convex merge established (TestConvexMergeDeterminism).
-                from . import overlay as _ov
-
                 mem = sorted(members, key=lambda k: G.to_wkt(kept[k]))
                 try:
-                    decomp: dict[int, list] = {}
-
-                    def dec(k: int) -> list:
-                        # each member decomposes ONCE, not once per
-                        # later member (code-review r7)
-                        if k not in decomp:
-                            rings = _ov._convex_pieces_of(kept[k].coords)
-                            if rings is None:
-                                raise _ov._Unsupported("undecomposable part")
-                            decomp[k] = rings
-                        return decomp[k]
+                    def dec_or_raise(k: int) -> list:
+                        rings = dec(k)
+                        if rings is None:
+                            raise _ov._Unsupported("undecomposable part")
+                        return rings
 
                     new_parts = [kept[mem[0]]]
                     for pos, k in enumerate(mem[1:], start=1):
-                        rings = dec(k)
+                        rings = dec_or_raise(k)
                         for prev in mem[:pos]:
-                            rings = _ov._rings_minus_sub(rings, dec(prev))
+                            rings = _ov._rings_minus_sub(rings, dec_or_raise(prev))
                             if not rings:
                                 break
                         # overlay kernels run on Fraction coordinates

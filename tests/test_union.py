@@ -498,11 +498,11 @@ def _star_ring(draw):
 @settings(max_examples=100, deadline=None)
 @given(_star_ring(), _star_ring())
 def test_union_star_pair_inclusion_exclusion(wa_, wb_):
-    ga, gb = G.parse_wkt(wa_), G.parse_wkt(wb_)
     """Non-convex (star) overlap pairs resolve through the overlay
     decomposition: union area = a + b − a∩b exactly (the overlay
     intersection is the independent exact witness), permutation
     invariant, no warning."""
+    ga, gb = G.parse_wkt(wa_), G.parse_wkt(wb_)
     import warnings as w
 
     from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
