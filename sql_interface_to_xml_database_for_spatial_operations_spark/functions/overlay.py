@@ -20,8 +20,12 @@ outside it):
   LINESTRING — this engine's polygon kernels compute the
   interior-overlap region (area consumers see the same 0 either way);
   likewise a 1-D polygon∩line touch of zero length returns EMPTY.
-  Collinear line pairs sharing a SPAN return NULL (the 1-D overlap is
-  representable but not computed here) — loud, not lossy.
+- **line × line** — exact: crossing/touch points plus the collinear
+  shared spans (1-D interval intersection per collinear segment pair,
+  dissolved into maximal spans at assembly; points covered by a span
+  are dropped, so mixed results match PostGIS's collection shape).
+  Difference subtracts the shared spans with closure semantics and
+  drops zero-length leftovers (identical lines → EMPTY, as PostGIS).
 - **rectilinear polygon × rectilinear polygon** (holes allowed, Multi*
   allowed) — cell decomposition (union_ops._rectilinear_cells); the
   pairwise rect∩rect / rect−rect pieces are closed-form, and the
@@ -381,11 +385,15 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
 
     if a.kind == "LineString" or b.kind == "LineString":
         if a.kind == "LineString" and b.kind == "LineString":
-            # line ∩ line = crossing/touch points (PostGIS returns the
-            # 0-D intersection); collinear overlapping spans would be
-            # 1-D and are not enumerated by _seg_intersections → those
-            # pairs stay unsupported rather than silently lossy.
+            # line ∩ line = crossing/touch points PLUS the collinear
+            # overlap spans (PostGIS returns the mixed-dimension
+            # result; _assemble dissolves the spans and drops points
+            # that lie on them). The collinear case is an exact 1-D
+            # interval intersection — the r7 shared-endpoint test was
+            # argument-order asymmetric and misread A-contained-in-B
+            # spans as their shared endpoint (ADVICE r7 #1).
             pts: list[Pt] = []
+            spans: list[Geometry] = []
             for p1, q1 in zip(a.coords, a.coords[1:]):
                 for p2, q2 in zip(b.coords, b.coords[1:]):
                     d1 = (q1[0] - p1[0], q1[1] - p1[1])
@@ -403,20 +411,30 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
                     if d1[0] * d2[1] - d1[1] * d2[0] == 0.0 and G._segs_intersect(
                         p1, q1, p2, q2
                     ):
-                        # collinear contact: a touch at exactly one
-                        # shared endpoint is a representable 0-D point;
-                        # a positive-length shared span is 1-D →
-                        # unsupported rather than silently lossy
-                        shared = {p1, q1} & {p2, q2}
-                        if len(shared) == 1 and not (
-                            G._segs_intersect(p1, q1, p2, p2)
-                            and G._segs_intersect(p1, q1, q2, q2)
-                        ):
-                            pts.append(shared.pop())
-                            continue
-                        raise _Unsupported("collinear overlapping lines")
+                        # collinear contact: project both segments on
+                        # d1's dominant axis (nonzero for both — the
+                        # segments are parallel and nondegenerate) and
+                        # intersect the 1-D intervals exactly. A
+                        # degenerate interval is the 0-D touch point;
+                        # a positive one is the 1-D shared span.
+                        ax = 0 if abs(d1[0]) >= abs(d1[1]) else 1
+                        lo1, hi1 = sorted((p1[ax], q1[ax]))
+                        lo2, hi2 = sorted((p2[ax], q2[ax]))
+                        lo, hi = max(lo1, lo2), min(hi1, hi2)
+
+                        def _at(t, _p1=p1, _d1=d1, _ax=ax):
+                            s = (t - _p1[_ax]) / _d1[_ax]
+                            return (_p1[0] + s * _d1[0], _p1[1] + s * _d1[1])
+
+                        if lo == hi:
+                            pts.append(_at(lo))
+                        else:
+                            spans.append(
+                                Geometry("LineString", [_at(lo), _at(hi)])
+                            )
+                        continue
                     pts.extend(_seg_intersections(p1, q1, p2, q2))
-            return [Geometry("Point", p) for p in sorted(set(pts))]
+            return [Geometry("Point", p) for p in sorted(set(pts))] + spans
         line, poly = (a, b) if a.kind == "LineString" else (b, a)
         if poly.kind != "Polygon":
             raise _Unsupported(f"line x {poly.kind}")
@@ -740,6 +758,65 @@ def _line_minus_convex(p: Pt, q: Pt, ring: list[Pt]) -> list[tuple[Pt, Pt]]:
     return out
 
 
+def _line_minus_line(p: Geometry, pb: Geometry) -> list[Geometry]:
+    """LineString ``p`` minus LineString ``pb``, exact: per minuend
+    segment, the collinear overlap intervals with ``pb``'s segments
+    are subtracted on the segment's dominant axis (1-D interval
+    subtraction with closure semantics — the leftover intervals are
+    closed, matching PostGIS: LINESTRING(0 0,2 0) − LINESTRING(0 0,1 0)
+    = LINESTRING(1 0,2 0)). Crossing/touch points cut nothing (the
+    difference of closures keeps them); zero-length leftovers drop
+    (PostGIS returns EMPTY for a fully-covered line, not the leftover
+    boundary points)."""
+    out: list[Geometry] = []
+    for u, v in zip(p.coords, p.coords[1:]):
+        d = (v[0] - u[0], v[1] - u[1])
+        if d == (0.0, 0.0):
+            continue  # repeated vertex: no point set of its own
+        ax = 0 if abs(d[0]) >= abs(d[1]) else 1
+        lo_a, hi_a = sorted((u[ax], v[ax]))
+        cuts: list[tuple] = []
+        for p2, q2 in zip(pb.coords, pb.coords[1:]):
+            d2 = (q2[0] - p2[0], q2[1] - p2[1])
+            if d2 == (0.0, 0.0):
+                continue
+            if d[0] * d2[1] - d[1] * d2[0] != 0.0:
+                continue  # not parallel: at most a 0-D crossing
+            if not G._segs_intersect(u, v, p2, q2):
+                continue  # parallel but disjoint (or a different line)
+            lo2, hi2 = sorted((p2[ax], q2[ax]))
+            lo, hi = max(lo_a, lo2), min(hi_a, hi2)
+            if lo < hi:
+                cuts.append((lo, hi))
+        if not cuts:
+            out.append(Geometry("LineString", [u, v]))
+            continue
+        cuts.sort()
+        merged = [list(cuts[0])]
+        for lo, hi in cuts[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+
+        def _at(t, _u=u, _d=d, _ax=ax):
+            s = (t - _u[_ax]) / _d[_ax]
+            return (_u[0] + s * _d[0], _u[1] + s * _d[1])
+
+        left: list[Geometry] = []
+        pos = lo_a
+        for lo, hi in merged + [[hi_a, hi_a]]:
+            if lo > pos:
+                left.append(Geometry("LineString", [_at(pos), _at(lo)]))
+            pos = max(pos, hi)
+        if u[ax] > v[ax]:  # keep the minuend's direction
+            left = [
+                Geometry("LineString", g.coords[::-1]) for g in left[::-1]
+            ]
+        out.extend(left)
+    return out
+
+
 def _pair_difference(pieces: list, pb: Geometry) -> list:
     """Subtract simple part ``pb`` from each piece in ``pieces``
     (points / segments-as-LineStrings / rects / convex polygons), or
@@ -795,7 +872,12 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
                 out.append(p)
         elif p.kind == "LineString":
             if pb.kind == "LineString":
-                out.append(p)  # line − line: 1-D ∩ is measure-zero
+                # line − line: crossing/touch points are measure-zero
+                # (the closure of the difference keeps them), but
+                # collinear SHARED SPANS must be cut out — the r7 code
+                # kept the minuend whole, so identical lines returned
+                # the input where PostGIS returns EMPTY (ADVICE r7 #2).
+                out.extend(_line_minus_line(p, pb))
                 continue
             if pb.kind != "Polygon":
                 raise _Unsupported(f"line - {pb.kind}")
@@ -827,6 +909,48 @@ def _pair_difference(pieces: list, pb: Geometry) -> list:
 # ---------------------------------------------------------------------------
 
 
+def _dissolve_collinear_spans(lines: list[Geometry]) -> list[Geometry]:
+    """Union 2-point collinear spans that overlap or touch into
+    maximal spans (exact: spans group by their carrier line's
+    normalized ``(A, B, C)`` normal form, then 1-D interval union on
+    the line's dominant axis). Line×line intersection can emit the
+    same shared span once per contributing segment pair — without the
+    dissolve those would surface as stacked MultiLineString members.
+    Multi-vertex pieces (untouched difference minuends) pass through
+    unchanged: their vertex structure is caller-visible."""
+    spans = [g for g in lines if len(g.coords) == 2]
+    out = [g for g in lines if len(g.coords) != 2]
+    if len(spans) <= 1:
+        return out + spans
+    groups: dict[tuple, tuple[int, list]] = {}
+    for g in spans:
+        (ux, uy), (vx, vy) = g.coords
+        dx, dy = vx - ux, vy - uy
+        if dx == 0 and dy == 0:
+            continue  # degenerate span: no point set beyond its ends
+        A, B, C = dy, -dx, dy * ux - dx * uy
+        key = (
+            (Fraction(1), Fraction(B) / A, Fraction(C) / A)
+            if A != 0
+            else (Fraction(0), Fraction(1), Fraction(C) / B)
+        )
+        axp = 1 if key[1] == 0 else 0  # B == 0 → vertical → param on y
+        u, v = sorted(g.coords, key=lambda p: p[axp])
+        groups.setdefault(key, (axp, []))[1].append((u, v))
+    for axp, segs in groups.values():
+        segs.sort(key=lambda s: (s[0][axp], s[1][axp]))
+        cur_u, cur_v = segs[0]
+        for u, v in segs[1:]:
+            if u[axp] <= cur_v[axp]:
+                if v[axp] > cur_v[axp]:
+                    cur_v = v
+            else:
+                out.append(Geometry("LineString", [cur_u, cur_v]))
+                cur_u, cur_v = u, v
+        out.append(Geometry("LineString", [cur_u, cur_v]))
+    return out
+
+
 def _assemble(pieces: list) -> Geometry | None:
     """Combine disjoint pieces (Geometry parts and cell Rects) into one
     geometry; None means EMPTY."""
@@ -837,7 +961,23 @@ def _assemble(pieces: list) -> Geometry | None:
             geoms.append(Geometry("Polygon", poly_rings))
 
     pts = [g for g in geoms if g.kind == "Point"]
-    lines = [g for g in geoms if g.kind == "LineString"]
+    lines = _dissolve_collinear_spans(
+        [g for g in geoms if g.kind == "LineString"]
+    )
+    if pts and lines:
+        # a point lying on a line piece is subsumed by it — PostGIS
+        # never emits a collection member covered by a higher-dim
+        # member (crossing points of a line pair that also shares a
+        # collinear span land here)
+        pts = [
+            g
+            for g in pts
+            if not any(
+                G._segs_intersect(g.coords, g.coords, c0, c1)
+                for ln in lines
+                for c0, c1 in zip(ln.coords, ln.coords[1:])
+            )
+        ]
     polys = [g for g in geoms if g.kind == "Polygon"]
     if not (pts or lines or polys):
         return None
@@ -872,9 +1012,10 @@ def intersection_geoms(a: Geometry, b: Geometry) -> Geometry | None:
     return None if out is None else _drop_degenerate_float(_float_geom(out))
 
 
-def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
-    """a − b: each part of a successively loses every part of b.
-    Returns None for EMPTY. Raises _Unsupported outside the class."""
+def _difference_pieces(a: Geometry, b: Geometry) -> list:
+    """Pieces of a − b (each part of a successively loses every part of
+    b) — unassembled, so ST_SymDifference can pool both directions'
+    pieces into ONE assembly. Raises _Unsupported outside the class."""
     b_parts = [_frac_part(p) for p in _flatten(b)]
     out: list = []
     for pa in [_frac_part(p) for p in _flatten(a)]:
@@ -894,7 +1035,23 @@ def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
             if not pieces:
                 break
         out.extend(pieces)
-    res = _assemble(out)
+    return out
+
+
+def difference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
+    """a − b. Returns None for EMPTY. Raises _Unsupported outside the
+    class."""
+    res = _assemble(_difference_pieces(a, b))
+    return None if res is None else _drop_degenerate_float(_float_geom(res))
+
+
+def symdifference_geoms(a: Geometry, b: Geometry) -> Geometry | None:
+    """(a − b) ∪ (b − a): the two directions' piece sets have disjoint
+    interiors by construction (each is carved out of the other input's
+    complement), so one pooled assembly — the same dissolve the union
+    sink applies — is the exact symmetric difference. Returns None for
+    EMPTY. Raises _Unsupported outside the class."""
+    res = _assemble(_difference_pieces(a, b) + _difference_pieces(b, a))
     return None if res is None else _drop_degenerate_float(_float_geom(res))
 
 
@@ -931,6 +1088,23 @@ def difference_wkt(wa, wb) -> str | None:
     return EMPTY_WKT if out is None else G.to_wkt(out)
 
 
+def symdifference_wkt(wa, wb) -> str | None:
+    ga, gb = _parse(wa), _parse(wb)
+    if ga is None or gb is None:
+        return None
+    if ga == "EMPTY" and gb == "EMPTY":
+        return EMPTY_WKT
+    if ga == "EMPTY":
+        return G.to_wkt(gb)
+    if gb == "EMPTY":
+        return G.to_wkt(ga)
+    try:
+        out = symdifference_geoms(ga, gb)
+    except _Unsupported:
+        return None
+    return EMPTY_WKT if out is None else G.to_wkt(out)
+
+
 @pandas_udf(StringType())
 def st_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
@@ -945,6 +1119,14 @@ def st_difference(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(StringType())
+def st_symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [symdifference_wkt(x, y) for x, y in zip(a, b)], dtype="object"
+    )
+
+
 def register_overlay_functions(spark: SparkSession) -> None:
     spark.udf.register("st_intersection", st_intersection)
     spark.udf.register("st_difference", st_difference)
+    spark.udf.register("st_symdifference", st_symdifference)

@@ -275,8 +275,19 @@ def _rect_union_polys(rects: list[tuple[float, float, float, float]]) -> list[li
 # ---------------------------------------------------------------------------
 
 
+def _simple_ring(ring: list[Pt]) -> bool:
+    from . import overlay as _ov  # lazy: overlay imports this module
+
+    return _ov._is_simple_ring(ring)
+
+
 def _signed_area_ring(ring: list[Pt]) -> float:
-    s = 0.0
+    # int seed, NOT 0.0: int + Fraction stays Fraction, so the overlay's
+    # exact-rational rings get an EXACT shoelace sum (float += Fraction
+    # would round every term — ADVICE r7 #3: a large-coordinate ring's
+    # exact area −648 came back 0.0, breaking the ==0 sliver filters and
+    # the _interiors_overlap witness). Float callers stay float.
+    s = 0
     for (ax, ay), (bx, by) in zip(ring, ring[1:]):
         s += ax * by - bx * ay
     return s / 2
@@ -436,8 +447,17 @@ def union_geoms(
                 rects.append(r)
                 continue
             cells = _rectilinear_cells(p.coords)
-            if cells is not None:
-                rects.extend(cells)  # L-shapes/holed partials re-dissolve
+            if cells is not None and all(
+                _simple_ring(r) for r in p.coords
+            ):
+                # L-shapes/holed partials re-dissolve. The simplicity
+                # gate matches overlay._rects_of (ADVICE r7 #4): a
+                # SELF-INTERSECTING axis-parallel ring passes the cell
+                # decomposition via even-odd reinterpretation, so
+                # without the gate ST_Union silently rewrote it while
+                # the overlay path correctly refused. Non-simple rings
+                # fall to the undissolved/warned path below.
+                rects.extend(cells)
             else:
                 other_polys.append(p)
         elif p.kind == "LineString":

@@ -177,3 +177,117 @@ def q139_st_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return box_rows.unionByName(arrow_rows)
+
+
+_Q146_ORACLE = f"""
+    WITH boxes AS ({NATION_BOXES_SQL}),
+    pairs AS (
+      SELECT a.n_nationkey AS key1, b.n_nationkey AS key2,
+             (a.maxx - a.minx) * (a.maxy - a.miny) AS area_a,
+             (b.maxx - b.minx) * (b.maxy - b.miny) AS area_b,
+             (least(a.maxx, b.maxx) - greatest(a.minx, b.minx))
+               * (least(a.maxy, b.maxy) - greatest(a.miny, b.miny)) AS inter
+      FROM boxes a JOIN boxes b
+        ON a.n_nationkey < b.n_nationkey
+       AND a.minx < b.maxx AND b.minx < a.maxx
+       AND a.miny < b.maxy AND b.miny < a.maxy
+    )
+    SELECT 'box' AS fam, key1, key2,
+           area_a + area_b - 2 * inter AS symdiff_area,
+           CAST(0 AS BIGINT) AS residual_micro,
+           CAST(0 AS BIGINT) AS commute_micro,
+           -- identical boxes (the nation-key formula collides every 24
+           -- keys) have a legitimately EMPTY symmetric difference
+           area_a + area_b - 2 * inter > 0 AS nontrivial
+    FROM pairs
+    UNION ALL
+    SELECT 'arrow' AS fam, n_nationkey AS key1, n_nationkey AS key2,
+           CAST(NULL AS DOUBLE) AS symdiff_area,
+           CAST(0 AS BIGINT) AS residual_micro,
+           CAST(0 AS BIGINT) AS commute_micro,
+           TRUE AS nontrivial
+    FROM boxes
+"""
+
+
+@query("q146_st_symdifference", oracle=_Q146_ORACLE)
+def q146_st_symdifference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: ST_SymDifference — (a − b) ∪ (b − a) pooled into one exact
+    assembly (functions/overlay.py symdifference_geoms). Box pairs pin
+    the exact area closed-form (A + B − 2·A∩B); arrowhead-vs-box rows
+    (triangulation path) pin the inclusion–exclusion residual
+    area(aΔb) − area(a) − area(b) + 2·area(a∩b) = 0 and commutativity
+    in micro-units, plus a non-triviality flag. Same broadcast
+    bbox-pair generator and 100 TB shape as q139 (module docstring)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir).withColumn(
+        "geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
+    )
+    a = boxes.select(
+        F.col("n_nationkey").alias("key1"),
+        F.col("minx").alias("ax0"), F.col("miny").alias("ay0"),
+        F.col("maxx").alias("ax1"), F.col("maxy").alias("ay1"),
+        F.col("geom").alias("geom_a"),
+    )
+    b = boxes.select(
+        F.col("n_nationkey").alias("key2"),
+        F.col("minx").alias("bx0"), F.col("miny").alias("by0"),
+        F.col("maxx").alias("bx1"), F.col("maxy").alias("by1"),
+        F.col("geom").alias("geom_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("key1") < F.col("key2"))
+        & (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
+        & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1")),
+    )
+    area0 = "IF(endswith({g}, 'EMPTY'), 0.0D, st_area({g}))"
+    sd = area0.format(g="st_symdifference(geom_a, geom_b)")
+    sd_rev = area0.format(g="st_symdifference(geom_b, geom_a)")
+    inter = area0.format(g="st_intersection(geom_a, geom_b)")
+    box_rows = pairs.select(
+        F.lit("box").alias("fam"),
+        "key1",
+        "key2",
+        F.expr(sd).alias("symdiff_area"),
+        F.expr(
+            f"CAST(floor(({sd} - st_area(geom_a) - st_area(geom_b)"
+            f" + 2 * {inter}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("residual_micro"),
+        F.expr(
+            f"CAST(floor(({sd} - {sd_rev}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("commute_micro"),
+        F.expr(f"{sd} > 0").alias("nontrivial"),
+    )
+
+    i = lambda c: F.col(c).cast("bigint").cast("string")  # noqa: E731
+    arrow_wkt = F.concat(
+        F.lit("POLYGON (("),
+        i("minx"), F.lit(" "), i("miny"), F.lit(", "),
+        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
+        (F.col("miny") + 5).cast("bigint").cast("string"), F.lit(", "),
+        (F.col("minx") + 40).cast("bigint").cast("string"), F.lit(" "),
+        i("miny"), F.lit(", "),
+        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
+        (F.col("miny") + 30).cast("bigint").cast("string"), F.lit(", "),
+        i("minx"), F.lit(" "), i("miny"), F.lit("))"),
+    )
+    arrows = boxes.withColumn("arrow", arrow_wkt)
+    sda = area0.format(g="st_symdifference(arrow, geom)")
+    sda_rev = area0.format(g="st_symdifference(geom, arrow)")
+    inter_a = area0.format(g="st_intersection(arrow, geom)")
+    arrow_rows = arrows.select(
+        F.lit("arrow").alias("fam"),
+        F.col("n_nationkey").alias("key1"),
+        F.col("n_nationkey").alias("key2"),
+        F.lit(None).cast("double").alias("symdiff_area"),
+        F.expr(
+            f"CAST(floor(({sda} - st_area(arrow) - st_area(geom)"
+            f" + 2 * {inter_a}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("residual_micro"),
+        F.expr(
+            f"CAST(floor(({sda} - {sda_rev}) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("commute_micro"),
+        F.expr(f"{sda} > 0").alias("nontrivial"),
+    )
+    return box_rows.unionByName(arrow_rows)

@@ -45,74 +45,75 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # diff touching a green query's module fails the suite until the query
 # is either re-exposed or its fingerprint deliberately re-recorded.
 #
-# Round 7 state: CORRECTNESS_r06 came back 50/50 green (third consecutive
-# all-green round), so this set is the cross-round green union MINUS the
-# groups re-exposed for round 7:
-#   - this round's diff, module-granular: dedup.py / similarity.py /
-#     pipeline.py / text_ops.py (micro-int tie-stable oracle migration
-#     for q65/q66/q69, q70-q73/q111/q115, q105, q61/q109/q110 — every
-#     query in those modules re-exposed),
-#     multimodal.py (JPEG fill-byte/standalone-marker parse, integer
-#     nearest-resize, bilinear kernel -> q80-q82), streaming_ops.py
-#     (empty-events guard + temp-view drop -> q123), union_agg.py +
-#     functions/union_ops.py (st_perimeter in q124, overlap signal),
-#     and the st_length/st_perimeter PostGIS-parity split -> q52 + q94
-#     (the two queries that measured polygons via st_length; results
-#     unchanged by construction, but the executed path changed).
-#   - staleness: the r2/r3 block never re-checked since (q59-q64, q69,
-#     q88, q92, q93 + q60-q63) and the two documented r1 deferrals
-#     (q39, q40).
-#   - never green: q128-q135, the eight r6 pytest-only surfaces
-#     (st_simplify / st_snaptogrid / st_transform — now incl. UTM
-#     EPSG:326xx/327xx per VERDICT r6 item 4 — / st_azimuth / WAV audio
-#     features / SRAS resize / hypertable rollup / CMS) registered as
-#     driver rows this round per VERDICT r6 item 1; plus the three
-#     surfaces NEW this round — q139 ST_Intersection/ST_Difference
-#     (overlay_ops), q140 WKB codec (codec_ops), q141 boilerplate
-#     removal (boilerplate) — each registered WITH its driver row.
-#
-# Window arithmetic (the driver checks the first 50): the unverified
-# group stood at 49 after the re-exposures above; q139-q141 would have
-# pushed the count to 52, so two re-exposures were put BACK into this
-# set with deliberately re-recorded fingerprints: q52 and q94, whose
-# r7 drift is the st_length→st_perimeter path split that leaves their
-# RESULTS unchanged by construction (the split is pinned by
-# tests/test_geometry.py + the q124 driver row which DOES exercise the
-# changed path and stays exposed). A never-checked surface outranks a
-# re-check whose output provably cannot have moved. q01 (a verified
-# green that filled slot 50) rotates out; unverified count = 50 = the
-# window, so every new and re-exposed query is driver-checked this
-# round.
-# Queries REMAINING here whose fingerprints drifted did so through
-# modules they do not execute results through (module-granular
-# over-flagging): geometry.py/spatial.py gained st_perimeter (additive;
-# st_length's polygon change only affects q52/q94/q124 — re-exposed),
-# projection.py gained UTM branches (only q130's new path), engine.py
-# pins the events read confs at construction (identical values the
-# loader already set) and registers the new function families
-# (additive). All deliberately re-recorded — the visible act this
-# comment documents.
+# Round 8 state: CORRECTNESS_r07 came back 50/50 green (fourth
+# consecutive all-green round) — every one of the 140 registered
+# queries is now green at its most recent driver check. This set is
+# therefore the r6+r7 green union MINUS the round-8 re-exposures:
+#   - this round's diff: functions/overlay.py (collinear line×line
+#     spans now computed exactly for intersection AND difference —
+#     ADVICE r7 #1/#2 — plus span dissolve/point subsumption at
+#     assembly) and functions/union_ops.py (exact int-seeded shoelace
+#     ADVICE r7 #3; rectilinear simplicity gate ADVICE r7 #4). The
+#     queries that EXECUTE those modules re-expose: q139 (overlay) and
+#     q124 (union cascade). Every other recorded fingerprint drifts
+#     only through engine.py's function-registration import chain
+#     (module-granular over-flagging; registration is additive and
+#     result-invariant) — deliberately re-recorded, the visible act
+#     this comment documents.
+#   - staleness: the whole r3-stale block (q30, q45, q97, q100, q112 —
+#     5 rounds since last check) and the whole r5-stale block (40
+#     queries: the relational q01-q19 base, the spatial q44-q53 +
+#     q85/q94/q95/q98/q99 family incl. the ADVICE r7 #5 q52/q94
+#     re-exposure, the source-roundtrip rows, q58, q114, q118, q121).
+#     With r6-green and r7-green queries folded in, those 45 are the
+#     entire set of queries more than two rounds stale — the rotation
+#     debt is fully paid this round.
+#   - never green: the round-8 surfaces (q142+), registered WITH their
+#     driver rows.
+# Window arithmetic (the driver checks the first 50): 40 stale + 2
+# overlay/union diff + 3 streaming diff (q123/q137/q138 re-exposed for
+# the band_transform harness change per ADVICE r7 #5's "prefer
+# re-exposing" over fingerprint attestation) + 5 new (q142-q146) = 50.
+# To make room, 5 of the 45 stale greens defer to round 9 — the five
+# lowest-risk rows (q03/q09 trivial relational, q49 serialization-only,
+# q58 bounded-oracle, q121 catalog listing), all on modules this
+# round's diff does not execute.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "q01_filter_pushdown",
-        "q02_projection_pruning",
         "q03_select_star",
-        "q04_alias_expressions",
-        "q05_where_and_or",
-        "q06_in_list",
-        "q07_not_in_list",
-        "q08_null_predicates",
         "q09_where_bool_literal",
-        "q10_between_range",
-        "q11_join_inner_equi",
-        "q12_join_theta",
-        "q13_join_left_outer",
-        "q14_join_right_outer",
-        "q15_join_full_outer",
-        "q16_join_multiway",
-        "q17_natural_join",
-        "q18_semi_join_in_subquery",
-        "q19_anti_join_not_exists",
+        "q49_st_asgeojson",
+        "q58_approx_count_distinct",
+        "q121_catalog_tables",
+        "q103_stratified_sample",
+        "q104_language_quota",
+        "q105_mixture_weights",
+        "q106_sequence_packing",
+        "q107_decontamination",
+        "q109_tfidf_top_terms",
+        "q110_repetition_metrics",
+        "q111_centroid_outliers",
+        "q113_window_distribution",
+        "q115_ann_quantized_topk",
+        "q116_trailing_range_window",
+        "q117_approx_percentiles",
+        "q119_cohort_retention",
+        "q120_event_funnel",
+        "q122_st_relations",
+        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
+        "q128_st_simplify",
+        "q129_st_snaptogrid",
+        "q130_st_transform",
+        "q131_st_azimuth",
+        "q132_audio_features",
+        "q133_resize_images",
+        "q134_hypertable_rollup",
+        "q135_cms_heavy_hitters",
+        "q136_image_dhash_neardup",
+        "q140_wkb_roundtrip",
+        "q141_boilerplate_removal",
         "q20_lateral_explode",
         "q21_count_groupby",
         "q22_agg_global",
@@ -123,67 +124,57 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q27_orderby_limit_topk",
         "q28_union_all",
         "q29_intersect",
-        "q30_except",
         "q31_window_rank",
         "q32_window_running_sum",
-        "q112_window_lag_lead",
-        "q113_window_distribution",
         "q33_subquery_from",
         "q34_scalar_subquery",
         "q35_correlated_exists",
         "q36_date_functions",
         "q37_mod_function",
         "q38_string_functions",
+        "q39_case_expression",
+        "q40_math_functions",
+        "q41_st_point_accessors",
+        "q42_st_astext",
+        "q43_st_distance_radius",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
         "q57_count_distinct_multi",
-        "q58_approx_count_distinct",
-        "q86_skew_salted_join",
-        "q87_percentiles",
-        "q117_approx_percentiles",
-        "q41_st_point_accessors",
-        "q42_st_astext",
-        "q52_centroid_perimeter",
-        "q94_multipart_gml_ingest",
-        "q43_st_distance_radius",
-        "q44_spatial_join_within",
-        "q45_spatial_join_intersects",
-        "q46_st_area_props",
-        "q47_dwithin_pairs",
-        "q48_distance_sphere_count",
-        "q49_st_asgeojson",
-        "q50_st_geomfromtext",
-        "q51_st_geomfromgeojson",
-        "q53_buffer_contains",
-        "q85_st_extent_agg",
-        "q95_st_collect_agg",
-        "q97_knn_within_radius",
-        "q98_hull_envelope",
+        "q59_st_geomfromgml_kml",
+        "q60_token_count",
+        "q61_quality_score",
+        "q62_language_id",
+        "q63_fingerprint",
+        "q64_dedup_exact",
+        "q65_dedup_ngram_jaccard",
+        "q66_minhash_lsh",
+        "q67_simhash",
+        "q68_simhash_pairs",
+        "q69_embedding_neardup",
+        "q70_ann_bruteforce_topk",
+        "q71_ann_lsh_buckets",
+        "q72_ann_lsh_topk",
+        "q73_ann_ivf_topk",
         "q75_tumbling_window",
         "q76_sliding_window",
         "q77_sessionize",
         "q78_keyed_dedup_first",
         "q79_json_props",
-        "q96_event_attribution",
-        "q116_trailing_range_window",
-        "q119_cohort_retention",
-        "q120_event_funnel",
+        "q80_multimodal_metadata",
+        "q81_multimodal_features",
+        "q82_frame_sample",
         "q83_asof_join",
         "q84_range_join_banded",
+        "q86_skew_salted_join",
+        "q87_percentiles",
+        "q88_levenshtein_neardup",
         "q89_gap_fill_spine",
-        "q99_xml_roundtrip",
-        "q101_geojson_roundtrip",
-        "q102_geojson_sink_roundtrip",
-        "q100_engine_rowset",
-        "q108_kml_roundtrip",
-        "q114_compat_flattened",
-        "q121_catalog_tables",
-        "q118_bucketed_join",
-        "q122_st_relations",
-        "q125_document_chunking",
-        "q126_pii_redaction",
-        "q127_url_domains",
+        "q90_dedup_clusters",
+        "q91_training_pipeline",
+        "q92_hash_sample",
+        "q93_train_val_test_split",
+        "q96_event_attribution",
     }
 )
 

@@ -68,13 +68,19 @@ _Q123_ORACLE = """
 """
 
 
-def _run_staged_stream(spark: SparkSession, sf_dir: str, name: str, build, out_select):
+def _run_staged_stream(
+    spark: SparkSession, sf_dir: str, name: str, build, out_select, band_transform=None
+):
     """Shared harness for the streaming e2e driver rows: stage the events
     table as three time-banded files plus a far-future sentinel (module
     docstring), replay them as per-file micro-batches through ``build``'s
     watermarked streaming aggregation into a memory sink, and return the
     materialized finalized rows (``out_select`` shapes the sink table).
-    Returns None when the events table is empty (ADVICE r6 guard)."""
+    ``band_transform`` (r8) rewrites each band DataFrame before staging —
+    q142 duplicates every row WITHIN its band so the stateful dedup has
+    real duplicates to drop without racing watermark eviction across
+    band boundaries. Returns None when the events table is empty
+    (ADVICE r6 guard)."""
     events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
     if lo is None:
@@ -91,6 +97,8 @@ def _run_staged_stream(spark: SparkSession, sf_dir: str, name: str, build, out_s
             band = events.filter(F.col("ts") >= F.lit(start))
             if i < 2:
                 band = band.filter(F.col("ts") < F.lit(bounds[i + 1]))
+            if band_transform is not None:
+                band = band_transform(band)
             band.coalesce(1).write.parquet(f"{stage}/b{i}")
             _promote(stage, f"b{i}", f"f{i}.parquet", mtime=1_000_000 + i)
         # Sentinel: one event far past max(ts) + watermark + window/gap, so
@@ -279,5 +287,55 @@ def q138_stream_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
             [],
             "user_id long, view_event long, click_event long, "
             "view_ts string, click_ts string",
+        )
+    return out
+
+
+# The dedup result is the events table itself: every row is staged
+# twice (band_transform), the keyed state drops the second copy, and
+# event_ids never repeat across bands so watermark eviction can never
+# resurface a key. Unlike the windowed rows, dropDuplicatesWithinWatermark
+# emits rows IMMEDIATELY in append mode — so the far-future sentinel
+# WOULD reach the sink; it is filtered by key (event_id < 0) at the
+# sink read, not by waiting on a window close.
+_Q142_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value
+    FROM events
+"""
+
+
+@query("q142_stream_dedup_e2e", oracle=_Q142_ORACLE)
+def q142_stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``) run
+    BY THE STREAMING ENGINE: each band file carries every event twice,
+    keyed state on event_id drops the duplicates across the per-file
+    micro-batch replay, and the appended rows equal the original events
+    table (the DuckDB oracle). This is the streaming analog of q78's
+    batch keyed dedup — state is bounded by the 1-hour watermark delay,
+    which is the 100 TB story: dedup state never grows past one delay
+    window per key, regardless of replay length."""
+    out = _run_staged_stream(
+        spark,
+        sf_dir,
+        "q142",
+        lambda src: src()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"]),
+        lambda t: t.filter(F.col("event_id") >= 0).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        ),
+        band_transform=lambda df: df.unionAll(df),
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "event_id long, user_id long, event_type string, "
+            "ts_s string, value double",
         )
     return out

@@ -152,8 +152,11 @@ class TestKnownCases:
         assert intersection_wkt(bowtie, tri) is None
         assert difference_wkt(bowtie, tri) is None
         assert difference_wkt(tri, bowtie) is None
-        # collinear overlapping lines: 1-D intersection, unsupported
-        assert intersection_wkt("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)") is None
+        # collinear overlapping lines: exact 1-D span (r8, ADVICE r7 #1)
+        assert (
+            intersection_wkt("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)")
+            == "LINESTRING (2 0, 4 0)"
+        )
 
     def test_line_line_crossing_points(self):
         assert intersection_wkt("LINESTRING (0 0, 2 2)", "LINESTRING (2 0, 0 2)") == "POINT (1 1)"
@@ -192,11 +195,78 @@ class TestKnownCases:
     def test_collinear_endpoint_touch_is_point(self):
         got = intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (1 0, 2 0)")
         assert got == "POINT (1 0)"
-        # positive-length collinear span stays NULL
-        assert intersection_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)") is None
+        # positive-length collinear span: the exact 1-D overlap (r8;
+        # the r7 shared-endpoint test was argument-order asymmetric —
+        # ADVICE r7 #1 — so both orders are pinned here)
+        assert (
+            intersection_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)")
+            == "LINESTRING (1 0, 2 0)"
+        )
+        assert (
+            intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (0 0, 2 0)")
+            == "LINESTRING (0 0, 1 0)"
+        )
+        assert (
+            intersection_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 1 0)")
+            == "LINESTRING (0 0, 1 0)"
+        )
         # zero-length (repeated-vertex) segment vs crossing line
         got2 = intersection_wkt("LINESTRING (1 1, 1 1)", "LINESTRING (0 0, 2 2)")
         assert got2 == "POINT (1 1)"
+
+    def test_line_line_span_difference(self):
+        # ADVICE r7 #2: identical lines must difference to EMPTY, not
+        # return the minuend
+        assert (
+            difference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)")
+            == "POLYGON EMPTY"
+        )
+        assert (
+            difference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 1 0)")
+            == "LINESTRING (1 0, 2 0)"
+        )
+        assert (
+            difference_wkt("LINESTRING (0 0, 4 0)", "LINESTRING (1 0, 3 0)")
+            == "MULTILINESTRING ((0 0, 1 0), (3 0, 4 0))"
+        )
+        # chain of subtrahend segments covering the minuend -> EMPTY
+        assert (
+            difference_wkt(
+                "LINESTRING (0 0, 3 0)",
+                "MULTILINESTRING ((0 0, 1 0), (1 0, 3 0))",
+            )
+            == "POLYGON EMPTY"
+        )
+        # crossing-only subtrahend removes nothing (closure semantics)
+        assert (
+            difference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 -1, 1 1)")
+            == "LINESTRING (0 0, 2 0)"
+        )
+        # minuend direction is preserved
+        assert (
+            difference_wkt("LINESTRING (2 0, 0 0)", "LINESTRING (0 0, 1 0)")
+            == "LINESTRING (2 0, 1 0)"
+        )
+
+    def test_line_line_mixed_dimension_result(self):
+        # a crossing point covered by a collinear span is subsumed
+        got = intersection_wkt(
+            "LINESTRING (0 0, 4 0)",
+            "MULTILINESTRING ((1 0, 3 0), (2 -1, 2 1))",
+        )
+        assert got == "LINESTRING (1 0, 3 0)"
+        # disjoint span + crossing point -> GeometryCollection
+        got2 = intersection_wkt(
+            "LINESTRING (0 0, 6 0)",
+            "MULTILINESTRING ((1 0, 2 0), (5 -1, 5 1))",
+        )
+        assert got2 == "GEOMETRYCOLLECTION (POINT (5 0), LINESTRING (1 0, 2 0))"
+        # duplicate spans from two subtrahend parts dissolve to one
+        got3 = intersection_wkt(
+            "LINESTRING (0 0, 4 0)",
+            "MULTILINESTRING ((1 0, 3 0), (2 0, 4 0))",
+        )
+        assert got3 == "LINESTRING (1 0, 4 0)"
 
 
 # ---------------------------------------------------------------------------

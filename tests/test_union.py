@@ -321,6 +321,34 @@ def test_union_is_idempotent_and_commutative(rects_a, rects_b):
     assert G.perimeter(ab) == G.perimeter(ba) == G.perimeter(again)
 
 
+class TestSimplicityGate:
+    def test_self_intersecting_rectilinear_ring_not_rewritten(self):
+        # ADVICE r7 #4: this axis-parallel ring self-crosses, so the
+        # cell decomposition would silently reinterpret it even-odd;
+        # the gate must route it past the rectilinear dissolve instead
+        # (a single part unions to itself, unrewritten).
+        twisted = "POLYGON ((0 0, 3 0, 3 2, 1 2, 1 1, 2 1, 2 3, 0 3, 0 0))"
+        assert _u(twisted) == twisted
+
+    def test_signed_area_exact_on_fraction_rings(self):
+        # ADVICE r7 #3: int accumulator keeps Fraction rings exact at
+        # coordinates where float shoelace terms round
+        from fractions import Fraction
+
+        big = [
+            (Fraction(x) * 10**9, Fraction(y) * 10**9)
+            for x, y in [(0, 0), (36, 0), (36, 36), (0, 36), (0, 0)]
+        ]
+        a = U._signed_area_ring(big)
+        assert isinstance(a, Fraction)
+        assert a == Fraction(1296) * 10**18
+        # float callers still get floats
+        fl = U._signed_area_ring(
+            [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+        )
+        assert isinstance(fl, float) and fl == 4.0
+
+
 class TestCascadeExactness:
     """Stage-2 of the q124 cascade re-unions stage-1 PARTIALS, which are
     L-shaped/holed rectilinear polygons, not rectangles. Closure under
