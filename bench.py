@@ -72,7 +72,13 @@ HEADLINE = [
     "q139_st_intersection",
     "q140_wkb_roundtrip",
     "q141_boilerplate_removal",
-    # The streaming e2e rows (q123/q137/q138) are deliberately NOT
+    # r8 families: one tracked number each
+    "q143_kmeans_assign",
+    "q144_bloom_semijoin",
+    "q145_inverted_index",
+    "q146_st_symdifference",
+    # The streaming e2e rows (q123/q137/q138, and r8's q142) are
+    # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
     # sf0.1, dominated by micro-batch scheduling, not data volume), so
     # a timing would measure the harness, not the operator. Their batch

@@ -31,3 +31,6 @@ def load_all() -> None:
     from . import overlay_ops  # noqa: F401
     from . import codec_ops  # noqa: F401
     from . import boilerplate  # noqa: F401
+    from . import cluster_ops  # noqa: F401
+    from . import filter_ops  # noqa: F401
+    from . import index_ops  # noqa: F401

@@ -306,3 +306,48 @@ def test_cms_query_partially_aggregates(spark):
     plan = formatted_plan(q("q135_cms_heavy_hitters")(spark, SF_DIR))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_broadcast_and_partial(spark):
+    """q143: the centroid model broadcasts (assignment is map-only per
+    vector row), the per-vector argmin and per-cluster rollup both run
+    with partial aggregation, and no cartesian survives."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    df = q("q143_kmeans_assign")(spark, SF_DIR)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_broadcast_semi_joins(spark):
+    """q144: the bit set reaches the probe as broadcast LEFT SEMI
+    joins — the fact table is never shuffled for the probe (the only
+    Exchange keys are the final bounded per-flag rollup)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    df = q("q144_bloom_semijoin")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("LeftSemi") >= 3
+    assert_broadcast_join(df, at_least=3)
+    assert_no_cartesian(df)
+
+
+def test_inverted_index_aggregates_partially(spark):
+    """q145: both rollups (per (term, doc) tf and per-term stats) are
+    hash aggregations with map-side combine, and the head is top-K
+    (TakeOrderedAndProject), not a global sort."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q145_inverted_index")(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_symdifference_pairs_broadcast(spark):
+    """q146: the box-pair generator broadcasts the 25-row side (same
+    shape as q139); the overlay UDF itself is map-only."""
+    df = q("q146_st_symdifference")(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)

@@ -1,0 +1,114 @@
+"""Round-8 driver rows: q142 streaming dedup, q143 k-means step,
+q144 bloom semi-join, q145 inverted index, q146 ST_SymDifference.
+
+Each row's oracle parity is asserted here (same comparison the round
+driver runs at sf0.01), plus the semantics each operator must not lose:
+bloom no-false-negatives, k-means assignment determinism, symdifference
+commutativity/inclusion-exclusion, streaming dedup exactness under the
+duplicated-band replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators import load_all
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import QUERIES
+
+from conftest import SF_DIR, assert_parity
+
+
+@pytest.fixture(autouse=True)
+def _load():
+    load_all()
+
+
+class TestOracleParity:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q143_kmeans_assign",
+            "q144_bloom_semijoin",
+            "q145_inverted_index",
+            "q146_st_symdifference",
+        ],
+    )
+    def test_parity(self, spark, oracle, name):
+        q = QUERIES[name]
+        assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, q.name)
+
+    def test_q142_parity(self, spark, oracle):
+        # separate test: runs a real Structured Streaming job (~10 s)
+        q = QUERIES["q142_stream_dedup_e2e"]
+        assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, q.name)
+
+
+class TestBloomSemantics:
+    def test_no_false_negatives(self, spark, oracle):
+        """Every lineitem whose order is truly high-value must pass the
+        bloom — per flag, bloom_pass >= true_match and true_match equals
+        the exact semi-join count."""
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.filter_ops import THRESHOLD
+
+        rows = {
+            r["l_returnflag"]: r
+            for r in QUERIES["q144_bloom_semijoin"].fn(spark, SF_DIR).collect()
+        }
+        exact = oracle.sql(
+            f"""
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_totalprice > {THRESHOLD})
+            GROUP BY l_returnflag
+            """
+        ).df()
+        for _, e in exact.iterrows():
+            r = rows[e["l_returnflag"]]
+            assert r["true_match"] == e["n"]
+            assert r["bloom_pass"] >= e["n"]
+            assert r["false_pos"] == r["bloom_pass"] - r["true_match"]
+
+
+class TestKmeansSemantics:
+    def test_every_vector_assigned_once(self, spark, oracle):
+        out = QUERIES["q143_kmeans_assign"].fn(spark, SF_DIR).collect()
+        total = sum(r["n_members"] for r in out)
+        n_vec = oracle.sql("SELECT count(*) FROM embeddings WHERE vec_id >= 10").df().iloc[0, 0]
+        assert total == n_vec
+        assert len({r["cid"] for r in out}) == len(out)
+
+    def test_assignment_partition_invariant(self, spark):
+        """min(struct) argmin must not depend on how vectors split
+        across partitions."""
+        a = QUERIES["q143_kmeans_assign"].fn(spark, SF_DIR)
+        b = QUERIES["q143_kmeans_assign"].fn(spark, SF_DIR).repartition(7)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestSymdifferenceSemantics:
+    def test_commutes_and_inclusion_exclusion(self, spark):
+        rows = QUERIES["q146_st_symdifference"].fn(spark, SF_DIR).collect()
+        assert rows, "pair generator produced no rows"
+        for r in rows:
+            assert r["residual_micro"] == 0, r
+            assert r["commute_micro"] == 0, r
+
+    def test_wkt_level_identities(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            symdifference_wkt,
+        )
+
+        box_a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+        box_b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+        got = symdifference_wkt(box_a, box_b)
+        assert G.area(G.parse_wkt(got)) == 6.0  # 4 + 4 - 2*1
+        # self symdifference is EMPTY; EMPTY operands pass through
+        assert symdifference_wkt(box_a, box_a) == "POLYGON EMPTY"
+        assert symdifference_wkt(box_a, "POLYGON EMPTY") == box_a
+        # mixed dims: collinear line overlap cut from both sides
+        assert (
+            symdifference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)")
+            == "MULTILINESTRING ((0 0, 1 0), (2 0, 3 0))"
+        )
