@@ -11,6 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import Geometry
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions import union_ops as U
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
     difference_wkt,
@@ -520,3 +521,138 @@ class TestQ139:
             .toString()
         )
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# line-overlay property fuzz (r8): exact 1-D measure identities on random
+# integer segments — heavy collinear/touch/containment incidence by
+# construction (coordinates in [-3, 3])
+# ---------------------------------------------------------------------------
+
+
+def _seg_wkt(s):
+    (x0, y0), (x1, y1) = s
+    return f"LINESTRING ({x0} {y0}, {x1} {y1})"
+
+
+def _t_measure(wkt: str, origin, direction) -> object:
+    """Total length of ``wkt``'s 1-D pieces in t-units of ``direction``
+    (exact Fractions; Point/empty pieces contribute 0). Pieces must be
+    collinear with the reference line — asserted."""
+    from fractions import Fraction
+
+    if wkt is None or wkt.endswith("EMPTY"):
+        return Fraction(0)
+    g = G.parse_wkt(wkt)
+    parts = [g] if g.kind in ("LineString", "Point") else [
+        Geometry(k, c)
+        for k, c in (
+            [("LineString", c) for c in g.coords]
+            if g.kind == "MultiLineString"
+            else []
+        )
+    ] if g.kind == "MultiLineString" else list(_flatten_gc(g))
+    total = Fraction(0)
+    ox, oy = origin
+    dx, dy = direction
+    ax = 0 if abs(dx) >= abs(dy) else 1
+    d_ax = Fraction(direction[ax])
+    for p in parts:
+        if p.kind == "Point":
+            continue
+        assert p.kind == "LineString"
+        for (ux, uy), (vx, vy) in zip(p.coords, p.coords[1:]):
+            # collinearity with the reference line
+            assert (Fraction(ux) - ox) * dy == (Fraction(uy) - oy) * dx
+            assert (Fraction(vx) - ox) * dy == (Fraction(vy) - oy) * dx
+            tu = (Fraction((ux, uy)[ax]) - Fraction(origin[ax])) / d_ax
+            tv = (Fraction((vx, vy)[ax]) - Fraction(origin[ax])) / d_ax
+            total += abs(tv - tu)
+    return total
+
+
+def _flatten_gc(g):
+    if g.kind == "GeometryCollection":
+        for sub in g.coords:
+            yield from _flatten_gc(sub)
+    elif g.kind == "MultiLineString":
+        for c in g.coords:
+            yield Geometry("LineString", c)
+    elif g.kind == "MultiPoint":
+        for c in g.coords:
+            yield Geometry("Point", c)
+    else:
+        yield g
+
+
+_int_segment = (
+    st.tuples(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+    )
+    .filter(lambda s: s[0] != s[1])
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_int_segment, _int_segment)
+def test_line_overlay_measure_identities(sa, sb):
+    """closure-measure identities, exact in t-units of segment a:
+    |a∩b| + |a−b| = |a|  and  |aΔb| restricted to a's line = |a−b|."""
+    from fractions import Fraction
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+        symdifference_wkt,
+    )
+
+    wa, wb = _seg_wkt(sa), _seg_wkt(sb)
+    (ax0, ay0), (ax1, ay1) = sa
+    origin, direction = sa[0], (ax1 - ax0, ay1 - ay0)
+
+    inter = intersection_wkt(wa, wb)
+    diff = difference_wkt(wa, wb)
+    assert inter is not None and diff is not None  # class is closed now
+
+    m_inter = _t_measure(inter, origin, direction)
+    m_diff = _t_measure(diff, origin, direction)
+    m_a = Fraction(1)  # |a| in its own t-units
+    assert m_inter + m_diff == m_a, (wa, wb, inter, diff)
+
+    # intersection commutes as a point set: same measure from b's frame
+    inter_ba = intersection_wkt(wb, wa)
+    (bx0, by0), (bx1, by1) = sb
+    m_ab_in_b = _t_measure(inter, sb[0], (bx1 - bx0, by1 - by0))
+    m_ba_in_b = _t_measure(inter_ba, sb[0], (bx1 - bx0, by1 - by0))
+    assert m_ab_in_b == m_ba_in_b, (wa, wb, inter, inter_ba)
+
+    # symdifference measure along a's line equals |a−b| there
+    sym = symdifference_wkt(wa, wb)
+    assert sym is not None
+    # pieces of b−a off a's line are excluded by measuring only pieces
+    # collinear with a — so filter by collinearity instead of asserting
+    sym_on_a = Fraction(0)
+    dx, dy = direction
+    for p in _flatten_gc(G.parse_wkt(sym)) if not sym.endswith("EMPTY") else []:
+        if p.kind != "LineString":
+            continue
+        (ux, uy), (vx, vy) = p.coords[0], p.coords[-1]
+        if (Fraction(ux) - origin[0]) * dy == (Fraction(uy) - origin[1]) * dx and (
+            Fraction(vx) - origin[0]
+        ) * dy == (Fraction(vy) - origin[1]) * dx:
+            sym_on_a += _t_measure(
+                "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in p.coords) + ")",
+                origin,
+                direction,
+            )
+    if not _collinear_segs(sa, sb):
+        assert sym_on_a == m_diff, (wa, wb, sym, diff)
+
+
+def _collinear_segs(sa, sb):
+    (ax0, ay0), (ax1, ay1) = sa
+    (bx0, by0), (bx1, by1) = sb
+    dx, dy = ax1 - ax0, ay1 - ay0
+    return (
+        dx * (by1 - by0) - dy * (bx1 - bx0) == 0
+        and (bx0 - ax0) * dy == (by0 - ay0) * dx
+    )
