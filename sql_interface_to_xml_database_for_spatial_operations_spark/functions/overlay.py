@@ -767,8 +767,13 @@ def _line_minus_line(p: Geometry, pb: Geometry) -> list[Geometry]:
     = LINESTRING(1 0,2 0)). Crossing/touch points cut nothing (the
     difference of closures keeps them); zero-length leftovers drop
     (PostGIS returns EMPTY for a fully-covered line, not the leftover
-    boundary points)."""
-    out: list[Geometry] = []
+    boundary points). Surviving 2-point pieces that stay connected at
+    the minuend's own vertices are stitched back into one chain, so an
+    untouched multi-vertex minuend returns SHAPE-identical — interior
+    vertices preserved (PostGIS parity; code-review r8: the first cut
+    of this function re-emitted every minuend per-segment, silently
+    resegmenting lines the subtrahend never touched)."""
+    spans: list[list[Pt]] = []
     for u, v in zip(p.coords, p.coords[1:]):
         d = (v[0] - u[0], v[1] - u[1])
         if d == (0.0, 0.0):
@@ -789,7 +794,7 @@ def _line_minus_line(p: Geometry, pb: Geometry) -> list[Geometry]:
             if lo < hi:
                 cuts.append((lo, hi))
         if not cuts:
-            out.append(Geometry("LineString", [u, v]))
+            spans.append([u, v])
             continue
         cuts.sort()
         merged = [list(cuts[0])]
@@ -803,18 +808,26 @@ def _line_minus_line(p: Geometry, pb: Geometry) -> list[Geometry]:
             s = (t - _u[_ax]) / _d[_ax]
             return (_u[0] + s * _d[0], _u[1] + s * _d[1])
 
-        left: list[Geometry] = []
+        left: list[list[Pt]] = []
         pos = lo_a
         for lo, hi in merged + [[hi_a, hi_a]]:
             if lo > pos:
-                left.append(Geometry("LineString", [_at(pos), _at(lo)]))
+                left.append([_at(pos), _at(lo)])
             pos = max(pos, hi)
         if u[ax] > v[ax]:  # keep the minuend's direction
-            left = [
-                Geometry("LineString", g.coords[::-1]) for g in left[::-1]
-            ]
-        out.extend(left)
-    return out
+            left = [seg[::-1] for seg in left[::-1]]
+        spans.extend(left)
+    # Stitch: consecutive surviving pieces are in travel order, so a
+    # piece starting where the previous one ended continues the same
+    # connected component of the difference — extend the chain (keeping
+    # the shared vertex) instead of emitting a separate LineString.
+    chains: list[list[Pt]] = []
+    for seg in spans:
+        if chains and chains[-1][-1] == seg[0]:
+            chains[-1].extend(seg[1:])
+        else:
+            chains.append(list(seg))
+    return [Geometry("LineString", c) for c in chains]
 
 
 def _pair_difference(pieces: list, pb: Geometry) -> list:

@@ -6,7 +6,8 @@ One Lloyd iteration with deterministic seeds: the first K vectors (by
 its nearest centroid by squared L2 (JVM ``aggregate``/``zip_with``
 fold — no Python in the distance loop), and the update step re-averages
 each cluster. The driver row reports, per centroid: member count, the
-mean squared distance, and the updated centroid's first coordinate —
+exact micro-int sum of squared distances, and the updated centroid's
+first coordinate —
 i.e. both halves of the iteration are oracle-pinned.
 
 Cross-engine comparison: distances and means are compared as micro-int
@@ -63,8 +64,7 @@ _Q143_ORACLE = f"""
     )
     SELECT cid,
            CAST(count(*) AS BIGINT) AS n_members,
-           CAST(floor(avg(d2_micro / 1000000.0) * 1000000 + 0.5) AS BIGINT)
-             AS mean_d2_micro,
+           CAST(sum(d2_micro) AS BIGINT) AS sum_d2_micro,
            CAST(floor(avg(v[1]) * 1000000 + 0.5) AS BIGINT)
              AS new_c0_micro
     FROM assigned
@@ -76,7 +76,7 @@ _Q143_ORACLE = f"""
 def q143_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd step: broadcast the K seed centroids, assign every
     vector to the micro-int-nearest one (JVM fold distances), and
-    re-aggregate each cluster's size, mean squared distance, and
+    re-aggregate each cluster's size, exact squared-distance sum, and
     updated first coordinate (module docstring)."""
     vecs = _vectors(spark, sf_dir)
     cent = vecs.filter(F.col("vec_id") < K).select(
@@ -105,11 +105,15 @@ def q143_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.d2_micro").alias("d2_micro"),
         "v",
     )
+    # SUM of the integer micro-distances, not their floored average: an
+    # average of already-quantized integers lands EXACTLY on half-micro
+    # boundaries with probability ~1/n per cluster, where Spark's and
+    # DuckDB's float summation order could round opposite ways (the
+    # r6 round() lesson, systematic rather than measure-zero here).
+    # The exact BIGINT sum plus n_members carries the same information.
     return assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
-        F.expr(
-            "CAST(floor(avg(d2_micro / 1000000.0) * 1000000 + 0.5) AS BIGINT)"
-        ).alias("mean_d2_micro"),
+        F.sum("d2_micro").alias("sum_d2_micro"),
         F.expr(
             "CAST(floor(avg(v[0]) * 1000000 + 0.5) AS BIGINT)"
         ).alias("new_c0_micro"),

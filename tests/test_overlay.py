@@ -544,14 +544,7 @@ def _t_measure(wkt: str, origin, direction) -> object:
     if wkt is None or wkt.endswith("EMPTY"):
         return Fraction(0)
     g = G.parse_wkt(wkt)
-    parts = [g] if g.kind in ("LineString", "Point") else [
-        Geometry(k, c)
-        for k, c in (
-            [("LineString", c) for c in g.coords]
-            if g.kind == "MultiLineString"
-            else []
-        )
-    ] if g.kind == "MultiLineString" else list(_flatten_gc(g))
+    parts = list(_flatten_gc(g))
     total = Fraction(0)
     ox, oy = origin
     dx, dy = direction
