@@ -77,7 +77,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # To make room, 5 of the 45 stale greens defer to round 9 — the five
 # lowest-risk rows (q03/q09 trivial relational, q49 serialization-only,
 # q58 bounded-oracle, q121 catalog listing), all on modules this
-# round's diff does not execute.
+# round's diff does not execute. q147 (applyInPandasWithState custom
+# stateful totals e2e, registered late in the round) claims one more
+# slot; q114 (r5-green compat flattening, exercised every round by
+# tests/test_sources.py) defers with the same rationale — final
+# arithmetic: 39 stale + 5 diff + 6 new = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -85,6 +89,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q49_st_asgeojson",
         "q58_approx_count_distinct",
         "q121_catalog_tables",
+        "q38_string_functions",
+        "q114_compat_flattened",
         "q103_stratified_sample",
         "q104_language_quota",
         "q105_mixture_weights",
@@ -131,7 +137,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q35_correlated_exists",
         "q36_date_functions",
         "q37_mod_function",
-        "q38_string_functions",
         "q39_case_expression",
         "q40_math_functions",
         "q41_st_point_accessors",

@@ -51,6 +51,7 @@ from ..sources.tables import load_table
 from ..streaming.windows import (
     read_events_stream,
     sessionized,
+    stateful_user_totals,
     stream_stream_join,
     tumbling_counts,
 )
@@ -337,5 +338,53 @@ def q142_stream_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "event_id long, user_id long, event_type string, "
             "ts_s string, value double",
+        )
+    return out
+
+
+# The sink holds one emission per (user, micro-batch touching the
+# user) with monotonically increasing n_events; the LAST emission per
+# user is the lifetime total, which is the batch oracle. The custom
+# stateful operator (streaming/windows.py stateful_user_totals) keeps
+# one (count, sum) pair per user in the state store across batches —
+# the per-entity-counter pattern windowed aggregation can't express.
+_Q147_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(COALESCE(value, 0)) * 1000000 + 0.5) AS BIGINT)
+             AS total_micro
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query("q147_stream_stateful_totals_e2e", oracle=_Q147_ORACLE)
+def q147_stream_stateful_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``) run BY THE
+    STREAMING ENGINE: per-user lifetime running totals whose state must
+    survive micro-batch boundaries — the banded replay guarantees most
+    users appear in several batches, so a state loss would shrink the
+    final counts. The last emission per user (max n_events — strictly
+    increasing per user) must equal the batch aggregation over the
+    whole events table. The sentinel (user_id = −1) emits like any key
+    and is filtered at the sink read; totals compare as micro-int."""
+    out = _run_staged_stream(
+        spark,
+        sf_dir,
+        "q147",
+        lambda src: stateful_user_totals(src()),
+        lambda t: t.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr(
+                "CAST(floor(max_by(total_value, n_events) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("total_micro"),
+        ),
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, total_micro long"
         )
     return out
