@@ -77,6 +77,7 @@ HEADLINE = [
     "q144_bloom_semijoin",
     "q145_inverted_index",
     "q146_st_symdifference",
+    "q148_st_affine",
     # The streaming e2e rows (q123/q137/q138, and r8's q142) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -34,3 +34,4 @@ def load_all() -> None:
     from . import cluster_ops  # noqa: F401
     from . import filter_ops  # noqa: F401
     from . import index_ops  # noqa: F401
+    from . import affine_ops  # noqa: F401

@@ -80,8 +80,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # round's diff does not execute. q147 (applyInPandasWithState custom
 # stateful totals e2e, registered late in the round) claims one more
 # slot; q114 (r5-green compat flattening, exercised every round by
-# tests/test_sources.py) defers with the same rationale — final
-# arithmetic: 39 stale + 5 diff + 6 new = 50.
+# tests/test_sources.py) and q17 (natural join — dead code in the
+# reference, trivial in Spark) defer with the same rationale to make
+# room for q147 and q148 — final arithmetic: 38 stale + 5 diff +
+# 7 new (q142-q148) = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -91,6 +93,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q121_catalog_tables",
         "q38_string_functions",
         "q114_compat_flattened",
+        "q17_natural_join",
         "q103_stratified_sample",
         "q104_language_quota",
         "q105_mixture_weights",
