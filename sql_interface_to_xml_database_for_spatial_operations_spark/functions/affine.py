@@ -103,7 +103,13 @@ def st_rotate(w: pd.Series, theta: pd.Series) -> pd.Series:
     )
 
 
+ALL_AFFINE_FUNCTIONS = {
+    "st_translate": st_translate,
+    "st_scale": st_scale,
+    "st_rotate": st_rotate,
+}
+
+
 def register_affine_functions(spark: SparkSession) -> None:
-    spark.udf.register("st_translate", st_translate)
-    spark.udf.register("st_scale", st_scale)
-    spark.udf.register("st_rotate", st_rotate)
+    for name, fn in ALL_AFFINE_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -1139,7 +1139,13 @@ def st_symdifference(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+ALL_OVERLAY_FUNCTIONS = {
+    "st_intersection": st_intersection,
+    "st_difference": st_difference,
+    "st_symdifference": st_symdifference,
+}
+
+
 def register_overlay_functions(spark: SparkSession) -> None:
-    spark.udf.register("st_intersection", st_intersection)
-    spark.udf.register("st_difference", st_difference)
-    spark.udf.register("st_symdifference", st_symdifference)
+    for name, fn in ALL_OVERLAY_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -30,6 +30,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simpli
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (  # noqa: E402
     register_union_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (  # noqa: E402
+    register_overlay_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (  # noqa: E402
+    register_affine_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -45,6 +51,8 @@ def spark():
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)
+    register_overlay_functions(s)
+    register_affine_functions(s)
     yield s
 
 

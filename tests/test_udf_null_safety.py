@@ -24,6 +24,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simpli
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.union_ops import (
     ALL_UNION_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+    ALL_OVERLAY_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (
+    ALL_AFFINE_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -34,6 +40,8 @@ _SWEPT = {
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
+    **ALL_OVERLAY_FUNCTIONS,
+    **ALL_AFFINE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -61,6 +69,12 @@ _NULL_ARGS = {
     "st_snaptogrid": f"{S}, {D}",
     "st_transform": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_azimuth": f"{S}, {S}",
+    "st_intersection": f"{S}, {S}",
+    "st_difference": f"{S}, {S}",
+    "st_symdifference": f"{S}, {S}",
+    "st_translate": f"{S}, {D}, {D}",
+    "st_scale": f"{S}, {D}, {D}",
+    "st_rotate": f"{S}, {D}",
 }
 
 
