@@ -191,3 +191,70 @@ def test_affine_query_is_map_only(spark):
     plan = formatted_plan(QUERIES["q148_st_affine"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestAffineProperties:
+    """Hypothesis invariants for the affine family: inverse round-trips
+    and measure behavior."""
+
+    def test_translate_roundtrip_exact(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (
+            translate_wkt,
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.integers(-50, 50), st.integers(-50, 50),
+            st.integers(-20, 20), st.integers(-20, 20),
+        )
+        def check(x, y, dx, dy):
+            w = f"POINT ({x} {y})"
+            # integer offsets: float arithmetic exact, round-trip identical
+            assert translate_wkt(translate_wkt(w, float(dx), float(dy)), float(-dx), float(-dy)) == w
+
+        check()
+
+    def test_rotate_preserves_area_and_inverts(self):
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (
+            rotate_wkt,
+            scale_wkt,
+        )
+
+        poly = "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"
+        rot = rotate_wkt(poly, 0.7)
+        assert abs(G.area(G.parse_wkt(rot)) - 8.0) < 1e-12
+        back = rotate_wkt(rot, -0.7)
+        for (ax, ay), (bx, by) in zip(
+            G.parse_wkt(back).coords[0], G.parse_wkt(poly).coords[0]
+        ):
+            assert math.hypot(ax - bx, ay - by) < 1e-14
+        # scale multiplies area by |sx*sy|
+        assert G.area(G.parse_wkt(scale_wkt(poly, 3.0, -0.5))) == 12.0
+
+
+class TestSqlSurface:
+    """The r8 functions through the engine's process_query facade (the
+    reference's user entry point, src/index.ts:349-371)."""
+
+    def test_symdifference_and_affine_in_sql(self, spark):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.engine import create_engine
+
+        eng = create_engine(spark, SF_DIR)
+        out = eng.process_query(
+            "SELECT st_symdifference("
+            "st_translate('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 1.0D, 1.0D),"
+            "'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))') AS sd"
+        )
+        # translate maps box a exactly onto box b -> typed EMPTY (the
+        # overlay's EMPTY WKT extension stays local to it by design)
+        assert out["rows"][0]["sd"] == "POLYGON EMPTY"
+        out2 = eng.process_query(
+            "SELECT st_scale(st_point(2.0, 3.0), 2.0D, -1.0D) AS p"
+        )
+        assert out2["rows"][0]["p"] == "POINT (4 -3)"
