@@ -30,6 +30,7 @@ projection.py).
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -37,49 +38,57 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 from . import geometry as G
-from .geometry import Geometry
+# projection.py owns the per-vertex traversal (raises on unknown kinds)
+# — reusing it instead of a near-verbatim copy (code-review r8: an
+# earlier copy here had silently dropped the unknown-kind guard)
+from .projection import _map_coords
+
+# The overlay functions emit typed EMPTY ('POLYGON EMPTY' etc.) and any
+# affine image of an empty set is that same empty set — accept the
+# extension so st_translate(st_symdifference(a, b), ...) composes
+# instead of collapsing EMPTY to NULL (code-review r8). Same pattern as
+# overlay._parse: the suffix alone on garbage stays NULL.
+_EMPTY_RE = re.compile(
+    r"^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+    r"GEOMETRYCOLLECTION)\s+EMPTY$"
+)
 
 
-def _map_coords(g: Geometry, f) -> Geometry:
-    if g.kind == "Point":
-        return Geometry("Point", f(g.coords))
-    if g.kind in ("LineString", "MultiPoint"):
-        return Geometry(g.kind, [f(p) for p in g.coords])
-    if g.kind in ("Polygon", "MultiLineString"):
-        return Geometry(g.kind, [[f(p) for p in ring] for ring in g.coords])
-    if g.kind == "MultiPolygon":
-        return Geometry(
-            g.kind, [[[f(p) for p in ring] for ring in poly] for poly in g.coords]
-        )
-    return Geometry("GeometryCollection", [_map_coords(s, f) for s in g.coords])
+def _null_num(*vals) -> bool:
+    # pandas hands SQL NULL doubles to the UDF as NaN, not None
+    # (code-review r8: an `is None` guard alone leaked 'POINT (nan 3)')
+    return any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals)
 
 
 def _affine_wkt(wkt, f) -> str | None:
     if wkt is None:
         return None
-    g = G.parse_wkt(wkt)
+    s = str(wkt).strip()
+    if _EMPTY_RE.match(s.upper()):
+        return s
+    g = G.parse_wkt(s)
     if g is None:
         return None
     return G.to_wkt(_map_coords(g, f))
 
 
 def translate_wkt(wkt, dx, dy) -> str | None:
-    if dx is None or dy is None:
+    if _null_num(dx, dy):
         return None
-    return _affine_wkt(wkt, lambda p: (p[0] + dx, p[1] + dy))
+    return _affine_wkt(wkt, lambda x, y: (x + dx, y + dy))
 
 
 def scale_wkt(wkt, sx, sy) -> str | None:
-    if sx is None or sy is None:
+    if _null_num(sx, sy):
         return None
-    return _affine_wkt(wkt, lambda p: (p[0] * sx, p[1] * sy))
+    return _affine_wkt(wkt, lambda x, y: (x * sx, y * sy))
 
 
 def rotate_wkt(wkt, theta) -> str | None:
-    if theta is None:
+    if _null_num(theta):
         return None
     c, s = math.cos(theta), math.sin(theta)
-    return _affine_wkt(wkt, lambda p: (p[0] * c - p[1] * s, p[0] * s + p[1] * c))
+    return _affine_wkt(wkt, lambda x, y: (x * c - y * s, x * s + y * c))
 
 
 @pandas_udf(StringType())

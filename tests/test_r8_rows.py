@@ -157,10 +157,17 @@ class TestAffine:
 
         x, y = map(float, re.findall(r"-?[\d.e-]+", got))
         assert abs(x) < 1e-15 and abs(y - 1) < 1e-15
-        # null-safety
+        # null-safety — incl. NaN, which is how pandas delivers SQL
+        # NULL doubles (code-review r8: is-None alone leaked NaN text)
         assert translate_wkt(None, 1.0, 1.0) is None
         assert translate_wkt("POINT (1 2)", None, 1.0) is None
+        assert translate_wkt("POINT (1 2)", float("nan"), 1.0) is None
+        assert rotate_wkt("POINT (1 2)", float("nan")) is None
         assert scale_wkt("NOT WKT", 1.0, 1.0) is None
+        # typed EMPTY (the overlay's output) passes through: the affine
+        # image of an empty set is the same empty set
+        assert translate_wkt("POLYGON EMPTY", 1.0, 1.0) == "POLYGON EMPTY"
+        assert scale_wkt("FOO EMPTY", 1.0, 1.0) is None
 
     def test_vanilla_session_registration(self, spark):
         # builtin-shadowing probe (verify-skill gotcha): the names must
