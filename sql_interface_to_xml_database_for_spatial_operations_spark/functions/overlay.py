@@ -14,12 +14,14 @@ outside it):
 - **point × anything** — membership tests (closure semantics: a point
   on a polygon boundary intersects it, matching PostGIS
   ``ST_Intersection``/``ST_Difference`` which operate on closures).
-  DOCUMENTED DIVERGENCE for dimensionally-collapsed results between
-  2-D inputs: polygon pairs sharing only a boundary return
-  ``POLYGON EMPTY`` where PostGIS returns the shared 1-D edge as a
-  LINESTRING — this engine's polygon kernels compute the
-  interior-overlap region (area consumers see the same 0 either way);
-  likewise a 1-D polygon∩line touch of zero length returns EMPTY.
+  Dimensionally-collapsed results between 2-D inputs match PostGIS
+  as of r8: polygon pairs sharing only a boundary return the shared
+  edges as LINESTRING spans (ring×ring collinear intersection) and
+  corner contacts as POINTs, and a tangent polygon∩line touch returns
+  the touch POINT. Remaining divergence: when the intersection has
+  BOTH a 2-D part and extra boundary contact outside it, only the 2-D
+  part is returned (PostGIS emits a mixed collection in that exotic
+  case).
 - **line × line** — exact: crossing/touch points plus the collinear
   shared spans (1-D interval intersection per collinear segment pair,
   dissolved into maximal spans at assembly; points covered by a span
@@ -337,10 +339,17 @@ def _point_in_closure(p: Pt, g: Geometry) -> bool:
     return G.intersects(Geometry("Point", p), g)
 
 
-def _clip_segment_convex(p: Pt, q: Pt, ring: list[Pt]) -> tuple[Pt, Pt] | None:
+def _clip_segment_convex(
+    p: Pt, q: Pt, ring: list[Pt], keep_touch: bool = False
+) -> tuple[Pt, Pt] | None:
     """Portion of segment p→q inside the closed convex ring (closure
     semantics), or None. Parametric half-plane clipping: every convex
-    ring edge constrains t ∈ [t0, t1]."""
+    ring edge constrains t ∈ [t0, t1]. ``keep_touch`` returns a
+    degenerate (pt, pt) pair for a single-point tangent touch instead
+    of None — the INTERSECTION path wants the touch point (PostGIS
+    parity), while the difference path must keep treating it as
+    nothing-to-subtract (a degenerate cut would resegment the minuend
+    at every tangency)."""
     if _signed_area_ring(ring) < 0:
         ring = ring[::-1]
     # Fraction bounds: a float 0.0/1.0 would drag the clip parameters
@@ -364,6 +373,9 @@ def _clip_segment_convex(p: Pt, q: Pt, ring: list[Pt]) -> tuple[Pt, Pt] | None:
         if t0 > t1:
             return None
     if t0 >= t1:
+        if keep_touch and t0 == t1:
+            a = (p[0] + t0 * dx, p[1] + t0 * dy)
+            return (a, a)
         return None  # touch at a single point: no 1-D piece
     a = (p[0] + t0 * dx, p[1] + t0 * dy)
     b = (p[0] + t1 * dx, p[1] + t1 * dy)
@@ -446,8 +458,17 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
             # pieces are interior-disjoint, so per-piece clips of one
             # segment are disjoint sub-segments
             for ring in rings:
-                seg = _clip_segment_convex(p, q, ring)
-                if seg is not None:
+                seg = _clip_segment_convex(p, q, ring, keep_touch=True)
+                if seg is None:
+                    continue
+                if seg[0] == seg[1]:
+                    # zero-length clip = tangent touch: PostGIS returns
+                    # the touch POINT, not EMPTY (r8 — the old path
+                    # dropped it as a degenerate line). Seam touches at
+                    # interior piece boundaries are subsumed by the
+                    # adjacent pieces' spans at assembly.
+                    pieces.append(Geometry("Point", seg[0]))
+                else:
                     pieces.append(Geometry("LineString", [seg[0], seg[1]]))
         return pieces
 
@@ -462,7 +483,7 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
                 c = _rect_clip(car, cbr)
                 if c is not None:
                     out.append(c)
-        return out
+        return out if out else _polygon_boundary_contact(a, b)
 
     pa, pb = _convex_pieces_of(a.coords), _convex_pieces_of(b.coords)
     if pa is None or pb is None:
@@ -473,6 +494,25 @@ def _pair_intersection(a: Geometry, b: Geometry) -> list:
             ring = _clip_to_poly(car, cbr)
             if ring:
                 pieces.append(Geometry("Polygon", [ring]))
+    return pieces if pieces else _polygon_boundary_contact(a, b)
+
+
+def _polygon_boundary_contact(a: Geometry, b: Geometry) -> list:
+    """0-/1-D contact of two polygons whose INTERIORS do not overlap
+    (both clip kernels return pieces iff the intersection has positive
+    area, so an empty piece set routes here): the pairwise ring×ring
+    line intersection — shared edges come back as collinear spans,
+    corner touches as points, and disjoint pairs as nothing. This is
+    the PostGIS result shape for touching polygons (r8 — previously a
+    documented EMPTY divergence)."""
+    pieces: list = []
+    for ra in a.coords:
+        for rb in b.coords:
+            pieces.extend(
+                _pair_intersection(
+                    Geometry("LineString", ra), Geometry("LineString", rb)
+                )
+            )
     return pieces
 
 

@@ -56,9 +56,23 @@ class TestKnownCases:
 
     def test_edge_touch_only(self):
         nbr = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
-        # shared edge has zero area: intersection of interiors is empty
-        assert intersection_wkt(BOX, nbr) == "POLYGON EMPTY"
+        # r8 PostGIS parity: touching polygons return the shared
+        # boundary (1-D), corner contacts a POINT — not EMPTY
+        assert intersection_wkt(BOX, nbr) == "LINESTRING (10 0, 10 10)"
         assert _area(difference_wkt(BOX, nbr)) == 100.0
+        partial = "POLYGON ((10 2, 20 2, 20 8, 10 8, 10 2))"
+        assert intersection_wkt(BOX, partial) == "LINESTRING (10 2, 10 8)"
+        corner = "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"
+        assert intersection_wkt(BOX, corner) == "POINT (10 10)"
+        # tangent line x polygon touch is the touch point now too
+        assert intersection_wkt("LINESTRING (9 11, 11 9)", BOX) == "POINT (10 10)"
+        # triangles (convex path) sharing a corner
+        assert (
+            intersection_wkt(
+                "POLYGON ((0 0, 4 0, 2 4, 0 0))", "POLYGON ((4 0, 8 0, 6 4, 4 0))"
+            )
+            == "POINT (4 0)"
+        )
 
     def test_lshape_difference_splits(self):
         lsh = "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"
@@ -469,12 +483,26 @@ def test_convex_intersection_properties(wa, wb):
     if not inter.endswith("EMPTY"):
         gi = G.parse_wkt(inter)
         ga, gb = G.parse_wkt(wa), G.parse_wkt(wb)
-        for x, y in gi.coords[0]:
+        for x, y in _vertices_of(gi):
             # clip vertices carry ≤1-ulp FP error off the true boundary
             # point, so membership is asserted within 1e-9
             pt = G.Geometry("Point", (x, y))
             assert G.distance(pt, ga) <= 1e-9
             assert G.distance(pt, gb) <= 1e-9
+
+
+def _vertices_of(g):
+    """All vertex tuples of any geometry kind (r8: touching convex
+    pairs return LINESTRING/POINT contact, not just polygons)."""
+    if g.kind == "Point":
+        return [g.coords]
+    if g.kind in ("LineString", "MultiPoint"):
+        return list(g.coords)
+    if g.kind in ("Polygon", "MultiLineString"):
+        return [p for seq in g.coords for p in seq]
+    if g.kind == "MultiPolygon":
+        return [p for poly in g.coords for ring in poly for p in ring]
+    return [p for sub in g.coords for p in _vertices_of(sub)]
 
 
 # ---------------------------------------------------------------------------
