@@ -677,3 +677,46 @@ def _collinear_segs(sa, sb):
         dx * (by1 - by0) - dy * (bx1 - bx0) == 0
         and (bx0 - ax0) * dy == (by0 - ay0) * dx
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(-5, 5), st.integers(-5, 5),
+    st.integers(1, 5), st.integers(1, 5),
+    st.integers(-4, 4), st.integers(1, 5),
+    st.booleans(),
+)
+def test_touching_rects_return_shared_boundary(x0, y0, w, h, off, ext, vertical):
+    """r8 boundary-contact path: two rectangles sharing (part of) an
+    edge intersect in exactly the shared closed segment — or the corner
+    point when the 1-D extents only touch; disjoint extents give EMPTY."""
+    ax0, ay0, ax1, ay1 = x0, y0, x0 + w, y0 + h
+    if vertical:
+        # B sits to the right of A, sharing the x = ax1 line
+        bx0, by0, bx1, by1 = ax1, y0 + off, ax1 + 2, y0 + off + ext
+        lo, hi = max(ay0, by0), min(ay1, by1)
+        expect_pts = [(ax1, lo), (ax1, hi)]
+    else:
+        # B sits above A, sharing the y = ay1 line
+        bx0, by0, bx1, by1 = x0 + off, ay1, x0 + off + ext, ay1 + 2
+        lo, hi = max(ax0, bx0), min(ax1, bx1)
+        expect_pts = [(lo, ay1), (hi, ay1)]
+    wa = f"POLYGON (({ax0} {ay0}, {ax1} {ay0}, {ax1} {ay1}, {ax0} {ay1}, {ax0} {ay0}))"
+    wb = f"POLYGON (({bx0} {by0}, {bx1} {by0}, {bx1} {by1}, {bx0} {by1}, {bx0} {by0}))"
+    got = intersection_wkt(wa, wb)
+    if lo > hi:
+        assert got == "POLYGON EMPTY"
+    elif lo == hi:
+        (px, py) = expect_pts[0]
+        assert got == f"POINT ({px} {py})"
+    else:
+        (p0x, p0y), (p1x, p1y) = expect_pts
+        # one maximal span on the shared line, either direction
+        assert got in (
+            f"LINESTRING ({p0x} {p0y}, {p1x} {p1y})",
+            f"LINESTRING ({p1x} {p1y}, {p0x} {p0y})",
+        ), (wa, wb, got)
+    # and symmetric
+    assert intersection_wkt(wb, wa) == got or (
+        got.startswith("LINESTRING") and intersection_wkt(wb, wa).startswith("LINESTRING")
+    )
