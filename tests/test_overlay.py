@@ -720,3 +720,23 @@ def test_touching_rects_return_shared_boundary(x0, y0, w, h, off, ext, vertical)
     assert intersection_wkt(wb, wa) == got or (
         got.startswith("LINESTRING") and intersection_wkt(wb, wa).startswith("LINESTRING")
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_int_rects(), _int_rects())
+def test_rectilinear_symdifference_matches_bruteforce(ra, rb):
+    """aΔb over arbitrary rectilinear unions equals the unit-cell XOR
+    truth, commutes, and satisfies inclusion–exclusion (r8)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+        symdifference_wkt,
+    )
+
+    ga = U.union_geoms([G.Geometry.box(*r) for r in ra])
+    gb = U.union_geoms([G.Geometry.box(*r) for r in rb])
+    wa, wb = G.to_wkt(ga), G.to_wkt(gb)
+    ca, cb = _cells(ra), _cells(rb)
+    sym = symdifference_wkt(wa, wb)
+    assert sym is not None
+    assert _area(sym) == float(len(ca ^ cb)), (wa, wb, sym)
+    assert _area(symdifference_wkt(wb, wa)) == _area(sym)
+    assert _area(sym) == _area(wa) + _area(wb) - 2 * _area(intersection_wkt(wa, wb))
