@@ -64,8 +64,11 @@ def _affine_wkt(wkt, f) -> str | None:
     if wkt is None:
         return None
     s = str(wkt).strip()
-    if _EMPTY_RE.match(s.upper()):
-        return s
+    m = _EMPTY_RE.match(s.upper())
+    if m:
+        # canonical form, not the input verbatim (code-review r8:
+        # 'polygon  empty' must not leak through un-normalized)
+        return f"{m.group(1)} EMPTY"
     g = G.parse_wkt(s)
     if g is None:
         return None

@@ -507,13 +507,28 @@ def _polygon_boundary_contact(a: Geometry, b: Geometry) -> list:
     documented EMPTY divergence)."""
     pieces: list = []
     for ra in a.coords:
+        (ax0, ay0, ax1, ay1) = _ring_bbox(ra)
         for rb in b.coords:
+            # INCLUSIVE bbox prescreen (code-review r8: without it,
+            # every fully-disjoint candidate pair paid the O(Va·Vb)
+            # exact-rational segment sweep; strict overlap would
+            # wrongly reject edge-touching pairs, the whole point here)
+            (bx0, by0, bx1, by1) = _ring_bbox(rb)
+            if ax0 > bx1 or bx0 > ax1 or ay0 > by1 or by0 > ay1:
+                continue
             pieces.extend(
                 _pair_intersection(
                     Geometry("LineString", ra), Geometry("LineString", rb)
                 )
             )
-    return pieces
+    # GEOS emits a touching-polygon boundary as MAXIMAL linework —
+    # dissolve collinear spans, then chain contiguous edges (a hole
+    # ring's contact is one closed LINESTRING, an L-contact one open
+    # chain). Scoped HERE, not in _assemble: line-INPUT overlays stay
+    # noded per piece (GEOS does not linemerge those results).
+    spans = [p for p in pieces if p.kind == "LineString"]
+    others = [p for p in pieces if p.kind != "LineString"]
+    return others + _merge_contiguous_lines(_dissolve_collinear_spans(spans))
 
 
 def _is_simple_ring(ring_closed: list[Pt]) -> bool:
@@ -1004,6 +1019,81 @@ def _dissolve_collinear_spans(lines: list[Geometry]) -> list[Geometry]:
     return out
 
 
+def _collinear_contains(e0: Pt, e1: Pt, u: Pt, v: Pt) -> bool:
+    """True iff segment u→v lies entirely on segment e0→e1 (collinear
+    1-D containment, exact). Used for contact-span subsumption: a
+    boundary-contact span is always a sub-segment of some input ring
+    edge, so coverage by a polygon PIECE shows up as containment in one
+    of that piece's ring edges."""
+    dx, dy = e1[0] - e0[0], e1[1] - e0[1]
+    if dx == 0 and dy == 0:
+        return False
+    for p in (u, v):
+        if (p[0] - e0[0]) * dy != (p[1] - e0[1]) * dx:
+            return False  # not on the edge's carrier line
+    ax = 0 if abs(dx) >= abs(dy) else 1
+    lo, hi = sorted((e0[ax], e1[ax]))
+    return all(lo <= p[ax] <= hi for p in (u, v))
+
+
+def _merge_contiguous_lines(lines: list[Geometry]) -> list[Geometry]:
+    """GEOS-linemerge-style chaining: join line pieces end-to-end at
+    nodes where EXACTLY two line ends meet (code-review r8: the
+    boundary contact of a polygon with a hole came back as four
+    2-point segments where PostGIS returns the single closed ring).
+    Walks are deterministic — paths start from the first unmerged
+    piece in input order, preferring non-degree-2 start nodes so open
+    chains keep their first piece's direction; pure cycles close into
+    a ring starting at that first piece."""
+    if len(lines) <= 1:
+        return lines
+    degree: dict[Pt, int] = {}
+    for ln in lines:
+        if ln.coords[0] == ln.coords[-1]:
+            continue  # already closed: not mergeable
+        for end in (ln.coords[0], ln.coords[-1]):
+            degree[end] = degree.get(end, 0) + 1
+    used = [False] * len(lines)
+    by_end: dict[Pt, list[int]] = {}
+    for i, ln in enumerate(lines):
+        if ln.coords[0] != ln.coords[-1]:
+            for end in (ln.coords[0], ln.coords[-1]):
+                by_end.setdefault(end, []).append(i)
+    out: list[Geometry] = [
+        ln for i, ln in enumerate(lines) if ln.coords[0] == ln.coords[-1]
+    ]
+    for i, ln in enumerate(lines):
+        if used[i] or ln.coords[0] == ln.coords[-1]:
+            continue
+        used[i] = True
+        chain = list(ln.coords)
+        # If the chain's start is a degree-2 node, the path continues
+        # backwards too — extend both ends until hitting a non-2 node
+        # or closing a cycle.
+        for backwards in (False, True):
+            while True:
+                tip = chain[0] if backwards else chain[-1]
+                if degree.get(tip, 0) != 2 or chain[0] == chain[-1]:
+                    break
+                nxt = next(
+                    (j for j in by_end.get(tip, []) if not used[j]), None
+                )
+                if nxt is None:
+                    break
+                used[nxt] = True
+                seg = list(lines[nxt].coords)
+                if backwards:
+                    if seg[-1] != tip:
+                        seg = seg[::-1]
+                    chain = seg[:-1] + chain
+                else:
+                    if seg[0] != tip:
+                        seg = seg[::-1]
+                    chain = chain + seg[1:]
+        out.append(Geometry("LineString", chain))
+    return out
+
+
 def _assemble(pieces: list) -> Geometry | None:
     """Combine disjoint pieces (Geometry parts and cell Rects) into one
     geometry; None means EMPTY."""
@@ -1017,11 +1107,14 @@ def _assemble(pieces: list) -> Geometry | None:
     lines = _dissolve_collinear_spans(
         [g for g in geoms if g.kind == "LineString"]
     )
-    if pts and lines:
-        # a point lying on a line piece is subsumed by it — PostGIS
-        # never emits a collection member covered by a higher-dim
-        # member (crossing points of a line pair that also shares a
-        # collinear span land here)
+    polys = [g for g in geoms if g.kind == "Polygon"]
+    # PostGIS never emits a collection member covered by a higher-dim
+    # member: drop points lying on a line piece or in a polygon piece's
+    # closure, and 2-point contact spans collinearly contained in a
+    # polygon piece's ring edge (code-review r8: a Multi* part's
+    # corner-touch point survived next to a sibling part's full 2-D
+    # piece). Both tests are exact.
+    if pts and (lines or polys):
         pts = [
             g
             for g in pts
@@ -1030,8 +1123,23 @@ def _assemble(pieces: list) -> Geometry | None:
                 for ln in lines
                 for c0, c1 in zip(ln.coords, ln.coords[1:])
             )
+            and not any(_point_in_closure(g.coords, pg) for pg in polys)
         ]
-    polys = [g for g in geoms if g.kind == "Polygon"]
+    if lines and polys:
+        edges = [
+            (c0, c1)
+            for pg in polys
+            for ring in pg.coords
+            for c0, c1 in zip(ring, ring[1:])
+        ]
+        lines = [
+            ln
+            for ln in lines
+            if not (
+                len(ln.coords) == 2
+                and any(_collinear_contains(e0, e1, *ln.coords) for e0, e1 in edges)
+            )
+        ]
     if not (pts or lines or polys):
         return None
     kinds = [bool(pts), bool(lines), bool(polys)].count(True)

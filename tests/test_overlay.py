@@ -740,3 +740,52 @@ def test_rectilinear_symdifference_matches_bruteforce(ra, rb):
     assert _area(sym) == float(len(ca ^ cb)), (wa, wb, sym)
     assert _area(symdifference_wkt(wb, wa)) == _area(sym)
     assert _area(sym) == _area(wa) + _area(wb) - 2 * _area(intersection_wkt(wa, wb))
+
+
+class TestBoundaryContactShapes:
+    """Second-review findings (r8): covered members subsumed, contact
+    chains merged into maximal linework, contact scoped per pair."""
+
+    def test_multipart_corner_touch_subsumed_by_area_piece(self):
+        got = intersection_wkt(
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+            "((10 10, 20 10, 20 20, 10 20, 10 10)))",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        )
+        # the sibling part's corner touch at (10,10) is covered by the
+        # 2-D piece: PostGIS returns just the polygon
+        assert got == "POLYGON ((0 10, 0 0, 10 0, 10 10, 0 10))"
+
+    def test_hole_contact_is_one_closed_ring(self):
+        got = intersection_wkt(
+            "POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0), "
+            "(10 10, 10 20, 20 20, 20 10, 10 10))",
+            "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))",
+        )
+        assert got == "LINESTRING (10 10, 10 20, 20 20, 20 10, 10 10)"
+
+    def test_l_contact_is_one_open_chain(self):
+        got = intersection_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "POLYGON ((10 0, 20 0, 20 20, 0 20, 0 10, 10 10, 10 0))",
+        )
+        assert got == "LINESTRING (10 0, 10 10, 0 10)"
+
+    def test_line_input_overlays_stay_noded(self):
+        # GEOS does NOT linemerge line-input results: perpendicular
+        # touching lines symdifference to two pieces, not one chain
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            symdifference_wkt,
+        )
+
+        assert (
+            symdifference_wkt("LINESTRING (0 0, 0 1)", "LINESTRING (0 0, 1 0)")
+            == "MULTILINESTRING ((0 0, 0 1), (0 0, 1 0))"
+        )
+
+    def test_affine_empty_is_canonical(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (
+            translate_wkt,
+        )
+
+        assert translate_wkt("polygon  empty", 1.0, 1.0) == "POLYGON EMPTY"
