@@ -78,6 +78,7 @@ HEADLINE = [
     "q145_inverted_index",
     "q146_st_symdifference",
     "q148_st_affine",
+    "q149_st_linework",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.affine import register_affine_functions
+from .functions.linework import register_linework_functions
 from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
 from .functions.relations import register_relation_functions
@@ -64,6 +65,7 @@ class SpatialSQLEngine:
         register_projection_functions(self.spark)
         register_overlay_functions(self.spark)
         register_affine_functions(self.spark)
+        register_linework_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

@@ -35,3 +35,4 @@ def load_all() -> None:
     from . import filter_ops  # noqa: F401
     from . import index_ops  # noqa: F401
     from . import affine_ops  # noqa: F401
+    from . import linework_ops  # noqa: F401

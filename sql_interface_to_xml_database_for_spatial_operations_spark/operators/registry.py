@@ -78,12 +78,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # lowest-risk rows (q03/q09 trivial relational, q49 serialization-only,
 # q58 bounded-oracle, q121 catalog listing), all on modules this
 # round's diff does not execute. q147 (applyInPandasWithState custom
-# stateful totals e2e, registered late in the round) claims one more
-# slot; q114 (r5-green compat flattening, exercised every round by
-# tests/test_sources.py) and q17 (natural join — dead code in the
-# reference, trivial in Spark) defer with the same rationale to make
-# room for q147 and q148 — final arithmetic: 38 stale + 5 diff +
-# 7 new (q142-q148) = 50.
+# stateful totals e2e), q148 (affine family) and q149 (linework
+# family) were registered late in the round and claim three more
+# slots; q114 (r5-green compat flattening, exercised every round by
+# tests/test_sources.py), q17 (natural join — dead code in the
+# reference, trivial in Spark) and q04 (trivial aliasing) defer with
+# the same new-outranks-recheck rationale — final arithmetic: 37
+# stale + 5 diff + 8 new (q142-q149) = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -92,6 +93,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q58_approx_count_distinct",
         "q121_catalog_tables",
         "q38_string_functions",
+        "q04_alias_expressions",
         "q114_compat_flattened",
         "q17_natural_join",
         "q103_stratified_sample",

@@ -36,6 +36,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overla
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (  # noqa: E402
     register_affine_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linework import (  # noqa: E402
+    register_linework_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -53,6 +56,7 @@ def spark():
     register_projection_functions(s)
     register_overlay_functions(s)
     register_affine_functions(s)
+    register_linework_functions(s)
     yield s
 
 

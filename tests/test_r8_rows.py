@@ -265,3 +265,45 @@ class TestSqlSurface:
             "SELECT st_scale(st_point(2.0, 3.0), 2.0D, -1.0D) AS p"
         )
         assert out2["rows"][0]["p"] == "POINT (4 -3)"
+
+
+class TestLinework:
+    def test_q149_parity(self, spark, oracle):
+        q = QUERIES["q149_st_linework"]
+        assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, q.name)
+
+    def test_linemerge_semantics(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linework import (
+            linemerge_wkt,
+            reverse_wkt,
+        )
+
+        # cycle closes into one ring
+        assert (
+            linemerge_wkt(
+                "MULTILINESTRING ((0 0, 4 0), (4 0, 4 3), (4 3, 0 3), (0 3, 0 0))"
+            )
+            == "LINESTRING (0 0, 4 0, 4 3, 0 3, 0 0)"
+        )
+        # T-junction (degree-3 node) must NOT merge
+        assert (
+            linemerge_wkt("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))")
+            == "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (1 0, 1 5))"
+        )
+        # non-lineal input -> GEOMETRYCOLLECTION EMPTY (PostGIS)
+        assert linemerge_wkt("POINT (1 1)") == "GEOMETRYCOLLECTION EMPTY"
+        assert linemerge_wkt("LINESTRING EMPTY") == "GEOMETRYCOLLECTION EMPTY"
+        assert linemerge_wkt(None) is None and linemerge_wkt("JUNK ((") is None
+        # single linestring passes through
+        assert linemerge_wkt("LINESTRING (0 0, 1 1)") == "LINESTRING (0 0, 1 1)"
+        # reverse
+        assert reverse_wkt("LINESTRING (0 0, 1 0, 2 2)") == "LINESTRING (2 2, 1 0, 0 0)"
+        assert (
+            reverse_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+            == "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
+        )
+        assert reverse_wkt("POINT (1 1)") == "POINT (1 1)"
+        assert reverse_wkt("polygon empty") == "POLYGON EMPTY"
+        # reverse is an involution
+        w = "MULTILINESTRING ((0 0, 1 0, 1 1), (5 5, 6 5))"
+        assert reverse_wkt(reverse_wkt(w)) == w

@@ -30,6 +30,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overla
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine import (
     ALL_AFFINE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linework import (
+    ALL_LINEWORK_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -42,6 +45,7 @@ _SWEPT = {
     **ALL_PROJECTION_FUNCTIONS,
     **ALL_OVERLAY_FUNCTIONS,
     **ALL_AFFINE_FUNCTIONS,
+    **ALL_LINEWORK_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
