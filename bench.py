@@ -79,6 +79,8 @@ HEADLINE = [
     "q146_st_symdifference",
     "q148_st_affine",
     "q149_st_linework",
+    "q150_st_accessors",
+    "q152_st_linear_referencing",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -17,7 +17,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.accessors import register_accessor_functions
 from .functions.affine import register_affine_functions
+from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
 from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
@@ -66,6 +68,8 @@ class SpatialSQLEngine:
         register_overlay_functions(self.spark)
         register_affine_functions(self.spark)
         register_linework_functions(self.spark)
+        register_accessor_functions(self.spark)
+        register_linearref_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

@@ -36,3 +36,5 @@ def load_all() -> None:
     from . import index_ops  # noqa: F401
     from . import affine_ops  # noqa: F401
     from . import linework_ops  # noqa: F401
+    from . import accessor_ops  # noqa: F401
+    from . import linearref_ops  # noqa: F401

@@ -1,0 +1,159 @@
+"""Driver row for the linear-referencing family
+(functions/linearref.py) — reference F12 surface (src/index.ts:44-63).
+
+Fixture: the open L-path ``D = bl → br → tr`` along each nation box's
+bottom then right edge. Widths w = 30 + (key%3)*15 and heights
+h = 20 + (key%2)*10 are integers, so every expected value has a
+closed form the oracle computes directly in SQL:
+
+- ``interp_mid``: ST_LineInterpolatePoint(D, 0.5) at arc distance
+  d = (w+h)/2 — on the bottom edge when d ≤ w, else up the right
+  edge. Exercises both branches AND the exact-corner case (w = h = 30
+  → d = w lands exactly on the corner vertex).
+- ``interp_ends``: fractions 0 and 1 → the path endpoints.
+- ``locate``: ST_LineLocatePoint at the corner (maxx, miny) →
+  w/(w+h), and at the off-line probe (minx+10, miny+5) — 5 below the
+  bottom-edge projection (minx+10, miny) but ≥ 20 from the right edge
+  → 10/(w+h).
+- ``substr``: ST_LineSubstring(D, 0.25, 0.75) → length is exactly
+  (w+h)/2; vertex count is 3 when the slice spans the corner and 2
+  when 0.75·(w+h) = w makes the corner the slice's endpoint (exactly
+  the w=60, h=20 boxes — the corner-exact edge case is IN the oracle).
+- ``closest``: ST_ClosestPoint(D, probe) = (minx+10, miny) and
+  ST_ShortestLine length = exactly 5.
+
+Values compare micro-int (the q130/q131 idiom — floor(v·1e6 + 0.5)):
+projections/interpolations are exact-rational here (axis-parallel
+integer segments), but the UDF path goes through libm sqrt/divide, so
+the quantum absorbs sub-1e-8 ulp noise; every expected value sits ≥
+0.25 away from the nearest half-quantum boundary except the designed
+exact values, which both engines compute from identical closed forms.
+
+Scale shape: map-only pandas UDFs over the 25-row nation projection —
+no shuffle. New module so linework_ops.py / geo_fn_ops.py
+fingerprints stay untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.accessors import register_accessor_functions
+    from ..functions.linearref import register_linearref_functions
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    register_accessor_functions(spark)  # st_numpoints counts slice vertices
+    register_linearref_functions(spark)
+
+
+def _i(expr: str) -> str:
+    return f"CAST(CAST({expr} AS BIGINT) AS STRING)"
+
+
+_PT_BL = f"{_i('minx')} || ' ' || {_i('miny')}"
+_PT_BR = f"{_i('maxx')} || ' ' || {_i('miny')}"
+_PT_TR = f"{_i('maxx')} || ' ' || {_i('maxy')}"
+_D_IN = f"'LINESTRING (' || {_PT_BL} || ', ' || {_PT_BR} || ', ' || {_PT_TR} || ')'"
+_CORNER_PT = f"'POINT (' || {_PT_BR} || ')'"
+_PROBE_PT = f"'POINT (' || {_i('minx + 10')} || ' ' || {_i('miny + 5')} || ')'"
+
+_MU = "CAST(floor(({v}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _mu(v: str) -> str:
+    return _MU.format(v=v)
+
+
+# closed forms shared by both oracle and comments: w, h, t = w + h
+_W = "(maxx - minx)"
+_H = "(maxy - miny)"
+_T = f"({_W} + {_H})"
+
+_Q152_ORACLE = f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT 'interp_mid' AS fam, n_nationkey AS key,
+           {_mu(f"CASE WHEN {_T} / 2 <= {_W} THEN minx + {_T} / 2 ELSE maxx END")} AS a,
+           {_mu(f"CASE WHEN {_T} / 2 <= {_W} THEN miny ELSE miny + {_T} / 2 - {_W} END")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'interp_ends' AS fam, n_nationkey AS key,
+           {_mu("minx")} AS a, {_mu("maxy")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'locate' AS fam, n_nationkey AS key,
+           {_mu(f"{_W} / {_T}")} AS a, {_mu(f"10.0 / {_T}")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'substr' AS fam, n_nationkey AS key,
+           {_mu(f"{_T} / 2")} AS a,
+           CASE WHEN 0.75 * {_T} = {_W} THEN 2 ELSE 3 END AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'closest' AS fam, n_nationkey AS key,
+           {_mu("minx + 10")} AS a, {_mu("miny")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'shortline' AS fam, n_nationkey AS key,
+           {_mu("5.0")} AS a, CAST(0 AS BIGINT) AS b
+    FROM boxes
+"""
+
+
+@query("q152_st_linear_referencing", oracle=_Q152_ORACLE)
+def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 linear referencing: interpolate / locate / substring /
+    closest-point / shortest-line over the integer L-path, every
+    expected value a SQL closed form compared micro-int (module
+    docstring)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+
+    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
+        return boxes.select(
+            F.lit(name).alias("fam"),
+            F.col("n_nationkey").alias("key"),
+            F.expr(a_expr).alias("a"),
+            F.expr(b_expr).alias("b"),
+        )
+
+    interp_mid = fam(
+        "interp_mid",
+        _mu(f"st_x(st_lineinterpolatepoint({_D_IN}, 0.5))"),
+        _mu(f"st_y(st_lineinterpolatepoint({_D_IN}, 0.5))"),
+    )
+    interp_ends = fam(
+        "interp_ends",
+        _mu(f"st_x(st_lineinterpolatepoint({_D_IN}, 0.0))"),
+        _mu(f"st_y(st_lineinterpolatepoint({_D_IN}, 1.0))"),
+    )
+    locate = fam(
+        "locate",
+        _mu(f"st_linelocatepoint({_D_IN}, {_CORNER_PT})"),
+        _mu(f"st_linelocatepoint({_D_IN}, {_PROBE_PT})"),
+    )
+    substr = fam(
+        "substr",
+        _mu(f"st_length(st_linesubstring({_D_IN}, 0.25, 0.75))"),
+        f"CAST(st_numpoints(st_linesubstring({_D_IN}, 0.25, 0.75)) AS BIGINT)",
+    )
+    closest = fam(
+        "closest",
+        _mu(f"st_x(st_closestpoint({_D_IN}, {_PROBE_PT}))"),
+        _mu(f"st_y(st_closestpoint({_D_IN}, {_PROBE_PT}))"),
+    )
+    shortline = fam(
+        "shortline",
+        _mu(f"st_length(st_shortestline({_D_IN}, {_PROBE_PT}))"),
+        "CAST(0 AS BIGINT)",
+    )
+    out = interp_mid
+    for part in (interp_ends, locate, substr, closest, shortline):
+        out = out.unionByName(part)
+    return out

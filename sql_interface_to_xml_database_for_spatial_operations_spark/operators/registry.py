@@ -83,8 +83,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # slots; q114 (r5-green compat flattening, exercised every round by
 # tests/test_sources.py), q17 (natural join — dead code in the
 # reference, trivial in Spark) and q04 (trivial aliasing) defer with
-# the same new-outranks-recheck rationale — final arithmetic: 37
-# stale + 5 diff + 8 new (q142-q149) = 50.
+# the same new-outranks-recheck rationale. q150/q151 (accessor +
+# boundary families) and q152 (linear referencing) land even later
+# and claim three more slots; q06/q07 (trivial IN / NOT IN
+# relational rows, module untouched this round) and q10 (trivial
+# BETWEEN) defer — final arithmetic: 34 stale + 5 diff + 11 new
+# (q142-q152) = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -96,6 +100,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q04_alias_expressions",
         "q114_compat_flattened",
         "q17_natural_join",
+        "q06_in_list",
+        "q07_not_in_list",
+        "q10_between_range",
         "q103_stratified_sample",
         "q104_language_quota",
         "q105_mixture_weights",

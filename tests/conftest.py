@@ -39,6 +39,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linework import (  # noqa: E402
     register_linework_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.accessors import (  # noqa: E402
+    register_accessor_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (  # noqa: E402
+    register_linearref_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -57,6 +63,8 @@ def spark():
     register_overlay_functions(s)
     register_affine_functions(s)
     register_linework_functions(s)
+    register_accessor_functions(s)
+    register_linearref_functions(s)
     yield s
 
 

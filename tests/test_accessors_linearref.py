@@ -1,0 +1,173 @@
+"""Kernel tests for functions/accessors.py and functions/linearref.py —
+PostGIS edge semantics pinned at the Python level (the driver rows
+q150-q152 pin the SQL/oracle level)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    accessors as A,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    linearref as L,
+)
+
+D = "LINESTRING (0 0, 30 0, 30 20)"
+RING = "LINESTRING (0 0, 30 0, 30 20, 0 20, 0 0)"
+BOW = "LINESTRING (0 0, 30 20, 30 0, 0 20, 0 0)"
+HOLED = "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+BOX = "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))"
+
+
+class TestAccessors:
+    def test_numgeometries_counts_parts_and_empty(self):
+        assert A.num_geometries("MULTIPOINT (1 1, 2 2, 3 3)") == 3
+        assert A.num_geometries("GEOMETRYCOLLECTION (POINT (1 1), " + BOX + ")") == 2
+        assert A.num_geometries(BOX) == 1
+        assert A.num_geometries("MULTIPOLYGON EMPTY") == 0
+        assert A.num_geometries("junk") is None
+
+    def test_geometryn_single_geometry_is_its_own_part_one(self):
+        # PostGIS 2.0: ST_GeometryN(non-collection, 1) = the geometry
+        assert A.geometry_n(BOX, 1) == BOX
+        assert A.geometry_n(BOX, 2) is None
+        assert A.geometry_n("MULTIPOINT (5 6, 7 8)", 2) == "POINT (7 8)"
+        assert A.geometry_n("MULTIPOINT (5 6, 7 8)", 0) is None
+
+    def test_numpoints_linestring_only(self):
+        assert A.num_points(D) == 3
+        assert A.num_points(BOX) is None  # PostGIS: NULL for non-linestring
+        assert A.num_points("POINT (1 1)") is None
+
+    def test_pointn_negative_counts_from_end(self):
+        assert A.point_n(D, 1) == "POINT (0 0)"
+        assert A.point_n(D, -3) == "POINT (0 0)"
+        assert A.point_n(D, -1) == "POINT (30 20)"
+        assert A.point_n(D, 4) is None and A.point_n(D, -4) is None
+        assert A.point_n(D, 0) is None
+
+    def test_rings(self):
+        assert A.exterior_ring(HOLED) == "LINESTRING (0 0, 30 0, 30 20, 0 20, 0 0)"
+        assert A.num_interior_rings(HOLED) == 1 and A.num_interior_rings(BOX) == 0
+        assert A.interior_ring_n(HOLED, 1) == "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+        assert A.interior_ring_n(HOLED, 2) is None
+        assert A.exterior_ring(D) is None  # polygon-only
+        assert A.num_interior_rings("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))") is None
+
+    def test_closure_predicates(self):
+        assert A.is_closed(RING) is True and A.is_closed(D) is False
+        assert A.is_closed("POINT (1 1)") is True  # PostGIS: points are closed
+        assert A.is_closed(BOX) is True
+        assert A.is_closed("MULTILINESTRING ((0 0, 1 0, 0 0), (2 2, 3 3, 2 2))") is True
+        assert A.is_closed("MULTILINESTRING ((0 0, 1 0, 0 0), (2 2, 3 3))") is False
+        assert A.is_closed("LINESTRING EMPTY") is False  # JTS convention
+
+    def test_isring_requires_closed_and_simple(self):
+        assert A.is_ring(RING) is True
+        assert A.is_ring(BOW) is False  # closed but self-crossing
+        assert A.is_ring(D) is False  # simple but open
+        assert A.is_ring(BOX) is None  # LINESTRING-only
+
+    def test_isempty(self):
+        assert A.is_empty("GEOMETRYCOLLECTION EMPTY") is True
+        assert A.is_empty(BOX) is False
+        assert A.is_empty(None) is None and A.is_empty("wat") is None
+
+    def test_boundary_shapes(self):
+        assert A.boundary_wkt("POINT (3 4)") == "GEOMETRYCOLLECTION EMPTY"
+        assert A.boundary_wkt(D) == "MULTIPOINT (0 0, 30 20)"
+        assert A.boundary_wkt(RING) == "MULTIPOINT EMPTY"
+        assert A.boundary_wkt(BOX) == "LINESTRING (0 0, 30 0, 30 20, 0 20, 0 0)"
+        assert A.boundary_wkt(HOLED) == (
+            "MULTILINESTRING ((0 0, 30 0, 30 20, 0 20, 0 0), "
+            "(1 1, 2 1, 2 2, 1 2, 1 1))"
+        )
+
+    def test_boundary_mod2_rule(self):
+        # shared chain endpoint occurs twice -> cancels (SQL/MM mod-2)
+        m2 = "MULTILINESTRING ((0 0, 30 0), (30 0, 30 20))"
+        assert A.boundary_wkt(m2) == "MULTIPOINT (0 0, 30 20)"
+        # three lines from a hub: hub has odd degree -> stays
+        tee = "MULTILINESTRING ((0 0, 1 0), (0 0, 0 1), (0 0, -1 0))"
+        assert A.boundary_wkt(tee) == "MULTIPOINT (0 0, 1 0, 0 1, -1 0)"
+        # closed parts contribute nothing
+        mixed = "MULTILINESTRING ((0 0, 1 0, 1 1, 0 0), (5 5, 6 6))"
+        assert A.boundary_wkt(mixed) == "MULTIPOINT (5 5, 6 6)"
+
+    def test_boundary_empty_inputs_and_collections(self):
+        assert A.boundary_wkt("LINESTRING EMPTY") == "MULTIPOINT EMPTY"
+        assert A.boundary_wkt("POLYGON EMPTY") == "MULTILINESTRING EMPTY"
+        assert A.boundary_wkt("POINT EMPTY") == "GEOMETRYCOLLECTION EMPTY"
+        # GEOS throws for collections; we go loud-NULL
+        assert A.boundary_wkt("GEOMETRYCOLLECTION (POINT (1 1))") is None
+
+    def test_multipolygon_boundary_always_multi(self):
+        mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"
+        assert A.boundary_wkt(mp) == "MULTILINESTRING ((0 0, 1 0, 1 1, 0 0))"
+
+
+class TestLinearRef:
+    def test_interpolate_branches_and_corner(self):
+        assert L.line_interpolate_point(D, 0.0) == "POINT (0 0)"
+        assert L.line_interpolate_point(D, 1.0) == "POINT (30 20)"
+        assert L.line_interpolate_point(D, 0.5) == "POINT (25 0)"  # on bottom edge
+        assert L.line_interpolate_point(D, 0.6) == "POINT (30 0)"  # exact corner
+        assert L.line_interpolate_point(D, 0.8) == "POINT (30 10)"  # up right edge
+        assert L.line_interpolate_point(D, 1.5) is None  # PostGIS raises; we NULL
+        assert L.line_interpolate_point(BOX, 0.5) is None  # linestring-only
+
+    def test_locate_clamps_and_breaks_ties_low(self):
+        assert L.line_locate_point(D, "POINT (30 0)") == 0.6
+        assert L.line_locate_point(D, "POINT (-5 -5)") == 0.0  # before start
+        assert L.line_locate_point(D, "POINT (30 100)") == 1.0  # past end
+        # (7,3) is exactly 3 from the bottom edge (proj -> frac 0.35) AND
+        # 3 from the right edge (proj -> frac 0.65): tie goes to the
+        # SMALLEST fraction, PostGIS behavior
+        assert L.line_locate_point("LINESTRING (0 0, 10 0, 10 10)", "POINT (7 3)") == 0.35
+
+    def test_substring_shapes(self):
+        assert L.line_substring(D, 0.25, 0.75) == "LINESTRING (12.5 0, 30 0, 30 7.5)"
+        assert L.line_substring(D, 0.0, 1.0) == D
+        assert L.line_substring(D, 0.5, 0.5) == "POINT (25 0)"  # PostGIS point case
+        assert L.line_substring(D, 0.75, 0.25) is None  # a > b
+        # slice boundary exactly on the corner vertex: no duplicate vertex
+        assert L.line_substring(D, 0.0, 0.6) == "LINESTRING (0 0, 30 0)"
+        assert L.line_substring(D, 0.6, 1.0) == "LINESTRING (30 0, 30 20)"
+
+    def test_roundtrip_locate_interpolate(self):
+        rng = random.Random(42)
+        line = "LINESTRING (0 0, 13 7, 20 -5, 31 4)"
+        for _ in range(50):
+            f = rng.random()
+            p = L.line_interpolate_point(line, f)
+            back = L.line_locate_point(line, p)
+            assert abs(back - f) < 1e-9, (f, p, back)
+
+    def test_substring_lengths_additive(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        def seg_len(wkt):
+            g = G.parse_wkt(wkt)
+            return sum(math.dist(a, b) for a, b in zip(g.coords, g.coords[1:]))
+
+        total = seg_len(D)
+        for cut in (0.1, 0.3, 0.6, 0.9):
+            a = L.line_substring(D, 0.0, cut)
+            b = L.line_substring(D, cut, 1.0)
+            assert abs(seg_len(a) + seg_len(b) - total) < 1e-9
+
+    def test_closest_and_shortest(self):
+        assert L.closest_point(D, "POINT (10 5)") == "POINT (10 0)"
+        assert L.shortest_line(D, "POINT (10 5)") == "LINESTRING (10 0, 10 5)"
+        # point on the line: zero-length 2-vertex line, PostGIS shape
+        assert L.shortest_line(D, "POINT (30 0)") == "LINESTRING (30 0, 30 0)"
+        assert L.closest_point("MULTIPOINT (0 0, 9 9)", "POINT (8 8)") == "POINT (9 9)"
+        assert L.closest_point("POINT (2 3)", "POINT (8 8)") == "POINT (2 3)"
+        assert L.closest_point(BOX, "POINT (8 8)") is None  # loud-NULL: areal
+        assert L.closest_point(
+            "MULTILINESTRING ((0 0, 4 0), (10 0, 14 0))", "POINT (11 3)"
+        ) == "POINT (11 0)"

@@ -351,3 +351,18 @@ def test_symdifference_pairs_broadcast(spark):
     df = q("q146_st_symdifference")(spark, SF_DIR)
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_accessor_linearref_queries_are_map_only(spark):
+    """q150/q151/q152: accessor, boundary, and linear-referencing rows
+    are unions of map-side UDF projections over the 25-row nation scan
+    — zero Exchange nodes anywhere in the plan."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    for name in (
+        "q150_st_accessors",
+        "q151_st_boundary",
+        "q152_st_linear_referencing",
+    ):
+        plan = formatted_plan(q(name)(spark, SF_DIR))
+        assert "Exchange" not in plan, name

@@ -33,6 +33,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.affine
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linework import (
     ALL_LINEWORK_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.accessors import (
+    ALL_ACCESSOR_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (
+    ALL_LINEARREF_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -46,6 +52,8 @@ _SWEPT = {
     **ALL_OVERLAY_FUNCTIONS,
     **ALL_AFFINE_FUNCTIONS,
     **ALL_LINEWORK_FUNCTIONS,
+    **ALL_ACCESSOR_FUNCTIONS,
+    **ALL_LINEARREF_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -79,6 +87,14 @@ _NULL_ARGS = {
     "st_translate": f"{S}, {D}, {D}",
     "st_scale": f"{S}, {D}, {D}",
     "st_rotate": f"{S}, {D}",
+    "st_geometryn": f"{S}, CAST(NULL AS INT)",
+    "st_pointn": f"{S}, CAST(NULL AS INT)",
+    "st_interiorringn": f"{S}, CAST(NULL AS INT)",
+    "st_lineinterpolatepoint": f"{S}, {D}",
+    "st_linelocatepoint": f"{S}, {S}",
+    "st_linesubstring": f"{S}, {D}, {D}",
+    "st_closestpoint": f"{S}, {S}",
+    "st_shortestline": f"{S}, {S}",
 }
 
 
