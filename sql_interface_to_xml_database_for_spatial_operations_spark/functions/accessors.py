@@ -9,13 +9,13 @@ Semantics follow PostGIS/GEOS:
 - ``ST_GeometryN(g, n)``: 1-based part; a single geometry is its own
   part 1 (PostGIS 2.0 behavior); out of range → NULL.
 - ``ST_NumPoints`` / ``ST_PointN(g, n)``: LINESTRING-only (NULL for
-  every other type, as PostGIS); PointN supports negative indexes
-  counting from the end (PostGIS 2.0+).
+  every other type, as PostGIS; LINESTRING EMPTY → 0); PointN
+  supports negative indexes counting from the end (PostGIS 2.0+).
 - ``ST_StartPoint`` / ``ST_EndPoint``: LINESTRING-only → first/last
   vertex as POINT, NULL otherwise.
 - ``ST_ExteriorRing`` / ``ST_NumInteriorRings`` /
-  ``ST_InteriorRingN(g, n)``: POLYGON-only; rings come back as closed
-  LINESTRINGs.
+  ``ST_InteriorRingN(g, n)``: POLYGON-only (POLYGON EMPTY → 0
+  interior rings); rings come back as closed LINESTRINGs.
 - ``ST_IsEmpty``: true for any typed EMPTY, false for non-empty,
   NULL on unparseable input.
 - ``ST_IsClosed``: LineString endpoint coincidence; MultiLineString =
@@ -41,6 +41,7 @@ parser accepts.
 
 from __future__ import annotations
 
+import math
 import re
 from collections import Counter
 
@@ -56,6 +57,15 @@ _EMPTY_RE = re.compile(
     r"^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
     r"GEOMETRYCOLLECTION)\s+EMPTY$"
 )
+
+
+def _int_arg(n) -> int | None:
+    """NULL-safe integer argument: Arrow delivers a SQL NULL int to a
+    pandas UDF as float NaN (the affine family hit the same class in
+    r8 — verify SKILL.md gotcha), so ``is None`` alone misses it."""
+    if n is None or (isinstance(n, float) and math.isnan(n)):
+        return None
+    return int(n)
 
 
 def _parse(wkt) -> tuple[Geometry | None, str | None]:
@@ -93,17 +103,19 @@ def num_geometries(wkt) -> int | None:
 
 def geometry_n(wkt, n) -> str | None:
     g, _empty = _parse(wkt)
-    if g is None or n is None:
+    i = _int_arg(n)
+    if g is None or i is None:
         return None
     parts = _parts(g)
-    i = int(n)
     if i < 1 or i > len(parts):
         return None
     return G.to_wkt(parts[i - 1])
 
 
 def num_points(wkt) -> int | None:
-    g, _empty = _parse(wkt)
+    g, empty = _parse(wkt)
+    if empty == "LINESTRING":
+        return 0  # PostGIS: 0 for LINESTRING EMPTY, NULL for other kinds
     if g is None or g.kind != "LineString":
         return None
     return len(g.coords)
@@ -111,9 +123,9 @@ def num_points(wkt) -> int | None:
 
 def point_n(wkt, n) -> str | None:
     g, _empty = _parse(wkt)
-    if g is None or g.kind != "LineString" or n is None:
+    i = _int_arg(n)
+    if g is None or g.kind != "LineString" or i is None:
         return None
-    i = int(n)
     if i == 0 or abs(i) > len(g.coords):
         return None
     p = g.coords[i - 1] if i > 0 else g.coords[i]
@@ -142,7 +154,9 @@ def exterior_ring(wkt) -> str | None:
 
 
 def num_interior_rings(wkt) -> int | None:
-    g, _empty = _parse(wkt)
+    g, empty = _parse(wkt)
+    if empty == "POLYGON":
+        return 0  # PostGIS: 0 for POLYGON EMPTY, NULL for other kinds
     if g is None or g.kind != "Polygon":
         return None
     return len(g.coords) - 1
@@ -150,9 +164,9 @@ def num_interior_rings(wkt) -> int | None:
 
 def interior_ring_n(wkt, n) -> str | None:
     g, _empty = _parse(wkt)
-    if g is None or g.kind != "Polygon" or n is None:
+    i = _int_arg(n)
+    if g is None or g.kind != "Polygon" or i is None:
         return None
-    i = int(n)
     if i < 1 or i > len(g.coords) - 1:
         return None
     return G.to_wkt(Geometry("LineString", g.coords[i]))
@@ -192,8 +206,20 @@ def is_ring(wkt) -> bool | None:
         return None
     if not _closed(g.coords):
         return False
+    if len(g.coords) < 4:
+        # out-and-back (A,B,A) or point-loop (A,A): closed but the line
+        # retraces its own segment — non-simple in JTS/PostGIS.
+        # _is_simple_ring can't see this (both edge pairs of a 2-edge
+        # ring count as adjacent), so gate on vertex count first.
+        return False
     from . import overlay as _ov  # lazy: overlay imports geometry too
+    from .union_ops import _signed_area_ring
 
+    if _signed_area_ring(g.coords) == 0:
+        # all-collinear closed walk (e.g. 0 0,1 0,2 0,0 0): every edge
+        # pair is adjacency-exempt in _is_simple_ring, but a simple
+        # ring encloses area — zero area means it retraces itself.
+        return False
     return bool(_ov._is_simple_ring(g.coords))
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._sql_fixtures import CORNERS, int_str, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -48,25 +49,16 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_accessor_functions(spark)
 
 
-def _i(expr: str) -> str:
-    return f"CAST(CAST({expr} AS BIGINT) AS STRING)"
-
-
 _PT = {
-    "bl": f"{_i('minx')} || ' ' || {_i('miny')}",
-    "br": f"{_i('maxx')} || ' ' || {_i('miny')}",
-    "tr": f"{_i('maxx')} || ' ' || {_i('maxy')}",
-    "tl": f"{_i('minx')} || ' ' || {_i('maxy')}",
+    **CORNERS,
     # unit-square hole corners, strictly inside every box (w >= 30, h >= 20)
-    "h00": f"{_i('minx + 1')} || ' ' || {_i('miny + 1')}",
-    "h10": f"{_i('minx + 2')} || ' ' || {_i('miny + 1')}",
-    "h11": f"{_i('minx + 2')} || ' ' || {_i('miny + 2')}",
-    "h01": f"{_i('minx + 1')} || ' ' || {_i('miny + 2')}",
+    "h00": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
+    "h10": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}",
+    "h11": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}",
+    "h01": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}",
 }
 
-
-def _cat(*parts: str) -> str:
-    return " || ".join(parts)
+_cat = sql_concat
 
 
 _D_IN = _cat("'LINESTRING ('", _PT["bl"], "', '", _PT["br"], "', '", _PT["tr"], "')'")

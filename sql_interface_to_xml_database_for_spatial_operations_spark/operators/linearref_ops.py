@@ -7,9 +7,13 @@ h = 20 + (key%2)*10 are integers, so every expected value has a
 closed form the oracle computes directly in SQL:
 
 - ``interp_mid``: ST_LineInterpolatePoint(D, 0.5) at arc distance
-  d = (w+h)/2 — on the bottom edge when d ≤ w, else up the right
-  edge. Exercises both branches AND the exact-corner case (w = h = 30
-  → d = w lands exactly on the corner vertex).
+  d = (w+h)/2. Every box has h ≤ 30 ≤ w, so d ≤ w always: the
+  mid-fraction point is on the BOTTOM edge, incl. the exact-corner
+  case (w = h = 30 → d = w lands exactly on the corner vertex).
+- ``interp_up``: fraction 0.9 → d = 0.9(w+h) > w for every box —
+  the point is always up the RIGHT edge, so the second-segment
+  branch of the walk is oracle-covered too (the mid-fraction family
+  alone would leave it dead on this fixture).
 - ``interp_ends``: fractions 0 and 1 → the path endpoints.
 - ``locate``: ST_LineLocatePoint at the corner (maxx, miny) →
   w/(w+h), and at the off-line probe (minx+10, miny+5) — 5 below the
@@ -39,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._sql_fixtures import CORNERS, int_str
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -53,16 +58,12 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_linearref_functions(spark)
 
 
-def _i(expr: str) -> str:
-    return f"CAST(CAST({expr} AS BIGINT) AS STRING)"
-
-
-_PT_BL = f"{_i('minx')} || ' ' || {_i('miny')}"
-_PT_BR = f"{_i('maxx')} || ' ' || {_i('miny')}"
-_PT_TR = f"{_i('maxx')} || ' ' || {_i('maxy')}"
+_PT_BL = CORNERS["bl"]
+_PT_BR = CORNERS["br"]
+_PT_TR = CORNERS["tr"]
 _D_IN = f"'LINESTRING (' || {_PT_BL} || ', ' || {_PT_BR} || ', ' || {_PT_TR} || ')'"
 _CORNER_PT = f"'POINT (' || {_PT_BR} || ')'"
-_PROBE_PT = f"'POINT (' || {_i('minx + 10')} || ' ' || {_i('miny + 5')} || ')'"
+_PROBE_PT = f"'POINT (' || {int_str('minx + 10')} || ' ' || {int_str('miny + 5')} || ')'"
 
 _MU = "CAST(floor(({v}) * 1000000 + 0.5) AS BIGINT)"
 
@@ -81,6 +82,11 @@ _Q152_ORACLE = f"""
     SELECT 'interp_mid' AS fam, n_nationkey AS key,
            {_mu(f"CASE WHEN {_T} / 2 <= {_W} THEN minx + {_T} / 2 ELSE maxx END")} AS a,
            {_mu(f"CASE WHEN {_T} / 2 <= {_W} THEN miny ELSE miny + {_T} / 2 - {_W} END")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'interp_up' AS fam, n_nationkey AS key,
+           {_mu("maxx")} AS a,
+           {_mu(f"miny + 0.9 * {_T} - {_W}")} AS b
     FROM boxes
     UNION ALL
     SELECT 'interp_ends' AS fam, n_nationkey AS key,
@@ -128,6 +134,11 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mu(f"st_x(st_lineinterpolatepoint({_D_IN}, 0.5))"),
         _mu(f"st_y(st_lineinterpolatepoint({_D_IN}, 0.5))"),
     )
+    interp_up = fam(
+        "interp_up",
+        _mu(f"st_x(st_lineinterpolatepoint({_D_IN}, 0.9))"),
+        _mu(f"st_y(st_lineinterpolatepoint({_D_IN}, 0.9))"),
+    )
     interp_ends = fam(
         "interp_ends",
         _mu(f"st_x(st_lineinterpolatepoint({_D_IN}, 0.0))"),
@@ -154,6 +165,6 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(0 AS BIGINT)",
     )
     out = interp_mid
-    for part in (interp_ends, locate, substr, closest, shortline):
+    for part in (interp_up, interp_ends, locate, substr, closest, shortline):
         out = out.unionByName(part)
     return out

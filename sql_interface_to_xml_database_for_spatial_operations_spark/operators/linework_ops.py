@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._sql_fixtures import CORNERS, int_str, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -38,28 +39,19 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_linework_functions(spark)
 
 
-def _i(expr: str) -> str:
-    return f"CAST(CAST({expr} AS BIGINT) AS STRING)"
-
-
 _PT = {
-    "bl": f"{_i('minx')} || ' ' || {_i('miny')}",
-    "br": f"{_i('maxx')} || ' ' || {_i('miny')}",
-    "tr": f"{_i('maxx')} || ' ' || {_i('maxy')}",
-    "tl": f"{_i('minx')} || ' ' || {_i('maxy')}",
+    **CORNERS,
     # lone segment well outside any box (box coords are >= -180, < 500)
     "l0": "'1000 1000'",
     "l1": "'1001 1001'",
     # tee hub and arms
-    "h": f"{_i('minx')} || ' ' || {_i('miny')}",
-    "a1": f"{_i('minx + 1')} || ' ' || {_i('miny')}",
-    "a2": f"{_i('minx')} || ' ' || {_i('miny + 1')}",
-    "a3": f"{_i('minx - 1')} || ' ' || {_i('miny')}",
+    "h": CORNERS["bl"],
+    "a1": f"{int_str('minx + 1')} || ' ' || {int_str('miny')}",
+    "a2": f"{int_str('minx')} || ' ' || {int_str('miny + 1')}",
+    "a3": f"{int_str('minx - 1')} || ' ' || {int_str('miny')}",
 }
 
-
-def _sql_concat(*parts: str) -> str:
-    return " || ".join(parts)
+_sql_concat = sql_concat
 
 
 _RING_IN = _sql_concat(

@@ -171,3 +171,39 @@ class TestLinearRef:
         assert L.closest_point(
             "MULTILINESTRING ((0 0, 4 0), (10 0, 14 0))", "POINT (11 3)"
         ) == "POINT (11 0)"
+
+
+class TestReviewScenarios:
+    """Round-8 code-review findings pinned (NaN int args, degenerate
+    rings, EMPTY counts)."""
+
+    def test_nan_int_arg_is_null_not_crash(self):
+        # Arrow delivers SQL NULL ints to pandas UDFs as float NaN
+        nan = float("nan")
+        assert A.point_n(D, nan) is None
+        assert A.geometry_n("MULTIPOINT (1 1, 2 2)", nan) is None
+        assert A.interior_ring_n(HOLED, nan) is None
+
+    def test_isring_degenerate_closed_walks(self):
+        assert A.is_ring("LINESTRING (0 0, 1 0, 0 0)") is False  # out-and-back
+        assert A.is_ring("LINESTRING (0 0, 1 0, 2 0, 0 0)") is False  # collinear
+        assert A.is_ring("LINESTRING (0 0, 1 0, 0 1, 0 0)") is True  # triangle
+
+    def test_empty_counts_are_zero_for_matching_kind(self):
+        assert A.num_points("LINESTRING EMPTY") == 0
+        assert A.num_points("POLYGON EMPTY") is None  # kind mismatch stays NULL
+        assert A.num_interior_rings("POLYGON EMPTY") == 0
+        assert A.num_interior_rings("LINESTRING EMPTY") is None
+
+
+def test_null_int_arg_through_spark(spark):
+    """The crash the r8 review reproduced: valid geometry + NULL int in a
+    real session must yield NULL rows, not a PythonException."""
+    rows = spark.sql(
+        "SELECT st_pointn(g, n) AS p, st_geometryn(g, n) AS g2, "
+        "st_interiorringn(g, n) AS r FROM VALUES "
+        "('LINESTRING (0 0, 1 1)', 1), "
+        "('LINESTRING (0 0, 1 1)', CAST(NULL AS INT)) AS t(g, n)"
+    ).collect()
+    assert rows[0]["p"] == "POINT (0 0)"
+    assert rows[1]["p"] is None and rows[1]["g2"] is None and rows[1]["r"] is None
