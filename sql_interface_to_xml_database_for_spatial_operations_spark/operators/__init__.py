@@ -38,3 +38,4 @@ def load_all() -> None:
     from . import linework_ops  # noqa: F401
     from . import accessor_ops  # noqa: F401
     from . import linearref_ops  # noqa: F401
+    from . import editor_ops  # noqa: F401

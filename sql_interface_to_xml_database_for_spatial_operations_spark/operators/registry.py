@@ -84,11 +84,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # tests/test_sources.py), q17 (natural join — dead code in the
 # reference, trivial in Spark) and q04 (trivial aliasing) defer with
 # the same new-outranks-recheck rationale. q150/q151 (accessor +
-# boundary families) and q152 (linear referencing) land even later
-# and claim three more slots; q06/q07 (trivial IN / NOT IN
-# relational rows, module untouched this round) and q10 (trivial
-# BETWEEN) defer — final arithmetic: 34 stale + 5 diff + 11 new
-# (q142-q152) = 50.
+# boundary families), q152 (linear referencing) and q153 (geometry
+# editors) land even later and claim four more slots; q06/q07
+# (trivial IN / NOT IN relational rows, module untouched this
+# round), q10 (trivial BETWEEN) and q05 (trivial AND/OR) defer —
+# final arithmetic: 33 stale + 5 diff + 12 new (q142-q153) = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -100,6 +100,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q04_alias_expressions",
         "q114_compat_flattened",
         "q17_natural_join",
+        "q05_where_and_or",
         "q06_in_list",
         "q07_not_in_list",
         "q10_between_range",

@@ -45,6 +45,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.access
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (  # noqa: E402
     register_linearref_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import (  # noqa: E402
+    register_editor_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -65,6 +68,7 @@ def spark():
     register_linework_functions(s)
     register_accessor_functions(s)
     register_linearref_functions(s)
+    register_editor_functions(s)
     yield s
 
 

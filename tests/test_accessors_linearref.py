@@ -207,3 +207,96 @@ def test_null_int_arg_through_spark(spark):
     ).collect()
     assert rows[0]["p"] == "POINT (0 0)"
     assert rows[1]["p"] is None and rows[1]["g2"] is None and rows[1]["r"] is None
+
+
+class TestEditors:
+    """functions/editors.py kernels (driver row q153 pins the SQL level)."""
+
+    def setup_method(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            editors,
+        )
+
+        self.E = editors
+
+    def test_addpoint_append_insert_range(self):
+        E = self.E
+        assert E.add_point("LINESTRING (0 0, 30 0)", "POINT (30 20)", -1) == D
+        assert E.add_point("LINESTRING (0 0, 30 20)", "POINT (30 0)", 1) == D
+        assert E.add_point("LINESTRING (0 0, 30 0)", "POINT (1 1)", 0) == \
+            "LINESTRING (1 1, 0 0, 30 0)"
+        assert E.add_point("LINESTRING (0 0, 30 0)", "POINT (1 1)", 3) is None
+        assert E.add_point(BOX, "POINT (1 1)", 0) is None  # linestring-only
+        assert E.add_point("LINESTRING (0 0, 1 0)", D, 0) is None  # point-only
+
+    def test_setpoint_negative_from_end(self):
+        E = self.E
+        assert E.set_point(D, 0, "POINT (9 9)") == "LINESTRING (9 9, 30 0, 30 20)"
+        assert E.set_point(D, -1, "POINT (9 9)") == "LINESTRING (0 0, 30 0, 9 9)"
+        assert E.set_point(D, -3, "POINT (9 9)") == "LINESTRING (9 9, 30 0, 30 20)"
+        assert E.set_point(D, 3, "POINT (9 9)") is None
+        assert E.set_point(D, -4, "POINT (9 9)") is None
+
+    def test_removepoint_minimum_two_vertices(self):
+        E = self.E
+        assert E.remove_point(D, 1) == "LINESTRING (0 0, 30 20)"
+        assert E.remove_point(D, 3) is None
+        assert E.remove_point("LINESTRING (0 0, 1 0)", 0) is None  # would leave 1
+
+    def test_flip_all_kinds(self):
+        E = self.E
+        assert E.flip_coordinates("POINT (1 2)") == "POINT (2 1)"
+        assert E.flip_coordinates(HOLED) == (
+            "POLYGON ((0 0, 0 30, 20 30, 20 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"
+        )
+        # involution
+        assert E.flip_coordinates(E.flip_coordinates(D)) == D
+
+    def test_segmentize_equal_parts_and_passthrough(self):
+        E = self.E
+        assert E.segmentize("LINESTRING (0 0, 45 0)", 15) == \
+            "LINESTRING (0 0, 15 0, 30 0, 45 0)"
+        # max_len not dividing evenly: ceil(30/12)=3 equal parts of 10
+        assert E.segmentize("LINESTRING (0 0, 30 0)", 12) == \
+            "LINESTRING (0 0, 10 0, 20 0, 30 0)"
+        assert E.segmentize("LINESTRING (0 0, 30 0)", 100) == "LINESTRING (0 0, 30 0)"
+        assert E.segmentize("POINT (1 1)", 5) == "POINT (1 1)"
+        assert E.segmentize(BOX, 30) == \
+            "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))"
+        assert E.segmentize("LINESTRING (0 0, 30 0)", 0) is None
+        assert E.segmentize("LINESTRING (0 0, 30 0)", -1) is None
+
+    def test_segmentize_max_length_invariant(self):
+        import math as m
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        E = self.E
+        line = "LINESTRING (0 0, 13 7, 20 -5, 31 4)"
+        for mx in (1.5, 3.0, 7.0):
+            g = G.parse_wkt(E.segmentize(line, mx))
+            assert all(
+                m.dist(a, b) <= mx + 1e-9 for a, b in zip(g.coords, g.coords[1:])
+            )
+            # original vertices preserved
+            orig = G.parse_wkt(line).coords
+            assert [p for p in g.coords if p in orig] == orig
+
+    def test_expand_envelope(self):
+        E = self.E
+        assert E.expand("POINT (0 0)", 5) == \
+            "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))"
+        assert E.expand(D, 1) == "POLYGON ((-1 -1, 31 -1, 31 21, -1 21, -1 -1))"
+        assert E.expand("MULTIPOINT (1 1, 9 4)", 0) == \
+            "POLYGON ((1 1, 9 1, 9 4, 1 4, 1 1))"
+
+    def test_nan_args_are_null(self):
+        E = self.E
+        nan = float("nan")
+        assert E.add_point("LINESTRING (0 0, 1 0)", "POINT (2 2)", nan) is None
+        assert E.set_point(D, nan, "POINT (2 2)") is None
+        assert E.remove_point(D, nan) is None
+        assert E.segmentize(D, nan) is None
+        assert E.expand(D, nan) is None

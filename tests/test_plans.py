@@ -363,6 +363,7 @@ def test_accessor_linearref_queries_are_map_only(spark):
         "q150_st_accessors",
         "q151_st_boundary",
         "q152_st_linear_referencing",
+        "q153_st_editors",
     ):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, name

@@ -39,6 +39,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.access
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (
     ALL_LINEARREF_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import (
+    ALL_EDITOR_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -54,6 +57,7 @@ _SWEPT = {
     **ALL_LINEWORK_FUNCTIONS,
     **ALL_ACCESSOR_FUNCTIONS,
     **ALL_LINEARREF_FUNCTIONS,
+    **ALL_EDITOR_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -95,6 +99,11 @@ _NULL_ARGS = {
     "st_linesubstring": f"{S}, {D}, {D}",
     "st_closestpoint": f"{S}, {S}",
     "st_shortestline": f"{S}, {S}",
+    "st_addpoint": f"{S}, {S}, CAST(NULL AS INT)",
+    "st_setpoint": f"{S}, CAST(NULL AS INT), {S}",
+    "st_removepoint": f"{S}, CAST(NULL AS INT)",
+    "st_segmentize": f"{S}, {D}",
+    "st_expand": f"{S}, {D}",
 }
 
 
