@@ -15,7 +15,10 @@ every PostGIS-accepted scalar). Semantics, matching PostGIS:
   NULL when out of range or when removal would leave fewer than two
   points (PostGIS raises for both).
 - ``ST_FlipCoordinates(g)``: swap x and y in every coordinate of any
-  geometry (the axis-order repair tool).
+  geometry (the axis-order repair tool). Typed EMPTY passes through
+  unchanged (flip of the empty set is the empty set — the same
+  composition argument the affine family documents; an overlay result
+  like ``POLYGON EMPTY`` keeps flowing instead of going NULL).
 - ``ST_Segmentize(g, max_len)``: subdivide every segment longer than
   ``max_len`` into ``ceil(len / max_len)`` EQUAL parts (the PostGIS
   planar rule — no segment of the result exceeds ``max_len``; original
@@ -23,11 +26,16 @@ every PostGIS-accepted scalar). Semantics, matching PostGIS:
   MultiPolygon; points pass through; ``max_len ≤ 0`` → NULL.
   Interpolated coordinates evaluate as ``a + (b − a)·i / n`` so
   integer-fixture splits (e.g. a 45-long edge in 3 parts) are exact.
+  Typed EMPTY passes through unchanged.
 - ``ST_Expand(g, d)``: the envelope of ``g`` grown by ``d`` on every
   side, as a POLYGON in this engine's envelope ring order
   ((minx miny, maxx miny, maxx maxy, minx maxy, minx miny) — same as
   st_envelope/st_makeenvelope); degenerate boxes are legal polygons
-  here rather than PostGIS's BOX2D special forms.
+  here rather than PostGIS's BOX2D special forms; typed EMPTY passes
+  through unchanged (no envelope to grow). The three INDEXED editors
+  (AddPoint/SetPoint/RemovePoint) keep loud-NULL on EMPTY input: every
+  index into an empty line is out of range, and AddPoint's would-be
+  1-vertex result is not a valid linestring.
 
 Scale shape: map-only Arrow-vectorized pandas UDFs, O(vertices)
 (segmentize: O(output vertices)) per row, no shuffle.
@@ -36,6 +44,7 @@ Scale shape: map-only Arrow-vectorized pandas UDFs, O(vertices)
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -44,6 +53,18 @@ from pyspark.sql.types import StringType
 
 from . import geometry as G
 from .geometry import Geometry
+
+_EMPTY_RE = re.compile(
+    r"^(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+    r"GEOMETRYCOLLECTION)\s+EMPTY$"
+)
+
+
+def _empty_kind(wkt) -> str | None:
+    if wkt is None:
+        return None
+    m = _EMPTY_RE.match(str(wkt).strip().upper())
+    return m.group(1) if m else None
 
 
 def _num_arg(v) -> float | None:
@@ -112,27 +133,16 @@ def remove_point(line_wkt, idx) -> str | None:
     return G.to_wkt(Geometry("LineString", g.coords[:i] + g.coords[i + 1 :]))
 
 
-def _flip(g: Geometry) -> Geometry:
-    if g.kind == "Point":
-        return Geometry(g.kind, (g.coords[1], g.coords[0]))
-    if g.kind in ("LineString", "MultiPoint"):
-        return Geometry(g.kind, [(y, x) for x, y in g.coords])
-    if g.kind in ("Polygon", "MultiLineString"):
-        return Geometry(g.kind, [[(y, x) for x, y in seq] for seq in g.coords])
-    if g.kind == "MultiPolygon":
-        return Geometry(
-            g.kind, [[[(y, x) for x, y in r] for r in poly] for poly in g.coords]
-        )
-    return Geometry("GeometryCollection", [_flip(s) for s in g.coords])
-
-
 def flip_coordinates(wkt) -> str | None:
+    empty = _empty_kind(wkt)
+    if empty is not None:
+        return f"{empty} EMPTY"
     if wkt is None:
         return None
     g = G.parse_wkt(str(wkt).strip())
     if g is None:
         return None
-    return G.to_wkt(_flip(g))
+    return G.to_wkt(G.swap_axes(g))  # the XML reader's axis-swap kernel
 
 
 def _segmentize_seq(seq, max_len: float):
@@ -150,7 +160,12 @@ def _segmentize_seq(seq, max_len: float):
 
 def segmentize(wkt, max_len) -> str | None:
     m = _num_arg(max_len)
-    if wkt is None or m is None or m <= 0:
+    if m is None or m <= 0:
+        return None
+    empty = _empty_kind(wkt)
+    if empty is not None:
+        return f"{empty} EMPTY"
+    if wkt is None:
         return None
     g = G.parse_wkt(str(wkt).strip())
     if g is None:
@@ -173,37 +188,19 @@ def segmentize(wkt, max_len) -> str | None:
     return None  # GeometryCollection: loud-NULL (PostGIS recurses; rare)
 
 
-def _bounds(g: Geometry):
-    pts: list[tuple[float, float]] = []
-
-    def walk(x):
-        if isinstance(x, tuple):
-            pts.append(x)
-        elif isinstance(x, Geometry):
-            walk(x.coords)
-        else:
-            for e in x:
-                walk(e)
-
-    walk(g)
-    if not pts:
-        return None
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
-    return min(xs), min(ys), max(xs), max(ys)
-
-
 def expand(wkt, dist) -> str | None:
     d = _num_arg(dist)
-    if wkt is None or d is None:
+    if d is None:
+        return None
+    empty = _empty_kind(wkt)
+    if empty is not None:
+        return f"{empty} EMPTY"
+    if wkt is None:
         return None
     g = G.parse_wkt(str(wkt).strip())
     if g is None:
         return None
-    b = _bounds(g)
-    if b is None:
-        return None
-    minx, miny, maxx, maxy = b
+    minx, miny, maxx, maxy = G.bbox(g)
     return G.to_wkt(Geometry.box(minx - d, miny - d, maxx + d, maxy + d))
 
 

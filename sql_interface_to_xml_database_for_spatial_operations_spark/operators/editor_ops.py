@@ -53,10 +53,10 @@ _PT_TR = _cat("'POINT ('", _TR, "')'")
 _PT_TL = _cat("'POINT ('", _TL, "')'")
 _PT_BL = _cat("'POINT ('", _BL, "')'")
 
-_L_WKT = _cat("'LINESTRING ('", _BL, "', '", _BR, "', '", _TR, "')'")
+_L_WKT = _D_IN  # the reconstructed L-path IS the engine input fixture
 _SET0 = _cat("'LINESTRING ('", _TL, "', '", _BR, "', '", _TR, "')'")
 _SETLAST = _cat("'LINESTRING ('", _BL, "', '", _BR, "', '", _TL, "')'")
-_RM_WKT = _cat("'LINESTRING ('", _BL, "', '", _TR, "')'")
+_RM_WKT = _DIAG_IN  # removing the corner leaves the diagonal fixture
 
 # flipped (y x) coordinate pairs of bl / br / tr
 _FBL = f"{int_str('miny')} || ' ' || {int_str('minx')}"

@@ -292,6 +292,18 @@ class TestEditors:
         assert E.expand("MULTIPOINT (1 1, 9 4)", 0) == \
             "POLYGON ((1 1, 9 1, 9 4, 1 4, 1 1))"
 
+    def test_empty_passthrough_and_indexed_null(self):
+        # flip/segmentize/expand: EMPTY in -> same EMPTY out (the affine
+        # family's composition argument); indexed editors stay loud-NULL
+        E = self.E
+        assert E.flip_coordinates("POLYGON EMPTY") == "POLYGON EMPTY"
+        assert E.segmentize("LINESTRING EMPTY", 5) == "LINESTRING EMPTY"
+        assert E.segmentize("LINESTRING EMPTY", 0) is None  # bad arg wins
+        assert E.expand("MULTIPOINT EMPTY", 2) == "MULTIPOINT EMPTY"
+        assert E.add_point("LINESTRING EMPTY", "POINT (1 1)", -1) is None
+        assert E.set_point("LINESTRING EMPTY", 0, "POINT (1 1)") is None
+        assert E.remove_point("LINESTRING EMPTY", 0) is None
+
     def test_nan_args_are_null(self):
         E = self.E
         nan = float("nan")
