@@ -82,6 +82,7 @@ HEADLINE = [
     "q150_st_accessors",
     "q152_st_linear_referencing",
     "q153_st_editors",
+    "q154_st_constructors",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions.accessors import register_accessor_functions
 from .functions.affine import register_affine_functions
+from .functions.constructors import register_constructor_functions
 from .functions.editors import register_editor_functions
 from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
@@ -72,6 +73,7 @@ class SpatialSQLEngine:
         register_accessor_functions(self.spark)
         register_linearref_functions(self.spark)
         register_editor_functions(self.spark)
+        register_constructor_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

@@ -7,6 +7,14 @@ rebuilt PostgreSQL query); these are the standard definitions:
     ST_Translate(g, dx, dy):  (x, y) → (x + dx, y + dy)
     ST_Scale(g, sx, sy):      (x, y) → (x·sx, y·sy)
     ST_Rotate(g, θ):          (x, y) → (x·cosθ − y·sinθ, x·sinθ + y·cosθ)
+    ST_Affine(g, a, b, d, e, xoff, yoff):
+                              (x, y) → (a·x + b·y + xoff, d·x + e·y + yoff)
+
+``ST_Affine`` is the general 2-D form (the PostGIS 2-D signature with
+the same parameter order) — translate/scale/rotate are its special
+cases, and an integer-matrix ST_Affine is EXACT, which the driver row
+exploits (a 90° rotation via ST_Rotate is transcendental, via
+ST_Affine(g, 0, -1, 1, 0, 0, 0) it is exact integer arithmetic).
 
 Rotation is about the origin with θ in radians, counter-clockwise —
 PostGIS ST_Rotate's two-argument form. A negative-determinant scale
@@ -94,6 +102,14 @@ def rotate_wkt(wkt, theta) -> str | None:
     return _affine_wkt(wkt, lambda x, y: (x * c - y * s, x * s + y * c))
 
 
+def affine_wkt(wkt, a, b, d, e, xoff, yoff) -> str | None:
+    if _null_num(a, b, d, e, xoff, yoff):
+        return None
+    return _affine_wkt(
+        wkt, lambda x, y: (a * x + b * y + xoff, d * x + e * y + yoff)
+    )
+
+
 @pandas_udf(StringType())
 def st_translate(w: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     return pd.Series(
@@ -115,10 +131,30 @@ def st_rotate(w: pd.Series, theta: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(StringType())
+def st_affine(
+    w: pd.Series,
+    a: pd.Series,
+    b: pd.Series,
+    d: pd.Series,
+    e: pd.Series,
+    xoff: pd.Series,
+    yoff: pd.Series,
+) -> pd.Series:
+    return pd.Series(
+        [
+            affine_wkt(*args)
+            for args in zip(w, a, b, d, e, xoff, yoff)
+        ],
+        dtype="object",
+    )
+
+
 ALL_AFFINE_FUNCTIONS = {
     "st_translate": st_translate,
     "st_scale": st_scale,
     "st_rotate": st_rotate,
+    "st_affine": st_affine,
 }
 
 

@@ -39,3 +39,4 @@ def load_all() -> None:
     from . import accessor_ops  # noqa: F401
     from . import linearref_ops  # noqa: F401
     from . import editor_ops  # noqa: F401
+    from . import constructor_ops  # noqa: F401

@@ -84,11 +84,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # tests/test_sources.py), q17 (natural join — dead code in the
 # reference, trivial in Spark) and q04 (trivial aliasing) defer with
 # the same new-outranks-recheck rationale. q150/q151 (accessor +
-# boundary families), q152 (linear referencing) and q153 (geometry
-# editors) land even later and claim four more slots; q06/q07
-# (trivial IN / NOT IN relational rows, module untouched this
-# round), q10 (trivial BETWEEN) and q05 (trivial AND/OR) defer —
-# final arithmetic: 33 stale + 5 diff + 12 new (q142-q153) = 50.
+# boundary families), q152 (linear referencing), q153 (geometry
+# editors) and q154 (constructors + general affine) land even later
+# and claim five more slots; q06/q07 (trivial IN / NOT IN relational
+# rows, module untouched this round), q10 (trivial BETWEEN), q05
+# (trivial AND/OR) and q02 (trivial pruning — its plan shape is
+# separately pinned by tests/test_plans.py) defer — final
+# arithmetic: 32 stale + 5 diff + 13 new (q142-q154) = 50.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
@@ -100,6 +102,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q04_alias_expressions",
         "q114_compat_flattened",
         "q17_natural_join",
+        "q02_projection_pruning",
         "q05_where_and_or",
         "q06_in_list",
         "q07_not_in_list",

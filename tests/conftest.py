@@ -48,6 +48,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linear
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import (  # noqa: E402
     register_editor_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.constructors import (  # noqa: E402
+    register_constructor_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -69,6 +72,7 @@ def spark():
     register_accessor_functions(s)
     register_linearref_functions(s)
     register_editor_functions(s)
+    register_constructor_functions(s)
     yield s
 
 

