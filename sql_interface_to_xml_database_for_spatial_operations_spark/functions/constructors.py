@@ -7,22 +7,29 @@ every PostGIS-accepted scalar). Semantics, matching PostGIS:
   the vertex sequences of the two inputs into one LINESTRING. Each
   argument may be a POINT or a LINESTRING (PostGIS also accepts
   MULTIPOINT — supported here too: its points join in order); other
-  kinds → NULL. Consecutive duplicate vertices at the seam are kept,
-  as PostGIS keeps them. (The AGGREGATE ST_MakeLine form corresponds
-  to this engine's `st_collect`-style aggregates — see q95.)
+  kinds → NULL. Typed EMPTY arguments contribute no vertices (PostGIS
+  ignores empty inputs) — both empty → ``LINESTRING EMPTY``, a single
+  surviving vertex → NULL (one point is not a line). Consecutive
+  duplicate vertices at the seam are kept, as PostGIS keeps them.
+  (The AGGREGATE ST_MakeLine form corresponds to this engine's
+  `st_collect`-style aggregates — see q95.)
 - ``ST_MakePolygon(shell)``: build a POLYGON from a CLOSED LINESTRING
   shell (≥ 4 points, first = last). Open or too-short shells → NULL
   (PostGIS raises). The with-holes form takes an ARRAY of closed
   LINESTRING WKTs: ``st_makepolygon_holes(shell, array(...))`` —
   a separate name because Spark SQL UDFs cannot overload arity.
   Hole rings are taken as given (PostGIS does not validate
-  containment either).
+  containment either); typed-EMPTY holes are skipped (contribute no
+  ring), while an EMPTY shell stays NULL — there is no boundary to
+  build from.
 
 Scale shape: map-only Arrow-vectorized pandas UDFs — O(vertices) per
 row, no shuffle.
 """
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -32,12 +39,20 @@ from pyspark.sql.types import StringType
 from . import geometry as G
 from .geometry import Geometry
 
+_EMPTY_RE = re.compile(r"^(POINT|LINESTRING|MULTIPOINT)\s+EMPTY$")
+
 
 def _vertices(wkt) -> list | None:
-    """Vertex sequence of a POINT / MULTIPOINT / LINESTRING argument."""
+    """Vertex sequence of a POINT / MULTIPOINT / LINESTRING argument.
+    Typed EMPTY of those kinds contributes no vertices (PostGIS
+    ignores empty ST_MakeLine inputs — the affine family's composition
+    rationale); other kinds/junk → None."""
     if wkt is None:
         return None
-    g = G.parse_wkt(str(wkt).strip())
+    s = str(wkt).strip()
+    if _EMPTY_RE.match(s.upper()):
+        return []
+    g = G.parse_wkt(s)
     if g is None:
         return None
     if g.kind == "Point":
@@ -53,8 +68,10 @@ def make_line(a_wkt, b_wkt) -> str | None:
     if a is None or b is None:
         return None
     pts = a + b
+    if not pts:
+        return "LINESTRING EMPTY"  # both inputs empty, PostGIS shape
     if len(pts) < 2:
-        return None
+        return None  # a single point is not a line
     return G.to_wkt(Geometry("LineString", pts))
 
 
@@ -82,6 +99,8 @@ def make_polygon_holes(shell_wkt, hole_wkts) -> str | None:
         return None
     rings = [ring]
     for h in hole_wkts:
+        if h is not None and _EMPTY_RE.match(str(h).strip().upper()):
+            continue  # empty hole contributes no ring
         hr = _closed_ring(h)
         if hr is None:
             return None

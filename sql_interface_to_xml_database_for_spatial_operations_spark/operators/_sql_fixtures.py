@@ -28,3 +28,36 @@ CORNERS = {
     "tr": f"{int_str('maxx')} || ' ' || {int_str('maxy')}",
     "tl": f"{int_str('minx')} || ' ' || {int_str('maxy')}",
 }
+
+# unit-square hole corners, strictly inside every box (w >= 30, h >= 20)
+HOLE_CORNERS = {
+    "h00": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
+    "h10": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}",
+    "h11": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}",
+    "h01": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}",
+}
+
+# the closed hole ring's coordinate list (no head/tail quotes), reusable
+# inside any 'POLYGON ((...), (<here>))' or 'LINESTRING (<here>)' build
+HOLE_RING = sql_concat(
+    HOLE_CORNERS["h00"], "', '", HOLE_CORNERS["h10"], "', '",
+    HOLE_CORNERS["h11"], "', '", HOLE_CORNERS["h01"], "', '",
+    HOLE_CORNERS["h00"],
+)
+
+
+def family_rows(boxes, families: dict[str, str]):
+    """The shared driver-row scaffold: one (fam, key, val) projection per
+    family expression over the nation-box DataFrame, folded with
+    unionByName — replaces the per-module fam()/fold copies."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for name, expr in families.items():
+        part = boxes.select(
+            F.lit(name).alias("fam"),
+            F.col("n_nationkey").alias("key"),
+            F.expr(expr).alias("val"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -34,9 +34,8 @@ linework_ops.py fingerprints stay untouched.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ._sql_fixtures import CORNERS, int_str, sql_concat
+from ._sql_fixtures import CORNERS, HOLE_CORNERS, HOLE_RING, family_rows, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -49,14 +48,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_accessor_functions(spark)
 
 
-_PT = {
-    **CORNERS,
-    # unit-square hole corners, strictly inside every box (w >= 30, h >= 20)
-    "h00": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
-    "h10": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}",
-    "h11": f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}",
-    "h01": f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}",
-}
+_PT = {**CORNERS, **HOLE_CORNERS}
 
 _cat = sql_concat
 
@@ -78,10 +70,7 @@ _M2_IN = _cat(
     "'MULTILINESTRING (('", _PT["bl"], "', '", _PT["br"],
     "'), ('", _PT["br"], "', '", _PT["tr"], "'))'",
 )
-_HOLE_RING = _cat(
-    _PT["h00"], "', '", _PT["h10"], "', '", _PT["h11"], "', '", _PT["h01"],
-    "', '", _PT["h00"],
-)
+_HOLE_RING = HOLE_RING
 _P_IN = _cat(
     "'POLYGON (('", _PT["bl"], "', '", _PT["br"], "', '", _PT["tr"],
     "', '", _PT["tl"], "', '", _PT["bl"], "'), ('", _HOLE_RING, "'))'",
@@ -136,45 +125,20 @@ def q150_st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL sentinels pin the LINESTRING-only / out-of-range → NULL
     contracts inside the same rows."""
     _ensure_udfs(spark)
-    boxes = nation_boxes(spark, sf_dir)
-
-    def fam(name: str, expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(expr).alias("val"),
-        )
-
-    ngeom = fam(
-        "ngeom",
-        f"CAST(st_numgeometries({_M_IN}) AS STRING) || ' | ' || "
-        f"CAST(st_numgeometries({_BOX_IN}) AS STRING) || ' | ' || "
-        "CAST(st_numgeometries('POLYGON EMPTY') AS STRING)",
-    )
-    geomn = fam("geomn", f"st_geometryn({_M_IN}, 2)")
-    pointn = fam(
-        "pointn",
-        f"st_pointn({_D_IN}, 2) || ' | ' || st_pointn({_D_IN}, -1) || ' | ' || "
-        f"coalesce(st_pointn({_D_IN}, 4), 'NULL')",
-    )
-    endpoints = fam(
-        "endpoints", f"st_startpoint({_D_IN}) || ' | ' || st_endpoint({_D_IN})"
-    )
-    numpoints = fam(
-        "numpoints",
-        f"CAST(st_numpoints({_D_IN}) AS STRING) || ' | ' || "
-        f"coalesce(CAST(st_numpoints({_BOX_IN}) AS STRING), 'NULL')",
-    )
-    extring = fam("extring", f"st_exteriorring({_P_IN})")
-    intring = fam(
-        "intring",
-        f"CAST(st_numinteriorrings({_P_IN}) AS STRING) || ' | ' || "
-        f"st_interiorringn({_P_IN}, 1)",
-    )
-    out = ngeom
-    for part in (geomn, pointn, endpoints, numpoints, extring, intring):
-        out = out.unionByName(part)
-    return out
+    return family_rows(nation_boxes(spark, sf_dir), {
+        "ngeom": f"CAST(st_numgeometries({_M_IN}) AS STRING) || ' | ' || "
+                 f"CAST(st_numgeometries({_BOX_IN}) AS STRING) || ' | ' || "
+                 "CAST(st_numgeometries('POLYGON EMPTY') AS STRING)",
+        "geomn": f"st_geometryn({_M_IN}, 2)",
+        "pointn": f"st_pointn({_D_IN}, 2) || ' | ' || st_pointn({_D_IN}, -1)"
+                  f" || ' | ' || coalesce(st_pointn({_D_IN}, 4), 'NULL')",
+        "endpoints": f"st_startpoint({_D_IN}) || ' | ' || st_endpoint({_D_IN})",
+        "numpoints": f"CAST(st_numpoints({_D_IN}) AS STRING) || ' | ' || "
+                     f"coalesce(CAST(st_numpoints({_BOX_IN}) AS STRING), 'NULL')",
+        "extring": f"st_exteriorring({_P_IN})",
+        "intring": f"CAST(st_numinteriorrings({_P_IN}) AS STRING) || ' | ' || "
+                   f"st_interiorringn({_P_IN}, 1)",
+    })
 
 
 _Q151_ORACLE = f"""
@@ -211,41 +175,19 @@ def q151_st_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes incl. the SQL/MM mod-2 cancellation of a shared chain
     endpoint (module docstring)."""
     _ensure_udfs(spark)
-    boxes = nation_boxes(spark, sf_dir)
-
-    def fam(name: str, expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(expr).alias("val"),
-        )
-
-    isclosed = fam(
-        "isclosed",
-        f"CAST(st_isclosed({_RING_IN}) AS STRING) || ' | ' || "
-        f"CAST(st_isclosed({_D_IN}) AS STRING) || ' | ' || "
-        f"CAST(st_isclosed({_POINT_BL}) AS STRING)",
-    )
-    isring = fam(
-        "isring",
-        f"CAST(st_isring({_RING_IN}) AS STRING) || ' | ' || "
-        f"CAST(st_isring({_BOW_IN}) AS STRING) || ' | ' || "
-        f"CAST(st_isring({_D_IN}) AS STRING)",
-    )
-    isempty = fam(
-        "isempty",
-        "CAST(st_isempty('POLYGON EMPTY') AS STRING) || ' | ' || "
-        f"CAST(st_isempty({_P_IN}) AS STRING)",
-    )
-    bnd_line = fam("bnd_line", f"st_boundary({_D_IN})")
-    bnd_ring = fam("bnd_ring", f"st_boundary({_RING_IN})")
-    bnd_poly = fam("bnd_poly", f"st_boundary({_BOX_IN})")
-    bnd_holed = fam("bnd_holed", f"st_boundary({_P_IN})")
-    bnd_point = fam("bnd_point", f"st_boundary({_POINT_BL})")
-    bnd_mod2 = fam("bnd_mod2", f"st_boundary({_M2_IN})")
-    out = isclosed
-    for part in (
-        isring, isempty, bnd_line, bnd_ring, bnd_poly, bnd_holed, bnd_point, bnd_mod2
-    ):
-        out = out.unionByName(part)
-    return out
+    return family_rows(nation_boxes(spark, sf_dir), {
+        "isclosed": f"CAST(st_isclosed({_RING_IN}) AS STRING) || ' | ' || "
+                    f"CAST(st_isclosed({_D_IN}) AS STRING) || ' | ' || "
+                    f"CAST(st_isclosed({_POINT_BL}) AS STRING)",
+        "isring": f"CAST(st_isring({_RING_IN}) AS STRING) || ' | ' || "
+                  f"CAST(st_isring({_BOW_IN}) AS STRING) || ' | ' || "
+                  f"CAST(st_isring({_D_IN}) AS STRING)",
+        "isempty": "CAST(st_isempty('POLYGON EMPTY') AS STRING) || ' | ' || "
+                   f"CAST(st_isempty({_P_IN}) AS STRING)",
+        "bnd_line": f"st_boundary({_D_IN})",
+        "bnd_ring": f"st_boundary({_RING_IN})",
+        "bnd_poly": f"st_boundary({_BOX_IN})",
+        "bnd_holed": f"st_boundary({_P_IN})",
+        "bnd_point": f"st_boundary({_POINT_BL})",
+        "bnd_mod2": f"st_boundary({_M2_IN})",
+    })

@@ -27,9 +27,8 @@ zero Exchange (plan-asserted with the q150 family).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ._sql_fixtures import CORNERS, int_str, sql_concat
+from ._sql_fixtures import CORNERS, HOLE_RING, family_rows, int_str, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -37,9 +36,7 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.affine import register_affine_functions
     from ..functions.constructors import register_constructor_functions
-    from ..functions.spatial import register_spatial_functions
 
-    register_spatial_functions(spark)
     register_affine_functions(spark)
     register_constructor_functions(spark)
 
@@ -55,35 +52,13 @@ _L_WKT = _cat("'LINESTRING ('", _BL, "', '", _BR, "', '", _TR, "')'")
 _RING_IN = _cat(
     "'LINESTRING ('", _BL, "', '", _BR, "', '", _TR, "', '", _TL, "', '", _BL, "')'"
 )
-_HOLE_IN = _cat(
-    "'LINESTRING ('",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
-    "', '",
-    f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}",
-    "', '",
-    f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}",
-    "', '",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}",
-    "', '",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
-    "')'",
-)
+_HOLE_IN = _cat("'LINESTRING ('", HOLE_RING, "')'")
 _BOX_WKT = _cat(
     "'POLYGON (('", _BL, "', '", _BR, "', '", _TR, "', '", _TL, "', '", _BL, "'))'"
 )
 _HOLED_WKT = _cat(
     "'POLYGON (('", _BL, "', '", _BR, "', '", _TR, "', '", _TL, "', '", _BL,
-    "'), ('",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
-    "', '",
-    f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}",
-    "', '",
-    f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}",
-    "', '",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}",
-    "', '",
-    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
-    "'))'",
+    "'), ('", HOLE_RING, "'))'",
 )
 
 # (x, y) -> (-y, x): 90 deg CCW, exact on integer coordinates
@@ -123,34 +98,14 @@ def q154_st_constructors(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-matrix 90° ST_Affine, and the scale-translate matrix pinned
     equal to the composed st_translate∘st_scale (module docstring)."""
     _ensure_udfs(spark)
-    boxes = nation_boxes(spark, sf_dir)
-
-    def fam(name: str, expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(expr).alias("val"),
-        )
-
-    makeline = fam(
-        "makeline",
-        f"st_makeline({_PT_BL}, {_PT_TR}) || ' | ' || "
-        f"st_makeline({_EDGE_IN}, {_PT_TR}) || ' | ' || "
-        f"coalesce(st_makeline({_BOX_WKT}, {_PT_TR}), 'NULL')",
-    )
-    makepoly = fam(
-        "makepoly",
-        f"st_makepolygon({_RING_IN}) || ' | ' || "
-        f"st_makepolygon_holes({_RING_IN}, array({_HOLE_IN})) || ' | ' || "
-        f"coalesce(st_makepolygon({_L_WKT}), 'NULL')",
-    )
-    affine90 = fam("affine90", f"st_affine({_L_WKT}, 0, -1, 1, 0, 0, 0)")
-    affine_st = fam(
-        "affine_st",
-        f"st_affine({_L_WKT}, 2, 0, 0, 3, 1, 2) || ' | ' || "
-        f"st_translate(st_scale({_L_WKT}, 2, 3), 1, 2)",
-    )
-    out = makeline
-    for part in (makepoly, affine90, affine_st):
-        out = out.unionByName(part)
-    return out
+    return family_rows(nation_boxes(spark, sf_dir), {
+        "makeline": f"st_makeline({_PT_BL}, {_PT_TR}) || ' | ' || "
+                    f"st_makeline({_EDGE_IN}, {_PT_TR}) || ' | ' || "
+                    f"coalesce(st_makeline({_BOX_WKT}, {_PT_TR}), 'NULL')",
+        "makepoly": f"st_makepolygon({_RING_IN}) || ' | ' || "
+                    f"st_makepolygon_holes({_RING_IN}, array({_HOLE_IN}))"
+                    f" || ' | ' || coalesce(st_makepolygon({_L_WKT}), 'NULL')",
+        "affine90": f"st_affine({_L_WKT}, 0, -1, 1, 0, 0, 0)",
+        "affine_st": f"st_affine({_L_WKT}, 2, 0, 0, 3, 1, 2) || ' | ' || "
+                     f"st_translate(st_scale({_L_WKT}, 2, 3), 1, 2)",
+    })

@@ -27,9 +27,8 @@ projection — zero Exchange (plan-asserted with the q150 family).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ._sql_fixtures import CORNERS, int_str, sql_concat
+from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -113,35 +112,15 @@ def q153_st_editors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand — every expected WKT string-built from integer box
     coordinates (module docstring)."""
     _ensure_udfs(spark)
-    boxes = nation_boxes(spark, sf_dir)
-
-    def fam(name: str, expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(expr).alias("val"),
-        )
-
-    addpt = fam(
-        "addpt",
-        f"st_addpoint({_EDGE_IN}, {_PT_TR}, -1) || ' | ' || "
-        f"st_addpoint({_DIAG_IN}, {_PT_BR}, 1) || ' | ' || "
-        f"coalesce(st_addpoint({_EDGE_IN}, {_PT_TR}, 5), 'NULL')",
-    )
-    setpt = fam(
-        "setpt",
-        f"st_setpoint({_D_IN}, 0, {_PT_TL}) || ' | ' || "
-        f"st_setpoint({_D_IN}, -1, {_PT_TL})",
-    )
-    rmpt = fam(
-        "rmpt",
-        f"st_removepoint({_D_IN}, 1) || ' | ' || "
-        f"coalesce(st_removepoint({_EDGE_IN}, 0), 'NULL')",
-    )
-    flip = fam("flip", f"st_flipcoordinates({_D_IN})")
-    segm = fam("segm", f"st_segmentize({_EDGE_IN}, (maxx - minx) / 3)")
-    expand = fam("expand", f"st_expand({_PT_BL}, 5)")
-    out = addpt
-    for part in (setpt, rmpt, flip, segm, expand):
-        out = out.unionByName(part)
-    return out
+    return family_rows(nation_boxes(spark, sf_dir), {
+        "addpt": f"st_addpoint({_EDGE_IN}, {_PT_TR}, -1) || ' | ' || "
+                 f"st_addpoint({_DIAG_IN}, {_PT_BR}, 1) || ' | ' || "
+                 f"coalesce(st_addpoint({_EDGE_IN}, {_PT_TR}, 5), 'NULL')",
+        "setpt": f"st_setpoint({_D_IN}, 0, {_PT_TL}) || ' | ' || "
+                 f"st_setpoint({_D_IN}, -1, {_PT_TL})",
+        "rmpt": f"st_removepoint({_D_IN}, 1) || ' | ' || "
+                f"coalesce(st_removepoint({_EDGE_IN}, 0), 'NULL')",
+        "flip": f"st_flipcoordinates({_D_IN})",
+        "segm": f"st_segmentize({_EDGE_IN}, (maxx - minx) / 3)",
+        "expand": f"st_expand({_PT_BL}, 5)",
+    })

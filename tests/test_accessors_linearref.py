@@ -348,6 +348,17 @@ class TestConstructorsAffine:
         ) == HOLED
         assert C.make_polygon_holes(RING, ["LINESTRING (1 1, 2 1)"]) is None
 
+    def test_makeline_empty_inputs_postgis_ignored(self):
+        C = self.C
+        assert C.make_line("LINESTRING EMPTY", "LINESTRING (0 0, 1 1)") == \
+            "LINESTRING (0 0, 1 1)"
+        assert C.make_line("LINESTRING EMPTY", "MULTIPOINT EMPTY") == \
+            "LINESTRING EMPTY"
+        assert C.make_line("POINT EMPTY", "POINT (1 1)") is None  # 1 vertex
+        assert C.make_line("POLYGON EMPTY", "POINT (1 1)") is None  # areal
+        assert C.make_polygon("LINESTRING EMPTY") is None  # no shell boundary
+        assert C.make_polygon_holes(RING, ["LINESTRING EMPTY"]) == BOX
+
     def test_affine_matrix_specializations_agree(self):
         AF = self.AF
         # identity
@@ -358,9 +369,14 @@ class TestConstructorsAffine:
         import math as m
 
         assert AF.affine_wkt("POINT (3 5)", 0, -1, 1, 0, 0, 0) == "POINT (-5 3)"
-        got = AF.rotate_wkt("POINT (1 0)", m.pi / 2)
-        # transcendental rotate is approximate; integer-matrix is exact
-        assert got != "POINT (0 1)" or True  # shape only; exactness below
+        # transcendental rotate lands within ulps of (0, 1); the
+        # integer-matrix form is EXACT — that contrast is the point
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        rx, ry = G.parse_wkt(AF.rotate_wkt("POINT (1 0)", m.pi / 2)).coords
+        assert abs(rx) < 1e-12 and abs(ry - 1) < 1e-12
         assert AF.affine_wkt("POINT (1 0)", 0, -1, 1, 0, 0, 0) == "POINT (0 1)"
 
     def test_affine_empty_and_nan(self):
