@@ -171,3 +171,45 @@ def test_closest_point_is_global_minimum():
         for k in range(201):  # dense arc samples can only be >= the optimum
             s = G.parse_wkt(L.line_interpolate_point(wkt, k / 200)).coords
             assert dgot <= math.dist(s, q) + 1e-9
+
+
+def test_constructor_accessor_roundtrips():
+    """make_polygon and the accessors are mutual inverses on random
+    integer rings; make_line glues what start/end accessors took apart."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        constructors as C,
+    )
+
+    rng = random.Random(31)
+    for _ in range(100):
+        # random simple-enough closed ring: jittered convex-ish polygon
+        cx, cy = rng.randint(-50, 50), rng.randint(-50, 50)
+        k = rng.randint(3, 7)
+        pts = []
+        for i in range(k):
+            ang = 2 * math.pi * i / k
+            r = rng.randint(3, 9)
+            pts.append((cx + round(r * math.cos(ang)), cy + round(r * math.sin(ang))))
+        # dedupe consecutive duplicates introduced by rounding
+        ring = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+        if len(ring) < 3:
+            continue
+        ring.append(ring[0])
+        shell = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+        poly = C.make_polygon(shell)
+        assert poly is not None
+        # exterior_ring inverts make_polygon
+        assert A.exterior_ring(poly) == shell
+        assert A.num_interior_rings(poly) == 0
+        # boundary of the single-ring polygon is the shell again
+        assert A.boundary_wkt(poly) == shell
+
+    # make_line glues start/end back into the 2-point hull of a line
+    for _ in range(50):
+        a = (rng.randint(-9, 9), rng.randint(-9, 9))
+        b = (rng.randint(-9, 9), rng.randint(-9, 9))
+        if a == b:
+            continue
+        line = f"LINESTRING ({a[0]} {a[1]}, {b[0]} {b[1]})"
+        sp, ep = A.start_point(line), A.end_point(line)
+        assert C.make_line(sp, ep) == line
