@@ -91,6 +91,14 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (trivial AND/OR) and q02 (trivial pruning — its plan shape is
 # separately pinned by tests/test_plans.py) defer — final
 # arithmetic: 32 stale + 5 diff + 13 new (q142-q154) = 50.
+#
+# Round 9 rotation plan (write the r9 set from this): fold the 50 r8
+# greens in here, then re-expose (a) the 13 rows deferred this round
+# (q02-q10 trivials, q17, q04, q114, q49, q58, q121, q03, q09 — all
+# 1-2 rounds stale by then), (b) whatever r9's diff touches, and
+# (c) the stalest remaining greens to fill 50. The r6-green blocks
+# (q20-q43, q54-q57, q60-q96 families) reach 3 rounds stale in r9 —
+# prioritize them after the deferrals.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q03_select_star",
