@@ -80,6 +80,9 @@ HEADLINE = [
     "q148_st_affine",
     "q149_st_linework",
     "q150_st_accessors",
+    # boundary's assembly path (mod-2 endpoint cancellation) is the
+    # pricier accessor-family kernel — tracked separately (VERDICT r8 #8)
+    "q151_st_boundary",
     "q152_st_linear_referencing",
     "q153_st_editors",
     "q154_st_constructors",

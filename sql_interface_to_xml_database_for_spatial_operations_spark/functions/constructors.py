@@ -70,8 +70,10 @@ def make_line(a_wkt, b_wkt) -> str | None:
     pts = a + b
     if not pts:
         return "LINESTRING EMPTY"  # both inputs empty, PostGIS shape
-    if len(pts) < 2:
-        return None  # a single point is not a line
+    # One surviving vertex (single point + empty other side): PostGIS
+    # liblwgeom builds the one-point LINESTRING — OGC-invalid but the
+    # documented PostGIS shape (ADVICE r8 #4), and it round-trips
+    # through this module's parser like any other LINESTRING.
     return G.to_wkt(Geometry("LineString", pts))
 
 

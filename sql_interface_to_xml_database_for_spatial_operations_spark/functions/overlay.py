@@ -63,8 +63,12 @@ outside it):
   COVERAGE.md §2.6, and in the registered function docstrings — the
   ADVICE r6 "loud, not silently wrong" contract).
 
-Empty results serialize as ``'POLYGON EMPTY'`` (PostGIS emits a typed
-EMPTY too); both UDFs accept ``'... EMPTY'`` WKT back as input. This
+Empty results serialize as a typed EMPTY following the OverlayNG rule
+PostGIS/GEOS uses (intersection → min input dimension, difference →
+minuend dimension, symdifference → max input dimension; 0 → ``POINT
+EMPTY``, 1 → ``LINESTRING EMPTY``, 2 → ``POLYGON EMPTY``). A
+``GEOMETRYCOLLECTION EMPTY`` input counts as dimension 0. All UDFs
+accept ``'... EMPTY'`` WKT back as input. This
 module deliberately does NOT extend geometry.py's parser — staleness
 fingerprints are module-granular and geometry.py underpins every
 verified spatial query (same isolation rationale as relations_ops.py).
@@ -100,7 +104,19 @@ from .union_ops import (
 Pt = tuple[float, float]
 Rect = tuple[float, float, float, float]
 
-EMPTY_WKT = "POLYGON EMPTY"
+# OverlayNG empty-result typing: the dimension of a typed EMPTY input
+# (GEOMETRYCOLLECTION EMPTY counts as 0, the GEOS convention for
+# dimensionless empties) and the WKT a result dimension serializes to.
+_EMPTY_KIND_DIM = {
+    "POINT": 0,
+    "MULTIPOINT": 0,
+    "GEOMETRYCOLLECTION": 0,
+    "LINESTRING": 1,
+    "MULTILINESTRING": 1,
+    "POLYGON": 2,
+    "MULTIPOLYGON": 2,
+}
+_EMPTY_BY_DIM = {0: "POINT EMPTY", 1: "LINESTRING EMPTY", 2: "POLYGON EMPTY"}
 
 
 class _Unsupported(Exception):
@@ -223,17 +239,28 @@ _EMPTY_RE = re.compile(
 )
 
 
-def _parse(wkt) -> Geometry | None | str:
-    """Parse WKT; returns the string ``"EMPTY"`` sentinel for typed
+def _parse(wkt) -> "Geometry | None | tuple":
+    """Parse WKT; returns an ``("EMPTY", dim)`` sentinel for typed
     EMPTY inputs (``<KIND> EMPTY`` exactly — a bare EMPTY suffix on
     garbage must stay NULL, not become an empty geometry), None for
-    null/unparseable."""
+    null/unparseable. The sentinel keeps the input's dimension so the
+    OverlayNG empty-result typing rule can apply."""
     if wkt is None:
         return None
     s = str(wkt).strip()
-    if _EMPTY_RE.match(s.upper()):
-        return "EMPTY"
+    m = _EMPTY_RE.match(s.upper())
+    if m:
+        return ("EMPTY", _EMPTY_KIND_DIM[m.group(1)])
     return G.parse_wkt(s)
+
+
+def _dim_of(x) -> int:
+    """Dimension of a ``_parse`` result: sentinel tuple or Geometry."""
+    return x[1] if isinstance(x, tuple) else G.dimension(x)
+
+
+def _is_empty(x) -> bool:
+    return isinstance(x, tuple)
 
 
 def _rects_of(poly_rings: list[list[Pt]]) -> list[Rect] | None:
@@ -992,15 +1019,20 @@ def _dissolve_collinear_spans(lines: list[Geometry]) -> list[Geometry]:
         return out + spans
     groups: dict[tuple, tuple[int, list]] = {}
     for g in spans:
-        (ux, uy), (vx, vy) = g.coords
+        # Coerce coords through Fraction BEFORE any arithmetic: mixing
+        # a Fraction with a float silently degrades to float, which
+        # would turn this exact carrier-line grouping approximate for
+        # any future caller passing float coords (ADVICE r8 #3).
+        # Floats are exact binary rationals, so Fraction() is lossless.
+        (ux, uy), (vx, vy) = (_frac_pt(p) for p in g.coords)
         dx, dy = vx - ux, vy - uy
         if dx == 0 and dy == 0:
             continue  # degenerate span: no point set beyond its ends
         A, B, C = dy, -dx, dy * ux - dx * uy
         key = (
-            (Fraction(1), Fraction(B) / A, Fraction(C) / A)
+            (Fraction(1), B / A, C / A)
             if A != 0
-            else (Fraction(0), Fraction(1), Fraction(C) / B)
+            else (Fraction(0), Fraction(1), C / B)
         )
         axp = 1 if key[1] == 0 else 0  # B == 0 → vertical → param on y
         u, v = sorted(g.coords, key=lambda p: p[axp])
@@ -1225,45 +1257,48 @@ def intersection_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    if ga == "EMPTY" or gb == "EMPTY":
-        return EMPTY_WKT
+    empty = _EMPTY_BY_DIM[min(_dim_of(ga), _dim_of(gb))]
+    if _is_empty(ga) or _is_empty(gb):
+        return empty
     try:
         out = intersection_geoms(ga, gb)
     except _Unsupported:
         return None  # documented NULL: outside the exact class
-    return EMPTY_WKT if out is None else G.to_wkt(out)
+    return empty if out is None else G.to_wkt(out)
 
 
 def difference_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    if ga == "EMPTY":
-        return EMPTY_WKT
-    if gb == "EMPTY":
+    empty = _EMPTY_BY_DIM[_dim_of(ga)]
+    if _is_empty(ga):
+        return empty
+    if _is_empty(gb):
         return G.to_wkt(ga)
     try:
         out = difference_geoms(ga, gb)
     except _Unsupported:
         return None
-    return EMPTY_WKT if out is None else G.to_wkt(out)
+    return empty if out is None else G.to_wkt(out)
 
 
 def symdifference_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    if ga == "EMPTY" and gb == "EMPTY":
-        return EMPTY_WKT
-    if ga == "EMPTY":
+    empty = _EMPTY_BY_DIM[max(_dim_of(ga), _dim_of(gb))]
+    if _is_empty(ga) and _is_empty(gb):
+        return empty
+    if _is_empty(ga):
         return G.to_wkt(gb)
-    if gb == "EMPTY":
+    if _is_empty(gb):
         return G.to_wkt(ga)
     try:
         out = symdifference_geoms(ga, gb)
     except _Unsupported:
         return None
-    return EMPTY_WKT if out is None else G.to_wkt(out)
+    return empty if out is None else G.to_wkt(out)
 
 
 @pandas_udf(StringType())

@@ -354,7 +354,10 @@ class TestConstructorsAffine:
             "LINESTRING (0 0, 1 1)"
         assert C.make_line("LINESTRING EMPTY", "MULTIPOINT EMPTY") == \
             "LINESTRING EMPTY"
-        assert C.make_line("POINT EMPTY", "POINT (1 1)") is None  # 1 vertex
+        # one surviving vertex -> one-point LINESTRING (PostGIS
+        # liblwgeom shape; ADVICE r8 #4)
+        assert C.make_line("POINT EMPTY", "POINT (1 1)") == "LINESTRING (1 1)"
+        assert C.make_line("POINT (2 3)", "MULTIPOINT EMPTY") == "LINESTRING (2 3)"
         assert C.make_line("POLYGON EMPTY", "POINT (1 1)") is None  # areal
         assert C.make_polygon("LINESTRING EMPTY") is None  # no shell boundary
         assert C.make_polygon_holes(RING, ["LINESTRING EMPTY"]) == BOX

@@ -17,6 +17,7 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overla
     difference_wkt,
     intersection_wkt,
     register_overlay_functions,
+    symdifference_wkt,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.operators import load_all
 from sql_interface_to_xml_database_for_spatial_operations_spark.operators.registry import QUERIES
@@ -122,8 +123,8 @@ class TestKnownCases:
     def test_point_cases(self):
         assert intersection_wkt("POINT (1 1)", BOX) == "POINT (1 1)"
         assert intersection_wkt("POINT (0 5)", BOX) == "POINT (0 5)"  # boundary: closure
-        assert intersection_wkt("POINT (50 50)", BOX) == "POLYGON EMPTY"
-        assert difference_wkt("POINT (1 1)", BOX) == "POLYGON EMPTY"
+        assert intersection_wkt("POINT (50 50)", BOX) == "POINT EMPTY"
+        assert difference_wkt("POINT (1 1)", BOX) == "POINT EMPTY"
         assert difference_wkt("POINT (50 50)", BOX) == "POINT (50 50)"
 
     def test_multipoint_membership(self):
@@ -139,7 +140,7 @@ class TestKnownCases:
         assert G.length(got) == 3.0  # chord at y=1: x in [0.5, 3.5]
 
     def test_line_outside_is_empty(self):
-        assert intersection_wkt("LINESTRING (-5 50, 20 50)", BOX) == "POLYGON EMPTY"
+        assert intersection_wkt("LINESTRING (-5 50, 20 50)", BOX) == "LINESTRING EMPTY"
 
     def test_nonconvex_pairs_triangulate_exact(self):
         nonconvex = "POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"  # area 10
@@ -177,7 +178,7 @@ class TestKnownCases:
         assert intersection_wkt("LINESTRING (0 0, 2 2)", "LINESTRING (2 0, 0 2)") == "POINT (1 1)"
         got = intersection_wkt("LINESTRING (0 1, 10 1)", "LINESTRING (1 0, 1 2, 3 2, 3 0)")
         assert got == "MULTIPOINT (1 1, 3 1)"
-        assert intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (5 5, 6 6)") == "POLYGON EMPTY"
+        assert intersection_wkt("LINESTRING (0 0, 1 0)", "LINESTRING (5 5, 6 6)") == "LINESTRING EMPTY"
         # endpoint touch counts (closure semantics)
         assert intersection_wkt("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)") == "POINT (1 1)"
 
@@ -198,6 +199,24 @@ class TestKnownCases:
         # a bare EMPTY suffix on garbage is NOT an empty geometry
         assert intersection_wkt("NOT_A_GEOMEMPTY", BOX) is None
         assert intersection_wkt("FOO EMPTY", BOX) is None
+
+    def test_empty_result_typed_by_overlayng_rule(self):
+        # GEOS OverlayNG: intersection -> min input dim, difference ->
+        # minuend dim, symdifference -> max input dim (VERDICT r8 #4).
+        line, far_line = "LINESTRING (0 0, 1 0)", "LINESTRING (50 50, 60 60)"
+        pt = "POINT (50 50)"
+        assert intersection_wkt(pt, BOX) == "POINT EMPTY"
+        assert intersection_wkt(BOX, pt) == "POINT EMPTY"
+        assert intersection_wkt(far_line, BOX) == "LINESTRING EMPTY"
+        assert difference_wkt(line, line) == "LINESTRING EMPTY"
+        assert difference_wkt("POINT (1 1)", BOX) == "POINT EMPTY"
+        assert symdifference_wkt(line, BOX) is not None  # non-empty path
+        # typed-EMPTY inputs carry their dimension into the rule
+        assert intersection_wkt("LINESTRING EMPTY", BOX) == "LINESTRING EMPTY"
+        assert intersection_wkt("POINT EMPTY", line) == "POINT EMPTY"
+        assert difference_wkt("LINESTRING EMPTY", BOX) == "LINESTRING EMPTY"
+        assert symdifference_wkt("POINT EMPTY", "LINESTRING EMPTY") == "LINESTRING EMPTY"
+        assert symdifference_wkt("GEOMETRYCOLLECTION EMPTY", "POINT EMPTY") == "POINT EMPTY"
 
     def test_self_intersecting_rectilinear_ring_is_null(self):
         # axis-parallel but self-crossing at (2,2): the cell path would
@@ -234,7 +253,7 @@ class TestKnownCases:
         # return the minuend
         assert (
             difference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 2 0)")
-            == "POLYGON EMPTY"
+            == "LINESTRING EMPTY"
         )
         assert (
             difference_wkt("LINESTRING (0 0, 2 0)", "LINESTRING (0 0, 1 0)")
@@ -250,7 +269,7 @@ class TestKnownCases:
                 "LINESTRING (0 0, 3 0)",
                 "MULTILINESTRING ((0 0, 1 0), (1 0, 3 0))",
             )
-            == "POLYGON EMPTY"
+            == "LINESTRING EMPTY"
         )
         # crossing-only subtrahend removes nothing (closure semantics)
         assert (
