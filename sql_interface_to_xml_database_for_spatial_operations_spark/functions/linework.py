@@ -52,19 +52,14 @@ def linemerge_wkt(wkt) -> str | None:
     lineal = [p for p in _flatten(g) if p.kind == "LineString"]
     if not lineal:
         return "GEOMETRYCOLLECTION EMPTY"
-    # Drop exact duplicate parts (orientation-normalized) before the
-    # degree index: a duplicated segment would otherwise read as a
-    # degree-2 chain and merge into a degenerate out-and-back
-    # LINESTRING (A, B, A) — GEOS LineMerger never emits that
-    # (ADVICE r8 #2).
-    seen: set[tuple] = set()
-    deduped = []
-    for p in lineal:
-        key = min(tuple(p.coords), tuple(p.coords[::-1]))
-        if key not in seen:
-            seen.add(key)
-            deduped.append(p)
-    merged = _merge_contiguous_lines(deduped)
+    # Duplicate parts are deliberately KEPT (ADVICE r8 #2 proposed
+    # dropping them, declined after checking JTS: LineMergeGraph adds
+    # parallel edges with no duplicate suppression, so GEOS LineMerger
+    # really does return the out-and-back LINESTRING (A, B, A) for a
+    # doubled segment, and a node carrying a duplicate pair plus one
+    # more segment has degree 3 and never merges through). Matching
+    # that is the parity target.
+    merged = _merge_contiguous_lines(lineal)
     if len(merged) == 1:
         return G.to_wkt(merged[0])
     return G.to_wkt(Geometry("MultiLineString", [m.coords for m in merged]))

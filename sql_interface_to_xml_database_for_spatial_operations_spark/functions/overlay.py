@@ -63,11 +63,14 @@ outside it):
   COVERAGE.md §2.6, and in the registered function docstrings — the
   ADVICE r6 "loud, not silently wrong" contract).
 
-Empty results serialize as a typed EMPTY following the OverlayNG rule
-PostGIS/GEOS uses (intersection → min input dimension, difference →
-minuend dimension, symdifference → max input dimension; 0 → ``POINT
-EMPTY``, 1 → ``LINESTRING EMPTY``, 2 → ``POLYGON EMPTY``). A
-``GEOMETRYCOLLECTION EMPTY`` input counts as dimension 0. All UDFs
+Empty results computed from non-empty inputs serialize as a typed
+EMPTY following the OverlayNG rule PostGIS/GEOS uses (intersection →
+min input dimension, difference → minuend dimension, symdifference →
+max input dimension; 0 → ``POINT EMPTY``, 1 → ``LINESTRING EMPTY``,
+2 → ``POLYGON EMPTY``). Typed-EMPTY *inputs* short-circuit the way
+liblwgeom does — the relevant input is echoed back verbatim
+(``Empty ∩ A == Empty`` echoes the empty, ``A − Empty == A``,
+``Empty Δ A == A``) — OverlayNG never sees an empty input. All UDFs
 accept ``'... EMPTY'`` WKT back as input. This
 module deliberately does NOT extend geometry.py's parser — staleness
 fingerprints are module-granular and geometry.py underpins every
@@ -104,18 +107,11 @@ from .union_ops import (
 Pt = tuple[float, float]
 Rect = tuple[float, float, float, float]
 
-# OverlayNG empty-result typing: the dimension of a typed EMPTY input
-# (GEOMETRYCOLLECTION EMPTY counts as 0, the GEOS convention for
-# dimensionless empties) and the WKT a result dimension serializes to.
-_EMPTY_KIND_DIM = {
-    "POINT": 0,
-    "MULTIPOINT": 0,
-    "GEOMETRYCOLLECTION": 0,
-    "LINESTRING": 1,
-    "MULTILINESTRING": 1,
-    "POLYGON": 2,
-    "MULTIPOLYGON": 2,
-}
+# OverlayNG empty-result typing: the WKT a result dimension serializes
+# to when NON-empty inputs compute to an empty result. Empty INPUTS
+# never reach OverlayNG in PostGIS — liblwgeom short-circuits them by
+# echoing the relevant input geometry back (code-review r9), which the
+# wkt surface functions mirror.
 _EMPTY_BY_DIM = {0: "POINT EMPTY", 1: "LINESTRING EMPTY", 2: "POLYGON EMPTY"}
 
 
@@ -250,13 +246,8 @@ def _parse(wkt) -> "Geometry | None | tuple":
     s = str(wkt).strip()
     m = _EMPTY_RE.match(s.upper())
     if m:
-        return ("EMPTY", _EMPTY_KIND_DIM[m.group(1)])
+        return ("EMPTY", f"{m.group(1)} EMPTY")
     return G.parse_wkt(s)
-
-
-def _dim_of(x) -> int:
-    """Dimension of a ``_parse`` result: sentinel tuple or Geometry."""
-    return x[1] if isinstance(x, tuple) else G.dimension(x)
 
 
 def _is_empty(x) -> bool:
@@ -1257,48 +1248,56 @@ def intersection_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    empty = _EMPTY_BY_DIM[min(_dim_of(ga), _dim_of(gb))]
-    if _is_empty(ga) or _is_empty(gb):
-        return empty
+    # PostGIS empty-input shortcut: Empty.Intersection(A) == Empty —
+    # the empty INPUT is echoed back (liblwgeom clones it; OverlayNG
+    # never sees empty inputs).
+    if _is_empty(ga):
+        return ga[1]
+    if _is_empty(gb):
+        return gb[1]
     try:
         out = intersection_geoms(ga, gb)
     except _Unsupported:
         return None  # documented NULL: outside the exact class
-    return empty if out is None else G.to_wkt(out)
+    if out is None:  # computed-empty: OverlayNG min-dimension rule
+        return _EMPTY_BY_DIM[min(G.dimension(ga), G.dimension(gb))]
+    return G.to_wkt(out)
 
 
 def difference_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    empty = _EMPTY_BY_DIM[_dim_of(ga)]
+    # PostGIS: Empty.Difference(A) == Empty (echo), A.Difference(Empty) == A.
     if _is_empty(ga):
-        return empty
+        return ga[1]
     if _is_empty(gb):
         return G.to_wkt(ga)
     try:
         out = difference_geoms(ga, gb)
     except _Unsupported:
         return None
-    return empty if out is None else G.to_wkt(out)
+    if out is None:  # computed-empty: OverlayNG minuend-dimension rule
+        return _EMPTY_BY_DIM[G.dimension(ga)]
+    return G.to_wkt(out)
 
 
 def symdifference_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    empty = _EMPTY_BY_DIM[max(_dim_of(ga), _dim_of(gb))]
-    if _is_empty(ga) and _is_empty(gb):
-        return empty
+    # PostGIS: Empty.SymDifference(A) == A, A.SymDifference(Empty) == A.
     if _is_empty(ga):
-        return G.to_wkt(gb)
+        return gb[1] if _is_empty(gb) else G.to_wkt(gb)
     if _is_empty(gb):
         return G.to_wkt(ga)
     try:
         out = symdifference_geoms(ga, gb)
     except _Unsupported:
         return None
-    return empty if out is None else G.to_wkt(out)
+    if out is None:  # computed-empty: OverlayNG max-dimension rule
+        return _EMPTY_BY_DIM[max(G.dimension(ga), G.dimension(gb))]
+    return G.to_wkt(out)
 
 
 @pandas_udf(StringType())

@@ -211,12 +211,21 @@ class TestKnownCases:
         assert difference_wkt(line, line) == "LINESTRING EMPTY"
         assert difference_wkt("POINT (1 1)", BOX) == "POINT EMPTY"
         assert symdifference_wkt(line, BOX) is not None  # non-empty path
-        # typed-EMPTY inputs carry their dimension into the rule
+        # typed-EMPTY INPUTS take PostGIS's liblwgeom shortcut instead:
+        # the empty input is echoed back verbatim (OverlayNG never sees
+        # empty inputs), so Multi-kinds and GEOMETRYCOLLECTION survive.
         assert intersection_wkt("LINESTRING EMPTY", BOX) == "LINESTRING EMPTY"
-        assert intersection_wkt("POINT EMPTY", line) == "POINT EMPTY"
-        assert difference_wkt("LINESTRING EMPTY", BOX) == "LINESTRING EMPTY"
+        assert intersection_wkt("MULTIPOINT EMPTY", BOX) == "MULTIPOINT EMPTY"
+        assert intersection_wkt(BOX, "multilinestring  empty") == "MULTILINESTRING EMPTY"
+        assert (
+            intersection_wkt("GEOMETRYCOLLECTION EMPTY", line)
+            == "GEOMETRYCOLLECTION EMPTY"
+        )
+        assert difference_wkt("MULTILINESTRING EMPTY", BOX) == "MULTILINESTRING EMPTY"
+        assert difference_wkt(BOX, "POINT EMPTY") == BOX
+        assert symdifference_wkt("POINT EMPTY", line) == line
+        assert symdifference_wkt(line, "POLYGON EMPTY") == line
         assert symdifference_wkt("POINT EMPTY", "LINESTRING EMPTY") == "LINESTRING EMPTY"
-        assert symdifference_wkt("GEOMETRYCOLLECTION EMPTY", "POINT EMPTY") == "POINT EMPTY"
 
     def test_self_intersecting_rectilinear_ring_is_null(self):
         # axis-parallel but self-crossing at (2,2): the cell path would
