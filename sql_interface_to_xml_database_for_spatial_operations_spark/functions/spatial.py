@@ -314,11 +314,12 @@ def st_centroid(wkt: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def st_buffer(wkt: pd.Series, dist: pd.Series) -> pd.Series:
-    out = []
-    for v, d in zip(wkt, dist):
-        g = G.parse_wkt(v) if isinstance(v, str) else None
-        out.append(G.to_wkt(G.buffer(g, float(d))) if g is not None and d is not None else None)
-    return pd.Series(out, dtype=object)
+    """Real round-join buffers (functions/buffer.py, r9): NULL for
+    junk/outside-class, 'POLYGON EMPTY' for empty results. NULL doubles
+    arrive as NaN under Arrow — buffer_wkt guards that itself."""
+    from .buffer import buffer_wkt  # lazy: buffer.py imports spatial's deps
+
+    return pd.Series([buffer_wkt(v, d) for v, d in zip(wkt, dist)], dtype=object)
 
 
 # -- binary predicates & measures ----------------------------------------

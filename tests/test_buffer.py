@@ -1,0 +1,185 @@
+"""ST_Buffer (functions/buffer.py): closed-form Minkowski identities,
+grid-sampled point-set parity against the Euclidean definition, and the
+NULL/EMPTY surface contract.
+
+Reference parity target: F12 (reference src/index.ts:44-63 forwards
+ST_Buffer to PostGIS). The closed forms below are the standard
+Minkowski-sum identities for the inscribed n-gon K (n = 32):
+
+  area(P ⊕ K) = A(P) + r·perimeter(P) + (convex corner sectors)
+                − (reflex corner overlaps)
+
+specialized to axis-aligned fixtures where the n-gon's axis support is
+exactly r (n divisible by 4), so every term is closed-form.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import buffer_wkt
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import Geometry
+
+
+def _area(w: str) -> float:
+    return G.area(G.parse_wkt(w))
+
+
+def _ngon_area(r: float, n: int = 32) -> float:
+    return 0.5 * n * r * r * math.sin(2 * math.pi / n)
+
+
+class TestClosedFormAreas:
+    def test_point_disk_unchanged(self):
+        # q53's pinned identity: the point path is byte-identical pre/post r9
+        r = 2.0
+        w = buffer_wkt("POINT (3 4)", r)
+        assert abs(_area(w) - _ngon_area(r)) < 1e-12
+        g = G.parse_wkt(w)
+        assert g.kind == "Polygon" and len(g.coords[0]) == 33
+        x, y = 3.0, 4.0
+        expect = [
+            (x + r * math.cos(2 * math.pi * i / 32), y + r * math.sin(2 * math.pi * i / 32))
+            for i in range(32)
+        ]
+        assert list(g.coords[0][:-1]) == expect
+
+    def test_axis_segment_stadium(self):
+        r = 2.0
+        w = buffer_wkt("LINESTRING (0 0, 10 0)", r)
+        assert G.parse_wkt(w).kind == "Polygon"  # convex: one clean ring
+        assert abs(_area(w) - (2 * 10 * r + _ngon_area(r))) < 1e-9
+        w = buffer_wkt("LINESTRING (5 -3, 5 9)", r)  # vertical, L=12
+        assert abs(_area(w) - (2 * 12 * r + _ngon_area(r))) < 1e-9
+
+    def test_diagonal_segment_stadium(self):
+        # 45°: the n-gon has vertices at ±perpendicular too (n % 8 == 0),
+        # so the support width is exactly r and the closed form holds
+        r, L = 2.0, 5 * math.sqrt(2)
+        w = buffer_wkt("LINESTRING (0 0, 5 5)", r)
+        assert abs(_area(w) - (2 * L * r + _ngon_area(r))) < 1e-9
+
+    def test_convex_rect_minkowski(self):
+        r = 2.0
+        w = buffer_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))", r)
+        g = G.parse_wkt(w)
+        assert g.kind == "Polygon"  # convex fast path: one clean ring
+        assert abs(_area(w) - (60 + r * 32 + _ngon_area(r))) < 1e-9
+
+    def test_lshape_reflex_corner(self):
+        # A=300, perimeter=80, 5 convex + 1 reflex corner
+        r = 2.0
+        w = buffer_wkt(
+            "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))", r
+        )
+        exp = 300 + r * 80 + 5 * _ngon_area(r) / 4 - r * r
+        assert abs(_area(w) - exp) < 1e-9
+
+    def test_closed_ring_line_annulus(self):
+        # boundary of a 10x6 rect as a closed LINESTRING: ribbon area =
+        # outer expansion (perim*r + ngon) + inner coverage
+        # (wh - (w-2r)(h-2r)); the middle stays uncovered (implicit hole
+        # in the seamed MultiPolygon representation)
+        r = 2.0
+        w = buffer_wkt("LINESTRING (0 0, 10 0, 10 6, 0 6, 0 0)", r)
+        exp = 32 * r + _ngon_area(r) + 60 - (10 - 2 * r) * (6 - 2 * r)
+        assert abs(_area(w) - exp) < 1e-9
+        # the hole is real: the rect center is NOT covered
+        center = Geometry("Point", (5.0, 3.0))
+        assert not G.within(center, G.parse_wkt(w))
+
+    def test_holed_polygon_hole_shrinks(self):
+        r = 1.0
+        w = buffer_wkt(
+            "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+            " (6 6, 14 6, 14 14, 6 14, 6 6))",
+            r,
+        )
+        # outer grows by perim*r + ngon; hole shrinks to (8-2r)^2
+        exp = 400 + 80 * r + _ngon_area(r) - (8 - 2 * r) ** 2
+        assert abs(_area(w) - exp) < 1e-9
+        assert not G.within(Geometry("Point", (10.0, 10.0)), G.parse_wkt(w))
+
+    def test_negative_buffer_erosion(self):
+        r = 2.0
+        w = buffer_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))", -r)
+        assert abs(_area(w) - (10 - 2 * r) * (6 - 2 * r)) < 1e-9
+        # erode past the core -> EMPTY
+        assert buffer_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))", -3.0) == "POLYGON EMPTY"
+        assert buffer_wkt("LINESTRING (0 0, 5 5)", -1.0) == "POLYGON EMPTY"
+        assert buffer_wkt("POINT (1 1)", -1.0) == "POLYGON EMPTY"
+
+    def test_zero_distance(self):
+        p = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+        assert buffer_wkt(p, 0.0) == p
+        assert buffer_wkt("LINESTRING (0 0, 1 1)", 0.0) == "POLYGON EMPTY"
+        assert buffer_wkt("POINT (0 0)", 0.0) == "POLYGON EMPTY"
+
+    def test_multipart_inputs(self):
+        r = 1.0
+        # two far-apart points: two disjoint disks
+        w = buffer_wkt("MULTIPOINT (0 0, 100 0)", r)
+        assert abs(_area(w) - 2 * _ngon_area(r)) < 1e-9
+        assert G.parse_wkt(w).kind == "MultiPolygon"
+        # overlapping disks dissolve (no double count)
+        w = buffer_wkt("MULTIPOINT (0 0, 1 0)", r)
+        assert _area(w) < 2 * _ngon_area(r) - 0.5
+        assert _area(w) > _ngon_area(r) + 1.0
+
+    def test_surface_contract(self):
+        assert buffer_wkt(None, 1.0) is None
+        assert buffer_wkt("POINT (0 0)", None) is None
+        assert buffer_wkt("POINT (0 0)", float("nan")) is None
+        assert buffer_wkt("junk ((", 1.0) is None
+        assert buffer_wkt("POLYGON EMPTY", 1.0) == "POLYGON EMPTY"
+        assert buffer_wkt("LINESTRING EMPTY", 1.0) == "POLYGON EMPTY"
+        # self-intersecting ring: loud NULL, never a wrong geometry
+        assert buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 1.0) is None
+
+
+class TestGridPointSetParity:
+    """Independent check of the CONSTRUCTION, not the closed forms:
+    sample a grid and compare membership in the built buffer against
+    the Euclidean-distance definition. The inscribed n-gon under-covers
+    a true disk by at most r·(1 − cos(π/n)), so grid points inside the
+    margin band are excluded; everything else must agree exactly."""
+
+    FIXTURES = [
+        ("LINESTRING (0 0, 10 0, 10 10)", 2.0),  # right-angle polyline
+        ("LINESTRING (0 0, 6 3, 2 8)", 2.0),  # oblique polyline
+        ("POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))", 2.0),
+        ("POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), (4 4, 8 4, 8 8, 4 8, 4 4))", 1.5),
+        ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((7 0, 11 0, 11 4, 7 4, 7 0)))", 2.5),
+        ("LINESTRING (0 0, 10 0, 10 6, 0 6, 0 0)", 2.0),  # closed ring
+        ("POLYGON ((0 0, 9 2, 12 9, 3 11, 0 0))", 2.0),  # non-convex-ish quad
+    ]
+
+    @pytest.mark.parametrize("wkt,r", FIXTURES)
+    def test_grid_membership(self, wkt, r):
+        out = buffer_wkt(wkt, r)
+        assert out is not None and not out.endswith("EMPTY")
+        buf = G.parse_wkt(out)
+        g = G.parse_wkt(wkt)
+        minx, miny, maxx, maxy = G.bbox(g)
+        margin_lo = r * math.cos(math.pi / 32) * 0.999
+        margin_hi = r * 1.001
+        step = (maxx - minx + 2 * r + 2) / 23  # irregular: avoids seams
+        checked = 0
+        y = miny - r - 1 + 0.013
+        while y < maxy + r + 1:
+            x = minx - r - 1 + 0.017
+            while x < maxx + r + 1:
+                pt = Geometry("Point", (x, y))
+                d = G.distance(pt, g)
+                if d < margin_lo:
+                    assert G.within(pt, buf), (x, y, d)
+                    checked += 1
+                elif d > margin_hi:
+                    assert not G.within(pt, buf), (x, y, d)
+                    checked += 1
+                x += step
+            y += step
+        assert checked > 200  # the grid actually exercised both sides
