@@ -45,132 +45,71 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # diff touching a green query's module fails the suite until the query
 # is either re-exposed or its fingerprint deliberately re-recorded.
 #
-# Round 8 state: CORRECTNESS_r07 came back 50/50 green (fourth
-# consecutive all-green round) — every one of the 140 registered
-# queries is now green at its most recent driver check. This set is
-# therefore the r6+r7 green union MINUS the round-8 re-exposures:
-#   - this round's diff: functions/overlay.py (collinear line×line
-#     spans now computed exactly for intersection AND difference —
-#     ADVICE r7 #1/#2 — plus span dissolve/point subsumption at
-#     assembly) and functions/union_ops.py (exact int-seeded shoelace
-#     ADVICE r7 #3; rectilinear simplicity gate ADVICE r7 #4). The
-#     queries that EXECUTE those modules re-expose: q139 (overlay) and
-#     q124 (union cascade). Every other recorded fingerprint drifts
-#     only through engine.py's function-registration import chain
-#     (module-granular over-flagging; registration is additive and
-#     result-invariant) — deliberately re-recorded, the visible act
-#     this comment documents.
-#   - staleness: the whole r3-stale block (q30, q45, q97, q100, q112 —
-#     5 rounds since last check) and the whole r5-stale block (40
-#     queries: the relational q01-q19 base, the spatial q44-q53 +
-#     q85/q94/q95/q98/q99 family incl. the ADVICE r7 #5 q52/q94
-#     re-exposure, the source-roundtrip rows, q58, q114, q118, q121).
-#     With r6-green and r7-green queries folded in, those 45 are the
-#     entire set of queries more than two rounds stale — the rotation
-#     debt is fully paid this round.
-#   - never green: the round-8 surfaces (q142+), registered WITH their
-#     driver rows.
-# Window arithmetic (the driver checks the first 50): 40 stale + 2
-# overlay/union diff + 3 streaming diff (q123/q137/q138 re-exposed for
-# the band_transform harness change per ADVICE r7 #5's "prefer
-# re-exposing" over fingerprint attestation) + 5 new (q142-q146) = 50.
-# To make room, 5 of the 45 stale greens defer to round 9 — the five
-# lowest-risk rows (q03/q09 trivial relational, q49 serialization-only,
-# q58 bounded-oracle, q121 catalog listing), all on modules this
-# round's diff does not execute. q147 (applyInPandasWithState custom
-# stateful totals e2e), q148 (affine family) and q149 (linework
-# family) were registered late in the round and claim three more
-# slots; q114 (r5-green compat flattening, exercised every round by
-# tests/test_sources.py), q17 (natural join — dead code in the
-# reference, trivial in Spark) and q04 (trivial aliasing) defer with
-# the same new-outranks-recheck rationale. q150/q151 (accessor +
-# boundary families), q152 (linear referencing), q153 (geometry
-# editors) and q154 (constructors + general affine) land even later
-# and claim five more slots; q06/q07 (trivial IN / NOT IN relational
-# rows, module untouched this round), q10 (trivial BETWEEN), q05
-# (trivial AND/OR) and q02 (trivial pruning — its plan shape is
-# separately pinned by tests/test_plans.py) defer — final
-# arithmetic: 32 stale + 5 diff + 13 new (q142-q154) = 50.
+# Round 10 state: CORRECTNESS_r09 came back 50/50 green (sixth
+# consecutive all-green round), but the round-9 buffer snapshot left
+# tests/test_registry.py RED (13 verified fingerprints drifted via the
+# geometry.py/spatial.py module closure) and the r9 rotation plan was
+# not executed, so 10 rows went 4 rounds stale. This set pays both
+# debts at once (VERDICT r9 item 1). It is the union of all prior
+# greens plus the 46 r9 greens, MINUS the round-10 exposure list:
+#   - the 13 drifted rows (q41-q43, q49, q59, q114, q121, q122,
+#     q128-q131, q140) — the registry rule says re-expose, and 10 of
+#     the 13 were already >=3 rounds stale;
+#   - the 10 remaining r5-stale rows (q02-q07, q09, q10, q17, q58);
+#   - this round's diff: functions/buffer.py (ADVICE r9 #2/#4 guards +
+#     line/polygon surface now driver-gated) re-exposes q53, which
+#     executes buffer; functions/overlay.py (ADVICE r9 #3 both-empty
+#     operand precedence) re-exposes q124/q139/q146, which execute
+#     overlay; operators/multimodal.py (real PNG pixel decode,
+#     VERDICT r9 missing item 3) re-exposes q133/q136, which execute
+#     the decode dispatch;
+#   - the new round-10 surfaces, registered WITH their driver rows:
+#     q155 (line/polygon/negative buffer oracle — VERDICT r9 item 2),
+#     q156 (st_relate DE-9IM matrix + st_isvalid — item 4), q157
+#     (st_makevalid — item 5);
+#   - fill to 50 with the stalest r6 greens in registration order:
+#     q20-q29, q31-q38 (18 rows, 4 rounds stale by now).
+# Window arithmetic (the driver checks the first 50):
+# 13 drifted + 10 r5-stale + 6 diff + 3 new + 18 r6-stale = 50.
+# Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
+# q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
+# module import closure — none of them execute buffer(); their
+# fingerprints are deliberately re-recorded, the visible act this
+# comment documents.
 #
-# Round 9 rotation plan (write the r9 set from this): fold the 50 r8
-# greens in here, then re-expose (a) the 13 rows deferred this round
-# (q02-q10 trivials, q17, q04, q114, q49, q58, q121, q03, q09 — all
-# 1-2 rounds stale by then), (b) whatever r9's diff touches, and
-# (c) the stalest remaining greens to fill 50. The r6-green blocks
-# (q20-q43, q54-q57, q60-q96 families) reach 3 rounds stale in r9 —
-# prioritize them after the deferrals.
+# Round 11 rotation plan (write the r11 set from this): fold the 50
+# r10 greens in, then re-expose (a) the remaining r6-green blocks
+# (q39, q40, q54-q57, q60-q96 families — 5 rounds stale by r11,
+# oldest first), (b) whatever r11's diff touches, and (c) any r10
+# reds. ~40 of the r6/r7 greens will be >=3 rounds stale in r11; two
+# rounds of fill at 18+ rows each retires that debt by r12.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "q03_select_star",
-        "q09_where_bool_literal",
-        "q49_st_asgeojson",
-        "q58_approx_count_distinct",
-        "q121_catalog_tables",
-        "q38_string_functions",
-        "q04_alias_expressions",
-        "q114_compat_flattened",
-        "q17_natural_join",
-        "q02_projection_pruning",
-        "q05_where_and_or",
-        "q06_in_list",
-        "q07_not_in_list",
-        "q10_between_range",
-        "q103_stratified_sample",
-        "q104_language_quota",
-        "q105_mixture_weights",
-        "q106_sequence_packing",
-        "q107_decontamination",
-        "q109_tfidf_top_terms",
-        "q110_repetition_metrics",
-        "q111_centroid_outliers",
-        "q113_window_distribution",
-        "q115_ann_quantized_topk",
-        "q116_trailing_range_window",
-        "q117_approx_percentiles",
-        "q119_cohort_retention",
-        "q120_event_funnel",
-        "q122_st_relations",
-        "q125_document_chunking",
-        "q126_pii_redaction",
-        "q127_url_domains",
-        "q128_st_simplify",
-        "q129_st_snaptogrid",
-        "q130_st_transform",
-        "q131_st_azimuth",
-        "q132_audio_features",
-        "q133_resize_images",
-        "q134_hypertable_rollup",
-        "q135_cms_heavy_hitters",
-        "q136_image_dhash_neardup",
-        "q140_wkb_roundtrip",
-        "q141_boilerplate_removal",
-        "q20_lateral_explode",
-        "q21_count_groupby",
-        "q22_agg_global",
-        "q23_agg_pricing_summary",
-        "q24_having",
-        "q25_distinct",
-        "q26_rollup",
-        "q27_orderby_limit_topk",
-        "q28_union_all",
-        "q29_intersect",
-        "q31_window_rank",
-        "q32_window_running_sum",
-        "q33_subquery_from",
-        "q34_scalar_subquery",
-        "q35_correlated_exists",
-        "q36_date_functions",
-        "q37_mod_function",
+        "q01_filter_pushdown",
+        "q08_null_predicates",
+        "q11_join_inner_equi",
+        "q12_join_theta",
+        "q13_join_left_outer",
+        "q14_join_right_outer",
+        "q15_join_full_outer",
+        "q16_join_multiway",
+        "q18_semi_join_in_subquery",
+        "q19_anti_join_not_exists",
+        "q30_except",
         "q39_case_expression",
         "q40_math_functions",
-        "q41_st_point_accessors",
-        "q42_st_astext",
-        "q43_st_distance_radius",
+        "q44_spatial_join_within",
+        "q45_spatial_join_intersects",
+        "q46_st_area_props",
+        "q47_dwithin_pairs",
+        "q48_distance_sphere_count",
+        "q50_st_geomfromtext",
+        "q51_st_geomfromgeojson",
+        "q52_centroid_perimeter",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
         "q57_count_distinct_multi",
-        "q59_st_geomfromgml_kml",
         "q60_token_count",
         "q61_quality_score",
         "q62_language_id",
@@ -195,6 +134,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q82_frame_sample",
         "q83_asof_join",
         "q84_range_join_banded",
+        "q85_st_extent_agg",
         "q86_skew_salted_join",
         "q87_percentiles",
         "q88_levenshtein_neardup",
@@ -203,7 +143,54 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q91_training_pipeline",
         "q92_hash_sample",
         "q93_train_val_test_split",
+        "q94_multipart_gml_ingest",
+        "q95_st_collect_agg",
         "q96_event_attribution",
+        "q97_knn_within_radius",
+        "q98_hull_envelope",
+        "q99_xml_roundtrip",
+        "q100_engine_rowset",
+        "q101_geojson_roundtrip",
+        "q102_geojson_sink_roundtrip",
+        "q103_stratified_sample",
+        "q104_language_quota",
+        "q105_mixture_weights",
+        "q106_sequence_packing",
+        "q107_decontamination",
+        "q108_kml_roundtrip",
+        "q109_tfidf_top_terms",
+        "q110_repetition_metrics",
+        "q111_centroid_outliers",
+        "q112_window_lag_lead",
+        "q113_window_distribution",
+        "q115_ann_quantized_topk",
+        "q116_trailing_range_window",
+        "q117_approx_percentiles",
+        "q118_bucketed_join",
+        "q119_cohort_retention",
+        "q120_event_funnel",
+        "q123_stream_tumbling_e2e",
+        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
+        "q132_audio_features",
+        "q134_hypertable_rollup",
+        "q135_cms_heavy_hitters",
+        "q137_stream_session_e2e",
+        "q138_stream_interval_join_e2e",
+        "q141_boilerplate_removal",
+        "q142_stream_dedup_e2e",
+        "q143_kmeans_assign",
+        "q144_bloom_semijoin",
+        "q145_inverted_index",
+        "q147_stream_stateful_totals_e2e",
+        "q148_st_affine",
+        "q149_st_linework",
+        "q150_st_accessors",
+        "q151_st_boundary",
+        "q152_st_linear_referencing",
+        "q153_st_editors",
+        "q154_st_constructors",
     }
 )
 
