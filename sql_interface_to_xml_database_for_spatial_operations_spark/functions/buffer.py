@@ -183,16 +183,41 @@ def _buffer_line(line: Geometry, dist: float, n: int) -> Geometry | None:
     return _union_exact(pieces)
 
 
+def _part_coords_finite(p: Geometry) -> bool:
+    """Finiteness over a FLATTENED part (Point / LineString / Polygon).
+    Polygon parts are re-checked by _rings_simple's Fraction coercion,
+    but the Point and short-LineString fast paths skip that machinery,
+    so NaN/Inf coordinates would otherwise flow straight into the disk
+    ring and emit garbage WKT (ADVICE r9 #4)."""
+    if p.kind == "Point":
+        return math.isfinite(p.coords[0]) and math.isfinite(p.coords[1])
+    if p.kind == "LineString":
+        return all(math.isfinite(x) and math.isfinite(y) for x, y in p.coords)
+    return all(
+        math.isfinite(x) and math.isfinite(y) for ring in p.coords for x, y in ring
+    )
+
+
 def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry | None:
     """Buffer of any geometry. Returns None for an EMPTY result; raises
     overlay._Unsupported outside the exact class (callers map both to
     their surface's EMPTY/NULL conventions)."""
     n = max(4, quad_segs * 4)
     parts = _uo._flatten(g)
+    for p in parts:
+        if not _part_coords_finite(p):
+            raise _ov._Unsupported("non-finite coordinate")
     if dist == 0.0:
+        # Same simplicity gate as the signed paths: PostGIS buffer(0)
+        # re-nodes a bowtie to a valid geometry; echoing it verbatim
+        # would be a silently wrong geometry (ADVICE r9 #2) — this
+        # engine's contract is exact-or-NULL, so go loud instead.
         areal = [p for p in parts if p.kind == "Polygon"]
         if not areal:
             return None  # GEOS: zero-width buffer of lines/points is empty
+        for p in areal:
+            if not _rings_simple(p):
+                raise _ov._Unsupported("self-intersecting ring")
         if len(areal) == 1:
             return areal[0]
         return Geometry("MultiPolygon", [p.coords for p in areal])

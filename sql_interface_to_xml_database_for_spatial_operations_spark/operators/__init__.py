@@ -40,3 +40,4 @@ def load_all() -> None:
     from . import linearref_ops  # noqa: F401
     from . import editor_ops  # noqa: F401
     from . import constructor_ops  # noqa: F401
+    from . import buffer_ops  # noqa: F401

@@ -1,0 +1,120 @@
+"""Driver row for the line / polygon / negative ST_Buffer surface
+(functions/buffer.py) — reference F12 (src/index.ts:44-63 forwards
+ST_Buffer to PostGIS). q53 gates only the point path; this row gates
+every other kind against closed-form Minkowski identities (VERDICT r9
+item 2).
+
+Oracle design: nation boxes are integer axis-aligned rectangles
+(width w ∈ {30,45,60}, height h ∈ {20,30}), and the buffer kernel is
+exact rational after n-gon vertex generation, so every family's area
+equals a closed form computable in DuckDB from the box columns. With
+r = 2 and the inscribed 32-gon K (area ngon = ½·32·r²·sin(2π/32)):
+
+- ``rect``    box ⊕ K               = w·h + 2r(w+h) + ngon
+- ``stadium`` bottom-edge ⊕ K       = 2·w·r + ngon
+- ``corner``  bl→br→tr polyline ⊕ K = 2r(w+h) + ngon + ngon/4 − r²
+  (two end half-disks, one outer quarter-sector, one r×r inner
+  overlap at the 90° joint)
+- ``holed``   box with a 6×6 hole at +8..+14 offsets: the hole erodes
+  to (6−2r)² = 4, so area = w·h + 2r(w+h) + ngon − 4
+- ``erode``   box ⊖ 3               = (w−6)(h−6) exactly (axis support
+  of K is exactly r at n % 4 == 0)
+- ``erode_line`` negative-distance line buffer → 'POLYGON EMPTY'
+
+Areas compare as micro-ints (floor(x·1e6 + 0.5), the house idiom for
+transcendental-valued columns); the empty family compares the typed
+WKT string itself. Both sides build inputs/expectations from the same
+integer box columns, so the comparison is deterministic.
+
+Scale shape: st_buffer is a map-only Arrow-batched pandas UDF over a
+25-row projection per family — no shuffle beyond the unionByName of
+six projections of the same scan.
+
+New module so spatial_ops.py's fingerprint stays untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+
+
+_BOX_WKT = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+_BOTTOM_WKT = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
+)
+_CORNER_WKT = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "')'",
+)
+# 6x6 hole strictly inside every box (w >= 30, h >= 20)
+_H = {
+    "h00": f"{int_str('minx + 8')} || ' ' || {int_str('miny + 8')}",
+    "h10": f"{int_str('minx + 14')} || ' ' || {int_str('miny + 8')}",
+    "h11": f"{int_str('minx + 14')} || ' ' || {int_str('miny + 14')}",
+    "h01": f"{int_str('minx + 8')} || ' ' || {int_str('miny + 14')}",
+}
+_HOLED_WKT = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "'), ('", _H["h00"], "', '", _H["h10"], "', '", _H["h11"],
+    "', '", _H["h01"], "', '", _H["h00"], "'))'",
+)
+
+
+def _micro(expr: str) -> str:
+    return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+def _buf_area(wkt_expr: str, dist: str) -> str:
+    return _micro(f"st_area(st_buffer({wkt_expr}, {dist}))")
+
+
+# Spark-side family expressions (st_buffer runs the real kernel)
+_FAMILIES = {
+    "rect": _buf_area(_BOX_WKT, "2.0D"),
+    "stadium": _buf_area(_BOTTOM_WKT, "2.0D"),
+    "corner": _buf_area(_CORNER_WKT, "2.0D"),
+    "holed": _buf_area(_HOLED_WKT, "2.0D"),
+    "erode": _buf_area(_BOX_WKT, "-3.0D"),
+    "erode_line": f"st_buffer({_BOTTOM_WKT}, -1.0D)",
+}
+
+# DuckDB-side closed forms over the same integer columns
+_NGON = "0.5 * 32 * 4.0 * sin(2 * pi() / 32)"  # inscribed 32-gon, r = 2
+_W, _HH = "(maxx - minx)", "(maxy - miny)"
+_ORACLE_VALS = {
+    "rect": _micro(f"{_W} * {_HH} + 4.0 * ({_W} + {_HH}) + {_NGON}"),
+    "stadium": _micro(f"4.0 * {_W} + {_NGON}"),
+    "corner": _micro(f"4.0 * ({_W} + {_HH}) + {_NGON} + ({_NGON}) / 4 - 4.0"),
+    "holed": _micro(f"{_W} * {_HH} + 4.0 * ({_W} + {_HH}) + {_NGON} - 4.0"),
+    "erode": _micro(f"({_W} - 6.0) * ({_HH} - 6.0)"),
+    "erode_line": "'POLYGON EMPTY'",
+}
+
+_Q155_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
+    f" FROM ({NATION_BOXES_SQL})"
+    for fam, val in _ORACLE_VALS.items()
+)
+
+
+@query("q155_st_buffer_lines_polys", oracle=_Q155_ORACLE)
+def q155_st_buffer_lines_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 ST_Buffer beyond points: line stadiums, right-angle polyline
+    joins, convex Minkowski sums, hole shrinkage, and negative-distance
+    erosion, each pinned to its closed-form area (module docstring)."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)

@@ -503,9 +503,11 @@ def q52_centroid_perimeter(spark, sf_dir):
     """,
 )
 def q53_buffer_contains(spark, sf_dir):
-    """F12: ST_Buffer (documented approximation: 32-gon for points). The
-    oracle uses the closed-form n-gon area ½·n·r²·sin(2π/n); shoelace over
-    the generated vertices must agree to <1e-12."""
+    """F12: ST_Buffer, point path (functions/buffer.py — the real
+    round-join kernel; the inscribed 32-gon is the same vertex budget
+    PostGIS's quad_segs=8 uses). The oracle uses the closed-form n-gon
+    area ½·n·r²·sin(2π/n); shoelace over the generated vertices must
+    agree to <1e-12. Lines/polygons/erosion are gated by q155."""
     _ensure_udfs(spark)
     return (
         customer_points(spark, sf_dir)

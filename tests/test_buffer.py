@@ -139,6 +139,35 @@ class TestClosedFormAreas:
         # self-intersecting ring: loud NULL, never a wrong geometry
         assert buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 1.0) is None
 
+    def test_zero_distance_bowtie_is_null(self):
+        # PostGIS buffer(0) re-nodes a bowtie; echoing it verbatim would
+        # be a silently wrong geometry (ADVICE r9 #2) — loud NULL instead
+        assert buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 0.0) is None
+        bowtie_mp = "MULTIPOLYGON (((0 0, 2 2, 2 0, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+        assert buffer_wkt(bowtie_mp, 0.0) is None
+
+    def test_nonfinite_coordinates_are_null(self):
+        # point / short-line fast paths skip Fraction coercion, so they
+        # need their own finiteness gate (ADVICE r9 #4)
+        assert buffer_wkt("POINT (nan nan)", 1.0) is None
+        assert buffer_wkt("POINT (inf 0)", 1.0) is None
+        assert buffer_wkt("LINESTRING (0 0, inf 1)", 1.0) is None
+        assert buffer_wkt("LINESTRING (nan 0, 1 1, 2 0)", 1.0) is None
+        assert buffer_wkt("MULTIPOINT (0 0, nan 1)", 1.0) is None
+        assert buffer_wkt("POINT (nan nan)", 0.0) is None
+        assert buffer_wkt("POINT (nan nan)", -1.0) is None
+
+    def test_degenerate_lines(self):
+        r = 2.0
+        # out-and-back line: same point set as the single segment
+        w = buffer_wkt("LINESTRING (0 0, 10 0, 0 0)", r)
+        assert abs(_area(w) - (2 * 10 * r + _ngon_area(r))) < 1e-9
+        # zero-length segment: degenerates to the endpoint disk
+        w = buffer_wkt("LINESTRING (3 4, 3 4)", r)
+        assert abs(_area(w) - _ngon_area(r)) < 1e-12
+        assert buffer_wkt("POINT (1 1)", float("inf")) is None
+        assert buffer_wkt("POINT (1 1)", float("-inf")) is None
+
 
 class TestGridPointSetParity:
     """Independent check of the CONSTRUCTION, not the closed forms:
