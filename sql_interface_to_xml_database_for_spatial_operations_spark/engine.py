@@ -25,8 +25,10 @@ from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
 from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
+from .functions.relate import register_relate_functions
 from .functions.relations import register_relation_functions
 from .functions.simplify import register_simplify_functions
+from .functions.validity import register_validity_functions
 from .functions.spatial import register_spatial_functions
 from .functions.union_ops import register_union_functions
 from .functions.wkb import register_wkb_functions
@@ -64,6 +66,8 @@ class SpatialSQLEngine:
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         register_spatial_functions(self.spark)
         register_relation_functions(self.spark)
+        register_relate_functions(self.spark)
+        register_validity_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
         register_projection_functions(self.spark)

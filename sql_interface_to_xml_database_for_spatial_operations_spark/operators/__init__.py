@@ -41,3 +41,4 @@ def load_all() -> None:
     from . import editor_ops  # noqa: F401
     from . import constructor_ops  # noqa: F401
     from . import buffer_ops  # noqa: F401
+    from . import relate_ops  # noqa: F401

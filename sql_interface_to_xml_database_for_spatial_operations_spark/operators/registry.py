@@ -75,7 +75,9 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
 # fingerprints are deliberately re-recorded, the visible act this
-# comment documents.
+# comment documents. Likewise engine.py's additive registration of the
+# new relate/validity function families (same result-invariant class
+# as r8's registration re-record).
 #
 # Round 11 rotation plan (write the r11 set from this): fold the 50
 # r10 greens in, then re-expose (a) the remaining r6-green blocks

@@ -1,0 +1,183 @@
+"""Driver row for ST_Relate / ST_RelateMatch / ST_IsValid /
+ST_IsValidReason (functions/relate.py, functions/validity.py) —
+reference F12 (src/index.ts:44-63 forwards both to PostGIS); the top
+missing surface of VERDICT r8/r9.
+
+Oracle design: nation boxes are integer axis-aligned rectangles, so
+each family below is the SAME topology for every box — the expected
+DE-9IM matrix / validity reason is a per-family string literal, while
+the Spark side computes it from string-built WKT over the real
+kernels. The relate families cover every matrix-cell mechanism:
+
+- ``eq``        box vs itself                  → 2FFF1FFF2
+- ``disjoint``  box vs box shifted +1000       → FF2FF1212
+- ``touch``     box vs box sharing right edge  → FF2F11212
+- ``overlap``   box vs box shifted (+15, +10)  → 212101212
+  (every box is ≥30×≥20, so the shift always leaves a 2-D overlap)
+- ``contains``  box vs its 6×6 inner square    → 212FF1FF2
+- ``cross``     horizontal line through the box (endpoints outside)
+  vs box                                       → 101FF0212
+- ``point_bd``  bottom-left corner vs box      → F0FFFF212
+- ``match``     ST_RelateMatch(relate(inner, box), within-pattern)
+
+Validity families exercise each IsValidOp rule: valid shell / bowtie
+self-intersection / hole outside shell / nested holes / the
+touch-cycle disconnected interior (a diamond hole touching the left
+and right shell edges) / nested MultiPolygon shells, plus the
+boolean surface on the bowtie.
+
+Scale shape: map-only pandas UDFs over 25-row projections; unionByName
+of per-family projections of one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.relate import register_relate_functions
+    from ..functions.validity import register_validity_functions
+
+    register_relate_functions(spark)
+    register_validity_functions(spark)
+
+
+def _pt(xe: str, ye: str) -> str:
+    return f"{int_str(xe)} || ' ' || {int_str(ye)}"
+
+
+_BOX = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+
+
+def _shifted_box(dx: str) -> str:
+    c = {
+        "bl": _pt(f"minx + {dx}", "miny"),
+        "br": _pt(f"maxx + {dx}", "miny"),
+        "tr": _pt(f"maxx + {dx}", "maxy"),
+        "tl": _pt(f"minx + {dx}", "maxy"),
+    }
+    return sql_concat(
+        "'POLYGON (('", c["bl"], "', '", c["br"], "', '",
+        c["tr"], "', '", c["tl"], "', '", c["bl"], "'))'",
+    )
+
+
+_TOUCH_BOX = _shifted_box("(maxx - minx)")
+_FAR_BOX = _shifted_box("1000")
+_OVERLAP_BOX = sql_concat(
+    "'POLYGON (('", _pt("minx + 15", "miny + 10"), "', '",
+    _pt("maxx + 15", "miny + 10"), "', '", _pt("maxx + 15", "maxy + 10"),
+    "', '", _pt("minx + 15", "maxy + 10"), "', '",
+    _pt("minx + 15", "miny + 10"), "'))'",
+)
+_INNER = sql_concat(
+    "'POLYGON (('", _pt("minx + 8", "miny + 8"), "', '",
+    _pt("minx + 14", "miny + 8"), "', '", _pt("minx + 14", "miny + 14"),
+    "', '", _pt("minx + 8", "miny + 14"), "', '",
+    _pt("minx + 8", "miny + 8"), "'))'",
+)
+_CROSS_LINE = sql_concat(
+    "'LINESTRING ('", _pt("minx - 5", "miny + 10"), "', '",
+    _pt("maxx + 5", "miny + 10"), "')'",
+)
+_BL_POINT = sql_concat("'POINT ('", CORNERS["bl"], "')'")
+
+_BOWTIE = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["tr"], "', '",
+    CORNERS["br"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+_HOLE_RING_678 = sql_concat(  # the 6x6 inner ring reused as a hole ring
+    _pt("minx + 8", "miny + 8"), "', '", _pt("minx + 14", "miny + 8"),
+    "', '", _pt("minx + 14", "miny + 14"), "', '",
+    _pt("minx + 8", "miny + 14"), "', '", _pt("minx + 8", "miny + 8"),
+)
+_SMALL_SHELL = sql_concat(  # 6x6 shell at the bl corner
+    _pt("minx", "miny"), "', '", _pt("minx + 6", "miny"), "', '",
+    _pt("minx + 6", "miny + 6"), "', '", _pt("minx", "miny + 6"),
+    "', '", _pt("minx", "miny"),
+)
+_HOLE_OUT = sql_concat("'POLYGON (('", _SMALL_SHELL, "'), ('", _HOLE_RING_678, "'))'")
+_NESTED_INNER = sql_concat(
+    _pt("minx + 10", "miny + 10"), "', '", _pt("minx + 12", "miny + 10"),
+    "', '", _pt("minx + 12", "miny + 12"), "', '",
+    _pt("minx + 10", "miny + 12"), "', '", _pt("minx + 10", "miny + 10"),
+)
+_NESTED_HOLES = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "'), ('", _HOLE_RING_678, "'), ('", _NESTED_INNER, "'))'",
+)
+_DIAMOND_HOLE = sql_concat(  # touches the shell's left AND right edges
+    _pt("minx", "miny + 10"), "', '", _pt("minx + 15", "miny + 1"),
+    "', '", _pt("maxx", "miny + 10"), "', '", _pt("minx + 15", "maxy - 1"),
+    "', '", _pt("minx", "miny + 10"),
+)
+_DISCONN = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "'), ('", _DIAMOND_HOLE, "'))'",
+)
+_NESTED_SHELLS = sql_concat(
+    "'MULTIPOLYGON ((('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "')), (('", _HOLE_RING_678, "')))'",
+)
+
+_FAMILIES = {
+    "eq": f"st_relate({_BOX}, {_BOX})",
+    "disjoint": f"st_relate({_BOX}, {_FAR_BOX})",
+    "touch": f"st_relate({_BOX}, {_TOUCH_BOX})",
+    "overlap": f"st_relate({_BOX}, {_OVERLAP_BOX})",
+    "contains": f"st_relate({_BOX}, {_INNER})",
+    "cross": f"st_relate({_CROSS_LINE}, {_BOX})",
+    "point_bd": f"st_relate({_BL_POINT}, {_BOX})",
+    "match": f"CAST(st_relatematch(st_relate({_INNER}, {_BOX}), 'T*F**F***') AS STRING)",
+    "valid": f"st_isvalidreason({_BOX})",
+    "bowtie": f"st_isvalidreason({_BOWTIE})",
+    "hole_out": f"st_isvalidreason({_HOLE_OUT})",
+    "nested": f"st_isvalidreason({_NESTED_HOLES})",
+    "disconn": f"st_isvalidreason({_DISCONN})",
+    "nested_shells": f"st_isvalidreason({_NESTED_SHELLS})",
+    "isvalid_bool": f"CAST(st_isvalid({_BOWTIE}) AS STRING)",
+}
+
+_EXPECTED = {
+    "eq": "2FFF1FFF2",
+    "disjoint": "FF2FF1212",
+    "touch": "FF2F11212",
+    "overlap": "212101212",
+    "contains": "212FF1FF2",
+    "cross": "101FF0212",
+    "point_bd": "F0FFFF212",
+    "match": "true",
+    "valid": "Valid Geometry",
+    "bowtie": "Self-intersection",
+    "hole_out": "Hole lies outside shell",
+    "nested": "Holes are nested",
+    "disconn": "Interior is disconnected",
+    "nested_shells": "Nested shells",
+    "isvalid_bool": "false",
+}
+
+_Q156_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS fam, n_nationkey AS key, '{exp}' AS val"
+    f" FROM ({NATION_BOXES_SQL})"
+    for fam, exp in _EXPECTED.items()
+)
+
+
+@query("q156_st_relate_isvalid", oracle=_Q156_ORACLE)
+def q156_st_relate_isvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 ST_Relate (full DE-9IM matrix), ST_RelateMatch, ST_IsValid and
+    ST_IsValidReason over per-box fixture topologies with literal
+    expected strings (module docstring)."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)

@@ -24,6 +24,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relati
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (  # noqa: E402
     register_projection_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate import (  # noqa: E402
+    register_relate_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (  # noqa: E402
+    register_validity_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -63,6 +69,8 @@ def spark():
     s = get_spark("tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     register_spatial_functions(s)
     register_relation_functions(s)
+    register_relate_functions(s)
+    register_validity_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

@@ -225,7 +225,12 @@ class TestKnownCases:
         assert difference_wkt(BOX, "POINT EMPTY") == BOX
         assert symdifference_wkt("POINT EMPTY", line) == line
         assert symdifference_wkt(line, "POLYGON EMPTY") == line
-        assert symdifference_wkt("POINT EMPTY", "LINESTRING EMPTY") == "LINESTRING EMPTY"
+        # liblwgeom operand precedence (ADVICE r9 #3): lwgeom_intersection
+        # checks geom2 first, lwgeom_symdifference echoes geom1 when both
+        # operands are empty.
+        assert intersection_wkt("POLYGON EMPTY", "POINT EMPTY") == "POINT EMPTY"
+        assert intersection_wkt(line, "POLYGON EMPTY") == "POLYGON EMPTY"
+        assert symdifference_wkt("POINT EMPTY", "LINESTRING EMPTY") == "POINT EMPTY"
 
     def test_self_intersecting_rectilinear_ring_is_null(self):
         # axis-parallel but self-crossing at (2,2): the cell path would

@@ -1,0 +1,165 @@
+"""DE-9IM matrix (functions/relate.py) and validity (functions/validity.py)
+kernels, pinned against canonical JTS/GEOS matrices and IsValidOp reason
+vocabulary. Driver row q156 pins the SQL level; these run the pure-Python
+kernels directly."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate import (
+    relate_match,
+    relate_wkt,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+    isvalid_wkt,
+    isvalidreason_wkt,
+)
+
+BOX = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+class TestRelateMatrix:
+    CASES = [
+        # canonical JTS/GEOS matrices
+        (BOX, BOX, "2FFF1FFF2"),
+        (BOX, "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))", "FF2FF1212"),
+        (BOX, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", "FF2F11212"),
+        (BOX, "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))", "FF2F01212"),
+        (BOX, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", "212101212"),
+        (BOX, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", "212FF1FF2"),
+        ("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", BOX, "2FF1FF212"),
+        ("LINESTRING (-5 5, 15 5)", BOX, "101FF0212"),
+        ("LINESTRING (2 5, 8 5)", BOX, "1FF0FF212"),
+        ("POINT (5 5)", BOX, "0FFFFF212"),
+        ("POINT (0 0)", BOX, "F0FFFF212"),
+        ("POINT (50 50)", BOX, "FF0FFF212"),
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 2)", "FF1F00102"),
+        ("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)", "0F1FF0102"),
+        ("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)", "1010F0102"),
+        ("POINT (1 1)", "POINT (1 1)", "0FFFFFFF2"),
+        ("POINT (1 1)", "POINT (2 2)", "FF0FFF0F2"),
+        # a box's own boundary ring as a closed line: the ring has no
+        # mod-2 boundary, covers B's rings (EB = F), and its interior
+        # meets only B's boundary
+        ("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)", BOX, "F1FFFF2F2"),
+        # multipoint straddling the boundary
+        ("MULTIPOINT (5 5, 0 0, 50 50)", BOX, "000FFF212"),
+        # line along the boundary, shorter than the ring
+        ("LINESTRING (0 0, 10 0)", BOX, "F1FF0F212"),
+        # empties: rows/cols of the empty side are all F
+        ("POINT EMPTY", BOX, "FFFFFF212"),
+        (BOX, "LINESTRING EMPTY", "FF2FF1FF2"),
+        ("POINT EMPTY", "LINESTRING EMPTY", "FFFFFFFF2"),
+    ]
+
+    @pytest.mark.parametrize("a,b,exp", CASES)
+    def test_matrix(self, a, b, exp):
+        assert relate_wkt(a, b) == exp
+
+    @pytest.mark.parametrize("a,b,exp", CASES)
+    def test_matrix_transpose(self, a, b, exp):
+        """relate(b, a) is the transpose of relate(a, b)."""
+        t = "".join(exp[3 * c + r] for r in range(3) for c in range(3))
+        assert relate_wkt(b, a) == t
+
+    def test_surface_contract(self):
+        assert relate_wkt(None, BOX) is None
+        assert relate_wkt(BOX, None) is None
+        assert relate_wkt("junk ((", BOX) is None
+        # GEOS refuses GEOMETRYCOLLECTION operands
+        assert relate_wkt("GEOMETRYCOLLECTION (POINT (1 1))", BOX) is None
+        # invalid areal operand: GEOS results are undefined -> NULL
+        assert relate_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", BOX) is None
+        assert relate_wkt("POINT (nan nan)", BOX) is None
+
+    def test_relate_match(self):
+        assert relate_match("2FFF1FFF2", "T*F**FFF*") is True  # equals
+        assert relate_match("212101212", "T*T***T**") is True  # overlaps
+        assert relate_match("FF2FF1212", "FF*FF****") is True  # disjoint
+        assert relate_match("2FF1FF212", "T*F**F***") is True  # within
+        assert relate_match("212FF1FF2", "T*F**F***") is False
+        assert relate_match("2FFF1FFF2", "2FFF1FFF2") is True
+        assert relate_match("2FFF1FFF2", "1********") is False
+        assert relate_match(None, "T********") is None
+        assert relate_match("2FFF1FFF2", "TOOLONGPATTERN") is None
+        assert relate_match("NOTAMATRIX", "T********") is None
+
+
+class TestValidity:
+    CASES = [
+        (BOX, "Valid Geometry"),
+        ("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", "Self-intersection"),
+        (
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (20 2, 22 2, 22 4, 20 4, 20 2))",
+            "Hole lies outside shell",
+        ),
+        (
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2),"
+            " (3 3, 4 3, 4 4, 3 4, 3 3))",
+            "Holes are nested",
+        ),
+        # diamond hole touching the shell's left and right edges: the
+        # ring-contact multigraph has a cycle -> interior disconnected
+        (
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (0 5, 5 2, 10 5, 5 8, 0 5))",
+            "Interior is disconnected",
+        ),
+        # hole touching the shell at ONE point: still valid
+        (
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (0 5, 5 2, 5 8, 0 5))",
+            "Valid Geometry",
+        ),
+        # two holes touching each other at a point: valid (no cycle)
+        (
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 5 1, 5 5, 1 5, 1 1),"
+            " (5 5, 8 5, 8 8, 5 8, 5 5))",
+            "Valid Geometry",
+        ),
+        ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((4 4, 8 4, 8 8, 4 8, 4 4)))",
+         "Valid Geometry"),
+        ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((2 2, 4 2, 4 4, 2 4, 2 2)))",
+         "Nested shells"),
+        ("MULTIPOLYGON (((0 0, 6 0, 6 6, 0 6, 0 0)), ((4 4, 10 4, 10 10, 4 10, 4 4)))",
+         "Self-intersection"),
+        # parts sharing an edge (1-D contact): invalid for MultiPolygon
+        ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((4 0, 8 0, 8 4, 4 4, 4 0)))",
+         "Self-intersection"),
+        # part inside another part's hole: valid
+        (
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (2 2, 8 2, 8 8, 2 8, 2 2)), ((3 3, 7 3, 7 7, 3 7, 3 3)))",
+            "Valid Geometry",
+        ),
+        ("POINT (3 4)", "Valid Geometry"),
+        # self-crossing LINES are valid (not simple, but valid)
+        ("LINESTRING (0 0, 1 1, 0 1, 1 0)", "Valid Geometry"),
+        ("POINT (nan nan)", "Invalid Coordinate"),
+        ("POLYGON EMPTY", "Valid Geometry"),
+        ("POLYGON ((0 0, 1 0, 0 0))", "Too few points in geometry component"),
+    ]
+
+    @pytest.mark.parametrize("wkt,exp", CASES)
+    def test_reason(self, wkt, exp):
+        assert isvalidreason_wkt(wkt) == exp
+
+    @pytest.mark.parametrize("wkt,exp", CASES)
+    def test_bool_agrees(self, wkt, exp):
+        assert isvalid_wkt(wkt) is (exp == "Valid Geometry")
+
+    def test_surface_contract(self):
+        assert isvalid_wkt(None) is None
+        assert isvalidreason_wkt(None) is None
+        assert isvalid_wkt("junk ((") is None
+
+
+def test_relate_through_spark(spark):
+    rows = spark.sql(
+        "SELECT st_relate(a, b) AS m, st_relatematch(st_relate(a, b), p) AS ok,"
+        " st_isvalid(a) AS v FROM VALUES "
+        "('POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))',"
+        " 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 'T*F**F***'), "
+        "(CAST(NULL AS STRING), 'POINT (1 1)', 'T********') AS t(a, b, p)"
+    ).collect()
+    assert rows[0]["m"] == "2FF1FF212" and rows[0]["ok"] is True and rows[0]["v"] is True
+    assert rows[1]["m"] is None and rows[1]["ok"] is None and rows[1]["v"] is None

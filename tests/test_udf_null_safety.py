@@ -9,8 +9,14 @@ import math
 
 import pytest
 
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate import (
+    ALL_RELATE_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
     ALL_RELATION_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+    ALL_VALIDITY_FUNCTIONS,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
@@ -52,6 +58,8 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.constr
 _SWEPT = {
     **ALL_FUNCTIONS,
     **ALL_RELATION_FUNCTIONS,
+    **ALL_RELATE_FUNCTIONS,
+    **ALL_VALIDITY_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
@@ -111,6 +119,8 @@ _NULL_ARGS = {
     "st_makeline": f"{S}, {S}",
     "st_makepolygon_holes": f"{S}, CAST(NULL AS ARRAY<STRING>)",
     "st_affine": f"{S}, {D}, {D}, {D}, {D}, {D}, {D}",
+    "st_relate": f"{S}, {S}",
+    "st_relatematch": f"{S}, {S}",
 }
 
 
