@@ -59,25 +59,18 @@ from . import overlay as _ov
 from .geometry import Geometry, Point
 from .relations import (
     _collinear_overlap_exists,
+    _ringlines,
     _covered_line,
     _line_boundary,
     _line_line_interiors,
     _on_any_segment,
     _outside_closure,
-    _point_in_line_interior,
     _strictly_inside,
     _submidpoints,
     interiors_intersect,
 )
 
 _F = -1  # "no intersection" dimension
-
-
-def _ringlines(g: Geometry) -> Geometry:
-    """All rings of all polygon parts as one closed MultiLineString
-    (closed rings have an empty mod-2 boundary, so their line-interior
-    is the whole curve — exactly the polygon-boundary semantics)."""
-    return Geometry("MultiLineString", [list(r) for rings in G._polys(g) for r in rings])
 
 
 def _pointset(g: Geometry) -> set[Point]:
@@ -94,7 +87,12 @@ def _dim_II(a: Geometry, b: Geometry) -> int:
         pts = G._points(a)
         if db == 1:
             segs = list(G._segments(b))
-            return 0 if any(_point_in_line_interior(p, b, segs) for p in pts) else _F
+            bnd = _line_boundary(b)
+            return (
+                0
+                if any(_on_any_segment(p, segs) and p not in bnd for p in pts)
+                else _F
+            )
         return 0 if any(_strictly_inside(p, b) for p in pts) else _F
     if da == 1 and db == 1:
         if _collinear_overlap_exists(a, b):
@@ -118,7 +116,12 @@ def _dim_IB(a: Geometry, b: Geometry) -> int:
             return 0 if _pointset(a) & bpts else _F
         if da == 1:
             segs = list(G._segments(a))
-            return 0 if any(_point_in_line_interior(p, a, segs) for p in bpts) else _F
+            bnd_a = _line_boundary(a)
+            return (
+                0
+                if any(_on_any_segment(p, segs) and p not in bnd_a for p in bpts)
+                else _F
+            )
         return 0 if any(_strictly_inside(p, a) for p in bpts) else _F
     rings = _ringlines(b)
     if da == 0:
@@ -265,6 +268,13 @@ def relate_wkt(wa, wb) -> str | None:
     sa, sb = str(wa).strip(), str(wb).strip()
     ea = bool(_ov._EMPTY_RE.match(sa.upper()))
     eb = bool(_ov._EMPTY_RE.match(sb.upper()))
+    # GEOS RelateOp rejects GEOMETRYCOLLECTION operands by TYPE, empty
+    # or not (JTS checkNotGeometryCollection) — the empty shortcut must
+    # not bypass that gate (code-review r10).
+    if (ea and sa.upper().startswith("GEOMETRYCOLLECTION")) or (
+        eb and sb.upper().startswith("GEOMETRYCOLLECTION")
+    ):
+        return None
     if ea and eb:
         return "FFFFFFFF2"
     try:

@@ -70,6 +70,15 @@ def _parts(g: Geometry) -> list[Geometry]:
     return [g]
 
 
+def _ringlines(g: Geometry) -> Geometry:
+    """All rings of all polygon parts as one closed MultiLineString
+    (closed rings have an empty mod-2 boundary, so their line-interior
+    is the whole curve — exactly the polygon-boundary semantics).
+    Shared by relate.py (DE-9IM boundary cells) and validity.py
+    (MultiPolygon boundary-contact checks)."""
+    return Geometry("MultiLineString", [list(r) for rings in G._polys(g) for r in rings])
+
+
 def _line_components(g: Geometry) -> list[list[Point]]:
     if g.kind == "LineString":
         return [g.coords]

@@ -9,6 +9,10 @@ are always valid, as in PostGIS, except non-finite coordinates):
 1. every ring has ≥ 4 points and is closed        → "Too few points in geometry component"
 2. every ring is simple (exact Fraction test,
    ``overlay._is_simple_ring``)                   → "Self-intersection"
+   …and STRICTLY simple: no revisited vertex
+   (figure-8 pinch) and no fold-back spike —
+   contacts _is_simple_ring permits for the
+   rectilinear dissolve but OGC rings forbid      → "Ring Self-intersection"
 3. no two rings of a polygon cross or share a
    1-D stretch (isolated point contacts are ok)   → "Self-intersection"
 4. every hole lies inside its shell               → "Hole lies outside shell"
@@ -53,7 +57,12 @@ from pyspark.sql.types import BooleanType, StringType
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
-from .relations import _collinear_overlap_exists, _on_any_segment, interiors_intersect
+from .relations import (
+    _collinear_overlap_exists,
+    _on_any_segment,
+    _ringlines,
+    interiors_intersect,
+)
 
 VALID = "Valid Geometry"
 
@@ -93,6 +102,23 @@ def _polygon_invalid_reason(rings: list[list[Point]]) -> str | None:
     for f in frac:
         if not _ov._is_simple_ring(f):
             return "Self-intersection"
+        # _is_simple_ring was written for the rectilinear dissolve and
+        # deliberately PERMITS single shared-vertex pinches and skips
+        # adjacent edges, but OGC rings must be strictly simple: a ring
+        # revisiting a vertex (figure-8 pinch) or folding back along
+        # its own edge (spike) is GEOS "Ring Self-intersection"
+        # (code-review r10).
+        pts = f[:-1]
+        if len(set(pts)) != len(pts):
+            return "Ring Self-intersection"
+        n = len(pts)
+        for k in range(n):
+            prev, v, nxt = pts[k - 1], pts[k], pts[(k + 1) % n]
+            if G._orient(prev, v, nxt) == 0 and (
+                (prev[0] - v[0]) * (nxt[0] - v[0])
+                + (prev[1] - v[1]) * (nxt[1] - v[1])
+            ) > 0:
+                return "Ring Self-intersection"  # fold-back spike
     ringlines = [Geometry("LineString", list(r)) for r in rings]
     for i in range(len(rings)):
         for j in range(i + 1, len(rings)):
@@ -164,8 +190,7 @@ def invalid_reason(g: Geometry) -> str | None:
                         if _rings_cross(list(ra), list(rb)):
                             return "Self-intersection"
                 if _collinear_overlap_exists(
-                    Geometry("MultiLineString", [list(r) for r in polys[i]]),
-                    Geometry("MultiLineString", [list(r) for r in polys[j]]),
+                    _ringlines(parts[i]), _ringlines(parts[j])
                 ):
                     return "Self-intersection"
                 if interiors_intersect(parts[i], parts[j]):

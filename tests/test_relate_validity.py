@@ -163,3 +163,33 @@ def test_relate_through_spark(spark):
     ).collect()
     assert rows[0]["m"] == "2FF1FF212" and rows[0]["ok"] is True and rows[0]["v"] is True
     assert rows[1]["m"] is None and rows[1]["ok"] is None and rows[1]["v"] is None
+
+
+class TestStrictRingSimplicity:
+    """code-review r10: pinched / spiked / degenerate rings must be
+    invalid (GEOS 'Ring Self-intersection'), not silently valid, and
+    st_relate must refuse them."""
+
+    CASES = [
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0, -2 0, -2 -2, 0 -2, 0 0))",  # figure-8
+        "POLYGON ((0 0, 10 0, 5 0, 0 0))",  # zero-area fold-back
+        "POLYGON ((0 0, 10 0, 10 10, 5 5, 10 10, 0 10, 0 0))",  # spike
+    ]
+
+    @pytest.mark.parametrize("wkt", CASES)
+    def test_pinched_rings_invalid(self, wkt):
+        assert isvalidreason_wkt(wkt) == "Ring Self-intersection"
+        assert isvalid_wkt(wkt) is False
+        assert relate_wkt(wkt, BOX) is None
+
+    def test_straight_continuation_is_valid(self):
+        # a redundant collinear vertex is NOT a spike
+        assert isvalidreason_wkt("POLYGON ((0 0, 5 0, 10 0, 10 10, 0 10, 0 0))") == (
+            "Valid Geometry"
+        )
+
+    def test_gc_empty_refused_by_relate(self):
+        # GEOS rejects GEOMETRYCOLLECTION operands by TYPE, empty or not
+        assert relate_wkt("GEOMETRYCOLLECTION EMPTY", BOX) is None
+        assert relate_wkt(BOX, "GEOMETRYCOLLECTION EMPTY") is None
+        assert relate_wkt("GEOMETRYCOLLECTION EMPTY", "GEOMETRYCOLLECTION EMPTY") is None
