@@ -198,6 +198,76 @@ def invalid_reason(g: Geometry) -> str | None:
     return None
 
 
+def _rect_ring(c) -> list[Point]:
+    x0, y0, x1, y1 = c
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+
+def makevalid_geom(g: Geometry) -> Geometry | None:
+    """ST_MakeValid for the rectilinear class, with GEOS 'structure'
+    semantics: each ring is made valid independently via the even-odd
+    rule (``union_ops._rectilinear_cells`` on the single ring), shells
+    union, holes subtract. Valid inputs are echoed by the caller before
+    reaching here. Returns None for an all-collapsed (EMPTY) result;
+    raises overlay._Unsupported outside the class (any non-axis-parallel
+    edge in an invalid geometry — e.g. the diagonal bowtie — stays a
+    loud NULL rather than a guess)."""
+    from .buffer import _union_exact
+    from .union_ops import _rectilinear_cells
+
+    if g.kind == "GeometryCollection":
+        out = []
+        for sub in g.coords:
+            m = makevalid_geom(sub)
+            if m is not None:
+                out.append(m)
+        return Geometry("GeometryCollection", out) if out else None
+    polys = G._polys(g)
+    if not polys:
+        return g  # points/lines are valid as-is (finiteness checked upstream)
+    rect_polys: list[Geometry] = []
+    for rings in polys:
+        rings = [list(r) for r in rings]
+        shell_cells = _rectilinear_cells([rings[0]])
+        if shell_cells is None:
+            raise _ov._Unsupported("non-rectilinear invalid geometry")
+        cells = shell_cells
+        for hole in rings[1:]:
+            hc = _rectilinear_cells([hole])
+            if hc is None:
+                raise _ov._Unsupported("non-rectilinear invalid geometry")
+            for h in hc:
+                cells = [piece for c in cells for piece in _ov._rect_sub(c, h)]
+        rect_polys.extend(Geometry("Polygon", [_rect_ring(c)]) for c in cells)
+    if not rect_polys:
+        return None
+    return _union_exact(rect_polys)
+
+
+def makevalid_wkt(wkt) -> str | None:
+    """WKT surface: valid inputs echo unchanged (PostGIS behavior);
+    invalid rectilinear inputs are rebuilt; NULL for junk or outside
+    the exact class; 'POLYGON EMPTY' when every ring collapses."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return f"{m.group(1)} EMPTY"
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if invalid_reason(g) is None:
+        return G.to_wkt(g)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)):
+        return None
+    try:
+        out = makevalid_geom(g)
+    except _ov._Unsupported:
+        return None
+    return "POLYGON EMPTY" if out is None else G.to_wkt(out)
+
+
 def isvalid_wkt(wkt) -> bool | None:
     if wkt is None:
         return None
@@ -249,9 +319,21 @@ def st_isvalidreason(wkt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_makevalid(wkt: pd.Series) -> pd.Series:
+    out = []
+    for v in wkt:
+        try:
+            out.append(makevalid_wkt(v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_VALIDITY_FUNCTIONS = {
     "st_isvalid": st_isvalid,
     "st_isvalidreason": st_isvalidreason,
+    "st_makevalid": st_makevalid,
 }
 
 

@@ -41,8 +41,10 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.relate import register_relate_functions
+    from ..functions.spatial import register_spatial_functions
     from ..functions.validity import register_validity_functions
 
+    register_spatial_functions(spark)  # st_area over makevalid results
     register_relate_functions(spark)
     register_validity_functions(spark)
 
@@ -181,3 +183,96 @@ def q156_st_relate_isvalid(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected strings (module docstring)."""
     _ensure_udfs(spark)
     return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)
+
+
+# ---------------------------------------------------------------------------
+# q157: ST_MakeValid (rectilinear class, GEOS 'structure' semantics)
+# ---------------------------------------------------------------------------
+
+def _micro(expr: str) -> str:
+    return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+# pinched two-squares ring (revisits the shared corner)
+_PINCH = sql_concat(
+    "'POLYGON (('", _pt("minx", "miny"), "', '", _pt("minx + 10", "miny"),
+    "', '", _pt("minx + 10", "miny + 10"), "', '", _pt("minx + 20", "miny + 10"),
+    "', '", _pt("minx + 20", "miny + 20"), "', '", _pt("minx + 10", "miny + 20"),
+    "', '", _pt("minx + 10", "miny + 10"), "', '", _pt("minx", "miny + 10"),
+    "', '", _pt("minx", "miny"), "'))'",
+)
+# rectilinear ring whose edges cross properly at (minx+10, miny+10)
+_CROSSING = sql_concat(
+    "'POLYGON (('", _pt("minx", "miny"), "', '", _pt("minx + 10", "miny"),
+    "', '", _pt("minx + 10", "miny + 20"), "', '", _pt("minx + 20", "miny + 20"),
+    "', '", _pt("minx + 20", "miny + 10"), "', '", _pt("minx", "miny + 10"),
+    "', '", _pt("minx", "miny"), "'))'",
+)
+_HOLE_OUT_2 = sql_concat(  # 6x6 shell at bl + 2x2 hole outside it
+    "'POLYGON (('", _SMALL_SHELL, "'), ('",
+    _pt("minx + 8", "miny + 8"), "', '", _pt("minx + 10", "miny + 8"),
+    "', '", _pt("minx + 10", "miny + 10"), "', '", _pt("minx + 8", "miny + 10"),
+    "', '", _pt("minx + 8", "miny + 8"), "'))'",
+)
+_OVERLAP_MP = sql_concat(  # two 10x10 parts overlapping in a 5x5 square
+    "'MULTIPOLYGON ((('",
+    _pt("minx", "miny"), "', '", _pt("minx + 10", "miny"), "', '",
+    _pt("minx + 10", "miny + 10"), "', '", _pt("minx", "miny + 10"), "', '",
+    _pt("minx", "miny"), "')), (('",
+    _pt("minx + 5", "miny + 5"), "', '", _pt("minx + 15", "miny + 5"), "', '",
+    _pt("minx + 15", "miny + 15"), "', '", _pt("minx + 5", "miny + 15"), "', '",
+    _pt("minx + 5", "miny + 5"), "')))'",
+)
+_STRIP_HOLE = sql_concat(  # full-width strip hole: interior disconnected
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "'), ('", _pt("minx", "miny + 8"), "', '", _pt("maxx", "miny + 8"),
+    "', '", _pt("maxx", "miny + 12"), "', '", _pt("minx", "miny + 12"),
+    "', '", _pt("minx", "miny + 8"), "'))'",
+)
+_DIAG_BOWTIE = sql_concat(
+    "'POLYGON (('", _pt("minx", "miny"), "', '", _pt("minx + 2", "miny + 2"),
+    "', '", _pt("minx + 2", "miny"), "', '", _pt("minx", "miny + 2"),
+    "', '", _pt("minx", "miny"), "'))'",
+)
+
+_MV_AREA = "st_area(st_makevalid({}))"
+_Q157_FAMILIES = {
+    "pinch": _micro(_MV_AREA.format(_PINCH)),
+    "crossing": _micro(_MV_AREA.format(_CROSSING)),
+    "hole_out": _micro(_MV_AREA.format(_HOLE_OUT_2)),
+    "overlap_mp": _micro(_MV_AREA.format(_OVERLAP_MP)),
+    "strip": _micro(_MV_AREA.format(_STRIP_HOLE)),
+    "echo": f"st_makevalid({_BOX})",
+    "outside": f"COALESCE(st_makevalid({_DIAG_BOWTIE}), 'NULL(outside-class)')",
+    "now_valid": f"CAST(st_isvalid(st_makevalid({_PINCH})) AS STRING)",
+}
+_Q157_ORACLE_VALS = {
+    "pinch": "'200000000'",
+    "crossing": "'200000000'",
+    "hole_out": "'36000000'",
+    "overlap_mp": "'175000000'",
+    "strip": _micro("(maxx - minx) * (maxy - miny) - 4.0 * (maxx - minx)"),
+    "echo": _BOX.replace("' || '", "' || '"),  # same WKT string build
+    "outside": "'NULL(outside-class)'",
+    "now_valid": "'true'",
+}
+
+_Q157_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
+    f" FROM ({NATION_BOXES_SQL})"
+    for fam, val in _Q157_ORACLE_VALS.items()
+)
+
+
+@query("q157_st_makevalid", oracle=_Q157_ORACLE)
+def q157_st_makevalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 ST_MakeValid, rectilinear class with GEOS 'structure'
+    semantics (functions/validity.py makevalid_geom): per-ring even-odd
+    rebuild, shells union, holes subtract. Families: pinched ring,
+    properly-crossing ring, hole outside shell, overlapping MultiPolygon
+    parts, the interior-disconnecting strip hole (areas pinned to exact
+    closed forms as micro-ints), valid-input echo, the diagonal bowtie's
+    documented loud NULL, and st_isvalid over a rebuilt result."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _Q157_FAMILIES)

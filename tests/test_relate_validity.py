@@ -193,3 +193,81 @@ class TestStrictRingSimplicity:
         assert relate_wkt("GEOMETRYCOLLECTION EMPTY", BOX) is None
         assert relate_wkt(BOX, "GEOMETRYCOLLECTION EMPTY") is None
         assert relate_wkt("GEOMETRYCOLLECTION EMPTY", "GEOMETRYCOLLECTION EMPTY") is None
+
+
+class TestMakeValid:
+    """functions/validity.py makevalid: GEOS 'structure' semantics for
+    the rectilinear class — per-ring even-odd rebuild, shells union,
+    holes subtract; loud NULL outside the class (driver row q157)."""
+
+    def _area(self, w):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        return G.area(G.parse_wkt(w))
+
+    def test_pinched_ring_two_squares(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        w = makevalid_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 20 10, 20 20, 10 20, 10 10, 0 10, 0 0))"
+        )
+        assert abs(self._area(w) - 200.0) < 1e-12
+        assert isvalid_wkt(w) is True
+
+    def test_crossing_ring_even_odd(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        w = makevalid_wkt("POLYGON ((0 0, 10 0, 10 20, 20 20, 20 10, 0 10, 0 0))")
+        assert abs(self._area(w) - 200.0) < 1e-12
+
+    def test_structure_semantics(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        # hole outside shell: subtracting a disjoint hole is a no-op
+        w = makevalid_wkt(
+            "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (8 8, 10 8, 10 10, 8 10, 8 8))"
+        )
+        assert abs(self._area(w) - 36.0) < 1e-12
+        # overlapping MultiPolygon parts: shells union (not even-odd
+        # across parts, which would punch the overlap out)
+        w = makevalid_wkt(
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)),"
+            " ((5 5, 15 5, 15 15, 5 15, 5 5)))"
+        )
+        assert abs(self._area(w) - 175.0) < 1e-12
+        # nested holes: the inner hole subtracts inside the outer (no-op)
+        w = makevalid_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2),"
+            " (3 3, 4 3, 4 4, 3 4, 3 3))"
+        )
+        assert abs(self._area(w) - 64.0) < 1e-12
+        # full-width strip hole: splits into two valid parts
+        w = makevalid_wkt(
+            "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0),"
+            " (0 8, 30 8, 30 12, 0 12, 0 8))"
+        )
+        assert abs(self._area(w) - 480.0) < 1e-12
+        assert w.startswith("MULTIPOLYGON")
+
+    def test_surface_contract(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert makevalid_wkt(box) == box  # valid echo
+        assert makevalid_wkt("LINESTRING (0 0, 1 1)") == "LINESTRING (0 0, 1 1)"
+        assert makevalid_wkt("POINT EMPTY") == "POINT EMPTY"
+        assert makevalid_wkt(None) is None
+        assert makevalid_wkt("junk ((") is None
+        # diagonal bowtie: outside the rectilinear class -> loud NULL
+        assert makevalid_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") is None
+        assert makevalid_wkt("POINT (nan nan)") is None
