@@ -83,8 +83,13 @@ def test_jpeg_rejects_malformed():
 
 
 def test_real_codecs_are_gated_not_faked():
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for real as of r10 — a truncated stream is a loud
+    # ValueError, not a fake; codecs this runtime still lacks stay
+    # behind NotImplementedError.
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_extract_features_reads_real_headers(spark):
@@ -416,3 +421,82 @@ class TestContainerParserFuzz:
         good = encode_wav(1, 8000, 8, b"xx")
         with _pt.raises(ValueError):
             parse_wav_header(good[:-3])  # data chunk shorter than declared
+
+
+class TestPngCodec:
+    """Real PNG decode on stdlib zlib (VERDICT r9 item 7): critical
+    chunks, 8-bit gray/RGB/RGBA, all five scanline filters. q133/q136
+    exercise the decode path end-to-end for every odd asset id."""
+
+    def test_roundtrip_all_filters_gray(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        pix = bytes((3 * i + 7) % 256 for i in range(12 * 9))
+        for ft in range(5):
+            w, h, ch, raw = decode_png(encode_png(12, 9, pix, 0, ft))
+            assert (w, h, ch) == (12, 9, 1) and raw == pix
+
+    def test_roundtrip_rgb_rgba(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        for color, ch in ((2, 3), (6, 4)):
+            body = bytes((5 * i) % 256 for i in range(6 * 4 * ch))
+            for ft in (1, 2, 3, 4):
+                assert decode_png(encode_png(6, 4, body, color, ft))[3] == body
+
+    def test_luma_reduction(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            encode_png,
+            gray_raster_of,
+        )
+
+        rgb = bytes((5 * i) % 256 for i in range(6 * 4 * 3))
+        w, h, g = gray_raster_of(encode_png(6, 4, rgb, 2, 4))
+        assert (w, h) == (6, 4)
+        assert g == bytes(
+            (299 * rgb[i * 3] + 587 * rgb[i * 3 + 1] + 114 * rgb[i * 3 + 2]) // 1000
+            for i in range(24)
+        )
+
+    def test_container_agnostic_resize(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            encode_png,
+            encode_raster,
+            resize_raster,
+        )
+
+        img = bytes((11 * i) % 256 for i in range(10 * 8))
+        assert resize_raster(encode_raster(10, 8, img), 8, 6) == resize_raster(
+            encode_png(10, 8, img, 0, 2), 8, 6
+        )
+
+    def test_header_meta_and_errors(self):
+        import pytest as _pytest
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            decode_meta,
+            decode_png,
+            encode_png,
+            parse_png_header,
+        )
+
+        img = bytes(range(80)) * 1
+        p = encode_png(10, 8, img, 0, 1)
+        w, h, nf, start, end = decode_meta(p, "image/png")
+        assert (w, h, nf) == (10, 8, 1) and 0 < start < end <= len(p)
+        with _pytest.raises(ValueError):
+            parse_png_header(b"\x89PNGnope")
+        with _pytest.raises(ValueError):
+            decode_png(p[:-10] + b"\x00" * 10)  # corrupt the IEND/CRC tail
+        # interlaced IHDR rejected loudly
+        bad = bytearray(p)
+        ihdr_off = 8 + 8  # magic + len/tag
+        bad[ihdr_off + 12] = 1  # interlace flag inside IHDR data
+        with _pytest.raises(ValueError):
+            parse_png_header(bytes(bad))
