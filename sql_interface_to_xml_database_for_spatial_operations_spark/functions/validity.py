@@ -216,32 +216,45 @@ def makevalid_geom(g: Geometry) -> Geometry | None:
     from .union_ops import _rectilinear_cells
 
     if g.kind == "GeometryCollection":
+        # Rebuild only the INVALID members — PostGIS echoes valid ones
+        # unchanged (code-review r10).
         out = []
         for sub in g.coords:
-            m = makevalid_geom(sub)
+            m = sub if invalid_reason(sub) is None else makevalid_geom(sub)
             if m is not None:
                 out.append(m)
         return Geometry("GeometryCollection", out) if out else None
     polys = G._polys(g)
     if not polys:
         return g  # points/lines are valid as-is (finiteness checked upstream)
-    rect_polys: list[Geometry] = []
-    for rings in polys:
-        rings = [list(r) for r in rings]
-        shell_cells = _rectilinear_cells([rings[0]])
-        if shell_cells is None:
+
+    def cells_of(ring: list[Point]) -> list:
+        # CLOSE the ring before decomposition: _rectilinear_cells scans
+        # only explicit edges, so an unclosed ring's implicit closing
+        # edge would never be checked for axis-parallelism and a
+        # diagonal closing edge would be silently rewritten
+        # (code-review r10).
+        if ring and ring[0] != ring[-1]:
+            ring = [*ring, ring[0]]
+        c = _rectilinear_cells([ring])
+        if c is None:
             raise _ov._Unsupported("non-rectilinear invalid geometry")
-        cells = shell_cells
-        for hole in rings[1:]:
-            hc = _rectilinear_cells([hole])
-            if hc is None:
-                raise _ov._Unsupported("non-rectilinear invalid geometry")
-            for h in hc:
-                cells = [piece for c in cells for piece in _ov._rect_sub(c, h)]
-        rect_polys.extend(Geometry("Polygon", [_rect_ring(c)]) for c in cells)
-    if not rect_polys:
+        return c
+
+    # GEOS structure semantics: union of ALL shells minus union of ALL
+    # holes (subtraction distributes over the union, so subtracting
+    # every hole from every shell cell before the dissolve is the same
+    # set — and unlike per-part subtraction, a hole punches through
+    # OTHER parts' shells too, as liblwgeom does; code-review r10).
+    shell_cells = [c for rings in polys for c in cells_of(list(rings[0]))]
+    hole_cells = [
+        c for rings in polys for hole in rings[1:] for c in cells_of(list(hole))
+    ]
+    for h in hole_cells:
+        shell_cells = [piece for c in shell_cells for piece in _ov._rect_sub(c, h)]
+    if not shell_cells:
         return None
-    return _union_exact(rect_polys)
+    return _union_exact([Geometry("Polygon", [_rect_ring(c)]) for c in shell_cells])
 
 
 def makevalid_wkt(wkt) -> str | None:

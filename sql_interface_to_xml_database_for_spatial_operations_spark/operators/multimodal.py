@@ -366,33 +366,42 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     bpp, stride = ch, w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
+    import numpy as np
+
     out = bytearray(h * stride)
-    prior = bytes(stride)
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        cur = bytearray(stride)
-        for i in range(stride):
-            a = cur[i - bpp] if i >= bpp else 0
-            bb = prior[i]
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = bb
-            elif ft == 3:
-                pred = (a + bb) // 2
-            elif ft == 4:
-                c = prior[i - bpp] if i >= bpp else 0
-                p = a + bb - c
-                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-            else:
-                raise ValueError(f"unknown PNG filter {ft}")
-            cur[i] = (line[i] + pred) & 0xFF
-        out[y * stride : (y + 1) * stride] = cur
-        prior = bytes(cur)
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        # None/Up have no intra-row dependence — whole-row numpy ops;
+        # Sub/Average/Paeth recur on the previous PIXEL, so they run the
+        # per-byte loop (code-review r10 vectorized the hot cases).
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 2:
+            cur = line + prior  # uint8 wraps mod 256
+        elif ft in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.uint8)
+            pri = prior
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                bb = int(pri[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + bb) // 2
+                else:
+                    c = int(pri[i - bpp]) if i >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[y * stride : (y + 1) * stride] = cur.tobytes()
+        prior = cur
     return w, h, ch, bytes(out)
 
 
@@ -408,11 +417,11 @@ def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
         w, h, ch, raw = decode_png(b)
         if ch == 1:
             return w, h, raw
-        gray = bytearray(w * h)
-        for i in range(w * h):
-            o = i * ch
-            gray[i] = (299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]) // 1000
-        return w, h, bytes(gray)
+        import numpy as np
+
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ch)[:, :3].astype(np.int64)
+        gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+        return w, h, gray.astype(np.uint8).tobytes()
     raise ValueError("neither an SRAS nor a PNG payload")
 
 

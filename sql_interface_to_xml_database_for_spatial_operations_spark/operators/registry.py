@@ -68,9 +68,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     q156 (st_relate DE-9IM matrix + st_isvalid — item 4), q157
 #     (st_makevalid — item 5);
 #   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31-q38 (18 rows, 4 rounds stale by now).
+#     q20-q29, q31-q36 (16 rows, 4 rounds stale by now). q37/q38 were
+#     in the original fill but defer to r11: the PNG decode diff makes
+#     operators/multimodal.py's decode_meta a dependency of q81/q82
+#     (they execute extract_features), so those two re-expose instead —
+#     helpers count, not just direct rewrites (the registry rule).
 # Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 6 diff + 3 new + 18 r6-stale = 50.
+# 13 drifted + 10 r5-stale + 8 diff + 3 new + 16 r6-stale = 50.
 # Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
@@ -98,6 +102,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
+        "q37_mod_function",
+        "q38_string_functions",
         "q39_case_expression",
         "q40_math_functions",
         "q44_spatial_join_within",
@@ -132,8 +138,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q78_keyed_dedup_first",
         "q79_json_props",
         "q80_multimodal_metadata",
-        "q81_multimodal_features",
-        "q82_frame_sample",
         "q83_asof_join",
         "q84_range_join_banded",
         "q85_st_extent_agg",

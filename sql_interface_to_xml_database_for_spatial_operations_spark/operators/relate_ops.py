@@ -253,7 +253,7 @@ _Q157_ORACLE_VALS = {
     "hole_out": "'36000000'",
     "overlap_mp": "'175000000'",
     "strip": _micro("(maxx - minx) * (maxy - miny) - 4.0 * (maxx - minx)"),
-    "echo": _BOX.replace("' || '", "' || '"),  # same WKT string build
+    "echo": _BOX,  # oracle builds the identical WKT string
     "outside": "'NULL(outside-class)'",
     "now_valid": "'true'",
 }
