@@ -86,6 +86,12 @@ HEADLINE = [
     "q152_st_linear_referencing",
     "q153_st_editors",
     "q154_st_constructors",
+    # r10 families: one tracked number each — the line/polygon buffer
+    # kernel (exact union of stadiums), the DE-9IM matrix + validity
+    # assembly, and the even-odd makevalid rebuild
+    "q155_st_buffer_lines_polys",
+    "q156_st_relate_isvalid",
+    "q157_st_makevalid",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

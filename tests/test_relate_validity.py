@@ -271,3 +271,53 @@ class TestMakeValid:
         # diagonal bowtie: outside the rectilinear class -> loud NULL
         assert makevalid_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") is None
         assert makevalid_wkt("POINT (nan nan)") is None
+
+
+class TestMakeValidStructureFixes:
+    """code-review r10 follow-ups on makevalid."""
+
+    def _area(self, w):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        return G.area(G.parse_wkt(w))
+
+    def test_unclosed_diagonal_closing_edge_is_null(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        # the implicit closing edge (10,10)->(0,0) is diagonal: loud NULL
+        assert makevalid_wkt("POLYGON ((0 0, 10 0, 10 10))") is None
+        # rectilinear implicit closing edge: closed and rebuilt
+        w = makevalid_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10))")
+        assert abs(self._area(w) - 100.0) < 1e-12
+
+    def test_hole_punches_through_sibling_shells(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        # GEOS structure: union of shells minus union of holes — part B
+        # does NOT refill the slice of part A's hole it overlaps
+        w = makevalid_wkt(
+            "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0),"
+            " (2 2, 8 2, 8 8, 2 8, 2 2)), ((6 3, 12 3, 12 5, 6 5, 6 3)))"
+        )
+        assert abs(self._area(w) - 68.0) < 1e-12
+
+    def test_gc_members_echo_when_valid(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        # a valid non-rectilinear member must be echoed, not rebuilt
+        # (and must not NULL the collection while the invalid
+        # rectilinear sibling is repaired)
+        w = makevalid_wkt(
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 2 3, 0 0)),"
+            " POLYGON ((10 10, 20 10, 20 30, 30 30, 30 20, 10 20, 10 10)))"
+        )
+        assert w is not None and w.startswith("GEOMETRYCOLLECTION")
+        assert "POLYGON ((0 0, 4 0, 2 3, 0 0))" in w
