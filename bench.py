@@ -92,6 +92,7 @@ HEADLINE = [
     "q155_st_buffer_lines_polys",
     "q156_st_relate_isvalid",
     "q157_st_makevalid",
+    "q158_st_measures",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

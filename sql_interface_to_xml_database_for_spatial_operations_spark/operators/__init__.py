@@ -42,3 +42,4 @@ def load_all() -> None:
     from . import constructor_ops  # noqa: F401
     from . import buffer_ops  # noqa: F401
     from . import relate_ops  # noqa: F401
+    from . import measure_ops  # noqa: F401

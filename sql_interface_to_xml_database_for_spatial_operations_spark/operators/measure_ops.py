@@ -1,0 +1,150 @@
+"""Driver row for the measures family (functions/measures.py):
+ST_IsSimple / ST_PointOnSurface / ST_HausdorffDistance /
+ST_FrechetDistance / ST_Angle / ST_TriangulatePolygon — all PostGIS
+names the reference forwards verbatim (F12, src/index.ts:44-63).
+
+Oracle design over the integer nation boxes:
+
+- ``simple`` / ``notsimple``: the box ring as a closed LINESTRING is
+  simple; the bowtie vertex order crosses itself.
+- ``pos_x`` / ``pos_y``: ST_PointOnSurface of the box is its center
+  (the bisector's single interval is the full width).
+- ``pos_holed_x``: with the 6×6 hole at +8..+14, the h=20 boxes'
+  bisector (y = +10) is cut by the hole and the right interval
+  (width w−14 ≥ 16) beats the left (8), so x = (minx+14+maxx)/2;
+  the h=30 boxes' bisector (y = +15) clears the hole → center.
+- ``haus``: bottom edge vs bottom edge shifted (+5, +7): both
+  directional maxima are √(5²+7²) = √74 (a constant), the interior
+  projections contribute only 7.
+- ``haus_rev`` / ``frechet_rev``: a line vs its reverse — Hausdorff 0
+  (same point set), discrete Fréchet w (order-sensitive coupling).
+- ``angle``: from the bottom edge vector (azimuth π/2) to the left
+  edge vector (azimuth 0), clockwise → 3π/2.
+- ``tri_n`` / ``tri_area``: the L-shaped hexagon ear-clips into
+  exactly 4 triangles whose areas sum to 10w + 15(h−10) exactly.
+- ``tri_null``: holed polygons are a documented loud NULL.
+
+Scale shape: map-only pandas UDFs over 25-row projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.accessors import register_accessor_functions
+    from ..functions.measures import register_measure_functions
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    register_accessor_functions(spark)
+    register_measure_functions(spark)
+
+
+def _pt(xe: str, ye: str) -> str:
+    return f"{int_str(xe)} || ' ' || {int_str(ye)}"
+
+
+def _micro(expr: str) -> str:
+    return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+_RING_LINE = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "')'",
+)
+_BOWTIE_LINE = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["tr"], "', '",
+    CORNERS["br"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "')'",
+)
+_BOX = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+_HOLED = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+    "'), ('", _pt("minx + 8", "miny + 8"), "', '", _pt("minx + 14", "miny + 8"),
+    "', '", _pt("minx + 14", "miny + 14"), "', '", _pt("minx + 8", "miny + 14"),
+    "', '", _pt("minx + 8", "miny + 8"), "'))'",
+)
+_BOTTOM = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
+)
+_BOTTOM_SHIFTED = sql_concat(
+    "'LINESTRING ('", _pt("minx + 5", "miny + 7"), "', '",
+    _pt("maxx + 5", "miny + 7"), "')'",
+)
+_BOTTOM_REV = sql_concat(
+    "'LINESTRING ('", CORNERS["br"], "', '", CORNERS["bl"], "')'",
+)
+_P = {
+    "bl": sql_concat("'POINT ('", CORNERS["bl"], "')'"),
+    "br": sql_concat("'POINT ('", CORNERS["br"], "')'"),
+    "tl": sql_concat("'POINT ('", CORNERS["tl"], "')'"),
+}
+_LSHAPE = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    _pt("maxx", "miny + 10"), "', '", _pt("minx + 15", "miny + 10"),
+    "', '", _pt("minx + 15", "maxy"), "', '", CORNERS["tl"], "', '",
+    CORNERS["bl"], "'))'",
+)
+
+_FAMILIES = {
+    "simple": f"CAST(st_issimple({_RING_LINE}) AS STRING)",
+    "notsimple": f"CAST(st_issimple({_BOWTIE_LINE}) AS STRING)",
+    "pos_x": _micro(f"st_x(st_pointonsurface({_BOX}))"),
+    "pos_y": _micro(f"st_y(st_pointonsurface({_BOX}))"),
+    "pos_holed_x": _micro(f"st_x(st_pointonsurface({_HOLED}))"),
+    "haus": _micro(f"st_hausdorffdistance({_BOTTOM}, {_BOTTOM_SHIFTED})"),
+    "haus_rev": _micro(f"st_hausdorffdistance({_BOTTOM}, {_BOTTOM_REV})"),
+    "frechet_rev": _micro(f"st_frechetdistance({_BOTTOM}, {_BOTTOM_REV})"),
+    "angle": _micro(
+        f"st_angle({_P['bl']}, {_P['br']}, {_P['bl']}, {_P['tl']})"
+    ),
+    "tri_n": f"CAST(st_numgeometries(st_triangulatepolygon({_LSHAPE})) AS STRING)",
+    "tri_area": _micro(f"st_area(st_triangulatepolygon({_LSHAPE}))"),
+    "tri_null": f"COALESCE(st_triangulatepolygon({_HOLED}), 'NULL(holed)')",
+}
+
+_W, _H = "(maxx - minx)", "(maxy - miny)"
+_ORACLE_VALS = {
+    "simple": "'true'",
+    "notsimple": "'false'",
+    "pos_x": _micro(f"(minx + maxx) / 2.0"),
+    "pos_y": _micro(f"(miny + maxy) / 2.0"),
+    "pos_holed_x": (
+        "CASE WHEN maxy - miny = 20.0 THEN "
+        + _micro("(minx + 14.0 + maxx) / 2.0")
+        + " ELSE "
+        + _micro("(minx + maxx) / 2.0")
+        + " END"
+    ),
+    "haus": _micro("sqrt(74.0)"),
+    "haus_rev": "'0'",
+    "frechet_rev": _micro(_W),
+    "angle": _micro("3.0 * pi() / 2.0"),
+    "tri_n": "'4'",
+    "tri_area": _micro(f"10.0 * {_W} + 15.0 * ({_H} - 10.0)"),
+    "tri_null": "'NULL(holed)'",
+}
+
+_Q158_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
+    f" FROM ({NATION_BOXES_SQL})"
+    for fam, val in _ORACLE_VALS.items()
+)
+
+
+@query("q158_st_measures", oracle=_Q158_ORACLE)
+def q158_st_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 measures family: OGC simplicity, GEOS interior points,
+    discrete Hausdorff/Fréchet distances, the clockwise four-point
+    angle, and ear-clip triangulation (module docstring)."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)

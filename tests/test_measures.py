@@ -1,0 +1,126 @@
+"""Measures family kernels (functions/measures.py): OGC simplicity,
+GEOS interior points, discrete Hausdorff/Fréchet, clockwise angle, and
+ear-clip triangulation. Driver row q158 pins the SQL level."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    geometry as G,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+    frechet_distance,
+    hausdorff_distance,
+    is_simple,
+    point_on_surface,
+    triangulate_polygon,
+)
+
+P = G.parse_wkt
+
+
+class TestIsSimple:
+    CASES = [
+        ("LINESTRING (1 1, 2 2, 2 3.5, 1 3, 1 2, 2 1)", False),  # PostGIS doc case
+        ("LINESTRING (1 2, 3 4, 5 6)", True),
+        ("LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)", True),  # closed ring
+        ("LINESTRING (0 0, 2 0, 2 2, 1 0, 0 2)", False),  # passes own interior
+        ("LINESTRING (0 0, 4 0, 2 0)", False),  # fold-back overlap
+        ("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))", True),  # endpoint contact
+        ("MULTILINESTRING ((0 0, 2 2), (1 1, 3 0))", False),  # interior contact
+        ("MULTILINESTRING ((0 0, 4 0), (2 0, 6 0))", False),  # collinear overlap
+        ("MULTIPOINT (1 1, 2 2)", True),
+        ("MULTIPOINT (1 1, 1 1)", False),
+        ("POINT (3 4)", True),
+        # polygonal inputs are simple by definition (JTS), even a bowtie
+        ("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", True),
+    ]
+
+    @pytest.mark.parametrize("wkt,exp", CASES)
+    def test_cases(self, wkt, exp):
+        assert is_simple(P(wkt)) is exp
+
+
+class TestPointOnSurface:
+    def test_rect_center(self):
+        assert point_on_surface(P("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")) == (5.0, 3.0)
+
+    def test_holed_picks_widest_interval(self):
+        w = "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0), (8 8, 14 8, 14 14, 8 14, 8 8))"
+        assert point_on_surface(P(w)) == (22.0, 10.0)
+
+    def test_vertex_collision_renudges(self):
+        # concave apex exactly at mid-height: the scanline re-bisects
+        # and the returned point is strictly interior
+        g = P("POLYGON ((0 0, 10 0, 5 5, 10 10, 0 10, 0 0))")
+        p = point_on_surface(g)
+        assert p == (3.75, 7.5)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            _strictly_inside,
+        )
+
+        assert _strictly_inside(p, g)
+
+    def test_line_prefers_interior_vertex(self):
+        assert point_on_surface(P("LINESTRING (0 0, 5 1, 10 0)")) == (5.0, 1.0)
+        # two-point line: an endpoint
+        assert point_on_surface(P("LINESTRING (0 0, 10 0)")) in ((0.0, 0.0), (10.0, 0.0))
+
+    def test_multipoint_nearest_centroid(self):
+        assert point_on_surface(P("MULTIPOINT (0 0, 10 0, 5 1)")) == (5.0, 1.0)
+
+
+class TestDistances:
+    def test_hausdorff_shifted_segment(self):
+        a, b = P("LINESTRING (0 0, 30 0)"), P("LINESTRING (5 7, 35 7)")
+        assert abs(hausdorff_distance(a, b) - math.sqrt(74)) < 1e-12
+
+    def test_hausdorff_symmetric_and_orderless(self):
+        a, b = P("LINESTRING (0 0, 30 0)"), P("LINESTRING (30 0, 0 0)")
+        assert hausdorff_distance(a, b) == 0.0
+
+    def test_frechet_order_sensitive(self):
+        a, b = P("LINESTRING (0 0, 30 0)"), P("LINESTRING (30 0, 0 0)")
+        assert frechet_distance(a, b) == 30.0
+        assert frechet_distance(a, P("LINESTRING (0 0, 30 0)")) == 0.0
+
+    def test_frechet_multiline_is_null(self):
+        assert frechet_distance(P("MULTILINESTRING ((0 0, 1 0))"), P("LINESTRING (0 0, 1 0)")) is None
+
+
+class TestTriangulate:
+    def test_lshape_four_triangles(self):
+        t = triangulate_polygon(P("POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"))
+        assert t.kind == "GeometryCollection" and len(t.coords) == 4
+        assert abs(G.area(t) - 300.0) < 1e-9
+        # triangle interiors are disjoint: areas sum exactly to the input
+
+    def test_holed_and_bowtie_raise(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.overlay import (
+            _Unsupported,
+        )
+
+        with pytest.raises(_Unsupported):
+            triangulate_polygon(
+                P("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+            )
+        with pytest.raises(_Unsupported):
+            triangulate_polygon(P("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"))
+
+
+def test_measures_through_spark(spark):
+    rows = spark.sql(
+        "SELECT st_issimple('LINESTRING (0 0, 2 2, 0 2, 2 0)') AS s,"
+        " st_pointonsurface('POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))') AS p,"
+        " st_hausdorffdistance('POINT (0 0)', 'POINT (3 4)') AS h,"
+        " st_angle('POINT (0 0)', 'POINT (1 0)', 'POINT (0 0)', 'POINT (0 1)') AS a,"
+        " st_triangulatepolygon('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS t"
+    ).collect()[0]
+    assert rows["s"] is False
+    assert rows["p"] == "POINT (2 1)"
+    assert rows["h"] == 5.0
+    assert abs(rows["a"] - 3 * math.pi / 2) < 1e-12
+    assert rows["t"].startswith("GEOMETRYCOLLECTION (POLYGON")

@@ -9,6 +9,9 @@ import math
 
 import pytest
 
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+    ALL_MEASURE_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate import (
     ALL_RELATE_FUNCTIONS,
 )
@@ -59,6 +62,7 @@ _SWEPT = {
     **ALL_FUNCTIONS,
     **ALL_RELATION_FUNCTIONS,
     **ALL_RELATE_FUNCTIONS,
+    **ALL_MEASURE_FUNCTIONS,
     **ALL_VALIDITY_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
@@ -121,6 +125,9 @@ _NULL_ARGS = {
     "st_affine": f"{S}, {D}, {D}, {D}, {D}, {D}, {D}",
     "st_relate": f"{S}, {S}",
     "st_relatematch": f"{S}, {S}",
+    "st_hausdorffdistance": f"{S}, {S}",
+    "st_frechetdistance": f"{S}, {S}",
+    "st_angle": f"{S}, {S}, {S}, {S}",
 }
 
 
