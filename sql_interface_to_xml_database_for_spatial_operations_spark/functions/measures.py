@@ -7,20 +7,23 @@ verbatim (F12, src/index.ts:44-63). Semantics follow GEOS/JTS:
 
 - ``st_issimple`` — OGC simplicity. Points: always. MultiPoint: no
   repeated members. Polygonal: always (JTS: simplicity is defined for
-  curves; validity is the separate question). Lines: no
-  self-intersection except at boundary points — same-component
-  contacts are allowed only at that component's own endpoint values
-  (so a closed ring's closing point passes), cross-component contacts
-  only at points that are endpoints of BOTH components, and any
-  proper crossing or collinear overlap fails (JTS IsSimpleOp).
-- ``st_pointonsurface`` — GEOS InteriorPoint family. Areal: midpoint
-  of the WIDEST intersection of the horizontal bisector with the
-  geometry (per part, even-odd over the part's rings; if the bisector
-  y collides with a ring vertex, re-bisect toward the nearest
-  distinct vertex ordinate — after that step no vertex can lie on the
-  scanline). Lines: the vertex nearest the centroid, interior
-  vertices preferred (InteriorPointLine). Points: the member nearest
-  the centroid.
+  curves; validity is the separate question). Lines: repeated
+  consecutive vertices collapse first (as JTS does), then no
+  self-intersection except at per-ELEMENT Mod-2 boundary points: an
+  open component's endpoints; a CLOSED component has an EMPTY
+  boundary (its closing vertex passes only via first/last-segment
+  adjacency, so a figure-eight through the closing point fails);
+  cross-component contacts need a boundary point of BOTH components;
+  any proper crossing or collinear overlap fails (JTS IsSimpleOp).
+- ``st_pointonsurface`` — GEOS InteriorPoint family. Areal: each part
+  bisects its OWN bbox (a global bisector could fall in the vertical
+  gap between parts), intervals are even-odd over the part's rings,
+  and the globally widest interval's midpoint wins; if a part's
+  bisector collides with a ring vertex it re-bisects toward the
+  nearest distinct vertex ordinate, and all-degenerate (zero-area)
+  inputs fall back to the vertex nearest the centroid. Lines: the
+  vertex nearest the centroid, interior vertices preferred
+  (InteriorPointLine). Points: the member nearest the centroid.
 - ``st_hausdorffdistance`` — DISCRETE Hausdorff (the PostGIS default,
   no densify fraction): max over the vertices of each geometry of the
   exact point-to-geometry distance to the other.
@@ -53,26 +56,11 @@ from pyspark.sql.types import BooleanType, DoubleType, StringType
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
-from .relations import _line_components, _on_segment
+from .relations import _line_components, _on_segment, _segs_collinear_overlap
 
 # ---------------------------------------------------------------------------
 # st_issimple
 # ---------------------------------------------------------------------------
-
-
-def _collinear_span_overlap(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
-    """Both b endpoints collinear with a1a2 and the param spans share
-    positive length."""
-    if G._orient(a1, a2, b1) != 0 or G._orient(a1, a2, b2) != 0:
-        return False
-    dx, dy = a2[0] - a1[0], a2[1] - a1[1]
-    len2 = dx * dx + dy * dy
-    if len2 == 0.0:
-        return False
-    t1 = ((b1[0] - a1[0]) * dx + (b1[1] - a1[1]) * dy) / len2
-    t2 = ((b2[0] - a1[0]) * dx + (b2[1] - a1[1]) * dy) / len2
-    lo, hi = (t1, t2) if t1 <= t2 else (t2, t1)
-    return min(hi, 1.0) > max(lo, 0.0)
 
 
 def _seg_contacts(a1, a2, b1, b2):
@@ -82,7 +70,7 @@ def _seg_contacts(a1, a2, b1, b2):
         return None
     if G._segs_cross_properly(a1, a2, b1, b2):
         return "interior"
-    if _collinear_span_overlap(a1, a2, b1, b2):
+    if _segs_collinear_overlap(a1, a2, b1, b2):
         return "overlap"
     pts = set()
     for p in (a1, a2):
@@ -104,23 +92,53 @@ def is_simple(g: Geometry) -> bool:
         return True  # JTS: polygonal inputs are simple by definition
     if g.kind == "GeometryCollection":
         return all(is_simple(sub) for sub in g.coords)
-    comps = _line_components(g)
+    # Drop repeated consecutive vertices first (JTS does the same):
+    # a zero-length segment would make truly-adjacent segments look
+    # non-adjacent to the index test below (code-review r10).
+    comps = []
+    for comp in _line_components(g):
+        dd = [comp[0]]
+        for pt in comp[1:]:
+            if pt != dd[-1]:
+                dd.append(pt)
+        if len(dd) >= 2:
+            comps.append(dd)
     segs = [
         (ci, si, comp[si], comp[si + 1])
         for ci, comp in enumerate(comps)
         for si in range(len(comp) - 1)
     ]
-    ends = [{comp[0], comp[-1]} for comp in comps]
+    # OGC Mod-2 boundaries per ELEMENT: an open component's endpoints;
+    # a CLOSED component has an EMPTY boundary, so a figure-eight
+    # through its own closing point is NOT simple (code-review r10).
+    nseg = [len(comp) - 1 for comp in comps]
+    closed = [comp[0] == comp[-1] for comp in comps]
+    ends = [
+        set() if closed[ci] else {comp[0], comp[-1]}
+        for ci, comp in enumerate(comps)
+    ]
+    bboxes = [
+        (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+        for _ci, _si, a, b in segs
+    ]
     for x in range(len(segs)):
         ci, si, a1, a2 = segs[x]
+        xb = bboxes[x]
         for y in range(x + 1, len(segs)):
             cj, sj, b1, b2 = segs[y]
+            yb = bboxes[y]
+            if xb[2] < yb[0] or yb[2] < xb[0] or xb[3] < yb[1] or yb[3] < xb[1]:
+                continue  # envelope prescreen (the _seg_bboxes idiom)
             contact = _seg_contacts(a1, a2, b1, b2)
             if contact is None:
                 continue
             if contact in ("interior", "overlap"):
                 return False
-            shared = {a1, a2} & {b1, b2} if ci == cj and abs(si - sj) == 1 else set()
+            adjacent = ci == cj and (
+                abs(si - sj) == 1
+                or (closed[ci] and {si, sj} == {0, nseg[ci] - 1})
+            )
+            shared = {a1, a2} & {b1, b2} if adjacent else set()
             for p in contact:
                 if p in shared:
                     continue  # adjacent segments meet at their vertex
@@ -137,16 +155,21 @@ def is_simple(g: Geometry) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _scanline_y(g_parts: list[list[list[Point]]]) -> float:
-    ys = sorted({p[1] for rings in g_parts for r in rings for p in r})
+def _scanline_y(rings: list[list[Point]]) -> float | None:
+    """Bisector ordinate for ONE polygon part (GEOS InteriorPointArea
+    bisects each element separately — a global bisector could fall in
+    the vertical gap between MultiPolygon parts; code-review r10).
+    None for a degenerate (zero-height) part."""
+    ys = sorted({p[1] for r in rings for p in r})
+    if len(ys) < 2:
+        return None
     y = (ys[0] + ys[-1]) / 2.0
     if y in ys:
-        above = [v for v in ys if v > y]
-        below = [v for v in ys if v < y]
-        # re-bisect toward the nearest distinct ordinate; the result is
-        # strictly between two adjacent vertex ordinates, so it cannot
-        # collide again
-        y = (y + (min(above) if above else max(below))) / 2.0
+        # re-bisect toward the nearest distinct ordinate above; the
+        # result is strictly between two adjacent vertex ordinates, so
+        # it cannot collide again (with >= 2 distinct ordinates the
+        # midpoint is strictly below the max, so 'above' is nonempty)
+        y = (y + min(v for v in ys if v > y)) / 2.0
     return y
 
 
@@ -165,15 +188,22 @@ def _part_intervals(rings: list[list[Point]], y: float) -> list[tuple[float, flo
 def point_on_surface(g: Geometry) -> Point | None:
     polys = G._polys(g)
     if polys:
-        y = _scanline_y(polys)
-        best = None
+        best = None  # (width, midpoint, y)
         for rings in polys:
-            for lo, hi in _part_intervals([list(r) for r in rings], y):
-                if best is None or hi - lo > best[1] - best[0]:
-                    best = (lo, hi)
-        if best is None:
-            return None
-        return ((best[0] + best[1]) / 2.0, y)
+            rr = [list(r) for r in rings]
+            y = _scanline_y(rr)
+            if y is None:
+                continue  # degenerate part: covered by the fallback
+            for lo, hi in _part_intervals(rr, y):
+                if best is None or hi - lo > best[0]:
+                    best = (hi - lo, (lo + hi) / 2.0, y)
+        if best is not None:
+            return (best[1], best[2])
+        # every part degenerate (zero area): fall back to the vertex
+        # nearest the centroid so the surface still yields a point
+        pts = G._points(g)
+        cx, cy = G.centroid(g)
+        return min(pts, key=lambda p: (p[0] - cx) ** 2 + (p[1] - cy) ** 2)
     comps = _line_components(g)
     if comps:
         cx, cy = G.centroid(g)

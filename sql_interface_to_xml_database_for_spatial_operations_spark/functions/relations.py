@@ -202,21 +202,27 @@ def _submidpoints(g, boundary_segs) -> list[Point]:
     return out
 
 
+def _segs_collinear_overlap(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
+    """The two segments share a positive-length collinear stretch.
+    Shared by the geometry-pair scan below and measures.is_simple."""
+    dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+    len2 = dx * dx + dy * dy
+    if len2 == 0.0:
+        return False
+    if G._orient(a1, a2, b1) != 0 or G._orient(a1, a2, b2) != 0:
+        return False
+    t1 = ((b1[0] - a1[0]) * dx + (b1[1] - a1[1]) * dy) / len2
+    t2 = ((b2[0] - a1[0]) * dx + (b2[1] - a1[1]) * dy) / len2
+    lo, hi = (t1, t2) if t1 <= t2 else (t2, t1)
+    return min(hi, 1.0) > max(lo, 0.0)
+
+
 def _collinear_overlap_exists(a: Geometry, b: Geometry) -> bool:
     """Some pair of segments shares a positive-length collinear stretch."""
     segs_b = list(G._segments(b))
     for a1, a2 in G._segments(a):
-        dx, dy = a2[0] - a1[0], a2[1] - a1[1]
-        len2 = dx * dx + dy * dy
-        if len2 == 0.0:
-            continue
         for b1, b2 in segs_b:
-            if G._orient(a1, a2, b1) != 0 or G._orient(a1, a2, b2) != 0:
-                continue
-            t1 = ((b1[0] - a1[0]) * dx + (b1[1] - a1[1]) * dy) / len2
-            t2 = ((b2[0] - a1[0]) * dx + (b2[1] - a1[1]) * dy) / len2
-            lo, hi = (t1, t2) if t1 <= t2 else (t2, t1)
-            if min(hi, 1.0) > max(lo, 0.0):
+            if _segs_collinear_overlap(a1, a2, b1, b2):
                 return True
     return False
 

@@ -124,3 +124,43 @@ def test_measures_through_spark(spark):
     assert rows["h"] == 5.0
     assert abs(rows["a"] - 3 * math.pi / 2) < 1e-12
     assert rows["t"].startswith("GEOMETRYCOLLECTION (POLYGON")
+
+
+class TestIsSimpleMod2Fixes:
+    """code-review r10: repeated vertices, Mod-2 closed-element
+    boundaries, and the per-part bisector."""
+
+    def test_repeated_consecutive_vertices_are_collapsed(self):
+        assert is_simple(P("LINESTRING (0 0, 1 0, 1 0, 2 0)")) is True
+        assert is_simple(P("LINESTRING (0 0, 1 0, 1 0, 1 1)")) is True
+
+    def test_closed_component_has_empty_boundary(self):
+        # figure-eight through its own closing point: NOT simple
+        fig8 = "LINESTRING (0 0, 1 1, 0 2, -1 1, 0 0, 1 -1, 0 -2, -1 -1, 0 0)"
+        assert is_simple(P(fig8)) is False
+        # ring + tail touching the ring's closing point: NOT simple
+        assert (
+            is_simple(P("MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0), (0 0, -1 -1))"))
+            is False
+        )
+        # open line passing through its own START point mid-curve:
+        # simple — the endpoint IS a boundary point for an open
+        # component, and boundary contacts are allowed (JTS Mod-2)
+        assert is_simple(P("LINESTRING (0 0, 2 0, 2 2, 0 0, -2 0)")) is True
+        assert is_simple(P("MULTILINESTRING ((0 0, 1 0), (1 0, 2 0))")) is True
+
+    def test_multipolygon_parts_bisect_separately(self):
+        p = point_on_surface(
+            P("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 9, 1 9, 1 10, 0 10, 0 9)))")
+        )
+        assert p is not None
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            _strictly_inside,
+        )
+
+        assert _strictly_inside(
+            p, P("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 9, 1 9, 1 10, 0 10, 0 9)))")
+        )
+
+    def test_degenerate_area_falls_back_to_vertex(self):
+        assert point_on_surface(P("POLYGON ((0 0, 1 0, 0 0))")) is not None
