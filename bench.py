@@ -93,6 +93,7 @@ HEADLINE = [
     "q156_st_relate_isvalid",
     "q157_st_makevalid",
     "q158_st_measures",
+    "q159_st_bounding",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -23,6 +23,7 @@ from .functions.constructors import register_constructor_functions
 from .functions.editors import register_editor_functions
 from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
+from .functions.bounding import register_bounding_functions
 from .functions.measures import register_measure_functions
 from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
@@ -69,6 +70,7 @@ class SpatialSQLEngine:
         register_relation_functions(self.spark)
         register_relate_functions(self.spark)
         register_measure_functions(self.spark)
+        register_bounding_functions(self.spark)
         register_validity_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)

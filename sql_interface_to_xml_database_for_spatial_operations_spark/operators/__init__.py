@@ -43,3 +43,4 @@ def load_all() -> None:
     from . import buffer_ops  # noqa: F401
     from . import relate_ops  # noqa: F401
     from . import measure_ops  # noqa: F401
+    from . import bounding_ops  # noqa: F401

@@ -67,16 +67,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     q155 (line/polygon/negative buffer oracle — VERDICT r9 item 2),
 #     q156 (st_relate DE-9IM matrix + st_isvalid — item 4), q157
 #     (st_makevalid — item 5), q158 (measures family: issimple /
-#     pointonsurface / hausdorff / frechet / angle / triangulate —
-#     beyond the verdict list, q36 defers to make room);
+#     pointonsurface / hausdorff / frechet / angle / triangulate) and
+#     q159 (bounding family: Welzl minimum circle + oriented
+#     envelope) — both beyond the verdict list; q35/q36 defer to make
+#     room;
 #   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31-q35 (15 rows, 4 rounds stale by now). q36/q37/q38 were
+#     q20-q29, q31-q34 (14 rows, 4 rounds stale by now). q35-q38 were
 #     in the original fill but defer to r11: the PNG decode diff makes
 #     operators/multimodal.py's decode_meta a dependency of q81/q82
 #     (they execute extract_features), so those two re-expose instead —
 #     helpers count, not just direct rewrites (the registry rule).
 # Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 8 diff + 4 new + 15 r6-stale = 50.
+# 13 drifted + 10 r5-stale + 8 diff + 5 new + 14 r6-stale = 50.
 # Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
@@ -104,6 +106,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
+        "q35_correlated_exists",
         "q36_date_functions",
         "q37_mod_function",
         "q38_string_functions",

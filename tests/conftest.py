@@ -24,6 +24,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relati
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (  # noqa: E402
     register_projection_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bounding import (  # noqa: E402
+    register_bounding_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (  # noqa: E402
     register_measure_functions,
 )
@@ -74,6 +77,7 @@ def spark():
     register_relation_functions(s)
     register_relate_functions(s)
     register_measure_functions(s)
+    register_bounding_functions(s)
     register_validity_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)

@@ -9,6 +9,9 @@ import math
 
 import pytest
 
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bounding import (
+    ALL_BOUNDING_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
     ALL_MEASURE_FUNCTIONS,
 )
@@ -63,6 +66,7 @@ _SWEPT = {
     **ALL_RELATION_FUNCTIONS,
     **ALL_RELATE_FUNCTIONS,
     **ALL_MEASURE_FUNCTIONS,
+    **ALL_BOUNDING_FUNCTIONS,
     **ALL_VALIDITY_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
