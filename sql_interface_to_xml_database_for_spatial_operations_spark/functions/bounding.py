@@ -7,8 +7,9 @@ Reference parity: PostGIS names forwarded verbatim by the reference
 - ``st_minimumboundingradius`` — radius of the exact minimum enclosing
   circle of the geometry's vertices, via Welzl's move-to-front
   incremental algorithm (Welzl 1991, the standard published method;
-  deterministic here: points are processed in input order, so the
-  result is a pure function of the WKT). The minimum circle over the
+  deterministic here: the deduped points are shuffled with a FIXED
+  seed before the scan — expected O(n) without making the result
+  depend on anything but the WKT). The minimum circle over the
   VERTICES equals the one over the full geometry for any polygon/line
   (the circle is determined by extreme points, which are vertices).
   PostGIS returns a (center, radius) record; a Spark scalar UDF
@@ -31,6 +32,7 @@ O(n) per row, calipers O(h²) in the hull size.
 from __future__ import annotations
 
 import math
+import random as _random
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -38,6 +40,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
 from . import geometry as G
+from . import overlay as _ov
 from .geometry import Geometry, Point
 
 # ---------------------------------------------------------------------------
@@ -69,11 +72,17 @@ def _in_circle(p: Point, c, eps: float) -> bool:
 
 def minimum_enclosing_circle(points: list[Point]):
     """(cx, cy, r) of the minimum circle covering ``points``."""
-    pts = list(dict.fromkeys(points))  # dedupe, keep input order
+    pts = list(dict.fromkeys(points))  # dedupe
     if not pts:
         return None
     if len(pts) == 1:
         return (pts[0][0], pts[0][1], 0.0)
+    # Deterministic shuffle: Welzl is expected O(n) only over a random
+    # order — ring-ordered vertices near a common circle degrade the
+    # in-order variant to O(n²) (code-review r10, measured 4× per
+    # doubling). A fixed seed keeps the result a pure function of the
+    # WKT, independent of partitioning.
+    _random.Random(0x5EED).shuffle(pts)
     span = max(
         abs(v) for p in pts for v in p
     )
@@ -144,10 +153,6 @@ def oriented_envelope(g: Geometry) -> Geometry:
 # ---------------------------------------------------------------------------
 
 
-def _parse(w):
-    return G.parse_wkt(str(w).strip()) if w is not None else None
-
-
 def _mbc_geom(g: Geometry) -> Geometry | None:
     c = minimum_enclosing_circle(G._points(g))
     if c is None:
@@ -165,12 +170,19 @@ def _mbc_geom(g: Geometry) -> Geometry | None:
     return Geometry("Polygon", [ring + [ring[0]]])
 
 
+def _is_empty_wkt(w) -> bool:
+    return w is not None and bool(_ov._EMPTY_RE.match(str(w).strip().upper()))
+
+
 @pandas_udf(StringType())
 def st_minimumboundingcircle(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
-            g = _parse(w)
+            if _is_empty_wkt(w):
+                out.append("POLYGON EMPTY")  # PostGIS: empty in, empty out
+                continue
+            g = G.parse_wkt_opt(w)
             c = _mbc_geom(g) if g is not None else None
             out.append(None if c is None else G.to_wkt(c))
         except Exception:
@@ -183,7 +195,10 @@ def st_minimumboundingradius(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
-            g = _parse(w)
+            if _is_empty_wkt(w):
+                out.append(0.0)  # PostGIS: radius of EMPTY is 0
+                continue
+            g = G.parse_wkt_opt(w)
             c = minimum_enclosing_circle(G._points(g)) if g is not None else None
             out.append(None if c is None else c[2])
         except Exception:
@@ -196,7 +211,10 @@ def st_orientedenvelope(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
-            g = _parse(w)
+            if _is_empty_wkt(w):
+                out.append("POLYGON EMPTY")
+                continue
+            g = G.parse_wkt_opt(w)
             out.append(None if g is None else G.to_wkt(oriented_envelope(g)))
         except Exception:
             out.append(None)

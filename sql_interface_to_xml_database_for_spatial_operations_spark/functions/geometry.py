@@ -781,6 +781,12 @@ def n_points(g: Geometry) -> int:
     return len(_points(g))
 
 
+def parse_wkt_opt(w) -> "Geometry | None":
+    """None-propagating parse: NULL/junk → None — the UDF null-guard
+    idiom shared by measures.py / bounding.py (code-review r10)."""
+    return parse_wkt(str(w).strip()) if w is not None else None
+
+
 def convex_hull(g: Geometry) -> Geometry:
     """Convex hull via Andrew's monotone chain (PostGIS ST_ConvexHull).
     Degenerate inputs collapse like PostGIS: 1 unique point → POINT,

@@ -289,10 +289,6 @@ def triangulate_polygon(g: Geometry) -> Geometry | None:
 # ---------------------------------------------------------------------------
 
 
-def _parse(w):
-    return G.parse_wkt(str(w).strip()) if w is not None else None
-
-
 @pandas_udf(BooleanType())
 def st_issimple(wkt: pd.Series) -> pd.Series:
     out = []
@@ -301,7 +297,7 @@ def st_issimple(wkt: pd.Series) -> pd.Series:
             if w is not None and _ov._EMPTY_RE.match(str(w).strip().upper()):
                 out.append(True)  # GEOS: empty geometries are simple
                 continue
-            g = _parse(w)
+            g = G.parse_wkt_opt(w)
             out.append(None if g is None else is_simple(g))
         except Exception:
             out.append(None)
@@ -316,7 +312,7 @@ def st_pointonsurface(wkt: pd.Series) -> pd.Series:
             if w is not None and _ov._EMPTY_RE.match(str(w).strip().upper()):
                 out.append("POINT EMPTY")
                 continue
-            g = _parse(w)
+            g = G.parse_wkt_opt(w)
             p = point_on_surface(g) if g is not None else None
             out.append(None if p is None else G.to_wkt(Geometry("Point", p)))
         except Exception:
@@ -329,7 +325,7 @@ def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
     for wa, wb in zip(a, b):
         try:
-            ga, gb = _parse(wa), _parse(wb)
+            ga, gb = G.parse_wkt_opt(wa), G.parse_wkt_opt(wb)
             out.append(None if ga is None or gb is None else hausdorff_distance(ga, gb))
         except Exception:
             out.append(None)
@@ -341,7 +337,7 @@ def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
     for wa, wb in zip(a, b):
         try:
-            ga, gb = _parse(wa), _parse(wb)
+            ga, gb = G.parse_wkt_opt(wa), G.parse_wkt_opt(wb)
             out.append(None if ga is None or gb is None else frechet_distance(ga, gb))
         except Exception:
             out.append(None)
@@ -359,7 +355,7 @@ def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series, p4: pd.Series) -> pd.S
     out = []
     for w1, w2, w3, w4 in zip(p1, p2, p3, p4):
         try:
-            gs = [_parse(w) for w in (w1, w2, w3, w4)]
+            gs = [G.parse_wkt_opt(w) for w in (w1, w2, w3, w4)]
             if any(g is None or g.kind != "Point" for g in gs):
                 out.append(None)
                 continue
@@ -377,7 +373,7 @@ def st_triangulatepolygon(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
-            g = _parse(w)
+            g = G.parse_wkt_opt(w)
             if g is None:
                 out.append(None)
                 continue

@@ -123,3 +123,30 @@ def test_bounding_through_spark(spark):
     assert rows["c"] == "POINT (1 2)"
     assert abs(G.area(P(rows["e"])) - 16.0) < 1e-9
     assert rows["n"] is None
+
+
+class TestEmptyAndDeterminism:
+    """code-review r10: EMPTY inputs follow PostGIS instead of NULL,
+    and the fixed-seed shuffle keeps results order-independent."""
+
+    def test_empty_inputs(self, spark):
+        rows = spark.sql(
+            "SELECT st_minimumboundingcircle('POLYGON EMPTY') AS c,"
+            " st_minimumboundingradius('GEOMETRYCOLLECTION EMPTY') AS r,"
+            " st_orientedenvelope('LINESTRING EMPTY') AS e"
+        ).collect()[0]
+        assert rows["c"] == "POLYGON EMPTY"
+        assert rows["r"] == 0.0
+        assert rows["e"] == "POLYGON EMPTY"
+
+    def test_order_independent_radius(self):
+        import math
+
+        n = 500
+        pts = [
+            (math.cos(2 * math.pi * i / n) * 7, math.sin(2 * math.pi * i / n) * 7)
+            for i in range(n)
+        ]
+        a = minimum_enclosing_circle(pts)
+        b = minimum_enclosing_circle(list(reversed(pts)))
+        assert abs(a[2] - b[2]) < 1e-9 and abs(a[2] - 7.0) < 1e-9
