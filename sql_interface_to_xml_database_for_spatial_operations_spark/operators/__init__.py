@@ -44,3 +44,4 @@ def load_all() -> None:
     from . import relate_ops  # noqa: F401
     from . import measure_ops  # noqa: F401
     from . import bounding_ops  # noqa: F401
+    from . import cluster_dbscan  # noqa: F401

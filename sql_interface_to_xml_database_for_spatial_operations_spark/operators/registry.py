@@ -69,16 +69,17 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     (st_makevalid — item 5), q158 (measures family: issimple /
 #     pointonsurface / hausdorff / frechet / angle / triangulate) and
 #     q159 (bounding family: Welzl minimum circle + oriented
-#     envelope) — both beyond the verdict list; q35/q36 defer to make
-#     room;
+#     envelope) and q160 (distributed DBSCAN: grid-cell candidate
+#     join + min-label components, the ST_ClusterDBSCAN analog) — all
+#     beyond the verdict list; q34/q35/q36 defer to make room;
 #   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31-q34 (14 rows, 4 rounds stale by now). q35-q38 were
+#     q20-q29, q31-q33 (13 rows, 4 rounds stale by now). q34-q38 were
 #     in the original fill but defer to r11: the PNG decode diff makes
 #     operators/multimodal.py's decode_meta a dependency of q81/q82
 #     (they execute extract_features), so those two re-expose instead —
 #     helpers count, not just direct rewrites (the registry rule).
 # Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 8 diff + 5 new + 14 r6-stale = 50.
+# 13 drifted + 10 r5-stale + 8 diff + 6 new + 13 r6-stale = 50.
 # Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
@@ -106,6 +107,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
+        "q34_scalar_subquery",
         "q35_correlated_exists",
         "q36_date_functions",
         "q37_mod_function",

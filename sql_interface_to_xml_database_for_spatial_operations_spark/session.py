@@ -31,6 +31,17 @@ def get_spark(app_name: str = "spatial-sql-engine", cpus: str | None = None) -> 
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # In local mode the driver JVM hosts every executor thread; the
+        # Spark default of 1g silently throttled (and could OOM) the
+        # iterative operators' checkpoint storage. Only effective when
+        # the session is created by this factory BEFORE any JVM exists —
+        # a caller-supplied vanilla session keeps its own setting, so
+        # nothing here may be REQUIRED for correctness at the driver's
+        # verification scale (sf0.01).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # --- Adaptive execution: the scale story -------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
