@@ -12,8 +12,9 @@ Semantics (classic DBSCAN, made deterministic):
   cluster id = the component's MIN core custkey (PostGIS numbers
   clusters arbitrarily; the min-id canonical label makes the result a
   pure function of the input — same policy as the dedup clusters);
-- border point: non-core with ≥1 core neighbor → the MIN adjacent
-  core's cluster id (PostGIS: arbitrary adjacent cluster);
+- border point: non-core with ≥1 core neighbor → the MIN cluster
+  LABEL among its adjacent cores (PostGIS: arbitrary adjacent
+  cluster);
 - noise: NULL cluster id.
 
 Scale shape — the 100 TB plan, not a pairwise cross join:
@@ -26,12 +27,17 @@ Scale shape — the 100 TB plan, not a pairwise cross join:
 2. exact distance filter on the candidates (same float formula as the
    oracle: dx² + dy² ≤ eps², bit-identical binary64 on both engines);
 3. degree count → core flag (one aggregate);
-4. core-core edges → ``dedup.connected_components`` (iterative
-   min-label propagation, one shuffle round per iteration — rounds ≈
-   component diameter, which the PARTITION bounds: a cluster cannot
-   outgrow its nation's extent, so the loop is bounded at any data
-   scale); isolated cores keep their own label via the left-join
-   coalesce;
+4. core-core edges (deduplicated to one direction — the CC helper
+   mirrors internally) → ``dedup.connected_components`` (iterative
+   min-label propagation, one shuffle round per iteration). Rounds ≈
+   component HOP diameter ≤ partition extent / eps for space-filling
+   clusters, but a chain of points spaced just under eps can push the
+   hop count toward the cluster's point count, so the iteration cap
+   is 200, far above this fixture class (~25 observed at sf0.1);
+   isolated cores keep their own label via the left-join coalesce;
+   (q47/q97's ``spatial_ops._grid_candidates`` is the
+   fixture-specialized ancestor of step 1's candidate join — this
+   module's ``dbscan`` carries the generic (id, part, x, y) form);
 5. border assignment: one aggregate over non-core candidate pairs.
 
 Oracle: DuckDB recursive-CTE transitive closure over the same
@@ -107,22 +113,29 @@ def dbscan(
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
         .select("ia", "ib")
     )
-    nbr = nbr.localCheckpoint(eager=True)  # reused four times below
-    deg = nbr.groupBy("ia").agg(F.count(F.lit(1)).alias("n"))
-    core = deg.filter(F.col("n") + 1 >= minpts).select(F.col("ia").alias("id"))
-    core_set = core.withColumn("is_core", F.lit(True))
+    nbr = nbr.localCheckpoint(eager=True)  # reused by deg/cedges/border
+    if minpts <= 1:
+        # every point (even an isolated one, which never appears in the
+        # pair list) is its own core at minpts <= 1 (code-review r10)
+        core = base.select("id")
+    else:
+        deg = nbr.groupBy("ia").agg(F.count(F.lit(1)).alias("n"))
+        core = deg.filter(F.col("n") + 1 >= minpts).select(F.col("ia").alias("id"))
     cedges = (
         nbr.join(core.select(F.col("id").alias("ia")), "ia")
         .join(core.select(F.col("id").alias("ib")), "ib")
+        .filter(F.col("ia") < F.col("ib"))  # CC mirrors internally
         .select("ia", "ib")
     )
-    labels = connected_components(cedges)  # only cores WITH core neighbors
+    # cap far above the fixture class: rounds track component hop
+    # diameter, and chains spaced just under eps can be deep
+    labels = connected_components(cedges, max_iters=200)
     clab = (
         core.join(labels, "id", "left")
         .select("id", F.coalesce(F.col("label"), F.col("id")).alias("label"))
     )
     border = (
-        nbr.join(core_set.select(F.col("id").alias("ia")), "ia", "left_anti")
+        nbr.join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
         .join(clab.select(F.col("id").alias("ib"), F.col("label")), "ib")
         .groupBy("ia")
         .agg(F.min("label").alias("blabel"))
@@ -134,9 +147,7 @@ def dbscan(
         .join(border, "id", "left")
         .select(
             "id",
-            F.coalesce(
-                F.when(F.col("clabel").isNotNull(), F.lit(True)), F.lit(False)
-            ).alias("is_core"),
+            F.col("clabel").isNotNull().alias("is_core"),
             F.coalesce(F.col("clabel"), F.col("blabel")).alias("cluster_id"),
         )
     )

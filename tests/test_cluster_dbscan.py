@@ -79,3 +79,13 @@ def test_cell_boundary_pairs_found_once(spark):
     df = spark.createDataFrame(rows, "id long, part string, x double, y double")
     out = {r["id"]: (r["is_core"], r["cluster_id"]) for r in dbscan(df, "id", "part", "x", "y", 1.0, 3).collect()}
     assert out == {1: (True, 1), 2: (True, 1), 3: (True, 1)}
+
+
+def test_minpts_one_isolated_points_are_singleton_cores(spark):
+    rows = [(1, "p", 0.0, 0.0), (2, "p", 100.0, 100.0)]
+    df = spark.createDataFrame(rows, "id long, part string, x double, y double")
+    out = {
+        r["id"]: (r["is_core"], r["cluster_id"])
+        for r in dbscan(df, "id", "part", "x", "y", 1.0, 1).collect()
+    }
+    assert out == {1: (True, 1), 2: (True, 2)}
