@@ -634,6 +634,22 @@ def within(g1: Geometry, g2: Geometry) -> bool:
         return True
     if g2.kind == "Point" and g1.kind == "Point":
         return g1.coords == g2.coords
+    if g2.kind in ("LineString", "MultiLineString"):
+        # 1-D containers (r10 — the relate/predicate consistency fuzz
+        # caught this path returning a blanket False; PostGIS covers a
+        # line with itself). Like the polygon branch above, this is
+        # COVERAGE (boundary contact legal): the OGC within/contains
+        # surface adds the interiors-intersect requirement on top
+        # (relations.within_ogc). Lazy import: relations.py imports
+        # this module at load time.
+        from . import relations as _rel
+
+        if g1.kind in ("Point", "MultiPoint"):
+            segs = list(_segments(g2))
+            return all(_rel._on_any_segment(p, segs) for p in _points(g1))
+        if g1.kind in ("LineString", "MultiLineString"):
+            return _rel._covered_line(g1, g2)
+        return False  # areal geometry can never be covered by a curve
     return False
 
 

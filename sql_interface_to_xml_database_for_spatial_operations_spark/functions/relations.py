@@ -336,6 +336,15 @@ def interiors_intersect(a: Geometry, b: Geometry) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def within_ogc(a: Geometry, b: Geometry) -> bool:
+    """OGC/PostGIS ST_Within: a covered by b AND the interiors share a
+    point. ``geometry.within`` alone is the boundary-inclusive COVERS
+    test (a point on b's boundary is covered but not within — the
+    classic ST_Within/ST_Covers distinction the r10 relate-consistency
+    fuzz surfaced)."""
+    return G.within(a, b) and interiors_intersect(a, b)
+
+
 def touches(a: Geometry, b: Geometry) -> bool:
     """DE-9IM touches: shared points exist, shared interior points don't."""
     return G.intersects(a, b) and not interiors_intersect(a, b)

@@ -363,11 +363,30 @@ def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(BooleanType())
 def st_within(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _binary_fallback(a, b, G.within, dtype="boolean")
+    """OGC ST_Within: covered by AND interiors intersect — a point on
+    the container's boundary is NOT within (the ST_Within/ST_Covers
+    distinction; r10). Lazy import: relations.py imports this module."""
+    from .relations import within_ogc
+
+    return _binary_fallback(a, b, within_ogc, dtype="boolean")
 
 
 @pandas_udf(BooleanType())
 def st_contains(a: pd.Series, b: pd.Series) -> pd.Series:
+    from .relations import within_ogc
+
+    return _binary_fallback(a, b, lambda x, y: within_ogc(y, x), dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_coveredby(a: pd.Series, b: pd.Series) -> pd.Series:
+    """PostGIS ST_CoveredBy: pure point-set coverage, boundary contact
+    legal (geometry.within's native semantics)."""
+    return _binary_fallback(a, b, G.within, dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_covers(a: pd.Series, b: pd.Series) -> pd.Series:
     return _binary_fallback(a, b, G.contains, dtype="boolean")
 
 
@@ -425,6 +444,8 @@ ALL_FUNCTIONS = {
     "st_distance_sphere": st_distance_sphere,
     "st_within": st_within,
     "st_contains": st_contains,
+    "st_coveredby": st_coveredby,
+    "st_covers": st_covers,
     "st_intersects": st_intersects,
     "st_dwithin": st_dwithin,
 }

@@ -195,7 +195,7 @@ def q43_st_distance_radius(spark, sf_dir):
     WITH pts AS ({CUSTOMER_POINTS_SQL}), boxes AS ({NATION_BOXES_SQL})
     SELECT n_nationkey AS boxkey, CAST(count(*) AS BIGINT) AS n_points
     FROM boxes JOIN pts
-      ON lon BETWEEN minx AND maxx AND lat BETWEEN miny AND maxy
+      ON lon > minx AND lon < maxx AND lat > miny AND lat < maxy
     GROUP BY n_nationkey
     """,
 )
@@ -203,7 +203,9 @@ def q44_spatial_join_within(spark, sf_dir):
     """F2 as a JOIN: ST_Within(point, polygon) — points-in-polygons count
     (the reference's Q-B join suite shape, SURVEY.md §5). JVM bbox range
     join generates candidates; the st_within UDF verifies them; polygons
-    broadcast (25 rows vs millions of points at scale)."""
+    broadcast (25 rows vs millions of points at scale). r10: st_within
+    is now OGC-strict (boundary points excluded — the ST_Covers
+    distinction), so the oracle uses strict inequalities."""
     _ensure_udfs(spark)
     pts = _pts(spark, sf_dir)
     boxes = nation_boxes(spark, sf_dir).withColumn(

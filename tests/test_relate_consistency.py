@@ -1,0 +1,138 @@
+"""Cross-validation fuzz: the DE-9IM matrix (functions/relate.py) and
+the boolean predicates (functions/relations.py, geometry.py) are
+independent implementations of the same OGC semantics — on every
+random fixture pair the matrix must agree with each named predicate's
+defining pattern. A divergence means one of the two kernels is wrong.
+
+Patterns (OGC SFA / PostGIS definitions):
+- intersects  ⟺ any of II, IB, BI, BB is non-F
+- disjoint    ⟺ matches FF*FF****
+- within(a,b) ⟺ matches T*F**F***
+- contains    ⟺ within transposed
+- equals      ⟺ matches T*F**FFF* (plus same dimension)
+- touches     ⟺ II = F and (IB, BI or BB non-F)
+- overlaps    ⟺ same dim; T*T***T** (areal / points),
+                1*T***T** (lines)
+- crosses     ⟺ dim-dependent: 0******** for line/line,
+                T*T****** for lower-dim a vs higher-dim b
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    geometry as G,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    relations as R,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate import (
+    relate_match,
+    relate_wkt,
+)
+
+P = G.parse_wkt
+
+
+def _fixtures(rng: random.Random) -> list[str]:
+    """A pool of random VALID geometries on a small integer grid, so
+    coincidences (shared edges/corners, containment, crossings) are
+    frequent."""
+
+    def box():
+        x, y = rng.randint(-6, 6), rng.randint(-6, 6)
+        w, h = rng.randint(1, 6), rng.randint(1, 6)
+        return (
+            f"POLYGON (({x} {y}, {x + w} {y}, {x + w} {y + h}, {x} {y + h}, {x} {y}))"
+        )
+
+    def diamond():
+        x, y, r = rng.randint(-5, 5), rng.randint(-5, 5), rng.randint(1, 4)
+        return (
+            f"POLYGON (({x} {y - r}, {x + r} {y}, {x} {y + r}, {x - r} {y}, {x} {y - r}))"
+        )
+
+    def line():
+        n = rng.randint(2, 4)
+        pts = []
+        x, y = rng.randint(-6, 6), rng.randint(-6, 6)
+        pts.append((x, y))
+        while len(pts) < n:
+            x2, y2 = x + rng.randint(-4, 4), y + rng.randint(-4, 4)
+            if (x2, y2) != (x, y):
+                pts.append((x2, y2))
+                x, y = x2, y2
+        w = ", ".join(f"{a} {b}" for a, b in pts)
+        return f"LINESTRING ({w})"
+
+    def point():
+        return f"POINT ({rng.randint(-8, 8)} {rng.randint(-8, 8)})"
+
+    pool = []
+    for _ in range(6):
+        pool.append(box())
+        pool.append(diamond())
+        pool.append(line())
+        pool.append(point())
+    return [w for w in pool if _simple_line_ok(w)]
+
+
+def _simple_line_ok(w: str) -> bool:
+    """Drop random lines that are non-simple (relate is defined for
+    them, but the predicate cross-check below assumes OGC-clean
+    inputs the predicates were built for)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+        is_simple,
+    )
+
+    g = P(w)
+    return g is not None and (g.kind != "LineString" or is_simple(g))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_matrix_agrees_with_predicates(seed):
+    rng = random.Random(1000 + seed)
+    pool = _fixtures(rng)
+    checked = 0
+    for i in range(len(pool)):
+        for j in range(len(pool)):
+            wa, wb = pool[i], pool[j]
+            m = relate_wkt(wa, wb)
+            if m is None:
+                continue  # outside relate's gate (shouldn't happen here)
+            ga, gb = P(wa), P(wb)
+            da, db = G.dimension(ga), G.dimension(gb)
+            checked += 1
+
+            intersects = any(m[k] != "F" for k in (0, 1, 3, 4))
+            assert intersects == G.intersects(ga, gb), (wa, wb, m, "intersects")
+            assert relate_match(m, "FF*FF****") == R.disjoint(ga, gb), (
+                wa, wb, m, "disjoint",
+            )
+            assert relate_match(m, "T*F**F***") == R.within_ogc(ga, gb), (
+                wa, wb, m, "within",
+            )
+            # coveredby = nothing of A in B's exterior, plus contact
+            coveredby = m[2] == "F" and m[5] == "F" and intersects
+            assert coveredby == G.within(ga, gb), (wa, wb, m, "coveredby")
+            touches = m[0] == "F" and any(m[k] != "F" for k in (1, 3, 4))
+            assert touches == R.touches(ga, gb), (wa, wb, m, "touches")
+            equals = da == db and relate_match(m, "T*F**FFF*")
+            assert equals == R.equals(ga, gb), (wa, wb, m, "equals")
+            if da == db:
+                pattern = "1*T***T**" if da == 1 else "T*T***T**"
+                assert relate_match(m, pattern) == R.overlaps(ga, gb), (
+                    wa, wb, m, "overlaps",
+                )
+            if da == db == 1:
+                assert (m[0] == "0") == R.crosses(ga, gb), (wa, wb, m, "crosses")
+            elif da != db:
+                lo, hi = (ga, gb) if da < db else (gb, ga)
+                mm = m if da < db else relate_wkt(wb, wa)
+                assert relate_match(mm, "T*T******") == R.crosses(lo, hi), (
+                    wa, wb, mm, "crosses",
+                )
+    assert checked > 300  # the pools really do exercise the matrix

@@ -91,6 +91,8 @@ _NULL_ARGS = {
     "st_distance": f"{S}, {S}",
     "st_distance_sphere": f"{S}, {S}",
     "st_within": f"{S}, {S}",
+    "st_covers": f"{S}, {S}",
+    "st_coveredby": f"{S}, {S}",
     "st_contains": f"{S}, {S}",
     "st_intersects": f"{S}, {S}",
     "st_dwithin": f"{S}, {S}, {D}",
