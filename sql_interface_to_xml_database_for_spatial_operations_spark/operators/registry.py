@@ -62,7 +62,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     operand precedence) re-exposes q124/q139/q146, which execute
 #     overlay; operators/multimodal.py (real PNG pixel decode,
 #     VERDICT r9 missing item 3) re-exposes q133/q136, which execute
-#     the decode dispatch;
+#     the decode dispatch; the OGC-strict st_within/st_contains
+#     change (boundary contact excluded — the relate-consistency fuzz
+#     finding) re-exposes q44, which executes st_within, with its
+#     oracle moved to strict inequalities (q33 defers);
 #   - the new round-10 surfaces, registered WITH their driver rows:
 #     q155 (line/polygon/negative buffer oracle — VERDICT r9 item 2),
 #     q156 (st_relate DE-9IM matrix + st_isvalid — item 4), q157
@@ -73,13 +76,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     join + min-label components, the ST_ClusterDBSCAN analog) — all
 #     beyond the verdict list; q34/q35/q36 defer to make room;
 #   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31-q33 (13 rows, 4 rounds stale by now). q34-q38 were
+#     q20-q29, q31/q32 (12 rows, 4 rounds stale by now). q33-q38 were
 #     in the original fill but defer to r11: the PNG decode diff makes
 #     operators/multimodal.py's decode_meta a dependency of q81/q82
 #     (they execute extract_features), so those two re-expose instead —
 #     helpers count, not just direct rewrites (the registry rule).
 # Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 8 diff + 6 new + 13 r6-stale = 50.
+# 13 drifted + 10 r5-stale + 9 diff + 6 new + 12 r6-stale = 50.
 # Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
@@ -107,6 +110,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
+        "q33_subquery_from",
         "q34_scalar_subquery",
         "q35_correlated_exists",
         "q36_date_functions",
@@ -114,7 +118,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q38_string_functions",
         "q39_case_expression",
         "q40_math_functions",
-        "q44_spatial_join_within",
         "q45_spatial_join_intersects",
         "q46_st_area_props",
         "q47_dwithin_pairs",
