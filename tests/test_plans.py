@@ -368,3 +368,31 @@ def test_accessor_linearref_queries_are_map_only(spark):
     ):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, name
+
+
+def test_r10_geometry_families_are_map_only(spark):
+    """q155-q159: buffer, relate/validity, makevalid, measures, and
+    bounding rows are unions of map-side UDF projections over the
+    25-row nation scan — zero Exchange nodes anywhere in the plan."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    for name in (
+        "q155_st_buffer_lines_polys",
+        "q156_st_relate_isvalid",
+        "q157_st_makevalid",
+        "q158_st_measures",
+        "q159_st_bounding",
+    ):
+        plan = formatted_plan(q(name)(spark, SF_DIR))
+        assert "Exchange" not in plan, name
+
+
+def test_dbscan_candidate_join_no_cartesian(spark):
+    """q160: the grid-cell candidate join must plan as an equi-join on
+    (part, cell) keys — never a cartesian/broadcast-nested-loop pair
+    explosion."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q160_cluster_dbscan")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
