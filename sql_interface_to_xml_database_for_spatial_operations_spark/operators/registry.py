@@ -92,11 +92,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # as r8's registration re-record).
 #
 # Round 11 rotation plan (write the r11 set from this): fold the 50
-# r10 greens in, then re-expose (a) the remaining r6-green blocks
-# (q39, q40, q54-q57, q60-q96 families — 5 rounds stale by r11,
-# oldest first), (b) whatever r11's diff touches, and (c) any r10
-# reds. ~40 of the r6/r7 greens will be >=3 rounds stale in r11; two
-# rounds of fill at 18+ rows each retires that debt by r12.
+# r10 greens in, then re-expose (a) the rows deferred THIS round to
+# make room for q155-q160 (q33-q38 — 5 rounds stale by r11), (b) the
+# remaining r6-green blocks (q39, q40, q54-q57, q60-q96 families —
+# also 5 rounds stale by r11, oldest first), (c) whatever r11's diff
+# touches, and (d) any r10 reds. ~40 of the r6/r7 greens will be >=3
+# rounds stale in r11; two rounds of fill at 18+ rows each retires
+# that debt by r12.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
