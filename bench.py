@@ -97,6 +97,7 @@ HEADLINE = [
     # iterative clustering: ~10 s at sf0.1 is the min-label loop's
     # ~25 scheduling-bound rounds (component diameter), not data volume
     "q160_cluster_dbscan",
+    "q161_st_collect_dump",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -24,6 +24,7 @@ from .functions.editors import register_editor_functions
 from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
 from .functions.bounding import register_bounding_functions
+from .functions.collection_fns import register_collection_functions
 from .functions.measures import register_measure_functions
 from .functions.overlay import register_overlay_functions
 from .functions.projection import register_projection_functions
@@ -71,6 +72,7 @@ class SpatialSQLEngine:
         register_relate_functions(self.spark)
         register_measure_functions(self.spark)
         register_bounding_functions(self.spark)
+        register_collection_functions(self.spark)
         register_validity_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)

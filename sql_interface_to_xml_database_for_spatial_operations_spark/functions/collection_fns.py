@@ -1,0 +1,133 @@
+"""Collection constructors and decomposition: ST_Collect (scalar
+two-geometry form), ST_Multi, and ST_Dump exposed Spark-style as
+``st_dumpparts`` returning ``array<string>`` (PostGIS's set-returning
+ST_Dump maps to ``explode(st_dumpparts(g))`` — the standard Spark
+shape for table functions; reference F12, src/index.ts:44-63).
+
+Semantics (PostGIS):
+
+- ``st_collect(a, b)``: NULL operands are ignored (one NULL → the
+  other echoed); two Points → MULTIPOINT, two LineStrings →
+  MULTILINESTRING, two Polygons → MULTIPOLYGON; anything mixed, or
+  any Multi*/GeometryCollection operand → GEOMETRYCOLLECTION wrapping
+  the operands verbatim (ST_Collect does NOT flatten multis).
+- ``st_multi(g)``: promote a singleton to its Multi* kind; Multi*/
+  collections pass through; typed EMPTY promotes its kind
+  (POINT EMPTY → MULTIPOINT EMPTY).
+- ``st_dumpparts(g)``: the ATOMIC parts, recursing through Multi*
+  and nested GeometryCollections like ST_Dump; a singleton dumps
+  itself; EMPTY dumps nothing (ST_Dump returns no rows).
+
+Scale shape: map-only Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry
+
+_MULTI_OF = {"Point": "MultiPoint", "LineString": "MultiLineString", "Polygon": "MultiPolygon"}
+_EMPTY_MULTI = {
+    "POINT": "MULTIPOINT EMPTY",
+    "LINESTRING": "MULTILINESTRING EMPTY",
+    "POLYGON": "MULTIPOLYGON EMPTY",
+}
+
+
+def collect_two(ga: Geometry, gb: Geometry) -> Geometry:
+    ka, kb = ga.kind, gb.kind
+    if ka == kb and ka in _MULTI_OF:
+        return Geometry(_MULTI_OF[ka], [ga.coords, gb.coords])
+    return Geometry("GeometryCollection", [ga, gb])
+
+
+def collect_wkt(wa, wb) -> str | None:
+    ga = G.parse_wkt_opt(wa)
+    gb = G.parse_wkt_opt(wb)
+    if ga is None and gb is None:
+        return None
+    if ga is None:
+        return G.to_wkt(gb)
+    if gb is None:
+        return G.to_wkt(ga)
+    return G.to_wkt(collect_two(ga, gb))
+
+
+def multi_wkt(w) -> str | None:
+    if w is None:
+        return None
+    s = str(w).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return _EMPTY_MULTI.get(m.group(1), f"{m.group(1)} EMPTY")
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind in _MULTI_OF:
+        return G.to_wkt(Geometry(_MULTI_OF[g.kind], [g.coords]))
+    return G.to_wkt(g)
+
+
+def dumpparts_wkt(w) -> list[str] | None:
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return []  # ST_Dump of an empty geometry returns no rows
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    from .union_ops import _flatten
+
+    return [G.to_wkt(p) for p in _flatten(g)]
+
+
+@pandas_udf(StringType())
+def st_collect(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for wa, wb in zip(a, b):
+        try:
+            out.append(collect_wkt(wa, wb))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_multi(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            out.append(multi_wkt(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_dumpparts(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            out.append(dumpparts_wkt(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_COLLECTION_FUNCTIONS = {
+    "st_collect": st_collect,
+    "st_multi": st_multi,
+    "st_dumpparts": st_dumpparts,
+}
+
+
+def register_collection_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_COLLECTION_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -45,3 +45,4 @@ def load_all() -> None:
     from . import measure_ops  # noqa: F401
     from . import bounding_ops  # noqa: F401
     from . import cluster_dbscan  # noqa: F401
+    from . import collect_ops  # noqa: F401

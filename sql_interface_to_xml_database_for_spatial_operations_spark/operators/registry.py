@@ -72,17 +72,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     (st_makevalid — item 5), q158 (measures family: issimple /
 #     pointonsurface / hausdorff / frechet / angle / triangulate) and
 #     q159 (bounding family: Welzl minimum circle + oriented
-#     envelope) and q160 (distributed DBSCAN: grid-cell candidate
-#     join + min-label components, the ST_ClusterDBSCAN analog) — all
-#     beyond the verdict list; q34/q35/q36 defer to make room;
+#     envelope), q160 (distributed DBSCAN: grid-cell candidate
+#     join + min-label components, the ST_ClusterDBSCAN analog) and
+#     q161 (st_collect/st_multi/st_dumpparts collection family) — all
+#     beyond the verdict list; q32/q34/q35/q36 defer to make room;
 #   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31/q32 (12 rows, 4 rounds stale by now). q33-q38 were
+#     q20-q29, q31 (11 rows, 4 rounds stale by now). q32-q38 were
 #     in the original fill but defer to r11: the PNG decode diff makes
 #     operators/multimodal.py's decode_meta a dependency of q81/q82
 #     (they execute extract_features), so those two re-expose instead —
 #     helpers count, not just direct rewrites (the registry rule).
 # Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 9 diff + 6 new + 12 r6-stale = 50.
+# 13 drifted + 10 r5-stale + 9 diff + 7 new + 11 r6-stale = 50.
 # Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
@@ -93,7 +94,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #
 # Round 11 rotation plan (write the r11 set from this): fold the 50
 # r10 greens in, then re-expose (a) the rows deferred THIS round to
-# make room for q155-q160 (q33-q38 — 5 rounds stale by r11), (b) the
+# make room for q155-q161 (q32-q38 — 5 rounds stale by r11), (b) the
 # remaining r6-green blocks (q39, q40, q54-q57, q60-q96 families —
 # also 5 rounds stale by r11, oldest first), (c) whatever r11's diff
 # touches, and (d) any r10 reds. ~40 of the r6/r7 greens will be >=3
@@ -112,6 +113,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
+        "q32_window_running_sum",
         "q33_subquery_from",
         "q34_scalar_subquery",
         "q35_correlated_exists",

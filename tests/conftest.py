@@ -27,6 +27,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projec
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bounding import (  # noqa: E402
     register_bounding_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (  # noqa: E402
+    register_collection_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (  # noqa: E402
     register_measure_functions,
 )
@@ -78,6 +81,7 @@ def spark():
     register_relate_functions(s)
     register_measure_functions(s)
     register_bounding_functions(s)
+    register_collection_functions(s)
     register_validity_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)

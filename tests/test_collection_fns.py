@@ -1,0 +1,68 @@
+"""Collection family kernels (functions/collection_fns.py). Driver row
+q161 pins the SQL level."""
+
+from __future__ import annotations
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
+    collect_wkt,
+    dumpparts_wkt,
+    multi_wkt,
+)
+
+
+class TestCollect:
+    def test_kind_promotion(self):
+        assert collect_wkt("POINT (1 2)", "POINT (3 4)") == "MULTIPOINT (1 2, 3 4)"
+        assert collect_wkt(
+            "LINESTRING (0 0, 1 1)", "LINESTRING (2 2, 3 3)"
+        ) == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+        assert collect_wkt(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+        ).startswith("MULTIPOLYGON (((")
+
+    def test_mixed_and_multi_operands_wrap(self):
+        assert collect_wkt("POINT (1 2)", "LINESTRING (0 0, 1 1)") == (
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+        )
+        # multis are NOT flattened — wrapped verbatim (PostGIS)
+        assert collect_wkt("MULTIPOINT (1 2)", "POINT (3 4)") == (
+            "GEOMETRYCOLLECTION (MULTIPOINT (1 2), POINT (3 4))"
+        )
+
+    def test_null_operand_echo(self):
+        assert collect_wkt(None, "POINT (3 4)") == "POINT (3 4)"
+        assert collect_wkt("POINT (3 4)", None) == "POINT (3 4)"
+        assert collect_wkt(None, None) is None
+
+
+class TestMulti:
+    def test_promotion_and_idempotence(self):
+        assert multi_wkt("POINT (1 2)") == "MULTIPOINT (1 2)"
+        w = multi_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        assert w == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))"
+        assert multi_wkt(w) == w
+        assert multi_wkt("POINT EMPTY") == "MULTIPOINT EMPTY"
+        assert multi_wkt(None) is None
+        assert multi_wkt("junk ((") is None
+
+
+class TestDumpParts:
+    def test_recursive_atomic_dump(self):
+        assert dumpparts_wkt(
+            "GEOMETRYCOLLECTION (POINT (1 1), MULTIPOINT (2 2, 3 3))"
+        ) == ["POINT (1 1)", "POINT (2 2)", "POINT (3 3)"]
+        assert dumpparts_wkt("POINT (1 1)") == ["POINT (1 1)"]
+        assert dumpparts_wkt("POLYGON EMPTY") == []
+        assert dumpparts_wkt(None) is None
+        assert dumpparts_wkt("junk ((") is None
+
+
+def test_collection_through_spark(spark):
+    rows = spark.sql(
+        "SELECT st_collect('POINT (1 2)', 'POINT (3 4)') AS c,"
+        " st_multi('LINESTRING (0 0, 1 1)') AS m,"
+        " explode(st_dumpparts('MULTIPOINT (5 5, 6 6)')) AS part"
+    ).collect()
+    assert all(r["c"] == "MULTIPOINT (1 2, 3 4)" for r in rows)
+    assert all(r["m"] == "MULTILINESTRING ((0 0, 1 1))" for r in rows)
+    assert [r["part"] for r in rows] == ["POINT (5 5)", "POINT (6 6)"]

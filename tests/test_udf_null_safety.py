@@ -12,6 +12,9 @@ import pytest
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bounding import (
     ALL_BOUNDING_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
+    ALL_COLLECTION_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
     ALL_MEASURE_FUNCTIONS,
 )
@@ -67,6 +70,7 @@ _SWEPT = {
     **ALL_RELATE_FUNCTIONS,
     **ALL_MEASURE_FUNCTIONS,
     **ALL_BOUNDING_FUNCTIONS,
+    **ALL_COLLECTION_FUNCTIONS,
     **ALL_VALIDITY_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
@@ -92,6 +96,7 @@ _NULL_ARGS = {
     "st_distance_sphere": f"{S}, {S}",
     "st_within": f"{S}, {S}",
     "st_covers": f"{S}, {S}",
+    "st_collect": f"{S}, {S}",
     "st_coveredby": f"{S}, {S}",
     "st_contains": f"{S}, {S}",
     "st_intersects": f"{S}, {S}",
