@@ -11,12 +11,19 @@ Semantics (PostGIS):
   MULTILINESTRING, two Polygons → MULTIPOLYGON; anything mixed, or
   any Multi*/GeometryCollection operand → GEOMETRYCOLLECTION wrapping
   the operands verbatim (ST_Collect does NOT flatten multis).
+  Unparseable WKT → NULL (never a silent echo of the other side), and
+  typed-EMPTY operands are a documented loud NULL: PostGIS keeps
+  empties inside the result (``MULTIPOINT (EMPTY, 3 4)``), which this
+  engine's WKT model cannot represent — NULL beats silently dropping
+  the empty member.
 - ``st_multi(g)``: promote a singleton to its Multi* kind; Multi*/
   collections pass through; typed EMPTY promotes its kind
   (POINT EMPTY → MULTIPOINT EMPTY).
 - ``st_dumpparts(g)``: the ATOMIC parts, recursing through Multi*
   and nested GeometryCollections like ST_Dump; a singleton dumps
-  itself; EMPTY dumps nothing (ST_Dump returns no rows).
+  itself; a top-level EMPTY dumps nothing (ST_Dump returns no rows).
+  Collections CONTAINING typed-EMPTY members are outside the WKT
+  model (same representability limit as st_collect) → loud NULL.
 
 Scale shape: map-only Arrow-batched pandas UDFs.
 """
@@ -31,6 +38,7 @@ from pyspark.sql.types import ArrayType, StringType
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
+from .union_ops import _flatten
 
 _MULTI_OF = {"Point": "MultiPoint", "LineString": "MultiLineString", "Polygon": "MultiPolygon"}
 _EMPTY_MULTI = {
@@ -47,9 +55,23 @@ def collect_two(ga: Geometry, gb: Geometry) -> Geometry:
     return Geometry("GeometryCollection", [ga, gb])
 
 
+def _operand(w):
+    """None for SQL NULL; ('bad',) for junk or typed EMPTY (module
+    docstring: both are loud NULLs, never a silent echo); else the
+    parsed Geometry."""
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return ("bad",)
+    g = G.parse_wkt(s)
+    return ("bad",) if g is None else g
+
+
 def collect_wkt(wa, wb) -> str | None:
-    ga = G.parse_wkt_opt(wa)
-    gb = G.parse_wkt_opt(wb)
+    ga, gb = _operand(wa), _operand(wb)
+    if ga == ("bad",) or gb == ("bad",):
+        return None
     if ga is None and gb is None:
         return None
     if ga is None:
@@ -83,8 +105,6 @@ def dumpparts_wkt(w) -> list[str] | None:
     g = G.parse_wkt(s)
     if g is None:
         return None
-    from .union_ops import _flatten
-
     return [G.to_wkt(p) for p in _flatten(g)]
 
 

@@ -88,9 +88,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
 # module import closure — none of them execute buffer(); their
 # fingerprints are deliberately re-recorded, the visible act this
-# comment documents. Likewise engine.py's additive registration of the
-# new relate/validity function families (same result-invariant class
-# as r8's registration re-record).
+# comment documents. Likewise engine.py's additive registration of
+# EACH new r10 function family (relate/validity, measures, bounding,
+# collection) — the same result-invariant class as r8's registration
+# re-record; every wholesale hash refresh in
+# _verified_fingerprints.json this round traces to one of these
+# registrations or to the buffer/geometry kernel edits above.
 #
 # Round 11 rotation plan (write the r11 set from this): fold the 50
 # r10 greens in, then re-expose (a) the rows deferred THIS round to

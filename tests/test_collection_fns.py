@@ -66,3 +66,13 @@ def test_collection_through_spark(spark):
     assert all(r["c"] == "MULTIPOINT (1 2, 3 4)" for r in rows)
     assert all(r["m"] == "MULTILINESTRING ((0 0, 1 1))" for r in rows)
     assert [r["part"] for r in rows] == ["POINT (5 5)", "POINT (6 6)"]
+
+
+def test_collect_junk_and_empty_are_loud_nulls():
+    """code-review r10: junk must not silently echo the other operand,
+    and typed-EMPTY operands (unrepresentable inside a collected
+    result in this WKT model) are a documented loud NULL."""
+    assert collect_wkt("junk ((", "POINT (3 4)") is None
+    assert collect_wkt("POINT (3 4)", "junk ((") is None
+    assert collect_wkt("POINT EMPTY", "POINT (3 4)") is None
+    assert collect_wkt("POINT EMPTY", "POINT EMPTY") is None
