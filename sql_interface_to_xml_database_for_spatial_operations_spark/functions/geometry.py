@@ -632,8 +632,16 @@ def within(g1: Geometry, g2: Geometry) -> bool:
                     if not any(_point_in_polygon(mx, my, rings) for rings in polys2):
                         return False
         return True
-    if g2.kind == "Point" and g1.kind == "Point":
-        return g1.coords == g2.coords
+    if g2.kind in ("Point", "MultiPoint"):
+        # 0-D containers (ADVICE r10): point operands are covered iff
+        # every point of g1 is in g2's point SET — PostGIS returns true
+        # for POINT (1 1) within MULTIPOINT (1 1, 2 2), and the DE-9IM
+        # matrix (relate.py _dim_IE db==0 branch) already said so; the
+        # old Point==Point-only branch made the predicates disagree
+        # with the matrix. Nothing 1-D/2-D fits in finitely many points.
+        if g1.kind in ("Point", "MultiPoint"):
+            return set(_points(g1)) <= set(_points(g2))
+        return False
     if g2.kind in ("LineString", "MultiLineString"):
         # 1-D containers (r10 — the relate/predicate consistency fuzz
         # caught this path returning a blanket False; PostGIS covers a
@@ -685,12 +693,21 @@ def intersects(g1: Geometry, g2: Geometry) -> bool:
                 continue
             if _segs_intersect(a1, a2, b1_, b2_):
                 return True
-    if g1.kind == "Point" and g2.kind == "Point":
-        return g1.coords == g2.coords
-    if g1.kind == "Point" and segs2 and not _polys(g2):
-        return any(_seg_distance(g1.coords, a, b) == 0.0 for a, b in segs2)
-    if g2.kind == "Point" and segs1 and not _polys(g1):
-        return any(_seg_distance(g2.coords, a, b) == 0.0 for a, b in segs1)
+    # 0-D fallthroughs — by DIMENSION, not kind: MULTIPOINT operands
+    # reached `return False` even against an identical multipoint (the
+    # r11 multi-kind consistency fuzz caught it the moment MULTIPOINT
+    # entered the pool; polygon containment above already covers the
+    # 0-D × 2-D case)
+    if dimension(g1) == 0 and dimension(g2) == 0:
+        return bool(set(_points(g1)) & set(_points(g2)))
+    if dimension(g1) == 0 and segs2 and not _polys(g2):
+        return any(
+            _seg_distance(p, a, b) == 0.0 for p in _points(g1) for a, b in segs2
+        )
+    if dimension(g2) == 0 and segs1 and not _polys(g1):
+        return any(
+            _seg_distance(p, a, b) == 0.0 for p in _points(g2) for a, b in segs1
+        )
     return False
 
 
@@ -801,6 +818,39 @@ def parse_wkt_opt(w) -> "Geometry | None":
     """None-propagating parse: NULL/junk → None — the UDF null-guard
     idiom shared by measures.py / bounding.py (code-review r10)."""
     return parse_wkt(str(w).strip()) if w is not None else None
+
+
+def _dedup_seq(seq: list[Point]) -> list[Point]:
+    out = [seq[0]]
+    for p in seq[1:]:
+        if p != out[-1]:
+            out.append(p)
+    if len(out) == 1 and len(seq) > 1:
+        out.append(seq[0])  # keep a zero-length line representable
+    return out
+
+
+def dedup_vertices(g: Geometry) -> Geometry:
+    """Drop consecutive duplicate vertices from rings and lines — the
+    point set is unchanged, so every topological predicate and measure
+    is invariant. GEOS/JTS normalize this way before validity analysis
+    (GeometryGraph builds edges on removeRepeatedPoints output, so a
+    zero-length edge is never a "Ring Self-intersection" and the
+    too-few-points rule counts DISTINCT consecutive points); real-world
+    GML/shapefile exports are full of repeated vertices (VERDICT r10
+    item 1 — the engine's only PostGIS-divergent answer). Points and
+    MultiPoints pass through untouched (duplicate members are legal)."""
+    if g.kind in ("Point", "MultiPoint"):
+        return g
+    if g.kind == "GeometryCollection":
+        return Geometry("GeometryCollection", [dedup_vertices(s) for s in g.coords])
+    if g.kind == "LineString":
+        return Geometry(g.kind, _dedup_seq(g.coords))
+    if g.kind in ("Polygon", "MultiLineString"):
+        return Geometry(g.kind, [_dedup_seq(r) for r in g.coords])
+    return Geometry(
+        g.kind, [[_dedup_seq(r) for r in rings] for rings in g.coords]
+    )  # MultiPolygon
 
 
 def convex_hull(g: Geometry) -> Geometry:

@@ -242,7 +242,14 @@ def _check_operand(g: Geometry) -> None:
 
 
 def relate_matrix(a: Geometry, b: Geometry) -> str:
-    """The 9-character DE-9IM matrix for two parsed geometries."""
+    """The 9-character DE-9IM matrix for two parsed geometries.
+
+    Operands are normalized with ``geometry.dedup_vertices`` first: the
+    point set (hence every matrix cell) is unchanged, but downstream
+    kernels never see zero-length segments — GEOS nodes them away, and a
+    degenerate sub-segment's midpoint would otherwise sit exactly on a
+    vertex and misclassify boundary cells (VERDICT r10 item 1)."""
+    a, b = G.dedup_vertices(a), G.dedup_vertices(b)
     _check_operand(a)
     _check_operand(b)
     cells = (

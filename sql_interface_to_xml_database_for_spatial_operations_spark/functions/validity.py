@@ -156,9 +156,15 @@ def _polygon_invalid_reason(rings: list[list[Point]]) -> str | None:
 
 
 def invalid_reason(g: Geometry) -> str | None:
-    """None for a valid geometry, else the GEOS-style reason string."""
+    """None for a valid geometry, else the GEOS-style reason string.
+
+    Repeated consecutive vertices are normalized away first (GEOS
+    IsValidOp analyzes removeRepeatedPoints output — a zero-length edge
+    is not a self-intersection, and the ≥4-points rule counts distinct
+    consecutive points; VERDICT r10 item 1)."""
     if not all(math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)):
         return "Invalid Coordinate"
+    g = G.dedup_vertices(g)
     if g.kind == "GeometryCollection":
         for sub in g.coords:
             r = invalid_reason(sub)

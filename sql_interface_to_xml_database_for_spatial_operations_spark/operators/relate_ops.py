@@ -127,6 +127,13 @@ _DISCONN = sql_concat(
     CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
     "'), ('", _DIAMOND_HOLE, "'))'",
 )
+_DUP_BOX = sql_concat(  # the box with its br corner repeated — VALID in
+    # GEOS (IsValidOp ignores repeated points; VERDICT r10 item 1) and
+    # the same point set as _BOX, so relate must give _BOX's matrices
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["br"], "', '", CORNERS["tr"], "', '", CORNERS["tl"],
+    "', '", CORNERS["bl"], "'))'",
+)
 _NESTED_SHELLS = sql_concat(
     "'MULTIPOLYGON ((('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
     CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
@@ -149,6 +156,8 @@ _FAMILIES = {
     "disconn": f"st_isvalidreason({_DISCONN})",
     "nested_shells": f"st_isvalidreason({_NESTED_SHELLS})",
     "isvalid_bool": f"CAST(st_isvalid({_BOWTIE}) AS STRING)",
+    "dup_valid": f"st_isvalidreason({_DUP_BOX})",
+    "dup_relate": f"st_relate({_DUP_BOX}, {_INNER})",
 }
 
 _EXPECTED = {
@@ -167,6 +176,8 @@ _EXPECTED = {
     "disconn": "Interior is disconnected",
     "nested_shells": "Nested shells",
     "isvalid_bool": "false",
+    "dup_valid": "Valid Geometry",
+    "dup_relate": "212FF1FF2",
 }
 
 _Q156_ORACLE = "\nUNION ALL\n".join(
@@ -244,6 +255,7 @@ _Q157_FAMILIES = {
     "overlap_mp": _micro(_MV_AREA.format(_OVERLAP_MP)),
     "strip": _micro(_MV_AREA.format(_STRIP_HOLE)),
     "echo": f"st_makevalid({_BOX})",
+    "dup_echo": f"st_makevalid({_DUP_BOX})",
     "outside": f"COALESCE(st_makevalid({_DIAG_BOWTIE}), 'NULL(outside-class)')",
     "now_valid": f"CAST(st_isvalid(st_makevalid({_PINCH})) AS STRING)",
 }
@@ -254,6 +266,7 @@ _Q157_ORACLE_VALS = {
     "overlap_mp": "'175000000'",
     "strip": _micro("(maxx - minx) * (maxy - miny) - 4.0 * (maxx - minx)"),
     "echo": _BOX,  # oracle builds the identical WKT string
+    "dup_echo": _DUP_BOX,  # valid after r11 dedup-normalization → echo
     "outside": "'NULL(outside-class)'",
     "now_valid": "'true'",
 }

@@ -71,13 +71,50 @@ def _fixtures(rng: random.Random) -> list[str]:
     def point():
         return f"POINT ({rng.randint(-8, 8)} {rng.randint(-8, 8)})"
 
+    def multipoint():
+        # multi-kind 0-D containers (ADVICE r10: the MultiPoint within
+        # gap survived 8 seeds of the Polygon/Line/Point-only pool)
+        n = rng.randint(2, 4)
+        pts = {(rng.randint(-8, 8), rng.randint(-8, 8)) for _ in range(n)}
+        w = ", ".join(f"{a} {b}" for a, b in sorted(pts))
+        return f"MULTIPOINT ({w})"
+
+    def multiline():
+        parts = []
+        for _ in range(rng.randint(2, 3)):
+            x, y = rng.randint(-6, 6), rng.randint(-6, 6)
+            dx, dy = rng.randint(-4, 4), rng.randint(-4, 4)
+            if (dx, dy) == (0, 0):
+                dx = 1
+            parts.append(f"({x} {y}, {x + dx} {y + dy})")
+        return f"MULTILINESTRING ({', '.join(parts)})"
+
+    def dup_vertex(w: str) -> str:
+        # repeat one interior vertex — the geometry (point set) is
+        # unchanged, so every predicate and every matrix cell must be
+        # invariant under this rewrite (VERDICT r10 item 1)
+        coords = w.strip().rstrip(")").split("((" if "((" in w else "(")[1].split(", ")
+        if len(coords) < 3:
+            return w
+        k = rng.randint(1, len(coords) - 2)
+        coords.insert(k, coords[k])
+        inner = ", ".join(coords)
+        kind = w.split(" (")[0].split("(")[0].strip()
+        wrap = ("((", "))") if kind == "POLYGON" else ("(", ")")
+        return f"{kind} {wrap[0]}{inner}{wrap[1]}"
+
     pool = []
     for _ in range(6):
         pool.append(box())
         pool.append(diamond())
         pool.append(line())
         pool.append(point())
-    return [w for w in pool if _simple_line_ok(w)]
+        pool.append(multipoint())
+        pool.append(multiline())
+    pool = [w for w in pool if _simple_line_ok(w)]
+    # duplicate-vertex variants of a few polygon/line fixtures
+    pool.extend(dup_vertex(w) for w in pool[:6] if not w.startswith(("POINT", "MULTIPOINT")))
+    return pool
 
 
 def _simple_line_ok(w: str) -> bool:
@@ -89,7 +126,9 @@ def _simple_line_ok(w: str) -> bool:
     )
 
     g = P(w)
-    return g is not None and (g.kind != "LineString" or is_simple(g))
+    return g is not None and (
+        g.kind not in ("LineString", "MultiLineString") or is_simple(g)
+    )
 
 
 @pytest.mark.parametrize("seed", range(8))
