@@ -638,8 +638,11 @@ def within(g1: Geometry, g2: Geometry) -> bool:
         # for POINT (1 1) within MULTIPOINT (1 1, 2 2), and the DE-9IM
         # matrix (relate.py _dim_IE db==0 branch) already said so; the
         # old Point==Point-only branch made the predicates disagree
-        # with the matrix. Nothing 1-D/2-D fits in finitely many points.
-        if g1.kind in ("Point", "MultiPoint"):
+        # with the matrix. Gate by DIMENSION like the intersects()
+        # fallthrough, so a GeometryCollection of points is covered too
+        # (code-review r11). Nothing 1-D/2-D fits in finitely many
+        # points.
+        if dimension(g1) == 0:
             return set(_points(g1)) <= set(_points(g2))
         return False
     if g2.kind in ("LineString", "MultiLineString"):
@@ -696,15 +699,18 @@ def intersects(g1: Geometry, g2: Geometry) -> bool:
     # 0-D fallthroughs — by DIMENSION, not kind: MULTIPOINT operands
     # reached `return False` even against an identical multipoint (the
     # r11 multi-kind consistency fuzz caught it the moment MULTIPOINT
-    # entered the pool; polygon containment above already covers the
-    # 0-D × 2-D case)
+    # entered the pool). No `not _polys` guard on the segment tests: a
+    # point ON a LINE member of a mixed GeometryCollection must still
+    # hit, even when a far-away polygon member exists (code-review r11);
+    # against pure polygons the segment test is merely redundant with
+    # the boundary-inclusive containment above.
     if dimension(g1) == 0 and dimension(g2) == 0:
         return bool(set(_points(g1)) & set(_points(g2)))
-    if dimension(g1) == 0 and segs2 and not _polys(g2):
+    if dimension(g1) == 0 and segs2:
         return any(
             _seg_distance(p, a, b) == 0.0 for p in _points(g1) for a, b in segs2
         )
-    if dimension(g2) == 0 and segs1 and not _polys(g1):
+    if dimension(g2) == 0 and segs1:
         return any(
             _seg_distance(p, a, b) == 0.0 for p in _points(g2) for a, b in segs1
         )

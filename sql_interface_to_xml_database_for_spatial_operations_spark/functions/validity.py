@@ -164,7 +164,8 @@ def invalid_reason(g: Geometry) -> str | None:
     consecutive points; VERDICT r10 item 1)."""
     if not all(math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)):
         return "Invalid Coordinate"
-    g = G.dedup_vertices(g)
+    if g.kind != "GeometryCollection":  # recursion dedups each member once
+        g = G.dedup_vertices(g)
     if g.kind == "GeometryCollection":
         for sub in g.coords:
             r = invalid_reason(sub)

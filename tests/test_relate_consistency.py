@@ -90,18 +90,32 @@ def _fixtures(rng: random.Random) -> list[str]:
         return f"MULTILINESTRING ({', '.join(parts)})"
 
     def dup_vertex(w: str) -> str:
-        # repeat one interior vertex — the geometry (point set) is
-        # unchanged, so every predicate and every matrix cell must be
-        # invariant under this rewrite (VERDICT r10 item 1)
-        coords = w.strip().rstrip(")").split("((" if "((" in w else "(")[1].split(", ")
-        if len(coords) < 3:
+        # repeat one vertex — the geometry (point set) is unchanged, so
+        # every predicate and every matrix cell must be invariant under
+        # this rewrite (VERDICT r10 item 1). Built structurally via
+        # parse→mutate→serialize: the first string-surgery version
+        # emitted malformed WKT for every MULTILINESTRING and the
+        # variants were silently skipped (code-review r11).
+        g = P(w)
+
+        def dup(seq):
+            seq = list(seq)
+            k = rng.randrange(len(seq))
+            seq.insert(k, seq[k])
+            return seq
+
+        if g.kind == "LineString":
+            g = G.Geometry(g.kind, dup(g.coords))
+        elif g.kind in ("Polygon", "MultiLineString"):
+            rings = [list(r) for r in g.coords]
+            i = rng.randrange(len(rings))
+            rings[i] = dup(rings[i])
+            g = G.Geometry(g.kind, rings)
+        else:
             return w
-        k = rng.randint(1, len(coords) - 2)
-        coords.insert(k, coords[k])
-        inner = ", ".join(coords)
-        kind = w.split(" (")[0].split("(")[0].strip()
-        wrap = ("((", "))") if kind == "POLYGON" else ("(", ")")
-        return f"{kind} {wrap[0]}{inner}{wrap[1]}"
+        out = G.to_wkt(g)
+        assert P(out) is not None, out  # the variant must stay parseable
+        return out
 
     pool = []
     for _ in range(6):
