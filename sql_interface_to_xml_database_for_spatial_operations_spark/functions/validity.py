@@ -210,17 +210,237 @@ def _rect_ring(c) -> list[Point]:
     return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
 
 
-def makevalid_geom(g: Geometry) -> Geometry | None:
-    """ST_MakeValid for the rectilinear class, with GEOS 'structure'
-    semantics: each ring is made valid independently via the even-odd
-    rule (``union_ops._rectilinear_cells`` on the single ring), shells
-    union, holes subtract. Valid inputs are echoed by the caller before
-    reaching here. Returns None for an all-collapsed (EMPTY) result;
-    raises overlay._Unsupported outside the class (any non-axis-parallel
-    edge in an invalid geometry — e.g. the diagonal bowtie — stays a
-    loud NULL rather than a guess)."""
+def _parity_cells(rings: list[list[Point]]) -> list | None:
+    """Even-odd grid cells over ALL rings of a part at once — the
+    linework rule: a cell is interior iff the total ray-crossing count
+    against the part's ring multiset is odd. None if any edge is
+    diagonal. Cell centers sit strictly between grid lines while every
+    edge lies ON a grid line, so the crossing test never evaluates on a
+    boundary (same invariant as ``union_ops._rectilinear_cells``, which
+    differs by using shell/hole roles instead of parity)."""
+    for ring in rings:
+        for (ax, ay), (bx, by) in zip(ring, ring[1:]):
+            if ax != bx and ay != by:
+                return None
+    xs = sorted({p[0] for r in rings for p in r})
+    ys = sorted({p[1] for r in rings for p in r})
+    out = []
+    for i in range(len(xs) - 1):
+        cx = (xs[i] + xs[i + 1]) / 2  # / 2 not / 2.0: Fractions stay exact
+        for j in range(len(ys) - 1):
+            cy = (ys[j] + ys[j + 1]) / 2
+            if sum(1 for r in rings if G._point_in_ring(cx, cy, r)) % 2:
+                out.append((xs[i], ys[j], xs[i + 1], ys[j + 1]))
+    return out
+
+
+def _signed_area2(ring: list[Point]):
+    """Twice the signed shoelace area (exact under Fractions)."""
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _on_segment(p: Point, a: Point, b: Point) -> bool:
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        and (b[0] - a[0]) * (p[1] - a[1]) == (b[1] - a[1]) * (p[0] - a[0])
+    )
+
+
+def _node_ring(ring: list[Point]) -> list[Point]:
+    """Insert every self-intersection of the (closed, Fraction) ring as
+    an explicit vertex: proper segment crossings solved exactly, plus
+    every vertex lying on another segment's interior (T-contacts —
+    which also covers collinear fold-backs, whose overlap endpoints are
+    vertices of one of the two segments)."""
+    n = len(ring) - 1
+    segs = [(ring[i], ring[i + 1]) for i in range(n)]
+    splits: list[list] = [[] for _ in range(n)]
+
+    def param(p: Point, a: Point, b: Point):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        t = (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
+        return t
+
+    def add_split(k: int, p: Point) -> None:
+        a, b = segs[k]
+        if p != a and p != b and _on_segment(p, a, b):
+            splits[k].append((param(p, a, b), p))
+
+    for i in range(n):
+        a1, a2 = segs[i]
+        for j in range(i + 1, n):
+            b1, b2 = segs[j]
+            d1 = (a2[0] - a1[0], a2[1] - a1[1])
+            d2 = (b2[0] - b1[0], b2[1] - b1[1])
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if denom != 0:
+                w = (b1[0] - a1[0], b1[1] - a1[1])
+                t = (w[0] * d2[1] - w[1] * d2[0]) / denom
+                u = (w[0] * d1[1] - w[1] * d1[0]) / denom
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    p = (a1[0] + t * d1[0], a1[1] + t * d1[1])
+                    add_split(i, p)
+                    add_split(j, p)
+            # T-contacts and collinear overlaps: endpoints on the other
+            for p in (b1, b2):
+                add_split(i, p)
+            for p in (a1, a2):
+                add_split(j, p)
+    out: list[Point] = []
+    for i in range(n):
+        a, _b = segs[i]
+        if not out or a != out[-1]:
+            out.append(a)
+        for _t, p in sorted(set(splits[i])):
+            if p != out[-1]:
+                out.append(p)
+    if out[0] != out[-1]:
+        out.append(out[0])
+    return out
+
+
+def _extract_loops(noded: list[Point]) -> list[list[Point]]:
+    """Split a noded closed ring into simple loops: walk the vertex
+    sequence with a stack, and every time a vertex repeats, the stretch
+    since its first visit closes one loop. Zero-area loops (spikes,
+    fold-backs) are dropped — they contribute nothing to the even-odd
+    region."""
+    stack: list[Point] = []
+    index: dict[Point, int] = {}
+    loops: list[list[Point]] = []
+    for v in noded[:-1]:
+        if v in index:
+            i = index[v]
+            loops.append(stack[i:] + [v])
+            for q in stack[i + 1 :]:
+                index.pop(q)
+            del stack[i + 1 :]
+        else:
+            index[v] = len(stack)
+            stack.append(v)
+    loops.append(stack + [stack[0]])
+    return [lp for lp in loops if len(lp) >= 4 and _signed_area2(lp) != 0]
+
+
+def _assemble_loops(loops: list[list[Point]]) -> Geometry:
+    """BuildArea-style assembly of simple Fraction loops: loops must be
+    pairwise non-overlapping (containment or disjoint interiors, finite
+    point contacts allowed, no shared 1-D boundary stretch); nesting
+    depth parity decides shell (even) vs hole (odd), so islands inside
+    holes become shells again — PostGIS/GEOS linework behavior."""
+    from .relations import _collinear_overlap_exists, interiors_intersect
+
+    polys = [Geometry("Polygon", [lp]) for lp in loops]
+    lines = [Geometry("LineString", list(lp)) for lp in loops]
+    k = len(loops)
+    inside = [[False] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                inside[i][j] = G.within(polys[i], polys[j])
+    for i in range(k):
+        for j in range(i + 1, k):
+            if inside[i][j] and inside[j][i]:
+                raise _ov._Unsupported("coincident loops")
+            if _collinear_overlap_exists(lines[i], lines[j]):
+                raise _ov._Unsupported("loops sharing a boundary stretch")
+            if (
+                not inside[i][j]
+                and not inside[j][i]
+                and interiors_intersect(polys[i], polys[j])
+            ):
+                raise _ov._Unsupported("partially overlapping loops")
+    depth = [sum(inside[i]) for i in range(k)]
+    area2 = [abs(_signed_area2(lp)) for lp in loops]
+
+    def parent_of(i: int) -> int | None:
+        cands = [j for j in range(k) if inside[i][j]]
+        return min(cands, key=lambda j: area2[j]) if cands else None
+
+    parts = []
+    for i in range(k):
+        if depth[i] % 2 == 0:
+            rings = [_ov._float_ring(loops[i])]
+            for h in range(k):
+                if depth[h] % 2 == 1 and parent_of(h) == i:
+                    rings.append(_ov._float_ring(loops[h]))
+            parts.append(rings)
+    if len(parts) == 1:
+        return Geometry("Polygon", parts[0])
+    return Geometry("MultiPolygon", parts)
+
+
+def _makevalid_part(rings: list[list[Point]]) -> Geometry | None:
+    """Linework rebuild of ONE polygon part (shell + hole rings taken
+    as undifferentiated linework). Rectilinear rings go through the
+    exact all-ring parity-cell dissolve; any diagonal edge falls to the
+    node/loop-split/parity assembly. None = everything collapsed;
+    raises ``overlay._Unsupported`` outside both classes (e.g. two
+    rings of the part properly crossing each other with diagonal
+    edges)."""
     from .buffer import _union_exact
-    from .union_ops import _rectilinear_cells
+
+    closed = []
+    for r in rings:
+        rr = list(r)
+        if rr and rr[0] != rr[-1]:
+            rr.append(rr[0])
+        dd = [rr[0]]
+        for p in rr[1:]:
+            if p != dd[-1]:
+                dd.append(p)
+        if len(dd) >= 4:
+            closed.append(dd)
+    if not closed:
+        return None
+    frac = [_ov._frac_ring(r) for r in closed]
+    cells = _parity_cells(frac)
+    if cells is not None:
+        if not cells:
+            return None
+        return _union_exact(
+            [
+                Geometry("Polygon", [_rect_ring(tuple(float(v) for v in c))])
+                for c in cells
+            ]
+        )
+    loops = []
+    for r in frac:
+        loops.extend(_extract_loops(_node_ring(r)))
+    if not loops:
+        return None
+    out = _assemble_loops(loops)
+    # Exact-or-NULL: intersection nodes are rationals; when they are not
+    # float-representable, the rounded node can leave a microscopic
+    # angular sliver where two loops touch, so the emitted doubles would
+    # fail our own (exact) st_isvalid. GEOS ships such results anyway —
+    # JTS's validity test doesn't see the sliver — but this engine's
+    # contract is isvalid(makevalid(x)) = true or NULL, never a result
+    # it would itself call invalid (r11 parity fuzz caught the case).
+    if invalid_reason(out) is not None:
+        raise _ov._Unsupported("float-snapped repair does not re-validate")
+    return out
+
+
+def makevalid_geom(g: Geometry) -> Geometry | None:
+    """ST_MakeValid with PostGIS/GEOS LINEWORK semantics (the one-arg
+    ST_MakeValid default — ADVICE r10 #3): each polygon part's rings
+    are noded and re-assembled by even-odd/nesting parity (a hole
+    outside its shell becomes a second shell; islands inside holes
+    stay area), then parts union (liblwgeom unions MultiPolygon parts
+    pairwise). Two exact classes are supported: rectilinear parts via
+    all-ring parity cells, and parts with diagonal self-intersecting
+    rings via exact-rational noding + loop extraction (VERDICT r10
+    item 3 — the plain bowtie now yields its two triangles). Valid
+    inputs are echoed by the caller before reaching here. Returns None
+    for an all-collapsed (EMPTY) result; raises overlay._Unsupported
+    outside the exact classes (e.g. shell and hole crossing each other
+    diagonally) — a loud NULL rather than a guess."""
+    from .buffer import _union_exact
 
     if g.kind == "GeometryCollection":
         # Rebuild only the INVALID members — PostGIS echoes valid ones
@@ -234,34 +454,19 @@ def makevalid_geom(g: Geometry) -> Geometry | None:
     polys = G._polys(g)
     if not polys:
         return g  # points/lines are valid as-is (finiteness checked upstream)
-
-    def cells_of(ring: list[Point]) -> list:
-        # CLOSE the ring before decomposition: _rectilinear_cells scans
-        # only explicit edges, so an unclosed ring's implicit closing
-        # edge would never be checked for axis-parallelism and a
-        # diagonal closing edge would be silently rewritten
-        # (code-review r10).
-        if ring and ring[0] != ring[-1]:
-            ring = [*ring, ring[0]]
-        c = _rectilinear_cells([ring])
-        if c is None:
-            raise _ov._Unsupported("non-rectilinear invalid geometry")
-        return c
-
-    # GEOS structure semantics: union of ALL shells minus union of ALL
-    # holes (subtraction distributes over the union, so subtracting
-    # every hole from every shell cell before the dissolve is the same
-    # set — and unlike per-part subtraction, a hole punches through
-    # OTHER parts' shells too, as liblwgeom does; code-review r10).
-    shell_cells = [c for rings in polys for c in cells_of(list(rings[0]))]
-    hole_cells = [
-        c for rings in polys for hole in rings[1:] for c in cells_of(list(hole))
-    ]
-    for h in hole_cells:
-        shell_cells = [piece for c in shell_cells for piece in _ov._rect_sub(c, h)]
-    if not shell_cells:
+    parts = []
+    for rings in polys:
+        p = _makevalid_part([list(r) for r in rings])
+        if p is not None:
+            parts.append(p)
+    if not parts:
         return None
-    return _union_exact([Geometry("Polygon", [_rect_ring(c)]) for c in shell_cells])
+    if len(parts) == 1:
+        return parts[0]
+    u = _union_exact(parts)
+    if u is None:
+        raise _ov._Unsupported("part union outside the exact class")
+    return u
 
 
 def makevalid_wkt(wkt) -> str | None:

@@ -246,6 +246,16 @@ _DIAG_BOWTIE = sql_concat(
     "', '", _pt("minx + 2", "miny"), "', '", _pt("minx", "miny + 2"),
     "', '", _pt("minx", "miny"), "'))'",
 )
+_CROSSING_HOLE = sql_concat(  # shell with a diagonal hole CROSSING it:
+    # rings properly cross with diagonal edges — outside both exact
+    # classes, documented loud NULL
+    "'POLYGON (('", _pt("minx", "miny"), "', '", _pt("minx + 8", "miny"),
+    "', '", _pt("minx + 8", "miny + 8"), "', '", _pt("minx", "miny + 8"),
+    "', '", _pt("minx", "miny"), "'), ('",
+    _pt("minx + 6", "miny + 2"), "', '", _pt("minx + 12", "miny + 4"),
+    "', '", _pt("minx + 6", "miny + 6"), "', '", _pt("minx + 6", "miny + 2"),
+    "'))'",
+)
 
 _MV_AREA = "st_area(st_makevalid({}))"
 _Q157_FAMILIES = {
@@ -254,21 +264,34 @@ _Q157_FAMILIES = {
     "hole_out": _micro(_MV_AREA.format(_HOLE_OUT_2)),
     "overlap_mp": _micro(_MV_AREA.format(_OVERLAP_MP)),
     "strip": _micro(_MV_AREA.format(_STRIP_HOLE)),
+    "island": _micro(_MV_AREA.format(_NESTED_HOLES)),
     "echo": f"st_makevalid({_BOX})",
     "dup_echo": f"st_makevalid({_DUP_BOX})",
-    "outside": f"COALESCE(st_makevalid({_DIAG_BOWTIE}), 'NULL(outside-class)')",
+    "diag": _micro(_MV_AREA.format(_DIAG_BOWTIE)),
+    "diag_mp": f"st_geometrytype(st_makevalid({_DIAG_BOWTIE}))",
+    "outside": f"COALESCE(st_makevalid({_CROSSING_HOLE}), 'NULL(outside-class)')",
     "now_valid": f"CAST(st_isvalid(st_makevalid({_PINCH})) AS STRING)",
+    "diag_valid": f"CAST(st_isvalid(st_makevalid({_DIAG_BOWTIE})) AS STRING)",
 }
 _Q157_ORACLE_VALS = {
     "pinch": "'200000000'",
     "crossing": "'200000000'",
-    "hole_out": "'36000000'",
+    # LINEWORK (r11, PostGIS one-arg default — ADVICE r10 #3): the
+    # stray ring outside the shell becomes a second shell (36 + 4),
+    # where the old 'structure' semantics subtracted it as a no-op (36)
+    "hole_out": "'40000000'",
     "overlap_mp": "'175000000'",
     "strip": _micro("(maxx - minx) * (maxy - miny) - 4.0 * (maxx - minx)"),
+    # nesting-depth parity: hole (6x6) subtracts, the ring nested
+    # inside it (2x2) comes back as an ISLAND
+    "island": _micro("(maxx - minx) * (maxy - miny) - 36.0 + 4.0"),
     "echo": _BOX,  # oracle builds the identical WKT string
     "dup_echo": _DUP_BOX,  # valid after r11 dedup-normalization → echo
+    "diag": "'2000000'",  # the bowtie's two unit triangles (r10 item 3)
+    "diag_mp": "'ST_MultiPolygon'",
     "outside": "'NULL(outside-class)'",
     "now_valid": "'true'",
+    "diag_valid": "'true'",
 }
 
 _Q157_ORACLE = "\nUNION ALL\n".join(
@@ -280,12 +303,15 @@ _Q157_ORACLE = "\nUNION ALL\n".join(
 
 @query("q157_st_makevalid", oracle=_Q157_ORACLE)
 def q157_st_makevalid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 ST_MakeValid, rectilinear class with GEOS 'structure'
-    semantics (functions/validity.py makevalid_geom): per-ring even-odd
-    rebuild, shells union, holes subtract. Families: pinched ring,
-    properly-crossing ring, hole outside shell, overlapping MultiPolygon
-    parts, the interior-disconnecting strip hole (areas pinned to exact
-    closed forms as micro-ints), valid-input echo, the diagonal bowtie's
-    documented loud NULL, and st_isvalid over a rebuilt result."""
+    """F12 ST_MakeValid with PostGIS LINEWORK semantics (the one-arg
+    default; functions/validity.py makevalid_geom): all-ring parity
+    cells for rectilinear parts, exact-rational noding + loop
+    extraction for diagonal self-intersections, parts union. Families:
+    pinched ring, properly-crossing ring, hole-outside-shell second
+    shell, overlapping MultiPolygon parts, the interior-disconnecting
+    strip hole, the nested-ring island (areas pinned to exact closed
+    forms as micro-ints), valid/dup-vertex echoes, the diagonal
+    bowtie's two triangles (VERDICT r10 item 3), the crossing-hole
+    documented loud NULL, and st_isvalid over rebuilt results."""
     _ensure_udfs(spark)
     return family_rows(nation_boxes(spark, sf_dir), _Q157_FAMILIES)
