@@ -60,6 +60,7 @@ from .geometry import Geometry, Point
 from .relations import (
     _collinear_overlap_exists,
     _on_any_segment,
+    _on_segment,
     _ringlines,
     interiors_intersect,
 )
@@ -242,14 +243,6 @@ def _signed_area2(ring: list[Point]):
     return s
 
 
-def _on_segment(p: Point, a: Point, b: Point) -> bool:
-    return (
-        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
-        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
-        and (b[0] - a[0]) * (p[1] - a[1]) == (b[1] - a[1]) * (p[0] - a[0])
-    )
-
-
 def _node_ring(ring: list[Point]) -> list[Point]:
     """Insert every self-intersection of the (closed, Fraction) ring as
     an explicit vertex: proper segment crossings solved exactly, plus
@@ -413,17 +406,7 @@ def _makevalid_part(rings: list[list[Point]]) -> Geometry | None:
         loops.extend(_extract_loops(_node_ring(r)))
     if not loops:
         return None
-    out = _assemble_loops(loops)
-    # Exact-or-NULL: intersection nodes are rationals; when they are not
-    # float-representable, the rounded node can leave a microscopic
-    # angular sliver where two loops touch, so the emitted doubles would
-    # fail our own (exact) st_isvalid. GEOS ships such results anyway —
-    # JTS's validity test doesn't see the sliver — but this engine's
-    # contract is isvalid(makevalid(x)) = true or NULL, never a result
-    # it would itself call invalid (r11 parity fuzz caught the case).
-    if invalid_reason(out) is not None:
-        raise _ov._Unsupported("float-snapped repair does not re-validate")
-    return out
+    return _assemble_loops(loops)
 
 
 def makevalid_geom(g: Geometry) -> Geometry | None:
@@ -462,17 +445,33 @@ def makevalid_geom(g: Geometry) -> Geometry | None:
     if not parts:
         return None
     if len(parts) == 1:
-        return parts[0]
-    u = _union_exact(parts)
-    if u is None:
-        raise _ov._Unsupported("part union outside the exact class")
-    return u
+        out = parts[0]
+    else:
+        out = _union_exact(parts)
+        if out is None:
+            raise _ov._Unsupported("part union outside the exact class")
+    # Exact-or-NULL, enforced on EVERY return path (code-review r11
+    # found the parity-cell and parts-union paths shipping unguarded):
+    # (a) non-float-representable intersection nodes round into a
+    # microscopic sliver where two loops touch — GEOS ships such
+    # results because JTS's validity test cannot see the sliver; (b)
+    # the rectilinear dissolve fuses a hole touching its shell at one
+    # point into a self-touching ring. This engine's contract is
+    # isvalid(makevalid(x)) = true or NULL, never a result it would
+    # itself call invalid.
+    if invalid_reason(out) is not None:
+        raise _ov._Unsupported("rebuild does not re-validate")
+    return out
 
 
 def makevalid_wkt(wkt) -> str | None:
     """WKT surface: valid inputs echo unchanged (PostGIS behavior);
-    invalid rectilinear inputs are rebuilt; NULL for junk or outside
-    the exact class; 'POLYGON EMPTY' when every ring collapses."""
+    invalid rectilinear parts AND diagonal self-intersecting rings are
+    rebuilt with linework semantics (makevalid_geom); NULL for junk,
+    for inputs outside both exact classes (e.g. rings of one part
+    properly crossing each other diagonally), or when the rebuilt
+    result would not pass this engine's own st_isvalid; 'POLYGON
+    EMPTY' when every ring collapses."""
     if wkt is None:
         return None
     s = str(wkt).strip()

@@ -471,3 +471,54 @@ class TestMakeValidParityFuzz:
                 )
                 assert parity == inres, (wkt, out, (float(sx), float(sy)))
         assert rebuilt >= 3  # the fuzz really exercises the rebuild path
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_multi_ring_parity_conserved(self, seed):
+        """Multi-ring parts through the rectilinear parity-cell path —
+        the single-ring fuzz above structurally cannot reach it
+        (code-review r11 found both unguarded return paths there)."""
+        import random
+        from fractions import Fraction
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+            makevalid_wkt,
+        )
+
+        rng = random.Random(7000 + seed)
+        rebuilt = 0
+        for _ in range(10):
+            rings = []
+            for _r in range(rng.randint(2, 3)):
+                x, y = rng.randint(0, 6), rng.randint(0, 6)
+                w, h = rng.randint(1, 5), rng.randint(1, 5)
+                rings.append(
+                    [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]
+                )
+            wkt = "POLYGON (" + ", ".join(
+                "(" + ", ".join(f"{a} {b}" for a, b in r) + ")" for r in rings
+            ) + ")"
+            out = makevalid_wkt(wkt)
+            if out is None or out.endswith("EMPTY"):
+                continue
+            assert isvalid_wkt(out) is True, (wkt, out)
+            rebuilt += 1
+            gout = G.parse_wkt(out)
+            polys = G._polys(gout)
+            out_segs = list(G._segments(gout))
+            in_segs = [s for r in rings for s in zip(r, r[1:])]
+            for _s in range(50):
+                sx = Fraction(rng.randint(-5, 120), 10) + Fraction(1, 3)
+                sy = Fraction(rng.randint(-5, 120), 10) + Fraction(1, 7)
+                p = (float(sx), float(sy))
+                if min(G._seg_distance(p, a, b) for a, b in out_segs + in_segs) < 1e-6:
+                    continue
+                parity = sum(
+                    1 for r in rings
+                    if G._point_in_ring(sx, sy, [(Fraction(a), Fraction(b)) for a, b in r])
+                ) % 2 == 1
+                inres = any(G._point_in_polygon(*p, rings_) for rings_ in polys)
+                assert parity == inres, (wkt, out, p)
+        assert rebuilt >= 4
