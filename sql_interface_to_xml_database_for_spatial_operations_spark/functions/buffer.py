@@ -208,19 +208,26 @@ def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry | None
         if not _part_coords_finite(p):
             raise _ov._Unsupported("non-finite coordinate")
     if dist == 0.0:
-        # Same simplicity gate as the signed paths: PostGIS buffer(0)
-        # re-nodes a bowtie to a valid geometry; echoing it verbatim
-        # would be a silently wrong geometry (ADVICE r9 #2) — this
-        # engine's contract is exact-or-NULL, so go loud instead.
+        # PostGIS ST_Buffer(g, 0) re-nodes rather than echoing or
+        # erroring; GEOS leaves the result UNDEFINED for invalid input,
+        # so this engine routes the zero-distance path through
+        # ST_MakeValid's exact linework rebuild (VERDICT r10 item 4):
+        # valid input → echo, repairable → repaired, outside the exact
+        # classes → the usual loud NULL, never a silently wrong echo
+        # (ADVICE r9 #2).
         areal = [p for p in parts if p.kind == "Polygon"]
         if not areal:
             return None  # GEOS: zero-width buffer of lines/points is empty
-        for p in areal:
-            if not _rings_simple(p):
-                raise _ov._Unsupported("self-intersecting ring")
-        if len(areal) == 1:
-            return areal[0]
-        return Geometry("MultiPolygon", [p.coords for p in areal])
+        from .validity import invalid_reason, makevalid_geom
+
+        gg = (
+            areal[0]
+            if len(areal) == 1
+            else Geometry("MultiPolygon", [p.coords for p in areal])
+        )
+        if invalid_reason(gg) is None:
+            return gg
+        return makevalid_geom(gg)  # None = all collapsed → EMPTY
     if dist < 0.0:
         eroded: list[Geometry] = []
         for p in parts:

@@ -82,6 +82,15 @@ def _buf_area(wkt_expr: str, dist: str) -> str:
     return _micro(f"st_area(st_buffer({wkt_expr}, {dist}))")
 
 
+_P0 = f"{int_str('minx')} || ' ' || {int_str('miny')}"
+_P22 = f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}"
+_P20 = f"{int_str('minx + 2')} || ' ' || {int_str('miny')}"
+_P02 = f"{int_str('minx')} || ' ' || {int_str('miny + 2')}"
+_DIAG_BOWTIE_WKT = sql_concat(
+    "'POLYGON (('", _P0, "', '", _P22, "', '", _P20, "', '", _P02,
+    "', '", _P0, "'))'",
+)
+
 # Spark-side family expressions (st_buffer runs the real kernel)
 _FAMILIES = {
     "rect": _buf_area(_BOX_WKT, "2.0D"),
@@ -90,6 +99,11 @@ _FAMILIES = {
     "holed": _buf_area(_HOLED_WKT, "2.0D"),
     "erode": _buf_area(_BOX_WKT, "-3.0D"),
     "erode_line": f"st_buffer({_BOTTOM_WKT}, -1.0D)",
+    # dist = 0 routes through ST_MakeValid's linework rebuild (r11):
+    # valid input echoes verbatim, the diagonal bowtie repairs to its
+    # two unit triangles
+    "zero_echo": f"st_buffer({_BOX_WKT}, 0.0D)",
+    "zero_repair": _buf_area(_DIAG_BOWTIE_WKT, "0.0D"),
 }
 
 # DuckDB-side closed forms over the same integer columns
@@ -102,6 +116,8 @@ _ORACLE_VALS = {
     "holed": _micro(f"{_W} * {_HH} + 4.0 * ({_W} + {_HH}) + {_NGON} - 4.0"),
     "erode": _micro(f"({_W} - 6.0) * ({_HH} - 6.0)"),
     "erode_line": "'POLYGON EMPTY'",
+    "zero_echo": _BOX_WKT,  # oracle builds the identical WKT string
+    "zero_repair": "'2000000'",  # bowtie → two unit triangles, area 2
 }
 
 _Q155_ORACLE = "\nUNION ALL\n".join(

@@ -139,12 +139,31 @@ class TestClosedFormAreas:
         # self-intersecting ring: loud NULL, never a wrong geometry
         assert buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 1.0) is None
 
-    def test_zero_distance_bowtie_is_null(self):
-        # PostGIS buffer(0) re-nodes a bowtie; echoing it verbatim would
-        # be a silently wrong geometry (ADVICE r9 #2) — loud NULL instead
-        assert buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 0.0) is None
+    def test_zero_distance_repairs_via_makevalid(self):
+        # r11 (VERDICT r10 item 4): buffer(0) routes through the
+        # linework makevalid — the bowtie repairs to its two unit
+        # triangles instead of the r10 loud NULL (GEOS leaves buffer(0)
+        # of invalid input undefined; a repair is the PostGIS use-case)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        w = buffer_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))", 0.0)
+        assert w.startswith("MULTIPOLYGON")
+        assert abs(G.area(G.parse_wkt(w)) - 2.0) < 1e-12
         bowtie_mp = "MULTIPOLYGON (((0 0, 2 2, 2 0, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
-        assert buffer_wkt(bowtie_mp, 0.0) is None
+        w = buffer_wkt(bowtie_mp, 0.0)
+        assert abs(G.area(G.parse_wkt(w)) - 3.0) < 1e-12
+        # valid input still echoes verbatim
+        box = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        assert buffer_wkt(box, 0.0) == box
+        # outside the exact classes: still loud NULL
+        assert (
+            buffer_wkt(
+                "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (6 2, 12 4, 6 6, 6 2))", 0.0
+            )
+            is None
+        )
 
     def test_nonfinite_coordinates_are_null(self):
         # point / short-line fast paths skip Fraction coercion, so they
