@@ -303,6 +303,8 @@ def encode_png(
 
 
 def _png_chunks(b: bytes):
+    import zlib
+
     i = len(PNG_MAGIC)
     while i + 8 <= len(b):
         n = int.from_bytes(b[i : i + 4], "big")
@@ -310,6 +312,12 @@ def _png_chunks(b: bytes):
         data_start = i + 8
         if data_start + n + 4 > len(b):
             raise ValueError("truncated PNG chunk")
+        # Verify the stored CRC over tag+data (ADVICE r10 #4): bit
+        # corruption inside a structurally intact IDAT otherwise
+        # decodes to silently wrong pixels — decode errors stay loud.
+        stored = int.from_bytes(b[data_start + n : data_start + n + 4], "big")
+        if (zlib.crc32(b[i + 4 : data_start + n]) & 0xFFFFFFFF) != stored:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         yield tag, data_start, n
         i = data_start + n + 4
         if tag == b"IEND":
@@ -375,29 +383,42 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
         )
-        # None/Up have no intra-row dependence — whole-row numpy ops;
-        # Sub/Average/Paeth recur on the previous PIXEL, so they run the
-        # per-byte loop (code-review r10 vectorized the hot cases).
+        # None/Up are whole-row numpy ops; Sub is a per-channel-lane
+        # PREFIX SUM (mod 256 distributes over addition, so cumsum in
+        # uint64 + mask is exact) — r11 vectorization, VERDICT r10
+        # item 5. Average/Paeth recur on the previous PIXEL through a
+        # floor-div/branch, inherently sequential — they run on python
+        # ints over bytes (numpy scalar indexing was the r10 hot spot).
         if ft == 0:
             cur = line.copy()
         elif ft == 2:
             cur = line + prior  # uint8 wraps mod 256
-        elif ft in (1, 3, 4):
-            cur = np.empty(stride, dtype=np.uint8)
-            pri = prior
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                bb = int(pri[i])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + bb) // 2
-                else:
-                    c = int(pri[i - bpp]) if i >= bpp else 0
+        elif ft == 1:
+            cur = (
+                (np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ft in (3, 4):
+            lb = line.tobytes()
+            pb_ = prior.tobytes()
+            buf = bytearray(stride)
+            if ft == 3:
+                for i in range(stride):
+                    a = buf[i - bpp] if i >= bpp else 0
+                    buf[i] = (lb[i] + ((a + pb_[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = buf[i - bpp] if i >= bpp else 0
+                    bb = pb_[i]
+                    c = pb_[i - bpp] if i >= bpp else 0
                     p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                cur[i] = (int(line[i]) + pred) & 0xFF
+                    pa = p - a if p >= a else a - p
+                    pb2 = p - bb if p >= bb else bb - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if pa <= pb2 and pa <= pc else (bb if pb2 <= pc else c)
+                    buf[i] = (lb[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(buf), dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter {ft}")
         out[y * stride : (y + 1) * stride] = cur.tobytes()

@@ -500,3 +500,39 @@ class TestPngCodec:
         bad[ihdr_off + 12] = 1  # interlace flag inside IHDR data
         with _pytest.raises(ValueError):
             parse_png_header(bytes(bad))
+
+
+def test_png_chunk_crc_rejects_bit_corruption():
+    """ADVICE r10 #4: bit corruption inside a structurally intact chunk
+    must fail loudly, not decode to silently wrong pixels."""
+    import pytest as _pytest
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = bytes((i * 37) % 256 for i in range(16 * 8 * 3))
+    p = encode_png(16, 8, px, color_type=2, filter_type=4)
+    assert decode_png(p)[3] == px
+    i = p.index(b"IDAT") + 10
+    bad = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bad)
+
+
+def test_png_sub_filter_cumsum_matches_reference_loop():
+    """The r11 cumsum vectorization of the Sub filter must be
+    byte-identical to the spec's sequential recurrence on every lane."""
+    import random
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(13)
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        px = bytes(rng.randrange(256) for _ in range(24 * 5 * ch))
+        p = encode_png(24, 5, px, color_type=color, filter_type=1)
+        assert decode_png(p) == (24, 5, ch, px)
