@@ -1,0 +1,155 @@
+"""ST_Subdivide — split a geometry into pieces of bounded vertex count
+by recursive envelope halving (reference F12: src/index.ts:44-63
+forwards it to PostGIS; VERDICT r10 item 6 — the standard scale tool
+for huge-polygon spatial joins: a grid-candidate join over subdivided
+pieces probes small bboxes instead of one giant one).
+
+Semantics follow PostGIS ST_Subdivide(geom, max_vertices):
+
+- ``max_vertices`` must be ≥ 5 (the smallest closed ring) — smaller
+  values are an error (NULL at the SQL surface).
+- A part whose vertex count already fits is emitted unchanged.
+- Otherwise the part's envelope is halved across its longer axis and
+  each half-clip recurses. Clips run on the exact overlay kernel
+  (``overlay.intersection_geoms``) — inputs outside its decomposable
+  class raise ``overlay._Unsupported`` (NULL at the SQL surface),
+  never an approximate clip.
+- Pieces keep their part's dimension: clipping an areal part can leave
+  boundary-contact lines/points on the split line; those artifacts are
+  dropped.
+- Multi-parts and collections subdivide per part; EMPTY → no pieces.
+
+The SQL surface ``st_subdivide(wkt, max_vertices)`` returns an
+ARRAY<STRING> of piece WKTs (the explodable-array idiom of
+``st_dumpparts``), so ``explode`` turns it into PostGIS's set-returning
+shape.
+
+Scale shape: map-only Arrow-batched pandas UDF; per-row cost is the
+row's own recursion, a property of the row, not the table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry
+
+_MAX_DEPTH = 32  # each level halves an axis; 2^-32 of the extent is dust
+
+
+def _parts(g: Geometry) -> list[Geometry]:
+    if g.kind == "GeometryCollection":
+        return [p for sub in g.coords for p in _parts(sub)]
+    if g.kind == "MultiPoint":
+        return [Geometry("Point", c) for c in g.coords]
+    if g.kind == "MultiLineString":
+        return [Geometry("LineString", list(c)) for c in g.coords]
+    if g.kind == "MultiPolygon":
+        return [Geometry("Polygon", [list(r) for r in rings]) for rings in g.coords]
+    return [g]
+
+
+def subdivide_geom(g: Geometry, max_vertices: int) -> list[Geometry]:
+    """List of pieces, each with ≤ max_vertices vertices (best effort at
+    the recursion cap). Raises ValueError for max_vertices < 5 and
+    overlay._Unsupported for inputs outside the exact clip class."""
+    if max_vertices < 5:
+        raise ValueError("ST_Subdivide: max_vertices must be >= 5")
+    out: list[Geometry] = []
+
+    def rec(p: Geometry, dim: int, depth: int) -> None:
+        if G.n_points(p) <= max_vertices or depth >= _MAX_DEPTH:
+            out.append(p)
+            return
+        minx, miny, maxx, maxy = G.bbox(p)
+        # Pad the NON-split axis by 1: the clip is then a pure
+        # half-plane cut on the split axis, and a degenerate extent
+        # (a horizontal line's zero-height bbox) still yields a real
+        # clip box instead of a collapsed ring.
+        if maxx - minx >= maxy - miny:
+            mid = (minx + maxx) / 2
+            if mid <= minx or mid >= maxx:
+                out.append(p)  # extent collapsed below float resolution
+                return
+            halves = (
+                Geometry.box(minx, miny - 1, mid, maxy + 1),
+                Geometry.box(mid, miny - 1, maxx, maxy + 1),
+            )
+        else:
+            mid = (miny + maxy) / 2
+            if mid <= miny or mid >= maxy:
+                out.append(p)
+                return
+            halves = (
+                Geometry.box(minx - 1, miny, maxx + 1, mid),
+                Geometry.box(minx - 1, mid, maxx + 1, maxy),
+            )
+        for bx in halves:
+            piece = _ov.intersection_geoms(p, bx)
+            if piece is None:
+                continue
+            for q in _parts(piece):
+                if G.dimension(q) == dim:  # drop split-line contact dust
+                    rec(q, dim, depth + 1)
+
+    for part in _parts(g):
+        if not all(
+            math.isfinite(x) and math.isfinite(y) for x, y in G._points(part)
+        ):
+            raise _ov._Unsupported("non-finite coordinate")
+        rec(part, G.dimension(part), 0)
+    return out
+
+
+def subdivide_wkt(wkt, max_vertices) -> list[str] | None:
+    """WKT surface: NULL for NULL/junk operands, bad budgets, or inputs
+    outside the exact clip class; [] for typed EMPTY."""
+    if wkt is None or max_vertices is None:
+        return None
+    try:
+        mv = int(max_vertices)
+    except (TypeError, ValueError):
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return []
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    try:
+        return [G.to_wkt(p) for p in subdivide_geom(g, mv)]
+    except (ValueError, _ov._Unsupported):
+        return None
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_subdivide(wkt: pd.Series, maxv: pd.Series) -> pd.Series:
+    out = []
+    for w, n in zip(wkt, maxv):
+        try:
+            # Arrow ships NULL ints as NaN (the house _int_arg gotcha):
+            # an `is None` guard alone would crash int(NaN) below
+            if w is None or n is None or (isinstance(n, float) and math.isnan(n)):
+                out.append(None)
+            else:
+                out.append(subdivide_wkt(w, int(n)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_SUBDIVIDE_FUNCTIONS = {
+    "st_subdivide": st_subdivide,
+}
+
+
+def register_subdivide_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_SUBDIVIDE_FUNCTIONS.items():
+        spark.udf.register(name, fn)

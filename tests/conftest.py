@@ -39,6 +39,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relate
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (  # noqa: E402
     register_validity_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.subdivide import (  # noqa: E402
+    register_subdivide_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -83,6 +86,7 @@ def spark():
     register_bounding_functions(s)
     register_collection_functions(s)
     register_validity_functions(s)
+    register_subdivide_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)
