@@ -69,30 +69,48 @@ def subdivide_geom(g: Geometry, max_vertices: int) -> list[Geometry]:
             out.append(p)
             return
         minx, miny, maxx, maxy = G.bbox(p)
-        # Pad the NON-split axis by 1: the clip is then a pure
-        # half-plane cut on the split axis, and a degenerate extent
-        # (a horizontal line's zero-height bbox) still yields a real
-        # clip box instead of a collapsed ring.
+        # Pad the NON-split axis so the clip is a pure half-plane cut
+        # on the split axis and a degenerate extent (a horizontal
+        # line's zero-height bbox) still yields a real clip box. The
+        # pad is SCALE-RELATIVE: a fixed 1 vanishes below one ulp at
+        # coordinate magnitude ~1e16 and the box ring collapses
+        # (code-review r11).
+        pad = max(
+            1.0,
+            1e-9 * max(abs(minx), abs(miny), abs(maxx), abs(maxy)),
+        )
         if maxx - minx >= maxy - miny:
             mid = (minx + maxx) / 2
             if mid <= minx or mid >= maxx:
                 out.append(p)  # extent collapsed below float resolution
                 return
-            halves = (
-                Geometry.box(minx, miny - 1, mid, maxy + 1),
-                Geometry.box(mid, miny - 1, maxx, maxy + 1),
-            )
+            first = Geometry.box(minx, miny - pad, mid, maxy + pad)
+            second = Geometry.box(mid, miny - pad, maxx, maxy + pad)
         else:
             mid = (miny + maxy) / 2
             if mid <= miny or mid >= maxy:
                 out.append(p)
                 return
-            halves = (
-                Geometry.box(minx - 1, miny, maxx + 1, mid),
-                Geometry.box(minx - 1, mid, maxx + 1, maxy),
+            first = Geometry.box(minx - pad, miny, maxx + pad, mid)
+            second = Geometry.box(minx - pad, mid, maxx + pad, maxy)
+        # Areal parts clip against both CLOSED halves — their overlap is
+        # measure-zero boundary dust the dimension filter drops. A 1-D
+        # run lying exactly ON the split line has full measure in both
+        # closed boxes, so line parts take the second half as the set
+        # DIFFERENCE with the first box instead — intersecting with
+        # both duplicated the run and broke length conservation
+        # (code-review r11).
+        if dim == 1:
+            pieces = (
+                _ov.intersection_geoms(p, first),
+                _ov.difference_geoms(p, first),
             )
-        for bx in halves:
-            piece = _ov.intersection_geoms(p, bx)
+        else:
+            pieces = (
+                _ov.intersection_geoms(p, first),
+                _ov.intersection_geoms(p, second),
+            )
+        for piece in pieces:
             if piece is None:
                 continue
             for q in _parts(piece):
@@ -111,18 +129,16 @@ def subdivide_geom(g: Geometry, max_vertices: int) -> list[Geometry]:
 def subdivide_wkt(wkt, max_vertices) -> list[str] | None:
     """WKT surface: NULL for NULL/junk operands, bad budgets, or inputs
     outside the exact clip class; [] for typed EMPTY."""
-    if wkt is None or max_vertices is None:
+    from .accessors import _int_arg
+
+    mv = _int_arg(max_vertices)
+    if mv is None:
         return None
-    try:
-        mv = int(max_vertices)
-    except (TypeError, ValueError):
-        return None
-    s = str(wkt).strip()
-    if _ov._EMPTY_RE.match(s.upper()):
-        return []
-    g = G.parse_wkt(s)
+    g = _ov._parse(wkt)  # typed-EMPTY sentinel / None-for-junk in one place
     if g is None:
         return None
+    if _ov._is_empty(g):
+        return []
     try:
         return [G.to_wkt(p) for p in subdivide_geom(g, mv)]
     except (ValueError, _ov._Unsupported):
@@ -134,12 +150,7 @@ def st_subdivide(wkt: pd.Series, maxv: pd.Series) -> pd.Series:
     out = []
     for w, n in zip(wkt, maxv):
         try:
-            # Arrow ships NULL ints as NaN (the house _int_arg gotcha):
-            # an `is None` guard alone would crash int(NaN) below
-            if w is None or n is None or (isinstance(n, float) and math.isnan(n)):
-                out.append(None)
-            else:
-                out.append(subdivide_wkt(w, int(n)))
+            out.append(None if w is None else subdivide_wkt(w, n))
         except Exception:
             out.append(None)
     return pd.Series(out, dtype=object)

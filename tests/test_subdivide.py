@@ -102,3 +102,19 @@ def test_subdivide_through_spark(spark):
     ).collect()
     assert rows[0]["ps"] == ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"]
     assert rows[1]["ps"] is None and rows[2]["ps"] is None
+
+
+def test_split_line_run_lands_in_exactly_one_half():
+    """code-review r11: a 1-D run lying exactly ON the split line was
+    emitted in both closed halves, double-counting its length."""
+    line = "LINESTRING (0 0, 1 0, 2 0, 2 1, 2 2, 2 3, 3 3, 4 3)"
+    ps = subdivide_wkt(line, 5)
+    assert abs(sum(G.length(P(p)) for p in ps) - 7.0) < 1e-12
+
+
+def test_pad_scales_with_coordinate_magnitude():
+    """code-review r11: a fixed pad of 1 vanishes below one ulp at
+    ~1e16, collapsing the clip ring for degenerate-extent parts."""
+    pts = ", ".join(f"{i} 100000000000000000" for i in range(10))
+    ps = subdivide_wkt(f"LINESTRING ({pts})", 5)
+    assert ps is not None and len(ps) >= 2
