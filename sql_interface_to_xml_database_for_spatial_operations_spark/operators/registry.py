@@ -45,169 +45,146 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # diff touching a green query's module fails the suite until the query
 # is either re-exposed or its fingerprint deliberately re-recorded.
 #
-# Round 10 state: CORRECTNESS_r09 came back 50/50 green (sixth
-# consecutive all-green round), but the round-9 buffer snapshot left
-# tests/test_registry.py RED (13 verified fingerprints drifted via the
-# geometry.py/spatial.py module closure) and the r9 rotation plan was
-# not executed, so 10 rows went 4 rounds stale. This set pays both
-# debts at once (VERDICT r9 item 1). It is the union of all prior
-# greens plus the 46 r9 greens, MINUS the round-10 exposure list:
-#   - the 13 drifted rows (q41-q43, q49, q59, q114, q121, q122,
-#     q128-q131, q140) — the registry rule says re-expose, and 10 of
-#     the 13 were already >=3 rounds stale;
-#   - the 10 remaining r5-stale rows (q02-q07, q09, q10, q17, q58);
-#   - this round's diff: functions/buffer.py (ADVICE r9 #2/#4 guards +
-#     line/polygon surface now driver-gated) re-exposes q53, which
-#     executes buffer; functions/overlay.py (ADVICE r9 #3 both-empty
-#     operand precedence) re-exposes q124/q139/q146, which execute
-#     overlay; operators/multimodal.py (real PNG pixel decode,
-#     VERDICT r9 missing item 3) re-exposes q133/q136, which execute
-#     the decode dispatch; the OGC-strict st_within/st_contains
-#     change (boundary contact excluded — the relate-consistency fuzz
-#     finding) re-exposes q44, which executes st_within, with its
-#     oracle moved to strict inequalities (q33 defers);
-#   - the new round-10 surfaces, registered WITH their driver rows:
-#     q155 (line/polygon/negative buffer oracle — VERDICT r9 item 2),
-#     q156 (st_relate DE-9IM matrix + st_isvalid — item 4), q157
-#     (st_makevalid — item 5), q158 (measures family: issimple /
-#     pointonsurface / hausdorff / frechet / angle / triangulate) and
-#     q159 (bounding family: Welzl minimum circle + oriented
-#     envelope), q160 (distributed DBSCAN: grid-cell candidate
-#     join + min-label components, the ST_ClusterDBSCAN analog) and
-#     q161 (st_collect/st_multi/st_dumpparts collection family) — all
-#     beyond the verdict list; q32/q34/q35/q36 defer to make room;
-#   - fill to 50 with the stalest r6 greens in registration order:
-#     q20-q29, q31 (11 rows, 4 rounds stale by now). q32-q38 were
-#     in the original fill but defer to r11: the PNG decode diff makes
-#     operators/multimodal.py's decode_meta a dependency of q81/q82
-#     (they execute extract_features), so those two re-expose instead —
-#     helpers count, not just direct rewrites (the registry rule).
-# Window arithmetic (the driver checks the first 50):
-# 13 drifted + 10 r5-stale + 9 diff + 7 new + 11 r6-stale = 50.
-# Remaining r9-green spatial/affine/linework rows (q44-q52, q85,
-# q94-q99, q148-q154) drift through the buffer.py edit ONLY via the
-# module import closure — none of them execute buffer(); their
-# fingerprints are deliberately re-recorded, the visible act this
-# comment documents. Likewise engine.py's additive registration of
-# EACH new r10 function family (relate/validity, measures, bounding,
-# collection) — the same result-invariant class as r8's registration
-# re-record; every wholesale hash refresh in
-# _verified_fingerprints.json this round traces to one of these
-# registrations or to the buffer/geometry kernel edits above.
+# Round 11 state: CORRECTNESS_r10 came back 50/50 green (seventh
+# consecutive all-green round) and tests/test_registry.py was green at
+# round start. This set executes the r11 rotation plan as written
+# (VERDICT r10 item 2): it is the union of all prior greens plus the
+# 50 r10 greens, MINUS the round-11 exposure list (exactly 50):
+#   - this round's diff (13): geometry.py gained dedup_vertices and
+#     changed the within()/intersects() 0-D container branches — the
+#     predicate consumers q44/q45/q122 re-expose; buffer.py's dist==0
+#     path now routes through makevalid — q53/q155 re-expose;
+#     validity.py/relate.py switched to linework semantics + diagonal
+#     repair + dup-vertex normalization — q156/q157 re-expose WITH
+#     rewritten oracles (hole_out 36→40, island/diag families,
+#     dup-vertex fixtures); operators/multimodal.py _png_chunks now
+#     CRC-checks and the unfilter vectorized — the decode-path
+#     consumers q80/q81/q82/q133/q136 re-expose; plus the new
+#     q162_st_subdivide registered WITH its driver row.
+#   - fill (37): ALL 32 remaining r6-green rows — q32-q40, q54-q57,
+#     q75-q79, q83/q84, q86/q87, q89, q96, q113, q116/q117,
+#     q119/q120, q125-q127 (5 rounds stale by now) — plus the 5
+#     oldest r7 rows q60-q64. VERDICT r10 restated the bar as "every
+#     query re-verified within ceil(161/50)+1 = 4 rounds"; this
+#     window retires the whole r6 debt at once.
+# Window arithmetic: 13 diff/new + 32 r6-stale + 5 r7-oldest = 50.
+# Remaining greens whose fingerprints drift ONLY via the geometry.py /
+# engine.py import closure (the dedup_vertices ADDITION, the subdivide
+# registration) without executing a changed code path — spatial
+# accessors/constructors/affine/linework (q148-q154), union/overlay
+# rows (q124/q139/q146: their within/intersects calls use the
+# unchanged 2-D container branches), and every non-spatial row — are
+# deliberately re-recorded, the visible act this comment documents
+# (same result-invariant class as the r8/r10 registration re-records).
 #
-# Round 11 rotation plan (write the r11 set from this): fold the 50
-# r10 greens in, then re-expose (a) the rows deferred THIS round to
-# make room for q155-q161 (q32-q38 — 5 rounds stale by r11), (b) the
-# remaining r6-green blocks (q39, q40, q54-q57, q60-q96 families —
-# also 5 rounds stale by r11, oldest first), (c) whatever r11's diff
-# touches, and (d) any r10 reds. ~40 of the r6/r7 greens will be >=3
-# rounds stale in r11; two rounds of fill at 18+ rows each retires
-# that debt by r12.
+# Round 12 rotation plan (write the r12 set from this): fold the 50
+# r11 greens in, then re-expose (a) the remaining r7-green rows
+# (q65-q73, q88, q90-q95, q97-q98, q103-q107, q109-q110, q141 — 4
+# rounds stale by r12, oldest first), (b) whatever r12's diff
+# touches, and (c) any r11 reds. That retires the r7 debt in one
+# window and puts the steady state at "nothing older than 4 rounds".
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
+        "q02_projection_pruning",
+        "q03_select_star",
+        "q04_alias_expressions",
+        "q05_where_and_or",
+        "q06_in_list",
+        "q07_not_in_list",
         "q08_null_predicates",
+        "q09_where_bool_literal",
+        "q10_between_range",
         "q11_join_inner_equi",
         "q12_join_theta",
         "q13_join_left_outer",
         "q14_join_right_outer",
         "q15_join_full_outer",
         "q16_join_multiway",
+        "q17_natural_join",
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
+        "q20_lateral_explode",
+        "q21_count_groupby",
+        "q22_agg_global",
+        "q23_agg_pricing_summary",
+        "q24_having",
+        "q25_distinct",
+        "q26_rollup",
+        "q27_orderby_limit_topk",
+        "q28_union_all",
+        "q29_intersect",
         "q30_except",
-        "q32_window_running_sum",
-        "q33_subquery_from",
-        "q34_scalar_subquery",
-        "q35_correlated_exists",
-        "q36_date_functions",
-        "q37_mod_function",
-        "q38_string_functions",
-        "q39_case_expression",
-        "q40_math_functions",
-        "q45_spatial_join_intersects",
+        "q31_window_rank",
+        "q112_window_lag_lead",
+        "q58_approx_count_distinct",
+        "q41_st_point_accessors",
+        "q42_st_astext",
+        "q43_st_distance_radius",
         "q46_st_area_props",
         "q47_dwithin_pairs",
         "q48_distance_sphere_count",
+        "q49_st_asgeojson",
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
-        "q54_cube",
-        "q55_grouping_sets",
-        "q56_pivot",
-        "q57_count_distinct_multi",
-        "q60_token_count",
-        "q61_quality_score",
-        "q62_language_id",
-        "q63_fingerprint",
-        "q64_dedup_exact",
+        "q59_st_geomfromgml_kml",
+        "q85_st_extent_agg",
+        "q94_multipart_gml_ingest",
+        "q95_st_collect_agg",
+        "q97_knn_within_radius",
+        "q98_hull_envelope",
+        "q109_tfidf_top_terms",
+        "q110_repetition_metrics",
+        "q88_levenshtein_neardup",
         "q65_dedup_ngram_jaccard",
         "q66_minhash_lsh",
         "q67_simhash",
         "q68_simhash_pairs",
         "q69_embedding_neardup",
+        "q90_dedup_clusters",
         "q70_ann_bruteforce_topk",
         "q71_ann_lsh_buckets",
         "q72_ann_lsh_topk",
         "q73_ann_ivf_topk",
-        "q75_tumbling_window",
-        "q76_sliding_window",
-        "q77_sessionize",
-        "q78_keyed_dedup_first",
-        "q79_json_props",
-        "q80_multimodal_metadata",
-        "q83_asof_join",
-        "q84_range_join_banded",
-        "q85_st_extent_agg",
-        "q86_skew_salted_join",
-        "q87_percentiles",
-        "q88_levenshtein_neardup",
-        "q89_gap_fill_spine",
-        "q90_dedup_clusters",
+        "q111_centroid_outliers",
+        "q115_ann_quantized_topk",
         "q91_training_pipeline",
         "q92_hash_sample",
         "q93_train_val_test_split",
-        "q94_multipart_gml_ingest",
-        "q95_st_collect_agg",
-        "q96_event_attribution",
-        "q97_knn_within_radius",
-        "q98_hull_envelope",
-        "q99_xml_roundtrip",
-        "q100_engine_rowset",
-        "q101_geojson_roundtrip",
-        "q102_geojson_sink_roundtrip",
         "q103_stratified_sample",
         "q104_language_quota",
         "q105_mixture_weights",
         "q106_sequence_packing",
         "q107_decontamination",
+        "q99_xml_roundtrip",
+        "q101_geojson_roundtrip",
+        "q102_geojson_sink_roundtrip",
+        "q100_engine_rowset",
         "q108_kml_roundtrip",
-        "q109_tfidf_top_terms",
-        "q110_repetition_metrics",
-        "q111_centroid_outliers",
-        "q112_window_lag_lead",
-        "q113_window_distribution",
-        "q115_ann_quantized_topk",
-        "q116_trailing_range_window",
-        "q117_approx_percentiles",
+        "q114_compat_flattened",
+        "q121_catalog_tables",
         "q118_bucketed_join",
-        "q119_cohort_retention",
-        "q120_event_funnel",
         "q123_stream_tumbling_e2e",
-        "q125_document_chunking",
-        "q126_pii_redaction",
-        "q127_url_domains",
+        "q137_stream_session_e2e",
+        "q138_stream_interval_join_e2e",
+        "q142_stream_dedup_e2e",
+        "q147_stream_stateful_totals_e2e",
+        "q124_st_union_agg",
+        "q128_st_simplify",
+        "q129_st_snaptogrid",
+        "q130_st_transform",
+        "q131_st_azimuth",
         "q132_audio_features",
         "q134_hypertable_rollup",
         "q135_cms_heavy_hitters",
-        "q137_stream_session_e2e",
-        "q138_stream_interval_join_e2e",
+        "q139_st_intersection",
+        "q146_st_symdifference",
+        "q140_wkb_roundtrip",
         "q141_boilerplate_removal",
-        "q142_stream_dedup_e2e",
         "q143_kmeans_assign",
         "q144_bloom_semijoin",
         "q145_inverted_index",
-        "q147_stream_stateful_totals_e2e",
         "q148_st_affine",
         "q149_st_linework",
         "q150_st_accessors",
@@ -215,6 +192,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
+        "q158_st_measures",
+        "q159_st_bounding",
+        "q160_cluster_dbscan",
+        "q161_st_collect_dump",
     }
 )
 

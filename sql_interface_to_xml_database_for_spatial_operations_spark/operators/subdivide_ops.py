@@ -37,10 +37,15 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_subdivide_functions(spark)
 
 
-# dense bottom edge: one vertex per integer x (Spark built-ins only —
-# UDFs are not allowed inside higher-order-function lambdas)
+# dense bottom edge: one vertex every 3 units of x (Spark built-ins
+# only — UDFs are not allowed inside higher-order-function lambdas).
+# Box widths are 30/45/60, all divisible by 3, so the chain ends
+# exactly at maxx: 14-24 vertices, still over the 12-vertex budget.
+# Step 3 rather than 1 because every exact clip pays the overlay's
+# O(n²)-in-Fractions simplicity gate per recursion level — the unit
+# step made this 25-row fixture cost 3.5 s at sf0.1 (bench r11).
 _DENSE_BOTTOM = (
-    "concat_ws(', ', transform(sequence(CAST(minx AS BIGINT), CAST(maxx AS BIGINT)),"
+    "concat_ws(', ', transform(sequence(CAST(minx AS BIGINT), CAST(maxx AS BIGINT), 3),"
     " x -> CAST(x AS STRING) || ' ' || " + int_str("miny") + "))"
 )
 _DENSE_BOX = sql_concat(

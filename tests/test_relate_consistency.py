@@ -171,6 +171,15 @@ def test_matrix_agrees_with_predicates(seed):
             # coveredby = nothing of A in B's exterior, plus contact
             coveredby = m[2] == "F" and m[5] == "F" and intersects
             assert coveredby == G.within(ga, gb), (wa, wb, m, "coveredby")
+            # covers = the transpose: nothing of B in A's exterior
+            covers = m[6] == "F" and m[7] == "F" and intersects
+            assert covers == G.within(gb, ga), (wa, wb, m, "covers")
+            # contains = within on the transposed matrix (VERDICT r10
+            # item 7: every boolean predicate checked against the matrix)
+            mt = "".join(m[k] for k in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+            assert relate_match(mt, "T*F**F***") == R.within_ogc(gb, ga), (
+                wa, wb, m, "contains",
+            )
             touches = m[0] == "F" and any(m[k] != "F" for k in (1, 3, 4))
             assert touches == R.touches(ga, gb), (wa, wb, m, "touches")
             equals = da == db and relate_match(m, "T*F**FFF*")
