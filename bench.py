@@ -99,6 +99,7 @@ HEADLINE = [
     "q160_cluster_dbscan",
     "q161_st_collect_dump",
     "q162_st_subdivide",
+    "q163_jpeg_pixels",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

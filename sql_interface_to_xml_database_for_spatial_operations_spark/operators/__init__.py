@@ -47,3 +47,4 @@ def load_all() -> None:
     from . import cluster_dbscan  # noqa: F401
     from . import collect_ops  # noqa: F401
     from . import subdivide_ops  # noqa: F401
+    from . import jpeg_ops  # noqa: F401

@@ -1,0 +1,94 @@
+"""Driver row for the REAL baseline JPEG pixel codec
+(operators/jpeg_codec.py) — VERDICT r10 missing item 3, the last
+multimodal codec gate (PNG closed in r10 with the same shape).
+
+Oracle design: every 5th document becomes a grayscale image whose 8×8
+tiles are CONSTANT with value ``(doc_id·31 + k·7) % 256`` for tile
+index k (row-major) — block-constant tiles have only a DC coefficient,
+which round-trips BIT-EXACTLY through the all-ones-quantization
+encoder, so the decoded pixel sum equals the closed form
+``Σ_k tile(k)·64`` that DuckDB recomputes with generate_series. The
+Spark side runs the full encode → real JFIF bytes → Huffman/IDCT
+decode in mapInPandas and aggregates the DECODED bytes; dimensions are
+read back from the SOF0 header, not echoed.
+
+Scale shape: one mapInPandas stage (map-only, Arrow-batched), no
+shuffle; per-row cost is bounded by the image's own block count
+(≤ 24 blocks at the fixture dims).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources.tables import load_table
+from .registry import query
+
+_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("px_sum", LongType(), True),
+    ]
+)
+
+
+def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpeg_codec import decode_jpeg_gray, encode_jpeg_gray
+
+    for pdf in batches:
+        ids, ws, hs, sums = [], [], [], []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            bw, bh = i % 6 + 1, (i * 7) % 4 + 1
+            k = np.arange(bw * bh, dtype=np.int64)
+            tiles = ((i * 31 + k * 7) % 256).astype(np.uint8).reshape(bh, bw)
+            img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+            payload = encode_jpeg_gray(bw * 8, bh * 8, img.tobytes())
+            w, h, raw = decode_jpeg_gray(payload)
+            ids.append(i)
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(np.frombuffer(raw, dtype=np.uint8).astype(np.int64).sum()))
+        yield pd.DataFrame(
+            {"asset_id": ids, "width": ws, "height": hs, "px_sum": sums}
+        )
+
+
+_Q163_ORACLE = """
+WITH t AS (
+  SELECT doc_id, (doc_id % 6 + 1) AS bw, ((doc_id * 7) % 4 + 1) AS bh
+  FROM documents WHERE doc_id % 5 = 0
+), tiles AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bw * bh - 1)) AS k
+  FROM t
+)
+SELECT doc_id AS asset_id,
+       CAST(bw * 8 AS BIGINT) AS width,
+       CAST(bh * 8 AS BIGINT) AS height,
+       CAST(SUM(((doc_id * 31 + k * 7) % 256) * 64) AS BIGINT) AS px_sum
+FROM tiles
+GROUP BY doc_id, bw, bh
+"""
+
+
+@query("q163_jpeg_pixels", oracle=_Q163_ORACLE)
+def q163_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG pixels end to end: block-constant grayscale tiles →
+    baseline JFIF (DCT, all-ones quantization, Annex-K Huffman, byte
+    stuffing) → full Huffman/IDCT decode → decoded-byte aggregation
+    pinned to the DuckDB closed form (module docstring)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    return d.mapInPandas(_run, _SCHEMA)

@@ -427,13 +427,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
-    """(width, height, grayscale bytes) from EITHER container — sniffs
-    the magic: SRAS bodies are already gray; PNG RGB/RGBA reduce by the
-    integer ITU-R 601 luma (299r + 587g + 114b) // 1000, alpha ignored.
-    This is what makes the resize/dHash pipelines container-agnostic."""
+    """(width, height, grayscale bytes) from ANY supported container —
+    sniffs the magic: SRAS bodies are already gray; PNG RGB/RGBA reduce
+    by the integer ITU-R 601 luma (299r + 587g + 114b) // 1000, alpha
+    ignored; baseline grayscale JPEG decodes through the real
+    Huffman/IDCT codec (operators/jpeg_codec.py, r11 — the last codec
+    gate). This is what makes the resize/dHash pipelines
+    container-agnostic."""
     b = bytes(payload) if payload is not None else b""
     if b[:4] == SRAS_MAGIC:
         return decode_raster(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg_gray
+
+        return decode_jpeg_gray(b)
     if b[: len(PNG_MAGIC)] == PNG_MAGIC:
         w, h, ch, raw = decode_png(b)
         if ch == 1:
@@ -443,7 +450,7 @@ def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
         px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ch)[:, :3].astype(np.int64)
         gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
         return w, h, gray.astype(np.uint8).tobytes()
-    raise ValueError("neither an SRAS nor a PNG payload")
+    raise ValueError("not an SRAS, JPEG or PNG payload")
 
 
 def resize_raster(payload: bytes, out_w: int, out_h: int, kernel: str = "nearest") -> bytes:

@@ -1,0 +1,88 @@
+"""Real baseline JPEG codec (operators/jpeg_codec.py): exact
+block-constant round-trips, lossy bound on arbitrary images, marker
+edge cases, loud failures outside the supported class."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+    gray_raster_of,
+    parse_jpeg_header,
+)
+
+
+def _block_constant(w: int, h: int, seed: int) -> bytes:
+    rng = random.Random(seed)
+    tiles = np.array(
+        [[rng.randrange(256) for _ in range(-(-w // 8))] for _ in range(-(-h // 8))],
+        dtype=np.uint8,
+    )
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))[:h, :w].tobytes()
+
+
+class TestJpegCodec:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_block_constant_roundtrip_exact(self, seed):
+        w, h = 8 * (seed % 5 + 1), 8 * (seed % 3 + 1)
+        img = _block_constant(w, h, seed)
+        assert decode_jpeg_gray(encode_jpeg_gray(w, h, img)) == (w, h, img)
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_arbitrary_image_within_rounding(self, seed):
+        rng = random.Random(100 + seed)
+        w, h = rng.randrange(9, 40), rng.randrange(9, 40)
+        img = bytes(rng.randrange(256) for _ in range(w * h))
+        ww, hh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, img))
+        assert (ww, hh) == (w, h)
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(img, np.uint8).astype(int)
+        )
+        assert err.max() <= 2  # all-ones quantization: float rounding only
+
+    def test_byte_stuffing_all_white(self):
+        img = bytes([255]) * (16 * 16)
+        assert decode_jpeg_gray(encode_jpeg_gray(16, 16, img))[2] == img
+
+    def test_header_interop_with_marker_walk(self):
+        p = encode_jpeg_gray(24, 16, _block_constant(24, 16, 7))
+        w, h, ncomp, _off = parse_jpeg_header(p)
+        assert (w, h, ncomp) == (24, 16, 1)
+
+    def test_gray_raster_of_dispatches_jpeg(self):
+        img = _block_constant(16, 8, 9)
+        assert gray_raster_of(encode_jpeg_gray(16, 8, img)) == (16, 8, img)
+
+    def test_loud_failures(self):
+        p = encode_jpeg_gray(16, 16, bytes(256))
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(p[:40])  # truncated before SOS
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\x89PNG")  # wrong magic
+        # multi-component SOF0: loud, never a wrong raster
+        bad = bytearray(p)
+        i = bad.index(b"\xff\xc0")
+        bad[i + 9] = 3
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(bad))
+        # the legacy text-body fixtures (no DQT/DHT) must fail loudly
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            encode_jpeg,
+        )
+
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(encode_jpeg(10, 10, b"not entropy data"))
+
+    def test_dc_category_extremes(self):
+        # black->white checkerboard of tiles maxes the DC diffs
+        tiles = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8)).tobytes()
+        assert decode_jpeg_gray(encode_jpeg_gray(16, 16, img))[2] == img
