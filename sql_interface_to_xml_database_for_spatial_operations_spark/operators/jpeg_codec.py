@@ -199,11 +199,17 @@ class _BitReader:
         self.i = 0
         self.acc = 0
         self.n = 0
+        self.real_bits = 0  # bits that came from actual entropy bytes
+        self.taken = 0
 
     def _fill(self) -> None:
         while self.n <= 24:
             if self.i >= len(self.data):
-                self.acc = (self.acc << 8) | 0  # spec: pad past the end
+                # prefetch slack only — CONSUMING these is truncation,
+                # checked in take() (code-review r11: all-zero padding
+                # decodes as valid Huffman symbols forever, so a stream
+                # cut mid-scan silently produced a garbage raster)
+                self.acc = self.acc << 8
                 self.n += 8
                 continue
             b = self.data[self.i]
@@ -215,6 +221,7 @@ class _BitReader:
                     raise ValueError("unexpected marker inside entropy data")
             self.acc = (self.acc << 8) | b
             self.n += 8
+            self.real_bits += 8
 
     def take(self, k: int) -> int:
         if k == 0:
@@ -223,12 +230,10 @@ class _BitReader:
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
         self.acc &= (1 << self.n) - 1
+        self.taken += k
+        if self.taken > self.real_bits:
+            raise ValueError("truncated JPEG entropy data")
         return v
-
-    def peek16(self) -> tuple[int, int]:
-        self._fill()
-        avail = min(self.n, 16)
-        return (self.acc >> (self.n - avail)) & ((1 << avail) - 1), avail
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -274,9 +279,14 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"corrupt JPEG marker stream at byte {i}")
+        while i + 2 < len(b) and b[i + 1] == 0xFF:
+            i += 1  # fill bytes before a marker are legal (T.81 B.1.1.2)
         marker = b[i : i + 2]
         if marker == b"\xff\xd9":
             break
+        if b[i + 1] == 0x01 or 0xD0 <= b[i + 1] <= 0xD7:
+            i += 2  # TEM / RSTn are standalone: no length field
+            continue
         n = int.from_bytes(b[i + 2 : i + 4], "big")
         seg = b[i + 4 : i + 2 + n]
         if marker == b"\xff\xdb":
@@ -324,9 +334,16 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("JPEG missing quantization table")
     if (0, dc_id) not in huff or (1, ac_id) not in huff:
         raise ValueError("JPEG missing Huffman tables")
+    # The scan ends at the first non-stuffed, non-fill marker — NOT at
+    # the payload's literal last two bytes: spec-valid files may carry
+    # trailing bytes after EOI (code-review r11).
     end = len(b)
-    if b[-2:] == b"\xff\xd9":
-        end -= 2
+    j = scan_start
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] not in (0x00, 0xFF):
+            end = j
+            break
+        j += 1
     reader = _BitReader(b[scan_start:end])
     dc_decode, ac_decode = huff[(0, dc_id)], huff[(1, ac_id)]
     qt = quant[comp_q]

@@ -86,3 +86,29 @@ class TestJpegCodec:
         tiles = np.array([[0, 255], [255, 0]], dtype=np.uint8)
         img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8)).tobytes()
         assert decode_jpeg_gray(encode_jpeg_gray(16, 16, img))[2] == img
+
+    def test_truncated_scan_is_loud_not_garbage(self):
+        # code-review r11: all-zero fabricated bits decode as valid
+        # Huffman symbols forever, so a stream cut mid-scan silently
+        # produced a garbage raster
+        img = _block_constant(48, 48, 21)
+        p = encode_jpeg_gray(48, 48, img)
+        i = p.index(b"\xff\xda")
+        scan_len = len(p) - i - 2
+        cut = p[: i + scan_len // 2]
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(cut)
+
+    def test_trailing_bytes_after_eoi_ok(self):
+        # code-review r11: spec-valid files may carry padding after EOI
+        img = _block_constant(16, 16, 22)
+        p = encode_jpeg_gray(16, 16, img)
+        assert decode_jpeg_gray(p + b"junk after eoi")[2] == img
+
+    def test_fill_bytes_before_marker_ok(self):
+        # T.81 B.1.1.2: repeated 0xFF fill before a marker is legal
+        img = _block_constant(16, 8, 23)
+        p = encode_jpeg_gray(16, 8, img)
+        i = p.index(b"\xff\xdb")
+        padded = p[:i] + b"\xff" + p[i:]
+        assert decode_jpeg_gray(padded)[2] == img
