@@ -409,6 +409,26 @@ def _makevalid_part(rings: list[list[Point]]) -> Geometry | None:
     return _assemble_loops(loops)
 
 
+def _resplit_rings(g: Geometry) -> Geometry | None:
+    """Split every ring of an areal geometry at revisited vertices and
+    re-assemble the loops by nesting parity (no noding — callers pass
+    dissolve output, whose rings can self-TOUCH at vertices but never
+    properly cross). None when the loop assembly is itself unsupported."""
+    loops = []
+    for rings in G._polys(g):
+        for r in rings:
+            rr = list(r)
+            if rr and rr[0] != rr[-1]:
+                rr.append(rr[0])
+            loops.extend(_extract_loops(rr))
+    if not loops:
+        return None
+    try:
+        return _assemble_loops(loops)
+    except _ov._Unsupported:
+        return None
+
+
 def makevalid_geom(g: Geometry) -> Geometry | None:
     """ST_MakeValid with PostGIS/GEOS LINEWORK semantics (the one-arg
     ST_MakeValid default — ADVICE r10 #3): each polygon part's rings
@@ -452,15 +472,20 @@ def makevalid_geom(g: Geometry) -> Geometry | None:
             raise _ov._Unsupported("part union outside the exact class")
     # Exact-or-NULL, enforced on EVERY return path (code-review r11
     # found the parity-cell and parts-union paths shipping unguarded):
-    # (a) non-float-representable intersection nodes round into a
+    # non-float-representable intersection nodes round into a
     # microscopic sliver where two loops touch — GEOS ships such
-    # results because JTS's validity test cannot see the sliver; (b)
-    # the rectilinear dissolve fuses a hole touching its shell at one
-    # point into a self-touching ring. This engine's contract is
-    # isvalid(makevalid(x)) = true or NULL, never a result it would
-    # itself call invalid.
+    # results because JTS's validity test cannot see the sliver. This
+    # engine's contract is isvalid(makevalid(x)) = true or NULL, never
+    # a result it would itself call invalid. One repairable class gets
+    # a second chance first: the rectilinear dissolve fuses a hole
+    # touching its shell at one point into a SELF-TOUCHING ring (a
+    # vertex revisited, no proper crossing) — re-splitting every ring
+    # into loops and re-assembling by nesting parity recovers GEOS's
+    # area-preserving shell+hole-touching-at-a-point answer.
     if invalid_reason(out) is not None:
-        raise _ov._Unsupported("rebuild does not re-validate")
+        out = _resplit_rings(out)
+        if out is None or invalid_reason(out) is not None:
+            raise _ov._Unsupported("rebuild does not re-validate")
     return out
 
 

@@ -79,6 +79,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # unchanged 2-D container branches), and every non-spatial row — are
 # deliberately re-recorded, the visible act this comment documents
 # (same result-invariant class as the r8/r10 registration re-records).
+# Late-r11 edits to validity.py (the self-touching-ring loop re-split)
+# and operators/multimodal.py (docstring) drift fingerprints the same
+# way: every query that EXECUTES makevalid/buffer-0/PNG-decode is
+# already in this round's exposure list, so the re-records are
+# result-invariant for the remaining greens.
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows

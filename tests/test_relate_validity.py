@@ -522,3 +522,33 @@ class TestMakeValidParityFuzz:
                 inres = any(G._point_in_polygon(*p, rings_) for rings_ in polys)
                 assert parity == inres, (wkt, out, p)
         assert rebuilt >= 4
+
+
+def test_point_touching_hole_dissolve_repairs():
+    """r11 follow-up: the rectilinear dissolve fuses a hole touching
+    its shell at one point into a self-touching ring; the loop
+    re-split now recovers the valid shell+hole answer (previously a
+    documented honest NULL)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        geometry as G,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+        makevalid_wkt,
+    )
+
+    w = (
+        "POLYGON ((3 2, 6 2, 6 6, 3 6, 3 2), (0 1, 3 1, 3 5, 0 5, 0 1),"
+        " (1 3, 3 3, 3 6, 1 6, 1 3))"
+    )
+    out = makevalid_wkt(w)
+    assert out is not None and isvalid_wkt(out) is True
+    g = G.parse_wkt(out)
+    assert len(g.coords) == 2  # shell + the recovered touching hole
+    assert abs(G.area(g) - 22.0) < 1e-12
+    mp = (
+        "MULTIPOLYGON (((0 1, 3 1, 3 5, 0 5, 0 1), (1 3, 3 3, 3 6, 1 6, 1 3)),"
+        " ((3 2, 6 2, 6 6, 3 6, 3 2)))"
+    )
+    out = makevalid_wkt(mp)
+    assert out is not None and isvalid_wkt(out) is True
+    assert abs(G.area(G.parse_wkt(out)) - 22.0) < 1e-12
