@@ -396,3 +396,20 @@ def test_dbscan_candidate_join_no_cartesian(spark):
     plan = formatted_plan(q("q160_cluster_dbscan")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r11_rows_plan_shapes(spark):
+    """q162 explodes then aggregates: exactly the one hash-aggregate
+    exchange, no join; q163 is a single map-only mapInPandas stage —
+    no shuffle at all."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q162_st_subdivide")(spark, SF_DIR))
+    # ONE Exchange node (the groupBy) — formatted plans list each node
+    # twice (tree line + detail block), hence the <= 2 on the string
+    assert "Exchange" in plan and plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # partial agg before the shuffle
+    plan = formatted_plan(q("q163_jpeg_pixels")(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
