@@ -34,6 +34,7 @@ from .functions.simplify import register_simplify_functions
 from .functions.validity import register_validity_functions
 from .functions.spatial import register_spatial_functions
 from .functions.subdivide import register_subdivide_functions
+from .functions.noding import register_noding_functions
 from .functions.union_ops import register_union_functions
 from .functions.wkb import register_wkb_functions
 from .sources import sinks
@@ -76,6 +77,7 @@ class SpatialSQLEngine:
         register_collection_functions(self.spark)
         register_validity_functions(self.spark)
         register_subdivide_functions(self.spark)
+        register_noding_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
         register_projection_functions(self.spark)

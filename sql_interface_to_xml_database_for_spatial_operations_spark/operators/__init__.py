@@ -48,3 +48,4 @@ def load_all() -> None:
     from . import collect_ops  # noqa: F401
     from . import subdivide_ops  # noqa: F401
     from . import jpeg_ops  # noqa: F401
+    from . import noding_ops  # noqa: F401

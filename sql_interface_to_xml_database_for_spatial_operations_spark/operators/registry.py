@@ -50,7 +50,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # round start. This set executes the r11 rotation plan as written
 # (VERDICT r10 item 2): it is the union of all prior greens plus the
 # 50 r10 greens, MINUS the round-11 exposure list (exactly 50):
-#   - this round's diff (13): geometry.py gained dedup_vertices and
+#   - this round's diff/new (15): geometry.py gained dedup_vertices and
 #     changed the within()/intersects() 0-D container branches — the
 #     predicate consumers q44/q45/q122 re-expose; buffer.py's dist==0
 #     path now routes through makevalid — q53/q155 re-expose;
@@ -61,16 +61,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #     CRC-checks and the unfilter vectorized — the decode-path
 #     consumers q80/q81/q82/q133/q136 re-expose; plus the new
 #     q162_st_subdivide registered WITH its driver row.
-#   - fill (37): ALL 32 remaining r6-green rows — q32-q40, q54-q57,
+#   - fill (35): ALL 32 remaining r6-green rows — q32-q40, q54-q57,
 #     q75-q79, q83/q84, q86/q87, q89, q96, q113, q116/q117,
-#     q119/q120, q125-q127 (5 rounds stale by now) — plus the 4
-#     oldest r7 rows q60-q63 (q64 was in the original fill but defers
-#     to r12: the late-r11 q163_jpeg_pixels row — the real baseline
-#     JPEG codec, VERDICT r10 missing item 3 — takes its slot so the
-#     new surface gets its driver row). VERDICT r10 restated the bar as "every
+#     q119/q120, q125-q127 (5 rounds stale by now) — plus the 3
+#     oldest r7 rows q60-q62 (q63/q64 were in the original fill but
+#     defer to r12: the late-r11 q163_jpeg_pixels row — the real
+#     baseline JPEG codec, VERDICT r10 missing item 3 — and
+#     q164_st_node_polygonize — ST_Node/ST_Polygonize linework
+#     topology — take their slots so the new surfaces get driver
+#     rows). VERDICT r10 restated the bar as "every
 #     query re-verified within ceil(161/50)+1 = 4 rounds"; this
 #     window retires the whole r6 debt at once.
-# Window arithmetic: 14 diff/new + 32 r6-stale + 4 r7-oldest = 50.
+# Window arithmetic: 15 diff/new + 32 r6-stale + 3 r7-oldest = 50.
 # Remaining greens whose fingerprints drift ONLY via the geometry.py /
 # engine.py import closure (the dedup_vertices ADDITION, the subdivide
 # registration) without executing a changed code path — spatial
@@ -87,7 +89,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows
-# (q64-q73, q88, q90-q95, q97-q98, q103-q107, q109-q110, q141 — 4
+# (q63-q73, q88, q90-q95, q97-q98, q103-q107, q109-q110, q141 — 4
 # rounds stale by r12, oldest first), (b) whatever r12's diff
 # touches, and (c) any r11 reds. That retires the r7 debt in one
 # window and puts the steady state at "nothing older than 4 rounds".
@@ -145,6 +147,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q109_tfidf_top_terms",
         "q110_repetition_metrics",
         "q88_levenshtein_neardup",
+        "q63_fingerprint",
         "q64_dedup_exact",
         "q65_dedup_ngram_jaccard",
         "q66_minhash_lsh",

@@ -42,6 +42,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validi
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.subdivide import (  # noqa: E402
     register_subdivide_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding import (  # noqa: E402
+    register_noding_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -87,6 +90,7 @@ def spark():
     register_collection_functions(s)
     register_validity_functions(s)
     register_subdivide_functions(s)
+    register_noding_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

@@ -30,6 +30,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validi
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.subdivide import (
     ALL_SUBDIVIDE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding import (
+    ALL_NODING_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
@@ -76,6 +79,7 @@ _SWEPT = {
     **ALL_COLLECTION_FUNCTIONS,
     **ALL_VALIDITY_FUNCTIONS,
     **ALL_SUBDIVIDE_FUNCTIONS,
+    **ALL_NODING_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
