@@ -69,12 +69,69 @@ def _frac_chain(c: list[Point]) -> list[Point]:
     return [(Fraction(x), Fraction(y)) for x, y in c]
 
 
-def _on_seg(p: Point, a: Point, b: Point) -> bool:
-    return (
-        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
-        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
-        and (b[0] - a[0]) * (p[1] - a[1]) == (b[1] - a[1]) * (p[0] - a[0])
-    )
+def pairwise_splits(
+    segs: list[tuple[Point, Point]],
+) -> list[list[tuple]]:
+    """For each segment, the sorted (param, point) INTERIOR split points
+    induced by every other segment: proper crossings solved exactly in
+    Fractions, plus endpoints lying on another segment's interior
+    (T-contacts — which also covers collinear fold-backs, whose overlap
+    endpoints are vertices of one of the two segments). This is the
+    shared exact-splitting primitive: validity's ring noding delegates
+    here (code-review r11 — the first copy drifted and reintroduced the
+    fold-back bug its original had fixed). Segment-pair work is
+    bbox-prescreened before any rational arithmetic."""
+    from .relations import _on_segment
+
+    n = len(segs)
+    splits: list[set] = [set() for _ in range(n)]
+    boxes = [
+        (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+        for a, b in segs
+    ]
+
+    def param(p: Point, a: Point, b: Point):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        return (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
+
+    def add(k: int, p: Point) -> None:
+        a, b = segs[k]
+        if p != a and p != b and _on_segment(p, a, b):
+            splits[k].add((param(p, a, b), p))
+
+    for i in range(n):
+        a1, a2 = segs[i]
+        bi = boxes[i]
+        for j in range(i + 1, n):
+            bj = boxes[j]
+            if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
+                continue
+            b1, b2 = segs[j]
+            d1 = (a2[0] - a1[0], a2[1] - a1[1])
+            d2 = (b2[0] - b1[0], b2[1] - b1[1])
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den != 0:
+                w = (b1[0] - a1[0], b1[1] - a1[1])
+                t = (w[0] * d2[1] - w[1] * d2[0]) / den
+                u = (w[0] * d1[1] - w[1] * d1[0]) / den
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    p = (a1[0] + t * d1[0], a1[1] + t * d1[1])
+                    add(i, p)
+                    add(j, p)
+            for p in (b1, b2):
+                add(i, p)
+            for p in (a1, a2):
+                add(j, p)
+    return [sorted(s) for s in splits]
+
+
+def signed_area2(ring: list[Point]):
+    """Twice the signed shoelace area (exact under Fractions) — the
+    shared primitive validity.py aliases."""
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s
 
 
 def _noded_chains(chains: list[list[Point]]) -> list[list[Point]]:
@@ -91,48 +148,23 @@ def _noded_chains(chains: list[list[Point]]) -> list[list[Point]]:
         if len(d) >= 2:
             cleaned.append(d)
     chains = cleaned
-    segs: list[tuple[Point, Point, int, int]] = []  # a, b, chain, idx
+    seg_ix: list[tuple[int, int]] = []  # chain, idx
+    segs: list[tuple[Point, Point]] = []
     for ci, c in enumerate(chains):
         for si in range(len(c) - 1):
-            segs.append((c[si], c[si + 1], ci, si))
-    splits: dict[tuple[int, int], set] = {}
-
-    def param(p: Point, a: Point, b: Point):
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        return (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
-
-    def add(ci: int, si: int, a: Point, b: Point, p: Point) -> None:
-        if p != a and p != b and _on_seg(p, a, b):
-            splits.setdefault((ci, si), set()).add((param(p, a, b), p))
-
-    for i in range(len(segs)):
-        a1, a2, c1, s1 = segs[i]
-        for j in range(i + 1, len(segs)):
-            b1, b2, c2, s2 = segs[j]
-            if c1 == c2 and abs(s1 - s2) <= 1:
-                continue  # adjacent segments share a vertex by design
-            d1 = (a2[0] - a1[0], a2[1] - a1[1])
-            d2 = (b2[0] - b1[0], b2[1] - b1[1])
-            den = d1[0] * d2[1] - d1[1] * d2[0]
-            if den != 0:
-                w = (b1[0] - a1[0], b1[1] - a1[1])
-                t = (w[0] * d2[1] - w[1] * d2[0]) / den
-                u = (w[0] * d1[1] - w[1] * d1[0]) / den
-                if 0 <= t <= 1 and 0 <= u <= 1:
-                    p = (a1[0] + t * d1[0], a1[1] + t * d1[1])
-                    add(c1, s1, a1, a2, p)
-                    add(c2, s2, b1, b2, p)
-            for p in (b1, b2):
-                add(c1, s1, a1, a2, p)
-            for p in (a1, a2):
-                add(c2, s2, b1, b2, p)
+            seg_ix.append((ci, si))
+            segs.append((c[si], c[si + 1]))
+    all_splits = pairwise_splits(segs)
+    splits: dict[tuple[int, int], list] = {
+        key: sp for key, sp in zip(seg_ix, all_splits) if sp
+    }
 
     # rebuild chains with split vertices inserted
     noded: list[list[Point]] = []
     for ci, c in enumerate(chains):
         out = [c[0]]
         for si in range(len(c) - 1):
-            for _t, p in sorted(splits.get((ci, si), ())):
+            for _t, p in splits.get((ci, si), ()):
                 if p != out[-1]:
                     out.append(p)
             if c[si + 1] != out[-1]:
@@ -158,16 +190,33 @@ def _noded_chains(chains: list[list[Point]]) -> list[list[Point]]:
         for _t, p in pts:
             nodes.add(p)
 
+    # cut at nodes AND drop duplicate undirected EDGES (GEOS dedups
+    # repeated linework at the edge level — piece-level dedup alone let
+    # a collinear fold-back emit a spur piece that double-covered its
+    # edge, breaking length conservation; code-review r11)
     pieces: dict[tuple, list[Point]] = {}
+    seen_edges: set[tuple[Point, Point]] = set()
+
+    def emit(piece: list[Point]) -> None:
+        if len(piece) >= 2:
+            key = tuple(min(tuple(piece), tuple(reversed(piece))))
+            pieces[key] = piece
+
     for c in noded:
-        start = 0
+        cur = [c[0]]
         for k in range(1, len(c)):
-            if c[k] in nodes or k == len(c) - 1:
-                piece = c[start : k + 1]
-                if len(piece) >= 2:
-                    key = tuple(min(tuple(piece), tuple(reversed(piece))))
-                    pieces[key] = piece
-                start = k
+            e = (c[k - 1], c[k])
+            ue = e if e <= (e[1], e[0]) else (e[1], e[0])
+            if ue in seen_edges:
+                emit(cur)
+                cur = [c[k]]
+                continue
+            seen_edges.add(ue)
+            cur.append(c[k])
+            if c[k] in nodes and k < len(c) - 1:
+                emit(cur)
+                cur = [c[k]]
+        emit(cur)
     return list(pieces.values())
 
 
@@ -181,7 +230,12 @@ def node_wkt(wkt) -> str | None:
     s = str(wkt).strip()
     m = _ov._EMPTY_RE.match(s.upper())
     if m:
-        return "GEOMETRYCOLLECTION EMPTY"
+        # lineal-only surface even for EMPTY: POINT EMPTY / POLYGON
+        # EMPTY stay loud NULL like their non-empty kinds
+        # (code-review r11)
+        if m.group(1) in ("LINESTRING", "MULTILINESTRING", "GEOMETRYCOLLECTION"):
+            return "GEOMETRYCOLLECTION EMPTY"
+        return None
     g = G.parse_wkt(s)
     if g is None:
         return None
@@ -222,11 +276,7 @@ def _angle_cmp(d1: Point, d2: Point) -> int:
     return 0 if cr == 0 else (-1 if cr > 0 else 1)
 
 
-def _ring_area2(ring: list[Point]):
-    s = 0
-    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
-    return s
+_ring_area2 = signed_area2
 
 
 def polygonize_geoms(chains: list[list[Point]]) -> list[Geometry]:
@@ -306,8 +356,9 @@ def polygonize_geoms(chains: list[list[Point]]) -> list[Geometry]:
             continue
         break
 
-    shells = [(r, _ring_area2(r)) for r in rings if _ring_area2(r) > 0]
-    holes = [(r, -_ring_area2(r)) for r in rings if _ring_area2(r) < 0]
+    areas = [(r, _ring_area2(r)) for r in rings]
+    shells = [(r, a) for r, a in areas if a > 0]
+    holes = [(r, -a) for r, a in areas if a < 0]
     polys: list[list[list[Point]]] = [[r] for r, _a in shells]
     for hr, ha in holes:
         # attach to the smallest shell strictly containing it (equal
@@ -338,7 +389,12 @@ def polygonize_wkt(wkt) -> str | None:
     s = str(wkt).strip()
     m = _ov._EMPTY_RE.match(s.upper())
     if m:
-        return "GEOMETRYCOLLECTION EMPTY"
+        # lineal-only surface even for EMPTY: POINT EMPTY / POLYGON
+        # EMPTY stay loud NULL like their non-empty kinds
+        # (code-review r11)
+        if m.group(1) in ("LINESTRING", "MULTILINESTRING", "GEOMETRYCOLLECTION"):
+            return "GEOMETRYCOLLECTION EMPTY"
+        return None
     g = G.parse_wkt(s)
     if g is None:
         return None

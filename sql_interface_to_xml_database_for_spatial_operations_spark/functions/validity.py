@@ -60,7 +60,6 @@ from .geometry import Geometry, Point
 from .relations import (
     _collinear_overlap_exists,
     _on_any_segment,
-    _on_segment,
     _ringlines,
     interiors_intersect,
 )
@@ -236,11 +235,13 @@ def _parity_cells(rings: list[list[Point]]) -> list | None:
 
 
 def _signed_area2(ring: list[Point]):
-    """Twice the signed shoelace area (exact under Fractions)."""
-    s = 0
-    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
-    return s
+    """Twice the signed shoelace area — delegates to the shared
+    primitive in noding.py (code-review r11: the first independent copy
+    of this machinery drifted and reintroduced a fixed bug; one audited
+    kernel now serves both modules)."""
+    from .noding import signed_area2
+
+    return signed_area2(ring)
 
 
 def _node_ring(ring: list[Point]) -> list[Point]:
@@ -248,47 +249,19 @@ def _node_ring(ring: list[Point]) -> list[Point]:
     an explicit vertex: proper segment crossings solved exactly, plus
     every vertex lying on another segment's interior (T-contacts —
     which also covers collinear fold-backs, whose overlap endpoints are
-    vertices of one of the two segments)."""
+    vertices of one of the two segments). The pairwise exact splitter
+    is shared with ST_Node (noding.pairwise_splits)."""
+    from .noding import pairwise_splits
+
     n = len(ring) - 1
     segs = [(ring[i], ring[i + 1]) for i in range(n)]
-    splits: list[list] = [[] for _ in range(n)]
-
-    def param(p: Point, a: Point, b: Point):
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        t = (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
-        return t
-
-    def add_split(k: int, p: Point) -> None:
-        a, b = segs[k]
-        if p != a and p != b and _on_segment(p, a, b):
-            splits[k].append((param(p, a, b), p))
-
-    for i in range(n):
-        a1, a2 = segs[i]
-        for j in range(i + 1, n):
-            b1, b2 = segs[j]
-            d1 = (a2[0] - a1[0], a2[1] - a1[1])
-            d2 = (b2[0] - b1[0], b2[1] - b1[1])
-            denom = d1[0] * d2[1] - d1[1] * d2[0]
-            if denom != 0:
-                w = (b1[0] - a1[0], b1[1] - a1[1])
-                t = (w[0] * d2[1] - w[1] * d2[0]) / denom
-                u = (w[0] * d1[1] - w[1] * d1[0]) / denom
-                if 0 <= t <= 1 and 0 <= u <= 1:
-                    p = (a1[0] + t * d1[0], a1[1] + t * d1[1])
-                    add_split(i, p)
-                    add_split(j, p)
-            # T-contacts and collinear overlaps: endpoints on the other
-            for p in (b1, b2):
-                add_split(i, p)
-            for p in (a1, a2):
-                add_split(j, p)
+    splits = pairwise_splits(segs)
     out: list[Point] = []
     for i in range(n):
         a, _b = segs[i]
         if not out or a != out[-1]:
             out.append(a)
-        for _t, p in sorted(set(splits[i])):
+        for _t, p in splits[i]:
             if p != out[-1]:
                 out.append(p)
     if out[0] != out[-1]:

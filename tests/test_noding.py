@@ -175,3 +175,55 @@ class TestPolygonize:
         for i in range(len(faces)):
             for j in range(i + 1, len(faces)):
                 assert not interiors_intersect(faces[i], faces[j]), (out, i, j)
+
+
+class TestReviewRegressions:
+    """code-review r11 follow-ups on the noding kernel."""
+
+    def test_collinear_foldback_noded_once(self):
+        ps = _pieces("LINESTRING (0 0, 4 0, 2 0)")
+        assert len(ps) == 2
+        assert abs(sum(G.length(p) for p in ps) - 4.0) < 1e-12
+        # spur into a ring: unique linework length, no double cover
+        ps = _pieces("LINESTRING (0 0, 4 0, 2 0, 2 2, 0 2, 0 0)")
+        assert abs(sum(G.length(p) for p in ps) - 10.0) < 1e-12
+
+    def test_non_lineal_empty_kinds_are_null(self):
+        assert node_wkt("POINT EMPTY") is None
+        assert polygonize_wkt("POLYGON EMPTY") is None
+        assert node_wkt("MULTILINESTRING EMPTY") == "GEOMETRYCOLLECTION EMPTY"
+        assert polygonize_wkt("GEOMETRYCOLLECTION EMPTY") == "GEOMETRYCOLLECTION EMPTY"
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_fuzz_multivertex_chains(self, seed):
+        # the first fuzz only generated 2-point chains, which is exactly
+        # why the fold-back bug survived it
+        rng = random.Random(8500 + seed)
+        lines = []
+        for _ in range(3):
+            pts, x, y = [], rng.randint(0, 8), rng.randint(0, 8)
+            pts.append((x, y))
+            for _k in range(rng.randint(2, 4)):
+                x, y = x + rng.randint(-3, 3), y + rng.randint(-3, 3)
+                if (x, y) != pts[-1]:
+                    pts.append((x, y))
+            if len(pts) >= 2:
+                lines.append("(" + ", ".join(f"{a} {b}" for a, b in pts) + ")")
+        if len(lines) < 2:
+            return
+        w = f"MULTILINESTRING ({', '.join(lines)})"
+        ps = _pieces(w)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            _collinear_overlap_exists,
+            _line_line_interiors,
+        )
+
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                a, b = ps[i], ps[j]
+                assert not _collinear_overlap_exists(a, b), (w, i, j)
+                ends = {tuple(a.coords[0]), tuple(a.coords[-1])} & {
+                    tuple(b.coords[0]), tuple(b.coords[-1])
+                }
+                if not ends:
+                    assert not _line_line_interiors(a, b), (w, i, j)
