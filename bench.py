@@ -100,6 +100,7 @@ HEADLINE = [
     "q161_st_collect_dump",
     "q162_st_subdivide",
     "q163_jpeg_pixels",
+    "q164_st_node_polygonize",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
