@@ -129,7 +129,11 @@ def dbscan(
     )
     # cap far above the fixture class: rounds track component hop
     # diameter, and chains spaced just under eps can be deep
-    labels = connected_components(cedges, max_iters=200)
+    # shortcut=True: DBSCAN components at eps-spacing are chain-shaped,
+    # so pointer doubling turns the O(diameter) min-label rounds into
+    # O(log diameter) — the 200-round cap now covers astronomically
+    # deep chains (2^200) rather than 200-hop ones (r11)
+    labels = connected_components(cedges, max_iters=200, shortcut=True)
     clab = (
         core.join(labels, "id", "left")
         .select("id", F.coalesce(F.col("label"), F.col("id")).alias("label"))

@@ -495,7 +495,10 @@ def q90_dedup_clusters(spark, sf_dir):
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 50, check_every: int = 1
+    pairs: DataFrame,
+    max_iters: int = 50,
+    check_every: int = 1,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (id, label) with
     label = component min id. Iterative min-label propagation: every
@@ -520,6 +523,20 @@ def connected_components(
     - each check localCheckpoints the labels, truncating lineage so the
       plan doesn't grow with iteration count (20+ chained joins would
       stall the optimizer long before the data is the problem).
+
+    ``shortcut=True`` adds a POINTER-DOUBLING join per round — relabel
+    every node through its label's own label, ``L(v) ← min(L(v),
+    L(L(v)))`` — so the distance a min-label still has to travel halves
+    each round and convergence needs O(log diameter) rounds instead of
+    O(diameter) (the standard shortcutting of MapReduce connected
+    components). Every label value is itself a node id, so the extra
+    step is one self-join on the label table; it preserves the
+    monotone-decrease invariant the convergence check relies on. Leave
+    it off for near-clique dup graphs (diameter 1-2, where the extra
+    join only adds cost); turn it on for chain-shaped graphs — DBSCAN
+    components at eps-spacing are exactly that (r11: q160's ~25
+    propagation rounds at sf0.1 drop to ~6, and at 100 TB the round
+    count is the wall-clock driver, each round being a full shuffle).
 
     Exceeding ``max_iters`` without converging raises: silently returning
     half-propagated labels would yield wrong cluster ids (ADVICE r1).
@@ -558,6 +575,24 @@ def connected_components(
             "id",
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
+        if shortcut:
+            # pointer doubling: follow the label's own label once —
+            # L(L(v)) ≤ L(v) by monotonicity, so least() keeps the
+            # invariant; the left join keeps nodes whose label row
+            # is mid-shuffle... every label IS a node id, so the
+            # match can only miss if the label table were filtered,
+            # which it never is (left join is belt-and-braces).
+            lab = new_labels.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
+            )
+            new_labels = new_labels.join(
+                lab, new_labels.label == lab.lid, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                ).alias("label"),
+            )
         if i % check_every == 0 or i == max_iters:
             new_labels = new_labels.localCheckpoint(eager=True)  # materialize + cut lineage
             if id_is_numeric:

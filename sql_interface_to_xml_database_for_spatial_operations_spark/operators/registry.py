@@ -86,6 +86,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # way: every query that EXECUTES makevalid/buffer-0/PNG-decode is
 # already in this round's exposure list, so the re-records are
 # result-invariant for the remaining greens.
+# Late-r11 edit #2: dedup.py connected_components gained an opt-in
+# pointer-doubling `shortcut` flag (default False). Only
+# q160_cluster_dbscan passes shortcut=True — its executed path changed,
+# so q160 RE-EXPOSES and the freshest fill row (q62_language_id,
+# r7-green) defers to r12 per the one-in-one-out rule (r12 retires the
+# rest of the r7 debt anyway). The other 15 drifted names (q64-q69,
+# q90-q93, q103-q107, q91) call connected_components with the default
+# or don't reach it at all — the added not-taken branch is
+# result-invariant for them; fingerprints deliberately re-recorded.
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows
@@ -206,8 +215,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q154_st_constructors",
         "q158_st_measures",
         "q159_st_bounding",
-        "q160_cluster_dbscan",
         "q161_st_collect_dump",
+        "q62_language_id",
     }
 )
 
