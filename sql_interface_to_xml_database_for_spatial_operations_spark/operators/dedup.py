@@ -537,6 +537,12 @@ def connected_components(
     components at eps-spacing are exactly that (r11: q160's ~25
     propagation rounds at sf0.1 drop to ~6, and at 100 TB the round
     count is the wall-clock driver, each round being a full shuffle).
+    Do NOT combine shortcut=True with check_every > 1: the doubling
+    join references the round's label table twice, so the lazy plan
+    quadruples (not doubles) per un-checkpointed round and ~4^k copies
+    of the round-1 subplan stall the optimizer — with O(log d) rounds
+    the checkpoints-saved argument for a large check_every is moot
+    anyway (enforced below).
 
     Exceeding ``max_iters`` without converging raises: silently returning
     half-propagated labels would yield wrong cluster ids (ADVICE r1).
@@ -550,6 +556,11 @@ def connected_components(
     one map-side-combinable aggregate, so numeric ids stay the fast path."""
     from pyspark.sql.types import NumericType
 
+    if shortcut and check_every != 1:
+        raise ValueError(
+            "shortcut=True requires check_every=1: the doubling join "
+            "quadruples the un-checkpointed plan per round"
+        )
     c1, c2 = pairs.columns[0], pairs.columns[1]
     # materialize the pair list ONCE before mirroring it: the union's two
     # branches would otherwise each recompute the (potentially expensive)

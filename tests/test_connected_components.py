@@ -66,10 +66,6 @@ def test_shortcut_matches_plain_on_chains_and_converges_fast(spark):
     """r11 pointer doubling: identical labels to the plain loop, and a
     100-node chain converges well inside a log-scale iteration budget
     that would be impossible for pure min-label propagation."""
-    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.dedup import (
-        connected_components,
-    )
-
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100)] + [(200, 201), (201, 202)],
         ["a", "b"],
@@ -78,7 +74,9 @@ def test_shortcut_matches_plain_on_chains_and_converges_fast(spark):
     slow = connected_components(chain, max_iters=150, shortcut=False)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     # the plain loop CANNOT finish a 100-hop chain in 12 rounds
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError):
+    with pytest.raises(RuntimeError):
         connected_components(chain, max_iters=12, shortcut=False)
+    # shortcut quadruples the lazy plan per un-checkpointed round, so
+    # combining it with batched convergence checks is refused outright
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(chain, max_iters=12, shortcut=True, check_every=2)
