@@ -27,17 +27,18 @@ Scale shape — the 100 TB plan, not a pairwise cross join:
 2. exact distance filter on the candidates (same float formula as the
    oracle: dx² + dy² ≤ eps², bit-identical binary64 on both engines);
 3. degree count → core flag (one aggregate);
-4. core-core edges (deduplicated to one direction — the CC helper
-   mirrors internally) → ``dedup.connected_components`` (iterative
-   min-label propagation, one shuffle round per iteration). Rounds ≈
-   component HOP diameter ≤ partition extent / eps for space-filling
-   clusters, but a chain of points spaced just under eps can push the
-   hop count toward the cluster's point count, so the iteration cap
-   is 200, far above this fixture class (~25 observed at sf0.1);
-   isolated cores keep their own label via the left-join coalesce;
-   (q47/q97's ``spatial_ops._grid_candidates`` is the
-   fixture-specialized ancestor of step 1's candidate join — this
-   module's ``dbscan`` carries the generic (id, part, x, y) form);
+4. core-core edges (deduplicated to one direction — the CC helpers
+   mirror internally) → ``dedup.connected_components_star``
+   (alternating large-star/small-star edge contraction, Kiveris et
+   al. 2014). Rounds are O(log² n) in component size — 6 measured at
+   sf0.1 — NOT component hop diameter, so a chain of points spaced
+   just under eps costs the same handful of shuffle rounds as a blob;
+   min-label propagation (the r10 implementation) needed ~25 rounds
+   here and O(point count) on eps-chains. Isolated cores keep their
+   own label via the left-join coalesce; (q47/q97's
+   ``spatial_ops._grid_candidates`` is the fixture-specialized
+   ancestor of step 1's candidate join — this module's ``dbscan``
+   carries the generic (id, part, x, y) form);
 5. border assignment: one aggregate over non-core candidate pairs.
 
 Oracle: DuckDB recursive-CTE transitive closure over the same
@@ -49,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import connected_components
+from .dedup import connected_components_star
 from .registry import query
 from .spatial_ops import CUSTOMER_POINTS_SQL, customer_points
 
@@ -127,13 +128,12 @@ def dbscan(
         .filter(F.col("ia") < F.col("ib"))  # CC mirrors internally
         .select("ia", "ib")
     )
-    # cap far above the fixture class: rounds track component hop
-    # diameter, and chains spaced just under eps can be deep
-    # shortcut=True: DBSCAN components at eps-spacing are chain-shaped,
-    # so pointer doubling turns the O(diameter) min-label rounds into
-    # O(log diameter) — the 200-round cap now covers astronomically
-    # deep chains (2^200) rather than 200-hop ones (r11)
-    labels = connected_components(cedges, max_iters=200, shortcut=True)
+    # star contraction, not min-label propagation: DBSCAN components at
+    # eps-spacing are chain-shaped, so label propagation needs
+    # O(diameter) shuffle rounds (~25 at sf0.1) where large-star/
+    # small-star needs O(log² n) (measured 6) — and an eps-chain of ANY
+    # depth stays inside the default round budget (r11)
+    labels = connected_components_star(cedges)
     clab = (
         core.join(labels, "id", "left")
         .select("id", F.coalesce(F.col("label"), F.col("id")).alias("label"))

@@ -8,6 +8,7 @@ import pytest
 
 from sql_interface_to_xml_database_for_spatial_operations_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
 )
 
 
@@ -62,21 +63,54 @@ def test_string_ids_nonconvergence_raises(spark):
         connected_components(pairs, max_iters=2)
 
 
-def test_shortcut_matches_plain_on_chains_and_converges_fast(spark):
-    """r11 pointer doubling: identical labels to the plain loop, and a
-    100-node chain converges well inside a log-scale iteration budget
-    that would be impossible for pure min-label propagation."""
+def test_star_matches_plain_on_chain_within_log_rounds(spark):
+    """r11 star contraction: identical labels to min-label propagation
+    on a 100-hop chain plus a separate component, converging inside an
+    iteration budget that is impossible for O(diameter) propagation."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(100)] + [(200, 201), (201, 202)],
         ["a", "b"],
     )
-    fast = connected_components(chain, max_iters=12, shortcut=True)
-    slow = connected_components(chain, max_iters=150, shortcut=False)
+    fast = connected_components_star(chain, max_iters=10)
+    slow = connected_components(chain, max_iters=150)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
-    # the plain loop CANNOT finish a 100-hop chain in 12 rounds
+    # min-label propagation CANNOT finish a 100-hop chain in 10 rounds
     with pytest.raises(RuntimeError):
-        connected_components(chain, max_iters=12, shortcut=False)
-    # shortcut quadruples the lazy plan per un-checkpointed round, so
-    # combining it with batched convergence checks is refused outright
-    with pytest.raises(ValueError, match="check_every"):
-        connected_components(chain, max_iters=12, shortcut=True, check_every=2)
+        connected_components(chain, max_iters=10)
+
+
+def test_star_random_graphs_match_plain(spark):
+    """Cross-validate the two independent CC implementations on random
+    graphs (the r10 lesson: consistency fuzz between independent kernels
+    is the highest-yield test class)."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edges, "doc1 long, doc2 long")
+        star = sorted(map(tuple, connected_components_star(pairs).collect()))
+        plain = sorted(map(tuple, connected_components(pairs, max_iters=100).collect()))
+        assert star == plain, f"trial {trial}: {star} != {plain}"
+
+
+def test_star_string_ids(spark):
+    # set-equality convergence has no numeric-id restriction: lexical
+    # min becomes the component label
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(10, 18)] + [("x1", "x2")],
+        "doc1 string, doc2 string",
+    )
+    labels = {r["id"]: r["label"] for r in connected_components_star(pairs).collect()}
+    assert labels == {f"d{i:02d}": "d10" for i in range(10, 19)} | {"x1": "x1", "x2": "x1"}
+
+
+def test_star_empty_and_self_loops(spark):
+    pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+    assert connected_components_star(pairs).count() == 0
+    # self-loops alone carry no connectivity and produce no rows
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "doc1 long, doc2 long")
+    assert connected_components_star(loops).count() == 0
