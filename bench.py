@@ -94,13 +94,14 @@ HEADLINE = [
     "q157_st_makevalid",
     "q158_st_measures",
     "q159_st_bounding",
-    # iterative clustering: ~10 s at sf0.1 is the min-label loop's
-    # ~25 scheduling-bound rounds (component diameter), not data volume
+    # iterative clustering: large-star/small-star contraction, ~6
+    # scheduling-bound shuffle rounds at sf0.1 (was ~25 min-label ones)
     "q160_cluster_dbscan",
     "q161_st_collect_dump",
     "q162_st_subdivide",
     "q163_jpeg_pixels",
     "q164_st_node_polygonize",
+    "q165_st_tessellate",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

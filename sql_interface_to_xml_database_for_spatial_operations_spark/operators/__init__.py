@@ -49,3 +49,4 @@ def load_all() -> None:
     from . import subdivide_ops  # noqa: F401
     from . import jpeg_ops  # noqa: F401
     from . import noding_ops  # noqa: F401
+    from . import tessellate_ops  # noqa: F401

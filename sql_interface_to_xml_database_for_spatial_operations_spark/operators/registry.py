@@ -86,15 +86,21 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # way: every query that EXECUTES makevalid/buffer-0/PNG-decode is
 # already in this round's exposure list, so the re-records are
 # result-invariant for the remaining greens.
-# Late-r11 edit #2: dedup.py connected_components gained an opt-in
-# pointer-doubling `shortcut` flag (default False). Only
-# q160_cluster_dbscan passes shortcut=True — its executed path changed,
-# so q160 RE-EXPOSES and the freshest fill row (q62_language_id,
+# Late-r11 edit #2: dedup.py gained connected_components_star
+# (large-star/small-star edge contraction, O(log² n) rounds) and
+# q160_cluster_dbscan switched to it — its executed path changed, so
+# q160 RE-EXPOSES and the freshest fill row (q62_language_id,
 # r7-green) defers to r12 per the one-in-one-out rule (r12 retires the
-# rest of the r7 debt anyway). The other 15 drifted names (q64-q69,
-# q90-q93, q103-q107, q91) call connected_components with the default
-# or don't reach it at all — the added not-taken branch is
+# rest of the r7 debt anyway). A pointer-doubling variant of the plain
+# loop was tried first, measured useless (25→23 rounds; ids are random
+# w.r.t. structure) and removed again within the round. The other 15
+# drifted names (q64-q69, q90-q93, q103-q107, q91) still call the
+# UNCHANGED plain min-label loop — the added sibling function is
 # result-invariant for them; fingerprints deliberately re-recorded.
+# Late-r11 edit #3: the new q165_st_tessellate (ST_DelaunayTriangles /
+# ST_VoronoiPolygons) registers WITH its driver row; the freshest
+# remaining fill row (q60_token_count, r7-green) defers to r12 in its
+# place, same one-in-one-out rule as q62.
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows
@@ -216,6 +222,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q158_st_measures",
         "q159_st_bounding",
         "q161_st_collect_dump",
+        "q60_token_count",
         "q62_language_id",
     }
 )

@@ -45,6 +45,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.subdiv
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding import (  # noqa: E402
     register_noding_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (  # noqa: E402
+    register_tessellate_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -91,6 +94,7 @@ def spark():
     register_validity_functions(s)
     register_subdivide_functions(s)
     register_noding_functions(s)
+    register_tessellate_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

@@ -383,6 +383,7 @@ def test_r10_geometry_families_are_map_only(spark):
         "q158_st_measures",
         "q159_st_bounding",
         "q164_st_node_polygonize",
+        "q165_st_tessellate",
     ):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, name

@@ -1,0 +1,193 @@
+"""Tessellation family tests: exact-predicate Bowyer-Watson Delaunay and
+all-pairs half-plane Voronoi (functions/tessellate.py), kernel-level
+invariant fuzz plus the Spark SQL surface."""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+    _gc_wkt,
+    _in_circumcircle,
+    _orient,
+    delaunay_geom,
+    delaunay_triangles,
+    voronoi_cells,
+    voronoi_geom,
+)
+
+
+def _wkt(s):
+    return G.parse_wkt(s)
+
+
+class TestDelaunayKernel:
+    def test_three_points_single_triangle(self):
+        got = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 4 0, 0 3)")))
+        assert got == "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 0 3, 0 0)))"
+
+    def test_collinear_empty(self):
+        got = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 1 1, 2 2)")))
+        assert got == "GEOMETRYCOLLECTION EMPTY"
+
+    def test_under_three_points_empty(self):
+        assert _gc_wkt(delaunay_geom(_wkt("POINT (5 7)"))) == "GEOMETRYCOLLECTION EMPTY"
+        assert (
+            _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 3 4)")))
+            == "GEOMETRYCOLLECTION EMPTY"
+        )
+
+    def test_quad_plus_interior_count_and_area(self):
+        # Euler: any triangulation of a convex quad + 1 interior site
+        # has exactly 4 triangles covering the quad
+        d = delaunay_geom(_wkt("MULTIPOINT (0 0, 30 0, 30 20, 0 20, 1 1)"))
+        assert len(d.coords) == 4
+        assert G.area(d) == pytest.approx(600.0)
+
+    def test_cocircular_square_deterministic(self):
+        # 4 cocircular corners: strict-incircle tie-break keeps one
+        # diagonal deterministically; both triangulations cover area 100
+        d = delaunay_geom(_wkt("MULTIPOINT (0 0, 10 0, 10 10, 0 10)"))
+        assert len(d.coords) == 2
+        assert G.area(d) == pytest.approx(100.0)
+        # pure function of the WKT: repeated runs identical
+        assert _gc_wkt(d) == _gc_wkt(
+            delaunay_geom(_wkt("MULTIPOINT (0 0, 10 0, 10 10, 0 10)"))
+        )
+
+    def test_duplicate_vertices_collapse(self):
+        a = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 4 0, 0 3, 4 0, 0 0)")))
+        b = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 4 0, 0 3)")))
+        assert a == b
+
+    def test_fuzz_delaunay_property_and_hull_cover(self):
+        """THE Delaunay condition, checked exactly: no site strictly
+        inside any triangle's circumcircle; triangles exactly cover the
+        convex hull."""
+        rng = random.Random(7)
+        for trial in range(20):
+            pts = list({(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(rng.randint(3, 14))})
+            if len(pts) < 3:
+                continue
+            fr = [(Fraction(x), Fraction(y)) for x, y in pts]
+            tris = delaunay_triangles(pts)
+            if all(_orient(fr[0], fr[1], p) == 0 for p in fr[2:]):
+                assert tris == []
+                continue
+            for t in tris:
+                a, b, c = t if _orient(*t) > 0 else (t[0], t[2], t[1])
+                for p in fr:
+                    if p in t:
+                        continue
+                    assert not _in_circumcircle(a, b, c, p), (
+                        f"trial {trial}: {p} strictly inside circumcircle of {t}"
+                    )
+            mp = G.Geometry("MultiPoint", [(float(x), float(y)) for x, y in pts])
+            hull_area = G.area(G.convex_hull(mp))
+            tri_area = sum(
+                G.area(
+                    G.Geometry(
+                        "Polygon",
+                        [[(float(px), float(py)) for px, py in t] + [(float(t[0][0]), float(t[0][1]))]],
+                    )
+                )
+                for t in tris
+            )
+            assert tri_area == pytest.approx(hull_area, abs=1e-9), f"trial {trial}"
+
+
+class TestVoronoiKernel:
+    def test_two_sites(self):
+        got = _gc_wkt(voronoi_geom(_wkt("MULTIPOINT (0 0, 2 0)")))
+        assert got == (
+            "GEOMETRYCOLLECTION (POLYGON ((-2 -2, 1 -2, 1 2, -2 2, -2 -2)), "
+            "POLYGON ((1 -2, 4 -2, 4 2, 1 2, 1 -2)))"
+        )
+
+    def test_single_site_unit_pad(self):
+        got = _gc_wkt(voronoi_geom(_wkt("POINT (5 7)")))
+        assert got == "GEOMETRYCOLLECTION (POLYGON ((4 6, 6 6, 6 8, 4 8, 4 6)))"
+
+    def test_collinear_sites_have_cells(self):
+        # no Delaunay triangulation exists, but Voronoi cells do —
+        # the all-pairs construction is independent of the dual
+        cells = voronoi_cells([(0, 0), (2, 2), (4, 4)])
+        assert len(cells) == 3
+
+    def test_fuzz_partition_invariants(self):
+        """Cells partition the clip envelope: count = #sites, total area
+        = envelope area (exact over Fractions), and the cell containing
+        a probe point belongs to the probe's nearest site."""
+        rng = random.Random(11)
+        for trial in range(15):
+            pts = list({(rng.randint(0, 12), rng.randint(0, 12)) for _ in range(rng.randint(2, 9))})
+            fr = [(Fraction(x), Fraction(y)) for x, y in pts]
+            cells = voronoi_cells(pts)
+            assert len(cells) == len(pts), f"trial {trial}"
+            xs = [p[0] for p in fr]
+            ys = [p[1] for p in fr]
+            pad = max(max(xs) - min(xs), max(ys) - min(ys)) or Fraction(1)
+            clip_area = (max(xs) - min(xs) + 2 * pad) * (max(ys) - min(ys) + 2 * pad)
+            total = Fraction(0)
+            for _s, cell in cells:
+                acc = Fraction(0)
+                for i in range(len(cell)):
+                    x1, y1 = cell[i]
+                    x2, y2 = cell[(i + 1) % len(cell)]
+                    acc += x1 * y2 - x2 * y1
+                total += abs(acc) / 2
+            assert total == clip_area, f"trial {trial}: {total} != {clip_area}"
+            for _ in range(15):
+                px, py = Fraction(rng.randint(0, 12)), Fraction(rng.randint(0, 12))
+                best_d2 = min((s[0] - px) ** 2 + (s[1] - py) ** 2 for s, _c in cells)
+                for s, cell in cells:
+                    strictly_inside = all(
+                        (cell[(i + 1) % len(cell)][0] - cell[i][0]) * (py - cell[i][1])
+                        - (cell[(i + 1) % len(cell)][1] - cell[i][1]) * (px - cell[i][0])
+                        > 0
+                        for i in range(len(cell))
+                    )
+                    if strictly_inside:
+                        assert (s[0] - px) ** 2 + (s[1] - py) ** 2 == best_d2
+
+
+class TestSparkSurface:
+    def test_sql_roundtrip(self, spark):
+        row = spark.sql(
+            "SELECT st_delaunaytriangles('MULTIPOINT (0 0, 4 0, 0 3)') AS d, "
+            "st_voronoipolygons('MULTIPOINT (0 0, 2 0)') AS v, "
+            "st_delaunaytriangles('MULTIPOINT (0 0, 1 1, 2 2)') AS dc, "
+            "st_area(st_voronoipolygons('MULTIPOINT (0 0, 2 0)')) AS va"
+        ).collect()[0]
+        assert row["d"] == "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 0 3, 0 0)))"
+        assert row["v"].startswith("GEOMETRYCOLLECTION (POLYGON ((-2 -2, 1 -2")
+        assert row["dc"] == "GEOMETRYCOLLECTION EMPTY"
+        assert row["va"] == pytest.approx(24.0)  # 6 x 4 clip box
+
+    def test_malformed_and_empty(self, spark):
+        row = spark.sql(
+            "SELECT st_delaunaytriangles('nonsense') AS bad, "
+            "st_delaunaytriangles('POINT EMPTY') AS de, "
+            "st_voronoipolygons('POINT EMPTY') AS ve"
+        ).collect()[0]
+        assert row["bad"] is None
+        assert row["de"] == "GEOMETRYCOLLECTION EMPTY"
+        assert row["ve"] == "GEOMETRYCOLLECTION EMPTY"
+
+    def test_q165_matches_duckdb_oracle(self, spark, oracle):
+        # test_parity sweeps this too; the standalone copy keeps the
+        # family debuggable in isolation
+        from conftest import SF_DIR, assert_parity
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.tessellate_ops import (
+            _Q165_ORACLE,
+            q165_st_tessellate,
+        )
+
+        assert_parity(
+            q165_st_tessellate(spark, SF_DIR), oracle, _Q165_ORACLE, "q165"
+        )

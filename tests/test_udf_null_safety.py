@@ -33,6 +33,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.subdiv
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding import (
     ALL_NODING_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+    ALL_TESSELLATE_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
@@ -80,6 +83,7 @@ _SWEPT = {
     **ALL_VALIDITY_FUNCTIONS,
     **ALL_SUBDIVIDE_FUNCTIONS,
     **ALL_NODING_FUNCTIONS,
+    **ALL_TESSELLATE_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
