@@ -90,22 +90,37 @@ def _in_circumcircle(a: FPoint, b: FPoint, c: FPoint, d: FPoint) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint]]:
-    """Delaunay triangulation of the distinct input points as a list of
-    CCW vertex triples. [] for <3 distinct or fully collinear input."""
-    pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
+def _hull_area2(pts: list[FPoint]) -> Fraction:
+    """Twice the convex-hull area of sorted distinct points — exact
+    (Andrew monotone chain over Fractions)."""
     if len(pts) < 3:
-        return []
-    if all(_orient(pts[0], pts[1], p) == 0 for p in pts[2:]):
-        return []
-    # super-triangle comfortably containing every site: grow the bbox
-    # by 3x its max dimension so circumcircles of interior triangles
-    # never reach the fake vertices' region in a way that changes the
-    # interior topology (they're removed at the end regardless)
+        return Fraction(0)
+    lower: list[FPoint] = []
+    for p in pts:
+        while len(lower) >= 2 and _orient(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[FPoint] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and _orient(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    acc = Fraction(0)
+    for i in range(len(hull)):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % len(hull)]
+        acc += x1 * y2 - x2 * y1
+    return abs(acc)
+
+
+def _bowyer_watson(
+    pts: list[FPoint], m: Fraction
+) -> list[tuple[FPoint, FPoint, FPoint]]:
+    """One Bowyer-Watson pass with super-triangle margin ``m``."""
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
-    m = max(maxx - minx, maxy - miny, Fraction(1)) * 16
     s1: FPoint = (minx - m, miny - m)
     s2: FPoint = (maxx + 3 * m, miny - m)
     s3: FPoint = (minx - m, maxy + 3 * m)
@@ -126,8 +141,52 @@ def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint
                 tris.append((a, b, p))
             elif _orient(a, b, p) < 0:
                 tris.append((b, a, p))
-            # collinear boundary edge: degenerate sliver, skip
+            # a collinear boundary edge is unreachable under exact
+            # arithmetic (p on line ab strictly inside a circle through
+            # a and b lies strictly inside the open chord, making BOTH
+            # adjacent faces bad, so (a,b) is never a boundary edge);
+            # if it ever fired the coverage check below would catch the
+            # hole and retry/raise
     return [t for t in tris if not (set(t) & supers)]
+
+
+def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint]]:
+    """Delaunay triangulation of the distinct input points as a list of
+    CCW vertex triples. [] for <3 distinct or fully collinear input.
+
+    A FINITE super-triangle cannot be placed safely a priori: a thin
+    (near-collinear) real triangle has an arbitrarily large circumcircle
+    that can swallow the fake vertices, silently dropping the triangle
+    from the result (found by the r11 review: a 1:200 sliver returned
+    EMPTY). Instead of a magic margin, each pass is VERIFIED exactly —
+    Σ 2·triangle areas must equal the hull's 2·area (both Fractions, so
+    the check is exact: every real face that survives has an empty
+    circumcircle w.r.t. the real sites, and full hull coverage means
+    none was lost to a super) — and on failure the margin grows 1024×.
+    Termination: the true Delaunay circumradii of a fixed input are
+    finite, so some margin puts the supers outside all of them; the cap
+    is a loud RuntimeError (NULL at the SQL surface), never a silently
+    truncated triangulation."""
+    pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
+    if len(pts) < 3:
+        return []
+    if all(_orient(pts[0], pts[1], p) == 0 for p in pts[2:]):
+        return []
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    m = max(max(xs) - min(xs), max(ys) - min(ys), Fraction(1)) * 16
+    want = _hull_area2(pts)
+    for _attempt in range(8):
+        tris = _bowyer_watson(pts, m)
+        got = Fraction(0)
+        for a, b, c in tris:
+            got += abs(
+                (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            )
+        if got == want:
+            return tris
+        m *= 1024
+    raise RuntimeError("delaunay: super-triangle margin failed to converge")
 
 
 def _canon_ring(tri: tuple[FPoint, FPoint, FPoint]) -> list[FPoint]:

@@ -653,17 +653,26 @@ def connected_components_star(
     from pyspark.sql.window import Window
 
     c1, c2 = pairs.columns[0], pairs.columns[1]
-    raw = pairs.select(
-        F.col(c1).alias("a"), F.col(c2).alias("b")
-    ).filter(F.col("a") != F.col("b"))
-    # canonical child→parent orientation: (u, v) with v < u
-    E = (
-        raw.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    raw = pairs.select(F.col(c1).alias("a"), F.col(c2).alias("b"))
+    # every id mentioned in ANY pair gets an output row — including ids
+    # seen only in self-loop pairs, matching connected_components (which
+    # mirrors the unfiltered pair list into its label table)
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if E.isEmpty():
-        return E.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    # canonical child→parent orientation: (u, v) with v < u
+    E = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = E.count()
+    if n_edges == 0:
+        return nodes.select("id", F.col("id").alias("label"))
     w = Window.partitionBy("u")
     converged = False
     for _ in range(1, max_iters + 1):
@@ -698,12 +707,14 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # exact fixpoint: same row count and no row of E' outside E
-        # (both deduplicated, so set equality)
-        if new_E.count() == E.count() and new_E.exceptAll(E).isEmpty():
+        # (both deduplicated, so set equality); the previous count is
+        # carried in n_edges — one count job per round, not two
+        new_n = new_E.count()
+        if new_n == n_edges and new_E.exceptAll(E).isEmpty():
             E = new_E
             converged = True
             break
-        E = new_E
+        E, n_edges = new_E, new_n
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within {max_iters} "
@@ -711,14 +722,12 @@ def connected_components_star(
             "indicates a bug, not an undersized bound"
         )
     # fixpoint edges form stars: every non-root points at its component
-    # min; roots are v-values that never appear as a left endpoint
+    # min; every other mentioned id (star roots, self-loop-only and
+    # otherwise isolated nodes) labels itself
     lbl = E.groupBy("u").agg(F.min("v").alias("label")).select(
         F.col("u").alias("id"), "label"
     )
-    roots = (
-        E.select(F.col("v").alias("id"))
-        .distinct()
-        .join(lbl, "id", "left_anti")
-        .select("id", F.col("id").alias("label"))
+    selfs = nodes.join(lbl, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
     )
-    return lbl.union(roots)
+    return lbl.union(selfs)

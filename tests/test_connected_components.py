@@ -111,6 +111,9 @@ def test_star_string_ids(spark):
 def test_star_empty_and_self_loops(spark):
     pairs = spark.createDataFrame([], "doc1 long, doc2 long")
     assert connected_components_star(pairs).count() == 0
-    # self-loops alone carry no connectivity and produce no rows
-    loops = spark.createDataFrame([(5, 5), (7, 7)], "doc1 long, doc2 long")
-    assert connected_components_star(loops).count() == 0
+    # self-loops carry no connectivity but their ids still get rows —
+    # the same output contract as the plain loop (r11 review)
+    loops = spark.createDataFrame([(5, 5), (7, 7), (7, 9)], "doc1 long, doc2 long")
+    star = sorted(map(tuple, connected_components_star(loops).collect()))
+    plain = sorted(map(tuple, connected_components(loops).collect()))
+    assert star == plain == [(5, 5), (7, 7), (9, 7)]

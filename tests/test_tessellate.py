@@ -59,6 +59,19 @@ class TestDelaunayKernel:
             delaunay_geom(_wkt("MULTIPOINT (0 0, 10 0, 10 10, 0 10)"))
         )
 
+    def test_thin_triangles_survive(self):
+        # r11 review: a sliver's circumcircle can swallow any FINITE
+        # super-triangle, silently dropping the face — the exact
+        # hull-coverage check + margin retry must recover it
+        d = delaunay_geom(_wkt("MULTIPOINT (0 0, 10 0.1, 20 0)"))
+        assert len(d.coords) == 1
+        assert G.area(d) == pytest.approx(1.0)  # base 20 x height 0.1 / 2
+        d = delaunay_geom(_wkt("MULTIPOINT (0 0, 10 0.0000001, 20 0, 10 10)"))
+        hull = G.area(G.convex_hull(_wkt("MULTIPOINT (0 0, 10 0.0000001, 20 0, 10 10)")))
+        assert G.area(d) == pytest.approx(hull, abs=1e-12)
+        d = delaunay_geom(_wkt("MULTIPOINT (0 0, 500 1, 1000 0)"))
+        assert len(d.coords) == 1 and G.area(d) == pytest.approx(500.0)
+
     def test_duplicate_vertices_collapse(self):
         a = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 4 0, 0 3, 4 0, 0 0)")))
         b = _gc_wkt(delaunay_geom(_wkt("MULTIPOINT (0 0, 4 0, 0 3)")))
@@ -69,8 +82,12 @@ class TestDelaunayKernel:
         inside any triangle's circumcircle; triangles exactly cover the
         convex hull."""
         rng = random.Random(7)
-        for trial in range(20):
-            pts = list({(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(rng.randint(3, 14))})
+        for trial in range(24):
+            if trial % 3 == 2:
+                # thin configurations: huge circumcircles (r11 review class)
+                pts = list({(rng.randint(0, 2000), rng.randint(0, 2)) for _ in range(rng.randint(3, 10))})
+            else:
+                pts = list({(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(rng.randint(3, 14))})
             if len(pts) < 3:
                 continue
             fr = [(Fraction(x), Fraction(y)) for x, y in pts]
