@@ -102,6 +102,7 @@ HEADLINE = [
     "q163_jpeg_pixels",
     "q164_st_node_polygonize",
     "q165_st_tessellate",
+    "q166_st_split",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

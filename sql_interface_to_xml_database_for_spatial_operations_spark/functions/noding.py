@@ -71,6 +71,7 @@ def _frac_chain(c: list[Point]) -> list[Point]:
 
 def pairwise_splits(
     segs: list[tuple[Point, Point]],
+    others: list[tuple[Point, Point]] | None = None,
 ) -> list[list[tuple]]:
     """For each segment, the sorted (param, point) INTERIOR split points
     induced by every other segment: proper crossings solved exactly in
@@ -80,15 +81,27 @@ def pairwise_splits(
     shared exact-splitting primitive: validity's ring noding delegates
     here (code-review r11 — the first copy drifted and reintroduced the
     fold-back bug its original had fixed). Segment-pair work is
-    bbox-prescreened before any rational arithmetic."""
+    bbox-prescreened before any rational arithmetic.
+
+    With ``others``, splits on ``segs`` are induced ONLY by the second
+    list (cross-splitting, no self-noding) — the ST_Split(line, line)
+    semantics, where the target's own self-intersections must survive.
+    """
     from .relations import _on_segment
 
     n = len(segs)
     splits: list[set] = [set() for _ in range(n)]
-    boxes = [
-        (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
-        for a, b in segs
-    ]
+
+    def boxes_of(ss):
+        return [
+            (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+            for a, b in ss
+        ]
+
+    boxes = boxes_of(segs)
+    cross_only = others is not None
+    second = segs if others is None else others
+    sboxes = boxes if others is None else boxes_of(others)
 
     def param(p: Point, a: Point, b: Point):
         dx, dy = b[0] - a[0], b[1] - a[1]
@@ -102,11 +115,13 @@ def pairwise_splits(
     for i in range(n):
         a1, a2 = segs[i]
         bi = boxes[i]
-        for j in range(i + 1, n):
-            bj = boxes[j]
+        for j in range(len(second) if cross_only else n):
+            if not cross_only and j <= i:
+                continue
+            bj = sboxes[j]
             if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
                 continue
-            b1, b2 = segs[j]
+            b1, b2 = second[j]
             d1 = (a2[0] - a1[0], a2[1] - a1[1])
             d2 = (b2[0] - b1[0], b2[1] - b1[1])
             den = d1[0] * d2[1] - d1[1] * d2[0]
@@ -117,11 +132,13 @@ def pairwise_splits(
                 if 0 <= t <= 1 and 0 <= u <= 1:
                     p = (a1[0] + t * d1[0], a1[1] + t * d1[1])
                     add(i, p)
-                    add(j, p)
+                    if not cross_only:
+                        add(j, p)
             for p in (b1, b2):
                 add(i, p)
-            for p in (a1, a2):
-                add(j, p)
+            if not cross_only:
+                for p in (a1, a2):
+                    add(j, p)
     return [sorted(s) for s in splits]
 
 

@@ -1,0 +1,217 @@
+"""ST_Split — cut a geometry by a blade (PostGIS name the reference
+forwards verbatim, F12 src/index.ts:44-63).
+
+Supported operand pairs, matching PostGIS:
+
+- LINE split by POINT / MULTIPOINT: the line is cut at every blade
+  point lying exactly on it (Fraction-exact on-segment test); blade
+  points off the line change nothing.
+- LINE split by LINE: cut at every proper crossing and T-contact with
+  the blade — computed by the same exact pairwise-split primitive the
+  noding/validity kernels share (``noding.pairwise_splits`` with the
+  cross-only operand), so the target's OWN self-intersections are NOT
+  noded, exactly PostGIS's behavior.
+- POLYGON / MULTIPOLYGON split by LINE: polygonize the arrangement of
+  the polygon's rings plus the blade (``noding.polygonize_geoms`` —
+  exact noding, half-edge face walk, dangle peeling), then keep the
+  faces whose interior point lies inside the target. Dangle peeling
+  gives the PostGIS semantics for partial cuts free of charge: a blade
+  that does not fully cross contributes only dangles, so the polygon
+  comes back whole; hole islands are discarded by the interior test.
+
+Anything else (point targets, polygon blades) is a loud NULL, as is an
+EMPTY target; an EMPTY blade returns the target unchanged. The result
+is always a ``GEOMETRYCOLLECTION`` (single-part results included),
+parts sorted by WKT — the engine's deterministic collection order.
+
+Scale shape: map-only Arrow-batched pandas UDF; per-row cost is the
+noding cost of the row's own vertex count.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry, Point
+from .measures import point_on_surface
+from .noding import _chains_of, _float_chain, _frac_chain, pairwise_splits, polygonize_geoms
+
+
+def _cut_chain(chain: list[Point], cuts: set[Point]) -> list[list[Point]]:
+    """Cut an (exact) chain at the given vertices (which must already be
+    vertices of the chain); endpoints produce no empty pieces."""
+    pieces: list[list[Point]] = []
+    cur = [chain[0]]
+    for p in chain[1:]:
+        cur.append(p)
+        if p in cuts and p != chain[-1]:
+            pieces.append(cur)
+            cur = [p]
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return pieces
+
+
+def _insert_points(chain: list[Point], pts: list[Point]) -> tuple[list[Point], set[Point]]:
+    """Insert every blade point lying on the chain as a vertex; returns
+    the refined chain and the cut vertices (on-chain blade points)."""
+    from .relations import _on_segment
+
+    cuts: set[Point] = set()
+    out: list[Point] = [chain[0]]
+    for i in range(len(chain) - 1):
+        a, b = chain[i], chain[i + 1]
+        on_seg = []
+        for p in pts:
+            if p == a or p == b:
+                # blade point on an existing vertex: cut there (a cut at
+                # the chain's own endpoints is a no-op in _cut_chain)
+                cuts.add(p)
+                continue
+            if _on_segment(p, a, b):
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                t = (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
+                on_seg.append((t, p))
+        for _t, p in sorted(on_seg):
+            if p != out[-1]:
+                out.append(p)
+                cuts.add(p)
+        if b != out[-1]:
+            out.append(b)
+    return out, cuts
+
+
+def _lineal_chains(g: Geometry) -> list[list[Point]] | None:
+    return _chains_of(g)
+
+
+def _blade_points(g: Geometry) -> list[Point] | None:
+    if g.kind == "Point":
+        return [g.coords]
+    if g.kind == "MultiPoint":
+        return list(g.coords)
+    return None
+
+
+def split_geoms(target: Geometry, blade: Geometry) -> list[Geometry] | None:
+    """The split parts, or None for unsupported operand pairs."""
+    tchains = _lineal_chains(target)
+    if tchains is not None:
+        tfr = [_frac_chain(c) for c in tchains]
+        bpts = _blade_points(blade)
+        pieces: list[list[Point]] = []
+        if bpts is not None:
+            bfr = [(Fraction(x), Fraction(y)) for x, y in bpts]
+            for c in tfr:
+                refined, cuts = _insert_points(c, bfr)
+                pieces.extend(_cut_chain(refined, cuts))
+        else:
+            bchains = _lineal_chains(blade)
+            if bchains is None:
+                return None
+            bfrc = [_frac_chain(c) for c in bchains]
+            tsegs: list[tuple[Point, Point]] = []
+            seg_ix: list[tuple[int, int]] = []
+            for ci, c in enumerate(tfr):
+                for si in range(len(c) - 1):
+                    seg_ix.append((ci, si))
+                    tsegs.append((c[si], c[si + 1]))
+            bsegs = [
+                (c[si], c[si + 1]) for c in bfrc for si in range(len(c) - 1)
+            ]
+            splits = pairwise_splits(tsegs, others=bsegs)
+            per_seg = dict(zip(seg_ix, splits))
+            for ci, c in enumerate(tfr):
+                refined: list[Point] = [c[0]]
+                cuts: set[Point] = set()
+                for si in range(len(c) - 1):
+                    for _t, p in per_seg.get((ci, si), ()):
+                        if p != refined[-1]:
+                            refined.append(p)
+                        cuts.add(p)
+                    if c[si + 1] != refined[-1]:
+                        refined.append(c[si + 1])
+                # the blade passing THROUGH a target vertex (as a blade
+                # vertex or mid-segment) also cuts there — the interior
+                # split list above only carries mid-segment crossings
+                from .relations import _on_segment
+
+                for v in refined[1:-1]:
+                    if any(_on_segment(v, b1, b2) for b1, b2 in bsegs):
+                        cuts.add(v)
+                pieces.extend(_cut_chain(refined, cuts))
+        return [Geometry("LineString", _float_chain(p)) for p in pieces]
+
+    if target.kind in ("Polygon", "MultiPolygon"):
+        bchains = _lineal_chains(blade)
+        if bchains is None:
+            return None
+        ring_chains = [list(r) for rings in G._polys(target) for r in rings]
+        faces = polygonize_geoms(
+            [_frac_chain(c) for c in ring_chains + bchains]
+        )
+        kept = []
+        for f in faces:
+            p = point_on_surface(f)
+            if p is not None and any(
+                G._point_in_polygon(p[0], p[1], rings)
+                for rings in G._polys(target)
+            ):
+                kept.append(f)
+        return kept
+    return None
+
+
+def split_wkt(twkt, bwkt) -> str | None:
+    if twkt is None or bwkt is None:
+        return None
+    ts, bs = str(twkt).strip(), str(bwkt).strip()
+    if _ov._EMPTY_RE.match(ts.upper()):
+        return None  # splitting nothing: loud NULL (no parts to return)
+    target = G.parse_wkt(ts)
+    if target is None:
+        return None
+    if _ov._EMPTY_RE.match(bs.upper()):
+        return G.to_wkt(Geometry("GeometryCollection", [target]))
+    blade = G.parse_wkt(bs)
+    if blade is None:
+        return None
+    pts = G._points(target) + G._points(blade)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    parts = split_geoms(target, blade)
+    if parts is None:
+        return None
+    parts = sorted(parts, key=G.to_wkt)
+    if not parts:
+        return "GEOMETRYCOLLECTION EMPTY"
+    return G.to_wkt(Geometry("GeometryCollection", parts))
+
+
+@pandas_udf(StringType())
+def st_split(twkt: pd.Series, bwkt: pd.Series) -> pd.Series:
+    out = []
+    for t, b in zip(twkt, bwkt):
+        try:
+            out.append(split_wkt(t, b))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_SPLIT_FUNCTIONS = {
+    "st_split": st_split,
+}
+
+
+def register_split_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_SPLIT_FUNCTIONS.items():
+        spark.udf.register(name, fn)

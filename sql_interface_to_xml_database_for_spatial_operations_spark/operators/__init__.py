@@ -50,3 +50,4 @@ def load_all() -> None:
     from . import jpeg_ops  # noqa: F401
     from . import noding_ops  # noqa: F401
     from . import tessellate_ops  # noqa: F401
+    from . import split_ops  # noqa: F401

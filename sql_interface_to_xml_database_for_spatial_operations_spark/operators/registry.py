@@ -101,6 +101,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # ST_VoronoiPolygons) registers WITH its driver row; the freshest
 # remaining fill row (q60_token_count, r7-green) defers to r12 in its
 # place, same one-in-one-out rule as q62.
+# Late-r11 edit #4: the new q166_st_split (ST_Split) registers WITH its
+# driver row; q61_quality_score (r7-green) defers to r12 in its place.
+# After these swaps the r12 fill plan is unchanged in substance: ALL
+# remaining r7 rows (now including q60-q64) re-expose in r12. The
+# noding.pairwise_splits signature gained an optional cross-only
+# operand for st_split; the default path is byte-for-byte the old
+# behavior, and every query EXECUTING noding/validity/makevalid
+# (q53/q155/q156/q157/q164) is already in this round's exposure list —
+# the fingerprint re-records for the rest are result-invariant.
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows
@@ -223,6 +232,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q159_st_bounding",
         "q161_st_collect_dump",
         "q60_token_count",
+        "q61_quality_score",
         "q62_language_id",
     }
 )

@@ -48,6 +48,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (  # noqa: E402
     register_tessellate_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (  # noqa: E402
+    register_split_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -95,6 +98,7 @@ def spark():
     register_subdivide_functions(s)
     register_noding_functions(s)
     register_tessellate_functions(s)
+    register_split_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

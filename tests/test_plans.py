@@ -384,6 +384,7 @@ def test_r10_geometry_families_are_map_only(spark):
         "q159_st_bounding",
         "q164_st_node_polygonize",
         "q165_st_tessellate",
+        "q166_st_split",
     ):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, name

@@ -36,6 +36,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.noding
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
     ALL_TESSELLATE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+    ALL_SPLIT_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
@@ -84,6 +87,7 @@ _SWEPT = {
     **ALL_SUBDIVIDE_FUNCTIONS,
     **ALL_NODING_FUNCTIONS,
     **ALL_TESSELLATE_FUNCTIONS,
+    **ALL_SPLIT_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
@@ -147,6 +151,7 @@ _NULL_ARGS = {
     "st_makepolygon_holes": f"{S}, CAST(NULL AS ARRAY<STRING>)",
     "st_affine": f"{S}, {D}, {D}, {D}, {D}, {D}, {D}",
     "st_relate": f"{S}, {S}",
+    "st_split": f"{S}, {S}",
     "st_subdivide": f"{S}, CAST(NULL AS INT)",
     "st_relatematch": f"{S}, {S}",
     "st_hausdorffdistance": f"{S}, {S}",
