@@ -103,21 +103,15 @@ def pairwise_splits(
     second = segs if others is None else others
     sboxes = boxes if others is None else boxes_of(others)
 
-    def param(p: Point, a: Point, b: Point):
-        dx, dy = b[0] - a[0], b[1] - a[1]
-        return (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
-
     def add(k: int, p: Point) -> None:
         a, b = segs[k]
         if p != a and p != b and _on_segment(p, a, b):
-            splits[k].add((param(p, a, b), p))
+            splits[k].add((seg_param(p, a, b), p))
 
     for i in range(n):
         a1, a2 = segs[i]
         bi = boxes[i]
-        for j in range(len(second) if cross_only else n):
-            if not cross_only and j <= i:
-                continue
+        for j in range(len(second)) if cross_only else range(i + 1, n):
             bj = sboxes[j]
             if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
                 continue
@@ -140,6 +134,30 @@ def pairwise_splits(
                 for p in (a1, a2):
                     add(j, p)
     return [sorted(s) for s in splits]
+
+
+def seg_param(p: Point, a: Point, b: Point):
+    """Parameter of on-segment point p along a→b (exact under Fractions)
+    — the shared formula pairwise_splits and st_split sort cuts by."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    return (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
+
+
+def insert_split_vertices(
+    chain: list[Point], splits_for
+) -> list[Point]:
+    """Rebuild a chain with each segment's sorted (param, point) splits
+    inserted as vertices (duplicates collapsed) — the shared rebuild
+    idiom of _noded_chains and st_split (one copy, per the r11
+    pairwise_splits lesson)."""
+    out = [chain[0]]
+    for si in range(len(chain) - 1):
+        for _t, p in splits_for(si):
+            if p != out[-1]:
+                out.append(p)
+        if chain[si + 1] != out[-1]:
+            out.append(chain[si + 1])
+    return out
 
 
 def signed_area2(ring: list[Point]):
@@ -177,16 +195,10 @@ def _noded_chains(chains: list[list[Point]]) -> list[list[Point]]:
     }
 
     # rebuild chains with split vertices inserted
-    noded: list[list[Point]] = []
-    for ci, c in enumerate(chains):
-        out = [c[0]]
-        for si in range(len(c) - 1):
-            for _t, p in splits.get((ci, si), ()):
-                if p != out[-1]:
-                    out.append(p)
-            if c[si + 1] != out[-1]:
-                out.append(c[si + 1])
-        noded.append(out)
+    noded: list[list[Point]] = [
+        insert_split_vertices(c, lambda si, ci=ci: splits.get((ci, si), ()))
+        for ci, c in enumerate(chains)
+    ]
 
     # nodes: chain endpoints, any point incident to >2 segments or to
     # segments of ≥2 chains, and any split vertex

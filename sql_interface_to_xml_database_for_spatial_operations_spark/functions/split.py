@@ -20,7 +20,11 @@ Supported operand pairs, matching PostGIS:
   comes back whole; hole islands are discarded by the interior test.
 
 Anything else (point targets, polygon blades) is a loud NULL, as is an
-EMPTY target; an EMPTY blade returns the target unchanged. The result
+EMPTY target and a blade with a LINEAR (1-dimensional) intersection —
+a blade running along the target — where PostGIS raises 'Splitter line
+has linear intersection with input' (engine convention: errors surface
+as NULL, never as invented part sets). An EMPTY blade returns the
+supported, finite target unchanged. The result
 is always a ``GEOMETRYCOLLECTION`` (single-part results included),
 parts sorted by WKT — the engine's deterministic collection order.
 
@@ -42,7 +46,53 @@ from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
 from .measures import point_on_surface
-from .noding import _chains_of, _float_chain, _frac_chain, pairwise_splits, polygonize_geoms
+from .noding import (
+    _chains_of,
+    _float_chain,
+    _frac_chain,
+    insert_split_vertices,
+    pairwise_splits,
+    polygonize_geoms,
+    seg_param,
+)
+from .relations import _on_any_segment, _on_segment
+
+
+def _linear_overlap(
+    tsegs: list[tuple[Point, Point]], bsegs: list[tuple[Point, Point]]
+) -> bool:
+    """True iff any blade segment runs ALONG a target segment (a
+    1-dimensional intersection): collinear with an overlap longer than a
+    point. PostGIS raises 'Splitter line has linear intersection with
+    input'; the engine convention is loud NULL. Exact over Fractions,
+    bbox-prescreened."""
+
+    def box(a, b):
+        return (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
+
+    tb = [box(a, b) for a, b in tsegs]
+    bb = [box(a, b) for a, b in bsegs]
+    for i, (a1, a2) in enumerate(tsegs):
+        bi = tb[i]
+        d1 = (a2[0] - a1[0], a2[1] - a1[1])
+        for j, (b1, b2) in enumerate(bsegs):
+            bj = bb[j]
+            if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
+                continue
+            d2 = (b2[0] - b1[0], b2[1] - b1[1])
+            if d1[0] * d2[1] - d1[1] * d2[0] != 0:
+                continue  # not parallel
+            w = (b1[0] - a1[0], b1[1] - a1[1])
+            if d1[0] * w[1] - d1[1] * w[0] != 0:
+                continue  # parallel but not collinear
+            # collinear: overlap longer than a point? compare intervals
+            # on the dominant axis
+            ax = 0 if abs(d1[0]) >= abs(d1[1]) else 1
+            lo1, hi1 = sorted((a1[ax], a2[ax]))
+            lo2, hi2 = sorted((b1[ax], b2[ax]))
+            if max(lo1, lo2) < min(hi1, hi2):
+                return True
+    return False
 
 
 def _cut_chain(chain: list[Point], cuts: set[Point]) -> list[list[Point]]:
@@ -63,8 +113,6 @@ def _cut_chain(chain: list[Point], cuts: set[Point]) -> list[list[Point]]:
 def _insert_points(chain: list[Point], pts: list[Point]) -> tuple[list[Point], set[Point]]:
     """Insert every blade point lying on the chain as a vertex; returns
     the refined chain and the cut vertices (on-chain blade points)."""
-    from .relations import _on_segment
-
     cuts: set[Point] = set()
     out: list[Point] = [chain[0]]
     for i in range(len(chain) - 1):
@@ -77,9 +125,7 @@ def _insert_points(chain: list[Point], pts: list[Point]) -> tuple[list[Point], s
                 cuts.add(p)
                 continue
             if _on_segment(p, a, b):
-                dx, dy = b[0] - a[0], b[1] - a[1]
-                t = (p[0] - a[0]) / dx if dx != 0 else (p[1] - a[1]) / dy
-                on_seg.append((t, p))
+                on_seg.append((seg_param(p, a, b), p))
         for _t, p in sorted(on_seg):
             if p != out[-1]:
                 out.append(p)
@@ -87,10 +133,6 @@ def _insert_points(chain: list[Point], pts: list[Point]) -> tuple[list[Point], s
         if b != out[-1]:
             out.append(b)
     return out, cuts
-
-
-def _lineal_chains(g: Geometry) -> list[list[Point]] | None:
-    return _chains_of(g)
 
 
 def _blade_points(g: Geometry) -> list[Point] | None:
@@ -101,9 +143,14 @@ def _blade_points(g: Geometry) -> list[Point] | None:
     return None
 
 
+def _segs_of(chains: list[list[Point]]) -> list[tuple[Point, Point]]:
+    return [(c[si], c[si + 1]) for c in chains for si in range(len(c) - 1)]
+
+
 def split_geoms(target: Geometry, blade: Geometry) -> list[Geometry] | None:
-    """The split parts, or None for unsupported operand pairs."""
-    tchains = _lineal_chains(target)
+    """The split parts, or None for unsupported operand pairs or a blade
+    with a linear (1-dimensional) intersection with the target."""
+    tchains = _chains_of(target)
     if tchains is not None:
         tfr = [_frac_chain(c) for c in tchains]
         bpts = _blade_points(blade)
@@ -114,7 +161,7 @@ def split_geoms(target: Geometry, blade: Geometry) -> list[Geometry] | None:
                 refined, cuts = _insert_points(c, bfr)
                 pieces.extend(_cut_chain(refined, cuts))
         else:
-            bchains = _lineal_chains(blade)
+            bchains = _chains_of(blade)
             if bchains is None:
                 return None
             bfrc = [_frac_chain(c) for c in bchains]
@@ -124,40 +171,46 @@ def split_geoms(target: Geometry, blade: Geometry) -> list[Geometry] | None:
                 for si in range(len(c) - 1):
                     seg_ix.append((ci, si))
                     tsegs.append((c[si], c[si + 1]))
-            bsegs = [
-                (c[si], c[si + 1]) for c in bfrc for si in range(len(c) - 1)
-            ]
+            bsegs = _segs_of(bfrc)
+            if _linear_overlap(tsegs, bsegs):
+                return None
             splits = pairwise_splits(tsegs, others=bsegs)
             per_seg = dict(zip(seg_ix, splits))
+            bxs = [x for b1, b2 in bsegs for x in (b1[0], b2[0])]
+            bys = [y for b1, b2 in bsegs for y in (b1[1], b2[1])]
+            bbox = (min(bxs), min(bys), max(bxs), max(bys))
             for ci, c in enumerate(tfr):
-                refined: list[Point] = [c[0]]
-                cuts: set[Point] = set()
-                for si in range(len(c) - 1):
-                    for _t, p in per_seg.get((ci, si), ()):
-                        if p != refined[-1]:
-                            refined.append(p)
-                        cuts.add(p)
-                    if c[si + 1] != refined[-1]:
-                        refined.append(c[si + 1])
+                refined = insert_split_vertices(
+                    c, lambda si, ci=ci: per_seg.get((ci, si), ())
+                )
+                cuts: set[Point] = {
+                    p for si in range(len(c) - 1) for _t, p in per_seg.get((ci, si), ())
+                }
                 # the blade passing THROUGH a target vertex (as a blade
                 # vertex or mid-segment) also cuts there — the interior
-                # split list above only carries mid-segment crossings
-                from .relations import _on_segment
-
-                for v in refined[1:-1]:
-                    if any(_on_segment(v, b1, b2) for b1, b2 in bsegs):
+                # split list above only carries mid-segment crossings.
+                # Original vertices only (inserted cuts are on the blade
+                # by construction), blade-bbox prescreened.
+                for v in c[1:-1]:
+                    if (
+                        bbox[0] <= v[0] <= bbox[2]
+                        and bbox[1] <= v[1] <= bbox[3]
+                        and _on_any_segment(v, bsegs)
+                    ):
                         cuts.add(v)
                 pieces.extend(_cut_chain(refined, cuts))
         return [Geometry("LineString", _float_chain(p)) for p in pieces]
 
     if target.kind in ("Polygon", "MultiPolygon"):
-        bchains = _lineal_chains(blade)
+        bchains = _chains_of(blade)
         if bchains is None:
             return None
         ring_chains = [list(r) for rings in G._polys(target) for r in rings]
-        faces = polygonize_geoms(
-            [_frac_chain(c) for c in ring_chains + bchains]
-        )
+        rfr = [_frac_chain(c) for c in ring_chains]
+        bfrc = [_frac_chain(c) for c in bchains]
+        if _linear_overlap(_segs_of(rfr), _segs_of(bfrc)):
+            return None
+        faces = polygonize_geoms(rfr + bfrc)
         kept = []
         for f in faces:
             p = point_on_surface(f)
@@ -170,6 +223,9 @@ def split_geoms(target: Geometry, blade: Geometry) -> list[Geometry] | None:
     return None
 
 
+_TARGET_KINDS = ("LineString", "MultiLineString", "Polygon", "MultiPolygon")
+
+
 def split_wkt(twkt, bwkt) -> str | None:
     if twkt is None or bwkt is None:
         return None
@@ -177,15 +233,23 @@ def split_wkt(twkt, bwkt) -> str | None:
     if _ov._EMPTY_RE.match(ts.upper()):
         return None  # splitting nothing: loud NULL (no parts to return)
     target = G.parse_wkt(ts)
-    if target is None:
+    # the target gates (supported kind, finite coordinates) apply before
+    # the empty-blade echo — a point target or inf/nan vertex is a loud
+    # NULL for EVERY blade (code-review r11)
+    if target is None or target.kind not in _TARGET_KINDS:
+        return None
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in G._points(target)
+    ):
         return None
     if _ov._EMPTY_RE.match(bs.upper()):
         return G.to_wkt(Geometry("GeometryCollection", [target]))
     blade = G.parse_wkt(bs)
     if blade is None:
         return None
-    pts = G._points(target) + G._points(blade)
-    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in G._points(blade)
+    ):
         return None
     parts = split_geoms(target, blade)
     if parts is None:

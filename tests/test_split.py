@@ -127,6 +127,25 @@ class TestPolygonSplits:
         assert split_wkt("LINESTRING (0 0, 30 0)", "LINESTRING EMPTY") == (
             "GEOMETRYCOLLECTION (LINESTRING (0 0, 30 0))"
         )
+        # the target gates apply before the empty-blade echo
+        assert split_wkt("POINT (1 1)", "LINESTRING EMPTY") is None
+        assert split_wkt("LINESTRING (0 0, inf 1)", "LINESTRING EMPTY") is None
+
+    def test_linear_intersection_is_null(self):
+        # PostGIS: 'Splitter line has linear intersection with input';
+        # engine convention: loud NULL, never invented part sets
+        assert split_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (10 0, 20 0)") is None
+        assert (
+            split_wkt(
+                "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))", "LINESTRING (5 0, 25 0)"
+            )
+            is None
+        )
+        # a blade merely TOUCHING at a point is not linear: still splits
+        got = split_wkt(
+            "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))", "LINESTRING (10 -5, 10 25)"
+        )
+        assert got is not None
 
     def test_fuzz_area_conservation(self):
         """Random convex-ish boxes split by random full-cross blades:
