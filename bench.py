@@ -212,16 +212,28 @@ def main() -> None:
             "sf": sf_num,
         }
     )
-    if len(line) > 1900:  # headline list grew: shed precision first
-        line = json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "sf": sf_num,
-            }
-        )
+    if len(line) > 1900:  # headline list grew: shed precision, then
+        # whitespace (compact separators), then another decimal — the
+        # 63-row r11 list overflowed the 2-decimal default-separator
+        # form at 1915 chars
+        for kwargs in (
+            {"ndigits": 2},
+            {"ndigits": 2, "separators": (",", ":")},
+            {"ndigits": 1, "separators": (",", ":")},
+        ):
+            nd = kwargs.pop("ndigits")
+            line = json.dumps(
+                {
+                    "metric": "headline_query_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": {k: round(v, nd) for k, v in timings.items()},
+                    "sf": sf_num,
+                },
+                **kwargs,
+            )
+            if len(line) <= 1900:
+                break
     print(line)
 
 

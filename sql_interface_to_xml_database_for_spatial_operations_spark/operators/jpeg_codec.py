@@ -1,12 +1,21 @@
-"""REAL baseline JPEG codec (grayscale), stdlib + numpy only — closes
-the last multimodal codec gate (VERDICT r10 missing item 3: "JPEG
-pixel decode"; PNG closed in r10 the same way).
+"""REAL baseline JPEG codec (grayscale AND 4:4:4 YCbCr color), stdlib
++ numpy only — closes the last multimodal codec gate (VERDICT r10
+missing item 3: "JPEG pixel decode"; PNG closed in r10 the same way;
+color added late r11).
 
-Scope: ITU T.81 baseline sequential DCT, single 8-bit component
-(grayscale), 4:4:4, one DC + one AC Huffman table (the spec's Annex K
-"typical" luminance tables), no restart markers, no progressive, no
-subsampling. Multi-component or progressive streams raise ValueError
+Scope: ITU T.81 baseline sequential DCT, 8-bit, 1 component
+(grayscale) or 3 components (JFIF YCbCr) at 4:4:4 — every component
+unsubsampled, so an MCU is one 8×8 block per component, interleaved
+Y Cb Cr with independent DC predictors. One DC + one AC Huffman table
+(the spec's Annex K "typical" luminance tables, shared by all
+components — legal and simplest). No restart markers, no progressive,
+no chroma subsampling. Anything outside that class raises ValueError
 loudly — never a wrong raster.
+
+Color conversion is the JFIF full-range matrix, rounded with
+``floor(x + 0.5)`` on BOTH directions — the same round-half-up a SQL
+oracle can recompute term-for-term (np.rint's ties-to-even cannot be
+expressed as a DuckDB closed form).
 
 Exactness: with the all-ones quantization table this module emits, an
 image that is CONSTANT within each 8×8 tile has only a DC coefficient
@@ -121,6 +130,115 @@ def _segment(marker: bytes, payload: bytes) -> bytes:
     return marker + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + 0.5)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → uint8 YCbCr, JFIF full-range matrix with
+    round-half-up (term order matches the q163 SQL oracle)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(
+        _round_half_up(np.stack([y, cb, cr], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 YCbCr → uint8 RGB, JFIF inverse matrix with
+    round-half-up."""
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        _round_half_up(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _pad_blocks(plane: np.ndarray, width: int, height: int) -> np.ndarray:
+    bw, bh = -(-width // 8), -(-height // 8)
+    return np.pad(
+        plane, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+    ).astype(np.float64) - 128.0
+
+
+def _encode_block(writer: _BitWriter, block: np.ndarray, prev_dc: int) -> int:
+    """Forward-DCT + Huffman-encode one level-shifted 8×8 block against
+    the previous DC predictor; returns the new predictor."""
+    coef = _C @ block @ _C.T
+    q = np.rint(coef).astype(np.int64).reshape(-1)[_ZIGZAG]
+    dc, acs = int(q[0]), q[1:]
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, ln = _DC_ENC[cat]
+    writer.put(code, ln)
+    if cat:
+        writer.put(_amplitude_bits(diff, cat), cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(acs)[0])) + 1 if np.any(acs) else 0
+    for v in acs[:last_nz]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            if run == 16:
+                code, ln = _AC_ENC[0xF0]  # ZRL
+                writer.put(code, ln)
+                run = 0
+            continue
+        cat = _category(v)
+        code, ln = _AC_ENC[(run << 4) | cat]
+        writer.put(code, ln)
+        writer.put(_amplitude_bits(v, cat), cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_ENC[0x00]  # EOB
+        writer.put(code, ln)
+    return dc
+
+
+def _encode_planes(width: int, height: int, planes: list[np.ndarray]) -> bytes:
+    """Shared JFIF assembly for 1 (gray) or 3 (YCbCr 4:4:4) planes."""
+    ncomp = len(planes)
+    shifted = [_pad_blocks(p, width, height) for p in planes]
+    bw, bh = -(-width // 8), -(-height // 8)
+    writer = _BitWriter()
+    prev = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                block = shifted[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev[ci] = _encode_block(writer, block, prev[ci])
+
+    dqt = _segment(b"\xff\xdb", bytes([0x00]) + bytes([1] * 64))
+    comp_spec = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    sof0 = _segment(
+        b"\xff\xc0",
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([ncomp])
+        + comp_spec,
+    )
+    dht = _segment(
+        b"\xff\xc4",
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    scan_spec = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    sos = _segment(b"\xff\xda", bytes([ncomp]) + scan_spec + bytes([0, 63, 0]))
+    app0 = _segment(
+        b"\xff\xe0", b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + writer.flush() + b"\xff\xd9"
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     """Real baseline JFIF from 8-bit grayscale row-major ``pixels``,
     all-ones quantization (max quality; block-constant tiles round-trip
@@ -129,63 +247,22 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     if len(pixels) != width * height:
         raise ValueError(f"need w*h={width * height} bytes, got {len(pixels)}")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    shifted = padded.astype(np.float64) - 128.0
+    return _encode_planes(width, height, [img])
 
-    writer = _BitWriter()
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _C @ block @ _C.T
-            q = np.rint(coef).astype(np.int64).reshape(-1)[_ZIGZAG]
-            dc, acs = int(q[0]), q[1:]
-            diff = dc - prev_dc
-            prev_dc = dc
-            cat = _category(diff)
-            code, ln = _DC_ENC[cat]
-            writer.put(code, ln)
-            if cat:
-                writer.put(_amplitude_bits(diff, cat), cat)
-            run = 0
-            last_nz = int(np.max(np.nonzero(acs)[0])) + 1 if np.any(acs) else 0
-            for v in acs[:last_nz]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    if run == 16:
-                        code, ln = _AC_ENC[0xF0]  # ZRL
-                        writer.put(code, ln)
-                        run = 0
-                    continue
-                cat = _category(v)
-                code, ln = _AC_ENC[(run << 4) | cat]
-                writer.put(code, ln)
-                writer.put(_amplitude_bits(v, cat), cat)
-                run = 0
-            if last_nz < 63:
-                code, ln = _AC_ENC[0x00]  # EOB
-                writer.put(code, ln)
 
-    dqt = _segment(b"\xff\xdb", bytes([0x00]) + bytes([1] * 64))
-    sof0 = _segment(
-        b"\xff\xc0",
-        bytes([8])
-        + height.to_bytes(2, "big")
-        + width.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0]),
-    )
-    dht = _segment(
-        b"\xff\xc4",
-        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
-    )
-    sos = _segment(b"\xff\xda", bytes([1, 1, 0x00, 0, 63, 0]))
-    app0 = _segment(
-        b"\xff\xe0", b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + writer.flush() + b"\xff\xd9"
+def encode_jpeg_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """Real baseline 4:4:4 color JFIF from interleaved row-major RGB
+    ``pixels`` (3 bytes/px): JFIF YCbCr conversion (round-half-up), then
+    the same all-ones-quantization pipeline per component. A tile whose
+    RGB is constant has integer tile-constant YCbCr, so its planes
+    round-trip bit-exactly — the q163 color oracle's invariant."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"need w*h*3={width * height * 3} bytes, got {len(pixels)}"
+        )
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
+    ycc = rgb_to_ycbcr(rgb)
+    return _encode_planes(width, height, [ycc[..., i] for i in range(3)])
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +338,43 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """(width, height, grayscale bytes row-major) from a baseline
-    single-component JPEG. Loud ValueError on anything outside the
-    supported class (multi-component, progressive, restart intervals,
-    missing tables) — never a wrong raster."""
+def _decode_block(reader, dc_decode, ac_decode, qt, prev_dc: int):
+    """Huffman-decode + dequantize + IDCT one block; returns the uint8
+    8×8 pixel block and the updated DC predictor."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = dc_decode(reader)
+    prev_dc += _extend(reader.take(cat), cat) if cat else 0
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = ac_decode(reader)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.take(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * qt
+    block = _C.T @ coef.reshape(8, 8) @ _C
+    return (
+        np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8),
+        prev_dc,
+    )
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, ncomp, bytes) from a baseline JPEG: ncomp 1 →
+    grayscale row-major; ncomp 3 → interleaved RGB (JFIF YCbCr decoded
+    through the inverse matrix, round-half-up). Loud ValueError on
+    anything outside the supported class (progressive, restart
+    intervals, chroma subsampling, missing tables) — never a wrong
+    raster."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -273,8 +382,9 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, np.ndarray] = {}
     huff: dict[int, object] = {}
     w = h = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id → (dc, ac)
+    scan_order: list[int] = []
     scan_start = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -312,28 +422,39 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp != 1:
-                raise ValueError(f"{ncomp}-component JPEG unsupported (grayscale only)")
-            if seg[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_q = seg[8]
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (b"\xff\xc1", b"\xff\xc2", b"\xff\xc3"):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == b"\xff\xdd":
             raise ValueError("restart intervals unsupported")
         elif marker == b"\xff\xda":
-            if seg[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("partial-component scan unsupported")
+            for ci in range(ns):
+                cid, tbl = seg[1 + 2 * ci : 3 + 2 * ci]
+                scan_tables[cid] = (tbl >> 4, tbl & 0xF)
+                scan_order.append(cid)
             scan_start = i + 2 + n
             break
         i += 2 + n
-    if w is None or scan_start is None:
+    if w is None or scan_start is None or not comps:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if comp_q not in quant:
-        raise ValueError("JPEG missing quantization table")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("JPEG missing Huffman tables")
+    by_id = dict(comps)
+    for cid, tq in comps:
+        if tq not in quant:
+            raise ValueError("JPEG missing quantization table")
+    for cid in scan_order:
+        dc_id, ac_id = scan_tables[cid]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing Huffman tables")
     # The scan ends at the first non-stuffed, non-fill marker — NOT at
     # the payload's literal last two bytes: spec-valid files may carry
     # trailing bytes after EOI (code-review r11).
@@ -345,36 +466,36 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             break
         j += 1
     reader = _BitReader(b[scan_start:end])
-    dc_decode, ac_decode = huff[(0, dc_id)], huff[(1, ac_id)]
-    qt = quant[comp_q]
 
     bw, bh = -(-w // 8), -(-h // 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    prev_dc = 0
+    planes = {
+        cid: np.empty((bh * 8, bw * 8), dtype=np.uint8) for cid in scan_order
+    }
+    prev = {cid: 0 for cid in scan_order}
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = dc_decode(reader)
-            prev_dc += _extend(reader.take(cat), cat) if cat else 0
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = ac_decode(reader)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(reader.take(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz * qt
-            block = _C.T @ coef.reshape(8, 8) @ _C
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block + 128.0), 0, 255
-            ).astype(np.uint8)
-    return w, h, out[:h, :w].tobytes()
+            for cid in scan_order:
+                dc_id, ac_id = scan_tables[cid]
+                block, prev[cid] = _decode_block(
+                    reader,
+                    huff[(0, dc_id)],
+                    huff[(1, ac_id)],
+                    quant[by_id[cid]],
+                    prev[cid],
+                )
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    cropped = [planes[cid][:h, :w] for cid in scan_order]
+    if len(cropped) == 1:
+        return w, h, 1, cropped[0].tobytes()
+    rgb = ycbcr_to_rgb(np.stack(cropped, axis=-1))
+    return w, h, 3, rgb.tobytes()
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, grayscale bytes row-major) from a baseline
+    SINGLE-component JPEG — the r11 grayscale contract; color payloads
+    go through :func:`decode_jpeg`."""
+    w, h, ncomp, raw = decode_jpeg(payload)
+    if ncomp != 1:
+        raise ValueError(f"{ncomp}-component JPEG: use decode_jpeg")
+    return w, h, raw

@@ -433,17 +433,25 @@ def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
     """(width, height, grayscale bytes) from ANY supported container —
     sniffs the magic: SRAS bodies are already gray; PNG RGB/RGBA reduce
     by the integer ITU-R 601 luma (299r + 587g + 114b) // 1000, alpha
-    ignored; baseline grayscale JPEG decodes through the real
-    Huffman/IDCT codec (operators/jpeg_codec.py, r11 — the last codec
-    gate). This is what makes the resize/dHash pipelines
+    ignored; baseline JPEG (grayscale or 4:4:4 YCbCr color, r11)
+    decodes through the real Huffman/IDCT codec
+    (operators/jpeg_codec.py), color reduced by the same integer luma
+    as PNG. This is what makes the resize/dHash pipelines
     container-agnostic."""
     b = bytes(payload) if payload is not None else b""
     if b[:4] == SRAS_MAGIC:
         return decode_raster(b)
     if b[:2] == b"\xff\xd8":
-        from .jpeg_codec import decode_jpeg_gray
+        from .jpeg_codec import decode_jpeg
 
-        return decode_jpeg_gray(b)
+        w, h, ncomp, raw = decode_jpeg(b)
+        if ncomp == 1:
+            return w, h, raw
+        import numpy as np
+
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+        return w, h, gray.astype(np.uint8).tobytes()
     if b[: len(PNG_MAGIC)] == PNG_MAGIC:
         w, h, ch, raw = decode_png(b)
         if ch == 1:

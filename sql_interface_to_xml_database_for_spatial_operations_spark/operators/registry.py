@@ -110,6 +110,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # behavior, and every query EXECUTING noding/validity/makevalid
 # (q53/q155/q156/q157/q164) is already in this round's exposure list —
 # the fingerprint re-records for the rest are result-invariant.
+# Late-r11 edit #5: jpeg_codec.py gained the 4:4:4 YCbCr color path and
+# q163 (already exposed) now also pins rgb_sum; multimodal's
+# gray_raster_of JPEG branch handles 3-component too. Every query that
+# DECODES an image (q80-q82, q133, q136, q163) is already exposed;
+# q132 (audio) drifts only via the multimodal module closure —
+# result-invariant, fingerprint deliberately re-recorded.
 #
 # Round 12 rotation plan (write the r12 set from this): fold the 50
 # r11 greens in, then re-expose (a) the remaining r7-green rows

@@ -112,3 +112,101 @@ class TestJpegCodec:
         i = p.index(b"\xff\xdb")
         padded = p[:i] + b"\xff" + p[i:]
         assert decode_jpeg_gray(padded)[2] == img
+
+
+class TestJpegColor:
+    """4:4:4 YCbCr color path (late r11): interleaved MCUs, independent
+    DC predictors, JFIF matrices with round-half-up."""
+
+    def _tile_rgb(self, bw: int, bh: int, seed: int) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        tiles = rng.randint(0, 256, size=(bh, bw, 3), dtype=np.uint8)
+        return np.ascontiguousarray(
+            np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        )
+
+    def test_tile_constant_matches_conversion_closed_form(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+
+        for seed in range(6):
+            bw, bh = seed % 3 + 1, seed % 2 + 1
+            img = self._tile_rgb(bw, bh, seed)
+            p = encode_jpeg_rgb(bw * 8, bh * 8, img.tobytes())
+            w, h, nc, raw = decode_jpeg(p)
+            assert (w, h, nc) == (bw * 8, bh * 8, 3)
+            got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            # block-constant YCbCr survives the DCT bit-exactly, so the
+            # decode equals the pure conversion round trip
+            assert np.array_equal(got, ycbcr_to_rgb(rgb_to_ycbcr(img)))
+
+    def test_arbitrary_image_round_trip_tolerance(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+        )
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, size=(19, 26, 3), dtype=np.uint8)
+        p = encode_jpeg_rgb(26, 19, img.tobytes())
+        w, h, nc, raw = decode_jpeg(p)
+        assert (w, h, nc) == (26, 19, 3)
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(19, 26, 3).astype(int)
+        assert np.abs(got - img.astype(int)).max() <= 6
+
+    def test_gray_decoder_rejects_color(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            encode_jpeg_rgb,
+        )
+
+        p = encode_jpeg_rgb(8, 8, bytes(8 * 8 * 3))
+        with pytest.raises(ValueError, match="3-component"):
+            decode_jpeg_gray(p)
+
+    def test_color_truncation_is_loud(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+        )
+
+        img = self._tile_rgb(3, 2, 31)
+        p = encode_jpeg_rgb(24, 16, img.tobytes())
+        i = p.index(b"\xff\xda")
+        with pytest.raises(ValueError):
+            decode_jpeg(p[: i + (len(p) - i) // 2])
+
+    def test_subsampled_stream_rejected(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+        )
+
+        p = bytearray(encode_jpeg_rgb(8, 8, bytes(8 * 8 * 3)))
+        i = p.index(b"\xff\xc0")
+        # component 1's sampling byte: SOF0 payload = len(2) P(1) H(2)
+        # W(2) ncomp(1) then [id, sampling, tq] triplets
+        p[i + 2 + 8 + 1] = 0x22  # pretend 2x2-sampled luma
+        with pytest.raises(ValueError, match="subsampled"):
+            decode_jpeg(bytes(p))
+
+    def test_gray_raster_of_color_jpeg_reduces_by_luma(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            encode_jpeg_rgb,
+            rgb_to_ycbcr,
+            ycbcr_to_rgb,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.multimodal import (
+            gray_raster_of,
+        )
+
+        img = self._tile_rgb(2, 1, 40)
+        p = encode_jpeg_rgb(16, 8, img.tobytes())
+        w, h, raw = gray_raster_of(p)
+        assert (w, h) == (16, 8)
+        rgbp = ycbcr_to_rgb(rgb_to_ycbcr(img)).reshape(-1, 3).astype(np.int64)
+        want = ((rgbp @ np.array([299, 587, 114])) // 1000).astype(np.uint8)
+        assert raw == want.tobytes()
