@@ -448,6 +448,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     if w is None or scan_start is None or not comps:
         raise ValueError("JPEG missing SOF0 or SOS")
     by_id = dict(comps)
+    # the channel assignment below is positional (scan component k is
+    # Y/Cb/Cr), which is only sound for the JFIF-canonical id layout —
+    # anything else (duplicate ids, SOS ids missing from SOF, Adobe
+    # non-1/2/3 ids, reordered scans) must be loud, never a silently
+    # channel-swapped or predictor-shared raster (code-review r11)
+    if len(by_id) != len(comps) or set(scan_order) != set(by_id) or len(
+        scan_order
+    ) != len(set(scan_order)):
+        raise ValueError("SOS/SOF component ids inconsistent")
+    if len(comps) == 3 and ([cid for cid, _ in comps] != [1, 2, 3] or scan_order != [1, 2, 3]):
+        raise ValueError("non-JFIF component ids unsupported (need 1,2,3)")
     for cid, tq in comps:
         if tq not in quant:
             raise ValueError("JPEG missing quantization table")

@@ -438,6 +438,15 @@ def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
     (operators/jpeg_codec.py), color reduced by the same integer luma
     as PNG. This is what makes the resize/dHash pipelines
     container-agnostic."""
+    def luma(raw: bytes, ch: int) -> bytes:
+        # shared integer ITU-R 601 reduction for every multi-channel
+        # container (alpha channels beyond the first 3 ignored)
+        import numpy as np
+
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ch)[:, :3].astype(np.int64)
+        gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+        return gray.astype(np.uint8).tobytes()
+
     b = bytes(payload) if payload is not None else b""
     if b[:4] == SRAS_MAGIC:
         return decode_raster(b)
@@ -445,22 +454,10 @@ def gray_raster_of(payload: bytes) -> tuple[int, int, bytes]:
         from .jpeg_codec import decode_jpeg
 
         w, h, ncomp, raw = decode_jpeg(b)
-        if ncomp == 1:
-            return w, h, raw
-        import numpy as np
-
-        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-        gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
-        return w, h, gray.astype(np.uint8).tobytes()
+        return (w, h, raw) if ncomp == 1 else (w, h, luma(raw, 3))
     if b[: len(PNG_MAGIC)] == PNG_MAGIC:
         w, h, ch, raw = decode_png(b)
-        if ch == 1:
-            return w, h, raw
-        import numpy as np
-
-        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, ch)[:, :3].astype(np.int64)
-        gray = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
-        return w, h, gray.astype(np.uint8).tobytes()
+        return (w, h, raw) if ch == 1 else (w, h, luma(raw, ch))
     raise ValueError("not an SRAS, JPEG or PNG payload")
 
 

@@ -210,3 +210,24 @@ class TestJpegColor:
         rgbp = ycbcr_to_rgb(rgb_to_ycbcr(img)).reshape(-1, 3).astype(np.int64)
         want = ((rgbp @ np.array([299, 587, 114])) // 1000).astype(np.uint8)
         assert raw == want.tobytes()
+
+    def test_inconsistent_component_ids_rejected(self):
+        # code-review r11: duplicate or unknown SOS ids must be loud,
+        # never a channel-swapped / predictor-shared raster
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg_rgb,
+        )
+
+        base = encode_jpeg_rgb(8, 8, bytes([10, 200, 50]) * 64)
+        i = base.index(b"\xff\xda")
+        # SOS payload: len(2) ns(1) then [id, tables] pairs: ids at
+        # offsets i+5, i+7, i+9
+        dup = bytearray(base)
+        dup[i + 7] = 1  # component 2's id duplicated to 1
+        with pytest.raises(ValueError, match="component ids"):
+            decode_jpeg(bytes(dup))
+        unk = bytearray(base)
+        unk[i + 5] = 9  # id absent from SOF
+        with pytest.raises(ValueError, match="component ids"):
+            decode_jpeg(bytes(unk))
