@@ -286,6 +286,110 @@ def voronoi_geom(g: Geometry) -> Geometry | None:
 
 
 # ---------------------------------------------------------------------------
+# concave hull (chi-shape erosion of the Delaunay triangulation)
+# ---------------------------------------------------------------------------
+
+
+def _elen2(a: FPoint, b: FPoint) -> Fraction:
+    dx, dy = a[0] - b[0], a[1] - b[1]
+    return dx * dx + dy * dy
+
+
+def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
+    """Chi-shape concave hull (Duckham et al. 2008, the algorithm GEOS's
+    ConcaveHullOfPoints descends from): start from the Delaunay
+    triangulation, repeatedly remove the border triangle whose border
+    edge is the LONGEST above the length threshold, provided removal is
+    REGULAR (the exposed vertex is not already on the boundary — which
+    keeps the region simply connected and every input point on or
+    inside the hull). Threshold = lmin + ratio·(lmax − lmin) over the
+    Delaunay edge lengths, so ratio=1 is the convex hull and ratio=0
+    erodes maximally. Degenerate inputs (<3 distinct points, collinear)
+    echo their convex hull, as PostGIS does. Length comparisons use the
+    exact SQUARED lengths (Fractions) against a float threshold —
+    deterministic and tie-broken by edge coordinates."""
+    if ratio is None or not (0.0 <= float(ratio) <= 1.0):
+        return None
+    tris = delaunay_triangles(G._points(g))
+    if not tris:
+        return G.convex_hull(g)
+    edges_all: set[tuple[FPoint, FPoint]] = set()
+    for t in tris:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edges_all.add((min(e), max(e)))
+    l2s = sorted(float(_elen2(a, b)) for a, b in edges_all)
+    lmin, lmax = l2s[0] ** 0.5, l2s[-1] ** 0.5
+    if float(ratio) >= 1.0:
+        # exact: no edge can exceed the longest edge, so ratio=1 is the
+        # convex hull by construction (the float thr formula can land
+        # one ulp under lmax and erode anyway)
+        thr2 = l2s[-1]
+    else:
+        thr = lmin + float(ratio) * (lmax - lmin)
+        thr2 = thr * thr
+    live = set(tris)
+    while True:
+        edge_faces: dict[tuple[FPoint, FPoint], list] = {}
+        for t in live:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                edge_faces.setdefault((min(e), max(e)), []).append(t)
+        border = {e: fs[0] for e, fs in edge_faces.items() if len(fs) == 1}
+        bverts = {v for e in border for v in e}
+        candidates = [
+            (float(_elen2(*e)), e)
+            for e in border
+            if float(_elen2(*e)) > thr2
+        ]
+        # longest first, coordinates as the deterministic tie-break
+        candidates.sort(key=lambda x: (-x[0], x[1]))
+        removed = False
+        for _l2, e in candidates:
+            t = border[e]
+            (v,) = [p for p in t if p not in e]
+            if v in bverts:
+                continue  # irregular: exposing v would pinch the region
+            if len(live) == 1:
+                break  # never erode the last triangle away
+            live.discard(t)
+            removed = True
+            break
+        if not removed:
+            break
+    # boundary walk: border edges of the remaining triangulation form
+    # one simple ring (regularity invariant)
+    edge_faces = {}
+    for t in live:
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edge_faces.setdefault((min(e), max(e)), []).append(t)
+    border_edges = [e for e, fs in edge_faces.items() if len(fs) == 1]
+    nbr: dict[FPoint, list[FPoint]] = {}
+    for a, b in border_edges:
+        nbr.setdefault(a, []).append(b)
+        nbr.setdefault(b, []).append(a)
+    start = min(nbr)
+    ring = [start]
+    prev = None
+    cur = start
+    while True:
+        nxts = [p for p in nbr[cur] if p != prev]
+        nxt = nxts[0] if nxts else prev
+        if nxt == start:
+            break
+        ring.append(nxt)
+        prev, cur = cur, nxt
+    fring = _float_ring(ring)
+    # orient CCW (shoelace) for a canonical polygon
+    area2 = sum(
+        fring[i][0] * fring[(i + 1) % len(fring)][1]
+        - fring[(i + 1) % len(fring)][0] * fring[i][1]
+        for i in range(len(fring))
+    )
+    if area2 < 0:
+        fring = [fring[0]] + fring[1:][::-1]
+    return Geometry("Polygon", [fring + [fring[0]]])
+
+
+# ---------------------------------------------------------------------------
 # vectorized SQL surface
 # ---------------------------------------------------------------------------
 
@@ -332,9 +436,31 @@ def st_voronoipolygons(wkt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_concavehull(wkt: pd.Series, ratio: pd.Series) -> pd.Series:
+    import math as _math
+
+    out = []
+    for w, r in zip(wkt, ratio):
+        try:
+            if r is None or (isinstance(r, float) and _math.isnan(r)):
+                out.append(None)
+                continue
+            if _is_empty_wkt(w):
+                out.append("POLYGON EMPTY")
+                continue
+            g = G.parse_wkt_opt(w)
+            h = concave_hull_geom(g, float(r)) if g is not None else None
+            out.append(None if h is None else G.to_wkt(h))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_TESSELLATE_FUNCTIONS = {
     "st_delaunaytriangles": st_delaunaytriangles,
     "st_voronoipolygons": st_voronoipolygons,
+    "st_concavehull": st_concavehull,
 }
 
 

@@ -1,6 +1,6 @@
 """Driver row for the tessellation family (functions/tessellate.py):
-ST_DelaunayTriangles / ST_VoronoiPolygons — PostGIS names the reference
-forwards verbatim (F12, src/index.ts:44-63).
+ST_DelaunayTriangles / ST_VoronoiPolygons / ST_ConcaveHull — PostGIS
+names the reference forwards verbatim (F12, src/index.ts:44-63).
 
 Oracle design over the integer nation boxes (w = maxx-minx ≥ 30,
 h = maxy-miny ≥ 20):
@@ -23,6 +23,10 @@ h = maxy-miny ≥ 20):
 - ``vor_area4``: total Voronoi area always equals the clip-envelope
   area: (w + 2p)(h + 2p) with p = greatest(w, h) — the module's
   documented envelope convention, closed-form in SQL.
+- ``ch_convex``: the chi-shape at ratio 1 IS the convex hull (no edge
+  exceeds the longest edge) → area w·h for the corner 5-point set.
+- ``ch_bay`` / ``ch_monotone``: the fixed bay fixture (see inline
+  comment) erodes to exactly 312, and area is monotone in the ratio.
 
 Scale shape: map-only pandas UDFs over 25-row projections.
 """
@@ -76,6 +80,19 @@ _FOUR = sql_concat(
     CORNERS["tr"], "', '", CORNERS["tl"], "')'",
 )
 
+# fixed-size bay fixture (24×16 box + interior bay point at +12,+6),
+# offset by each box's corner: its chi-shape erosion is box-size
+# independent — one hand derivation serves all 25 rows. At ratio 0.5
+# the threshold lands between the bay edges (~15.6) and the 24-long
+# top/bottom edges; the bottom triangle erodes first (coordinate
+# tie-break), which puts the bay point on the boundary and makes the
+# top removal irregular → area 24·16 − 24·6/2 = 312 exactly.
+_BAY = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", _pt("minx + 24", "miny"), "', '",
+    _pt("minx + 24", "miny + 16"), "', '", _pt("minx", "miny + 16"), "', '",
+    _pt("minx + 12", "miny + 6"), "')'",
+)
+
 _FAMILIES = {
     "del_tri3": f"st_delaunaytriangles({_TRI3})",
     "del_count5": int_str(f"st_numgeometries(st_delaunaytriangles({_FIVE}))"),
@@ -85,6 +102,12 @@ _FAMILIES = {
     "vor_two": f"st_voronoipolygons({_TWO})",
     "vor_one": f"st_voronoipolygons({_BL_POINT})",
     "vor_area4": _micro(f"st_area(st_voronoipolygons({_FOUR}))"),
+    "ch_convex": _micro(f"st_area(st_concavehull({_FIVE}, 1.0))"),
+    "ch_bay": _micro(f"st_area(st_concavehull({_BAY}, 0.5))"),
+    "ch_monotone": (
+        f"CAST(st_area(st_concavehull({_BAY}, 0.2)) <= "
+        f"st_area(st_concavehull({_BAY}, 1.0)) AS STRING)"
+    ),
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -122,6 +145,9 @@ _ORACLE_VALS = {
     "vor_two": _VOR_TWO_WKT,
     "vor_one": _VOR_ONE_WKT,
     "vor_area4": _micro(f"({_W} + 2 * {_PAD}) * ({_H} + 2 * {_PAD})"),
+    "ch_convex": _micro(f"{_W} * {_H}"),  # ratio 1 = the convex hull
+    "ch_bay": "'312000000'",
+    "ch_monotone": "'true'",
 }
 
 _Q165_ORACLE = "\nUNION ALL\n".join(

@@ -208,3 +208,85 @@ class TestSparkSurface:
         assert_parity(
             q165_st_tessellate(spark, SF_DIR), oracle, _Q165_ORACLE, "q165"
         )
+
+
+class TestConcaveHull:
+    """Chi-shape concave hull (erosion of the Delaunay triangulation)."""
+
+    def test_bay_erosion_is_deterministic(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)")
+        h = concave_hull_geom(g, 0.5)
+        # bottom triangle erodes (coordinate tie-break), top removal is
+        # then irregular: area 24*16 - 24*6/2 = 312
+        assert G.area(h) == pytest.approx(312.0)
+        assert G.to_wkt(h) == "POLYGON ((0 0, 12 6, 24 0, 24 16, 0 16, 0 0))"
+
+    def test_ratio_one_is_convex_hull(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)")
+        assert G.area(concave_hull_geom(g, 1.0)) == pytest.approx(384.0)
+
+    def test_degenerate_echoes_convex_hull(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        assert (
+            G.to_wkt(concave_hull_geom(_wkt("MULTIPOINT (0 0, 1 1, 2 2)"), 0.5))
+            == "LINESTRING (0 0, 2 2)"
+        )
+        assert (
+            G.to_wkt(concave_hull_geom(_wkt("POINT (3 4)"), 0.5)) == "POINT (3 4)"
+        )
+
+    def test_fuzz_coverage_and_monotonicity(self):
+        """Every input point stays on or inside the hull at every ratio;
+        the area is monotone in the ratio; ratio=1 equals the convex
+        hull exactly."""
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            _on_any_segment,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        rng = random.Random(5)
+        for trial in range(15):
+            pp = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(rng.randint(4, 16))})
+            mp = G.Geometry("MultiPoint", [(float(x), float(y)) for x, y in pp])
+            hull_area = G.area(G.convex_hull(mp))
+            prev = None
+            for r in (0.0, 0.25, 0.5, 0.75, 1.0):
+                h = concave_hull_geom(mp, r)
+                a = G.area(h)
+                if prev is not None:
+                    assert a >= prev - 1e-9, f"trial {trial}: not monotone at {r}"
+                prev = a
+                segs = list(zip(h.coords[0], h.coords[0][1:]))
+                for x, y in mp.coords:
+                    assert G._point_in_polygon(x, y, h.coords) or _on_any_segment(
+                        (x, y), segs
+                    ), f"trial {trial} r={r}: ({x},{y}) uncovered"
+            assert a == pytest.approx(hull_area, abs=1e-9)
+
+    def test_null_ratio_with_valid_geom_is_null(self, spark):
+        # Arrow ships a NULL DOUBLE as NaN — the NaN-aware guard must
+        # yield NULL, not crash (the valid-WKT side can't short-circuit)
+        rows = spark.sql(
+            "SELECT st_concavehull(g, r) AS h FROM VALUES "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', 0.5), "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', CAST(NULL AS DOUBLE)), "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', CAST('NaN' AS DOUBLE)), "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', 2.0), "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', -0.5) "
+            "AS t(g, r)"
+        ).collect()
+        assert rows[0]["h"].startswith("POLYGON")
+        assert [r["h"] for r in rows[1:]] == [None] * 4
