@@ -131,8 +131,7 @@ def _bowyer_watson(
         # cavity boundary = edges of bad triangles not shared by two
         edge_count: dict[tuple[FPoint, FPoint], int] = {}
         for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
+            for k in _tri_edges(t):
                 edge_count[k] = edge_count.get(k, 0) + 1
         boundary = [e for e, n in edge_count.items() if n == 1]
         tris = [t for t in tris if t not in bad]
@@ -295,6 +294,21 @@ def _elen2(a: FPoint, b: FPoint) -> Fraction:
     return dx * dx + dy * dy
 
 
+def _tri_edges(t):
+    """The triangle's three edges, endpoint-normalized (min, max)."""
+    for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+        yield (min(e), max(e))
+
+
+def _border_of(live) -> dict:
+    """border edge → its unique live triangle."""
+    edge_faces: dict[tuple[FPoint, FPoint], list] = {}
+    for t in live:
+        for e in _tri_edges(t):
+            edge_faces.setdefault(e, []).append(t)
+    return {e: fs[0] for e, fs in edge_faces.items() if len(fs) == 1}
+
+
 def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
     """Chi-shape concave hull (Duckham et al. 2008, the algorithm GEOS's
     ConcaveHullOfPoints descends from): start from the Delaunay
@@ -305,42 +319,36 @@ def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
     inside the hull). Threshold = lmin + ratio·(lmax − lmin) over the
     Delaunay edge lengths, so ratio=1 is the convex hull and ratio=0
     erodes maximally. Degenerate inputs (<3 distinct points, collinear)
-    echo their convex hull, as PostGIS does. Length comparisons use the
-    exact SQUARED lengths (Fractions) against a float threshold —
-    deterministic and tie-broken by edge coordinates."""
+    echo their convex hull, as PostGIS does. Thresholding compares
+    squared lengths NORMALIZED by the exact maximum (a Fraction
+    division, so astronomically large coordinates cannot overflow the
+    float conversion — code-review r11); candidate order sorts the
+    exact Fraction squared lengths, coordinates as the tie-break."""
     if ratio is None or not (0.0 <= float(ratio) <= 1.0):
         return None
     tris = delaunay_triangles(G._points(g))
     if not tris:
         return G.convex_hull(g)
-    edges_all: set[tuple[FPoint, FPoint]] = set()
-    for t in tris:
-        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            edges_all.add((min(e), max(e)))
-    l2s = sorted(float(_elen2(a, b)) for a, b in edges_all)
-    lmin, lmax = l2s[0] ** 0.5, l2s[-1] ** 0.5
+    edges_all = {e for t in tris for e in _tri_edges(t)}
+    l2max = max(_elen2(a, b) for a, b in edges_all)
+    l2min = min(_elen2(a, b) for a, b in edges_all)
     if float(ratio) >= 1.0:
-        # exact: no edge can exceed the longest edge, so ratio=1 is the
-        # convex hull by construction (the float thr formula can land
-        # one ulp under lmax and erode anyway)
-        thr2 = l2s[-1]
+        thr2n = 1.0  # exact: nothing exceeds the longest edge
     else:
-        thr = lmin + float(ratio) * (lmax - lmin)
-        thr2 = thr * thr
+        lmin_n = float(l2min / l2max) ** 0.5  # ∈ (0, 1]
+        thrn = lmin_n + float(ratio) * (1.0 - lmin_n)
+        thr2n = thrn * thrn
+
+    def above(e) -> bool:
+        l2 = _elen2(*e)
+        return float(l2 / l2max) > thr2n if thr2n < 1.0 else l2 > l2max
+
     live = set(tris)
     while True:
-        edge_faces: dict[tuple[FPoint, FPoint], list] = {}
-        for t in live:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                edge_faces.setdefault((min(e), max(e)), []).append(t)
-        border = {e: fs[0] for e, fs in edge_faces.items() if len(fs) == 1}
+        border = _border_of(live)
         bverts = {v for e in border for v in e}
-        candidates = [
-            (float(_elen2(*e)), e)
-            for e in border
-            if float(_elen2(*e)) > thr2
-        ]
-        # longest first, coordinates as the deterministic tie-break
+        candidates = [(_elen2(*e), e) for e in border if above(e)]
+        # longest first (exact), coordinates as the deterministic tie-break
         candidates.sort(key=lambda x: (-x[0], x[1]))
         removed = False
         for _l2, e in candidates:
@@ -357,11 +365,7 @@ def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
             break
     # boundary walk: border edges of the remaining triangulation form
     # one simple ring (regularity invariant)
-    edge_faces = {}
-    for t in live:
-        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            edge_faces.setdefault((min(e), max(e)), []).append(t)
-    border_edges = [e for e, fs in edge_faces.items() if len(fs) == 1]
+    border_edges = list(_border_of(live))
     nbr: dict[FPoint, list[FPoint]] = {}
     for a, b in border_edges:
         nbr.setdefault(a, []).append(b)
@@ -443,7 +447,14 @@ def st_concavehull(wkt: pd.Series, ratio: pd.Series) -> pd.Series:
     out = []
     for w, r in zip(wkt, ratio):
         try:
-            if r is None or (isinstance(r, float) and _math.isnan(r)):
+            # the ratio gate runs before the empty-geometry echo: an
+            # out-of-range/NULL/NaN ratio is NULL for EVERY geometry
+            # (code-review r11)
+            if (
+                r is None
+                or (isinstance(r, float) and _math.isnan(r))
+                or not (0.0 <= float(r) <= 1.0)
+            ):
                 out.append(None)
                 continue
             if _is_empty_wkt(w):

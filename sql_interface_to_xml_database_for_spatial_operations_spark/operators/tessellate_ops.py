@@ -26,7 +26,8 @@ h = maxy-miny ≥ 20):
 - ``ch_convex``: the chi-shape at ratio 1 IS the convex hull (no edge
   exceeds the longest edge) → area w·h for the corner 5-point set.
 - ``ch_bay`` / ``ch_monotone``: the fixed bay fixture (see inline
-  comment) erodes to exactly 312, and area is monotone in the ratio.
+  comment) erodes to exactly 280 with a UNIQUE longest candidate (no
+  tie-order dependence), and area is monotone in the ratio.
 
 Scale shape: map-only pandas UDFs over 25-row projections.
 """
@@ -80,16 +81,18 @@ _FOUR = sql_concat(
     CORNERS["tr"], "', '", CORNERS["tl"], "')'",
 )
 
-# fixed-size bay fixture (24×16 box + interior bay point at +12,+6),
-# offset by each box's corner: its chi-shape erosion is box-size
-# independent — one hand derivation serves all 25 rows. At ratio 0.5
-# the threshold lands between the bay edges (~15.6) and the 24-long
-# top/bottom edges; the bottom triangle erodes first (coordinate
-# tie-break), which puts the bay point on the boundary and makes the
-# top removal irregular → area 24·16 − 24·6/2 = 312 exactly.
+# fixed-size bay fixture (trapezoid with a shortened top edge + an
+# interior bay point), offset by each box's corner: its chi-shape
+# erosion is box-size independent — one hand derivation serves all 25
+# rows. Hull (0,0) (24,0) (24,16) (4,16): area 352. Edge lengths:
+# bottom 24, top 20, right 16, left slant ~16.49; spokes to (12,6):
+# ~13.42, ~13.42, ~15.62, ~12.81 → ratio-0.5 threshold ≈ 18.4. The
+# bottom edge is the UNIQUE longest candidate (no tie to depend on —
+# code-review r11), its removal puts the bay point on the boundary so
+# the top removal becomes irregular → area 352 − 24·6/2 = 280 exactly.
 _BAY = sql_concat(
     "'MULTIPOINT ('", CORNERS["bl"], "', '", _pt("minx + 24", "miny"), "', '",
-    _pt("minx + 24", "miny + 16"), "', '", _pt("minx", "miny + 16"), "', '",
+    _pt("minx + 24", "miny + 16"), "', '", _pt("minx + 4", "miny + 16"), "', '",
     _pt("minx + 12", "miny + 6"), "')'",
 )
 
@@ -146,7 +149,7 @@ _ORACLE_VALS = {
     "vor_one": _VOR_ONE_WKT,
     "vor_area4": _micro(f"({_W} + 2 * {_PAD}) * ({_H} + 2 * {_PAD})"),
     "ch_convex": _micro(f"{_W} * {_H}"),  # ratio 1 = the convex hull
-    "ch_bay": "'312000000'",
+    "ch_bay": "'280000000'",
     "ch_monotone": "'true'",
 }
 

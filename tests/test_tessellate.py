@@ -218,20 +218,33 @@ class TestConcaveHull:
             concave_hull_geom,
         )
 
-        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)")
+        # trapezoid bay fixture: the bottom edge is the UNIQUE longest
+        # erosion candidate (no tie-order dependence); its removal puts
+        # the bay point on the boundary, making the top removal
+        # irregular: area 352 - 24*6/2 = 280
+        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 4 16, 12 6)")
         h = concave_hull_geom(g, 0.5)
-        # bottom triangle erodes (coordinate tie-break), top removal is
-        # then irregular: area 24*16 - 24*6/2 = 312
-        assert G.area(h) == pytest.approx(312.0)
-        assert G.to_wkt(h) == "POLYGON ((0 0, 12 6, 24 0, 24 16, 0 16, 0 0))"
+        assert G.area(h) == pytest.approx(280.0)
+        assert G.to_wkt(h) == "POLYGON ((0 0, 12 6, 24 0, 24 16, 4 16, 0 0))"
 
     def test_ratio_one_is_convex_hull(self):
         from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
             concave_hull_geom,
         )
 
-        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)")
-        assert G.area(concave_hull_geom(g, 1.0)) == pytest.approx(384.0)
+        g = _wkt("MULTIPOINT (0 0, 24 0, 24 16, 4 16, 12 6)")
+        assert G.area(concave_hull_geom(g, 1.0)) == pytest.approx(352.0)
+
+    def test_huge_coordinates_no_overflow(self):
+        # r11 review: float(l2) overflowed past ~1.4e154-scale coords;
+        # max-normalized Fraction comparisons stay in range
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        g = _wkt("MULTIPOINT (0 0, 1e200 0, 1e200 1e200, 0 1e200, 5e199 2e199)")
+        h = concave_hull_geom(g, 1.0)
+        assert h is not None and h.kind == "Polygon"
 
     def test_degenerate_echoes_convex_hull(self):
         from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
@@ -285,8 +298,12 @@ class TestConcaveHull:
             "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', CAST(NULL AS DOUBLE)), "
             "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', CAST('NaN' AS DOUBLE)), "
             "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', 2.0), "
-            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', -0.5) "
+            "('MULTIPOINT (0 0, 24 0, 24 16, 0 16, 12 6)', -0.5), "
+            "('POLYGON EMPTY', 2.0), "
+            "('POLYGON EMPTY', 0.5) "
             "AS t(g, r)"
         ).collect()
-        assert rows[0]["h"].startswith("POLYGON")
-        assert [r["h"] for r in rows[1:]] == [None] * 4
+        assert rows[0]["h"].startswith("POLYGON (")
+        # invalid ratio is NULL for EVERY geometry, empty included
+        assert [r["h"] for r in rows[1:6]] == [None] * 5
+        assert rows[6]["h"] == "POLYGON EMPTY"
