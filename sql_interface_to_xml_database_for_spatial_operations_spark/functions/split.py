@@ -260,6 +260,131 @@ def split_wkt(twkt, bwkt) -> str | None:
     return G.to_wkt(Geometry("GeometryCollection", parts))
 
 
+# ---------------------------------------------------------------------------
+# ST_SharedPaths — the linework two inputs run along together
+# ---------------------------------------------------------------------------
+
+
+def _overlap_interval(a1, a2, b1, b2):
+    """Exact overlap of two COLLINEAR segments as a parameter interval
+    (t0, t1, same_dir) in the FIRST segment's a1→a2 space (PostGIS
+    orients shared paths by the first input), or None when they share
+    at most a point."""
+    t0 = seg_param(b1, a1, a2)
+    t1 = seg_param(b2, a1, a2)
+    same = t1 > t0
+    lo, hi = (t0, t1) if t0 < t1 else (t1, t0)
+    lo = max(lo, Fraction(0))
+    hi = min(hi, Fraction(1))
+    if lo >= hi:
+        return None
+    return lo, hi, same
+
+
+def _merge_intervals(ivals: list) -> list:
+    """Union of (lo, hi) intervals (exact), sorted."""
+    out = []
+    for lo, hi in sorted(ivals):
+        if out and lo <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _merge_chains(segs: list) -> list[list[Point]]:
+    """Stitch directed collinear segments sharing endpoints into maximal
+    chains (exact); output chains sorted for determinism."""
+    segs = sorted(set(segs))
+    by_start: dict[Point, Point] = {}
+    starts: set[Point] = set()
+    ends: set[Point] = set()
+    for p, q in segs:
+        by_start[p] = q
+        starts.add(p)
+        ends.add(q)
+    chains = []
+    for p, q in segs:
+        if p in ends:
+            continue  # not a chain head
+        chain = [p, q]
+        while chain[-1] in by_start:
+            chain.append(by_start[chain[-1]])
+        chains.append(chain)
+    return sorted(chains)
+
+
+def shared_paths_wkt(awkt, bwkt) -> str | None:
+    """``GEOMETRYCOLLECTION (MULTILINESTRING <same-direction>,
+    MULTILINESTRING <opposite-direction>)`` — the PostGIS ST_SharedPaths
+    shape, pieces oriented and positioned by the FIRST input. Lineal
+    operands only; a bucket with no shared linework renders as
+    MULTILINESTRING EMPTY."""
+    if awkt is None or bwkt is None:
+        return None
+    a_s, b_s = str(awkt).strip(), str(bwkt).strip()
+    ga = None if _ov._EMPTY_RE.match(a_s.upper()) else G.parse_wkt(a_s)
+    gb = None if _ov._EMPTY_RE.match(b_s.upper()) else G.parse_wkt(b_s)
+    if ga is None or gb is None:
+        return None
+    ca, cb = _chains_of(ga), _chains_of(gb)
+    if ca is None or cb is None:
+        return None
+    pts = G._points(ga) + G._points(gb)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    asegs = _segs_of([_frac_chain(c) for c in ca])
+    bsegs = _segs_of([_frac_chain(c) for c in cb])
+    same_segs, opp_segs = [], []
+    for a1, a2 in asegs:
+        if a1 == a2:
+            continue
+        d1 = (a2[0] - a1[0], a2[1] - a1[1])
+        same_iv, opp_iv = [], []
+        for b1, b2 in bsegs:
+            if b1 == b2:
+                continue
+            d2 = (b2[0] - b1[0], b2[1] - b1[1])
+            if d1[0] * d2[1] - d1[1] * d2[0] != 0:
+                continue  # not parallel
+            w = (b1[0] - a1[0], b1[1] - a1[1])
+            if d1[0] * w[1] - d1[1] * w[0] != 0:
+                continue  # parallel but not collinear
+            got = _overlap_interval(a1, a2, b1, b2)
+            if got is None:
+                continue
+            lo, hi, same = got
+            (same_iv if same else opp_iv).append((lo, hi))
+        # union the per-bucket intervals so overlapping second-input
+        # segments never double-cover the shared path
+        for ivals, segs_out in ((same_iv, same_segs), (opp_iv, opp_segs)):
+            for lo, hi in _merge_intervals(ivals):
+                p = (a1[0] + lo * d1[0], a1[1] + lo * d1[1])
+                q = (a1[0] + hi * d1[0], a1[1] + hi * d1[1])
+                segs_out.append((p, q))
+
+    def mls(segs) -> str:
+        chains = _merge_chains(segs)
+        if not chains:
+            return "MULTILINESTRING EMPTY"
+        return G.to_wkt(
+            Geometry("MultiLineString", [_float_chain(c) for c in chains])
+        )
+
+    return f"GEOMETRYCOLLECTION ({mls(same_segs)}, {mls(opp_segs)})"
+
+
+@pandas_udf(StringType())
+def st_sharedpaths(awkt: pd.Series, bwkt: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(awkt, bwkt):
+        try:
+            out.append(shared_paths_wkt(a, b))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(StringType())
 def st_split(twkt: pd.Series, bwkt: pd.Series) -> pd.Series:
     out = []
@@ -273,6 +398,7 @@ def st_split(twkt: pd.Series, bwkt: pd.Series) -> pd.Series:
 
 ALL_SPLIT_FUNCTIONS = {
     "st_split": st_split,
+    "st_sharedpaths": st_sharedpaths,
 }
 
 

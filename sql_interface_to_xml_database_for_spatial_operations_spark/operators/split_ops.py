@@ -1,5 +1,5 @@
-"""Driver row for ST_Split (functions/split.py) — PostGIS name the
-reference forwards verbatim (F12, src/index.ts:44-63).
+"""Driver row for ST_Split and ST_SharedPaths (functions/split.py) —
+PostGIS names the reference forwards verbatim (F12, src/index.ts:44-63).
 
 Oracle design over the integer nation boxes (w ≥ 30, h ≥ 20), order-free
 invariants in the q164 style (part order is implementation-defined):
@@ -16,6 +16,11 @@ invariants in the q164 style (part order is implementation-defined):
 - ``line_cross``: the bottom edge cut by a vertical blade → '2', w.
 - ``pt_miss``: a blade point off the line changes nothing → '1'.
 - ``bad_blade``: a polygon blade is unsupported → loud NULL.
+- ``sp_same`` / ``sp_opp`` / ``sp_none``: ST_SharedPaths (same module)
+  — a sub-segment running along the bottom edge lands in the
+  same-direction bucket, its reversal in the opposite bucket, and a
+  parallel-but-disjoint line in neither; string-built exactly with the
+  PostGIS GEOMETRYCOLLECTION(two MULTILINESTRINGs) shape.
 
 Scale shape: map-only pandas UDFs over 25-row projections.
 """
@@ -71,6 +76,18 @@ _XBLADE = sql_concat(
     "'LINESTRING ('", _pt("minx + 15", "miny - 5"), "', '",
     _pt("minx + 15", "miny + 5"), "')'",
 )
+_SUBSEG = sql_concat(  # runs ALONG the bottom edge, same direction
+    "'LINESTRING ('", _pt("minx + 5", "miny"), "', '",
+    _pt("minx + 20", "miny"), "')'",
+)
+_SUBSEG_REV = sql_concat(
+    "'LINESTRING ('", _pt("minx + 20", "miny"), "', '",
+    _pt("minx + 5", "miny"), "')'",
+)
+_OFFSEG = sql_concat(  # parallel but disjoint: nothing shared
+    "'LINESTRING ('", _pt("minx + 5", "miny + 5"), "', '",
+    _pt("minx + 20", "miny + 5"), "')'",
+)
 
 _N = "st_numgeometries"
 _FAMILIES = {
@@ -88,6 +105,9 @@ _FAMILIES = {
     "bad_blade": sql_concat(
         f"COALESCE(st_split({_BOTTOM}, {_BOX}), 'NULL(bad-blade)')"
     ),
+    "sp_same": f"st_sharedpaths({_BOTTOM}, {_SUBSEG})",
+    "sp_opp": f"st_sharedpaths({_BOTTOM}, {_SUBSEG_REV})",
+    "sp_none": f"st_sharedpaths({_BOTTOM}, {_OFFSEG})",
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -104,6 +124,20 @@ _ORACLE_VALS = {
     "line_cross_len": _micro(_W),
     "pt_miss_n": "'1'",
     "bad_blade": "'NULL(bad-blade)'",
+    "sp_same": sql_concat(
+        "'GEOMETRYCOLLECTION (MULTILINESTRING (('",
+        _pt("minx + 5", "miny"), "', '", _pt("minx + 20", "miny"),
+        "')), MULTILINESTRING EMPTY)'",
+    ),
+    "sp_opp": sql_concat(
+        "'GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, MULTILINESTRING (('",
+        _pt("minx + 5", "miny"), "', '", _pt("minx + 20", "miny"),
+        "')))'",
+    ),
+    "sp_none": (
+        "'GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, "
+        "MULTILINESTRING EMPTY)'"
+    ),
 }
 
 _Q166_ORACLE = "\nUNION ALL\n".join(

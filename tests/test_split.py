@@ -184,3 +184,91 @@ class TestSparkSurface:
         )
 
         assert_parity(q166_st_split(spark, SF_DIR), oracle, _Q166_ORACLE, "q166")
+
+
+class TestSharedPaths:
+    """ST_SharedPaths: collinear shared linework bucketed by direction,
+    PostGIS GEOMETRYCOLLECTION(two MULTILINESTRINGs) shape."""
+
+    def test_same_and_opposite_buckets(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (5 0, 20 0)") == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (20 0, 5 0)") == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, "
+            "MULTILINESTRING ((5 0, 20 0)))"
+        )
+
+    def test_disjoint_parallel_and_crossing_share_nothing(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        empty = "GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, MULTILINESTRING EMPTY)"
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (0 5, 30 5)") == empty
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (10 -5, 10 5)") == empty
+        # touching at one point is a 0-dimensional intersection: nothing shared
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING (30 0, 40 0)") == empty
+
+    def test_overlapping_second_segments_union_not_double(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        got = shared_paths_wkt(
+            "LINESTRING (0 0, 30 0)", "MULTILINESTRING ((5 0, 15 0), (10 0, 20 0))"
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+
+    def test_chains_stitch_across_target_vertices(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        got = shared_paths_wkt("LINESTRING (0 0, 10 0, 20 0)", "LINESTRING (5 0, 15 0)")
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 10 0, 15 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+
+    def test_mixed_buckets_and_rational_overlap(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        got = shared_paths_wkt(
+            "LINESTRING (0 0, 30 0)", "MULTILINESTRING ((5 0, 10 0), (25 0, 20 0))"
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 10 0)), "
+            "MULTILINESTRING ((20 0, 25 0)))"
+        )
+        assert shared_paths_wkt("LINESTRING (0 0, 3 3)", "LINESTRING (1 1, 2 2)") == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((1 1, 2 2)), "
+            "MULTILINESTRING EMPTY)"
+        )
+
+    def test_non_lineal_and_empty_are_null(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        assert shared_paths_wkt("POINT (1 1)", "LINESTRING (0 0, 2 2)") is None
+        assert shared_paths_wkt("LINESTRING (0 0, 30 0)", "LINESTRING EMPTY") is None
+        assert shared_paths_wkt("LINESTRING (0 0, inf 0)", "LINESTRING (0 0, 1 0)") is None
+        assert shared_paths_wkt(None, "LINESTRING (0 0, 1 0)") is None
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_sharedpaths('LINESTRING (0 0, 30 0)', "
+            "'LINESTRING (5 0, 20 0)') AS sp"
+        ).collect()[0]
+        assert row["sp"].startswith("GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0))")

@@ -152,6 +152,7 @@ _NULL_ARGS = {
     "st_affine": f"{S}, {D}, {D}, {D}, {D}, {D}, {D}",
     "st_relate": f"{S}, {S}",
     "st_split": f"{S}, {S}",
+    "st_sharedpaths": f"{S}, {S}",
     "st_concavehull": f"{S}, {D}",
     "st_subdivide": f"{S}, CAST(NULL AS INT)",
     "st_relatematch": f"{S}, {S}",
