@@ -58,14 +58,10 @@ from .noding import (
 from .relations import _on_any_segment, _on_segment
 
 
-def _linear_overlap(
-    tsegs: list[tuple[Point, Point]], bsegs: list[tuple[Point, Point]]
-) -> bool:
-    """True iff any blade segment runs ALONG a target segment (a
-    1-dimensional intersection): collinear with an overlap longer than a
-    point. PostGIS raises 'Splitter line has linear intersection with
-    input'; the engine convention is loud NULL. Exact over Fractions,
-    bbox-prescreened."""
+def _collinear_pairs(tsegs, bsegs):
+    """Yield (tseg, bseg) pairs that are COLLINEAR — the shared exact
+    screen (bbox prescreen before any rational arithmetic) used by both
+    the linear-intersection gate and ST_SharedPaths."""
 
     def box(a, b):
         return (min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1]))
@@ -73,9 +69,13 @@ def _linear_overlap(
     tb = [box(a, b) for a, b in tsegs]
     bb = [box(a, b) for a, b in bsegs]
     for i, (a1, a2) in enumerate(tsegs):
+        if a1 == a2:
+            continue
         bi = tb[i]
         d1 = (a2[0] - a1[0], a2[1] - a1[1])
         for j, (b1, b2) in enumerate(bsegs):
+            if b1 == b2:
+                continue
             bj = bb[j]
             if bi[2] < bj[0] or bj[2] < bi[0] or bi[3] < bj[1] or bj[3] < bi[1]:
                 continue
@@ -85,13 +85,26 @@ def _linear_overlap(
             w = (b1[0] - a1[0], b1[1] - a1[1])
             if d1[0] * w[1] - d1[1] * w[0] != 0:
                 continue  # parallel but not collinear
-            # collinear: overlap longer than a point? compare intervals
-            # on the dominant axis
-            ax = 0 if abs(d1[0]) >= abs(d1[1]) else 1
-            lo1, hi1 = sorted((a1[ax], a2[ax]))
-            lo2, hi2 = sorted((b1[ax], b2[ax]))
-            if max(lo1, lo2) < min(hi1, hi2):
-                return True
+            yield (a1, a2), (b1, b2)
+
+
+def _linear_overlap(
+    tsegs: list[tuple[Point, Point]], bsegs: list[tuple[Point, Point]]
+) -> bool:
+    """True iff any blade segment runs ALONG a target segment (a
+    1-dimensional intersection): collinear with an overlap longer than a
+    point. PostGIS raises 'Splitter line has linear intersection with
+    input'; the engine convention is loud NULL. Exact over Fractions,
+    bbox-prescreened."""
+    for (a1, a2), (b1, b2) in _collinear_pairs(tsegs, bsegs):
+        # overlap longer than a point? compare intervals on the
+        # dominant axis
+        d1 = (a2[0] - a1[0], a2[1] - a1[1])
+        ax = 0 if abs(d1[0]) >= abs(d1[1]) else 1
+        lo1, hi1 = sorted((a1[ax], a2[ax]))
+        lo2, hi2 = sorted((b1[ax], b2[ax]))
+        if max(lo1, lo2) < min(hi1, hi2):
+            return True
     return False
 
 
@@ -293,24 +306,53 @@ def _merge_intervals(ivals: list) -> list:
 
 
 def _merge_chains(segs: list) -> list[list[Point]]:
-    """Stitch directed collinear segments sharing endpoints into maximal
-    chains (exact); output chains sorted for determinism."""
-    segs = sorted(set(segs))
-    by_start: dict[Point, Point] = {}
-    starts: set[Point] = set()
-    ends: set[Point] = set()
-    for p, q in segs:
-        by_start[p] = q
-        starts.add(p)
-        ends.add(q)
-    chains = []
-    for p, q in segs:
-        if p in ends:
-            continue  # not a chain head
+    """Stitch directed segments into maximal chains, merging only
+    PASS-THROUGH vertices (in-degree = out-degree = 1): fork and
+    convergence points break chains (every branch kept exactly once),
+    and a pure cycle is emitted once as a closed ring starting at its
+    smallest vertex — the r11 review's lollipop/fork/ring/convergence
+    cases. Each edge is consumed exactly once, so no input can hang the
+    walk. Output chains sorted for determinism."""
+    edges = sorted(set(segs))
+    out_e: dict[Point, list[Point]] = {}
+    in_deg: dict[Point, int] = {}
+    for p, q in edges:
+        out_e.setdefault(p, []).append(q)
+        in_deg[q] = in_deg.get(q, 0) + 1
+    for outs in out_e.values():
+        outs.sort()
+
+    def passthrough(v: Point) -> bool:
+        return in_deg.get(v, 0) == 1 and len(out_e.get(v, ())) == 1
+
+    visited: set[tuple[Point, Point]] = set()
+    chains: list[list[Point]] = []
+    for p, q in edges:
+        if (p, q) in visited or passthrough(p):
+            continue
+        visited.add((p, q))
         chain = [p, q]
-        while chain[-1] in by_start:
-            chain.append(by_start[chain[-1]])
+        while passthrough(chain[-1]):
+            nxt = out_e[chain[-1]][0]
+            if (chain[-1], nxt) in visited:
+                break
+            visited.add((chain[-1], nxt))
+            chain.append(nxt)
         chains.append(chain)
+    # leftovers are pure cycles (every vertex pass-through): walk each
+    # once, rotated to start at its smallest vertex
+    for p, q in edges:
+        if (p, q) in visited:
+            continue
+        visited.add((p, q))
+        cyc = [p, q]
+        while cyc[-1] != p:
+            nxt = out_e[cyc[-1]][0]
+            visited.add((cyc[-1], nxt))
+            cyc.append(nxt)
+        body = cyc[:-1]
+        i = body.index(min(body))
+        chains.append(body[i:] + body[:i] + [body[i]])
     return sorted(chains)
 
 
@@ -335,21 +377,14 @@ def shared_paths_wkt(awkt, bwkt) -> str | None:
         return None
     asegs = _segs_of([_frac_chain(c) for c in ca])
     bsegs = _segs_of([_frac_chain(c) for c in cb])
+    coll: dict[tuple, list] = {}
+    for aseg, bseg in _collinear_pairs(asegs, bsegs):
+        coll.setdefault(aseg, []).append(bseg)
     same_segs, opp_segs = [], []
-    for a1, a2 in asegs:
-        if a1 == a2:
-            continue
+    for (a1, a2), partners in coll.items():
         d1 = (a2[0] - a1[0], a2[1] - a1[1])
         same_iv, opp_iv = [], []
-        for b1, b2 in bsegs:
-            if b1 == b2:
-                continue
-            d2 = (b2[0] - b1[0], b2[1] - b1[1])
-            if d1[0] * d2[1] - d1[1] * d2[0] != 0:
-                continue  # not parallel
-            w = (b1[0] - a1[0], b1[1] - a1[1])
-            if d1[0] * w[1] - d1[1] * w[0] != 0:
-                continue  # parallel but not collinear
+        for b1, b2 in partners:
             got = _overlap_interval(a1, a2, b1, b2)
             if got is None:
                 continue

@@ -272,3 +272,32 @@ class TestSharedPaths:
             "'LINESTRING (5 0, 20 0)') AS sp"
         ).collect()[0]
         assert row["sp"].startswith("GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0))")
+
+    def test_merge_handles_forks_rings_and_cycles(self):
+        # r11 review: the chain stitcher must survive lollipops (tail +
+        # loop: no hang), forks (no dropped branch), fully-shared rings
+        # (emitted once), and convergences (no duplicated linework)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        lolli = "MULTILINESTRING ((-1 0, 0 0), (0 0, 1 0, 1 1, 0 0))"
+        assert shared_paths_wkt(lolli, lolli) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((-1 0, 0 0), "
+            "(0 0, 1 0, 1 1, 0 0)), MULTILINESTRING EMPTY)"
+        )
+        fork = "MULTILINESTRING ((0 0, 5 0, 10 0), (5 0, 5 5))"
+        assert shared_paths_wkt(fork, fork) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((0 0, 5 0), (5 0, 5 5), "
+            "(5 0, 10 0)), MULTILINESTRING EMPTY)"
+        )
+        ring = "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+        assert shared_paths_wkt(ring, ring) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((0 0, 1 0, 1 1, 0 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+        conv = "MULTILINESTRING ((0 0, 5 0, 10 0), (5 1, 5 0))"
+        assert shared_paths_wkt(conv, conv) == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((0 0, 5 0), (5 0, 10 0), "
+            "(5 1, 5 0)), MULTILINESTRING EMPTY)"
+        )
