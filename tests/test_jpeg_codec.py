@@ -231,3 +231,29 @@ class TestJpegColor:
         unk[i + 5] = 9  # id absent from SOF
         with pytest.raises(ValueError, match="component ids"):
             decode_jpeg(bytes(unk))
+
+
+def test_trailing_zrl_past_index_63_is_loud():
+    """ADVICE r11: ZRL runs that advance the AC index past 63 are
+    malformed (a conforming encoder emits EOB instead) and must raise
+    even though they write no coefficient."""
+    import numpy as np
+    import pytest
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.jpeg_codec import (
+        _decode_block,
+    )
+
+    class _Reader:
+        def take(self, n):
+            return 0
+
+    symbols = iter([0xF0] * 5)  # ZRL x5: k = 1 -> 17 -> 33 -> 49 -> 65
+    with pytest.raises(ValueError, match="AC coefficient index overflow"):
+        _decode_block(
+            _Reader(),
+            lambda r: 0,
+            lambda r: next(symbols),
+            np.ones(64, dtype=np.int64),
+            0,
+        )

@@ -301,3 +301,53 @@ class TestSharedPaths:
             "GEOMETRYCOLLECTION (MULTILINESTRING ((0 0, 5 0), (5 0, 10 0), "
             "(5 1, 5 0)), MULTILINESTRING EMPTY)"
         )
+
+
+class TestSharedPathsBothDirections:
+    """ADVICE r11: a span the second input traverses in BOTH directions
+    must be reported once (same-direction bucket), never double-covered
+    across buckets — the documented engine convention."""
+
+    def test_out_and_back_single_report(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        got = shared_paths_wkt(
+            "LINESTRING (0 0, 30 0)", "LINESTRING (5 0, 20 0, 5 0)"
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+
+    def test_partial_backtrack_same_wins(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        # forward covers [5,20], backtrack covers [10,20]: the overlap
+        # stays in the same bucket only
+        got = shared_paths_wkt(
+            "LINESTRING (0 0, 30 0)", "LINESTRING (5 0, 20 0, 10 0)"
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 20 0)), "
+            "MULTILINESTRING EMPTY)"
+        )
+
+    def test_opposite_remainder_survives_subtraction(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
+            shared_paths_wkt,
+        )
+
+        # same covers [5,10]; opposite covers [2,15] -> remainder
+        # [2,5] + [10,15] stays opposite
+        got = shared_paths_wkt(
+            "LINESTRING (0 0, 30 0)",
+            "MULTILINESTRING ((5 0, 10 0), (15 0, 2 0))",
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTILINESTRING ((5 0, 10 0)), "
+            "MULTILINESTRING ((2 0, 5 0), (10 0, 15 0)))"
+        )

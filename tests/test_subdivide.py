@@ -88,9 +88,15 @@ class TestSubdivide:
         pts += [(0, top), (0, 0)]
         w = "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in pts) + "))"
         g = P(w)
-        ps = subdivide_wkt(w, rng.choice((6, 8, 12)))
+        mv = rng.choice((5, 6, 8, 12))
+        ps = subdivide_wkt(w, mv)
         assert ps is not None
         assert abs(sum(G.area(P(p)) for p in ps) - G.area(g)) < 1e-9
+        # r12: the budget is a guarantee, not best-effort — pivot-vertex
+        # splitting resolves the concave-corner "L" that pure midpoint
+        # halving re-clips forever (ADVICE r11); budget 5 (the minimum)
+        # is now in the draw pool because it always converges
+        assert all(G.n_points(P(p)) <= mv for p in ps)
 
 
 def test_subdivide_through_spark(spark):
@@ -118,3 +124,16 @@ def test_pad_scales_with_coordinate_magnitude():
     pts = ", ".join(f"{i} 100000000000000000" for i in range(10))
     ps = subdivide_wkt(f"LINESTRING ({pts})", 5)
     assert ps is not None and len(ps) >= 2
+
+
+def test_over_budget_at_collapsed_extent_is_loud_null():
+    """ADVICE r11: a part with more vertices than the budget whose
+    extent has collapsed below float resolution must go NULL (the
+    exact-or-NULL contract), never silently emit an over-budget
+    piece."""
+    import math
+
+    a, b = 1.0, math.nextafter(1.0, 2.0)
+    # 10-vertex zigzag inside a one-ulp extent: no midpoint exists
+    pts = ", ".join(f"{a!r} 0" if i % 2 == 0 else f"{b!r} 0" for i in range(10))
+    assert subdivide_wkt(f"LINESTRING ({pts})", 5) is None
