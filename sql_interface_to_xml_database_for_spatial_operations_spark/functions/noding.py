@@ -311,6 +311,21 @@ _ring_area2 = signed_area2
 def polygonize_geoms(chains: list[list[Point]]) -> list[Geometry]:
     """Faces of the noded arrangement as Polygon geometries (shells with
     holes attached). Fraction-exact throughout; float only at output."""
+    return [
+        Geometry(
+            "Polygon", [[(float(x), float(y)) for x, y in r] for r in rings_]
+        )
+        for rings_ in faces_frac(chains)
+    ]
+
+
+def faces_frac(chains: list[list[Point]]) -> list[list[list[Point]]]:
+    """Faces of the noded arrangement as FRACTION ring lists
+    ``[shell, *holes]`` — shell walked interior-left (CCW, positive
+    signed area), holes as walked (CW). The exact-coordinate core of
+    ``polygonize_geoms``, exposed for the dissolve kernel
+    (functions/dissolve.py), which must match face edges exactly to
+    cancel interior seams."""
     pieces = _noded_chains(chains)
     # edge set: consecutive vertex pairs of every piece
     edges: set[tuple[Point, Point]] = set()
@@ -406,10 +421,7 @@ def polygonize_geoms(chains: list[list[Point]]) -> list[Geometry]:
                     best = i
         if best is not None:
             polys[best].append(hr)
-    return [
-        Geometry("Polygon", [[(float(x), float(y)) for x, y in r] for r in rings_])
-        for rings_ in polys
-    ]
+    return polys
 
 
 def polygonize_wkt(wkt) -> str | None:

@@ -22,29 +22,27 @@ dissolve over the WKT geometry model of ``geometry.py``:
   input coordinates (the only derived values are cell/edge midpoints),
   so integer-valued inputs produce bit-exact output.
 - **Non-rectangular parts** are pruned when covered by another part
-  (``geometry.within``); a convex pair forming its own 2-member
-  interior-overlap component then dissolves EXACTLY (r7 — candidate
-  vertices + Sutherland-Hodgman edge intersections walked by angle
-  around an intersection-interior anchor, see ``_convex_union_pair``;
-  component-restricted so the result is a function of the part SET,
-  never of input order), which covers the common dissolve case. Any
-  other overlap component whose parts are SIMPLE HOLE-FREE (or
-  rectilinear-holed) polygons resolves EXACTLY through the overlay
-  decomposition (r7, ``overlay._rings_minus_part`` — later members
-  contribute member − earlier-members pieces in canonical WKT order):
-  area and point set exact, with internal seams between pieces (a
-  representation artifact affecting only boundary-length readings).
-  Holed polygons participate too (their decomposition is outer −
-  holes, overlay._convex_pieces_of). Only components containing a
-  SELF-INTERSECTING ring are appended undissolved: the result is the
-  correct point set, but ``st_area``/``st_perimeter`` double-count the
-  overlap — a RuntimeWarning fires when this happens (ADVICE r6),
-  documented divergence from PostGIS (which re-nodes). Cascade stage-1 partials
-  skip the convex merge entirely (``merge_convex=False``) so the
-  final union makes the component decision globally — keeping the
-  aggregate partition-layout-independent. Points/lines union by
-  dedup + covered-by-polygon pruning, GeometryCollection when
-  dimensions stay mixed.
+  (``geometry.within``); the remaining parts form overlap components
+  (edges: interiors overlap OR boundaries share positive-length
+  linework) and each multi-member component dissolves EXACTLY through
+  the boundary-dissolve kernel (r12, ``functions/dissolve.py``: exact
+  rational noding of all member rings, arrangement faces kept when
+  their interior point lies inside >=1 member, interior seams
+  cancelled as opposite directed edges, boundary rings re-stitched
+  interior-left) — the PostGIS output shape: ONE polygon per connected
+  region, holes preserved, no internal seams, concave and holed
+  members included. Component-restricted merging keeps the result a
+  function of the part SET, never of input order. Only components
+  containing a SELF-INTERSECTING ring are appended undissolved: the
+  result is the correct point set, but ``st_area``/``st_perimeter``
+  double-count the overlap — a RuntimeWarning fires when this happens
+  (ADVICE r6), documented divergence from PostGIS (which re-nodes
+  through its own validity semantics). Cascade stage-1 partials skip
+  the dissolve entirely (``merge_convex=False``) so the final union
+  makes the component decision globally — keeping the aggregate
+  partition-layout-independent. Points/lines union by dedup +
+  covered-by-polygon pruning, GeometryCollection when dimensions stay
+  mixed.
 
 Scale shape (SCALE.md "st_union"): the aggregate is exposed as the
 scalar ``st_union_all(array<wkt>)`` so ``collect_list`` does the
@@ -57,7 +55,6 @@ geometry per (partition, key) instead of one row per input geometry.
 
 from __future__ import annotations
 
-import math
 import warnings
 from bisect import bisect_left
 from collections import defaultdict
@@ -363,57 +360,6 @@ def _seg_intersections(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> list[Pt]:
     return []
 
 
-def _strictly_inside_convex(p: Pt, ring: list[Pt]) -> bool:
-    if _signed_area_ring(ring) < 0:
-        ring = ring[::-1]
-    for (ax, ay), (bx, by) in zip(ring, ring[1:]):
-        if (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) <= 0.0:
-            return False
-    return True
-
-
-def _convex_union_pair(pring: list[Pt], qring: list[Pt]) -> list[Pt] | None:
-    """EXACT union ring of two OVERLAPPING convex polygons, or None when
-    their interiors do not overlap (touching/disjoint pairs are handled
-    by the caller's existing paths).
-
-    Why this shape is correct: the union of two convex polygons is
-    star-shaped with respect to any interior point of their intersection
-    (segments from such a point to any union point stay inside whichever
-    polygon the endpoint belongs to), and every union-boundary vertex is
-    either an input vertex not strictly inside the other polygon or an
-    edge-pair intersection point — so sorting those candidates by angle
-    around an intersection-interior anchor yields the boundary walk.
-    No two candidates share an angle: a boundary edge collinear with a
-    ray through the anchor would put the anchor ON that edge's line,
-    contradicting the anchor being strictly inside both polygons."""
-    inter = _clip_convex(pring, qring)
-    if len(inter) < 3:
-        return None
-    closed = inter + [inter[0]]
-    if abs(_signed_area_ring(closed)) < 1e-12:
-        return None  # touching or sliver — stacked parts are exact there
-    ax = sum(p[0] for p in inter) / len(inter)
-    ay = sum(p[1] for p in inter) / len(inter)
-
-    cands: set[Pt] = set()
-    for v in pring[:-1]:
-        if not _strictly_inside_convex(v, qring):
-            cands.add(v)
-    for v in qring[:-1]:
-        if not _strictly_inside_convex(v, pring):
-            cands.add(v)
-    for i in range(len(pring) - 1):
-        for j in range(len(qring) - 1):
-            for pt in _seg_intersections(pring[i], pring[i + 1], qring[j], qring[j + 1]):
-                cands.add(pt)
-
-    ring = sorted(cands, key=lambda p: math.atan2(p[1] - ay, p[0] - ax))
-    if len(ring) < 3:
-        return None
-    return ring + [ring[0]]
-
-
 # ---------------------------------------------------------------------------
 # general union
 # ---------------------------------------------------------------------------
@@ -480,17 +426,17 @@ def union_geoms(
         if not covered:
             kept.append(p)
 
-    # Overlapping CONVEX pairs dissolve exactly (r7, VERDICT r6 item 6),
-    # but ONLY when the pair forms its own interior-overlap component:
-    # merging two members of a 3+-way overlap would leave a non-convex
-    # blocker whose shape depends on which pair merged first, making the
-    # result input-order-dependent (r7 self-review finding — verified by
-    # permuting a rect + two triangles). Component-restricted merging is
-    # order-independent: the overlap graph (and therefore the unique
-    # 2-member components) is a function of the part SET alone, and a
-    # merged pair's union cannot grow the graph (an open set meeting the
-    # union's interior must meet one member's interior).
+    # Overlap components dissolve through the exact boundary-dissolve
+    # kernel (r12, VERDICT r11 item 3 — functions/dissolve.py: noded
+    # arrangement faces, inside-any-member filter, seam cancellation,
+    # interior-left ring stitch). Components are a function of the part
+    # SET alone, so the result stays permutation/partition invariant
+    # (the r7 invariant, TestConvexMergeDeterminism). Edges connect
+    # parts whose INTERIORS overlap or whose boundaries share
+    # positive-length linework — PostGIS dissolves edge-adjacent
+    # polygons into one polygon even without interior overlap.
     if merge_convex and len(kept) > 1:
+        from . import dissolve as _dis
         from . import overlay as _ov
         from . import relations as _rel
 
@@ -530,7 +476,9 @@ def union_geoms(
         adj = [set() for _ in range(n)]
         for i in range(n):
             for j in range(i + 1, n):
-                if _interiors_overlap(i, j):
+                if _interiors_overlap(i, j) or _dis.boundaries_share_linework(
+                    kept[i], kept[j]
+                ):
                     adj[i].add(j)
                     adj[j].add(i)
         comp = list(range(n))
@@ -545,85 +493,28 @@ def union_geoms(
             by_comp[c].append(i)
 
         merged_out: list[Geometry] = []
-        seamed_out: list[Geometry] = []  # decomposition pieces: disjoint
         drop: set[int] = set()
         unresolved_overlap = False
         for members in by_comp.values():
             if len(members) == 1:
                 continue
-            i, j = members[0], members[1]
-            u = None
-            if (
-                len(members) == 2
-                and len(kept[i].coords) == 1
-                and len(kept[j].coords) == 1
-                and _is_convex_ring(kept[i].coords[0])
-                and _is_convex_ring(kept[j].coords[0])
-                # multiply-wound rings (pentagram) pass the turn-sign
-                # test; the boundary walk would emit garbage for them
-                and _ov._is_simple_ring(kept[i].coords[0])
-                and _ov._is_simple_ring(kept[j].coords[0])
-            ):
-                try:
-                    u = _convex_union_pair(kept[i].coords[0], kept[j].coords[0])
-                except ZeroDivisionError:
-                    # FP-degenerate clip (near-parallel straddling edge
-                    # rounds its cross product to 0): fall through to
-                    # the exact-rational decomposition below
-                    u = None
-            if u is not None:
-                merged_out.append(Geometry("Polygon", [u]))
+            # Boundary-dissolved union of the component (r12): exact
+            # rational noding + face filter + seam cancellation, the
+            # PostGIS output shape — one polygon per connected region,
+            # holes preserved, no internal seams. Members with a
+            # non-simple ring raise _Unsupported and fall to the
+            # documented stacked-parts warning below.
+            try:
+                merged_out.extend(
+                    _dis.dissolve_polygons([kept[k] for k in members])
+                )
                 drop.update(members)
-            else:
-                # Overlay-based disjoint decomposition (r7): any overlap
-                # component whose parts are simple hole-free (or
-                # rectilinear-holed) polygons resolves EXACTLY — the
-                # first member stays whole and each later member
-                # contributes member − (earlier members) via
-                # overlay._rings_minus_part, so piece interiors are
-                # pairwise disjoint and the union area is exact (seams
-                # between pieces remain, like any seamed MultiPolygon).
-                # Members are processed in canonical WKT order, making
-                # the piece set a function of the part SET alone —
-                # preserving the permutation/partition invariance the
-                # convex merge established (TestConvexMergeDeterminism).
-                mem = sorted(members, key=lambda k: G.to_wkt(kept[k]))
-                try:
-                    def dec_or_raise(k: int) -> list:
-                        rings = dec(k)
-                        if rings is None:
-                            raise _ov._Unsupported("undecomposable part")
-                        return rings
-
-                    new_parts = [kept[mem[0]]]
-                    for pos, k in enumerate(mem[1:], start=1):
-                        rings = dec_or_raise(k)
-                        for prev in mem[:pos]:
-                            rings = _ov._rings_minus_sub(rings, dec_or_raise(prev))
-                            if not rings:
-                                break
-                        # overlay kernels run on Fraction coordinates
-                        # (exact); serialize back to float for WKT
-                        new_parts.extend(
-                            _ov._drop_degenerate_float(
-                                _ov._float_geom(Geometry("Polygon", [r]))
-                            )
-                            for r in rings
-                        )
-                    seamed_out.extend(p for p in new_parts if p is not None)
-                    drop.update(members)
-                except _ov._Unsupported:
-                    unresolved_overlap = True
+            except _ov._Unsupported:
+                unresolved_overlap = True
         if drop:
             kept = [p for i, p in enumerate(kept) if i not in drop] + merged_out
-            # A merged union may now cover parts outside its component's
-            # interiors (touching-only parts): re-prune. Decomposition
-            # pieces (seamed_out) are EXCLUDED: they are disjoint from
-            # everything by construction, and a hole-filling piece's
-            # boundary can coincide with another part's hole boundary,
-            # which the boundary-tolerant `within` would misread as
-            # covered (observed: the piece of a rect that fills a holed
-            # triangle's hole).
+            # A dissolved union may now cover parts outside its
+            # component (touching-only parts): re-prune.
             if len(kept) > 1:
                 kept = [
                     p
@@ -634,7 +525,6 @@ def union_geoms(
                         if j != i and (j < i or not G.within(q, p))
                     )
                 ]
-            kept += seamed_out
 
         # Loud signal for the remaining inexact case (ADVICE r6):
         # interiors that still overlap are kept as stacked parts — the

@@ -74,6 +74,22 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # the split.py doc header, the registry comment itself) are
 # deliberately re-recorded — the same result-invariant class as the
 # r8/r10/r11 re-records.
+# r12 edit #1 (dissolved st_union, VERDICT r11 item 3): new
+# functions/dissolve.py (exact boundary-dissolve kernel on the noding
+# faces), union_ops.py component resolution rewritten (convex-pair +
+# seamed decomposition paths REMOVED, shared-linework component
+# edges added), noding.py refactored to expose faces_frac. Executed
+# paths changed for: q124 (st_union_all + new concave_union column,
+# oracle extended) -> RE-EXPOSES displacing fill q48; q164
+# (polygonize) -> RE-EXPOSES displacing q47; q53/q155 (st_buffer
+# dissolves its piece union through union_geoms, buffer.py:121) ->
+# RE-EXPOSE displacing q46/q112. Greens touching only unchanged
+# helpers of those modules (linework/collection_fns use _flatten;
+# overlay imports _clip_convex/_is_convex_ring/_seg_intersections;
+# accessors uses _signed_area_ring; validity/relations reference it
+# in comments only) are result-invariant — fingerprints deliberately
+# re-recorded (q139/q146/q149/q156/q157/q161 re-expose later this
+# round anyway where planned).
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -115,6 +131,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q87_percentiles",
         "q117_approx_percentiles",
         "q41_st_point_accessors",
+        "q46_st_area_props",
+        "q47_dwithin_pairs",
+        "q48_distance_sphere_count",
+        "q112_window_lag_lead",
         "q42_st_astext",
         "q43_st_distance_radius",
         "q44_spatial_join_within",
@@ -123,7 +143,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
-        "q53_buffer_contains",
         "q59_st_geomfromgml_kml",
         "q85_st_extent_agg",
         "q94_multipart_gml_ingest",
@@ -159,7 +178,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q138_stream_interval_join_e2e",
         "q142_stream_dedup_e2e",
         "q147_stream_stateful_totals_e2e",
-        "q124_st_union_agg",
         "q125_document_chunking",
         "q126_pii_redaction",
         "q127_url_domains",
@@ -182,14 +200,12 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
-        "q155_st_buffer_lines_polys",
         "q156_st_relate_isvalid",
         "q157_st_makevalid",
         "q158_st_measures",
         "q159_st_bounding",
         "q160_cluster_dbscan",
         "q161_st_collect_dump",
-        "q164_st_node_polygonize",
         "q165_st_tessellate",
     }
 )

@@ -38,8 +38,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._sql_fixtures import int_str
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _pt(dx: int, dy: int) -> str:
+    """SQL for the "x y" pair (minx+dx, miny+dy) — identical text in
+    Spark and DuckDB (int_str idiom)."""
+    return f"{int_str(f'minx + {dx}')} || ' ' || {int_str(f'miny + {dy}')}"
+
+
+def _ring(*offsets: tuple[int, int]) -> str:
+    return " || ', ' || ".join(_pt(dx, dy) for dx, dy in offsets)
+
+
+# Dissolved-union family (VERDICT r11 item 3): a concave "notched roof"
+# pentagon A overlapped by square B, anchored at each region's min
+# corner. Hand-derived dissolved boundary (tests/test_dissolve.py pins
+# the same shape at the kernel level): the union is ONE polygon whose
+# ring picks up B's sides between the notch crossings (minx+6, miny+6)
+# and (minx+2, miny+6) — areas: A 48, B 16, A∩B 4, union 60.
+_A_SQL = (
+    "'POLYGON ((' || "
+    + _ring((0, 0), (8, 0), (8, 8), (4, 4), (0, 8), (0, 0))
+    + " || '))'"
+)
+_B_SQL = (
+    "'POLYGON ((' || "
+    + _ring((2, 4), (6, 4), (6, 8), (2, 8), (2, 4))
+    + " || '))'"
+)
+_DISSOLVED_SQL = (
+    "'POLYGON ((' || "
+    + _ring(
+        (0, 0), (8, 0), (8, 8), (6, 6), (6, 8), (2, 8), (2, 6), (0, 8), (0, 0)
+    )
+    + " || '))'"
+)
 
 # The SAME box formulas as every other nation-box query (q44, q122...):
 # reusing spatial_ops' definitions keeps this oracle from silently
@@ -123,7 +159,8 @@ def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
       FROM b GROUP BY g
     )
     SELECT i.g AS n_regionkey, i.n_boxes, m.union_area, m.perimeter,
-           i.minx, i.miny, i.maxx, i.maxy
+           i.minx, i.miny, i.maxx, i.maxy,
+           {_DISSOLVED_SQL} AS concave_union
     FROM inputs i JOIN metrics m ON i.g = m.g
     """,
 )
@@ -165,4 +202,11 @@ def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("st_ymin(uwkt)").alias("miny"),
         F.expr("st_xmax(uwkt)").alias("maxx"),
         F.expr("st_ymax(uwkt)").alias("maxy"),
+    ).withColumn(
+        # dissolved-output family (r12): concave pentagon ∪ overlapping
+        # square anchored at the region's min corner must come back as
+        # ONE boundary-dissolved polygon whose WKT the oracle
+        # string-builds from the same integer arithmetic
+        "concave_union",
+        F.expr(f"st_union({_A_SQL}, {_B_SQL})"),
     )
