@@ -46,21 +46,29 @@ property of the row set being unioned, not of the table.
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 from functools import cmp_to_key
 
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
-from .noding import _angle_cmp, faces_frac, signed_area2
+from .noding import _angle_cmp, assemble_shells_and_holes, faces_frac
 
 FPt = tuple[Fraction, Fraction]
 
 
 def _frac_rings(member: Geometry) -> list[list[FPt]]:
-    """Member polygon's rings as closed Fraction rings."""
+    """Member polygon's rings as closed Fraction rings. Raises
+    ``overlay._Unsupported`` on non-finite coordinates — NaN passes the
+    simplicity check (every comparison False) and inf survives bbox
+    prescreens, so without this gate Fraction() would crash the whole
+    UDF batch instead of falling back to the caller's stacked path
+    (code-review r12)."""
     out = []
     for ring in member.coords:
+        if not all(math.isfinite(x) and math.isfinite(y) for x, y in ring):
+            raise _ov._Unsupported("dissolve: non-finite coordinate")
         c = [(Fraction(x), Fraction(y)) for x, y in ring]
         if c[0] != c[-1]:
             c.append(c[0])
@@ -182,11 +190,11 @@ def dissolve_polygons(members: list[Geometry]) -> list[Geometry]:
         chains.extend(fr)
 
     faces = faces_frac(chains)
-    kept = [
-        f
-        for f in faces
-        if any(_point_in_rings(_interior_point(f), mr) for mr in member_rings)
-    ]
+    kept = []
+    for f in faces:
+        pt = _interior_point(f)  # once per face, not per member
+        if any(_point_in_rings(pt, mr) for mr in member_rings):
+            kept.append(f)
     if not kept:
         raise _ov._Unsupported("dissolve: no face inside any member")
 
@@ -201,26 +209,10 @@ def dissolve_polygons(members: list[Geometry]) -> list[Geometry]:
                 else:
                     dir_edges.add((a, b))
     rings = _stitch_rings(dir_edges)
-
-    shells = [(r, a) for r in rings if (a := signed_area2(r)) > 0]
-    holes = [(r, -a) for r in rings if (a := signed_area2(r)) < 0]
-    polys: list[list[list[FPt]]] = [[r] for r, _a in shells]
-    for hr, ha in holes:
-        hset = set(hr)
-        probe = Geometry("Polygon", [[(float(x), float(y)) for x, y in hr]])
-        best = None
-        for i, (sr, sa) in enumerate(shells):
-            if set(sr) == hset:
-                continue
-            if sa > ha and G.within(
-                probe,
-                Geometry("Polygon", [[(float(x), float(y)) for x, y in sr]]),
-            ):
-                if best is None or sa < shells[best][1]:
-                    best = i
-        if best is None:
-            raise _ov._Unsupported("dissolve: unattachable hole ring")
-        polys[best].append(hr)
+    # shell/hole split + smallest-containing-shell attachment shared
+    # with the polygonize assembly; strict: an unattachable hole is an
+    # exact-or-NULL failure here, not an unbounded-ring artifact
+    polys = assemble_shells_and_holes(rings, strict=True)
     return [
         Geometry(
             "Polygon", [[(float(x), float(y)) for x, y in r] for r in rings_]
@@ -229,28 +221,43 @@ def dissolve_polygons(members: list[Geometry]) -> list[Geometry]:
     ]
 
 
-def boundaries_share_linework(a: Geometry, b: Geometry) -> bool:
+def frac_segments(g: Geometry) -> list[tuple[FPt, FPt]] | None:
+    """Boundary segments as exact Fraction pairs, or None for
+    non-finite coordinates (callers treat that as "cannot share
+    linework" rather than crashing the batch — code-review r12).
+    Compute ONCE per part and reuse across the O(n²) adjacency loop."""
+    try:
+        rings = _frac_rings(g)
+    except _ov._Unsupported:
+        return None
+    return [
+        (p, q) for ring in rings for p, q in zip(ring, ring[1:]) if p != q
+    ]
+
+
+def boundaries_share_linework(
+    a: Geometry,
+    b: Geometry,
+    asegs: list[tuple[FPt, FPt]] | None = None,
+    bsegs: list[tuple[FPt, FPt]] | None = None,
+) -> bool:
     """True when two polygons' boundaries share a positive-length
     collinear span — PostGIS dissolves edge-adjacent polygons into one
     even when their interiors never overlap, so the union's overlap
     components must connect them (bbox-prescreened; exact collinear
-    interval test shared with ST_SharedPaths)."""
+    interval test shared with ST_SharedPaths). Pass precomputed
+    ``frac_segments`` to amortize the Fraction conversion across an
+    adjacency loop."""
     (ax0, ay0, ax1, ay1) = G.bbox(a)
     (bx0, by0, bx1, by1) = G.bbox(b)
     if not (ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1):
         return False
     from .split import _linear_overlap
 
-    asegs = [
-        (p, q)
-        for ring in _frac_rings(a)
-        for p, q in zip(ring, ring[1:])
-        if p != q
-    ]
-    bsegs = [
-        (p, q)
-        for ring in _frac_rings(b)
-        for p, q in zip(ring, ring[1:])
-        if p != q
-    ]
+    if asegs is None:
+        asegs = frac_segments(a)
+    if bsegs is None:
+        bsegs = frac_segments(b)
+    if asegs is None or bsegs is None:
+        return False
     return _linear_overlap(asegs, bsegs)

@@ -400,16 +400,28 @@ def faces_frac(chains: list[list[Point]]) -> list[list[list[Point]]]:
             continue
         break
 
+    return assemble_shells_and_holes(rings)
+
+
+def assemble_shells_and_holes(
+    rings: list[list[Point]], *, strict: bool = False
+) -> list[list[list[Point]]]:
+    """Split walked rings by signed area (positive = shell, negative =
+    hole) and attach each hole to the smallest shell strictly
+    containing it (equal point sets are the same boundary seen from the
+    other side). Shared by the polygonize face assembly and the union
+    dissolve (code-review r12: one copy of the attachment invariants).
+    ``strict=True`` raises on an unattachable hole (the dissolve's
+    exact-or-NULL contract); the default drops it (polygonize's
+    unbounded-ring case)."""
     areas = [(r, _ring_area2(r)) for r in rings]
     shells = [(r, a) for r, a in areas if a > 0]
     holes = [(r, -a) for r, a in areas if a < 0]
     polys: list[list[list[Point]]] = [[r] for r, _a in shells]
     for hr, ha in holes:
-        # attach to the smallest shell strictly containing it (equal
-        # point sets are the same boundary seen from the other side)
         best = None
         hset = set(hr)
-        probe = Geometry("Polygon", [[ (float(x), float(y)) for x, y in hr ]])
+        probe = Geometry("Polygon", [[(float(x), float(y)) for x, y in hr]])
         for i, (sr, sa) in enumerate(shells):
             if set(sr) == hset:
                 continue
@@ -421,6 +433,8 @@ def faces_frac(chains: list[list[Point]]) -> list[list[list[Point]]]:
                     best = i
         if best is not None:
             polys[best].append(hr)
+        elif strict:
+            raise _ov._Unsupported("unattachable hole ring")
     return polys
 
 

@@ -473,14 +473,25 @@ def union_geoms(
             )
 
         n = len(kept)
+        segs_cache: dict[int, list | None] = {}
+
+        def segs(k: int):
+            if k not in segs_cache:
+                segs_cache[k] = _dis.frac_segments(kept[k])
+            return segs_cache[k]
+
         adj = [set() for _ in range(n)]
+        overlap_pairs: set[tuple[int, int]] = set()
         for i in range(n):
             for j in range(i + 1, n):
-                if _interiors_overlap(i, j) or _dis.boundaries_share_linework(
-                    kept[i], kept[j]
+                if _interiors_overlap(i, j):
+                    overlap_pairs.add((i, j))
+                elif not _dis.boundaries_share_linework(
+                    kept[i], kept[j], segs(i), segs(j)
                 ):
-                    adj[i].add(j)
-                    adj[j].add(i)
+                    continue
+                adj[i].add(j)
+                adj[j].add(i)
         comp = list(range(n))
         for i in range(n):  # tiny n: label propagation is fine
             for j in adj[i]:
@@ -510,7 +521,18 @@ def union_geoms(
                 )
                 drop.update(members)
             except _ov._Unsupported:
-                unresolved_overlap = True
+                # The double-count warning is about OVERLAPPING
+                # interiors staying stacked; a component connected only
+                # by shared boundary linework that fails the dissolve
+                # (e.g. a non-simple ring) keeps exact area/perimeter,
+                # so it must not fire the warning (code-review r12).
+                if any(
+                    (i, j) in overlap_pairs
+                    for i in members
+                    for j in members
+                    if i < j
+                ):
+                    unresolved_overlap = True
         if drop:
             kept = [p for i, p in enumerate(kept) if i not in drop] + merged_out
             # A dissolved union may now cover parts outside its

@@ -253,3 +253,28 @@ def test_dissolve_matches_rect_grid_kernel(seed):
 
 def _rects_interiors_overlap(a, b) -> bool:
     return a[0] < b[2] and b[0] < a[2] and a[1] < b[3] and b[1] < a[3]
+
+
+class TestCodeReviewR12:
+    def test_non_finite_member_falls_back_not_crash(self):
+        """code-review r12: NaN passes the simplicity check and inf
+        survives bbox prescreens — the dissolve must go _Unsupported
+        (stacked fallback), never crash the UDF batch."""
+        for bad in ("nan", "inf"):
+            with pytest.warns(RuntimeWarning, match="double-count"):
+                got = _u(
+                    f"POLYGON ((0 0, {bad} 0, 4 4, 0 0))",
+                    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+                )
+            assert got is not None  # stacked parts, like pre-dissolve
+
+    def test_linework_only_component_failure_does_not_warn(self):
+        """code-review r12: a component connected ONLY by shared
+        boundary linework whose dissolve fails (non-simple ring) keeps
+        exact area/perimeter — the double-count warning must not fire."""
+        bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
+        square = "POLYGON ((-2 0, 0 0, 0 2, -2 2, -2 0))"  # shares x=0 edge
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            got = _u(bowtie, square)
+        assert got is not None
