@@ -61,3 +61,21 @@ def family_rows(boxes, families: dict[str, str]):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def pt_sql(dx: int, dy: int) -> str:
+    """SQL for the "x y" coordinate pair (minx+dx, miny+dy) — identical
+    text in Spark and DuckDB (int_str idiom)."""
+    return f"{int_str(f'minx + {dx}')} || ' ' || {int_str(f'miny + {dy}')}"
+
+
+def ring_sql(*offsets: tuple[int, int]) -> str:
+    """Comma-joined coordinate list for integer offsets from the box's
+    min corner (no parens — compose inside POLYGON/LINESTRING builds)."""
+    return " || ', ' || ".join(pt_sql(dx, dy) for dx, dy in offsets)
+
+
+def poly_sql(*rings: tuple[tuple[int, int], ...]) -> str:
+    """'POLYGON ((...), (...))' SQL build from offset rings."""
+    body = " || '), (' || ".join(ring_sql(*r) for r in rings)
+    return "'POLYGON ((' || " + body + " || '))'"

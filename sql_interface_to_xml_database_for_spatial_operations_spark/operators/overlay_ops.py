@@ -33,8 +33,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._sql_fixtures import poly_sql
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, _fmt_sql, nation_boxes
+
+# Shared overlay fixtures anchored at each box's (minx, miny). The
+# arrow is r10's original non-convex quad; the concave pair and the
+# holed x concave pair are r12 (VERDICT r11 item 2): the kernels
+# handled general concave simple polygons exactly all along — these
+# rows make the driver PIN that class instead of leaving it untested.
+_ARROW = poly_sql(((0, 0), (20, 5), (40, 0), (20, 30), (0, 0)))
+_CONCAVE_A = poly_sql(((0, 0), (40, 0), (40, 25), (20, 10), (0, 25), (0, 0)))
+_CONCAVE_B = poly_sql(
+    ((10, 5), (50, 5), (50, 28), (30, 13), (10, 28), (10, 5))
+)
+_HOLED_H = poly_sql(
+    ((0, 0), (40, 0), (40, 30), (0, 30), (0, 0)),
+    ((15, 8), (25, 8), (20, 16), (15, 8)),
+)
+# st_area parses WKT geometry and does not know typed EMPTY (that
+# extension stays local to overlay.py), so EMPTY maps to 0 area
+# explicitly: PostGIS ST_Area(empty) = 0.
+_AREA0 = "IF(endswith({g}, 'EMPTY'), 0.0D, st_area({g}))"
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
@@ -71,14 +91,14 @@ _Q139_ORACLE = f"""
            TRUE AS nontrivial
     FROM pairs
     UNION ALL
-    SELECT 'arrow' AS fam, n_nationkey AS key1, n_nationkey AS key2,
+    SELECT fam, n_nationkey AS key1, n_nationkey AS key2,
            CAST(NULL AS VARCHAR) AS inter_wkt,
            CAST(NULL AS DOUBLE) AS inter_area,
            CAST(NULL AS DOUBLE) AS diff_area,
            CAST(0 AS BIGINT) AS residual_micro,
            CAST(0 AS BIGINT) AS sym_micro,
            TRUE AS nontrivial
-    FROM boxes
+    FROM boxes, (VALUES ('arrow'), ('concave'), ('holed')) fams(fam)
 """
 
 
@@ -109,10 +129,7 @@ def q139_st_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
         & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1")),
     )
-    # st_area parses WKT geometry and does not know typed EMPTY (that
-    # extension stays local to overlay.py — see its module docstring),
-    # so EMPTY maps to 0 area explicitly: PostGIS ST_Area(empty) = 0.
-    area0 = "IF(endswith({g}, 'EMPTY'), 0.0D, st_area({g}))"
+    area0 = _AREA0
     box_rows = pairs.select(
         F.lit("box").alias("fam"),
         "key1",
@@ -137,46 +154,52 @@ def q139_st_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    # Non-convex arrowhead anchored at its box's (minx, miny): spans
-    # x0..x0+40, y0..y0+30 with a reflex dip at (x0+20, y0+5) — always
-    # properly overlapping its box (boxes are >= 30 x 20).
-    i = lambda c: F.col(c).cast("bigint").cast("string")  # noqa: E731
-    arrow_wkt = F.concat(
-        F.lit("POLYGON (("),
-        i("minx"), F.lit(" "), i("miny"), F.lit(", "),
-        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
-        (F.col("miny") + 5).cast("bigint").cast("string"), F.lit(", "),
-        (F.col("minx") + 40).cast("bigint").cast("string"), F.lit(" "),
-        i("miny"), F.lit(", "),
-        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
-        (F.col("miny") + 30).cast("bigint").cast("string"), F.lit(", "),
-        i("minx"), F.lit(" "), i("miny"), F.lit("))"),
+    # Invariant families (module docstring): arrow x box (r10),
+    # concave x concave and holed x concave (r12) — each pins the
+    # inclusion-exclusion residual, intersection symmetry, and a
+    # non-triviality flag in micro-units through the general kernel.
+    fams = boxes.selectExpr(
+        "n_nationkey",
+        "geom",
+        f"{_ARROW} AS arrow",
+        f"{_CONCAVE_A} AS ca",
+        f"{_CONCAVE_B} AS cb",
+        f"{_HOLED_H} AS hh",
     )
-    arrows = boxes.withColumn("arrow", arrow_wkt)
-    arrow_rows = arrows.select(
-        F.lit("arrow").alias("fam"),
+    fam_rows = [
+        _invariant_rows_139(fams, "arrow", "arrow", "geom"),
+        _invariant_rows_139(fams, "concave", "ca", "cb"),
+        _invariant_rows_139(fams, "holed", "hh", "ca"),
+    ]
+    out = box_rows
+    for r in fam_rows:
+        out = out.unionByName(r)
+    return out
+
+
+def _invariant_rows_139(df: DataFrame, fam: str, g1: str, g2: str) -> DataFrame:
+    """One invariant row per nation for a fixture pair: residual of
+    area(g1 ∩ g2) + area(g1 − g2) − area(g1), intersection symmetry,
+    and overlap non-triviality — all micro-int exact."""
+    inter = _AREA0.format(g=f"st_intersection({g1}, {g2})")
+    inter_rev = _AREA0.format(g=f"st_intersection({g2}, {g1})")
+    diff = _AREA0.format(g=f"st_difference({g1}, {g2})")
+    return df.select(
+        F.lit(fam).alias("fam"),
         F.col("n_nationkey").alias("key1"),
         F.col("n_nationkey").alias("key2"),
         F.lit(None).cast("string").alias("inter_wkt"),
         F.lit(None).cast("double").alias("inter_area"),
         F.lit(None).cast("double").alias("diff_area"),
         F.expr(
-            "CAST(floor(("
-            + area0.format(g="st_intersection(arrow, geom)")
-            + " + " + area0.format(g="st_difference(arrow, geom)")
-            + " - st_area(arrow)) * 1000000 + 0.5) AS BIGINT)"
+            f"CAST(floor(({inter} + {diff} - st_area({g1}))"
+            " * 1000000 + 0.5) AS BIGINT)"
         ).alias("residual_micro"),
         F.expr(
-            "CAST(floor(("
-            + area0.format(g="st_intersection(arrow, geom)")
-            + " - " + area0.format(g="st_intersection(geom, arrow)")
-            + ") * 1000000 + 0.5) AS BIGINT)"
+            f"CAST(floor(({inter} - {inter_rev}) * 1000000 + 0.5) AS BIGINT)"
         ).alias("sym_micro"),
-        F.expr(area0.format(g="st_intersection(arrow, geom)") + " > 0").alias(
-            "nontrivial"
-        ),
+        F.expr(f"{inter} > 0").alias("nontrivial"),
     )
-    return box_rows.unionByName(arrow_rows)
 
 
 _Q146_ORACLE = f"""
@@ -201,12 +224,12 @@ _Q146_ORACLE = f"""
            area_a + area_b - 2 * inter > 0 AS nontrivial
     FROM pairs
     UNION ALL
-    SELECT 'arrow' AS fam, n_nationkey AS key1, n_nationkey AS key2,
+    SELECT fam, n_nationkey AS key1, n_nationkey AS key2,
            CAST(NULL AS DOUBLE) AS symdiff_area,
            CAST(0 AS BIGINT) AS residual_micro,
            CAST(0 AS BIGINT) AS commute_micro,
            TRUE AS nontrivial
-    FROM boxes
+    FROM boxes, (VALUES ('arrow'), ('concave'), ('holed')) fams(fam)
 """
 
 
@@ -241,7 +264,7 @@ def q146_st_symdifference(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
         & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1")),
     )
-    area0 = "IF(endswith({g}, 'EMPTY'), 0.0D, st_area({g}))"
+    area0 = _AREA0
     sd = area0.format(g="st_symdifference(geom_a, geom_b)")
     sd_rev = area0.format(g="st_symdifference(geom_b, geom_a)")
     inter = area0.format(g="st_intersection(geom_a, geom_b)")
@@ -260,34 +283,43 @@ def q146_st_symdifference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{sd} > 0").alias("nontrivial"),
     )
 
-    i = lambda c: F.col(c).cast("bigint").cast("string")  # noqa: E731
-    arrow_wkt = F.concat(
-        F.lit("POLYGON (("),
-        i("minx"), F.lit(" "), i("miny"), F.lit(", "),
-        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
-        (F.col("miny") + 5).cast("bigint").cast("string"), F.lit(", "),
-        (F.col("minx") + 40).cast("bigint").cast("string"), F.lit(" "),
-        i("miny"), F.lit(", "),
-        (F.col("minx") + 20).cast("bigint").cast("string"), F.lit(" "),
-        (F.col("miny") + 30).cast("bigint").cast("string"), F.lit(", "),
-        i("minx"), F.lit(" "), i("miny"), F.lit("))"),
+    fams = boxes.selectExpr(
+        "n_nationkey",
+        "geom",
+        f"{_ARROW} AS arrow",
+        f"{_CONCAVE_A} AS ca",
+        f"{_CONCAVE_B} AS cb",
+        f"{_HOLED_H} AS hh",
     )
-    arrows = boxes.withColumn("arrow", arrow_wkt)
-    sda = area0.format(g="st_symdifference(arrow, geom)")
-    sda_rev = area0.format(g="st_symdifference(geom, arrow)")
-    inter_a = area0.format(g="st_intersection(arrow, geom)")
-    arrow_rows = arrows.select(
-        F.lit("arrow").alias("fam"),
+    fam_rows = [
+        _invariant_rows_146(fams, "arrow", "arrow", "geom"),
+        _invariant_rows_146(fams, "concave", "ca", "cb"),
+        _invariant_rows_146(fams, "holed", "hh", "ca"),
+    ]
+    out = box_rows
+    for r in fam_rows:
+        out = out.unionByName(r)
+    return out
+
+
+def _invariant_rows_146(df: DataFrame, fam: str, g1: str, g2: str) -> DataFrame:
+    """Symmetric-difference invariants per fixture pair: the
+    inclusion-exclusion residual area(g1 Δ g2) − area(g1) − area(g2) +
+    2·area(g1 ∩ g2), commutativity, and non-triviality (micro-int)."""
+    sd = _AREA0.format(g=f"st_symdifference({g1}, {g2})")
+    sd_rev = _AREA0.format(g=f"st_symdifference({g2}, {g1})")
+    inter = _AREA0.format(g=f"st_intersection({g1}, {g2})")
+    return df.select(
+        F.lit(fam).alias("fam"),
         F.col("n_nationkey").alias("key1"),
         F.col("n_nationkey").alias("key2"),
         F.lit(None).cast("double").alias("symdiff_area"),
         F.expr(
-            f"CAST(floor(({sda} - st_area(arrow) - st_area(geom)"
-            f" + 2 * {inter_a}) * 1000000 + 0.5) AS BIGINT)"
+            f"CAST(floor(({sd} - st_area({g1}) - st_area({g2})"
+            f" + 2 * {inter}) * 1000000 + 0.5) AS BIGINT)"
         ).alias("residual_micro"),
         F.expr(
-            f"CAST(floor(({sda} - {sda_rev}) * 1000000 + 0.5) AS BIGINT)"
+            f"CAST(floor(({sd} - {sd_rev}) * 1000000 + 0.5) AS BIGINT)"
         ).alias("commute_micro"),
-        F.expr(f"{sda} > 0").alias("nontrivial"),
+        F.expr(f"{sd} > 0").alias("nontrivial"),
     )
-    return box_rows.unionByName(arrow_rows)

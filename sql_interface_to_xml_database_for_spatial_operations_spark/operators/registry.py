@@ -90,6 +90,14 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # in comments only) are result-invariant — fingerprints deliberately
 # re-recorded (q139/q146/q149/q156/q157/q161 re-expose later this
 # round anyway where planned).
+# r12 edit #2 (general-concave overlay oracle families, VERDICT r11
+# item 2): overlay_ops.py q139/q146 gain 'concave' and 'holed'
+# invariant families (and their oracles grow matching rows) ->
+# q139/q146 RE-EXPOSE displacing fill q30/q19. _sql_fixtures.py gained
+# pt_sql/ring_sql/poly_sql (pure additions; union_agg refactored onto
+# them — q124 already exposed) — every other drifted green only
+# imports the module without executing the new helpers:
+# result-invariant, fingerprints deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -131,6 +139,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q87_percentiles",
         "q117_approx_percentiles",
         "q41_st_point_accessors",
+        "q19_anti_join_not_exists",
+        "q30_except",
         "q46_st_area_props",
         "q47_dwithin_pairs",
         "q48_distance_sphere_count",
@@ -187,8 +197,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q131_st_azimuth",
         "q133_resize_images",
         "q136_image_dhash_neardup",
-        "q139_st_intersection",
-        "q146_st_symdifference",
         "q140_wkb_roundtrip",
         "q143_kmeans_assign",
         "q144_bloom_semijoin",

