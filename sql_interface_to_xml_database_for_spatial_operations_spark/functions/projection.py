@@ -135,6 +135,85 @@ def _utm_inv(e: float, n: float, zone: int, north: bool) -> tuple[float, float]:
     return math.degrees(lam + lam0), math.degrees(phi)
 
 
+# --- Lambert conformal conic 2SP ↔ WGS84 (r12, VERDICT r11 item 4) ------
+#
+# The national-grid class PostGIS users hit right after UTM. Snyder,
+# "Map Projections: A Working Manual" (USGS PP 1395, 1987), pp. 104-110
+# — the published 2SP ellipsoidal closed forms:
+#
+#   m(φ) = cos φ / √(1 − e² sin² φ)
+#   t(φ) = tan(π/4 − φ/2) / ((1 − e sin φ)/(1 + e sin φ))^(e/2)
+#   n = (ln m₁ − ln m₂)/(ln t₁ − ln t₂);  F = m₁/(n t₁ⁿ);  ρ = a F tⁿ
+#   E = E₀ + ρ sin(n(λ−λ₀));  N = N₀ + ρ_F − ρ cos(n(λ−λ₀))
+#
+# Inverse latitude by the standard fixed-point iteration on
+# φ = π/2 − 2 atan(t'·((1−e sinφ)/(1+e sinφ))^(e/2)).
+#
+# Parameter table: the published EPSG definitions. ETRS89/RGF93 agree
+# with WGS84 to centimeter level (no datum shift modeled — same stance
+# PostGIS users take for web workflows; both CRSs use GRS80).
+_GRS80_INV_F = 298.257222101
+
+
+class _LccCrs:
+    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f):
+        a = R  # GRS80/WGS84 share the semi-major axis
+        f = 1.0 / inv_f
+        self.e = math.sqrt(f * (2.0 - f))
+        self.a = a
+        p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        m1, m2 = self._m(p1), self._m(p2)
+        t1, t2, t0 = self._t(p1), self._t(p2), self._t(p0)
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.f_cap = m1 / (self.n * t1**self.n)
+        self.rho0 = a * self.f_cap * t0**self.n
+
+    def _m(self, phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - self.e * self.e * s * s)
+
+    def _t(self, phi):
+        s = self.e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - s) / (1.0 + s)
+        ) ** (self.e / 2.0)
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        rho = self.a * self.f_cap * self._t(math.radians(lat)) ** self.n
+        th = self.n * (math.radians(lon) - self.lam0)
+        return self.e0 + rho * math.sin(th), self.n0 + self.rho0 - rho * math.cos(th)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        de, dn = e - self.e0, self.rho0 - (n - self.n0)
+        rho = math.copysign(math.hypot(de, dn), self.n)
+        tp = (rho / (self.a * self.f_cap)) ** (1.0 / self.n)
+        th = math.atan2(de, dn)
+        lam = th / self.n + self.lam0
+        phi = math.pi / 2.0 - 2.0 * math.atan(tp)
+        for _ in range(15):
+            s = self.e * math.sin(phi)
+            nxt = math.pi / 2.0 - 2.0 * math.atan(
+                tp * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
+            )
+            if abs(nxt - phi) < 1e-14:
+                phi = nxt
+                break
+            phi = nxt
+        return math.degrees(lam), math.degrees(phi)
+
+
+_LCC: dict[int, _LccCrs] = {
+    # RGF93 / Lambert-93 (France): SP 49°/44°, origin (46.5°N, 3°E),
+    # FE 700 km, FN 6600 km
+    2154: _LccCrs(49.0, 44.0, 46.5, 3.0, 700_000.0, 6_600_000.0, _GRS80_INV_F),
+    # ETRS89-extended / LCC Europe: SP 35°/65°, origin (52°N, 10°E),
+    # FE 4000 km, FN 2800 km
+    3034: _LccCrs(35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0, _GRS80_INV_F),
+}
+
+
 def _map_coords(g: Geometry, fn) -> Geometry:
     if g.kind == "Point":
         return Geometry("Point", fn(*g.coords))
@@ -166,13 +245,25 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
     if zone_from is not None and srid_to == 4326:
         z, north = zone_from
         return _map_coords(g, lambda e, n: _utm_inv(e, n, z, north))
-    if zone_from is not None or zone_to is not None or 3857 in (srid_from, srid_to):
-        # Composable pairs (e.g. 3857 -> UTM) route through 4326.
+    if srid_from == 4326 and srid_to in _LCC:
+        return _map_coords(g, _LCC[srid_to].fwd)
+    if srid_from in _LCC and srid_to == 4326:
+        return _map_coords(g, _LCC[srid_from].inv)
+    if (
+        zone_from is not None
+        or zone_to is not None
+        or 3857 in (srid_from, srid_to)
+        or srid_from in _LCC
+        or srid_to in _LCC
+    ):
+        # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3034) route
+        # through 4326.
         return transform(transform(g, srid_from, 4326), 4326, srid_to)
     raise ValueError(
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
-        "for 4326<->3857 and 4326<->UTM EPSG:326xx/327xx; install proj and "
-        "add a dispatcher branch for other CRSs)"
+        "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, and LCC 2SP "
+        "EPSG:2154/3034; install proj and add a dispatcher branch for "
+        "other CRSs)"
     )
 
 

@@ -212,7 +212,10 @@ _Q130_ORACLE = f"""
            CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS rt_lat_micro,
            CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS utm_rt_lon_micro,
            CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS utm_rt_lat_micro,
-           TRUE AS utm_easting_in_range
+           TRUE AS utm_easting_in_range,
+           CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS lcc_rt_lon_micro,
+           CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS lcc_rt_lat_micro,
+           TRUE AS lcc_origin_ok
     FROM pts
 """
 
@@ -221,9 +224,11 @@ _Q130_ORACLE = f"""
 def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform driver row (functions/projection.py): Web-Mercator
     forward (x exact in micro-meters — no transcendentals; y at whole
-    meters), 3857 round-trip and UTM (EPSG:326xx/327xx, Krüger series —
-    VERDICT r6 item 4) round-trip at micro-degrees vs the original
-    key-derived coordinates. See module docstring for why every floor is
+    meters), 3857 round-trip, UTM (EPSG:326xx/327xx, Krüger series —
+    VERDICT r6 item 4) and LCC 2SP (EPSG:2154/3034, Snyder closed
+    forms — VERDICT r11 item 4) round-trips at micro-degrees vs the
+    original key-derived coordinates, plus the exact false-origin
+    anchor. See module docstring for why every floor is
     deterministic."""
     from ..sources.tables import load_table
 
@@ -236,12 +241,20 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 60 + 1).alias("zone"),
     )
     utm_srid = (F.when(F.col("lat") >= 0, F.lit(32600)).otherwise(F.lit(32700)) + F.col("zone")).cast("int")
+    # LCC 2SP family (r12, VERDICT r11 item 4): alternate the two
+    # national-grid CRSs; round-trip at micro-degrees plus the
+    # published anchor "projection origin = false origin" (Lambert-93's
+    # (3 E, 46.5 N) -> exactly (700000, 6600000), Snyder 2SP).
+    lcc_srid = F.when(F.col("c_custkey") % 2 == 1, F.lit(2154)).otherwise(F.lit(3034)).cast("int")
     df = (
         pts.withColumn("g", F.expr("st_point(lon, lat)"))
         .withColumn("merc", F.expr("st_transform(g, 4326, 3857)"))
         .withColumn("back", F.expr("st_transform(merc, 3857, 4326)"))
         .withColumn("utm", F.call_function("st_transform", F.col("g"), F.lit(4326), utm_srid))
         .withColumn("utm_back", F.call_function("st_transform", F.col("utm"), utm_srid, F.lit(4326)))
+        .withColumn("lcc", F.call_function("st_transform", F.col("g"), F.lit(4326), lcc_srid))
+        .withColumn("lcc_back", F.call_function("st_transform", F.col("lcc"), lcc_srid, F.lit(4326)))
+        .withColumn("lcc_origin", F.expr("st_transform('POINT (3 46.5)', 4326, 2154)"))
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -253,6 +266,12 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.expr("st_x(utm_back)")).alias("utm_rt_lon_micro"),
         micro(F.expr("st_y(utm_back)")).alias("utm_rt_lat_micro"),
         F.expr("st_x(utm)").between(100000.0, 900000.0).alias("utm_easting_in_range"),
+        micro(F.expr("st_x(lcc_back)")).alias("lcc_rt_lon_micro"),
+        micro(F.expr("st_y(lcc_back)")).alias("lcc_rt_lat_micro"),
+        (
+            (micro(F.expr("st_x(lcc_origin)")) == F.lit(700_000_000_000))
+            & (micro(F.expr("st_y(lcc_origin)")) == F.lit(6_600_000_000_000))
+        ).alias("lcc_origin_ok"),
     )
 
 

