@@ -51,3 +51,4 @@ def load_all() -> None:
     from . import noding_ops  # noqa: F401
     from . import tessellate_ops  # noqa: F401
     from . import split_ops  # noqa: F401
+    from . import video_ops  # noqa: F401

@@ -105,6 +105,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # siblings q128/q129/q131 (same geo_fn_ops.py file) and q131's
 # st_azimuth (same projection.py file) execute unchanged code — the
 # LCC code is pure addition; fingerprints deliberately re-recorded.
+# r12 edit #4 (AVI/MJPEG video frames, VERDICT r11 item 5): new
+# operators/video_ops.py (strict RIFF walk + MJPEG frames through the
+# real JPEG decoder) registers q167_video_frames WITH its driver row,
+# displacing fill q16. multimodal.decode_meta gained the AVI dispatch
+# branch — a pure addition; the SIMG/JPEG/SRAS/PNG paths the greens
+# q80/q81/q82/q133/q136 execute are byte-unchanged, fingerprints
+# deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -145,6 +152,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q86_skew_salted_join",
         "q87_percentiles",
         "q117_approx_percentiles",
+        "q16_join_multiway",
         "q41_st_point_accessors",
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
