@@ -103,6 +103,10 @@ HEADLINE = [
     "q164_st_node_polygonize",
     "q165_st_tessellate",
     "q166_st_split",
+    # r12 rows: AVI/MJPEG frame decode (map-only), and 6 rounds of
+    # integer Lloyd (one bounded shuffle + bounded collect per round)
+    "q167_video_frames",
+    "q168_kmeans_converged",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -112,6 +112,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # branch — a pure addition; the SIMG/JPEG/SRAS/PNG paths the greens
 # q80/q81/q82/q133/q136 execute are byte-unchanged, fingerprints
 # deliberately re-recorded.
+# r12 edit #5 (k-means to convergence, VERDICT r11 item 6):
+# cluster_ops.py gained kmeans_rounds (integer-quantized Lloyd,
+# centroid fixed-point convergence, broadcast-data centroids so the
+# per-round plan/codegen is reused) and q168_kmeans_converged
+# registers WITH its driver row, displacing fill q15. q143's one-step
+# module sibling executes unchanged code (the additions are pure) —
+# BUT cluster_ops.py is its defining module, so q143 RE-EXPOSES
+# instead of a re-record (same-module additions have bitten before),
+# displacing fill q14.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -152,6 +161,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q86_skew_salted_join",
         "q87_percentiles",
         "q117_approx_percentiles",
+        "q14_join_right_outer",
+        "q15_join_full_outer",
         "q16_join_multiway",
         "q41_st_point_accessors",
         "q18_semi_join_in_subquery",
@@ -213,7 +224,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q133_resize_images",
         "q136_image_dhash_neardup",
         "q140_wkb_roundtrip",
-        "q143_kmeans_assign",
         "q144_bloom_semijoin",
         "q145_inverted_index",
         "q148_st_affine",
