@@ -269,7 +269,9 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
 
 @pandas_udf(StringType())
 def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd.Series:
-    """NULL/malformed WKT → NULL (registry convention); an UNSUPPORTED
+    """NULL/malformed/non-finite WKT → NULL (registry convention: a
+    NaN/inf coordinate through a transcendental projection would emit
+    a silently corrupt geometry — code-review r12); an UNSUPPORTED
     SRID pair raises — a wrong CRS silently treated as a no-op would
     corrupt every downstream coordinate."""
     out = []
@@ -278,7 +280,12 @@ def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd
             out.append(None)
             continue
         g = G.parse_wkt(w)
-        out.append(None if g is None else G.to_wkt(transform(g, int(sf), int(st_))))
+        if g is None or not all(
+            math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
+        ):
+            out.append(None)
+            continue
+        out.append(G.to_wkt(transform(g, int(sf), int(st_))))
     return pd.Series(out, dtype=object)
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
+from .vectors import DIM as _DIM
 from .vectors import vectors as _vectors
 
 K = 10  # vec_id < K are the seed centroids
@@ -147,10 +148,6 @@ def q143_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K168 = 8
 R168 = 6
-_D2_INT = (
-    "aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)), "
-    "0L, (acc, x) -> acc + x)"
-)
 
 
 def kmeans_rounds(
@@ -230,7 +227,7 @@ def kmeans_rounds(
     return assigned, cent, stable
 
 
-def _q168_oracle(k: int, rounds: int) -> str:
+def _q168_oracle(k: int, rounds: int, dim: int) -> str:
     """Unrolled DuckDB mirror of ``kmeans_rounds``: same quantization,
     same integer distance/argmin/mean arithmetic, round for round; the
     stability flag is the same centroid fixed-point test the engine
@@ -263,7 +260,7 @@ def _q168_oracle(k: int, rounds: int) -> str:
     SELECT cid, pos,
            CAST(floor((2 * sum(pv[pos]) + count(*))
                       / (2.0 * count(*))) AS BIGINT) AS cm
-    FROM a{r}, generate_series(1, 64) AS g(pos)
+    FROM a{r}, generate_series(1, {dim}) AS g(pos)
     GROUP BY cid, pos
   ) GROUP BY cid
 )"""
@@ -283,7 +280,7 @@ GROUP BY a.cid"""
     return "".join(parts)
 
 
-@query("q168_kmeans_converged", oracle=_q168_oracle(K168, R168))
+@query("q168_kmeans_converged", oracle=_q168_oracle(K168, R168, _DIM))
 def q168_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized Lloyd iterated R168 rounds (stable-early-exit;
     the fixture's random embeddings keep wandering, so the row pins the

@@ -121,6 +121,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # BUT cluster_ops.py is its defining module, so q143 RE-EXPOSES
 # instead of a re-record (same-module additions have bitten before),
 # displacing fill q14.
+# r12 edit #6 (code-review fixes): st_transform's UDF now NULLs
+# non-finite coordinates (q130 exposed; executed), the q168 oracle
+# derives the embedding dim from vectors.DIM, dead _D2_INT removed,
+# COVERAGE counts corrected to 167. The drifted greens
+# (q99-q102/q108/q114/q118/q121/q128/q129/q131/q148/q154) only share
+# the projection/engine module closure without executing st_transform
+# — result-invariant, fingerprints deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",

@@ -217,6 +217,10 @@ class TestLambertConformalConic:
         row = spark.sql(
             "SELECT st_transform(st_transform('POINT (2.3522 48.8566)',"
             " 4326, 2154), 2154, 3034) AS p,"
-            " st_transform('POINT (nan 1)', 4326, 2154) AS bad"
+            " st_transform('POINT (nan 1)', 4326, 2154) AS bad,"
+            " st_transform('POINT (1 inf)', 4326, 3857) AS bad2"
         ).collect()[0]
         assert row["p"].startswith("POINT (")
+        # code-review r12: non-finite coordinates go NULL, never a
+        # silently corrupt 'POINT (nan nan)'
+        assert row["bad"] is None and row["bad2"] is None
