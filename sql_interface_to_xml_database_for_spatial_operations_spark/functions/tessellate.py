@@ -309,7 +309,9 @@ def _border_of(live) -> dict:
     return {e: fs[0] for e, fs in edge_faces.items() if len(fs) == 1}
 
 
-def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
+def concave_hull_geom(
+    g: Geometry, ratio: float, allow_holes: bool = False
+) -> Geometry | None:
     """Chi-shape concave hull (Duckham et al. 2008, the algorithm GEOS's
     ConcaveHullOfPoints descends from): start from the Delaunay
     triangulation, repeatedly remove the border triangle whose border
@@ -323,7 +325,17 @@ def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
     squared lengths NORMALIZED by the exact maximum (a Fraction
     division, so astronomically large coordinates cannot overflow the
     float conversion — code-review r11); candidate order sorts the
-    exact Fraction squared lengths, coordinates as the tie-break."""
+    exact Fraction squared lengths, coordinates as the tie-break.
+
+    ``allow_holes=True`` (PostGIS param_allow_holes, r12): erosion may
+    also DIG — remove an interior triangle (no border edge) whose
+    longest edge is above threshold when all three vertices are off
+    every boundary, creating a hole whose border then erodes by the
+    same regular rule; vertex-disjointness keeps the outer ring and
+    the holes simple and mutually untouching. The remaining
+    triangulation re-assembles through the exact boundary-dissolve
+    kernel (functions/dissolve.py), so the holed output carries the
+    same seam-free shape st_union produces."""
     if ratio is None or not (0.0 <= float(ratio) <= 1.0):
         return None
     tris = delaunay_triangles(G._points(g))
@@ -347,15 +359,30 @@ def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
     while True:
         border = _border_of(live)
         bverts = {v for e in border for v in e}
-        candidates = [(_elen2(*e), e) for e in border if above(e)]
+        candidates = [
+            (_elen2(*e), e, border[e], False) for e in border if above(e)
+        ]
+        if allow_holes:
+            border_tris = set(border.values())
+            for t in live:
+                if t in border_tris:
+                    continue
+                e = max(_tri_edges(t), key=lambda e_: (_elen2(*e_), e_))
+                if above(e):
+                    candidates.append((_elen2(*e), e, t, True))
         # longest first (exact), coordinates as the deterministic tie-break
         candidates.sort(key=lambda x: (-x[0], x[1]))
         removed = False
-        for _l2, e in candidates:
-            t = border[e]
-            (v,) = [p for p in t if p not in e]
-            if v in bverts:
-                continue  # irregular: exposing v would pinch the region
+        for _l2, e, t, digs in candidates:
+            if digs:
+                # digging a NEW hole: every vertex must be off every
+                # boundary so rings stay simple and mutually disjoint
+                if any(p in bverts for p in t):
+                    continue
+            else:
+                (v,) = [p for p in t if p not in e]
+                if v in bverts:
+                    continue  # irregular: exposing v would pinch the region
             if len(live) == 1:
                 break  # never erode the last triangle away
             live.discard(t)
@@ -363,6 +390,21 @@ def concave_hull_geom(g: Geometry, ratio: float) -> Geometry | None:
             break
         if not removed:
             break
+    if allow_holes:
+        # re-assemble shell + holes through the exact boundary-dissolve
+        # kernel: adjacent triangles share whole Delaunay edges, so the
+        # seams cancel and the walk returns the holed chi-shape
+        from . import dissolve as _dis
+
+        polys = _dis.dissolve_polygons(
+            [
+                Geometry("Polygon", [_float_ring(_canon_ring(t))])
+                for t in sorted(live)
+            ]
+        )
+        if len(polys) == 1:
+            return polys[0]
+        return Geometry("MultiPolygon", [p.coords for p in polys])
     # boundary walk: border edges of the remaining triangulation form
     # one simple ring (regularity invariant)
     border_edges = list(_border_of(live))
@@ -468,10 +510,43 @@ def st_concavehull(wkt: pd.Series, ratio: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_concavehull_holes(wkt: pd.Series, ratio: pd.Series) -> pd.Series:
+    """PostGIS ST_ConcaveHull(geom, ratio, param_allow_holes := true) —
+    a separate name because UDFs cannot overload arity (the
+    st_makepolygon_holes precedent)."""
+    import math as _math
+
+    out = []
+    for w, r in zip(wkt, ratio):
+        try:
+            if (
+                r is None
+                or (isinstance(r, float) and _math.isnan(r))
+                or not (0.0 <= float(r) <= 1.0)
+            ):
+                out.append(None)
+                continue
+            if _is_empty_wkt(w):
+                out.append("POLYGON EMPTY")
+                continue
+            g = G.parse_wkt_opt(w)
+            h = (
+                concave_hull_geom(g, float(r), allow_holes=True)
+                if g is not None
+                else None
+            )
+            out.append(None if h is None else G.to_wkt(h))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_TESSELLATE_FUNCTIONS = {
     "st_delaunaytriangles": st_delaunaytriangles,
     "st_voronoipolygons": st_voronoipolygons,
     "st_concavehull": st_concavehull,
+    "st_concavehull_holes": st_concavehull_holes,
 }
 
 

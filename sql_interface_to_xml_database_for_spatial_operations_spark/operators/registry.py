@@ -128,6 +128,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (q99-q102/q108/q114/q118/q121/q128/q129/q131/q148/q154) only share
 # the projection/engine module closure without executing st_transform
 # — result-invariant, fingerprints deliberately re-recorded.
+# r12 edit #7 (concave-hull holes, VERDICT r11 missing item 5):
+# tessellate.py gained allow_holes (interior-triangle digging with
+# off-boundary vertex regularity, holed assembly through the dissolve
+# kernel) + the st_concavehull_holes UDF; q165 gains the ch_holes
+# pinned-WKT family and the ch_holes_bay_match cross-kernel assembly
+# pin -> q165 RE-EXPOSES displacing fill q13.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -168,6 +174,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q86_skew_salted_join",
         "q87_percentiles",
         "q117_approx_percentiles",
+        "q13_join_left_outer",
         "q14_join_right_outer",
         "q15_join_full_outer",
         "q16_join_multiway",
@@ -246,7 +253,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q159_st_bounding",
         "q160_cluster_dbscan",
         "q161_st_collect_dump",
-        "q165_st_tessellate",
     }
 )
 

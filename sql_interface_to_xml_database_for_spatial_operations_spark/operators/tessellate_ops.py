@@ -96,6 +96,27 @@ _BAY = sql_concat(
     _pt("minx + 12", "miny + 6"), "')'",
 )
 
+# two concentric rings of 8 integer points (outer square side 20 with
+# edge midpoints, inner square side 8 with midpoints), offset per box:
+# at ratio 0.3 with allow_holes the erosion DIGS the inner diamond out
+# (every removal deterministic — exact lengths, coordinate tie-break)
+# and the dissolve re-assembly returns the shell + one diamond hole,
+# area 248 (probe-verified translation-invariant; r12, VERDICT r11
+# missing item 5).
+_RINGS = sql_concat(
+    "'MULTIPOINT ('",
+    _pt("minx", "miny"), "', '", _pt("minx + 10", "miny"), "', '",
+    _pt("minx + 20", "miny"), "', '", _pt("minx + 20", "miny + 10"), "', '",
+    _pt("minx + 20", "miny + 20"), "', '", _pt("minx + 10", "miny + 20"),
+    "', '", _pt("minx", "miny + 20"), "', '", _pt("minx", "miny + 10"),
+    "', '", _pt("minx + 6", "miny + 6"), "', '", _pt("minx + 10", "miny + 6"),
+    "', '", _pt("minx + 14", "miny + 6"), "', '",
+    _pt("minx + 14", "miny + 10"), "', '", _pt("minx + 14", "miny + 14"),
+    "', '", _pt("minx + 10", "miny + 14"), "', '",
+    _pt("minx + 6", "miny + 14"), "', '", _pt("minx + 6", "miny + 10"),
+    "')'",
+)
+
 _FAMILIES = {
     "del_tri3": f"st_delaunaytriangles({_TRI3})",
     "del_count5": int_str(f"st_numgeometries(st_delaunaytriangles({_FIVE}))"),
@@ -110,6 +131,13 @@ _FAMILIES = {
     "ch_monotone": (
         f"CAST(st_area(st_concavehull({_BAY}, 0.2)) <= "
         f"st_area(st_concavehull({_BAY}, 1.0)) AS STRING)"
+    ),
+    "ch_holes": f"st_concavehull_holes({_RINGS}, 0.3)",
+    # when nothing digs, the dissolve assembly must equal the ring
+    # walk byte for byte (two independent assembly kernels)
+    "ch_holes_bay_match": (
+        f"CAST(st_concavehull_holes({_BAY}, 0.5) = "
+        f"st_concavehull({_BAY}, 0.5) AS STRING)"
     ),
 }
 
@@ -139,6 +167,22 @@ _VOR_ONE_WKT = sql_concat(
     "')))'",
 )
 
+_CH_HOLES_WKT = sql_concat(
+    "'POLYGON (('",
+    _pt("minx", "miny"), "', '", _pt("minx + 10", "miny"), "', '",
+    _pt("minx + 14", "miny + 6"), "', '", _pt("minx + 20", "miny"), "', '",
+    _pt("minx + 20", "miny + 10"), "', '", _pt("minx + 20", "miny + 20"),
+    "', '", _pt("minx + 14", "miny + 14"), "', '",
+    _pt("minx + 10", "miny + 20"), "', '", _pt("minx", "miny + 20"), "', '",
+    _pt("minx + 6", "miny + 14"), "', '", _pt("minx", "miny + 10"), "', '",
+    _pt("minx + 6", "miny + 6"), "', '", _pt("minx", "miny"),
+    "'), ('",
+    _pt("minx + 6", "miny + 10"), "', '", _pt("minx + 10", "miny + 14"),
+    "', '", _pt("minx + 14", "miny + 10"), "', '",
+    _pt("minx + 10", "miny + 6"), "', '", _pt("minx + 6", "miny + 10"),
+    "'))'",
+)
+
 _ORACLE_VALS = {
     "del_tri3": _TRI3_WKT,
     "del_count5": "'4'",
@@ -151,6 +195,8 @@ _ORACLE_VALS = {
     "ch_convex": _micro(f"{_W} * {_H}"),  # ratio 1 = the convex hull
     "ch_bay": "'280000000'",
     "ch_monotone": "'true'",
+    "ch_holes": _CH_HOLES_WKT,
+    "ch_holes_bay_match": "'true'",
 }
 
 _Q165_ORACLE = "\nUNION ALL\n".join(

