@@ -204,6 +204,98 @@ class _LccCrs:
         return math.degrees(lam), math.degrees(phi)
 
 
+# --- Lambert azimuthal equal-area ↔ WGS84 (r12) --------------------------
+#
+# EPSG:3035 (ETRS89-extended / LAEA Europe) — the EU statistical grid.
+# Snyder, USGS PP 1395, pp. 187-190: the ellipsoidal oblique-aspect
+# closed forms over the authalic sphere:
+#
+#   q(φ) = (1−e²)[sin φ/(1−e² sin² φ) − (1/2e)·ln((1−e sin φ)/(1+e sin φ))]
+#   β = asin(q/q_p);  R_q = a √(q_p/2);  D = a m(φ₀)/(R_q cos β₀)
+#   B = R_q √(2/(1 + sin β₀ sin β + cos β₀ cos β cos(λ−λ₀)))
+#   E = E₀ + B D cos β sin(λ−λ₀)
+#   N = N₀ + (B/D)(cos β₀ sin β − sin β₀ cos β cos(λ−λ₀))
+#
+# Inverse via ρ, c_e = 2 asin(ρ/2R_q), then the published
+# authalic-to-geodetic latitude series.
+
+
+class _LaeaCrs:
+    def __init__(self, phi0, lam0, e0, n0, inv_f):
+        a = R
+        f = 1.0 / inv_f
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.e2 = self.e * self.e
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        self.qp = self._q(math.pi / 2.0)
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        p0 = math.radians(phi0)
+        self.sb0 = math.sin(self._beta(p0))
+        self.cb0 = math.cos(self._beta(p0))
+        s0 = math.sin(p0)
+        m0 = math.cos(p0) / math.sqrt(1.0 - self.e2 * s0 * s0)
+        self.d = a * m0 / (self.rq * self.cb0)
+
+    def _q(self, phi):
+        s = math.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * math.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )
+
+    def _beta(self, phi):
+        return math.asin(max(-1.0, min(1.0, self._q(phi) / self.qp)))
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        b = self._beta(math.radians(lat))
+        dl = math.radians(lon) - self.lam0
+        sb, cb = math.sin(b), math.cos(b)
+        bb = self.rq * math.sqrt(
+            2.0 / (1.0 + self.sb0 * sb + self.cb0 * cb * math.cos(dl))
+        )
+        e = self.e0 + bb * self.d * cb * math.sin(dl)
+        n = self.n0 + (bb / self.d) * (
+            self.cb0 * sb - self.sb0 * cb * math.cos(dl)
+        )
+        return e, n
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        de = (e - self.e0) / self.d
+        dn = (n - self.n0) * self.d
+        rho = math.hypot(de, dn)
+        if rho == 0.0:
+            bp = math.asin(self.sb0)
+            lam = self.lam0
+        else:
+            ce = 2.0 * math.asin(max(-1.0, min(1.0, rho / (2.0 * self.rq))))
+            sc, cc = math.sin(ce), math.cos(ce)
+            bp = math.asin(
+                max(-1.0, min(1.0, cc * self.sb0 + dn * sc * self.cb0 / rho))
+            )
+            lam = self.lam0 + math.atan2(
+                de * sc, rho * self.cb0 * cc - dn * self.sb0 * sc
+            )
+        e2 = self.e2
+        phi = (
+            bp
+            + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0)
+            * math.sin(2.0 * bp)
+            + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0)
+            * math.sin(4.0 * bp)
+            + (761.0 * e2**3 / 45360.0) * math.sin(6.0 * bp)
+        )
+        return math.degrees(lam), math.degrees(phi)
+
+
+_LAEA: dict[int, _LaeaCrs] = {
+    # ETRS89-extended / LAEA Europe: origin (52°N, 10°E),
+    # FE 4 321 km, FN 3 210 km
+    3035: _LaeaCrs(52.0, 10.0, 4_321_000.0, 3_210_000.0, _GRS80_INV_F),
+}
+
 _LCC: dict[int, _LccCrs] = {
     # RGF93 / Lambert-93 (France): SP 49°/44°, origin (46.5°N, 3°E),
     # FE 700 km, FN 6600 km
@@ -249,21 +341,27 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _LCC[srid_to].fwd)
     if srid_from in _LCC and srid_to == 4326:
         return _map_coords(g, _LCC[srid_from].inv)
+    if srid_from == 4326 and srid_to in _LAEA:
+        return _map_coords(g, _LAEA[srid_to].fwd)
+    if srid_from in _LAEA and srid_to == 4326:
+        return _map_coords(g, _LAEA[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
         or 3857 in (srid_from, srid_to)
         or srid_from in _LCC
         or srid_to in _LCC
+        or srid_from in _LAEA
+        or srid_to in _LAEA
     ):
-        # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3034) route
+        # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
         return transform(transform(g, srid_from, 4326), 4326, srid_to)
     raise ValueError(
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
-        "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, and LCC 2SP "
-        "EPSG:2154/3034; install proj and add a dispatcher branch for "
-        "other CRSs)"
+        "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
+        "EPSG:2154/3034, and LAEA EPSG:3035; install proj and add a "
+        "dispatcher branch for other CRSs)"
     )
 
 

@@ -215,7 +215,10 @@ _Q130_ORACLE = f"""
            TRUE AS utm_easting_in_range,
            CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS lcc_rt_lon_micro,
            CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS lcc_rt_lat_micro,
-           TRUE AS lcc_origin_ok
+           TRUE AS lcc_origin_ok,
+           CAST(floor((lon / 4 + 10) * 1000000 + 0.5) AS BIGINT) AS laea_rt_lon_micro,
+           CAST(floor((lat / 2 + 30) * 1000000 + 0.5) AS BIGINT) AS laea_rt_lat_micro,
+           TRUE AS laea_origin_ok
     FROM pts
 """
 
@@ -226,9 +229,10 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward (x exact in micro-meters — no transcendentals; y at whole
     meters), 3857 round-trip, UTM (EPSG:326xx/327xx, Krüger series —
     VERDICT r6 item 4) and LCC 2SP (EPSG:2154/3034, Snyder closed
-    forms — VERDICT r11 item 4) round-trips at micro-degrees vs the
+    forms — VERDICT r11 item 4) and LAEA EPSG:3035 (Snyder
+    authalic-sphere forms, r12) round-trips at micro-degrees vs the
     original key-derived coordinates, plus the exact false-origin
-    anchor. See module docstring for why every floor is
+    anchors. See module docstring for why every floor is
     deterministic."""
     from ..sources.tables import load_table
 
@@ -255,6 +259,18 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lcc", F.call_function("st_transform", F.col("g"), F.lit(4326), lcc_srid))
         .withColumn("lcc_back", F.call_function("st_transform", F.col("lcc"), lcc_srid, F.lit(4326)))
         .withColumn("lcc_origin", F.expr("st_transform('POINT (3 46.5)', 4326, 2154)"))
+        # LAEA EPSG:3035 (r12): its oblique aspect is singular at the
+        # antipode of (10 E, 52 N), so the fixture maps the global grid
+        # into the European domain (lon/4+10, lat/2+30 — still exact
+        # quarter/eighth-degree micro-integers); round-trip error is
+        # the published authalic-series truncation (~1.4e-8 deg,
+        # 0.014 micro-units, far under the 0.5 floor guard)
+        .withColumn("glaea", F.expr("st_point(lon / 4 + 10, lat / 2 + 30)"))
+        .withColumn("laea", F.expr("st_transform(glaea, 4326, 3035)"))
+        .withColumn("laea_back", F.expr("st_transform(laea, 3035, 4326)"))
+        .withColumn(
+            "laea_origin", F.expr("st_transform('POINT (10 52)', 4326, 3035)")
+        )
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -272,6 +288,12 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             (micro(F.expr("st_x(lcc_origin)")) == F.lit(700_000_000_000))
             & (micro(F.expr("st_y(lcc_origin)")) == F.lit(6_600_000_000_000))
         ).alias("lcc_origin_ok"),
+        micro(F.expr("st_x(laea_back)")).alias("laea_rt_lon_micro"),
+        micro(F.expr("st_y(laea_back)")).alias("laea_rt_lat_micro"),
+        (
+            (micro(F.expr("st_x(laea_origin)")) == F.lit(4_321_000_000_000))
+            & (micro(F.expr("st_y(laea_origin)")) == F.lit(3_210_000_000_000))
+        ).alias("laea_origin_ok"),
     )
 
 

@@ -134,6 +134,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # kernel) + the st_concavehull_holes UDF; q165 gains the ch_holes
 # pinned-WKT family and the ch_holes_bay_match cross-kernel assembly
 # pin -> q165 RE-EXPOSES displacing fill q13.
+# r12 edit #8 (LAEA EPSG:3035): projection.py gained the Snyder
+# authalic-sphere Lambert azimuthal equal-area forms and q130 gained
+# the in-domain LAEA round-trip + false-origin-anchor family (q130 is
+# already exposed). The same module-closure greens as edit #6 drift
+# without executing the new code — pure addition, fingerprints
+# deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",

@@ -416,3 +416,8 @@ def test_r11_rows_plan_shapes(spark):
     plan = formatted_plan(q("q163_jpeg_pixels")(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
+    # q167 (r12): AVI walk + per-frame JPEG decode is the same single
+    # map-only mapInPandas shape — no shuffle, no join
+    plan = formatted_plan(q("q167_video_frames")(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan

@@ -224,3 +224,61 @@ class TestLambertConformalConic:
         # code-review r12: non-finite coordinates go NULL, never a
         # silently corrupt 'POINT (nan nan)'
         assert row["bad"] is None and row["bad2"] is None
+
+
+class TestLambertAzimuthalEqualArea:
+    """LAEA EPSG:3035 (r12): Snyder ellipsoidal oblique-aspect forms."""
+
+    def test_false_origin_anchor(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LAEA,
+        )
+
+        e, n = _LAEA[3035].fwd(10.0, 52.0)
+        assert abs(e - 4_321_000.0) < 1e-6 and abs(n - 3_210_000.0) < 1e-6
+
+    def test_equal_area_property(self):
+        # the defining property: projected areas match authalic truth;
+        # a 1-degree cell at the origin parallel is ~7556 km^2 and two
+        # equal-authalic-area cells project to equal areas
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LAEA,
+        )
+
+        c = _LAEA[3035]
+
+        def cell_area(lon, lat):
+            pts = [(lon, lat), (lon + 1, lat), (lon + 1, lat + 1), (lon, lat + 1)]
+            pr = [c.fwd(*p) for p in pts]
+            return 0.5 * abs(
+                sum(
+                    pr[i][0] * pr[(i + 1) % 4][1] - pr[(i + 1) % 4][0] * pr[i][1]
+                    for i in range(4)
+                )
+            )
+
+        # same latitude band, different lon: areas equal to ~planar
+        # quadrilateral truncation noise (the cell edges are chords)
+        assert abs(cell_area(0, 50) - cell_area(20, 50)) / cell_area(0, 50) < 1e-4
+
+    def test_round_trip_domain(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _LAEA,
+        )
+
+        c = _LAEA[3035]
+        for lon in range(-30, 61, 10):
+            for lat in range(0, 76, 5):
+                e, n = c.fwd(float(lon), float(lat))
+                lo, la = c.inv(e, n)
+                # inverse uses the published truncated authalic series
+                assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+    def test_dispatcher(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (10 52)', 4326, 3035) AS o,"
+            " st_transform(st_transform('POINT (10 52)', 4326, 3035),"
+            " 3035, 2154) AS comp"
+        ).collect()[0]
+        assert row["o"] == "POINT (4321000 3210000)" or row["o"].startswith("POINT (4321000")
+        assert row["comp"].startswith("POINT (")
