@@ -365,6 +365,39 @@ def _seg_intersections(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> list[Pt]:
 # ---------------------------------------------------------------------------
 
 
+def _repair_members(kept: list[Geometry], members: list[int]) -> list[Geometry]:
+    """Component members ready for the dissolve: simple-ring members
+    pass through; a member with a non-simple ring rebuilds through the
+    exact linework makevalid (functions/validity.py — PostGIS re-nodes
+    invalid operands the same way) and contributes its repaired areal
+    parts. Raises overlay._Unsupported when makevalid refuses (outside
+    its exact classes) — the caller's stacked-warning path."""
+    from . import overlay as _ov
+    from . import validity as _val
+
+    out: list[Geometry] = []
+    for k in members:
+        m = kept[k]
+        rings_ok = True
+        for ring in m.coords:
+            closed = list(ring)
+            if closed and closed[0] != closed[-1]:
+                closed.append(closed[0])
+            if len(closed) < 4 or not _ov._is_simple_ring(closed):
+                rings_ok = False
+                break
+        if rings_ok:
+            out.append(m)
+            continue
+        mv = _val.makevalid_geom(m)  # raises _Unsupported outside class
+        if mv is None:
+            continue  # fully collapsed: no area to contribute
+        out.extend(p for p in _flatten(mv) if p.kind == "Polygon")
+    if not out:
+        raise _ov._Unsupported("union: component repaired to nothing")
+    return out
+
+
 def union_geoms(
     geoms: list[Geometry | None], merge_convex: bool = True
 ) -> Geometry | None:
@@ -513,11 +546,14 @@ def union_geoms(
             # rational noding + face filter + seam cancellation, the
             # PostGIS output shape — one polygon per connected region,
             # holes preserved, no internal seams. Members with a
-            # non-simple ring raise _Unsupported and fall to the
+            # non-simple ring get ONE repair attempt through the exact
+            # linework makevalid first (PostGIS re-nodes invalid inputs
+            # before unioning); only components makevalid itself
+            # refuses (outside its exact classes) fall to the
             # documented stacked-parts warning below.
             try:
                 merged_out.extend(
-                    _dis.dissolve_polygons([kept[k] for k in members])
+                    _dis.dissolve_polygons(_repair_members(kept, members))
                 )
                 drop.update(members)
             except _ov._Unsupported:

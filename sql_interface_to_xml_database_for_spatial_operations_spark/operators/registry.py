@@ -140,6 +140,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # already exposed). The same module-closure greens as edit #6 drift
 # without executing the new code — pure addition, fingerprints
 # deliberately re-recorded.
+# r12 edit #9 (repair-then-dissolve union): union_geoms now routes a
+# component member with a non-simple ring through the exact linework
+# makevalid before dissolving (_repair_members) — the PostGIS
+# re-noding behavior; only makevalid-refused components keep the
+# stacked warning. q156/q157 EXECUTE union_geoms through makevalid's
+# parts union, so they RE-EXPOSE (helpers count — the r3 rule)
+# displacing fill q11/q12; the other drifted greens share only the
+# union_ops module closure without executing the changed component
+# resolution — fingerprints deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -180,6 +189,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q86_skew_salted_join",
         "q87_percentiles",
         "q117_approx_percentiles",
+        "q11_join_inner_equi",
+        "q12_join_theta",
         "q13_join_left_outer",
         "q14_join_right_outer",
         "q15_join_full_outer",
@@ -253,8 +264,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
-        "q156_st_relate_isvalid",
-        "q157_st_makevalid",
         "q158_st_measures",
         "q159_st_bounding",
         "q160_cluster_dbscan",

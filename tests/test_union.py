@@ -479,16 +479,31 @@ class TestConvexPairUnion:
         ia = G.area(G.parse_wkt(intersection_wkt(holed, q)))
         assert abs(G.area(got) - (44.0 + 32.0 - ia)) < 1e-9
 
-    def test_undecomposable_overlap_warns(self):
-        import pytest as _pt
+    def test_bowtie_overlap_repairs_through_makevalid(self):
+        # r12: a self-intersecting member rebuilds through the exact
+        # linework makevalid before the dissolve (PostGIS re-nodes):
+        # bowtie(even-odd area 2) ∪ rect(4) − inter(1.21, hand-derived
+        # by integration) = 4.79 exactly, ONE polygon, no warning
+        import warnings as w
 
-        # A self-intersecting ring is outside the overlay class (the
-        # triangulation's simplicity check rejects it): overlapping it
-        # still degrades to stacked parts, loudly.
         bowtie = "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"
         q = "POLYGON ((0.5 0.2, 3 0.2, 3 1.8, 0.5 1.8, 0.5 0.2))"
+        with w.catch_warnings():
+            w.simplefilter("error")
+            got = G.parse_wkt(_u(bowtie, q))
+        assert got.kind == "Polygon"
+        assert abs(G.area(got) - 4.79) < 1e-12
+
+    def test_unrepairable_overlap_warns(self):
+        import pytest as _pt
+
+        # a multiply-wound pentagram is outside even makevalid's exact
+        # classes ("partially overlapping loops"): overlapping it still
+        # degrades to stacked parts, loudly
+        star = "POLYGON ((0 0, 4 3, 8 0, 1 5, 7 5, 0 0))"
+        q = "POLYGON ((1 1, 6 1, 6 4, 1 4, 1 1))"
         with _pt.warns(RuntimeWarning, match="double-count"):
-            G.parse_wkt(_u(bowtie, q))
+            G.parse_wkt(_u(star, q))
 
     @settings(max_examples=200, deadline=None)
     @given(
