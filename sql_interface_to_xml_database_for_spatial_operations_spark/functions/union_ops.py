@@ -32,12 +32,15 @@ dissolve over the WKT geometry model of ``geometry.py``:
   interior-left) — the PostGIS output shape: ONE polygon per connected
   region, holes preserved, no internal seams, concave and holed
   members included. Component-restricted merging keeps the result a
-  function of the part SET, never of input order. Only components
-  containing a SELF-INTERSECTING ring are appended undissolved: the
-  result is the correct point set, but ``st_area``/``st_perimeter``
-  double-count the overlap — a RuntimeWarning fires when this happens
-  (ADVICE r6), documented divergence from PostGIS (which re-nodes
-  through its own validity semantics). Cascade stage-1 partials skip
+  function of the part SET, never of input order. A member with a
+  SELF-INTERSECTING ring rebuilds through the exact linework
+  makevalid first (r12, ``_repair_members`` — PostGIS re-nodes
+  invalid operands the same way) and its repaired areal parts join
+  the dissolve; only components makevalid itself refuses (outside its
+  exact classes, e.g. multiply-wound rings) are appended undissolved:
+  the result is the correct point set, but
+  ``st_area``/``st_perimeter`` double-count the overlap — a
+  RuntimeWarning fires when this happens (ADVICE r6). Cascade stage-1 partials skip
   the dissolve entirely (``merge_convex=False``) so the final union
   makes the component decision globally — keeping the aggregate
   partition-layout-independent. Points/lines union by dedup +
