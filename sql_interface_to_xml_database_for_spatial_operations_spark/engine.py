@@ -37,6 +37,7 @@ from .functions.subdivide import register_subdivide_functions
 from .functions.noding import register_noding_functions
 from .functions.tessellate import register_tessellate_functions
 from .functions.split import register_split_functions
+from .functions.grids import register_grid_functions
 from .functions.union_ops import register_union_functions
 from .functions.wkb import register_wkb_functions
 from .sources import sinks
@@ -82,6 +83,7 @@ class SpatialSQLEngine:
         register_noding_functions(self.spark)
         register_tessellate_functions(self.spark)
         register_split_functions(self.spark)
+        register_grid_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
         register_projection_functions(self.spark)

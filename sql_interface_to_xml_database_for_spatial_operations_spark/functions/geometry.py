@@ -19,6 +19,7 @@ provides honest haversine meters.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 import re
 from typing import Sequence
 
@@ -574,6 +575,93 @@ def _seg_bboxes(segs):
     ]
 
 
+def _exact_split_points(
+    a1, a2, segs
+):
+    """EXACT contact points of the OPEN segment a1a2 with ``segs`` —
+    proper crossings, seg vertices on the open segment, collinear
+    overlap endpoints — as Fraction points sorted along the segment.
+
+    r12: the float-parameter version (_split_params) rounded a contact
+    at an input vertex to a parameter whose exact re-evaluation lands
+    up to 1 ulp PAST the vertex, so sub-segments straddled the contact
+    and midpoint classification broke for float-coordinate geometries
+    (equals(x, x) returned False — the hex-grid tiling test)."""
+    if not all(
+        math.isfinite(v) for p in (a1, a2) for v in p
+    ):
+        # non-finite coordinates admit no exact contacts — mirror the
+        # old float path, where NaN comparisons found nothing
+        return []
+    ax, ay = Fraction(a1[0]), Fraction(a1[1])
+    dx, dy = Fraction(a2[0]) - ax, Fraction(a2[1]) - ay
+    len2 = dx * dx + dy * dy
+    if len2 == 0:
+        return []
+    pts: dict[Fraction, tuple[Fraction, Fraction]] = {}
+
+    def add(px: Fraction, py: Fraction) -> None:
+        t = ((px - ax) * dx + (py - ay) * dy) / len2
+        if 0 < t < 1:
+            pts[t] = (px, py)
+
+    for b1, b2 in segs:
+        if not all(math.isfinite(v) for p in (b1, b2) for v in p):
+            continue
+        bx1, by1 = Fraction(b1[0]), Fraction(b1[1])
+        bx2, by2 = Fraction(b2[0]), Fraction(b2[1])
+        ex, ey = bx2 - bx1, by2 - by1
+        fx, fy = bx1 - ax, by1 - ay
+        den = dx * ey - dy * ex
+        if den != 0:
+            t = (fx * ey - fy * ex) / den
+            u = (fx * dy - fy * dx) / den
+            if 0 < t < 1 and 0 <= u <= 1:
+                pts.setdefault(t, (ax + t * dx, ay + t * dy))
+        # vertices of b exactly on the a-line (covers endpoint-on-
+        # interior contacts and collinear-overlap endpoints)
+        for px, py in ((bx1, by1), (bx2, by2)):
+            if (px - ax) * dy - (py - ay) * dx == 0:
+                add(px, py)
+    return [pts[t] for t in sorted(pts)]
+
+
+
+def _point_in_polygon_frac(px, py, rings: list[Ring], boundary: bool = True) -> bool:
+    """EXACT membership of a Fraction-coordinate probe in a polygon
+    whose ring coordinates are floats (lifted losslessly). A probe ON
+    any ring counts per ``boundary``. Added r12 for engine-SYNTHESIZED
+    probe points (edge sub-midpoints): evaluating those in float
+    arithmetic rounds them up to 1 ulp off their own segment, which
+    made equals(x, x)/within(x, x) FALSE for float-coordinate
+    geometries (caught by the r12 hex-grid tiling test)."""
+    fin = math.isfinite
+    for ring in rings:
+        for a, b in zip(ring, ring[1:]):
+            if not (fin(a[0]) and fin(a[1]) and fin(b[0]) and fin(b[1])):
+                continue  # NaN/inf edges contribute nothing (float parity)
+            ax, ay = Fraction(a[0]), Fraction(a[1])
+            bx, by = Fraction(b[0]), Fraction(b[1])
+            if (
+                min(ax, bx) <= px <= max(ax, bx)
+                and min(ay, by) <= py <= max(ay, by)
+                and (bx - ax) * (py - ay) - (by - ay) * (px - ax) == 0
+            ):
+                return boundary
+    cnt = 0
+    for ring in rings:
+        for a, b in zip(ring, ring[1:]):
+            if not (fin(a[0]) and fin(a[1]) and fin(b[0]) and fin(b[1])):
+                continue
+            ay, by = Fraction(a[1]), Fraction(b[1])
+            if (ay > py) != (by > py):
+                ax, bx = Fraction(a[0]), Fraction(b[0])
+                xc = ax + (py - ay) * (bx - ax) / (by - ay)
+                if xc > px:
+                    cnt ^= 1
+    return cnt == 1
+
+
 def _orient(p: Point, q: Point, r: Point) -> int:
     v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
     return 0 if v == 0 else (1 if v > 0 else -1)
@@ -607,29 +695,27 @@ def within(g1: Geometry, g2: Geometry) -> bool:
                 len2 = dx * dx + dy * dy
                 axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
                 aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
-                touches: set[float] = set()
                 for (b1, b2), (bxmin, bymin, bxmax, bymax) in zip(segs2, bb2):
                     if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
                         continue
                     if _segs_cross_properly(a1, a2, b1, b2):
                         return False
-                    # boundary vertex on the edge interior → potential
-                    # tangency point; split the edge there
-                    if len2 > 0.0:
-                        for bx, by in (b1, b2):
-                            if (
-                                axmin <= bx <= axmax
-                                and aymin <= by <= aymax
-                                and _orient(a1, a2, (bx, by)) == 0
-                            ):
-                                t = ((bx - a1[0]) * dx + (by - a1[1]) * dy) / len2
-                                if 0.0 < t < 1.0:
-                                    touches.add(t)
-                ts = [0.0, *sorted(touches), 1.0]
-                for t0, t1 in zip(ts, ts[1:]):
-                    tm = (t0 + t1) / 2.0
-                    mx, my = a1[0] + tm * dx, a1[1] + tm * dy
-                    if not any(_point_in_polygon(mx, my, rings) for rings in polys2):
+                # EXACT tangency splits + synthesized midpoints (r12):
+                # the float parameter/midpoint evaluation rounded the
+                # probe off its own segment, making within(x, x) False
+                # for float-coordinate polygons; exact contact points
+                # (boundary vertices / collinear endpoints on the open
+                # edge) and exact midpoints keep boundary-coincident
+                # sub-segments classified as legal boundary contact
+                fa = (Fraction(a1[0]), Fraction(a1[1]))
+                fb = (Fraction(a2[0]), Fraction(a2[1]))
+                chain = [fa, *_exact_split_points(a1, a2, segs2), fb]
+                for pp, qq in zip(chain, chain[1:]):
+                    mx, my = (pp[0] + qq[0]) / 2, (pp[1] + qq[1]) / 2
+                    if not any(
+                        _point_in_polygon_frac(mx, my, rings)
+                        for rings in polys2
+                    ):
                         return False
         return True
     if g2.kind in ("Point", "MultiPoint"):

@@ -1,0 +1,411 @@
+"""Spatial grid generators + small PostGIS editors (F12 remainder,
+r12). The reference forwards any PostGIS-accepted name verbatim
+(src/index.ts:44-63); these are the binning/tiling tools a 100 TB
+spatial pipeline reaches for first — a grid cell id is the shuffle key
+that turns an unbounded spatial join into a bounded per-cell one.
+
+- ``st_squaregrid(size, bounds)`` — ARRAY<STRING> of square cells of
+  side ``size`` covering the bounds' envelope, aligned to the SRS
+  origin (cell corners at integer multiples of ``size``, PostGIS's
+  alignment), exploded by the caller (the ``st_subdivide`` idiom).
+- ``st_hexagongrid(size, bounds)`` — flat-top hexagons, circumradius
+  ``size``, the published PostGIS layout: column pitch 1.5·size, row
+  pitch √3·size, odd columns offset down by √3/2·size; a cell is
+  emitted when its center lies in or on the bounds' envelope expanded
+  by one cell pitch (cells overlapping the envelope).
+- ``st_tileenvelope(z, x, y)`` — the standard XYZ Web-Mercator tile
+  envelope: world = [−πR, πR]², tile side = world/2^z, y counted from
+  the top (the published slippy-map convention PostGIS implements).
+- ``st_removerepeatedpoints(wkt)`` — GEOS removeRepeatedPoints
+  (tolerance 0): exposes the engine's ``geometry.dedup_vertices``.
+- ``st_forcepolygonccw(wkt)`` / ``st_forcepolygoncw(wkt)`` — shells
+  CCW/CW and holes opposite, other kinds echoed (PostGIS semantics).
+- ``st_normalize(wkt)`` — canonical form: polygon shells CCW / holes
+  CW with each ring rotated to start at its minimum vertex; multi-part
+  members sorted by WKT (a deterministic canonical order — GEOS's
+  exact member order is an implementation detail; ours is pinned).
+- ``st_swapordinates(wkt)`` — (x, y) → (y, x) on every vertex.
+- ``st_project(wkt_point, distance, azimuth)`` — spherical forward
+  geodesic on the WGS84 authalic-style sphere R = 6371008.8 m (the
+  IUGG mean radius; PostGIS geography uses the spheroid — documented
+  spherical divergence, same stance as st_distancesphere):
+  φ₂ = asin(sin φ₁ cos δ + cos φ₁ sin δ cos α),
+  λ₂ = λ₁ + atan2(sin α sin δ cos φ₁, cos δ − sin φ₁ sin φ₂).
+
+Scale shape: all map-only Arrow-batched pandas UDFs; grid fan-out is
+bounded by the caller's bounds/size choice and explodes AFTER the
+filter, exactly like st_subdivide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry
+
+_MEAN_R = 6371008.8  # IUGG mean Earth radius (st_distancesphere's R)
+_MERC_R = 6378137.0
+_MAX_CELLS = 65536  # loud NULL instead of an OOM-sized array
+
+
+def _bounds_of(wkt) -> tuple[float, float, float, float] | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return None
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    pts = G._points(g)
+    if not pts or not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in pts
+    ):
+        return None
+    return G.bbox(g)
+
+
+def square_grid(size, bounds_wkt) -> list[str] | None:
+    try:
+        size = float(size)
+    except (TypeError, ValueError):
+        return None
+    if not math.isfinite(size) or size <= 0:
+        return None
+    bb = _bounds_of(bounds_wkt)
+    if bb is None:
+        return None
+    minx, miny, maxx, maxy = bb
+    i0, i1 = math.floor(minx / size), math.ceil(maxx / size)
+    j0, j1 = math.floor(miny / size), math.ceil(maxy / size)
+    if i1 == i0:
+        i1 += 1  # degenerate (line/point) bounds still get one column
+    if j1 == j0:
+        j1 += 1
+    if (i1 - i0) * (j1 - j0) > _MAX_CELLS:
+        return None  # loud: a grid this size must be generated distributed
+    out = []
+    for i in range(i0, i1):
+        for j in range(j0, j1):
+            out.append(
+                G.to_wkt(
+                    Geometry.box(i * size, j * size, (i + 1) * size, (j + 1) * size)
+                )
+            )
+    return out
+
+
+def hexagon_grid(size, bounds_wkt) -> list[str] | None:
+    try:
+        size = float(size)
+    except (TypeError, ValueError):
+        return None
+    if not math.isfinite(size) or size <= 0:
+        return None
+    bb = _bounds_of(bounds_wkt)
+    if bb is None:
+        return None
+    minx, miny, maxx, maxy = bb
+    # Every hex vertex lies on the (size/2, √3·size/2) half-lattice.
+    # Computing coordinates as INTEGER lattice indices × one shared
+    # float scale makes shared vertices BIT-IDENTICAL across
+    # neighboring cells, so adjacent hexagons share exact edges and
+    # their interiors are exactly disjoint (the engine's exact
+    # predicates see real tiling, not microscopic FP slivers).
+    half_s = size / 2.0
+    half_h = math.sqrt(3.0) * size / 2.0
+    h = 2.0 * half_h  # row pitch (hex height)
+    cp = 3.0 * half_s  # column pitch
+    i0 = math.floor((minx - size) / cp)
+    i1 = math.ceil((maxx + size) / cp)
+    j0 = math.floor((miny - h) / h)
+    j1 = math.ceil((maxy + h) / h)
+    if (i1 - i0 + 1) * (j1 - j0 + 1) > _MAX_CELLS:
+        return None
+    out = []
+    for i in range(i0, i1 + 1):
+        kx = 3 * i  # center x in half_s units
+        for j in range(j0, j1 + 1):
+            ky = 2 * j + (1 if i % 2 else 0)  # center y in half_h units
+            cx, cy = kx * half_s, ky * half_h
+            # keep cells whose center lies within one pitch of the
+            # envelope: every cell overlapping the envelope is included
+            if not (
+                minx - cp <= cx <= maxx + cp and miny - h <= cy <= maxy + h
+            ):
+                continue
+            ring = [
+                ((kx + 2) * half_s, ky * half_h),
+                ((kx + 1) * half_s, (ky + 1) * half_h),
+                ((kx - 1) * half_s, (ky + 1) * half_h),
+                ((kx - 2) * half_s, ky * half_h),
+                ((kx - 1) * half_s, (ky - 1) * half_h),
+                ((kx + 1) * half_s, (ky - 1) * half_h),
+            ]
+            out.append(Geometry("Polygon", [ring + [ring[0]]]))
+    return [G.to_wkt(p) for p in out]
+
+
+def tile_envelope(z, x, y) -> str | None:
+    try:
+        z, x, y = int(z), int(x), int(y)
+    except (TypeError, ValueError):
+        return None
+    if z < 0 or z > 31 or not (0 <= x < 2**z) or not (0 <= y < 2**z):
+        return None
+    world = 2.0 * math.pi * _MERC_R
+    side = world / (2.0**z)
+    minx = -math.pi * _MERC_R + x * side
+    maxy = math.pi * _MERC_R - y * side
+    return G.to_wkt(Geometry.box(minx, maxy - side, minx + side, maxy))
+
+
+def _force_orientation(g: Geometry, shell_ccw: bool) -> Geometry:
+    def fix_rings(rings):
+        out = []
+        for idx, ring in enumerate(rings):
+            a2 = sum(
+                x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+            )
+            want_ccw = shell_ccw if idx == 0 else not shell_ccw
+            if (a2 > 0) != want_ccw and a2 != 0:
+                ring = ring[::-1]
+            out.append(list(ring))
+        return out
+
+    if g.kind == "Polygon":
+        return Geometry("Polygon", fix_rings(g.coords))
+    if g.kind == "MultiPolygon":
+        return Geometry("MultiPolygon", [fix_rings(r) for r in g.coords])
+    if g.kind == "GeometryCollection":
+        return Geometry(
+            "GeometryCollection", [_force_orientation(s, shell_ccw) for s in g.coords]
+        )
+    return g
+
+
+def _rotate_ring_min(ring: list) -> list:
+    body = list(ring[:-1])
+    k = body.index(min(body))
+    body = body[k:] + body[:k]
+    return body + [body[0]]
+
+
+def normalize_geom(g: Geometry) -> Geometry:
+    """Canonical form (module docstring): orientation + min-vertex ring
+    rotation + WKT-sorted multi members."""
+    g = _force_orientation(g, shell_ccw=True)
+    if g.kind == "Polygon":
+        return Geometry("Polygon", [_rotate_ring_min(r) for r in g.coords])
+    if g.kind == "MultiPolygon":
+        parts = [
+            Geometry("Polygon", [_rotate_ring_min(r) for r in rings])
+            for rings in g.coords
+        ]
+        return Geometry(
+            "MultiPolygon", [p.coords for p in sorted(parts, key=G.to_wkt)]
+        )
+    if g.kind in ("MultiPoint",):
+        return Geometry("MultiPoint", sorted(g.coords))
+    if g.kind == "MultiLineString":
+        return Geometry("MultiLineString", sorted(g.coords))
+    if g.kind == "GeometryCollection":
+        subs = [normalize_geom(s) for s in g.coords]
+        return Geometry(
+            "GeometryCollection", sorted(subs, key=G.to_wkt)
+        )
+    return g
+
+
+def _swap(g: Geometry) -> Geometry:
+    if g.kind == "Point":
+        return Geometry("Point", (g.coords[1], g.coords[0]))
+    if g.kind in ("LineString", "MultiPoint"):
+        return Geometry(g.kind, [(y, x) for x, y in g.coords])
+    if g.kind in ("Polygon", "MultiLineString"):
+        return Geometry(g.kind, [[(y, x) for x, y in seq] for seq in g.coords])
+    if g.kind == "MultiPolygon":
+        return Geometry(
+            "MultiPolygon",
+            [[[(y, x) for x, y in r] for r in rings] for rings in g.coords],
+        )
+    return Geometry("GeometryCollection", [_swap(s) for s in g.coords])
+
+
+def project_point(wkt, distance, azimuth) -> str | None:
+    if wkt is None or distance is None or azimuth is None:
+        return None
+    try:
+        distance, azimuth = float(distance), float(azimuth)
+    except (TypeError, ValueError):
+        return None
+    if not (math.isfinite(distance) and math.isfinite(azimuth)):
+        return None
+    g = G.parse_wkt(str(wkt).strip())
+    if g is None or g.kind != "Point":
+        return None
+    lon, lat = g.coords
+    if not (math.isfinite(lon) and math.isfinite(lat)):
+        return None
+    d = distance / _MEAN_R
+    p1 = math.radians(lat)
+    l1 = math.radians(lon)
+    p2 = math.asin(
+        math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(azimuth)
+    )
+    l2 = l1 + math.atan2(
+        math.sin(azimuth) * math.sin(d) * math.cos(p1),
+        math.cos(d) - math.sin(p1) * math.sin(p2),
+    )
+    return G.to_wkt(Geometry("Point", (math.degrees(l2), math.degrees(p2))))
+
+
+def _geom_map_wkt(fn):
+    def run(wkt) -> str | None:
+        if wkt is None:
+            return None
+        s = str(wkt).strip()
+        if _ov._EMPTY_RE.match(s.upper()):
+            return s
+        g = G.parse_wkt(s)
+        if g is None:
+            return None
+        return G.to_wkt(fn(g))
+
+    return run
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_squaregrid(size: pd.Series, bounds: pd.Series) -> pd.Series:
+    out = []
+    for s, b in zip(size, bounds):
+        try:
+            out.append(square_grid(s, b))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_hexagongrid(size: pd.Series, bounds: pd.Series) -> pd.Series:
+    out = []
+    for s, b in zip(size, bounds):
+        try:
+            out.append(hexagon_grid(s, b))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_tileenvelope(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for zz, xx, yy in zip(z, x, y):
+        try:
+            if zz is None or xx is None or yy is None or pd.isna(zz) or pd.isna(xx) or pd.isna(yy):
+                out.append(None)
+            else:
+                out.append(tile_envelope(zz, xx, yy))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_removerepeatedpoints(wkt: pd.Series) -> pd.Series:
+    run = _geom_map_wkt(G.dedup_vertices)
+    out = []
+    for w in wkt:
+        try:
+            out.append(run(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_forcepolygonccw(wkt: pd.Series) -> pd.Series:
+    run = _geom_map_wkt(lambda g: _force_orientation(g, True))
+    out = []
+    for w in wkt:
+        try:
+            out.append(run(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_forcepolygoncw(wkt: pd.Series) -> pd.Series:
+    run = _geom_map_wkt(lambda g: _force_orientation(g, False))
+    out = []
+    for w in wkt:
+        try:
+            out.append(run(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_normalize(wkt: pd.Series) -> pd.Series:
+    run = _geom_map_wkt(normalize_geom)
+    out = []
+    for w in wkt:
+        try:
+            out.append(run(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_swapordinates(wkt: pd.Series) -> pd.Series:
+    run = _geom_map_wkt(_swap)
+    out = []
+    for w in wkt:
+        try:
+            out.append(run(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_project(wkt: pd.Series, distance: pd.Series, azimuth: pd.Series) -> pd.Series:
+    out = []
+    for w, d, a in zip(wkt, distance, azimuth):
+        try:
+            if d is None or a is None or pd.isna(d) or pd.isna(a):
+                out.append(None)
+            else:
+                out.append(project_point(w, d, a))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_GRID_FUNCTIONS = {
+    "st_squaregrid": st_squaregrid,
+    "st_hexagongrid": st_hexagongrid,
+    "st_tileenvelope": st_tileenvelope,
+    "st_removerepeatedpoints": st_removerepeatedpoints,
+    "st_forcepolygonccw": st_forcepolygonccw,
+    "st_forcepolygoncw": st_forcepolygoncw,
+    "st_normalize": st_normalize,
+    "st_swapordinates": st_swapordinates,
+    "st_project": st_project,
+}
+
+
+def register_grid_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_GRID_FUNCTIONS.items():
+        spark.udf.register(name, fn)

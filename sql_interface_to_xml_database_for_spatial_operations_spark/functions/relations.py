@@ -38,6 +38,9 @@ already-verified spatial query's fingerprint untouched.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -108,12 +111,21 @@ def _line_boundary(g: Geometry) -> set[Point]:
 
 
 def _on_segment(p: Point, a: Point, b: Point) -> bool:
-    """Exact: p collinear with ab and inside ab's bbox."""
-    return (
+    """Exact: p collinear with ab and inside ab's bbox. A Fraction
+    probe (an engine-SYNTHESIZED point, r12) lifts the segment
+    endpoints losslessly so the collinearity test is exact — the float
+    orient rounded synthesized midpoints off their own segment."""
+    if not (
         min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
         and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
-        and G._orient(a, b, p) == 0
-    )
+    ):
+        return False
+    if isinstance(p[0], Fraction) or isinstance(p[1], Fraction):
+        ax, ay = Fraction(a[0]), Fraction(a[1])
+        return (Fraction(b[0]) - ax) * (p[1] - ay) - (
+            Fraction(b[1]) - ay
+        ) * (p[0] - ax) == 0
+    return G._orient(a, b, p) == 0
 
 
 def _on_any_segment(p: Point, segs: list[tuple[Point, Point]]) -> bool:
@@ -126,16 +138,30 @@ def _point_in_line_interior(p: Point, g: Geometry, segs=None) -> bool:
 
 
 def _strictly_inside(p: Point, poly: Geometry, boundary=None) -> bool:
-    """p in the open interior of a (multi)polygon."""
+    """p in the open interior of a (multi)polygon. Fraction probes
+    (synthesized sub-midpoints, r12) evaluate exactly."""
     boundary = list(G._segments(poly)) if boundary is None else boundary
     if _on_any_segment(p, boundary):
         return False
+    if isinstance(p[0], Fraction) or isinstance(p[1], Fraction):
+        px, py = Fraction(p[0]), Fraction(p[1])
+        return any(
+            G._point_in_polygon_frac(px, py, rings, boundary=False)
+            for rings in G._polys(poly)
+        )
     return any(G._point_in_polygon(p[0], p[1], rings) for rings in G._polys(poly))
 
 
 def _outside_closure(p: Point, poly: Geometry) -> bool:
     """p not in the closed (multi)polygon. ``_point_in_polygon`` counts
-    boundary points as inside, so no separate boundary check is needed."""
+    boundary points as inside, so no separate boundary check is
+    needed. Fraction probes evaluate exactly (r12)."""
+    if isinstance(p[0], Fraction) or isinstance(p[1], Fraction):
+        px, py = Fraction(p[0]), Fraction(p[1])
+        return not any(
+            G._point_in_polygon_frac(px, py, rings, boundary=True)
+            for rings in G._polys(poly)
+        )
     return not any(G._point_in_polygon(p[0], p[1], rings) for rings in G._polys(poly))
 
 
@@ -144,61 +170,26 @@ def _outside_closure(p: Point, poly: Geometry) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _split_params(a1: Point, a2: Point, segs: list[tuple[Point, Point]]) -> list[float]:
-    """Parameters t in (0,1) where segment a1a2 meets any segment in
-    ``segs``: proper crossings, vertices of ``segs`` lying on the open
-    segment, and endpoints of collinear overlaps. Splitting at every such
-    t makes each sub-segment's relationship to ``segs``'s geometry
-    uniform, so a midpoint classifies the whole sub-segment."""
-    dx, dy = a2[0] - a1[0], a2[1] - a1[1]
-    len2 = dx * dx + dy * dy
-    if len2 == 0.0:
-        return []
-    axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
-    aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
-    ts: set[float] = set()
-    for b1, b2 in segs:
-        bxmin, bxmax = (b1[0], b2[0]) if b1[0] <= b2[0] else (b2[0], b1[0])
-        bymin, bymax = (b1[1], b2[1]) if b1[1] <= b2[1] else (b2[1], b1[1])
-        if axmax < bxmin or bxmax < axmin or aymax < bymin or bymax < aymin:
-            continue
-        ex, ey = b2[0] - b1[0], b2[1] - b1[1]
-        denom = dx * ey - dy * ex
-        if denom != 0.0:
-            # lines cross at a single point; keep it if interior to a1a2
-            # and within b1b2
-            fx, fy = b1[0] - a1[0], b1[1] - a1[1]
-            t = (fx * ey - fy * ex) / denom
-            u = (fx * dy - fy * dx) / denom
-            if 0.0 < t < 1.0 and 0.0 <= u <= 1.0:
-                ts.add(t)
-        else:
-            # parallel: only collinear segments can touch
-            if G._orient(a1, a2, b1) == 0:
-                for bx, by in (b1, b2):
-                    t = ((bx - a1[0]) * dx + (by - a1[1]) * dy) / len2
-                    if 0.0 < t < 1.0 and _on_segment((a1[0] + t * dx, a1[1] + t * dy), a1, a2):
-                        ts.add(t)
-        # vertices of b on the open segment (covers endpoint-on-interior
-        # contacts the crossing formula may miss when u hits 0/1 exactly)
-        for bx, by in (b1, b2):
-            if _on_segment((bx, by), a1, a2):
-                t = ((bx - a1[0]) * dx + (by - a1[1]) * dy) / len2
-                if 0.0 < t < 1.0:
-                    ts.add(t)
-    return sorted(ts)
+_exact_split_points = G._exact_split_points
 
 
 def _submidpoints(g, boundary_segs) -> list[Point]:
-    """Midpoints of every sub-segment of ``g``'s segments after splitting
-    at all contacts with ``boundary_segs``."""
+    """Midpoints of every sub-segment of ``g``'s segments after
+    splitting at all EXACT contacts with ``boundary_segs`` (Fraction
+    points — see _exact_split_points). The midpoint of two points
+    exactly on a line is exactly on that line, so boundary-coincident
+    sub-segments classify as boundary, never as 1-ulp-off interior."""
     out: list[Point] = []
     for a1, a2 in G._segments(g):
-        dx, dy = a2[0] - a1[0], a2[1] - a1[1]
-        ts = [0.0, *_split_params(a1, a2, boundary_segs), 1.0]
-        for t0, t1 in zip(ts, ts[1:]):
-            tm = (t0 + t1) / 2.0
-            out.append((a1[0] + tm * dx, a1[1] + tm * dy))
+        if not all(math.isfinite(v) for pt in (a1, a2) for v in pt):
+            # old float behavior: a NaN midpoint classifies as nothing
+            out.append(((a1[0] + a2[0]) / 2.0, (a1[1] + a2[1]) / 2.0))
+            continue
+        fa = (Fraction(a1[0]), Fraction(a1[1]))
+        fb = (Fraction(a2[0]), Fraction(a2[1]))
+        chain = [fa, *_exact_split_points(a1, a2, boundary_segs), fb]
+        for p, q in zip(chain, chain[1:]):
+            out.append(((p[0] + q[0]) / 2, (p[1] + q[1]) / 2))
     return out
 
 
@@ -241,10 +232,15 @@ def _covered_line(a: Geometry, b: Geometry) -> bool:
             if not _on_any_segment(a1, segs_b):
                 return False
             continue
-        ts = [0.0, *_split_params(a1, a2, segs_b), 1.0]
-        for t0, t1 in zip(ts, ts[1:]):
-            p = (a1[0] + t0 * dx, a1[1] + t0 * dy)
-            q = (a1[0] + t1 * dx, a1[1] + t1 * dy)
+        if not all(math.isfinite(v) for pt in (a1, a2) for v in pt):
+            return False  # a non-finite point is covered by nothing
+        # exact synthesized split points (r12, same fix as
+        # _submidpoints) — float evaluation broke equals(line, line)
+        # for float-coordinate lines
+        fa = (Fraction(a1[0]), Fraction(a1[1]))
+        fb = (Fraction(a2[0]), Fraction(a2[1]))
+        chain = [fa, *_exact_split_points(a1, a2, segs_b), fb]
+        for p, q in zip(chain, chain[1:]):
             if not any(_span_covers(b1, b2, p, q) for b1, b2 in segs_b):
                 return False
     return True

@@ -52,3 +52,4 @@ def load_all() -> None:
     from . import tessellate_ops  # noqa: F401
     from . import split_ops  # noqa: F401
     from . import video_ops  # noqa: F401
+    from . import grid_ops  # noqa: F401

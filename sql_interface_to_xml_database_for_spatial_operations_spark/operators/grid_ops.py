@@ -1,0 +1,233 @@
+"""Driver row for the grid/tiling + editor family (functions/grids.py,
+F12 remainder — r12): ST_SquareGrid / ST_HexagonGrid / ST_TileEnvelope
+and the small editors (ST_RemoveRepeatedPoints, ST_ForcePolygonCCW/CW,
+ST_Normalize, ST_SwapOrdinates, ST_Project).
+
+Oracle families (per nation box; exact unless noted):
+
+- ``sq_count`` / ``sq_area`` — origin-aligned square cells of side 10
+  over the box envelope: count = (ceil(maxx/10) − floor(minx/10)) ·
+  (ceil(maxy/10) − floor(miny/10)), area = 100·count; integer exact.
+- ``sq_first`` — the (floor(minx/10), floor(miny/10)) cell's WKT,
+  string-built from integer arithmetic.
+- ``hex_count`` / ``hex_cell_area_micro`` — a FIXED 20×20 bounds (the
+  hex grid aligns to the SRS origin, so per-box anchors would make the
+  count depend on minx mod 7.5): hand-derived 22 cells (2 even columns
+  × 5 rows + 3 odd columns × 4 rows under the center-pitch filter) and
+  per-cell area 3√3/2·25 compared micro-int (the value's fractional
+  part .2838 sits far from the .5 rounding boundary).
+- ``tile_*_micro`` — XYZ tile envelope bounds; the oracle mirrors the
+  engine's float expression ORDER term for term
+  (−πR + x·(2πR/2^z), πR − y·(…)) so both engines produce bit-equal
+  doubles before the micro floor.
+- ``rrp`` / ``ccw`` / ``cw`` / ``norm`` / ``swap`` — editor outputs as
+  exact string-built WKT over integer fixtures.
+- ``proj_micro`` — spherical forward geodesic; the oracle mirrors the
+  engine's formula term for term (same machine libm on both sides, the
+  q131 st_azimuth precedent) at micro-degrees.
+
+Scale shape: map-only pandas UDFs over the 25-row projection; the grid
+arrays explode AFTER generation like st_subdivide. At 100 TB the grids
+are the binning keys of the spatial-join machinery (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.grids import register_grid_functions
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)
+    register_grid_functions(spark)
+
+
+def _micro(expr: str) -> str:
+    return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+_BOX = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+_HEX_BOUNDS = "'POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))'"
+
+# dup-vertex line + CW-wound holed polygon + rotated multipolygon,
+# string-built from integer corners so outputs are exact strings
+_DUP_LINE = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["bl"], "', '",
+    CORNERS["br"], "', '", CORNERS["br"], "', '", CORNERS["tr"], "')'",
+)
+def _hpt(dx: int, dy: int) -> str:
+    return f"{int_str(f'minx + {dx}')} || ' ' || {int_str(f'miny + {dy}')}"
+
+
+_CW_HOLED = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["tl"], "', '",
+    CORNERS["tr"], "', '", CORNERS["br"], "', '", CORNERS["bl"],
+    "'), ('",
+    _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
+    _hpt(1, 2), "', '", _hpt(1, 1),
+    "'))'",
+)
+_ROTATED = sql_concat(
+    "'POLYGON (('", CORNERS["tr"], "', '", CORNERS["tl"], "', '",
+    CORNERS["bl"], "', '", CORNERS["br"], "', '", CORNERS["tr"], "'))'",
+)
+
+# tile coordinates derived from the key: z in 1..5, x/y in range
+_TILE_Z = "CAST(n_nationkey % 5 + 1 AS INT)"
+_TILE_X = f"CAST(n_nationkey % CAST(pow(2, {_TILE_Z}) AS BIGINT) AS INT)"
+_TILE_Y = f"CAST((n_nationkey * 3) % CAST(pow(2, {_TILE_Z}) AS BIGINT) AS INT)"
+_TILE = f"st_tileenvelope({_TILE_Z}, {_TILE_X}, {_TILE_Y})"
+
+_PROJ = (
+    f"st_project('POINT (' || {CORNERS['bl']} || ')', "
+    "CAST(50000.0 + n_nationkey * 1000 AS DOUBLE), "
+    "CAST(0.7853981633974483 AS DOUBLE))"
+)
+
+_FAMILIES = {
+    "sq_count": int_str(f"size(st_squaregrid(10.0D, {_BOX}))"),
+    # NOTE: a Python UDF cannot run inside a higher-order-function
+    # lambda (Spark UNSUPPORTED_FEATURE; the subdivide row hit the same
+    # wall), so the area invariant pins the first cell, not a fold
+    "sq_cell_area": _micro(f"st_area(element_at(st_squaregrid(10.0D, {_BOX}), 1))"),
+    "sq_first": f"element_at(st_squaregrid(10.0D, {_BOX}), 1)",
+    "sq_last": f"element_at(st_squaregrid(10.0D, {_BOX}), -1)",
+    "hex_count": int_str(f"size(st_hexagongrid(5.0D, {_HEX_BOUNDS}))"),
+    "hex_cell_area_micro": _micro(
+        f"st_area(element_at(st_hexagongrid(5.0D, {_HEX_BOUNDS}), 1))"
+    ),
+    "tile_minx_micro": _micro(f"st_xmin({_TILE})"),
+    "tile_maxy_micro": _micro(f"st_ymax({_TILE})"),
+    "rrp": f"st_removerepeatedpoints({_DUP_LINE})",
+    "ccw": f"st_forcepolygonccw({_CW_HOLED})",
+    "cw": f"st_forcepolygoncw({_CW_HOLED})",
+    "norm": f"st_normalize({_ROTATED})",
+    "swap": f"st_swapordinates({_DUP_LINE})",
+    "proj_lon_micro": _micro(f"st_x({_PROJ})"),
+    "proj_lat_micro": _micro(f"st_y({_PROJ})"),
+}
+
+# ---- oracle -----------------------------------------------------------
+
+_SQ_I0 = "CAST(floor(minx / 10) AS BIGINT)"
+_SQ_J0 = "CAST(floor(miny / 10) AS BIGINT)"
+_SQ_NX = f"(CAST(ceil(maxx / 10) AS BIGINT) - {_SQ_I0})"
+_SQ_NY = f"(CAST(ceil(maxy / 10) AS BIGINT) - {_SQ_J0})"
+_SQ_FIRST = sql_concat(
+    "'POLYGON (('",
+    f"CAST({_SQ_I0} * 10 AS VARCHAR) || ' ' || CAST({_SQ_J0} * 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I0} * 10 + 10 AS VARCHAR) || ' ' || CAST({_SQ_J0} * 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I0} * 10 + 10 AS VARCHAR) || ' ' || CAST({_SQ_J0} * 10 + 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I0} * 10 AS VARCHAR) || ' ' || CAST({_SQ_J0} * 10 + 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I0} * 10 AS VARCHAR) || ' ' || CAST({_SQ_J0} * 10 AS VARCHAR)",
+    "'))'",
+)
+_SQ_I1 = "CAST(ceil(maxx / 10) AS BIGINT)"
+_SQ_J1 = "CAST(ceil(maxy / 10) AS BIGINT)"
+_SQ_LAST = sql_concat(
+    "'POLYGON (('",
+    f"CAST(({_SQ_I1} - 1) * 10 AS VARCHAR) || ' ' || CAST(({_SQ_J1} - 1) * 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I1} * 10 AS VARCHAR) || ' ' || CAST(({_SQ_J1} - 1) * 10 AS VARCHAR)",
+    "', '",
+    f"CAST({_SQ_I1} * 10 AS VARCHAR) || ' ' || CAST({_SQ_J1} * 10 AS VARCHAR)",
+    "', '",
+    f"CAST(({_SQ_I1} - 1) * 10 AS VARCHAR) || ' ' || CAST({_SQ_J1} * 10 AS VARCHAR)",
+    "', '",
+    f"CAST(({_SQ_I1} - 1) * 10 AS VARCHAR) || ' ' || CAST(({_SQ_J1} - 1) * 10 AS VARCHAR)",
+    "'))'",
+)
+# tile formula mirrored TERM FOR TERM from functions/grids.py
+_O_SIDE = f"((2 * pi() * 6378137.0) / pow(2, {_TILE_Z}))"
+_O_TMINX = f"((-pi()) * 6378137.0 + {_TILE_X} * {_O_SIDE})"
+_O_TMAXY = f"(pi() * 6378137.0 - {_TILE_Y} * {_O_SIDE})"
+# spherical forward geodesic mirrored term for term (R = 6371008.8)
+_O_D = "((50000.0 + n_nationkey * 1000) / 6371008.8)"
+_O_P1 = "radians(miny)"
+_O_AZ = "0.7853981633974483"
+_O_P2 = (
+    f"asin(sin({_O_P1}) * cos({_O_D})"
+    f" + cos({_O_P1}) * sin({_O_D}) * cos({_O_AZ}))"
+)
+_O_L2 = (
+    f"(radians(minx) + atan2(sin({_O_AZ}) * sin({_O_D}) * cos({_O_P1}),"
+    f" cos({_O_D}) - sin({_O_P1}) * sin({_O_P2})))"
+)
+
+_ORACLE_VALS = {
+    "sq_count": f"CAST({_SQ_NX} * {_SQ_NY} AS VARCHAR)",
+    "sq_cell_area": "'100000000'",
+    "sq_first": _SQ_FIRST,
+    "sq_last": _SQ_LAST,
+    "hex_count": "'22'",
+    "hex_cell_area_micro": _micro("3 * sqrt(3.0) / 2 * 25"),
+    "tile_minx_micro": _micro(_O_TMINX),
+    "tile_maxy_micro": _micro(_O_TMAXY),
+    "rrp": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+        CORNERS["tr"], "')'",
+    ),
+    "ccw": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+        CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
+        "'), ('",
+        _hpt(1, 1), "', '", _hpt(1, 2), "', '", _hpt(2, 2), "', '",
+        _hpt(2, 1), "', '", _hpt(1, 1),
+        "'))'",
+    ),
+    "cw": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["tl"], "', '",
+        CORNERS["tr"], "', '", CORNERS["br"], "', '", CORNERS["bl"],
+        "'), ('",
+        _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
+        _hpt(1, 2), "', '", _hpt(1, 1),
+        "'))'",
+    ),
+    "norm": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+        CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+    ),
+    "swap": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('miny')} || ' ' || {int_str('minx')}",
+        "', '",
+        f"{int_str('miny')} || ' ' || {int_str('minx')}",
+        "', '",
+        f"{int_str('miny')} || ' ' || {int_str('maxx')}",
+        "', '",
+        f"{int_str('miny')} || ' ' || {int_str('maxx')}",
+        "', '",
+        f"{int_str('maxy')} || ' ' || {int_str('maxx')}",
+        "')'",
+    ),
+    "proj_lon_micro": _micro(f"degrees({_O_L2})"),
+    "proj_lat_micro": _micro(f"degrees({_O_P2})"),
+}
+
+_Q169_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
+    f" FROM ({NATION_BOXES_SQL})"
+    for fam, val in _ORACLE_VALS.items()
+)
+
+
+@query("q169_st_grids", oracle=_Q169_ORACLE)
+def q169_st_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 grid/tiling + editor family: square/hexagon grids, XYZ tile
+    envelopes, and the small editors, each pinned by the closed-form /
+    string-built oracles in the module docstring."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)

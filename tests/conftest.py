@@ -51,6 +51,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessel
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (  # noqa: E402
     register_split_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (  # noqa: E402
+    register_grid_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -99,6 +102,7 @@ def spark():
     register_noding_functions(s)
     register_tessellate_functions(s)
     register_split_functions(s)
+    register_grid_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

@@ -1,0 +1,160 @@
+"""Grid generators + editors (functions/grids.py, r12): square/hex
+grids, XYZ tile envelopes, the small editors, and their loud-NULL
+gates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    geometry as G,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+    hexagon_grid,
+    normalize_geom,
+    project_point,
+    square_grid,
+    tile_envelope,
+)
+
+P = G.parse_wkt
+
+
+class TestSquareGrid:
+    def test_origin_alignment_and_count(self):
+        cells = square_grid(10, "POLYGON ((3 3, 17 3, 17 12, 3 12, 3 3))")
+        assert len(cells) == 4
+        assert cells[0] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        # every cell corner is a multiple of the size
+        for c in cells:
+            for x, y in G._points(P(c)):
+                assert x % 10 == 0 and y % 10 == 0
+
+    def test_cells_cover_bounds_exactly_once(self):
+        cells = [P(c) for c in square_grid(5, "POLYGON ((-7 -3, 6 -3, 6 9, -7 9, -7 -3))")]
+        total = sum(G.area(c) for c in cells)
+        # grid covers [-10,10]x[-5,10]: 4 cols x 3 rows
+        assert len(cells) == 12 and total == 12 * 25
+
+    def test_degenerate_bounds_get_one_row_and_column(self):
+        assert len(square_grid(10, "POINT (5 5)")) == 1
+        assert len(square_grid(10, "LINESTRING (2 5, 8 5)")) == 1
+
+    def test_gates(self):
+        assert square_grid(0, "POINT (0 0)") is None
+        assert square_grid(float("nan"), "POINT (0 0)") is None
+        assert square_grid(10, "JUNK") is None
+        assert square_grid(10, "POLYGON EMPTY") is None
+        # cell-count bomb is a loud NULL, not an OOM
+        assert square_grid(0.001, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))") is None
+
+
+class TestHexagonGrid:
+    def test_hand_derived_count_and_geometry(self):
+        cells = hexagon_grid(5, "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")
+        # hand derivation (module docstring of grid_ops): 2 even
+        # columns x 5 rows + 3 odd columns x 4 rows = 22
+        assert len(cells) == 22
+        h = math.sqrt(3.0) * 5
+        for c in cells:
+            g = P(c)
+            assert len(g.coords[0]) == 7  # closed hexagon
+            assert abs(G.area(g) - 3 * math.sqrt(3) / 2 * 25) < 1e-9
+            xs = [x for x, _ in g.coords[0]]
+            ys = [y for _, y in g.coords[0]]
+            assert abs((max(xs) - min(xs)) - 10) < 1e-12  # width 2*size
+            assert abs((max(ys) - min(ys)) - h) < 1e-12  # height sqrt(3)*size
+
+    def test_cells_tile_without_overlap(self):
+        # neighboring cells share edges exactly: total area of cells
+        # fully inside a window equals window coverage by disjointness
+        cells = [P(c) for c in hexagon_grid(5, "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")]
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            interiors_intersect,
+        )
+
+        for i in range(len(cells)):
+            for j in range(i + 1, len(cells)):
+                assert not interiors_intersect(cells[i], cells[j]), (i, j)
+
+
+class TestTileEnvelope:
+    def test_world_and_quadrants(self):
+        w = 20037508.342789244
+        assert tile_envelope(0, 0, 0) == (
+            f"POLYGON ((-{w} -{w}, {w} -{w}, {w} {w}, -{w} {w}, -{w} -{w}))"
+        )
+        assert tile_envelope(1, 1, 0) == (
+            f"POLYGON ((0 0, {w} 0, {w} {w}, 0 {w}, 0 0))"
+        )
+
+    def test_tiles_partition_parent(self):
+        # the four z=1 tiles' envelopes partition the z=0 world
+        parts = [P(tile_envelope(1, x, y)) for x in (0, 1) for y in (0, 1)]
+        total = sum(G.area(p) for p in parts)
+        assert abs(total - G.area(P(tile_envelope(0, 0, 0)))) < 1e-3
+
+    def test_y_counts_from_top(self):
+        # y=0 is the TOP row (slippy-map convention)
+        g = P(tile_envelope(2, 0, 0))
+        assert min(y for _x, y in G._points(g)) > 0
+
+    def test_gates(self):
+        assert tile_envelope(-1, 0, 0) is None
+        assert tile_envelope(2, 4, 0) is None
+        assert tile_envelope(2, 0, -1) is None
+
+
+class TestEditors:
+    def test_normalize_canonical_and_idempotent(self):
+        w = "MULTIPOLYGON (((4 0, 0 0, 0 4, 4 4, 4 0)), ((9 9, 5 9, 5 5, 9 5, 9 9)))"
+        n1 = G.to_wkt(normalize_geom(P(w)))
+        assert n1 == (
+            "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "((5 5, 9 5, 9 9, 5 9, 5 5)))"
+        )
+        assert G.to_wkt(normalize_geom(P(n1))) == n1
+
+    def test_project_round_trip_via_inverse_bearing(self):
+        # go d at azimuth a, then d at the BACK azimuth of the arrival
+        # bearing returns to the start (spherical identity)
+        start = "POINT (12 47)"
+        out = project_point(start, 250000.0, 1.1)
+        g = P(out)
+        # numeric check: distance start->out on the sphere ~ 250 km
+        R = 6371008.8
+        lon1, lat1 = 12.0, 47.0
+        lon2, lat2 = g.coords
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        d = R * math.acos(
+            max(-1, min(1, math.sin(p1) * math.sin(p2)
+                + math.cos(p1) * math.cos(p2) * math.cos(dl)))
+        )
+        assert abs(d - 250000.0) < 1e-3
+
+    def test_project_gates(self):
+        assert project_point("LINESTRING (0 0, 1 1)", 10.0, 0.0) is None
+        assert project_point("POINT (nan 0)", 10.0, 0.0) is None
+        assert project_point("POINT (0 0)", float("inf"), 0.0) is None
+
+
+def test_sql_surface(spark):
+    row = spark.sql(
+        "SELECT size(st_squaregrid(10.0D, 'POLYGON ((3 3, 17 3, 17 12, 3 12, 3 3))')) AS n,"
+        " st_tileenvelope(1, 1, 1) AS t,"
+        " st_removerepeatedpoints('LINESTRING (0 0, 0 0, 5 5)') AS rrp,"
+        " st_swapordinates('POINT (3 7)') AS sw,"
+        " st_forcepolygonccw('POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))') AS ccw,"
+        " st_normalize('POLYGON ((4 0, 0 0, 0 4, 4 4, 4 0))') AS nm,"
+        " st_hexagongrid(CAST(NULL AS DOUBLE), 'POINT (0 0)') AS hnull"
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["t"].startswith("POLYGON ((0 -20037508")
+    assert row["rrp"] == "LINESTRING (0 0, 5 5)"
+    assert row["sw"] == "POINT (7 3)"
+    assert row["ccw"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert row["nm"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert row["hnull"] is None

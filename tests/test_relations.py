@@ -225,3 +225,58 @@ class TestExclusivity:
         assert sum(flags) <= 1, (wa, wb, flags)
         if any(flags):
             assert not disjoint(a, b)
+
+
+class TestFloatCoordinateExactProbes:
+    """r12 (found by the hex-grid tiling test): engine-SYNTHESIZED
+    probe points (edge sub-midpoints, covered-line split points) were
+    evaluated in float arithmetic and rounded up to 1 ulp off their own
+    segment — equals(x, x) and within(x, x) returned FALSE for
+    float-coordinate geometries, and edge-adjacent float polygons got a
+    false interiors_intersect. Synthesized probes are now exact
+    Fraction points (geometry._exact_split_points) evaluated by exact
+    lifted predicates."""
+
+    H = 8.660254037844386  # sqrt(3)*5: the irrational-derived class
+    H2 = 12.990381056766578
+
+    def test_float_self_identity(self):
+        line = g(f"LINESTRING (0 0, {self.H} {self.H2}, 17.32 3.3)")
+        poly = g(f"POLYGON ((0.1 0.1, {self.H} 0.2, 4.3 {self.H2}, 0.1 0.1))")
+        assert equals(line, line)
+        assert equals(poly, poly)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+
+        assert G.within(poly, poly)
+
+    def test_edge_adjacent_float_hexes_touch(self):
+        a = g(
+            f"POLYGON ((-2.5 {self.H2}, -5 17.32050807568877, "
+            f"-10 17.32050807568877, -12.5 {self.H2}, -10 {self.H}, "
+            f"-5 {self.H}, -2.5 {self.H2}))"
+        )
+        b = g(
+            f"POLYGON ((5 {self.H}, 2.5 {self.H2}, -2.5 {self.H2}, "
+            f"-5 {self.H}, -2.5 4.330127018922193, "
+            f"2.5 4.330127018922193, 5 {self.H}))"
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (
+            interiors_intersect,
+        )
+
+        assert not interiors_intersect(a, b)
+        assert touches(a, b)
+
+    def test_split_line_equality_still_exact(self):
+        # the fix must keep vertex-parameter contacts exact: a float
+        # parameter roundtrip would land 1 ulp past the shared vertex
+        assert equals(
+            g("LINESTRING (0 0, 10 0)"),
+            g("MULTILINESTRING ((0 0, 4 0), (4 0, 10 0))"),
+        )
+        assert equals(
+            g(f"LINESTRING (0 0, {self.H} 0)"),
+            g(f"MULTILINESTRING ((0 0, 2.1 0), (2.1 0, {self.H} 0))"),
+        )

@@ -39,6 +39,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessel
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split import (
     ALL_SPLIT_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+    ALL_GRID_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
@@ -88,6 +91,7 @@ _SWEPT = {
     **ALL_NODING_FUNCTIONS,
     **ALL_TESSELLATE_FUNCTIONS,
     **ALL_SPLIT_FUNCTIONS,
+    **ALL_GRID_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
@@ -155,6 +159,10 @@ _NULL_ARGS = {
     "st_sharedpaths": f"{S}, {S}",
     "st_concavehull": f"{S}, {D}",
     "st_concavehull_holes": f"{S}, {D}",
+    "st_squaregrid": f"{D}, {S}",
+    "st_hexagongrid": f"{D}, {S}",
+    "st_tileenvelope": "CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)",
+    "st_project": f"{S}, {D}, {D}",
     "st_subdivide": f"{S}, CAST(NULL AS INT)",
     "st_relatematch": f"{S}, {S}",
     "st_hausdorffdistance": f"{S}, {S}",
