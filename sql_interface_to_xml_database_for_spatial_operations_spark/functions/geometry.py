@@ -605,7 +605,18 @@ def _exact_split_points(
         if 0 < t < 1:
             pts[t] = (px, py)
 
+    axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
+    aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
     for b1, b2 in segs:
+        # float bbox prescreen BEFORE any Fraction lifting (code-review
+        # r12: the lifted exact arithmetic is ~100x a float op)
+        if (
+            max(b1[0], b2[0]) < axmin
+            or min(b1[0], b2[0]) > axmax
+            or max(b1[1], b2[1]) < aymin
+            or min(b1[1], b2[1]) > aymax
+        ):
+            continue
         if not all(math.isfinite(v) for p in (b1, b2) for v in p):
             continue
         bx1, by1 = Fraction(b1[0]), Fraction(b1[1])
@@ -691,8 +702,6 @@ def within(g1: Geometry, g2: Geometry) -> bool:
             segs2 = list(_segments(g2))
             bb2 = _seg_bboxes(segs2)
             for a1, a2 in _segments(g1):
-                dx, dy = a2[0] - a1[0], a2[1] - a1[1]
-                len2 = dx * dx + dy * dy
                 axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
                 aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
                 for (b1, b2), (bxmin, bymin, bxmax, bymax) in zip(segs2, bb2):

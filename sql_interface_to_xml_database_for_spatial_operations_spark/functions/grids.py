@@ -9,10 +9,15 @@ that turns an unbounded spatial join into a bounded per-cell one.
   origin (cell corners at integer multiples of ``size``, PostGIS's
   alignment), exploded by the caller (the ``st_subdivide`` idiom).
 - ``st_hexagongrid(size, bounds)`` — flat-top hexagons, circumradius
-  ``size``, the published PostGIS layout: column pitch 1.5·size, row
-  pitch √3·size, odd columns offset down by √3/2·size; a cell is
-  emitted when its center lies in or on the bounds' envelope expanded
-  by one cell pitch (cells overlapping the envelope).
+  ``size``, origin-registered: column pitch 1.5·size, row pitch
+  √3·size, odd columns offset UP by √3/2·size (a fixed documented
+  registration; PostGIS's generator shares the cell shape and pitch
+  but registers rows differently, so cell IDENTITIES are not
+  PostGIS-interchangeable — the deterministic tiling is the contract).
+  A cell is emitted when its BOUNDING BOX overlaps the bounds'
+  envelope (boundary touch included) — a superset of true hex overlap
+  by at most the bbox corner triangles, stated exactly so callers can
+  rely on it.
 - ``st_tileenvelope(z, x, y)`` — the standard XYZ Web-Mercator tile
   envelope: world = [−πR, πR]², tile side = world/2^z, y counted from
   the top (the published slippy-map convention PostGIS implements).
@@ -135,10 +140,11 @@ def hexagon_grid(size, bounds_wkt) -> list[str] | None:
         for j in range(j0, j1 + 1):
             ky = 2 * j + (1 if i % 2 else 0)  # center y in half_h units
             cx, cy = kx * half_s, ky * half_h
-            # keep cells whose center lies within one pitch of the
-            # envelope: every cell overlapping the envelope is included
+            # bbox-overlap filter (module docstring): the hex bbox is
+            # [cx - size, cx + size] x [cy - h/2, cy + h/2]
             if not (
-                minx - cp <= cx <= maxx + cp and miny - h <= cy <= maxy + h
+                minx - size <= cx <= maxx + size
+                and miny - half_h <= cy <= maxy + half_h
             ):
                 continue
             ring = [
@@ -265,7 +271,12 @@ def project_point(wkt, distance, azimuth) -> str | None:
         math.sin(azimuth) * math.sin(d) * math.cos(p1),
         math.cos(d) - math.sin(p1) * math.sin(p2),
     )
-    return G.to_wkt(Geometry("Point", (math.degrees(l2), math.degrees(p2))))
+    # normalize to (-180, 180] like PostGIS ST_Project — floor-based
+    # modulo so the q169 oracle can mirror it term for term (DuckDB's
+    # %% is fmod-signed, Python's %% is divisor-signed; floor avoids both)
+    lon2 = math.degrees(l2)
+    lon2 = (lon2 + 180.0) - 360.0 * math.floor((lon2 + 180.0) / 360.0) - 180.0
+    return G.to_wkt(Geometry("Point", (lon2, math.degrees(p2))))
 
 
 def _geom_map_wkt(fn):

@@ -121,6 +121,10 @@ def _on_segment(p: Point, a: Point, b: Point) -> bool:
     ):
         return False
     if isinstance(p[0], Fraction) or isinstance(p[1], Fraction):
+        if not all(math.isfinite(v) for pt in (a, b) for v in pt):
+            # NaN in ONE ordinate passes the bbox test on the other
+            # (code-review r12) — Fraction(nan) would crash the batch
+            return False
         ax, ay = Fraction(a[0]), Fraction(a[1])
         return (Fraction(b[0]) - ax) * (p[1] - ay) - (
             Fraction(b[1]) - ay

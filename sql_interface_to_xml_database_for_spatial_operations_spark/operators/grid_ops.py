@@ -12,10 +12,13 @@ Oracle families (per nation box; exact unless noted):
   string-built from integer arithmetic.
 - ``hex_count`` / ``hex_cell_area_micro`` — a FIXED 20×20 bounds (the
   hex grid aligns to the SRS origin, so per-box anchors would make the
-  count depend on minx mod 7.5): hand-derived 22 cells (2 even columns
-  × 5 rows + 3 odd columns × 4 rows under the center-pitch filter) and
-  per-cell area 3√3/2·25 compared micro-int (the value's fractional
-  part .2838 sits far from the .5 rounding boundary).
+  count depend on minx mod 7.5): hand-derived 14 cells under the
+  bbox-overlap filter — even columns cx ∈ {0, 15}: centers cy ∈
+  {0, 8.66, 17.32} (3 rows); odd columns cx ∈ {7.5, 22.5}: cy ∈
+  {-4.33, 4.33, 12.99, 21.65} (4 rows, the -4.33 and 21.65 bboxes
+  touch the envelope edges) → 2·3 + 2·4 = 14 — and per-cell area
+  3√3/2·25 compared micro-int (the value's fractional part .2838 sits
+  far from the .5 rounding boundary).
 - ``tile_*_micro`` — XYZ tile envelope bounds; the oracle mirrors the
   engine's float expression ORDER term for term
   (−πR + x·(2πR/2^z), πR − y·(…)) so both engines produce bit-equal
@@ -166,13 +169,18 @@ _O_L2 = (
     f"(radians(minx) + atan2(sin({_O_AZ}) * sin({_O_D}) * cos({_O_P1}),"
     f" cos({_O_D}) - sin({_O_P1}) * sin({_O_P2})))"
 )
+# longitude wrap mirrored term for term (floor-based modulo)
+_O_LON = (
+    f"((degrees({_O_L2}) + 180.0)"
+    f" - 360.0 * floor((degrees({_O_L2}) + 180.0) / 360.0) - 180.0)"
+)
 
 _ORACLE_VALS = {
     "sq_count": f"CAST({_SQ_NX} * {_SQ_NY} AS VARCHAR)",
     "sq_cell_area": "'100000000'",
     "sq_first": _SQ_FIRST,
     "sq_last": _SQ_LAST,
-    "hex_count": "'22'",
+    "hex_count": "'14'",
     "hex_cell_area_micro": _micro("3 * sqrt(3.0) / 2 * 25"),
     "tile_minx_micro": _micro(_O_TMINX),
     "tile_maxy_micro": _micro(_O_TMAXY),
@@ -213,7 +221,7 @@ _ORACLE_VALS = {
         f"{int_str('maxy')} || ' ' || {int_str('maxx')}",
         "')'",
     ),
-    "proj_lon_micro": _micro(f"degrees({_O_L2})"),
+    "proj_lon_micro": _micro(_O_LON),
     "proj_lat_micro": _micro(f"degrees({_O_P2})"),
 }
 

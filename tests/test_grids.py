@@ -54,9 +54,10 @@ class TestSquareGrid:
 class TestHexagonGrid:
     def test_hand_derived_count_and_geometry(self):
         cells = hexagon_grid(5, "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")
-        # hand derivation (module docstring of grid_ops): 2 even
-        # columns x 5 rows + 3 odd columns x 4 rows = 22
-        assert len(cells) == 22
+        # hand derivation (grid_ops docstring): bbox-overlap filter,
+        # even columns cx in {0, 15} x 3 rows + odd columns
+        # cx in {7.5, 22.5} x 4 rows = 14
+        assert len(cells) == 14
         h = math.sqrt(3.0) * 5
         for c in cells:
             g = P(c)
