@@ -107,6 +107,7 @@ HEADLINE = [
     # integer Lloyd (one bounded shuffle + bounded collect per round)
     "q167_video_frames",
     "q168_kmeans_converged",
+    "q169_st_grids",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
