@@ -37,6 +37,7 @@ from .functions.subdivide import register_subdivide_functions
 from .functions.noding import register_noding_functions
 from .functions.tessellate import register_tessellate_functions
 from .functions.split import register_split_functions
+from .functions.cluster_geo import register_cluster_geo_functions
 from .functions.grids import register_grid_functions
 from .functions.union_ops import register_union_functions
 from .functions.wkb import register_wkb_functions
@@ -84,6 +85,7 @@ class SpatialSQLEngine:
         register_tessellate_functions(self.spark)
         register_split_functions(self.spark)
         register_grid_functions(self.spark)
+        register_cluster_geo_functions(self.spark)
         register_union_functions(self.spark)
         register_simplify_functions(self.spark)
         register_projection_functions(self.spark)

@@ -420,3 +420,220 @@ ALL_GRID_FUNCTIONS = {
 def register_grid_functions(spark: SparkSession) -> None:
     for name, fn in ALL_GRID_FUNCTIONS.items():
         spark.udf.register(name, fn)
+
+
+# --- smoothing / dumps / line editors (late r12) --------------------------
+#
+# ST_ChaikinSmoothing(geom, n_iterations): the published corner-cutting
+# scheme — each segment (p, q) contributes Q = 3/4·p + 1/4·q and
+# R = 1/4·p + 3/4·q; open lines keep their endpoints (PostGIS
+# behavior), closed rings smooth every corner. Iterations cap at 5
+# like PostGIS. Quarters are exact dyadic floats, so integer fixtures
+# produce bit-exact string-buildable oracles.
+# ST_Scroll(closed_line, point): rotate a closed LINESTRING to start at
+# the given vertex (NULL if not closed / point not a vertex).
+# ST_LineExtend(line, dist_forward, dist_backward): extend the last
+# segment's direction forward and the first segment's backward.
+# ST_DumpSegments / ST_DumpRings / ST_DumpPoints: explodable
+# ARRAY<STRING> surfaces (the st_subdivide idiom) of the PostGIS
+# set-returning dumps.
+
+
+def _chaikin_chain(pts: list, closed: bool) -> list:
+    seq = list(pts)
+    if closed:
+        out = []
+        for p, q in zip(seq, seq[1:]):
+            out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
+            out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
+        return out + [out[0]]
+    out = [seq[0]]
+    for p, q in zip(seq, seq[1:]):
+        out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
+        out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
+    out[-1] = seq[-1]  # preserve the final endpoint
+    return out
+
+
+def chaikin_geom(g: Geometry, n: int) -> Geometry:
+    n = max(1, min(5, int(n)))  # PostGIS caps at 5
+    for _ in range(n):
+        if g.kind == "LineString":
+            closed = g.coords[0] == g.coords[-1]
+            g = Geometry("LineString", _chaikin_chain(g.coords, closed))
+        elif g.kind == "MultiLineString":
+            g = Geometry(
+                "MultiLineString",
+                [_chaikin_chain(c, c[0] == c[-1]) for c in g.coords],
+            )
+        elif g.kind == "Polygon":
+            g = Geometry("Polygon", [_chaikin_chain(r, True) for r in g.coords])
+        elif g.kind == "MultiPolygon":
+            g = Geometry(
+                "MultiPolygon",
+                [[_chaikin_chain(r, True) for r in rings] for rings in g.coords],
+            )
+        else:
+            return g  # points unchanged (PostGIS echoes)
+    return g
+
+
+def scroll_geom(g: Geometry, pt: Geometry) -> Geometry | None:
+    if g.kind != "LineString" or pt.kind != "Point":
+        return None
+    if g.coords[0] != g.coords[-1]:
+        return None  # PostGIS: works on closed linestrings
+    body = list(g.coords[:-1])
+    if tuple(pt.coords) not in {tuple(p) for p in body}:
+        return None
+    k = [tuple(p) for p in body].index(tuple(pt.coords))
+    body = body[k:] + body[:k]
+    return Geometry("LineString", body + [body[0]])
+
+
+def line_extend(g: Geometry, fwd: float, back: float) -> Geometry | None:
+    if g.kind != "LineString" or len(g.coords) < 2:
+        return None
+    pts = [list(p) for p in g.coords]
+    if back > 0:
+        (x1, y1), (x2, y2) = pts[0], pts[1]
+        d = math.hypot(x2 - x1, y2 - y1)
+        if d == 0:
+            return None
+        pts[0] = [x1 - back * (x2 - x1) / d, y1 - back * (y2 - y1) / d]
+    if fwd > 0:
+        (x1, y1), (x2, y2) = pts[-2], pts[-1]
+        d = math.hypot(x2 - x1, y2 - y1)
+        if d == 0:
+            return None
+        pts[-1] = [x2 + fwd * (x2 - x1) / d, y2 + fwd * (y2 - y1) / d]
+    return Geometry("LineString", [tuple(p) for p in pts])
+
+
+def dump_segments(g: Geometry) -> list[str]:
+    return [
+        G.to_wkt(Geometry("LineString", [a, b]))
+        for a, b in G._segments(g)
+        if a != b
+    ]
+
+
+def dump_rings(g: Geometry) -> list[str] | None:
+    if g.kind == "Polygon":
+        return [G.to_wkt(Geometry("Polygon", [list(r)])) for r in g.coords]
+    if g.kind == "MultiPolygon":
+        return [
+            G.to_wkt(Geometry("Polygon", [list(r)]))
+            for rings in g.coords
+            for r in rings
+        ]
+    return None  # PostGIS: polygon input only
+
+
+def dump_points(g: Geometry) -> list[str]:
+    return [G.to_wkt(Geometry("Point", p)) for p in G._points(g)]
+
+
+def _wkt_in(w):
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return None
+    return G.parse_wkt(s)
+
+
+@pandas_udf(StringType())
+def st_chaikinsmoothing(wkt: pd.Series, n: pd.Series) -> pd.Series:
+    out = []
+    for w, k in zip(wkt, n):
+        try:
+            g = _wkt_in(w)
+            if g is None or k is None or pd.isna(k):
+                out.append(None)
+            else:
+                out.append(G.to_wkt(chaikin_geom(g, int(k))))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_scroll(wkt: pd.Series, pt: pd.Series) -> pd.Series:
+    out = []
+    for w, p in zip(wkt, pt):
+        try:
+            g, gp = _wkt_in(w), _wkt_in(p)
+            out.append(
+                None if g is None or gp is None else
+                (lambda r: None if r is None else G.to_wkt(r))(scroll_geom(g, gp))
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_lineextend(wkt: pd.Series, fwd: pd.Series, back: pd.Series) -> pd.Series:
+    out = []
+    for w, f, b in zip(wkt, fwd, back):
+        try:
+            g = _wkt_in(w)
+            if g is None or f is None or b is None or pd.isna(f) or pd.isna(b):
+                out.append(None)
+            elif not (math.isfinite(float(f)) and math.isfinite(float(b))) or float(f) < 0 or float(b) < 0:
+                out.append(None)
+            else:
+                r = line_extend(g, float(f), float(b))
+                out.append(None if r is None else G.to_wkt(r))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_dumpsegments(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = _wkt_in(w)
+            out.append(None if g is None else dump_segments(g))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_dumprings(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = _wkt_in(w)
+            out.append(None if g is None else dump_rings(g))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(ArrayType(StringType()))
+def st_dumppoints(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = _wkt_in(w)
+            out.append(None if g is None else dump_points(g))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_GRID_FUNCTIONS.update(
+    {
+        "st_chaikinsmoothing": st_chaikinsmoothing,
+        "st_scroll": st_scroll,
+        "st_lineextend": st_lineextend,
+        "st_dumpsegments": st_dumpsegments,
+        "st_dumprings": st_dumprings,
+        "st_dumppoints": st_dumppoints,
+    }
+)

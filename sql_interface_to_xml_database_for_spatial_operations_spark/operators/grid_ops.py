@@ -25,6 +25,12 @@ Oracle families (per nation box; exact unless noted):
   doubles before the micro floor.
 - ``rrp`` / ``ccw`` / ``cw`` / ``norm`` / ``swap`` — editor outputs as
   exact string-built WKT over integer fixtures.
+- ``chaikin`` — one corner-cutting iteration of the box ring: the
+  octagon of exact quarter points (0.75·p + 0.25·q mirrored term for
+  term, exact dyadic floats). ``scroll`` rotates the closed box ring
+  to start at the top-right corner. ``extend`` stretches a 3-4-5
+  line by integer distances (unit direction exact). ``dumpseg_n`` /
+  ``dumpring2`` / ``dumppt2`` pin the dump surfaces.
 - ``proj_micro`` — spherical forward geodesic; the oracle mirrors the
   engine's formula term for term (same machine libm on both sides, the
   q131 st_azimuth precedent) at micro-degrees.
@@ -90,6 +96,15 @@ _TILE_X = f"CAST(n_nationkey % CAST(pow(2, {_TILE_Z}) AS BIGINT) AS INT)"
 _TILE_Y = f"CAST((n_nationkey * 3) % CAST(pow(2, {_TILE_Z}) AS BIGINT) AS INT)"
 _TILE = f"st_tileenvelope({_TILE_Z}, {_TILE_X}, {_TILE_Y})"
 
+_RING_LINE = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "')'",
+)
+_LINE345 = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '",
+    f"{int_str('minx + 3')} || ' ' || {int_str('miny + 4')}", "')'",
+)
+
 _PROJ = (
     f"st_project('POINT (' || {CORNERS['bl']} || ')', "
     "CAST(50000.0 + n_nationkey * 1000 AS DOUBLE), "
@@ -117,6 +132,12 @@ _FAMILIES = {
     "swap": f"st_swapordinates({_DUP_LINE})",
     "proj_lon_micro": _micro(f"st_x({_PROJ})"),
     "proj_lat_micro": _micro(f"st_y({_PROJ})"),
+    "chaikin": f"st_chaikinsmoothing({_BOX}, 1)",
+    "scroll": f"st_scroll({_RING_LINE}, 'POINT (' || {CORNERS['tr']} || ')')",
+    "extend": f"st_lineextend({_LINE345}, 5.0D, 10.0D)",
+    "dumpseg_n": int_str(f"size(st_dumpsegments({_BOX}))"),
+    "dumpring2": f"element_at(st_dumprings({_CW_HOLED}), 2)",
+    "dumppt2": f"element_at(st_dumppoints({_BOX}), 2)",
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -175,6 +196,37 @@ _O_LON = (
     f" - 360.0 * floor((degrees({_O_L2}) + 180.0) / 360.0) - 180.0)"
 )
 
+def _mix(p: str, q: str) -> str:
+    # the engine computes 0.75*p + 0.25*q in floats; mirror term for
+    # term — CAST to DOUBLE because DuckDB's bare 0.75 is DECIMAL and
+    # prints trailing zeros ('-172.500', the q148 lesson)
+    return _FMT(f"CAST(0.75 * {p} + 0.25 * {q} AS DOUBLE)")
+
+
+def _FMT(expr: str) -> str:
+    from .spatial_ops import _fmt_sql
+
+    return _fmt_sql(expr)
+
+
+def _xy(xe: str, ye: str) -> str:
+    return f"{xe} || ' ' || {ye}"
+
+
+_CHAIKIN_WKT = sql_concat(
+    "'POLYGON (('",
+    _xy(_mix("minx", "maxx"), int_str("miny")), "', '",
+    _xy(_mix("maxx", "minx"), int_str("miny")), "', '",
+    _xy(int_str("maxx"), _mix("miny", "maxy")), "', '",
+    _xy(int_str("maxx"), _mix("maxy", "miny")), "', '",
+    _xy(_mix("maxx", "minx"), int_str("maxy")), "', '",
+    _xy(_mix("minx", "maxx"), int_str("maxy")), "', '",
+    _xy(int_str("minx"), _mix("maxy", "miny")), "', '",
+    _xy(int_str("minx"), _mix("miny", "maxy")), "', '",
+    _xy(_mix("minx", "maxx"), int_str("miny")),
+    "'))'",
+)
+
 _ORACLE_VALS = {
     "sq_count": f"CAST({_SQ_NX} * {_SQ_NY} AS VARCHAR)",
     "sq_cell_area": "'100000000'",
@@ -223,6 +275,27 @@ _ORACLE_VALS = {
     ),
     "proj_lon_micro": _micro(_O_LON),
     "proj_lat_micro": _micro(f"degrees({_O_P2})"),
+    "chaikin": _CHAIKIN_WKT,
+    "scroll": sql_concat(
+        "'LINESTRING ('", CORNERS["tr"], "', '", CORNERS["tl"], "', '",
+        CORNERS["bl"], "', '", CORNERS["br"], "', '", CORNERS["tr"], "')'",
+    ),
+    "extend": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('minx - 6')} || ' ' || {int_str('miny - 8')}", "', '",
+        f"{int_str('minx + 6')} || ' ' || {int_str('miny + 8')}", "')'",
+    ),
+    "dumpseg_n": "'4'",
+    "dumpring2": sql_concat(
+        "'POLYGON (('",
+        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}", "', '",
+        f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}", "', '",
+        f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
+        "'))'",
+    ),
+    "dumppt2": sql_concat("'POINT ('", CORNERS["br"], "')'"),
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

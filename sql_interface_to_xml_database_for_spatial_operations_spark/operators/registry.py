@@ -173,6 +173,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # Window arithmetic: 32 r7-stale + 13 diff (q124 q130 q139 q146 q53
 # q155 q156 q157 q162 q163 q165 q166 q44) + q122 + 3 new (q167 q168
 # q169) + 0 fill = 50 exactly.
+# r12 edit #11 (late surfaces at ZERO window cost — the one-in-one-out
+# rule's cheaper sibling: extend rows already exposed this round):
+# grids.py gained st_chaikinsmoothing / st_scroll / st_lineextend /
+# st_dumpsegments / st_dumprings / st_dumppoints (q169 gains six
+# pinned families — chaikin octagon of exact quarter points, scroll,
+# 3-4-5 line extension, dump surfaces); new functions/cluster_geo.py
+# implements ST_ClusterIntersecting / ST_ClusterWithin as
+# collect_list aggregates and q124 gains n_clusters / max_cluster /
+# n_clusters_d5 with a recursive-CTE transitive-closure oracle (the
+# q90 idiom). Both q169 and q124 are in this round's exposure list
+# already. The engine-registration closure drifts the ingest greens
+# (q99-q102/q108/q114/q118/q121) without executing any new code —
+# fingerprints deliberately re-recorded.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",

@@ -66,11 +66,13 @@ _BOXES_SQL = f"""
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.cluster_geo import register_cluster_geo_functions
     from ..functions.spatial import register_spatial_functions
     from ..functions.union_ops import register_union_functions
 
     register_spatial_functions(spark)
     register_union_functions(spark)
+    register_cluster_geo_functions(spark)
 
 
 def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,10 +138,55 @@ def _partial_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              max(x1) AS maxx, max(y1) AS maxy
       FROM b GROUP BY g
     )
+    , pairs AS (
+      SELECT a.g, row_number() OVER (PARTITION BY a.g ORDER BY a.x0, a.y0, a.x1, a.y1) AS ida,
+             a.x0, a.y0, a.x1, a.y1 FROM b a
+    ),
+    edges AS (
+      SELECT p.g, p.ida AS i, q.ida AS j FROM pairs p JOIN pairs q
+        ON p.g = q.g AND p.ida < q.ida
+       AND p.x0 <= q.x1 AND q.x0 <= p.x1 AND p.y0 <= q.y1 AND q.y0 <= p.y1
+    ),
+    closure AS (
+      WITH RECURSIVE cc(g, node, root) AS (
+        SELECT g, ida, ida FROM pairs
+        UNION
+        SELECT e.g, CASE WHEN cc.node = e.i THEN e.j ELSE e.i END, cc.root
+        FROM cc JOIN edges e ON cc.g = e.g AND cc.node IN (e.i, e.j)
+      )
+      SELECT g, node, min(root) AS root FROM cc GROUP BY g, node
+    ),
+    clus AS (
+      SELECT g, CAST(count(DISTINCT root) AS INT) AS n_clusters,
+             CAST(max(sz) AS INT) AS max_cluster
+      FROM (SELECT g, root, count(*) AS sz FROM closure GROUP BY g, root)
+      GROUP BY g
+    ),
+    edges5 AS (
+      SELECT p.g, p.ida AS i, q.ida AS j FROM pairs p JOIN pairs q
+        ON p.g = q.g AND p.ida < q.ida
+       AND power(greatest(0, q.x0 - p.x1, p.x0 - q.x1), 2)
+         + power(greatest(0, q.y0 - p.y1, p.y0 - q.y1), 2) <= 25
+    ),
+    closure5 AS (
+      WITH RECURSIVE cc(g, node, root) AS (
+        SELECT g, ida, ida FROM pairs
+        UNION
+        SELECT e.g, CASE WHEN cc.node = e.i THEN e.j ELSE e.i END, cc.root
+        FROM cc JOIN edges5 e ON cc.g = e.g AND cc.node IN (e.i, e.j)
+      )
+      SELECT g, node, min(root) AS root FROM cc GROUP BY g, node
+    ),
+    clus5 AS (
+      SELECT g, CAST(count(DISTINCT root) AS INT) AS n_clusters_d5
+      FROM closure5 GROUP BY g
+    )
     SELECT i.g AS n_regionkey, i.n_boxes, m.union_area, m.perimeter,
            i.minx, i.miny, i.maxx, i.maxy,
-           {_DISSOLVED_SQL} AS concave_union
+           {_DISSOLVED_SQL} AS concave_union,
+           c.n_clusters, c.max_cluster, c5.n_clusters_d5
     FROM inputs i JOIN metrics m ON i.g = m.g
+    JOIN clus c ON i.g = c.g JOIN clus5 c5 ON i.g = c5.g
     """,
 )
 def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,4 +234,28 @@ def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # string-builds from the same integer arithmetic
         "concave_union",
         F.expr(f"st_union({_A_SQL}, {_B_SQL})"),
+    ).join(
+        # ST_ClusterIntersecting / ST_ClusterWithin (late r12, F12):
+        # cluster each region's raw boxes; the oracle recomputes the
+        # transitive closure with a recursive CTE (the q90 idiom) over
+        # inclusive bbox overlap / squared box-gap <= d^2
+        boxes.groupBy("g").agg(
+            F.expr(
+                "size(st_clusterintersecting(collect_list(wkt)))"
+            ).alias("n_clusters"),
+            # a Python UDF cannot run inside a higher-order lambda
+            # (the q162/q169 wall): count members with the JVM split
+            # builtin instead — every member of these collections is
+            # one POLYGON
+            F.expr(
+                "aggregate(transform("
+                "st_clusterintersecting(collect_list(wkt)),"
+                " c -> size(split(c, 'POLYGON')) - 1), 0, (a, x) -> "
+                "CASE WHEN x > a THEN x ELSE a END)"
+            ).alias("max_cluster"),
+            F.expr(
+                "size(st_clusterwithin(collect_list(wkt), 5.0D))"
+            ).alias("n_clusters_d5"),
+        ).withColumnRenamed("g", "n_regionkey"),
+        "n_regionkey",
     )

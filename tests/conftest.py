@@ -54,6 +54,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (  # noqa: E402
     register_grid_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (  # noqa: E402
+    register_cluster_geo_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (  # noqa: E402
     register_simplify_functions,
 )
@@ -103,6 +106,7 @@ def spark():
     register_tessellate_functions(s)
     register_split_functions(s)
     register_grid_functions(s)
+    register_cluster_geo_functions(s)
     register_union_functions(s)
     register_simplify_functions(s)
     register_projection_functions(s)

@@ -159,3 +159,117 @@ def test_sql_surface(spark):
     assert row["ccw"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     assert row["nm"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     assert row["hnull"] is None
+
+
+class TestSmoothingAndDumps:
+    def test_chaikin_open_line_preserves_endpoints(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            chaikin_geom,
+        )
+
+        g = chaikin_geom(P("LINESTRING (0 0, 4 0, 4 4)"), 1)
+        assert G.to_wkt(g) == "LINESTRING (0 0, 1 0, 3 0, 4 1, 4 4)"
+
+    def test_chaikin_square_becomes_octagon_then_16gon(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            chaikin_geom,
+        )
+
+        sq = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        one = chaikin_geom(sq, 1)
+        assert len(one.coords[0]) == 9  # octagon + closing point
+        two = chaikin_geom(sq, 2)
+        assert len(two.coords[0]) == 17
+        # area shrinks toward the inscribed shape but stays positive
+        assert 0 < G.area(two) < G.area(one) < 16
+
+    def test_chaikin_iteration_cap(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            chaikin_geom,
+        )
+
+        sq = P("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        assert G.to_wkt(chaikin_geom(sq, 99)) == G.to_wkt(chaikin_geom(sq, 5))
+
+    def test_scroll_and_gates(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            scroll_geom,
+        )
+
+        ring = P("LINESTRING (0 0, 4 0, 4 4, 0 0)")
+        assert G.to_wkt(scroll_geom(ring, P("POINT (4 4)"))) == (
+            "LINESTRING (4 4, 0 0, 4 0, 4 4)"
+        )
+        assert scroll_geom(ring, P("POINT (9 9)")) is None  # not a vertex
+        assert scroll_geom(P("LINESTRING (0 0, 4 0)"), P("POINT (0 0)")) is None
+
+    def test_line_extend_345_exact(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            line_extend,
+        )
+
+        g = line_extend(P("LINESTRING (0 0, 3 4)"), 5.0, 10.0)
+        assert G.to_wkt(g) == "LINESTRING (-6 -8, 6 8)"
+
+    def test_dumps(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            dump_points,
+            dump_rings,
+            dump_segments,
+        )
+
+        holed = P("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+        assert dump_rings(holed) == [
+            "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0))",
+            "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))",
+        ]
+        assert dump_rings(P("LINESTRING (0 0, 1 1)")) is None
+        assert len(dump_segments(holed)) == 8
+        assert dump_points(P("MULTIPOINT (1 2, 3 4)")) == ["POINT (1 2)", "POINT (3 4)"]
+
+
+class TestClusterGeo:
+    def test_intersecting_clusters(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (
+            cluster_wkts,
+        )
+
+        got = cluster_wkts(
+            [
+                "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))",  # touches #1
+                "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))",
+            ],
+            None,
+        )
+        assert len(got) == 2
+        assert got[0].count("POLYGON") == 2 and got[1].count("POLYGON") == 1
+
+    def test_within_distance_chains(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (
+            cluster_wkts,
+        )
+
+        pts = ["POINT (0 0)", "POINT (3 0)", "POINT (6 0)", "POINT (20 0)"]
+        assert len(cluster_wkts(pts, 3.0)) == 2  # chain 0-3-6, then 20
+        assert len(cluster_wkts(pts, 2.9)) == 4
+        assert len(cluster_wkts(pts, 14.0)) == 1
+
+    def test_skip_null_and_empty_members(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (
+            cluster_wkts,
+        )
+
+        got = cluster_wkts([None, "POINT EMPTY", "POINT (0 0)"], None)
+        assert len(got) == 1
+
+    def test_sql_surface(self, spark):
+        rows = spark.sql(
+            "SELECT size(st_clusterintersecting(array("
+            "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',"
+            "'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))',"
+            "'POINT (50 50)'))) AS n,"
+            " st_clusterwithin(array('POINT (0 0)'), -1.0D) AS bad"
+        ).collect()[0]
+        assert rows["n"] == 2
+        assert rows["bad"] is None

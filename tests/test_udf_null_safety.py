@@ -42,6 +42,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.split 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
     ALL_GRID_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (
+    ALL_CLUSTER_GEO_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spatial import (
     ALL_FUNCTIONS,
 )
@@ -92,6 +95,7 @@ _SWEPT = {
     **ALL_TESSELLATE_FUNCTIONS,
     **ALL_SPLIT_FUNCTIONS,
     **ALL_GRID_FUNCTIONS,
+    **ALL_CLUSTER_GEO_FUNCTIONS,
     **ALL_UNION_FUNCTIONS,
     **ALL_SIMPLIFY_FUNCTIONS,
     **ALL_PROJECTION_FUNCTIONS,
@@ -163,6 +167,11 @@ _NULL_ARGS = {
     "st_hexagongrid": f"{D}, {S}",
     "st_tileenvelope": "CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_project": f"{S}, {D}, {D}",
+    "st_chaikinsmoothing": f"{S}, CAST(NULL AS INT)",
+    "st_scroll": f"{S}, {S}",
+    "st_lineextend": f"{S}, {D}, {D}",
+    "st_clusterintersecting": "CAST(NULL AS ARRAY<STRING>)",
+    "st_clusterwithin": f"CAST(NULL AS ARRAY<STRING>), {D}",
     "st_subdivide": f"{S}, CAST(NULL AS INT)",
     "st_relatematch": f"{S}, {S}",
     "st_hausdorffdistance": f"{S}, {S}",
