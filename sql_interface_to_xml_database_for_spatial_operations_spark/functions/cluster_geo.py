@@ -14,8 +14,8 @@ ARRAY<STRING> of GEOMETRYCOLLECTION WKTs, one per connected cluster.
 Determinism (GEOS's member order is an implementation detail; ours is
 pinned): cluster members keep INPUT order; clusters sort by their
 first member's input index. NULL/junk/EMPTY array members are skipped
-like SQL aggregates skip NULLs; a non-positive/non-finite distance is
-a loud NULL.
+like SQL aggregates skip NULLs; a negative or non-finite distance is
+a loud NULL (d = 0 is legal: touching/overlapping members cluster).
 
 Scale shape: the pairwise screen is bbox-prescreened label
 propagation over ONE collected group — bounded per row like every
@@ -35,7 +35,6 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 from . import geometry as G
-from . import overlay as _ov
 from .geometry import Geometry
 
 
@@ -44,18 +43,14 @@ def _parse_members(arr) -> list[Geometry] | None:
         return None
     out = []
     for w in arr:
-        if w is None:
-            continue
-        s = str(w).strip()
-        if _ov._EMPTY_RE.match(s.upper()):
-            continue
-        g = G.parse_wkt(s)
+        g = G.parse_wkt_opt(w)
         if g is None:
             continue
-        if not all(
-            math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
+        pts = G._points(g)
+        if not pts or not all(
+            math.isfinite(x) and math.isfinite(y) for x, y in pts
         ):
-            continue
+            continue  # junk/EMPTY/non-finite members skip like NULLs
         out.append(g)
     return out
 

@@ -447,16 +447,24 @@ def _chaikin_chain(pts: list, closed: bool) -> list:
             out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
             out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
         return out + [out[0]]
+    # open line: cut each INTERIOR corner symmetrically and keep both
+    # endpoints — smoothing a line and its reverse must be mirror
+    # images (code-review r12: the segment-based form kept the first
+    # Q but overwrote the last R, breaking the symmetry and PostGIS
+    # parity)
     out = [seq[0]]
-    for p, q in zip(seq, seq[1:]):
-        out.append((0.75 * p[0] + 0.25 * q[0], 0.75 * p[1] + 0.25 * q[1]))
-        out.append((0.25 * p[0] + 0.75 * q[0], 0.25 * p[1] + 0.75 * q[1]))
-    out[-1] = seq[-1]  # preserve the final endpoint
+    for prev, v, nxt in zip(seq, seq[1:], seq[2:]):
+        out.append((0.25 * prev[0] + 0.75 * v[0], 0.25 * prev[1] + 0.75 * v[1]))
+        out.append((0.75 * v[0] + 0.25 * nxt[0], 0.75 * v[1] + 0.25 * nxt[1]))
+    out.append(seq[-1])
     return out
 
 
-def chaikin_geom(g: Geometry, n: int) -> Geometry:
-    n = max(1, min(5, int(n)))  # PostGIS caps at 5
+def chaikin_geom(g: Geometry, n: int) -> Geometry | None:
+    n = int(n)
+    if n < 0:
+        return None  # loud NULL at the surface
+    n = min(5, n)  # PostGIS caps at 5; n = 0 echoes the input
     for _ in range(n):
         if g.kind == "LineString":
             closed = g.coords[0] == g.coords[-1]
@@ -511,11 +519,9 @@ def line_extend(g: Geometry, fwd: float, back: float) -> Geometry | None:
 
 
 def dump_segments(g: Geometry) -> list[str]:
-    return [
-        G.to_wkt(Geometry("LineString", [a, b]))
-        for a, b in G._segments(g)
-        if a != b
-    ]
+    # every consecutive vertex pair, REPEATED points included —
+    # PostGIS ST_DumpSegments emits degenerate segments too
+    return [G.to_wkt(Geometry("LineString", [a, b])) for a, b in G._segments(g)]
 
 
 def dump_rings(g: Geometry) -> list[str] | None:
@@ -535,12 +541,10 @@ def dump_points(g: Geometry) -> list[str]:
 
 
 def _wkt_in(w):
-    if w is None:
-        return None
-    s = str(w).strip()
-    if _ov._EMPTY_RE.match(s.upper()):
-        return None
-    return G.parse_wkt(s)
+    g = G.parse_wkt_opt(w)
+    if g is None or not G._points(g):
+        return None  # NULL/junk/EMPTY -> None (the shared idiom)
+    return g
 
 
 @pandas_udf(StringType())
@@ -552,7 +556,8 @@ def st_chaikinsmoothing(wkt: pd.Series, n: pd.Series) -> pd.Series:
             if g is None or k is None or pd.isna(k):
                 out.append(None)
             else:
-                out.append(G.to_wkt(chaikin_geom(g, int(k))))
+                r = chaikin_geom(g, int(k))
+                out.append(None if r is None else G.to_wkt(r))
         except Exception:
             out.append(None)
     return pd.Series(out, dtype=object)
@@ -564,10 +569,11 @@ def st_scroll(wkt: pd.Series, pt: pd.Series) -> pd.Series:
     for w, p in zip(wkt, pt):
         try:
             g, gp = _wkt_in(w), _wkt_in(p)
-            out.append(
-                None if g is None or gp is None else
-                (lambda r: None if r is None else G.to_wkt(r))(scroll_geom(g, gp))
-            )
+            if g is None or gp is None:
+                out.append(None)
+            else:
+                r = scroll_geom(g, gp)
+                out.append(None if r is None else G.to_wkt(r))
         except Exception:
             out.append(None)
     return pd.Series(out, dtype=object)

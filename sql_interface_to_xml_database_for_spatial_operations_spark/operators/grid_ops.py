@@ -288,11 +288,8 @@ _ORACLE_VALS = {
     "dumpseg_n": "'4'",
     "dumpring2": sql_concat(
         "'POLYGON (('",
-        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}", "', '",
-        f"{int_str('minx + 2')} || ' ' || {int_str('miny + 1')}", "', '",
-        f"{int_str('minx + 2')} || ' ' || {int_str('miny + 2')}", "', '",
-        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 2')}", "', '",
-        f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')}",
+        _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
+        _hpt(1, 2), "', '", _hpt(1, 1),
         "'))'",
     ),
     "dumppt2": sql_concat("'POINT ('", CORNERS["br"], "')'"),

@@ -239,23 +239,27 @@ def q124_st_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cluster each region's raw boxes; the oracle recomputes the
         # transitive closure with a recursive CTE (the q90 idiom) over
         # inclusive bbox overlap / squared box-gap <= d^2
-        boxes.groupBy("g").agg(
+        boxes.groupBy("g")
+        .agg(
+            # cluster ONCE per group, derive both metrics from the
+            # column (duplicate Arrow UDF calls are not CSE'd —
+            # code-review r12); a Python UDF cannot run inside a
+            # higher-order lambda (the q162/q169 wall), so member
+            # counts use the JVM split builtin — every member of
+            # these collections is one POLYGON
+            F.expr("st_clusterintersecting(collect_list(wkt))").alias("cl"),
+            F.expr("size(st_clusterwithin(collect_list(wkt), 5.0D))").alias(
+                "n_clusters_d5"
+            ),
+        )
+        .select(
+            F.col("g").alias("n_regionkey"),
+            F.expr("size(cl)").alias("n_clusters"),
             F.expr(
-                "size(st_clusterintersecting(collect_list(wkt)))"
-            ).alias("n_clusters"),
-            # a Python UDF cannot run inside a higher-order lambda
-            # (the q162/q169 wall): count members with the JVM split
-            # builtin instead — every member of these collections is
-            # one POLYGON
-            F.expr(
-                "aggregate(transform("
-                "st_clusterintersecting(collect_list(wkt)),"
-                " c -> size(split(c, 'POLYGON')) - 1), 0, (a, x) -> "
-                "CASE WHEN x > a THEN x ELSE a END)"
+                "aggregate(transform(cl, c -> size(split(c, 'POLYGON')) - 1),"
+                " 0, (a, x) -> CASE WHEN x > a THEN x ELSE a END)"
             ).alias("max_cluster"),
-            F.expr(
-                "size(st_clusterwithin(collect_list(wkt), 5.0D))"
-            ).alias("n_clusters_d5"),
-        ).withColumnRenamed("g", "n_regionkey"),
+            "n_clusters_d5",
+        ),
         "n_regionkey",
     )

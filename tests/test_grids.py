@@ -168,7 +168,13 @@ class TestSmoothingAndDumps:
         )
 
         g = chaikin_geom(P("LINESTRING (0 0, 4 0, 4 4)"), 1)
-        assert G.to_wkt(g) == "LINESTRING (0 0, 1 0, 3 0, 4 1, 4 4)"
+        assert G.to_wkt(g) == "LINESTRING (0 0, 3 0, 4 1, 4 4)"
+        # symmetric: smoothing the reverse mirrors (code-review r12)
+        r = chaikin_geom(P("LINESTRING (4 4, 4 0, 0 0)"), 1)
+        assert list(r.coords) == list(reversed(g.coords))
+        # n = 0 echoes; negative is a loud NULL
+        assert G.to_wkt(chaikin_geom(P("LINESTRING (0 0, 4 0)"), 0)) == "LINESTRING (0 0, 4 0)"
+        assert chaikin_geom(P("LINESTRING (0 0, 4 0)"), -1) is None
 
     def test_chaikin_square_becomes_octagon_then_16gon(self):
         from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
