@@ -186,6 +186,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # already. The engine-registration closure drifts the ingest greens
 # (q99-q102/q108/q114/q118/q121) without executing any new code —
 # fingerprints deliberately re-recorded.
+#
+# Round 13 rotation plan (write the r13 set from this): fold the 50
+# r12 greens in, then expose (a) the 44 r9-green rows — q01 (checked
+# r9 via the r12 fill? NO: q01/q08 folded back unchecked, so they
+# lead), q08, q11-q16, q18, q19, q30, q46-q48, q50-q52, q59, q85,
+# q94, q95, q97-q102, q108, q112, q118, q123, q137, q138, q142,
+# q143 (re-record heritage), q144, q145, q147-q154 — 4 rounds stale
+# by r13, oldest first; (b) whatever r13's diff touches; (c) any r12
+# reds. 44 + 6 diff slots fits the 50-window; if the diff runs over,
+# the freshest r9 rows (q148-q154, last registered) defer one round
+# and the bar ("nothing older than 4 rounds") still holds through
+# r14.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
