@@ -647,12 +647,22 @@ def _point_in_polygon_frac(px, py, rings: list[Ring], boundary: bool = True) -> 
     made equals(x, x)/within(x, x) FALSE for float-coordinate
     geometries (caught by the r12 hex-grid tiling test)."""
     fin = math.isfinite
+    # rings may carry float or ALREADY-LIFTED Fraction coordinates —
+    # within() pre-lifts its container once per call so the O(edges x
+    # midpoints) probe loop does not re-construct Fractions per edge
+    # (code-review r12)
+    def _fr(v):
+        return v if isinstance(v, Fraction) else Fraction(v)
+
+    def _ok(v):
+        return isinstance(v, Fraction) or fin(v)
+
     for ring in rings:
         for a, b in zip(ring, ring[1:]):
-            if not (fin(a[0]) and fin(a[1]) and fin(b[0]) and fin(b[1])):
+            if not (_ok(a[0]) and _ok(a[1]) and _ok(b[0]) and _ok(b[1])):
                 continue  # NaN/inf edges contribute nothing (float parity)
-            ax, ay = Fraction(a[0]), Fraction(a[1])
-            bx, by = Fraction(b[0]), Fraction(b[1])
+            ax, ay = _fr(a[0]), _fr(a[1])
+            bx, by = _fr(b[0]), _fr(b[1])
             if (
                 min(ax, bx) <= px <= max(ax, bx)
                 and min(ay, by) <= py <= max(ay, by)
@@ -662,11 +672,11 @@ def _point_in_polygon_frac(px, py, rings: list[Ring], boundary: bool = True) -> 
     cnt = 0
     for ring in rings:
         for a, b in zip(ring, ring[1:]):
-            if not (fin(a[0]) and fin(a[1]) and fin(b[0]) and fin(b[1])):
+            if not (_ok(a[0]) and _ok(a[1]) and _ok(b[0]) and _ok(b[1])):
                 continue
-            ay, by = Fraction(a[1]), Fraction(b[1])
+            ay, by = _fr(a[1]), _fr(b[1])
             if (ay > py) != (by > py):
-                ax, bx = Fraction(a[0]), Fraction(b[0])
+                ax, bx = _fr(a[0]), _fr(b[0])
                 xc = ax + (py - ay) * (bx - ax) / (by - ay)
                 if xc > px:
                     cnt ^= 1
@@ -701,6 +711,23 @@ def within(g1: Geometry, g2: Geometry) -> bool:
         if g1.kind in ("Polygon", "MultiPolygon", "LineString", "MultiLineString"):
             segs2 = list(_segments(g2))
             bb2 = _seg_bboxes(segs2)
+            # lift the container's rings to Fraction ONCE per call —
+            # the exact probe loop otherwise re-lifts every edge per
+            # midpoint (code-review r12); non-finite coordinates stay
+            # float so the probe's finite-skip keeps float parity
+            fpolys2 = [
+                [
+                    [
+                        (
+                            Fraction(x) if math.isfinite(x) else x,
+                            Fraction(y) if math.isfinite(y) else y,
+                        )
+                        for x, y in ring
+                    ]
+                    for ring in rings
+                ]
+                for rings in polys2
+            ]
             for a1, a2 in _segments(g1):
                 axmin, axmax = (a1[0], a2[0]) if a1[0] <= a2[0] else (a2[0], a1[0])
                 aymin, aymax = (a1[1], a2[1]) if a1[1] <= a2[1] else (a2[1], a1[1])
@@ -723,7 +750,7 @@ def within(g1: Geometry, g2: Geometry) -> bool:
                     mx, my = (pp[0] + qq[0]) / 2, (pp[1] + qq[1]) / 2
                     if not any(
                         _point_in_polygon_frac(mx, my, rings)
-                        for rings in polys2
+                        for rings in fpolys2
                     ):
                         return False
         return True

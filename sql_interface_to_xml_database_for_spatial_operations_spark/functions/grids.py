@@ -26,9 +26,11 @@ that turns an unbounded spatial join into a bounded per-cell one.
 - ``st_forcepolygonccw(wkt)`` / ``st_forcepolygoncw(wkt)`` — shells
   CCW/CW and holes opposite, other kinds echoed (PostGIS semantics).
 - ``st_normalize(wkt)`` — canonical form: polygon shells CCW / holes
-  CW with each ring rotated to start at its minimum vertex; multi-part
-  members sorted by WKT (a deterministic canonical order — GEOS's
-  exact member order is an implementation detail; ours is pinned).
+  CW with each ring rotated to start at its minimum vertex;
+  multi-part members sorted canonically — points and linestrings by
+  NUMERIC coordinate value, polygons and collection members by their
+  WKT string (a deterministic pinned order; GEOS's exact member order
+  is an implementation detail).
 - ``st_swapordinates(wkt)`` — (x, y) → (y, x) on every vertex.
 - ``st_project(wkt_point, distance, azimuth)`` — spherical forward
   geodesic on the WGS84 authalic-style sphere R = 6371008.8 m (the
@@ -271,9 +273,10 @@ def project_point(wkt, distance, azimuth) -> str | None:
         math.sin(azimuth) * math.sin(d) * math.cos(p1),
         math.cos(d) - math.sin(p1) * math.sin(p2),
     )
-    # normalize to (-180, 180] like PostGIS ST_Project — floor-based
-    # modulo so the q169 oracle can mirror it term for term (DuckDB's
-    # %% is fmod-signed, Python's %% is divisor-signed; floor avoids both)
+    # normalize to [-180, 180) (lon = 180 maps to -180 — the same
+    # point) — floor-based modulo so the q169 oracle can mirror it
+    # term for term (DuckDB's % is fmod-signed, Python's % is
+    # divisor-signed; floor avoids both)
     lon2 = math.degrees(l2)
     lon2 = (lon2 + 180.0) - 360.0 * math.floor((lon2 + 180.0) / 360.0) - 180.0
     return G.to_wkt(Geometry("Point", (lon2, math.degrees(p2))))

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ._sql_fixtures import CORNERS, family_rows, int_str, sql_concat
+from ._sql_fixtures import CORNERS, family_rows, int_str, pt_sql, sql_concat
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -73,16 +73,12 @@ _DUP_LINE = sql_concat(
     "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["bl"], "', '",
     CORNERS["br"], "', '", CORNERS["br"], "', '", CORNERS["tr"], "')'",
 )
-def _hpt(dx: int, dy: int) -> str:
-    return f"{int_str(f'minx + {dx}')} || ' ' || {int_str(f'miny + {dy}')}"
-
-
 _CW_HOLED = sql_concat(
     "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["tl"], "', '",
     CORNERS["tr"], "', '", CORNERS["br"], "', '", CORNERS["bl"],
     "'), ('",
-    _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
-    _hpt(1, 2), "', '", _hpt(1, 1),
+    pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",
+    pt_sql(1, 2), "', '", pt_sql(1, 1),
     "'))'",
 )
 _ROTATED = sql_concat(
@@ -244,16 +240,16 @@ _ORACLE_VALS = {
         "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
         CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"],
         "'), ('",
-        _hpt(1, 1), "', '", _hpt(1, 2), "', '", _hpt(2, 2), "', '",
-        _hpt(2, 1), "', '", _hpt(1, 1),
+        pt_sql(1, 1), "', '", pt_sql(1, 2), "', '", pt_sql(2, 2), "', '",
+        pt_sql(2, 1), "', '", pt_sql(1, 1),
         "'))'",
     ),
     "cw": sql_concat(
         "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["tl"], "', '",
         CORNERS["tr"], "', '", CORNERS["br"], "', '", CORNERS["bl"],
         "'), ('",
-        _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
-        _hpt(1, 2), "', '", _hpt(1, 1),
+        pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",
+        pt_sql(1, 2), "', '", pt_sql(1, 1),
         "'))'",
     ),
     "norm": sql_concat(
@@ -288,8 +284,8 @@ _ORACLE_VALS = {
     "dumpseg_n": "'4'",
     "dumpring2": sql_concat(
         "'POLYGON (('",
-        _hpt(1, 1), "', '", _hpt(2, 1), "', '", _hpt(2, 2), "', '",
-        _hpt(1, 2), "', '", _hpt(1, 1),
+        pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",
+        pt_sql(1, 2), "', '", pt_sql(1, 1),
         "'))'",
     ),
     "dumppt2": sql_concat("'POINT ('", CORNERS["br"], "')'"),
