@@ -59,25 +59,38 @@ def cluster_components(
     geoms: list[Geometry], edge
 ) -> list[list[int]]:
     """Connected components of the ``edge`` relation (bbox-prescreened
-    label propagation; bounded per-group input). Members keep input
-    order; components sort by first member index."""
+    union-find with path compression — the pairwise screen stays O(n²)
+    edge tests but each union is near-O(1), so a large collect_list
+    group costs n² predicate calls, not n³ relabel work). Members keep
+    input order; components sort by first member index."""
     n = len(geoms)
     boxes = [G.bbox(g) for g in geoms]
-    comp = list(range(n))
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
     for i in range(n):
         for j in range(i + 1, n):
-            if comp[i] == comp[j]:
+            ri, rj = find(i), find(j)
+            if ri == rj:
                 continue
             (ax0, ay0, ax1, ay1) = boxes[i]
             (bx0, by0, bx1, by1) = boxes[j]
             if not edge(geoms[i], geoms[j], (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1)):
                 continue
-            a, b = comp[i], comp[j]
-            lo, hi = min(a, b), max(a, b)
-            comp = [lo if c == hi else c for c in comp]
+            # union by min root so every root stays its component's
+            # smallest member index (the pinned determinism contract)
+            lo, hi = min(ri, rj), max(ri, rj)
+            parent[hi] = lo
     groups: dict[int, list[int]] = {}
-    for i, c in enumerate(comp):
-        groups.setdefault(c, []).append(i)
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
     return [groups[c] for c in sorted(groups)]
 
 

@@ -134,7 +134,13 @@ def hexagon_grid(size, bounds_wkt) -> list[str] | None:
     i1 = math.ceil((maxx + size) / cp)
     j0 = math.floor((miny - h) / h)
     j1 = math.ceil((maxy + h) / h)
-    if (i1 - i0 + 1) * (j1 - j0 + 1) > _MAX_CELLS:
+    # The loud-NULL bomb gate counts EMITTED cells exactly (like
+    # square_grid's), not the unfiltered candidate lattice — a request
+    # whose fringe-trimmed output fits the cap must not NULL out. The
+    # candidate lattice only exceeds the emitted set by the ±1-cell
+    # fringe the overlap filter trims, so a 4× candidate gate bounds
+    # the loop work without ever rejecting a cap-compliant request.
+    if (i1 - i0 + 1) * (j1 - j0 + 1) > 4 * _MAX_CELLS:
         return None
     out = []
     for i in range(i0, i1 + 1):
@@ -149,6 +155,8 @@ def hexagon_grid(size, bounds_wkt) -> list[str] | None:
                 and miny - half_h <= cy <= maxy + half_h
             ):
                 continue
+            if len(out) >= _MAX_CELLS:
+                return None  # loud: generate a grid this size distributed
             ring = [
                 ((kx + 2) * half_s, ky * half_h),
                 ((kx + 1) * half_s, (ky + 1) * half_h),

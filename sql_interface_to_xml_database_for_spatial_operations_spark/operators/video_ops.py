@@ -143,17 +143,28 @@ def parse_avi_header(payload: bytes) -> tuple[int, int, int, int, int]:
     dims = None
     n_frames = None
     movi = None
+    seen_hdrl = False
     for tag, ds, ln in _walk_chunks(b, 12, end):
         if tag == b"LIST" and ln >= 4:
             four = bytes(b[ds : ds + 4])
             if four == b"hdrl":
+                # A second hdrl/avih would let a crafted container carry a
+                # lying header that overrides the first — refuse duplicates
+                # like every other structural check here.
+                if seen_hdrl:
+                    raise ValueError("AVI: duplicate hdrl LIST")
+                seen_hdrl = True
                 for t2, ds2, ln2 in _walk_chunks(b, ds + 4, ds + ln):
                     if t2 == b"avih":
                         if ln2 < 40:
                             raise ValueError("AVI: avih too short")
+                        if n_frames is not None:
+                            raise ValueError("AVI: duplicate avih chunk")
                         n_frames = struct.unpack("<I", b[ds2 + 16 : ds2 + 20])[0]
                         dims = struct.unpack("<II", b[ds2 + 32 : ds2 + 40])
             elif four == b"movi":
+                if movi is not None:
+                    raise ValueError("AVI: duplicate movi LIST")
                 movi = (ds + 4, ds + ln)
     if dims is None or n_frames is None:
         raise ValueError("AVI: missing hdrl/avih")

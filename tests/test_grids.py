@@ -68,6 +68,19 @@ class TestHexagonGrid:
             assert abs((max(xs) - min(xs)) - 10) < 1e-12  # width 2*size
             assert abs((max(ys) - min(ys)) - h) < 1e-12  # height sqrt(3)*size
 
+    def test_bomb_gate_counts_emitted_cells(self, monkeypatch):
+        # ADVICE r12: the gate must bound the OUTPUT, not the unfiltered
+        # candidate lattice — at cap 10 the 20x20/size-5 request emits 7
+        # cells from a 24-cell candidate lattice and must succeed.
+        import sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids as grids
+
+        box = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))"
+        baseline = grids.hexagon_grid(5, box)
+        monkeypatch.setattr(grids, "_MAX_CELLS", len(baseline))
+        assert grids.hexagon_grid(5, box) == baseline
+        monkeypatch.setattr(grids, "_MAX_CELLS", len(baseline) - 1)
+        assert grids.hexagon_grid(5, box) is None
+
     def test_cells_tile_without_overlap(self):
         # neighboring cells share edges exactly: total area of cells
         # fully inside a window equals window coverage by disjointness
@@ -268,6 +281,50 @@ class TestClusterGeo:
 
         got = cluster_wkts([None, "POINT EMPTY", "POINT (0 0)"], None)
         assert len(got) == 1
+
+    def test_union_find_matches_bfs_closure(self):
+        # The union-find rewrite (ADVICE r12: was O(n^3) whole-array
+        # relabeling) must produce exactly the BFS transitive closure,
+        # including the member-order/first-index determinism contract.
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_geo import (
+            cluster_components,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+
+        rng = random.Random(1317)
+        for _ in range(20):
+            n = rng.randrange(2, 40)
+            pts = [(rng.randrange(0, 12), rng.randrange(0, 12)) for _ in range(n)]
+            geoms = [G.parse_wkt(f"POINT ({x} {y})") for x, y in pts]
+            d = rng.choice([1.0, 2.0, 3.0])
+
+            def edge(a, b, ba, bb):
+                dx, dy = ba[0] - bb[0], ba[1] - bb[1]
+                return dx * dx + dy * dy <= d * d
+
+            got = cluster_components(geoms, edge)
+            # BFS reference
+            seen, expect = set(), []
+            for s in range(n):
+                if s in seen:
+                    continue
+                comp, stack = set(), [s]
+                while stack:
+                    v = stack.pop()
+                    if v in comp:
+                        continue
+                    comp.add(v)
+                    for w in range(n):
+                        if w not in comp:
+                            dx = pts[v][0] - pts[w][0]
+                            dy = pts[v][1] - pts[w][1]
+                            if dx * dx + dy * dy <= d * d:
+                                stack.append(w)
+                seen |= comp
+                expect.append(sorted(comp))
+            assert got == expect
 
     def test_sql_surface(self, spark):
         rows = spark.sql(

@@ -100,6 +100,44 @@ class TestLoudFailures:
         with pytest.raises(ValueError, match="MJPEG only"):
             decode_avi_frames(bytes(avi))
 
+    def test_duplicate_headers_are_loud(self):
+        # A second, lying avih/hdrl (or movi) must not silently win the
+        # walk (ADVICE r12): duplicate structure is refused outright.
+        avi = _avi(2)
+
+        def dup_list(buf: bytes, four: bytes) -> bytes:
+            off = 12
+            while off < len(buf):
+                tag = buf[off : off + 4]
+                (ln,) = struct.unpack("<I", buf[off + 4 : off + 8])
+                if tag == b"LIST" and buf[off + 8 : off + 12] == four:
+                    piece = buf[off : off + 8 + ln + (ln % 2)]
+                    out = bytearray(buf + piece)
+                    out[4:8] = struct.pack("<I", len(out) - 8)
+                    return bytes(out)
+                off += 8 + ln + (ln % 2)
+            raise AssertionError(f"LIST {four!r} not found")
+
+        with pytest.raises(ValueError, match="duplicate hdrl"):
+            parse_avi_header(dup_list(avi, b"hdrl"))
+        with pytest.raises(ValueError, match="duplicate movi"):
+            parse_avi_header(dup_list(avi, b"movi"))
+
+    def test_duplicate_avih_inside_one_hdrl_is_loud(self):
+        avi = _avi(2)
+        i = avi.index(b"avih")
+        (ln,) = struct.unpack("<I", avi[i + 4 : i + 8])
+        piece = avi[i : i + 8 + ln + (ln % 2)]
+        out = bytearray(avi[: i + 8 + ln + (ln % 2)] + piece + avi[i + 8 + ln + (ln % 2) :])
+        # grow the RIFF, outer hdrl LIST sizes by the spliced chunk
+        out[4:8] = struct.pack("<I", struct.unpack("<I", out[4:8])[0] + len(piece))
+        j = out.index(b"hdrl") - 8
+        out[j + 4 : j + 8] = struct.pack(
+            "<I", struct.unpack("<I", out[j + 4 : j + 8])[0] + len(piece)
+        )
+        with pytest.raises(ValueError, match="duplicate avih"):
+            parse_avi_header(bytes(out))
+
     def test_fabricated_frame_bytes_fail_in_jpeg_decoder(self):
         # container intact, frame body garbage: the JPEG layer must go
         # loud (r11 truncation/padding lesson)
