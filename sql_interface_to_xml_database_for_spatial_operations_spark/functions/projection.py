@@ -1,4 +1,6 @@
-"""ST_Transform — EPSG:4326 ↔ 3857 and 4326 ↔ UTM reprojection (F12).
+"""ST_Transform — closed-form reprojection for EPSG:4326 ↔ 3857, UTM
+326xx/327xx, Lambert conformal conic 2SP (2154/3034), Lambert azimuthal
+equal-area (3035), and Albers equal-area conic (5070/3577) (F12).
 
 PostGIS users reach ``ST_Transform(geom, srid)`` through the forwarding
 surface (reference src/index.ts:44-63). A general CRS engine needs proj
@@ -290,6 +292,89 @@ class _LaeaCrs:
         return math.degrees(lam), math.degrees(phi)
 
 
+# --- Albers equal-area conic 2SP ↔ WGS84 (r13) ---------------------------
+#
+# The continental statistical grids (US NAD83/Conus Albers EPSG:5070,
+# GDA94/Australian Albers EPSG:3577). Snyder, USGS PP 1395, pp. 98-103,
+# ellipsoidal closed forms sharing q(φ) with LAEA above:
+#
+#   n = (m₁² − m₂²)/(q₂ − q₁);  C = m₁² + n q₁
+#   ρ(φ) = a √(C − n q(φ)) / n;  θ = n (λ − λ₀)
+#   E = E₀ + ρ sin θ;  N = N₀ + ρ₀ − ρ cos θ
+#
+# Inverse: ρ, θ from (E, N) (axes flip when n < 0, Snyder eq. 14-11),
+# q = (C − (ρ n / a)²)/n, then the same authalic-to-geodetic latitude
+# series LAEA uses. NAD83/GDA94 agree with WGS84 at the same
+# centimeter-level no-datum-shift stance as the entries above (all
+# GRS80).
+
+
+class _AeaCrs:
+    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f):
+        a = R
+        f = 1.0 / inv_f
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.e2 = self.e * self.e
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        self.qp = self._q(math.pi / 2.0)
+        p1, p2, p0 = map(math.radians, (phi1, phi2, phi0))
+        m1, m2 = self._m(p1), self._m(p2)
+        q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.c = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.c - self.n * q0) / self.n
+
+    def _m(self, phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - self.e2 * s * s)
+
+    def _q(self, phi):
+        s = math.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * math.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        rad = self.c - self.n * self._q(math.radians(lat))
+        rho = self.a * math.sqrt(max(0.0, rad)) / self.n
+        th = self.n * (math.radians(lon) - self.lam0)
+        return self.e0 + rho * math.sin(th), self.n0 + self.rho0 - rho * math.cos(th)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        de, dn = e - self.e0, self.rho0 - (n - self.n0)
+        rho = math.hypot(de, dn)
+        if self.n < 0.0:  # Snyder 14-11: flip axes for a south-aspect cone
+            de, dn, rho = -de, -dn, -rho
+        th = math.atan2(de, dn)
+        lam = th / self.n + self.lam0
+        q = (self.c - (rho * self.n / self.a) ** 2) / self.n
+        if abs(q) >= self.qp:
+            bp = math.copysign(math.pi / 2.0, q)
+        else:
+            bp = math.asin(q / self.qp)
+        e2 = self.e2
+        phi = (
+            bp
+            + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0)
+            * math.sin(2.0 * bp)
+            + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0)
+            * math.sin(4.0 * bp)
+            + (761.0 * e2**3 / 45360.0) * math.sin(6.0 * bp)
+        )
+        return math.degrees(lam), math.degrees(phi)
+
+
+_AEA: dict[int, _AeaCrs] = {
+    # NAD83 / Conus Albers: SP 29.5°/45.5°, origin (23°N, 96°W), FE/FN 0
+    5070: _AeaCrs(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, _GRS80_INV_F),
+    # GDA94 / Australian Albers: SP -18°/-36°, origin (0°, 132°E), FE/FN 0
+    3577: _AeaCrs(-18.0, -36.0, 0.0, 132.0, 0.0, 0.0, _GRS80_INV_F),
+}
+
 _LAEA: dict[int, _LaeaCrs] = {
     # ETRS89-extended / LAEA Europe: origin (52°N, 10°E),
     # FE 4 321 km, FN 3 210 km
@@ -345,6 +430,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _LAEA[srid_to].fwd)
     if srid_from in _LAEA and srid_to == 4326:
         return _map_coords(g, _LAEA[srid_from].inv)
+    if srid_from == 4326 and srid_to in _AEA:
+        return _map_coords(g, _AEA[srid_to].fwd)
+    if srid_from in _AEA and srid_to == 4326:
+        return _map_coords(g, _AEA[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
@@ -353,6 +442,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         or srid_to in _LCC
         or srid_from in _LAEA
         or srid_to in _LAEA
+        or srid_from in _AEA
+        or srid_to in _AEA
     ):
         # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
@@ -360,8 +451,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
     raise ValueError(
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
-        "EPSG:2154/3034, and LAEA EPSG:3035; install proj and add a "
-        "dispatcher branch for other CRSs)"
+        "EPSG:2154/3034, LAEA EPSG:3035, and Albers EAC EPSG:5070/3577; "
+        "install proj and add a dispatcher branch for other CRSs)"
     )
 
 

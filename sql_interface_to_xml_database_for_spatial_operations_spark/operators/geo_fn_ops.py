@@ -218,7 +218,10 @@ _Q130_ORACLE = f"""
            TRUE AS lcc_origin_ok,
            CAST(floor((lon / 4 + 10) * 1000000 + 0.5) AS BIGINT) AS laea_rt_lon_micro,
            CAST(floor((lat / 2 + 30) * 1000000 + 0.5) AS BIGINT) AS laea_rt_lat_micro,
-           TRUE AS laea_origin_ok
+           TRUE AS laea_origin_ok,
+           CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS aea_rt_lon_micro,
+           CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS aea_rt_lat_micro,
+           TRUE AS aea_origin_ok
     FROM pts
 """
 
@@ -229,11 +232,12 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward (x exact in micro-meters — no transcendentals; y at whole
     meters), 3857 round-trip, UTM (EPSG:326xx/327xx, Krüger series —
     VERDICT r6 item 4) and LCC 2SP (EPSG:2154/3034, Snyder closed
-    forms — VERDICT r11 item 4) and LAEA EPSG:3035 (Snyder
-    authalic-sphere forms, r12) round-trips at micro-degrees vs the
-    original key-derived coordinates, plus the exact false-origin
-    anchors. See module docstring for why every floor is
-    deterministic."""
+    forms — VERDICT r11 item 4), LAEA EPSG:3035 (Snyder
+    authalic-sphere forms, r12), and Albers equal-area conic
+    EPSG:5070/3577 (Snyder PP 1395 pp. 98-103, r13) round-trips at
+    micro-degrees vs the original key-derived coordinates, plus the
+    exact false-origin anchors. See module docstring for why every
+    floor is deterministic."""
     from ..sources.tables import load_table
 
     _ensure_udfs(spark)
@@ -271,6 +275,19 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "laea_origin", F.expr("st_transform('POINT (10 52)', 4326, 3035)")
         )
+        # Albers equal-area conic (r13): the conic is defined globally
+        # (|θ| = |n·Δλ| stays under 180° for both CRSs on this fixture),
+        # so the GLOBAL grid round-trips directly like LCC; alternate
+        # the US and Australian grids by key parity. Origin anchors are
+        # exact zeros (ρ(q₀) ≡ ρ₀, θ ≡ 0 — no cancellation).
+        .withColumn(
+            "aea_srid",
+            F.when(F.col("c_custkey") % 2 == 0, F.lit(5070)).otherwise(F.lit(3577)).cast("int"),
+        )
+        .withColumn("aea", F.call_function("st_transform", F.col("g"), F.lit(4326), F.col("aea_srid")))
+        .withColumn("aea_back", F.call_function("st_transform", F.col("aea"), F.col("aea_srid"), F.lit(4326)))
+        .withColumn("aea_origin_us", F.expr("st_transform('POINT (-96 23)', 4326, 5070)"))
+        .withColumn("aea_origin_au", F.expr("st_transform('POINT (132 0)', 4326, 3577)"))
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -294,6 +311,14 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             (micro(F.expr("st_x(laea_origin)")) == F.lit(4_321_000_000_000))
             & (micro(F.expr("st_y(laea_origin)")) == F.lit(3_210_000_000_000))
         ).alias("laea_origin_ok"),
+        micro(F.expr("st_x(aea_back)")).alias("aea_rt_lon_micro"),
+        micro(F.expr("st_y(aea_back)")).alias("aea_rt_lat_micro"),
+        (
+            (F.expr("st_x(aea_origin_us)") == F.lit(0.0))
+            & (F.expr("st_y(aea_origin_us)") == F.lit(0.0))
+            & (F.expr("st_x(aea_origin_au)") == F.lit(0.0))
+            & (F.expr("st_y(aea_origin_au)") == F.lit(0.0))
+        ).alias("aea_origin_ok"),
     )
 
 

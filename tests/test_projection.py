@@ -282,3 +282,100 @@ class TestLambertAzimuthalEqualArea:
         ).collect()[0]
         assert row["o"] == "POINT (4321000 3210000)" or row["o"].startswith("POINT (4321000")
         assert row["comp"].startswith("POINT (")
+
+
+class TestAlbersEqualAreaConic:
+    """Albers EAC EPSG:5070/3577 (r13): Snyder PP 1395 pp. 98-103."""
+
+    def test_false_origin_anchors_are_exact_zero(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _AEA,
+        )
+
+        # rho(q0) is the same expression as rho0 and theta is exactly 0,
+        # so the anchors are EXACT zeros, not epsilon-close ones
+        assert _AEA[5070].fwd(-96.0, 23.0) == (0.0, 0.0)
+        assert _AEA[3577].fwd(132.0, 0.0) == (0.0, 0.0)
+
+    def test_equal_area_property_exact(self):
+        # the defining property, checked against the EXACT ellipsoid quad
+        # area A = a^2/2 * dlam * (q(lat2) - q(lat1)) (q is authalic)
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _AEA,
+        )
+
+        for srid, probes in ((5070, [(-100, 40), (-80, 30)]), (3577, [(140, -25), (120, -40)])):
+            c = _AEA[srid]
+            for lon, lat in probes:
+                d = 0.01
+                pts = [(lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)]
+                pr = [c.fwd(*p) for p in pts]
+                area_p = 0.5 * abs(
+                    sum(
+                        pr[i][0] * pr[(i + 1) % 4][1] - pr[(i + 1) % 4][0] * pr[i][1]
+                        for i in range(4)
+                    )
+                )
+                q1 = c._q(math.radians(lat))
+                q2 = c._q(math.radians(lat + d))
+                area_e = c.a * c.a / 2.0 * math.radians(d) * (q2 - q1)
+                assert abs(area_p / area_e - 1.0) < 1e-8
+
+    def test_standard_parallels_are_distortion_free(self):
+        # along each standard parallel the cone touches the ellipsoid:
+        # projected E-W distance == a * m(phi_sp) * dlam exactly
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _AEA,
+        )
+
+        for srid, sps in ((5070, (29.5, 45.5)), (3577, (-18.0, -36.0))):
+            c = _AEA[srid]
+            for sp in sps:
+                d = 0.01
+                (x1, y1), (x2, y2) = c.fwd(-96.0, sp), c.fwd(-96.0 + d, sp)
+                chord = math.hypot(x2 - x1, y2 - y1)
+                truth = c.a * c._m(math.radians(sp)) * math.radians(d)
+                assert abs(chord / truth - 1.0) < 1e-6
+
+    def test_round_trip_global_grid(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _AEA,
+        )
+
+        for srid in (5070, 3577):
+            c = _AEA[srid]
+            for lon in range(-178, 180, 17):
+                for lat in range(-80, 81, 8):
+                    e, n = c.fwd(lon + 0.25, lat + 0.25)
+                    lo, la = c.inv(e, n)
+                    # truncated authalic series: ~1.4e-8 deg worst case
+                    assert abs(lo - (lon + 0.25)) < 1e-7
+                    assert abs(la - (lat + 0.25)) < 1e-7
+
+    def test_south_aspect_cone_axes(self):
+        # 3577's cone constant n < 0 (southern SPs): moving NORTH from
+        # the origin parallel must still increase northing
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _AEA,
+        )
+
+        c = _AEA[3577]
+        assert c.n < 0
+        _, n_lo = c.fwd(132.0, -35.0)
+        _, n_hi = c.fwd(132.0, -20.0)
+        assert n_hi > n_lo
+
+    def test_dispatcher_and_composition(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (-96 23)', 4326, 5070) AS us,"
+            " st_transform('POINT (132 0)', 4326, 3577) AS au,"
+            " st_transform(st_transform('POINT (-100 40)', 4326, 5070),"
+            " 5070, 3857) AS comp"
+        ).collect()[0]
+        assert row["us"] == "POINT (0 0)"
+        assert row["au"] == "POINT (0 0)"
+        assert row["comp"].startswith("POINT (")
