@@ -1,6 +1,6 @@
 """Derived-point and curve-measure functions: ST_IsSimple,
 ST_PointOnSurface, ST_HausdorffDistance, ST_FrechetDistance, ST_Angle,
-ST_TriangulatePolygon.
+ST_TriangulatePolygon, ST_MinimumClearance(Line).
 
 Reference parity: all six are PostGIS names the reference forwards
 verbatim (F12, src/index.ts:44-63). Semantics follow GEOS/JTS:
@@ -263,6 +263,60 @@ def frechet_distance(a: Geometry, b: Geometry) -> float | None:
 
 
 # ---------------------------------------------------------------------------
+# minimum clearance (r13)
+# ---------------------------------------------------------------------------
+#
+# GEOS/PostGIS ST_MinimumClearance (Thompson & van Oosterom): the
+# smallest positive distance among (a) every pair of vertices and
+# (b) every vertex against every segment it is not an endpoint of —
+# the magnitude of vertex perturbation the geometry can absorb before
+# becoming invalid. Conventions here: zero-distance candidates are
+# skipped (a repeated vertex does not drag clearance to 0 — matching
+# the engine's dedup_vertices normalization stance); a geometry with
+# NO positive candidate (single point, empty) has infinite clearance
+# (PostGIS: Infinity; the clearance LINE is then LINESTRING EMPTY).
+# Ties keep the first candidate in serialized scan order — oracle
+# fixtures must make the witness unique (registry tie lesson).
+
+
+def _seg_nearest(p: Point, a: Point, b: Point) -> tuple[float, Point]:
+    """(distance, nearest point) from p to segment ab."""
+    px, py = p
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    if dx == 0.0 and dy == 0.0:
+        return math.hypot(px - ax, py - ay), a
+    t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
+    t = max(0.0, min(1.0, t))
+    q = (ax + t * dx, ay + t * dy)
+    return math.hypot(px - q[0], py - q[1]), q
+
+
+def minimum_clearance_witness(
+    g: Geometry,
+) -> tuple[float, Point, Point] | None:
+    """(clearance, from_vertex, to_point) or None when every candidate
+    distance is zero or absent (infinite clearance)."""
+    pts = G._points(g)
+    segs = list(G._segments(g))
+    best: tuple[float, Point, Point] | None = None
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = math.hypot(pts[i][0] - pts[j][0], pts[i][1] - pts[j][1])
+            if d > 0.0 and (best is None or d < best[0]):
+                best = (d, pts[i], pts[j])
+    for p in pts:
+        for a, b in segs:
+            if p == a or p == b:  # positional endpoint exclusion
+                continue
+            d, q = _seg_nearest(p, a, b)
+            if d > 0.0 and (best is None or d < best[0]):
+                best = (d, p, q)
+    return best
+
+
+# ---------------------------------------------------------------------------
 # triangulation
 # ---------------------------------------------------------------------------
 
@@ -384,6 +438,43 @@ def st_triangulatepolygon(wkt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(DoubleType())
+def st_minimumclearance(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = G.parse_wkt_opt(w)
+            if g is None:
+                out.append(None)
+                continue
+            best = minimum_clearance_witness(g)
+            out.append(math.inf if best is None else best[0])
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(StringType())
+def st_minimumclearanceline(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = G.parse_wkt_opt(w)
+            if g is None:
+                out.append(None)
+                continue
+            best = minimum_clearance_witness(g)
+            if best is None:
+                out.append("LINESTRING EMPTY")  # infinite clearance
+            else:
+                out.append(
+                    G.to_wkt(Geometry("LineString", [best[1], best[2]]))
+                )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_MEASURE_FUNCTIONS = {
     "st_issimple": st_issimple,
     "st_pointonsurface": st_pointonsurface,
@@ -391,6 +482,8 @@ ALL_MEASURE_FUNCTIONS = {
     "st_frechetdistance": st_frechetdistance,
     "st_angle": st_angle,
     "st_triangulatepolygon": st_triangulatepolygon,
+    "st_minimumclearance": st_minimumclearance,
+    "st_minimumclearanceline": st_minimumclearanceline,
 }
 
 

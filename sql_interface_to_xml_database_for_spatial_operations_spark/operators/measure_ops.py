@@ -23,6 +23,13 @@ Oracle design over the integer nation boxes:
 - ``tri_n`` / ``tri_area``: the L-shaped hexagon ear-clips into
   exactly 4 triangles whose areas sum to 10w + 15(h−10) exactly.
 - ``tri_null``: holed polygons are a documented loud NULL.
+- ``mclear_*`` (r13): ST_MinimumClearance(Line). The box's clearance
+  is its short side; the right triangle's is the corner-to-hypotenuse
+  altitude w·h/√(w²+h²) with a UNIQUE witness (every vertex-pair
+  candidate strictly larger), whose endpoint the oracle re-derives
+  from the same projection formula; the MULTIPOINT's nearest pair is
+  √5; a single POINT has infinite clearance ('Infinity' as string,
+  LINESTRING EMPTY witness — the PostGIS convention).
 
 Scale shape: map-only pandas UDFs over 25-row projections.
 """
@@ -95,6 +102,19 @@ _LSHAPE = sql_concat(
     CORNERS["bl"], "'))'",
 )
 
+# Right triangle on the box legs (bl, br, tl): every vertex-pair
+# candidate (w, h, hyp) strictly exceeds the right-angle corner's
+# distance to the hypotenuse w·h/√(w²+h²), so the clearance value AND
+# its witness line are unique (no tie-order in the oracle).
+_TRI = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+_NEAR_MPT = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", _pt("minx + 2", "miny + 1"), "')'",
+)
+
 _FAMILIES = {
     "simple": f"CAST(st_issimple({_RING_LINE}) AS STRING)",
     "notsimple": f"CAST(st_issimple({_BOWTIE_LINE}) AS STRING)",
@@ -110,6 +130,14 @@ _FAMILIES = {
     "tri_n": f"CAST(st_numgeometries(st_triangulatepolygon({_LSHAPE})) AS STRING)",
     "tri_area": _micro(f"st_area(st_triangulatepolygon({_LSHAPE}))"),
     "tri_null": f"COALESCE(st_triangulatepolygon({_HOLED}), 'NULL(holed)')",
+    # minimum clearance (r13)
+    "mclear_box": _micro(f"st_minimumclearance({_BOX})"),
+    "mclear_tri": _micro(f"st_minimumclearance({_TRI})"),
+    "mclear_line_x": _micro(f"st_x(st_endpoint(st_minimumclearanceline({_TRI})))"),
+    "mclear_line_y": _micro(f"st_y(st_endpoint(st_minimumclearanceline({_TRI})))"),
+    "mclear_mpt": _micro(f"st_minimumclearance({_NEAR_MPT})"),
+    "mclear_pt_inf": f"CAST(st_minimumclearance({_P['bl']}) AS STRING)",
+    "mclear_line_empty": f"st_minimumclearanceline({_P['bl']})",
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -132,6 +160,22 @@ _ORACLE_VALS = {
     "tri_n": "'4'",
     "tri_area": _micro(f"10.0 * {_W} + 15.0 * ({_H} - 10.0)"),
     "tri_null": "'NULL(holed)'",
+    # clearance of the box = its short side; of the right triangle =
+    # the corner-to-hypotenuse altitude w·h/√(w²+h²) (strictly below
+    # every vertex-pair candidate); witness endpoint = the projection
+    # of bl onto the hypotenuse br→tl at t = w²/(w²+h²)
+    "mclear_box": _micro(f"least({_W}, {_H})"),
+    "mclear_tri": _micro(
+        f"sqrt((minx - (maxx - ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_W}))"
+        f" * (minx - (maxx - ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_W}))"
+        f" + (miny - (miny + ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_H}))"
+        f" * (miny - (miny + ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_H})))"
+    ),
+    "mclear_line_x": _micro(f"maxx - ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_W}"),
+    "mclear_line_y": _micro(f"miny + ({_W} * {_W} / ({_W} * {_W} + {_H} * {_H})) * {_H}"),
+    "mclear_mpt": _micro("sqrt(5.0)"),
+    "mclear_pt_inf": "'Infinity'",
+    "mclear_line_empty": "'LINESTRING EMPTY'",
 }
 
 _Q158_ORACLE = "\nUNION ALL\n".join(
@@ -145,6 +189,7 @@ _Q158_ORACLE = "\nUNION ALL\n".join(
 def q158_st_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 measures family: OGC simplicity, GEOS interior points,
     discrete Hausdorff/Fréchet distances, the clockwise four-point
-    angle, and ear-clip triangulation (module docstring)."""
+    angle, ear-clip triangulation, and minimum clearance with its
+    witness line (module docstring)."""
     _ensure_udfs(spark)
     return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)

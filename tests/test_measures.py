@@ -164,3 +164,96 @@ class TestIsSimpleMod2Fixes:
 
     def test_degenerate_area_falls_back_to_vertex(self):
         assert point_on_surface(P("POLYGON ((0 0, 1 0, 0 0))")) is not None
+
+
+class TestMinimumClearance:
+    """ST_MinimumClearance(Line) (r13): smallest positive vertex-vertex
+    or vertex-to-non-endpoint-segment distance; infinite when no
+    positive candidate exists (measures.py module docstring)."""
+
+    def _mc(self, wkt):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+            minimum_clearance_witness,
+        )
+
+        return minimum_clearance_witness(G.parse_wkt(wkt))
+
+    def test_right_triangle_altitude_is_exact(self):
+        # 3-4-5: altitude 12/5; projection (36/25, 48/25) exact decimals
+        d, a, b = self._mc("POLYGON ((0 0, 4 0, 0 3, 0 0))")
+        assert d == 2.4 and a == (0.0, 0.0) and b == (1.44, 1.92)
+
+    def test_box_clearance_is_short_side(self):
+        assert self._mc("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")[0] == 6.0
+
+    def test_segment_clearance_is_length(self):
+        assert self._mc("LINESTRING (0 0, 3 4)")[0] == 5.0
+
+    def test_point_is_infinite(self):
+        assert self._mc("POINT (1 1)") is None
+
+    def test_repeated_vertex_does_not_zero(self):
+        # zero-distance candidates skip (dedup_vertices stance)
+        assert self._mc("LINESTRING (0 0, 0 0, 5 0)")[0] == 5.0
+
+    def test_multipoint_nearest_pair(self):
+        d, a, b = self._mc("MULTIPOINT (0 0, 10 0, 2 1)")
+        assert d == math.hypot(2, 1) and (a, b) == ((0.0, 0.0), (2.0, 1.0))
+
+    def test_narrow_notch_beats_vertex_pairs(self):
+        # a deep 0.5-wide notch: clearance is the notch mouth vertex to
+        # the far notch wall, not any vertex pair
+        d, _, _ = self._mc(
+            "POLYGON ((0 0, 10 0, 10 10, 5.5 10, 5.5 2, 5 2, 5 10, 0 10, 0 0))"
+        )
+        assert d == 0.5
+
+    def test_brute_force_parity_on_random_rings(self):
+        # independent brute force over the same candidate definition
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as GG,
+        )
+
+        rng = random.Random(5151)
+        for _ in range(25):
+            pts = [(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(6)]
+            wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+            g = GG.parse_wkt(wkt)
+            got = self._mc(wkt)
+            vs = GG._points(g)
+            best = math.inf
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    dd = math.hypot(vs[i][0] - vs[j][0], vs[i][1] - vs[j][1])
+                    if dd > 0:
+                        best = min(best, dd)
+            for p in vs:
+                for a, b in GG._segments(g):
+                    if p == a or p == b:
+                        continue
+                    dd = GG._seg_distance(p, a, b)
+                    if dd > 0:
+                        best = min(best, dd)
+            if best is math.inf:
+                assert got is None
+            else:
+                # geometry._seg_distance uses sqrt(x²+y²), the kernel
+                # uses hypot — agree to last-ulp class only
+                assert got is not None
+                assert math.isclose(got[0], best, rel_tol=1e-12)
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_minimumclearance('POLYGON ((0 0, 4 0, 0 3, 0 0))') AS c,"
+            " st_minimumclearanceline('POLYGON ((0 0, 4 0, 0 3, 0 0))') AS l,"
+            " CAST(st_minimumclearance('POINT (1 1)') AS STRING) AS inf,"
+            " st_minimumclearanceline('POINT (1 1)') AS le,"
+            " st_minimumclearance('JUNK') AS junk"
+        ).collect()[0]
+        assert row["c"] == 2.4
+        assert row["l"] == "LINESTRING (0 0, 1.44 1.92)"
+        assert row["inf"] == "Infinity"
+        assert row["le"] == "LINESTRING EMPTY"
+        assert row["junk"] is None
