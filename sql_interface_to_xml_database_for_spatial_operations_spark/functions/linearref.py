@@ -16,13 +16,17 @@ forwards every PostGIS-accepted scalar). Semantics, matching PostGIS:
   ``a`` to ``b`` (0 ≤ a ≤ b ≤ 1). ``a == b`` returns the single
   interpolated POINT, as PostGIS. Consecutive duplicate vertices
   (slice boundary landing exactly on a vertex) are not emitted twice.
-- ``ST_ClosestPoint(g, p)``: the point of ``g`` closest to point
-  ``p``; supports Point / MultiPoint / LineString / MultiLineString
-  left sides (the lineal+point class every formula here is exact on);
-  other kinds → NULL (loud, never approximate).
-- ``ST_ShortestLine(g, p)``: LINESTRING from that closest point to
-  ``p`` (degenerate p-on-g gives a zero-length 2-vertex line, as
-  PostGIS).
+- ``ST_ClosestPoint(a, b)``: the point of ``a`` closest to ``b`` — ANY
+  pair of kinds since r13 (see the nearest/farthest section below for
+  the exact class contract: disjoint pairs and point-contact are
+  exact; overlapping extended operands are a loud NULL).
+- ``ST_ShortestLine(a, b)``: LINESTRING from that closest point to the
+  corresponding nearest point of ``b`` (a point of ``b`` lying on
+  ``a`` gives a zero-length 2-vertex line, as PostGIS).
+- ``ST_LongestLine(a, b)`` / ``ST_MaxDistance(a, b)`` (r13): the
+  farthest vertex pair and its length — exact for all kinds, including
+  intersecting operands (point-to-segment distance is maximized at
+  segment endpoints, so vertex pairs are complete candidates).
 
 All distances are planar (SRID-agnostic cartesian, like the PostGIS
 non-geography forms). Scale shape: map-only Arrow-vectorized pandas
@@ -153,52 +157,135 @@ def line_substring(line_wkt, a, b) -> str | None:
     return G.to_wkt(Geometry("LineString", pts))
 
 
-def _closest_on_geometry(g: Geometry, p) -> tuple[float, float] | None:
-    """Closest point of g to p for the supported left-side kinds."""
-    if g.kind == "Point":
-        return g.coords
-    if g.kind == "MultiPoint":
-        return min(g.coords, key=lambda q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2)
-    if g.kind in ("LineString", "MultiLineString"):
-        seqs = [g.coords] if g.kind == "LineString" else g.coords
-        best = None
-        for seq in seqs:
-            if len(seq) == 1:
-                cands = [(0.0, seq[0][0], seq[0][1])]
-            else:
-                cands = [_project_to_segment(p, s, e) for s, e in zip(seq, seq[1:])]
-            for _t, qx, qy in cands:
+# ---------------------------------------------------------------------------
+# general nearest / farthest pairs (r13)
+# ---------------------------------------------------------------------------
+#
+# ST_ClosestPoint / ST_ShortestLine extend beyond the lineal+point
+# class to ANY pair of kinds, and ST_LongestLine / ST_MaxDistance are
+# new. Class contract (the engine's loud-NULL stance):
+#
+# - DISJOINT pairs are exact: the minimum distance between two disjoint
+#   segment/point sets is attained at a vertex of one against a segment
+#   (or vertex) of the other, so the candidate scan below is complete.
+#   An areal operand's nearest point lies on its boundary when the
+#   other operand is outside it — which disjointness guarantees.
+# - A POINT operand intersecting the other geometry returns the point
+#   itself (zero-length shortest line, PostGIS behavior).
+# - Any OTHER intersecting pair (extended geometries that touch or
+#   overlap) → NULL: PostGIS returns an arbitrary GEOS intersection
+#   witness there, and the engine never emits a value it cannot pin.
+# - Max distance is attained at a vertex pair for any kinds (distance
+#   to a convex segment is maximized at its endpoints), including
+#   intersecting operands — no gate needed.
+#
+# Witness ties keep the first candidate in serialized scan order;
+# oracle fixtures must make the witness unique (diagonal offsets, not
+# parallel facing edges).
+
+
+def _geom(wkt) -> Geometry | None:
+    if wkt is None:
+        return None
+    g = G.parse_wkt(str(wkt).strip())
+    if g is None:
+        return None
+    pts = G._points(g)
+    if not pts or not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in pts
+    ):
+        return None
+    return g
+
+
+def nearest_pair(
+    a: Geometry, b: Geometry
+) -> tuple[tuple[float, float], tuple[float, float]] | None:
+    if b.kind == "Point" and G.intersects(a, b):
+        return b.coords, b.coords
+    if a.kind == "Point" and G.intersects(a, b):
+        return a.coords, a.coords
+    if G.intersects(a, b):
+        return None  # extended-operand overlap: documented loud NULL
+    pa, sa = G._points(a), list(G._segments(a))
+    pb, sb = G._points(b), list(G._segments(b))
+    best = None  # (d2, pa, pb)
+    for p in pb:
+        if sa:
+            for s, e in sa:
+                _t, qx, qy = _project_to_segment(p, s, e)
                 d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
                 if best is None or d2 < best[0]:
-                    best = (d2, (qx, qy))
-        return best[1] if best else None
-    return None
+                    best = (d2, (qx, qy), p)
+        else:
+            for q in pa:
+                d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                if best is None or d2 < best[0]:
+                    best = (d2, q, p)
+    for p in pa:
+        for s, e in sb:
+            _t, qx, qy = _project_to_segment(p, s, e)
+            d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, p, (qx, qy))
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
-def closest_point(g_wkt, point_wkt) -> str | None:
-    p = _point(point_wkt)
-    if g_wkt is None or p is None:
+def farthest_pair(
+    a: Geometry, b: Geometry
+) -> tuple[tuple[float, float], tuple[float, float]] | None:
+    pa, pb = G._points(a), G._points(b)
+    best = None  # (d2, pa, pb)
+    for p in pa:
+        for q in pb:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if best is None or d2 > best[0]:
+                best = (d2, p, q)
+    if best is None:
         return None
-    g = G.parse_wkt(str(g_wkt).strip())
-    if g is None:
-        return None
-    q = _closest_on_geometry(g, p)
-    if q is None:
-        return None
-    return G.to_wkt(Geometry("Point", q))
+    return best[1], best[2]
 
 
-def shortest_line(g_wkt, point_wkt) -> str | None:
-    p = _point(point_wkt)
-    if g_wkt is None or p is None:
+def closest_point(g_wkt, other_wkt) -> str | None:
+    a, b = _geom(g_wkt), _geom(other_wkt)
+    if a is None or b is None:
         return None
-    g = G.parse_wkt(str(g_wkt).strip())
-    if g is None:
+    pair = nearest_pair(a, b)
+    if pair is None:
         return None
-    q = _closest_on_geometry(g, p)
-    if q is None:
+    return G.to_wkt(Geometry("Point", pair[0]))
+
+
+def shortest_line(g_wkt, other_wkt) -> str | None:
+    a, b = _geom(g_wkt), _geom(other_wkt)
+    if a is None or b is None:
         return None
-    return G.to_wkt(Geometry("LineString", [q, p]))
+    pair = nearest_pair(a, b)
+    if pair is None:
+        return None
+    return G.to_wkt(Geometry("LineString", [pair[0], pair[1]]))
+
+
+def longest_line(g_wkt, other_wkt) -> str | None:
+    a, b = _geom(g_wkt), _geom(other_wkt)
+    if a is None or b is None:
+        return None
+    pair = farthest_pair(a, b)
+    if pair is None:
+        return None
+    return G.to_wkt(Geometry("LineString", [pair[0], pair[1]]))
+
+
+def max_distance(g_wkt, other_wkt) -> float | None:
+    a, b = _geom(g_wkt), _geom(other_wkt)
+    if a is None or b is None:
+        return None
+    pair = farthest_pair(a, b)
+    if pair is None:
+        return None
+    return math.hypot(pair[0][0] - pair[1][0], pair[0][1] - pair[1][1])
 
 
 @pandas_udf(StringType())
@@ -230,12 +317,24 @@ def st_shortestline(w: pd.Series, p: pd.Series) -> pd.Series:
     return pd.Series([shortest_line(x, q) for x, q in zip(w, p)], dtype="object")
 
 
+@pandas_udf(StringType())
+def st_longestline(w: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series([longest_line(x, q) for x, q in zip(w, p)], dtype="object")
+
+
+@pandas_udf(DoubleType())
+def st_maxdistance(w: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series([max_distance(x, q) for x, q in zip(w, p)], dtype="object")
+
+
 ALL_LINEARREF_FUNCTIONS = {
     "st_lineinterpolatepoint": st_lineinterpolatepoint,
     "st_linelocatepoint": st_linelocatepoint,
     "st_linesubstring": st_linesubstring,
     "st_closestpoint": st_closestpoint,
     "st_shortestline": st_shortestline,
+    "st_longestline": st_longestline,
+    "st_maxdistance": st_maxdistance,
 }
 
 

@@ -65,6 +65,31 @@ _D_IN = f"'LINESTRING (' || {_PT_BL} || ', ' || {_PT_BR} || ', ' || {_PT_TR} || 
 _CORNER_PT = f"'POINT (' || {_PT_BR} || ')'"
 _PROBE_PT = f"'POINT (' || {int_str('minx + 10')} || ' ' || {int_str('miny + 5')} || ')'"
 
+
+def _xy(xe: str, ye: str) -> str:
+    return f"{int_str(xe)} || ' ' || {int_str(ye)}"
+
+
+def _box_sql(x0: str, y0: str, x1: str, y1: str) -> str:
+    return (
+        f"'POLYGON ((' || {_xy(x0, y0)} || ', ' || {_xy(x1, y0)} || ', ' || "
+        f"{_xy(x1, y1)} || ', ' || {_xy(x0, y1)} || ', ' || {_xy(x0, y0)} || '))'"
+    )
+
+
+# general-pair fixtures (r13): the nation box itself, a DIAGONALLY
+# offset twin (gap corners (maxx,maxy)->(maxx+3,maxy+4): the UNIQUE
+# nearest pair at distance exactly 5; the farthest pair is bl->twin.tr,
+# also unique), and an OVERLAPPING twin shifted (5,3) whose shortest
+# line is the documented loud NULL but whose max distance still works
+_BOX_POLY = _box_sql("minx", "miny", "maxx", "maxy")
+_BOX_DIAG = _box_sql(
+    "maxx + 3", "maxy + 4", "maxx + 3 + (maxx - minx)", "maxy + 4 + (maxy - miny)"
+)
+_BOX_OVER = _box_sql("minx + 5", "miny + 3", "maxx + 5", "maxy + 3")
+_PT_OUT = f"'POINT (' || {_xy('maxx + 10', 'miny + 5')} || ')'"
+_PT_IN = f"'POINT (' || {_xy('minx + 2', 'miny + 1')} || ')'"
+
 _MU = "CAST(floor(({v}) * 1000000 + 0.5) AS BIGINT)"
 
 
@@ -108,6 +133,29 @@ _Q152_ORACLE = f"""
     UNION ALL
     SELECT 'shortline' AS fam, n_nationkey AS key,
            {_mu("5.0")} AS a, CAST(0 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'areal_closest' AS fam, n_nationkey AS key,
+           {_mu("maxx")} AS a, {_mu("miny + 5")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'poly_pair' AS fam, n_nationkey AS key,
+           {_mu("5.0")} AS a,
+           {_mu(f"sqrt((2 * {_W} + 3) * (2 * {_W} + 3) + (2 * {_H} + 4) * (2 * {_H} + 4))")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'longline' AS fam, n_nationkey AS key,
+           {_mu(f"maxx + 3 + {_W}")} AS a, {_mu(f"maxy + 4 + {_H}")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'inside_zero' AS fam, n_nationkey AS key,
+           {_mu("0.0")} AS a,
+           {_mu(f"sqrt(({_W} - 2) * ({_W} - 2) + ({_H} - 1) * ({_H} - 1))")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'overlap_null' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a,
+           {_mu(f"sqrt(({_W} + 5) * ({_W} + 5) + ({_H} + 3) * ({_H} + 3))")} AS b
     FROM boxes
 """
 
@@ -164,7 +212,39 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mu(f"st_length(st_shortestline({_D_IN}, {_PROBE_PT}))"),
         "CAST(0 AS BIGINT)",
     )
+    # general-pair families (r13, module fixtures comment): areal left
+    # side, polygon x polygon nearest/farthest, point-inside zero line,
+    # and the overlapping-pair loud NULL (max distance still defined)
+    areal_closest = fam(
+        "areal_closest",
+        _mu(f"st_x(st_closestpoint({_BOX_POLY}, {_PT_OUT}))"),
+        _mu(f"st_y(st_closestpoint({_BOX_POLY}, {_PT_OUT}))"),
+    )
+    poly_pair = fam(
+        "poly_pair",
+        _mu(f"st_length(st_shortestline({_BOX_POLY}, {_BOX_DIAG}))"),
+        _mu(f"st_maxdistance({_BOX_POLY}, {_BOX_DIAG})"),
+    )
+    longline = fam(
+        "longline",
+        _mu(f"st_x(st_endpoint(st_longestline({_BOX_POLY}, {_BOX_DIAG})))"),
+        _mu(f"st_y(st_endpoint(st_longestline({_BOX_POLY}, {_BOX_DIAG})))"),
+    )
+    inside_zero = fam(
+        "inside_zero",
+        _mu(f"st_length(st_shortestline({_BOX_POLY}, {_PT_IN}))"),
+        _mu(f"st_maxdistance({_BOX_POLY}, {_PT_IN})"),
+    )
+    overlap_null = fam(
+        "overlap_null",
+        f"CAST(CASE WHEN st_shortestline({_BOX_POLY}, {_BOX_OVER}) IS NULL"
+        " THEN 1 ELSE 0 END AS BIGINT)",
+        _mu(f"st_maxdistance({_BOX_POLY}, {_BOX_OVER})"),
+    )
     out = interp_mid
-    for part in (interp_up, interp_ends, locate, substr, closest, shortline):
+    for part in (
+        interp_up, interp_ends, locate, substr, closest, shortline,
+        areal_closest, poly_pair, longline, inside_zero, overlap_null,
+    ):
         out = out.unionByName(part)
     return out

@@ -167,7 +167,9 @@ class TestLinearRef:
         assert L.shortest_line(D, "POINT (30 0)") == "LINESTRING (30 0, 30 0)"
         assert L.closest_point("MULTIPOINT (0 0, 9 9)", "POINT (8 8)") == "POINT (9 9)"
         assert L.closest_point("POINT (2 3)", "POINT (8 8)") == "POINT (2 3)"
-        assert L.closest_point(BOX, "POINT (8 8)") is None  # loud-NULL: areal
+        # r13: areal left sides are supported — an inside point is its
+        # own closest point (formerly a loud NULL)
+        assert L.closest_point(BOX, "POINT (8 8)") == "POINT (8 8)"
         assert L.closest_point(
             "MULTILINESTRING ((0 0, 4 0), (10 0, 14 0))", "POINT (11 3)"
         ) == "POINT (11 0)"
@@ -387,3 +389,102 @@ class TestConstructorsAffine:
         assert AF.affine_wkt("POLYGON EMPTY", 2, 0, 0, 2, 0, 0) == "POLYGON EMPTY"
         assert AF.affine_wkt(D, float("nan"), 0, 0, 1, 0, 0) is None
         assert AF.affine_wkt(None, 1, 0, 0, 1, 0, 0) is None
+
+
+class TestGeneralNearestFarthest:
+    """r13: st_closestpoint/st_shortestline over ANY kind pair, plus
+    st_longestline/st_maxdistance (linearref.py class contract)."""
+
+    def test_areal_boundary_clamp(self, spark):
+        row = spark.sql(
+            "SELECT st_closestpoint('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POINT (20 3)') AS cp,"
+            " st_shortestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POINT (20 3)') AS sl"
+        ).collect()[0]
+        assert row["cp"] == "POINT (10 3)"
+        assert row["sl"] == "LINESTRING (10 3, 20 3)"
+
+    def test_point_inside_polygon_is_zero_length(self, spark):
+        row = spark.sql(
+            "SELECT st_shortestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POINT (5 3)') AS sl"
+        ).collect()[0]
+        assert row["sl"] == "LINESTRING (5 3, 5 3)"
+
+    def test_disjoint_polygon_pair_corner_witness(self, spark):
+        row = spark.sql(
+            "SELECT st_shortestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((13 10, 23 10, 23 16, 13 16, 13 10))') AS sl,"
+            " st_longestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((13 10, 23 10, 23 16, 13 16, 13 10))') AS ll,"
+            " st_maxdistance('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((13 10, 23 10, 23 16, 13 16, 13 10))') AS md"
+        ).collect()[0]
+        assert row["sl"] == "LINESTRING (10 6, 13 10)"  # gap hypot(3,4)=5
+        assert row["ll"] == "LINESTRING (0 0, 23 16)"
+        import math
+
+        assert row["md"] == math.hypot(23, 16)
+
+    def test_overlapping_extended_pair_is_loud_null(self, spark):
+        row = spark.sql(
+            "SELECT st_shortestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((5 3, 15 3, 15 9, 5 9, 5 3))') AS sl,"
+            " st_closestpoint('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((5 3, 15 3, 15 9, 5 9, 5 3))') AS cp,"
+            " st_maxdistance('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((5 3, 15 3, 15 9, 5 9, 5 3))') AS md"
+        ).collect()[0]
+        assert row["sl"] is None and row["cp"] is None
+        assert row["md"] is not None  # max distance has no overlap gate
+
+    def test_line_line_and_multipoint(self, spark):
+        row = spark.sql(
+            "SELECT st_shortestline('LINESTRING (0 0, 4 0)',"
+            " 'LINESTRING (1 3, 3 3)') AS ll,"
+            " st_shortestline('MULTIPOINT (0 0, 9 9)',"
+            " 'MULTIPOINT (1 1, 50 0)') AS mp"
+        ).collect()[0]
+        assert row["ll"] == "LINESTRING (1 0, 1 3)"
+        assert row["mp"] == "LINESTRING (0 0, 1 1)"
+
+    def test_lineal_point_backward_compat(self, spark):
+        # the pre-r13 lineal+point class answers are unchanged
+        row = spark.sql(
+            "SELECT st_closestpoint('LINESTRING (0 0, 4 0)', 'POINT (2 5)') AS cp,"
+            " st_shortestline('LINESTRING (0 0, 4 0)', 'POINT (2 0)') AS zl"
+        ).collect()[0]
+        assert row["cp"] == "POINT (2 0)"
+        assert row["zl"] == "LINESTRING (2 0, 2 0)"
+
+    def test_brute_force_distance_parity(self):
+        # nearest_pair's distance equals geometry.distance on random
+        # disjoint fixtures (independent kernels cross-check)
+        import math
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            geometry as G,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (
+            nearest_pair,
+        )
+
+        rng = random.Random(2713)
+        n_checked = 0
+        while n_checked < 30:
+            x0, y0 = rng.randrange(0, 20), rng.randrange(0, 20)
+            x1, y1 = rng.randrange(40, 60), rng.randrange(40, 60)
+            a = G.parse_wkt(
+                f"POLYGON (({x0} {y0}, {x0+9} {y0}, {x0+9} {y0+5}, {x0} {y0+5}, {x0} {y0}))"
+            )
+            b = G.parse_wkt(
+                f"LINESTRING ({x1} {y1}, {x1+7} {y1+3}, {x1} {y1+11})"
+            )
+            if G.intersects(a, b):
+                continue
+            pa, pb = nearest_pair(a, b)
+            d = math.hypot(pa[0] - pb[0], pa[1] - pb[1])
+            assert math.isclose(d, G.distance(a, b), rel_tol=1e-12)
+            n_checked += 1

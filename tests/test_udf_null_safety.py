@@ -150,6 +150,8 @@ _NULL_ARGS = {
     "st_linesubstring": f"{S}, {D}, {D}",
     "st_closestpoint": f"{S}, {S}",
     "st_shortestline": f"{S}, {S}",
+    "st_longestline": f"{S}, {S}",
+    "st_maxdistance": f"{S}, {S}",
     "st_addpoint": f"{S}, {S}, CAST(NULL AS INT)",
     "st_setpoint": f"{S}, CAST(NULL AS INT), {S}",
     "st_removepoint": f"{S}, CAST(NULL AS INT)",
