@@ -137,10 +137,12 @@ def hexagon_grid(size, bounds_wkt) -> list[str] | None:
     # The loud-NULL bomb gate counts EMITTED cells exactly (like
     # square_grid's), not the unfiltered candidate lattice — a request
     # whose fringe-trimmed output fits the cap must not NULL out. The
-    # candidate lattice only exceeds the emitted set by the ±1-cell
-    # fringe the overlap filter trims, so a 4× candidate gate bounds
-    # the loop work without ever rejecting a cap-compliant request.
-    if (i1 - i0 + 1) * (j1 - j0 + 1) > 4 * _MAX_CELLS:
+    # pre-loop gate is only a WORK bound: the overlap filter trims at
+    # most 2 fringe columns and 4 fringe rows off the candidate
+    # lattice, so emitted ≥ (cols−2)·(rows−4) and any lattice past
+    # 16·cap + 64 provably emits past the cap anyway (worst aspect
+    # ratios: a 1-column or 1-row strip keeps ≥ 1/5 of candidates).
+    if (i1 - i0 + 1) * (j1 - j0 + 1) > 16 * _MAX_CELLS + 64:
         return None
     out = []
     for i in range(i0, i1 + 1):

@@ -167,11 +167,16 @@ def line_substring(line_wkt, a, b) -> str | None:
 #
 # - DISJOINT pairs are exact: the minimum distance between two disjoint
 #   segment/point sets is attained at a vertex of one against a segment
-#   (or vertex) of the other, so the candidate scan below is complete.
-#   An areal operand's nearest point lies on its boundary when the
-#   other operand is outside it — which disjointness guarantees.
-# - A POINT operand intersecting the other geometry returns the point
-#   itself (zero-length shortest line, PostGIS behavior).
+#   (or vertex) of the other, so the candidate scan below — every
+#   vertex projected on every opposing segment PLUS every vertex pair
+#   (isolated vertices, e.g. collection point members, lie on no
+#   segment) — is complete. An areal operand's nearest point lies on
+#   its boundary when the other operand is outside it — which
+#   disjointness guarantees.
+# - A 0-DIMENSIONAL operand (Point / MultiPoint / collection of
+#   points) intersecting the other geometry returns its first member
+#   lying on it as both witnesses (zero-length shortest line, PostGIS
+#   behavior for the point case).
 # - Any OTHER intersecting pair (extended geometries that touch or
 #   overlap) → NULL: PostGIS returns an arbitrary GEOS intersection
 #   witness there, and the engine never emits a value it cannot pin.
@@ -201,33 +206,41 @@ def _geom(wkt) -> Geometry | None:
 def nearest_pair(
     a: Geometry, b: Geometry
 ) -> tuple[tuple[float, float], tuple[float, float]] | None:
-    if b.kind == "Point" and G.intersects(a, b):
-        return b.coords, b.coords
-    if a.kind == "Point" and G.intersects(a, b):
-        return a.coords, a.coords
-    if G.intersects(a, b):
-        return None  # extended-operand overlap: documented loud NULL
     pa, sa = G._points(a), list(G._segments(a))
     pb, sb = G._points(b), list(G._segments(b))
+    if G.intersects(a, b):
+        # a 0-dimensional operand's first member on the other geometry
+        # is the zero-distance witness; extended overlaps are loud NULL
+        if not sb:
+            for p in pb:
+                if G.intersects(a, Geometry("Point", p)):
+                    return p, p
+        if not sa:
+            for p in pa:
+                if G.intersects(Geometry("Point", p), b):
+                    return p, p
+        return None
     best = None  # (d2, pa, pb)
     for p in pb:
-        if sa:
-            for s, e in sa:
-                _t, qx, qy = _project_to_segment(p, s, e)
-                d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
-                if best is None or d2 < best[0]:
-                    best = (d2, (qx, qy), p)
-        else:
-            for q in pa:
-                d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
-                if best is None or d2 < best[0]:
-                    best = (d2, q, p)
+        for s, e in sa:
+            _t, qx, qy = _project_to_segment(p, s, e)
+            d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, (qx, qy), p)
     for p in pa:
         for s, e in sb:
             _t, qx, qy = _project_to_segment(p, s, e)
             d2 = (p[0] - qx) ** 2 + (p[1] - qy) ** 2
             if best is None or d2 < best[0]:
                 best = (d2, p, (qx, qy))
+    # vertex-vertex candidates: isolated vertices (collection point
+    # members, single-vertex line parts) lie on no segment, so the
+    # projection loops alone are incomplete without this
+    for p in pa:
+        for q in pb:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, p, q)
     if best is None:
         return None
     return best[1], best[2]

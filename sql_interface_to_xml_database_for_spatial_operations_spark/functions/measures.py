@@ -279,26 +279,17 @@ def frechet_distance(a: Geometry, b: Geometry) -> float | None:
 # fixtures must make the witness unique (registry tie lesson).
 
 
-def _seg_nearest(p: Point, a: Point, b: Point) -> tuple[float, Point]:
-    """(distance, nearest point) from p to segment ab."""
-    px, py = p
-    ax, ay = a
-    bx, by = b
-    dx, dy = bx - ax, by - ay
-    if dx == 0.0 and dy == 0.0:
-        return math.hypot(px - ax, py - ay), a
-    t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
-    t = max(0.0, min(1.0, t))
-    q = (ax + t * dx, ay + t * dy)
-    return math.hypot(px - q[0], py - q[1]), q
-
-
 def minimum_clearance_witness(
     g: Geometry,
 ) -> tuple[float, Point, Point] | None:
     """(clearance, from_vertex, to_point) or None when every candidate
-    distance is zero or absent (infinite clearance)."""
+    distance is zero or absent (infinite clearance). Raises ValueError
+    on non-finite coordinates (garbage is NOT infinite clearance)."""
+    from .linearref import _project_to_segment
+
     pts = G._points(g)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        raise ValueError("non-finite coordinates")
     segs = list(G._segments(g))
     best: tuple[float, Point, Point] | None = None
     for i in range(len(pts)):
@@ -310,9 +301,10 @@ def minimum_clearance_witness(
         for a, b in segs:
             if p == a or p == b:  # positional endpoint exclusion
                 continue
-            d, q = _seg_nearest(p, a, b)
+            _t, qx, qy = _project_to_segment(p, a, b)
+            d = math.hypot(p[0] - qx, p[1] - qy)
             if d > 0.0 and (best is None or d < best[0]):
-                best = (d, p, q)
+                best = (d, p, (qx, qy))
     return best
 
 

@@ -458,6 +458,36 @@ class TestGeneralNearestFarthest:
         assert row["cp"] == "POINT (2 0)"
         assert row["zl"] == "LINESTRING (2 0, 2 0)"
 
+    def test_isolated_vertices_are_candidates(self):
+        # review r13: a collection's POINT member lies on no segment —
+        # the vertex-vertex scan must see it
+        got = L.closest_point(
+            "GEOMETRYCOLLECTION (POINT (0 0),"
+            " POLYGON ((100 0, 101 0, 101 1, 100 1, 100 0)))",
+            "POINT (1 0)",
+        )
+        assert got == "POINT (0 0)"
+        # ...and isolated vertices on BOTH sides pair directly
+        got = L.shortest_line(
+            "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (100 0, 101 0))",
+            "GEOMETRYCOLLECTION (POINT (1 0), LINESTRING (200 0, 201 0))",
+        )
+        assert got == "LINESTRING (0 0, 1 0)"
+
+    def test_multipoint_member_on_areal_is_zero_witness(self):
+        # review r13: a 0-D operand is not 'extended' — its first member
+        # on the other geometry is the zero-distance witness, not NULL
+        got = L.shortest_line(
+            "POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))",
+            "MULTIPOINT (50 50, 5 3)",
+        )
+        assert got == "LINESTRING (5 3, 5 3)"
+        got = L.closest_point(
+            "MULTIPOINT (5 3, 50 50)",
+            "POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))",
+        )
+        assert got == "POINT (5 3)"
+
     def test_brute_force_distance_parity(self):
         # nearest_pair's distance equals geometry.distance on random
         # disjoint fixtures (independent kernels cross-check)

@@ -81,6 +81,19 @@ class TestHexagonGrid:
         monkeypatch.setattr(grids, "_MAX_CELLS", len(baseline) - 1)
         assert grids.hexagon_grid(5, box) is None
 
+    def test_bomb_gate_thin_strip(self, monkeypatch):
+        # worst candidate/emitted aspect: a 1-row strip's candidate
+        # lattice is ~4x its output — a cap-compliant strip must pass
+        import sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids as grids
+
+        strip = "LINESTRING (0 0.1, 84 0.1)"
+        cells = grids.hexagon_grid(2.0, strip)
+        assert cells is not None
+        monkeypatch.setattr(grids, "_MAX_CELLS", len(cells))
+        assert grids.hexagon_grid(2.0, strip) == cells
+        monkeypatch.setattr(grids, "_MAX_CELLS", len(cells) - 1)
+        assert grids.hexagon_grid(2.0, strip) is None
+
     def test_cells_tile_without_overlap(self):
         # neighboring cells share edges exactly: total area of cells
         # fully inside a window equals window coverage by disjointness

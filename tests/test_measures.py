@@ -244,6 +244,15 @@ class TestMinimumClearance:
                 assert got is not None
                 assert math.isclose(got[0], best, rel_tol=1e-12)
 
+    def test_non_finite_is_null_not_infinite(self, spark):
+        # review r13: garbage coordinates must not read as genuine
+        # infinite clearance
+        row = spark.sql(
+            "SELECT st_minimumclearance('LINESTRING (0 0, 1e999 0)') AS a,"
+            " st_minimumclearanceline('POINT (nan nan)') AS b"
+        ).collect()[0]
+        assert row["a"] is None and row["b"] is None
+
     def test_sql_surface(self, spark):
         row = spark.sql(
             "SELECT st_minimumclearance('POLYGON ((0 0, 4 0, 0 3, 0 0))') AS c,"
