@@ -53,3 +53,4 @@ def load_all() -> None:
     from . import split_ops  # noqa: F401
     from . import video_ops  # noqa: F401
     from . import grid_ops  # noqa: F401
+    from . import lm_ops  # noqa: F401

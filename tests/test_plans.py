@@ -421,3 +421,23 @@ def test_r11_rows_plan_shapes(spark):
     plan = formatted_plan(q("q167_video_frames")(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
+
+
+def test_lm_rows_plan_shapes(spark):
+    """q170: top-k must be a TakeOrderedAndProject (never a full sort)
+    with partial aggregation under every count; q171: the model joins
+    are key-equi (no cartesian pair explosion — the one
+    BroadcastNestedLoopJoin is the 1-row vocab-size cross)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q170_bm25_search")(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the explodes
+
+    plan = formatted_plan(q("q171_bigram_perplexity")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # exactly one 1-row cross (vocab size); the bigram/context model
+    # joins must be hash equi-joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "partial_count" in plan
