@@ -198,6 +198,37 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # the freshest r9 rows (q148-q154, last registered) defer one round
 # and the bar ("nothing older than 4 rounds") still holds through
 # r14.
+#
+# r13 EXECUTED rotation: the 50 r12 greens fold in; exposure = 43 of
+# the 45 r9-green rows (the plan's list minus q153/q154, the two
+# freshest-registered, deferred one round via the escape clause)
+# + 5 diff-touched re-exposures whose EXECUTED closures changed —
+# q124 (cluster_geo union-find rewrite), q130 (st_transform dispatch
+# gained Albers EAC 5070/3577 + aea oracle families), q158 (measures
+# gained minimum-clearance kernels + 7 families), q167 (AVI walk
+# gained duplicate-hdrl/avih/movi strictness), q169 (hexagon_grid
+# gate now counts emitted cells) — + 2 new rows q170_bm25_search /
+# q171_bigram_perplexity (operators/lm_ops.py). q152 is in the r9
+# list AND diff-touched (general-pair closest/shortest + new
+# longest/maxdistance execute there), so it costs one slot, not two.
+# 43 + 5 + 2 = 50 exactly.
+# Deliberate re-records (closure drift, executed path byte-unchanged
+# or semantics unchanged for well-formed input): q80-q82/q133/q136
+# (multimodal decode_meta walks AVI headers through the stricter
+# parse_avi_header — new checks EXECUTE but only raise on crafted
+# duplicate containers the fixtures never build; q167 re-exposed
+# covers the walk); q114/q121 + ingest closure (registration-only);
+# q128/q129/q131/q140-q151/q153/q154/q159-q161/q41-q45/q49 (spatial
+# registration closure — new function families registered, none of
+# their executed kernels changed; verified by grep: only q152/q158
+# execute the new linearref/measures code).
+#
+# Round 14 rotation plan: fold the 50 r13 greens in, then expose
+# (a) q153/q154 (deferred here — FIRST in line), (b) the r10-green
+# cohort (4 rounds stale by r14): q02-q07, q09, q10, q17, q20-q29,
+# q31, q54-q58, q86, q87, q113, q117, q121, q126-q129, q139-q141,
+# q146, q159, q161 — take the oldest first until the window fills
+# after (c) whatever r14's diff touches and (d) any r13 reds.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q02_projection_pruning",
@@ -207,7 +238,53 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q06_in_list",
         "q07_not_in_list",
         "q09_where_bool_literal",
+        "q103_stratified_sample",
+        "q104_language_quota",
+        "q105_mixture_weights",
+        "q106_sequence_packing",
+        "q107_decontamination",
+        "q109_tfidf_top_terms",
         "q10_between_range",
+        "q110_repetition_metrics",
+        "q111_centroid_outliers",
+        "q113_window_distribution",
+        "q114_compat_flattened",
+        "q115_ann_quantized_topk",
+        "q116_trailing_range_window",
+        "q117_approx_percentiles",
+        "q119_cohort_retention",
+        "q120_event_funnel",
+        "q121_catalog_tables",
+        "q122_st_relations",
+        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
+        "q128_st_simplify",
+        "q129_st_snaptogrid",
+        "q131_st_azimuth",
+        "q132_audio_features",
+        "q133_resize_images",
+        "q134_hypertable_rollup",
+        "q135_cms_heavy_hitters",
+        "q136_image_dhash_neardup",
+        "q139_st_intersection",
+        "q140_wkb_roundtrip",
+        "q141_boilerplate_removal",
+        "q146_st_symdifference",
+        "q153_st_editors",
+        "q154_st_constructors",
+        "q155_st_buffer_lines_polys",
+        "q156_st_relate_isvalid",
+        "q157_st_makevalid",
+        "q159_st_bounding",
+        "q160_cluster_dbscan",
+        "q161_st_collect_dump",
+        "q162_st_subdivide",
+        "q163_jpeg_pixels",
+        "q164_st_node_polygonize",
+        "q165_st_tessellate",
+        "q166_st_split",
+        "q168_kmeans_converged",
         "q17_natural_join",
         "q20_lateral_explode",
         "q21_count_groupby",
@@ -221,7 +298,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q29_intersect",
         "q31_window_rank",
         "q32_window_running_sum",
-        "q113_window_distribution",
         "q33_subquery_from",
         "q34_scalar_subquery",
         "q35_correlated_exists",
@@ -230,94 +306,51 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q38_string_functions",
         "q39_case_expression",
         "q40_math_functions",
+        "q41_st_point_accessors",
+        "q42_st_astext",
+        "q43_st_distance_radius",
+        "q44_spatial_join_within",
+        "q45_spatial_join_intersects",
+        "q49_st_asgeojson",
+        "q53_buffer_contains",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
-        "q86_skew_salted_join",
-        "q87_percentiles",
-        "q117_approx_percentiles",
-        "q11_join_inner_equi",
-        "q12_join_theta",
-        "q13_join_left_outer",
-        "q14_join_right_outer",
-        "q15_join_full_outer",
-        "q16_join_multiway",
-        "q01_filter_pushdown",
-        "q08_null_predicates",
-        "q143_kmeans_assign",
-        "q41_st_point_accessors",
-        "q18_semi_join_in_subquery",
-        "q19_anti_join_not_exists",
-        "q30_except",
-        "q46_st_area_props",
-        "q47_dwithin_pairs",
-        "q48_distance_sphere_count",
-        "q112_window_lag_lead",
-        "q42_st_astext",
-        "q43_st_distance_radius",
-        "q45_spatial_join_intersects",
-        "q49_st_asgeojson",
-        "q50_st_geomfromtext",
-        "q51_st_geomfromgeojson",
-        "q52_centroid_perimeter",
-        "q59_st_geomfromgml_kml",
-        "q85_st_extent_agg",
-        "q94_multipart_gml_ingest",
-        "q95_st_collect_agg",
-        "q97_knn_within_radius",
-        "q98_hull_envelope",
+        "q60_token_count",
+        "q61_quality_score",
+        "q62_language_id",
+        "q63_fingerprint",
+        "q64_dedup_exact",
+        "q65_dedup_ngram_jaccard",
+        "q66_minhash_lsh",
+        "q67_simhash",
+        "q68_simhash_pairs",
+        "q69_embedding_neardup",
+        "q70_ann_bruteforce_topk",
+        "q71_ann_lsh_buckets",
+        "q72_ann_lsh_topk",
+        "q73_ann_ivf_topk",
         "q75_tumbling_window",
         "q76_sliding_window",
         "q77_sessionize",
         "q78_keyed_dedup_first",
         "q79_json_props",
-        "q96_event_attribution",
-        "q116_trailing_range_window",
-        "q119_cohort_retention",
-        "q120_event_funnel",
-        "q83_asof_join",
-        "q84_range_join_banded",
-        "q89_gap_fill_spine",
         "q80_multimodal_metadata",
         "q81_multimodal_features",
         "q82_frame_sample",
-        "q99_xml_roundtrip",
-        "q101_geojson_roundtrip",
-        "q102_geojson_sink_roundtrip",
-        "q100_engine_rowset",
-        "q108_kml_roundtrip",
-        "q114_compat_flattened",
-        "q121_catalog_tables",
-        "q118_bucketed_join",
-        "q123_stream_tumbling_e2e",
-        "q137_stream_session_e2e",
-        "q138_stream_interval_join_e2e",
-        "q142_stream_dedup_e2e",
-        "q147_stream_stateful_totals_e2e",
-        "q125_document_chunking",
-        "q126_pii_redaction",
-        "q127_url_domains",
-        "q128_st_simplify",
-        "q129_st_snaptogrid",
-        "q131_st_azimuth",
-        "q133_resize_images",
-        "q136_image_dhash_neardup",
-        "q140_wkb_roundtrip",
-        "q144_bloom_semijoin",
-        "q145_inverted_index",
-        "q148_st_affine",
-        "q149_st_linework",
-        "q150_st_accessors",
-        "q151_st_boundary",
-        "q152_st_linear_referencing",
-        "q153_st_editors",
-        "q154_st_constructors",
-        "q158_st_measures",
-        "q159_st_bounding",
-        "q160_cluster_dbscan",
-        "q161_st_collect_dump",
+        "q83_asof_join",
+        "q84_range_join_banded",
+        "q86_skew_salted_join",
+        "q87_percentiles",
+        "q88_levenshtein_neardup",
+        "q89_gap_fill_spine",
+        "q90_dedup_clusters",
+        "q91_training_pipeline",
+        "q92_hash_sample",
+        "q93_train_val_test_split",
+        "q96_event_attribution",
     }
 )
 
