@@ -108,6 +108,8 @@ HEADLINE = [
     "q167_video_frames",
     "q168_kmeans_converged",
     "q169_st_grids",
+    "q170_bm25_search",
+    "q171_bigram_perplexity",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
