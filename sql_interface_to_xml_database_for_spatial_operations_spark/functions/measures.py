@@ -309,6 +309,90 @@ def minimum_clearance_witness(
 
 
 # ---------------------------------------------------------------------------
+# geometric median (r13)
+# ---------------------------------------------------------------------------
+#
+# PostGIS ST_GeometricMedian([Multi]Point): the point minimizing the
+# sum of distances to the members — Weiszfeld iteration from the
+# centroid with the Ostresh (1978) modification: when the estimate
+# lands on an input point, that point is optimal iff the resultant of
+# unit vectors toward the other members has norm ≤ 1 (symmetric
+# fixtures hit this branch exactly); otherwise step off along the
+# resultant. Fixed 200-iteration cap, 1e-13·scale convergence.
+
+
+def geometric_median(g: Geometry) -> Point | None:
+    if g.kind == "Point":
+        return g.coords
+    if g.kind != "MultiPoint" or not g.coords:
+        return None  # PostGIS raises for non-points; house loud NULL
+    pts = [tuple(p) for p in g.coords]
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    n = len(pts)
+    cx = sum(p[0] for p in pts) / n
+    cy = sum(p[1] for p in pts) / n
+    scale = max(
+        1.0, max(abs(p[0] - cx) + abs(p[1] - cy) for p in pts)
+    )
+    x, y = cx, cy
+    for _ in range(200):
+        num_x = num_y = wsum = 0.0
+        rx = ry = 0.0  # resultant of unit vectors from a coincident point
+        hit = None
+        hits = 0  # multiplicity of the coincident input point
+        for px, py in pts:
+            d = math.hypot(px - x, py - y)
+            if d == 0.0:
+                hit = (px, py)
+                hits += 1
+                continue
+            w = 1.0 / d
+            num_x += px * w
+            num_y += py * w
+            wsum += w
+            rx += (px - x) * w
+            ry += (py - y) * w
+        if hit is not None:
+            r = math.hypot(rx, ry)
+            if r <= hits:
+                # Ostresh optimality at an input point: the others'
+                # resultant pull cannot overcome the point's own
+                # multiplicity-weight
+                return hit
+            # step off the coincident point along the resultant
+            step = (r - hits) / wsum
+            nx = x + step * (rx / r)
+            ny = y + step * (ry / r)
+        elif wsum == 0.0:
+            return (x, y)
+        else:
+            nx, ny = num_x / wsum, num_y / wsum
+        # Weiszfeld approaches an optimal INPUT point asymptotically
+        # without ever reaching it — when the estimate gets near one,
+        # test that point's Ostresh optimality directly and return it
+        # exactly if it holds (the dominant/heavy-point class)
+        for px, py in pts:
+            if math.hypot(px - nx, py - ny) <= 1e-9 * scale:
+                sx = sy = 0.0
+                m = 0
+                for qx, qy in pts:
+                    d = math.hypot(qx - px, qy - py)
+                    if d == 0.0:
+                        m += 1
+                    else:
+                        sx += (qx - px) / d
+                        sy += (qy - py) / d
+                if math.hypot(sx, sy) <= m:
+                    return (px, py)
+                break
+        if math.hypot(nx - x, ny - y) <= 1e-13 * scale:
+            return (nx, ny)
+        x, y = nx, ny
+    return (x, y)
+
+
+# ---------------------------------------------------------------------------
 # triangulation
 # ---------------------------------------------------------------------------
 
@@ -467,6 +551,19 @@ def st_minimumclearanceline(wkt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_geometricmedian(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            g = G.parse_wkt_opt(w)
+            m = geometric_median(g) if g is not None else None
+            out.append(None if m is None else G.to_wkt(Geometry("Point", m)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_MEASURE_FUNCTIONS = {
     "st_issimple": st_issimple,
     "st_pointonsurface": st_pointonsurface,
@@ -476,6 +573,7 @@ ALL_MEASURE_FUNCTIONS = {
     "st_triangulatepolygon": st_triangulatepolygon,
     "st_minimumclearance": st_minimumclearance,
     "st_minimumclearanceline": st_minimumclearanceline,
+    "st_geometricmedian": st_geometricmedian,
 }
 
 

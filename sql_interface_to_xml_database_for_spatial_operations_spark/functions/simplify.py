@@ -1,4 +1,5 @@
-"""ST_Simplify / ST_SnapToGrid — vertex reduction and precision
+"""ST_Simplify / ST_SimplifyVW / ST_SimplifyPreserveTopology /
+ST_SnapToGrid / ST_ReducePrecision — vertex reduction and precision
 management (F12 remainder).
 
 PostGIS users get ``ST_Simplify(geom, tolerance)`` from the forwarding
@@ -11,8 +12,8 @@ Douglas-Peucker algorithm over the WKT geometry model:
   ring reduced below 4 points (triangle + closure) collapses and is
   dropped — holes silently, the exterior by nulling the polygon, which
   matches PostGIS's "may produce empty geometries" documented behavior
-  rather than inventing a repair step (ST_SimplifyPreserveTopology is
-  the repairing variant; not implemented, documented divergence).
+  rather than inventing a repair step (``simplify_preserve_topology``
+  below is the non-collapsing variant, r13).
 - Multi*/GeometryCollection: per part; fully-collapsed parts drop.
 - Points pass through untouched.
 
@@ -199,6 +200,146 @@ def snap_to_grid(g: Geometry, size: float) -> Geometry | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Visvalingam–Whyatt, topology-preserving DP, precision reduction (r13)
+# ---------------------------------------------------------------------------
+
+
+def _tri_area2(a: Pt, b: Pt, c: Pt) -> float:
+    """Twice the triangle area (the shoelace cross product magnitude)."""
+    return abs(
+        (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    )
+
+
+def _vw(points: list[Pt], tol: float, closed: bool) -> list[Pt]:
+    """Visvalingam–Whyatt: repeatedly delete the interior vertex whose
+    triangle with its CURRENT neighbors has the smallest area, while
+    that minimum is < tol (the PostGIS/JTS area-tolerance convention).
+    Endpoints (and a ring's seam vertex) are pinned like DP's."""
+    pts = list(points)
+    if len(pts) < 3:
+        return pts
+    # an open line may reduce to its 2 endpoints; a closed ring may
+    # shed its last triangle vertex (len 4 → 3) when even the remaining
+    # triangle's area is under tol — the caller's ring gate then drops
+    # the collapsed ring, PostGIS's empty-output behavior
+    while len(pts) > (2 if not closed else 3):
+        interior = range(1, len(pts) - 1)
+        best_i, best_a = -1, math.inf
+        for i in interior:
+            a2 = _tri_area2(pts[i - 1], pts[i], pts[i + 1]) / 2.0
+            if a2 < best_a:
+                best_i, best_a = i, a2
+        if best_i < 0 or best_a >= tol:
+            break
+        del pts[best_i]
+    return pts
+
+
+def simplify_vw(g: Geometry, tol: float) -> Geometry | None:
+    """ST_SimplifyVW: same shape contract as ``simplify`` (collapsed
+    parts drop, Multi*/Collection types preserved) with VW's area
+    tolerance instead of DP's distance tolerance."""
+    if g is None or tol < 0:
+        return None
+    if g.kind in ("Point", "MultiPoint"):
+        return g
+    if g.kind == "LineString":
+        out = _vw(g.coords, tol, closed=False)
+        return Geometry("LineString", out) if len(out) >= 2 else None
+    if g.kind == "MultiLineString":
+        parts = [_vw(line, tol, closed=False) for line in g.coords]
+        parts = [p for p in parts if len(p) >= 2]
+        return Geometry("MultiLineString", parts) if parts else None
+    if g.kind == "Polygon":
+
+        def ring(r: list[Pt]) -> list[Pt] | None:
+            out = _vw(r[:-1] + [r[0]], tol, closed=True)
+            return out if len(out) >= 4 else None
+
+        ext = ring(g.coords[0])
+        if ext is None:
+            return None
+        holes = [ring(r) for r in g.coords[1:]]
+        return Geometry("Polygon", [ext] + [h for h in holes if h is not None])
+    if g.kind == "MultiPolygon":
+        polys = []
+        for rings in g.coords:
+            p = simplify_vw(Geometry("Polygon", rings), tol)
+            if p is not None:
+                polys.append(p.coords)
+        return Geometry("MultiPolygon", polys) if polys else None
+    if g.kind == "GeometryCollection":
+        subs = [simplify_vw(sub, tol) for sub in g.coords]
+        subs = [s for s in subs if s is not None]
+        return Geometry("GeometryCollection", subs) if subs else None
+    return None
+
+
+def simplify_preserve_topology(g: Geometry, tol: float) -> Geometry | None:
+    """ST_SimplifyPreserveTopology: Douglas-Peucker that never trades
+    validity for reduction. Contract (vs JTS's local repairs): every
+    part/ring survives — a ring DP would collapse stays UNSIMPLIFIED —
+    and an areal result must pass the exact validity test or the whole
+    input polygon comes back unsimplified; lineal parts likewise keep
+    their original linework when DP breaks their simplicity. Honest
+    fallback over silent repair, same stance as makevalid's refusals."""
+    if g is None or tol < 0:
+        return None
+    if g.kind in ("Point", "MultiPoint"):
+        return g
+    if g.kind == "LineString":
+        out = _dp(g.coords, tol)
+        return Geometry("LineString", out if len(out) >= 2 else g.coords)
+    if g.kind == "MultiLineString":
+        parts = []
+        for line in g.coords:
+            out = _dp(line, tol)
+            parts.append(out if len(out) >= 2 else line)
+        return Geometry("MultiLineString", parts)
+    if g.kind == "Polygon":
+        from .validity import invalid_reason
+
+        rings = []
+        for r in g.coords:
+            out = _simplify_ring(r, tol)
+            rings.append(out if out is not None else list(r))
+        cand = Geometry("Polygon", rings)
+        return cand if invalid_reason(cand) is None else g
+    if g.kind == "MultiPolygon":
+        polys = []
+        for rings in g.coords:
+            p = simplify_preserve_topology(Geometry("Polygon", rings), tol)
+            polys.append(p.coords)
+        return Geometry("MultiPolygon", polys)
+    if g.kind == "GeometryCollection":
+        return Geometry(
+            "GeometryCollection",
+            [simplify_preserve_topology(sub, tol) for sub in g.coords],
+        )
+    return None
+
+
+def reduce_precision(g: Geometry, size: float) -> Geometry | None:
+    """ST_ReducePrecision: grid-snap (the st_snaptogrid kernel), then
+    guarantee validity — a snapped areal part that went invalid rebuilds
+    through the exact linework makevalid; a repair the exact
+    re-validation refuses is a loud NULL (the makevalid contract)."""
+    if g is None or size <= 0:
+        return None
+    snapped = snap_to_grid(g, size)
+    if snapped is None:
+        return None
+    if snapped.kind not in ("Polygon", "MultiPolygon"):
+        return snapped
+    from .validity import invalid_reason, makevalid_geom
+
+    if invalid_reason(snapped) is None:
+        return snapped
+    return makevalid_geom(snapped)
+
+
 @pandas_udf(StringType())
 def st_snaptogrid(wkt: pd.Series, size: pd.Series) -> pd.Series:
     out = []
@@ -225,7 +366,37 @@ def st_simplify(wkt: pd.Series, tol: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-ALL_SIMPLIFY_FUNCTIONS = {"st_simplify": st_simplify, "st_snaptogrid": st_snaptogrid}
+def _tolerance_udf(kernel):
+    def run(wkt: pd.Series, tol: pd.Series) -> pd.Series:
+        out = []
+        for w, t in zip(wkt, tol):
+            try:
+                if w is None or t is None or (isinstance(t, float) and pd.isna(t)):
+                    out.append(None)
+                    continue
+                g = G.parse_wkt(w)
+                s = kernel(g, float(t)) if g is not None else None
+                out.append(G.to_wkt(s) if s is not None else None)
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return run
+
+
+st_simplifyvw = pandas_udf(_tolerance_udf(simplify_vw), StringType())
+st_simplifypreservetopology = pandas_udf(
+    _tolerance_udf(simplify_preserve_topology), StringType()
+)
+st_reduceprecision = pandas_udf(_tolerance_udf(reduce_precision), StringType())
+
+ALL_SIMPLIFY_FUNCTIONS = {
+    "st_simplify": st_simplify,
+    "st_snaptogrid": st_snaptogrid,
+    "st_simplifyvw": st_simplifyvw,
+    "st_simplifypreservetopology": st_simplifypreservetopology,
+    "st_reduceprecision": st_reduceprecision,
+}
 
 
 def register_simplify_functions(spark: SparkSession) -> None:

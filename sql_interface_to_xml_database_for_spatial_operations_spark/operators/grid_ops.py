@@ -51,10 +51,12 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.grids import register_grid_functions
+    from ..functions.simplify import register_simplify_functions
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
     register_grid_functions(spark)
+    register_simplify_functions(spark)  # the r13 vw/spt/redp families
 
 
 def _micro(expr: str) -> str:
@@ -107,6 +109,46 @@ _PROJ = (
     "CAST(0.7853981633974483 AS DOUBLE))"
 )
 
+# simplify-v2 fixtures (r13): the VW line's bump triangle areas are 10
+# (removed at tol 15) then recomputed 50s (kept); the unit square's
+# corner triangles are 0.5 (collapse at tol 2); the quarter-offset box
+# snaps exactly back to the integer box at grid 1
+_VW_LINE = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '",
+    pt_sql(10, 1), "', '", pt_sql(20, 0), "', '",
+    pt_sql(30, 5), "', '", pt_sql(40, 0), "')'",
+)
+_SMALL_SQ = sql_concat(
+    "'POLYGON (('",
+    pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",
+    pt_sql(1, 2), "', '", pt_sql(1, 1),
+    "'))'",
+)
+_MIDPT_BOX = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", pt_sql(10, 0), "', '",
+    CORNERS["br"], "', '", CORNERS["tr"], "', '", CORNERS["tl"],
+    "', '", CORNERS["bl"], "'))'",
+)
+
+
+def _qpt(xe: str, ye: str) -> str:
+    # quarter-offset coordinate pair — Spark-side only (the oracle
+    # never rebuilds the input, just the snapped integer output)
+    return (
+        f"CAST({xe} AS STRING) || ' ' || CAST({ye} AS STRING)"
+    )
+
+
+_QUARTER_BOX = sql_concat(
+    "'POLYGON (('",
+    _qpt("minx + 0.25", "miny - 0.25"), "', '",
+    _qpt("maxx - 0.25", "miny + 0.25"), "', '",
+    _qpt("maxx + 0.25", "maxy - 0.25"), "', '",
+    _qpt("minx - 0.25", "maxy + 0.25"), "', '",
+    _qpt("minx + 0.25", "miny - 0.25"),
+    "'))'",
+)
+
 _FAMILIES = {
     "sq_count": int_str(f"size(st_squaregrid(10.0D, {_BOX}))"),
     # NOTE: a Python UDF cannot run inside a higher-order-function
@@ -134,6 +176,18 @@ _FAMILIES = {
     "dumpseg_n": int_str(f"size(st_dumpsegments({_BOX}))"),
     "dumpring2": f"element_at(st_dumprings({_CW_HOLED}), 2)",
     "dumppt2": f"element_at(st_dumppoints({_BOX}), 2)",
+    # simplify v2 (r13, functions/simplify.py): VW removes exactly the
+    # area-10 bump at tolerance 15 (the survivors' recomputed areas are
+    # 50); a unit square collapses under an area-2 tolerance;
+    # SimplifyPreserveTopology echoes a ring DP would collapse and
+    # still removes exact collinear vertices at tolerance 0;
+    # ReducePrecision snaps quarter-offset coords back to the integer
+    # box (valid output, no repair needed on this family)
+    "vw": f"st_simplifyvw({_VW_LINE}, 15.0D)",
+    "vw_collapse": f"COALESCE(st_simplifyvw({_SMALL_SQ}, 2.0D), 'NULL(collapsed)')",
+    "spt_keep": f"st_simplifypreservetopology({_BOX}, 1000000.0D)",
+    "spt_collinear": f"st_simplifypreservetopology({_MIDPT_BOX}, 0.0D)",
+    "redp": f"st_reduceprecision({_QUARTER_BOX}, 1.0D)",
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -289,6 +343,14 @@ _ORACLE_VALS = {
         "'))'",
     ),
     "dumppt2": sql_concat("'POINT ('", CORNERS["br"], "')'"),
+    "vw": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '",
+        pt_sql(20, 0), "', '", pt_sql(30, 5), "', '", pt_sql(40, 0), "')'",
+    ),
+    "vw_collapse": "'NULL(collapsed)'",
+    "spt_keep": _BOX,
+    "spt_collinear": _BOX,
+    "redp": _BOX,
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

@@ -114,6 +114,21 @@ _NEAR_MPT = sql_concat(
     "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
     CORNERS["tr"], "', '", _pt("minx + 2", "miny + 1"), "')'",
 )
+# Geometric median fixtures (r13): the 4 corners' Weiszfeld iteration
+# starts at the exact centroid = the box center, which is the fixed
+# point bitwise (equal distances), so the result is EXACT; adding the
+# center itself as a 5th member exercises the Ostresh on-an-input-point
+# branch (the 4 unit vectors cancel exactly → resultant 0 ≤ 1).
+_CORNERS_MPT = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "')'",
+)
+_CORNERS_CENTER_MPT = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '",
+    "CAST((minx + maxx) / 2 AS STRING) || ' ' || CAST((miny + maxy) / 2 AS STRING)",
+    "')'",
+)
 
 _FAMILIES = {
     "simple": f"CAST(st_issimple({_RING_LINE}) AS STRING)",
@@ -138,6 +153,16 @@ _FAMILIES = {
     "mclear_mpt": _micro(f"st_minimumclearance({_NEAR_MPT})"),
     "mclear_pt_inf": f"CAST(st_minimumclearance({_P['bl']}) AS STRING)",
     "mclear_line_empty": f"st_minimumclearanceline({_P['bl']})",
+    # geometric median (r13)
+    "gmed_x": _micro(f"st_x(st_geometricmedian({_CORNERS_MPT}))"),
+    "gmed_y": _micro(f"st_y(st_geometricmedian({_CORNERS_MPT}))"),
+    "gmed_on": (
+        f"CAST(st_x(st_geometricmedian({_CORNERS_CENTER_MPT}))"
+        " = (minx + maxx) / 2"
+        f" AND st_y(st_geometricmedian({_CORNERS_CENTER_MPT}))"
+        " = (miny + maxy) / 2 AS STRING)"
+    ),
+    "gmed_null": f"COALESCE(st_geometricmedian({_BOX}), 'NULL(areal)')",
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -176,6 +201,10 @@ _ORACLE_VALS = {
     "mclear_mpt": _micro("sqrt(5.0)"),
     "mclear_pt_inf": "'Infinity'",
     "mclear_line_empty": "'LINESTRING EMPTY'",
+    "gmed_x": _micro("(minx + maxx) / 2.0"),
+    "gmed_y": _micro("(miny + maxy) / 2.0"),
+    "gmed_on": "'true'",
+    "gmed_null": "'NULL(areal)'",
 }
 
 _Q158_ORACLE = "\nUNION ALL\n".join(

@@ -134,6 +134,9 @@ _NULL_ARGS = {
     "st_union_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_simplify": f"{S}, {D}",
     "st_snaptogrid": f"{S}, {D}",
+    "st_simplifyvw": f"{S}, {D}",
+    "st_simplifypreservetopology": f"{S}, {D}",
+    "st_reduceprecision": f"{S}, {D}",
     "st_transform": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_azimuth": f"{S}, {S}",
     "st_intersection": f"{S}, {S}",
