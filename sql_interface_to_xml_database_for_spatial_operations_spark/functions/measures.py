@@ -323,7 +323,8 @@ def minimum_clearance_witness(
 
 def geometric_median(g: Geometry) -> Point | None:
     if g.kind == "Point":
-        return g.coords
+        x, y = g.coords
+        return g.coords if math.isfinite(x) and math.isfinite(y) else None
     if g.kind != "MultiPoint" or not g.coords:
         return None  # PostGIS raises for non-points; house loud NULL
     pts = [tuple(p) for p in g.coords]

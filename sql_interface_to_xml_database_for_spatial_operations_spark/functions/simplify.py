@@ -216,25 +216,51 @@ def _vw(points: list[Pt], tol: float, closed: bool) -> list[Pt]:
     """Visvalingam–Whyatt: repeatedly delete the interior vertex whose
     triangle with its CURRENT neighbors has the smallest area, while
     that minimum is < tol (the PostGIS/JTS area-tolerance convention).
-    Endpoints (and a ring's seam vertex) are pinned like DP's."""
+    Endpoints (and a ring's seam vertex) are pinned like DP's.
+
+    Min-heap with lazy invalidation over a doubly-linked index list —
+    only the two neighbors of a deleted vertex change area, so each
+    deletion costs O(log n), not an O(n) rescan (the standard VW
+    structure; the 100 TB pre-join shrink path is per-row hot). Ties
+    pop the smallest vertex index, matching the scan-order contract.
+
+    An open line may reduce to its 2 endpoints; a closed ring may shed
+    its last triangle vertex (len 4 → 3) when even the remaining
+    triangle's area is under tol — the caller's ring gate then drops
+    the collapsed ring, PostGIS's empty-output behavior."""
+    import heapq
+
     pts = list(points)
-    if len(pts) < 3:
+    n = len(pts)
+    if n < 3:
         return pts
-    # an open line may reduce to its 2 endpoints; a closed ring may
-    # shed its last triangle vertex (len 4 → 3) when even the remaining
-    # triangle's area is under tol — the caller's ring gate then drops
-    # the collapsed ring, PostGIS's empty-output behavior
-    while len(pts) > (2 if not closed else 3):
-        interior = range(1, len(pts) - 1)
-        best_i, best_a = -1, math.inf
-        for i in interior:
-            a2 = _tri_area2(pts[i - 1], pts[i], pts[i + 1]) / 2.0
-            if a2 < best_a:
-                best_i, best_a = i, a2
-        if best_i < 0 or best_a >= tol:
+    floor_len = 2 if not closed else 3
+    prv = list(range(-1, n - 1))
+    nxt = list(range(1, n + 1))
+    alive = [True] * n
+    version = [0] * n
+
+    def area(i: int) -> float:
+        return _tri_area2(pts[prv[i]], pts[i], pts[nxt[i]]) / 2.0
+
+    heap = [(area(i), i, 0) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    remaining = n
+    while heap and remaining > floor_len:
+        a, i, ver = heapq.heappop(heap)
+        if not alive[i] or ver != version[i]:
+            continue  # stale entry for a moved/deleted vertex
+        if a >= tol:
             break
-        del pts[best_i]
-    return pts
+        alive[i] = False
+        remaining -= 1
+        p, q = prv[i], nxt[i]
+        nxt[p], prv[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and alive[j]:
+                version[j] += 1
+                heapq.heappush(heap, (area(j), j, version[j]))
+    return [pts[i] for i in range(n) if alive[i]]
 
 
 def simplify_vw(g: Geometry, tol: float) -> Geometry | None:
@@ -277,6 +303,22 @@ def simplify_vw(g: Geometry, tol: float) -> Geometry | None:
     return None
 
 
+def _spt_line(line: list[Pt], tol: float) -> list[Pt]:
+    """DP a lineal part but refuse a simplification that breaks the
+    part's simplicity (a simple input must stay simple — review r13);
+    non-simple inputs simplify best-effort like plain DP."""
+    out = _dp(line, tol)
+    if len(out) < 2 or out == list(line):
+        return list(line)
+    from .measures import is_simple
+
+    if is_simple(Geometry("LineString", line)) and not is_simple(
+        Geometry("LineString", out)
+    ):
+        return list(line)
+    return out
+
+
 def simplify_preserve_topology(g: Geometry, tol: float) -> Geometry | None:
     """ST_SimplifyPreserveTopology: Douglas-Peucker that never trades
     validity for reduction. Contract (vs JTS's local repairs): every
@@ -290,14 +332,11 @@ def simplify_preserve_topology(g: Geometry, tol: float) -> Geometry | None:
     if g.kind in ("Point", "MultiPoint"):
         return g
     if g.kind == "LineString":
-        out = _dp(g.coords, tol)
-        return Geometry("LineString", out if len(out) >= 2 else g.coords)
+        return Geometry("LineString", _spt_line(g.coords, tol))
     if g.kind == "MultiLineString":
-        parts = []
-        for line in g.coords:
-            out = _dp(line, tol)
-            parts.append(out if len(out) >= 2 else line)
-        return Geometry("MultiLineString", parts)
+        return Geometry(
+            "MultiLineString", [_spt_line(line, tol) for line in g.coords]
+        )
     if g.kind == "Polygon":
         from .validity import invalid_reason
 
@@ -308,11 +347,17 @@ def simplify_preserve_topology(g: Geometry, tol: float) -> Geometry | None:
         cand = Geometry("Polygon", rings)
         return cand if invalid_reason(cand) is None else g
     if g.kind == "MultiPolygon":
+        from .validity import invalid_reason
+
         polys = []
         for rings in g.coords:
             p = simplify_preserve_topology(Geometry("Polygon", rings), tol)
             polys.append(p.coords)
-        return Geometry("MultiPolygon", polys)
+        cand = Geometry("MultiPolygon", polys)
+        # parts may be individually valid yet overlap or nest after
+        # simplification — the WHOLE result must pass too, or the whole
+        # input comes back (review r13)
+        return cand if invalid_reason(cand) is None else g
     if g.kind == "GeometryCollection":
         return Geometry(
             "GeometryCollection",
@@ -331,6 +376,22 @@ def reduce_precision(g: Geometry, size: float) -> Geometry | None:
     snapped = snap_to_grid(g, size)
     if snapped is None:
         return None
+    return _revalidate_snapped(snapped)
+
+
+def _revalidate_snapped(snapped: Geometry) -> Geometry | None:
+    """Validity guarantee for reduce_precision: areal parts rebuild
+    through makevalid when the snap broke them; collection members are
+    revalidated individually (review r13 — the GC path used to skip the
+    check); a member whose repair is refused nulls the whole result."""
+    if snapped.kind == "GeometryCollection":
+        subs = []
+        for sub in snapped.coords:
+            fixed = _revalidate_snapped(sub)
+            if fixed is None:
+                return None
+            subs.append(fixed)
+        return Geometry("GeometryCollection", subs)
     if snapped.kind not in ("Polygon", "MultiPolygon"):
         return snapped
     from .validity import invalid_reason, makevalid_geom
@@ -338,32 +399,6 @@ def reduce_precision(g: Geometry, size: float) -> Geometry | None:
     if invalid_reason(snapped) is None:
         return snapped
     return makevalid_geom(snapped)
-
-
-@pandas_udf(StringType())
-def st_snaptogrid(wkt: pd.Series, size: pd.Series) -> pd.Series:
-    out = []
-    for w, s in zip(wkt, size):
-        if w is None or s is None or (isinstance(s, float) and pd.isna(s)):
-            out.append(None)
-            continue
-        g = G.parse_wkt(w)
-        snapped = snap_to_grid(g, float(s)) if g is not None else None
-        out.append(G.to_wkt(snapped) if snapped is not None else None)
-    return pd.Series(out, dtype=object)
-
-
-@pandas_udf(StringType())
-def st_simplify(wkt: pd.Series, tol: pd.Series) -> pd.Series:
-    out = []
-    for w, t in zip(wkt, tol):
-        if w is None or t is None or (isinstance(t, float) and pd.isna(t)):
-            out.append(None)
-            continue
-        g = G.parse_wkt(w)
-        s = simplify(g, float(t)) if g is not None else None
-        out.append(G.to_wkt(s) if s is not None else None)
-    return pd.Series(out, dtype=object)
 
 
 def _tolerance_udf(kernel):
@@ -384,6 +419,8 @@ def _tolerance_udf(kernel):
     return run
 
 
+st_snaptogrid = pandas_udf(_tolerance_udf(snap_to_grid), StringType())
+st_simplify = pandas_udf(_tolerance_udf(simplify), StringType())
 st_simplifyvw = pandas_udf(_tolerance_udf(simplify_vw), StringType())
 st_simplifypreservetopology = pandas_udf(
     _tolerance_udf(simplify_preserve_topology), StringType()

@@ -315,3 +315,98 @@ class TestGeometricMedian:
         ).collect()[0]
         assert row["p"] == "POINT (3 4)"
         assert row["a"] is None and row["nf"] is None
+
+
+def test_vw_heap_matches_bruteforce_rescan():
+    """The heap/linked-list VW (review r13 efficiency fix) must match
+    the O(n^2) global-rescan definition exactly, ties included."""
+    import math
+    import random
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
+        _tri_area2,
+        _vw,
+    )
+
+    def brute(points, tol, closed):
+        pts = list(points)
+        if len(pts) < 3:
+            return pts
+        while len(pts) > (2 if not closed else 3):
+            best_i, best_a = -1, math.inf
+            for i in range(1, len(pts) - 1):
+                a2 = _tri_area2(pts[i - 1], pts[i], pts[i + 1]) / 2.0
+                if a2 < best_a:
+                    best_i, best_a = i, a2
+            if best_i < 0 or best_a >= tol:
+                break
+            del pts[best_i]
+        return pts
+
+    rng = random.Random(7)
+    for _ in range(120):
+        n = rng.randrange(3, 25)
+        pts = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(n)]
+        closed = rng.random() < 0.4
+        if closed:
+            pts = pts + [pts[0]]
+        tol = rng.choice([0.0, 0.5, 2.0, 10.0, 100.0, 1e9])
+        assert _vw(pts, tol, closed) == brute(pts, tol, closed)
+
+
+def test_spt_keeps_line_simplicity():
+    """Review r13: a simple line must not simplify into a self-crossing
+    one — the original linework comes back instead."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
+        simplify_preserve_topology,
+    )
+
+    wkt = "LINESTRING (0 10, 0 0, 5 1, 10 0, 10 -5, 6 -2, 5 0.3)"
+    out = simplify_preserve_topology(G.parse_wkt(wkt), 1.0)
+    assert G.to_wkt(out) == wkt
+
+
+def test_spt_multipolygon_whole_validity():
+    """Review r13: individually-valid simplified parts may overlap or
+    nest — the assembled MultiPolygon must pass the whole-geometry
+    validity test or the input echoes."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
+        simplify_preserve_topology,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+        invalid_reason,
+    )
+
+    wkt = (
+        "MULTIPOLYGON (((0 0, 10 0, 10 4, 6 4, 6 2, 4 2, 4 4, 0 4, 0 0)),"
+        " ((4.5 2.5, 5.5 2.5, 5.5 3.5, 4.5 3.5, 4.5 2.5)))"
+    )
+    for tol in (3.0, 7.0):
+        out = simplify_preserve_topology(G.parse_wkt(wkt), tol)
+        assert invalid_reason(out) is None
+        assert G.to_wkt(out) == wkt  # fallback: echo
+
+
+def test_reduce_precision_collection_members_revalidate():
+    """Review r13: GC members get the same validity guarantee as bare
+    polygons."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.simplify import (
+        reduce_precision,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.validity import (
+        invalid_reason,
+    )
+
+    gc = G.parse_wkt("GEOMETRYCOLLECTION (POLYGON ((0 0, 3.6 4, 4.4 0, 8 4, 0 0)))")
+    out = reduce_precision(gc, 1.0)
+    assert out is not None and out.kind == "GeometryCollection"
+    for sub in out.coords:
+        assert invalid_reason(sub) is None
+
+
+def test_geometric_median_point_nan_is_null():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+        geometric_median,
+    )
+
+    assert geometric_median(G.parse_wkt("POINT (nan 1)")) is None
