@@ -204,6 +204,120 @@ def expand(wkt, dist) -> str | None:
     return G.to_wkt(Geometry.box(minx - d, miny - d, maxx + d, maxy + d))
 
 
+# ---------------------------------------------------------------------------
+# ST_Snap (r13)
+# ---------------------------------------------------------------------------
+#
+# GEOS LineStringSnapper semantics, per coordinate sequence of the
+# INPUT, against the REFERENCE geometry's vertices:
+#   1. vertex snap — every input vertex moves to the closest reference
+#      vertex within tolerance (strictly closest wins; an exact-tie
+#      keeps the earlier reference vertex in serialized order);
+#   2. segment snap — every reference vertex within tolerance of an
+#      input segment's interior (projection parameter strictly inside
+#      (0,1), not coincident with either endpoint) is INSERTED into the
+#      segment, ordered by the projection parameter.
+# Consecutive duplicates collapse; ring closure is preserved. Like
+# PostGIS, validity of the result is NOT guaranteed — snap is a
+# pre-noding/matching tool, not a repair.
+
+
+def _snap_seq_to_ref(seq, ref_pts, tol: float):
+    snapped = []
+    for v in seq:
+        best = None  # (dist, ref vertex)
+        for r in ref_pts:
+            d = math.hypot(v[0] - r[0], v[1] - r[1])
+            if d <= tol and (best is None or d < best[0]):
+                best = (d, r)
+        p = best[1] if best is not None else tuple(v)
+        if not snapped or snapped[-1] != p:
+            snapped.append(p)
+    out = [snapped[0]]
+    for a, b in zip(snapped, snapped[1:]):
+        inserts = []
+        for r in ref_pts:
+            if r == a or r == b:
+                continue
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            den = dx * dx + dy * dy
+            if den == 0.0:
+                continue
+            t = ((r[0] - a[0]) * dx + (r[1] - a[1]) * dy) / den
+            if not (0.0 < t < 1.0):
+                continue
+            ex, ey = r[0] - (a[0] + t * dx), r[1] - (a[1] + t * dy)
+            if math.hypot(ex, ey) <= tol:
+                inserts.append((t, r))
+        for _t, r in sorted(inserts):
+            if out[-1] != r:
+                out.append(r)
+        if out[-1] != b:
+            out.append(b)
+    return out
+
+
+def snap(wkt, ref_wkt, tol) -> str | None:
+    t = _num_arg(tol)
+    if t is None or t < 0 or wkt is None or ref_wkt is None:
+        return None
+    g = G.parse_wkt(str(wkt).strip())
+    ref = G.parse_wkt(str(ref_wkt).strip())
+    if g is None or ref is None:
+        return None
+    if t == 0.0:
+        return G.to_wkt(g)  # PostGIS: zero tolerance returns the input
+    ref_pts = G._points(ref)
+    if not ref_pts or not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in ref_pts
+    ):
+        return None
+
+    def seq(s):
+        out = _snap_seq_to_ref(s, ref_pts, t)
+        if s[0] == s[-1] and out[0] != out[-1]:  # re-close a snapped ring
+            out.append(out[0])
+        return out
+
+    if g.kind == "Point":
+        return G.to_wkt(Geometry("Point", seq([g.coords])[0]))
+    if g.kind == "MultiPoint":
+        return G.to_wkt(
+            Geometry("MultiPoint", [seq([p])[0] for p in g.coords])
+        )
+    if g.kind == "LineString":
+        out = seq(g.coords)
+        return G.to_wkt(Geometry("LineString", out)) if len(out) >= 2 else None
+    if g.kind == "MultiLineString":
+        parts = [seq(line) for line in g.coords]
+        parts = [p for p in parts if len(p) >= 2]
+        return G.to_wkt(Geometry("MultiLineString", parts)) if parts else None
+    if g.kind == "Polygon":
+        rings = [seq(r) for r in g.coords]
+        rings = [r for r in rings if len(r) >= 4]
+        return G.to_wkt(Geometry("Polygon", rings)) if rings else None
+    if g.kind == "MultiPolygon":
+        polys = []
+        for poly in g.coords:
+            rings = [seq(r) for r in poly]
+            rings = [r for r in rings if len(r) >= 4]
+            if rings:
+                polys.append(rings)
+        return G.to_wkt(Geometry("MultiPolygon", polys)) if polys else None
+    return None  # GeometryCollection: loud NULL (rare; same as segmentize)
+
+
+@pandas_udf(StringType())
+def st_snap(w: pd.Series, r: pd.Series, t: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c in zip(w, r, t):
+        try:
+            out.append(snap(a, b, c))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
 @pandas_udf(StringType())
 def st_addpoint(w: pd.Series, p: pd.Series, i: pd.Series) -> pd.Series:
     return pd.Series(
@@ -239,6 +353,7 @@ def st_expand(w: pd.Series, d: pd.Series) -> pd.Series:
 
 
 ALL_EDITOR_FUNCTIONS = {
+    "st_snap": st_snap,
     "st_addpoint": st_addpoint,
     "st_setpoint": st_setpoint,
     "st_removepoint": st_removepoint,

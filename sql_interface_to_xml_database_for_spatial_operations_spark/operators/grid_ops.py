@@ -50,6 +50,7 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.editors import register_editor_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
     from ..functions.spatial import register_spatial_functions
@@ -57,6 +58,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_spatial_functions(spark)
     register_grid_functions(spark)
     register_simplify_functions(spark)  # the r13 vw/spt/redp families
+    register_editor_functions(spark)  # st_snap (r13)
 
 
 def _micro(expr: str) -> str:
@@ -188,6 +190,17 @@ _FAMILIES = {
     "spt_keep": f"st_simplifypreservetopology({_BOX}, 1000000.0D)",
     "spt_collinear": f"st_simplifypreservetopology({_MIDPT_BOX}, 0.0D)",
     "redp": f"st_reduceprecision({_QUARTER_BOX}, 1.0D)",
+    # ST_Snap (r13, functions/editors.py): vertex snap pulls the bump
+    # vertex down to the reference point; segment snap inserts a
+    # reference vertex lying 1 unit off the bottom edge; a too-small
+    # tolerance echoes the input
+    "snap_v": f"st_snap({_VW_LINE}, 'POINT (' || {pt_sql(10, 0)} || ')', 2.0D)",
+    "snap_seg": (
+        f"st_snap({_RING_LINE}, 'MULTIPOINT (' || {pt_sql(10, 1)} || ')', 2.0D)"
+    ),
+    "snap_noop": (
+        f"st_snap({_RING_LINE}, 'MULTIPOINT (' || {pt_sql(10, 5)} || ')', 2.0D)"
+    ),
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -351,6 +364,17 @@ _ORACLE_VALS = {
     "spt_keep": _BOX,
     "spt_collinear": _BOX,
     "redp": _BOX,
+    "snap_v": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '",
+        pt_sql(10, 0), "', '", pt_sql(20, 0), "', '",
+        pt_sql(30, 5), "', '", pt_sql(40, 0), "')'",
+    ),
+    "snap_seg": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", pt_sql(10, 1), "', '",
+        CORNERS["br"], "', '", CORNERS["tr"], "', '", CORNERS["tl"],
+        "', '", CORNERS["bl"], "')'",
+    ),
+    "snap_noop": _RING_LINE,
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

@@ -349,3 +349,59 @@ class TestClusterGeo:
         ).collect()[0]
         assert rows["n"] == 2
         assert rows["bad"] is None
+
+
+class TestSnap:
+    """ST_Snap (r13, functions/editors.py): GEOS LineStringSnapper —
+    vertex snap then reference-vertex insertion into segments."""
+
+    def _s(self, w, r, t):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import snap
+
+        return snap(w, r, t)
+
+    def test_vertex_snap(self):
+        got = self._s("LINESTRING (0 0, 10 1, 20 0)", "MULTIPOINT (10 0)", 2.0)
+        assert got == "LINESTRING (0 0, 10 0, 20 0)"
+
+    def test_segment_insertion_ordered_by_parameter(self):
+        got = self._s(
+            "LINESTRING (0 0, 20 0)",
+            "POLYGON ((9 1, 11 1, 11 3, 9 3, 9 1))",
+            1.5,
+        )
+        assert got == "LINESTRING (0 0, 9 1, 11 1, 20 0)"
+
+    def test_out_of_tolerance_echo_and_zero_tolerance(self):
+        line = "LINESTRING (0 0, 10 1, 20 0)"
+        assert self._s(line, "MULTIPOINT (10 5)", 2.0) == "LINESTRING (0 0, 20 0)".replace(
+            "0 0, 20 0", "0 0, 10 1, 20 0"
+        )
+        assert self._s(line, "MULTIPOINT (10 0)", 0.0) == line
+
+    def test_ring_closure_preserved(self):
+        got = self._s(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+            "MULTIPOINT (0.5 0.5, 5 -1)",
+            1.5,
+        )
+        assert got == "POLYGON ((0.5 0.5, 5 -1, 10 0, 10 10, 0 10, 0.5 0.5))"
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+
+        g = G.parse_wkt(got)
+        assert g.coords[0][0] == g.coords[0][-1]
+
+    def test_closest_reference_vertex_wins(self):
+        got = self._s("POINT (5 0)", "MULTIPOINT (5 2, 5 1)", 3.0)
+        assert got == "POINT (5 1)"
+
+    def test_gates(self, spark):
+        row = spark.sql(
+            "SELECT st_snap('LINESTRING (0 0, 10 1, 20 0)',"
+            " 'MULTIPOINT (10 0)', 2.0D) AS s,"
+            " st_snap('JUNK', 'POINT (0 0)', 1.0D) AS junk,"
+            " st_snap('POINT (0 0)', 'POINT (1 1)', -1.0D) AS neg,"
+            " st_snap('POINT (0 0)', 'POINT (nan nan)', 1.0D) AS nf"
+        ).collect()[0]
+        assert row["s"] == "LINESTRING (0 0, 10 0, 20 0)"
+        assert row["junk"] is None and row["neg"] is None and row["nf"] is None

@@ -134,6 +134,7 @@ _NULL_ARGS = {
     "st_union_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_simplify": f"{S}, {D}",
     "st_snaptogrid": f"{S}, {D}",
+    "st_snap": f"{S}, {S}, {D}",
     "st_simplifyvw": f"{S}, {D}",
     "st_simplifypreservetopology": f"{S}, {D}",
     "st_reduceprecision": f"{S}, {D}",
