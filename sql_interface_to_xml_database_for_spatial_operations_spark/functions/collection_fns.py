@@ -30,6 +30,8 @@ Scale shape: map-only Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -108,6 +110,140 @@ def dumpparts_wkt(w) -> list[str] | None:
     return [G.to_wkt(p) for p in _flatten(g)]
 
 
+# ---------------------------------------------------------------------------
+# collection shape tools (r13): ST_CollectionExtract /
+# ST_CollectionHomogenize / ST_Points / ST_BoundingDiagonal
+# ---------------------------------------------------------------------------
+
+_TYPE_KIND = {1: "Point", 2: "LineString", 3: "Polygon"}
+
+
+def collectionextract_wkt(w, typ) -> str | None:
+    """PostGIS ST_CollectionExtract(g, type): the MULTI* of the
+    requested dimension's members (recursively flattened); no matching
+    member → the typed EMPTY multi. type ∉ {1,2,3} → loud NULL."""
+    if w is None or typ is None:
+        return None
+    try:
+        t = int(typ)
+    except (TypeError, ValueError):
+        return None
+    if t not in _TYPE_KIND:
+        return None
+    kind = _TYPE_KIND[t]
+    empty = _EMPTY_MULTI[
+        {"Point": "POINT", "LineString": "LINESTRING", "Polygon": "POLYGON"}[kind]
+    ]
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return empty
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    members = [p.coords for p in _flatten(g) if p.kind == kind]
+    if not members:
+        return empty
+    return G.to_wkt(Geometry(_MULTI_OF[kind], members))
+
+
+def collectionhomogenize_wkt(w) -> str | None:
+    """PostGIS ST_CollectionHomogenize: the simplest representation of
+    the flattened members — a single member comes back bare, same-kind
+    members as the MULTI*, mixed kinds as a flat GEOMETRYCOLLECTION;
+    an empty collection is a loud NULL (nothing to represent)."""
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return None
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    parts = _flatten(g)
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return G.to_wkt(parts[0])
+    kinds = {p.kind for p in parts}
+    if len(kinds) == 1 and parts[0].kind in _MULTI_OF:
+        return G.to_wkt(
+            Geometry(_MULTI_OF[parts[0].kind], [p.coords for p in parts])
+        )
+    return G.to_wkt(Geometry("GeometryCollection", parts))
+
+
+def points_wkt(w) -> str | None:
+    """PostGIS ST_Points: every vertex as a MULTIPOINT, duplicates
+    (ring closures included) preserved in serialized order."""
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return "MULTIPOINT EMPTY"
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    pts = G._points(g)
+    return G.to_wkt(Geometry("MultiPoint", pts)) if pts else None
+
+
+def boundingdiagonal_wkt(w) -> str | None:
+    """PostGIS ST_BoundingDiagonal: the LINESTRING from the envelope's
+    min corner to its max corner (degenerate for points — PostGIS
+    emits the zero-length diagonal)."""
+    if w is None:
+        return None
+    s = str(w).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return "LINESTRING EMPTY"
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    pts = G._points(g)
+    if not pts or not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in pts
+    ):
+        return None
+    minx, miny, maxx, maxy = G.bbox(g)
+    return G.to_wkt(Geometry("LineString", [(minx, miny), (maxx, maxy)]))
+
+
+@pandas_udf(StringType())
+def st_collectionextract(wkt: pd.Series, typ: pd.Series) -> pd.Series:
+    out = []
+    for w, t in zip(wkt, typ):
+        try:
+            if t is None or (isinstance(t, float) and pd.isna(t)):
+                out.append(None)
+            else:
+                out.append(collectionextract_wkt(w, int(t)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _unary_wkt_udf(kernel):
+    def run(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            try:
+                out.append(kernel(w))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return run
+
+
+st_collectionhomogenize = pandas_udf(
+    _unary_wkt_udf(collectionhomogenize_wkt), StringType()
+)
+st_points = pandas_udf(_unary_wkt_udf(points_wkt), StringType())
+st_boundingdiagonal = pandas_udf(
+    _unary_wkt_udf(boundingdiagonal_wkt), StringType()
+)
+
+
 @pandas_udf(StringType())
 def st_collect(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
@@ -145,6 +281,10 @@ ALL_COLLECTION_FUNCTIONS = {
     "st_collect": st_collect,
     "st_multi": st_multi,
     "st_dumpparts": st_dumpparts,
+    "st_collectionextract": st_collectionextract,
+    "st_collectionhomogenize": st_collectionhomogenize,
+    "st_points": st_points,
+    "st_boundingdiagonal": st_boundingdiagonal,
 }
 
 

@@ -50,6 +50,7 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.collection_fns import register_collection_functions
     from ..functions.editors import register_editor_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
@@ -59,6 +60,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_grid_functions(spark)
     register_simplify_functions(spark)  # the r13 vw/spt/redp families
     register_editor_functions(spark)  # st_snap (r13)
+    register_collection_functions(spark)  # shape tools (r13)
 
 
 def _micro(expr: str) -> str:
@@ -141,6 +143,11 @@ def _qpt(xe: str, ye: str) -> str:
     )
 
 
+_MIXED_GC = sql_concat(
+    "'GEOMETRYCOLLECTION (POINT ('", CORNERS["tl"],
+    "'), LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "'))'",
+)
+
 _QUARTER_BOX = sql_concat(
     "'POLYGON (('",
     _qpt("minx + 0.25", "miny - 0.25"), "', '",
@@ -201,6 +208,12 @@ _FAMILIES = {
     "snap_noop": (
         f"st_snap({_RING_LINE}, 'MULTIPOINT (' || {pt_sql(10, 5)} || ')', 2.0D)"
     ),
+    # collection shape tools (r13, functions/collection_fns.py)
+    "cext_line": f"st_collectionextract({_MIXED_GC}, 2)",
+    "cext_empty": f"st_collectionextract('MULTIPOINT (1 1)', 3)",
+    "chom": f"st_collectionhomogenize('MULTIPOINT (' || {pt_sql(3, 4)} || ')')",
+    "pts": f"st_points({_SMALL_SQ})",
+    "bdiag": f"st_boundingdiagonal({_ROTATED})",
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -375,6 +388,20 @@ _ORACLE_VALS = {
         "', '", CORNERS["bl"], "')'",
     ),
     "snap_noop": _RING_LINE,
+    "cext_line": sql_concat(
+        "'MULTILINESTRING (('", CORNERS["bl"], "', '", CORNERS["br"], "'))'",
+    ),
+    "cext_empty": "'MULTIPOLYGON EMPTY'",
+    "chom": sql_concat("'POINT ('", pt_sql(3, 4), "')'"),
+    "pts": sql_concat(
+        "'MULTIPOINT ('",
+        pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",
+        pt_sql(1, 2), "', '", pt_sql(1, 1),
+        "')'",
+    ),
+    "bdiag": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["tr"], "')'",
+    ),
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

@@ -76,3 +76,47 @@ def test_collect_junk_and_empty_are_loud_nulls():
     assert collect_wkt("POINT (3 4)", "junk ((") is None
     assert collect_wkt("POINT EMPTY", "POINT (3 4)") is None
     assert collect_wkt("POINT EMPTY", "POINT EMPTY") is None
+
+
+class TestShapeTools:
+    """r13: ST_CollectionExtract / ST_CollectionHomogenize / ST_Points /
+    ST_BoundingDiagonal."""
+
+    def test_sql_surface(self, spark):
+        gc = (
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 5 0),"
+            " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), MULTIPOINT (9 9, 8 8))"
+        )
+        row = spark.sql(
+            f"SELECT st_collectionextract('{gc}', 1) AS p,"
+            f" st_collectionextract('{gc}', 2) AS l,"
+            f" st_collectionextract('{gc}', 3) AS a,"
+            f" st_collectionextract('{gc}', 4) AS bad,"
+            f" st_collectionextract('POINT (1 1)', 3) AS none,"
+            " st_collectionhomogenize('MULTIPOINT (1 1)') AS single,"
+            " st_collectionhomogenize('GEOMETRYCOLLECTION (POINT (1 1),"
+            " MULTIPOINT (2 2, 3 3))') AS merged,"
+            " st_points('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS pts,"
+            " st_boundingdiagonal('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))') AS bd,"
+            " st_boundingdiagonal('POINT (3 4)') AS bdp"
+        ).collect()[0]
+        assert row["p"] == "MULTIPOINT (1 2, 9 9, 8 8)"
+        assert row["l"] == "MULTILINESTRING ((0 0, 5 0))"
+        assert row["a"] == "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))"
+        assert row["bad"] is None
+        assert row["none"] == "MULTIPOLYGON EMPTY"
+        assert row["single"] == "POINT (1 1)"
+        assert row["merged"] == "MULTIPOINT (1 1, 2 2, 3 3)"
+        assert row["pts"] == "MULTIPOINT (0 0, 2 0, 2 2, 0 2, 0 0)"
+        assert row["bd"] == "LINESTRING (0 0, 2 2)"
+        assert row["bdp"] == "LINESTRING (3 4, 3 4)"
+
+    def test_homogenize_collapses_nested_singleton(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
+            collectionhomogenize_wkt,
+        )
+
+        got = collectionhomogenize_wkt(
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))))"
+        )
+        assert got == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
