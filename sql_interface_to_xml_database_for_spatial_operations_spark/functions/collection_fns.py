@@ -119,9 +119,12 @@ _TYPE_KIND = {1: "Point", 2: "LineString", 3: "Polygon"}
 
 
 def collectionextract_wkt(w, typ) -> str | None:
-    """PostGIS ST_CollectionExtract(g, type): the MULTI* of the
-    requested dimension's members (recursively flattened); no matching
-    member → the typed EMPTY multi. type ∉ {1,2,3} → loud NULL."""
+    """PostGIS 3.x ST_CollectionExtract(g, type): a GEOMETRYCOLLECTION
+    yields the MULTI* of the requested dimension's members (recursively
+    flattened); atomic and Multi* NON-collection inputs pass through
+    UNCHANGED when their type matches (PostGIS does not re-wrap them)
+    and yield the typed EMPTY multi when it doesn't; no matching member
+    → the typed EMPTY multi. type ∉ {1,2,3} → loud NULL."""
     if w is None or typ is None:
         return None
     try:
@@ -140,6 +143,9 @@ def collectionextract_wkt(w, typ) -> str | None:
     g = G.parse_wkt(s)
     if g is None:
         return None
+    if g.kind != "GeometryCollection":
+        matches = g.kind == kind or g.kind == _MULTI_OF[kind]
+        return G.to_wkt(g) if matches else empty
     members = [p.coords for p in _flatten(g) if p.kind == kind]
     if not members:
         return empty
@@ -204,7 +210,10 @@ def boundingdiagonal_wkt(w) -> str | None:
         math.isfinite(x) and math.isfinite(y) for x, y in pts
     ):
         return None
-    minx, miny, maxx, maxy = G.bbox(g)
+    minx = min(p[0] for p in pts)
+    miny = min(p[1] for p in pts)
+    maxx = max(p[0] for p in pts)
+    maxy = max(p[1] for p in pts)
     return G.to_wkt(Geometry("LineString", [(minx, miny), (maxx, maxy)]))
 
 

@@ -208,37 +208,45 @@ def expand(wkt, dist) -> str | None:
 # ST_Snap (r13)
 # ---------------------------------------------------------------------------
 #
-# GEOS LineStringSnapper semantics, per coordinate sequence of the
+# GEOS/JTS LineStringSnapper semantics, per coordinate sequence of the
 # INPUT, against the REFERENCE geometry's vertices:
-#   1. vertex snap — every input vertex moves to the closest reference
-#      vertex within tolerance (strictly closest wins; an exact-tie
-#      keeps the earlier reference vertex in serialized order);
-#   2. segment snap — every reference vertex within tolerance of an
-#      input segment's interior (projection parameter strictly inside
-#      (0,1), not coincident with either endpoint) is INSERTED into the
-#      segment, ordered by the projection parameter.
+#   1. vertex snap (findSnapForVertex) — each input vertex moves to the
+#      FIRST reference vertex (serialized order) strictly within
+#      tolerance; a vertex exactly equal to a reference vertex does not
+#      snap at all (JTS returns null there);
+#   2. segment snap (findSegmentIndexToSnap) — each reference vertex
+#      strictly within tolerance of some segment's interior is inserted
+#      into its single CLOSEST segment only (distance tie → the earlier
+#      segment), ordered within a segment by projection parameter.
 # Consecutive duplicates collapse; ring closure is preserved. Like
 # PostGIS, validity of the result is NOT guaranteed — snap is a
-# pre-noding/matching tool, not a repair.
+# pre-noding/matching tool, not a repair. Typed-EMPTY input or
+# reference echoes the input (nothing to snap / snap to), the module's
+# _empty_kind convention and PostGIS behavior.
 
 
 def _snap_seq_to_ref(seq, ref_pts, tol: float):
     snapped = []
     for v in seq:
-        best = None  # (dist, ref vertex)
+        p = tuple(v)
         for r in ref_pts:
             d = math.hypot(v[0] - r[0], v[1] - r[1])
-            if d <= tol and (best is None or d < best[0]):
-                best = (d, r)
-        p = best[1] if best is not None else tuple(v)
+            if d == 0.0:
+                break  # already a reference vertex: JTS does not snap
+            if d < tol:
+                p = r
+                break  # FIRST in-tolerance reference vertex wins (JTS)
+            # else keep scanning
         if not snapped or snapped[-1] != p:
             snapped.append(p)
-    out = [snapped[0]]
-    for a, b in zip(snapped, snapped[1:]):
-        inserts = []
-        for r in ref_pts:
+    # each reference vertex goes into its single closest segment
+    by_seg: dict[int, list] = {}
+    for r in ref_pts:
+        best = None  # (dist, seg index, t)
+        for i, (a, b) in enumerate(zip(snapped, snapped[1:])):
             if r == a or r == b:
-                continue
+                best = None
+                break  # already a vertex of the sequence: no insert
             dx, dy = b[0] - a[0], b[1] - a[1]
             den = dx * dx + dy * dy
             if den == 0.0:
@@ -247,9 +255,14 @@ def _snap_seq_to_ref(seq, ref_pts, tol: float):
             if not (0.0 < t < 1.0):
                 continue
             ex, ey = r[0] - (a[0] + t * dx), r[1] - (a[1] + t * dy)
-            if math.hypot(ex, ey) <= tol:
-                inserts.append((t, r))
-        for _t, r in sorted(inserts):
+            d = math.hypot(ex, ey)
+            if d < tol and (best is None or d < best[0]):
+                best = (d, i, t)
+        if best is not None:
+            by_seg.setdefault(best[1], []).append((best[2], r))
+    out = [snapped[0]]
+    for i, b in enumerate(snapped[1:]):
+        for _t, r in sorted(by_seg.get(i, [])):
             if out[-1] != r:
                 out.append(r)
         if out[-1] != b:
@@ -261,10 +274,21 @@ def snap(wkt, ref_wkt, tol) -> str | None:
     t = _num_arg(tol)
     if t is None or t < 0 or wkt is None or ref_wkt is None:
         return None
+    empty = _empty_kind(wkt)
+    if empty is not None:
+        return f"{empty} EMPTY"  # nothing to snap: echo (PostGIS)
     g = G.parse_wkt(str(wkt).strip())
-    ref = G.parse_wkt(str(ref_wkt).strip())
-    if g is None or ref is None:
+    if g is None:
         return None
+    if _empty_kind(ref_wkt) is not None:
+        return G.to_wkt(g)  # nothing to snap TO: echo (PostGIS)
+    ref = G.parse_wkt(str(ref_wkt).strip())
+    if ref is None:
+        return None
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
+    ):
+        return None  # non-finite input coords: loud NULL (r13 stance)
     if t == 0.0:
         return G.to_wkt(g)  # PostGIS: zero tolerance returns the input
     ref_pts = G._points(ref)
@@ -293,18 +317,27 @@ def snap(wkt, ref_wkt, tol) -> str | None:
         parts = [p for p in parts if len(p) >= 2]
         return G.to_wkt(Geometry("MultiLineString", parts)) if parts else None
     if g.kind == "Polygon":
-        rings = [seq(r) for r in g.coords]
-        rings = [r for r in rings if len(r) >= 4]
+        rings = _snap_rings(g.coords, seq)
         return G.to_wkt(Geometry("Polygon", rings)) if rings else None
     if g.kind == "MultiPolygon":
         polys = []
         for poly in g.coords:
-            rings = [seq(r) for r in poly]
-            rings = [r for r in rings if len(r) >= 4]
-            if rings:
-                polys.append(rings)
+            rings = _snap_rings(poly, seq)
+            if rings is None:
+                return None  # a collapsed shell nulls the whole result
+            polys.append(rings)
         return G.to_wkt(Geometry("MultiPolygon", polys)) if polys else None
     return None  # GeometryCollection: loud NULL (rare; same as segmentize)
+
+
+def _snap_rings(rings, seq):
+    """Snapped rings of one polygon: a collapsed SHELL is a loud NULL
+    (keeping a surviving hole would silently promote it to shell —
+    review r13); collapsed holes drop as degenerate."""
+    out = [seq(r) for r in rings]
+    if len(out[0]) < 4:
+        return None
+    return [out[0]] + [h for h in out[1:] if len(h) >= 4]
 
 
 @pandas_udf(StringType())

@@ -120,3 +120,16 @@ class TestShapeTools:
             "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))))"
         )
         assert got == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+
+
+def test_collectionextract_atomic_and_multi_passthrough(spark):
+    # PostGIS 3.x: non-collection inputs of the matching type come back
+    # UNCHANGED (review r13), not re-wrapped
+    row = spark.sql(
+        "SELECT st_collectionextract('POINT (1 1)', 1) AS p,"
+        " st_collectionextract('MULTILINESTRING ((0 0, 1 1))', 2) AS ml,"
+        " st_collectionextract('MULTIPOINT (1 1, 2 2)', 2) AS miss"
+    ).collect()[0]
+    assert row["p"] == "POINT (1 1)"
+    assert row["ml"] == "MULTILINESTRING ((0 0, 1 1))"
+    assert row["miss"] == "MULTILINESTRING EMPTY"

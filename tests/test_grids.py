@@ -374,9 +374,7 @@ class TestSnap:
 
     def test_out_of_tolerance_echo_and_zero_tolerance(self):
         line = "LINESTRING (0 0, 10 1, 20 0)"
-        assert self._s(line, "MULTIPOINT (10 5)", 2.0) == "LINESTRING (0 0, 20 0)".replace(
-            "0 0, 20 0", "0 0, 10 1, 20 0"
-        )
+        assert self._s(line, "MULTIPOINT (10 5)", 2.0) == line
         assert self._s(line, "MULTIPOINT (10 0)", 0.0) == line
 
     def test_ring_closure_preserved(self):
@@ -391,9 +389,47 @@ class TestSnap:
         g = G.parse_wkt(got)
         assert g.coords[0][0] == g.coords[0][-1]
 
-    def test_closest_reference_vertex_wins(self):
+    def test_first_in_tolerance_reference_vertex_wins(self):
+        # JTS findSnapForVertex: FIRST strictly-in-tolerance snap point
+        # in serialized order, not the closest (review r13 parity fix)
         got = self._s("POINT (5 0)", "MULTIPOINT (5 2, 5 1)", 3.0)
-        assert got == "POINT (5 1)"
+        assert got == "POINT (5 2)"
+        # exactly-on-a-reference-vertex does not snap; d == tol does not
+        # snap (strict <)
+        assert self._s("POINT (5 0)", "MULTIPOINT (5 0, 5 1)", 3.0) == "POINT (5 0)"
+        assert self._s("POINT (5 0)", "MULTIPOINT (5 2)", 2.0) == "POINT (5 0)"
+
+    def test_segment_insert_goes_to_single_closest_segment(self):
+        # JTS findSegmentIndexToSnap: one insertion only — the corner
+        # point must not zigzag into both adjacent segments (review
+        # r13). tol 2: too far for a vertex snap (corner distance
+        # ~2.12), equidistant (1.5) from both segments — the tie goes
+        # to the EARLIER segment, once.
+        got = self._s("LINESTRING (10 0, 0 0, 0 10)", "MULTIPOINT (1.5 1.5)", 2.0)
+        assert got == "LINESTRING (10 0, 1.5 1.5, 0 0, 0 10)"
+        # at tol 3 the corner vertex itself snaps first (JTS order:
+        # snapVertices then snapSegments), so no insertion remains
+        got = self._s("LINESTRING (10 0, 0 0, 0 10)", "MULTIPOINT (1.5 1.5)", 3.0)
+        assert got == "LINESTRING (10 0, 1.5 1.5, 0 10)"
+
+    def test_collapsed_shell_is_loud_null_not_promoted_hole(self):
+        got = self._s(
+            "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0),"
+            " (40 40, 60 40, 60 60, 40 60, 40 40))",
+            "MULTIPOINT (50 -30, 50 130)",
+            60.0,
+        )
+        assert got is None
+
+    def test_empty_operands_echo(self):
+        assert self._s("LINESTRING EMPTY", "POINT (0 0)", 1.0) == "LINESTRING EMPTY"
+        assert (
+            self._s("LINESTRING (0 0, 10 0)", "POINT EMPTY", 1.0)
+            == "LINESTRING (0 0, 10 0)"
+        )
+
+    def test_non_finite_input_is_null(self):
+        assert self._s("LINESTRING (nan 0, 10 0)", "POINT (0 0)", 1.0) is None
 
     def test_gates(self, spark):
         row = spark.sql(
