@@ -417,6 +417,82 @@ def st_project(wkt: pd.Series, distance: pd.Series, azimuth: pd.Series) -> pd.Se
     return pd.Series(out, dtype=object)
 
 
+# --- deterministic point sampling (r13) ------------------------------------
+#
+# ST_GeneratePoints(geom, n, seed): points inside an areal geometry.
+# DOCUMENTED DIVERGENCE from PostGIS: PostGIS draws from its own PRNG
+# (irreproducible across engines); this engine uses the (2,3)-Halton
+# low-discrepancy sequence over the bbox with point-in-polygon
+# rejection — bit-reproducible anywhere (the property a training-data
+# pipeline actually wants from seeded sampling), better-spread than
+# uniform PRNG draws, and SQL-mirrorable for the oracle (radical
+# inverse base 2 is exact dyadic arithmetic; base 3 is a term-for-term
+# float mirror). `seed` offsets the sequence start (k = seed+1, ...).
+# Candidates are capped at 64·n + 1024 — a polygon thin enough to
+# reject that much of its bbox is a loud NULL, never a stall.
+
+
+def _radical_inverse(k: int, base: int) -> float:
+    inv = 0.0
+    denom = float(base)
+    while k > 0:
+        inv += (k % base) / denom
+        k //= base
+        denom *= base
+    return inv
+
+
+def generate_points(wkt, n, seed=0) -> str | None:
+    try:
+        n = int(n)
+        seed = int(seed)
+    except (TypeError, ValueError):
+        return None
+    if n < 0 or seed < 0:
+        return None
+    if n == 0:
+        return "MULTIPOINT EMPTY"
+    g = _bounds_of(wkt)  # finite-coords + parse gate
+    if g is None:
+        return None
+    geom = G.parse_wkt(str(wkt).strip())
+    if geom.kind not in ("Polygon", "MultiPolygon"):
+        return None  # PostGIS: only areal inputs produce points
+    minx, miny, maxx, maxy = g
+    w, h = maxx - minx, maxy - miny
+    if w <= 0 or h <= 0:
+        return None  # degenerate areal bbox
+    pts = []
+    k = seed
+    budget = 64 * n + 1024
+    while len(pts) < n and budget > 0:
+        k += 1
+        budget -= 1
+        p = (
+            minx + _radical_inverse(k, 2) * w,
+            miny + _radical_inverse(k, 3) * h,
+        )
+        if G.within(Geometry("Point", p), geom):
+            pts.append(p)
+    if len(pts) < n:
+        return None  # rejection budget exhausted: loud NULL
+    return G.to_wkt(Geometry("MultiPoint", pts))
+
+
+@pandas_udf(StringType())
+def st_generatepoints(wkt: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    out = []
+    for w, c, s in zip(wkt, n, seed):
+        try:
+            if c is None or s is None or pd.isna(c) or pd.isna(s):
+                out.append(None)
+            else:
+                out.append(generate_points(w, int(c), int(s)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_GRID_FUNCTIONS = {
     "st_squaregrid": st_squaregrid,
     "st_hexagongrid": st_hexagongrid,
@@ -427,6 +503,7 @@ ALL_GRID_FUNCTIONS = {
     "st_normalize": st_normalize,
     "st_swapordinates": st_swapordinates,
     "st_project": st_project,
+    "st_generatepoints": st_generatepoints,
 }
 
 

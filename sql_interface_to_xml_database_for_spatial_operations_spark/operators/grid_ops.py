@@ -143,6 +143,16 @@ def _qpt(xe: str, ye: str) -> str:
     )
 
 
+# generate-points fixture (r13): the right triangle (bl, br, tl).
+# Halton fx+fy < 1 selects k = 1,2,3,4,6,8 for EVERY box (the fractions
+# are box-independent), so the oracle mirrors the selected terms'
+# float arithmetic literally: x = minx + rad2(k)·w (exact dyadic),
+# y = miny + rad3(k)·h (term-for-term float mirror, engine digit order)
+_TRI_GEN = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+
 _MIXED_GC = sql_concat(
     "'GEOMETRYCOLLECTION (POINT ('", CORNERS["tl"],
     "'), LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "'))'",
@@ -214,6 +224,22 @@ _FAMILIES = {
     "chom": f"st_collectionhomogenize('MULTIPOINT (' || {pt_sql(3, 4)} || ')')",
     "pts": f"st_points({_SMALL_SQ})",
     "bdiag": f"st_boundingdiagonal({_ROTATED})",
+    # deterministic Halton point sampling (r13)
+    "genpt_n": int_str(
+        f"size(st_dumppoints(st_generatepoints({_TRI_GEN}, 6, 0)))"
+    ),
+    "genpt_p1x": _micro(
+        f"st_x(element_at(st_dumppoints(st_generatepoints({_TRI_GEN}, 6, 0)), 1))"
+    ),
+    "genpt_p1y": _micro(
+        f"st_y(element_at(st_dumppoints(st_generatepoints({_TRI_GEN}, 6, 0)), 1))"
+    ),
+    "genpt_p6y": _micro(
+        f"st_y(element_at(st_dumppoints(st_generatepoints({_TRI_GEN}, 6, 0)), 6))"
+    ),
+    "genpt_seeded_x": _micro(
+        f"st_x(element_at(st_dumppoints(st_generatepoints({_TRI_GEN}, 1, 5)), 1))"
+    ),
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -402,6 +428,12 @@ _ORACLE_VALS = {
     "bdiag": sql_concat(
         "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["tr"], "')'",
     ),
+    "genpt_n": "'6'",
+    "genpt_p1x": _micro("minx + 0.5 * (maxx - minx)"),
+    "genpt_p1y": _micro("miny + (1.0 / 3.0) * (maxy - miny)"),
+    "genpt_p6y": _micro("miny + (2.0 / 3.0 + 2.0 / 9.0) * (maxy - miny)"),
+    # seed 5 -> first candidate k = 6 is inside; rad2(6) = 0.375 exact
+    "genpt_seeded_x": _micro("minx + 0.375 * (maxx - minx)"),
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

@@ -441,3 +441,65 @@ class TestSnap:
         ).collect()[0]
         assert row["s"] == "LINESTRING (0 0, 10 0, 20 0)"
         assert row["junk"] is None and row["neg"] is None and row["nf"] is None
+
+
+class TestGeneratePoints:
+    """ST_GeneratePoints (r13): deterministic (2,3)-Halton sampling
+    with rejection — the documented reproducible divergence from
+    PostGIS's PRNG."""
+
+    def _gp(self, w, n, seed=0):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.grids import (
+            generate_points,
+        )
+
+        return generate_points(w, n, seed)
+
+    def test_all_points_inside_and_deterministic(self):
+        tri = "POLYGON ((0 0, 30 0, 0 20, 0 0))"
+        out = self._gp(tri, 6)
+        assert out == self._gp(tri, 6)  # bit-reproducible
+        g = P(out)
+        assert len(g.coords) == 6
+        for x, y in g.coords:
+            assert x > 0 and y > 0 and x / 30 + y / 20 < 1
+
+    def test_rejection_skips_outside_candidates(self):
+        # Halton k=5 (0.625, 7/9) falls outside the triangle: the 5th
+        # kept point must be k=6, not k=5
+        tri = "POLYGON ((0 0, 30 0, 0 20, 0 0))"
+        g = P(self._gp(tri, 5))
+        assert g.coords[4] == (0.375 * 30, (2.0 / 9.0) * 20)
+
+    def test_seed_offsets_sequence(self):
+        box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert self._gp(box, 2, 0) != self._gp(box, 2, 5)
+        # seed s yields the subsequence starting at k = s+1
+        a = P(self._gp(box, 5, 0)).coords
+        b = P(self._gp(box, 3, 2)).coords
+        assert list(b) == list(a[2:5])
+
+    def test_gates(self, spark):
+        row = spark.sql(
+            "SELECT st_generatepoints('POINT (1 1)', 3, 0) AS nonareal,"
+            " st_generatepoints('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', 0, 0) AS zero,"
+            " st_generatepoints('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', -1, 0) AS neg,"
+            " st_generatepoints('JUNK', 3, 0) AS junk"
+        ).collect()[0]
+        assert row["nonareal"] is None
+        assert row["zero"] == "MULTIPOINT EMPTY"
+        assert row["neg"] is None and row["junk"] is None
+
+    def test_rejection_budget_is_loud(self):
+        # a thin full-bbox polygon accepts everything (fine); a tiny
+        # triangle inside a polygon with a huge bbox rejects nearly
+        # every Halton candidate and must NULL at the budget, not stall
+        thin = "POLYGON ((0 0, 1000 0, 1000 0.001, 0 0.001, 0 0))"
+        assert self._gp(thin, 3) is not None
+        # two far-apart unit triangles: interior is ~1e-12 of the bbox,
+        # so the 64*3+1024-candidate budget cannot find 3 hits
+        sliver = (
+            "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)),"
+            " ((999999 999999, 1000000 999999, 999999 1000000, 999999 999999)))"
+        )
+        assert self._gp(sliver, 3) is None

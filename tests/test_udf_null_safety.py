@@ -175,6 +175,7 @@ _NULL_ARGS = {
     "st_project": f"{S}, {D}, {D}",
     "st_chaikinsmoothing": f"{S}, CAST(NULL AS INT)",
     "st_collectionextract": f"{S}, CAST(NULL AS INT)",
+    "st_generatepoints": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_scroll": f"{S}, {S}",
     "st_lineextend": f"{S}, {D}, {D}",
     "st_clusterintersecting": "CAST(NULL AS ARRAY<STRING>)",
