@@ -452,6 +452,8 @@ def generate_points(wkt, n, seed=0) -> str | None:
         return None
     if n == 0:
         return "MULTIPOINT EMPTY"
+    if n > _MAX_CELLS:
+        return None  # loud: sample a set this size distributed
     g = _bounds_of(wkt)  # finite-coords + parse gate
     if g is None:
         return None

@@ -490,6 +490,11 @@ class TestGeneratePoints:
         assert row["zero"] == "MULTIPOINT EMPTY"
         assert row["neg"] is None and row["junk"] is None
 
+    def test_count_bomb_gate(self):
+        # n past the 65,536 cap is a loud NULL, not a Python stall
+        box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert self._gp(box, 65_537) is None
+
     def test_rejection_budget_is_loud(self):
         # a thin full-bbox polygon accepts everything (fine); a tiny
         # triangle inside a polygon with a huge bbox rejects nearly
