@@ -450,32 +450,38 @@ def generate_points(wkt, n, seed=0) -> str | None:
         return None
     if n < 0 or seed < 0:
         return None
-    if n == 0:
-        return "MULTIPOINT EMPTY"
     if n > _MAX_CELLS:
         return None  # loud: sample a set this size distributed
-    g = _bounds_of(wkt)  # finite-coords + parse gate
-    if g is None:
+    if wkt is None:
         return None
     geom = G.parse_wkt(str(wkt).strip())
-    if geom.kind not in ("Polygon", "MultiPolygon"):
+    if geom is None or geom.kind not in ("Polygon", "MultiPolygon"):
         return None  # PostGIS: only areal inputs produce points
-    minx, miny, maxx, maxy = g
+    pts_all = G._points(geom)
+    if not pts_all or not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in pts_all
+    ):
+        return None
+    if n == 0:
+        return "MULTIPOINT EMPTY"  # a VALID areal input, zero samples
+    minx, miny, maxx, maxy = G.bbox(geom)
     w, h = maxx - minx, maxy - miny
     if w <= 0 or h <= 0:
         return None  # degenerate areal bbox
+    # hoist the ring lists once — the rejection loop runs up to
+    # 64·n + 1024 candidates per row, so per-candidate kind dispatch
+    # and Geometry wrappers are pure waste (review r13)
+    polys = G._polys(geom)
     pts = []
     k = seed
     budget = 64 * n + 1024
     while len(pts) < n and budget > 0:
         k += 1
         budget -= 1
-        p = (
-            minx + _radical_inverse(k, 2) * w,
-            miny + _radical_inverse(k, 3) * h,
-        )
-        if G.within(Geometry("Point", p), geom):
-            pts.append(p)
+        x = minx + _radical_inverse(k, 2) * w
+        y = miny + _radical_inverse(k, 3) * h
+        if any(G._point_in_polygon(x, y, rings) for rings in polys):
+            pts.append((x, y))
     if len(pts) < n:
         return None  # rejection budget exhausted: loud NULL
     return G.to_wkt(Geometry("MultiPoint", pts))
