@@ -490,6 +490,18 @@ class TestGeneratePoints:
         assert row["zero"] == "MULTIPOINT EMPTY"
         assert row["neg"] is None and row["junk"] is None
 
+    def test_n_zero_still_gates_invalid_inputs(self, spark):
+        # review r13: the MULTIPOINT EMPTY early return must not leak
+        # past the NULL/junk/non-areal gates
+        row = spark.sql(
+            "SELECT st_generatepoints(NULL, 0, 0) AS a,"
+            " st_generatepoints('JUNK', 0, 0) AS b,"
+            " st_generatepoints('POINT (1 1)', 0, 0) AS c,"
+            " st_generatepoints('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', 0, 0) AS d"
+        ).collect()[0]
+        assert row["a"] is None and row["b"] is None and row["c"] is None
+        assert row["d"] == "MULTIPOINT EMPTY"
+
     def test_count_bomb_gate(self):
         # n past the 65,536 cap is a loud NULL, not a Python stall
         box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
