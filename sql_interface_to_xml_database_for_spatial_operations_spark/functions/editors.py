@@ -280,15 +280,18 @@ def snap(wkt, ref_wkt, tol) -> str | None:
     g = G.parse_wkt(str(wkt).strip())
     if g is None:
         return None
+    # non-finite input coords: loud NULL (r13 stance) — checked BEFORE
+    # the empty-reference echo so garbage input cannot ride an EMPTY
+    # reference out as corrupt WKT
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
+    ):
+        return None
     if _empty_kind(ref_wkt) is not None:
         return G.to_wkt(g)  # nothing to snap TO: echo (PostGIS)
     ref = G.parse_wkt(str(ref_wkt).strip())
     if ref is None:
         return None
-    if not all(
-        math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
-    ):
-        return None  # non-finite input coords: loud NULL (r13 stance)
     if t == 0.0:
         return G.to_wkt(g)  # PostGIS: zero tolerance returns the input
     ref_pts = G._points(ref)

@@ -210,13 +210,21 @@ def nearest_pair(
     pb, sb = G._points(b), list(G._segments(b))
     if G.intersects(a, b):
         # a 0-dimensional operand's first member on the other geometry
-        # is the zero-distance witness; extended overlaps are loud NULL
+        # is the zero-distance witness; extended overlaps are loud
+        # NULL. Members are bbox-prescreened before the exact predicate
+        # (the per-member intersects re-walks the opposing geometry)
         if not sb:
+            bx0, by0, bx1, by1 = G.bbox(a)
             for p in pb:
+                if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
+                    continue
                 if G.intersects(a, Geometry("Point", p)):
                     return p, p
         if not sa:
+            bx0, by0, bx1, by1 = G.bbox(b)
             for p in pa:
+                if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
+                    continue
                 if G.intersects(Geometry("Point", p), b):
                     return p, p
         return None

@@ -520,6 +520,12 @@ def st_minimumclearance(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
+            # typed EMPTY has no candidates: infinite clearance (the
+            # documented contract; parse_wkt rejects EMPTY so it needs
+            # its own gate — review r13)
+            if w is not None and _ov._EMPTY_RE.match(str(w).strip().upper()):
+                out.append(math.inf)
+                continue
             g = G.parse_wkt_opt(w)
             if g is None:
                 out.append(None)
@@ -536,6 +542,9 @@ def st_minimumclearanceline(wkt: pd.Series) -> pd.Series:
     out = []
     for w in wkt:
         try:
+            if w is not None and _ov._EMPTY_RE.match(str(w).strip().upper()):
+                out.append("LINESTRING EMPTY")  # infinite clearance
+                continue
             g = G.parse_wkt_opt(w)
             if g is None:
                 out.append(None)

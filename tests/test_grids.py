@@ -520,3 +520,10 @@ class TestGeneratePoints:
             " ((999999 999999, 1000000 999999, 999999 1000000, 999999 999999)))"
         )
         assert self._gp(sliver, 3) is None
+
+
+def test_snap_nonfinite_input_beats_empty_reference_echo():
+    # review r13: garbage input must not ride an EMPTY reference out
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors import snap
+
+    assert snap("LINESTRING (0 0, 1e999 0)", "POINT EMPTY", 5.0) is None

@@ -266,3 +266,14 @@ class TestMinimumClearance:
         assert row["inf"] == "Infinity"
         assert row["le"] == "LINESTRING EMPTY"
         assert row["junk"] is None
+
+
+def test_minimum_clearance_typed_empty_is_infinite(spark):
+    # review r13: EMPTY has no candidates — infinite clearance per the
+    # module contract, not NULL
+    row = spark.sql(
+        "SELECT CAST(st_minimumclearance('LINESTRING EMPTY') AS STRING) AS c,"
+        " st_minimumclearanceline('POLYGON EMPTY') AS l"
+    ).collect()[0]
+    assert row["c"] == "Infinity"
+    assert row["l"] == "LINESTRING EMPTY"
