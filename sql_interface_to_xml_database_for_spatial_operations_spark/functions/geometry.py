@@ -391,7 +391,16 @@ def swap_axes(g: Geometry | None) -> Geometry | None:
 
 
 def _point_in_ring(x: float, y: float, ring: Ring) -> bool:
-    """Ray casting; boundary points count as inside."""
+    """Ray casting; boundary points count as inside. EXACT for finite
+    float coordinates (r14): both the on-segment test and the crossing
+    side test go through the filtered-exact ``_orient``, so a probe
+    within 1 ulp of an edge line classifies by its true side — the
+    documented float-coincident-boundary class. The old float ray
+    ``x < x1 + (y-y1)(x2-x1)/(y2-y1)`` is the same predicate as
+    orient(edge, probe) once the division is cleared by (y2-y1), whose
+    straddle-guarded sign flips the comparison for downward edges."""
+    if x != x or y != y:
+        return False  # NaN probe: the old float comparisons all failed
     inside = False
     n = len(ring)
     for i in range(n - 1):
@@ -399,13 +408,20 @@ def _point_in_ring(x: float, y: float, ring: Ring) -> bool:
         x2, y2 = ring[i + 1]
         # on-segment check
         if (min(x1, x2) <= x <= max(x1, x2)) and (min(y1, y2) <= y <= max(y1, y2)):
-            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
-            if cross == 0.0:
+            if _orient((x1, y1), (x2, y2), (x, y)) == 0:
                 return True
         if (y1 > y) != (y2 > y):
-            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-            if x < xint:
-                inside = not inside
+            if math.isfinite(x1) and math.isfinite(y1) and math.isfinite(x2) and math.isfinite(y2):
+                o = _orient((x1, y1), (x2, y2), (x, y))
+                if o > 0 if y2 > y1 else o < 0:
+                    inside = not inside
+            else:
+                # non-finite edge: byte-for-byte the legacy float ray
+                # (a NaN xint never toggles — the dissolve fallback
+                # contract depends on NaN probes classifying as outside)
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xint:
+                    inside = not inside
     return inside
 
 
@@ -422,7 +438,7 @@ def _point_in_polygon(x: float, y: float, rings: list[Ring]) -> bool:
                 if (
                     min(x1, x2) <= x <= max(x1, x2)
                     and min(y1, y2) <= y <= max(y1, y2)
-                    and (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) == 0.0
+                    and _orient((x1, y1), (x2, y2), (x, y)) == 0
                 ):
                     on_boundary = True
                     break
@@ -487,9 +503,7 @@ def _segments(g: Geometry):
 
 
 def _segs_intersect(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
-    def orient(p, q, r):
-        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
-        return 0 if v == 0 else (1 if v > 0 else -1)
+    orient = _orient  # filtered-exact (r14) — 1-ulp contacts classify truly
 
     def on_seg(p, q, r):
         return min(p[0], r[0]) <= q[0] <= max(p[0], r[0]) and min(p[1], r[1]) <= q[1] <= max(p[1], r[1])
@@ -555,11 +569,7 @@ def _segs_cross_properly(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
     each other's line. Touch-only contact (shared vertex, endpoint on the
     other segment, collinear overlap) does NOT count — those are legal
     for ``within`` (boundaries may touch)."""
-
-    def orient(p, q, r):
-        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
-        return 0 if v == 0 else (1 if v > 0 else -1)
-
+    orient = _orient  # filtered-exact (r14)
     o1, o2 = orient(a1, a2, b1), orient(a1, a2, b2)
     o3, o4 = orient(b1, b2, a1), orient(b1, b2, a2)
     return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
@@ -683,8 +693,46 @@ def _point_in_polygon_frac(px, py, rings: list[Ring], boundary: bool = True) -> 
     return cnt == 1
 
 
+# Conservative orientation filter bound (~9 ulp; Shewchuk's orient2d
+# stage-A constant is (3+16eps)*eps ~= 3.33e-16 but only covers the
+# final subtraction — this bound also dominates the rounding of the
+# coordinate differences and products, so a float result OUTSIDE the
+# bound is a PROVEN sign and anything inside falls to exact Fractions).
+# The absolute 5e-308 term keeps the guarantee through subnormal
+# underflow, where relative bounds say nothing.
+_ORIENT_ERR = 1e-15
+_ORIENT_ABS = 5e-308
+
+
+def _orient_exact(p: Point, q: Point, r: Point) -> int:
+    px, py = Fraction(p[0]), Fraction(p[1])
+    v = (Fraction(q[0]) - px) * (Fraction(r[1]) - py) - (
+        Fraction(q[1]) - py
+    ) * (Fraction(r[0]) - px)
+    return 0 if v == 0 else (1 if v > 0 else -1)
+
+
 def _orient(p: Point, q: Point, r: Point) -> int:
-    v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+    """EXACT sign of the cross product (q-p) x (r-p) for finite float
+    coordinates (r14: closes the documented float-coincident-boundary
+    predicate class — a probe within 1 ulp of a boundary line used to
+    classify by rounded float sign). Float fast path with a proven
+    error filter; ambiguous results re-evaluate in lossless Fractions.
+    Integer and Fraction coordinates were already exact (Python
+    arbitrary precision) and keep their old path; non-finite
+    coordinates keep the legacy float comparisons (NaN -> -1)."""
+    detl = (q[0] - p[0]) * (r[1] - p[1])
+    detr = (q[1] - p[1]) * (r[0] - p[0])
+    v = detl - detr
+    if isinstance(v, float):
+        err = _ORIENT_ERR * (abs(detl) + abs(detr)) + _ORIENT_ABS
+        if v > err:
+            return 1
+        if v < -err:
+            return -1
+        if math.isfinite(err):
+            return _orient_exact(p, q, r)
+        # non-finite coordinates: legacy behavior below
     return 0 if v == 0 else (1 if v > 0 else -1)
 
 
@@ -828,15 +876,24 @@ def intersects(g1: Geometry, g2: Geometry) -> bool:
     # the boundary-inclusive containment above.
     if dimension(g1) == 0 and dimension(g2) == 0:
         return bool(set(_points(g1)) & set(_points(g2)))
+    # exact on-segment test (r14): the old `_seg_distance(p,a,b) == 0.0`
+    # cancels catastrophically — a point ~1 ulp OFF a segment computed
+    # a float distance of exactly 0.0 (the float-coincident consistency
+    # fuzz caught it against the now-exact DE-9IM matrix)
     if dimension(g1) == 0 and segs2:
-        return any(
-            _seg_distance(p, a, b) == 0.0 for p in _points(g1) for a, b in segs2
-        )
+        return any(_pt_on_seg(p, a, b) for p in _points(g1) for a, b in segs2)
     if dimension(g2) == 0 and segs1:
-        return any(
-            _seg_distance(p, a, b) == 0.0 for p in _points(g2) for a, b in segs1
-        )
+        return any(_pt_on_seg(p, a, b) for p in _points(g2) for a, b in segs1)
     return False
+
+
+def _pt_on_seg(p: Point, a: Point, b: Point) -> bool:
+    """p lies exactly on segment ab (filtered-exact collinearity + bbox)."""
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+        and _orient(a, b, p) == 0
+    )
 
 
 def area(g: Geometry) -> float:

@@ -200,11 +200,24 @@ def _submidpoints(g, boundary_segs) -> list[Point]:
 def _segs_collinear_overlap(a1: Point, a2: Point, b1: Point, b2: Point) -> bool:
     """The two segments share a positive-length collinear stretch.
     Shared by the geometry-pair scan below and measures.is_simple."""
+    if G._orient(a1, a2, b1) != 0 or G._orient(a1, a2, b2) != 0:
+        return False
+    if all(math.isfinite(v) for pt in (a1, a2, b1, b2) for v in pt):
+        # collinearity held EXACTLY (filtered orient, r14) — finish the
+        # overlap-length test exactly too: the float parameter division
+        # could round a 1-ulp overlap to zero (or a zero to positive)
+        ax, ay = Fraction(a1[0]), Fraction(a1[1])
+        dx, dy = Fraction(a2[0]) - ax, Fraction(a2[1]) - ay
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            return False
+        t1 = ((Fraction(b1[0]) - ax) * dx + (Fraction(b1[1]) - ay) * dy) / len2
+        t2 = ((Fraction(b2[0]) - ax) * dx + (Fraction(b2[1]) - ay) * dy) / len2
+        lo, hi = (t1, t2) if t1 <= t2 else (t2, t1)
+        return min(hi, Fraction(1)) > max(lo, Fraction(0))
     dx, dy = a2[0] - a1[0], a2[1] - a1[1]
     len2 = dx * dx + dy * dy
     if len2 == 0.0:
-        return False
-    if G._orient(a1, a2, b1) != 0 or G._orient(a1, a2, b2) != 0:
         return False
     t1 = ((b1[0] - a1[0]) * dx + (b1[1] - a1[1]) * dy) / len2
     t2 = ((b2[0] - a1[0]) * dx + (b2[1] - a1[1]) * dy) / len2

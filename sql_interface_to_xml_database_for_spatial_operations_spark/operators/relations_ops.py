@@ -111,6 +111,15 @@ _PRED_SQL = """
     FROM pairs
 """
 
+# Irrational scale for the float-coincident family (r14): pi/4 as an
+# exact double literal. k * _FS for the same integer k is the SAME
+# double in Spark and DuckDB (one IEEE multiply), so shared box edges
+# stay EXACTLY coincident while every coordinate becomes an
+# FP-asymmetric float — the class the filtered-exact _orient closed.
+# The oracle casts the literal to DOUBLE so DuckDB's DECIMAL literal
+# typing cannot sneak exact-decimal arithmetic in.
+_FS = 0.7853981633974483
+
 _Q122_ORACLE = f"""
     WITH nb AS ({NATION_BOXES_SQL}), rb AS ({REGION_BOXES_SQL}),
     pairs AS (
@@ -125,6 +134,40 @@ _Q122_ORACLE = f"""
       FROM nb a JOIN rb r ON TRUE
     )
     {_PRED_SQL}
+    UNION ALL
+    SELECT kind, k1, k2,
+      (GREATEST(ax0,bx0) <= LEAST(ax1,bx1) AND GREATEST(ay0,by0) <= LEAST(ay1,by1)
+       AND NOT (GREATEST(ax0,bx0) < LEAST(ax1,bx1) AND GREATEST(ay0,by0) < LEAST(ay1,by1)))
+        AS t_touches,
+      (NOT (GREATEST(ax0,bx0) <= LEAST(ax1,bx1) AND GREATEST(ay0,by0) <= LEAST(ay1,by1)))
+        AS t_disjoint,
+      (ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1) AS t_equals,
+      (GREATEST(ax0,bx0) < LEAST(ax1,bx1) AND GREATEST(ay0,by0) < LEAST(ay1,by1)
+       AND NOT (ax0 <= bx0 AND bx1 <= ax1 AND ay0 <= by0 AND by1 <= ay1)
+       AND NOT (bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1))
+        AS t_overlaps,
+      -- vertical probe line at cx spanning 10 beyond a's box: crosses b
+      -- iff cx is strictly inside b's x-range and the y-intervals share
+      -- interior length — pure comparisons of identically-computed
+      -- doubles, exact in both engines (a diagonal would need rounded
+      -- cross products here, which the Spark side no longer rounds)
+      (bx0 < cx AND cx < bx1 AND GREATEST(by0, ly0) < LEAST(by1, ly1))
+        AS t_crosses
+    FROM (
+      SELECT 'fs' AS kind, a.n_nationkey AS k1, b.n_nationkey AS k2,
+             a.minx * CAST({_FS!r} AS DOUBLE) AS ax0,
+             a.miny * CAST({_FS!r} AS DOUBLE) AS ay0,
+             a.maxx * CAST({_FS!r} AS DOUBLE) AS ax1,
+             a.maxy * CAST({_FS!r} AS DOUBLE) AS ay1,
+             b.minx * CAST({_FS!r} AS DOUBLE) AS bx0,
+             b.miny * CAST({_FS!r} AS DOUBLE) AS by0,
+             b.maxx * CAST({_FS!r} AS DOUBLE) AS bx1,
+             b.maxy * CAST({_FS!r} AS DOUBLE) AS by1,
+             (a.minx * CAST({_FS!r} AS DOUBLE) + a.maxx * CAST({_FS!r} AS DOUBLE)) / 2 AS cx,
+             a.miny * CAST({_FS!r} AS DOUBLE) - 10.0 AS ly0,
+             a.maxy * CAST({_FS!r} AS DOUBLE) + 10.0 AS ly1
+      FROM nb a JOIN nb b ON a.n_nationkey <= b.n_nationkey
+    ) fsp
 """
 
 
@@ -154,7 +197,7 @@ def q122_st_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nr = a.join(F.broadcast(rb)).withColumn("kind", F.lit("nr"))
     pairs = nn.unionByName(nr)
-    return pairs.select(
+    base = pairs.select(
         "kind",
         "k1",
         "k2",
@@ -164,3 +207,51 @@ def q122_st_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("st_overlaps(geom_a, geom_b)").alias("t_overlaps"),
         F.expr("st_crosses(diag_a, geom_b)").alias("t_crosses"),
     )
+    # float-coincident family (r14): the same nation boxes scaled by an
+    # irrational double — one IEEE multiply per ordinate, so both
+    # engines hold the SAME FP-asymmetric doubles and shared edges stay
+    # exactly coincident. The predicates run the filtered-exact orient
+    # paths on real float coordinates; the crosses probe is a vertical
+    # line so the oracle stays pure interval math (see _Q122_ORACLE).
+    s = F.lit(_FS)
+    fs_box = nation_boxes(spark, sf_dir).select(
+        "n_nationkey",
+        (F.col("minx") * s).alias("sx0"),
+        (F.col("miny") * s).alias("sy0"),
+        (F.col("maxx") * s).alias("sx1"),
+        (F.col("maxy") * s).alias("sy1"),
+    )
+    fa = fs_box.select(
+        F.col("n_nationkey").alias("k1"),
+        F.expr("st_makeenvelope(sx0, sy0, sx1, sy1)").alias("geom_a"),
+        F.concat(
+            F.lit("LINESTRING("),
+            ((F.col("sx0") + F.col("sx1")) / 2).cast("string"),
+            F.lit(" "),
+            (F.col("sy0") - F.lit(10.0)).cast("string"),
+            F.lit(", "),
+            ((F.col("sx0") + F.col("sx1")) / 2).cast("string"),
+            F.lit(" "),
+            (F.col("sy1") + F.lit(10.0)).cast("string"),
+            F.lit(")"),
+        ).alias("vline_a"),
+    )
+    fb = fs_box.select(
+        F.col("n_nationkey").alias("k2"),
+        F.expr("st_makeenvelope(sx0, sy0, sx1, sy1)").alias("geom_b"),
+    )
+    fs = (
+        fa.join(F.broadcast(fb), F.col("k1") <= F.col("k2"))
+        .withColumn("kind", F.lit("fs"))
+        .select(
+            "kind",
+            "k1",
+            "k2",
+            F.expr("st_touches(geom_a, geom_b)").alias("t_touches"),
+            F.expr("st_disjoint(geom_a, geom_b)").alias("t_disjoint"),
+            F.expr("st_equals(geom_a, geom_b)").alias("t_equals"),
+            F.expr("st_overlaps(geom_a, geom_b)").alias("t_overlaps"),
+            F.expr("st_crosses(vline_a, geom_b)").alias("t_crosses"),
+        )
+    )
+    return base.unionByName(fs)

@@ -145,10 +145,7 @@ def _simple_line_ok(w: str) -> bool:
     )
 
 
-@pytest.mark.parametrize("seed", range(8))
-def test_matrix_agrees_with_predicates(seed):
-    rng = random.Random(1000 + seed)
-    pool = _fixtures(rng)
+def _consistency_sweep(pool: list[str]) -> int:
     checked = 0
     for i in range(len(pool)):
         for j in range(len(pool)):
@@ -197,4 +194,114 @@ def test_matrix_agrees_with_predicates(seed):
                 assert relate_match(mm, "T*T******") == R.crosses(lo, hi), (
                     wa, wb, mm, "crosses",
                 )
+    return checked
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_matrix_agrees_with_predicates(seed):
+    rng = random.Random(1000 + seed)
+    checked = _consistency_sweep(_fixtures(rng))
     assert checked > 300  # the pools really do exercise the matrix
+
+
+def _float_coincident_pool(rng: random.Random) -> list[str]:
+    """The r14 float-coincident-boundary class: the integer pool mapped
+    through one shared irrational affine transform (identical integer
+    inputs produce IDENTICAL floats, so shared edges/corners stay
+    exactly coincident while every coordinate becomes FP-asymmetric),
+    plus variants whose shared edges are subdivided at the float
+    midpoint nudged 0-2 ulp off the edge line — probes within 1 ulp of
+    a boundary, the class the float ray cast / cross==0.0 tests
+    misclassified ~15% of the time before the filtered-exact _orient."""
+    import math
+
+    sx, sy = math.pi / 7, math.e / 5
+    tx, ty = math.sqrt(2) / 3, math.sqrt(3) / 9
+
+    def warp(g: G.Geometry) -> G.Geometry:
+        def rec(c):
+            if isinstance(c, tuple):
+                return (c[0] * sx + tx, c[1] * sy + ty)
+            return [rec(v) for v in c]
+
+        return G.Geometry(g.kind, rec(g.coords))
+
+    pool = []
+    for w in _fixtures(rng):
+        g = P(w)
+        if g is None:
+            continue
+        pool.append(G.to_wkt(warp(g)))
+
+    def subdivide_ulp(w: str) -> str | None:
+        g = P(w)
+        if g is None or g.kind != "Polygon":
+            return None
+        ring = list(g.coords[0])
+        k = rng.randrange(len(ring) - 1)
+        (x1, y1), (x2, y2) = ring[k], ring[k + 1]
+        mx, my = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        for _ in range(rng.randint(0, 2)):
+            mx = math.nextafter(mx, rng.choice([-math.inf, math.inf]))
+        ring.insert(k + 1, (mx, my))
+        return G.to_wkt(G.Geometry("Polygon", [ring] + [list(r) for r in g.coords[1:]]))
+
+    extras = []
+    for w in pool:
+        if w.startswith("POLYGON") and rng.random() < 0.5:
+            v = subdivide_ulp(w)
+            if v is not None and P(v) is not None:
+                extras.append(v)
+    return pool + extras[:8]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_matrix_agrees_with_predicates_float_coincident(seed):
+    """Matrix/predicate agreement on irrational-derived float fixtures
+    with exactly-coincident and 1-ulp-off boundaries (r14: the filtered
+    exact _orient closed the documented float predicate limitation)."""
+    rng = random.Random(4000 + seed)
+    checked = _consistency_sweep(_float_coincident_pool(rng))
+    assert checked > 300
+
+
+def test_float_coincident_ground_truths():
+    """Deterministic exact ground truths for the r14 class, derived by
+    hand in Fraction arithmetic (see each case's comment)."""
+    import math
+    from fractions import Fraction
+
+    Pt, Q = (math.pi, math.e), (math.pi + math.sqrt(2), math.e + math.sqrt(3))
+    M = ((Pt[0] + Q[0]) / 2, (Pt[1] + Q[1]) / 2)  # float midpoint, ~1 ulp off PQ
+    side = (Fraction(Q[0]) - Fraction(Pt[0])) * (Fraction(M[1]) - Fraction(Pt[1])) - (
+        Fraction(Q[1]) - Fraction(Pt[1])
+    ) * (Fraction(M[0]) - Fraction(Pt[0]))
+    assert side != 0  # the fixture really is off the line
+
+    def wkt(pts):
+        return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in pts + [pts[0]]) + "))"
+
+    left, right = (Pt[0] - 10, Q[1] + 3), (Q[0] + 10, Pt[1] - 3)
+    a = P(wkt([Pt, Q, left]))
+    b = P(wkt([Pt, M, Q, right]))
+    # M lies exactly on A's side of PQ (side > 0 for this fixture), so
+    # B pokes a 1-ulp sliver into A: interiors intersect, not touches
+    inside_a = side > 0
+    assert R.interiors_intersect(a, b) == inside_a
+    assert R.touches(a, b) == (not inside_a)
+    assert R.overlaps(a, b) == inside_a
+    # the float midpoint as an INPUT vertex probe
+    assert G.within(G.Geometry("Point", M), a) == (side >= 0)
+    # a VERTICAL irrational edge keeps exact collinearity in float:
+    # x == pi is exact, so the probe is exactly ON the boundary
+    va = P(wkt([(math.pi, 0.0), (math.pi + 7.0, 0.0), (math.pi, 9.0)]))
+    on_edge = (math.pi, 4.5)
+    assert G.within(G.Geometry("Point", on_edge), va)  # coverage: boundary legal
+    assert not R.within_ogc(G.Geometry("Point", on_edge), va)  # OGC: interior empty
+    # 1 ulp outside the vertical edge is NOT covered
+    off_edge = (math.nextafter(math.pi, -math.inf), 4.5)
+    assert not G.within(G.Geometry("Point", off_edge), va)
+    assert R.touches(
+        P(f"LINESTRING ({off_edge[0]!r} 0.0, {off_edge[0]!r} 9.0)"), va
+    ) is False  # parallel line 1 ulp left: fully disjoint
+    assert R.disjoint(P(f"LINESTRING ({off_edge[0]!r} 0.0, {off_edge[0]!r} 9.0)"), va)
