@@ -152,16 +152,30 @@ def collectionextract_wkt(w, typ) -> str | None:
     return G.to_wkt(Geometry(_MULTI_OF[kind], members))
 
 
+# PostGIS lwhomogenize.c emits mixed-kind buckets in TYPE-NUMBER order
+# (POINTTYPE=1 < LINETYPE=2 < POLYGONTYPE=3), not input order.
+_HOMOGENIZE_ORDER = {"Point": 0, "LineString": 1, "Polygon": 2}
+
+
 def collectionhomogenize_wkt(w) -> str | None:
-    """PostGIS ST_CollectionHomogenize: the simplest representation of
-    the flattened members — a single member comes back bare, same-kind
-    members as the MULTI*, mixed kinds as a flat GEOMETRYCOLLECTION;
-    an empty collection is a loud NULL (nothing to represent)."""
+    """PostGIS ST_CollectionHomogenize (lwhomogenize.c semantics, r14):
+    flattened members bucket BY KIND — a single member of a kind stays
+    bare, several become the MULTI* — and mixed kinds come back as a
+    GEOMETRYCOLLECTION of those buckets in type-number order
+    (points, then lines, then polygons), so
+    GC(POINT a, LINESTRING l, MULTIPOINT (b, c)) homogenizes to
+    GC(MULTIPOINT (a, b, c), LINESTRING l). A single bucket with a
+    single member comes back bare; one kind with several members is
+    the plain MULTI*. A typed EMPTY echoes as its canonical
+    '<TYPE> EMPTY' (ADVICE r13: the sibling shape tools echo empties;
+    PostGIS may instead collapse a MULTI* EMPTY to its base-type EMPTY
+    — documented divergence, kind preserved here)."""
     if w is None:
         return None
     s = str(w).strip()
-    if _ov._EMPTY_RE.match(s.upper()):
-        return None
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return f"{m.group(1)} EMPTY"
     g = G.parse_wkt(s)
     if g is None:
         return None
@@ -170,12 +184,20 @@ def collectionhomogenize_wkt(w) -> str | None:
         return None
     if len(parts) == 1:
         return G.to_wkt(parts[0])
-    kinds = {p.kind for p in parts}
-    if len(kinds) == 1 and parts[0].kind in _MULTI_OF:
-        return G.to_wkt(
-            Geometry(_MULTI_OF[parts[0].kind], [p.coords for p in parts])
+    buckets: dict[str, list[Geometry]] = {}
+    for p in parts:
+        buckets.setdefault(p.kind, []).append(p)
+    merged = [
+        ms[0]
+        if len(ms) == 1
+        else Geometry(_MULTI_OF[kind], [p.coords for p in ms])
+        for kind, ms in sorted(
+            buckets.items(), key=lambda kv: _HOMOGENIZE_ORDER.get(kv[0], 3)
         )
-    return G.to_wkt(Geometry("GeometryCollection", parts))
+    ]
+    if len(merged) == 1:
+        return G.to_wkt(merged[0])
+    return G.to_wkt(Geometry("GeometryCollection", merged))
 
 
 def points_wkt(w) -> str | None:

@@ -158,6 +158,16 @@ _MIXED_GC = sql_concat(
     "'), LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "'))'",
 )
 
+# mixed-kind homogenize fixture (r14, VERDICT r13 item 1): a bare
+# POINT, a LINESTRING, and a MULTIPOINT member — lwhomogenize buckets
+# the three points into ONE MULTIPOINT and emits buckets in
+# type-number order (points before lines)
+_MIXED_GC_HOM = sql_concat(
+    "'GEOMETRYCOLLECTION (POINT ('", CORNERS["tl"],
+    "'), LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"],
+    "'), MULTIPOINT ('", CORNERS["tr"], "', '", pt_sql(3, 4), "'))'",
+)
+
 _QUARTER_BOX = sql_concat(
     "'POLYGON (('",
     _qpt("minx + 0.25", "miny - 0.25"), "', '",
@@ -222,6 +232,8 @@ _FAMILIES = {
     "cext_line": f"st_collectionextract({_MIXED_GC}, 2)",
     "cext_empty": f"st_collectionextract('MULTIPOINT (1 1)', 3)",
     "chom": f"st_collectionhomogenize('MULTIPOINT (' || {pt_sql(3, 4)} || ')')",
+    "chom_mixed": f"st_collectionhomogenize({_MIXED_GC_HOM})",
+    "chom_empty": "st_collectionhomogenize('MULTIPOINT EMPTY')",
     "pts": f"st_points({_SMALL_SQ})",
     "bdiag": f"st_boundingdiagonal({_ROTATED})",
     # deterministic Halton point sampling (r13)
@@ -419,6 +431,12 @@ _ORACLE_VALS = {
     ),
     "cext_empty": "'MULTIPOLYGON EMPTY'",
     "chom": sql_concat("'POINT ('", pt_sql(3, 4), "')'"),
+    "chom_mixed": sql_concat(
+        "'GEOMETRYCOLLECTION (MULTIPOINT ('", CORNERS["tl"], "', '",
+        CORNERS["tr"], "', '", pt_sql(3, 4),
+        "'), LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "'))'",
+    ),
+    "chom_empty": "'MULTIPOINT EMPTY'",
     "pts": sql_concat(
         "'MULTIPOINT ('",
         pt_sql(1, 1), "', '", pt_sql(2, 1), "', '", pt_sql(2, 2), "', '",

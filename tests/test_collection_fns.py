@@ -121,6 +121,43 @@ class TestShapeTools:
         )
         assert got == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
 
+    def test_homogenize_mixed_kinds_bucket_into_multis(self):
+        # PostGIS lwhomogenize.c (VERDICT r13 item 1): mixed kinds come
+        # back GROUPED by kind into MULTI*s, in type-number order —
+        # points, then lines, then polygons — not as a flat GC
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
+            collectionhomogenize_wkt,
+        )
+
+        got = collectionhomogenize_wkt(
+            "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (2 2, 3 3),"
+            " POLYGON ((0 0, 1 0, 1 1, 0 0)), MULTIPOINT (5 5, 6 6))"
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION (MULTIPOINT (1 1, 5 5, 6 6),"
+            " LINESTRING (2 2, 3 3), POLYGON ((0 0, 1 0, 1 1, 0 0)))"
+        )
+        # a single member of one kind stays bare inside the GC; buckets
+        # reorder to type-number order even against input order
+        got = collectionhomogenize_wkt(
+            "GEOMETRYCOLLECTION (LINESTRING (2 2, 3 3), POINT (1 1))"
+        )
+        assert got == "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (2 2, 3 3))"
+
+    def test_homogenize_typed_empty_echoes(self):
+        # ADVICE r13: echo the typed EMPTY like the sibling shape tools
+        # (points_wkt/boundingdiagonal_wkt), not a loud NULL
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
+            collectionhomogenize_wkt,
+        )
+
+        assert collectionhomogenize_wkt("POINT EMPTY") == "POINT EMPTY"
+        assert collectionhomogenize_wkt("MULTIPOINT EMPTY") == "MULTIPOINT EMPTY"
+        assert (
+            collectionhomogenize_wkt("GEOMETRYCOLLECTION EMPTY")
+            == "GEOMETRYCOLLECTION EMPTY"
+        )
+
 
 def test_collectionextract_atomic_and_multi_passthrough(spark):
     # PostGIS 3.x: non-collection inputs of the matching type come back
