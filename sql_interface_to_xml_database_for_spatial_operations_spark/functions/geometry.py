@@ -730,7 +730,11 @@ def _orient(p: Point, q: Point, r: Point) -> int:
             return 1
         if v < -err:
             return -1
-        if math.isfinite(err):
+        # ambiguous OR overflowed: exact iff the COORDINATES are finite
+        # (code-review r14: gating on isfinite(err) skipped the exact
+        # fallback for finite coords whose products overflow to inf,
+        # e.g. p=(0,0), q=(1e160,1e160) — Fractions handle those fine)
+        if all(math.isfinite(c) for pt in (p, q, r) for c in pt):
             return _orient_exact(p, q, r)
         # non-finite coordinates: legacy behavior below
     return 0 if v == 0 else (1 if v > 0 else -1)

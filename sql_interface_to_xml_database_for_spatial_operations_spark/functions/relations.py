@@ -129,7 +129,10 @@ def _on_segment(p: Point, a: Point, b: Point) -> bool:
         return (Fraction(b[0]) - ax) * (p[1] - ay) - (
             Fraction(b[1]) - ay
         ) * (p[0] - ax) == 0
-    return G._orient(a, b, p) == 0
+    # float probes: the shared exact point-on-segment predicate
+    # (geometry._pt_on_seg — one home for the bbox + filtered-orient
+    # pair, code-review r14)
+    return G._pt_on_seg(p, a, b)
 
 
 def _on_any_segment(p: Point, segs: list[tuple[Point, Point]]) -> bool:

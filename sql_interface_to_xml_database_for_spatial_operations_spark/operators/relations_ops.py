@@ -88,8 +88,13 @@ def _with_geoms(df: DataFrame) -> DataFrame:
 
 # Exact rectangle DE-9IM in SQL over a pair CTE with columns
 # ax0..ay1 / bx0..by1 (a's diagonal runs lower-left → upper-right, so
-# dx = ax1-ax0 > 0 and dy = ay1-ay0 > 0 always).
-_PRED_SQL = """
+# dx = ax1-ax0 > 0 and dy = ay1-ay0 > 0 always). The crosses column is
+# the only family-specific predicate, so it is a parameter
+# (code-review r14: the fs family used to copy the other four).
+
+
+def _pred_select(crosses_expr: str, from_clause: str) -> str:
+    return f"""
     SELECT kind, k1, k2,
       (GREATEST(ax0,bx0) <= LEAST(ax1,bx1) AND GREATEST(ay0,by0) <= LEAST(ay1,by1)
        AND NOT (GREATEST(ax0,bx0) < LEAST(ax1,bx1) AND GREATEST(ay0,by0) < LEAST(ay1,by1)))
@@ -101,15 +106,21 @@ _PRED_SQL = """
        AND NOT (ax0 <= bx0 AND bx1 <= ax1 AND ay0 <= by0 AND by1 <= ay1)
        AND NOT (bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1))
         AS t_overlaps,
-      ((bx0-ax0) * (ay1-ay0) < (by1-ay0) * (ax1-ax0)
+      ({crosses_expr})
+        AS t_crosses
+    {from_clause}
+"""
+
+
+_PRED_SQL = _pred_select(
+    """(bx0-ax0) * (ay1-ay0) < (by1-ay0) * (ax1-ax0)
        AND (by0-ay0) * (ax1-ax0) < (bx1-ax0) * (ay1-ay0)
        AND (bx0-ax0) < (ax1-ax0) AND (by0-ay0) < (ay1-ay0)
        AND (bx1-ax0) > 0 AND (by1-ay0) > 0
        AND NOT (bx0 <= ax0 AND ax0 <= bx1 AND by0 <= ay0 AND ay0 <= by1
-                AND bx0 <= ax1 AND ax1 <= bx1 AND by0 <= ay1 AND ay1 <= by1))
-        AS t_crosses
-    FROM pairs
-"""
+                AND bx0 <= ax1 AND ax1 <= bx1 AND by0 <= ay1 AND ay1 <= by1)""",
+    "FROM pairs",
+)
 
 # Irrational scale for the float-coincident family (r14): pi/4 as an
 # exact double literal. k * _FS for the same integer k is the SAME
@@ -119,6 +130,36 @@ _PRED_SQL = """
 # The oracle casts the literal to DOUBLE so DuckDB's DECIMAL literal
 # typing cannot sneak exact-decimal arithmetic in.
 _FS = 0.7853981633974483
+
+# Scaled-pair subquery for the fs family. The vertical probe line at
+# cx spans [ly0, ly1]; crosses(b) iff cx is strictly inside b's
+# x-range, the y-intervals share interior length, and the line is NOT
+# swallowed by b's closure (OGC: some of the line interior must lie in
+# b's exterior; today's box heights can't contain the probe, but the
+# formula should not depend on that — code-review r14). All pure
+# comparisons of identically-computed doubles, exact in both engines
+# (a diagonal would need rounded cross products here, which the Spark
+# side no longer rounds).
+_FS_PAIRS_SQL = f"""FROM (
+      SELECT 'fs' AS kind, a.n_nationkey AS k1, b.n_nationkey AS k2,
+             a.minx * CAST({_FS!r} AS DOUBLE) AS ax0,
+             a.miny * CAST({_FS!r} AS DOUBLE) AS ay0,
+             a.maxx * CAST({_FS!r} AS DOUBLE) AS ax1,
+             a.maxy * CAST({_FS!r} AS DOUBLE) AS ay1,
+             b.minx * CAST({_FS!r} AS DOUBLE) AS bx0,
+             b.miny * CAST({_FS!r} AS DOUBLE) AS by0,
+             b.maxx * CAST({_FS!r} AS DOUBLE) AS bx1,
+             b.maxy * CAST({_FS!r} AS DOUBLE) AS by1,
+             (a.minx * CAST({_FS!r} AS DOUBLE) + a.maxx * CAST({_FS!r} AS DOUBLE)) / 2 AS cx,
+             a.miny * CAST({_FS!r} AS DOUBLE) - 10.0 AS ly0,
+             a.maxy * CAST({_FS!r} AS DOUBLE) + 10.0 AS ly1
+      FROM nb a JOIN nb b ON a.n_nationkey <= b.n_nationkey
+    ) fsp"""
+
+_FS_CROSSES_SQL = (
+    "bx0 < cx AND cx < bx1 AND GREATEST(by0, ly0) < LEAST(by1, ly1)"
+    " AND (ly0 < by0 OR by1 < ly1)"
+)
 
 _Q122_ORACLE = f"""
     WITH nb AS ({NATION_BOXES_SQL}), rb AS ({REGION_BOXES_SQL}),
@@ -135,39 +176,7 @@ _Q122_ORACLE = f"""
     )
     {_PRED_SQL}
     UNION ALL
-    SELECT kind, k1, k2,
-      (GREATEST(ax0,bx0) <= LEAST(ax1,bx1) AND GREATEST(ay0,by0) <= LEAST(ay1,by1)
-       AND NOT (GREATEST(ax0,bx0) < LEAST(ax1,bx1) AND GREATEST(ay0,by0) < LEAST(ay1,by1)))
-        AS t_touches,
-      (NOT (GREATEST(ax0,bx0) <= LEAST(ax1,bx1) AND GREATEST(ay0,by0) <= LEAST(ay1,by1)))
-        AS t_disjoint,
-      (ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1) AS t_equals,
-      (GREATEST(ax0,bx0) < LEAST(ax1,bx1) AND GREATEST(ay0,by0) < LEAST(ay1,by1)
-       AND NOT (ax0 <= bx0 AND bx1 <= ax1 AND ay0 <= by0 AND by1 <= ay1)
-       AND NOT (bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1))
-        AS t_overlaps,
-      -- vertical probe line at cx spanning 10 beyond a's box: crosses b
-      -- iff cx is strictly inside b's x-range and the y-intervals share
-      -- interior length — pure comparisons of identically-computed
-      -- doubles, exact in both engines (a diagonal would need rounded
-      -- cross products here, which the Spark side no longer rounds)
-      (bx0 < cx AND cx < bx1 AND GREATEST(by0, ly0) < LEAST(by1, ly1))
-        AS t_crosses
-    FROM (
-      SELECT 'fs' AS kind, a.n_nationkey AS k1, b.n_nationkey AS k2,
-             a.minx * CAST({_FS!r} AS DOUBLE) AS ax0,
-             a.miny * CAST({_FS!r} AS DOUBLE) AS ay0,
-             a.maxx * CAST({_FS!r} AS DOUBLE) AS ax1,
-             a.maxy * CAST({_FS!r} AS DOUBLE) AS ay1,
-             b.minx * CAST({_FS!r} AS DOUBLE) AS bx0,
-             b.miny * CAST({_FS!r} AS DOUBLE) AS by0,
-             b.maxx * CAST({_FS!r} AS DOUBLE) AS bx1,
-             b.maxy * CAST({_FS!r} AS DOUBLE) AS by1,
-             (a.minx * CAST({_FS!r} AS DOUBLE) + a.maxx * CAST({_FS!r} AS DOUBLE)) / 2 AS cx,
-             a.miny * CAST({_FS!r} AS DOUBLE) - 10.0 AS ly0,
-             a.maxy * CAST({_FS!r} AS DOUBLE) + 10.0 AS ly1
-      FROM nb a JOIN nb b ON a.n_nationkey <= b.n_nationkey
-    ) fsp
+    {_pred_select(_FS_CROSSES_SQL, _FS_PAIRS_SQL)}
 """
 
 
