@@ -322,6 +322,21 @@ def st_buffer(wkt: pd.Series, dist: pd.Series) -> pd.Series:
     return pd.Series([buffer_wkt(v, d) for v, d in zip(wkt, dist)], dtype=object)
 
 
+@pandas_udf(StringType())
+def st_bufferstyle(wkt: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
+    """PostGIS ST_Buffer's 3-argument style form (r14): 'quad_segs=N
+    endcap=round|flat|square join=round|mitre|bevel mitre_limit=X'.
+    Spark SQL Python UDFs are fixed-arity, so the optional third
+    argument registers under its own name; st_bufferstyle(g, d, '') ≡
+    st_buffer(g, d). Unknown style tokens → loud NULL."""
+    from .buffer import bufferstyle_wkt  # lazy: buffer.py imports spatial's deps
+
+    return pd.Series(
+        [bufferstyle_wkt(v, d, s) for v, d, s in zip(wkt, dist, style)],
+        dtype=object,
+    )
+
+
 # -- binary predicates & measures ----------------------------------------
 
 
@@ -440,6 +455,7 @@ ALL_FUNCTIONS = {
     "st_npoints": st_npoints,
     "st_centroid": st_centroid,
     "st_buffer": st_buffer,
+    "st_bufferstyle": st_bufferstyle,
     "st_distance": st_distance,
     "st_distance_sphere": st_distance_sphere,
     "st_within": st_within,

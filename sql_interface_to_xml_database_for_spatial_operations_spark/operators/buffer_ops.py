@@ -104,6 +104,35 @@ _FAMILIES = {
     # two unit triangles
     "zero_echo": f"st_buffer({_BOX_WKT}, 0.0D)",
     "zero_repair": _buf_area(_DIAG_BOWTIE_WKT, "0.0D"),
+    # style parameters (r14, VERDICT r13 item 4): flat/square endcaps
+    # and mitre/bevel joins are EXACT on these axis-aligned fixtures
+    # (no arc approximation in any piece) — areas are integer closed
+    # forms and the convex mitre box is a string-equal WKT
+    "st_flat": _micro(
+        f"st_area(st_bufferstyle({_BOTTOM_WKT}, 2.0D, 'endcap=flat'))"
+    ),
+    "st_square": _micro(
+        f"st_area(st_bufferstyle({_BOTTOM_WKT}, 2.0D, 'endcap=square'))"
+    ),
+    "st_mitre_corner": _micro(
+        f"st_area(st_bufferstyle({_CORNER_WKT}, 2.0D, 'endcap=flat join=mitre'))"
+    ),
+    "st_mitre_box": f"st_bufferstyle({_BOX_WKT}, 2.0D, 'join=mitre')",
+    "st_bevel_box": _micro(
+        f"st_area(st_bufferstyle({_BOX_WKT}, 2.0D, 'join=bevel'))"
+    ),
+    "st_mitre_holed": _micro(
+        f"st_area(st_bufferstyle({_HOLED_WKT}, 2.0D, 'join=mitre'))"
+    ),
+    "st_sq_pt": (
+        f"st_bufferstyle('POINT (' || {_P22} || ')', 2.0D, 'endcap=square')"
+    ),
+    "st_flat_pt": (
+        f"st_bufferstyle('POINT (' || {_P22} || ')', 2.0D, 'endcap=flat')"
+    ),
+    "st_bad_style": (
+        f"COALESCE(st_bufferstyle({_BOX_WKT}, 2.0D, 'side=left'), 'NULL(style)')"
+    ),
 }
 
 # DuckDB-side closed forms over the same integer columns
@@ -118,6 +147,36 @@ _ORACLE_VALS = {
     "erode_line": "'POLYGON EMPTY'",
     "zero_echo": _BOX_WKT,  # oracle builds the identical WKT string
     "zero_repair": "'2000000'",  # bowtie → two unit triangles, area 2
+    # styles (r14): flat strip 2r·w; square adds r on both ends; the
+    # flat+mitre corner polyline is 2r(w+h) (the r² join square equals
+    # the r² rect overlap); bevel cuts 4 half-r² corners off the mitre
+    # box (w+2r)(h+2r); the mitre-holed box loses the (6−2r)² eroded
+    # hole; the square point cap is the axis-aligned 2r square
+    "st_flat": _micro(f"4.0 * {_W}"),
+    "st_square": _micro(f"4.0 * ({_W} + 4.0)"),
+    "st_mitre_corner": _micro(f"4.0 * ({_W} + {_HH})"),
+    "st_mitre_box": sql_concat(
+        "'POLYGON (('",
+        f"{int_str('minx - 2')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('maxy + 2')}", "', '",
+        f"{int_str('minx - 2')} || ' ' || {int_str('maxy + 2')}", "', '",
+        f"{int_str('minx - 2')} || ' ' || {int_str('miny - 2')}",
+        "'))'",
+    ),
+    "st_bevel_box": _micro(f"{_W} * {_HH} + 4.0 * ({_W} + {_HH}) + 8.0"),
+    "st_mitre_holed": _micro(f"{_W} * {_HH} + 4.0 * ({_W} + {_HH}) + 12.0"),
+    "st_sq_pt": sql_concat(
+        "'POLYGON (('",
+        f"{int_str('minx')} || ' ' || {int_str('miny')}", "', '",
+        f"{int_str('minx + 4')} || ' ' || {int_str('miny')}", "', '",
+        f"{int_str('minx + 4')} || ' ' || {int_str('miny + 4')}", "', '",
+        f"{int_str('minx')} || ' ' || {int_str('miny + 4')}", "', '",
+        f"{int_str('minx')} || ' ' || {int_str('miny')}",
+        "'))'",
+    ),
+    "st_flat_pt": "'POLYGON EMPTY'",
+    "st_bad_style": "'NULL(style)'",  # side=left is a documented loud NULL
 }
 
 _Q155_ORACLE = "\nUNION ALL\n".join(

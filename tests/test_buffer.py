@@ -231,3 +231,108 @@ class TestGridPointSetParity:
                 x += step
             y += step
         assert checked > 200  # the grid actually exercised both sides
+
+
+class TestStyleParameters:
+    """r14 buffer styles (VERDICT r13 item 4): flat/square endcaps and
+    mitre/bevel joins are EXACT on axis-aligned fixtures — every area
+    below is an integer closed form, not an n-gon approximation."""
+
+    def _bs(self, w, d, style):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            bufferstyle_wkt,
+        )
+
+        return bufferstyle_wkt(w, d, style)
+
+    def test_flat_and_square_caps_exact(self):
+        assert self._bs("LINESTRING (0 0, 10 0)", 2.0, "endcap=flat") == (
+            "POLYGON ((0 -2, 10 -2, 10 2, 0 2, 0 -2))"
+        )
+        assert _area(self._bs("LINESTRING (0 0, 10 0)", 2.0, "endcap=square")) == 56.0
+
+    def test_mitre_and_bevel_joins_exact(self):
+        l_shape = "LINESTRING (0 0, 10 0, 10 10)"
+        assert _area(self._bs(l_shape, 2.0, "endcap=flat join=mitre")) == 80.0
+        assert _area(self._bs(l_shape, 2.0, "endcap=flat join=bevel")) == 78.0
+        box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert self._bs(box, 2.0, "join=mitre") == (
+            "POLYGON ((-2 -2, 12 -2, 12 12, -2 12, -2 -2))"
+        )
+        assert _area(self._bs(box, 2.0, "join=bevel")) == 188.0
+
+    def test_mitre_erosion_and_holes(self):
+        box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+        assert self._bs(box, -2.0, "join=mitre") == (
+            "POLYGON ((2 8, 2 2, 8 2, 8 8, 2 8))"
+        )
+        holed = (
+            "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+            " (8 8, 12 8, 12 12, 8 12, 8 8))"
+        )
+        assert _area(self._bs(holed, 1.0, "join=mitre")) == 480.0
+
+    def test_reflex_polygon_mitre(self):
+        # L polygon: 5 convex 90° corners add d², the reflex corner is
+        # covered by the rect union (no wedge on the interior side)
+        l_poly = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))"
+        assert _area(self._bs(l_poly, 1.0, "join=mitre")) == 108.0
+
+    def test_sliver_mitre_wedge_does_not_poke_through(self):
+        sliver = "POLYGON ((0 0, 100 0, 100 0.1, 0 0.1, 0 0))"
+        assert _area(self._bs(sliver, 1.0, "join=mitre")) == pytest.approx(
+            102 * 2.1
+        )
+
+    def test_limited_mitre_between_bevel_and_full(self):
+        spike = "LINESTRING (0 0, 10 0, 0 1)"
+        a_bev = _area(self._bs(spike, 1.0, "endcap=flat join=bevel"))
+        a_lim = _area(self._bs(spike, 1.0, "endcap=flat join=mitre mitre_limit=2"))
+        a_unl = _area(self._bs(spike, 1.0, "endcap=flat join=mitre mitre_limit=100"))
+        assert a_bev < a_lim < a_unl
+
+    def test_closed_line_gets_join_not_caps(self):
+        ring = "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)"
+        assert _area(self._bs(ring, 2.0, "join=mitre")) == 160.0  # frame
+
+    def test_point_caps(self):
+        assert self._bs("POINT (3 4)", 2.0, "endcap=square") == (
+            "POLYGON ((1 2, 5 2, 5 6, 1 6, 1 2))"
+        )
+        assert self._bs("POINT (3 4)", 2.0, "endcap=flat") == "POLYGON EMPTY"
+        # butt is the GEOS alias for flat; miter for mitre
+        assert self._bs("POINT (3 4)", 2.0, "endcap=butt") == "POLYGON EMPTY"
+        assert _area(
+            self._bs("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 2.0, "join=miter")
+        ) == 196.0
+
+    def test_style_parse_gates(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            parse_buffer_style,
+        )
+
+        assert parse_buffer_style("") == {
+            "quad_segs": 8, "endcap": "round", "join": "round", "mitre_limit": 5.0,
+        }
+        assert parse_buffer_style("side=both") is not None
+        for bad in ("side=left", "junk", "endcap=banana", "join=", "quad_segs=x",
+                    "mitre_limit=-1", "mitre_limit=nan"):
+            assert parse_buffer_style(bad) is None, bad
+        for bad in ("side=right", "endcap=banana"):
+            assert self._bs("POINT (0 0)", 1.0, bad) is None
+
+    def test_round_style_matches_plain_buffer(self):
+        for w in ("POINT (1 1)", "LINESTRING (0 0, 5 3)",
+                  "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"):
+            assert self._bs(w, 2.0, "") == buffer_wkt(w, 2.0)
+            assert self._bs(w, 2.0, "quad_segs=8 endcap=round join=round") == (
+                buffer_wkt(w, 2.0)
+            )
+
+    def test_null_and_empty_surface(self):
+        assert self._bs(None, 1.0, "") is None
+        assert self._bs("POINT (0 0)", None, "") is None
+        assert self._bs("POINT (0 0)", 1.0, None) is None
+        assert self._bs("POINT (0 0)", float("nan"), "") is None
+        assert self._bs("POINT EMPTY", 1.0, "join=mitre") == "POLYGON EMPTY"
+        assert self._bs("garbage", 1.0, "") is None

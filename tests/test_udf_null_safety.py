@@ -116,6 +116,7 @@ _NULL_ARGS = {
     "st_point": f"{D}, {D}",
     "st_makeenvelope": f"{D}, {D}, {D}, {D}",
     "st_buffer": f"{S}, {D}",
+    "st_bufferstyle": f"{S}, {D}, {S}",
     "st_distance": f"{S}, {S}",
     "st_distance_sphere": f"{S}, {S}",
     "st_within": f"{S}, {S}",
@@ -235,3 +236,20 @@ def test_buffer_mixed_values_nonpoint_kinds(spark):
     # bowtie at dist 0 repairs through the linework makevalid (r11,
     # VERDICT r10 item 4): two unit triangles, never a NULL or an echo
     assert abs(G.area(G.parse_wkt(rows[7]["b"])) - 2.0) < 1e-9
+
+
+def test_bufferstyle_mixed_values(spark):
+    """r14: valid geometry + NULL/NaN companions through the 3-arg
+    style surface (all-NULL sweeps short-circuit on the WKT guard)."""
+    rows = spark.sql(
+        "SELECT st_bufferstyle(g, d, s) AS b FROM VALUES "
+        "('LINESTRING (0 0, 10 0)', 2.0D, 'endcap=flat'), "
+        "('LINESTRING (0 0, 10 0)', CAST(NULL AS DOUBLE), 'endcap=flat'), "
+        "('LINESTRING (0 0, 10 0)', CAST('NaN' AS DOUBLE), 'endcap=flat'), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, CAST(NULL AS STRING)), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, 'side=left'), "
+        "('LINESTRING (0 0, inf 1)', 2.0D, 'join=mitre') "
+        "AS t(g, d, s)"
+    ).collect()
+    assert rows[0]["b"] == "POLYGON ((0 -2, 10 -2, 10 2, 0 2, 0 -2))"
+    assert all(r["b"] is None for r in rows[1:])
