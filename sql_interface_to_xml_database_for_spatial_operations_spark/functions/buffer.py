@@ -284,6 +284,7 @@ def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry | None
 _ENDCAP_ALIAS = {"round": "round", "flat": "flat", "butt": "flat", "square": "square"}
 _JOIN_ALIAS = {"round": "round", "mitre": "mitre", "miter": "mitre", "bevel": "bevel"}
 DEFAULT_MITRE_LIMIT = 5.0
+_MAX_QUAD_SEGS = 10_000  # 40k ring vertices per disk — loud NULL past this
 
 
 def parse_buffer_style(text) -> dict | None:
@@ -310,6 +311,10 @@ def parse_buffer_style(text) -> dict | None:
                 out["quad_segs"] = int(val)
             except ValueError:
                 return None
+            if not 1 <= out["quad_segs"] <= _MAX_QUAD_SEGS:
+                return None  # loud work-bound (code-review r14): one SQL
+                # row must not allocate 4·quad_segs ring vertices per
+                # disk unbounded — the st_generatepoints budget idiom
         elif key == "endcap":
             if val not in _ENDCAP_ALIAS:
                 return None
@@ -432,14 +437,17 @@ def _ring_style_pieces(
     n: int,
     join: str,
     limit: float,
-    exterior_only: bool,
+    gap_on: str,
 ) -> list[Geometry]:
-    """Rectangles + join pieces for a CLOSED ring. With
-    ``exterior_only`` the join piece is added only where the gap side
-    is the ring's exterior (positive polygon buffers: an interior-side
-    mitre wedge can poke through a thin sliver and add area outside the
-    true offset region); erosion callers subtract, where an
-    exterior-side wedge is a harmless no-op, so they take every gap."""
+    """Rectangles + join pieces for a CLOSED ring, with the join piece
+    added only where the gap side is ``gap_on`` ('exterior' for
+    positive buffers, 'interior' for erosion). Both restrictions are
+    load-bearing for mitre (code-review r14): a mitre wedge reaches up
+    to mitre_limit·dist from its vertex, so an interior-side wedge can
+    poke through a thin sliver (adding area a positive buffer must not
+    have) and an exterior-side wedge can cross a narrow exterior notch
+    into another region of the same polygon (over-eroding it). The
+    non-gap side never needs a piece: its offset rectangles overlap."""
     pts = ring_closed[:-1]
     k = len(pts)
     out: list[Geometry] = []
@@ -448,17 +456,17 @@ def _ring_style_pieces(
         if r is not None:
             out.append(r)
     orient = _ring_orientation(ring_closed)
+    want_match = gap_on == "exterior"
     for i in range(k):
         prev, v, nxt = pts[i - 1], pts[i], pts[(i + 1) % k]
-        if exterior_only:
-            u1, u2 = _unit(prev, v), _unit(v, nxt)
-            if u1 is None or u2 is None:
-                continue
-            cross = u1[0] * u2[1] - u1[1] * u2[0]
-            # gap side is exterior iff the turn matches the ring's
-            # orientation (CCW ring: left turn = convex = exterior gap)
-            if cross == 0.0 or (cross > 0.0) != (orient > 0.0):
-                continue
+        u1, u2 = _unit(prev, v), _unit(v, nxt)
+        if u1 is None or u2 is None:
+            continue
+        cross = u1[0] * u2[1] - u1[1] * u2[0]
+        # gap side is exterior iff the turn matches the ring's
+        # orientation (CCW ring: left turn = convex = exterior gap)
+        if cross == 0.0 or ((cross > 0.0) == (orient > 0.0)) != want_match:
+            continue
         j = _join_piece(prev, v, nxt, dist, n, join, limit)
         if j is not None:
             out.append(j)
@@ -499,7 +507,7 @@ def _erode_polygon_styled(
 ) -> Geometry | None:
     out: Geometry | None = poly
     for ring in poly.coords:
-        for s in _ring_style_pieces(ring, dist, n, join, limit, exterior_only=False):
+        for s in _ring_style_pieces(ring, dist, n, join, limit, gap_on="interior"):
             out = _subtract(out, s)
             if out is None:
                 return None
@@ -559,7 +567,11 @@ def buffer_geom_styled(
     if endcap == "round" and join == "round":
         return buffer_geom(g, dist, quad_segs)
     n = max(4, quad_segs * 4)
-    parts = _uo._flatten(g)
+    # GEOS/JTS normalize repeated vertices away before building offset
+    # curves (code-review r14: a zero-length edge nulls _unit and
+    # silently suppressed the adjacent JOIN pieces; the round path is
+    # immune only because _stadium(a, a) degrades to a disk)
+    parts = [G.dedup_vertices(p) for p in _uo._flatten(g)]
     for p in parts:
         if not _part_coords_finite(p):
             raise _ov._Unsupported("non-finite coordinate")
@@ -599,9 +611,15 @@ def buffer_geom_styled(
         elif p.kind == "LineString":
             coords = list(p.coords)
             if len(coords) == 1 or all(c == coords[0] for c in coords):
-                return buffer_geom_styled(
+                # degenerate part buffers as a point — assign, don't
+                # return (code-review r14: the early return discarded
+                # every other part of a multi-part geometry)
+                b = buffer_geom_styled(
                     Geometry("Point", coords[0]), dist, quad_segs, endcap, join, mitre_limit
                 )
+                if b is not None:
+                    per_part.append(b)
+                continue
             pieces = _line_style_pieces(coords, dist, n, endcap, join, mitre_limit)
             if not pieces:
                 b = None
@@ -619,14 +637,16 @@ def buffer_geom_styled(
                 if fast is not None:
                     b = Geometry("Polygon", [fast])
             if b is None:
+                # SHELL-ONLY base: it covers every hole entirely, so
+                # hole-ring dilation pieces are redundant — and a
+                # hole-ring mitre wedge could poke through a shell
+                # within mitre reach (code-review r14). The hole
+                # annulus within d of the hole boundary survives via
+                # the shrunk-hole subtraction below.
                 pieces = [Geometry("Polygon", [outer])]
                 pieces.extend(
-                    _ring_style_pieces(outer, dist, n, join, mitre_limit, exterior_only=True)
+                    _ring_style_pieces(outer, dist, n, join, mitre_limit, gap_on="exterior")
                 )
-                for hole in p.coords[1:]:
-                    pieces.extend(
-                        _ring_style_pieces(hole, dist, n, join, mitre_limit, exterior_only=True)
-                    )
                 b = _union_exact(pieces)
                 for hole in p.coords[1:]:
                     shrunk = _erode_polygon_styled(

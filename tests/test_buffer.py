@@ -336,3 +336,60 @@ class TestStyleParameters:
         assert self._bs("POINT (0 0)", float("nan"), "") is None
         assert self._bs("POINT EMPTY", 1.0, "join=mitre") == "POLYGON EMPTY"
         assert self._bs("garbage", 1.0, "") is None
+
+
+class TestStyleReviewR14:
+    """code-review r14 findings pinned."""
+
+    def _bs(self, w, d, style):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            bufferstyle_wkt,
+        )
+
+        return bufferstyle_wkt(w, d, style)
+
+    def test_degenerate_part_does_not_discard_siblings(self):
+        r = self._bs(
+            "MULTILINESTRING ((0 0, 0 0), (100 100, 110 100))", 2.0, "endcap=square"
+        )
+        assert _area(r) == 72.0  # 16 (point square) + 56 (extended rect)
+
+    def test_erosion_mitre_wedge_does_not_cross_exterior_notch(self):
+        # the clipped mitre wedge at the spike tip (9.5, 2) must not
+        # reach across the exterior notch into the bottom arm
+        w = "POLYGON ((0 0, 10 0, 10 1, 1 1, 1 5, 9 5, 9.5 2, 10 5, 10 6, 0 6, 0 0))"
+        pt = Geometry("Point", (9.5, 0.6))  # > 0.3 from every boundary
+        for style in ("join=mitre", "join=bevel", "join=round"):
+            out = self._bs(w, -0.3, style)
+            assert G.within(pt, G.parse_wkt(out)), style
+
+    def test_repeated_vertices_dedup_before_offsets(self):
+        r = self._bs(
+            "POLYGON ((0 0, 0 0, 10 0, 10 10, 0 10, 0 0))", 2.0, "join=mitre"
+        )
+        assert _area(r) == 196.0  # the (0,0) corner square is present
+
+    def test_quad_segs_work_bound(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            parse_buffer_style,
+        )
+
+        assert parse_buffer_style("quad_segs=100000000") is None
+        assert parse_buffer_style("quad_segs=0") is None
+        assert parse_buffer_style("quad_segs=10000") is not None
+        assert self._bs("POINT (0 0)", 1.0, "quad_segs=100000000") is None
+
+    def test_holed_mitre_wedge_cannot_poke_through_shell(self):
+        # hole 0.5 from the shell; shell-only base means no hole-ring
+        # wedge exists to poke outside; area closed form still holds:
+        # (21x11 grown) minus hole eroded to a point -> no hole left
+        w = (
+            "POLYGON ((0 0, 21 0, 21 11, 0 11, 0 0),"
+            " (0.5 0.5, 20.5 0.5, 20.5 10.5, 0.5 10.5, 0.5 0.5))"
+        )
+        out = self._bs(w, 1.0, "join=mitre")
+        # frame material is only 0.5 wide but the mitre buffer is well
+        # defined: outer box grows to 23x13 (=299), the 20x10 hole
+        # shrinks by 1 per side to 18x8 (=144) -> 155, and no hole-ring
+        # wedge escapes past the shell
+        assert _area(out) == 299.0 - 144.0
