@@ -368,6 +368,102 @@ class _AeaCrs:
         return math.degrees(lam), math.degrees(phi)
 
 
+# Polar stereographic, EPSG "variant B" (standard parallel + central
+# meridian) — the polar/ice-dataset class (VERDICT r13 item 6). Snyder,
+# USGS PP 1395, pp. 160-162, ellipsoidal forms (EPSG Guidance Note 7-2
+# uses the same):
+#
+#   t(φ)  = tan(π/4 − φ/2) · [(1 + e sinφ)/(1 − e sinφ)]^{e/2}   (north)
+#   t(φ)  = tan(π/4 + φ/2) / [(1 + e sinφ)/(1 − e sinφ)]^{e/2}   (south)
+#   m(φ)  = cosφ / √(1 − e² sin²φ)
+#   ρ     = a · m(φ_F) · t(φ) / t(φ_F)
+#   E = FE + ρ sin(λ − λ₀);  N = FN − ρ cos(λ − λ₀)   (north)
+#                            N = FN + ρ cos(λ − λ₀)   (south)
+#
+# Inverse: ρ′ = hypot(E−FE, N−FN), t′ = ρ′ t_F/(a m_F), conformal
+# latitude χ = ±(π/2 − 2 atan t′), then the standard conformal-to-
+# geodetic series (Snyder 3-5). The pole itself is EXACT: t(±90°) = 0
+# → ρ = 0 → (FE, FN) with no transcendental residue.
+
+
+class _PsCrs:
+    def __init__(self, phi_f, lam0, e0, n0, inv_f):
+        f = 1.0 / inv_f
+        self.a = R
+        self.e = math.sqrt(f * (2.0 - f))
+        self.north = phi_f > 0.0
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        pf = math.radians(phi_f)
+        s = math.sin(pf)
+        self.mf = math.cos(pf) / math.sqrt(1.0 - self.e * self.e * s * s)
+        self.tf = self._t(pf)
+        e2 = self.e * self.e
+        # conformal → geodetic series coefficients (Snyder 3-5)
+        self._c2 = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+        self._c4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+        self._c6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+        self._c8 = 4279.0 * e2**4 / 161280.0
+
+    def _t(self, phi):
+        s = math.sin(phi)
+        es = ((1.0 + self.e * s) / (1.0 - self.e * s)) ** (self.e / 2.0)
+        if self.north:
+            return math.tan(math.pi / 4.0 - phi / 2.0) * es
+        return math.tan(math.pi / 4.0 + phi / 2.0) / es
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        rho = self.a * self.mf * self._t(math.radians(lat)) / self.tf
+        dl = math.radians(lon) - self.lam0
+        e = self.e0 + rho * math.sin(dl)
+        if self.north:
+            return e, self.n0 - rho * math.cos(dl)
+        return e, self.n0 + rho * math.cos(dl)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        de, dn = e - self.e0, n - self.n0
+        rho = math.hypot(de, dn)
+        t = rho * self.tf / (self.a * self.mf)
+        chi = math.pi / 2.0 - 2.0 * math.atan(t)
+        if not self.north:
+            chi = -chi
+        phi = (
+            chi
+            + self._c2 * math.sin(2.0 * chi)
+            + self._c4 * math.sin(4.0 * chi)
+            + self._c6 * math.sin(6.0 * chi)
+            + self._c8 * math.sin(8.0 * chi)
+        )
+        if rho == 0.0:
+            lam = self.lam0  # the pole: longitude is the CRS's own λ₀
+        elif self.north:
+            lam = self.lam0 + math.atan2(de, -dn)
+        else:
+            lam = self.lam0 + math.atan2(de, dn)
+        # λ₀ + atan2 ranges over (λ₀ − π, λ₀ + π]: wrap into (−180, 180]
+        # like proj (a 136.5°E point through EPSG:3413 otherwise comes
+        # back as −223.5°)
+        lon = math.degrees(lam)
+        if lon <= -180.0:
+            lon += 360.0
+        elif lon > 180.0:
+            lon -= 360.0
+        return lon, math.degrees(phi)
+
+
+_WGS84_INV_F = 298.257223563
+
+_PS: dict[int, _PsCrs] = {
+    # NSIDC Sea Ice Polar Stereographic North: SP 70°N, λ₀ 45°W, FE/FN 0
+    3413: _PsCrs(70.0, -45.0, 0.0, 0.0, _WGS84_INV_F),
+    # Antarctic Polar Stereographic: SP 71°S, λ₀ 0°, FE/FN 0
+    3031: _PsCrs(-71.0, 0.0, 0.0, 0.0, _WGS84_INV_F),
+    # Australian Antarctic Polar Stereographic — the EPSG Guidance Note
+    # 7-2 worked example (SP 71°S, λ₀ 70°E, FE/FN 6 000 km), pinned in
+    # tests/test_projection.py against the published E/N values
+    3032: _PsCrs(-71.0, 70.0, 6_000_000.0, 6_000_000.0, _WGS84_INV_F),
+}
+
 _AEA: dict[int, _AeaCrs] = {
     # NAD83 / Conus Albers: SP 29.5°/45.5°, origin (23°N, 96°W), FE/FN 0
     5070: _AeaCrs(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, _GRS80_INV_F),
@@ -434,6 +530,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _AEA[srid_to].fwd)
     if srid_from in _AEA and srid_to == 4326:
         return _map_coords(g, _AEA[srid_from].inv)
+    if srid_from == 4326 and srid_to in _PS:
+        return _map_coords(g, _PS[srid_to].fwd)
+    if srid_from in _PS and srid_to == 4326:
+        return _map_coords(g, _PS[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
@@ -444,6 +544,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         or srid_to in _LAEA
         or srid_from in _AEA
         or srid_to in _AEA
+        or srid_from in _PS
+        or srid_to in _PS
     ):
         # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
@@ -451,8 +553,9 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
     raise ValueError(
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
-        "EPSG:2154/3034, LAEA EPSG:3035, and Albers EAC EPSG:5070/3577; "
-        "install proj and add a dispatcher branch for other CRSs)"
+        "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, and "
+        "polar stereographic EPSG:3413/3031/3032; install proj and add a "
+        "dispatcher branch for other CRSs)"
     )
 
 

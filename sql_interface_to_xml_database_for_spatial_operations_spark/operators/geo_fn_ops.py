@@ -221,7 +221,12 @@ _Q130_ORACLE = f"""
            TRUE AS laea_origin_ok,
            CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS aea_rt_lon_micro,
            CAST(floor(lat * 1000000 + 0.5) AS BIGINT) AS aea_rt_lat_micro,
-           TRUE AS aea_origin_ok
+           TRUE AS aea_origin_ok,
+           CAST(floor(lon * 1000000 + 0.5) AS BIGINT) AS ps_rt_lon_micro,
+           CAST(floor((CASE WHEN c_custkey % 2 = 0 THEN lat / 8 + 75
+                            ELSE -(lat / 8 + 75) END) * 1000000 + 0.5) AS BIGINT)
+             AS ps_rt_lat_micro,
+           TRUE AS ps_pole_ok
     FROM pts
 """
 
@@ -288,6 +293,28 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("aea_back", F.call_function("st_transform", F.col("aea"), F.col("aea_srid"), F.lit(4326)))
         .withColumn("aea_origin_us", F.expr("st_transform('POINT (-96 23)', 4326, 5070)"))
         .withColumn("aea_origin_au", F.expr("st_transform('POINT (132 0)', 4326, 3577)"))
+        # Polar stereographic EPSG:3413/3031 (r14, Snyder PP 1395
+        # pp. 160-162): fixture maps the grid into each aspect's polar
+        # domain (lat/8 + 75 ∈ [65.03, 84.91], still exact 1/32-degree
+        # micro-integers); round-trip error is the conformal-series
+        # truncation (~1e-11 deg). The poles themselves are EXACT
+        # (t(±90°) = 0 → ρ = 0 → the false origin, no transcendental
+        # residue), so the anchors compare as exact doubles.
+        .withColumn(
+            "ps_srid",
+            F.when(F.col("c_custkey") % 2 == 0, F.lit(3413)).otherwise(F.lit(3031)).cast("int"),
+        )
+        .withColumn(
+            "ps_lat",
+            F.when(F.col("c_custkey") % 2 == 0, F.col("lat") / 8 + 75).otherwise(
+                -(F.col("lat") / 8 + 75)
+            ),
+        )
+        .withColumn("gps", F.expr("st_point(lon, ps_lat)"))
+        .withColumn("ps", F.call_function("st_transform", F.col("gps"), F.lit(4326), F.col("ps_srid")))
+        .withColumn("ps_back", F.call_function("st_transform", F.col("ps"), F.col("ps_srid"), F.lit(4326)))
+        .withColumn("ps_pole_n", F.expr("st_transform('POINT (37 90)', 4326, 3413)"))
+        .withColumn("ps_pole_s", F.expr("st_transform('POINT (0 -90)', 4326, 3031)"))
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -319,6 +346,14 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr("st_x(aea_origin_au)") == F.lit(0.0))
             & (F.expr("st_y(aea_origin_au)") == F.lit(0.0))
         ).alias("aea_origin_ok"),
+        micro(F.expr("st_x(ps_back)")).alias("ps_rt_lon_micro"),
+        micro(F.expr("st_y(ps_back)")).alias("ps_rt_lat_micro"),
+        (
+            (F.expr("st_x(ps_pole_n)") == F.lit(0.0))
+            & (F.expr("st_y(ps_pole_n)") == F.lit(0.0))
+            & (F.expr("st_x(ps_pole_s)") == F.lit(0.0))
+            & (F.expr("st_y(ps_pole_s)") == F.lit(0.0))
+        ).alias("ps_pole_ok"),
     )
 
 

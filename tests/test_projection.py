@@ -379,3 +379,83 @@ class TestAlbersEqualAreaConic:
         assert row["us"] == "POINT (0 0)"
         assert row["au"] == "POINT (0 0)"
         assert row["comp"].startswith("POINT (")
+
+
+class TestPolarStereographic:
+    """EPSG variant-B polar stereographic (r14, VERDICT r13 item 6):
+    Snyder PP 1395 pp. 160-162 ellipsoidal forms, EPSG:3413 (Arctic),
+    3031 (Antarctic), 3032 (the EPSG Guidance Note 7-2 worked example)."""
+
+    def test_epsg_guidance_note_worked_example(self):
+        # GN 7-2, Polar Stereographic variant B example (EPSG:3032):
+        # (75°S, 120°E) -> E 7 255 380.79, N 7 053 389.56
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _PS,
+        )
+
+        e, n = _PS[3032].fwd(120.0, -75.0)
+        assert e == pytest.approx(7_255_380.79, abs=0.01)
+        assert n == pytest.approx(7_053_389.56, abs=0.01)
+        lon, lat = _PS[3032].inv(7_255_380.79, 7_053_389.56)
+        assert lon == pytest.approx(120.0, abs=1e-7)
+        assert lat == pytest.approx(-75.0, abs=1e-7)
+
+    def test_poles_are_exact(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _PS,
+        )
+
+        assert _PS[3413].fwd(37.0, 90.0) == (0.0, 0.0)  # any longitude
+        assert _PS[3031].fwd(-123.0, -90.0) == (0.0, 0.0)
+        assert _PS[3032].fwd(0.0, -90.0) == (6_000_000.0, 6_000_000.0)
+        # the pole's inverse longitude is the CRS's own central meridian
+        lon, lat = _PS[3031].inv(0.0, 0.0)
+        assert (lon, lat) == (0.0, pytest.approx(-90.0))
+
+    def test_standard_parallel_scale_true(self):
+        # at the standard parallel the map distance equals the true
+        # parallel-circle distance (k = 1): compare a 0.1° arc at 70°N
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _PS,
+        )
+        import math
+
+        c = _PS[3413]
+        x1, y1 = c.fwd(-45.0, 70.0)
+        x2, y2 = c.fwd(-44.9, 70.0)
+        mapped = math.hypot(x2 - x1, y2 - y1)
+        a, inv_f = 6378137.0, 298.257223563
+        f = 1.0 / inv_f
+        e2 = f * (2.0 - f)
+        s = math.sin(math.radians(70.0))
+        true_arc = (
+            a * math.cos(math.radians(70.0)) / math.sqrt(1.0 - e2 * s * s)
+        ) * math.radians(0.1)
+        assert mapped == pytest.approx(true_arc, rel=1e-6)
+
+    def test_round_trip_both_aspects(self):
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _PS,
+        )
+
+        rng = random.Random(7)
+        for _ in range(500):
+            lon, lat = rng.uniform(-180, 180), rng.uniform(55, 89.95)
+            for srid, la in ((3413, lat), (3031, -lat), (3032, -lat)):
+                x, y = _PS[srid].fwd(lon, la)
+                lo, lb = _PS[srid].inv(x, y)
+                dl = abs((lo - lon + 180.0) % 360.0 - 180.0)
+                assert dl < 1e-9 and abs(lb - la) < 1e-9, (srid, lon, la)
+
+    def test_dispatcher_and_composition(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (10 90)', 4326, 3413) AS np,"
+            " st_transform('POINT (55 -90)', 4326, 3031) AS sp,"
+            " st_transform(st_transform('POINT (-45 70)', 4326, 3413),"
+            " 3413, 3031) AS comp"
+        ).collect()[0]
+        assert row["np"] == "POINT (0 0)"
+        assert row["sp"] == "POINT (0 0)"
+        assert row["comp"].startswith("POINT (")
