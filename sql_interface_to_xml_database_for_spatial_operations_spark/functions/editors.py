@@ -208,8 +208,8 @@ def expand(wkt, dist) -> str | None:
 # ST_Snap (r13)
 # ---------------------------------------------------------------------------
 #
-# GEOS/JTS LineStringSnapper semantics, per coordinate sequence of the
-# INPUT, against the REFERENCE geometry's vertices:
+# GEOS/JTS LineStringSnapper-STYLE semantics, per coordinate sequence
+# of the INPUT, against the REFERENCE geometry's vertices:
 #   1. vertex snap (findSnapForVertex) — each input vertex moves to the
 #      FIRST reference vertex (serialized order) strictly within
 #      tolerance; a vertex exactly equal to a reference vertex does not
@@ -218,8 +218,16 @@ def expand(wkt, dist) -> str | None:
 #      strictly within tolerance of some segment's interior is inserted
 #      into its single CLOSEST segment only (distance tie → the earlier
 #      segment), ordered within a segment by projection parameter.
-# Consecutive duplicates collapse; ring closure is preserved. Like
-# PostGIS, validity of the result is NOT guaranteed — snap is a
+# Consecutive duplicates collapse; ring closure is preserved.
+# DOCUMENTED approximations vs JTS proper (ADVICE r13): (a) segment
+# candidates here use the INTERIOR projection distance (0 < t < 1),
+# where JTS uses the full endpoint-clamped segment distance, and (b)
+# all inserts are computed against the unmutated post-vertex-snap
+# sequence then batch-sorted by parameter, where JTS re-finds the
+# closest segment against the EVOLVING list per reference point —
+# inputs whose reference vertices are nearest to each other's inserted
+# segments can order/attach differently in rare cases. Like PostGIS,
+# validity of the result is NOT guaranteed — snap is a
 # pre-noding/matching tool, not a repair. Typed-EMPTY input or
 # reference echoes the input (nothing to snap / snap to), the module's
 # _empty_kind convention and PostGIS behavior.

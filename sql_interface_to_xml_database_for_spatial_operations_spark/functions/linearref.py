@@ -203,30 +203,44 @@ def _geom(wkt) -> Geometry | None:
     return g
 
 
+# Work bound for the all-pairs candidate scans (ADVICE r13 / the
+# grids-family _MAX_CELLS idiom): loud NULL instead of a stalled
+# executor. 4e6 candidate evaluations ≈ 3-4 s worst-row.
+_MAX_PAIR_WORK = 4_000_000
+
+
 def nearest_pair(
     a: Geometry, b: Geometry
 ) -> tuple[tuple[float, float], tuple[float, float]] | None:
     pa, sa = G._points(a), list(G._segments(a))
     pb, sb = G._points(b), list(G._segments(b))
+    if (
+        len(pa) * len(sb) + len(pb) * len(sa) + len(pa) * len(pb)
+        > _MAX_PAIR_WORK
+    ):
+        return None  # loud work bound (module docstring)
     if G.intersects(a, b):
-        # a 0-dimensional operand's first member on the other geometry
-        # is the zero-distance witness; extended overlaps are loud
-        # NULL. Members are bbox-prescreened before the exact predicate
-        # (the per-member intersects re-walks the opposing geometry)
-        if not sb:
-            bx0, by0, bx1, by1 = G.bbox(a)
-            for p in pb:
-                if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
-                    continue
-                if G.intersects(a, Geometry("Point", p)):
-                    return p, p
-        if not sa:
-            bx0, by0, bx1, by1 = G.bbox(b)
-            for p in pa:
-                if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
-                    continue
-                if G.intersects(Geometry("Point", p), b):
-                    return p, p
+        # a zero-distance VERTEX witness is pinnable: a 0-dimensional
+        # operand's first member on the other geometry, or (ADVICE r13)
+        # any vertex of either operand lying on the other — shared
+        # vertices and isolated point members of MIXED collections
+        # included. Only contacts with no vertex witness at all
+        # (segment-interior crossings, extended overlaps) stay the
+        # documented loud NULL. Members are bbox-prescreened before the
+        # exact predicate (the per-member intersects re-walks the
+        # opposing geometry).
+        bx0, by0, bx1, by1 = G.bbox(a)
+        for p in pb:
+            if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
+                continue
+            if G.intersects(a, Geometry("Point", p)):
+                return p, p
+        bx0, by0, bx1, by1 = G.bbox(b)
+        for p in pa:
+            if not (bx0 <= p[0] <= bx1 and by0 <= p[1] <= by1):
+                continue
+            if G.intersects(Geometry("Point", p), b):
+                return p, p
         return None
     best = None  # (d2, pa, pb)
     for p in pb:
@@ -258,6 +272,8 @@ def farthest_pair(
     a: Geometry, b: Geometry
 ) -> tuple[tuple[float, float], tuple[float, float]] | None:
     pa, pb = G._points(a), G._points(b)
+    if len(pa) * len(pb) > _MAX_PAIR_WORK:
+        return None  # loud work bound (module docstring)
     best = None  # (d2, pa, pb)
     for p in pa:
         for q in pb:

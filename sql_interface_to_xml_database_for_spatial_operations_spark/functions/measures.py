@@ -279,15 +279,29 @@ def frechet_distance(a: Geometry, b: Geometry) -> float | None:
 # fixtures must make the witness unique (registry tie lesson).
 
 
+# Work bound for the O(V²) candidate scans (VERDICT r13 / ADVICE r13:
+# a single 10⁵-vertex polygon is 10¹⁰ Python ops in one task — the
+# grids-family _MAX_CELLS idiom, loud NULL instead of a stalled
+# executor). 2 000 vertices ≈ 2 s worst-row on this container.
+_MAX_CLEARANCE_VERTICES = 2_000
+
+
 def minimum_clearance_witness(
     g: Geometry,
 ) -> tuple[float, Point, Point] | None:
     """(clearance, from_vertex, to_point) or None when every candidate
     distance is zero or absent (infinite clearance). Raises ValueError
-    on non-finite coordinates (garbage is NOT infinite clearance)."""
+    on non-finite coordinates (garbage is NOT infinite clearance) and
+    on geometries past the documented vertex budget (the scan is
+    all-pairs; callers map the raise to a loud NULL)."""
     from .linearref import _project_to_segment
 
     pts = G._points(g)
+    if len(pts) > _MAX_CLEARANCE_VERTICES:
+        raise ValueError(
+            f"minimum clearance vertex budget exceeded ({len(pts)} > "
+            f"{_MAX_CLEARANCE_VERTICES})"
+        )
     if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
         raise ValueError("non-finite coordinates")
     segs = list(G._segments(g))

@@ -149,9 +149,25 @@ def _bowyer_watson(
     return [t for t in tris if not (set(t) & supers)]
 
 
+# Work bound (VERDICT r13 item 7, the grids-family _MAX_CELLS idiom):
+# both kernels are O(n²) in EXACT Fraction arithmetic per row — 400
+# sites ≈ 16-28 s on this container. Loud ValueError (every UDF maps
+# it to NULL) instead of a stalled executor; raise the constant if a
+# deployment genuinely needs denser per-row tessellations.
+_MAX_TESS_SITES = 256
+
+
+def _site_gate(n: int) -> None:
+    if n > _MAX_TESS_SITES:
+        raise ValueError(
+            f"tessellation site budget exceeded ({n} > {_MAX_TESS_SITES})"
+        )
+
+
 def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint]]:
     """Delaunay triangulation of the distinct input points as a list of
     CCW vertex triples. [] for <3 distinct or fully collinear input.
+    Raises ValueError past the _MAX_TESS_SITES work bound.
 
     A FINITE super-triangle cannot be placed safely a priori: a thin
     (near-collinear) real triangle has an arbitrarily large circumcircle
@@ -167,6 +183,7 @@ def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint
     is a loud RuntimeError (NULL at the SQL surface), never a silently
     truncated triangulation."""
     pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
+    _site_gate(len(pts))
     if len(pts) < 3:
         return []
     if all(_orient(pts[0], pts[1], p) == 0 for p in pts[2:]):
@@ -246,6 +263,7 @@ def _clip_halfplane(
 def voronoi_cells(points: list[Point]) -> list[tuple[FPoint, list[FPoint]]]:
     """(site, open CCW cell ring) per distinct site, sites sorted."""
     pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
+    _site_gate(len(pts))
     if not pts:
         return []
     xs = [p[0] for p in pts]

@@ -87,6 +87,17 @@ _BOX_DIAG = _box_sql(
     "maxx + 3", "maxy + 4", "maxx + 3 + (maxx - minx)", "maxy + 4 + (maxy - miny)"
 )
 _BOX_OVER = _box_sql("minx + 5", "miny + 3", "maxx + 5", "maxy + 3")
+# r14 vertex-witness fixtures (ADVICE r13): a twin sharing EXACTLY the
+# (maxx, maxy) corner, and a mixed collection whose isolated POINT
+# member sits inside the box while its LINESTRING member is far away
+_BOX_TOUCH = _box_sql(
+    "maxx", "maxy", "maxx + (maxx - minx)", "maxy + (maxy - miny)"
+)
+_MIXED_GC_PT = (
+    f"'GEOMETRYCOLLECTION (POINT (' || {_xy('minx + 7', 'miny + 2')} || "
+    f"'), LINESTRING (' || {_xy('maxx + 20', 'maxy + 20')} || ', ' || "
+    f"{_xy('maxx + 25', 'maxy + 20')} || '))'"
+)
 _PT_OUT = f"'POINT (' || {_xy('maxx + 10', 'miny + 5')} || ')'"
 _PT_IN = f"'POINT (' || {_xy('minx + 2', 'miny + 1')} || ')'"
 
@@ -153,9 +164,17 @@ _Q152_ORACLE = f"""
            {_mu(f"sqrt(({_W} - 2) * ({_W} - 2) + ({_H} - 1) * ({_H} - 1))")} AS b
     FROM boxes
     UNION ALL
-    SELECT 'overlap_null' AS fam, n_nationkey AS key,
-           CAST(1 AS BIGINT) AS a,
+    SELECT 'overlap_vertex' AS fam, n_nationkey AS key,
+           {_mu("minx + 5")} AS a,
            {_mu(f"sqrt(({_W} + 5) * ({_W} + 5) + ({_H} + 3) * ({_H} + 3))")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'touch_vertex' AS fam, n_nationkey AS key,
+           {_mu("maxx")} AS a, {_mu("maxy")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'mixed_member' AS fam, n_nationkey AS key,
+           {_mu("minx + 7")} AS a, {_mu("miny + 2")} AS b
     FROM boxes
 """
 
@@ -235,16 +254,34 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mu(f"st_length(st_shortestline({_BOX_POLY}, {_PT_IN}))"),
         _mu(f"st_maxdistance({_BOX_POLY}, {_PT_IN})"),
     )
-    overlap_null = fam(
-        "overlap_null",
-        f"CAST(CASE WHEN st_shortestline({_BOX_POLY}, {_BOX_OVER}) IS NULL"
-        " THEN 1 ELSE 0 END AS BIGINT)",
+    # r14 (ADVICE r13): intersecting pairs with a pinnable VERTEX
+    # witness return it (PostGIS returns a shared point) — the
+    # overlapping twin's first serialized vertex (minx+5, miny+3) lies
+    # inside the box; the corner-touching twin shares exactly
+    # (maxx, maxy); a mixed collection's isolated point member on the
+    # box is the witness. Only vertex-free contacts (segment-interior
+    # crossings / overlaps with no vertex on the other operand) remain
+    # the documented loud NULL.
+    overlap_vertex = fam(
+        "overlap_vertex",
+        _mu(f"st_x(st_closestpoint({_BOX_POLY}, {_BOX_OVER}))"),
         _mu(f"st_maxdistance({_BOX_POLY}, {_BOX_OVER})"),
+    )
+    touch_vertex = fam(
+        "touch_vertex",
+        _mu(f"st_x(st_closestpoint({_BOX_POLY}, {_BOX_TOUCH}))"),
+        _mu(f"st_y(st_endpoint(st_shortestline({_BOX_POLY}, {_BOX_TOUCH})))"),
+    )
+    mixed_member = fam(
+        "mixed_member",
+        _mu(f"st_x(st_closestpoint({_MIXED_GC_PT}, {_BOX_POLY}))"),
+        _mu(f"st_y(st_closestpoint({_MIXED_GC_PT}, {_BOX_POLY}))"),
     )
     out = interp_mid
     for part in (
         interp_up, interp_ends, locate, substr, closest, shortline,
-        areal_closest, poly_pair, longline, inside_zero, overlap_null,
+        areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
+        touch_vertex, mixed_member,
     ):
         out = out.unionByName(part)
     return out

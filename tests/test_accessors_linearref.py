@@ -427,7 +427,11 @@ class TestGeneralNearestFarthest:
 
         assert row["md"] == math.hypot(23, 16)
 
-    def test_overlapping_extended_pair_is_loud_null(self, spark):
+    def test_overlapping_pair_returns_vertex_witness(self, spark):
+        # r14 (ADVICE r13): an intersecting pair with a vertex of one
+        # operand on/in the other returns that vertex as the
+        # zero-distance witness (PostGIS returns a shared point) — the
+        # overlapping twin's first serialized vertex (5, 3) is inside
         row = spark.sql(
             "SELECT st_shortestline('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
             " 'POLYGON ((5 3, 15 3, 15 9, 5 9, 5 3))') AS sl,"
@@ -436,8 +440,49 @@ class TestGeneralNearestFarthest:
             " st_maxdistance('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
             " 'POLYGON ((5 3, 15 3, 15 9, 5 9, 5 3))') AS md"
         ).collect()[0]
-        assert row["sl"] is None and row["cp"] is None
+        assert row["sl"] == "LINESTRING (5 3, 5 3)"
+        assert row["cp"] == "POINT (5 3)"
         assert row["md"] is not None  # max distance has no overlap gate
+
+    def test_vertex_free_crossing_stays_loud_null(self, spark):
+        # a plus-sign crossing: every vertex of each bar is strictly
+        # outside the other, so no vertex witness exists — the
+        # documented loud NULL survives exactly for this class
+        row = spark.sql(
+            "SELECT st_shortestline('POLYGON ((0 0, 10 0, 10 1, 0 1, 0 0))',"
+            " 'POLYGON ((4 -5, 5 -5, 5 5, 4 5, 4 -5))') AS sl,"
+            " st_closestpoint('POLYGON ((0 0, 10 0, 10 1, 0 1, 0 0))',"
+            " 'POLYGON ((4 -5, 5 -5, 5 5, 4 5, 4 -5))') AS cp"
+        ).collect()[0]
+        assert row["sl"] is None and row["cp"] is None
+
+    def test_shared_corner_and_mixed_member_witnesses(self, spark):
+        row = spark.sql(
+            "SELECT st_closestpoint('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',"
+            " 'POLYGON ((10 6, 20 6, 20 12, 10 12, 10 6))') AS corner,"
+            " st_closestpoint('GEOMETRYCOLLECTION (POINT (7 2),"
+            " LINESTRING (30 30, 35 30))',"
+            " 'POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))') AS member"
+        ).collect()[0]
+        assert row["corner"] == "POINT (10 6)"
+        assert row["member"] == "POINT (7 2)"
+
+    def test_pair_work_bound_is_loud_null(self, spark):
+        # the all-pairs scans refuse past _MAX_PAIR_WORK (grids-family
+        # budget idiom) instead of stalling the executor
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.linearref import (
+            farthest_pair, nearest_pair,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        big = Geometry("MultiPoint", [(float(i), 0.0) for i in range(2100)])
+        far = Geometry("MultiPoint", [(float(i), 9.0) for i in range(2100)])
+        assert nearest_pair(big, far) is None  # 2100*2100 > 4e6
+        assert farthest_pair(big, far) is None
+        small = Geometry("MultiPoint", [(0.0, 9.0)])
+        assert nearest_pair(big, small) is not None
 
     def test_line_line_and_multipoint(self, spark):
         row = spark.sql(

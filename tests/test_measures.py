@@ -277,3 +277,31 @@ def test_minimum_clearance_typed_empty_is_infinite(spark):
     ).collect()[0]
     assert row["c"] == "Infinity"
     assert row["l"] == "LINESTRING EMPTY"
+
+
+def test_clearance_vertex_budget_is_loud(spark):
+    # r14 work bound: the all-pairs clearance scan refuses past
+    # _MAX_CLEARANCE_VERTICES (NULL at the SQL surface), never stalls
+    import pytest
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+        Geometry,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measures import (
+        _MAX_CLEARANCE_VERTICES, minimum_clearance_witness,
+    )
+
+    big = Geometry(
+        "MultiPoint",
+        [(float(i), float(i % 7)) for i in range(_MAX_CLEARANCE_VERTICES + 1)],
+    )
+    with pytest.raises(ValueError, match="vertex budget"):
+        minimum_clearance_witness(big)
+    mp = "MULTIPOINT (" + ", ".join(
+        f"{i} {i % 7}" for i in range(_MAX_CLEARANCE_VERTICES + 1)
+    ) + ")"
+    row = spark.sql(
+        f"SELECT st_minimumclearance('{mp}') AS c,"
+        f" st_minimumclearanceline('{mp}') AS l"
+    ).collect()[0]
+    assert row["c"] is None and row["l"] is None

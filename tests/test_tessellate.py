@@ -377,3 +377,28 @@ class TestConcaveHullHoles:
         # same PostGIS-parity class st_concavehull uses
         assert rows["coll"] == "LINESTRING (0 0, 2 0)"
         assert rows["bad"] is None and rows["n"] is None
+
+
+def test_site_budget_is_loud(spark):
+    # r14 work bound (VERDICT r13 item 7): O(n²)-in-Fractions kernels
+    # refuse past _MAX_TESS_SITES instead of stalling the executor
+    import pytest
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.tessellate import (
+        _MAX_TESS_SITES, delaunay_triangles, voronoi_cells,
+    )
+
+    pts = [(float(i % 60), float(i // 60)) for i in range(_MAX_TESS_SITES + 1)]
+    with pytest.raises(ValueError, match="site budget"):
+        delaunay_triangles(pts)
+    with pytest.raises(ValueError, match="site budget"):
+        voronoi_cells(pts)
+    big_mp = "MULTIPOINT (" + ", ".join(
+        f"{i % 60} {i // 60}" for i in range(_MAX_TESS_SITES + 1)
+    ) + ")"
+    row = spark.sql(
+        f"SELECT st_delaunaytriangles('{big_mp}') AS d,"
+        f" st_voronoipolygons('{big_mp}') AS v,"
+        f" st_concavehull('{big_mp}', 0.3) AS c"
+    ).collect()[0]
+    assert row["d"] is None and row["v"] is None and row["c"] is None
