@@ -110,6 +110,7 @@ HEADLINE = [
     "q169_st_grids",
     "q170_bm25_search",
     "q171_bigram_perplexity",
+    "q172_bpe_tokenize",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

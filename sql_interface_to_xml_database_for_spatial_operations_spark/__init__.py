@@ -13,6 +13,7 @@ Short alias: ``import sql_interface_to_xml_database_for_spatial_operations_spark
 from .session import get_spark
 from .sources.tables import TABLES, load_tables, register_views
 from .functions.spatial import register_spatial_functions
+from .functions.bpe import register_bpe_functions
 
 __all__ = [
     "get_spark",
@@ -20,6 +21,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "register_spatial_functions",
+    "register_bpe_functions",
 ]
 
 __version__ = "0.1.0"

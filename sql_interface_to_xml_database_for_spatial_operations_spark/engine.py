@@ -24,6 +24,7 @@ from .functions.editors import register_editor_functions
 from .functions.linearref import register_linearref_functions
 from .functions.linework import register_linework_functions
 from .functions.bounding import register_bounding_functions
+from .functions.bpe import register_bpe_functions
 from .functions.collection_fns import register_collection_functions
 from .functions.measures import register_measure_functions
 from .functions.overlay import register_overlay_functions
@@ -102,6 +103,7 @@ class SpatialSQLEngine:
         # and throws UNSUPPORTED_FEATURE.GEOSPATIAL_DISABLED on a
         # vanilla session (the replacement warning in the logs is this).
         register_wkb_functions(self.spark)
+        register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------
     def register_parquet_dir(self, sf_dir: str) -> None:

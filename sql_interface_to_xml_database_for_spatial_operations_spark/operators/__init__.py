@@ -54,3 +54,4 @@ def load_all() -> None:
     from . import video_ops  # noqa: F401
     from . import grid_ops  # noqa: F401
     from . import lm_ops  # noqa: F401
+    from . import tokenize_ops  # noqa: F401

@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sql_interface_to_xml_database_for_spatial_operations_spark import (  # noqa: E402
     get_spark,
     register_spatial_functions,
+    register_bpe_functions,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.relations import (  # noqa: E402
     register_relation_functions,
@@ -95,6 +96,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark("tests", cpus=os.environ.get("SPARK_GRAFT_TEST_CPUS", "4"))
     register_spatial_functions(s)
+    register_bpe_functions(s)
     register_relation_functions(s)
     register_relate_functions(s)
     register_measure_functions(s)

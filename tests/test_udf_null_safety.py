@@ -12,6 +12,9 @@ import pytest
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bounding import (
     ALL_BOUNDING_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bpe import (
+    ALL_BPE_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.collection_fns import (
     ALL_COLLECTION_FUNCTIONS,
 )
@@ -106,6 +109,7 @@ _SWEPT = {
     **ALL_LINEARREF_FUNCTIONS,
     **ALL_EDITOR_FUNCTIONS,
     **ALL_CONSTRUCTOR_FUNCTIONS,
+    **ALL_BPE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -117,6 +121,8 @@ _NULL_ARGS = {
     "st_makeenvelope": f"{D}, {D}, {D}, {D}",
     "st_buffer": f"{S}, {D}",
     "st_bufferstyle": f"{S}, {D}, {S}",
+    "bpe_token_ids": f"{S}, {S}",
+    "bpe_token_count": f"{S}, {S}",
     "st_distance": f"{S}, {S}",
     "st_distance_sphere": f"{S}, {S}",
     "st_within": f"{S}, {S}",
