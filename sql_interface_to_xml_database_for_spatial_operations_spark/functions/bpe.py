@@ -25,8 +25,14 @@ Semantics (the published GPT-2/Sennrich BPE algorithm, byte-level):
 
 Merges-table wire format: pairs separated by newlines or commas, the
 two sides separated by one space — the standard merges.txt layout
-(``"a b,ab ab"``). Sides are LATIN-1-escaped byte strings (a merged
-token is the concatenation of its sides' bytes).
+(``"a b,ab ab"``). Sides are byte strings (latin-1 chars 0-255); bytes
+that would collide with the format itself — separators, whitespace
+(including the latin-1 NBSP/NEL the str machinery treats as
+whitespace), ``%`` — travel as ``%XX`` hex escapes
+(``escape_token``/``unescape_token``; code-review r14: a trained merge
+containing a comma or the 0xA0 byte failed to round-trip, NULLing
+every encode). Plain alphanumeric tables like the fixture's
+``a b,ab ab,a a`` are their own escaped form.
 
 Scale shape: per-row Arrow-batched pandas UDFs (map-only, no shuffle);
 the merges table parses once per batch via a tiny cache. Training
@@ -49,6 +55,40 @@ from pyspark.sql.types import ArrayType, IntegerType, LongType
 _MERGES_CACHE: dict[str, tuple[dict[tuple[str, str], int], dict[str, int]]] = {}
 _MERGES_CACHE_MAX = 64
 
+# bytes that may travel raw in a merge side: everything except the
+# format's own separators (space, comma, newline), '%' (the escape
+# lead), and anything str.strip()/split() could eat (all Unicode
+# whitespace in latin-1 range — \t \n \v \f \r \x1c-\x1f \x85 \xa0)
+_RAW_SAFE = frozenset(
+    chr(b)
+    for b in range(256)
+    if chr(b) not in {" ", ",", "\n", "%"} and not chr(b).isspace()
+)
+
+
+def escape_token(side: str) -> str:
+    """Wire form of one merge side (latin-1 byte string)."""
+    return "".join(c if c in _RAW_SAFE else f"%{ord(c):02X}" for c in side)
+
+
+def unescape_token(side: str) -> str:
+    """Inverse of escape_token. A '%' not followed by two hex digits is
+    literal (so hand-written plain tables keep working); %XX above FF
+    cannot occur (two hex digits cap at 0xFF)."""
+    out = []
+    i = 0
+    while i < len(side):
+        c = side[i]
+        if c == "%" and i + 3 <= len(side):
+            hx = side[i + 1 : i + 3]
+            if all(h in "0123456789abcdefABCDEF" for h in hx):
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 def parse_merges(spec: str) -> tuple[dict[tuple[str, str], int], dict[str, int]]:
     """(pair → rank, merged-token → id). Malformed entries (not exactly
@@ -66,11 +106,11 @@ def parse_merges(spec: str) -> tuple[dict[tuple[str, str], int], dict[str, int]]
         parts = entry.strip().split(" ")
         if len(parts) != 2 or not parts[0] or not parts[1]:
             raise ValueError(f"malformed merge entry {entry!r}")
-        pair = (parts[0], parts[1])
+        pair = (unescape_token(parts[0]), unescape_token(parts[1]))
         if pair in ranks:
             raise ValueError(f"duplicate merge entry {entry!r}")
         ranks[pair] = k
-        ids.setdefault(parts[0] + parts[1], 256 + k)
+        ids.setdefault(pair[0] + pair[1], 256 + k)
     return ranks, ids
 
 
@@ -89,14 +129,15 @@ def encode_word(word_bytes: bytes, ranks: dict[tuple[str, str], int]) -> list[st
     the underlying bytes)."""
     toks = [chr(b) for b in word_bytes]
     while len(toks) > 1:
-        best_rank = None
+        best = None  # (rank, pair) — tracked in the scan itself so a
+        # large merges table is never re-walked per pass (review r14)
         for a, b in zip(toks, toks[1:]):
             r = ranks.get((a, b))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank = r
-        if best_rank is None:
+            if r is not None and (best is None or r < best[0]):
+                best = (r, (a, b))
+        if best is None:
             break
-        pa, pb = next(p for p, r in ranks.items() if r == best_rank)
+        pa, pb = best[1]
         out: list[str] = []
         i = 0
         while i < len(toks):

@@ -164,6 +164,16 @@ def _site_gate(n: int) -> None:
         )
 
 
+def _site_pregate(points: list) -> None:
+    """Gate BEFORE any Fraction lifting (code-review r14: the exact
+    dedup/sort of a multi-million-vertex row cost seconds before the
+    post-dedup gate fired). Distinct floats == distinct Fractions
+    (binary64 converts exactly; -0.0 and 0.0 collide in both), so the
+    cheap float-set count is the same number the exact gate sees."""
+    if len(points) > _MAX_TESS_SITES:
+        _site_gate(len(set(points)))
+
+
 def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint]]:
     """Delaunay triangulation of the distinct input points as a list of
     CCW vertex triples. [] for <3 distinct or fully collinear input.
@@ -182,6 +192,7 @@ def delaunay_triangles(points: list[Point]) -> list[tuple[FPoint, FPoint, FPoint
     finite, so some margin puts the supers outside all of them; the cap
     is a loud RuntimeError (NULL at the SQL surface), never a silently
     truncated triangulation."""
+    _site_pregate(points)
     pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
     _site_gate(len(pts))
     if len(pts) < 3:
@@ -262,6 +273,7 @@ def _clip_halfplane(
 
 def voronoi_cells(points: list[Point]) -> list[tuple[FPoint, list[FPoint]]]:
     """(site, open CCW cell ring) per distinct site, sites sorted."""
+    _site_pregate(points)
     pts: list[FPoint] = sorted({(Fraction(x), Fraction(y)) for x, y in points})
     _site_gate(len(pts))
     if not pts:

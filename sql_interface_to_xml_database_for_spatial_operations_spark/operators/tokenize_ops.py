@@ -57,9 +57,12 @@ def _ensure_udfs(spark: SparkSession) -> None:
 
 
 def _serialize_merges(merges: list[tuple[str, str]]) -> str:
-    # newline-separated: trained tokens never contain whitespace (the
-    # pretokenizer splits on it) but may contain commas
-    return "\n".join(f"{a} {b}" for a, b in merges)
+    # sides %XX-escape format-colliding bytes (commas, latin-1
+    # whitespace like 0xA0, '%'): trained merges on real text must
+    # round-trip through parse_merges (code-review r14)
+    return "\n".join(
+        f"{B.escape_token(a)} {B.escape_token(b)}" for a, b in merges
+    )
 
 
 def bpe_train(

@@ -164,3 +164,44 @@ class TestDistributedTraining:
         assert "".join(encode_word(b"the", ranks)) == "the"
         assert len(encode_word(b"the", ranks)) == 1
         assert ids[0] >= 256
+
+
+class TestWireFormatEscaping:
+    """code-review r14: trained merge sides containing commas or
+    latin-1 whitespace bytes (0xA0 NBSP, 0x85 NEL) must round-trip
+    through the wire format."""
+
+    def test_comma_and_nbsp_sides_round_trip(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.bpe import (
+            escape_token,
+            unescape_token,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.tokenize_ops import (
+            _serialize_merges,
+        )
+
+        merges = [(",", "y"), ("\xc3", "\xa0"), ("a%", "b,c")]
+        spec = _serialize_merges(merges)
+        ranks, ids = parse_merges(spec)
+        assert list(ranks) == merges
+        assert ids[",y"] == 256 and ids["\xc3\xa0"] == 257
+        for side in (",", "\xa0", "\x85", "%", "a b", "\n"):
+            assert unescape_token(escape_token(side)) == side
+
+    def test_trained_comma_merges_encode(self, spark):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators.tokenize_ops import (
+            _serialize_merges,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame([("x,y x,y x,y",)], ["txt"])
+        merges = bpe_train(df, "txt", 3)
+        assert merges  # pairs involving ',' were learnable
+        spec = _serialize_merges(merges)
+        ids = encode_text("x,y", spec)
+        assert ids and all(isinstance(i, int) for i in ids)
+        # the accented-letter byte pair (0xC3 0xA0 = 'à') round-trips
+        df2 = spark.createDataFrame([("àà àà àà",)], ["txt"])
+        merges2 = bpe_train(df2, "txt", 1)
+        assert merges2 == [("\xc3", "\xa0")]
+        assert encode_text("à", _serialize_merges(merges2)) == [256]
