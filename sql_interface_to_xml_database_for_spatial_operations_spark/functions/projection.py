@@ -137,6 +137,183 @@ def _utm_inv(e: float, n: float, zone: int, north: bool) -> tuple[float, float]:
     return math.degrees(lam + lam0), math.degrees(phi)
 
 
+# --- General transverse Mercator (national grids, r14) -------------------
+#
+# The same third-order Krüger series as UTM above, generalized to a
+# per-CRS ellipsoid (a, 1/f), natural origin (φ₀, λ₀), scale k₀ and
+# false origin — the national-grid TM class PostGIS users hit right
+# after UTM (VERDICT r13 item 3's "national TM grids"):
+#
+# - EPSG:27700 OSGB36 / British National Grid — Airy 1830 ellipsoid,
+#   origin (49°N, 2°W), k₀ = 0.9996012717, FE 400 km, FN −100 km. The
+#   DATUM differs from WGS84 by ~120 m, so the dispatcher composes the
+#   published 7-parameter Helmert (EPSG transformation 1314 "OSGB36 to
+#   WGS 84 (6)": tx +446.448, ty −125.157, tz +542.060 m, rx +0.1502″,
+#   ry +0.2470″, rz +0.8421″, s −20.4894 ppm, position-vector
+#   convention; the WGS84→OSGB36 leg is the exact algebraic inverse,
+#   not the negated-parameter approximation) through geocentric XYZ —
+#   the same single-Helmert answer proj gives without the OSTN15
+#   correction grid (~2-5 m vs grid truth; documented).
+# - EPSG:2180 ETRS89 / Poland CS92 — GRS80, origin (0°, 19°E),
+#   k₀ = 0.9993, FE 500 km, FN −5 300 km; ETRS89 keeps the usual
+#   no-datum-shift stance.
+#
+# The natural-origin northing offset is the Krüger ξ at (φ₀, λ₀) itself
+# (η ≡ 0 on the central meridian), so the origin anchors are EXACT:
+# ξ−ξ₀ is a float subtraction of identical computations.
+
+
+class _TmCrs:
+    def __init__(self, a, inv_f, lat0, lon0, k0, e0, n0, helmert=None):
+        f = 1.0 / inv_f
+        n = f / (2.0 - f)
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.acap = (a / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+        self.alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0,
+            61.0 * n**3 / 240.0,
+        )
+        self.beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+            n**2 / 48.0 + n**3 / 15.0,
+            17.0 * n**3 / 480.0,
+        )
+        self.delta = (
+            2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3,
+            7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0,
+            56.0 * n**3 / 15.0,
+        )
+        self.two_sqn = 2.0 * math.sqrt(n) / (1.0 + n)
+        self.lam0 = math.radians(lon0)
+        self.k0, self.e0, self.n0 = k0, e0, n0
+        self.helmert = helmert  # local-datum → WGS84 7-param, or None
+        self.xi0 = self._xi_eta(math.radians(lat0), 0.0)[0]
+
+    def _xi_eta(self, phi: float, lam: float) -> tuple[float, float]:
+        s = math.sin(phi)
+        t = math.sinh(math.atanh(s) - self.two_sqn * math.atanh(self.two_sqn * s))
+        xi_p = math.atan2(t, math.cos(lam))
+        eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+        xi, eta = xi_p, eta_p
+        for j, al in enumerate(self.alpha, start=1):
+            xi += al * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+            eta += al * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def fwd_local(self, lon: float, lat: float) -> tuple[float, float]:
+        """TM forward from LOCAL-datum geodetic degrees."""
+        xi, eta = self._xi_eta(math.radians(lat), math.radians(lon) - self.lam0)
+        return (
+            self.e0 + self.k0 * self.acap * eta,
+            self.n0 + self.k0 * self.acap * (xi - self.xi0),
+        )
+
+    def inv_local(self, e: float, n: float) -> tuple[float, float]:
+        xi = (n - self.n0) / (self.k0 * self.acap) + self.xi0
+        eta = (e - self.e0) / (self.k0 * self.acap)
+        xi_p, eta_p = xi, eta
+        for j, be in enumerate(self.beta, start=1):
+            xi_p -= be * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            eta_p -= be * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+        phi = chi
+        for j, de in enumerate(self.delta, start=1):
+            phi += de * math.sin(2 * j * chi)
+        lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+        return math.degrees(lam + self.lam0), math.degrees(phi)
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        """From WGS84 geodetic degrees (datum shift first if any)."""
+        if self.helmert is not None:
+            lon, lat = _helmert_geodetic(
+                lon, lat, _WGS84_AB, self._ab(), self.helmert, inverse=True
+            )
+        return self.fwd_local(lon, lat)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        lon, lat = self.inv_local(e, n)
+        if self.helmert is not None:
+            lon, lat = _helmert_geodetic(
+                lon, lat, self._ab(), _WGS84_AB, self.helmert, inverse=False
+            )
+        return lon, lat
+
+    def _ab(self) -> tuple[float, float]:
+        return self.a, self.a * math.sqrt(1.0 - self.e2)
+
+
+_WGS84_AB = (6378137.0, 6378137.0 * math.sqrt(1.0 - (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)))
+
+
+def _geodetic_to_xyz(lon, lat, ab):
+    a, b = ab
+    e2 = 1.0 - (b * b) / (a * a)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s, c = math.sin(phi), math.cos(phi)
+    nu = a / math.sqrt(1.0 - e2 * s * s)
+    return (nu * c * math.cos(lam), nu * c * math.sin(lam), nu * (1.0 - e2) * s)
+
+
+def _xyz_to_geodetic(x, y, z, ab):
+    a, b = ab
+    e2 = 1.0 - (b * b) / (a * a)
+    lam = math.atan2(y, x)
+    p = math.hypot(x, y)
+    phi = math.atan2(z, p * (1.0 - e2))
+    for _ in range(8):  # converges to <1e-12 rad in ~4 rounds
+        s = math.sin(phi)
+        nu = a / math.sqrt(1.0 - e2 * s * s)
+        phi = math.atan2(z + e2 * nu * s, p)
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _helmert_geodetic(lon, lat, ab_from, ab_to, params, inverse):
+    """7-parameter Helmert (position-vector sign convention) between
+    geodetic datums, through geocentric XYZ. ``params`` transforms the
+    LOCAL datum to WGS84; ``inverse=True`` applies the reverse."""
+    tx, ty, tz, rx, ry, rz, s_ppm = params
+    sc = 1.0 + s_ppm * 1e-6
+    x, y, z = _geodetic_to_xyz(lon, lat, ab_from)
+    if not inverse:
+        x2 = tx + sc * (x - rz * y + ry * z)
+        y2 = ty + sc * (rz * x + y - rx * z)
+        z2 = tz + sc * (-ry * x + rx * y + z)
+    else:
+        # exact algebraic inverse of the small-angle forward above
+        # (not the negated-parameter approximation): unscale, then
+        # solve the 3x3 rotation
+        u, v, w = (x - tx) / sc, (y - ty) / sc, (z - tz) / sc
+        det = 1.0 + rx * rx + ry * ry + rz * rz
+        x2 = (u * (1.0 + rx * rx) + v * (rz + rx * ry) + w * (rx * rz - ry)) / det
+        y2 = (u * (rx * ry - rz) + v * (1.0 + ry * ry) + w * (rx + ry * rz)) / det
+        z2 = (u * (ry + rx * rz) + v * (ry * rz - rx) + w * (1.0 + rz * rz)) / det
+    return _xyz_to_geodetic(x2, y2, z2, ab_to)
+
+
+_ARCSEC = math.pi / 180.0 / 3600.0
+
+_TM: dict[int, _TmCrs] = {
+    # OSGB36 / British National Grid (Airy 1830; EPSG transformation
+    # 1314 "OSGB36 to WGS 84 (6)" Helmert, position-vector convention,
+    # ~2-5 m vs the OSTN15 grid — the proj answer without grid files)
+    27700: _TmCrs(
+        6377563.396, 299.3249646, 49.0, -2.0, 0.9996012717,
+        400_000.0, -100_000.0,
+        helmert=(
+            446.448, -125.157, 542.060,
+            0.1502 * _ARCSEC, 0.2470 * _ARCSEC, 0.8421 * _ARCSEC,
+            -20.4894,
+        ),
+    ),
+    # ETRS89 / Poland CS92 (GRS80 = 298.257222101, no datum shift)
+    2180: _TmCrs(
+        6378137.0, 298.257222101, 0.0, 19.0, 0.9993, 500_000.0, -5_300_000.0
+    ),
+}
+
+
 # --- Lambert conformal conic 2SP ↔ WGS84 (r12, VERDICT r11 item 4) ------
 #
 # The national-grid class PostGIS users hit right after UTM. Snyder,
@@ -534,6 +711,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _PS[srid_to].fwd)
     if srid_from in _PS and srid_to == 4326:
         return _map_coords(g, _PS[srid_from].inv)
+    if srid_from == 4326 and srid_to in _TM:
+        return _map_coords(g, _TM[srid_to].fwd)
+    if srid_from in _TM and srid_to == 4326:
+        return _map_coords(g, _TM[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
@@ -546,6 +727,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         or srid_to in _AEA
         or srid_from in _PS
         or srid_to in _PS
+        or srid_from in _TM
+        or srid_to in _TM
     ):
         # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
@@ -554,7 +737,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
         "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, and "
-        "polar stereographic EPSG:3413/3031/3032; install proj and add a "
+        "polar stereographic EPSG:3413/3031/3032, and national TM grids "
+        "EPSG:27700/2180; install proj and add a "
         "dispatcher branch for other CRSs)"
     )
 

@@ -226,7 +226,14 @@ _Q130_ORACLE = f"""
            CAST(floor((CASE WHEN c_custkey % 2 = 0 THEN lat / 8 + 75
                             ELSE -(lat / 8 + 75) END) * 1000000 + 0.5) AS BIGINT)
              AS ps_rt_lat_micro,
-           TRUE AS ps_pole_ok
+           TRUE AS ps_pole_ok,
+           CAST(floor((CASE WHEN c_custkey % 2 = 0 THEN lon / 40 - 3
+                            ELSE lon / 40 + 19 END) * 1000000 + 0.5) AS BIGINT)
+             AS tm_rt_lon_micro,
+           CAST(floor((CASE WHEN c_custkey % 2 = 0 THEN lat / 16 + 55
+                            ELSE lat / 16 + 52 END) * 1000000 + 0.5) AS BIGINT)
+             AS tm_rt_lat_micro,
+           TRUE AS tm_origin_ok
     FROM pts
 """
 
@@ -315,6 +322,35 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ps_back", F.call_function("st_transform", F.col("ps"), F.col("ps_srid"), F.lit(4326)))
         .withColumn("ps_pole_n", F.expr("st_transform('POINT (37 90)', 4326, 3413)"))
         .withColumn("ps_pole_s", F.expr("st_transform('POINT (0 -90)', 4326, 3031)"))
+        # National TM grids (r14): British National Grid 27700 (Airy
+        # 1830 + the EPSG:1314 Helmert datum shift — round-trip error is
+        # the 2D height-drop convention, ~1.3e-8 deg ≈ 0.013 micro,
+        # under the 0.5 floor guard) and Poland CS92 2180 (GRS80, no
+        # shift, Krüger truncation ~6e-9 deg). Fixtures map the grid
+        # into each CRS's domain with exact 1/40- and 1/64-degree
+        # micro-integers. The 2180 natural origin is EXACT (ξ−ξ₀ is a
+        # subtraction of identical float computations; η ≡ 0 on the
+        # central meridian).
+        .withColumn(
+            "tm_srid",
+            F.when(F.col("c_custkey") % 2 == 0, F.lit(27700)).otherwise(F.lit(2180)).cast("int"),
+        )
+        .withColumn(
+            "tm_lon",
+            F.when(F.col("c_custkey") % 2 == 0, F.col("lon") / 40 - 3).otherwise(
+                F.col("lon") / 40 + 19
+            ),
+        )
+        .withColumn(
+            "tm_lat",
+            F.when(F.col("c_custkey") % 2 == 0, F.col("lat") / 16 + 55).otherwise(
+                F.col("lat") / 16 + 52
+            ),
+        )
+        .withColumn("gtm", F.expr("st_point(tm_lon, tm_lat)"))
+        .withColumn("tm", F.call_function("st_transform", F.col("gtm"), F.lit(4326), F.col("tm_srid")))
+        .withColumn("tm_back", F.call_function("st_transform", F.col("tm"), F.col("tm_srid"), F.lit(4326)))
+        .withColumn("tm_origin", F.expr("st_transform('POINT (19 0)', 4326, 2180)"))
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -354,6 +390,12 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr("st_x(ps_pole_s)") == F.lit(0.0))
             & (F.expr("st_y(ps_pole_s)") == F.lit(0.0))
         ).alias("ps_pole_ok"),
+        micro(F.expr("st_x(tm_back)")).alias("tm_rt_lon_micro"),
+        micro(F.expr("st_y(tm_back)")).alias("tm_rt_lat_micro"),
+        (
+            (F.expr("st_x(tm_origin)") == F.lit(500_000.0))
+            & (F.expr("st_y(tm_origin)") == F.lit(-5_300_000.0))
+        ).alias("tm_origin_ok"),
     )
 
 

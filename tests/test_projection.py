@@ -70,7 +70,7 @@ def test_same_srid_is_identity():
 
 def test_unsupported_pair_raises():
     with pytest.raises(ValueError, match="no transform"):
-        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 27700)
+        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 21781)  # Swiss LV03
 
 
 def test_sql_surface(spark):
@@ -163,7 +163,7 @@ class TestUTM:
         import pytest as _pt
 
         with _pt.raises(ValueError):
-            P.transform(g, 4326, 27700)  # OSGB36 grid: unsupported, loud
+            P.transform(g, 4326, 21781)  # Swiss oblique Mercator: unsupported, loud
 
 
 class TestLambertConformalConic:
@@ -211,7 +211,7 @@ class TestLambertConformalConic:
                 for lat in range(-75, 76, 15):
                     e, n = crs.fwd(float(lon), float(lat))
                     lo, la = crs.inv(e, n)
-                    assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+                    assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
 
     def test_dispatcher_and_composition(self, spark):
         row = spark.sql(
@@ -459,3 +459,93 @@ class TestPolarStereographic:
         assert row["np"] == "POINT (0 0)"
         assert row["sp"] == "POINT (0 0)"
         assert row["comp"].startswith("POINT (")
+
+
+class TestNationalTmGrids:
+    """r14: general transverse Mercator (Krüger series per-ellipsoid) —
+    EPSG:27700 British National Grid (Airy 1830 + EPSG:1314 Helmert)
+    and EPSG:2180 Poland CS92 (GRS80, no shift)."""
+
+    def test_os_worked_example(self):
+        # "A guide to coordinate systems in Great Britain", Annex C:
+        # OSGB36 (52°39'27.2531"N, 1°43'4.5177"E) -> E 651409.903,
+        # N 313177.270 (TM kernel only, local datum)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _TM,
+        )
+
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        e, n = _TM[27700].fwd_local(lon, lat)
+        assert e == pytest.approx(651409.903, abs=0.002)
+        assert n == pytest.approx(313177.270, abs=0.002)
+        lo, la = _TM[27700].inv_local(651409.903, 313177.270)
+        assert lo == pytest.approx(lon, abs=1e-8)
+        assert la == pytest.approx(lat, abs=1e-8)
+
+    def test_natural_origin_anchors_exact(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _TM,
+        )
+
+        assert _TM[27700].fwd_local(-2.0, 49.0) == (400_000.0, -100_000.0)
+        assert _TM[2180].fwd(19.0, 0.0) == (500_000.0, -5_300_000.0)
+
+    def test_helmert_datum_shift_magnitude_and_round_trip(self):
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _TM, _WGS84_AB, _helmert_geodetic,
+        )
+
+        c = _TM[27700]
+        # OSGB36 and WGS84 geodetic coordinates of a London point
+        # differ by the well-known ~120 m (would be ~0 if the shift
+        # were silently skipped — the wrong-answer class this closes)
+        lo2, la2 = _helmert_geodetic(
+            -0.1276, 51.5072, _WGS84_AB, c._ab(), c.helmert, inverse=True
+        )
+        d = math.hypot(
+            (lo2 + 0.1276) * math.cos(math.radians(51.5)) * 111_320.0,
+            (la2 - 51.5072) * 111_132.0,
+        )
+        assert 80.0 < d < 180.0
+        # the algebraic-inverse Helmert round-trips to ~1e-9 deg
+        lo3, la3 = _helmert_geodetic(
+            lo2, la2, c._ab(), _WGS84_AB, c.helmert, inverse=False
+        )
+        # ~1e-8 deg (~1.4 mm): the 2D convention drops ellipsoidal
+        # height like proj's 2D pipeline, so the shifted point re-seats
+        # on the target ellipsoid surface — not an inverse-formula error
+        # (the rotation inverse is algebraically exact)
+        assert lo3 == pytest.approx(-0.1276, abs=5e-8)
+        assert la3 == pytest.approx(51.5072, abs=5e-8)
+
+    def test_round_trip_domains(self):
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _TM,
+        )
+
+        rng = random.Random(11)
+        for _ in range(300):
+            lon, lat = rng.uniform(-7.5, 2.0), rng.uniform(49.5, 60.5)  # GB
+            e, n = _TM[27700].fwd(lon, lat)
+            lo, la = _TM[27700].inv(e, n)
+            assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+            lon, lat = rng.uniform(14.0, 24.2), rng.uniform(49.0, 55.0)  # PL
+            e, n = _TM[2180].fwd(lon, lat)
+            lo, la = _TM[2180].inv(e, n)
+            assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+    def test_dispatcher(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (19 0)', 4326, 2180) AS pl,"
+            " st_transform(st_transform('POINT (-0.1276 51.5072)', 4326, 27700),"
+            " 27700, 4326) AS rt"
+        ).collect()[0]
+        assert row["pl"] == "POINT (500000 -5300000)"
+        x, y = map(float, row["rt"][7:-1].split())
+        assert x == pytest.approx(-0.1276, abs=1e-7)
+        assert y == pytest.approx(51.5072, abs=1e-7)
