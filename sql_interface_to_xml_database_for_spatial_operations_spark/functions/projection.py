@@ -72,27 +72,9 @@ def _inv(x: float, y: float) -> tuple[float, float]:
 # zone; no proj dependency). WGS84 ellipsoid, k0 = 0.9996,
 # E0 = 500 km, N0 = 0 north / 10 000 km south, λ0 = 6·zone − 183°.
 _F = 1.0 / 298.257223563  # WGS84 flattening
-_N3 = _F / (2.0 - _F)  # third flattening n
-_A_CAP = (R / (1.0 + _N3)) * (1.0 + _N3 * _N3 / 4.0 + _N3**4 / 64.0)
-_ALPHA = (
-    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 5.0 * _N3**3 / 16.0,
-    13.0 * _N3**2 / 48.0 - 3.0 * _N3**3 / 5.0,
-    61.0 * _N3**3 / 240.0,
-)
-_BETA = (
-    _N3 / 2.0 - 2.0 * _N3**2 / 3.0 + 37.0 * _N3**3 / 96.0,
-    _N3**2 / 48.0 + _N3**3 / 15.0,
-    17.0 * _N3**3 / 480.0,
-)
-_DELTA = (
-    2.0 * _N3 - 2.0 * _N3**2 / 3.0 - 2.0 * _N3**3,
-    7.0 * _N3**2 / 3.0 - 8.0 * _N3**3 / 5.0,
-    56.0 * _N3**3 / 15.0,
-)
 _K0 = 0.9996
 _E0 = 500_000.0
 _N0_SOUTH = 10_000_000.0
-_2SQN = 2.0 * math.sqrt(_N3) / (1.0 + _N3)
 
 
 def _utm_zone(srid: int) -> tuple[int, bool] | None:
@@ -104,37 +86,32 @@ def _utm_zone(srid: int) -> tuple[int, bool] | None:
     return None
 
 
+# UTM forward/inverse delegate to the general _TmCrs below (r14
+# review: the Krüger series lived here twice). UTM is the special case
+# lat0 = 0 (so ξ₀ = 0.0 exactly — sin(0) kills every series term) with
+# k0 = 0.9996, FE 500 km, FN 0/10 000 km; float addition commutes, so
+# the delegated arithmetic is value-identical to the old inline loops.
+_UTM_CACHE: dict[tuple[int, bool], "_TmCrs"] = {}
+
+
+def _utm_crs(zone: int, north: bool) -> "_TmCrs":
+    key = (zone, north)
+    crs = _UTM_CACHE.get(key)
+    if crs is None:
+        crs = _TmCrs(
+            R, 298.257223563, 0.0, 6.0 * zone - 183.0, _K0,
+            _E0, 0.0 if north else _N0_SOUTH,
+        )
+        _UTM_CACHE[key] = crs
+    return crs
+
+
 def _utm_fwd(lon: float, lat: float, zone: int, north: bool) -> tuple[float, float]:
-    lam0 = math.radians(6.0 * zone - 183.0)
-    phi = math.radians(lat)
-    lam = math.radians(lon) - lam0
-    s = math.sin(phi)
-    t = math.sinh(math.atanh(s) - _2SQN * math.atanh(_2SQN * s))
-    xi_p = math.atan2(t, math.cos(lam))
-    eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
-    xi, eta = xi_p, eta_p
-    for j, al in enumerate(_ALPHA, start=1):
-        xi += al * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
-        eta += al * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
-    e = _E0 + _K0 * _A_CAP * eta
-    n = _K0 * _A_CAP * xi + (0.0 if north else _N0_SOUTH)
-    return e, n
+    return _utm_crs(zone, north).fwd_local(lon, lat)
 
 
 def _utm_inv(e: float, n: float, zone: int, north: bool) -> tuple[float, float]:
-    lam0 = math.radians(6.0 * zone - 183.0)
-    xi = (n - (0.0 if north else _N0_SOUTH)) / (_K0 * _A_CAP)
-    eta = (e - _E0) / (_K0 * _A_CAP)
-    xi_p, eta_p = xi, eta
-    for j, be in enumerate(_BETA, start=1):
-        xi_p -= be * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
-        eta_p -= be * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
-    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
-    phi = chi
-    for j, de in enumerate(_DELTA, start=1):
-        phi += de * math.sin(2 * j * chi)
-    lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
-    return math.degrees(lam + lam0), math.degrees(phi)
+    return _utm_crs(zone, north).inv_local(e, n)
 
 
 # --- General transverse Mercator (national grids, r14) -------------------
@@ -169,6 +146,7 @@ class _TmCrs:
         n = f / (2.0 - f)
         self.a = a
         self.e2 = f * (2.0 - f)
+        self.b = a * math.sqrt(1.0 - self.e2)
         self.acap = (a / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
         self.alpha = (
             n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
@@ -193,9 +171,18 @@ class _TmCrs:
 
     def _xi_eta(self, phi: float, lam: float) -> tuple[float, float]:
         s = math.sin(phi)
-        t = math.sinh(math.atanh(s) - self.two_sqn * math.atanh(self.two_sqn * s))
-        xi_p = math.atan2(t, math.cos(lam))
-        eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+        if abs(s) >= 1.0:
+            # the pole: atanh(±1) would raise, but the limit is clean
+            # (t → ±∞ ⇒ ξ′ = ±π/2, η′ = 0 — code-review r14: one pole
+            # row must not crash the whole Spark task; proj projects
+            # the pole finitely)
+            xi_p, eta_p = math.copysign(math.pi / 2.0, s), 0.0
+        else:
+            t = math.sinh(
+                math.atanh(s) - self.two_sqn * math.atanh(self.two_sqn * s)
+            )
+            xi_p = math.atan2(t, math.cos(lam))
+            eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
         xi, eta = xi_p, eta_p
         for j, al in enumerate(self.alpha, start=1):
             xi += al * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
@@ -241,10 +228,10 @@ class _TmCrs:
         return lon, lat
 
     def _ab(self) -> tuple[float, float]:
-        return self.a, self.a * math.sqrt(1.0 - self.e2)
+        return self.a, self.b
 
 
-_WGS84_AB = (6378137.0, 6378137.0 * math.sqrt(1.0 - (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)))
+_WGS84_AB = (R, R * math.sqrt(1.0 - _F * (2.0 - _F)))
 
 
 def _geodetic_to_xyz(lon, lat, ab):
@@ -736,7 +723,7 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
     raise ValueError(
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
-        "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, and "
+        "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, "
         "polar stereographic EPSG:3413/3031/3032, and national TM grids "
         "EPSG:27700/2180; install proj and add a "
         "dispatcher branch for other CRSs)"

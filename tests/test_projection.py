@@ -211,7 +211,7 @@ class TestLambertConformalConic:
                 for lat in range(-75, 76, 15):
                     e, n = crs.fwd(float(lon), float(lat))
                     lo, la = crs.inv(e, n)
-                    assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+                    assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
 
     def test_dispatcher_and_composition(self, spark):
         row = spark.sql(
@@ -549,3 +549,21 @@ class TestNationalTmGrids:
         x, y = map(float, row["rt"][7:-1].split())
         assert x == pytest.approx(-0.1276, abs=1e-7)
         assert y == pytest.approx(51.5072, abs=1e-7)
+
+
+def test_tm_pole_is_finite_not_crash(spark):
+    # code-review r14: atanh(sin(±90°)) raised inside the UDF and
+    # failed the whole Spark task; the Krüger limit at the pole is
+    # finite (ξ' = ±π/2, η' = 0)
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+        _TM, _utm_fwd,
+    )
+
+    e, n = _TM[2180].fwd(19.0, 90.0)
+    assert e == 500_000.0 and 4_000_000.0 < n < 5_000_000.0
+    e, n = _utm_fwd(9.0, 90.0, 32, True)
+    assert e == 500_000.0 and 9_900_000.0 < n < 10_100_000.0
+    row = spark.sql(
+        "SELECT st_transform('POINT (19 90)', 4326, 2180) AS p"
+    ).collect()[0]
+    assert row["p"].startswith("POINT (500000 ")
