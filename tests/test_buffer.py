@@ -312,13 +312,16 @@ class TestStyleParameters:
         )
 
         assert parse_buffer_style("") == {
-            "quad_segs": 8, "endcap": "round", "join": "round", "mitre_limit": 5.0,
+            "quad_segs": 8, "endcap": "round", "join": "round",
+            "mitre_limit": 5.0, "side": "both",
         }
         assert parse_buffer_style("side=both") is not None
-        for bad in ("side=left", "junk", "endcap=banana", "join=", "quad_segs=x",
+        assert parse_buffer_style("side=left")["side"] == "left"  # r14
+        for bad in ("side=bogus", "junk", "endcap=banana", "join=", "quad_segs=x",
                     "mitre_limit=-1", "mitre_limit=nan"):
             assert parse_buffer_style(bad) is None, bad
         for bad in ("side=right", "endcap=banana"):
+            # side=right on a POINT is the lineal-only loud NULL
             assert self._bs("POINT (0 0)", 1.0, bad) is None
 
     def test_round_style_matches_plain_buffer(self):
@@ -393,3 +396,47 @@ class TestStyleReviewR14:
         # shrinks by 1 per side to 18x8 (=144) -> 155, and no hole-ring
         # wedge escapes past the shell
         assert _area(out) == 299.0 - 144.0
+
+
+class TestSingleSidedBuffers:
+    """r14: side=left/right (GEOS single-sided line buffers) — butt
+    ends, join pieces only on the buffered side, exact on axis-parallel
+    fixtures."""
+
+    def _bs(self, w, d, style):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            bufferstyle_wkt,
+        )
+
+        return bufferstyle_wkt(w, d, style)
+
+    def test_straight_segment_exact_rect(self):
+        assert self._bs("LINESTRING (0 0, 10 0)", 2.0, "side=left") == (
+            "POLYGON ((0 0, 10 0, 10 2, 0 2, 0 0))"
+        )
+        assert self._bs("LINESTRING (0 0, 10 0)", 2.0, "side=right") == (
+            "POLYGON ((0 -2, 10 -2, 10 0, 0 0, 0 -2))"
+        )
+
+    def test_turns_join_only_on_buffered_side(self):
+        l_shape = "LINESTRING (0 0, 10 0, 10 10)"
+        # left turn: the left slabs overlap (no wedge); the right side
+        # needs the join piece
+        assert _area(self._bs(l_shape, 2.0, "side=left join=mitre")) == 36.0
+        assert _area(self._bs(l_shape, 2.0, "side=right join=mitre")) == 44.0
+        assert _area(self._bs(l_shape, 2.0, "side=right join=bevel")) == 42.0
+
+    def test_closed_ring_inside_and_outside_bands(self):
+        ring = "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)"  # CCW: left=inside
+        assert _area(self._bs(ring, 2.0, "side=left join=mitre")) == 64.0
+        assert _area(self._bs(ring, 2.0, "side=right join=mitre")) == 96.0
+
+    def test_gates(self):
+        assert self._bs("LINESTRING (0 0, 1 0)", -1.0, "side=left") is None
+        assert self._bs("LINESTRING (0 0, 1 0)", 0.0, "side=left") is None
+        assert self._bs("POINT (0 0)", 1.0, "side=left") is None
+        assert self._bs("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))", 1.0, "side=right") is None
+        assert self._bs("LINESTRING (0 0, 1 0)", 1.0, "side=bogus") is None
+        # multilines buffer per part
+        r = self._bs("MULTILINESTRING ((0 0, 5 0), (0 3, 5 3))", 1.0, "side=left")
+        assert _area(r) == 10.0

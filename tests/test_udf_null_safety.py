@@ -253,7 +253,7 @@ def test_bufferstyle_mixed_values(spark):
         "('LINESTRING (0 0, 10 0)', CAST(NULL AS DOUBLE), 'endcap=flat'), "
         "('LINESTRING (0 0, 10 0)', CAST('NaN' AS DOUBLE), 'endcap=flat'), "
         "('LINESTRING (0 0, 10 0)', 2.0D, CAST(NULL AS STRING)), "
-        "('LINESTRING (0 0, 10 0)', 2.0D, 'side=left'), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, 'side=bogus'), "
         "('LINESTRING (0 0, inf 1)', 2.0D, 'join=mitre') "
         "AS t(g, d, s)"
     ).collect()
