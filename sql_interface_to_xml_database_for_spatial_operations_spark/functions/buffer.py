@@ -376,19 +376,72 @@ def _cap_piece(end, inner, dist: float, n: int, endcap: str) -> Geometry | None:
     return _rect_piece(end, (end[0] + u[0] * dist, end[1] + u[1] * dist), dist)
 
 
+def _round_sector(v, a1: float, delta: float, dist: float, n: int) -> Geometry | None:
+    """Circular sector at v from angle a1 sweeping delta (|delta| ≤ π),
+    arc resolution matching the n-gon disk."""
+    m = max(1, math.ceil(abs(delta) / (2.0 * math.pi / n)))
+    pts = [v] + [
+        (
+            v[0] + dist * math.cos(a1 + delta * k / m),
+            v[1] + dist * math.sin(a1 + delta * k / m),
+        )
+        for k in range(m + 1)
+    ]
+    return _hull_poly(pts)
+
+
+def _reversal_piece(
+    v, u1, dist: float, n: int, join: str, limit: float
+) -> Geometry | None:
+    """Piece at an exact 180° turnaround vertex (code-review r14: the
+    offset curve arcs the FORWARD half-plane around the vertex; the old
+    cross==0 skip silently truncated retraced lines). Round → forward
+    half-disk; mitre → the GEOS limited-mitre pentagon clipped at
+    limit·dist forward; bevel → nothing (the flat cut is exactly what
+    the slabs already leave)."""
+    if join == "bevel":
+        return None
+    nl = (-u1[1], u1[0])
+    p1 = (v[0] + nl[0] * dist, v[1] + nl[1] * dist)
+    p2 = (v[0] - nl[0] * dist, v[1] - nl[1] * dist)
+    if join == "round":
+        a1 = math.atan2(nl[1], nl[0])
+        return _round_sector(v, a1, -math.pi, dist, n)
+    # limited mitre: clip line perpendicular to u1 at limit·dist forward
+    c = (v[0] + u1[0] * limit * dist, v[1] + u1[1] * limit * dist)
+    q1 = (p1[0] + u1[0] * limit * dist, p1[1] + u1[1] * limit * dist)
+    q2 = (p2[0] + u1[0] * limit * dist, p2[1] + u1[1] * limit * dist)
+    return _hull_poly([v, p1, q1, c, q2, p2])
+
+
 def _join_piece(
-    prev, v, nxt, dist: float, n: int, join: str, limit: float
+    prev, v, nxt, dist: float, n: int, join: str, limit: float,
+    one_sided: bool = False,
 ) -> Geometry | None:
     """Join piece at vertex v on the GAP side (opposite the turn).
-    None for collinear/degenerate turns (the rectangles already meet)."""
+    None for straight-through vertices (the rectangles already meet);
+    an exact 180° reversal takes the forward piece (_reversal_piece).
+    With ``one_sided`` the round join is the gap-side SECTOR — a full
+    vertex disk would spill onto the unbuffered side (code-review
+    r14)."""
     u1, u2 = _unit(prev, v), _unit(v, nxt)
     if u1 is None or u2 is None:
         return None
     cross = u1[0] * u2[1] - u1[1] * u2[0]
     if cross == 0.0:
+        if u1[0] * u2[0] + u1[1] * u2[1] < 0.0:
+            return _reversal_piece(v, u1, dist, n, join, limit)
         return None
     if join == "round":
-        return Geometry("Polygon", [_disk_ring(v[0], v[1], dist, n)])
+        if not one_sided:
+            return Geometry("Polygon", [_disk_ring(v[0], v[1], dist, n)])
+        sgn = -1.0 if cross > 0.0 else 1.0
+        n1 = (-u1[1] * sgn, u1[0] * sgn)
+        n2 = (-u2[1] * sgn, u2[0] * sgn)
+        a1 = math.atan2(n1[1], n1[0])
+        a2 = math.atan2(n2[1], n2[0])
+        delta = math.remainder(a2 - a1, 2.0 * math.pi)
+        return _round_sector(v, a1, delta, dist, n)
     # offset corners on the gap side: right normals for a left turn,
     # left normals for a right turn
     sgn = -1.0 if cross > 0.0 else 1.0
@@ -536,10 +589,12 @@ def _buffer_line_one_sided(
         if u1 is None or u2 is None:
             continue
         cross = u1[0] * u2[1] - u1[1] * u2[0]
-        # gap side is opposite the turn: left gap ⟺ right turn (cross<0)
-        if cross == 0.0 or (cross < 0.0) != left:
+        # gap side is opposite the turn: left gap ⟺ right turn
+        # (cross<0); exact reversals need the forward piece on EITHER
+        # side (the one-sided offset curve arcs the turnaround too)
+        if cross != 0.0 and (cross < 0.0) != left:
             continue
-        j = _join_piece(prev, v, nxt, dist, n, join, limit)
+        j = _join_piece(prev, v, nxt, dist, n, join, limit, one_sided=True)
         if j is not None:
             pieces.append(j)
     if not pieces:

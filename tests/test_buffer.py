@@ -440,3 +440,44 @@ class TestSingleSidedBuffers:
         # multilines buffer per part
         r = self._bs("MULTILINESTRING ((0 0, 5 0), (0 3, 5 3))", 1.0, "side=left")
         assert _area(r) == 10.0
+
+
+class TestSingleSidedReviewR14:
+    """code-review r14 on the side= feature: round joins must be
+    gap-side SECTORS (a full vertex disk spills onto the unbuffered
+    side), and exact 180° reversals need the forward piece."""
+
+    def _bs(self, w, d, style):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.buffer import (
+            bufferstyle_wkt,
+        )
+
+        return bufferstyle_wkt(w, d, style)
+
+    def test_round_join_is_sector_not_disk(self):
+        r = self._bs("LINESTRING (0 0, 10 0, 10 10)", 2.0, "side=right")
+        assert _area(r) == pytest.approx(40.0 + _ngon_area(2.0) / 4.0)
+        # nothing strictly left of the path
+        g = G.parse_wkt(r)
+        for probe in [(5.0, 0.5), (9.0, 1.0), (8.59, 1.41), (9.61, 1.96)]:
+            assert not G.within(Geometry("Point", probe), g), probe
+
+    def test_reversal_vertex_forward_piece(self):
+        # retraced line: the offset curve arcs the forward half-disk
+        r = self._bs("LINESTRING (0 0, 10 0, 5 0)", 2.0, "side=left")
+        assert _area(r) == pytest.approx(30.0 + _ngon_area(2.0) / 2.0)
+        assert G.within(Geometry("Point", (11.5, 0.0)), G.parse_wkt(r))
+        # two-sided flat endcaps get the same forward arc (the
+        # pre-existing mirror of the defect)
+        r = self._bs("LINESTRING (0 0, 10 0, 5 0)", 2.0, "endcap=flat")
+        assert _area(r) == pytest.approx(40.0 + _ngon_area(2.0) / 2.0)
+        # bevel leaves the flat cut; limited mitre adds the clip box
+        assert _area(
+            self._bs("LINESTRING (0 0, 10 0, 5 0)", 2.0, "side=left join=bevel")
+        ) == 30.0
+        assert _area(
+            self._bs(
+                "LINESTRING (0 0, 10 0, 5 0)", 2.0,
+                "side=left join=mitre mitre_limit=2",
+            )
+        ) == 46.0
