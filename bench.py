@@ -111,6 +111,7 @@ HEADLINE = [
     "q170_bm25_search",
     "q171_bigram_perplexity",
     "q172_bpe_tokenize",
+    "q173_y4m_frames",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

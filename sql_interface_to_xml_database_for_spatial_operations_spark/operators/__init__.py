@@ -55,3 +55,4 @@ def load_all() -> None:
     from . import grid_ops  # noqa: F401
     from . import lm_ops  # noqa: F401
     from . import tokenize_ops  # noqa: F401
+    from . import y4m_ops  # noqa: F401

@@ -210,6 +210,11 @@ def decode_meta(payload: bytes, media_type: str) -> tuple[int, int, int, int, in
         from .video_ops import parse_avi_header
 
         return parse_avi_header(payload)
+    if media_type == "video/x-yuv4mpeg":
+        # r14: the second real container — raw planar y4m (y4m_ops.py)
+        from .y4m_ops import parse_y4m_header
+
+        return parse_y4m_header(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this runtime (install PIL/libav and "
         "add a branch here; the Spark plumbing is format-agnostic)"

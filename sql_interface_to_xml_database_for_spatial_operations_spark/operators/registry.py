@@ -243,10 +243,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q158 (clearance vertex budget executes per call), q165 (tessellation
 # site gate executes per call), q169 (homogenize mixed-kind bucketing
 # + chom_mixed/chom_empty families) — + 1 new row q172_bpe_tokenize
-# (operators/tokenize_ops.py) + 38 of the 40-row r10 cohort, oldest
-# first (q159/q161, the two freshest-registered cohort rows, defer one
-# round via the r13 escape clause; both are first in line for r15
-# alongside whatever r15's diff touches). 2 + 9 + 1 + 38 = 50 exactly.
+# (operators/tokenize_ops.py) + 37 of the 40-row r10 cohort, oldest
+# first (q146/q159/q161, the three freshest-registered cohort rows,
+# defer one round via the r13 escape clause; all three are first in
+# line for r15 alongside whatever r15's diff touches — q146 deferred
+# late-round when q173_y4m_frames, the second new row, took its slot).
+# 2 + 9 + 2 + 37 = 50 exactly.
 # Deliberate re-records (closure drift through geometry._orient /
 # relations / buffer / linearref / measures / tessellate registration,
 # executed results byte-unchanged for integer/decimal fixtures — the
@@ -257,7 +259,7 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # engine-registration closure (register_bpe_functions added).
 #
 # Round 15 rotation plan: fold the 50 r14 greens in, then expose
-# (a) q159/q161 (deferred here — FIRST in line), (b) the r11-green
+# (a) q146/q159/q161 (deferred here — FIRST in line), (b) the r11-green
 # cohort (4 rounds stale by r15): q32-q43, q46-q53, q59, q75-q85,
 # q88-q102, q108, q111, q114, q116, q118-q120, q123, q125, q131-q138,
 # q142-q151 — oldest first until the window fills after (c) whatever
@@ -303,6 +305,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q143_kmeans_assign",
         "q144_bloom_semijoin",
         "q145_inverted_index",
+        "q146_st_symdifference",
         "q147_stream_stateful_totals_e2e",
         "q148_st_affine",
         "q149_st_linework",
