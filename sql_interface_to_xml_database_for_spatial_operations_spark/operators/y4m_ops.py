@@ -41,8 +41,11 @@ from .registry import query
 
 Y4M_MEDIA_TYPE = "video/x-yuv4mpeg"
 
+# chroma tag → number of (w/2)·(h/2) subsampled planes after the Y
+# plane (drives _frame_size — review r14: a membership-only dict would
+# let a future chroma pass validation yet silently mis-size frames)
 _CHROMA_FACTORS = {
-    "420": 2,  # U+V at quarter size each → total 1.5·w·h
+    "420": 2,
     "420jpeg": 2,
     "420mpeg2": 2,
     "mono": 0,
@@ -68,18 +71,22 @@ def encode_y4m(
 
 
 def _frame_size(width: int, height: int, chroma: str) -> int:
-    if chroma == "mono":
+    planes = _CHROMA_FACTORS[chroma]
+    if planes == 0:
         return width * height
     if width % 2 or height % 2:
-        raise ValueError("4:2:0 needs even dimensions")
-    return width * height + 2 * (width // 2) * (height // 2)
+        raise ValueError("subsampled chroma needs even dimensions")
+    return width * height + planes * (width // 2) * (height // 2)
 
 
-def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
-    """(width, height, n_frames, first_frame_off, payload_end) from a
-    STRICT walk — same contract shape as video_ops.parse_avi_header.
-    n_frames is counted by walking every FRAME marker; any structural
-    lie raises ValueError."""
+def _parse_header(payload: bytes) -> tuple[int, int, str, int, int, int]:
+    """(width, height, chroma, n_frames, first_frame_off, payload_end)
+    from a STRICT walk; the single source of truth for header and
+    frame-boundary parsing (review r14: decode used to re-derive the
+    chroma with a weaker scan). Any structural lie — duplicate tags
+    (C/I/A included: a fuzzed container must not be silently ambiguous
+    about its own frame sizing), unknown tags, bad markers, truncation,
+    trailing bytes — raises ValueError."""
     b = bytes(payload) if payload is not None else b""
     nl = b.find(b"\n")
     if nl < 0 or not b.startswith(b"YUV4MPEG2"):
@@ -88,22 +95,21 @@ def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
     if tags[0] != "YUV4MPEG2":
         raise ValueError("not a y4m payload")
     w = h = fnum = fden = None
-    chroma = "420jpeg"  # the spec default when no C tag is present
+    chroma = None
+    seen: set[str] = set()
     for tag in tags[1:]:
         if tag == "":
             raise ValueError("y4m: empty header tag (double space)")
         key, val = tag[0], tag[1:]
+        if key in "WHFCIA":
+            if key in seen:
+                raise ValueError(f"y4m: duplicate {key} tag")
+            seen.add(key)
         if key == "W":
-            if w is not None:
-                raise ValueError("y4m: duplicate W tag")
             w = _pos_int(val, "W")
         elif key == "H":
-            if h is not None:
-                raise ValueError("y4m: duplicate H tag")
             h = _pos_int(val, "H")
         elif key == "F":
-            if fnum is not None:
-                raise ValueError("y4m: duplicate F tag")
             num, _, den = val.partition(":")
             fnum, fden = _pos_int(num, "F num"), _pos_int(den, "F den")
         elif key == "C":
@@ -116,6 +122,8 @@ def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
             raise ValueError(f"y4m: unknown header tag {tag!r}")
     if w is None or h is None or fnum is None:
         raise ValueError("y4m: missing required W/H/F tag")
+    if chroma is None:
+        chroma = "420jpeg"  # the spec default when no C tag is present
     fsize = _frame_size(w, h, chroma)
     pos = nl + 1
     first = None
@@ -136,7 +144,14 @@ def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError("y4m: no frames")
     if pos != len(b):
         raise ValueError("y4m: trailing bytes after last frame")
-    return w, h, n, first, len(b)
+    return w, h, chroma, n, first, len(b)
+
+
+def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, n_frames, first_frame_off, payload_end) — same
+    contract shape as video_ops.parse_avi_header."""
+    w, h, _chroma, n, first, end = _parse_header(payload)
+    return w, h, n, first, end
 
 
 def _pos_int(s: str, what: str) -> int:
@@ -150,21 +165,19 @@ def _pos_int(s: str, what: str) -> int:
 
 def decode_y4m_luma(payload: bytes) -> tuple[int, int, list[bytes]]:
     """(width, height, [Y plane per frame]) — chroma planes are walked
-    (size-checked) but not returned; the luma IS the raw bytes."""
+    (size-checked by the shared parse) but not returned; the luma IS
+    the raw bytes."""
     b = bytes(payload)
-    w, h, n, _first, _end = parse_y4m_header(b)
-    nl = b.find(b"\n")
-    chroma = "420jpeg"
-    for tag in b[:nl].decode("ascii").split(" ")[1:]:
-        if tag.startswith("C"):
-            chroma = tag[1:]
+    w, h, chroma, n, first, _end = _parse_header(b)
     fsize = _frame_size(w, h, chroma)
-    pos = nl + 1
+    pos = first
     frames: list[bytes] = []
     for _ in range(n):
-        fe = b.find(b"\n", pos)
-        frames.append(b[fe + 1 : fe + 1 + w * h])
-        pos = fe + 1 + fsize
+        frames.append(b[pos : pos + w * h])
+        pos += fsize
+        if pos < len(b):
+            fe = b.find(b"\n", pos)
+            pos = fe + 1
     return w, h, frames
 
 
@@ -208,7 +221,11 @@ def _run_q173(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 frames.append(payload)
             blob = encode_y4m(w, h, frames, chroma)
             gw, gh, lumas = decode_y4m_luma(blob)
-            assert (gw, gh) == (w, h) and len(lumas) == nf
+            if (gw, gh) != (w, h) or len(lumas) != nf:
+                raise ValueError(  # not assert: -O must not strip it
+                    f"y4m round-trip drift: {(gw, gh, len(lumas))} != "
+                    f"{(w, h, nf)}"
+                )
             for f in range(0, nf, 2):  # sample every 2nd frame
                 rows["asset_id"].append(i)
                 rows["frame_idx"].append(f)

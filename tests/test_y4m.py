@@ -64,6 +64,8 @@ class TestStrictGates:
             lambda b: b.replace(b"W8", b"W8 W8", 1),  # duplicate tag
             lambda b: b.replace(b"Cmono", b"C999", 1),  # unknown chroma
             lambda b: b.replace(b"Cmono", b"Qmono", 1),  # unknown tag
+            lambda b: b.replace(b"Cmono", b"C420 Cmono", 1),  # dup C (ambiguous sizing)
+            lambda b: b.replace(b"Ip", b"Ip Ip", 1),  # dup I
             lambda b: b.replace(b" F25:1", b"", 1),  # missing F
             lambda b: b.replace(b"YUV4MPEG2 ", b"YUV4MPEG2  ", 1),  # double space
         ],
