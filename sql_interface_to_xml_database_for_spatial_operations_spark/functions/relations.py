@@ -339,11 +339,36 @@ def _line_line_interiors(a: Geometry, b: Geometry) -> bool:
     return False
 
 
+def _interior_units(g: Geometry) -> list[Geometry]:
+    """Decomposition for interior tests: point and polygon parts split
+    (their interiors are exactly the union of part interiors), but ALL
+    lineal parts stay together as one (Multi)LineString — the OGC mod-2
+    rule makes a junction endpoint shared by an even number of
+    components INTERIOR to the whole, which per-part boundaries call
+    boundary (r14: the MULTIPOINT-on-junction fuzz found touches()
+    disagreeing with the DE-9IM matrix). The line kernels
+    (_point_in_line_interior, _line_line_interiors, _submidpoints) are
+    all whole-geometry capable via _line_components/_line_boundary."""
+    parts = _parts(g)
+    lines = [p for p in parts if p.kind == "LineString"]
+    units = [p for p in parts if p.kind != "LineString"]
+    if len(lines) == 1:
+        units.append(lines[0])
+    elif lines:
+        units.append(
+            Geometry("MultiLineString", [list(p.coords) for p in lines])
+        )
+    return units
+
+
 def interiors_intersect(a: Geometry, b: Geometry) -> bool:
     """True iff the interiors of a and b share at least one point.
-    Multi-part inputs decompose into part pairs."""
+    Multi-part inputs decompose into part pairs (lineal parts kept
+    whole — see _interior_units)."""
     return any(
-        _pair_interiors_intersect(pa, pb) for pa in _parts(a) for pb in _parts(b)
+        _pair_interiors_intersect(pa, pb)
+        for pa in _interior_units(a)
+        for pb in _interior_units(b)
     )
 
 

@@ -89,6 +89,25 @@ def _fixtures(rng: random.Random) -> list[str]:
             parts.append(f"({x} {y}, {x + dx} {y + dy})")
         return f"MULTILINESTRING ({', '.join(parts)})"
 
+    def multipoly():
+        # VALID multipolygons only (relate's areal gate): two boxes
+        # either fully disjoint or corner-touching (edge sharing would
+        # be invalid). r14: the pool had no MULTIPOLYGON at all —
+        # generator coverage IS bug coverage (r11 lesson).
+        x, y = rng.randint(-6, 2), rng.randint(-6, 2)
+        w, h = rng.randint(1, 4), rng.randint(1, 4)
+        if rng.random() < 0.5:
+            x2, y2 = x + w, y + h  # corner touch
+        else:
+            x2, y2 = x + w + rng.randint(1, 3), y + rng.randint(-3, 3)
+        w2, h2 = rng.randint(1, 4), rng.randint(1, 4)
+        return (
+            f"MULTIPOLYGON ((({x} {y}, {x + w} {y}, {x + w} {y + h},"
+            f" {x} {y + h}, {x} {y})),"
+            f" (({x2} {y2}, {x2 + w2} {y2}, {x2 + w2} {y2 + h2},"
+            f" {x2} {y2 + h2}, {x2} {y2})))"
+        )
+
     def dup_vertex(w: str) -> str:
         # repeat one vertex — the geometry (point set) is unchanged, so
         # every predicate and every matrix cell must be invariant under
@@ -125,6 +144,7 @@ def _fixtures(rng: random.Random) -> list[str]:
         pool.append(point())
         pool.append(multipoint())
         pool.append(multiline())
+        pool.append(multipoly())
     pool = [w for w in pool if _simple_line_ok(w)]
     # duplicate-vertex variants of a few polygon/line fixtures
     pool.extend(dup_vertex(w) for w in pool[:6] if not w.startswith(("POINT", "MULTIPOINT")))

@@ -280,3 +280,27 @@ class TestFloatCoordinateExactProbes:
             g(f"LINESTRING (0 0, {self.H} 0)"),
             g(f"MULTILINESTRING ((0 0, 2.1 0), (2.1 0, {self.H} 0))"),
         )
+
+
+class TestMultilineJunctionInteriors:
+    """r14 (found by the MULTIPOLYGON-widened consistency fuzz): the
+    OGC mod-2 rule makes a junction endpoint shared by an EVEN number
+    of components interior to the whole MultiLineString; per-part
+    decomposition called it boundary and flipped touches/within_ogc."""
+
+    def test_even_junction_is_interior(self, spark):
+        row = spark.sql(
+            "SELECT st_touches('POINT (5 5)',"
+            " 'MULTILINESTRING ((0 0, 5 5), (5 5, 9 0))') AS t,"
+            " st_within('POINT (5 5)',"
+            " 'MULTILINESTRING ((0 0, 5 5), (5 5, 9 0))') AS w"
+        ).collect()[0]
+        assert row["t"] is False  # interior contact, not a touch
+        assert row["w"] is True  # OGC within: interiors intersect
+
+    def test_odd_junction_stays_boundary(self, spark):
+        row = spark.sql(
+            "SELECT st_touches('POINT (5 5)',"
+            " 'MULTILINESTRING ((0 0, 5 5), (5 5, 9 0), (5 5, 5 9))') AS t"
+        ).collect()[0]
+        assert row["t"] is True  # odd count -> boundary -> touches
