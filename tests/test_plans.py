@@ -441,3 +441,20 @@ def test_lm_rows_plan_shapes(spark):
     # joins must be hash equi-joins
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "partial_count" in plan
+
+
+def test_r14_rows_plan_shapes(spark):
+    """q172: the BPE encode path is pure map feeding ONE bounded window
+    exchange (the documented pack_id running total over a 25-row dim —
+    q106's two-phase shape is the 100 TB variant); q173: the y4m
+    encode/decode is a single mapInPandas stage — no shuffle at all."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q172_bpe_tokenize")(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan  # window single-partition
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+    plan = formatted_plan(q("q173_y4m_frames")(spark, SF_DIR))
+    assert "Exchange" not in plan, plan  # map-only
+    assert "MapInPandas" in plan
