@@ -56,12 +56,11 @@ from .spatial import _binary_fallback
 
 
 def _parts(g: Geometry) -> list[Geometry]:
-    """Simple (non-multi) parts of a geometry. Interiors of a multi-part
-    geometry are treated as the union of part interiors (exact for
-    MultiPoint/MultiPolygon; for MultiLineString this ignores the corner
-    case of two components joined end-to-end forming one longer interior
-    point at the junction — the junction is handled separately via the
-    mod-2 boundary rule where it matters)."""
+    """Simple (non-multi) parts of a geometry. Per-part interiors are
+    exact for MultiPoint/MultiPolygon; for MultiLineString a junction
+    endpoint shared by an even number of components is interior to the
+    WHOLE but boundary of each part, so interior tests must go through
+    _interior_units (r14), which keeps lineal parts together."""
     if g.kind == "MultiPoint":
         return [Geometry("Point", p) for p in g.coords]
     if g.kind == "MultiLineString":
