@@ -71,7 +71,9 @@ def encode_y4m(
 
 
 def _frame_size(width: int, height: int, chroma: str) -> int:
-    planes = _CHROMA_FACTORS[chroma]
+    planes = _CHROMA_FACTORS.get(chroma)
+    if planes is None:  # module contract: loud ValueError, not KeyError
+        raise ValueError(f"y4m: unsupported chroma {chroma!r}")
     if planes == 0:
         return width * height
     if width % 2 or height % 2:
@@ -79,14 +81,17 @@ def _frame_size(width: int, height: int, chroma: str) -> int:
     return width * height + planes * (width // 2) * (height // 2)
 
 
-def _parse_header(payload: bytes) -> tuple[int, int, str, int, int, int]:
-    """(width, height, chroma, n_frames, first_frame_off, payload_end)
-    from a STRICT walk; the single source of truth for header and
+def _parse_header(
+    payload: bytes,
+) -> tuple[int, int, str, list[int], int]:
+    """(width, height, chroma, frame_payload_offsets, payload_end)
+    from a STRICT walk; the single source of truth for header AND
     frame-boundary parsing (review r14: decode used to re-derive the
-    chroma with a weaker scan). Any structural lie — duplicate tags
-    (C/I/A included: a fuzzed container must not be silently ambiguous
-    about its own frame sizing), unknown tags, bad markers, truncation,
-    trailing bytes — raises ValueError."""
+    chroma — and then the frame boundaries — with weaker re-scans).
+    Any structural lie — duplicate tags (C/I/A included: a fuzzed
+    container must not be silently ambiguous about its own frame
+    sizing), unknown tags, bad markers, truncation, trailing bytes —
+    raises ValueError."""
     b = bytes(payload) if payload is not None else b""
     nl = b.find(b"\n")
     if nl < 0 or not b.startswith(b"YUV4MPEG2"):
@@ -126,32 +131,29 @@ def _parse_header(payload: bytes) -> tuple[int, int, str, int, int, int]:
         chroma = "420jpeg"  # the spec default when no C tag is present
     fsize = _frame_size(w, h, chroma)
     pos = nl + 1
-    first = None
-    n = 0
+    offsets: list[int] = []
     while pos < len(b):
         fe = b.find(b"\n", pos)
         if fe < 0 or b[pos : pos + 5] != b"FRAME":
             raise ValueError("y4m: expected FRAME marker")
         if fe > pos + 5 and b[pos + 5 : pos + 6] != b" ":
             raise ValueError("y4m: malformed FRAME parameters")
-        if first is None:
-            first = fe + 1
         if fe + 1 + fsize > len(b):
             raise ValueError("y4m: truncated frame payload")
+        offsets.append(fe + 1)
         pos = fe + 1 + fsize
-        n += 1
-    if n == 0:
+    if not offsets:
         raise ValueError("y4m: no frames")
     if pos != len(b):
         raise ValueError("y4m: trailing bytes after last frame")
-    return w, h, chroma, n, first, len(b)
+    return w, h, chroma, offsets, len(b)
 
 
 def parse_y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
     """(width, height, n_frames, first_frame_off, payload_end) — same
     contract shape as video_ops.parse_avi_header."""
-    w, h, _chroma, n, first, end = _parse_header(payload)
-    return w, h, n, first, end
+    w, h, _chroma, offsets, end = _parse_header(payload)
+    return w, h, len(offsets), offsets[0], end
 
 
 def _pos_int(s: str, what: str) -> int:
@@ -166,19 +168,11 @@ def _pos_int(s: str, what: str) -> int:
 def decode_y4m_luma(payload: bytes) -> tuple[int, int, list[bytes]]:
     """(width, height, [Y plane per frame]) — chroma planes are walked
     (size-checked by the shared parse) but not returned; the luma IS
-    the raw bytes."""
+    the raw bytes. Frame slicing consumes _parse_header's validated
+    offsets directly (review r14: no second marker walk)."""
     b = bytes(payload)
-    w, h, chroma, n, first, _end = _parse_header(b)
-    fsize = _frame_size(w, h, chroma)
-    pos = first
-    frames: list[bytes] = []
-    for _ in range(n):
-        frames.append(b[pos : pos + w * h])
-        pos += fsize
-        if pos < len(b):
-            fe = b.find(b"\n", pos)
-            pos = fe + 1
-    return w, h, frames
+    w, h, _chroma, offsets, _end = _parse_header(b)
+    return w, h, [b[off : off + w * h] for off in offsets]
 
 
 # ---------------------------------------------------------------------------
