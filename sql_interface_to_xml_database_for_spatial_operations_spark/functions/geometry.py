@@ -835,6 +835,22 @@ def within(g1: Geometry, g2: Geometry) -> bool:
         if g1.kind in ("LineString", "MultiLineString"):
             return _rel._covered_line(g1, g2)
         return False  # areal geometry can never be covered by a curve
+    if g2.kind == "GeometryCollection":
+        # PostGIS/GEOS REFUSE collection operands in relate-class
+        # predicates (lwgeom error); this engine answers the point-set
+        # question where it can do so exactly (r14 — a point inside a
+        # GC member used to blanket-False): 0-D operands check each
+        # point against every member (exact), higher-D operands are
+        # covered if any SINGLE member covers them (sufficient). An
+        # operand covered only by the UNION of several members still
+        # reports False — documented limitation, in exchange for never
+        # claiming coverage that does not hold.
+        if dimension(g1) == 0:
+            return all(
+                any(within(Geometry("Point", p), m) for m in g2.coords)
+                for p in _points(g1)
+            )
+        return any(within(g1, m) for m in g2.coords)
     return False
 
 

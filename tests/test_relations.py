@@ -304,3 +304,23 @@ class TestMultilineJunctionInteriors:
             " 'MULTILINESTRING ((0 0, 5 5), (5 5, 9 0), (5 5, 5 9))') AS t"
         ).collect()[0]
         assert row["t"] is True  # odd count -> boundary -> touches
+
+
+def test_gc_container_coverage(spark):
+    """r14: PostGIS errors on collection operands in relate-class
+    predicates; this engine answers the point-set question where it is
+    exactly answerable — 0-D operands member-wise, higher-D operands
+    via single-member coverage (an operand covered only by the UNION
+    of several members reports False, documented)."""
+    gc = (
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)),"
+        " LINESTRING (20 0, 30 0))"
+    )
+    row = spark.sql(
+        f"SELECT st_within('POINT (5 5)', '{gc}') AS a,"
+        f" st_coveredby('MULTIPOINT (5 5, 25 0)', '{gc}') AS b,"
+        f" st_within('LINESTRING (2 2, 8 8)', '{gc}') AS c,"
+        f" st_within('POINT (50 50)', '{gc}') AS d"
+    ).collect()[0]
+    assert row["a"] is True and row["b"] is True and row["c"] is True
+    assert row["d"] is False
