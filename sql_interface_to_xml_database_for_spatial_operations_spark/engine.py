@@ -41,6 +41,10 @@ from .functions.split import register_split_functions
 from .functions.cluster_geo import register_cluster_geo_functions
 from .functions.grids import register_grid_functions
 from .functions.union_ops import register_union_functions
+from .functions.cells import register_cell_functions
+from .functions.geohash import register_geohash_functions
+from .functions.measure_m import register_measure_m_functions
+from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
@@ -97,6 +101,10 @@ class SpatialSQLEngine:
         register_linearref_functions(self.spark)
         register_editor_functions(self.spark)
         register_constructor_functions(self.spark)
+        register_geohash_functions(self.spark)
+        register_offset_functions(self.spark)
+        register_cell_functions(self.spark)
+        register_measure_m_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

@@ -1,0 +1,578 @@
+"""Measure (M) linear referencing (F12 remainder, r14 continuation):
+ST_AddMeasure / ST_M / ST_MMin / ST_MMax / ST_Zmflag /
+ST_InterpolatePoint / ST_LocateAlong / ST_LocateBetween /
+ST_LineInterpolatePoints. The reference forwards PostGIS names
+verbatim (src/index.ts:44-63); measures are the mile-post/timestamp
+axis of every linear-referencing pipeline.
+
+The M dimension lives in THIS module: a self-contained ``…M (x y m)``
+WKT codec (POINT/MULTIPOINT/LINESTRING/MULTILINESTRING, the kinds
+PostGIS measure functions accept) so the core 2-D geometry kernel
+stays untouched. Output formats mirror PostGIS ST_AsText:
+``LINESTRING M (x y m, …)``, ``MULTIPOINT M ((x y m), …)``,
+``MULTILINESTRING M ((…), (…))``.
+
+Semantics:
+
+- ``st_addmeasure(line, m_start, m_end)`` — measures interpolated
+  over cumulative 2-D arc length (continuous across the parts of a
+  MULTILINESTRING, PostGIS behavior); existing M is replaced; a
+  zero-length line takes m_start everywhere (documented).
+- ``st_m(point)`` — the M of a POINT M; NULL for 2-D points (PostGIS
+  returns NULL when the coordinate is absent) and non-points (loud).
+- ``st_mmin(g)`` / ``st_mmax(g)`` — min/max measure over all
+  vertices; 2-D or EMPTY input → loud NULL.
+- ``st_zmflag(g)`` — PostGIS ST_Zmflag: 1 for M geometries, 0 for
+  2-D ones (Z is not modeled in this engine; 2/3 never returned).
+- ``st_interpolatepoint(line_m, point)`` — the measure at the 2-D
+  closest point on the line, linearly interpolated within its
+  segment.
+- ``st_locatealong(g_m, m)`` — MULTIPOINT M of the points where the
+  measure equals m (segment interiors interpolated, vertex hits
+  deduped when consecutive, constant-measure segments contribute
+  their endpoints); points filter by exact m. No match →
+  MULTIPOINT M EMPTY.
+- ``st_locatebetween(g_m, m1, m2)`` — MULTILINESTRING M of the spans
+  whose measure lies in [m1, m2] (cut positions interpolated, chains
+  merged across contiguous segments; measures may be non-monotonic).
+  Zero-length (single-point) contacts are OMITTED — only 1-D spans
+  return (documented divergence from PostGIS's mixed collection).
+  Point inputs filter by m ∈ [m1, m2] into MULTIPOINT M.
+- ``st_lineinterpolatepoints(line_2d, fraction, repeat)`` — the
+  PostGIS plural: points at fraction, 2·fraction, … ≤ 1 when repeat,
+  else the single fraction point; a single point returns POINT, more
+  return MULTIPOINT (2-D — composable with st_geometryn/st_x).
+  fraction outside (0, 1] → loud NULL.
+
+All map-only Arrow-batched pandas UDFs; measures interpolate in one
+pass per row (no shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry
+
+_M_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING")
+_HEAD_RE = re.compile(
+    r"^\s*(POINT|MULTIPOINT|LINESTRING|MULTILINESTRING)\s*(M\b)?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _fmt(v: float) -> str:
+    return G._fmt(v)
+
+
+def _triplet(tok: str) -> tuple | None:
+    parts = tok.split()
+    if len(parts) != 3:
+        return None
+    try:
+        x, y, m = (float(p) for p in parts)
+    except ValueError:
+        return None
+    if not all(math.isfinite(v) for v in (x, y, m)):
+        return None
+    return (x, y, m)
+
+
+def _split_top(body: str) -> list[str] | None:
+    """Split a parenthesized list on top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out]
+
+
+def parse_m_wkt(wkt):
+    """('Point'|'MultiPoint'|'LineString'|'MultiLineString', payload)
+    for an M-typed WKT; None for anything else (incl. 2-D WKT).
+    Payload: Point → (x,y,m); MultiPoint/LineString → [(x,y,m)];
+    MultiLineString → [[(x,y,m)]]. '<KIND> M EMPTY' → empty payload."""
+    if wkt is None:
+        return None
+    mt = _HEAD_RE.match(str(wkt))
+    if not mt or not mt.group(2):
+        return None
+    kind = mt.group(1).upper()
+    rest = mt.group(3).strip()
+    canon = {
+        "POINT": "Point",
+        "MULTIPOINT": "MultiPoint",
+        "LINESTRING": "LineString",
+        "MULTILINESTRING": "MultiLineString",
+    }[kind]
+    if rest.upper() == "EMPTY":
+        return (canon, () if canon == "Point" else [])
+    if not (rest.startswith("(") and rest.endswith(")")):
+        return None
+    body = rest[1:-1].strip()
+    if canon == "Point":
+        t = _triplet(body)
+        return None if t is None else (canon, t)
+    toks = _split_top(body)
+    if toks is None:
+        return None
+    if canon in ("MultiPoint", "LineString"):
+        pts = []
+        for tok in toks:
+            tok = tok.strip()
+            if canon == "MultiPoint" and tok.startswith("(") and tok.endswith(")"):
+                tok = tok[1:-1].strip()
+            t = _triplet(tok)
+            if t is None:
+                return None
+            pts.append(t)
+        if canon == "LineString" and len(pts) < 2:
+            return None
+        return (canon, pts)
+    # MultiLineString
+    chains = []
+    for tok in toks:
+        tok = tok.strip()
+        if not (tok.startswith("(") and tok.endswith(")")):
+            return None
+        inner = _split_top(tok[1:-1])
+        if inner is None:
+            return None
+        pts = [_triplet(t) for t in inner]
+        if any(p is None for p in pts) or len(pts) < 2:
+            return None
+        chains.append(pts)
+    return (canon, chains)
+
+
+def _pt_m(p) -> str:
+    return f"{_fmt(p[0])} {_fmt(p[1])} {_fmt(p[2])}"
+
+
+def to_m_wkt(kind: str, payload) -> str:
+    if kind == "Point":
+        if not payload:
+            return "POINT M EMPTY"
+        return f"POINT M ({_pt_m(payload)})"
+    if kind == "MultiPoint":
+        if not payload:
+            return "MULTIPOINT M EMPTY"
+        return "MULTIPOINT M (" + ", ".join(f"({_pt_m(p)})" for p in payload) + ")"
+    if kind == "LineString":
+        if not payload:
+            return "LINESTRING M EMPTY"
+        return "LINESTRING M (" + ", ".join(_pt_m(p) for p in payload) + ")"
+    if not payload:
+        return "MULTILINESTRING M EMPTY"
+    return "MULTILINESTRING M (" + ", ".join(
+        "(" + ", ".join(_pt_m(p) for p in ch) + ")" for ch in payload
+    ) + ")"
+
+
+def _num(v) -> float | None:
+    if v is None:
+        return None
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return None
+    return f if math.isfinite(f) else None
+
+
+def _line_chains_2d(wkt):
+    """[(x, y)] chains of a 2-D or M lineal WKT (M dropped), or None."""
+    pm = parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        if kind == "LineString":
+            return [[(x, y) for x, y, _ in payload]] if payload else []
+        if kind == "MultiLineString":
+            return [[(x, y) for x, y, _ in ch] for ch in payload]
+        return None
+    s = str(wkt).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return [] if m.group(1) in ("LINESTRING", "MULTILINESTRING") else None
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind == "LineString":
+        return [list(g.coords)]
+    if g.kind == "MultiLineString":
+        return [list(ch) for ch in g.coords]
+    return None
+
+
+def addmeasure_wkt(wkt, m0, m1) -> str | None:
+    a, b = _num(m0), _num(m1)
+    if wkt is None or a is None or b is None:
+        return None
+    chains = _line_chains_2d(wkt)
+    if chains is None:
+        return None
+    if not chains:
+        return "MULTILINESTRING M EMPTY"
+    if any(
+        not all(math.isfinite(x) and math.isfinite(y) for x, y in ch)
+        for ch in chains
+    ):
+        return None
+    total = sum(
+        math.hypot(q[0] - p[0], q[1] - p[1])
+        for ch in chains
+        for p, q in zip(ch, ch[1:])
+    )
+    out, cum = [], 0.0
+    for ch in chains:
+        mch = [(ch[0][0], ch[0][1],
+                a if total == 0.0 else a + (b - a) * (cum / total))]
+        for p, q in zip(ch, ch[1:]):
+            cum += math.hypot(q[0] - p[0], q[1] - p[1])
+            m = a if total == 0.0 else a + (b - a) * (cum / total)
+            mch.append((q[0], q[1], m))
+        out.append(mch)
+    if len(out) == 1:
+        return to_m_wkt("LineString", out[0])
+    return to_m_wkt("MultiLineString", out)
+
+
+def m_of_point(wkt) -> float | None:
+    pm = parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        if kind == "Point" and payload:
+            return payload[2]
+        return None
+    # a 2-D point exists but has no M — PostGIS returns NULL
+    return None
+
+
+def _all_m(wkt) -> list | None:
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    if kind == "Point":
+        return [payload[2]] if payload else []
+    if kind in ("MultiPoint", "LineString"):
+        return [p[2] for p in payload]
+    return [p[2] for ch in payload for p in ch]
+
+
+def mmin_of(wkt) -> float | None:
+    ms = _all_m(wkt)
+    return min(ms) if ms else None
+
+
+def mmax_of(wkt) -> float | None:
+    ms = _all_m(wkt)
+    return max(ms) if ms else None
+
+
+def zmflag_of(wkt) -> int | None:
+    if wkt is None:
+        return None
+    if parse_m_wkt(wkt) is not None:
+        return 1
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return 0
+    return 0 if G.parse_wkt(s) is not None else None
+
+
+def _m_chains(wkt):
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    if kind == "LineString":
+        return [payload] if payload else []
+    if kind == "MultiLineString":
+        return payload
+    return None
+
+
+def interpolatepoint_m(line_wkt, point_wkt) -> float | None:
+    chains = _m_chains(line_wkt)
+    if not chains:
+        return None
+    if point_wkt is None:
+        return None
+    p = G.parse_wkt(str(point_wkt).strip())
+    if p is None or p.kind != "Point":
+        return None
+    px, py = p.coords
+    if not (math.isfinite(px) and math.isfinite(py)):
+        return None
+    best = None
+    for ch in chains:
+        for (ax, ay, am), (bx, by, bm) in zip(ch, ch[1:]):
+            dx, dy = bx - ax, by - ay
+            ln2 = dx * dx + dy * dy
+            t = 0.0 if ln2 == 0.0 else max(
+                0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / ln2)
+            )
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            m = am + t * (bm - am)
+            if best is None or d2 < best[0]:
+                best = (d2, m)
+    return None if best is None else best[1]
+
+
+def locatealong_wkt(wkt, measure) -> str | None:
+    m = _num(measure)
+    if wkt is None or m is None:
+        return None
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    hits = []
+    if kind == "Point":
+        if payload and payload[2] == m:
+            hits.append(payload)
+    elif kind == "MultiPoint":
+        hits.extend(p for p in payload if p[2] == m)
+    else:
+        chains = [payload] if kind == "LineString" else payload
+        for ch in chains:
+            for (ax, ay, am), (bx, by, bm) in zip(ch, ch[1:]):
+                if am == bm:
+                    if am == m:
+                        hits.append((ax, ay, am))
+                        hits.append((bx, by, bm))
+                    continue
+                lo, hi = (am, bm) if am < bm else (bm, am)
+                if lo <= m <= hi:
+                    t = (m - am) / (bm - am)
+                    hits.append((ax + t * (bx - ax), ay + t * (by - ay), m))
+    dedup = []
+    for h in hits:
+        if not dedup or h != dedup[-1]:
+            dedup.append(h)
+    return to_m_wkt("MultiPoint", dedup)
+
+
+def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
+    lo, hi = _num(m_lo), _num(m_hi)
+    if wkt is None or lo is None or hi is None or hi < lo:
+        return None
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    if kind == "Point":
+        hits = [payload] if payload and lo <= payload[2] <= hi else []
+        return to_m_wkt("MultiPoint", hits)
+    if kind == "MultiPoint":
+        return to_m_wkt("MultiPoint", [p for p in payload if lo <= p[2] <= hi])
+    chains = [payload] if kind == "LineString" else payload
+    spans, cur = [], []
+    for ch in chains:
+        for (ax, ay, am), (bx, by, bm) in zip(ch, ch[1:]):
+            if am == bm:
+                keep = lo <= am <= hi
+                t0, t1 = (0.0, 1.0) if keep else (1.0, 0.0)
+            else:
+                ta = (lo - am) / (bm - am)
+                tb = (hi - am) / (bm - am)
+                t0, t1 = (ta, tb) if ta <= tb else (tb, ta)
+                t0, t1 = max(0.0, t0), min(1.0, t1)
+            if t1 <= t0:
+                if cur:
+                    spans.append(cur)
+                    cur = []
+                continue
+
+            def at(t):
+                return (
+                    ax + t * (bx - ax),
+                    ay + t * (by - ay),
+                    am + t * (bm - am),
+                )
+
+            entry, exit_ = at(t0), at(t1)
+            if cur and cur[-1] == entry:
+                cur.append(exit_)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = [entry, exit_]
+        if cur:
+            spans.append(cur)
+            cur = []
+    return to_m_wkt("MultiLineString", spans)
+
+
+def lineinterpolatepoints_wkt(wkt, fraction, repeat) -> str | None:
+    f = _num(fraction)
+    if wkt is None or f is None or not 0.0 < f <= 1.0 or repeat is None:
+        return None
+    s = str(wkt).strip()
+    g = G.parse_wkt(s)
+    if g is None or g.kind != "LineString" or len(g.coords) < 2:
+        return None
+    pts = list(g.coords)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    seglens = [
+        math.hypot(q[0] - p[0], q[1] - p[1]) for p, q in zip(pts, pts[1:])
+    ]
+    total = sum(seglens)
+    fracs = [f]
+    if repeat:
+        k = 2
+        while k * f <= 1.0 + 1e-15:
+            fracs.append(min(1.0, k * f))
+            k += 1
+    out = []
+    for fr in fracs:
+        d = fr * total
+        if total == 0.0:
+            out.append(pts[0])
+            continue
+        cum = 0.0
+        placed = False
+        for (p, q), ln in zip(zip(pts, pts[1:]), seglens):
+            if cum + ln >= d or (p, q) == (pts[-2], pts[-1]):
+                t = 0.0 if ln == 0.0 else min(1.0, max(0.0, (d - cum) / ln))
+                out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
+                placed = True
+                break
+            cum += ln
+        if not placed:
+            out.append(pts[-1])
+    if len(out) == 1:
+        return G.to_wkt(Geometry("Point", out[0]))
+    return G.to_wkt(Geometry("MultiPoint", out))
+
+
+# ---- UDFs -------------------------------------------------------------
+
+
+def _nan(v):
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+@pandas_udf(StringType())
+def st_addmeasure(wkt: pd.Series, m0: pd.Series, m1: pd.Series) -> pd.Series:
+    out = []
+    for w, a, b in zip(wkt, m0, m1):
+        try:
+            out.append(None if _nan(a) or _nan(b) else addmeasure_wkt(w, a, b))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_m(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(m_of_point, w) for w in wkt], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_mmin(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(mmin_of, w) for w in wkt], dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_mmax(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(mmax_of, w) for w in wkt], dtype="float64")
+
+
+def _safe(fn, *args):
+    try:
+        return fn(*args)
+    except Exception:
+        return None
+
+
+@pandas_udf(IntegerType())
+def st_zmflag(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(zmflag_of, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_interpolatepoint(line: pd.Series, point: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_safe(interpolatepoint_m, a, b) for a, b in zip(line, point)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(StringType())
+def st_locatealong(wkt: pd.Series, m: pd.Series) -> pd.Series:
+    out = []
+    for w, v in zip(wkt, m):
+        try:
+            out.append(None if _nan(v) else locatealong_wkt(w, v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_locatebetween(wkt: pd.Series, m1: pd.Series, m2: pd.Series) -> pd.Series:
+    out = []
+    for w, a, b in zip(wkt, m1, m2):
+        try:
+            out.append(
+                None if _nan(a) or _nan(b) else locatebetween_wkt(w, a, b)
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_lineinterpolatepoints(
+    wkt: pd.Series, fraction: pd.Series, repeat: pd.Series
+) -> pd.Series:
+    out = []
+    for w, f, r in zip(wkt, fraction, repeat):
+        try:
+            out.append(
+                None
+                if _nan(f) or r is None
+                else lineinterpolatepoints_wkt(w, f, bool(r))
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_MEASURE_M_FUNCTIONS = {
+    "st_addmeasure": st_addmeasure,
+    "st_m": st_m,
+    "st_mmin": st_mmin,
+    "st_mmax": st_mmax,
+    "st_zmflag": st_zmflag,
+    "st_interpolatepoint": st_interpolatepoint,
+    "st_locatealong": st_locatealong,
+    "st_locatebetween": st_locatebetween,
+    "st_lineinterpolatepoints": st_lineinterpolatepoints,
+}
+
+
+def register_measure_m_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_MEASURE_M_FUNCTIONS.items():
+        spark.udf.register(name, fn)

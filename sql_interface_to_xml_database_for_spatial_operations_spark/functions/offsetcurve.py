@@ -1,0 +1,314 @@
+"""ST_OffsetCurve (F12 remainder, r14 continuation): the parallel
+curve of a LINESTRING at a signed distance — positive offsets to the
+LEFT of the line's direction, negative to the RIGHT, output direction
+matching the input (the GEOS >= 3.11 convention PostGIS documents).
+
+The reference forwards PostGIS names verbatim (src/index.ts:44-63);
+``ST_OffsetCurve(line, d, 'quad_segs=… join=round|mitre|bevel
+mitre_limit=…')`` is the standard lane/setback construction.
+
+Construction (per vertex, exact where the fixtures are exact):
+
+- every segment contributes its parallel segment at distance |d| on
+  the offset side;
+- at an interior vertex turning TOWARD the offset side (the concave
+  side), the adjacent parallel segments are trimmed to their
+  intersection — an exact rational point on integer fixtures;
+- at a vertex turning AWAY (the convex side) the gap is closed by the
+  join: ``round`` inserts arc points at the buffer machinery's
+  quad_segs resolution, ``mitre`` extends both parallels to their
+  intersection (falling back to bevel past ``mitre_limit``·|d|, the
+  GEOS limited-mitre rule), ``bevel`` connects them straight;
+- an exact 180° reversal vertex wraps a half-circle around the line
+  end for ``round``; with a non-round join the reversal has no finite
+  local construction (the parallels never meet) — loud NULL.
+
+Contract (documented, loud): the construction is LOCAL. When the
+offset distance exceeds a local feature size the true offset curve
+self-intersects and GEOS would node and re-extract it; this kernel
+detects any proper self-intersection of the constructed chain AND any
+contact between the chain and the input (a valid offset stays |d|
+away from its source) and returns NULL instead of a silently-wrong
+curve. Style text accepts
+ONLY quad_segs / join / mitre_limit (PostGIS's documented set for this
+function — endcap/side are buffer-only and are rejected loudly).
+
+Scale shape: a map-only Arrow-batched pandas UDF; the self-intersection
+check is O(V²) per row, work-bounded by the vertex budget below (the
+minimum-clearance gate idiom, VERDICT r13 item 7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .buffer import _JOIN_ALIAS, _MAX_QUAD_SEGS, DEFAULT_MITRE_LIMIT, _unit
+from .geometry import Geometry
+
+_MAX_VERTICES = 4096  # input vertex budget (loud NULL, measures.py idiom)
+_MAX_OUT_POINTS = 65536  # arc fan-out budget (grids._MAX_CELLS idiom)
+
+
+def parse_offset_style(text) -> dict | None:
+    """quad_segs / join / mitre_limit only; anything else → None."""
+    out = {
+        "quad_segs": 8,
+        "join": "round",
+        "mitre_limit": DEFAULT_MITRE_LIMIT,
+    }
+    if text is None:
+        return None
+    for tok in str(text).split():
+        if "=" not in tok:
+            return None
+        key, _, val = tok.partition("=")
+        key = key.strip().lower()
+        val = val.strip().lower()
+        if key in ("quad_segs", "quadsegs"):
+            try:
+                out["quad_segs"] = int(val)
+            except ValueError:
+                return None
+            if not 1 <= out["quad_segs"] <= _MAX_QUAD_SEGS:
+                return None
+        elif key == "join":
+            if val not in _JOIN_ALIAS:
+                return None
+            out["join"] = _JOIN_ALIAS[val]
+        elif key in ("mitre_limit", "miter_limit"):
+            try:
+                out["mitre_limit"] = float(val)
+            except ValueError:
+                return None
+            if not math.isfinite(out["mitre_limit"]) or out["mitre_limit"] <= 0:
+                return None
+        else:
+            return None  # endcap/side are ST_Buffer-only
+    return out
+
+
+def _line_intersection(p, u, q, v):
+    """Intersection of lines p + t·u and q + s·v (u, v unit, not
+    parallel): solve p + t·u = q + s·v for t via the 2×2 cross form."""
+    den = u[0] * v[1] - u[1] * v[0]
+    if den == 0.0:
+        return None
+    t = ((q[0] - p[0]) * v[1] - (q[1] - p[1]) * v[0]) / den
+    return (p[0] + t * u[0], p[1] + t * u[1])
+
+
+def _arc_points(v, r, a1, delta, quad_segs):
+    """Interior arc points (endpoints excluded) from angle a1 sweeping
+    delta around v at radius r, quad_segs segments per quarter turn."""
+    m = max(1, math.ceil(abs(delta) / (math.pi / 2.0 / quad_segs)))
+    return [
+        (v[0] + r * math.cos(a1 + delta * k / m), v[1] + r * math.sin(a1 + delta * k / m))
+        for k in range(1, m)
+    ]
+
+
+def _dedup(pts):
+    out = []
+    for p in pts:
+        if not out or p != out[-1]:
+            out.append(p)
+    return out
+
+
+def _proper_self_intersection(pts) -> bool:
+    """Any crossing or overlap between non-adjacent chain segments
+    (shared chain vertices between adjacent segments are fine)."""
+
+    def orient(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    n = len(pts) - 1
+    for i in range(n):
+        a, b = pts[i], pts[i + 1]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1 and pts[0] == pts[n]:
+                continue  # a closed chain's first/last share a vertex
+            c, d = pts[j], pts[j + 1]
+            o1, o2 = orient(a, b, c), orient(a, b, d)
+            o3, o4 = orient(c, d, a), orient(c, d, b)
+            if ((o1 > 0) != (o2 > 0) and (o3 > 0) != (o4 > 0)
+                    and o1 != 0 and o2 != 0 and o3 != 0 and o4 != 0):
+                return True
+            # collinear overlap / endpoint touching a non-adjacent
+            # segment counts too (the chain folded back onto itself)
+            for p, (s, t) in ((c, (a, b)), (d, (a, b)), (a, (c, d)), (b, (c, d))):
+                if orient(s, t, p) == 0.0:
+                    if (min(s[0], t[0]) <= p[0] <= max(s[0], t[0])
+                            and min(s[1], t[1]) <= p[1] <= max(s[1], t[1])):
+                        return True
+    return False
+
+
+def _segments_touch(a, b, c, d) -> bool:
+    """Segments (a,b) and (c,d) intersect, endpoints included (the
+    classic orientation + on-segment test)."""
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def on_seg(p, q, r):
+        return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if ((o1 > 0) != (o2 > 0) and (o3 > 0) != (o4 > 0)
+            and 0 not in (o1, o2, o3, o4)):
+        return True
+    return ((o1 == 0 and on_seg(a, b, c)) or (o2 == 0 and on_seg(a, b, d))
+            or (o3 == 0 and on_seg(c, d, a)) or (o4 == 0 and on_seg(c, d, b)))
+
+
+def _crosses_input(out_pts, in_pts) -> bool:
+    """A valid offset curve stays |d| away from the input — ANY contact
+    between the constructed chain and the input chain means the local
+    construction left its contract (the offset folded through the
+    line); the caller NULLs loudly."""
+    for i in range(len(out_pts) - 1):
+        a, b = out_pts[i], out_pts[i + 1]
+        for j in range(len(in_pts) - 1):
+            if _segments_touch(a, b, in_pts[j], in_pts[j + 1]):
+                return True
+    return False
+
+
+def offset_chain(pts, dist, quad_segs, join, limit):
+    """The offset polyline of a deduped open chain (≥ 2 vertices)."""
+    units = []
+    for a, b in zip(pts, pts[1:]):
+        u = _unit(a, b)
+        if u is None:
+            return None
+        units.append(u)
+    side = 1.0 if dist > 0 else -1.0
+    r = abs(dist)
+    # per-segment offset endpoints: p + dist·left_normal
+    offs = []
+    for (a, b), u in zip(zip(pts, pts[1:]), units):
+        nx, ny = -u[1] * dist, u[0] * dist
+        offs.append(((a[0] + nx, a[1] + ny), (b[0] + nx, b[1] + ny)))
+    out = [offs[0][0]]
+    for i in range(len(units) - 1):
+        v = pts[i + 1]
+        u1, u2 = units[i], units[i + 1]
+        cross = u1[0] * u2[1] - u1[1] * u2[0]
+        dot = u1[0] * u2[0] + u1[1] * u2[1]
+        b_end, a_next = offs[i][1], offs[i + 1][0]
+        if cross == 0.0 and dot > 0.0:
+            out.append(b_end)  # collinear: endpoints coincide
+            continue
+        if cross == 0.0:
+            # exact reversal: round wraps the forward half-circle; the
+            # non-round joins have no finite construction (the
+            # parallels never meet and a straight connect would pass
+            # through the input vertex) — loud NULL
+            if join != "round":
+                return None
+            a1 = math.atan2(b_end[1] - v[1], b_end[0] - v[0])
+            out.append(b_end)
+            out.extend(_arc_points(v, r, a1, -side * math.pi, quad_segs))
+            out.append(a_next)
+            if len(out) > _MAX_OUT_POINTS:
+                return None
+            continue
+        toward = cross * dist > 0.0  # turning toward the offset side
+        if toward:
+            x = _line_intersection(offs[i][0], u1, offs[i + 1][0], u2)
+            if x is None:
+                return None
+            out.append(x)  # trim both parallels to the intersection
+            continue
+        if join == "bevel":
+            out.append(b_end)
+            out.append(a_next)
+            continue
+        if join == "mitre":
+            x = _line_intersection(offs[i][0], u1, offs[i + 1][0], u2)
+            if x is not None and math.hypot(x[0] - v[0], x[1] - v[1]) <= limit * r:
+                out.append(x)
+            else:
+                out.append(b_end)  # GEOS limited mitre → bevel
+                out.append(a_next)
+            continue
+        # round join: arc from the incoming parallel to the outgoing one,
+        # sweeping the exact turn angle
+        delta = math.atan2(cross, dot)
+        a1 = math.atan2(b_end[1] - v[1], b_end[0] - v[0])
+        out.append(b_end)
+        out.extend(_arc_points(v, r, a1, delta, quad_segs))
+        out.append(a_next)
+        if len(out) > _MAX_OUT_POINTS:
+            return None
+    out.append(offs[-1][1])
+    out = _dedup(out)
+    if len(out) < 2 or len(out) > _MAX_OUT_POINTS:
+        return None
+    return out
+
+
+def offsetcurve_wkt(wkt, dist, style) -> str | None:
+    if wkt is None or dist is None:
+        return None
+    try:
+        d = float(dist)
+    except (TypeError, ValueError):
+        return None
+    if not math.isfinite(d):
+        return None
+    st = parse_offset_style(style)
+    if st is None:
+        return None
+    s = str(wkt).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return s if m.group(1) == "LINESTRING" else None
+    g = G.parse_wkt(s)
+    if g is None or g.kind != "LineString":
+        return None  # PostGIS: ST_OffsetCurve takes linestrings only
+    pts = _dedup(list(g.coords))
+    if len(pts) < 2 or len(pts) > _MAX_VERTICES:
+        return None
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    if d == 0.0:
+        return G.to_wkt(Geometry("LineString", tuple(pts)))
+    out = offset_chain(pts, d, st["quad_segs"], st["join"], st["mitre_limit"])
+    if out is None or _proper_self_intersection(out) or _crosses_input(out, pts):
+        return None  # outside the local-construction contract — loud
+    return G.to_wkt(Geometry("LineString", tuple(out)))
+
+
+@pandas_udf(StringType())
+def st_offsetcurve(wkt: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
+    out = []
+    for w, d, s in zip(wkt, dist, style):
+        try:
+            if d is None or (isinstance(d, float) and math.isnan(d)):
+                out.append(None)
+            else:
+                out.append(offsetcurve_wkt(w, d, s))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_OFFSET_FUNCTIONS = {
+    "st_offsetcurve": st_offsetcurve,
+}
+
+
+def register_offset_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_OFFSET_FUNCTIONS.items():
+        spark.udf.register(name, fn)

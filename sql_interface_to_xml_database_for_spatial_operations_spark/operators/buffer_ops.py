@@ -26,6 +26,12 @@ transcendental-valued columns); the empty family compares the typed
 WKT string itself. Both sides build inputs/expectations from the same
 integer box columns, so the comparison is deterministic.
 
+``oc_*`` (r14 continuation, functions/offsetcurve.py): ST_OffsetCurve
+on the bl→br→tr polyline — the left offset's exact concave trim, the
+right offset's mitre/bevel exact integer chains, the round join's
+point count and exact 45° middle arc point, the zero-distance echo,
+and the lineal-only / offset-style-only loud-NULL gates.
+
 Scale shape: st_buffer is a map-only Arrow-batched pandas UDF over a
 25-row projection per family — no shuffle beyond the unionByName of
 six projections of the same scan.
@@ -43,9 +49,13 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.grids import register_grid_functions
+    from ..functions.offsetcurve import register_offset_functions
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
+    register_offset_functions(spark)  # st_offsetcurve (r14 continuation)
+    register_grid_functions(spark)  # st_dumppoints for the oc_round pins
 
 
 _BOX_WKT = sql_concat(
@@ -149,6 +159,31 @@ _FAMILIES = {
     "st_side_gate": (
         f"COALESCE(st_bufferstyle({_BOX_WKT}, 2.0D, 'side=left'), 'NULL(side)')"
     ),
+    # ST_OffsetCurve (r14 continuation, functions/offsetcurve.py): on
+    # the bl→br→tr right-angle polyline the left offset trims the
+    # concave corner to an exact integer intersection; the right
+    # offset's convex corner pins all three joins — mitre and bevel
+    # are exact integer chains, round pins the point count and the
+    # exact 45° middle arc point at micro precision
+    "oc_left": f"st_offsetcurve({_CORNER_WKT}, 2.0D, '')",
+    "oc_mitre": f"st_offsetcurve({_CORNER_WKT}, -2.0D, 'join=mitre')",
+    "oc_bevel": f"st_offsetcurve({_CORNER_WKT}, -2.0D, 'join=bevel')",
+    "oc_round_n": int_str(
+        f"size(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')))"
+    ),
+    "oc_round_midx": _micro(
+        f"st_x(element_at(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')), 6))"
+    ),
+    "oc_round_midy": _micro(
+        f"st_y(element_at(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')), 6))"
+    ),
+    "oc_zero": f"st_offsetcurve({_CORNER_WKT}, 0.0D, '')",
+    "oc_kind_gate": (
+        f"COALESCE(st_offsetcurve({_BOX_WKT}, 2.0D, ''), 'NULL(kind)')"
+    ),
+    "oc_style_gate": (
+        f"COALESCE(st_offsetcurve({_CORNER_WKT}, 2.0D, 'endcap=flat'), 'NULL(style)')"
+    ),
 }
 
 # DuckDB-side closed forms over the same integer columns
@@ -210,6 +245,37 @@ _ORACLE_VALS = {
         f"{_W} * {_HH} - ({_W} - 4.0) * ({_HH} - 4.0)"
     ),
     "st_side_gate": "'NULL(side)'",  # areal operand: lineal-only, loud
+    # offset curve: trim corner (maxx−2, miny+2) / miter point
+    # (maxx+2, miny−2) / bevel chord are exact integer chains; the
+    # round middle arc point is the 45° one (libm on both sides)
+    "oc_left": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('minx')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('maxx - 2')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('maxx - 2')} || ' ' || {int_str('maxy')}",
+        "')'",
+    ),
+    "oc_mitre": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('minx')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('maxy')}",
+        "')'",
+    ),
+    "oc_bevel": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('minx')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx')} || ' ' || {int_str('miny - 2')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('miny')}", "', '",
+        f"{int_str('maxx + 2')} || ' ' || {int_str('maxy')}",
+        "')'",
+    ),
+    "oc_round_n": "'11'",  # 4 chain points + 7 interior arc points
+    "oc_round_midx": _micro("maxx + 2 * cos(pi() / 4)"),
+    "oc_round_midy": _micro("miny - 2 * sin(pi() / 4)"),
+    "oc_zero": _CORNER_WKT,
+    "oc_kind_gate": "'NULL(kind)'",  # lineal-only, loud
+    "oc_style_gate": "'NULL(style)'",  # endcap is buffer-only, loud
 }
 
 _Q155_ORACLE = "\nUNION ALL\n".join(

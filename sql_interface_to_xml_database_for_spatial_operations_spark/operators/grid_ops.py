@@ -34,6 +34,17 @@ Oracle families (per nation box; exact unless noted):
 - ``proj_micro`` — spherical forward geodesic; the oracle mirrors the
   engine's formula term for term (same machine libm on both sides, the
   q131 st_azimuth precedent) at micro-degrees.
+- ``cell_*`` / ``cw_pred`` / ``ccw_pred`` / ``orient_vacuous`` /
+  ``shift_lon`` — single-cell constructors (st_square string-built per
+  key; st_hexagon pinned by its closed-form area, translation-
+  invariant over key-derived lattice indices), the polygon-orientation
+  predicates on the CW-holed fixture, and the PostGIS longitude-shift
+  toggle on the integer box corner (CASE-mirrored oracle).
+- ``gh_*`` — geohash codec (r14 continuation): published anchors
+  (geohash.org's u4pruydqqvj, Wikipedia's ezs42 cell), PostGIS
+  auto-precision corner-common-prefix (straddling box → ''), exact
+  dyadic cell decode, the center-reencode round trip, the
+  out-of-range loud NULL, and a per-key covered-by-own-cell check.
 
 Scale shape: map-only pandas UDFs over the 25-row projection; the grid
 arrays explode AFTER generation like st_subdivide. At 100 TB the grids
@@ -50,8 +61,10 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.cells import register_cell_functions
     from ..functions.collection_fns import register_collection_functions
     from ..functions.editors import register_editor_functions
+    from ..functions.geohash import register_geohash_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
     from ..functions.spatial import register_spatial_functions
@@ -61,6 +74,8 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_simplify_functions(spark)  # the r13 vw/spt/redp families
     register_editor_functions(spark)  # st_snap (r13)
     register_collection_functions(spark)  # shape tools (r13)
+    register_geohash_functions(spark)  # geohash codec (r14)
+    register_cell_functions(spark)  # single cells + orientation (r14)
 
 
 def _micro(expr: str) -> str:
@@ -252,6 +267,46 @@ _FAMILIES = {
     "genpt_seeded_x": _micro(
         f"st_x(element_at(st_dumppoints(st_generatepoints({_TRI_GEN}, 1, 5)), 1))"
     ),
+    # geohash codec (r14 continuation, functions/geohash.py): published
+    # anchors (the geohash.org example u4pruydqqvj and the Wikipedia
+    # cell ezs42), PostGIS auto-precision (corner common prefix; a box
+    # straddling the prime meridian shares no prefix → ''), dyadic
+    # cell decode (centers/corners are exact doubles), the
+    # center-reencodes round trip, out-of-range loud NULL, and a
+    # per-key covered-by-own-cell invariant on the integer box corner
+    "gh_anchor": "st_geohash('POINT (10.40744 57.64911)', 11)",
+    "gh_wiki": "st_geohash('POINT (-5.603027 42.605286)', 5)",
+    "gh_auto": (
+        "st_geohash('POLYGON ((10 20, 10.0001 20, 10.0001 20.0001,"
+        " 10 20.0001, 10 20))', 0)"
+    ),
+    "gh_straddle": "st_geohash('POLYGON ((-1 0, 1 0, 1 1, -1 1, -1 0))', 0)",
+    "gh_range": "COALESCE(st_geohash('POINT (190 0)', 5), 'NULL(range)')",
+    "gh_center": "st_pointfromgeohash('ezs42', 0)",
+    "gh_cell": "st_geomfromgeohash('ezs42', 3)",
+    "gh_round": "st_geohash(st_pointfromgeohash('u4pruydqqvj', 0), 11)",
+    "gh_key_cov": (
+        f"CAST(st_coveredby('POINT (' || {CORNERS['bl']} || ')',"
+        f" st_geomfromgeohash(st_geohash('POINT (' || {CORNERS['bl']} || ')', 6), 0))"
+        " AS STRING)"
+    ),
+    # single-cell constructors + orientation predicates + longitude
+    # shift (r14 continuation, functions/cells.py)
+    "cell_sq": (
+        "st_square(10.0D, CAST(n_nationkey % 5 AS INT),"
+        " CAST(n_nationkey % 3 AS INT))"
+    ),
+    "cell_hex_area": _micro(
+        "st_area(st_hexagon(5.0D, CAST(n_nationkey % 7 AS INT) - 3,"
+        " CAST(n_nationkey % 5 AS INT) - 2))"
+    ),
+    "cell_gate": (
+        "COALESCE(st_square(-1.0D, 0, 0), 'NULL(size)')"
+    ),
+    "cw_pred": f"CAST(st_ispolygoncw({_CW_HOLED}) AS STRING)",
+    "ccw_pred": f"CAST(st_ispolygonccw({_CW_HOLED}) AS STRING)",
+    "orient_vacuous": f"CAST(st_ispolygoncw({_DUP_LINE}) AS STRING)",
+    "shift_lon": f"st_shiftlongitude('POINT (' || {CORNERS['bl']} || ')')",
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -288,6 +343,12 @@ _SQ_LAST = sql_concat(
     f"CAST(({_SQ_I1} - 1) * 10 AS VARCHAR) || ' ' || CAST(({_SQ_J1} - 1) * 10 AS VARCHAR)",
     "'))'",
 )
+# single square cell corners from the key-derived lattice indices
+_SQX0 = "CAST((n_nationkey % 5) * 10 AS BIGINT)"
+_SQY0 = "CAST((n_nationkey % 3) * 10 AS BIGINT)"
+_SQX1 = "CAST((n_nationkey % 5) * 10 + 10 AS BIGINT)"
+_SQY1 = "CAST((n_nationkey % 3) * 10 + 10 AS BIGINT)"
+
 # tile formula mirrored TERM FOR TERM from functions/grids.py
 _O_SIDE = f"((2 * pi() * 6378137.0) / pow(2, {_TILE_Z}))"
 _O_TMINX = f"((-pi()) * 6378137.0 + {_TILE_X} * {_O_SIDE})"
@@ -452,6 +513,40 @@ _ORACLE_VALS = {
     "genpt_p6y": _micro("miny + (2.0 / 3.0 + 2.0 / 9.0) * (maxy - miny)"),
     # seed 5 -> first candidate k = 6 is inside; rad2(6) = 0.375 exact
     "genpt_seeded_x": _micro("minx + 0.375 * (maxx - minx)"),
+    "gh_anchor": "'u4pruydqqvj'",
+    "gh_wiki": "'ezs42'",
+    "gh_auto": "'s5x1g8c'",
+    "gh_straddle": "''",
+    "gh_range": "'NULL(range)'",
+    "gh_center": "'POINT (-5.60302734375 42.60498046875)'",
+    "gh_cell": (
+        "'POLYGON ((-5.625 42.1875, -4.21875 42.1875,"
+        " -4.21875 43.59375, -5.625 43.59375, -5.625 42.1875))'"
+    ),
+    "gh_round": "'u4pruydqqvj'",
+    "gh_key_cov": "'true'",
+    "cell_sq": sql_concat(
+        "'POLYGON (('",
+        f"{_SQX0} || ' ' || {_SQY0}", "', '",
+        f"{_SQX1} || ' ' || {_SQY0}", "', '",
+        f"{_SQX1} || ' ' || {_SQY1}", "', '",
+        f"{_SQX0} || ' ' || {_SQY1}", "', '",
+        f"{_SQX0} || ' ' || {_SQY0}",
+        "'))'",
+    ),
+    "cell_hex_area": _micro("3 * sqrt(3.0) / 2 * 25"),
+    "cell_gate": "'NULL(size)'",
+    "cw_pred": "'true'",  # CW shell + CCW hole is IsPolygonCW
+    "ccw_pred": "'false'",
+    "orient_vacuous": "'true'",  # no polygonal component
+    "shift_lon": sql_concat(
+        "'POINT ('",
+        ("CASE WHEN minx < 0 THEN " + int_str("minx + 360")
+         + " ELSE " + int_str("minx") + " END"),
+        "' '",
+        int_str("miny"),
+        "')'",
+    ),
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

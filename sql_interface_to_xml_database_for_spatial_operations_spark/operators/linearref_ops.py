@@ -33,6 +33,16 @@ the quantum absorbs sub-1e-8 ulp noise; every expected value sits ≥
 0.25 away from the nearest half-quantum boundary except the designed
 exact values, which both engines compute from identical closed forms.
 
+Measure (M) families (r14 continuation, functions/measure_m.py):
+``addm_interp`` remeasures D over 0..10 and pins ST_InterpolatePoint
+at the corner (10·w/t) and at the off-line probe (term-for-term float
+mirror); ``lbtw_range`` clips the arc-length-measured D to [10, 20]
+and pins the cut measures via ST_MMin/MMax; ``lip_pts``/``lip_single``
+pin ST_LineInterpolatePoints (plural) positions and count through the
+2-D accessors; ``lalong_m`` measures the bottom edge BY x so a
+ST_LocateAlong hit's measure is its position (plus a COALESCEd miss →
+MULTIPOINT M EMPTY); ``zm_m`` pins ST_Zmflag and ST_M.
+
 Scale shape: map-only pandas UDFs over the 25-row nation projection —
 no shuffle. New module so linework_ops.py / geo_fn_ops.py
 fingerprints stay untouched.
@@ -51,11 +61,13 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.accessors import register_accessor_functions
     from ..functions.linearref import register_linearref_functions
+    from ..functions.measure_m import register_measure_m_functions
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
     register_accessor_functions(spark)  # st_numpoints counts slice vertices
     register_linearref_functions(spark)
+    register_measure_m_functions(spark)  # M measures (r14 continuation)
 
 
 _PT_BL = CORNERS["bl"]
@@ -100,6 +112,21 @@ _MIXED_GC_PT = (
 )
 _PT_OUT = f"'POINT (' || {_xy('maxx + 10', 'miny + 5')} || ')'"
 _PT_IN = f"'POINT (' || {_xy('minx + 2', 'miny + 1')} || ')'"
+
+# measure (M) fixtures (r14 continuation, functions/measure_m.py):
+# D remeasured 0..10 (corner m = 10·w/t), D remeasured to arc length
+# (cut measures land exactly on the requested bounds at micro), and
+# the bottom edge measured minx..maxx so a LocateAlong hit's measure
+# IS its x position
+_DM10 = f"st_addmeasure({_D_IN}, 0.0D, 10.0D)"
+_DM_ARC = (
+    f"st_addmeasure({_D_IN}, 0.0D,"
+    " CAST((maxx - minx) + (maxy - miny) AS DOUBLE))"
+)
+_BOTTOM_IN = f"'LINESTRING (' || {_PT_BL} || ', ' || {_PT_BR} || ')'"
+_DM_X = (
+    f"st_addmeasure({_BOTTOM_IN}, CAST(minx AS DOUBLE), CAST(maxx AS DOUBLE))"
+)
 
 _MU = "CAST(floor(({v}) * 1000000 + 0.5) AS BIGINT)"
 
@@ -175,6 +202,31 @@ _Q152_ORACLE = f"""
     UNION ALL
     SELECT 'mixed_member' AS fam, n_nationkey AS key,
            {_mu("minx + 7")} AS a, {_mu("miny + 2")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'addm_interp' AS fam, n_nationkey AS key,
+           {_mu(f"10 * ({_W} / {_T})")} AS a,
+           {_mu(f"((10 * {_W}) / ({_W} * {_W})) * (10 * ({_W} / {_T}))")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'lbtw_range' AS fam, n_nationkey AS key,
+           {_mu("10.0")} AS a, {_mu("20.0")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'lip_pts' AS fam, n_nationkey AS key,
+           {_mu(f"minx + {_T} / 2")} AS a, {_mu("maxy")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'lip_single' AS fam, n_nationkey AS key,
+           {_mu("maxx")} AS a, CAST(4 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'lalong_m' AS fam, n_nationkey AS key,
+           {_mu("minx + 12")} AS a, CAST(-1 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zm_m' AS fam, n_nationkey AS key,
+           {_mu("1.0")} AS a, {_mu("7.5")} AS b
     FROM boxes
 """
 
@@ -277,11 +329,63 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mu(f"st_x(st_closestpoint({_MIXED_GC_PT}, {_BOX_POLY}))"),
         _mu(f"st_y(st_closestpoint({_MIXED_GC_PT}, {_BOX_POLY}))"),
     )
+    # measure (M) families (r14 continuation, functions/measure_m.py):
+    # AddMeasure's corner/probe measures mirror the engine's float
+    # expression term for term; LocateBetween's cut measures land on
+    # the requested bounds; the plural interpolate points reuse the
+    # interp_mid closed form; LocateAlong on the x-measured bottom
+    # edge pins a hit (and a COALESCEd miss); Zmflag/ST_M constants.
+    addm_interp = fam(
+        "addm_interp",
+        _mu(f"st_interpolatepoint({_DM10}, {_CORNER_PT})"),
+        _mu(f"st_interpolatepoint({_DM10}, {_PROBE_PT})"),
+    )
+    lbtw_range = fam(
+        "lbtw_range",
+        _mu(f"st_mmin(st_locatebetween({_DM_ARC}, 10.0D, 20.0D))"),
+        _mu(f"st_mmax(st_locatebetween({_DM_ARC}, 10.0D, 20.0D))"),
+    )
+    lip_pts = fam(
+        "lip_pts",
+        _mu(
+            "st_x(st_geometryn("
+            f"st_lineinterpolatepoints({_D_IN}, 0.25D, true), 2))"
+        ),
+        _mu(
+            "st_y(st_geometryn("
+            f"st_lineinterpolatepoints({_D_IN}, 0.25D, true), 4))"
+        ),
+    )
+    lip_single = fam(
+        "lip_single",
+        _mu(f"st_x(st_lineinterpolatepoints({_D_IN}, 0.9D, false))"),
+        (
+            "CAST(st_numgeometries("
+            f"st_lineinterpolatepoints({_D_IN}, 0.25D, true)) AS BIGINT)"
+        ),
+    )
+    lalong_m = fam(
+        "lalong_m",
+        _mu(
+            f"st_mmin(st_locatealong({_DM_X}, CAST(minx + 12 AS DOUBLE)))"
+        ),
+        (
+            "COALESCE("
+            + _mu(f"st_mmin(st_locatealong({_DM_X}, CAST(maxx + 5 AS DOUBLE)))")
+            + ", CAST(-1 AS BIGINT))"
+        ),
+    )
+    zm_m = fam(
+        "zm_m",
+        _mu(f"CAST(st_zmflag({_DM10}) AS DOUBLE)"),
+        _mu("st_m('POINT M (1 2 7.5)')"),
+    )
     out = interp_mid
     for part in (
         interp_up, interp_ends, locate, substr, closest, shortline,
         areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
-        touch_vertex, mixed_member,
+        touch_vertex, mixed_member, addm_interp, lbtw_range, lip_pts,
+        lip_single, lalong_m, zm_m,
     ):
         out = out.unionByName(part)
     return out

@@ -258,6 +258,31 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q166-q168 and the non-spatial rows whose fingerprints absorb the
 # engine-registration closure (register_bpe_functions added).
 #
+# r14 continuation edits (post-wrap session, all at ZERO window cost —
+# the one-in-one-out rule's cheaper sibling: every new surface lands as
+# oracle families on rows ALREADY EXPOSED this round):
+# - geohash codec (new functions/geohash.py): st_geohash /
+#   st_pointfromgeohash / st_geomfromgeohash; q169 gains 9 gh_*
+#   families (published anchors, auto-precision, dyadic decode,
+#   round-trip, range gate, per-key covered-by-own-cell).
+# - ST_OffsetCurve (new functions/offsetcurve.py, reuses buffer.py's
+#   style aliases without editing it): q155 gains 9 oc_* families
+#   (exact concave trim, mitre/bevel integer chains, round-join point
+#   count + exact 45° arc point, zero echo, kind/style gates).
+# - single cells + orientation + longitude shift (new
+#   functions/cells.py): st_square / st_hexagon (bit-identical to the
+#   grid's cell at the same lattice coords) / st_ispolygoncw/ccw /
+#   st_shiftlongitude; q169 gains 7 families.
+# - measure (M) linear referencing (new functions/measure_m.py,
+#   self-contained WKT M codec): st_addmeasure / st_m / st_mmin /
+#   st_mmax / st_zmflag / st_interpolatepoint / st_locatealong /
+#   st_locatebetween / st_lineinterpolatepoints; q152 gains 6
+#   numeric families.
+# Closure drift from the engine.py registrations alone (the new
+# modules execute nothing in any verified row): q99-q102, q108, q114,
+# q118 — result-invariant, fingerprints deliberately re-recorded (the
+# every-round ingest-closure class).
+#
 # Round 15 rotation plan: fold the 50 r14 greens in, then expose
 # (a) q146/q159/q161 (deferred here — FIRST in line), (b) the r11-green
 # cohort (4 rounds stale by r15): q32-q43, q46-q53, q59, q75-q85,

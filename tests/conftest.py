@@ -85,6 +85,18 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editor
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.constructors import (  # noqa: E402
     register_constructor_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells import (  # noqa: E402
+    register_cell_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (  # noqa: E402
+    register_geohash_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (  # noqa: E402
+    register_measure_m_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
+    register_offset_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.sources.tables import (  # noqa: E402
     TABLES,
 )
@@ -119,6 +131,10 @@ def spark():
     register_linearref_functions(s)
     register_editor_functions(s)
     register_constructor_functions(s)
+    register_geohash_functions(s)
+    register_offset_functions(s)
+    register_cell_functions(s)
+    register_measure_m_functions(s)
     yield s
 
 

@@ -81,6 +81,18 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editor
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.constructors import (
     ALL_CONSTRUCTOR_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells import (
+    ALL_CELL_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (
+    ALL_GEOHASH_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (
+    ALL_MEASURE_M_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (
+    ALL_OFFSET_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -110,6 +122,10 @@ _SWEPT = {
     **ALL_EDITOR_FUNCTIONS,
     **ALL_CONSTRUCTOR_FUNCTIONS,
     **ALL_BPE_FUNCTIONS,
+    **ALL_GEOHASH_FUNCTIONS,
+    **ALL_OFFSET_FUNCTIONS,
+    **ALL_CELL_FUNCTIONS,
+    **ALL_MEASURE_M_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -192,6 +208,17 @@ _NULL_ARGS = {
     "st_hausdorffdistance": f"{S}, {S}",
     "st_frechetdistance": f"{S}, {S}",
     "st_angle": f"{S}, {S}, {S}, {S}",
+    "st_geohash": f"{S}, CAST(NULL AS INT)",
+    "st_pointfromgeohash": f"{S}, CAST(NULL AS INT)",
+    "st_geomfromgeohash": f"{S}, CAST(NULL AS INT)",
+    "st_offsetcurve": f"{S}, {D}, {S}",
+    "st_square": f"{D}, CAST(NULL AS INT), CAST(NULL AS INT)",
+    "st_hexagon": f"{D}, CAST(NULL AS INT), CAST(NULL AS INT)",
+    "st_addmeasure": f"{S}, {D}, {D}",
+    "st_interpolatepoint": f"{S}, {S}",
+    "st_locatealong": f"{S}, {D}",
+    "st_locatebetween": f"{S}, {D}, {D}",
+    "st_lineinterpolatepoints": f"{S}, {D}, CAST(NULL AS BOOLEAN)",
 }
 
 
@@ -259,3 +286,45 @@ def test_bufferstyle_mixed_values(spark):
     ).collect()
     assert rows[0]["b"] == "POLYGON ((0 -2, 10 -2, 10 2, 0 2, 0 -2))"
     assert all(r["b"] is None for r in rows[1:])
+
+
+def test_offsetcurve_mixed_values(spark):
+    """r14 continuation: valid geometry + NULL/NaN companions through
+    the 3-arg offset surface (the WKT guard short-circuits all-NULL
+    sweeps)."""
+    rows = spark.sql(
+        "SELECT st_offsetcurve(g, d, s) AS b FROM VALUES "
+        "('LINESTRING (0 0, 10 0)', 2.0D, ''), "
+        "('LINESTRING (0 0, 10 0)', CAST(NULL AS DOUBLE), ''), "
+        "('LINESTRING (0 0, 10 0)', CAST('NaN' AS DOUBLE), ''), "
+        "('LINESTRING (0 0, 10 0)', CAST('Infinity' AS DOUBLE), ''), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, CAST(NULL AS STRING)), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, 'endcap=flat'), "
+        "('LINESTRING (0 0, inf 1)', 2.0D, '') "
+        "AS t(g, d, s)"
+    ).collect()
+    assert rows[0]["b"] == "LINESTRING (0 2, 10 2)"
+    assert all(r["b"] is None for r in rows[1:])
+
+
+def test_geohash_mixed_values(spark):
+    """r14 continuation: valid geometry + NULL int precision (Arrow
+    ships nullable ints as float64 NaN — the st_pointn crash class)."""
+    rows = spark.sql(
+        "SELECT st_geohash(g, n) AS h FROM VALUES "
+        "('POINT (10.40744 57.64911)', 11), "
+        "('POINT (10.40744 57.64911)', CAST(NULL AS INT)), "
+        "('POINT (190 0)', 5), "
+        "(CAST(NULL AS STRING), 5) "
+        "AS t(g, n)"
+    ).collect()
+    assert rows[0]["h"] == "u4pruydqqvj"
+    assert rows[1]["h"] is not None and len(rows[1]["h"]) == 20  # auto
+    assert rows[2]["h"] is None and rows[3]["h"] is None
+    rows = spark.sql(
+        "SELECT st_pointfromgeohash(h, p) AS w FROM VALUES "
+        "('ezs42', CAST(NULL AS INT)), ('ezs42', 3), ('eza42', 0) "
+        "AS t(h, p)"
+    ).collect()
+    assert rows[0]["w"] == "POINT (-5.60302734375 42.60498046875)"
+    assert rows[1]["w"] is not None and rows[2]["w"] is None
