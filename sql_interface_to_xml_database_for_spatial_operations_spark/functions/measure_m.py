@@ -44,6 +44,14 @@ Semantics:
   return MULTIPOINT (2-D — composable with st_geometryn/st_x).
   fraction outside (0, 1] → loud NULL.
 
+Trajectory suite (M as time, the PostGIS temporal functions):
+``st_isvalidtrajectory`` (strictly increasing measures),
+``st_closestpointofapproach`` / ``st_distancecpa`` / ``st_cpawithin``
+— per merged measure interval the squared separation of two
+piecewise-linear moving points is an exact quadratic, minimized in
+closed form; no temporal overlap → loud NULL; ties take the earliest
+measure.
+
 All map-only Arrow-batched pandas UDFs; measures interpolate in one
 pass per row (no shuffle).
 """
@@ -56,7 +64,7 @@ import re
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, IntegerType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
 
 from . import geometry as G
 from . import overlay as _ov
@@ -466,6 +474,116 @@ def lineinterpolatepoints_wkt(wkt, fraction, repeat) -> str | None:
     return G.to_wkt(Geometry("MultiPoint", out))
 
 
+# ---- trajectories (M as time) ------------------------------------------
+#
+# PostGIS's temporal suite over LINESTRING M trajectories:
+# ST_IsValidTrajectory (strictly increasing measures),
+# ST_ClosestPointOfApproach (the measure at which two piecewise-linear
+# moving points are closest — per merged measure interval the squared
+# distance is an exact quadratic |Δp + Δv·(t−s)|², minimized in closed
+# form and clamped), ST_DistanceCPA (the distance at that measure),
+# ST_CPAWithin. No measure overlap → loud NULL (PostGIS returns NULL).
+# Ties take the EARLIEST measure (intervals scan in order, strict <).
+
+
+def _trajectory(wkt):
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    if kind != "LineString" or len(payload) < 2:
+        return None
+    for (_, _, a), (_, _, b) in zip(payload, payload[1:]):
+        if not b > a:
+            return None
+    return payload
+
+
+def isvalidtrajectory_of(wkt) -> bool | None:
+    pm = parse_m_wkt(wkt)
+    if pm is None:
+        return None
+    kind, payload = pm
+    if kind != "LineString" or len(payload) < 2:
+        return None  # PostGIS errors on non-lineal input — loud
+    return all(
+        b > a for (_, _, a), (_, _, b) in zip(payload, payload[1:])
+    )
+
+
+def _pos_at(traj, t):
+    """Position on a valid trajectory at measure t (t inside range)."""
+    for (ax, ay, am), (bx, by, bm) in zip(traj, traj[1:]):
+        if am <= t <= bm:
+            if t == am:
+                return (ax, ay)
+            if t == bm:
+                return (bx, by)
+            s = (t - am) / (bm - am)
+            return (ax + s * (bx - ax), ay + s * (by - ay))
+    return None
+
+
+def cpa_m(a_wkt, b_wkt):
+    """(measure, distance) at closest approach, or None."""
+    ta, tb = _trajectory(a_wkt), _trajectory(b_wkt)
+    if ta is None or tb is None:
+        return None
+    lo = max(ta[0][2], tb[0][2])
+    hi = min(ta[-1][2], tb[-1][2])
+    if hi < lo:
+        return None  # the trajectories never coexist
+    ms = sorted(
+        {lo, hi}
+        | {m for _, _, m in ta if lo <= m <= hi}
+        | {m for _, _, m in tb if lo <= m <= hi}
+    )
+    best = None  # (d2, t), earliest t wins ties via strict <
+
+    def consider(t):
+        nonlocal best
+        pa, pb = _pos_at(ta, t), _pos_at(tb, t)
+        d2 = (pb[0] - pa[0]) ** 2 + (pb[1] - pa[1]) ** 2
+        if best is None or d2 < best[0]:
+            best = (d2, t)
+
+    consider(ms[0])
+    for s, e in zip(ms, ms[1:]):
+        if e <= s:
+            continue
+        a0, a1 = _pos_at(ta, s), _pos_at(ta, e)
+        b0, b1 = _pos_at(tb, s), _pos_at(tb, e)
+        dt = e - s
+        dpx, dpy = b0[0] - a0[0], b0[1] - a0[1]
+        dvx = ((b1[0] - b0[0]) - (a1[0] - a0[0])) / dt
+        dvy = ((b1[1] - b0[1]) - (a1[1] - a0[1])) / dt
+        v2 = dvx * dvx + dvy * dvy
+        if v2 > 0.0:
+            tstar = s - (dpx * dvx + dpy * dvy) / v2
+            if s < tstar < e:
+                consider(tstar)
+        consider(e)
+    return (best[1], math.sqrt(best[0]))
+
+
+def closestpointofapproach_of(a_wkt, b_wkt) -> float | None:
+    r = cpa_m(a_wkt, b_wkt)
+    return None if r is None else r[0]
+
+
+def distancecpa_of(a_wkt, b_wkt) -> float | None:
+    r = cpa_m(a_wkt, b_wkt)
+    return None if r is None else r[1]
+
+
+def cpawithin_of(a_wkt, b_wkt, maxdist) -> bool | None:
+    d = _num(maxdist)
+    if d is None or d < 0:
+        return None
+    r = cpa_m(a_wkt, b_wkt)
+    return None if r is None else r[1] <= d
+
+
 # ---- UDFs -------------------------------------------------------------
 
 
@@ -560,6 +678,37 @@ def st_lineinterpolatepoints(
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(BooleanType())
+def st_isvalidtrajectory(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(isvalidtrajectory_of, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_closestpointofapproach(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_safe(closestpointofapproach_of, x, y) for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def st_distancecpa(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_safe(distancecpa_of, x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+@pandas_udf(BooleanType())
+def st_cpawithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    out = []
+    for x, y, v in zip(a, b, d):
+        try:
+            out.append(None if _nan(v) else cpawithin_of(x, y, v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_MEASURE_M_FUNCTIONS = {
     "st_addmeasure": st_addmeasure,
     "st_m": st_m,
@@ -570,6 +719,10 @@ ALL_MEASURE_M_FUNCTIONS = {
     "st_locatealong": st_locatealong,
     "st_locatebetween": st_locatebetween,
     "st_lineinterpolatepoints": st_lineinterpolatepoints,
+    "st_isvalidtrajectory": st_isvalidtrajectory,
+    "st_closestpointofapproach": st_closestpointofapproach,
+    "st_distancecpa": st_distancecpa,
+    "st_cpawithin": st_cpawithin,
 }
 
 

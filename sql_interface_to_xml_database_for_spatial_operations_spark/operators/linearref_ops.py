@@ -41,7 +41,12 @@ and pins the cut measures via ST_MMin/MMax; ``lip_pts``/``lip_single``
 pin ST_LineInterpolatePoints (plural) positions and count through the
 2-D accessors; ``lalong_m`` measures the bottom edge BY x so a
 ST_LocateAlong hit's measure is its position (plus a COALESCEd miss →
-MULTIPOINT M EMPTY); ``zm_m`` pins ST_Zmflag and ST_M.
+MULTIPOINT M EMPTY); ``zm_m`` pins ST_Zmflag and ST_M. Trajectory
+families (``cpa_*``): closest approach of the bottom-edge and
+right-edge runners (t* = 10w²/(w²+h²), distance = wh/√(w²+h²) — the
+right triangle's altitude), the single-instant overlap (distance 0 at
+the shared corner), the disjoint-window loud NULL, ST_CPAWithin
+bounds, and ST_IsValidTrajectory on ascending/descending measures.
 
 Scale shape: map-only pandas UDFs over the 25-row nation projection —
 no shuffle. New module so linework_ops.py / geo_fn_ops.py
@@ -127,6 +132,19 @@ _BOTTOM_IN = f"'LINESTRING (' || {_PT_BL} || ', ' || {_PT_BR} || ')'"
 _DM_X = (
     f"st_addmeasure({_BOTTOM_IN}, CAST(minx AS DOUBLE), CAST(maxx AS DOUBLE))"
 )
+
+# trajectory fixtures (M as time): A runs the bottom edge west→east
+# over t ∈ [0, 10]; B runs the right edge south→north over the same
+# window (closest approach at t* = 10w²/(w²+h²), distance wh/√(w²+h²),
+# the right triangle's altitude), a LATE twin overlapping only at the
+# instant t = 10 (where both sit on the shared corner — distance 0), a
+# NEVER twin with a disjoint time window (loud NULL), and a
+# descending-measure line (invalid trajectory)
+_TRAJ_A = f"'LINESTRING M (' || {_PT_BL} || ' 0, ' || {_PT_BR} || ' 10)'"
+_TRAJ_B = f"'LINESTRING M (' || {_PT_BR} || ' 0, ' || {_PT_TR} || ' 10)'"
+_TRAJ_B_LATE = f"'LINESTRING M (' || {_PT_BR} || ' 10, ' || {_PT_TR} || ' 20)'"
+_TRAJ_B_NEVER = f"'LINESTRING M (' || {_PT_BR} || ' 20, ' || {_PT_TR} || ' 30)'"
+_TRAJ_BAD = f"'LINESTRING M (' || {_PT_BL} || ' 10, ' || {_PT_BR} || ' 0)'"
 
 _MU = "CAST(floor(({v}) * 1000000 + 0.5) AS BIGINT)"
 
@@ -227,6 +245,23 @@ _Q152_ORACLE = f"""
     UNION ALL
     SELECT 'zm_m' AS fam, n_nationkey AS key,
            {_mu("1.0")} AS a, {_mu("7.5")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'cpa_t' AS fam, n_nationkey AS key,
+           {_mu(f"10 * {_W} * {_W} / ({_W} * {_W} + {_H} * {_H})")} AS a,
+           {_mu(f"{_W} * {_H} / sqrt({_W} * {_W} + {_H} * {_H})")} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'cpa_instant' AS fam, n_nationkey AS key,
+           {_mu("0.0")} AS a, CAST(-1 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'cpa_bools' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'cpa_valid' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
     FROM boxes
 """
 
@@ -380,12 +415,38 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mu(f"CAST(st_zmflag({_DM10}) AS DOUBLE)"),
         _mu("st_m('POINT M (1 2 7.5)')"),
     )
+    # trajectory (M-as-time) families — module fixtures comment
+    cpa_t = fam(
+        "cpa_t",
+        _mu(f"st_closestpointofapproach({_TRAJ_A}, {_TRAJ_B})"),
+        _mu(f"st_distancecpa({_TRAJ_A}, {_TRAJ_B})"),
+    )
+    cpa_instant = fam(
+        "cpa_instant",
+        _mu(f"st_distancecpa({_TRAJ_A}, {_TRAJ_B_LATE})"),
+        (
+            "COALESCE("
+            + _mu(f"st_closestpointofapproach({_TRAJ_A}, {_TRAJ_B_NEVER})")
+            + ", CAST(-1 AS BIGINT))"
+        ),
+    )
+    cpa_bools = fam(
+        "cpa_bools",
+        f"CAST(CASE WHEN st_cpawithin({_TRAJ_A}, {_TRAJ_B}, 1000.0D) THEN 1 ELSE 0 END AS BIGINT)",
+        f"CAST(CASE WHEN st_cpawithin({_TRAJ_A}, {_TRAJ_B}, 1.0D) THEN 1 ELSE 0 END AS BIGINT)",
+    )
+    cpa_valid = fam(
+        "cpa_valid",
+        f"CAST(CASE WHEN st_isvalidtrajectory({_TRAJ_A}) THEN 1 ELSE 0 END AS BIGINT)",
+        f"CAST(CASE WHEN st_isvalidtrajectory({_TRAJ_BAD}) THEN 1 ELSE 0 END AS BIGINT)",
+    )
     out = interp_mid
     for part in (
         interp_up, interp_ends, locate, substr, closest, shortline,
         areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
         touch_vertex, mixed_member, addm_interp, lbtw_range, lip_pts,
-        lip_single, lalong_m, zm_m,
+        lip_single, lalong_m, zm_m, cpa_t, cpa_instant, cpa_bools,
+        cpa_valid,
     ):
         out = out.unionByName(part)
     return out

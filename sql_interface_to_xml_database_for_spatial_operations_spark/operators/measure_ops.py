@@ -31,6 +31,16 @@ Oracle design over the integer nation boxes:
   √5; a single POINT has infinite clearance ('Infinity' as string,
   LINESTRING EMPTY witness — the PostGIS convention).
 
+- ``lec_*`` (r14 continuation): ST_LargestEmptyCircle over the right
+  triangle's corner obstacles — the unique optimum is the
+  circumcenter (hypotenuse midpoint), r = √(w²+h²)/2; collinear
+  obstacles (no areal hull) are the loud-NULL gate.
+- ``mic_*`` (r14 continuation): ST_MaximumInscribedCircle — the right
+  triangle's unique incircle (center (minx+r, miny+r),
+  r = (w+h−√(w²+h²))/2) at MILLI precision (the B&B tolerance sits
+  inside a micro for one box), the 20-square's exactly-found center as
+  a string-equal family, and the non-areal loud-NULL gate.
+
 Scale shape: map-only pandas UDFs over 25-row projections.
 """
 
@@ -45,12 +55,14 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.accessors import register_accessor_functions
+    from ..functions.inscribed import register_inscribed_functions
     from ..functions.measures import register_measure_functions
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
     register_accessor_functions(spark)
     register_measure_functions(spark)
+    register_inscribed_functions(spark)  # MIC (r14 continuation)
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -59,6 +71,13 @@ def _pt(xe: str, ye: str) -> str:
 
 def _micro(expr: str) -> str:
     return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+def _milli(expr: str) -> str:
+    # the MIC families' quantum: the search tolerance (~1e-9 absolute)
+    # is far inside a milli, and every expected fraction sits ≥ 1e-4
+    # from a rounding boundary (module comment at the mic_* families)
+    return f"CAST(CAST(floor(({expr}) * 1000 + 0.5) AS BIGINT) AS STRING)"
 
 
 _RING_LINE = sql_concat(
@@ -109,6 +128,23 @@ _LSHAPE = sql_concat(
 _TRI = sql_concat(
     "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
     CORNERS["tl"], "', '", CORNERS["bl"], "'))'",
+)
+# axis-aligned 20-square from the min corner: its inscribed-circle
+# center is the bbox center — the B&B's level-0 cell center, found
+# exactly (integer coordinates → exact WKT string)
+_SQ20 = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", _pt("minx + 20", "miny"),
+    "', '", _pt("minx + 20", "miny + 20"), "', '", _pt("minx", "miny + 20"),
+    "', '", CORNERS["bl"], "'))'",
+)
+# the right triangle's corners as LEC obstacles, and a collinear set
+_TRI_MPT = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
+    CORNERS["tl"], "')'",
+)
+_COLLINEAR_MPT = sql_concat(
+    "'MULTIPOINT ('", CORNERS["bl"], "', '", _pt("minx + 5", "miny"),
+    "', '", CORNERS["br"], "')'",
 )
 _NEAR_MPT = sql_concat(
     "'MULTIPOINT ('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
@@ -163,6 +199,32 @@ _FAMILIES = {
         " = (miny + maxy) / 2 AS STRING)"
     ),
     "gmed_null": f"COALESCE(st_geometricmedian({_BOX}), 'NULL(areal)')",
+    # maximum inscribed circle (r14 continuation, functions/inscribed.py):
+    # the right triangle's incircle is UNIQUE — center (minx+r, miny+r),
+    # r = (w + h − √(w²+h²))/2 — pinned at milli (the B&B converges to
+    # ~1e-9 of the strict conical peak; micro would sit inside the
+    # search tolerance for one box's radius fraction). The 20-square's
+    # center is the level-0 cell center, found EXACTLY → string-equal
+    # family. Non-areal input is a loud NULL; the box rectangle's
+    # plateau NULLs by the node budget (not pinned — each probe costs
+    # the full budget, so the gate family uses the cheap lineal kind).
+    "mic_x": _milli(f"st_x(st_maximuminscribedcircle({_TRI}))"),
+    "mic_y": _milli(f"st_y(st_maximuminscribedcircle({_TRI}))"),
+    "mic_r": _milli(f"st_maximuminscribedradius({_TRI})"),
+    "mic_sq": f"st_maximuminscribedcircle({_SQ20})",
+    "mic_gate": (
+        f"COALESCE(st_maximuminscribedcircle({_RING_LINE}), 'NULL(kind)')"
+    ),
+    # largest empty circle (r14 continuation): the right triangle's
+    # corner obstacles put the unique optimum at the circumcenter (the
+    # hypotenuse midpoint, on the hull boundary), r = hyp/2; collinear
+    # obstacles have no areal hull — loud NULL
+    "lec_x": _milli(f"st_x(st_largestemptycircle({_TRI_MPT}))"),
+    "lec_y": _milli(f"st_y(st_largestemptycircle({_TRI_MPT}))"),
+    "lec_r": _milli(f"st_largestemptyradius({_TRI_MPT})"),
+    "lec_gate": (
+        f"COALESCE(st_largestemptycircle({_COLLINEAR_MPT}), 'NULL(hull)')"
+    ),
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -205,6 +267,22 @@ _ORACLE_VALS = {
     "gmed_y": _micro("(miny + maxy) / 2.0"),
     "gmed_on": "'true'",
     "gmed_null": "'NULL(areal)'",
+    "mic_x": _milli(
+        f"minx + ({_W} + {_H} - sqrt({_W} * {_W} + {_H} * {_H})) / 2"
+    ),
+    "mic_y": _milli(
+        f"miny + ({_W} + {_H} - sqrt({_W} * {_W} + {_H} * {_H})) / 2"
+    ),
+    "mic_r": _milli(f"({_W} + {_H} - sqrt({_W} * {_W} + {_H} * {_H})) / 2"),
+    "mic_sq": (
+        "'POINT (' || " + f"{int_str('minx + 10')} || ' ' || {int_str('miny + 10')}"
+        + " || ')'"
+    ),
+    "mic_gate": "'NULL(kind)'",
+    "lec_x": _milli("(minx + maxx) / 2.0"),
+    "lec_y": _milli("(miny + maxy) / 2.0"),
+    "lec_r": _milli(f"sqrt({_W} * {_W} + {_H} * {_H}) / 2"),
+    "lec_gate": "'NULL(hull)'",
 }
 
 _Q158_ORACLE = "\nUNION ALL\n".join(

@@ -278,6 +278,14 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   st_mmax / st_zmflag / st_interpolatepoint / st_locatealong /
 #   st_locatebetween / st_lineinterpolatepoints; q152 gains 6
 #   numeric families.
+# - trajectory suite (measure_m.py addition): st_isvalidtrajectory /
+#   st_closestpointofapproach / st_distancecpa / st_cpawithin — the
+#   PostGIS temporal functions over LINESTRING M; q152 gains 4 cpa_*
+#   families (closed-form crossing CPA, instant overlap, disjoint
+#   NULL, validity).
+# - ST_MaximumInscribedCircle (new functions/inscribed.py, GEOS-style
+#   deterministic branch-and-bound): q158 gains 5 mic_* families
+#   (unique incircle at milli, exact square center, kind gate).
 # Closure drift from the engine.py registrations alone (the new
 # modules execute nothing in any verified row): q99-q102, q108, q114,
 # q118 — result-invariant, fingerprints deliberately re-recorded (the

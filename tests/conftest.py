@@ -91,6 +91,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (  # noqa: E402
     register_geohash_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscribed import (  # noqa: E402
+    register_inscribed_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (  # noqa: E402
     register_measure_m_functions,
 )
@@ -135,6 +138,7 @@ def spark():
     register_offset_functions(s)
     register_cell_functions(s)
     register_measure_m_functions(s)
+    register_inscribed_functions(s)
     yield s
 
 

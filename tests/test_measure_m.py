@@ -185,3 +185,65 @@ def test_lineinterpolatepoints_gates():
     assert M.lineinterpolatepoints_wkt("POINT (0 0)", 0.5, True) is None
     assert M.lineinterpolatepoints_wkt("junk", 0.5, True) is None
     assert M.lineinterpolatepoints_wkt(None, 0.5, True) is None
+
+
+# ---- trajectories (M as time) ------------------------------------------
+
+
+def test_isvalidtrajectory():
+    assert M.isvalidtrajectory_of("LINESTRING M (0 0 0, 1 0 1, 2 0 2)") is True
+    assert M.isvalidtrajectory_of("LINESTRING M (0 0 0, 1 0 1, 2 0 1)") is False
+    assert M.isvalidtrajectory_of("LINESTRING M (0 0 2, 1 0 1)") is False
+    assert M.isvalidtrajectory_of("LINESTRING (0 0, 1 1)") is None
+    assert M.isvalidtrajectory_of("POINT M (0 0 0)") is None
+    assert M.isvalidtrajectory_of("junk") is None
+
+
+def test_cpa_crossing_trajectories():
+    # A moves east along y=0, B moves north along x=10, both over t 0..10
+    a = "LINESTRING M (0 0 0, 10 0 10)"
+    b = "LINESTRING M (10 0 0, 10 10 10)"
+    # closed form: t* = 10·w²/(w²+h²) with w=h=10 → 5; distance = w·h/√(w²+h²)
+    t = M.closestpointofapproach_of(a, b)
+    d = M.distancecpa_of(a, b)
+    assert t == 5
+    assert math.isclose(d, 100 / math.sqrt(200), rel_tol=1e-12)
+    assert M.cpawithin_of(a, b, 10) is True
+    assert M.cpawithin_of(a, b, 7) is False
+
+
+def test_cpa_exact_meeting_and_parallel():
+    # head-on meeting at t=5, distance 0
+    a = "LINESTRING M (0 0 0, 10 0 10)"
+    b = "LINESTRING M (10 0 0, 0 0 10)"
+    assert M.closestpointofapproach_of(a, b) == 5
+    assert M.distancecpa_of(a, b) == 0
+    # parallel at constant distance: earliest measure wins the tie
+    c = "LINESTRING M (0 3 0, 10 3 10)"
+    assert M.closestpointofapproach_of(a, c) == 0
+    assert M.distancecpa_of(a, c) == 3
+
+
+def test_cpa_multi_segment_and_partial_overlap():
+    # B only exists for t in [5, 10]; A's position at 5 is (5, 0)
+    a = "LINESTRING M (0 0 0, 10 0 10)"
+    b = "LINESTRING M (5 4 5, 10 4 10)"
+    assert M.closestpointofapproach_of(a, b) == 5
+    assert M.distancecpa_of(a, b) == 4
+    # single-instant overlap evaluates that instant
+    late = "LINESTRING M (10 0 10, 10 5 20)"
+    assert M.closestpointofapproach_of(a, late) == 10
+    assert M.distancecpa_of(a, late) == 0
+    # the quadratic minimum inside a LATER segment of a 2-segment chase
+    z = "LINESTRING M (0 4 0, 5 4 5, 5 -6 10)"
+    t = M.closestpointofapproach_of(a, z)
+    assert 5 < t < 10
+
+
+def test_cpa_gates():
+    a = "LINESTRING M (0 0 0, 10 0 10)"
+    assert M.closestpointofapproach_of(a, "LINESTRING M (0 0 20, 1 0 30)") is None
+    assert M.distancecpa_of(a, "LINESTRING M (0 0 0, 1 0 0)") is None  # invalid
+    assert M.closestpointofapproach_of(a, "LINESTRING (0 0, 1 1)") is None
+    assert M.cpawithin_of(a, a, -1) is None
+    assert M.cpawithin_of(a, None, 5) is None

@@ -87,6 +87,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (
     ALL_GEOHASH_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscribed import (
+    ALL_INSCRIBED_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (
     ALL_MEASURE_M_FUNCTIONS,
 )
@@ -126,6 +129,7 @@ _SWEPT = {
     **ALL_OFFSET_FUNCTIONS,
     **ALL_CELL_FUNCTIONS,
     **ALL_MEASURE_M_FUNCTIONS,
+    **ALL_INSCRIBED_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -219,6 +223,11 @@ _NULL_ARGS = {
     "st_locatealong": f"{S}, {D}",
     "st_locatebetween": f"{S}, {D}, {D}",
     "st_lineinterpolatepoints": f"{S}, {D}, CAST(NULL AS BOOLEAN)",
+    "st_closestpointofapproach": f"{S}, {S}",
+    "st_distancecpa": f"{S}, {S}",
+    "st_cpawithin": f"{S}, {S}, {D}",
+    # st_maximuminscribedcircle/radius and st_largestemptycircle/radius
+    # are unary WKT→value, covered by the default (S,) builders
 }
 
 
