@@ -36,20 +36,11 @@ from pyspark.sql.types import BooleanType, StringType
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
+from .measure_m import _num  # the shared finite-float coercion
 from .projection import _map_coords
 from .union_ops import _signed_area_ring
 
 _MAX_CELL_INDEX = 2**31  # loud gate: size·index must stay a sane double
-
-
-def _num(v) -> float | None:
-    if v is None:
-        return None
-    try:
-        f = float(v)
-    except (TypeError, ValueError):
-        return None
-    return f if math.isfinite(f) else None
 
 
 def _int_arg(v) -> int | None:

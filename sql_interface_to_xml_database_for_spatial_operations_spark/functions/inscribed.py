@@ -43,7 +43,17 @@ from .geometry import Geometry
 
 _MAX_VERTICES = 4096  # input budget (loud NULL, the measures idiom)
 _MAX_NODES = 200_000  # search budget (loud NULL, the grids idiom)
+# each node probe is O(V) point-segment distances, so the node budget
+# scales DOWN with vertex count to bound total work (code-review r14:
+# a 4096-vertex plateau would otherwise burn 200k × 4096 evaluations
+# before its loud NULL); unique-peak searches need only a few hundred
+# nodes, far under even the scaled budget
+_MAX_WORK = 4_000_000  # total point-segment evaluations per row
 _TOL_FRACTION = 1e-10  # of the bbox extent
+
+
+def _node_budget(n_vertices: int) -> int:
+    return min(_MAX_NODES, max(1, _MAX_WORK // max(1, n_vertices)))
 
 
 def _rings_of(g: Geometry):
@@ -123,6 +133,7 @@ def maximum_inscribed_circle(wkt):
     counter = 0
     heap = [(-(d0 + h0 * sqrt2), counter, cx0, cy0, h0)]
     nodes = 1
+    budget = _node_budget(nv)
     while heap:
         neg_pot, _, cx, cy, h = heapq.heappop(heap)
         if -neg_pot - best[0] <= tol:
@@ -131,7 +142,7 @@ def maximum_inscribed_circle(wkt):
         for dx in (-h2, h2):
             for dy in (-h2, h2):
                 nodes += 1
-                if nodes > _MAX_NODES:
+                if nodes > budget:
                     return None  # plateau/pathology — loud, not a stall
                 x, y = cx + dx, cy + dy
                 d = signed(x, y)
@@ -228,6 +239,7 @@ def largest_empty_circle(wkt):
     counter = 0
     heap = [(-(obstacle_dist(cx0, cy0) + h0 * sqrt2), counter, cx0, cy0, h0)]
     nodes = 1
+    budget = _node_budget(len(obstacles) + len(hull))
     while heap:
         neg_pot, _, cx, cy, h = heapq.heappop(heap)
         if -neg_pot - best[0] <= tol:
@@ -236,7 +248,7 @@ def largest_empty_circle(wkt):
         for dx in (-h2, h2):
             for dy in (-h2, h2):
                 nodes += 1
-                if nodes > _MAX_NODES:
+                if nodes > budget:
                     return None  # tie plateau/pathology — loud
                 x, y = cx + dx, cy + dy
                 if not _cell_meets_hull(x, y, h2, hull):

@@ -206,26 +206,31 @@ def _num(v) -> float | None:
 
 
 def _line_chains_2d(wkt):
-    """[(x, y)] chains of a 2-D or M lineal WKT (M dropped), or None."""
+    """(is_multi, [(x, y)] chains) of a 2-D or M lineal WKT (M
+    dropped), or None. is_multi preserves the INPUT kind (code-review
+    r14: PostGIS keeps a single-part MULTILINESTRING a multi and an
+    empty LINESTRING a linestring)."""
     pm = parse_m_wkt(wkt)
     if pm is not None:
         kind, payload = pm
         if kind == "LineString":
-            return [[(x, y) for x, y, _ in payload]] if payload else []
+            return (False, [[(x, y) for x, y, _ in payload]] if payload else [])
         if kind == "MultiLineString":
-            return [[(x, y) for x, y, _ in ch] for ch in payload]
+            return (True, [[(x, y) for x, y, _ in ch] for ch in payload])
         return None
     s = str(wkt).strip()
     m = _ov._EMPTY_RE.match(s.upper())
     if m:
-        return [] if m.group(1) in ("LINESTRING", "MULTILINESTRING") else None
+        if m.group(1) in ("LINESTRING", "MULTILINESTRING"):
+            return (m.group(1) == "MULTILINESTRING", [])
+        return None
     g = G.parse_wkt(s)
     if g is None:
         return None
     if g.kind == "LineString":
-        return [list(g.coords)]
+        return (False, [list(g.coords)])
     if g.kind == "MultiLineString":
-        return [list(ch) for ch in g.coords]
+        return (True, [list(ch) for ch in g.coords])
     return None
 
 
@@ -233,11 +238,12 @@ def addmeasure_wkt(wkt, m0, m1) -> str | None:
     a, b = _num(m0), _num(m1)
     if wkt is None or a is None or b is None:
         return None
-    chains = _line_chains_2d(wkt)
-    if chains is None:
+    parsed = _line_chains_2d(wkt)
+    if parsed is None:
         return None
+    is_multi, chains = parsed
     if not chains:
-        return "MULTILINESTRING M EMPTY"
+        return "MULTILINESTRING M EMPTY" if is_multi else "LINESTRING M EMPTY"
     if any(
         not all(math.isfinite(x) and math.isfinite(y) for x, y in ch)
         for ch in chains
@@ -257,7 +263,7 @@ def addmeasure_wkt(wkt, m0, m1) -> str | None:
             m = a if total == 0.0 else a + (b - a) * (cum / total)
             mch.append((q[0], q[1], m))
         out.append(mch)
-    if len(out) == 1:
+    if len(out) == 1 and not is_multi:
         return to_m_wkt("LineString", out[0])
     return to_m_wkt("MultiLineString", out)
 
@@ -412,6 +418,14 @@ def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
                 continue
 
             def at(t):
+                # exact segment endpoints at t = 0/1 (code-review r14:
+                # ax + 1.0·(bx−ax) lands an ulp off bx for many float
+                # inputs, defeating the exact-equality chain merge and
+                # spuriously splitting fully-covered lines)
+                if t == 0.0:
+                    return (ax, ay, am)
+                if t == 1.0:
+                    return (bx, by, bm)
                 return (
                     ax + t * (bx - ax),
                     ay + t * (by - ay),
@@ -453,22 +467,24 @@ def lineinterpolatepoints_wkt(wkt, fraction, repeat) -> str | None:
             fracs.append(min(1.0, k * f))
             k += 1
     out = []
+    last = len(seglens) - 1
     for fr in fracs:
         d = fr * total
         if total == 0.0:
             out.append(pts[0])
             continue
         cum = 0.0
-        placed = False
-        for (p, q), ln in zip(zip(pts, pts[1:]), seglens):
-            if cum + ln >= d or (p, q) == (pts[-2], pts[-1]):
+        # the last-segment fallback is BY INDEX (code-review r14: a
+        # value guard `(p, q) == (pts[-2], pts[-1])` matched earlier
+        # duplicate segments of back-and-forth lines and snapped every
+        # mid-line fraction onto the first copy)
+        for i, ln in enumerate(seglens):
+            if cum + ln >= d or i == last:
+                p, q = pts[i], pts[i + 1]
                 t = 0.0 if ln == 0.0 else min(1.0, max(0.0, (d - cum) / ln))
                 out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
-                placed = True
                 break
             cum += ln
-        if not placed:
-            out.append(pts[-1])
     if len(out) == 1:
         return G.to_wkt(Geometry("Point", out[0]))
     return G.to_wkt(Geometry("MultiPoint", out))

@@ -34,8 +34,11 @@ ONLY quad_segs / join / mitre_limit (PostGIS's documented set for this
 function — endcap/side are buffer-only and are rejected loudly).
 
 Scale shape: a map-only Arrow-batched pandas UDF; the self-intersection
-check is O(V²) per row, work-bounded by the vertex budget below (the
-minimum-clearance gate idiom, VERDICT r13 item 7).
+and input-contact checks are quadratic per row, work-bounded by BOTH
+the vertex budgets and an explicit pair-evaluation budget below (the
+minimum-clearance / nearest-pair gate idiom, VERDICT r13 item 7) —
+a chain whose honesty checks would exceed ~4e6 orientation tests is a
+loud NULL, never a multi-hour task.
 """
 
 from __future__ import annotations
@@ -54,6 +57,15 @@ from .geometry import Geometry
 
 _MAX_VERTICES = 4096  # input vertex budget (loud NULL, measures.py idiom)
 _MAX_OUT_POINTS = 65536  # arc fan-out budget (grids._MAX_CELLS idiom)
+# the honesty checks below are quadratic in chain length; bound their
+# PAIR COUNT like the linearref nearest-pair scan (~4e6 evaluations,
+# a few seconds worst-row) rather than letting a max-fan-out chain
+# run ~2e9 orientation tests in one task (code-review r14)
+_MAX_PAIR_EVALS = 4_000_000
+
+
+def _orient2(a, b, p) -> float:
+    return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
 
 
 def parse_offset_style(text) -> dict | None:
@@ -125,10 +137,7 @@ def _dedup(pts):
 def _proper_self_intersection(pts) -> bool:
     """Any crossing or overlap between non-adjacent chain segments
     (shared chain vertices between adjacent segments are fine)."""
-
-    def orient(a, b, c):
-        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-
+    orient = _orient2
     n = len(pts) - 1
     for i in range(n):
         a, b = pts[i], pts[i + 1]
@@ -154,9 +163,7 @@ def _proper_self_intersection(pts) -> bool:
 def _segments_touch(a, b, c, d) -> bool:
     """Segments (a,b) and (c,d) intersect, endpoints included (the
     classic orientation + on-segment test)."""
-
-    def orient(p, q, r):
-        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+    orient = _orient2
 
     def on_seg(p, q, r):
         return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
@@ -285,7 +292,12 @@ def offsetcurve_wkt(wkt, dist, style) -> str | None:
     if d == 0.0:
         return G.to_wkt(Geometry("LineString", tuple(pts)))
     out = offset_chain(pts, d, st["quad_segs"], st["join"], st["mitre_limit"])
-    if out is None or _proper_self_intersection(out) or _crosses_input(out, pts):
+    if out is None:
+        return None
+    n_out = len(out)
+    if n_out * (n_out - 1) // 2 + n_out * len(pts) > _MAX_PAIR_EVALS:
+        return None  # honesty checks over budget — loud, not a stall
+    if _proper_self_intersection(out) or _crosses_input(out, pts):
         return None  # outside the local-construction contract — loud
     return G.to_wkt(Geometry("LineString", tuple(out)))
 

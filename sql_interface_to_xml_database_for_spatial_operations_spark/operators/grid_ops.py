@@ -40,6 +40,13 @@ Oracle families (per nation box; exact unless noted):
   invariant over key-derived lattice indices), the polygon-orientation
   predicates on the CW-holed fixture, and the PostGIS longitude-shift
   toggle on the integer box corner (CASE-mirrored oracle).
+- ``kml_pt`` / ``gml_rt`` / ``kml_rt`` / ``gml_empty`` — GML 2 / KML
+  writers (geo_export.py): string-built point form, byte-exact reader
+  round trips of the holed polygon and mixed collection, EMPTY loud.
+- ``sphd_*`` — Vincenty spheroid distances (spheroid.py) at mm
+  precision: the equatorial closed form a·Δλ, the published GDA
+  anchor line 54 972.271 m, a summed 2-segment length, and the
+  near-antipodal loud NULL.
 - ``gh_*`` — geohash codec (r14 continuation): published anchors
   (geohash.org's u4pruydqqvj, Wikipedia's ezs42 cell), PostGIS
   auto-precision corner-common-prefix (straddling box → ''), exact
@@ -64,7 +71,9 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.cells import register_cell_functions
     from ..functions.collection_fns import register_collection_functions
     from ..functions.editors import register_editor_functions
+    from ..functions.geo_export import register_export_functions
     from ..functions.geohash import register_geohash_functions
+    from ..functions.spheroid import register_spheroid_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
     from ..functions.spatial import register_spatial_functions
@@ -76,10 +85,18 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_collection_functions(spark)  # shape tools (r13)
     register_geohash_functions(spark)  # geohash codec (r14)
     register_cell_functions(spark)  # single cells + orientation (r14)
+    register_export_functions(spark)  # GML/KML writers (r14)
+    register_spheroid_functions(spark)  # Vincenty distances (r14)
 
 
 def _micro(expr: str) -> str:
     return f"CAST(CAST(floor(({expr}) * 1e6 + 0.5) AS BIGINT) AS STRING)"
+
+
+def _milli(expr: str) -> str:
+    # the spheroid families' quantum: Vincenty converges within ~1e-7 m
+    # of the closed forms (q158's mic_* precedent for sub-micro noise)
+    return f"CAST(CAST(floor(({expr}) * 1000 + 0.5) AS BIGINT) AS STRING)"
 
 
 _BOX = sql_concat(
@@ -307,6 +324,33 @@ _FAMILIES = {
     "ccw_pred": f"CAST(st_ispolygonccw({_CW_HOLED}) AS STRING)",
     "orient_vacuous": f"CAST(st_ispolygoncw({_DUP_LINE}) AS STRING)",
     "shift_lon": f"st_shiftlongitude('POINT (' || {CORNERS['bl']} || ')')",
+    # GML/KML writers (r14 continuation, functions/geo_export.py):
+    # reader round trips echo the holed polygon / mixed GC byte for
+    # byte, the point form is a string-built literal, EMPTY is loud
+    "kml_pt": "st_askml('POINT (10 20)')",
+    "gml_rt": f"st_geomfromgml(st_asgml({_CW_HOLED}))",
+    "kml_rt": f"st_geomfromkml(st_askml({_MIXED_GC}))",
+    "gml_empty": "COALESCE(st_asgml('POINT EMPTY'), 'NULL(empty)')",
+    # Vincenty spheroid distances (r14 continuation,
+    # functions/spheroid.py): the equatorial geodesic is a circle of
+    # radius a (s = a·Δλ exactly, mm-pinned), the published GDA anchor
+    # line, a 2-segment equatorial length, and the documented
+    # near-antipodal loud NULL
+    "sphd_eq": _milli(
+        "st_distancespheroid('POINT (10 0)',"
+        " 'POINT (' || CAST(10 + 1 + n_nationkey % 3 AS STRING) || ' 0)')"
+    ),
+    "sphd_anchor": _milli(
+        "st_distancespheroid('POINT (144.42486789 -37.95103342)',"
+        " 'POINT (143.92649553 -37.65282114)')"
+    ),
+    "sphd_len": _milli(
+        "st_lengthspheroid('LINESTRING (10 0, 11 0, 12 0)')"
+    ),
+    "sphd_antipodal": (
+        "COALESCE(CAST(st_distancespheroid('POINT (0 0)',"
+        " 'POINT (179.5 0)') AS STRING), 'NULL(antipodal)')"
+    ),
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -547,6 +591,16 @@ _ORACLE_VALS = {
         int_str("miny"),
         "')'",
     ),
+    "kml_pt": "'<Point><coordinates>10,20</coordinates></Point>'",
+    "gml_rt": _CW_HOLED,
+    "kml_rt": _MIXED_GC,
+    "gml_empty": "'NULL(empty)'",
+    "sphd_eq": _milli(
+        "6378137.0 * radians(CAST(1 + n_nationkey % 3 AS DOUBLE))"
+    ),
+    "sphd_anchor": "'54972271'",  # the published GDA line, mm-pinned
+    "sphd_len": _milli("6378137.0 * radians(1.0) * 2"),
+    "sphd_antipodal": "'NULL(antipodal)'",
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

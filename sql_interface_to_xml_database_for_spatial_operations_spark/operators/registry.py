@@ -286,6 +286,23 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # - ST_MaximumInscribedCircle (new functions/inscribed.py, GEOS-style
 #   deterministic branch-and-bound): q158 gains 5 mic_* families
 #   (unique incircle at milli, exact square center, kind gate).
+# - GML/KML writers (new functions/geo_export.py): st_asgml (GML 2,
+#   gml: prefix, outer/innerBoundaryIs) / st_askml (KML 2.2,
+#   collections flatten to MultiGeometry) — byte-exact round trips
+#   through the existing readers; q169 gains 4 families.
+# - Vincenty spheroid distances (new functions/spheroid.py):
+#   st_distancespheroid / st_lengthspheroid on WGS84, published GDA
+#   anchor + equatorial closed form; q169 gains 4 mm-pinned families.
+# - code-review fixes: lineinterpolatepoints' last-segment fallback
+#   goes BY INDEX (duplicate-valued segments snapped mid-line
+#   fractions wrong), locatebetween returns exact segment endpoints
+#   at t = 0/1 (ulp residue split fully-covered lines), addmeasure
+#   preserves the input kind (MULTILINESTRING stays multi, empties
+#   keep their kind), the offset-curve honesty checks gain a 4e6
+#   pair-evaluation budget, and the inscribed/empty-circle node
+#   budget scales down with vertex count (4e6 total point-segment
+#   evaluations). All in q152/q155/q158/q169's executed closures —
+#   every one EXPOSED this round.
 # Closure drift from the engine.py registrations alone (the new
 # modules execute nothing in any verified row): q99-q102, q108, q114,
 # q118 — result-invariant, fingerprints deliberately re-recorded (the

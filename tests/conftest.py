@@ -91,8 +91,14 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (  # noqa: E402
     register_geohash_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geo_export import (  # noqa: E402
+    register_export_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscribed import (  # noqa: E402
     register_inscribed_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (  # noqa: E402
+    register_spheroid_functions,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (  # noqa: E402
     register_measure_m_functions,
@@ -139,6 +145,8 @@ def spark():
     register_cell_functions(s)
     register_measure_m_functions(s)
     register_inscribed_functions(s)
+    register_export_functions(s)
+    register_spheroid_functions(s)
     yield s
 
 

@@ -1,0 +1,109 @@
+"""GML/KML writers (functions/geo_export.py) and spheroidal distances
+(functions/spheroid.py): published anchors, reader round trips, gates."""
+
+from __future__ import annotations
+
+import math
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geo_export as X
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import spheroid as S
+
+ROUND_TRIP_FIXTURES = (
+    "POINT (10 20)",
+    "LINESTRING (0 0, 3 4)",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+    "MULTIPOINT (1 1, 2 2)",
+    "MULTILINESTRING ((0 0, 1 0), (5 5, 6 6))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))",
+    "POINT (-5.5 42.25)",
+)
+
+
+def test_gml_kml_round_trip_through_the_readers():
+    for w in ROUND_TRIP_FIXTURES:
+        assert G.to_wkt(G.from_xml_geometry(X.asgml_wkt(w))) == w
+        assert G.to_wkt(G.from_xml_geometry(X.askml_wkt(w))) == w
+
+
+def test_export_shapes():
+    assert X.askml_wkt("POINT (10 20)") == (
+        "<Point><coordinates>10,20</coordinates></Point>"
+    )
+    assert X.asgml_wkt("POINT (10 20)") == (
+        "<gml:Point><gml:coordinates>10,20</gml:coordinates></gml:Point>"
+    )
+    assert "outerBoundaryIs" in X.asgml_wkt(
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    )
+    assert "innerBoundaryIs" in X.askml_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+    # KML flattens collections into MultiGeometry
+    k = X.askml_wkt("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))")
+    assert k.startswith("<MultiGeometry>") and "geometryMember" not in k
+    g = X.asgml_wkt("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 0))")
+    assert "gml:MultiGeometry" in g and "gml:geometryMember" in g
+
+
+def test_export_gates():
+    for fn in (X.asgml_wkt, X.askml_wkt):
+        assert fn("POINT EMPTY") is None
+        assert fn("junk") is None
+        assert fn(None) is None
+
+
+# ---- spheroid -----------------------------------------------------------
+
+
+def test_vincenty_published_anchor():
+    # the Vincenty/GDA reference line: Flinders Peak -> Buninyong
+    d = S.vincenty_inverse(
+        144.42486789, -37.95103342, 143.92649553, -37.65282114
+    )
+    assert abs(d - 54972.271) < 0.002
+
+
+def test_equatorial_closed_form():
+    # the equator is a geodesic of radius a: s = a·Δλ exactly
+    for dl in (0.5, 1, 2, 7):
+        d = S.vincenty_inverse(10, 0, 10 + dl, 0)
+        assert abs(d - 6378137.0 * math.radians(dl)) < 1e-6
+
+
+def test_meridian_and_symmetry():
+    d = S.vincenty_inverse(10, 0, 10, 1)
+    # published WGS84 meridian arc for the first degree ≈ 110 574.39 m
+    assert abs(d - 110574.39) < 0.01
+    assert S.vincenty_inverse(10, 0, 10, 1) == S.vincenty_inverse(10, 1, 10, 0)
+
+
+def test_antipodal_window_is_loud_null():
+    assert S.vincenty_inverse(0, 0, 179.5, 0) is None
+
+
+def test_distancespheroid_gates():
+    assert S.distancespheroid_of("POINT (5 5)", "POINT (5 5)") == 0.0
+    assert S.distancespheroid_of("POINT (0 0)", "LINESTRING (0 0, 1 1)") is None
+    assert S.distancespheroid_of("POINT (190 0)", "POINT (0 0)") is None
+    assert S.distancespheroid_of("POINT (0 91)", "POINT (0 0)") is None
+    assert S.distancespheroid_of(None, "POINT (0 0)") is None
+    assert S.distancespheroid_of("junk", "POINT (0 0)") is None
+    assert S.distancespheroid_of("POINT EMPTY", "POINT (0 0)") is None
+
+
+def test_lengthspheroid():
+    two_deg = S.lengthspheroid_of("LINESTRING (10 0, 11 0, 12 0)")
+    assert abs(two_deg - 2 * 6378137.0 * math.radians(1)) < 1e-6
+    ml = S.lengthspheroid_of(
+        "MULTILINESTRING ((10 0, 11 0), (11 0, 12 0))"
+    )
+    assert abs(ml - two_deg) < 1e-9
+    assert S.lengthspheroid_of("POINT (1 1)") == 0.0
+    assert S.lengthspheroid_of("MULTIPOINT (1 1, 2 2)") == 0.0
+    assert S.lengthspheroid_of("LINESTRING EMPTY") == 0.0
+    assert S.lengthspheroid_of("POLYGON ((0 0, 1 0, 1 1, 0 0))") is None
+    assert S.lengthspheroid_of("LINESTRING (0 0, 200 0)") is None
+    assert S.lengthspheroid_of("junk") is None
+    assert S.lengthspheroid_of(None) is None

@@ -72,8 +72,14 @@ def test_addmeasure_zero_length_and_gates():
     assert M.addmeasure_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))", 0, 1) is None
     assert M.addmeasure_wkt(L345, float("nan"), 1) is None
     assert M.addmeasure_wkt(None, 0, 1) is None
-    assert M.addmeasure_wkt("LINESTRING EMPTY", 0, 1) == (
+    # kind preserved (code-review r14): empties and single-part multis
+    # keep the INPUT kind like PostGIS
+    assert M.addmeasure_wkt("LINESTRING EMPTY", 0, 1) == "LINESTRING M EMPTY"
+    assert M.addmeasure_wkt("MULTILINESTRING EMPTY", 0, 1) == (
         "MULTILINESTRING M EMPTY"
+    )
+    assert M.addmeasure_wkt("MULTILINESTRING ((0 0, 3 4))", 0, 5) == (
+        "MULTILINESTRING M ((0 0 0, 3 4 5))"
     )
 
 
@@ -247,3 +253,34 @@ def test_cpa_gates():
     assert M.closestpointofapproach_of(a, "LINESTRING (0 0, 1 1)") is None
     assert M.cpawithin_of(a, a, -1) is None
     assert M.cpawithin_of(a, None, 5) is None
+
+
+# ---- code-review r14 regressions ----------------------------------------
+
+
+def test_lineinterpolatepoints_duplicate_segment_values():
+    # a back-and-forth line whose first segment equals its last BY
+    # VALUE: the last-segment fallback must go by index, not value
+    zig = "LINESTRING (0 0, 1 0, 0 0, 1 0)"
+    assert M.lineinterpolatepoints_wkt(zig, 0.5, False) == "POINT (0.5 0)"
+    w = M.lineinterpolatepoints_wkt(zig, 0.9, False)
+    x, y = (float(v) for v in w[len("POINT ("):-1].split())
+    assert abs(x - 0.7) < 1e-12 and y == 0
+
+
+def test_locatebetween_full_cover_stays_one_part():
+    # exact endpoints at t = 0/1: a fully-covering range must return
+    # the input chain as ONE part even for awkward float vertices
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        pts = [
+            (rng.uniform(-9, 9), rng.uniform(-9, 9)) for _ in range(3)
+        ]
+        line = "LINESTRING (" + ", ".join(
+            f"{M._fmt(x)} {M._fmt(y)}" for x, y in pts
+        ) + ")"
+        dm = M.addmeasure_wkt(line, 0, 10)
+        out = M.locatebetween_wkt(dm, -1, 11)
+        assert out is not None and out.count("(") == 2, (dm, out)

@@ -87,8 +87,14 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (
     ALL_GEOHASH_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geo_export import (
+    ALL_EXPORT_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscribed import (
     ALL_INSCRIBED_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+    ALL_SPHEROID_FUNCTIONS,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (
     ALL_MEASURE_M_FUNCTIONS,
@@ -130,6 +136,8 @@ _SWEPT = {
     **ALL_CELL_FUNCTIONS,
     **ALL_MEASURE_M_FUNCTIONS,
     **ALL_INSCRIBED_FUNCTIONS,
+    **ALL_EXPORT_FUNCTIONS,
+    **ALL_SPHEROID_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -226,8 +234,10 @@ _NULL_ARGS = {
     "st_closestpointofapproach": f"{S}, {S}",
     "st_distancecpa": f"{S}, {S}",
     "st_cpawithin": f"{S}, {S}, {D}",
-    # st_maximuminscribedcircle/radius and st_largestemptycircle/radius
-    # are unary WKT→value, covered by the default (S,) builders
+    # st_maximuminscribedcircle/radius, st_largestemptycircle/radius,
+    # st_asgml/st_askml, st_lengthspheroid are unary WKT→value,
+    # covered by the default (S,) builders
+    "st_distancespheroid": f"{S}, {S}",
 }
 
 
