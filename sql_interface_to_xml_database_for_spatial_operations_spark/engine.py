@@ -42,10 +42,12 @@ from .functions.cluster_geo import register_cluster_geo_functions
 from .functions.grids import register_grid_functions
 from .functions.union_ops import register_union_functions
 from .functions.cells import register_cell_functions
+from .functions.curves import register_curve_functions
 from .functions.geo_export import register_export_functions
 from .functions.geohash import register_geohash_functions
 from .functions.inscribed import register_inscribed_functions
 from .functions.spheroid import register_spheroid_functions
+from .functions.textnorm import register_textnorm_functions
 from .functions.measure_m import register_measure_m_functions
 from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
@@ -111,6 +113,8 @@ class SpatialSQLEngine:
         register_inscribed_functions(self.spark)
         register_export_functions(self.spark)
         register_spheroid_functions(self.spark)
+        register_textnorm_functions(self.spark)
+        register_curve_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

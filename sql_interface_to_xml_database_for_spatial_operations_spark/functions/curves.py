@@ -1,0 +1,189 @@
+"""Curved-geometry linearization: CIRCULARSTRING parsing and
+ST_CurveToLine (F12 remainder, r14 continuation — PostGIS accepts
+curve WKT everywhere and the reference forwards it verbatim,
+src/index.ts:44-63; this engine's 2-D kernel is linear-only, so curves
+enter THROUGH this module and leave as plain LINESTRINGs).
+
+- ``st_curvetoline(wkt, quad_segs)`` — linearize a
+  ``CIRCULARSTRING (p0, p1, p2, p3, p4, …)`` (odd vertex count ≥ 3;
+  consecutive point triples are arcs: p0→p2 through p1, p2→p4 through
+  p3). Each arc's circle is the triple's circumcircle; the sweep runs
+  from the start angle THROUGH the middle point to the end, in the
+  triple's orientation; a collinear triple degenerates to its two
+  straight segments (PostGIS behavior). Arc points are emitted at
+  ``quad_segs`` segments per quarter turn (PostGIS's default
+  tolerance-as-segments mode uses 32); every arc's ENDPOINT is set to
+  the input vertex exactly, so chains stay closed and symmetric
+  integer fixtures produce exact output strings. Plain LINESTRING
+  input echoes (already linear); LINESTRING EMPTY echoes;
+  COMPOUNDCURVE/CURVEPOLYGON are outside this kernel — loud NULL
+  (documented).
+- ``quad_segs`` outside [1, buffer._MAX_QUAD_SEGS] → loud NULL (the
+  shared arc fan-out budget).
+
+Map-only Arrow-batched pandas UDF; per-row O(arcs · quad_segs).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from .buffer import _MAX_QUAD_SEGS
+from .geometry import Geometry
+
+_CS_RE = re.compile(r"^\s*CIRCULARSTRING\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def parse_circularstring(wkt) -> list | None:
+    """Vertex list of a CIRCULARSTRING (odd count ≥ 3), or None."""
+    if wkt is None:
+        return None
+    m = _CS_RE.match(str(wkt))
+    if not m:
+        return None
+    body = m.group(1)
+    if body.upper() == "EMPTY":
+        return []
+    pts = []
+    for tok in body[1:-1].split(","):
+        parts = tok.split()
+        if len(parts) != 2:
+            return None
+        try:
+            x, y = float(parts[0]), float(parts[1])
+        except ValueError:
+            return None
+        if not (math.isfinite(x) and math.isfinite(y)):
+            return None
+        pts.append((x, y))
+    if len(pts) < 3 or len(pts) % 2 == 0:
+        return None
+    return pts
+
+
+def _circumcenter(a, b, c):
+    d = 2.0 * (
+        a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1])
+    )
+    if d == 0.0:
+        return None  # collinear
+    a2 = a[0] * a[0] + a[1] * a[1]
+    b2 = b[0] * b[0] + b[1] * b[1]
+    c2 = c[0] * c[0] + c[1] * c[1]
+    ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
+    uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
+    return (ux, uy)
+
+
+def _arc_points(a, b, c, quad_segs):
+    """Linearized arc a→c through b, endpoint exact; start excluded."""
+    if a == c:
+        # the PostGIS full-circle form: p0 == p2 with p1 diametrically
+        # opposite — the circle has diameter a→b; swept CCW (the
+        # direction is geometrically ambiguous; pinned convention)
+        if b == a:
+            return [c]
+        o = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+        r = math.hypot(b[0] - a[0], b[1] - a[1]) / 2.0
+        ta = math.atan2(a[1] - o[1], a[0] - o[0])
+        two_pi = 2.0 * math.pi
+        m = max(1, math.ceil(two_pi / (math.pi / 2.0 / quad_segs)))
+        out = [
+            (o[0] + r * math.cos(ta + two_pi * k / m),
+             o[1] + r * math.sin(ta + two_pi * k / m))
+            for k in range(1, m)
+        ]
+        out.append(c)
+        return out
+    o = _circumcenter(a, b, c)
+    if o is None:
+        # collinear arc degenerates to the two straight segments
+        return [b, c] if b != a and b != c else [c]
+    r = math.hypot(a[0] - o[0], a[1] - o[1])
+    ta = math.atan2(a[1] - o[1], a[0] - o[0])
+    tb = math.atan2(b[1] - o[1], b[0] - o[0])
+    tc = math.atan2(c[1] - o[1], c[0] - o[0])
+    # orientation of the triple decides the sweep direction
+    orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    d = 1.0 if orient > 0 else -1.0
+    two_pi = 2.0 * math.pi
+    dac = (d * (tc - ta)) % two_pi
+    if dac == 0.0:
+        dac = two_pi  # full circle back to the start point
+    sweep = d * dac
+    m = max(1, math.ceil(abs(sweep) / (math.pi / 2.0 / quad_segs)))
+    out = [
+        (o[0] + r * math.cos(ta + sweep * k / m),
+         o[1] + r * math.sin(ta + sweep * k / m))
+        for k in range(1, m)
+    ]
+    out.append(c)  # exact endpoint — chains stay closed
+    return out
+
+
+def curvetoline_wkt(wkt, quad_segs) -> str | None:
+    if wkt is None or quad_segs is None:
+        return None
+    try:
+        qs = int(quad_segs)
+    except (TypeError, ValueError):
+        return None
+    if not 1 <= qs <= _MAX_QUAD_SEGS:
+        return None
+    s = str(wkt).strip()
+    pts = parse_circularstring(s)
+    if pts is None:
+        # already-linear input echoes through the 2-D kernel
+        up = s.upper()
+        if up.startswith("LINESTRING") or up.startswith("MULTILINESTRING"):
+            import re as _re
+
+            if _re.match(r"^\s*(MULTI)?LINESTRING\s+EMPTY\s*$", up):
+                return _re.sub(r"\s+", " ", s.strip())
+            g = G.parse_wkt(s)
+            return None if g is None else G.to_wkt(g)
+        return None  # COMPOUNDCURVE/CURVEPOLYGON etc. — documented
+    if not pts:
+        return "LINESTRING EMPTY"
+    out = [pts[0]]
+    for i in range(0, len(pts) - 2, 2):
+        out.extend(_arc_points(pts[i], pts[i + 1], pts[i + 2], qs))
+    dedup = [out[0]]
+    for p in out[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return None
+    return G.to_wkt(Geometry("LineString", tuple(dedup)))
+
+
+@pandas_udf(StringType())
+def st_curvetoline(wkt: pd.Series, quad_segs: pd.Series) -> pd.Series:
+    out = []
+    for w, q in zip(wkt, quad_segs):
+        try:
+            out.append(
+                None
+                if q is None or (isinstance(q, float) and math.isnan(q))
+                else curvetoline_wkt(w, q)
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_CURVE_FUNCTIONS = {
+    "st_curvetoline": st_curvetoline,
+}
+
+
+def register_curve_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_CURVE_FUNCTIONS.items():
+        spark.udf.register(name, fn)

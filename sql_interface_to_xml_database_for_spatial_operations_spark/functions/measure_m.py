@@ -301,6 +301,42 @@ def mmax_of(wkt) -> float | None:
     return max(ms) if ms else None
 
 
+def force2d_wkt(wkt) -> str | None:
+    """PostGIS ST_Force2D: drop the M coordinate (this engine has no
+    Z); plain 2-D input echoes in canonical form."""
+    if wkt is None:
+        return None
+    pm = parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        if kind == "Point":
+            if not payload:
+                return "POINT EMPTY"
+            return G.to_wkt(Geometry("Point", (payload[0], payload[1])))
+        if not payload:
+            return f"{kind.upper()} EMPTY"
+        if kind == "MultiPoint":
+            return G.to_wkt(
+                Geometry("MultiPoint", [(x, y) for x, y, _ in payload])
+            )
+        if kind == "LineString":
+            return G.to_wkt(
+                Geometry("LineString", [(x, y) for x, y, _ in payload])
+            )
+        return G.to_wkt(
+            Geometry(
+                "MultiLineString",
+                [[(x, y) for x, y, _ in ch] for ch in payload],
+            )
+        )
+    s = str(wkt).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return f"{m.group(1)} EMPTY"
+    g = G.parse_wkt(s)
+    return None if g is None else G.to_wkt(g)
+
+
 def zmflag_of(wkt) -> int | None:
     if wkt is None:
         return None
@@ -640,6 +676,11 @@ def _safe(fn, *args):
         return None
 
 
+@pandas_udf(StringType())
+def st_force2d(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(force2d_wkt, w) for w in wkt], dtype=object)
+
+
 @pandas_udf(IntegerType())
 def st_zmflag(wkt: pd.Series) -> pd.Series:
     return pd.Series([_safe(zmflag_of, w) for w in wkt], dtype=object)
@@ -731,6 +772,7 @@ ALL_MEASURE_M_FUNCTIONS = {
     "st_mmin": st_mmin,
     "st_mmax": st_mmax,
     "st_zmflag": st_zmflag,
+    "st_force2d": st_force2d,
     "st_interpolatepoint": st_interpolatepoint,
     "st_locatealong": st_locatealong,
     "st_locatebetween": st_locatebetween,

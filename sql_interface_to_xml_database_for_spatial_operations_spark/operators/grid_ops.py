@@ -40,6 +40,10 @@ Oracle families (per nation box; exact unless noted):
   invariant over key-derived lattice indices), the polygon-orientation
   predicates on the CW-holed fixture, and the PostGIS longitude-shift
   toggle on the integer box corner (CASE-mirrored oracle).
+- ``ctl_*`` / ``f2d*`` — CIRCULARSTRING linearization (curves.py):
+  the qs=1 semicircle lands exactly on apex + integer endpoints, the
+  qs=2 first interior point is the 135° one (libm-mirrored), the
+  COMPOUNDCURVE loud NULL; ST_Force2D drops M / echoes 2-D.
 - ``kml_pt`` / ``gml_rt`` / ``kml_rt`` / ``gml_empty`` — GML 2 / KML
   writers (geo_export.py): string-built point form, byte-exact reader
   round trips of the holed polygon and mixed collection, EMPTY loud.
@@ -70,9 +74,11 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.cells import register_cell_functions
     from ..functions.collection_fns import register_collection_functions
+    from ..functions.curves import register_curve_functions
     from ..functions.editors import register_editor_functions
     from ..functions.geo_export import register_export_functions
     from ..functions.geohash import register_geohash_functions
+    from ..functions.measure_m import register_measure_m_functions
     from ..functions.spheroid import register_spheroid_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
@@ -87,6 +93,8 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_cell_functions(spark)  # single cells + orientation (r14)
     register_export_functions(spark)  # GML/KML writers (r14)
     register_spheroid_functions(spark)  # Vincenty distances (r14)
+    register_curve_functions(spark)  # CIRCULARSTRING linearize (r14)
+    register_measure_m_functions(spark)  # st_force2d (r14)
 
 
 def _micro(expr: str) -> str:
@@ -351,6 +359,30 @@ _FAMILIES = {
         "COALESCE(CAST(st_distancespheroid('POINT (0 0)',"
         " 'POINT (179.5 0)') AS STRING), 'NULL(antipodal)')"
     ),
+    # CIRCULARSTRING linearization (r14 continuation,
+    # functions/curves.py): the qs=1 semicircle lands exactly on the
+    # apex and integer endpoints; qs=2's first interior point is the
+    # 135° one (term-for-term libm mirror); COMPOUNDCURVE is loud
+    "ctl_exact": (
+        f"st_curvetoline('CIRCULARSTRING (' || {CORNERS['bl']} || ', ' ||"
+        f" {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)} || ')', 1)"
+    ),
+    "ctl_mid_x": _micro(
+        "st_x(element_at(st_dumppoints("
+        f"st_curvetoline('CIRCULARSTRING (' || {CORNERS['bl']} || ', ' ||"
+        f" {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)} || ')', 2)), 2))"
+    ),
+    "ctl_gate": (
+        "COALESCE(st_curvetoline("
+        "'COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))', 8),"
+        " 'NULL(curve)')"
+    ),
+    # ST_Force2D (r14 continuation, functions/measure_m.py)
+    "f2d": (
+        f"st_force2d('LINESTRING M (' || {CORNERS['bl']} || ' 5, ' ||"
+        f" {CORNERS['br']} || ' 9)')"
+    ),
+    "f2d_echo": f"st_force2d({_ROTATED})",
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -601,6 +633,16 @@ _ORACLE_VALS = {
     "sphd_anchor": "'54972271'",  # the published GDA line, mm-pinned
     "sphd_len": _milli("6378137.0 * radians(1.0) * 2"),
     "sphd_antipodal": "'NULL(antipodal)'",
+    "ctl_exact": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", pt_sql(1, 1), "', '",
+        pt_sql(2, 0), "')'",
+    ),
+    "ctl_mid_x": _micro("minx + 1 + cos(3 * pi() / 4)"),
+    "ctl_gate": "'NULL(curve)'",
+    "f2d": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
+    ),
+    "f2d_echo": _ROTATED,
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

@@ -303,6 +303,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   budget scales down with vertex count (4e6 total point-segment
 #   evaluations). All in q152/q155/q158/q169's executed closures —
 #   every one EXPOSED this round.
+# - unicode normalization (new functions/textnorm.py): text_nfc /
+#   text_nfkc / text_strip_accents over stdlib unicodedata — the
+#   normalize-before-tokenize pass of the LLM pipeline; q172 gains
+#   nfc_n / strip_acc columns whose oracle runs DuckDB's OWN
+#   independent nfc_normalize / strip_accents implementations.
+# - CIRCULARSTRING linearization (new functions/curves.py):
+#   st_curvetoline — circumcircle arcs at quad_segs resolution, exact
+#   endpoints, full-circle p0==p2 diameter convention, collinear
+#   degeneration; COMPOUNDCURVE/CURVEPOLYGON are a documented loud
+#   NULL. st_force2d (measure_m.py addition) drops M / echoes 2-D.
+#   q169 gains 5 families (exact semicircle string, 135° libm mirror,
+#   curve gate, force2d drop + echo).
 # Closure drift from the engine.py registrations alone (the new
 # modules execute nothing in any verified row): q99-q102, q108, q114,
 # q118 — result-invariant, fingerprints deliberately re-recorded (the

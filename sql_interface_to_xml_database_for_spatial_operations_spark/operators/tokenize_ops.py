@@ -31,6 +31,12 @@ of the published algorithm). This module adds:
   SUM, and the first token of word2 — plus the empty-text zero and the
   malformed-merges loud NULL.
 
+r14 continuation: the row also pins the NORMALIZE-BEFORE-TOKENIZE
+pass (functions/textnorm.py) — ``nfc_n`` composes k%3+1 decomposed
+e+COMBINING-ACUTE pairs through text_nfc and ``strip_acc`` folds
+composed é through text_strip_accents, each checked against DuckDB's
+independent nfc_normalize / strip_accents implementations.
+
 Scale shape: encoding is map-only; training is n_merges bounded
 shuffles over (pair, count) — the published map-reduce BPE shape.
 """
@@ -53,7 +59,10 @@ _MAX_TRAIN_MERGES = 64  # one shuffle per round — loud budget
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.textnorm import register_textnorm_functions
+
     B.register_bpe_functions(spark)
+    register_textnorm_functions(spark)  # NFC/strip-accents (r14)
 
 
 def _serialize_merges(merges: list[tuple[str, str]]) -> str:
@@ -148,7 +157,13 @@ _Q172_ORACLE = """
            CAST(0 AS BIGINT) AS empty_n,
            TRUE AS bad_merges_null,
            CAST(floor((sum(n_tokens) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
-                       - n_tokens) / 12.0) AS BIGINT) AS pack_id
+                       - n_tokens) / 12.0) AS BIGINT) AS pack_id,
+           -- unicode normalization (r14 continuation): DuckDB's OWN
+           -- nfc_normalize/strip_accents versus the engine's stdlib
+           -- unicodedata kernels — two independent implementations
+           CAST(length(nfc_normalize(repeat('e' || chr(769), 1 + k % 3)))
+                AS BIGINT) AS nfc_n,
+           strip_accents(repeat(chr(233), 1 + k % 3)) AS strip_acc
     FROM nt
 """
 
@@ -195,9 +210,28 @@ def q172_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12-token packs — oracle-exact because the fixture counts are
     # closed forms
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return base.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(12.0)).cast(
-            "bigint"
-        ),
+    return (
+        base.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(12.0)
+            ).cast("bigint"),
+        )
+        # normalization-before-tokenization columns (r14 continuation,
+        # functions/textnorm.py): the engine composes k%3+1 decomposed
+        # e+COMBINING ACUTE pairs to single codepoints; the oracle runs
+        # DuckDB's independent nfc_normalize/strip_accents
+        .withColumn(
+            "nfc_n",
+            F.expr(
+                # the repeated literal is DECOMPOSED 'e' + U+0301 (the
+                # combining acute), so the engine really composes — a
+                # composed literal would make NFC an identity
+                "CAST(length(text_nfc(repeat('é', 1 + k % 3))) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "strip_acc",
+            F.expr("text_strip_accents(repeat('é', 1 + k % 3))"),
+        )
     )

@@ -91,6 +91,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (  # noqa: E402
     register_geohash_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.curves import (  # noqa: E402
+    register_curve_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geo_export import (  # noqa: E402
     register_export_functions,
 )
@@ -99,6 +102,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscri
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (  # noqa: E402
     register_spheroid_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.textnorm import (  # noqa: E402
+    register_textnorm_functions,
 )
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (  # noqa: E402
     register_measure_m_functions,
@@ -147,6 +153,8 @@ def spark():
     register_inscribed_functions(s)
     register_export_functions(s)
     register_spheroid_functions(s)
+    register_textnorm_functions(s)
+    register_curve_functions(s)
     yield s
 
 

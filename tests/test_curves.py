@@ -1,0 +1,123 @@
+"""CIRCULARSTRING linearization (functions/curves.py) and ST_Force2D
+(functions/measure_m.py)."""
+
+from __future__ import annotations
+
+import math
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import curves as C
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import measure_m as M
+
+
+def test_parse_circularstring():
+    assert C.parse_circularstring("CIRCULARSTRING (0 0, 1 1, 2 0)") == [
+        (0.0, 0.0), (1.0, 1.0), (2.0, 0.0)
+    ]
+    assert C.parse_circularstring("CIRCULARSTRING EMPTY") == []
+    assert C.parse_circularstring("CIRCULARSTRING (0 0, 1 1)") is None
+    assert C.parse_circularstring(
+        "CIRCULARSTRING (0 0, 1 1, 2 0, 3 -1)"
+    ) is None  # even count
+    assert C.parse_circularstring("LINESTRING (0 0, 1 1)") is None
+    assert C.parse_circularstring("CIRCULARSTRING (0 0, nan 1, 2 0)") is None
+    assert C.parse_circularstring(None) is None
+
+
+def test_semicircle_quad_segs_1_is_exact():
+    # CW semicircle through the apex: one segment per quarter lands
+    # exactly on the apex and the exact endpoint
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 1) == (
+        "LINESTRING (0 0, 1 1, 2 0)"
+    )
+
+
+def test_semicircle_quad_segs_2_hits_45s():
+    w = C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 2)
+    pts = [
+        tuple(map(float, p.split()))
+        for p in w[len("LINESTRING ("):-1].split(", ")
+    ]
+    assert len(pts) == 5
+    s2 = math.sqrt(2) / 2
+    assert math.isclose(pts[1][0], 1 - s2, rel_tol=1e-12)
+    assert math.isclose(pts[1][1], s2, rel_tol=1e-12)
+    # every arc point at radius 1 around (1, 0)
+    for x, y in pts:
+        assert math.isclose(math.hypot(x - 1, y), 1.0, rel_tol=1e-12)
+    assert pts[-1] == (2.0, 0.0)
+
+
+def test_orientation_ccw_arc():
+    # CCW semicircle (apex below): sweep through (1, -1); the interior
+    # point carries float angle noise, so compare numerically
+    w = C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 -1, 2 0)", 1)
+    pts = [
+        tuple(map(float, p.split()))
+        for p in w[len("LINESTRING ("):-1].split(", ")
+    ]
+    assert len(pts) == 3
+    assert math.isclose(pts[1][0], 1, rel_tol=1e-12)
+    assert math.isclose(pts[1][1], -1, rel_tol=1e-12)
+    assert pts[-1] == (2.0, 0.0)
+
+
+def test_two_arc_chain_shares_joint():
+    w = C.curvetoline_wkt(
+        "CIRCULARSTRING (0 0, 1 1, 2 0, 3 -1, 4 0)", 1
+    )
+    assert w == "LINESTRING (0 0, 1 1, 2 0, 3 -1, 4 0)"
+
+
+def test_collinear_arc_degenerates_to_segments():
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 0, 2 0)", 4) == (
+        "LINESTRING (0 0, 1 0, 2 0)"
+    )
+
+
+def test_full_circle_when_ends_coincide():
+    w = C.curvetoline_wkt("CIRCULARSTRING (0 0, 2 0, 0 0)", 1)
+    pts = [
+        tuple(map(float, p.split()))
+        for p in w[len("LINESTRING ("):-1].split(", ")
+    ]
+    # a full circle at quad_segs=1: 4 segments, closed
+    assert pts[0] == pts[-1] == (0.0, 0.0)
+    assert len(pts) == 5
+    for x, y in pts:
+        assert math.isclose(math.hypot(x - 1, y), 1.0, abs_tol=1e-9)
+
+
+def test_linear_passthrough_and_gates():
+    assert C.curvetoline_wkt("LINESTRING (0 0, 1 1)", 8) == (
+        "LINESTRING (0 0, 1 1)"
+    )
+    assert C.curvetoline_wkt("LINESTRING EMPTY", 8) == "LINESTRING EMPTY"
+    assert C.curvetoline_wkt("CIRCULARSTRING EMPTY", 8) == "LINESTRING EMPTY"
+    assert C.curvetoline_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))", 8) is None
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))", 8
+    ) is None
+    assert C.curvetoline_wkt("junk", 8) is None
+    assert C.curvetoline_wkt(None, 8) is None
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 0) is None
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 10**6) is None
+
+
+def test_force2d():
+    assert M.force2d_wkt("LINESTRING M (0 0 5, 3 4 9)") == (
+        "LINESTRING (0 0, 3 4)"
+    )
+    assert M.force2d_wkt("POINT M (1 2 3)") == "POINT (1 2)"
+    assert M.force2d_wkt("MULTIPOINT M ((1 2 3), (4 5 6))") == (
+        "MULTIPOINT (1 2, 4 5)"
+    )
+    assert M.force2d_wkt(
+        "MULTILINESTRING M ((0 0 0, 1 0 1), (5 5 5, 6 5 6))"
+    ) == "MULTILINESTRING ((0 0, 1 0), (5 5, 6 5))"
+    assert M.force2d_wkt("POINT M EMPTY") == "POINT EMPTY"
+    assert M.force2d_wkt("MULTIPOINT M EMPTY") == "MULTIPOINT EMPTY"
+    # 2-D passthrough (canonical echo) and junk
+    assert M.force2d_wkt("POINT (1 2)") == "POINT (1 2)"
+    assert M.force2d_wkt("POLYGON EMPTY") == "POLYGON EMPTY"
+    assert M.force2d_wkt("junk") is None
+    assert M.force2d_wkt(None) is None

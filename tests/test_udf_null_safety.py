@@ -87,6 +87,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cells 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (
     ALL_GEOHASH_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.curves import (
+    ALL_CURVE_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geo_export import (
     ALL_EXPORT_FUNCTIONS,
 )
@@ -96,6 +99,11 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.inscri
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
     ALL_SPHEROID_FUNCTIONS,
 )
+
+# functions/textnorm.py is deliberately NOT swept here: its text_*
+# UDFs take arbitrary TEXT, so "malformed WKT" is a perfectly valid
+# input that normalizes to itself rather than NULL; their NULL-input
+# behavior is pinned in tests/test_textnorm.py instead.
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (
     ALL_MEASURE_M_FUNCTIONS,
 )
@@ -138,6 +146,7 @@ _SWEPT = {
     **ALL_INSCRIBED_FUNCTIONS,
     **ALL_EXPORT_FUNCTIONS,
     **ALL_SPHEROID_FUNCTIONS,
+    **ALL_CURVE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -238,6 +247,7 @@ _NULL_ARGS = {
     # st_asgml/st_askml, st_lengthspheroid are unary WKT→value,
     # covered by the default (S,) builders
     "st_distancespheroid": f"{S}, {S}",
+    "st_curvetoline": f"{S}, CAST(NULL AS INT)",
 }
 
 
