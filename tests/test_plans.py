@@ -458,3 +458,15 @@ def test_r14_rows_plan_shapes(spark):
     plan = formatted_plan(q("q173_y4m_frames")(spark, SF_DIR))
     assert "Exchange" not in plan, plan  # map-only
     assert "MapInPandas" in plan
+
+
+def test_r14_continuation_family_rows_stay_map_only(spark):
+    """q169 grew to 70 families (geohash, cells, exports, spheroid,
+    curves, force2d) this round — the row must STAY a union of
+    map-side UDF projections over the 25-row nation scan: zero
+    Exchange nodes no matter how many families pile on."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q169_st_grids")(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan
