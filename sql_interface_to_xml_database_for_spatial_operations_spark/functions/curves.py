@@ -36,9 +36,15 @@ from pyspark.sql.types import StringType
 
 from . import geometry as G
 from .buffer import _MAX_QUAD_SEGS
+from .cells import _int_arg
 from .geometry import Geometry
 
 _CS_RE = re.compile(r"^\s*CIRCULARSTRING\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL)
+_EMPTY_LINEAL_RE = re.compile(
+    r"^\s*(MULTI)?LINESTRING\s+EMPTY\s*$", re.IGNORECASE
+)
+_MAX_CS_VERTICES = 4096  # input budget (loud NULL, the measures idiom)
+_MAX_OUT_POINTS = 65536  # arc fan-out budget (grids._MAX_CELLS idiom)
 
 
 def parse_circularstring(wkt) -> list | None:
@@ -129,32 +135,33 @@ def _arc_points(a, b, c, quad_segs):
 
 
 def curvetoline_wkt(wkt, quad_segs) -> str | None:
-    if wkt is None or quad_segs is None:
+    if wkt is None:
         return None
-    try:
-        qs = int(quad_segs)
-    except (TypeError, ValueError):
-        return None
-    if not 1 <= qs <= _MAX_QUAD_SEGS:
+    qs = _int_arg(quad_segs)  # fractional quad_segs → loud NULL
+    if qs is None or not 1 <= qs <= _MAX_QUAD_SEGS:
         return None
     s = str(wkt).strip()
     pts = parse_circularstring(s)
     if pts is None:
         # already-linear input echoes through the 2-D kernel
+        m = _EMPTY_LINEAL_RE.match(s)
+        if m:
+            # canonical form regardless of input case
+            return ("MULTI" if m.group(1) else "") + "LINESTRING EMPTY"
         up = s.upper()
         if up.startswith("LINESTRING") or up.startswith("MULTILINESTRING"):
-            import re as _re
-
-            if _re.match(r"^\s*(MULTI)?LINESTRING\s+EMPTY\s*$", up):
-                return _re.sub(r"\s+", " ", s.strip())
             g = G.parse_wkt(s)
             return None if g is None else G.to_wkt(g)
         return None  # COMPOUNDCURVE/CURVEPOLYGON etc. — documented
     if not pts:
         return "LINESTRING EMPTY"
+    if len(pts) > _MAX_CS_VERTICES:
+        return None  # input budget — loud
     out = [pts[0]]
     for i in range(0, len(pts) - 2, 2):
         out.extend(_arc_points(pts[i], pts[i + 1], pts[i + 2], qs))
+        if len(out) > _MAX_OUT_POINTS:
+            return None  # arc fan-out budget — loud, checked per arc
     dedup = [out[0]]
     for p in out[1:]:
         if p != dedup[-1]:

@@ -27,6 +27,8 @@ empty geometry). Map-only Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -135,6 +137,10 @@ def _export(wkt, render) -> str | None:
     g = G.parse_wkt(s)
     if g is None:
         return None
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for x, y in G._points(g)
+    ):
+        return None  # 'nan,0' is not valid XML coordinate text — loud
     return render(g)
 
 

@@ -46,14 +46,18 @@ _MAX_NODES = 200_000  # search budget (loud NULL, the grids idiom)
 # each node probe is O(V) point-segment distances, so the node budget
 # scales DOWN with vertex count to bound total work (code-review r14:
 # a 4096-vertex plateau would otherwise burn 200k × 4096 evaluations
-# before its loud NULL); unique-peak searches need only a few hundred
-# nodes, far under even the scaled budget
-_MAX_WORK = 4_000_000  # total point-segment evaluations per row
+# before its loud NULL). The 2048-node FLOOR (second review pass)
+# keeps dense unique-peak polygons convergent — a shallow-ridge search
+# at 33 refinement levels can legitimately need a few hundred nodes,
+# and the floor's worst case (2048 × 4096 ≈ 8.4e6 evaluations, ~8 s)
+# is still a bounded row, not a stall.
+_MAX_WORK = 4_000_000  # target total point-segment evaluations per row
+_MIN_NODES = 2048  # convergence floor for dense unique-peak inputs
 _TOL_FRACTION = 1e-10  # of the bbox extent
 
 
 def _node_budget(n_vertices: int) -> int:
-    return min(_MAX_NODES, max(1, _MAX_WORK // max(1, n_vertices)))
+    return min(_MAX_NODES, max(_MIN_NODES, _MAX_WORK // max(1, n_vertices)))
 
 
 def _rings_of(g: Geometry):

@@ -55,13 +55,17 @@ from . import overlay as _ov
 from .buffer import _JOIN_ALIAS, _MAX_QUAD_SEGS, DEFAULT_MITRE_LIMIT, _unit
 from .geometry import Geometry
 
-_MAX_VERTICES = 4096  # input vertex budget (loud NULL, measures.py idiom)
-_MAX_OUT_POINTS = 65536  # arc fan-out budget (grids._MAX_CELLS idiom)
-# the honesty checks below are quadratic in chain length; bound their
-# PAIR COUNT like the linearref nearest-pair scan (~4e6 evaluations,
-# a few seconds worst-row) rather than letting a max-fan-out chain
-# run ~2e9 orientation tests in one task (code-review r14)
-_MAX_PAIR_EVALS = 4_000_000
+# The three budgets are CONSISTENT by construction (code-review r14,
+# second pass: the first cut's 65536-point ceiling admitted chains the
+# 4e6 pair budget then late-NULLed — a false-NULL for inputs the
+# vertex budget promised to handle). With V ≤ 1024 and OUT ≤ 2048 the
+# quadratic honesty checks cost at most 2048·2047/2 + 2048·1024 ≈
+# 4.2e6 orientation tests (~4 s worst-row, the linearref nearest-pair
+# class), so EVERY admitted input completes — budgets gate a priori,
+# never after the work is done.
+_MAX_VERTICES = 1024  # input vertex budget (loud NULL)
+_MAX_OUT_POINTS = 2048  # arc fan-out budget (loud NULL)
+_MAX_PAIR_EVALS = 4_500_000  # invariant backstop (unreachable above)
 
 
 def _orient2(a, b, p) -> float:

@@ -121,3 +121,41 @@ def test_force2d():
     assert M.force2d_wkt("POLYGON EMPTY") == "POLYGON EMPTY"
     assert M.force2d_wkt("junk") is None
     assert M.force2d_wkt(None) is None
+
+
+# ---- code-review r14 (second pass) regressions ---------------------------
+
+
+def test_quad_segs_fractional_is_loud():
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 2.7) is None
+    assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 2.0) is not None
+
+
+def test_empty_echo_is_canonical_regardless_of_case():
+    assert C.curvetoline_wkt("linestring   empty", 8) == "LINESTRING EMPTY"
+    assert C.curvetoline_wkt("MultiLineString EMPTY", 8) == (
+        "MULTILINESTRING EMPTY"
+    )
+
+
+def test_curve_budgets_are_loud():
+    n = C._MAX_CS_VERTICES + 2  # odd count required; +2 keeps parity
+    if n % 2 == 0:
+        n += 1
+    body = ", ".join(f"{i} {i % 2}" for i in range(n))
+    assert C.curvetoline_wkt(f"CIRCULARSTRING ({body})", 1) is None
+    # output fan-out: a modest arc count at max quad_segs overflows
+    pts = []
+    for i in range(0, 80, 2):
+        pts.extend([f"{i} 0", f"{i + 1} 1"])
+    pts.append("80 0")
+    w = "CIRCULARSTRING (" + ", ".join(pts) + ")"
+    assert C.curvetoline_wkt(w, 10_000) is None  # 40 arcs × ~20k points
+    assert C.curvetoline_wkt(w, 8) is not None
+
+
+def test_export_nonfinite_is_loud():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geo_export as X
+
+    assert X.asgml_wkt("POINT (nan 0)") is None
+    assert X.askml_wkt("LINESTRING (0 0, inf 1)") is None

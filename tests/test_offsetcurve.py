@@ -146,3 +146,16 @@ def test_offset_distance_invariant_fuzz():
         first_mid = ((pts[0][0] + pts[1][0]) / 2, (pts[0][1] + pts[1][1]) / 2)
         assert math.isclose(abs(first_mid[1]), abs(d), rel_tol=1e-12)
         assert math.isclose(pts[-1][1] - 3.0, d, rel_tol=1e-12)
+
+
+def test_admitted_inputs_never_late_null():
+    # budgets are consistent (code-review r14 second pass): an input
+    # under the vertex budget with a bounded-fan-out join must return
+    # a curve, not a late NULL from the honesty-check budget
+    n = OC._MAX_VERTICES - 24
+    pts = []
+    for i in range(n):
+        pts.append(f"{i} {(i % 2) * 0.25}")
+    line = "LINESTRING (" + ", ".join(pts) + ")"
+    w = OC.offsetcurve_wkt(line, 0.05, "join=bevel")
+    assert w is not None and w.startswith("LINESTRING (")
