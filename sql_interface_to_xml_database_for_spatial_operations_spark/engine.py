@@ -49,6 +49,7 @@ from .functions.inscribed import register_inscribed_functions
 from .functions.spheroid import register_spheroid_functions
 from .functions.textnorm import register_textnorm_functions
 from .functions.measure_m import register_measure_m_functions
+from .functions.mvt import register_mvt_functions
 from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
 from .sources import sinks
@@ -115,6 +116,7 @@ class SpatialSQLEngine:
         register_spheroid_functions(self.spark)
         register_textnorm_functions(self.spark)
         register_curve_functions(self.spark)
+        register_mvt_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins

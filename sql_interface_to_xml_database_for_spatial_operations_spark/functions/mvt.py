@@ -1,0 +1,172 @@
+"""ST_AsMVTGeom (F12 remainder, r14 continuation): transform a
+geometry into Mapbox-Vector-Tile coordinate space — the function every
+tile-serving pipeline runs on its way out, and at 100 TB the natural
+LAST map stage after the grid/tileenvelope binning shuffle (SCALE.md:
+the tile id is the partition key; this kernel is the per-row payload
+transform inside each tile's partition).
+
+``st_asmvtgeom(g, bounds, extent, buffer, clip)`` — PostGIS semantics
+re-expressed over this engine's exact kernels:
+
+- ``bounds`` is the tile's geometry (its bbox is used, normally a
+  ``st_tileenvelope`` box); zero-width/height bounds → loud NULL.
+- vertices map by ``tx = floor((x − bxmin)·extent/width + 0.5)``,
+  ``ty = floor((bymax − y)·extent/height + 0.5)`` — the MVT integer
+  grid with the Y axis flipped to screen orientation; both formulas
+  are mirrored term for term by the oracle.
+- rounding collapses consecutive duplicates (dedup_vertices); a line
+  that degenerates below 2 distinct vertices or a polygon whose ring
+  drops below a triangle → NULL (PostGIS drops such parts too).
+- polygons re-orient to CW shells / CCW holes after the flip (the
+  MVT spec's screen-space winding) via the grids orientation kernel;
+  a rounded polygon that goes INVALID routes through the exact
+  linework makevalid, and repairs the exact checker refuses are a
+  loud NULL (the st_buffer(g, 0) stance), never silently-wrong tiles.
+- ``clip`` intersects with the buffered tile square
+  [−buffer, extent+buffer]² through the exact overlay kernel;
+  PostGIS returns NULL for results outside the tile — an EMPTY clip
+  maps to NULL here too.
+
+Map-only Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .cells import _int_arg
+from .geometry import Geometry
+from .grids import _force_orientation
+from .overlay import intersection_wkt
+from .projection import _map_coords
+from .validity import makevalid_wkt
+
+
+def _has_areal(g: Geometry) -> bool:
+    if g.kind in ("Polygon", "MultiPolygon"):
+        return True
+    if g.kind == "GeometryCollection":
+        return any(_has_areal(s) for s in g.coords)
+    return False
+
+
+def _dim(g: Geometry) -> int:
+    if g.kind in ("Point", "MultiPoint"):
+        return 0
+    if g.kind in ("LineString", "MultiLineString"):
+        return 1
+    if g.kind in ("Polygon", "MultiPolygon"):
+        return 2
+    return max((_dim(s) for s in g.coords), default=0)
+
+
+def _degenerate(g: Geometry) -> bool:
+    """Rounded-away parts: lines under 2 distinct vertices, rings
+    under a triangle."""
+    if g.kind == "LineString":
+        return len(g.coords) < 2
+    if g.kind == "MultiLineString":
+        return any(len(ch) < 2 for ch in g.coords)
+    if g.kind == "Polygon":
+        return any(len(r) < 4 for r in g.coords)
+    if g.kind == "MultiPolygon":
+        return any(len(r) < 4 for rings in g.coords for r in rings)
+    if g.kind == "GeometryCollection":
+        return any(_degenerate(s) for s in g.coords)
+    return False
+
+
+def asmvtgeom_wkt(wkt, bounds, extent, buf, clip) -> str | None:
+    if wkt is None or bounds is None or clip is None:
+        return None
+    ext = _int_arg(extent)
+    b = _int_arg(buf)
+    if ext is None or ext < 1 or b is None or b < 0:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return None  # PostGIS: empty input → NULL result
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    bs = str(bounds).strip()
+    if _ov._EMPTY_RE.match(bs.upper()):
+        return None
+    bg = G.parse_wkt(bs)
+    if bg is None:
+        return None
+    pts = G._points(g) + G._points(bg)
+    if not all(math.isfinite(x) and math.isfinite(y) for x, y in pts):
+        return None
+    bxmin, bymin, bxmax, bymax = G.bbox(bg)
+    width, height = bxmax - bxmin, bymax - bymin
+    if width <= 0.0 or height <= 0.0:
+        return None  # degenerate tile bounds — loud
+
+    def tx(x, y):
+        return (
+            math.floor((x - bxmin) * ext / width + 0.5),
+            math.floor((bymax - y) * ext / height + 0.5),
+        )
+
+    t = G.dedup_vertices(_map_coords(g, tx))
+    if _degenerate(t) or _dim(t) < _dim(g):
+        # rounded away (dedup may also collapse the KIND — a line
+        # whose vertices all land on one grid cell) — PostGIS drops it
+        return None
+    out = G.to_wkt(t)
+    if _has_areal(t):
+        checked = makevalid_wkt(out)
+        if checked is None:
+            return None  # refused repair — loud, never a broken tile
+        out = checked
+    if clip:
+        box = (
+            f"POLYGON (({-b} {-b}, {ext + b} {-b}, {ext + b} {ext + b},"
+            f" {-b} {ext + b}, {-b} {-b}))"
+        )
+        out = intersection_wkt(out, box)
+        if out is None:
+            return None
+        if _ov._EMPTY_RE.match(out.upper()):
+            return None  # outside the tile — PostGIS returns NULL
+    gg = G.parse_wkt(out)
+    if gg is None:
+        return None
+    if _dim(gg) < _dim(t):
+        return None  # clip reduced dimension (edge-touch sliver) —
+        # PostGIS keeps only same-dimension results
+    if _has_areal(gg):
+        gg = _force_orientation(gg, shell_ccw=False)  # MVT screen winding
+    return G.to_wkt(gg)
+
+
+@pandas_udf(StringType())
+def st_asmvtgeom(
+    wkt: pd.Series, bounds: pd.Series, extent: pd.Series,
+    buf: pd.Series, clip: pd.Series,
+) -> pd.Series:
+    out = []
+    for w, bo, e, bu, c in zip(wkt, bounds, extent, buf, clip):
+        try:
+            out.append(asmvtgeom_wkt(w, bo, e, bu, c))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+ALL_MVT_FUNCTIONS = {
+    "st_asmvtgeom": st_asmvtgeom,
+}
+
+
+def register_mvt_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_MVT_FUNCTIONS.items():
+        spark.udf.register(name, fn)

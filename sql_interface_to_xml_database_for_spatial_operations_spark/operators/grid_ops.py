@@ -40,6 +40,10 @@ Oracle families (per nation box; exact unless noted):
   invariant over key-derived lattice indices), the polygon-orientation
   predicates on the CW-holed fixture, and the PostGIS longitude-shift
   toggle on the integer box corner (CASE-mirrored oracle).
+- ``mvt_*`` — ST_AsMVTGeom (mvt.py): the box-as-its-own-tile grid
+  transform (floor-mirror with the Y flip), the constant CW tile
+  square, an exact right-edge clip at x = 4096, and the
+  outside-the-tile NULL.
 - ``ctl_*`` / ``f2d*`` — CIRCULARSTRING linearization (curves.py):
   the qs=1 semicircle lands exactly on apex + integer endpoints, the
   qs=2 first interior point is the 135° one (libm-mirrored), the
@@ -79,6 +83,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.geo_export import register_export_functions
     from ..functions.geohash import register_geohash_functions
     from ..functions.measure_m import register_measure_m_functions
+    from ..functions.mvt import register_mvt_functions
     from ..functions.spheroid import register_spheroid_functions
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
@@ -95,6 +100,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_spheroid_functions(spark)  # Vincenty distances (r14)
     register_curve_functions(spark)  # CIRCULARSTRING linearize (r14)
     register_measure_m_functions(spark)  # st_force2d (r14)
+    register_mvt_functions(spark)  # ST_AsMVTGeom (r14)
 
 
 def _micro(expr: str) -> str:
@@ -383,6 +389,29 @@ _FAMILIES = {
         f" {CORNERS['br']} || ' 9)')"
     ),
     "f2d_echo": f"st_force2d({_ROTATED})",
+    # ST_AsMVTGeom (r14 continuation, functions/mvt.py): the nation
+    # box is its own tile — the interior point's grid cell mirrors the
+    # floor((x−bxmin)·extent/width + 0.5) formula term for term (with
+    # the Y flip), the box itself maps to the constant CW tile square,
+    # a line overhanging the right edge clips at x = 4096 exactly, and
+    # an outside point is the PostGIS NULL
+    "mvt_pt": (
+        f"st_asmvtgeom('POINT (' || {pt_sql(10, 5)} || ')', {_BOX},"
+        " 4096, 256, true)"
+    ),
+    "mvt_box": f"st_asmvtgeom({_BOX}, {_BOX}, 4096, 256, true)",
+    "mvt_clip": (
+        "st_asmvtgeom('LINESTRING (' || "
+        f"{int_str('minx + 10')} || ' ' || {int_str('miny + 10')}"
+        " || ', ' || "
+        f"{int_str('maxx + 10')} || ' ' || {int_str('miny + 10')}"
+        f" || ')', {_BOX}, 4096, 0, true)"
+    ),
+    "mvt_out": (
+        "COALESCE(st_asmvtgeom('POINT (' || "
+        f"{int_str('maxx + 500')} || ' ' || {int_str('maxy + 500')}"
+        f" || ')', {_BOX}, 4096, 256, true), 'NULL(outside)')"
+    ),
 }
 
 # ---- oracle -----------------------------------------------------------
@@ -643,6 +672,26 @@ _ORACLE_VALS = {
         "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
     ),
     "f2d_echo": _ROTATED,
+    # MVT grid coords mirror the engine's floor((x−bxmin)·ext/w + 0.5)
+    # term for term (the Y axis flips: ty from the TOP edge)
+    "mvt_pt": sql_concat(
+        "'POINT ('",
+        "CAST(CAST(floor(10 * 4096 / (maxx - minx) + 0.5) AS BIGINT) AS VARCHAR)",
+        "' '",
+        "CAST(CAST(floor((maxy - miny - 5) * 4096 / (maxy - miny) + 0.5) AS BIGINT) AS VARCHAR)",
+        "')'",
+    ),
+    "mvt_box": "'POLYGON ((0 4096, 4096 4096, 4096 0, 0 0, 0 4096))'",
+    "mvt_clip": sql_concat(
+        "'LINESTRING ('",
+        "CAST(CAST(floor(10 * 4096 / (maxx - minx) + 0.5) AS BIGINT) AS VARCHAR)",
+        "' '",
+        "CAST(CAST(floor((maxy - miny - 10) * 4096 / (maxy - miny) + 0.5) AS BIGINT) AS VARCHAR)",
+        "', 4096 '",
+        "CAST(CAST(floor((maxy - miny - 10) * 4096 / (maxy - miny) + 0.5) AS BIGINT) AS VARCHAR)",
+        "')'",
+    ),
+    "mvt_out": "'NULL(outside)'",
 }
 
 _Q169_ORACLE = "\nUNION ALL\n".join(

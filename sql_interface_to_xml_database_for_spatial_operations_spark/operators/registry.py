@@ -315,6 +315,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 #   NULL. st_force2d (measure_m.py addition) drops M / echoes 2-D.
 #   q169 gains 5 families (exact semicircle string, 135° libm mirror,
 #   curve gate, force2d drop + echo).
+# - ST_AsMVTGeom (new functions/mvt.py): the Mapbox-Vector-Tile grid
+#   transform (integer snap + Y flip + CW winding + buffered-tile
+#   clip through the exact overlay kernel; degenerations and refused
+#   repairs are loud NULLs). q169 gains 4 mvt_* families.
+# - second code-review pass fixes (offsetcurve budget consistency,
+#   inscribed node floor, curves budgets/_int_arg/canonical EMPTY,
+#   geo_export non-finite gate) — all in exposed rows' closures.
 # Closure drift from the engine.py registrations alone (the new
 # modules execute nothing in any verified row): q99-q102, q108, q114,
 # q118 — result-invariant, fingerprints deliberately re-recorded (the

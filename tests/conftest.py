@@ -109,6 +109,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.textno
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (  # noqa: E402
     register_measure_m_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt import (  # noqa: E402
+    register_mvt_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -155,6 +158,7 @@ def spark():
     register_spheroid_functions(s)
     register_textnorm_functions(s)
     register_curve_functions(s)
+    register_mvt_functions(s)
     yield s
 
 

@@ -90,6 +90,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohas
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.curves import (
     ALL_CURVE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt import (
+    ALL_MVT_FUNCTIONS,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geo_export import (
     ALL_EXPORT_FUNCTIONS,
 )
@@ -147,6 +150,7 @@ _SWEPT = {
     **ALL_EXPORT_FUNCTIONS,
     **ALL_SPHEROID_FUNCTIONS,
     **ALL_CURVE_FUNCTIONS,
+    **ALL_MVT_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -248,6 +252,10 @@ _NULL_ARGS = {
     # covered by the default (S,) builders
     "st_distancespheroid": f"{S}, {S}",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
+    "st_asmvtgeom": (
+        f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
+        " CAST(NULL AS BOOLEAN)"
+    ),
 }
 
 
