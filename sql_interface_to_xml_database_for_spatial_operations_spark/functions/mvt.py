@@ -44,7 +44,7 @@ from . import overlay as _ov
 from .cells import _int_arg
 from .geometry import Geometry
 from .grids import _force_orientation
-from .overlay import intersection_wkt
+from .overlay import intersection_geoms
 from .projection import _map_coords
 from .validity import makevalid_wkt
 
@@ -57,30 +57,39 @@ def _has_areal(g: Geometry) -> bool:
     return False
 
 
-def _dim(g: Geometry) -> int:
-    if g.kind in ("Point", "MultiPoint"):
-        return 0
-    if g.kind in ("LineString", "MultiLineString"):
-        return 1
-    if g.kind in ("Polygon", "MultiPolygon"):
-        return 2
-    return max((_dim(s) for s in g.coords), default=0)
-
-
-def _degenerate(g: Geometry) -> bool:
-    """Rounded-away parts: lines under 2 distinct vertices, rings
-    under a triangle."""
-    if g.kind == "LineString":
-        return len(g.coords) < 2
-    if g.kind == "MultiLineString":
-        return any(len(ch) < 2 for ch in g.coords)
-    if g.kind == "Polygon":
-        return any(len(r) < 4 for r in g.coords)
-    if g.kind == "MultiPolygon":
-        return any(len(r) < 4 for rings in g.coords for r in rings)
-    if g.kind == "GeometryCollection":
-        return any(_degenerate(s) for s in g.coords)
-    return False
+def _drop_collapsed(g: Geometry) -> Geometry | None:
+    """Drop rounded-away PARTS like PostGIS does (code-review r14,
+    third pass: the first cut NULLed the whole geometry when one
+    sub-pixel islet collapsed, and its vertex-count test was dead code
+    because dedup_vertices pads collapsed chains back to 2 identical
+    vertices — the tests are by DISTINCT vertex count). A line needs
+    2 distinct vertices; a ring needs 3. Returns None when nothing
+    survives; multi kinds stay multi even with one survivor."""
+    k = g.kind
+    if k in ("Point", "MultiPoint"):
+        return g
+    if k == "LineString":
+        return g if len(set(g.coords)) >= 2 else None
+    if k == "MultiLineString":
+        kept = [ch for ch in g.coords if len(set(ch)) >= 2]
+        return Geometry(k, kept) if kept else None
+    if k == "Polygon":
+        if len(set(g.coords[0])) < 3:
+            return None  # the shell itself collapsed
+        rings = [g.coords[0]] + [
+            h for h in g.coords[1:] if len(set(h)) >= 3
+        ]
+        return Geometry(k, rings)
+    if k == "MultiPolygon":
+        kept = []
+        for rings in g.coords:
+            p = _drop_collapsed(Geometry("Polygon", rings))
+            if p is not None:
+                kept.append(p.coords)
+        return Geometry(k, kept) if kept else None
+    # GeometryCollection
+    kept = [s for s in (_drop_collapsed(m) for m in g.coords) if s is not None]
+    return Geometry(k, kept) if kept else None
 
 
 def asmvtgeom_wkt(wkt, bounds, extent, buf, clip) -> str | None:
@@ -116,33 +125,50 @@ def asmvtgeom_wkt(wkt, bounds, extent, buf, clip) -> str | None:
             math.floor((bymax - y) * ext / height + 0.5),
         )
 
-    t = G.dedup_vertices(_map_coords(g, tx))
-    if _degenerate(t) or _dim(t) < _dim(g):
-        # rounded away (dedup may also collapse the KIND — a line
-        # whose vertices all land on one grid cell) — PostGIS drops it
+    t = _drop_collapsed(G.dedup_vertices(_map_coords(g, tx)))
+    if t is None or G.dimension(t) < G.dimension(g):
+        # everything rounded away, or dedup collapsed the KIND (a
+        # line whose vertices all land on one grid cell)
         return None
-    out = G.to_wkt(t)
     if _has_areal(t):
-        checked = makevalid_wkt(out)
+        # validity check + conditional linework repair happen at the
+        # WKT surface because makevalid_wkt's echo-valid-input
+        # semantics live there; refusals are loud
+        checked = makevalid_wkt(G.to_wkt(t))
         if checked is None:
-            return None  # refused repair — loud, never a broken tile
-        out = checked
-    if clip:
-        box = (
-            f"POLYGON (({-b} {-b}, {ext + b} {-b}, {ext + b} {ext + b},"
-            f" {-b} {ext + b}, {-b} {-b}))"
-        )
-        out = intersection_wkt(out, box)
-        if out is None:
             return None
-        if _ov._EMPTY_RE.match(out.upper()):
+        t2 = G.parse_wkt(checked)
+        if t2 is None:
+            return None
+        t = t2
+    gg = t
+    if clip:
+        ring = (
+            (float(-b), float(-b)), (float(ext + b), float(-b)),
+            (float(ext + b), float(ext + b)), (float(-b), float(ext + b)),
+            (float(-b), float(-b)),
+        )
+        box = Geometry("Polygon", (ring,))
+        try:
+            gg = intersection_geoms(t, box)
+        except Exception:
+            return None  # outside the overlay's exact class — loud
+        if gg is None:
             return None  # outside the tile — PostGIS returns NULL
-    gg = G.parse_wkt(out)
-    if gg is None:
-        return None
-    if _dim(gg) < _dim(t):
-        return None  # clip reduced dimension (edge-touch sliver) —
-        # PostGIS keeps only same-dimension results
+        if G.dimension(gg) < G.dimension(t):
+            return None  # clip reduced dimension (edge-touch sliver)
+        # the overlay canonicalizes (single-member multis unwrap);
+        # restore the pre-clip container kind so the output kind does
+        # not depend on the clip flag for untouched geometry
+        base_of = {
+            "MultiPoint": "Point",
+            "MultiLineString": "LineString",
+            "MultiPolygon": "Polygon",
+        }
+        if t.kind in base_of and gg.kind == base_of[t.kind]:
+            gg = Geometry(t.kind, [gg.coords])
+        elif t.kind == "GeometryCollection" and gg.kind != "GeometryCollection":
+            gg = Geometry("GeometryCollection", [gg])
     if _has_areal(gg):
         gg = _force_orientation(gg, shell_ccw=False)  # MVT screen winding
     return G.to_wkt(gg)

@@ -34,11 +34,11 @@ ONLY quad_segs / join / mitre_limit (PostGIS's documented set for this
 function — endcap/side are buffer-only and are rejected loudly).
 
 Scale shape: a map-only Arrow-batched pandas UDF; the self-intersection
-and input-contact checks are quadratic per row, work-bounded by BOTH
-the vertex budgets and an explicit pair-evaluation budget below (the
+and input-contact checks run over an x-sorted sweep that only examines
+x-overlapping segment pairs (near-linear on real chains), with a
+candidate budget for the adversarial all-overlapping case (the
 minimum-clearance / nearest-pair gate idiom, VERDICT r13 item 7) —
-a chain whose honesty checks would exceed ~4e6 orientation tests is a
-loud NULL, never a multi-hour task.
+over budget is a loud NULL, never a multi-hour task.
 """
 
 from __future__ import annotations
@@ -55,17 +55,42 @@ from . import overlay as _ov
 from .buffer import _JOIN_ALIAS, _MAX_QUAD_SEGS, DEFAULT_MITRE_LIMIT, _unit
 from .geometry import Geometry
 
-# The three budgets are CONSISTENT by construction (code-review r14,
-# second pass: the first cut's 65536-point ceiling admitted chains the
-# 4e6 pair budget then late-NULLed — a false-NULL for inputs the
-# vertex budget promised to handle). With V ≤ 1024 and OUT ≤ 2048 the
-# quadratic honesty checks cost at most 2048·2047/2 + 2048·1024 ≈
-# 4.2e6 orientation tests (~4 s worst-row, the linearref nearest-pair
-# class), so EVERY admitted input completes — budgets gate a priori,
-# never after the work is done.
-_MAX_VERTICES = 1024  # input vertex budget (loud NULL)
-_MAX_OUT_POINTS = 2048  # arc fan-out budget (loud NULL)
-_MAX_PAIR_EVALS = 4_500_000  # invariant backstop (unreachable above)
+# Work bounds (code-review r14, third pass — restoring the capacity
+# the second pass cut): the honesty checks below run over an
+# x-sorted SWEEP that only examines x-overlapping segment pairs, so
+# typical offset chains (locally-extended segments) cost near-linear
+# candidate counts and the generous budgets are usable again. The
+# pair budget bounds the ADVERSARIAL case (every segment x-straddles
+# every other): hitting it is a loud NULL, never a stalled task.
+_MAX_VERTICES = 4096  # input vertex budget (loud NULL)
+_MAX_OUT_POINTS = 16384  # arc fan-out budget (loud NULL)
+_MAX_PAIR_EVALS = 4_000_000  # sweep candidate budget (loud NULL)
+
+
+class _OverBudget(Exception):
+    pass
+
+
+def _sweep_pairs(tagged_segs, budget):
+    """Candidate (i, j) index pairs among x-sorted segments whose x
+    extents overlap — the classic plane-sweep prefilter. tagged_segs:
+    [(xmin, xmax, ymin, ymax, tag, idx)]. Raises _OverBudget past the
+    evaluation budget (adversarial all-overlapping inputs)."""
+    order = sorted(range(len(tagged_segs)), key=lambda k: tagged_segs[k][0])
+    n = len(order)
+    evals = 0
+    for a in range(n):
+        sa = tagged_segs[order[a]]
+        for bidx in range(a + 1, n):
+            sb = tagged_segs[order[bidx]]
+            if sb[0] > sa[1]:
+                break  # sorted by xmin: nothing further overlaps sa
+            evals += 1
+            if evals > budget:
+                raise _OverBudget
+            if sb[3] < sa[2] or sb[2] > sa[3]:
+                continue  # y extents disjoint
+            yield tagged_segs[order[a]], sb
 
 
 def _orient2(a, b, p) -> float:
@@ -138,29 +163,37 @@ def _dedup(pts):
     return out
 
 
-def _proper_self_intersection(pts) -> bool:
-    """Any crossing or overlap between non-adjacent chain segments
-    (shared chain vertices between adjacent segments are fine)."""
-    orient = _orient2
-    n = len(pts) - 1
-    for i in range(n):
+def _tag_segs(pts, tag):
+    out = []
+    for i in range(len(pts) - 1):
         a, b = pts[i], pts[i + 1]
-        for j in range(i + 2, n):
-            if i == 0 and j == n - 1 and pts[0] == pts[n]:
+        out.append((
+            min(a[0], b[0]), max(a[0], b[0]),
+            min(a[1], b[1]), max(a[1], b[1]),
+            tag, i, a, b,
+        ))
+    return out
+
+
+def _contact_violation(out_pts, in_pts) -> bool:
+    """True when the constructed chain crosses/folds onto ITSELF
+    (non-adjacent segments touching) or touches the INPUT chain at
+    all — both mean the local construction left its contract. Sweep-
+    pruned; raises _OverBudget on adversarial all-overlapping input."""
+    n_out = len(out_pts) - 1
+    closed = out_pts[0] == out_pts[-1]
+    segs = _tag_segs(out_pts, 0) + _tag_segs(in_pts, 1)
+    for sa, sb in _sweep_pairs(segs, _MAX_PAIR_EVALS):
+        if sa[4] == sb[4] == 1:
+            continue  # input×input is not this check's business
+        if sa[4] == sb[4] == 0:
+            i, j = sa[5], sb[5]
+            if abs(i - j) == 1:
+                continue  # adjacent chain segments share a vertex
+            if closed and {i, j} == {0, n_out - 1}:
                 continue  # a closed chain's first/last share a vertex
-            c, d = pts[j], pts[j + 1]
-            o1, o2 = orient(a, b, c), orient(a, b, d)
-            o3, o4 = orient(c, d, a), orient(c, d, b)
-            if ((o1 > 0) != (o2 > 0) and (o3 > 0) != (o4 > 0)
-                    and o1 != 0 and o2 != 0 and o3 != 0 and o4 != 0):
-                return True
-            # collinear overlap / endpoint touching a non-adjacent
-            # segment counts too (the chain folded back onto itself)
-            for p, (s, t) in ((c, (a, b)), (d, (a, b)), (a, (c, d)), (b, (c, d))):
-                if orient(s, t, p) == 0.0:
-                    if (min(s[0], t[0]) <= p[0] <= max(s[0], t[0])
-                            and min(s[1], t[1]) <= p[1] <= max(s[1], t[1])):
-                        return True
+        if _segments_touch(sa[6], sa[7], sb[6], sb[7]):
+            return True
     return False
 
 
@@ -180,19 +213,6 @@ def _segments_touch(a, b, c, d) -> bool:
         return True
     return ((o1 == 0 and on_seg(a, b, c)) or (o2 == 0 and on_seg(a, b, d))
             or (o3 == 0 and on_seg(c, d, a)) or (o4 == 0 and on_seg(c, d, b)))
-
-
-def _crosses_input(out_pts, in_pts) -> bool:
-    """A valid offset curve stays |d| away from the input — ANY contact
-    between the constructed chain and the input chain means the local
-    construction left its contract (the offset folded through the
-    line); the caller NULLs loudly."""
-    for i in range(len(out_pts) - 1):
-        a, b = out_pts[i], out_pts[i + 1]
-        for j in range(len(in_pts) - 1):
-            if _segments_touch(a, b, in_pts[j], in_pts[j + 1]):
-                return True
-    return False
 
 
 def offset_chain(pts, dist, quad_segs, join, limit):
@@ -298,11 +318,11 @@ def offsetcurve_wkt(wkt, dist, style) -> str | None:
     out = offset_chain(pts, d, st["quad_segs"], st["join"], st["mitre_limit"])
     if out is None:
         return None
-    n_out = len(out)
-    if n_out * (n_out - 1) // 2 + n_out * len(pts) > _MAX_PAIR_EVALS:
-        return None  # honesty checks over budget — loud, not a stall
-    if _proper_self_intersection(out) or _crosses_input(out, pts):
-        return None  # outside the local-construction contract — loud
+    try:
+        if _contact_violation(out, pts):
+            return None  # outside the local-construction contract — loud
+    except _OverBudget:
+        return None  # adversarial candidate blow-up — loud, not a stall
     return G.to_wkt(Geometry("LineString", tuple(out)))
 
 

@@ -322,6 +322,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # - second code-review pass fixes (offsetcurve budget consistency,
 #   inscribed node floor, curves budgets/_int_arg/canonical EMPTY,
 #   geo_export non-finite gate) — all in exposed rows' closures.
+# - third code-review pass fixes: asmvtgeom drops collapsed PARTS by
+#   distinct-vertex count (not whole-geometry NULL; the old line test
+#   was dead — dedup pads collapsed chains), keeps the container kind
+#   independent of the clip flag, uses G.dimension and the
+#   geometry-level intersection kernel; offsetcurve's honesty checks
+#   go sweep-pruned, restoring the full 4096-vertex capacity with the
+#   pair budget as the adversarial bound only.
 # Closure drift from the engine.py registrations alone (the new
 # modules execute nothing in any verified row): q99-q102, q108, q114,
 # q118 — result-invariant, fingerprints deliberately re-recorded (the

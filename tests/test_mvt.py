@@ -79,3 +79,38 @@ def test_multipolygon_and_collection():
     assert g.kind in ("MultiPolygon", "Polygon")
     mp = V.asmvtgeom_wkt("MULTIPOINT (10 10, 30 30)", B, 4096, 0, True)
     assert mp == "MULTIPOINT (1024 3072, 3072 1024)"
+
+
+# ---- code-review r14 (third pass) regressions -----------------------------
+
+
+def test_collapsed_line_is_null_without_clip_too():
+    assert V.asmvtgeom_wkt(
+        "LINESTRING (10 10, 10.001 10.001)", B, 4096, 0, False
+    ) is None
+
+
+def test_collapsed_part_drops_but_survivors_stay():
+    # PostGIS drops only the sub-pixel part, not the whole geometry
+    w = V.asmvtgeom_wkt(
+        "MULTIPOLYGON (((10 10, 30 10, 30 30, 10 30, 10 10)),"
+        " ((5 5, 5.001 5, 5.001 5.001, 5 5.001, 5 5)))",
+        B, 4096, 0, True,
+    )
+    g = G.parse_wkt(w)
+    assert g.kind == "MultiPolygon" and len(g.coords) == 1
+    ml = V.asmvtgeom_wkt(
+        "MULTILINESTRING ((10 10, 30 10), (5 5, 5.001 5))", B, 4096, 0, True
+    )
+    assert G.parse_wkt(ml).kind == "MultiLineString"
+
+
+def test_kind_does_not_depend_on_clip_flag():
+    mp = "MULTIPOINT (10 10, 30 30)"
+    a = V.asmvtgeom_wkt(mp, B, 4096, 0, True)
+    c = V.asmvtgeom_wkt(mp, B, 4096, 0, False)
+    assert G.parse_wkt(a).kind == G.parse_wkt(c).kind == "MultiPoint"
+    gc = "GEOMETRYCOLLECTION (POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10)))"
+    a = V.asmvtgeom_wkt(gc, B, 4096, 0, True)
+    c = V.asmvtgeom_wkt(gc, B, 4096, 0, False)
+    assert G.parse_wkt(a).kind == G.parse_wkt(c).kind == "GeometryCollection"

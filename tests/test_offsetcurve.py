@@ -159,3 +159,17 @@ def test_admitted_inputs_never_late_null():
     line = "LINESTRING (" + ", ".join(pts) + ")"
     w = OC.offsetcurve_wkt(line, 0.05, "join=bevel")
     assert w is not None and w.startswith("LINESTRING (")
+
+
+def test_large_chain_capacity_restored():
+    # code-review r14 third pass: the sweep-pruned honesty checks make
+    # the full 4096-vertex budget usable — a 2000-vertex staircase
+    # returns a curve quickly instead of a budget NULL
+    import time
+
+    pts = [f"{i} {(i % 2) * 0.25}" for i in range(2000)]
+    line = "LINESTRING (" + ", ".join(pts) + ")"
+    t0 = time.time()
+    w = OC.offsetcurve_wkt(line, 0.05, "join=bevel")
+    assert w is not None and w.startswith("LINESTRING (")
+    assert time.time() - t0 < 10.0
