@@ -50,8 +50,10 @@ from .functions.spheroid import register_spheroid_functions
 from .functions.textnorm import register_textnorm_functions
 from .functions.measure_m import register_measure_m_functions
 from .functions.mvt import register_mvt_functions
+from .functions.mvt_tile import register_mvt_tile_functions
 from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
+from .functions.zcoord import register_zcoord_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -117,12 +119,14 @@ class SpatialSQLEngine:
         register_textnorm_functions(self.spark)
         register_curve_functions(self.spark)
         register_mvt_functions(self.spark)
+        register_mvt_tile_functions(self.spark)
         # Registration deliberately REPLACES Spark 4.1's flag-gated
         # geospatial builtins of the same names (st_asbinary,
         # st_geomfromwkb, st_srid): builtin resolution otherwise wins
         # and throws UNSUPPORTED_FEATURE.GEOSPATIAL_DISABLED on a
         # vanilla session (the replacement warning in the logs is this).
         register_wkb_functions(self.spark)
+        register_zcoord_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

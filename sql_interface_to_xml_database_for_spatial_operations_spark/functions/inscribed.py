@@ -15,12 +15,19 @@ far tighter than PostGIS's default extent/1000 — so on fixtures whose
 optimum is a STRICT conical peak (a triangle's incenter) the returned
 center/radius pin at milli precision exactly.
 
-Contract (documented, loud): polygons whose inscribed-circle center is
-NON-unique (a plateau along the medial axis — any rectangle) make the
-frontier grow like plateau-length/cell-size at this tolerance; the
-node budget below cuts the search off and returns NULL rather than
-burning a task alive (the grids._MAX_CELLS idiom). Unique-optimum
-inputs converge in O(levels) ≈ 33 rounds of an O(1) frontier.
+Plateau contract (r15, ADVICE r14): polygons whose inscribed-circle
+center is NON-unique (a plateau along the medial axis — any
+rectangle) make the frontier grow like plateau-length/cell-size at
+this tolerance. Once the best-so-far is proven optimal to PostGIS's
+DEFAULT tolerance (extent/1000) and the search has burned 16× the
+convergence floor without closing the remaining gap, the
+deterministic best-so-far center returns — on a symmetric plateau
+that is the exact first probe (a rectangle answers center = bbox
+center, r = min(w, h)/2, the closed form). Only genuinely
+unconverged pathologies (gap still > extent/1000 at the node budget)
+stay a loud NULL (the grids._MAX_CELLS idiom). Unique-optimum inputs
+converge in O(levels) ≈ 33 rounds of an O(1) frontier, far below the
+plateau cutoff.
 
 Interior test: even-odd ray crossing over every ring (holes handled
 implicitly); distance: min point-segment distance over all rings.
@@ -53,6 +60,11 @@ _MAX_NODES = 200_000  # search budget (loud NULL, the grids idiom)
 # is still a bounded row, not a stall.
 _MAX_WORK = 4_000_000  # target total point-segment evaluations per row
 _MIN_NODES = 2048  # convergence floor for dense unique-peak inputs
+_PLATEAU_NODES = 8_192  # early plateau cutoff (see the search loop):
+# 4× the convergence floor; every unique-peak fixture (incl. the
+# shallow-ridge holed square) converges to the 1e-10 tol in well
+# under 2048 nodes, while a plateau's frontier only reaches the
+# extent/1000 bound at ~2^13 nodes and never tightens further
 _TOL_FRACTION = 1e-10  # of the bbox extent
 
 
@@ -142,12 +154,36 @@ def maximum_inscribed_circle(wkt):
         neg_pot, _, cx, cy, h = heapq.heappop(heap)
         if -neg_pot - best[0] <= tol:
             break
+        if nodes > _PLATEAU_NODES and -neg_pot - best[0] <= extent / 1000.0:
+            # Optimal to PostGIS's DEFAULT tolerance but still not to
+            # ours after 16× the convergence floor: a medial-axis
+            # plateau (unique peaks converge in O(levels) pops). Stop
+            # here — deterministic, and on symmetric plateaus (any
+            # rectangle) best is already the exact first-probe center.
+            return (best[1], best[2], best[0]) if best[0] > 0.0 else None
         h2 = h / 2.0
         for dx in (-h2, h2):
             for dy in (-h2, h2):
                 nodes += 1
                 if nodes > budget:
-                    return None  # plateau/pathology — loud, not a stall
+                    # Budget exhausted — a medial-axis PLATEAU (any
+                    # rectangle) keeps the frontier growing at this
+                    # tolerance. The search is deterministic and
+                    # best-first, so return the best-so-far center
+                    # when it is already proven optimal to PostGIS's
+                    # DEFAULT tolerance (extent/1000 — ADVICE r14:
+                    # plateau fixtures reach it thousands of nodes
+                    # before the budget); genuinely unconverged
+                    # pathologies stay a loud NULL. On a rectangle the
+                    # very first probe (the bbox center) IS a medial
+                    # midpoint, so the answer is the exact closed form
+                    # (center = bbox center, r = min(w, h)/2).
+                    bound = -neg_pot
+                    if heap and -heap[0][0] > bound:
+                        bound = -heap[0][0]
+                    if bound - best[0] <= extent / 1000.0 and best[0] > 0.0:
+                        return (best[1], best[2], best[0])
+                    return None  # unconverged pathology — loud
                 x, y = cx + dx, cy + dy
                 d = signed(x, y)
                 if d > best[0]:

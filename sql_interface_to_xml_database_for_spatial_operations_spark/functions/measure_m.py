@@ -22,8 +22,8 @@ Semantics:
   returns NULL when the coordinate is absent) and non-points (loud).
 - ``st_mmin(g)`` / ``st_mmax(g)`` — min/max measure over all
   vertices; 2-D or EMPTY input → loud NULL.
-- ``st_zmflag(g)`` — PostGIS ST_Zmflag: 1 for M geometries, 0 for
-  2-D ones (Z is not modeled in this engine; 2/3 never returned).
+- ``st_zmflag(g)`` — PostGIS ST_Zmflag: 0 for 2-D, 1 for M, 2 for Z,
+  3 for ZM (Z/ZM via the r15 zcoord codec).
 - ``st_interpolatepoint(line_m, point)`` — the measure at the 2-D
   closest point on the line, linearly interpolated within its
   segment.
@@ -32,12 +32,13 @@ Semantics:
   deduped when consecutive, constant-measure segments contribute
   their endpoints); points filter by exact m. No match →
   MULTIPOINT M EMPTY.
-- ``st_locatebetween(g_m, m1, m2)`` — MULTILINESTRING M of the spans
-  whose measure lies in [m1, m2] (cut positions interpolated, chains
-  merged across contiguous segments; measures may be non-monotonic).
-  Zero-length (single-point) contacts are OMITTED — only 1-D spans
-  return (documented divergence from PostGIS's mixed collection).
-  Point inputs filter by m ∈ [m1, m2] into MULTIPOINT M.
+- ``st_locatebetween(g_m, m1, m2)`` — the spans whose measure lies in
+  [m1, m2] (cut positions interpolated, chains merged across
+  contiguous segments; measures may be non-monotonic). Zero-length
+  (single-point) contacts return as POINT M parts (ADVICE r14):
+  spans-only → MULTILINESTRING M, contacts-only → MULTIPOINT M,
+  mixed → GEOMETRYCOLLECTION M (PostGIS's mixed collection). Point
+  inputs filter by m ∈ [m1, m2] into MULTIPOINT M.
 - ``st_lineinterpolatepoints(line_2d, fraction, repeat)`` — the
   PostGIS plural: points at fraction, 2·fraction, … ≤ 1 when repeat,
   else the single fraction point; a single point returns POINT, more
@@ -275,7 +276,12 @@ def m_of_point(wkt) -> float | None:
         if kind == "Point" and payload:
             return payload[2]
         return None
-    # a 2-D point exists but has no M — PostGIS returns NULL
+    from . import zcoord as _z
+
+    zm = _z.m_of_zm_point(wkt)  # POINT ZM carries its M too (r15)
+    if zm is not None:
+        return zm
+    # a 2-D or Z-only point exists but has no M — PostGIS returns NULL
     return None
 
 
@@ -302,10 +308,15 @@ def mmax_of(wkt) -> float | None:
 
 
 def force2d_wkt(wkt) -> str | None:
-    """PostGIS ST_Force2D: drop the M coordinate (this engine has no
-    Z); plain 2-D input echoes in canonical form."""
+    """PostGIS ST_Force2D: drop the M, Z, or ZM coordinates (Z via the
+    r15 zcoord codec); plain 2-D input echoes in canonical form."""
     if wkt is None:
         return None
+    from . import zcoord as _z
+
+    z2 = _z.force2d_z_wkt(wkt)
+    if z2 is not None:
+        return z2
     pm = parse_m_wkt(wkt)
     if pm is not None:
         kind, payload = pm
@@ -338,8 +349,15 @@ def force2d_wkt(wkt) -> str | None:
 
 
 def zmflag_of(wkt) -> int | None:
+    """PostGIS ST_Zmflag: 0 = 2-D, 1 = M, 2 = Z, 3 = ZM (Z/ZM via the
+    r15 zcoord codec)."""
     if wkt is None:
         return None
+    from . import zcoord as _z
+
+    dims = _z.dims_of(wkt)
+    if dims is not None:
+        return 3 if dims == "ZM" else 2
     if parse_m_wkt(wkt) is not None:
         return 1
     s = str(wkt).strip()
@@ -423,6 +441,13 @@ def locatealong_wkt(wkt, measure) -> str | None:
 
 
 def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
+    """Spans whose measure lies in [m_lo, m_hi]. Zero-length contacts
+    (the range touches a segment's measure interval at one value)
+    return as POINT M parts (ADVICE r14): spans-only input keeps the
+    MULTILINESTRING M form, contacts-only returns MULTIPOINT M, and a
+    mix returns GEOMETRYCOLLECTION M (LINESTRING M parts first, then
+    POINT M contacts — PostGIS's mixed collection). A contact that
+    coincides with a span endpoint is not duplicated."""
     lo, hi = _num(m_lo), _num(m_hi)
     if wkt is None or lo is None or hi is None or hi < lo:
         return None
@@ -436,22 +461,9 @@ def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
     if kind == "MultiPoint":
         return to_m_wkt("MultiPoint", [p for p in payload if lo <= p[2] <= hi])
     chains = [payload] if kind == "LineString" else payload
-    spans, cur = [], []
+    spans, cur, contacts = [], [], []
     for ch in chains:
         for (ax, ay, am), (bx, by, bm) in zip(ch, ch[1:]):
-            if am == bm:
-                keep = lo <= am <= hi
-                t0, t1 = (0.0, 1.0) if keep else (1.0, 0.0)
-            else:
-                ta = (lo - am) / (bm - am)
-                tb = (hi - am) / (bm - am)
-                t0, t1 = (ta, tb) if ta <= tb else (tb, ta)
-                t0, t1 = max(0.0, t0), min(1.0, t1)
-            if t1 <= t0:
-                if cur:
-                    spans.append(cur)
-                    cur = []
-                continue
 
             def at(t):
                 # exact segment endpoints at t = 0/1 (code-review r14:
@@ -468,6 +480,36 @@ def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
                     am + t * (bm - am),
                 )
 
+            if am == bm:
+                if lo <= am <= hi:
+                    t0, t1 = 0.0, 1.0
+                else:
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+            else:
+                # clip in MEASURE space first so a clamped-out segment
+                # never fabricates a contact (ADVICE r14: the old
+                # param-space clamp conflated "touches at one measure"
+                # with "misses entirely")
+                mlo, mhi = (am, bm) if am < bm else (bm, am)
+                ilo, ihi = max(lo, mlo), min(hi, mhi)
+                if ilo > ihi:
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+                if ilo == ihi:
+                    contacts.append(at((ilo - am) / (bm - am)))
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+                ta = (ilo - am) / (bm - am)
+                tb = (ihi - am) / (bm - am)
+                t0, t1 = (ta, tb) if ta <= tb else (tb, ta)
+
             entry, exit_ = at(t0), at(t1)
             if cur and cur[-1] == entry:
                 cur.append(exit_)
@@ -478,7 +520,18 @@ def locatebetween_wkt(wkt, m_lo, m_hi) -> str | None:
         if cur:
             spans.append(cur)
             cur = []
-    return to_m_wkt("MultiLineString", spans)
+    span_pts = {p for s in spans for p in (s[0], s[-1])}
+    pts = []
+    for c in contacts:
+        if c not in span_pts and c not in pts:
+            pts.append(c)
+    if not pts:
+        return to_m_wkt("MultiLineString", spans)
+    if not spans:
+        return to_m_wkt("MultiPoint", pts)
+    parts = ["LINESTRING M (" + ", ".join(_pt_m(p) for p in s) + ")" for s in spans]
+    parts += [f"POINT M ({_pt_m(p)})" for p in pts]
+    return "GEOMETRYCOLLECTION M (" + ", ".join(parts) + ")"
 
 
 def lineinterpolatepoints_wkt(wkt, fraction, repeat) -> str | None:

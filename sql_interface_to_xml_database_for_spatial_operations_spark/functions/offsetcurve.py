@@ -98,14 +98,17 @@ def _orient2(a, b, p) -> float:
 
 
 def parse_offset_style(text) -> dict | None:
-    """quad_segs / join / mitre_limit only; anything else → None."""
+    """quad_segs / join / mitre_limit only; anything else → None.
+    A NULL style means "no parameters" — the defaults, exactly like
+    the empty string (ADVICE r14: PostGIS's optional third argument;
+    an explicit NULL must not poison the row)."""
     out = {
         "quad_segs": 8,
         "join": "round",
         "mitre_limit": DEFAULT_MITRE_LIMIT,
     }
     if text is None:
-        return None
+        return out
     for tok in str(text).split():
         if "=" not in tok:
             return None
@@ -327,7 +330,25 @@ def offsetcurve_wkt(wkt, dist, style) -> str | None:
 
 
 @pandas_udf(StringType())
-def st_offsetcurve(wkt: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
+def st_offsetcurve(wkt: pd.Series, dist: pd.Series) -> pd.Series:
+    """PostGIS's common 2-arg call shape (ADVICE r14): default style
+    (quad_segs=8, join=round) — the st_buffer/st_bufferstyle split."""
+    out = []
+    for w, d in zip(wkt, dist):
+        try:
+            if d is None or (isinstance(d, float) and math.isnan(d)):
+                out.append(None)
+            else:
+                out.append(offsetcurve_wkt(w, d, None))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_offsetcurvestyle(
+    wkt: pd.Series, dist: pd.Series, style: pd.Series
+) -> pd.Series:
     out = []
     for w, d, s in zip(wkt, dist, style):
         try:
@@ -342,6 +363,7 @@ def st_offsetcurve(wkt: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Seri
 
 ALL_OFFSET_FUNCTIONS = {
     "st_offsetcurve": st_offsetcurve,
+    "st_offsetcurvestyle": st_offsetcurvestyle,
 }
 
 

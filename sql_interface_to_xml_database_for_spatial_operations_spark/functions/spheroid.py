@@ -14,13 +14,19 @@ kernel converges there; nearly-antipodal measurement is out of this
 kernel's contract). Published anchor: the Vincenty/GDA reference line
 Flinders Peak → Buninyong = 54 972.271 m (unit-test pinned to 2 mm).
 
-- ``st_distancespheroid(pt_a, pt_b)`` — POINT × POINT only (loud NULL
-  otherwise; PostGIS accepts any geometry via its C loop, the puntal
-  restriction is documented); coordinates are lon/lat degrees, range
-  checked like st_geohash.
-- ``st_lengthspheroid(line)`` — sum of per-segment Vincenty distances
-  over LINESTRING / MULTILINESTRING (points → 0.0 like ST_Length;
-  areal input → loud NULL).
+- ``st_distancespheroid(pt_a, pt_b, spheroid)`` — POINT × POINT only
+  (loud NULL otherwise; PostGIS accepts any geometry via its C loop,
+  the puntal restriction is documented); coordinates are lon/lat
+  degrees, range checked like st_geohash. The spheroid argument is
+  PostGIS's text form ``SPHEROID["WGS 84",6378137,298.257223563]``
+  (r15, ADVICE r14 — the PostGIS call shape): the axis and inverse
+  flattening are parsed, validated, and USED by the kernel; a NULL
+  spheroid takes the WGS84 default (documented convenience — ported
+  SQL never NULLs a constant), malformed text is a loud NULL.
+- ``st_lengthspheroid(g, spheroid)`` — sum of per-segment Vincenty
+  distances over LINESTRING / MULTILINESTRING, and the PERIMETER of
+  Polygon / MultiPolygon (all rings — PostGIS ST_LengthSpheroid's
+  areal behavior, r15 ADVICE r14; points → 0.0 like ST_Length).
 
 Map-only Arrow-batched pandas UDFs; ~12 iterations per pair (the
 linear rate is f ≈ 0.0033).
@@ -29,28 +35,58 @@ linear rate is f ≈ 0.0033).
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 from . import geometry as G
 from . import overlay as _ov
 
 _A = 6378137.0
 _F = 1.0 / 298.257223563
-_B = _A * (1.0 - _F)
 _MAX_ITER = 200
 _EPS = 1e-14  # λ fixed-point residual (radians)
 
+WGS84_SPHEROID = 'SPHEROID["WGS 84",6378137,298.257223563]'
 
-def vincenty_inverse(lon1, lat1, lon2, lat2) -> float | None:
+_SPHEROID_RE = re.compile(
+    r'^\s*SPHEROID\s*\[\s*"[^"]*"\s*,\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\]\s*$',
+    re.IGNORECASE,
+)
+
+
+def parse_spheroid(text):
+    """(a, f) from PostGIS's SPHEROID["name",a,rf] text; None when
+    malformed. rf = 0 means a sphere (f = 0), otherwise rf > 1."""
+    if text is None:
+        return (_A, _F)  # documented NULL → WGS84 default
+    mt = _SPHEROID_RE.match(str(text))
+    if not mt:
+        return None
+    try:
+        a = float(mt.group(1))
+        rf = float(mt.group(2))
+    except ValueError:
+        return None
+    if not (math.isfinite(a) and math.isfinite(rf)) or a <= 0.0:
+        return None
+    if rf == 0.0:
+        return (a, 0.0)
+    if rf <= 1.0:
+        return None
+    return (a, 1.0 / rf)
+
+
+def vincenty_inverse(lon1, lat1, lon2, lat2, a=_A, f=_F) -> float | None:
     """Geodesic distance in metres, or None on non-convergence."""
     if lon1 == lon2 and lat1 == lat2:
         return 0.0
-    u1 = math.atan((1.0 - _F) * math.tan(math.radians(lat1)))
-    u2 = math.atan((1.0 - _F) * math.tan(math.radians(lat2)))
+    b = a * (1.0 - f)
+    u1 = math.atan((1.0 - f) * math.tan(math.radians(lat1)))
+    u2 = math.atan((1.0 - f) * math.tan(math.radians(lat2)))
     big_l = math.radians(lon2 - lon1)
     sin_u1, cos_u1 = math.sin(u1), math.cos(u1)
     sin_u2, cos_u2 = math.sin(u2), math.cos(u2)
@@ -71,9 +107,9 @@ def vincenty_inverse(lon1, lat1, lon2, lat2) -> float | None:
             cos_2sigma_m = 0.0  # equatorial line
         else:
             cos_2sigma_m = cos_sigma - 2.0 * sin_u1 * sin_u2 / cos2_alpha
-        c = _F / 16.0 * cos2_alpha * (4.0 + _F * (4.0 - 3.0 * cos2_alpha))
+        c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
         lam_prev = lam
-        lam = big_l + (1.0 - c) * _F * sin_alpha * (
+        lam = big_l + (1.0 - c) * f * sin_alpha * (
             sigma
             + c * sin_sigma * (
                 cos_2sigma_m
@@ -84,7 +120,7 @@ def vincenty_inverse(lon1, lat1, lon2, lat2) -> float | None:
             break
     else:
         return None  # the documented near-antipodal window — loud
-    u_sq = cos2_alpha * (_A * _A - _B * _B) / (_B * _B)
+    u_sq = cos2_alpha * (a * a - b * b) / (b * b)
     big_a = 1.0 + u_sq / 16384.0 * (
         4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
     )
@@ -100,7 +136,7 @@ def vincenty_inverse(lon1, lat1, lon2, lat2) -> float | None:
             * (-3.0 + 4.0 * cos_2sigma_m * cos_2sigma_m)
         )
     )
-    return _B * big_a * (sigma - delta_sigma)
+    return b * big_a * (sigma - delta_sigma)
 
 
 def _lonlat(wkt):
@@ -120,21 +156,26 @@ def _lonlat(wkt):
     return (x, y)
 
 
-def distancespheroid_of(a_wkt, b_wkt) -> float | None:
+def distancespheroid_of(a_wkt, b_wkt, spheroid=None) -> float | None:
+    sph = parse_spheroid(spheroid)
+    if sph is None:
+        return None
     a, b = _lonlat(a_wkt), _lonlat(b_wkt)
     if a is None or b is None:
         return None
-    return vincenty_inverse(a[0], a[1], b[0], b[1])
+    return vincenty_inverse(a[0], a[1], b[0], b[1], *sph)
 
 
-def lengthspheroid_of(wkt) -> float | None:
-    if wkt is None:
+def lengthspheroid_of(wkt, spheroid=None) -> float | None:
+    sph = parse_spheroid(spheroid)
+    if wkt is None or sph is None:
         return None
     s = str(wkt).strip()
     m = _ov._EMPTY_RE.match(s.upper())
     if m:
         return 0.0 if m.group(1) in (
-            "LINESTRING", "MULTILINESTRING", "POINT", "MULTIPOINT"
+            "LINESTRING", "MULTILINESTRING", "POINT", "MULTIPOINT",
+            "POLYGON", "MULTIPOLYGON",
         ) else None
     g = G.parse_wkt(s)
     if g is None:
@@ -145,8 +186,12 @@ def lengthspheroid_of(wkt) -> float | None:
         chains = [g.coords]
     elif g.kind == "MultiLineString":
         chains = g.coords
+    elif g.kind == "Polygon":
+        chains = g.coords  # every ring — perimeter (ADVICE r14)
+    elif g.kind == "MultiPolygon":
+        chains = [ring for rings in g.coords for ring in rings]
     else:
-        return None  # areal/mixed: loud (ST_Length semantics are lineal)
+        return None  # mixed collection: loud
     total = 0.0
     for ch in chains:
         for (x1, y1), (x2, y2) in zip(ch, ch[1:]):
@@ -156,7 +201,7 @@ def lengthspheroid_of(wkt) -> float | None:
                 return None
             if not (-180.0 <= x2 <= 180.0 and -90.0 <= y2 <= 90.0):
                 return None
-            d = vincenty_inverse(x1, y1, x2, y2)
+            d = vincenty_inverse(x1, y1, x2, y2, *sph)
             if d is None:
                 return None
             total += d
@@ -164,22 +209,24 @@ def lengthspheroid_of(wkt) -> float | None:
 
 
 @pandas_udf(DoubleType())
-def st_distancespheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+def st_distancespheroid(a: pd.Series, b: pd.Series, sph: pd.Series) -> pd.Series:
+    """PostGIS arity: ST_DistanceSpheroid(geom, geom, spheroid_text)."""
     out = []
-    for x, y in zip(a, b):
+    for x, y, s in zip(a, b, sph):
         try:
-            out.append(distancespheroid_of(x, y))
+            out.append(distancespheroid_of(x, y, s))
         except Exception:
             out.append(None)
     return pd.Series(out, dtype="object").astype("float64")
 
 
 @pandas_udf(DoubleType())
-def st_lengthspheroid(wkt: pd.Series) -> pd.Series:
+def st_lengthspheroid(wkt: pd.Series, sph: pd.Series) -> pd.Series:
+    """PostGIS arity: ST_LengthSpheroid(geom, spheroid_text)."""
     out = []
-    for w in wkt:
+    for w, s in zip(wkt, sph):
         try:
-            out.append(lengthspheroid_of(w))
+            out.append(lengthspheroid_of(w, s))
         except Exception:
             out.append(None)
     return pd.Series(out, dtype="object").astype("float64")

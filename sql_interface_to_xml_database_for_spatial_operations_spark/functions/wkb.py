@@ -11,6 +11,17 @@ LineString=2, Polygon=3, MultiPoint=4, MultiLineString=5,
 MultiPolygon=6, GeometryCollection=7), then type-specific payload;
 Multi*/collection members are full nested WKBs with their own headers.
 
+Dimensions (r15): Z / M / ZM geometries encode with the ISO (SFA 1.2)
+type offsets PostGIS's ST_AsBinary emits — +1000 (Z), +2000 (M),
++3000 (ZM) — with 3- or 4-double coordinates; decoding additionally
+honors the EWKB flag bits (0x80000000 = Z, 0x40000000 = M) so
+PostGIS ST_AsEWKB output reads too. The WKT side round-trips through
+the zcoord / measure_m codecs, so nested members must agree with
+their container's dimensions (PostGIS enforces the same), POLYGON M
+and dimensional GEOMETRYCOLLECTIONs are outside those codecs' kinds
+→ loud NULL, and the EWKB SRID flag (0x20000000) stays rejected
+rather than misread.
+
 Encoding always emits little-endian (like PostGIS on x86); decoding
 honors either byte-order flag, per element, including mixed-endian
 nested members. Truncated / malformed buffers decode to NULL (the
@@ -18,13 +29,12 @@ registry-wide null-safety convention, tests/test_udf_null_safety.py).
 
 Scale: both directions are Arrow-vectorized pandas UDFs — map-only,
 no shuffle; ``struct`` packing is pure CPython over small per-row
-buffers. 2D only (no Z/M, no EWKB SRID flag), matching the rest of the
-engine's 2-D WKT model; an EWKB flag byte is rejected as malformed
-rather than misread.
+buffers.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 
 import pandas as pd
@@ -33,6 +43,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, StringType
 
 from . import geometry as G
+from . import measure_m as _mm
+from . import zcoord as _zc
 from .geometry import Geometry
 
 _KIND_CODE = {
@@ -46,9 +58,15 @@ _KIND_CODE = {
 }
 _CODE_KIND = {v: k for k, v in _KIND_CODE.items()}
 
+_MEMBER_KIND = {
+    "MultiPoint": "Point",
+    "MultiLineString": "LineString",
+    "MultiPolygon": "Polygon",
+}
+
 
 def geom_to_wkb(g: Geometry) -> bytes:
-    """Little-endian WKB of a parsed geometry."""
+    """Little-endian WKB of a parsed 2-D geometry."""
     code = _KIND_CODE[g.kind]
     head = struct.pack("<BI", 1, code)
     if g.kind == "Point":
@@ -78,6 +96,38 @@ def geom_to_wkb(g: Geometry) -> bytes:
     )
 
 
+def _zm_to_wkb(kind: str, z: bool, m: bool, payload) -> bytes:
+    """Little-endian ISO WKB of a zcoord / measure_m codec payload
+    (3- or 4-wide tuples; shapes mirror the 2-D Geometry coords)."""
+    width = 2 + (1 if z else 0) + (1 if m else 0)
+    code = _KIND_CODE[kind] + (1000 if z else 0) + (2000 if m else 0)
+    head = struct.pack("<BI", 1, code)
+    fmt = f"<{width}d"
+    if kind == "Point":
+        if not payload:  # POINT Z EMPTY → all-NaN coords (PostGIS)
+            return head + struct.pack(fmt, *([float("nan")] * width))
+        return head + struct.pack(fmt, *payload)
+    if kind == "LineString":
+        return head + struct.pack("<I", len(payload)) + b"".join(
+            struct.pack(fmt, *p) for p in payload
+        )
+    if kind == "Polygon":
+        out = [head, struct.pack("<I", len(payload))]
+        for ring in payload:
+            out.append(struct.pack("<I", len(ring)))
+            out.extend(struct.pack(fmt, *p) for p in ring)
+        return b"".join(out)
+    if kind == "MultiPoint":
+        members = [("Point", p) for p in payload]
+    elif kind == "MultiLineString":
+        members = [("LineString", ch) for ch in payload]
+    else:  # MultiPolygon
+        members = [("Polygon", rings) for rings in payload]
+    return head + struct.pack("<I", len(members)) + b"".join(
+        _zm_to_wkb(mk, z, m, mp) for mk, mp in members
+    )
+
+
 class _Reader:
     __slots__ = ("buf", "pos")
 
@@ -99,8 +149,15 @@ _MAX_DEPTH = 32  # nesting cap: a ~9 KB buffer of nested collection
 # headers would otherwise recurse past Python's limit and crash the
 # task instead of NULLing the row (code-review r7)
 
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
 
-def _read_geom(r: _Reader, depth: int = 0) -> Geometry:
+
+def _read_geom(r: _Reader, depth: int = 0):
+    """→ (kind, z, m, payload). 2-D payloads mirror Geometry coords
+    (GeometryCollection members come back as Geometry objects); Z/M/ZM
+    payloads mirror the zcoord / measure_m codec shapes."""
     if depth > _MAX_DEPTH:
         raise ValueError("nesting too deep")
     (order,) = r.take("B")
@@ -111,9 +168,33 @@ def _read_geom(r: _Reader, depth: int = 0) -> Geometry:
     else:
         raise ValueError(f"bad byte order {order}")
     (code,) = r.take(e + "I")
-    kind = _CODE_KIND.get(code)
-    if kind is None:  # includes EWKB Z/M/SRID-flagged types
+    if code & _EWKB_SRID:
+        # an embedded SRID would silently shift every coordinate read —
+        # reject rather than misread (tests/test_wkb.py)
+        raise ValueError("EWKB SRID flag unsupported")
+    z = bool(code & _EWKB_Z)
+    m = bool(code & _EWKB_M)
+    base = code & ~(_EWKB_Z | _EWKB_M)
+    if not (z or m):
+        # ISO (SFA 1.2) offsets: 1000 = Z, 2000 = M, 3000 = ZM
+        if 3000 < base < 4000:
+            z = m = True
+            base -= 3000
+        elif 2000 < base < 3000:
+            m = True
+            base -= 2000
+        elif 1000 < base < 2000:
+            z = True
+            base -= 1000
+    kind = _CODE_KIND.get(base)
+    if kind is None:
         raise ValueError(f"unsupported geometry type {code}")
+    if kind == "GeometryCollection" and (z or m):
+        raise ValueError("dimensional GEOMETRYCOLLECTION unsupported")
+    if m and not z and kind in ("Polygon", "MultiPolygon"):
+        raise ValueError("POLYGON M unsupported")
+    width = 2 + (1 if z else 0) + (1 if m else 0)
+    fmt = e + f"{width}d"
 
     def count() -> int:
         (n,) = r.take(e + "I")
@@ -121,11 +202,14 @@ def _read_geom(r: _Reader, depth: int = 0) -> Geometry:
             raise ValueError("implausible element count")
         return n
 
+    def coord():
+        vals = r.take(fmt)
+        return vals if width > 2 else tuple(vals)
+
     if kind == "Point":
-        x, y = r.take(e + "2d")
-        return Geometry("Point", (x, y))
+        return (kind, z, m, coord())
     if kind == "LineString":
-        return Geometry("LineString", [tuple(r.take(e + "2d")) for _ in range(count())])
+        return (kind, z, m, [coord() for _ in range(count())])
     if kind == "Polygon":
         n_rings = count()
         rings = []
@@ -133,42 +217,51 @@ def _read_geom(r: _Reader, depth: int = 0) -> Geometry:
             n_pts = count()
             if n_pts == 0:
                 raise ValueError("zero-point ring")
-            rings.append([tuple(r.take(e + "2d")) for _ in range(n_pts)])
-        return Geometry("Polygon", rings)
+            rings.append([coord() for _ in range(n_pts)])
+        return (kind, z, m, rings)
     members = [_read_geom(r, depth + 1) for _ in range(count())]
+    if any((mz, mm) != (z, m) for _, mz, mm, _ in members):
+        # PostGIS enforces uniform dimensionality inside a container
+        raise ValueError("member dimensionality differs from container")
     # nested typed-EMPTY members (legal but exotic WKB) have no WKT
     # representation in this engine's model → loud NULL, never
     # 'MULTIPOLYGON (())'
-    if any(m.kind != "Point" and not m.coords for m in members):
+    if any(mk != "Point" and not mp for mk, _, _, mp in members):
         raise ValueError("nested empty member")
-    if kind == "MultiPoint":
-        if any(m.kind != "Point" for m in members):
-            raise ValueError("MULTIPOINT member is not a point")
-        return Geometry("MultiPoint", [m.coords for m in members])
-    if kind == "MultiLineString":
-        if any(m.kind != "LineString" for m in members):
-            raise ValueError("MULTILINESTRING member is not a linestring")
-        return Geometry("MultiLineString", [m.coords for m in members])
-    if kind == "MultiPolygon":
-        if any(m.kind != "Polygon" for m in members):
-            raise ValueError("MULTIPOLYGON member is not a polygon")
-        return Geometry("MultiPolygon", [m.coords for m in members])
-    return Geometry("GeometryCollection", members)
+    want = _MEMBER_KIND.get(kind)
+    if want is not None:
+        if any(mk != want for mk, _, _, _ in members):
+            raise ValueError(f"{kind.upper()} member is not a {want}")
+        return (kind, z, m, [mp for _, _, _, mp in members])
+    # 2-D GeometryCollection: members become Geometry objects
+    return (kind, z, m, [Geometry(mk, mp) for mk, _, _, mp in members])
 
 
-def wkb_to_geom(buf) -> Geometry | None:
-    """Decode WKB (either endian, nested) — None on any malformation."""
+def _decode(buf):
+    """(kind, z, m, payload) — None on any malformation."""
     if buf is None:
         return None
     try:
         b = bytes(buf)
         r = _Reader(b)
-        g = _read_geom(r)
+        out = _read_geom(r)
         if r.pos != len(b):
             raise ValueError("trailing bytes after geometry")
-        return g
+        return out
     except (ValueError, struct.error):
         return None
+
+
+def wkb_to_geom(buf) -> Geometry | None:
+    """Decode 2-D WKB (either endian, nested) — None on malformation
+    or on Z/M-dimensional input (those decode via wkb_to_wkt)."""
+    decoded = _decode(buf)
+    if decoded is None:
+        return None
+    kind, z, m, payload = decoded
+    if z or m:
+        return None
+    return Geometry(kind, payload)
 
 
 _EMPTY_KINDS = {
@@ -195,16 +288,38 @@ def wkt_to_wkb(wkt) -> bytes | None:
             if code == 1:
                 return struct.pack("<BI2d", 1, 1, float("nan"), float("nan"))
             return struct.pack("<BII", 1, code, 0)
+    pz = _zc.parse_z_wkt(s)
+    if pz is not None:
+        kind, has_m, payload = pz
+        return _zm_to_wkb(kind, True, has_m, payload)
+    pm = _mm.parse_m_wkt(s)
+    if pm is not None:
+        kind, payload = pm
+        return _zm_to_wkb(kind, False, True, payload)
     g = G.parse_wkt(s)
     return None if g is None else geom_to_wkb(g)
 
 
+def _nan_pt(p) -> bool:
+    return any(v != v for v in p)
+
+
 def wkb_to_wkt(buf) -> str | None:
-    g = wkb_to_geom(buf)
-    if g is None:
+    decoded = _decode(buf)
+    if decoded is None:
         return None
+    kind, z, m, payload = decoded
+    if z or m:
+        if kind == "Point" and _nan_pt(payload):
+            payload = ()  # all-NaN point → typed EMPTY (PostGIS)
+        elif not _finite_payload(kind, payload):
+            return None  # non-finite coordinates are loud NULLs
+        if z:
+            return _zc.to_z_wkt(kind, m, payload)
+        return _mm.to_m_wkt(kind, payload)
     # empty bodies round-trip as typed EMPTY, never 'LINESTRING ()'
     # (which the engine's own parser would reject)
+    g = Geometry(kind, payload)
     if g.kind == "Point" and g.coords[0] != g.coords[0]:  # NaN
         return "POINT EMPTY"
     if g.kind != "Point" and not g.coords:
@@ -212,15 +327,33 @@ def wkb_to_wkt(buf) -> str | None:
     return G.to_wkt(g)
 
 
+def _finite_payload(kind: str, payload) -> bool:
+    if kind == "Point":
+        return not payload or all(math.isfinite(v) for v in payload)
+    if kind in ("MultiPoint", "LineString"):
+        return all(math.isfinite(v) for p in payload for v in p)
+    if kind in ("MultiLineString", "Polygon"):
+        return all(math.isfinite(v) for ch in payload for p in ch for v in p)
+    return all(
+        math.isfinite(v)
+        for rings in payload
+        for ring in rings
+        for p in ring
+        for v in p
+    )
+
+
 @pandas_udf(BinaryType())
 def st_asbinary(wkt: pd.Series) -> pd.Series:
-    """ST_AsBinary: WKT → little-endian WKB (NULL-safe)."""
+    """ST_AsBinary: WKT (2-D / Z / M / ZM) → little-endian WKB
+    (ISO type offsets for dimensional input; NULL-safe)."""
     return pd.Series([wkt_to_wkb(w) for w in wkt], dtype=object)
 
 
 @pandas_udf(StringType())
 def st_geomfromwkb(buf: pd.Series) -> pd.Series:
-    """ST_GeomFromWKB: WKB (either endian) → WKT; NULL on malformed."""
+    """ST_GeomFromWKB: WKB (either endian, ISO or EWKB-flag dims) →
+    WKT; NULL on malformed."""
     return pd.Series([wkb_to_wkt(b) for b in buf], dtype=object)
 
 

@@ -1,0 +1,617 @@
+"""Z (3-D) coordinate support (F12 remainder, r15 — VERDICT r14
+missing item 1): ST_Z / ST_ZMin / ST_ZMax / ST_Force3D(Z) /
+ST_3DDistance / ST_3DLength. The reference forwards PostGIS names
+verbatim (src/index.ts:44-63), and elevation / LiDAR / GPS-altitude
+datasets carry Z on day one — previously the engine's
+highest-frequency loud-NULL refusal.
+
+The Z dimension lives in THIS module: a self-contained
+``… Z (x y z)`` / ``… ZM (x y z m)`` WKT codec over the six
+simple-feature kinds (POINT / MULTIPOINT / LINESTRING /
+MULTILINESTRING / POLYGON / MULTIPOLYGON) so the core 2-D geometry
+kernel stays untouched — the proven measure_m.py template (r14).
+Output mirrors PostGIS ST_AsText: ``POINT Z (1 2 3)``,
+``POLYGON Z ((x y z, …))``, ``MULTIPOINT ZM ((x y z m), …)``.
+
+Semantics (PostGIS-matching unless noted):
+
+- ``st_z(point)`` — the Z of a POINT Z / POINT ZM; NULL for 2-D or
+  M-only points (the coordinate is absent) and non-points (loud).
+- ``st_zmin(g)`` / ``st_zmax(g)`` — min/max Z over all vertices of a
+  Z/ZM geometry; no Z or EMPTY → loud NULL.
+- ``st_force3d(g)`` / ``st_force3dz(g, z)`` — force XYZ mode: 2-D
+  input gains Z = z (default 0), Z input echoes canonically, ZM and
+  M-only input drop M and keep/gain Z (liblwgeom ``force_dims(hasz=1,
+  hasm=0)`` — PostGIS ST_Force3DZ discards M). GEOMETRYCOLLECTION is
+  outside the Z codec's kinds → documented loud NULL.
+- ``st_3dlength(line)`` — cumulative 3-D arc length of a lineal
+  geometry; 2-D / M-only lineal input computes with Z = 0 (PostGIS
+  behavior: missing Z contributes nothing). Non-lineal → loud NULL.
+- ``st_3ddistance(a, b)`` — minimum 3-D distance between puntal /
+  lineal geometries (any mix of 2-D / M / Z / ZM — absent Z reads 0,
+  PostGIS's convention for mixed-dimension pairs). Point–point,
+  point–segment, and segment–segment closed forms (Ericson,
+  *Real-Time Collision Detection* §5.1.9 — the public algorithm GEOS
+  uses); areal operands are a documented loud NULL (PostGIS supports
+  planar polygon faces; this engine's 3-D surface model does not).
+
+All map-only Arrow-batched pandas UDFs — no shuffle; pairwise
+kernels carry the linearref-style work budget so adversarial
+many-vertex rows degrade to a loud NULL, never a hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from .geometry import Geometry
+
+_Z_KINDS = (
+    "POINT",
+    "MULTIPOINT",
+    "LINESTRING",
+    "MULTILINESTRING",
+    "POLYGON",
+    "MULTIPOLYGON",
+)
+_CANON = {
+    "POINT": "Point",
+    "MULTIPOINT": "MultiPoint",
+    "LINESTRING": "LineString",
+    "MULTILINESTRING": "MultiLineString",
+    "POLYGON": "Polygon",
+    "MULTIPOLYGON": "MultiPolygon",
+}
+_HEAD_RE = re.compile(
+    r"^\s*(POINT|MULTIPOINT|LINESTRING|MULTILINESTRING|POLYGON|"
+    r"MULTIPOLYGON)\s*(ZM|Z)\b\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# point-segment-evaluation budget for the pairwise 3-D distance kernel
+# (the linearref.py:209 convention): beyond this the row is a loud
+# NULL, never a multi-second driver-side loop
+_MAX_PAIR_WORK = 4_000_000
+
+
+def _fmt(v: float) -> str:
+    return G._fmt(v)
+
+
+def _tuple_of(tok: str, width: int):
+    parts = tok.split()
+    if len(parts) != width:
+        return None
+    try:
+        vals = tuple(float(p) for p in parts)
+    except ValueError:
+        return None
+    if not all(math.isfinite(v) for v in vals):
+        return None
+    return vals
+
+
+def _split_top(body: str) -> list[str] | None:
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip() for s in out]
+
+
+def _strip_parens(tok: str) -> str | None:
+    tok = tok.strip()
+    if not (tok.startswith("(") and tok.endswith(")")):
+        return None
+    return tok[1:-1].strip()
+
+
+def _parse_ring(tok: str, width: int):
+    inner = _split_top(tok)
+    if inner is None:
+        return None
+    pts = [_tuple_of(t, width) for t in inner]
+    if any(p is None for p in pts):
+        return None
+    return pts
+
+
+def _valid_poly_ring(ring) -> bool:
+    # the 2-D parser's ring contract: ≥ 4 vertices, closed in x/y/z(/m)
+    return len(ring) >= 4 and ring[0] == ring[-1]
+
+
+def parse_z_wkt(wkt):
+    """('Point'|…|'MultiPolygon', has_m, payload) for a Z- or ZM-typed
+    WKT; None for anything else (2-D and M-only WKT included).
+    Payload: Point → tuple; MultiPoint/LineString → [tuple];
+    Polygon/MultiLineString → [[tuple]]; MultiPolygon → [[[tuple]]].
+    ``<KIND> Z EMPTY`` → empty payload. Tuples are (x, y, z) or
+    (x, y, z, m)."""
+    if wkt is None:
+        return None
+    mt = _HEAD_RE.match(str(wkt))
+    if not mt:
+        return None
+    canon = _CANON[mt.group(1).upper()]
+    has_m = mt.group(2).upper() == "ZM"
+    width = 4 if has_m else 3
+    rest = mt.group(3).strip()
+    if rest.upper() == "EMPTY":
+        return (canon, has_m, () if canon == "Point" else [])
+    body = _strip_parens(rest)
+    if body is None:
+        return None
+    if canon == "Point":
+        t = _tuple_of(body, width)
+        return None if t is None else (canon, has_m, t)
+    toks = _split_top(body)
+    if toks is None:
+        return None
+    if canon in ("MultiPoint", "LineString"):
+        pts = []
+        for tok in toks:
+            tok = tok.strip()
+            if canon == "MultiPoint":
+                stripped = _strip_parens(tok)
+                if stripped is not None:
+                    tok = stripped
+            t = _tuple_of(tok, width)
+            if t is None:
+                return None
+            pts.append(t)
+        if canon == "LineString" and len(pts) < 2:
+            return None
+        return (canon, has_m, pts)
+    if canon in ("MultiLineString", "Polygon"):
+        chains = []
+        for tok in toks:
+            inner = _strip_parens(tok)
+            if inner is None:
+                return None
+            pts = _parse_ring(inner, width)
+            if pts is None:
+                return None
+            if canon == "Polygon":
+                if not _valid_poly_ring(pts):
+                    return None
+            elif len(pts) < 2:
+                return None
+            chains.append(pts)
+        return (canon, has_m, chains)
+    # MultiPolygon
+    polys = []
+    for tok in toks:
+        poly_body = _strip_parens(tok)
+        if poly_body is None:
+            return None
+        ring_toks = _split_top(poly_body)
+        if ring_toks is None:
+            return None
+        rings = []
+        for rt in ring_toks:
+            inner = _strip_parens(rt)
+            if inner is None:
+                return None
+            pts = _parse_ring(inner, width)
+            if pts is None or not _valid_poly_ring(pts):
+                return None
+            rings.append(pts)
+        if not rings:
+            return None
+        polys.append(rings)
+    return (canon, has_m, polys)
+
+
+def _pt(p) -> str:
+    return " ".join(_fmt(v) for v in p)
+
+
+def to_z_wkt(kind: str, has_m: bool, payload) -> str:
+    tag = "ZM" if has_m else "Z"
+    head = f"{kind.upper()} {tag} "
+    if kind == "Point":
+        if not payload:
+            return f"POINT {tag} EMPTY"
+        return head + f"({_pt(payload)})"
+    if not payload:
+        return f"{kind.upper()} {tag} EMPTY"
+    if kind == "MultiPoint":
+        return head + "(" + ", ".join(f"({_pt(p)})" for p in payload) + ")"
+    if kind == "LineString":
+        return head + "(" + ", ".join(_pt(p) for p in payload) + ")"
+    if kind in ("MultiLineString", "Polygon"):
+        return head + "(" + ", ".join(
+            "(" + ", ".join(_pt(p) for p in ch) + ")" for ch in payload
+        ) + ")"
+    return head + "(" + ", ".join(
+        "(" + ", ".join(
+            "(" + ", ".join(_pt(p) for p in ring) + ")" for ring in rings
+        ) + ")"
+        for rings in payload
+    ) + ")"
+
+
+def _num(v) -> float | None:
+    if v is None:
+        return None
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return None
+    return f if math.isfinite(f) else None
+
+
+def _iter_pts(kind: str, payload):
+    if kind == "Point":
+        if payload:
+            yield payload
+        return
+    if kind in ("MultiPoint", "LineString"):
+        yield from payload
+        return
+    if kind in ("MultiLineString", "Polygon"):
+        for ch in payload:
+            yield from ch
+        return
+    for rings in payload:
+        for ring in rings:
+            yield from ring
+
+
+def dims_of(wkt) -> str | None:
+    """'Z' or 'ZM' when this codec owns the WKT, else None."""
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    return "ZM" if pz[1] else "Z"
+
+
+def z_of_point(wkt) -> float | None:
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    kind, _, payload = pz
+    if kind == "Point" and payload:
+        return payload[2]
+    return None
+
+
+def m_of_zm_point(wkt) -> float | None:
+    """The M of a POINT ZM (measure_m.st_m delegates ZM points here)."""
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    kind, has_m, payload = pz
+    if kind == "Point" and has_m and payload:
+        return payload[3]
+    return None
+
+
+def _all_z(wkt) -> list | None:
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    kind, _, payload = pz
+    return [p[2] for p in _iter_pts(kind, payload)]
+
+
+def zmin_of(wkt) -> float | None:
+    zs = _all_z(wkt)
+    return min(zs) if zs else None
+
+
+def zmax_of(wkt) -> float | None:
+    zs = _all_z(wkt)
+    return max(zs) if zs else None
+
+
+def _map_pts(kind: str, payload, fn):
+    if kind == "Point":
+        return fn(payload) if payload else payload
+    if kind in ("MultiPoint", "LineString"):
+        return [fn(p) for p in payload]
+    if kind in ("MultiLineString", "Polygon"):
+        return [[fn(p) for p in ch] for ch in payload]
+    return [[[fn(p) for p in ring] for ring in rings] for rings in payload]
+
+
+def force3d_wkt(wkt, z0=0.0) -> str | None:
+    """PostGIS ST_Force3DZ: XYZ mode. 2-D gains Z = z0; Z echoes;
+    ZM / M-only drop M (force_dims(hasz=1, hasm=0)); collections are
+    outside the codec's kinds → loud NULL."""
+    z = _num(z0)
+    if wkt is None or z is None:
+        return None
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, has_m, payload = pz
+        if not has_m:
+            return to_z_wkt(kind, False, payload)
+        return to_z_wkt(kind, False, _map_pts(kind, payload, lambda p: p[:3]))
+    from . import measure_m as _mm
+
+    pm = _mm.parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        return to_z_wkt(
+            kind, False, _map_pts(kind, payload, lambda p: (p[0], p[1], z))
+        )
+    s = str(wkt).strip()
+    mt = _ov._EMPTY_RE.match(s.upper())
+    if mt:
+        kind = mt.group(1)
+        if kind not in _Z_KINDS:
+            return None
+        return f"{kind} Z EMPTY"
+    g = G.parse_wkt(s)
+    if g is None or g.kind == "GeometryCollection":
+        return None
+    return to_z_wkt(
+        g.kind, False, _map_pts(g.kind, g.coords, lambda p: (p[0], p[1], z))
+    )
+
+
+def force2d_z_wkt(wkt) -> str | None:
+    """Drop Z (and M) from a Z/ZM WKT into the canonical 2-D form;
+    None when this codec does not own the WKT (callers fall through
+    to the M / 2-D paths)."""
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    kind, _, payload = pz
+    if kind == "Point":
+        if not payload:
+            return "POINT EMPTY"
+        return G.to_wkt(Geometry("Point", (payload[0], payload[1])))
+    if not payload:
+        return f"{kind.upper()} EMPTY"
+    return G.to_wkt(
+        Geometry(kind, _map_pts(kind, payload, lambda p: (p[0], p[1])))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-D primitives: any puntal/lineal WKT (2-D, M, Z, ZM) → points + segments
+# ---------------------------------------------------------------------------
+
+
+def _prims_3d(wkt):
+    """([points], [segments]) in XYZ (absent Z reads 0), or None for
+    non-puntal/lineal input. Segments are ((x,y,z), (x,y,z))."""
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, _, payload = pz
+        if kind in ("Polygon", "MultiPolygon"):
+            return None
+        xyz = lambda p: (p[0], p[1], p[2])  # noqa: E731
+        if kind == "Point":
+            return ([xyz(payload)] if payload else [], [])
+        if kind == "MultiPoint":
+            return ([xyz(p) for p in payload], [])
+        chains = [payload] if kind == "LineString" else payload
+        segs = [
+            (xyz(p), xyz(q)) for ch in chains for p, q in zip(ch, ch[1:])
+        ]
+        return ([], segs)
+    from . import measure_m as _mm
+
+    pm = _mm.parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        xy0 = lambda p: (p[0], p[1], 0.0)  # noqa: E731
+        if kind == "Point":
+            return ([xy0(payload)] if payload else [], [])
+        if kind == "MultiPoint":
+            return ([xy0(p) for p in payload], [])
+        chains = [payload] if kind == "LineString" else payload
+        segs = [
+            (xy0(p), xy0(q)) for ch in chains for p, q in zip(ch, ch[1:])
+        ]
+        return ([], segs)
+    s = str(wkt).strip()
+    mt = _ov._EMPTY_RE.match(s.upper())
+    if mt:
+        if mt.group(1) in ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING"):
+            return ([], [])
+        return None
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind == "Point":
+        return ([(g.coords[0], g.coords[1], 0.0)], [])
+    if g.kind == "MultiPoint":
+        return ([(x, y, 0.0) for x, y in g.coords], [])
+    if g.kind in ("LineString", "MultiLineString"):
+        chains = [g.coords] if g.kind == "LineString" else g.coords
+        segs = [
+            ((p[0], p[1], 0.0), (q[0], q[1], 0.0))
+            for ch in chains
+            for p, q in zip(ch, ch[1:])
+        ]
+        return ([], segs)
+    return None
+
+
+def _d3(p, q) -> float:
+    return math.sqrt(
+        (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2
+    )
+
+
+def _pt_seg_d3(p, a, b) -> float:
+    ab = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
+    ap = (p[0] - a[0], p[1] - a[1], p[2] - a[2])
+    denom = ab[0] ** 2 + ab[1] ** 2 + ab[2] ** 2
+    if denom == 0.0:
+        return _d3(p, a)
+    t = (ap[0] * ab[0] + ap[1] * ab[1] + ap[2] * ab[2]) / denom
+    t = 0.0 if t < 0.0 else 1.0 if t > 1.0 else t
+    c = (a[0] + t * ab[0], a[1] + t * ab[1], a[2] + t * ab[2])
+    return _d3(p, c)
+
+
+def _seg_seg_d3(p1, q1, p2, q2) -> float:
+    """Closest distance between 3-D segments [p1,q1] and [p2,q2] —
+    Ericson RTCD §5.1.9 (clamped quadratic; degenerate segments fall
+    back to the point kernels)."""
+    d1 = (q1[0] - p1[0], q1[1] - p1[1], q1[2] - p1[2])
+    d2 = (q2[0] - p2[0], q2[1] - p2[1], q2[2] - p2[2])
+    r = (p1[0] - p2[0], p1[1] - p2[1], p1[2] - p2[2])
+    a = d1[0] ** 2 + d1[1] ** 2 + d1[2] ** 2
+    e = d2[0] ** 2 + d2[1] ** 2 + d2[2] ** 2
+    f = d2[0] * r[0] + d2[1] * r[1] + d2[2] * r[2]
+    if a == 0.0 and e == 0.0:
+        return _d3(p1, p2)
+    if a == 0.0:
+        return _pt_seg_d3(p1, p2, q2)
+    if e == 0.0:
+        return _pt_seg_d3(p2, p1, q1)
+    c = d1[0] * r[0] + d1[1] * r[1] + d1[2] * r[2]
+    b = d1[0] * d2[0] + d1[1] * d2[1] + d1[2] * d2[2]
+    denom = a * e - b * b
+    s = 0.0 if denom == 0.0 else max(0.0, min(1.0, (b * f - c * e) / denom))
+    t = (b * s + f) / e
+    if t < 0.0:
+        t = 0.0
+        s = max(0.0, min(1.0, -c / a))
+    elif t > 1.0:
+        t = 1.0
+        s = max(0.0, min(1.0, (b - c) / a))
+    c1 = (p1[0] + s * d1[0], p1[1] + s * d1[1], p1[2] + s * d1[2])
+    c2 = (p2[0] + t * d2[0], p2[1] + t * d2[1], p2[2] + t * d2[2])
+    return _d3(c1, c2)
+
+
+def length3d_wkt(wkt) -> float | None:
+    """3-D arc length of a lineal geometry (absent Z reads 0)."""
+    if wkt is None:
+        return None
+    prims = _prims_3d(wkt)
+    if prims is None:
+        return None
+    pts, segs = prims
+    if pts:
+        return None  # puntal input has no length — loud NULL
+    return sum(_d3(a, b) for a, b in segs)
+
+
+def distance3d_wkt(a_wkt, b_wkt) -> float | None:
+    if a_wkt is None or b_wkt is None:
+        return None
+    pa = _prims_3d(a_wkt)
+    pb = _prims_3d(b_wkt)
+    if pa is None or pb is None:
+        return None
+    pts_a, segs_a = pa
+    pts_b, segs_b = pb
+    if not (pts_a or segs_a) or not (pts_b or segs_b):
+        return None  # EMPTY operand
+    na = len(pts_a) + 2 * len(segs_a)
+    nb = len(pts_b) + 2 * len(segs_b)
+    if na * nb > _MAX_PAIR_WORK:
+        return None  # loud work budget (linearref.py convention)
+    best = math.inf
+    for p in pts_a:
+        for q in pts_b:
+            best = min(best, _d3(p, q))
+        for s, t in segs_b:
+            best = min(best, _pt_seg_d3(p, s, t))
+    for s, t in segs_a:
+        for q in pts_b:
+            best = min(best, _pt_seg_d3(q, s, t))
+        for u, v in segs_b:
+            best = min(best, _seg_seg_d3(s, t, u, v))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# UDF surface
+# ---------------------------------------------------------------------------
+
+
+def _safe(fn, *args):
+    try:
+        return fn(*args)
+    except Exception:
+        return None
+
+
+@pandas_udf(DoubleType())
+def st_z(wkt: pd.Series) -> pd.Series:
+    """ST_Z: the Z of a POINT Z / POINT ZM; NULL otherwise."""
+    return pd.Series([_safe(z_of_point, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_zmin(wkt: pd.Series) -> pd.Series:
+    """ST_ZMin over all vertices; NULL without a Z dimension."""
+    return pd.Series([_safe(zmin_of, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_zmax(wkt: pd.Series) -> pd.Series:
+    """ST_ZMax over all vertices; NULL without a Z dimension."""
+    return pd.Series([_safe(zmax_of, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(StringType())
+def st_force3d(wkt: pd.Series) -> pd.Series:
+    """ST_Force3D(g): XYZ mode with default Z = 0."""
+    return pd.Series([_safe(force3d_wkt, w, 0.0) for w in wkt], dtype=object)
+
+
+@pandas_udf(StringType())
+def st_force3dz(wkt: pd.Series, z: pd.Series) -> pd.Series:
+    """ST_Force3DZ(g, z): XYZ mode with an explicit default Z."""
+    return pd.Series(
+        [_safe(force3d_wkt, w, zv) for w, zv in zip(wkt, z)], dtype=object
+    )
+
+
+@pandas_udf(DoubleType())
+def st_3dlength(wkt: pd.Series) -> pd.Series:
+    """ST_3DLength of a lineal geometry (absent Z reads 0)."""
+    return pd.Series([_safe(length3d_wkt, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(DoubleType())
+def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_3DDistance between puntal/lineal geometries."""
+    return pd.Series(
+        [_safe(distance3d_wkt, x, y) for x, y in zip(a, b)], dtype=object
+    )
+
+
+ALL_ZCOORD_FUNCTIONS = {
+    "st_z": st_z,
+    "st_zmin": st_zmin,
+    "st_zmax": st_zmax,
+    "st_force3d": st_force3d,
+    "st_force3dz": st_force3dz,
+    "st_3dlength": st_3dlength,
+    "st_3ddistance": st_3ddistance,
+}
+
+
+def register_zcoord_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_ZCOORD_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -56,3 +56,6 @@ def load_all() -> None:
     from . import lm_ops  # noqa: F401
     from . import tokenize_ops  # noqa: F401
     from . import y4m_ops  # noqa: F401
+    from . import zcoord_ops  # noqa: F401
+    from . import mvt_tile_ops  # noqa: F401
+    from . import bpe_train_ops  # noqa: F401

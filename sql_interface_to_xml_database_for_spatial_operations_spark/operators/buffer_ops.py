@@ -54,7 +54,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)
-    register_offset_functions(spark)  # st_offsetcurve (r14 continuation)
+    register_offset_functions(spark)  # st_offsetcurve(style) (r14/r15)
     register_grid_functions(spark)  # st_dumppoints for the oc_round pins
 
 
@@ -165,24 +165,26 @@ _FAMILIES = {
     # offset's convex corner pins all three joins — mitre and bevel
     # are exact integer chains, round pins the point count and the
     # exact 45° middle arc point at micro precision
-    "oc_left": f"st_offsetcurve({_CORNER_WKT}, 2.0D, '')",
-    "oc_mitre": f"st_offsetcurve({_CORNER_WKT}, -2.0D, 'join=mitre')",
-    "oc_bevel": f"st_offsetcurve({_CORNER_WKT}, -2.0D, 'join=bevel')",
+    "oc_left": f"st_offsetcurvestyle({_CORNER_WKT}, 2.0D, '')",
+    # r15 (ADVICE r14): the PostGIS 2-arg call shape — default style
+    "oc_plain": f"st_offsetcurve({_CORNER_WKT}, 2.0D)",
+    "oc_mitre": f"st_offsetcurvestyle({_CORNER_WKT}, -2.0D, 'join=mitre')",
+    "oc_bevel": f"st_offsetcurvestyle({_CORNER_WKT}, -2.0D, 'join=bevel')",
     "oc_round_n": int_str(
-        f"size(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')))"
+        f"size(st_dumppoints(st_offsetcurvestyle({_CORNER_WKT}, -2.0D, '')))"
     ),
     "oc_round_midx": _micro(
-        f"st_x(element_at(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')), 6))"
+        f"st_x(element_at(st_dumppoints(st_offsetcurvestyle({_CORNER_WKT}, -2.0D, '')), 6))"
     ),
     "oc_round_midy": _micro(
-        f"st_y(element_at(st_dumppoints(st_offsetcurve({_CORNER_WKT}, -2.0D, '')), 6))"
+        f"st_y(element_at(st_dumppoints(st_offsetcurvestyle({_CORNER_WKT}, -2.0D, '')), 6))"
     ),
-    "oc_zero": f"st_offsetcurve({_CORNER_WKT}, 0.0D, '')",
+    "oc_zero": f"st_offsetcurvestyle({_CORNER_WKT}, 0.0D, '')",
     "oc_kind_gate": (
-        f"COALESCE(st_offsetcurve({_BOX_WKT}, 2.0D, ''), 'NULL(kind)')"
+        f"COALESCE(st_offsetcurvestyle({_BOX_WKT}, 2.0D, ''), 'NULL(kind)')"
     ),
     "oc_style_gate": (
-        f"COALESCE(st_offsetcurve({_CORNER_WKT}, 2.0D, 'endcap=flat'), 'NULL(style)')"
+        f"COALESCE(st_offsetcurvestyle({_CORNER_WKT}, 2.0D, 'endcap=flat'), 'NULL(style)')"
     ),
 }
 
@@ -249,6 +251,13 @@ _ORACLE_VALS = {
     # (maxx+2, miny−2) / bevel chord are exact integer chains; the
     # round middle arc point is the 45° one (libm on both sides)
     "oc_left": sql_concat(
+        "'LINESTRING ('",
+        f"{int_str('minx')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('maxx - 2')} || ' ' || {int_str('miny + 2')}", "', '",
+        f"{int_str('maxx - 2')} || ' ' || {int_str('maxy')}",
+        "')'",
+    ),
+    "oc_plain": sql_concat(
         "'LINESTRING ('",
         f"{int_str('minx')} || ' ' || {int_str('miny + 2')}", "', '",
         f"{int_str('maxx - 2')} || ' ' || {int_str('miny + 2')}", "', '",

@@ -44,10 +44,13 @@ Oracle families (per nation box; exact unless noted):
   transform (floor-mirror with the Y flip), the constant CW tile
   square, an exact right-edge clip at x = 4096, and the
   outside-the-tile NULL.
-- ``ctl_*`` / ``f2d*`` — CIRCULARSTRING linearization (curves.py):
-  the qs=1 semicircle lands exactly on apex + integer endpoints, the
-  qs=2 first interior point is the 135° one (libm-mirrored), the
-  COMPOUNDCURVE loud NULL; ST_Force2D drops M / echoes 2-D.
+- ``ctl_*`` / ``cc_*`` / ``cp_*`` / ``f2d*`` — curve linearization
+  (curves.py): the qs=1 semicircle lands exactly on apex + integer
+  endpoints, the qs=2 first interior point is the 135° one
+  (libm-mirrored), the MULTICURVE loud NULL; COMPOUNDCURVE splices
+  arc + straight members exactly and CURVEPOLYGON linearizes rings
+  into the plain polygon kernel (r15), with junction-gap / unclosed
+  rings loud; ST_Force2D drops M / echoes 2-D.
 - ``kml_pt`` / ``gml_rt`` / ``kml_rt`` / ``gml_empty`` — GML 2 / KML
   writers (geo_export.py): string-built point form, byte-exact reader
   round trips of the holed polygon and mixed collection, EMPTY loud.
@@ -112,6 +115,12 @@ def _milli(expr: str) -> str:
     # of the closed forms (q158's mic_* precedent for sub-micro noise)
     return f"CAST(CAST(floor(({expr}) * 1000 + 0.5) AS BIGINT) AS STRING)"
 
+
+# PostGIS's spheroid-text argument (r15: the canonical call shape).
+# Double quotes sit verbatim inside single-quoted SQL literals on both
+# engines; backslash escapes would DIVERGE (Spark processes them,
+# DuckDB does not) — keep the text escape-free.
+_WGS84_SPH = 'SPHEROID["WGS 84",6378137,298.257223563]'
 
 _BOX = sql_concat(
     "'POLYGON (('", CORNERS["bl"], "', '", CORNERS["br"], "', '",
@@ -346,29 +355,51 @@ _FAMILIES = {
     "kml_rt": f"st_geomfromkml(st_askml({_MIXED_GC}))",
     "gml_empty": "COALESCE(st_asgml('POINT EMPTY'), 'NULL(empty)')",
     # Vincenty spheroid distances (r14 continuation,
-    # functions/spheroid.py): the equatorial geodesic is a circle of
-    # radius a (s = a·Δλ exactly, mm-pinned), the published GDA anchor
-    # line, a 2-segment equatorial length, and the documented
-    # near-antipodal loud NULL
+    # functions/spheroid.py; r15: the PostGIS call shape — the
+    # spheroid-text argument is parsed, validated, and USED): the
+    # equatorial geodesic is a circle of radius a (s = a·Δλ exactly,
+    # mm-pinned), the published GDA anchor line, a 2-segment
+    # equatorial length, the documented near-antipodal loud NULL, a
+    # SPHERE spheroid (rf = 0 → r·Δλ closed form on a custom axis), a
+    # polygon PERIMETER against the published WGS84 quarter meridian
+    # (ADVICE r14), and the malformed-spheroid loud NULL
     "sphd_eq": _milli(
         "st_distancespheroid('POINT (10 0)',"
-        " 'POINT (' || CAST(10 + 1 + n_nationkey % 3 AS STRING) || ' 0)')"
+        " 'POINT (' || CAST(10 + 1 + n_nationkey % 3 AS STRING) || ' 0)',"
+        f" '{_WGS84_SPH}')"
     ),
     "sphd_anchor": _milli(
         "st_distancespheroid('POINT (144.42486789 -37.95103342)',"
-        " 'POINT (143.92649553 -37.65282114)')"
+        f" 'POINT (143.92649553 -37.65282114)', '{_WGS84_SPH}')"
     ),
     "sphd_len": _milli(
-        "st_lengthspheroid('LINESTRING (10 0, 11 0, 12 0)')"
+        f"st_lengthspheroid('LINESTRING (10 0, 11 0, 12 0)', '{_WGS84_SPH}')"
     ),
     "sphd_antipodal": (
         "COALESCE(CAST(st_distancespheroid('POINT (0 0)',"
-        " 'POINT (179.5 0)') AS STRING), 'NULL(antipodal)')"
+        f" 'POINT (179.5 0)', '{_WGS84_SPH}') AS STRING), 'NULL(antipodal)')"
+    ),
+    "sphd_sphere": _milli(
+        "st_distancespheroid('POINT (10 0)', 'POINT (12 0)',"
+        " 'SPHEROID[\"sphere\",6371000,0]')"
+    ),
+    # quarter equator + two quarter meridians (the (90 0)→(0 90) leg
+    # runs through the pole): |perimeter − (a·π/2 + 2·Mq)| < 5 mm with
+    # Mq the published WGS84 quarter meridian 10 001 965.7293 m
+    # (Vincenty's global accuracy claim is 0.5 mm)
+    "sphd_perim_ok": (
+        "CAST(abs(st_lengthspheroid('POLYGON ((0 0, 90 0, 0 90, 0 0))',"
+        f" '{_WGS84_SPH}')"
+        " - (6378137.0 * pi() / 2 + 2 * 10001965.7293)) < 0.005 AS STRING)"
+    ),
+    "sphd_badsph": (
+        "COALESCE(CAST(st_distancespheroid('POINT (10 0)', 'POINT (11 0)',"
+        " 'SPHEROID[oops]') AS STRING), 'NULL(spheroid)')"
     ),
     # CIRCULARSTRING linearization (r14 continuation,
     # functions/curves.py): the qs=1 semicircle lands exactly on the
     # apex and integer endpoints; qs=2's first interior point is the
-    # 135° one (term-for-term libm mirror); COMPOUNDCURVE is loud
+    # 135° one (term-for-term libm mirror); MULTICURVE is loud
     "ctl_exact": (
         f"st_curvetoline('CIRCULARSTRING (' || {CORNERS['bl']} || ', ' ||"
         f" {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)} || ')', 1)"
@@ -380,8 +411,31 @@ _FAMILIES = {
     ),
     "ctl_gate": (
         "COALESCE(st_curvetoline("
-        "'COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))', 8),"
+        "'MULTICURVE ((0 0, 1 1))', 8),"
         " 'NULL(curve)')"
+    ),
+    # COMPOUNDCURVE / CURVEPOLYGON linearization (r15 — VERDICT r14
+    # missing item 3): the qs=1 semicircle splices exactly onto an
+    # integer straight chain; the curve polygon reuses the same ring
+    # through the plain polygon kernel; a junction gap and an
+    # unclosed ring are loud NULLs (SQL/MM continuity)
+    "cc_chain": (
+        f"st_curvetoline('COMPOUNDCURVE (CIRCULARSTRING (' || {CORNERS['bl']}"
+        f" || ', ' || {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)} || '), (' ||"
+        f" {pt_sql(2, 0)} || ', ' || {pt_sql(5, 0)} || '))', 1)"
+    ),
+    "cp_shell": (
+        f"st_curvetoline('CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (' ||"
+        f" {CORNERS['bl']} || ', ' || {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)}"
+        f" || '), (' || {pt_sql(2, 0)} || ', ' || {CORNERS['bl']} || ')))', 1)"
+    ),
+    "cc_gap_null": (
+        "COALESCE(st_curvetoline("
+        "'COMPOUNDCURVE ((0 0, 1 0), (2 0, 3 0))', 1), 'NULL(gap)')"
+    ),
+    "cp_open_null": (
+        "COALESCE(st_curvetoline("
+        "'CURVEPOLYGON ((0 0, 4 0, 4 4))', 1), 'NULL(open)')"
     ),
     # ST_Force2D (r14 continuation, functions/measure_m.py)
     "f2d": (
@@ -662,12 +716,25 @@ _ORACLE_VALS = {
     "sphd_anchor": "'54972271'",  # the published GDA line, mm-pinned
     "sphd_len": _milli("6378137.0 * radians(1.0) * 2"),
     "sphd_antipodal": "'NULL(antipodal)'",
+    "sphd_sphere": _milli("6371000.0 * radians(2.0)"),
+    "sphd_perim_ok": "'true'",
+    "sphd_badsph": "'NULL(spheroid)'",
     "ctl_exact": sql_concat(
         "'LINESTRING ('", CORNERS["bl"], "', '", pt_sql(1, 1), "', '",
         pt_sql(2, 0), "')'",
     ),
     "ctl_mid_x": _micro("minx + 1 + cos(3 * pi() / 4)"),
     "ctl_gate": "'NULL(curve)'",
+    "cc_chain": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", pt_sql(1, 1), "', '",
+        pt_sql(2, 0), "', '", pt_sql(5, 0), "')'",
+    ),
+    "cp_shell": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", pt_sql(1, 1), "', '",
+        pt_sql(2, 0), "', '", CORNERS["bl"], "'))'",
+    ),
+    "cc_gap_null": "'NULL(gap)'",
+    "cp_open_null": "'NULL(open)'",
     "f2d": sql_concat(
         "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"], "')'",
     ),

@@ -206,8 +206,8 @@ _FAMILIES = {
     # search tolerance for one box's radius fraction). The 20-square's
     # center is the level-0 cell center, found EXACTLY → string-equal
     # family. Non-areal input is a loud NULL; the box rectangle's
-    # plateau NULLs by the node budget (not pinned — each probe costs
-    # the full budget, so the gate family uses the cheap lineal kind).
+    # plateau answers the exact closed form since r15 (mic_rect
+    # below — ADVICE r14).
     "mic_x": _milli(f"st_x(st_maximuminscribedcircle({_TRI}))"),
     "mic_y": _milli(f"st_y(st_maximuminscribedcircle({_TRI}))"),
     "mic_r": _milli(f"st_maximuminscribedradius({_TRI})"),
@@ -215,6 +215,12 @@ _FAMILIES = {
     "mic_gate": (
         f"COALESCE(st_maximuminscribedcircle({_RING_LINE}), 'NULL(kind)')"
     ),
+    # r15 (ADVICE r14): the box rectangle's medial-axis PLATEAU now
+    # answers deterministically — center = bbox center (the exact
+    # first probe; proven optimal to extent/1000 before returning),
+    # r = min(w, h)/2 — instead of the old budget NULL
+    "mic_rect": f"st_maximuminscribedcircle({_BOX})",
+    "mic_rect_r": _milli(f"st_maximuminscribedradius({_BOX})"),
     # largest empty circle (r14 continuation): the right triangle's
     # corner obstacles put the unique optimum at the circumcenter (the
     # hypotenuse midpoint, on the hull boundary), r = hyp/2; collinear
@@ -279,6 +285,15 @@ _ORACLE_VALS = {
         + " || ')'"
     ),
     "mic_gate": "'NULL(kind)'",
+    # box center: cy is always integral (miny even, h ∈ {20, 30} with
+    # even 2·miny + h), cx gains '.5' exactly when w = 45 (odd sum)
+    "mic_rect": (
+        "'POINT (' || CASE WHEN CAST(minx + maxx AS BIGINT) % 2 = 0"
+        f" THEN {int_str('(minx + maxx) / 2')}"
+        " ELSE CAST(CAST((minx + maxx) / 2.0 AS DOUBLE) AS STRING) END"
+        f" || ' ' || {int_str('(miny + maxy) / 2')} || ')'"
+    ),
+    "mic_rect_r": _milli(f"least({_W}, {_H}) / 2"),
     "lec_x": _milli("(minx + maxx) / 2.0"),
     "lec_y": _milli("(miny + maxy) / 2.0"),
     "lec_r": _milli(f"sqrt({_W} * {_W} + {_H} * {_H}) / 2"),

@@ -340,10 +340,57 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q88-q102, q108, q111, q114, q116, q118-q120, q123, q125, q131-q138,
 # q142-q151 — oldest first until the window fills after (c) whatever
 # r15's diff touches and (d) any r14 reds.
+#
+# r15 EXECUTED rotation (VERDICT r14 "what's wrong" item 1: the
+# STALE-ROW PIN runs first, derived from the per-round CORRECTNESS
+# artifacts rather than the hand-kept cohort labels that mislabeled
+# six r10 rows as r11-green): the 50 r14 greens fold in; exposure =
+# (a) the full r10-green cohort — q41/q42/q43/q49/q114/q131/q159/q161
+# (8 rows, 5 rounds stale, judge-reverified r14) — PINNED first;
+# (b) the full r11-green cohort (28 rows): q32-q40, q75-q84, q89,
+# q96, q116, q119, q120, q125, q133, q136, q160;
+# (c) 5 diff-touched re-exposures whose EXECUTED closures changed —
+# q140 (wkb.py gained ISO/EWKB Z/M/ZM codec paths), q152 (measure_m
+# locatebetween POINT contacts + zcoord delegation in force2d/zmflag/
+# st_m), q155 (offsetcurve NULL-style defaults + st_offsetcurvestyle
+# split + oc_plain family), q158 (inscribed plateau best-so-far +
+# mic_rect families), q169 (spheroid PostGIS arity + perimeter +
+# sphere/badsph families, COMPOUNDCURVE/CURVEPOLYGON linearization +
+# cc_*/cp_* families, MULTICURVE gate swap);
+# (d) 3 new rows — q174_st_z (zcoord suite), q175_st_asmvt (MVT tile
+# protobuf assembly, byte-exact hex oracle), q176_bpe_train (the
+# distributed trainer's groupBy-argmax loop, closed-form merges);
+# (e) fill (6): the oldest r12-green rows in registration order —
+# q53, q60, q61, q62, q63, q109.
+# Window arithmetic: 8 + 28 + 5 + 3 + 6 = 50 exactly. After r15 the
+# oldest remaining green is r12 — the "nothing older than 4 rounds"
+# bar holds.
+# Deliberate re-records (closure drift, executed paths byte-unchanged):
+# the engine.py registration closure (zcoord/mvt_tile registrations
+# added — ingest rows q99-q102/q108/q114*/q118/q121 and every row
+# whose _ensure_udfs imports measure_m/wkb/spheroid/curves without
+# executing the new branches; *q114 is also in the r10 pin, so it is
+# EXPOSED, not re-recorded). The full sf0.01 engine-vs-DuckDB sweep
+# (this round's verify run, MISMATCHES: none across all rows) backs
+# every re-record.
+#
+# Round 16 rotation plan: fold the 50 r15 greens in, then expose the
+# remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,
+# q103-q107, q110, q111*, q115, q132, q134, q135, q146, q156, q157,
+# q162, q163, q164, q166, q168 (*q111 re-checked r15 via the r11
+# cohort) — oldest first until the window fills after whatever r16's
+# diff touches and any r15 reds.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
+        "q02_projection_pruning",
+        "q03_select_star",
+        "q04_alias_expressions",
+        "q05_where_and_or",
+        "q06_in_list",
+        "q07_not_in_list",
         "q08_null_predicates",
+        "q09_where_bool_literal",
         "q100_engine_rowset",
         "q101_geojson_roundtrip",
         "q102_geojson_sink_roundtrip",
@@ -353,30 +400,33 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q106_sequence_packing",
         "q107_decontamination",
         "q108_kml_roundtrip",
-        "q109_tfidf_top_terms",
+        "q10_between_range",
         "q110_repetition_metrics",
         "q111_centroid_outliers",
         "q112_window_lag_lead",
-        "q114_compat_flattened",
+        "q113_window_distribution",
         "q115_ann_quantized_topk",
-        "q116_trailing_range_window",
+        "q117_approx_percentiles",
         "q118_bucketed_join",
-        "q119_cohort_retention",
         "q11_join_inner_equi",
-        "q120_event_funnel",
+        "q121_catalog_tables",
+        "q122_st_relations",
         "q123_stream_tumbling_e2e",
         "q124_st_union_agg",
-        "q125_document_chunking",
+        "q126_pii_redaction",
+        "q127_url_domains",
+        "q128_st_simplify",
+        "q129_st_snaptogrid",
         "q12_join_theta",
-        "q131_st_azimuth",
+        "q130_st_transform",
         "q132_audio_features",
-        "q133_resize_images",
         "q134_hypertable_rollup",
         "q135_cms_heavy_hitters",
-        "q136_image_dhash_neardup",
         "q137_stream_session_e2e",
         "q138_stream_interval_join_e2e",
+        "q139_st_intersection",
         "q13_join_left_outer",
+        "q141_boilerplate_removal",
         "q142_stream_dedup_e2e",
         "q143_kmeans_assign",
         "q144_bloom_semijoin",
@@ -388,49 +438,52 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q14_join_right_outer",
         "q150_st_accessors",
         "q151_st_boundary",
+        "q153_st_editors",
+        "q154_st_constructors",
         "q156_st_relate_isvalid",
         "q157_st_makevalid",
-        "q159_st_bounding",
         "q15_join_full_outer",
-        "q160_cluster_dbscan",
-        "q161_st_collect_dump",
         "q162_st_subdivide",
         "q163_jpeg_pixels",
         "q164_st_node_polygonize",
+        "q165_st_tessellate",
         "q166_st_split",
         "q167_video_frames",
         "q168_kmeans_converged",
         "q16_join_multiway",
         "q170_bm25_search",
         "q171_bigram_perplexity",
+        "q172_bpe_tokenize",
+        "q173_y4m_frames",
+        "q17_natural_join",
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
+        "q20_lateral_explode",
+        "q21_count_groupby",
+        "q22_agg_global",
+        "q23_agg_pricing_summary",
+        "q24_having",
+        "q25_distinct",
+        "q26_rollup",
+        "q27_orderby_limit_topk",
+        "q28_union_all",
+        "q29_intersect",
         "q30_except",
-        "q32_window_running_sum",
-        "q33_subquery_from",
-        "q34_scalar_subquery",
-        "q35_correlated_exists",
-        "q36_date_functions",
-        "q37_mod_function",
-        "q38_string_functions",
-        "q39_case_expression",
-        "q40_math_functions",
-        "q41_st_point_accessors",
-        "q42_st_astext",
-        "q43_st_distance_radius",
+        "q31_window_rank",
+        "q44_spatial_join_within",
+        "q45_spatial_join_intersects",
         "q46_st_area_props",
         "q47_dwithin_pairs",
         "q48_distance_sphere_count",
-        "q49_st_asgeojson",
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
-        "q53_buffer_contains",
+        "q54_cube",
+        "q55_grouping_sets",
+        "q56_pivot",
+        "q57_count_distinct_multi",
+        "q58_approx_count_distinct",
         "q59_st_geomfromgml_kml",
-        "q60_token_count",
-        "q61_quality_score",
-        "q62_language_id",
-        "q63_fingerprint",
         "q64_dedup_exact",
         "q65_dedup_ngram_jaccard",
         "q66_minhash_lsh",
@@ -441,26 +494,16 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q71_ann_lsh_buckets",
         "q72_ann_lsh_topk",
         "q73_ann_ivf_topk",
-        "q75_tumbling_window",
-        "q76_sliding_window",
-        "q77_sessionize",
-        "q78_keyed_dedup_first",
-        "q79_json_props",
-        "q80_multimodal_metadata",
-        "q81_multimodal_features",
-        "q82_frame_sample",
-        "q83_asof_join",
-        "q84_range_join_banded",
         "q85_st_extent_agg",
+        "q86_skew_salted_join",
+        "q87_percentiles",
         "q88_levenshtein_neardup",
-        "q89_gap_fill_spine",
         "q90_dedup_clusters",
         "q91_training_pipeline",
         "q92_hash_sample",
         "q93_train_val_test_split",
         "q94_multipart_gml_ingest",
         "q95_st_collect_agg",
-        "q96_event_attribution",
         "q97_knn_within_radius",
         "q98_hull_envelope",
         "q99_xml_roundtrip",

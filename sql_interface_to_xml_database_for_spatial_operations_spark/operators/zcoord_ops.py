@@ -1,0 +1,223 @@
+"""Driver row for the Z (3-D) coordinate suite (functions/zcoord.py,
+r15 — VERDICT r14 missing item 1). The reference forwards PostGIS
+names verbatim (src/index.ts:44-63); elevation / LiDAR / GPS-altitude
+data carries Z on day one.
+
+Fixture: integer nation-box corners with CLOSED-FORM Z parameters —
+a = 1 + k%4 scales the (3, 4, 12) Pythagorean direction (|v| = 13a
+exactly), s = 1 + k%5 scales the (1, 2, 2) quadruple (|v| = 3s), and
+zv = 5 + k%3 hangs a point vertically over a z = 0 segment (distance
+zv). Every ``a`` column is an exact BIGINT; every ``b`` column is a
+byte-exact WKT string both engines build from the same integer
+coordinates:
+
+- ``z_acc``: ST_Z of POINT Z (= k) + ST_Force3D default-0 text.
+- ``zrange``: ST_ZMax over the scaled line (= 12a) + ST_Force3DZ(g, k).
+- ``len3d``: ST_3DLength (= 13a) + ST_Force2D dropping Z.
+- ``d3d_pt``: point–point 3-D distance (= 3s) + the WKB Z round trip
+  of a POINT ZM through st_asbinary → st_geomfromwkb (ISO 3001).
+- ``d3d_seg``: point-above-segment 3-D distance (= zv) + the WKB Z
+  round trip of a POLYGON Z (ISO 1003).
+- ``zm``: ST_Zmflag across 2-D/M/Z/ZM packed as a digit code (2310)
+  + ST_Force3D of the ZM point (M dropped — force_dims semantics).
+- ``zm_m``: ST_M of the POINT ZM (= 2k — the ZM M-carry) + the
+  ST_LocateBetween boundary-touch POINT contact (ADVICE r14: measure
+  range touching mmax returns MULTIPOINT M, not EMPTY).
+- ``z_null``: the loud-NULL fence (ST_Z of 2-D, ST_3DLength of a
+  point, areal ST_3DDistance, ST_ZMin of EMPTY, ST_Force3D of a
+  collection) + ST_Force2D of the Z polygon.
+- ``zmin_neg``: ST_ZMin over a negative-Z line (= −k) + its WKB
+  round trip.
+
+Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
+nation projection — no shuffle. New module so linearref_ops.py /
+codec_ops.py fingerprints stay untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._sql_fixtures import int_str
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.measure_m import register_measure_m_functions
+    from ..functions.wkb import register_wkb_functions
+    from ..functions.zcoord import register_zcoord_functions
+
+    register_zcoord_functions(spark)
+    register_measure_m_functions(spark)  # st_zmflag / st_m / locatebetween
+    register_wkb_functions(spark)  # the Z round trip
+
+
+# closed-form integer parameters
+_K = "n_nationkey"
+_A = f"(1 + {_K} % 4)"  # scales (3,4,12): |v| = 13a
+_S = f"(1 + {_K} % 5)"  # scales (1,2,2):  |v| = 3s
+_ZV = f"(5 + {_K} % 3)"  # height over the z = 0 segment
+
+
+def _xyz(xe: str, ye: str, ze: str) -> str:
+    return f"{int_str(xe)} || ' ' || {int_str(ye)} || ' ' || {int_str(ze)}"
+
+
+# fixture WKT builds (identical text in Spark and DuckDB)
+_PZ = f"'POINT Z (' || {_xyz('minx', 'miny', _K)} || ')'"
+_P2D = f"'POINT (' || {int_str('minx')} || ' ' || {int_str('miny')} || ')'"
+_PM = f"'POINT M (' || {_xyz('minx', 'miny', '5')} || ')'"
+_PZM = (
+    f"'POINT ZM (' || {int_str('minx')} || ' ' || {int_str('miny')} || ' ' || "
+    f"{int_str(_K)} || ' ' || {int_str(f'2 * {_K}')} || ')'"
+)
+_LZ = (
+    f"'LINESTRING Z (' || {_xyz('minx', 'miny', '0')} || ', ' || "
+    f"{_xyz(f'minx + 3 * {_A}', f'miny + 4 * {_A}', f'12 * {_A}')} || ')'"
+)
+_LZ_2D = (
+    f"'LINESTRING (' || {int_str('minx')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str(f'minx + 3 * {_A}')} || ' ' || {int_str(f'miny + 4 * {_A}')} || ')'"
+)
+_PZ0 = f"'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')'"
+_PZQ = f"'POINT Z (' || {_xyz(f'minx + {_S}', f'miny + 2 * {_S}', f'2 * {_S}')} || ')'"
+_SEG0 = (
+    f"'LINESTRING Z (' || {_xyz('minx - 1', 'miny', '0')} || ', ' || "
+    f"{_xyz('minx + 1', 'miny', '0')} || ')'"
+)
+_PABOVE = f"'POINT Z (' || {_xyz('minx', 'miny', _ZV)} || ')'"
+_POLYZ = (
+    f"'POLYGON Z ((' || {_xyz('minx', 'miny', '1')} || ', ' || "
+    f"{_xyz('minx + 4', 'miny', '1')} || ', ' || "
+    f"{_xyz('minx + 4', 'miny + 4', '1')} || ', ' || "
+    f"{_xyz('minx', 'miny', '1')} || '))'"
+)
+_POLY_2D = (
+    f"'POLYGON ((' || {int_str('minx')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx + 4')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx + 4')} || ' ' || {int_str('miny + 4')} || ', ' || "
+    f"{int_str('minx')} || ' ' || {int_str('miny')} || '))'"
+)
+_LZNEG = (
+    f"'LINESTRING Z (' || {_xyz('minx', 'miny', f'0 - {_K}')} || ', ' || "
+    f"{_xyz('minx + 1', 'miny + 1', _K)} || ')'"
+)
+_BOTTOM = (
+    f"'LINESTRING (' || {int_str('minx')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('maxx')} || ' ' || {int_str('miny')} || ')'"
+)
+# measure 0..5 over the bottom edge, then clip to [5, 8]: the range
+# touches mmax at the east corner → a single POINT M contact
+_TOUCH = f"st_locatebetween(st_addmeasure({_BOTTOM}, 0.0D, 5.0D), 5.0D, 8.0D)"
+_TOUCH_EXPECT = (
+    f"'MULTIPOINT M ((' || {int_str('maxx')} || ' ' || {int_str('miny')} || ' 5))'"
+)
+_FORCE3D_K = f"'POINT Z (' || {_xyz('minx', 'miny', _K)} || ')'"
+_FORCE3D_0 = f"'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')'"
+
+_Q174_ORACLE = f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT 'z_acc' AS fam, n_nationkey AS key,
+           CAST(n_nationkey AS BIGINT) AS a, {_FORCE3D_0} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zrange' AS fam, n_nationkey AS key,
+           CAST(12 * {_A} AS BIGINT) AS a, {_FORCE3D_K} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'len3d' AS fam, n_nationkey AS key,
+           CAST(13 * {_A} AS BIGINT) AS a, {_LZ_2D} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'd3d_pt' AS fam, n_nationkey AS key,
+           CAST(3 * {_S} AS BIGINT) AS a, {_PZM} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'd3d_seg' AS fam, n_nationkey AS key,
+           CAST({_ZV} AS BIGINT) AS a, {_POLYZ} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zm' AS fam, n_nationkey AS key,
+           CAST(2310 AS BIGINT) AS a, {_FORCE3D_K} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zm_m' AS fam, n_nationkey AS key,
+           CAST(2 * {_K} AS BIGINT) AS a, {_TOUCH_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'z_null' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a, {_POLY_2D} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zmin_neg' AS fam, n_nationkey AS key,
+           CAST(0 - {_K} AS BIGINT) AS a, {_LZNEG} AS b
+    FROM boxes
+"""
+
+
+@query("q174_st_z", oracle=_Q174_ORACLE)
+def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z (3-D) coordinates end to end: accessors, force casts, 3-D
+    length/distance closed forms, ZM measure carry, the WKB Z round
+    trip, and the loud-NULL fence (module docstring)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+
+    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
+        return boxes.select(
+            F.lit(name).alias("fam"),
+            F.col("n_nationkey").alias("key"),
+            F.expr(a_expr).cast("bigint").alias("a"),
+            F.expr(b_expr).alias("b"),
+        )
+
+    rows = fam("z_acc", f"st_z({_PZ})", f"st_force3d({_P2D})")
+    rows = rows.unionByName(
+        fam("zrange", f"st_zmax({_LZ})", f"st_force3dz({_P2D}, CAST({_K} AS DOUBLE))")
+    )
+    rows = rows.unionByName(fam("len3d", f"st_3dlength({_LZ})", f"st_force2d({_LZ})"))
+    rows = rows.unionByName(
+        fam(
+            "d3d_pt",
+            f"st_3ddistance({_PZ0}, {_PZQ})",
+            f"st_geomfromwkb(st_asbinary({_PZM}))",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "d3d_seg",
+            f"st_3ddistance({_PABOVE}, {_SEG0})",
+            f"st_geomfromwkb(st_asbinary({_POLYZ}))",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "zm",
+            f"st_zmflag({_PZ}) * 1000 + st_zmflag({_PZM}) * 100 "
+            f"+ st_zmflag({_PM}) * 10 + st_zmflag({_P2D})",
+            f"st_force3d({_PZM})",
+        )
+    )
+    rows = rows.unionByName(fam("zm_m", f"st_m({_PZM})", _TOUCH))
+    rows = rows.unionByName(
+        fam(
+            "z_null",
+            f"CASE WHEN st_z({_P2D}) IS NULL"
+            f" AND st_3dlength({_PZ}) IS NULL"
+            f" AND st_3ddistance({_PZ}, {_POLYZ}) IS NULL"
+            " AND st_zmin('POINT Z EMPTY') IS NULL"
+            " AND st_force3d('GEOMETRYCOLLECTION EMPTY') IS NULL"
+            " THEN 1 ELSE 0 END",
+            f"st_force2d({_POLYZ})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "zmin_neg",
+            f"st_zmin({_LZNEG})",
+            f"st_geomfromwkb(st_asbinary({_LZNEG}))",
+        )
+    )
+    return rows

@@ -94,9 +94,7 @@ def test_linear_passthrough_and_gates():
     assert C.curvetoline_wkt("LINESTRING EMPTY", 8) == "LINESTRING EMPTY"
     assert C.curvetoline_wkt("CIRCULARSTRING EMPTY", 8) == "LINESTRING EMPTY"
     assert C.curvetoline_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))", 8) is None
-    assert C.curvetoline_wkt(
-        "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))", 8
-    ) is None
+    assert C.curvetoline_wkt("MULTICURVE ((0 0, 1 1))", 8) is None
     assert C.curvetoline_wkt("junk", 8) is None
     assert C.curvetoline_wkt(None, 8) is None
     assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 0) is None
@@ -159,3 +157,53 @@ def test_export_nonfinite_is_loud():
 
     assert X.asgml_wkt("POINT (nan 0)") is None
     assert X.askml_wkt("LINESTRING (0 0, inf 1)") is None
+
+
+def test_compoundcurve_splice():
+    """r15 (VERDICT r14 missing item 3): COMPOUNDCURVE members splice
+    with exact junctions; gaps are loud NULLs."""
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0), (2 0, 5 0))", 1
+    ) == "LINESTRING (0 0, 1 1, 2 0, 5 0)"
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE ((0 0, 2 0), (2 0, 2 2), (2 2, 0 2))", 8
+    ) == "LINESTRING (0 0, 2 0, 2 2, 0 2)"
+    # single-member form (r14's loud NULL class, now linearized)
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))", 1
+    ) == "LINESTRING (0 0, 1 1, 2 0)"
+    assert C.curvetoline_wkt("COMPOUNDCURVE EMPTY", 8) == "LINESTRING EMPTY"
+    # junction gap / reversed member / junk member
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE ((0 0, 1 0), (2 0, 3 0))", 1
+    ) is None
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE ((0 0, 1 0), (3 0, 1 0))", 1
+    ) is None
+    assert C.curvetoline_wkt("COMPOUNDCURVE ((0 0, nan 0))", 1) is None
+    assert C.curvetoline_wkt("COMPOUNDCURVE ((0 0))", 1) is None
+    assert C.curvetoline_wkt(
+        "COMPOUNDCURVE (CIRCULARSTRING EMPTY, (0 0, 1 0))", 1
+    ) is None
+
+
+def test_curvepolygon_rings():
+    """r15: CURVEPOLYGON rings linearize into the plain polygon
+    kernel; unclosed or discontinuous rings are loud NULLs."""
+    assert C.curvetoline_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0),"
+        " (2 0, 0 0)))", 1
+    ) == "POLYGON ((0 0, 1 1, 2 0, 0 0))"
+    assert C.curvetoline_wkt(
+        "CURVEPOLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))", 1
+    ) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))"
+    # a closed two-arc CIRCULARSTRING ring
+    assert C.curvetoline_wkt(
+        "CURVEPOLYGON (CIRCULARSTRING (0 0, 2 2, 4 0, 2 -2, 0 0))", 1
+    ) == "POLYGON ((0 0, 2 2, 4 0, 2 -2, 0 0))"
+    assert C.curvetoline_wkt("CURVEPOLYGON EMPTY", 1) == "POLYGON EMPTY"
+    assert C.curvetoline_wkt("CURVEPOLYGON ((0 0, 4 0, 4 4))", 1) is None
+    assert C.curvetoline_wkt(
+        "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 4 0), (4 0, 4 4)))", 1
+    ) is None  # open compound ring
+    assert C.curvetoline_wkt("CURVEPOLYGON (junk)", 1) is None

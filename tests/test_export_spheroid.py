@@ -103,7 +103,35 @@ def test_lengthspheroid():
     assert S.lengthspheroid_of("POINT (1 1)") == 0.0
     assert S.lengthspheroid_of("MULTIPOINT (1 1, 2 2)") == 0.0
     assert S.lengthspheroid_of("LINESTRING EMPTY") == 0.0
-    assert S.lengthspheroid_of("POLYGON ((0 0, 1 0, 1 1, 0 0))") is None
     assert S.lengthspheroid_of("LINESTRING (0 0, 200 0)") is None
     assert S.lengthspheroid_of("junk") is None
     assert S.lengthspheroid_of(None) is None
+
+
+def test_lengthspheroid_perimeter_and_spheroid_arg():
+    """r15 (ADVICE r14): areal input returns the PERIMETER and the
+    PostGIS spheroid-text argument is parsed and used."""
+    # closed equatorial "ring" degenerates are invalid; use the
+    # quarter-equator + two-quarter-meridian triangle against the
+    # published WGS84 quarter meridian 10 001 965.7293 m
+    p = S.lengthspheroid_of("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+    assert abs(p - (6378137.0 * math.pi / 2 + 2 * 10001965.7293)) < 0.005
+    # polygon perimeter == the same ring walked as a LINESTRING
+    ring = S.lengthspheroid_of("LINESTRING (0 0, 90 0, 0 90, 0 0)")
+    assert p == ring
+    assert S.lengthspheroid_of("POLYGON EMPTY") == 0.0
+    assert S.lengthspheroid_of("GEOMETRYCOLLECTION (POINT (1 1))") is None
+    # spheroid text: sphere (rf = 0) gives r·Δλ exactly on the equator
+    sph = 'SPHEROID["sphere",6371000,0]'
+    d = S.distancespheroid_of("POINT (10 0)", "POINT (12 0)", sph)
+    assert d == 6371000.0 * math.radians(2.0)
+    assert S.parse_spheroid('SPHEROID["WGS 84",6378137,298.257223563]') == (
+        6378137.0, 1.0 / 298.257223563,
+    )
+    for bad in ("SPHEROID[oops]", 'SPHEROID["x",0,298]', 'SPHEROID["x",6378137,0.5]', "junk"):
+        assert S.parse_spheroid(bad) is None, bad
+        assert S.distancespheroid_of("POINT (0 0)", "POINT (1 0)", bad) is None
+    # NULL spheroid → the WGS84 default (documented convenience)
+    assert S.distancespheroid_of("POINT (10 0)", "POINT (11 0)", None) == (
+        S.distancespheroid_of("POINT (10 0)", "POINT (11 0)")
+    )

@@ -61,10 +61,17 @@ def test_holed_square_optimum_dips_past_the_hole():
     assert min(abs(cy - r_exp), abs(cy - (20 - r_exp))) < 1e-6
 
 
-def test_plateau_is_loud_null():
+def test_plateau_returns_exact_closed_form():
+    # r15 (ADVICE r14): a rectangle's medial-axis plateau no longer
+    # NULLs — the deterministic best-so-far is the exact closed form
+    # (center = bbox center, r = min(w, h)/2), proven optimal to
+    # PostGIS's default extent/1000 tolerance before returning.
     assert I.maximum_inscribed_circle(
         "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))"
-    ) is None
+    ) == (15.0, 10.0, 10.0)
+    assert I.maximum_inscribed_circle(
+        "POLYGON ((5 5, 105 5, 105 25, 5 25, 5 5))"
+    ) == (55.0, 15.0, 10.0)
 
 
 def test_kind_and_junk_gates():

@@ -120,7 +120,9 @@ def test_style_gates():
     assert OC.offsetcurve_wkt(L, 2, "quad_segs=0") is None
     assert OC.offsetcurve_wkt(L, 2, "quad_segs=999999") is None
     assert OC.offsetcurve_wkt(L, 2, "mitre_limit=-1") is None
-    assert OC.offsetcurve_wkt(L, 2, None) is None
+    # r15 (ADVICE r14): NULL style = defaults, like the empty string
+    assert OC.offsetcurve_wkt(L, 2, None) == OC.offsetcurve_wkt(L, 2, "")
+    assert OC.offsetcurve_wkt(L, 2, None) is not None
     assert OC.offsetcurve_wkt(L, 2, "") == OC.offsetcurve_wkt(L, 2, "join=round")
 
 

@@ -236,7 +236,8 @@ _NULL_ARGS = {
     "st_geohash": f"{S}, CAST(NULL AS INT)",
     "st_pointfromgeohash": f"{S}, CAST(NULL AS INT)",
     "st_geomfromgeohash": f"{S}, CAST(NULL AS INT)",
-    "st_offsetcurve": f"{S}, {D}, {S}",
+    "st_offsetcurve": f"{S}, {D}",
+    "st_offsetcurvestyle": f"{S}, {D}, {S}",
     "st_square": f"{D}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_hexagon": f"{D}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_addmeasure": f"{S}, {D}, {D}",
@@ -248,9 +249,10 @@ _NULL_ARGS = {
     "st_distancecpa": f"{S}, {S}",
     "st_cpawithin": f"{S}, {S}, {D}",
     # st_maximuminscribedcircle/radius, st_largestemptycircle/radius,
-    # st_asgml/st_askml, st_lengthspheroid are unary WKT→value,
+    # st_asgml/st_askml are unary WKT→value,
     # covered by the default (S,) builders
-    "st_distancespheroid": f"{S}, {S}",
+    "st_distancespheroid": f"{S}, {S}, {S}",  # r15: PostGIS arity
+    "st_lengthspheroid": f"{S}, {S}",  # r15: PostGIS arity
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
@@ -328,20 +330,26 @@ def test_bufferstyle_mixed_values(spark):
 def test_offsetcurve_mixed_values(spark):
     """r14 continuation: valid geometry + NULL/NaN companions through
     the 3-arg offset surface (the WKT guard short-circuits all-NULL
-    sweeps)."""
+    sweeps). r15 (ADVICE r14): a NULL style means DEFAULTS, exactly
+    like the empty string, and the 2-arg PostGIS shape works."""
     rows = spark.sql(
-        "SELECT st_offsetcurve(g, d, s) AS b FROM VALUES "
+        "SELECT st_offsetcurvestyle(g, d, s) AS b FROM VALUES "
         "('LINESTRING (0 0, 10 0)', 2.0D, ''), "
+        "('LINESTRING (0 0, 10 0)', 2.0D, CAST(NULL AS STRING)), "
         "('LINESTRING (0 0, 10 0)', CAST(NULL AS DOUBLE), ''), "
         "('LINESTRING (0 0, 10 0)', CAST('NaN' AS DOUBLE), ''), "
         "('LINESTRING (0 0, 10 0)', CAST('Infinity' AS DOUBLE), ''), "
-        "('LINESTRING (0 0, 10 0)', 2.0D, CAST(NULL AS STRING)), "
         "('LINESTRING (0 0, 10 0)', 2.0D, 'endcap=flat'), "
         "('LINESTRING (0 0, inf 1)', 2.0D, '') "
         "AS t(g, d, s)"
     ).collect()
     assert rows[0]["b"] == "LINESTRING (0 2, 10 2)"
-    assert all(r["b"] is None for r in rows[1:])
+    assert rows[1]["b"] == "LINESTRING (0 2, 10 2)"  # NULL style = defaults
+    assert all(r["b"] is None for r in rows[2:])
+    two_arg = spark.sql(
+        "SELECT st_offsetcurve('LINESTRING (0 0, 10 0)', 2.0D) AS b"
+    ).collect()
+    assert two_arg[0]["b"] == "LINESTRING (0 2, 10 2)"
 
 
 def test_geohash_mixed_values(spark):

@@ -1,0 +1,265 @@
+"""Z (3-D) coordinate suite (functions/zcoord.py, r15): the WKT Z/ZM
+codec, accessors, force3d/force2d, 3-D length/distance closed forms,
+and the wkb/measure_m integration (zmflag 2/3, POINT ZM carrying M)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    measure_m as M,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+    zcoord as Z,
+)
+
+
+class TestCodec:
+    def test_roundtrips_canonical(self):
+        for w in [
+            "POINT Z (1 2 3)",
+            "POINT ZM (1 2 3 4)",
+            "MULTIPOINT Z ((1 2 3), (4 5 6))",
+            "LINESTRING Z (0 0 0, 3 4 12)",
+            "LINESTRING ZM (0 0 0 1, 3 4 12 2)",
+            "MULTILINESTRING Z ((0 0 0, 1 1 1), (2 2 2, 3 3 3))",
+            "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))",
+            "POLYGON Z ((0 0 0, 9 0 0, 9 9 0, 0 9 0, 0 0 0), (1 1 0, 2 1 0, 2 2 0, 1 1 0))",
+            "MULTIPOLYGON Z (((0 0 0, 1 0 0, 1 1 0, 0 0 0)))",
+            "POINT Z EMPTY",
+            "LINESTRING ZM EMPTY",
+            "MULTIPOLYGON Z EMPTY",
+        ]:
+            kind, has_m, payload = Z.parse_z_wkt(w)
+            assert Z.to_z_wkt(kind, has_m, payload) == w
+
+    def test_rejections(self):
+        for w in [
+            None,
+            "POINT (1 2)",  # 2-D belongs to the core parser
+            "POINT M (1 2 3)",  # M-only belongs to measure_m
+            "POINT Z (1 2)",  # wrong width
+            "POINT Z (1 2 3 4)",  # Z with 4 coords
+            "LINESTRING Z (0 0 0)",  # one vertex
+            "POLYGON Z ((0 0 1, 4 0 1, 0 0 1))",  # 3-point ring
+            "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 2))",  # unclosed (z)
+            "POINT Z (1 2 nan)",
+            "POINT Z (1 2 inf)",
+            "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))",  # outside kinds
+            "POINT Z ((1 2 3)",  # unbalanced
+        ]:
+            assert Z.parse_z_wkt(w) is None, w
+
+    def test_case_and_whitespace(self):
+        assert Z.parse_z_wkt("  point z ( 1  2  3 ) ") == ("Point", False, (1.0, 2.0, 3.0))
+        assert Z.parse_z_wkt("point zm(1 2 3 4)") == ("Point", True, (1.0, 2.0, 3.0, 4.0))
+        # bare MultiPoint coordinates (WKT allows both forms)
+        assert Z.parse_z_wkt("MULTIPOINT Z (1 2 3, 4 5 6)") == (
+            "MultiPoint", False, [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)],
+        )
+
+
+class TestAccessors:
+    def test_z(self):
+        assert Z.z_of_point("POINT Z (1 2 3)") == 3.0
+        assert Z.z_of_point("POINT ZM (1 2 3 4)") == 3.0
+        assert Z.z_of_point("POINT (1 2)") is None
+        assert Z.z_of_point("POINT M (1 2 9)") is None
+        assert Z.z_of_point("LINESTRING Z (0 0 0, 1 1 1)") is None
+        assert Z.z_of_point("POINT Z EMPTY") is None
+
+    def test_zmin_zmax(self):
+        w = "MULTILINESTRING Z ((0 0 5, 1 0 -2), (9 9 7, 8 8 0))"
+        assert Z.zmin_of(w) == -2.0
+        assert Z.zmax_of(w) == 7.0
+        poly = "POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 0 1))"
+        assert (Z.zmin_of(poly), Z.zmax_of(poly)) == (1.0, 3.0)
+        assert Z.zmin_of("POINT (1 2)") is None
+        assert Z.zmin_of("POINT Z EMPTY") is None
+
+    def test_zm_point_carries_m(self):
+        assert Z.m_of_zm_point("POINT ZM (1 2 3 4)") == 4.0
+        assert M.m_of_point("POINT ZM (1 2 3 4)") == 4.0
+        assert M.m_of_point("POINT Z (1 2 3)") is None
+
+    def test_zmflag(self):
+        assert M.zmflag_of("POINT (1 2)") == 0
+        assert M.zmflag_of("POINT M (1 2 3)") == 1
+        assert M.zmflag_of("POINT Z (1 2 3)") == 2
+        assert M.zmflag_of("POINT ZM (1 2 3 4)") == 3
+        assert M.zmflag_of("POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))") == 2
+        assert M.zmflag_of("junk((") is None
+
+
+class TestForce:
+    def test_force3d_2d_gains_z(self):
+        assert Z.force3d_wkt("POINT (1 2)") == "POINT Z (1 2 0)"
+        assert Z.force3d_wkt("POINT (1 2)", 7) == "POINT Z (1 2 7)"
+        assert (
+            Z.force3d_wkt("POLYGON ((0 0, 4 0, 4 4, 0 0))", 2)
+            == "POLYGON Z ((0 0 2, 4 0 2, 4 4 2, 0 0 2))"
+        )
+        assert (
+            Z.force3d_wkt("MULTILINESTRING ((0 0, 1 1))")
+            == "MULTILINESTRING Z ((0 0 0, 1 1 0))"
+        )
+
+    def test_force3d_echo_and_m_drop(self):
+        assert Z.force3d_wkt("POINT Z (1 2 3)", 99) == "POINT Z (1 2 3)"
+        # ZM → XYZ (force_dims(hasz=1, hasm=0): M discarded, Z kept)
+        assert Z.force3d_wkt("POINT ZM (1 2 3 4)") == "POINT Z (1 2 3)"
+        # M-only → M discarded, Z = default
+        assert Z.force3d_wkt("POINT M (1 2 9)", 7) == "POINT Z (1 2 7)"
+        assert (
+            Z.force3d_wkt("LINESTRING M (0 0 1, 1 1 2)")
+            == "LINESTRING Z (0 0 0, 1 1 0)"
+        )
+
+    def test_force3d_empty_and_refusals(self):
+        assert Z.force3d_wkt("POLYGON EMPTY") == "POLYGON Z EMPTY"
+        assert Z.force3d_wkt("POINT Z EMPTY") == "POINT Z EMPTY"
+        assert Z.force3d_wkt("GEOMETRYCOLLECTION (POINT (1 2))") is None
+        assert Z.force3d_wkt("GEOMETRYCOLLECTION EMPTY") is None
+        assert Z.force3d_wkt("junk((") is None
+        assert Z.force3d_wkt("POINT (1 2)", float("nan")) is None
+
+    def test_force2d_drops_z_and_zm(self):
+        assert M.force2d_wkt("POINT Z (1 2 3)") == "POINT (1 2)"
+        assert M.force2d_wkt("POINT ZM (1 2 3 4)") == "POINT (1 2)"
+        assert (
+            M.force2d_wkt("POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))")
+            == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+        )
+        assert (
+            M.force2d_wkt("MULTIPOLYGON Z (((0 0 0, 1 0 0, 1 1 0, 0 0 0)))")
+            == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"
+        )
+        assert M.force2d_wkt("POINT Z EMPTY") == "POINT EMPTY"
+        assert M.force2d_wkt("MULTIPOINT ZM EMPTY") == "MULTIPOINT EMPTY"
+        # the M and 2-D paths still work after the Z extension
+        assert M.force2d_wkt("POINT M (1 2 3)") == "POINT (1 2)"
+        assert M.force2d_wkt("POINT (1 2)") == "POINT (1 2)"
+
+
+class TestMeasures3D:
+    def test_3dlength_pythagorean(self):
+        # (3, 4, 12) has |v| = 13 exactly
+        assert Z.length3d_wkt("LINESTRING Z (0 0 0, 3 4 12)") == 13.0
+        assert Z.length3d_wkt("MULTILINESTRING Z ((0 0 0, 3 4 12), (0 0 0, 2 3 6))") == 20.0
+        # 2-D input reads Z = 0 (PostGIS)
+        assert Z.length3d_wkt("LINESTRING (0 0, 3 4)") == 5.0
+        assert Z.length3d_wkt("LINESTRING M (0 0 9, 3 4 9)") == 5.0
+        assert Z.length3d_wkt("LINESTRING Z EMPTY") == 0.0
+
+    def test_3dlength_refusals(self):
+        assert Z.length3d_wkt("POINT Z (1 2 3)") is None
+        assert Z.length3d_wkt("POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))") is None
+        assert Z.length3d_wkt("junk((") is None
+
+    def test_3ddistance_points(self):
+        assert Z.distance3d_wkt("POINT Z (0 0 0)", "POINT Z (1 2 2)") == 3.0
+        assert Z.distance3d_wkt("POINT Z (0 0 0)", "POINT Z (2 3 6)") == 7.0
+        # 2-D operand reads Z = 0
+        assert Z.distance3d_wkt("POINT (0 0)", "POINT Z (0 4 3)") == 5.0
+
+    def test_3ddistance_point_segment(self):
+        # point above the segment's interior: vertical drop
+        assert Z.distance3d_wkt(
+            "POINT Z (0 0 5)", "LINESTRING Z (-1 0 0, 1 0 0)"
+        ) == 5.0
+        # beyond the endpoint: distance to the endpoint
+        assert Z.distance3d_wkt(
+            "POINT Z (4 4 7)", "LINESTRING Z (0 0 0, 2 0 0)"
+        ) == math.sqrt(4 + 16 + 49)
+
+    def test_3ddistance_parallel_and_crossing_segments(self):
+        assert Z.distance3d_wkt(
+            "LINESTRING Z (0 0 0, 1 0 0)", "LINESTRING Z (0 1 3, 1 1 3)"
+        ) == math.sqrt(10)
+        # skew perpendicular lines, closest at the midpoints
+        assert Z.distance3d_wkt(
+            "LINESTRING Z (-1 0 0, 1 0 0)", "LINESTRING Z (0 -1 4, 0 1 4)"
+        ) == 4.0
+        # genuinely intersecting in 3-D
+        assert Z.distance3d_wkt(
+            "LINESTRING Z (0 0 0, 2 2 2)", "LINESTRING Z (2 0 0, 0 2 2)"
+        ) == 0.0
+
+    def test_3ddistance_refusals(self):
+        assert Z.distance3d_wkt(
+            "POINT Z (0 0 0)", "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 0 1))"
+        ) is None
+        assert Z.distance3d_wkt("POINT Z (0 0 0)", "POINT Z EMPTY") is None
+        assert Z.distance3d_wkt("POINT Z (0 0 0)", None) is None
+        assert Z.distance3d_wkt("POINT Z (0 0 0)", "junk((") is None
+
+    def test_seg_seg_fuzz_vs_sampling(self):
+        # closed-form segment distance vs dense parameter sampling —
+        # the closed form must never exceed the sampled minimum
+        rng = random.Random(42)
+        for _ in range(200):
+            p1, q1, p2, q2 = (
+                tuple(rng.uniform(-5, 5) for _ in range(3)) for _ in range(4)
+            )
+            a = "LINESTRING Z ({} {} {}, {} {} {})".format(*p1, *q1)
+            b = "LINESTRING Z ({} {} {}, {} {} {})".format(*p2, *q2)
+            d = Z.distance3d_wkt(a, b)
+            best = min(
+                math.dist(
+                    [p1[i] + (s / 40) * (q1[i] - p1[i]) for i in range(3)],
+                    [p2[i] + (t / 40) * (q2[i] - p2[i]) for i in range(3)],
+                )
+                for s in range(41)
+                for t in range(41)
+            )
+            assert d <= best + 1e-9
+            assert d >= best - 0.5  # sampling grid is coarse; sanity only
+
+
+class TestLocateBetweenContacts:
+    def test_touch_at_mmax_returns_point(self):
+        # the ADVICE r14 probe: mmax = 5, range [5, 8]
+        assert (
+            M.locatebetween_wkt("LINESTRING M (0 0 0, 10 0 5)", 5, 8)
+            == "MULTIPOINT M ((10 0 5))"
+        )
+
+    def test_interior_vertex_touch(self):
+        assert (
+            M.locatebetween_wkt("LINESTRING M (0 0 0, 10 0 10, 20 0 0)", 10, 12)
+            == "MULTIPOINT M ((10 0 10))"
+        )
+
+    def test_mixed_collection(self):
+        got = M.locatebetween_wkt(
+            "MULTILINESTRING M ((0 0 0, 10 0 5), (20 0 10, 30 0 20))", 0, 10
+        )
+        assert got == (
+            "GEOMETRYCOLLECTION M (LINESTRING M (0 0 0, 10 0 5), "
+            "POINT M (20 0 10))"
+        )
+
+    def test_span_endpoint_contact_not_duplicated(self):
+        # the second part's touch at m=5 coincides with the first
+        # span's endpoint → no duplicate POINT part
+        got = M.locatebetween_wkt(
+            "MULTILINESTRING M ((0 0 0, 10 0 5), (10 0 5, 30 0 20))", 0, 5
+        )
+        assert got == "MULTILINESTRING M ((0 0 0, 10 0 5))"
+
+    def test_miss_still_empty(self):
+        assert (
+            M.locatebetween_wkt("LINESTRING M (0 0 0, 10 0 5)", 6, 8)
+            == "MULTILINESTRING M EMPTY"
+        )
+        assert (
+            M.locatebetween_wkt("LINESTRING M (0 0 3, 10 0 3)", 1, 2)
+            == "MULTILINESTRING M EMPTY"
+        )
+
+    def test_full_span_unchanged(self):
+        assert (
+            M.locatebetween_wkt("LINESTRING M (0 0 0, 10 0 5)", 2, 8)
+            == "MULTILINESTRING M ((4 0 2, 10 0 5))"
+        )
