@@ -112,6 +112,9 @@ HEADLINE = [
     "q171_bigram_perplexity",
     "q172_bpe_tokenize",
     "q173_y4m_frames",
+    "q174_st_z",
+    "q175_st_asmvt",
+    "q176_bpe_train",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
@@ -232,14 +235,23 @@ def main() -> None:
             {"ndigits": 2},
             {"ndigits": 2, "separators": (",", ":")},
             {"ndigits": 1, "separators": (",", ":")},
+            # r15 (73 rows): the full names no longer fit at any
+            # precision — shed to the unique qNNN prefixes (the full
+            # names + full precision always live on stderr's detail)
+            {"ndigits": 2, "separators": (",", ":"), "short": True},
         ):
             nd = kwargs.pop("ndigits")
+            short = kwargs.pop("short", False)
+            qd = {
+                (k.split("_")[0] if short else k): round(v, nd)
+                for k, v in timings.items()
+            }
             line = json.dumps(
                 {
                     "metric": "headline_query_wall_seconds",
                     "value": total,
                     "unit": "sec",
-                    "queries": {k: round(v, nd) for k, v in timings.items()},
+                    "queries": qd,
                     "sf": sf_num,
                 },
                 **kwargs,

@@ -19,8 +19,12 @@ PostGIS ST_AsEWKB output reads too. The WKT side round-trips through
 the zcoord / measure_m codecs, so nested members must agree with
 their container's dimensions (PostGIS enforces the same), POLYGON M
 and dimensional GEOMETRYCOLLECTIONs are outside those codecs' kinds
-→ loud NULL, and the EWKB SRID flag (0x20000000) stays rejected
-rather than misread.
+→ loud NULL, and the EWKB SRID flag (0x20000000) stays rejected by
+the plain ST_GeomFromWKB reader rather than misread. The EWKB
+surface proper (r15 — the SRID-carrying byte form): ``st_asewkb(g,
+srid)`` emits flag-bit dims with the SRID embedded at the top level
+(srid 0 omits the flag, PostGIS behavior), ``st_geomfromewkb``
+accepts it, and ``st_sridfromewkb`` extracts it.
 
 Encoding always emits little-endian (like PostGIS on x86); decoding
 honors either byte-order flag, per element, including mixed-endian
@@ -40,7 +44,7 @@ import struct
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, StringType
+from pyspark.sql.types import BinaryType, IntegerType, StringType
 
 from . import geometry as G
 from . import measure_m as _mm
@@ -154,10 +158,13 @@ _EWKB_M = 0x40000000
 _EWKB_SRID = 0x20000000
 
 
-def _read_geom(r: _Reader, depth: int = 0):
+def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
     """→ (kind, z, m, payload). 2-D payloads mirror Geometry coords
     (GeometryCollection members come back as Geometry objects); Z/M/ZM
-    payloads mirror the zcoord / measure_m codec shapes."""
+    payloads mirror the zcoord / measure_m codec shapes. A top-level
+    EWKB SRID flag is honored ONLY when the caller passes ``srid_out``
+    (the st_geomfromewkb path) — the plain WKB reader still rejects it
+    rather than misread shifted coordinates."""
     if depth > _MAX_DEPTH:
         raise ValueError("nesting too deep")
     (order,) = r.take("B")
@@ -169,9 +176,16 @@ def _read_geom(r: _Reader, depth: int = 0):
         raise ValueError(f"bad byte order {order}")
     (code,) = r.take(e + "I")
     if code & _EWKB_SRID:
-        # an embedded SRID would silently shift every coordinate read —
-        # reject rather than misread (tests/test_wkb.py)
-        raise ValueError("EWKB SRID flag unsupported")
+        if srid_out is None or depth > 0:
+            # an embedded SRID would silently shift every coordinate
+            # read — reject rather than misread (tests/test_wkb.py);
+            # PostGIS writes the SRID at the TOP level only
+            raise ValueError("EWKB SRID flag unsupported here")
+        (srid,) = r.take(e + "i")
+        if srid < 0:
+            raise ValueError("negative SRID")
+        srid_out.append(srid)
+        code &= ~_EWKB_SRID
     z = bool(code & _EWKB_Z)
     m = bool(code & _EWKB_M)
     base = code & ~(_EWKB_Z | _EWKB_M)
@@ -308,23 +322,9 @@ def wkb_to_wkt(buf) -> str | None:
     decoded = _decode(buf)
     if decoded is None:
         return None
-    kind, z, m, payload = decoded
-    if z or m:
-        if kind == "Point" and _nan_pt(payload):
-            payload = ()  # all-NaN point → typed EMPTY (PostGIS)
-        elif not _finite_payload(kind, payload):
-            return None  # non-finite coordinates are loud NULLs
-        if z:
-            return _zc.to_z_wkt(kind, m, payload)
-        return _mm.to_m_wkt(kind, payload)
     # empty bodies round-trip as typed EMPTY, never 'LINESTRING ()'
     # (which the engine's own parser would reject)
-    g = Geometry(kind, payload)
-    if g.kind == "Point" and g.coords[0] != g.coords[0]:  # NaN
-        return "POINT EMPTY"
-    if g.kind != "Point" and not g.coords:
-        return g.kind.upper() + " EMPTY"
-    return G.to_wkt(g)
+    return _dims_to_wkt(*decoded)
 
 
 def _finite_payload(kind: str, payload) -> bool:
@@ -343,6 +343,145 @@ def _finite_payload(kind: str, payload) -> bool:
     )
 
 
+# ---- EWKB (PostGIS extended WKB: flag-bit dims + embedded SRID) ----
+
+
+def _parse_any(s: str):
+    """(kind, z, m, payload) of a 2-D / Z / ZM / M WKT (typed EMPTY
+    included), or None."""
+    up = s.upper()
+    for kind, code in _EMPTY_KINDS.items():
+        if up == f"{kind} EMPTY":
+            canon = _CODE_KIND[code]
+            return (canon, False, False, () if canon == "Point" else [])
+    pz = _zc.parse_z_wkt(s)
+    if pz is not None:
+        kind, has_m, payload = pz
+        return (kind, True, has_m, payload)
+    pm = _mm.parse_m_wkt(s)
+    if pm is not None:
+        kind, payload = pm
+        return (kind, False, True, payload)
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    return (g.kind, False, False, g.coords)
+
+
+def _to_ewkb(kind: str, z: bool, m: bool, payload, srid) -> bytes:
+    """Little-endian EWKB: flag-bit type, SRID at the TOP level only
+    (srid=None or 0 omits the flag, PostGIS behavior)."""
+    code = _KIND_CODE[kind]
+    if z:
+        code |= _EWKB_Z
+    if m:
+        code |= _EWKB_M
+    head = struct.pack("<B", 1)
+    if srid:
+        head += struct.pack("<Ii", code | _EWKB_SRID, int(srid))
+    else:
+        head += struct.pack("<I", code)
+    width = 2 + (1 if z else 0) + (1 if m else 0)
+    fmt = f"<{width}d"
+    if kind == "Point":
+        if not payload:
+            return head + struct.pack(fmt, *([float("nan")] * width))
+        return head + struct.pack(fmt, *payload)
+    if kind == "LineString":
+        return head + struct.pack("<I", len(payload)) + b"".join(
+            struct.pack(fmt, *p) for p in payload
+        )
+    if kind == "Polygon":
+        out = [head, struct.pack("<I", len(payload))]
+        for ring in payload:
+            out.append(struct.pack("<I", len(ring)))
+            out.extend(struct.pack(fmt, *p) for p in ring)
+        return b"".join(out)
+    if kind == "GeometryCollection":
+        members = [(g.kind, g.coords) for g in payload]
+        return head + struct.pack("<I", len(members)) + b"".join(
+            _to_ewkb(mk, z, m, mp, None) for mk, mp in members
+        )
+    if kind == "MultiPoint":
+        members = [("Point", p) for p in payload]
+    elif kind == "MultiLineString":
+        members = [("LineString", ch) for ch in payload]
+    else:  # MultiPolygon
+        members = [("Polygon", rings) for rings in payload]
+    return head + struct.pack("<I", len(members)) + b"".join(
+        _to_ewkb(mk, z, m, mp, None) for mk, mp in members
+    )
+
+
+_MAX_SRID = 998_999  # PostGIS's spatial_ref_sys ceiling
+
+
+def wkt_to_ewkb(wkt, srid) -> bytes | None:
+    if wkt is None:
+        return None
+    if srid is None:
+        srid = 0
+    try:
+        srid = int(srid)
+    except (TypeError, ValueError):
+        return None
+    if not 0 <= srid <= _MAX_SRID:
+        return None
+    parsed = _parse_any(str(wkt).strip())
+    if parsed is None:
+        return None
+    kind, z, m, payload = parsed
+    if m and not z and kind in ("Polygon", "MultiPolygon", "GeometryCollection"):
+        return None  # outside the measure codec's kinds
+    return _to_ewkb(kind, z, m, payload, srid)
+
+
+def _decode_ewkb(buf):
+    """(kind, z, m, payload, srid) — SRID honored at top level."""
+    if buf is None:
+        return None
+    try:
+        b = bytes(buf)
+        r = _Reader(b)
+        srid_out: list = []
+        out = _read_geom(r, srid_out=srid_out)
+        if r.pos != len(b):
+            raise ValueError("trailing bytes after geometry")
+        return (*out, srid_out[0] if srid_out else 0)
+    except (ValueError, struct.error):
+        return None
+
+
+def ewkb_to_wkt(buf) -> str | None:
+    decoded = _decode_ewkb(buf)
+    if decoded is None:
+        return None
+    kind, z, m, payload, _ = decoded
+    return _dims_to_wkt(kind, z, m, payload)
+
+
+def ewkb_srid(buf) -> int | None:
+    decoded = _decode_ewkb(buf)
+    return None if decoded is None else decoded[4]
+
+
+def _dims_to_wkt(kind, z, m, payload) -> str | None:
+    if z or m:
+        if kind == "Point" and _nan_pt(payload):
+            payload = ()
+        elif not _finite_payload(kind, payload):
+            return None
+        if z:
+            return _zc.to_z_wkt(kind, m, payload)
+        return _mm.to_m_wkt(kind, payload)
+    g = Geometry(kind, payload)
+    if g.kind == "Point" and g.coords[0] != g.coords[0]:
+        return "POINT EMPTY"
+    if g.kind != "Point" and not g.coords:
+        return g.kind.upper() + " EMPTY"
+    return G.to_wkt(g)
+
+
 @pandas_udf(BinaryType())
 def st_asbinary(wkt: pd.Series) -> pd.Series:
     """ST_AsBinary: WKT (2-D / Z / M / ZM) → little-endian WKB
@@ -357,9 +496,42 @@ def st_geomfromwkb(buf: pd.Series) -> pd.Series:
     return pd.Series([wkb_to_wkt(b) for b in buf], dtype=object)
 
 
+@pandas_udf(BinaryType())
+def st_asewkb(wkt: pd.Series, srid: pd.Series) -> pd.Series:
+    """ST_AsEWKB with an explicit SRID (the engine's WKT model carries
+    no SRID, so the caller supplies it — ST_SetSRID folded in): flag-
+    bit dims, SRID embedded at the top level; srid 0/NULL omits the
+    flag (PostGIS)."""
+    out = []
+    for w, s in zip(wkt, srid):
+        try:
+            sv = None if s is None or (isinstance(s, float) and math.isnan(s)) else s
+            out.append(wkt_to_ewkb(w, sv))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def st_geomfromewkb(buf: pd.Series) -> pd.Series:
+    """ST_GeomFromEWKB: accepts the embedded-SRID flag (top level) and
+    flag-bit or ISO dims; the SRID itself is read and discarded (use
+    st_sridfromewkb to extract it)."""
+    return pd.Series([ewkb_to_wkt(b) for b in buf], dtype=object)
+
+
+@pandas_udf(IntegerType())
+def st_sridfromewkb(buf: pd.Series) -> pd.Series:
+    """The embedded SRID of an EWKB buffer (0 when absent)."""
+    return pd.Series([ewkb_srid(b) for b in buf], dtype=object)
+
+
 ALL_WKB_FUNCTIONS = {
     "st_asbinary": st_asbinary,
     "st_geomfromwkb": st_geomfromwkb,
+    "st_asewkb": st_asewkb,
+    "st_geomfromewkb": st_geomfromewkb,
+    "st_sridfromewkb": st_sridfromewkb,
 }
 
 

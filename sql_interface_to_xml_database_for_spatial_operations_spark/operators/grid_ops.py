@@ -57,7 +57,8 @@ Oracle families (per nation box; exact unless noted):
 - ``sphd_*`` — Vincenty spheroid distances (spheroid.py) at mm
   precision: the equatorial closed form a·Δλ, the published GDA
   anchor line 54 972.271 m, a summed 2-segment length, and the
-  near-antipodal loud NULL.
+  near-antipodal window answered by the quadrature Karney solver
+  (r15 — pinned to the paper's published worked example at mm).
 - ``gh_*`` — geohash codec (r14 continuation): published anchors
   (geohash.org's u4pruydqqvj, Wikipedia's ezs42 cell), PostGIS
   auto-precision corner-common-prefix (straddling box → ''), exact
@@ -359,7 +360,7 @@ _FAMILIES = {
     # spheroid-text argument is parsed, validated, and USED): the
     # equatorial geodesic is a circle of radius a (s = a·Δλ exactly,
     # mm-pinned), the published GDA anchor line, a 2-segment
-    # equatorial length, the documented near-antipodal loud NULL, a
+    # equatorial length, the Karney-window published anchor (r15), a
     # SPHERE spheroid (rf = 0 → r·Δλ closed form on a custom axis), a
     # polygon PERIMETER against the published WGS84 quarter meridian
     # (ADVICE r14), and the malformed-spheroid loud NULL
@@ -375,9 +376,20 @@ _FAMILIES = {
     "sphd_len": _milli(
         f"st_lengthspheroid('LINESTRING (10 0, 11 0, 12 0)', '{_WGS84_SPH}')"
     ),
-    "sphd_antipodal": (
-        "COALESCE(CAST(st_distancespheroid('POINT (0 0)',"
-        f" 'POINT (179.5 0)', '{_WGS84_SPH}') AS STRING), 'NULL(antipodal)')"
+    # r15: the Vincenty non-convergence window now answers through the
+    # quadrature Karney-style solver — pinned to the paper's worked
+    # nearly-antipodal example at mm, plus a bracket check on the
+    # equatorial window case (monotone past the 179.3° Vincenty value,
+    # below the meridional 2·Mq ceiling)
+    "sphd_antipodal": _milli(
+        "st_distancespheroid('POINT (0 -30)',"
+        f" 'POINT (179.8 29.9)', '{_WGS84_SPH}')"
+    ),
+    "sphd_window_ok": (
+        "CAST(st_distancespheroid('POINT (0 0)', 'POINT (179.5 0)',"
+        f" '{_WGS84_SPH}')"
+        " BETWEEN st_distancespheroid('POINT (0 0)', 'POINT (179.3 0)',"
+        f" '{_WGS84_SPH}') AND 2 * 10001965.7293 AS STRING)"
     ),
     "sphd_sphere": _milli(
         "st_distancespheroid('POINT (10 0)', 'POINT (12 0)',"
@@ -715,7 +727,10 @@ _ORACLE_VALS = {
     ),
     "sphd_anchor": "'54972271'",  # the published GDA line, mm-pinned
     "sphd_len": _milli("6378137.0 * radians(1.0) * 2"),
-    "sphd_antipodal": "'NULL(antipodal)'",
+    # Karney (2013)'s published nearly-antipodal value, mm-pinned:
+    # floor(19 989 832.827610 · 1000 + 0.5)
+    "sphd_antipodal": "'19989832828'",
+    "sphd_window_ok": "'true'",
     "sphd_sphere": _milli("6371000.0 * radians(2.0)"),
     "sphd_perim_ok": "'true'",
     "sphd_badsph": "'NULL(spheroid)'",

@@ -112,6 +112,15 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measur
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt import (  # noqa: E402
     register_mvt_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt_tile import (  # noqa: E402
+    register_mvt_tile_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (  # noqa: E402
+    register_wkb_functions,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.zcoord import (  # noqa: E402
+    register_zcoord_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -159,6 +168,9 @@ def spark():
     register_textnorm_functions(s)
     register_curve_functions(s)
     register_mvt_functions(s)
+    register_zcoord_functions(s)
+    register_mvt_tile_functions(s)
+    register_wkb_functions(s)
     yield s
 
 

@@ -470,3 +470,18 @@ def test_r14_continuation_family_rows_stay_map_only(spark):
     plan = formatted_plan(q("q169_st_grids")(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_r15_new_rows_plan_shape(spark):
+    """q174 (Z suite) and q175 (MVT tiles) are unions of map-side UDF
+    projections over the 25-row nation scan: zero Exchange nodes.
+    q176's ENCODE side (the registered query body after training) adds
+    only the createDataFrame union — no Cartesian products anywhere."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    for name in ("q174_st_z", "q175_st_asmvt"):
+        plan = formatted_plan(q(name)(spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+    plan = formatted_plan(q("q176_bpe_train")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan

@@ -113,6 +113,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measur
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (
     ALL_OFFSET_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt_tile import (
+    ALL_MVT_TILE_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.zcoord import (
+    ALL_ZCOORD_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -151,6 +157,8 @@ _SWEPT = {
     **ALL_SPHEROID_FUNCTIONS,
     **ALL_CURVE_FUNCTIONS,
     **ALL_MVT_FUNCTIONS,
+    **ALL_ZCOORD_FUNCTIONS,
+    **ALL_MVT_TILE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -251,6 +259,14 @@ _NULL_ARGS = {
     # st_maximuminscribedcircle/radius, st_largestemptycircle/radius,
     # st_asgml/st_askml are unary WKT→value,
     # covered by the default (S,) builders
+    "st_asewkb": f"{S}, CAST(NULL AS INT)",
+    "st_force3dz": f"{S}, {D}",
+    "st_3ddistance": f"{S}, {S}",
+    "st_asmvt": (
+        "CAST(NULL AS ARRAY<STRUCT<geom: STRING, id: BIGINT,"
+        " attrs: MAP<STRING, STRING>, nattrs: MAP<STRING, BIGINT>>>),"
+        f" {S}, CAST(NULL AS INT)"
+    ),
     "st_distancespheroid": f"{S}, {S}, {S}",  # r15: PostGIS arity
     "st_lengthspheroid": f"{S}, {S}",  # r15: PostGIS arity
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",

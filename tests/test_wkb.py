@@ -172,3 +172,71 @@ class TestQ140:
         load_all()
         q = QUERIES["q140_wkb_roundtrip"]
         assert_parity(q.fn(spark, SF_DIR), oracle, q.oracle, "q140")
+
+
+class TestEWKB:
+    """r15: the SRID-carrying EWKB surface (flag-bit dims + embedded
+    SRID at the top level), alongside the plain reader's unchanged
+    rejection of the flag."""
+
+    def test_roundtrip_with_srid(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (
+            ewkb_srid,
+            ewkb_to_wkt,
+            wkt_to_ewkb,
+        )
+
+        for wkt in (
+            "POINT (1 2)",
+            "POINT Z (1 2 3)",
+            "POINT ZM (1 2 3 4)",
+            "POINT M (1 2 3)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 0))",
+            "MULTIPOLYGON Z (((0 0 0, 1 0 0, 1 1 0, 0 0 0)))",
+            "GEOMETRYCOLLECTION (POINT (1 2))",
+            "POINT EMPTY",
+            "LINESTRING Z EMPTY",
+        ):
+            buf = wkt_to_ewkb(wkt, 4326)
+            assert buf is not None, wkt
+            assert ewkb_to_wkt(buf) == wkt
+            assert ewkb_srid(buf) == 4326
+            # srid 0 omits the flag entirely (PostGIS behavior)
+            b0 = wkt_to_ewkb(wkt, 0)
+            assert ewkb_srid(b0) == 0 and ewkb_to_wkt(b0) == wkt
+
+    def test_flag_layout(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (
+            wkb_to_wkt,
+            wkt_to_ewkb,
+        )
+
+        buf = wkt_to_ewkb("POINT (1 2)", 4326)
+        code, srid = struct.unpack_from("<Ii", buf, 1)
+        assert code == 1 | 0x20000000 and srid == 4326
+        bz = wkt_to_ewkb("POINT Z (1 2 3)", 27700)
+        code, srid = struct.unpack_from("<Ii", bz, 1)
+        assert code == 1 | 0x80000000 | 0x20000000 and srid == 27700
+        # the PLAIN reader still rejects the SRID flag — never misreads
+        assert wkb_to_wkt(buf) is None
+
+    def test_gates(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (
+            ewkb_srid,
+            ewkb_to_wkt,
+            wkt_to_ewkb,
+            wkt_to_wkb,
+        )
+
+        assert wkt_to_ewkb("junk((", 4326) is None
+        assert wkt_to_ewkb("POINT (1 2)", -1) is None
+        assert wkt_to_ewkb("POINT (1 2)", 10**7) is None
+        assert wkt_to_ewkb(None, 4326) is None
+        assert ewkb_to_wkt(b"\x01") is None
+        assert ewkb_srid(b"junk") is None
+        # ISO-coded dims read fine through the ewkb reader too
+        assert ewkb_to_wkt(wkt_to_wkb("POINT Z (1 2 3)")) == "POINT Z (1 2 3)"
+        # a NESTED SRID flag (PostGIS never writes one) is rejected
+        inner = wkt_to_ewkb("POINT (1 2)", 4326)
+        bad = struct.pack("<BII", 1, 4, 1) + inner
+        assert ewkb_to_wkt(bad) is None
