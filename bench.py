@@ -115,6 +115,7 @@ HEADLINE = [
     "q174_st_z",
     "q175_st_asmvt",
     "q176_bpe_train",
+    "q177_st_geodesy",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -34,6 +34,15 @@ Semantics (PostGIS-matching unless noted):
   *Real-Time Collision Detection* §5.1.9 — the public algorithm GEOS
   uses); areal operands are a documented loud NULL (PostGIS supports
   planar polygon faces; this engine's 3-D surface model does not).
+- ``st_3ddwithin(a, b, d)`` / ``st_3dclosestpoint(a, b)`` /
+  ``st_3dshortestline(a, b)`` — the same kernel's predicate and
+  witness forms (ties take the first minimum in scan order —
+  deterministic); ``st_3dmaxdistance(a, b)`` — |p − q| is convex
+  along each segment, so the maximum is EXACT over vertex pairs.
+- ``st_3dlineinterpolatepoint(line, f)`` — the POINT Z at fraction f
+  of the 3-D arc length of a LINESTRING (last-segment fallback by
+  index — the measure_m r14 lesson); ``st_3dperimeter(areal)`` — the
+  3-D length of every ring.
 
 All map-only Arrow-batched pandas UDFs — no shuffle; pairwise
 kernels carry the linearref-style work budget so adversarial
@@ -48,7 +57,7 @@ import re
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from . import geometry as G
 from . import overlay as _ov
@@ -457,20 +466,25 @@ def _d3(p, q) -> float:
     )
 
 
-def _pt_seg_d3(p, a, b) -> float:
+def _pt_seg_w3(p, a, b):
+    """(distance, closest point on [a, b]) for a 3-D point."""
     ab = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
     ap = (p[0] - a[0], p[1] - a[1], p[2] - a[2])
     denom = ab[0] ** 2 + ab[1] ** 2 + ab[2] ** 2
     if denom == 0.0:
-        return _d3(p, a)
+        return (_d3(p, a), a)
     t = (ap[0] * ab[0] + ap[1] * ab[1] + ap[2] * ab[2]) / denom
     t = 0.0 if t < 0.0 else 1.0 if t > 1.0 else t
     c = (a[0] + t * ab[0], a[1] + t * ab[1], a[2] + t * ab[2])
-    return _d3(p, c)
+    return (_d3(p, c), c)
 
 
-def _seg_seg_d3(p1, q1, p2, q2) -> float:
-    """Closest distance between 3-D segments [p1,q1] and [p2,q2] —
+def _pt_seg_d3(p, a, b) -> float:
+    return _pt_seg_w3(p, a, b)[0]
+
+
+def _seg_seg_w3(p1, q1, p2, q2):
+    """(distance, witness on A, witness on B) for 3-D segments —
     Ericson RTCD §5.1.9 (clamped quadratic; degenerate segments fall
     back to the point kernels)."""
     d1 = (q1[0] - p1[0], q1[1] - p1[1], q1[2] - p1[2])
@@ -480,11 +494,13 @@ def _seg_seg_d3(p1, q1, p2, q2) -> float:
     e = d2[0] ** 2 + d2[1] ** 2 + d2[2] ** 2
     f = d2[0] * r[0] + d2[1] * r[1] + d2[2] * r[2]
     if a == 0.0 and e == 0.0:
-        return _d3(p1, p2)
+        return (_d3(p1, p2), p1, p2)
     if a == 0.0:
-        return _pt_seg_d3(p1, p2, q2)
+        d, c = _pt_seg_w3(p1, p2, q2)
+        return (d, p1, c)
     if e == 0.0:
-        return _pt_seg_d3(p2, p1, q1)
+        d, c = _pt_seg_w3(p2, p1, q1)
+        return (d, c, p2)
     c = d1[0] * r[0] + d1[1] * r[1] + d1[2] * r[2]
     b = d1[0] * d2[0] + d1[1] * d2[1] + d1[2] * d2[2]
     denom = a * e - b * b
@@ -498,7 +514,11 @@ def _seg_seg_d3(p1, q1, p2, q2) -> float:
         s = max(0.0, min(1.0, (b - c) / a))
     c1 = (p1[0] + s * d1[0], p1[1] + s * d1[1], p1[2] + s * d1[2])
     c2 = (p2[0] + t * d2[0], p2[1] + t * d2[1], p2[2] + t * d2[2])
-    return _d3(c1, c2)
+    return (_d3(c1, c2), c1, c2)
+
+
+def _seg_seg_d3(p1, q1, p2, q2) -> float:
+    return _seg_seg_w3(p1, q1, p2, q2)[0]
 
 
 def length3d_wkt(wkt) -> float | None:
@@ -514,7 +534,10 @@ def length3d_wkt(wkt) -> float | None:
     return sum(_d3(a, b) for a, b in segs)
 
 
-def distance3d_wkt(a_wkt, b_wkt) -> float | None:
+def _closest3d(a_wkt, b_wkt):
+    """(distance, witness on a, witness on b) — None outside the
+    puntal/lineal contract or past the work budget. Ties take the
+    first minimum in scan order (deterministic)."""
     if a_wkt is None or b_wkt is None:
         return None
     pa = _prims_3d(a_wkt)
@@ -529,18 +552,163 @@ def distance3d_wkt(a_wkt, b_wkt) -> float | None:
     nb = len(pts_b) + 2 * len(segs_b)
     if na * nb > _MAX_PAIR_WORK:
         return None  # loud work budget (linearref.py convention)
-    best = math.inf
+    best = (math.inf, None, None)
     for p in pts_a:
         for q in pts_b:
-            best = min(best, _d3(p, q))
+            d = _d3(p, q)
+            if d < best[0]:
+                best = (d, p, q)
         for s, t in segs_b:
-            best = min(best, _pt_seg_d3(p, s, t))
+            d, c = _pt_seg_w3(p, s, t)
+            if d < best[0]:
+                best = (d, p, c)
     for s, t in segs_a:
         for q in pts_b:
-            best = min(best, _pt_seg_d3(q, s, t))
+            d, c = _pt_seg_w3(q, s, t)
+            if d < best[0]:
+                best = (d, c, q)
         for u, v in segs_b:
-            best = min(best, _seg_seg_d3(s, t, u, v))
+            d, c1, c2 = _seg_seg_w3(s, t, u, v)
+            if d < best[0]:
+                best = (d, c1, c2)
     return best
+
+
+def distance3d_wkt(a_wkt, b_wkt) -> float | None:
+    out = _closest3d(a_wkt, b_wkt)
+    return None if out is None else out[0]
+
+
+def dwithin3d_wkt(a_wkt, b_wkt, d) -> bool | None:
+    """ST_3DDWithin over the same puntal/lineal kernel."""
+    dv = _num(d)
+    if dv is None or dv < 0.0:
+        return None
+    out = _closest3d(a_wkt, b_wkt)
+    return None if out is None else out[0] <= dv
+
+
+def closestpoint3d_wkt(a_wkt, b_wkt) -> str | None:
+    """ST_3DClosestPoint: the point ON a nearest to b (POINT Z)."""
+    out = _closest3d(a_wkt, b_wkt)
+    if out is None:
+        return None
+    return to_z_wkt("Point", False, out[1])
+
+
+def shortestline3d_wkt(a_wkt, b_wkt) -> str | None:
+    """ST_3DShortestLine as LINESTRING Z (degenerate when touching —
+    PostGIS returns the zero-length line too)."""
+    out = _closest3d(a_wkt, b_wkt)
+    if out is None:
+        return None
+    return to_z_wkt("LineString", False, [out[1], out[2]])
+
+
+def maxdistance3d_wkt(a_wkt, b_wkt) -> float | None:
+    """ST_3DMaxDistance: |p − q| is convex along each segment, so the
+    maximum over two bounded segment sets is attained at VERTEX pairs
+    — an exact vertex×vertex scan."""
+    if a_wkt is None or b_wkt is None:
+        return None
+    pa = _prims_3d(a_wkt)
+    pb = _prims_3d(b_wkt)
+    if pa is None or pb is None:
+        return None
+    va = pa[0] + [p for s in pa[1] for p in s]
+    vb = pb[0] + [p for s in pb[1] for p in s]
+    if not va or not vb:
+        return None
+    if len(va) * len(vb) > _MAX_PAIR_WORK:
+        return None
+    return max(_d3(p, q) for p in va for q in vb)
+
+
+def lineinterpolatepoint3d_wkt(wkt, fraction) -> str | None:
+    """ST_3DLineInterpolatePoint: the point at ``fraction`` of the
+    3-D arc length of a LINESTRING Z/ZM (2-D/M lineal input reads
+    Z = 0, like the other 3-D measures). fraction ∈ [0, 1]."""
+    f = _num(fraction)
+    if wkt is None or f is None or not 0.0 <= f <= 1.0:
+        return None
+    prims = _prims_3d(wkt)
+    if prims is None:
+        return None
+    pts, segs = prims
+    if pts or not segs:
+        return None  # puntal / EMPTY — loud (PostGIS wants a line)
+    # segments of one LineString arrive in order; reject multi-part
+    # input the way PostGIS does (linestring only)
+    pz = parse_z_wkt(wkt)
+    if pz is not None and pz[0] not in ("LineString",):
+        return None
+    if pz is None:
+        up = str(wkt).strip().upper()
+        if not up.startswith("LINESTRING"):
+            return None
+    lens = [_d3(a, b) for a, b in segs]
+    total = sum(lens)
+    if total == 0.0:
+        return to_z_wkt("Point", False, segs[0][0])
+    target = f * total
+    cum = 0.0
+    last = len(segs) - 1
+    for i, ((a, b), ln) in enumerate(zip(segs, lens)):
+        # last-segment fallback BY INDEX (the measure_m r14 lesson:
+        # value-equality guards snap duplicate segments wrong)
+        if cum + ln >= target or i == last:
+            t = 0.0 if ln == 0.0 else min(1.0, max(0.0, (target - cum) / ln))
+            if t == 0.0:
+                return to_z_wkt("Point", False, a)
+            if t == 1.0:
+                return to_z_wkt("Point", False, b)
+            return to_z_wkt(
+                "Point",
+                False,
+                (
+                    a[0] + t * (b[0] - a[0]),
+                    a[1] + t * (b[1] - a[1]),
+                    a[2] + t * (b[2] - a[2]),
+                ),
+            )
+        cum += ln
+    return to_z_wkt("Point", False, segs[-1][1])
+
+
+def perimeter3d_wkt(wkt) -> float | None:
+    """ST_3DPerimeter: the 3-D length of every ring of an areal Z
+    geometry (2-D areal input reads Z = 0 → the plain perimeter)."""
+    if wkt is None:
+        return None
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, _, payload = pz
+        if kind not in ("Polygon", "MultiPolygon"):
+            return None
+        if kind == "Polygon":
+            rings = payload
+        else:
+            rings = [r for rings_ in payload for r in rings_]
+        return sum(
+            _d3((p[0], p[1], p[2]), (q[0], q[1], q[2]))
+            for ring in rings
+            for p, q in zip(ring, ring[1:])
+        )
+    s = str(wkt).strip()
+    mt = _ov._EMPTY_RE.match(s.upper())
+    if mt:
+        return 0.0 if mt.group(1) in ("POLYGON", "MULTIPOLYGON") else None
+    g = G.parse_wkt(s)
+    if g is None or g.kind not in ("Polygon", "MultiPolygon"):
+        return None
+    rings = g.coords if g.kind == "Polygon" else [
+        r for rs in g.coords for r in rs
+    ]
+    return sum(
+        math.hypot(q[0] - p[0], q[1] - p[1])
+        for ring in rings
+        for p, q in zip(ring, ring[1:])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +769,54 @@ def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(BooleanType())
+def st_3ddwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    """ST_3DDWithin over the 3-D distance kernel."""
+    return pd.Series(
+        [_safe(dwithin3d_wkt, x, y, dv) for x, y, dv in zip(a, b, d)],
+        dtype=object,
+    )
+
+
+@pandas_udf(DoubleType())
+def st_3dmaxdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_3DMaxDistance (exact vertex-pair maximum)."""
+    return pd.Series(
+        [_safe(maxdistance3d_wkt, x, y) for x, y in zip(a, b)], dtype=object
+    )
+
+
+@pandas_udf(StringType())
+def st_3dclosestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_3DClosestPoint: the POINT Z on a nearest to b."""
+    return pd.Series(
+        [_safe(closestpoint3d_wkt, x, y) for x, y in zip(a, b)], dtype=object
+    )
+
+
+@pandas_udf(StringType())
+def st_3dshortestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_3DShortestLine as LINESTRING Z."""
+    return pd.Series(
+        [_safe(shortestline3d_wkt, x, y) for x, y in zip(a, b)], dtype=object
+    )
+
+
+@pandas_udf(StringType())
+def st_3dlineinterpolatepoint(wkt: pd.Series, f: pd.Series) -> pd.Series:
+    """ST_3DLineInterpolatePoint at a 3-D arc-length fraction."""
+    return pd.Series(
+        [_safe(lineinterpolatepoint3d_wkt, w, fv) for w, fv in zip(wkt, f)],
+        dtype=object,
+    )
+
+
+@pandas_udf(DoubleType())
+def st_3dperimeter(wkt: pd.Series) -> pd.Series:
+    """ST_3DPerimeter of an areal geometry (absent Z reads 0)."""
+    return pd.Series([_safe(perimeter3d_wkt, w) for w in wkt], dtype=object)
+
+
 ALL_ZCOORD_FUNCTIONS = {
     "st_z": st_z,
     "st_zmin": st_zmin,
@@ -609,6 +825,12 @@ ALL_ZCOORD_FUNCTIONS = {
     "st_force3dz": st_force3dz,
     "st_3dlength": st_3dlength,
     "st_3ddistance": st_3ddistance,
+    "st_3ddwithin": st_3ddwithin,
+    "st_3dmaxdistance": st_3dmaxdistance,
+    "st_3dclosestpoint": st_3dclosestpoint,
+    "st_3dshortestline": st_3dshortestline,
+    "st_3dlineinterpolatepoint": st_3dlineinterpolatepoint,
+    "st_3dperimeter": st_3dperimeter,
 }
 
 

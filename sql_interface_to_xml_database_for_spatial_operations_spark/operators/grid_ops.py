@@ -776,10 +776,36 @@ _ORACLE_VALS = {
     "mvt_out": "'NULL(outside)'",
 }
 
-_Q169_ORACLE = "\nUNION ALL\n".join(
-    f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
-    f" FROM ({NATION_BOXES_SQL})"
-    for fam, val in _ORACLE_VALS.items()
+# r15 split (VERDICT r14 plan-audit guidance: "if the grab-bag crosses
+# ~3 s, split it rather than optimize it" — q169 reached 2.7 s at 82
+# families): the geodesy/export families (geohash codec, spheroid
+# distances incl. the Karney window, GML/KML writers) move to their
+# own row q177_st_geodesy; q169 keeps the grid/editor/cell/curve/mvt
+# surface. Both rows stay unions of map-only UDF projections.
+_GEODESY_PREFIXES = ("gh", "sphd", "kml", "gml")
+
+
+def _is_geodesy(fam: str) -> bool:
+    return fam.split("_")[0] in _GEODESY_PREFIXES
+
+
+_GRID_FAMILIES = {k: v for k, v in _FAMILIES.items() if not _is_geodesy(k)}
+_GEO_FAMILIES = {k: v for k, v in _FAMILIES.items() if _is_geodesy(k)}
+
+
+def _oracle_for(vals: dict) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{fam}' AS fam, n_nationkey AS key, {val} AS val"
+        f" FROM ({NATION_BOXES_SQL})"
+        for fam, val in vals.items()
+    )
+
+
+_Q169_ORACLE = _oracle_for(
+    {k: v for k, v in _ORACLE_VALS.items() if not _is_geodesy(k)}
+)
+_Q177_ORACLE = _oracle_for(
+    {k: v for k, v in _ORACLE_VALS.items() if _is_geodesy(k)}
 )
 
 
@@ -789,4 +815,14 @@ def q169_st_grids(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelopes, and the small editors, each pinned by the closed-form /
     string-built oracles in the module docstring."""
     _ensure_udfs(spark)
-    return family_rows(nation_boxes(spark, sf_dir), _FAMILIES)
+    return family_rows(nation_boxes(spark, sf_dir), _GRID_FAMILIES)
+
+
+@query("q177_st_geodesy", oracle=_Q177_ORACLE)
+def q177_st_geodesy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 geodesy + export family (split from q169, r15): the geohash
+    codec anchors, Vincenty/Karney spheroid distances (published GDA +
+    nearly-antipodal anchors, spheroid-argument parsing, perimeter),
+    and the GML/KML writer round trips."""
+    _ensure_udfs(spark)
+    return family_rows(nation_boxes(spark, sf_dir), _GEO_FAMILIES)

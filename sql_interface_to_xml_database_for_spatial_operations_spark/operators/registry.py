@@ -361,8 +361,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # protobuf assembly, byte-exact hex oracle), q176_bpe_train (the
 # distributed trainer's groupBy-argmax loop, closed-form merges);
 # (e) fill (6): the oldest r12-green rows in registration order —
-# q53, q60, q61, q62, q63, q109.
-# Window arithmetic: 8 + 28 + 5 + 3 + 6 = 50 exactly. After r15 the
+# q53, q60, q61, q62, q63, q109. LATE-ROUND SWAP (one-in-one-out):
+# q169 crossed the judge's ~3 s split line at 82 families, so its 21
+# geodesy/export families (gh_*/sphd_*/kml_*/gml_*) moved to the NEW
+# row q177_st_geodesy — q177 takes q109's fill slot (q109 folds back
+# verified on its recorded r12 fingerprint; it leads the r16 cohort).
+# Window arithmetic: 8 + 28 + 5 + 4 + 5 = 50 exactly. After r15 the
 # oldest remaining green is r12 — the "nothing older than 4 rounds"
 # bar holds.
 # Deliberate re-records (closure drift, executed paths byte-unchanged):
@@ -400,6 +404,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q106_sequence_packing",
         "q107_decontamination",
         "q108_kml_roundtrip",
+        "q109_tfidf_top_terms",
         "q10_between_range",
         "q110_repetition_metrics",
         "q111_centroid_outliers",

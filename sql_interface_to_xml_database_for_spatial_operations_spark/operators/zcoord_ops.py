@@ -28,6 +28,16 @@ coordinates:
   collection) + ST_Force2D of the Z polygon.
 - ``zmin_neg``: ST_ZMin over a negative-Z line (= −k) + its WKB
   round trip.
+- ``d3d_within`` (r15 continuation): ST_3DDWithin bracketing the
+  exact distance 3s (true at 3s, false at 3s − 0.5) + the
+  ST_3DClosestPoint witness ON the segment under the hanging point.
+- ``d3d_max``: ST_3DMaxDistance (= 13a, the far vertex) + the
+  ST_3DShortestLine drop as an exact LINESTRING Z.
+- ``interp3d``: ST_3DLineInterpolatePoint at f = 0.5 of the DOUBLED
+  Pythagorean line (halving keeps integers: z = 12a) + the full
+  POINT Z string.
+- ``perim3d``: ST_3DPerimeter of the 5-12-13 wall triangle (= 30a)
+  + the coincident-witness ST_3DClosestPoint (a's own point).
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so linearref_ops.py /
@@ -117,6 +127,25 @@ _TOUCH_EXPECT = (
 _FORCE3D_K = f"'POINT Z (' || {_xyz('minx', 'miny', _K)} || ')'"
 _FORCE3D_0 = f"'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')'"
 
+# r15 continuation fixtures: the doubled Pythagorean line (halving at
+# f = 0.5 keeps every coordinate an exact integer), the 5-12-13 wall
+# triangle (3-D perimeter 30a), and the vertical drop's witness line
+_LZ2 = (
+    f"'LINESTRING Z (' || {_xyz('minx', 'miny', '0')} || ', ' || "
+    f"{_xyz(f'minx + 6 * {_A}', f'miny + 8 * {_A}', f'24 * {_A}')} || ')'"
+)
+_MIDZ = f"'POINT Z (' || {_xyz(f'minx + 3 * {_A}', f'miny + 4 * {_A}', f'12 * {_A}')} || ')'"
+_WALL = (
+    f"'POLYGON Z ((' || {_xyz('minx', 'miny', '0')} || ', ' || "
+    f"{_xyz(f'minx + 3 * {_A}', f'miny + 4 * {_A}', '0')} || ', ' || "
+    f"{_xyz(f'minx + 3 * {_A}', f'miny + 4 * {_A}', f'12 * {_A}')} || ', ' || "
+    f"{_xyz('minx', 'miny', '0')} || '))'"
+)
+_DROP_LINE = (
+    f"'LINESTRING Z (' || {_xyz('minx', 'miny', _ZV)} || ', ' || "
+    f"{_xyz('minx', 'miny', '0')} || ')'"
+)
+
 _Q174_ORACLE = f"""
     WITH boxes AS ({NATION_BOXES_SQL})
     SELECT 'z_acc' AS fam, n_nationkey AS key,
@@ -153,6 +182,24 @@ _Q174_ORACLE = f"""
     UNION ALL
     SELECT 'zmin_neg' AS fam, n_nationkey AS key,
            CAST(0 - {_K} AS BIGINT) AS a, {_LZNEG} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'd3d_within' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a,
+           'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')' AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'd3d_max' AS fam, n_nationkey AS key,
+           CAST(13 * {_A} AS BIGINT) AS a, {_DROP_LINE} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'interp3d' AS fam, n_nationkey AS key,
+           CAST(12 * {_A} AS BIGINT) AS a, {_MIDZ} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'perim3d' AS fam, n_nationkey AS key,
+           CAST(30 * {_A} AS BIGINT) AS a,
+           'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')' AS b
     FROM boxes
 """
 
@@ -218,6 +265,38 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zmin_neg",
             f"st_zmin({_LZNEG})",
             f"st_geomfromwkb(st_asbinary({_LZNEG}))",
+        )
+    )
+    # r15 continuation: the predicate/witness/interpolation/perimeter
+    # forms of the 3-D kernel (module docstring fixtures)
+    rows = rows.unionByName(
+        fam(
+            "d3d_within",
+            f"CASE WHEN st_3ddwithin({_PZ0}, {_PZQ}, CAST(3 * {_S} AS DOUBLE))"
+            f" AND NOT st_3ddwithin({_PZ0}, {_PZQ}, CAST(3 * {_S} AS DOUBLE) - 0.5)"
+            " THEN 1 ELSE 0 END",
+            f"st_3dclosestpoint({_SEG0}, {_PABOVE})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "d3d_max",
+            f"st_3dmaxdistance({_PZ0}, {_LZ})",
+            f"st_3dshortestline({_PABOVE}, {_SEG0})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "interp3d",
+            f"st_z(st_3dlineinterpolatepoint({_LZ2}, 0.5))",
+            f"st_3dlineinterpolatepoint({_LZ2}, 0.5)",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "perim3d",
+            f"st_3dperimeter({_WALL})",
+            f"st_3dclosestpoint({_PZ0}, {_PZQ})",
         )
     )
     return rows

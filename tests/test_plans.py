@@ -479,7 +479,7 @@ def test_r15_new_rows_plan_shape(spark):
     only the createDataFrame union — no Cartesian products anywhere."""
     from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
 
-    for name in ("q174_st_z", "q175_st_asmvt"):
+    for name in ("q174_st_z", "q175_st_asmvt", "q177_st_geodesy"):
         plan = formatted_plan(q(name)(spark, SF_DIR))
         assert "Exchange" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, name

@@ -262,6 +262,11 @@ _NULL_ARGS = {
     "st_asewkb": f"{S}, CAST(NULL AS INT)",
     "st_force3dz": f"{S}, {D}",
     "st_3ddistance": f"{S}, {S}",
+    "st_3ddwithin": f"{S}, {S}, {D}",
+    "st_3dmaxdistance": f"{S}, {S}",
+    "st_3dclosestpoint": f"{S}, {S}",
+    "st_3dshortestline": f"{S}, {S}",
+    "st_3dlineinterpolatepoint": f"{S}, {D}",
     "st_asmvt": (
         "CAST(NULL AS ARRAY<STRUCT<geom: STRING, id: BIGINT,"
         " attrs: MAP<STRING, STRING>, nattrs: MAP<STRING, BIGINT>>>),"

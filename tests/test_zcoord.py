@@ -263,3 +263,96 @@ class TestLocateBetweenContacts:
             M.locatebetween_wkt("LINESTRING M (0 0 0, 10 0 5)", 2, 8)
             == "MULTILINESTRING M ((4 0 2, 10 0 5))"
         )
+
+
+class Test3DExtensions:
+    """r15 continuation: the predicate/witness/interpolation/perimeter
+    forms of the 3-D kernel."""
+
+    def test_dwithin(self):
+        assert Z.dwithin3d_wkt("POINT Z (0 0 0)", "POINT Z (1 2 2)", 3) is True
+        assert Z.dwithin3d_wkt("POINT Z (0 0 0)", "POINT Z (1 2 2)", 2.999) is False
+        assert Z.dwithin3d_wkt("POINT Z (0 0 0)", "POINT Z (1 2 2)", -1) is None
+        assert Z.dwithin3d_wkt("POINT Z (0 0 0)", "POLYGON ((0 0, 1 0, 1 1, 0 0))", 5) is None
+
+    def test_maxdistance_vertex_exact(self):
+        assert Z.maxdistance3d_wkt("POINT Z (0 0 0)", "LINESTRING Z (0 0 0, 3 4 12)") == 13.0
+        assert Z.maxdistance3d_wkt(
+            "LINESTRING Z (0 0 0, 1 0 0)", "LINESTRING Z (0 0 0, 0 0 5)"
+        ) == math.sqrt(26)
+        assert Z.maxdistance3d_wkt("POINT Z (0 0 0)", "POINT Z EMPTY") is None
+
+    def test_closest_and_shortest(self):
+        assert Z.closestpoint3d_wkt(
+            "LINESTRING Z (-1 0 0, 1 0 0)", "POINT Z (0 0 5)"
+        ) == "POINT Z (0 0 0)"
+        # argument order matters: the witness lives ON the first operand
+        assert Z.closestpoint3d_wkt(
+            "POINT Z (0 0 5)", "LINESTRING Z (-1 0 0, 1 0 0)"
+        ) == "POINT Z (0 0 5)"
+        assert Z.shortestline3d_wkt(
+            "LINESTRING Z (-1 0 0, 1 0 0)", "POINT Z (0 0 5)"
+        ) == "LINESTRING Z (0 0 0, 0 0 5)"
+        # touching operands: the zero-length line, not NULL (PostGIS)
+        assert Z.shortestline3d_wkt(
+            "POINT Z (1 1 1)", "LINESTRING Z (0 0 0, 2 2 2)"
+        ) == "LINESTRING Z (1 1 1, 1 1 1)"
+
+    def test_lineinterpolatepoint(self):
+        assert Z.lineinterpolatepoint3d_wkt("LINESTRING Z (0 0 0, 6 8 24)", 0.5) == "POINT Z (3 4 12)"
+        # the Z leg counts toward arc length: quarter of (10 + 10·√2)…
+        # use equal 3-D leg lengths instead: 0→(0,0,10) len 10, then
+        # (0,0,10)→(0,10,10) len 10 — f=0.25 lands mid-first-leg
+        assert Z.lineinterpolatepoint3d_wkt(
+            "LINESTRING Z (0 0 0, 0 0 10, 0 10 10)", 0.25
+        ) == "POINT Z (0 0 5)"
+        assert Z.lineinterpolatepoint3d_wkt("LINESTRING Z (0 0 0, 6 8 24)", 0.0) == "POINT Z (0 0 0)"
+        assert Z.lineinterpolatepoint3d_wkt("LINESTRING Z (0 0 0, 6 8 24)", 1.0) == "POINT Z (6 8 24)"
+        # 2-D input reads Z = 0 (the other 3-D measures' convention)
+        assert Z.lineinterpolatepoint3d_wkt("LINESTRING (0 0, 6 8)", 0.5) == "POINT Z (3 4 0)"
+        assert Z.lineinterpolatepoint3d_wkt("MULTILINESTRING Z ((0 0 0, 1 1 1))", 0.5) is None
+        assert Z.lineinterpolatepoint3d_wkt("LINESTRING Z (0 0 0, 6 8 24)", 1.5) is None
+        assert Z.lineinterpolatepoint3d_wkt("POINT Z (0 0 0)", 0.5) is None
+
+    def test_perimeter(self):
+        # the 5-12-13 wall triangle: 3-D perimeter 5 + 12 + 13
+        assert Z.perimeter3d_wkt("POLYGON Z ((0 0 0, 3 4 0, 3 4 12, 0 0 0))") == 30.0
+        assert Z.perimeter3d_wkt("POLYGON ((0 0, 3 0, 3 4, 0 0))") == 12.0
+        assert Z.perimeter3d_wkt(
+            "MULTIPOLYGON Z (((0 0 0, 3 4 0, 3 4 12, 0 0 0)))"
+        ) == 30.0
+        assert Z.perimeter3d_wkt("POLYGON EMPTY") == 0.0
+        assert Z.perimeter3d_wkt("LINESTRING Z (0 0 0, 1 1 1)") is None
+        assert Z.perimeter3d_wkt("junk((") is None
+
+
+def test_closest_witness_consistency_fuzz():
+    """The witnesses returned by the closest-pair kernel must LIE ON
+    their operands and reproduce the reported distance exactly."""
+    rng = random.Random(7)
+
+    def on_seg(c, a, b, tol=1e-9):
+        # c = a + t(b−a) for some t in [0,1]: check via projection
+        ab = [b[i] - a[i] for i in range(3)]
+        d2 = sum(v * v for v in ab)
+        if d2 == 0:
+            return all(abs(c[i] - a[i]) < tol for i in range(3))
+        t = sum((c[i] - a[i]) * ab[i] for i in range(3)) / d2
+        return -tol <= t <= 1 + tol and all(
+            abs(c[i] - (a[i] + t * ab[i])) < 1e-6 for i in range(3)
+        )
+
+    for _ in range(150):
+        p1, q1, p2, q2 = (
+            tuple(rng.uniform(-5, 5) for _ in range(3)) for _ in range(4)
+        )
+        a = "LINESTRING Z ({} {} {}, {} {} {})".format(*p1, *q1)
+        b = "LINESTRING Z ({} {} {}, {} {} {})".format(*p2, *q2)
+        d, ca, cb = Z._closest3d(a, b)
+        assert abs(math.dist(ca, cb) - d) < 1e-9
+        assert on_seg(ca, p1, q1)
+        assert on_seg(cb, p2, q2)
+        # the shortest-line text is built from exactly those witnesses
+        assert Z.shortestline3d_wkt(a, b) == Z.to_z_wkt(
+            "LineString", False, [ca, cb]
+        )
