@@ -54,6 +54,7 @@ from .functions.mvt_tile import register_mvt_tile_functions
 from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
 from .functions.zcoord import register_zcoord_functions
+from .functions.surface3d import register_surface3d_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -127,6 +128,9 @@ class SpatialSQLEngine:
         # vanilla session (the replacement warning in the logs is this).
         register_wkb_functions(self.spark)
         register_zcoord_functions(self.spark)
+        # AFTER accessors: surface3d's st_isclosed is the surface-aware
+        # overload (lineal input delegates to the accessor kernel)
+        register_surface3d_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

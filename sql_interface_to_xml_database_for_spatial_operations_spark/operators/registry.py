@@ -378,6 +378,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (this round's verify run, MISMATCHES: none across all rows) backs
 # every re-record.
 #
+# r15 continuation swaps (one-in-one-out, same late-round mechanism as
+# the q177 split): each NEW row takes the newest remaining fill slot —
+# q178_st_surface3d (POLYHEDRALSURFACE/TIN/TRIANGLE codec, Newell
+# 3-D area, divergence-theorem volume, mesh closedness, filtered-exact
+# ST_3DIntersects) takes q63_fingerprint's slot (q63 folds back
+# verified on its recorded r12 fingerprint; it joins q109 at the head
+# of the r16 cohort). Window stays 50 exactly. Closure drift from the
+# surface3d engine.py/operators-__init__ registrations (the every-round
+# ingest-closure class — no verified row executes surface3d code):
+# fingerprints deliberately re-recorded, backed by the full sf0.001
+# parity battery green at the same commit.
+#
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,
 # q103-q107, q110, q111*, q115, q132, q134, q135, q146, q156, q157,
@@ -489,6 +501,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
         "q59_st_geomfromgml_kml",
+        "q63_fingerprint",
         "q64_dedup_exact",
         "q65_dedup_ngram_jaccard",
         "q66_minhash_lsh",

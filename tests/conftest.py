@@ -121,6 +121,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb im
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.zcoord import (  # noqa: E402
     register_zcoord_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surface3d import (  # noqa: E402
+    register_surface3d_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -171,6 +174,7 @@ def spark():
     register_zcoord_functions(s)
     register_mvt_tile_functions(s)
     register_wkb_functions(s)
+    register_surface3d_functions(s)  # after accessors: st_isclosed overload
     yield s
 
 
