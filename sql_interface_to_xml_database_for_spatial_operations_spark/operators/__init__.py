@@ -60,3 +60,4 @@ def load_all() -> None:
     from . import mvt_tile_ops  # noqa: F401
     from . import bpe_train_ops  # noqa: F401
     from . import surface3d_ops  # noqa: F401
+    from . import substr_dedup_ops  # noqa: F401

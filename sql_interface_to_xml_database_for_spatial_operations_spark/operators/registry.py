@@ -384,7 +384,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # 3-D area, divergence-theorem volume, mesh closedness, filtered-exact
 # ST_3DIntersects) takes q63_fingerprint's slot (q63 folds back
 # verified on its recorded r12 fingerprint; it joins q109 at the head
-# of the r16 cohort). Window stays 50 exactly. Closure drift from the
+# of the r16 cohort), and q179_substring_dedup (Lee et al. 2021
+# span-removal dedup: k-token rolling windows, global ≥2 set, per-doc
+# span merge — two shuffles, JVM-only) takes q62_language_id's slot
+# (q62 likewise folds back on its recorded r12 fingerprint).
+# Window stays 50 exactly. Closure drift from the
 # surface3d engine.py/operators-__init__ registrations (the every-round
 # ingest-closure class — no verified row executes surface3d code):
 # fingerprints deliberately re-recorded, backed by the full sf0.001
@@ -501,6 +505,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
         "q59_st_geomfromgml_kml",
+        "q62_language_id",
         "q63_fingerprint",
         "q64_dedup_exact",
         "q65_dedup_ngram_jaccard",
