@@ -116,6 +116,9 @@ HEADLINE = [
     "q175_st_asmvt",
     "q176_bpe_train",
     "q177_st_geodesy",
+    "q178_st_surface3d",
+    "q179_substring_dedup",
+    "q180_st_editors_x",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at

@@ -55,6 +55,7 @@ from .functions.offsetcurve import register_offset_functions
 from .functions.wkb import register_wkb_functions
 from .functions.zcoord import register_zcoord_functions
 from .functions.surface3d import register_surface3d_functions
+from .functions.editors_x import register_editors_x_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -131,6 +132,7 @@ class SpatialSQLEngine:
         # AFTER accessors: surface3d's st_isclosed is the surface-aware
         # overload (lineal input delegates to the accessor kernel)
         register_surface3d_functions(self.spark)
+        register_editors_x_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

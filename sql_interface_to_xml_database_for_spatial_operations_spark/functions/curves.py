@@ -25,8 +25,12 @@ enter THROUGH this module and leave as plain LINESTRINGs).
   COMPOUNDCURVEs, or bare linear rings; each linearized ring must
   close with ≥ 4 vertices, then the plain polygon kernel takes over —
   the output is an ordinary POLYGON. Unclosed / discontinuous rings
-  are a loud NULL. MULTICURVE/MULTISURFACE remain outside this
-  kernel — loud NULL (documented).
+  are a loud NULL.
+- ``MULTICURVE (member, …)`` / ``MULTISURFACE (member, …)`` (r15
+  continuation): members (bare chains / CIRCULARSTRINGs /
+  COMPOUNDCURVEs; bare ``((ring))`` polygons / CURVEPOLYGONs)
+  linearize independently into MULTILINESTRING / MULTIPOLYGON parts;
+  a puntal or unreadable member poisons the row — loud NULL.
 - ``quad_segs`` outside [1, buffer._MAX_QUAD_SEGS] → loud NULL (the
   shared arc fan-out budget).
 
@@ -214,6 +218,12 @@ _CC_RE = re.compile(
 _CP_RE = re.compile(
     r"^\s*CURVEPOLYGON\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL
 )
+_MC_RE = re.compile(
+    r"^\s*MULTICURVE\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL
+)
+_MS_RE = re.compile(
+    r"^\s*MULTISURFACE\s*(EMPTY|\(.*\))\s*$", re.IGNORECASE | re.DOTALL
+)
 
 
 def _compound_chain(body: str, qs) -> list | None:
@@ -293,6 +303,76 @@ def curvetoline_wkt(wkt, quad_segs) -> str | None:
                 return None
             rings.append(tuple(ring))
         return G.to_wkt(Geometry("Polygon", tuple(rings)))
+    m = _MC_RE.match(s)
+    if m:
+        # MULTICURVE: members are bare chains / CIRCULARSTRINGs /
+        # COMPOUNDCURVEs, each linearized into one MULTILINESTRING part
+        if m.group(1).upper() == "EMPTY":
+            return "MULTILINESTRING EMPTY"
+        toks = _split_top(m.group(1)[1:-1])
+        if toks is None or not toks:
+            return None
+        chains: list = []
+        total = 0
+        for tok in toks:
+            if tok.upper().startswith("COMPOUNDCURVE"):
+                mm = _CC_RE.match(tok)
+                if not mm or mm.group(1).upper() == "EMPTY":
+                    return None
+                part = _compound_chain(mm.group(1), qs)
+            else:
+                part = _member_chain(tok, qs)
+            if part is None or len(part) < 2:
+                return None
+            total += len(part)
+            if total > _MAX_OUT_POINTS:
+                return None
+            chains.append(tuple(part))
+        return G.to_wkt(Geometry("MultiLineString", tuple(chains)))
+    m = _MS_RE.match(s)
+    if m:
+        # MULTISURFACE: POLYGON / CURVEPOLYGON members → MULTIPOLYGON
+        if m.group(1).upper() == "EMPTY":
+            return "MULTIPOLYGON EMPTY"
+        toks = _split_top(m.group(1)[1:-1])
+        if toks is None or not toks:
+            return None
+        polys: list = []
+        total = 0
+        for tok in toks:
+            up2 = tok.upper()
+            if up2.startswith("CURVEPOLYGON"):
+                mm = _CP_RE.match(tok)
+                if not mm or mm.group(1).upper() == "EMPTY":
+                    return None
+                ring_toks = _split_top(mm.group(1)[1:-1])
+                if ring_toks is None or not ring_toks:
+                    return None
+                rings = []
+                for rt in ring_toks:
+                    ring = _ring_chain(rt, qs)
+                    if ring is None:
+                        return None
+                    total += len(ring)
+                    if total > _MAX_OUT_POINTS:
+                        return None
+                    rings.append(tuple(ring))
+                polys.append(tuple(rings))
+            elif up2.startswith("POLYGON") or up2.startswith("(("):
+                # plain members are the bare '((ring), …)' form in
+                # SQL/MM WKT; the POLYGON-keyword spelling also reads
+                g = G.parse_wkt(
+                    tok if up2.startswith("POLYGON") else "POLYGON " + tok
+                )
+                if g is None or g.kind != "Polygon" or not g.coords:
+                    return None
+                total += sum(len(r) for r in g.coords)
+                if total > _MAX_OUT_POINTS:
+                    return None
+                polys.append(tuple(tuple(tuple(p) for p in r) for r in g.coords))
+            else:
+                return None
+        return G.to_wkt(Geometry("MultiPolygon", tuple(polys)))
     # already-linear input echoes through the 2-D kernel
     m = _EMPTY_LINEAL_RE.match(s)
     if m:

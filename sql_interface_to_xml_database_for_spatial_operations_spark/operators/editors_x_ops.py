@@ -1,0 +1,197 @@
+"""Driver row for the extended editor surface (functions/editors_x.py,
+r15): ST_ForceCollection / ST_UnaryUnion / ST_BuildArea / ST_WrapX /
+ST_QuantizeCoordinates. The reference forwards these PostGIS names
+verbatim (src/index.ts:44-63).
+
+Fixture: integer nation-box corners (x0 = minx, y0 = miny) with the
+closed-form scale a = 1 + k%4. Families:
+
+- ``fc``: ST_ForceCollection of a 2-point MULTIPOINT —
+  a = ST_NumGeometries (= 2), b = the flattened GEOMETRYCOLLECTION
+  text.
+- ``uu``: ST_UnaryUnion of a self-overlapping MULTIPOLYGON (two
+  2a-side squares offset by a) — a = area (= 7a² exactly), b = the
+  full canonical dissolved POLYGON (the union kernel starts rings at
+  the lexicographic-min vertex, so the 9-corner L-shape is a
+  closed-form string).
+- ``ba``: ST_BuildArea of two concentric square rings — a = annulus
+  area (= 12a²), b = ST_GeometryType || '/' || ST_NumInteriorRings
+  (= 'ST_Polygon/1' — the inner ring became a hole, not a face).
+- ``wx``: ST_WrapX splitting a 2a-side square at x0 + a, move 10a —
+  a = packed area·100 + x-extent (= 400a² + 10a: area preserved,
+  extent maxx − minx = 10a after the left half jumps); b = the
+  MULTIPOINT dateline heal (west point +20, east point static).
+- ``qc``: ST_QuantizeCoordinates — a = packed code: the x0.5
+  fixpoint echoes byte-exactly (its significand fits the kept bits)
+  ·10 + the x0.123456 probe actually trims (output ≠ input) ·1
+  (= 11); b = the quantized fixpoint POINT text.
+
+Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
+nation projection — no shuffle. New module so editor_ops.py /
+union_agg.py fingerprints stay untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._sql_fixtures import int_str
+from .registry import query
+from .spatial_ops import NATION_BOXES_SQL, nation_boxes
+
+
+def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.accessors import register_accessor_functions
+    from ..functions.editors_x import register_editors_x_functions
+    from ..functions.spatial import register_spatial_functions
+
+    register_spatial_functions(spark)  # st_area / st_xmin / st_xmax / type
+    register_accessor_functions(spark)  # st_numgeometries / interior rings
+    register_editors_x_functions(spark)
+
+
+_K = "n_nationkey"
+_A = f"(1 + {_K} % 4)"
+
+
+def _xy(x: str, y: str) -> str:
+    return f"{int_str(x)} || ' ' || {int_str(y)}"
+
+
+def _ring(x0: str, y0: str, side: str) -> str:
+    """Closed square ring (x0, y0) .. (x0+side, y0+side), single parens."""
+    return (
+        f"'(' || {_xy(x0, y0)} || ', ' || {_xy(f'{x0} + {side}', y0)} || ', ' || "
+        f"{_xy(f'{x0} + {side}', f'{y0} + {side}')} || ', ' || "
+        f"{_xy(x0, f'{y0} + {side}')} || ', ' || {_xy(x0, y0)} || ')'"
+    )
+
+
+def _sq(x0: str, y0: str, side: str) -> str:
+    return f"'(' || {_ring(x0, y0, side)} || ')'"
+
+
+_MP2 = (
+    f"'MULTIPOINT ((' || {_xy('minx', 'miny')} || '), (' || "
+    f"{_xy(f'minx + {_A}', f'miny + {_A}')} || '))'"
+)
+_FC_EXPECT = (
+    f"'GEOMETRYCOLLECTION (POINT (' || {_xy('minx', 'miny')} || '), POINT (' || "
+    f"{_xy(f'minx + {_A}', f'miny + {_A}')} || '))'"
+)
+
+_UU_IN = (
+    f"'MULTIPOLYGON (' || {_sq('minx', 'miny', f'2 * {_A}')} || ', ' || "
+    f"{_sq(f'minx + {_A}', f'miny + {_A}', f'2 * {_A}')} || ')'"
+)
+# the dissolved L-shape, ring from the lexicographic-min corner CCW
+_UU_EXPECT = (
+    f"'POLYGON ((' || {_xy('minx', 'miny')} || ', ' || "
+    f"{_xy(f'minx + 2 * {_A}', 'miny')} || ', ' || "
+    f"{_xy(f'minx + 2 * {_A}', f'miny + {_A}')} || ', ' || "
+    f"{_xy(f'minx + 3 * {_A}', f'miny + {_A}')} || ', ' || "
+    f"{_xy(f'minx + 3 * {_A}', f'miny + 3 * {_A}')} || ', ' || "
+    f"{_xy(f'minx + {_A}', f'miny + 3 * {_A}')} || ', ' || "
+    f"{_xy(f'minx + {_A}', f'miny + 2 * {_A}')} || ', ' || "
+    f"{_xy('minx', f'miny + 2 * {_A}')} || ', ' || "
+    f"{_xy('minx', 'miny')} || '))'"
+)
+
+_BA_IN = (
+    f"'MULTILINESTRING (' || {_ring('minx', 'miny', f'4 * {_A}')} || ', ' || "
+    f"{_ring(f'minx + {_A}', f'miny + {_A}', f'2 * {_A}')} || ')'"
+)
+
+_WX_POLY = f"'POLYGON ' || {_sq('minx', 'miny', f'2 * {_A}')}"
+_WX_MP = (
+    f"'MULTIPOINT ((' || {_xy('minx', 'miny')} || '), (' || "
+    f"{_xy('minx + 10', 'miny')} || '))'"
+)
+_WX_MP_EXPECT = (
+    f"'MULTIPOINT (' || {_xy('minx + 20', 'miny')} || ', ' || "
+    f"{_xy('minx + 10', 'miny')} || ')'"
+)
+
+_QC_FIX = f"'POINT (' || {int_str('minx')} || '.5 ' || {int_str('miny')} || ')'"
+_QC_PROBE = f"'POINT (' || {int_str('minx')} || '.123456 ' || {int_str('miny')} || ')'"
+
+_Q180_ORACLE = f"""
+    WITH boxes AS ({NATION_BOXES_SQL})
+    SELECT 'fc' AS fam, n_nationkey AS key,
+           CAST(2 AS BIGINT) AS a, {_FC_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'uu' AS fam, n_nationkey AS key,
+           CAST(7 * {_A} * {_A} AS BIGINT) AS a, {_UU_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'ba' AS fam, n_nationkey AS key,
+           CAST(12 * {_A} * {_A} AS BIGINT) AS a, 'ST_Polygon/1' AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'wx' AS fam, n_nationkey AS key,
+           CAST(400 * {_A} * {_A} + 10 * {_A} AS BIGINT) AS a,
+           {_WX_MP_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'qc' AS fam, n_nationkey AS key,
+           CAST(11 AS BIGINT) AS a, {_QC_FIX} AS b
+    FROM boxes
+"""
+
+
+@query("q180_st_editors_x", oracle=_Q180_ORACLE)
+def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ForceCollection / ST_UnaryUnion / ST_BuildArea / ST_WrapX /
+    ST_QuantizeCoordinates end to end (module docstring fixtures)."""
+    _ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+
+    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
+        return boxes.select(
+            F.lit(name).alias("fam"),
+            F.col("n_nationkey").alias("key"),
+            F.expr(a_expr).cast("bigint").alias("a"),
+            F.expr(b_expr).alias("b"),
+        )
+
+    rows = fam(
+        "fc",
+        f"st_numgeometries(st_forcecollection({_MP2}))",
+        f"st_forcecollection({_MP2})",
+    )
+    rows = rows.unionByName(
+        fam(
+            "uu",
+            f"st_area(st_unaryunion({_UU_IN}))",
+            f"st_unaryunion({_UU_IN})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "ba",
+            f"st_area(st_buildarea({_BA_IN}))",
+            f"st_geometrytype(st_buildarea({_BA_IN})) || '/' || "
+            f"CAST(st_numinteriorrings(st_buildarea({_BA_IN})) AS STRING)",
+        )
+    )
+    wx_poly = f"st_wrapx({_WX_POLY}, CAST(minx + {_A} AS DOUBLE), CAST(10 * {_A} AS DOUBLE))"
+    rows = rows.unionByName(
+        fam(
+            "wx",
+            f"st_area({wx_poly}) * 100 + st_xmax({wx_poly}) - st_xmin({wx_poly})",
+            f"st_wrapx({_WX_MP}, CAST(minx + 5 AS DOUBLE), CAST(20 AS DOUBLE))",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "qc",
+            f"CASE WHEN st_quantizecoordinates({_QC_FIX}, 2) = {_QC_FIX}"
+            " THEN 10 ELSE 0 END"
+            f" + CASE WHEN st_quantizecoordinates({_QC_PROBE}, 4) <> {_QC_PROBE}"
+            " THEN 1 ELSE 0 END",
+            f"st_quantizecoordinates({_QC_FIX}, 2)",
+        )
+    )
+    return rows

@@ -411,7 +411,9 @@ _FAMILIES = {
     # CIRCULARSTRING linearization (r14 continuation,
     # functions/curves.py): the qs=1 semicircle lands exactly on the
     # apex and integer endpoints; qs=2's first interior point is the
-    # 135° one (term-for-term libm mirror); MULTICURVE is loud
+    # 135° one (term-for-term libm mirror); a puntal MULTICURVE
+    # member stays loud (the r15-continuation MULTICURVE support
+    # linearizes lineal members — mc_mixed below)
     "ctl_exact": (
         f"st_curvetoline('CIRCULARSTRING (' || {CORNERS['bl']} || ', ' ||"
         f" {pt_sql(1, 1)} || ', ' || {pt_sql(2, 0)} || ')', 1)"
@@ -423,8 +425,24 @@ _FAMILIES = {
     ),
     "ctl_gate": (
         "COALESCE(st_curvetoline("
-        "'MULTICURVE ((0 0, 1 1))', 8),"
+        "'MULTICURVE (POINT (1 1))', 8),"
         " 'NULL(curve)')"
+    ),
+    # MULTICURVE / MULTISURFACE linearization (r15 continuation): each
+    # member linearizes into one MULTILINESTRING / MULTIPOLYGON part —
+    # straight chains echo, the qs=1 semicircle lands on its integer
+    # control points, bare '((ring))' members read like MULTIPOLYGON's
+    "mc_mixed": (
+        f"st_curvetoline('MULTICURVE ((' || {CORNERS['bl']} || ', ' ||"
+        f" {pt_sql(3, 0)} || '), CIRCULARSTRING (' || {pt_sql(3, 0)} ||"
+        f" ', ' || {pt_sql(4, 1)} || ', ' || {pt_sql(5, 0)} || '))', 1)"
+    ),
+    "ms_mixed": (
+        f"st_curvetoline('MULTISURFACE (((' || {CORNERS['bl']} || ', ' ||"
+        f" {pt_sql(2, 0)} || ', ' || {pt_sql(2, 2)} || ', ' || {CORNERS['bl']} ||"
+        f" ')), CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (' || {pt_sql(6, 0)} ||"
+        f" ', ' || {pt_sql(7, 1)} || ', ' || {pt_sql(8, 0)} || '), (' ||"
+        f" {pt_sql(8, 0)} || ', ' || {pt_sql(6, 0)} || '))))', 1)"
     ),
     # COMPOUNDCURVE / CURVEPOLYGON linearization (r15 — VERDICT r14
     # missing item 3): the qs=1 semicircle splices exactly onto an
@@ -740,6 +758,17 @@ _ORACLE_VALS = {
     ),
     "ctl_mid_x": _micro("minx + 1 + cos(3 * pi() / 4)"),
     "ctl_gate": "'NULL(curve)'",
+    "mc_mixed": sql_concat(
+        "'MULTILINESTRING (('", CORNERS["bl"], "', '", pt_sql(3, 0),
+        "'), ('", pt_sql(3, 0), "', '", pt_sql(4, 1), "', '", pt_sql(5, 0),
+        "'))'",
+    ),
+    "ms_mixed": sql_concat(
+        "'MULTIPOLYGON ((('", CORNERS["bl"], "', '", pt_sql(2, 0), "', '",
+        pt_sql(2, 2), "', '", CORNERS["bl"], "')), (('", pt_sql(6, 0),
+        "', '", pt_sql(7, 1), "', '", pt_sql(8, 0), "', '", pt_sql(6, 0),
+        "')))'",
+    ),
     "cc_chain": sql_concat(
         "'LINESTRING ('", CORNERS["bl"], "', '", pt_sql(1, 1), "', '",
         pt_sql(2, 0), "', '", pt_sql(5, 0), "')'",

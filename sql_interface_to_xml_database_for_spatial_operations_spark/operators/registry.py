@@ -387,12 +387,20 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # of the r16 cohort), and q179_substring_dedup (Lee et al. 2021
 # span-removal dedup: k-token rolling windows, global ≥2 set, per-doc
 # span merge — two shuffles, JVM-only) takes q62_language_id's slot
-# (q62 likewise folds back on its recorded r12 fingerprint).
-# Window stays 50 exactly. Closure drift from the
-# surface3d engine.py/operators-__init__ registrations (the every-round
-# ingest-closure class — no verified row executes surface3d code):
-# fingerprints deliberately re-recorded, backed by the full sf0.001
-# parity battery green at the same commit.
+# (q62 likewise folds back on its recorded r12 fingerprint), and
+# q180_st_editors_x (ST_ForceCollection / ST_UnaryUnion / ST_BuildArea
+# odd-even nesting / ST_WrapX dateline healer / ST_QuantizeCoordinates
+# bit-trim pinned to the PostGIS doc example) takes q61_quality_score's
+# slot (q61 folds back the same way; q61-q63 + q109 now lead the r16
+# cohort). Window stays 50 exactly. MULTICURVE/MULTISURFACE
+# linearization lands in curves.py with its families on the EXPOSED
+# q169 row (mc_mixed/ms_mixed; ctl_gate's probe moves to a puntal
+# member). Closure drift from the surface3d/editors_x
+# engine.py/operators-__init__ registrations and the curves.py edit
+# (the every-round ingest-closure class — no verified row executes the
+# new code): fingerprints deliberately re-recorded, backed by the
+# full-registry sf0.01 engine-vs-DuckDB sweep (MISMATCHES: none) and
+# the sf0.001 parity battery green at the same commit.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,
@@ -505,6 +513,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
         "q59_st_geomfromgml_kml",
+        "q61_quality_score",
         "q62_language_id",
         "q63_fingerprint",
         "q64_dedup_exact",

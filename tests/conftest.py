@@ -124,6 +124,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.zcoord
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surface3d import (  # noqa: E402
     register_surface3d_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors_x import (  # noqa: E402
+    register_editors_x_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -175,6 +178,7 @@ def spark():
     register_mvt_tile_functions(s)
     register_wkb_functions(s)
     register_surface3d_functions(s)  # after accessors: st_isclosed overload
+    register_editors_x_functions(s)
     yield s
 
 

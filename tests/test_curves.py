@@ -94,7 +94,33 @@ def test_linear_passthrough_and_gates():
     assert C.curvetoline_wkt("LINESTRING EMPTY", 8) == "LINESTRING EMPTY"
     assert C.curvetoline_wkt("CIRCULARSTRING EMPTY", 8) == "LINESTRING EMPTY"
     assert C.curvetoline_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))", 8) is None
-    assert C.curvetoline_wkt("MULTICURVE ((0 0, 1 1))", 8) is None
+    # r15 continuation: MULTICURVE/MULTISURFACE linearize per member
+    assert (
+        C.curvetoline_wkt("MULTICURVE ((0 0, 1 1))", 8)
+        == "MULTILINESTRING ((0 0, 1 1))"
+    )
+    assert C.curvetoline_wkt(
+        "MULTICURVE ((0 0, 4 0), CIRCULARSTRING (4 0, 5 1, 6 0))", 1
+    ) == "MULTILINESTRING ((0 0, 4 0), (4 0, 5 1, 6 0))"
+    assert C.curvetoline_wkt(
+        "MULTICURVE (COMPOUNDCURVE ((0 0, 2 0), CIRCULARSTRING (2 0, 3 1, 4 0)))",
+        1,
+    ) == "MULTILINESTRING ((0 0, 2 0, 3 1, 4 0))"
+    assert C.curvetoline_wkt("MULTICURVE EMPTY", 8) == "MULTILINESTRING EMPTY"
+    assert C.curvetoline_wkt(
+        "MULTISURFACE (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "CURVEPOLYGON (CIRCULARSTRING (10 0, 11 1, 12 0, 11 -1, 10 0)))",
+        1,
+    ) == "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 0, 11 1, 12 0, 11 -1, 10 0)))"
+    assert C.curvetoline_wkt("MULTISURFACE EMPTY", 8) == "MULTIPOLYGON EMPTY"
+    # puntal / junk members stay loud
+    assert C.curvetoline_wkt("MULTICURVE (POINT (1 1))", 8) is None
+    assert C.curvetoline_wkt("MULTISURFACE (LINESTRING (0 0, 1 1))", 8) is None
+    # a discontinuous compound member poisons the whole multicurve
+    assert (
+        C.curvetoline_wkt("MULTICURVE (COMPOUNDCURVE ((0 0, 1 0), (2 0, 3 0)))", 1)
+        is None
+    )
     assert C.curvetoline_wkt("junk", 8) is None
     assert C.curvetoline_wkt(None, 8) is None
     assert C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 0) is None

@@ -485,3 +485,20 @@ def test_r15_new_rows_plan_shape(spark):
         assert "CartesianProduct" not in plan, name
     plan = formatted_plan(q("q176_bpe_train")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_r15_continuation2_rows_plan_shape(spark):
+    """q178 (3-D surfaces) and q180 (extended editors) are unions of
+    map-side UDF projections over the 25-row nation scan: zero
+    Exchange nodes. q179 (substring dedup) is allowed exactly its two
+    designed shuffles' hash exchanges plus AQE reuse — but never a
+    Cartesian product or a Python row-UDF."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    for name in ("q178_st_surface3d", "q180_st_editors_x"):
+        plan = formatted_plan(q(name)(spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+    plan = formatted_plan(q("q179_substring_dedup")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # JVM higher-order fns only

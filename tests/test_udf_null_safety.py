@@ -119,6 +119,12 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.mvt_ti
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.zcoord import (
     ALL_ZCOORD_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surface3d import (
+    ALL_SURFACE3D_FUNCTIONS,
+)
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors_x import (
+    ALL_EDITORS_X_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -159,6 +165,8 @@ _SWEPT = {
     **ALL_MVT_FUNCTIONS,
     **ALL_ZCOORD_FUNCTIONS,
     **ALL_MVT_TILE_FUNCTIONS,
+    **ALL_SURFACE3D_FUNCTIONS,  # after accessors: st_isclosed overload
+    **ALL_EDITORS_X_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -274,6 +282,10 @@ _NULL_ARGS = {
     ),
     "st_distancespheroid": f"{S}, {S}, {S}",  # r15: PostGIS arity
     "st_lengthspheroid": f"{S}, {S}",  # r15: PostGIS arity
+    "st_patchn": f"{S}, CAST(NULL AS INT)",  # r15: surface3d
+    "st_3dintersects": f"{S}, {S}",
+    "st_wrapx": f"{S}, {D}, {D}",  # r15: editors_x
+    "st_quantizecoordinates": f"{S}, CAST(NULL AS INT)",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
@@ -394,3 +406,43 @@ def test_geohash_mixed_values(spark):
     ).collect()
     assert rows[0]["w"] == "POINT (-5.60302734375 42.60498046875)"
     assert rows[1]["w"] is not None and rows[2]["w"] is None
+
+
+def test_surface3d_editors_x_mixed_values(spark):
+    """r15: valid geometry + NULL/NaN numeric companions through the
+    surface3d and editors_x multi-arg surfaces (all-NULL sweeps
+    short-circuit on the WKT guard — the st_pointn crash class)."""
+    tri = "TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0)))"
+    rows = spark.sql(
+        f"SELECT st_patchn(g, n) AS p FROM VALUES "
+        f"('{tri}', 1), ('{tri}', CAST(NULL AS INT)), ('{tri}', 9) "
+        "AS t(g, n)"
+    ).collect()
+    assert rows[0]["p"] == "TRIANGLE Z ((0 0 0, 1 0 0, 0 1 0, 0 0 0))"
+    assert rows[1]["p"] is None and rows[2]["p"] is None
+    rows = spark.sql(
+        "SELECT st_wrapx(g, w, m) AS o FROM VALUES "
+        "('POINT (1 2)', 5.0D, 20.0D), "
+        "('POINT (1 2)', CAST(NULL AS DOUBLE), 20.0D), "
+        "('POINT (1 2)', 5.0D, CAST('NaN' AS DOUBLE)) "
+        "AS t(g, w, m)"
+    ).collect()
+    assert rows[0]["o"] == "POINT (21 2)"
+    assert rows[1]["o"] is None and rows[2]["o"] is None
+    rows = spark.sql(
+        "SELECT st_quantizecoordinates(g, d) AS q FROM VALUES "
+        "('POINT (123.5 7)', 2), "
+        "('POINT (123.5 7)', CAST(NULL AS INT)), "
+        "('POINT (123.5 7)', -3) "
+        "AS t(g, d)"
+    ).collect()
+    assert rows[0]["q"] == "POINT (123.5 7)"
+    assert rows[1]["q"] is None and rows[2]["q"] is None
+    # the st_isclosed overload keeps the lineal contract intact
+    rows = spark.sql(
+        "SELECT st_isclosed(g) AS c FROM VALUES "
+        "('LINESTRING (0 0, 1 0, 1 1, 0 0)'), "
+        "('POLYHEDRALSURFACE Z (((0 0 0, 0 1 0, 1 1 0, 1 0 0, 0 0 0)))'), "
+        "(CAST(NULL AS STRING)) AS t(g)"
+    ).collect()
+    assert rows[0]["c"] is True and rows[1]["c"] is False and rows[2]["c"] is None
