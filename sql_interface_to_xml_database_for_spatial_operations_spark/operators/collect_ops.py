@@ -21,9 +21,14 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.agg_forms import register_agg_form_functions
     from ..functions.collection_fns import register_collection_functions
 
+    from ..functions.grids import register_grid_functions
+
     register_collection_functions(spark)
+    register_agg_form_functions(spark)
+    register_grid_functions(spark)  # st_normalize canonicalizes the face walk
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -62,6 +67,25 @@ _FAMILIES = {
     "multi_idem": f"st_multi(st_multi({_BOX}))",
     "dump_n": f"CAST(size(st_dumpparts({_GC_NESTED})) AS STRING)",
     "dump_join": f"array_join(st_dumpparts({_MP2}), '|')",
+    # r15 continuation: the AGGREGATE forms (fn(collect_list(...)) —
+    # the st_union_all idiom) over array() literals so the member
+    # order is pinned without a window
+    "agg_collect": f"st_collect_all(array({_BL}, {_TR}, {_BOTTOM}))",
+    "agg_makeline": f"st_makeline_all(array({_BL}, {_BOTTOM}, {_TR}))",
+    "agg_polygonize": (
+        "st_normalize(st_polygonize_all(array("
+        + sql_concat("'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["br"],
+                     "', '", CORNERS["tr"], "')'")
+        + ", "
+        + sql_concat("'LINESTRING ('", CORNERS["tr"], "', '", CORNERS["tl"],
+                     "', '", CORNERS["bl"], "')'")
+        + ")))"
+    ),
+    "agg_nulls": (
+        "COALESCE(st_collect_all(CAST(NULL AS ARRAY<STRING>)), 'N') || "
+        f"COALESCE(st_makeline_all(array({_BOX})), 'N') || "
+        "COALESCE(st_polygonize_all(array('POINT (1 1)')), 'N')"
+    ),
 }
 
 _ORACLE_VALS = {
@@ -79,6 +103,21 @@ _ORACLE_VALS = {
     "dump_join": sql_concat(
         "'POLYGON (('", _RING, "'))|POLYGON (('", _INNER_RING, "'))'"
     ),
+    "agg_collect": sql_concat(
+        "'GEOMETRYCOLLECTION (POINT ('", CORNERS["bl"], "'), POINT ('",
+        CORNERS["tr"], "'), LINESTRING ('", CORNERS["bl"], "', '",
+        CORNERS["br"], "'))'",
+    ),
+    "agg_makeline": sql_concat(
+        "'LINESTRING ('", CORNERS["bl"], "', '", CORNERS["bl"], "', '",
+        CORNERS["br"], "', '", CORNERS["tr"], "')'",
+    ),
+    "agg_polygonize": sql_concat(
+        "'GEOMETRYCOLLECTION (POLYGON (('", CORNERS["bl"], "', '",
+        CORNERS["br"], "', '", CORNERS["tr"], "', '", CORNERS["tl"],
+        "', '", CORNERS["bl"], "')))'",
+    ),
+    "agg_nulls": "'NNN'",
 }
 
 _Q161_ORACLE = "\nUNION ALL\n".join(

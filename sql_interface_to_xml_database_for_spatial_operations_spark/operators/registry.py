@@ -400,7 +400,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (the every-round ingest-closure class — no verified row executes the
 # new code): fingerprints deliberately re-recorded, backed by the
 # full-registry sf0.01 engine-vs-DuckDB sweep (MISMATCHES: none) and
-# the sf0.001 parity battery green at the same commit.
+# the sf0.001 parity battery green at the same commit. The aggregate
+# forms (st_collect_all / st_makeline_all / st_polygonize_all,
+# functions/agg_forms.py — the st_union_all fn(collect_list(...))
+# idiom) land their families on the EXPOSED q161 row (agg_collect /
+# agg_makeline / agg_polygonize canonicalized through st_normalize /
+# agg_nulls); same re-record class for the registration closure.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -127,6 +127,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surfac
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors_x import (  # noqa: E402
     register_editors_x_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_forms import (  # noqa: E402
+    register_agg_form_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -179,6 +182,7 @@ def spark():
     register_wkb_functions(s)
     register_surface3d_functions(s)  # after accessors: st_isclosed overload
     register_editors_x_functions(s)
+    register_agg_form_functions(s)
     yield s
 
 

@@ -125,6 +125,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surfac
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editors_x import (
     ALL_EDITORS_X_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_forms import (
+    ALL_AGG_FORM_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -167,6 +170,7 @@ _SWEPT = {
     **ALL_MVT_TILE_FUNCTIONS,
     **ALL_SURFACE3D_FUNCTIONS,  # after accessors: st_isclosed overload
     **ALL_EDITORS_X_FUNCTIONS,
+    **ALL_AGG_FORM_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -286,6 +290,9 @@ _NULL_ARGS = {
     "st_3dintersects": f"{S}, {S}",
     "st_wrapx": f"{S}, {D}, {D}",  # r15: editors_x
     "st_quantizecoordinates": f"{S}, CAST(NULL AS INT)",
+    "st_collect_all": "CAST(NULL AS ARRAY<STRING>)",
+    "st_makeline_all": "CAST(NULL AS ARRAY<STRING>)",
+    "st_polygonize_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
