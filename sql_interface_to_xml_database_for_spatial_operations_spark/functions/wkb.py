@@ -48,6 +48,7 @@ from pyspark.sql.types import BinaryType, IntegerType, StringType
 
 from . import geometry as G
 from . import measure_m as _mm
+from . import surface3d as _s3
 from . import zcoord as _zc
 from .geometry import Geometry
 
@@ -67,6 +68,40 @@ _MEMBER_KIND = {
     "MultiLineString": "LineString",
     "MultiPolygon": "Polygon",
 }
+
+# SQL/MM surface types (ISO codes; Z via the +1000 offset). These stay
+# OUT of _KIND_CODE so the container-member logic never treats a
+# surface as an ordinary collection member kind.
+_SURFACE_CODE = {"PolyhedralSurface": 15, "Tin": 16, "Triangle": 17}
+_CODE_SURFACE = {v: k for k, v in _SURFACE_CODE.items()}
+
+
+def _surface_to_wkb(kind: str, z: bool, patches) -> bytes:
+    """Little-endian ISO WKB of a surface3d codec payload: TRIANGLE
+    bodies are ring lists (the POLYGON layout under code 17);
+    POLYHEDRALSURFACE / TIN bodies are counts of nested full patch
+    WKBs (POLYGON patches for a surface, TRIANGLE for a TIN)."""
+    code = _SURFACE_CODE[kind] + (1000 if z else 0)
+    head = struct.pack("<BI", 1, code)
+    width = 3 if z else 2
+    fmt = f"<{width}d"
+    if kind == "Triangle":
+        rings = patches[0] if patches else []
+        out = [head, struct.pack("<I", len(rings))]
+        for ring in rings:
+            out.append(struct.pack("<I", len(ring)))
+            out.extend(struct.pack(fmt, *p) for p in ring)
+        return b"".join(out)
+    patch_kind = "Triangle" if kind == "Tin" else "Polygon"
+    members = []
+    for rings in patches:
+        if patch_kind == "Triangle":
+            members.append(_surface_to_wkb("Triangle", z, [rings]))
+        elif z:
+            members.append(_zm_to_wkb("Polygon", True, False, rings))
+        else:
+            members.append(geom_to_wkb(Geometry("Polygon", rings)))
+    return head + struct.pack("<I", len(members)) + b"".join(members)
 
 
 def geom_to_wkb(g: Geometry) -> bytes:
@@ -200,6 +235,40 @@ def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
         elif 1000 < base < 2000:
             z = True
             base -= 1000
+    if base in _CODE_SURFACE:
+        # SQL/MM surfaces: TRIANGLE is ring-structured like POLYGON;
+        # POLYHEDRALSURFACE / TIN carry nested full patch WKBs. M /
+        # ZM surfaces are outside the WKT codec → loud.
+        if m:
+            raise ValueError("M-dimensional surface unsupported")
+        skind = _CODE_SURFACE[base]
+        swidth = 3 if z else 2
+        sfmt = e + f"{swidth}d"
+
+        def scount() -> int:
+            (n,) = r.take(e + "I")
+            if n > _MAX_COUNT:
+                raise ValueError("implausible element count")
+            return n
+
+        if skind == "Triangle":
+            rings = []
+            for _ in range(scount()):
+                n_pts = scount()
+                if n_pts == 0:
+                    raise ValueError("zero-point ring")
+                rings.append([r.take(sfmt) for _ in range(n_pts)])
+            return (skind, z, m, [rings] if rings else [])
+        want_patch = "Triangle" if skind == "Tin" else "Polygon"
+        patches = []
+        for _ in range(scount()):
+            pk, pz, pm2, pp = _read_geom(r, depth + 1)
+            if (pz, pm2) != (z, m):
+                raise ValueError("patch dimensionality differs from surface")
+            if pk != want_patch:
+                raise ValueError(f"{skind.upper()} patch is not a {want_patch}")
+            patches.append(pp[0] if pk == "Triangle" else pp)
+        return (skind, z, m, patches)
     kind = _CODE_KIND.get(base)
     if kind is None:
         raise ValueError(f"unsupported geometry type {code}")
@@ -310,6 +379,10 @@ def wkt_to_wkb(wkt) -> bytes | None:
     if pm is not None:
         kind, payload = pm
         return _zm_to_wkb(kind, False, True, payload)
+    ps = _s3.parse_surface_wkt(s)
+    if ps is not None:
+        kind, has_z, patches = ps
+        return _surface_to_wkb(kind, has_z, patches)
     g = G.parse_wkt(s)
     return None if g is None else geom_to_wkb(g)
 
@@ -466,6 +539,12 @@ def ewkb_srid(buf) -> int | None:
 
 
 def _dims_to_wkt(kind, z, m, payload) -> str | None:
+    if kind in _SURFACE_CODE:
+        # re-parse to enforce the codec's ring contracts (closure,
+        # triangle 4-vertex rings, finite coordinates) — a buffer the
+        # WKT surface would reject must not round-trip through WKB
+        txt = _s3.to_surface_wkt(kind, z, payload)
+        return txt if _s3.parse_surface_wkt(txt) is not None else None
     if z or m:
         if kind == "Point" and _nan_pt(payload):
             payload = ()

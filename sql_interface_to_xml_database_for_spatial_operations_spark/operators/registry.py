@@ -405,7 +405,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # functions/agg_forms.py — the st_union_all fn(collect_list(...))
 # idiom) land their families on the EXPOSED q161 row (agg_collect /
 # agg_makeline / agg_polygonize canonicalized through st_normalize /
-# agg_nulls); same re-record class for the registration closure.
+# agg_nulls); same re-record class for the registration closure. The
+# surface WKB codec (ISO codes 15/16/17 +1000 Z in functions/wkb.py,
+# strict patch-kind and re-parse validation) lands its round-trip
+# family on the EXPOSED q178 row (wkb3d) with unit coverage in
+# tests/test_wkb.py; wkb.py's other carriers (q140/q152/q174) are all
+# exposed this round, so the only verified-row drift is again the
+# engine registration closure — same re-record class.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -46,8 +46,10 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.surface3d import register_surface3d_functions
+    from ..functions.wkb import register_wkb_functions
 
     register_surface3d_functions(spark)
+    register_wkb_functions(spark)  # the surface WKB round trip (wkb3d)
 
 
 _K = "n_nationkey"
@@ -182,6 +184,9 @@ _Q178_ORACLE = f"""
     SELECT 'wall' AS fam, n_nationkey AS key, {_WALL_AREA} AS a, {_B_LEFT} AS b
     FROM boxes
     UNION ALL
+    SELECT 'wkb3d' AS fam, n_nationkey AS key, {_VOL} AS a, {_TIN} AS b
+    FROM boxes
+    UNION ALL
     SELECT 'x3d' AS fam, n_nationkey AS key,
            CAST(1010 AS BIGINT) AS a, {_B_TRI1} AS b
     FROM boxes
@@ -230,6 +235,13 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = rows.unionByName(
         fam("wall", f"st_3darea({_WALL})", f"st_patchn({_BOX}, 6)")
+    )
+    rows = rows.unionByName(
+        fam(
+            "wkb3d",
+            f"st_volume(st_geomfromwkb(st_asbinary({_BOX})))",
+            f"st_geomfromwkb(st_asbinary({_TIN}))",
+        )
     )
     rows = rows.unionByName(
         fam(

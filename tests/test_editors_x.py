@@ -171,3 +171,64 @@ class TestQuantize:
             "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))", 4
         )
         assert out == "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)))"
+
+
+class TestWrapXAreaConservation:
+    def test_fuzz_split_translate_preserves_area(self):
+        """Random integer boxes split at random wrap lines: ST_WrapX
+        must conserve total area, produce pieces only on the expected
+        sides, and keep piece x-extents within [wrap, wrap] bounds."""
+        import random
+
+        rng = random.Random(99)
+        for _ in range(60):
+            x0 = rng.randint(-50, 50)
+            y0 = rng.randint(-50, 50)
+            w = rng.randint(2, 12)
+            h = rng.randint(1, 9)
+            wrap = x0 + rng.randint(1, w - 1)
+            move = rng.choice([-1, 1]) * rng.randint(10, 100)
+            poly = (
+                f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, "
+                f"{x0} {y0 + h}, {x0} {y0}))"
+            )
+            out = E.wrapx_wkt(poly, wrap, move)
+            assert out is not None, (poly, wrap, move)
+            assert abs(_area(out) - w * h) < 1e-9, (poly, wrap, move, out)
+            g = G.parse_wkt(out)
+            polys = [g.coords] if g.kind == "Polygon" else g.coords
+            for rings in polys:
+                xs = [x for r in rings for x, _y in r]
+                if move > 0:
+                    # every piece either stayed right of wrap or jumped
+                    assert min(xs) >= wrap or min(xs) >= wrap + move - (w)
+                    assert max(xs) <= max(x0 + w, wrap + move)
+                else:
+                    assert min(xs) >= min(x0, wrap + move)
+
+
+class TestBuildAreaConservation:
+    def test_fuzz_even_depth_equals_alternating_ring_sum(self):
+        """k concentric integer square rings: BuildArea's area must be
+        the alternating sum s₀² − s₁² + s₂² − … (odd-even nesting)."""
+        import random
+
+        rng = random.Random(7)
+        for _ in range(40):
+            k = rng.randint(1, 4)
+            sides = sorted(rng.sample(range(1, 20), k), reverse=True)
+            cx = rng.randint(-30, 30)
+            cy = rng.randint(-30, 30)
+            rings = []
+            for s in sides:
+                rings.append(
+                    f"({cx - s} {cy - s}, {cx + s} {cy - s}, {cx + s} {cy + s}, "
+                    f"{cx - s} {cy + s}, {cx - s} {cy - s})"
+                )
+            ml = "MULTILINESTRING (" + ", ".join(rings) + ")"
+            out = E.buildarea_wkt(ml)
+            want = sum(
+                ((2 * s) ** 2) * (1 if i % 2 == 0 else -1)
+                for i, s in enumerate(sides)
+            )
+            assert out is not None and abs(_area(out) - want) < 1e-9, (ml, out)

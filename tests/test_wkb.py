@@ -10,6 +10,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions import wkb as W
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.wkb import (
     geom_to_wkb,
     register_wkb_functions,
@@ -240,3 +241,61 @@ class TestEWKB:
         inner = wkt_to_ewkb("POINT (1 2)", 4326)
         bad = struct.pack("<BII", 1, 4, 1) + inner
         assert ewkb_to_wkt(bad) is None
+
+
+class TestSurfaceWkb:
+    """r15 continuation: SQL/MM surface types through the WKB codec
+    (ISO codes 15/16/17, +1000 Z)."""
+
+    CUBE = (
+        "POLYHEDRALSURFACE Z ("
+        "((0 0 0, 0 1 0, 1 1 0, 1 0 0, 0 0 0)), "
+        "((0 0 1, 1 0 1, 1 1 1, 0 1 1, 0 0 1)), "
+        "((0 0 0, 1 0 0, 1 0 1, 0 0 1, 0 0 0)), "
+        "((1 0 0, 1 1 0, 1 1 1, 1 0 1, 1 0 0)), "
+        "((1 1 0, 0 1 0, 0 1 1, 1 1 1, 1 1 0)), "
+        "((0 1 0, 0 0 0, 0 0 1, 0 1 1, 0 1 0)))"
+    )
+
+    def test_roundtrips(self):
+        for w in [
+            self.CUBE,
+            "TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0)), ((1 0 0, 1 1 0, 0 1 0, 1 0 0)))",
+            "TRIANGLE Z ((0 0 0, 3 0 0, 0 4 0, 0 0 0))",
+            "TRIANGLE ((0 0, 9 0, 0 9, 0 0))",
+            "POLYHEDRALSURFACE (((0 0, 1 0, 1 1, 0 0)))",
+            "POLYHEDRALSURFACE Z EMPTY",
+            "TIN EMPTY",
+            "TRIANGLE EMPTY",
+        ]:
+            assert W.wkb_to_wkt(W.wkt_to_wkb(w)) == w
+
+    def test_type_codes(self):
+        import struct as _st
+
+        for w, code in [
+            (self.CUBE, 1015),
+            ("TIN EMPTY", 16),
+            ("TRIANGLE ((0 0, 9 0, 0 9, 0 0))", 17),
+        ]:
+            b = W.wkt_to_wkb(w)
+            assert _st.unpack_from("<I", b, 1)[0] == code
+
+    def test_malformations_loud(self):
+        import struct as _st
+
+        b = W.wkt_to_wkb(self.CUBE)
+        assert W.wkb_to_wkt(b[:-4]) is None  # truncation
+        # a TIN whose patch is a POLYGON: wrong member kind
+        bad = _st.pack("<BII", 1, 1016, 1) + W.wkt_to_wkb(
+            "POLYGON Z ((0 0 0, 1 0 0, 0 1 0, 0 0 0))"
+        )
+        assert W.wkb_to_wkt(bad) is None
+        # an open (3-point + closure missing) triangle ring must not
+        # round-trip even though the buffer parses structurally
+        bad2 = _st.pack("<BII I", 1, 17, 1, 3) + b"".join(
+            _st.pack("<2d", x, y) for x, y in [(0, 0), (1, 0), (0, 1)]
+        )
+        assert W.wkb_to_wkt(bad2) is None
+        # surfaces stay outside the EWKB/SRID surface (documented)
+        assert W.wkt_to_ewkb(self.CUBE, 4326) is None
