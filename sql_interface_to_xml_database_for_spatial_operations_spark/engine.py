@@ -57,6 +57,7 @@ from .functions.zcoord import register_zcoord_functions
 from .functions.surface3d import register_surface3d_functions
 from .functions.editors_x import register_editors_x_functions
 from .functions.agg_forms import register_agg_form_functions
+from .functions.cluster_window import register_cluster_window_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -135,6 +136,7 @@ class SpatialSQLEngine:
         register_surface3d_functions(self.spark)
         register_editors_x_functions(self.spark)
         register_agg_form_functions(self.spark)
+        register_cluster_window_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

@@ -361,8 +361,9 @@ def intersects3d_wkt(a_wkt, b_wkt) -> bool | None:
     if out is None:
         return None
     d = out[0]
-    if d == 0.0:
-        return True
+    # d == 0.0 is NOT trusted as contact: the float seg-seg solver can
+    # round a ~1e-30 separation to exactly zero — zero falls through
+    # to the exact Fraction predicate like any near-contact pair
     pa, pb = Z._prims_3d(a_wkt), Z._prims_3d(b_wkt)
     pts_a, segs_a = pa
     pts_b, segs_b = pb

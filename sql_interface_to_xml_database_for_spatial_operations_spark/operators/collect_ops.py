@@ -22,6 +22,7 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.agg_forms import register_agg_form_functions
+    from ..functions.cluster_window import register_cluster_window_functions
     from ..functions.collection_fns import register_collection_functions
 
     from ..functions.grids import register_grid_functions
@@ -29,6 +30,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_collection_functions(spark)
     register_agg_form_functions(spark)
     register_grid_functions(spark)  # st_normalize canonicalizes the face walk
+    register_cluster_window_functions(spark)
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -86,6 +88,23 @@ _FAMILIES = {
         f"COALESCE(st_makeline_all(array({_BOX})), 'N') || "
         "COALESCE(st_polygonize_all(array('POINT (1 1)')), 'N')"
     ),
+    # window-form clustering (functions/cluster_window.py): ids are
+    # array positions — deterministic first-k-distinct k-means seeding
+    # and the q160 DBSCAN conventions (min-core-position labels,
+    # border -> min adjacent label, noise NULL -> 'N')
+    "agg_kmeans": (
+        "array_join(transform(st_clusterkmeans_all(array("
+        f"{_BL}, 'POINT (' || {_pt('minx + 1', 'miny')} || ')', "
+        f"{_TR}, 'POINT (' || {_pt('maxx - 1', 'maxy')} || ')'), 2), "
+        "x -> CAST(x AS STRING)), ',')"
+    ),
+    "agg_dbscan": (
+        "array_join(transform(st_clusterdbscan_all(array("
+        f"{_BL}, 'POINT (' || {_pt('minx + 1', 'miny')} || ')', "
+        f"'POINT (' || {_pt('minx + 2', 'miny')} || ')', {_TR}), "
+        "CAST(2 AS DOUBLE), 3), "
+        "x -> COALESCE(CAST(x AS STRING), 'N')), ',')"
+    ),
 }
 
 _ORACLE_VALS = {
@@ -118,6 +137,8 @@ _ORACLE_VALS = {
         "', '", CORNERS["bl"], "')))'",
     ),
     "agg_nulls": "'NNN'",
+    "agg_kmeans": "'0,0,1,1'",
+    "agg_dbscan": "'0,0,0,N'",
 }
 
 _Q161_ORACLE = "\nUNION ALL\n".join(

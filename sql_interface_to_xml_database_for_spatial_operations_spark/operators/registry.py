@@ -411,7 +411,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # family on the EXPOSED q178 row (wkb3d) with unit coverage in
 # tests/test_wkb.py; wkb.py's other carriers (q140/q152/q174) are all
 # exposed this round, so the only verified-row drift is again the
-# engine registration closure — same re-record class.
+# engine registration closure — same re-record class. The window-form
+# clustering surface (st_clusterkmeans_all deterministic
+# first-k-distinct seeding / st_clusterdbscan_all with the q160
+# canonical label rules, functions/cluster_window.py) rides q161 too
+# (agg_kmeans/agg_dbscan — closed-form label strings), with a brute
+# transitive-closure fuzz in tests/test_cluster_window.py.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

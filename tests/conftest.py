@@ -130,6 +130,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editor
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_forms import (  # noqa: E402
     register_agg_form_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_window import (  # noqa: E402
+    register_cluster_window_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -183,6 +186,7 @@ def spark():
     register_surface3d_functions(s)  # after accessors: st_isclosed overload
     register_editors_x_functions(s)
     register_agg_form_functions(s)
+    register_cluster_window_functions(s)
     yield s
 
 

@@ -128,6 +128,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.editor
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_forms import (
     ALL_AGG_FORM_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_window import (
+    ALL_CLUSTER_WINDOW_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -171,6 +174,7 @@ _SWEPT = {
     **ALL_SURFACE3D_FUNCTIONS,  # after accessors: st_isclosed overload
     **ALL_EDITORS_X_FUNCTIONS,
     **ALL_AGG_FORM_FUNCTIONS,
+    **ALL_CLUSTER_WINDOW_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -293,6 +297,8 @@ _NULL_ARGS = {
     "st_collect_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_makeline_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_polygonize_all": "CAST(NULL AS ARRAY<STRING>)",
+    "st_clusterkmeans_all": "CAST(NULL AS ARRAY<STRING>), CAST(NULL AS INT)",
+    "st_clusterdbscan_all": f"CAST(NULL AS ARRAY<STRING>), {D}, CAST(NULL AS INT)",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
