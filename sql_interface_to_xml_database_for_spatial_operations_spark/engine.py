@@ -58,6 +58,7 @@ from .functions.surface3d import register_surface3d_functions
 from .functions.editors_x import register_editors_x_functions
 from .functions.agg_forms import register_agg_form_functions
 from .functions.cluster_window import register_cluster_window_functions
+from .functions.misc_fns import register_misc_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -137,6 +138,7 @@ class SpatialSQLEngine:
         register_editors_x_functions(self.spark)
         register_agg_form_functions(self.spark)
         register_cluster_window_functions(self.spark)
+        register_misc_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

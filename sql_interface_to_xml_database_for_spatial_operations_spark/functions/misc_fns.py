@@ -1,0 +1,279 @@
+"""Small remaining PostGIS surface (r15): ST_Summary, ST_NRings,
+ST_PointInsideCircle, ST_HasArc, the 2-D measure aliases
+(ST_Length2D / ST_Perimeter2D / ST_Area2D), ST_ForceRHR, and the
+ST_3DExtent aggregate form. The reference forwards these names
+verbatim (src/index.ts:44-63).
+
+- ``st_summary(g)`` — lwgeom_summary-STYLE text (the editors.py snap
+  precedent: same structure, this engine's canonical spelling):
+  ``Point[]``, ``LineString[] with N points``, ``Polygon[] with N
+  rings`` followed by one ``  ring i has N points`` line per ring,
+  ``Multi*[] / GeometryCollection[] with N elements`` followed by
+  indented member summaries. The flag box is always ``[]`` (this
+  engine's WKT model carries no bbox/SRID/dims flags).
+- ``st_nrings(g)`` — total ring count over polygonal parts (PostGIS:
+  exterior + interior, summed across a MULTIPOLYGON / collection);
+  non-areal parts contribute 0; junk → NULL.
+- ``st_pointinsidecircle(pt, cx, cy, r)`` — strict interior test
+  (PostGIS: ``<`` not ``<=``); non-point input → loud NULL.
+- ``st_hasarc(g)`` — TRUE iff the WKT is a curved type
+  (CIRCULARSTRING / COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE /
+  MULTISURFACE — the st_curvetoline input set), FALSE for any plain
+  parseable WKT, NULL for junk.
+- ``st_length2d`` / ``st_perimeter2d`` / ``st_area2d`` — PostGIS's
+  explicit 2-D aliases; registered as the SAME UDF objects as
+  st_length / st_perimeter / st_area (this engine is 2-D-planar
+  already, so the alias is exact, not approximate).
+- ``st_forcerhr`` — alias of st_forcepolygoncw (PostGIS documents
+  ST_ForceRHR as equivalent; RHR = shells clockwise, holes
+  counter-clockwise in screen space).
+- ``st_3dextent_all(array<wkt>)`` — the ST_3DExtent aggregate as the
+  established ``fn(collect_list(...))`` array form: ``BOX3D(xmin
+  ymin zmin, xmax ymax zmax)`` over 2-D / Z / ZM members (absent Z
+  reads 0 — PostGIS); junk / typed-EMPTY members and empty groups →
+  loud NULL.
+
+All map-only Arrow-batched pandas UDFs — no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, LongType, StringType
+
+from . import geometry as G
+from . import overlay as _ov
+from . import zcoord as Z
+from .geometry import Geometry
+from .grids import st_forcepolygoncw
+from .spatial import st_area, st_length, st_perimeter
+
+_ARC_RE = re.compile(
+    r"^\s*(CIRCULARSTRING|COMPOUNDCURVE|CURVEPOLYGON|MULTICURVE|MULTISURFACE)\b",
+    re.IGNORECASE,
+)
+
+
+def summary_text(wkt, indent: int = 0) -> str | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    pad = "  " * indent
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        kind = _CANON_EMPTY[m.group(1)]
+        return f"{pad}{kind}[] (empty)"
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    return _summary_geom(g, indent)
+
+
+_CANON_EMPTY = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
+
+
+def _summary_geom(g: Geometry, indent: int) -> str:
+    pad = "  " * indent
+    if g.kind == "Point":
+        return f"{pad}Point[]"
+    if g.kind == "LineString":
+        return f"{pad}LineString[] with {len(g.coords)} points"
+    if g.kind == "Polygon":
+        lines = [f"{pad}Polygon[] with {len(g.coords)} rings"]
+        for i, r in enumerate(g.coords):
+            lines.append(f"{pad}  ring {i} has {len(r)} points")
+        return "\n".join(lines)
+    if g.kind == "MultiPoint":
+        members = [Geometry("Point", p) for p in g.coords]
+    elif g.kind == "MultiLineString":
+        members = [Geometry("LineString", c) for c in g.coords]
+    elif g.kind == "MultiPolygon":
+        members = [Geometry("Polygon", rings) for rings in g.coords]
+    else:
+        members = list(g.coords)
+    lines = [f"{pad}{g.kind}[] with {len(members)} elements"]
+    lines.extend(_summary_geom(mm, indent + 1) for mm in members)
+    return "\n".join(lines)
+
+
+def nrings_of(wkt) -> int | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return 0
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+
+    def count(gg: Geometry) -> int:
+        if gg.kind == "Polygon":
+            return len(gg.coords)
+        if gg.kind == "MultiPolygon":
+            return sum(len(rings) for rings in gg.coords)
+        if gg.kind == "GeometryCollection":
+            return sum(count(sub) for sub in gg.coords)
+        return 0
+
+    return count(g)
+
+
+def point_inside_circle(wkt, cx, cy, r) -> bool | None:
+    vals = []
+    for v in (cx, cy, r):
+        if v is None:
+            return None
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            return None
+        if math.isnan(f) or not math.isfinite(f):
+            return None
+        vals.append(f)
+    if wkt is None:
+        return None
+    g = G.parse_wkt(str(wkt).strip())
+    if g is None or g.kind != "Point":
+        return None
+    dx = g.coords[0] - vals[0]
+    dy = g.coords[1] - vals[1]
+    return dx * dx + dy * dy < vals[2] * vals[2]  # strict (PostGIS)
+
+
+def has_arc(wkt) -> bool | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ARC_RE.match(s):
+        return True
+    if _ov._EMPTY_RE.match(s.upper()) or G.parse_wkt(s) is not None:
+        return False
+    if Z.parse_z_wkt(s) is not None:
+        return False
+    from . import measure_m as _mm
+
+    if _mm.parse_m_wkt(s) is not None:
+        return False
+    return None  # junk — loud
+
+
+def extent3d_all(wkts) -> str | None:
+    if wkts is None:
+        return None
+    lo = [math.inf] * 3
+    hi = [-math.inf] * 3
+    saw = False
+    for w in wkts:
+        if w is None:
+            return None
+        s = str(w).strip()
+        pz = Z.parse_z_wkt(s)
+        if pz is not None:
+            kind, _, payload = pz
+            pts = [(p[0], p[1], p[2]) for p in Z._iter_pts(kind, payload)]
+        else:
+            g = G.parse_wkt(s)
+            if g is None:
+                return None
+            pts = [(x, y, 0.0) for x, y in _iter_xy(g)]
+        for p in pts:
+            saw = True
+            for i in range(3):
+                lo[i] = min(lo[i], p[i])
+                hi[i] = max(hi[i], p[i])
+    if not saw:
+        return None
+    f = G._fmt
+    return (
+        f"BOX3D({f(lo[0])} {f(lo[1])} {f(lo[2])}, "
+        f"{f(hi[0])} {f(hi[1])} {f(hi[2])})"
+    )
+
+
+def _iter_xy(g: Geometry):
+    if g.kind == "Point":
+        yield g.coords
+    elif g.kind in ("MultiPoint", "LineString"):
+        yield from g.coords
+    elif g.kind in ("MultiLineString", "Polygon"):
+        for ch in g.coords:
+            yield from ch
+    elif g.kind == "MultiPolygon":
+        for rings in g.coords:
+            for r in rings:
+                yield from r
+    else:
+        for sub in g.coords:
+            yield from _iter_xy(sub)
+
+
+def _safe(fn, *args):
+    try:
+        return fn(*args)
+    except Exception:
+        return None
+
+
+@pandas_udf(StringType())
+def st_summary(w: pd.Series) -> pd.Series:
+    return pd.Series([_safe(summary_text, x) for x in w], dtype="object")
+
+
+@pandas_udf(LongType())
+def st_nrings(w: pd.Series) -> pd.Series:
+    return pd.Series([_safe(nrings_of, x) for x in w], dtype="object")
+
+
+@pandas_udf(BooleanType())
+def st_pointinsidecircle(
+    w: pd.Series, cx: pd.Series, cy: pd.Series, r: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [_safe(point_inside_circle, *t) for t in zip(w, cx, cy, r)],
+        dtype="object",
+    )
+
+
+@pandas_udf(BooleanType())
+def st_hasarc(w: pd.Series) -> pd.Series:
+    return pd.Series([_safe(has_arc, x) for x in w], dtype="object")
+
+
+@pandas_udf(StringType())
+def st_3dextent_all(arr: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_safe(extent3d_all, None if a is None else list(a)) for a in arr],
+        dtype="object",
+    )
+
+
+ALL_MISC_FUNCTIONS = {
+    "st_summary": st_summary,
+    "st_nrings": st_nrings,
+    "st_pointinsidecircle": st_pointinsidecircle,
+    "st_hasarc": st_hasarc,
+    "st_3dextent_all": st_3dextent_all,
+    # exact aliases — the same UDF objects under PostGIS's 2-D names
+    "st_length2d": st_length,
+    "st_perimeter2d": st_perimeter,
+    "st_area2d": st_area,
+    "st_forcerhr": st_forcepolygoncw,
+}
+
+
+def register_misc_functions(spark: SparkSession) -> None:
+    for name, fn in ALL_MISC_FUNCTIONS.items():
+        spark.udf.register(name, fn)

@@ -44,11 +44,13 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.accessors import register_accessor_functions
     from ..functions.editors_x import register_editors_x_functions
+    from ..functions.misc_fns import register_misc_functions
     from ..functions.spatial import register_spatial_functions
 
     register_spatial_functions(spark)  # st_area / st_xmin / st_xmax / type
     register_accessor_functions(spark)  # st_numgeometries / interior rings
     register_editors_x_functions(spark)
+    register_misc_functions(spark)  # summary / nrings / hasarc / ext3d
 
 
 _K = "n_nationkey"
@@ -135,6 +137,29 @@ _Q180_ORACLE = f"""
            {_WX_MP_EXPECT} AS b
     FROM boxes
     UNION ALL
+    SELECT 'summ' AS fam, n_nationkey AS key,
+           CAST(2 AS BIGINT) AS a,
+           'Polygon[] with 2 rings' || chr(10) ||
+           '  ring 0 has 5 points' || chr(10) ||
+           '  ring 1 has 5 points' AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'misc' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a,
+           'POLYGON ((' || {_xy('minx', 'miny')} || ', ' ||
+           {_xy('minx', f'miny + 2 * {_A}')} || ', ' ||
+           {_xy(f'minx + 2 * {_A}', f'miny + 2 * {_A}')} || ', ' ||
+           {_xy(f'minx + 2 * {_A}', 'miny')} || ', ' ||
+           {_xy('minx', 'miny')} || '))' AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'ext3' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a,
+           'BOX3D(' || {_xy('minx', 'miny')} || ' 0, ' ||
+           {_xy(f'minx + 2 * {_A}', f'miny + {_A}')} || ' ' ||
+           {int_str(_A)} || ')' AS b
+    FROM boxes
+    UNION ALL
     SELECT 'qc' AS fam, n_nationkey AS key,
            CAST(11 AS BIGINT) AS a, {_QC_FIX} AS b
     FROM boxes
@@ -182,6 +207,43 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wx",
             f"st_area({wx_poly}) * 100 + st_xmax({wx_poly}) - st_xmin({wx_poly})",
             f"st_wrapx({_WX_MP}, CAST(minx + 5 AS DOUBLE), CAST(20 AS DOUBLE))",
+        )
+    )
+    # misc surface (functions/misc_fns.py): summary text, ring count,
+    # point-in-circle strictness, curved-type detection, the exact 2-D
+    # aliases, ST_ForceRHR, and the BOX3D aggregate extent
+    ba = f"st_buildarea({_BA_IN})"
+    rows = rows.unionByName(
+        fam(
+            "summ",
+            f"st_nrings({ba})",
+            f"st_summary({ba})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "misc",
+            f"CASE WHEN st_pointinsidecircle({_QC_FIX}, CAST(minx AS DOUBLE),"
+            " CAST(miny AS DOUBLE), 1.0D)"
+            f" AND NOT st_pointinsidecircle({_QC_FIX}, CAST(minx + 5 AS DOUBLE),"
+            " CAST(miny AS DOUBLE), 1.0D)"
+            " AND st_hasarc('CIRCULARSTRING (0 0, 1 1, 2 0)')"
+            f" AND NOT st_hasarc({_QC_FIX})"
+            f" AND st_length2d('LINESTRING (' || {_xy('minx', 'miny')} || ', ' ||"
+            f" {_xy(f'minx + 2 * {_A}', 'miny')} || ')') = CAST(2 * {_A} AS DOUBLE)"
+            f" AND st_area2d('POLYGON ' || {_sq('minx', 'miny', _A)}) = CAST({_A} * {_A} AS DOUBLE)"
+            f" AND st_perimeter2d('POLYGON ' || {_sq('minx', 'miny', _A)}) = CAST(4 * {_A} AS DOUBLE)"
+            " THEN 1 ELSE 0 END",
+            f"st_forcerhr('POLYGON ' || {_sq('minx', 'miny', f'2 * {_A}')})",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "ext3",
+            "1",
+            f"st_3dextent_all(array("
+            f"'POINT Z (' || {_xy('minx', 'miny')} || ' ' || {int_str(_A)} || ')', "
+            f"'POINT (' || {_xy(f'minx + 2 * {_A}', f'miny + {_A}')} || ')'))",
         )
     )
     rows = rows.unionByName(

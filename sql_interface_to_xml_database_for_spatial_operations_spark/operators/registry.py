@@ -416,7 +416,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # first-k-distinct seeding / st_clusterdbscan_all with the q160
 # canonical label rules, functions/cluster_window.py) rides q161 too
 # (agg_kmeans/agg_dbscan — closed-form label strings), with a brute
-# transitive-closure fuzz in tests/test_cluster_window.py.
+# transitive-closure fuzz in tests/test_cluster_window.py. The misc
+# batch (functions/misc_fns.py: st_summary, st_nrings,
+# st_pointinsidecircle strict-<, st_hasarc, the exact 2-D aliases
+# st_length2d/st_perimeter2d/st_area2d, st_forcerhr ==
+# st_forcepolygoncw, st_3dextent_all BOX3D) rides the EXPOSED q180
+# (summ/misc/ext3 families); engine-registration drift re-recorded as
+# before, backed by the same sweeps.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -133,6 +133,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_fo
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_window import (  # noqa: E402
     register_cluster_window_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns import (  # noqa: E402
+    register_misc_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -187,6 +190,7 @@ def spark():
     register_editors_x_functions(s)
     register_agg_form_functions(s)
     register_cluster_window_functions(s)
+    register_misc_functions(s)
     yield s
 
 

@@ -131,6 +131,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.agg_fo
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluster_window import (
     ALL_CLUSTER_WINDOW_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns import (
+    ALL_MISC_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -175,6 +178,7 @@ _SWEPT = {
     **ALL_EDITORS_X_FUNCTIONS,
     **ALL_AGG_FORM_FUNCTIONS,
     **ALL_CLUSTER_WINDOW_FUNCTIONS,
+    **ALL_MISC_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -299,6 +303,8 @@ _NULL_ARGS = {
     "st_polygonize_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_clusterkmeans_all": "CAST(NULL AS ARRAY<STRING>), CAST(NULL AS INT)",
     "st_clusterdbscan_all": f"CAST(NULL AS ARRAY<STRING>), {D}, CAST(NULL AS INT)",
+    "st_pointinsidecircle": f"{S}, {D}, {D}, {D}",
+    "st_3dextent_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
@@ -425,6 +431,14 @@ def test_surface3d_editors_x_mixed_values(spark):
     """r15: valid geometry + NULL/NaN numeric companions through the
     surface3d and editors_x multi-arg surfaces (all-NULL sweeps
     short-circuit on the WKT guard — the st_pointn crash class)."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.surface3d import (
+        register_surface3d_functions,
+    )
+
+    # earlier parity rows re-register accessors (st_isclosed's lineal
+    # form) through their _ensure_udfs — registration is last-wins, so
+    # pin the surface overload back before asserting on it
+    register_surface3d_functions(spark)
     tri = "TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0)))"
     rows = spark.sql(
         f"SELECT st_patchn(g, n) AS p FROM VALUES "
