@@ -186,6 +186,17 @@ def _closed(seq) -> bool:
 
 
 def is_closed(wkt) -> bool | None:
+    # surface overload (code-review r15: registration is last-wins, so
+    # the surface-aware behavior must live in THIS single owner rather
+    # than depend on module registration order): POLYHEDRALSURFACE /
+    # TIN / TRIANGLE WKT goes to the mesh edge-count kernel; the lazy
+    # parse attempt is a no-op for every other input
+    if wkt is not None:
+        from . import surface3d as _s3
+
+        ps = _s3.parse_surface_wkt(wkt)
+        if ps is not None:
+            return _s3.surface_is_closed(ps[2]) if ps[2] else None
     g, empty = _parse(wkt)
     if empty is not None:
         return False

@@ -80,13 +80,10 @@ def cluster_kmeans_ids(wkts, k) -> list | None:
     pts = _points(wkts)
     if pts is None or k < 1:
         return None
-    seen: list = []
-    for p in pts:
-        if p not in seen:
-            seen.append(p)
+    seen = list(dict.fromkeys(pts))  # first-seen distinct, O(n)
     if k > len(seen):
         return None
-    cent = list(seen[:k])
+    cent = seen[:k]
     labels = [0] * len(pts)
     for _ in range(64):
         new_labels = []

@@ -166,33 +166,6 @@ def buildarea_wkt(w) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _bbox_x(g: Geometry) -> tuple[float, float]:
-    xs = [p[0] for p in G.iter_points(g)] if hasattr(G, "iter_points") else None
-    if xs is None:
-        xs = [x for x, _y in _iter_xy(g)]
-    return (min(xs), max(xs))
-
-
-def _iter_xy(g: Geometry):
-    if g.kind == "Point":
-        yield g.coords
-        return
-    if g.kind in ("MultiPoint", "LineString"):
-        yield from g.coords
-        return
-    if g.kind in ("MultiLineString", "Polygon"):
-        for ch in g.coords:
-            yield from ch
-        return
-    if g.kind == "MultiPolygon":
-        for rings in g.coords:
-            for r in rings:
-                yield from r
-        return
-    for sub in g.coords:
-        yield from _iter_xy(sub)
-
-
 def _translate_x(g: Geometry, dx: float) -> Geometry:
     def mv(p):
         return (p[0] + dx, p[1])
@@ -250,7 +223,7 @@ def wrapx_wkt(w, wrap, move) -> str | None:
         return G.to_wkt(g)
     out: list[Geometry] = []
     for comp in _flatten(g):
-        xmin, xmax = _bbox_x(comp)
+        xmin, _ymin, xmax, _ymax = G.bbox(comp)
         moving_side = (xmax <= wv) if mv > 0 else (xmin >= wv)
         static_side = (xmin >= wv) if mv > 0 else (xmax <= wv)
         if static_side:
@@ -261,16 +234,15 @@ def wrapx_wkt(w, wrap, move) -> str | None:
             continue
         # crosses the line: split by the vertical blade, move pieces
         # by their own bbox (liblwgeom lwgeom_wrapx)
-        ys = [y for _x, y in _iter_xy(comp)]
         blade = Geometry(
             "LineString",
-            [(wv, min(ys) - 1.0), (wv, max(ys) + 1.0)],
+            [(wv, _ymin - 1.0), (wv, _ymax + 1.0)],
         )
         pieces = split_geoms(comp, blade)
         if pieces is None or not pieces:
             return None  # blade-collinear boundary — split's loud NULL
         for p in pieces:
-            pxmin, pxmax = _bbox_x(p)
+            pxmin, _py0, pxmax, _py1 = G.bbox(p)
             if (mv > 0 and pxmax <= wv) or (mv < 0 and pxmin >= wv):
                 out.append(_translate_x(p, mv))
             else:

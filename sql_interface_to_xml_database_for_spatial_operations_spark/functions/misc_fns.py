@@ -16,10 +16,11 @@ verbatim (src/index.ts:44-63).
   non-areal parts contribute 0; junk → NULL.
 - ``st_pointinsidecircle(pt, cx, cy, r)`` — strict interior test
   (PostGIS: ``<`` not ``<=``); non-point input → loud NULL.
-- ``st_hasarc(g)`` — TRUE iff the WKT is a curved type
+- ``st_hasarc(g)`` — TRUE iff the WKT is a READABLE curved type
   (CIRCULARSTRING / COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE /
-  MULTISURFACE — the st_curvetoline input set), FALSE for any plain
-  parseable WKT, NULL for junk.
+  MULTISURFACE, validated through the st_curvetoline linearizer —
+  a curve keyword with a junk body is NULL like any other junk),
+  FALSE for any plain parseable WKT, NULL for junk.
 - ``st_length2d`` / ``st_perimeter2d`` / ``st_area2d`` — PostGIS's
   explicit 2-D aliases; registered as the SAME UDF objects as
   st_length / st_perimeter / st_area (this engine is 2-D-planar
@@ -30,8 +31,9 @@ verbatim (src/index.ts:44-63).
 - ``st_3dextent_all(array<wkt>)`` — the ST_3DExtent aggregate as the
   established ``fn(collect_list(...))`` array form: ``BOX3D(xmin
   ymin zmin, xmax ymax zmax)`` over 2-D / Z / ZM members (absent Z
-  reads 0 — PostGIS); junk / typed-EMPTY members and empty groups →
-  loud NULL.
+  reads 0 — PostGIS); NULL and typed-EMPTY members are SKIPPED like
+  PostGIS aggregate rows, junk members are loud, and a group that
+  bounds nothing → NULL.
 
 All map-only Arrow-batched pandas UDFs — no shuffle.
 """
@@ -158,7 +160,13 @@ def has_arc(wkt) -> bool | None:
         return None
     s = str(wkt).strip()
     if _ARC_RE.match(s):
-        return True
+        # a curve KEYWORD alone is not enough — the body must actually
+        # read as that curve (code-review r15: 'CIRCULARSTRING junk'
+        # must be the loud NULL every other junk input gets); the
+        # linearizer is the one full validator of the curved set
+        from .curves import curvetoline_wkt
+
+        return True if curvetoline_wkt(s, 1) is not None else None
     if _ov._EMPTY_RE.match(s.upper()) or G.parse_wkt(s) is not None:
         return False
     if Z.parse_z_wkt(s) is not None:
@@ -178,8 +186,11 @@ def extent3d_all(wkts) -> str | None:
     saw = False
     for w in wkts:
         if w is None:
-            return None
+            continue  # PostGIS aggregates skip NULL rows (union_all)
         s = str(w).strip()
+        if _ov._EMPTY_RE.match(s.upper()):
+            continue  # typed EMPTY bounds nothing (code-review r15:
+            # 2-D and Z empties now behave identically)
         pz = Z.parse_z_wkt(s)
         if pz is not None:
             kind, _, payload = pz
@@ -187,8 +198,8 @@ def extent3d_all(wkts) -> str | None:
         else:
             g = G.parse_wkt(s)
             if g is None:
-                return None
-            pts = [(x, y, 0.0) for x, y in _iter_xy(g)]
+                return None  # junk member — loud
+            pts = [(x, y, 0.0) for x, y in G._points(g)]
         for p in pts:
             saw = True
             for i in range(3):
@@ -201,23 +212,6 @@ def extent3d_all(wkts) -> str | None:
         f"BOX3D({f(lo[0])} {f(lo[1])} {f(lo[2])}, "
         f"{f(hi[0])} {f(hi[1])} {f(hi[2])})"
     )
-
-
-def _iter_xy(g: Geometry):
-    if g.kind == "Point":
-        yield g.coords
-    elif g.kind in ("MultiPoint", "LineString"):
-        yield from g.coords
-    elif g.kind in ("MultiLineString", "Polygon"):
-        for ch in g.coords:
-            yield from ch
-    elif g.kind == "MultiPolygon":
-        for rings in g.coords:
-            for r in rings:
-                yield from r
-    else:
-        for sub in g.coords:
-            yield from _iter_xy(sub)
 
 
 def _safe(fn, *args):

@@ -255,6 +255,27 @@ def surface_is_closed(patches) -> bool:
     return bool(counts) and all(c == 2 for c in counts.values())
 
 
+def _oriented_closed(patches) -> bool:
+    """The STRICTER volume precondition: every DIRECTED edge appears
+    exactly once and its reverse exactly once (a consistently oriented
+    watertight 2-manifold). A mesh that is merely edge-watertight but
+    mixes windings (one face flipped) passes surface_is_closed yet
+    corrupts the divergence-theorem flux sum — code-review r15."""
+    counts: dict[tuple, int] = {}
+    for rings in patches:
+        for ring in rings:
+            for p, q in zip(ring, ring[1:]):
+                a, b = _xyz(p), _xyz(q)
+                if a == b:
+                    continue
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    if not counts:
+        return False
+    return all(
+        c == 1 and counts.get((b, a), 0) == 1 for (a, b), c in counts.items()
+    )
+
+
 def is_closed_any(wkt) -> bool | None:
     """Surface overload of ST_IsClosed; lineal input delegates to the
     2-D kernel (accessors.is_closed) — one name, both contracts."""
@@ -268,13 +289,15 @@ def is_closed_any(wkt) -> bool | None:
 
 
 def volume_wkt(wkt) -> float | None:
-    """ST_Volume of a CLOSED surface (divergence theorem over signed
-    ring fans); open / non-surface / EMPTY → loud NULL."""
+    """ST_Volume of a CLOSED, CONSISTENTLY ORIENTED surface (divergence
+    theorem over signed ring fans); open / mixed-winding / non-surface
+    / EMPTY → loud NULL (a flipped face would silently corrupt the
+    flux sum — the oriented-manifold gate keeps exact-or-loud)."""
     ps = parse_surface_wkt(wkt)
     if ps is None:
         return None
     _, _, patches = ps
-    if not patches or not surface_is_closed(patches):
+    if not patches or not _oriented_closed(patches):
         return None
     vol = 0.0
     for rings in patches:

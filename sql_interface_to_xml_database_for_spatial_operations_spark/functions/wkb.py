@@ -252,8 +252,13 @@ def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
             return n
 
         if skind == "Triangle":
+            n_rings = scount()
+            if n_rings > 1:
+                # the WKT TRIANGLE codec is single-ring; a multi-ring
+                # buffer must not round-trip truncated (code-review r15)
+                raise ValueError("TRIANGLE carries more than one ring")
             rings = []
-            for _ in range(scount()):
+            for _ in range(n_rings):
                 n_pts = scount()
                 if n_pts == 0:
                     raise ValueError("zero-point ring")
@@ -500,7 +505,22 @@ def wkt_to_ewkb(wkt, srid) -> bytes | None:
         return None
     if not 0 <= srid <= _MAX_SRID:
         return None
-    parsed = _parse_any(str(wkt).strip())
+    s = str(wkt).strip()
+    ps = _s3.parse_surface_wkt(s)
+    if ps is not None:
+        # surfaces carry the SRID flag at the top level over their
+        # plain ISO body (code-review r15: st_asbinary round-trips
+        # surfaces, so the SRID-carrying form must not be a silent
+        # NULL); srid 0 degrades to plain WKB like every other kind
+        skind, sz, patches = ps
+        body = _surface_to_wkb(skind, sz, patches)
+        if not srid:
+            return body
+        code = struct.unpack_from("<I", body, 1)[0]
+        return (
+            struct.pack("<BIi", 1, code | _EWKB_SRID, srid) + body[5:]
+        )
+    parsed = _parse_any(s)
     if parsed is None:
         return None
     kind, z, m, payload = parsed

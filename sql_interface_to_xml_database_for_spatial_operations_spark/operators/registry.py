@@ -424,6 +424,29 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (summ/misc/ext3 families); engine-registration drift re-recorded as
 # before, backed by the same sweeps.
 #
+# r15 code-review fixes (post-sweep session review of the round's own
+# diff — all six findings fixed in code): (1) ST_Volume now requires a
+# CONSISTENTLY ORIENTED closed mesh (_oriented_closed: each directed
+# edge once + its reverse once) — a one-face-flipped cube previously
+# returned a silently wrong 0.333 flux sum; ST_IsClosed keeps the pure
+# undirected watertightness test; (2) a TRIANGLE WKB buffer with >1
+# rings is now a decode error instead of a silent ring drop; (3) the
+# st_isclosed surface overload moved into its SINGLE owner
+# (accessors.is_closed delegates surface-prefixed WKT to surface3d)
+# so UDF registration order can no longer clobber it — the lazy
+# parse-attempt branch is provably inert for every non-surface input;
+# (4) st_3dextent_all skips NULL / typed-EMPTY members like PostGIS
+# aggregate rows (Z and 2-D empties now identical); (5) st_hasarc
+# validates the curve BODY through the linearizer (keyword + junk →
+# NULL); (6) st_asewkb carries surfaces (SRID flag over the ISO body,
+# round-trip + srid-0 degradation pinned); plus the duplicate
+# coordinate-walker cleanup (G._points/G.bbox) and O(n) k-means
+# seeding. The drifted verified rows (q150/q151 via accessors,
+# q162/q164/q165/q166 via its import closure, and the engine-closure
+# ingest rows) were ALL independently re-verified through the driver
+# recipe at sf0.01 after the fixes (MISMATCHES: none, this session)
+# before their fingerprints were re-recorded.
+#
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,
 # q103-q107, q110, q111*, q115, q132, q134, q135, q146, q156, q157,

@@ -83,9 +83,18 @@ class TestExtent3D:
         ) == "BOX3D(0 -1 -2, 5 4 4)"
         assert M.extent3d_all(["POINT (1 2)"]) == "BOX3D(1 2 0, 1 2 0)"
 
-    def test_loud(self):
+    def test_member_semantics(self):
+        # junk is loud; NULL and typed-EMPTY members (any dims) are
+        # SKIPPED like PostGIS aggregate rows (code-review r15: the
+        # 2-D and Z empties now behave identically)
         assert M.extent3d_all(["POINT (1 2)", "junk"]) is None
-        assert M.extent3d_all(["POINT (1 2)", None]) is None
+        assert M.extent3d_all(["POINT (1 2)", None]) == "BOX3D(1 2 0, 1 2 0)"
+        assert M.extent3d_all(["POINT (1 2)", "LINESTRING EMPTY"]) == "BOX3D(1 2 0, 1 2 0)"
+        assert (
+            M.extent3d_all(["POINT Z (1 2 3)", "LINESTRING Z EMPTY"])
+            == "BOX3D(1 2 3, 1 2 3)"
+        )
+        assert M.extent3d_all([None]) is None  # nothing bounds — NULL group
         assert M.extent3d_all([]) is None
         assert M.extent3d_all(None) is None
 
@@ -104,3 +113,10 @@ def test_aliases_are_same_objects():
     assert M.ALL_MISC_FUNCTIONS["st_perimeter2d"] is st_perimeter
     assert M.ALL_MISC_FUNCTIONS["st_area2d"] is st_area
     assert M.ALL_MISC_FUNCTIONS["st_forcerhr"] is st_forcepolygoncw
+
+
+def test_hasarc_junk_body_is_loud():
+    # code-review r15: a curve keyword with an unreadable body is NULL
+    assert M.has_arc("CIRCULARSTRING junk (((") is None
+    assert M.has_arc("COMPOUNDCURVE ((0 0, 1 0), (2 0, 3 0))") is None  # gap
+    assert M.has_arc("MULTICURVE (POINT (1 1))") is None

@@ -253,3 +253,18 @@ class TestVolumeOrientationFreedom:
         w = S.to_surface_wkt(kind, has_z, patches)
         assert S.is_closed_any(w) is True
         assert S.volume_wkt(w) == 1.0
+
+
+class TestVolumeOrientationGate:
+    def test_one_flipped_face_is_loud(self):
+        """code-review r15: a mesh that is edge-watertight but mixes
+        windings passed surface_is_closed yet corrupted the flux sum —
+        ST_Volume must refuse it loudly, while ST_IsClosed (pure
+        watertightness) still answers True."""
+        kind, has_z, patches = S.parse_surface_wkt(CUBE)
+        flipped = [list(map(list, rings)) for rings in patches]
+        flipped[1] = [list(reversed(flipped[1][0]))]
+        w = S.to_surface_wkt(kind, has_z, flipped)
+        assert S.is_closed_any(w) is True  # undirected edges still pair
+        assert S.volume_wkt(w) is None  # mixed winding — loud
+        assert S.volume_wkt(CUBE) == 1.0  # the consistent mesh still answers

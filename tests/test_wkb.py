@@ -297,5 +297,22 @@ class TestSurfaceWkb:
             _st.pack("<2d", x, y) for x, y in [(0, 0), (1, 0), (0, 1)]
         )
         assert W.wkb_to_wkt(bad2) is None
-        # surfaces stay outside the EWKB/SRID surface (documented)
-        assert W.wkt_to_ewkb(self.CUBE, 4326) is None
+        # a TRIANGLE buffer with a second ring must not round-trip
+        # truncated (code-review r15)
+        ring = _st.pack("<I", 4) + b"".join(
+            _st.pack("<2d", x, y) for x, y in [(0, 0), (9, 0), (0, 9), (0, 0)]
+        )
+        bad3 = _st.pack("<BII", 1, 17, 2) + ring + ring
+        assert W.wkb_to_wkt(bad3) is None
+
+    def test_ewkb_srid_round_trip(self):
+        # code-review r15: the SRID-carrying form mirrors st_asbinary
+        b = W.wkt_to_ewkb(self.CUBE, 4326)
+        assert b is not None
+        assert W.ewkb_srid(b) == 4326
+        assert W.ewkb_to_wkt(b) == self.CUBE
+        # srid 0 degrades to plain WKB byte-for-byte
+        assert W.wkt_to_ewkb(self.CUBE, 0) == W.wkt_to_wkb(self.CUBE)
+        tri = "TRIANGLE ((0 0, 9 0, 0 9, 0 0))"
+        b2 = W.wkt_to_ewkb(tri, 27700)
+        assert W.ewkb_srid(b2) == 27700 and W.ewkb_to_wkt(b2) == tri
