@@ -59,6 +59,7 @@ from .functions.editors_x import register_editors_x_functions
 from .functions.agg_forms import register_agg_form_functions
 from .functions.cluster_window import register_cluster_window_functions
 from .functions.misc_fns import register_misc_functions
+from .functions.crossing import register_crossing_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -139,6 +140,7 @@ class SpatialSQLEngine:
         register_agg_form_functions(self.spark)
         register_cluster_window_functions(self.spark)
         register_misc_functions(self.spark)
+        register_crossing_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

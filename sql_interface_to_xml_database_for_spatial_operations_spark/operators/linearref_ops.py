@@ -72,7 +72,10 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_spatial_functions(spark)
     register_accessor_functions(spark)  # st_numpoints counts slice vertices
     register_linearref_functions(spark)
+    from ..functions.crossing import register_crossing_functions
+
     register_measure_m_functions(spark)  # M measures (r14 continuation)
+    register_crossing_functions(spark)  # ST_LineCrossingDirection (r15)
 
 
 _PT_BL = CORNERS["bl"]
@@ -263,6 +266,10 @@ _Q152_ORACLE = f"""
     SELECT 'cpa_valid' AS fam, n_nationkey AS key,
            CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
     FROM boxes
+    UNION ALL
+    SELECT 'lcd' AS fam, n_nationkey AS key,
+           CAST(465 AS BIGINT) AS a, CAST(-3 AS BIGINT) AS b
+    FROM boxes
 """
 
 
@@ -440,13 +447,44 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN st_isvalidtrajectory({_TRAJ_A}) THEN 1 ELSE 0 END AS BIGINT)",
         f"CAST(CASE WHEN st_isvalidtrajectory({_TRAJ_BAD}) THEN 1 ELSE 0 END AS BIGINT)",
     )
+    # ST_LineCrossingDirection (r15, functions/crossing.py): B over the
+    # east-running bottom edge — upward = LEFT (-1), downward = RIGHT
+    # (+1), parallel = 0, packed as (code+5) digits -> 465; the
+    # up-over-down double cross is balanced-first-LEFT -> -3
+    _lcd_a = (
+        f"'LINESTRING (' || {int_str('minx')} || ' ' || {int_str('miny')} ||"
+        f" ', ' || {int_str('maxx')} || ' ' || {int_str('miny')} || ')'"
+    )
+
+    def _bseg(x1, y1, x2, y2):
+        return (
+            f"'LINESTRING (' || {int_str(x1)} || ' ' || {int_str(y1)} ||"
+            f" ', ' || {int_str(x2)} || ' ' || {int_str(y2)} || ')'"
+        )
+
+    _b_up = _bseg("minx + 1", "miny - 1", "minx + 1", "miny + 1")
+    _b_dn = _bseg("minx + 1", "miny + 1", "minx + 1", "miny - 1")
+    _b_par = _bseg("minx", "miny + 5", "maxx", "miny + 5")
+    _b_updown = (
+        f"'LINESTRING (' || {int_str('minx + 1')} || ' ' || {int_str('miny - 1')} ||"
+        f" ', ' || {int_str('minx + 1')} || ' ' || {int_str('miny + 1')} ||"
+        f" ', ' || {int_str('minx + 2')} || ' ' || {int_str('miny + 1')} ||"
+        f" ', ' || {int_str('minx + 2')} || ' ' || {int_str('miny - 1')} || ')'"
+    )
+    lcd = fam(
+        "lcd",
+        f"CAST((st_linecrossingdirection({_lcd_a}, {_b_up}) + 5) * 100"
+        f" + (st_linecrossingdirection({_lcd_a}, {_b_dn}) + 5) * 10"
+        f" + (st_linecrossingdirection({_lcd_a}, {_b_par}) + 5) AS BIGINT)",
+        f"CAST(st_linecrossingdirection({_lcd_a}, {_b_updown}) AS BIGINT)",
+    )
     out = interp_mid
     for part in (
         interp_up, interp_ends, locate, substr, closest, shortline,
         areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
         touch_vertex, mixed_member, addm_interp, lbtw_range, lip_pts,
         lip_single, lalong_m, zm_m, cpa_t, cpa_instant, cpa_bools,
-        cpa_valid,
+        cpa_valid, lcd,
     ):
         out = out.unionByName(part)
     return out

@@ -445,7 +445,12 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q162/q164/q165/q166 via its import closure, and the engine-closure
 # ingest rows) were ALL independently re-verified through the driver
 # recipe at sf0.01 after the fixes (MISMATCHES: none, this session)
-# before their fingerprints were re-recorded.
+# before their fingerprints were re-recorded. ST_LineCrossingDirection
+# (functions/crossing.py — the exact topological crossing classifier,
+# Fraction contact intervals + wedge-rule vertex sides, pinned to the
+# published PostGIS doc pair ±3) rides the EXPOSED q152 (lcd family,
+# packed single/parallel codes + the balanced double-cross −3); the
+# engine-registration drift is the same re-record class.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -136,6 +136,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluste
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns import (  # noqa: E402
     register_misc_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossing import (  # noqa: E402
+    register_crossing_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -191,6 +194,7 @@ def spark():
     register_agg_form_functions(s)
     register_cluster_window_functions(s)
     register_misc_functions(s)
+    register_crossing_functions(s)
     yield s
 
 

@@ -96,3 +96,27 @@ class TestPlanShape:
         # partial-agg group-by + doc-keyed collect + the left join back:
         # hash exchanges only, no cartesian/broadcast-nested-loop blowups
         assert "CartesianProduct" not in plan
+
+
+def test_partition_invariance(spark):
+    """The r7 lesson: results must be a function of the input SET.
+    Window group-bys and per-doc collects are deterministic, but pin
+    it: the same corpus under several repartitionings yields identical
+    rows."""
+    rows = [
+        (1, f"alpha beta {SPAN} gamma delta"),
+        (2, f"one two three {SPAN} four five"),
+        (3, f"{SPAN} filler filler {SPAN}"),
+        (4, "entirely unique words nothing shared here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = {
+        r.doc_id: (r.n_removed, r.cleaned, r.n_dup_windows)
+        for r in exact_substring_dedup(df, k=9).collect()
+    }
+    for k in (1, 3, 7):
+        got = {
+            r.doc_id: (r.n_removed, r.cleaned, r.n_dup_windows)
+            for r in exact_substring_dedup(df.repartition(k), k=9).collect()
+        }
+        assert got == base, k

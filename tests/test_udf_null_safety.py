@@ -134,6 +134,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.cluste
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns import (
     ALL_MISC_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossing import (
+    ALL_CROSSING_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -179,6 +182,7 @@ _SWEPT = {
     **ALL_AGG_FORM_FUNCTIONS,
     **ALL_CLUSTER_WINDOW_FUNCTIONS,
     **ALL_MISC_FUNCTIONS,
+    **ALL_CROSSING_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -305,6 +309,7 @@ _NULL_ARGS = {
     "st_clusterdbscan_all": f"CAST(NULL AS ARRAY<STRING>), {D}, CAST(NULL AS INT)",
     "st_pointinsidecircle": f"{S}, {D}, {D}, {D}",
     "st_3dextent_all": "CAST(NULL AS ARRAY<STRING>)",
+    "st_linecrossingdirection": f"{S}, {S}",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
