@@ -60,6 +60,7 @@ from .functions.agg_forms import register_agg_form_functions
 from .functions.cluster_window import register_cluster_window_functions
 from .functions.misc_fns import register_misc_functions
 from .functions.crossing import register_crossing_functions
+from .functions.polygon_hull import register_polygon_hull_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -141,6 +142,7 @@ class SpatialSQLEngine:
         register_cluster_window_functions(self.spark)
         register_misc_functions(self.spark)
         register_crossing_functions(self.spark)
+        register_polygon_hull_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

@@ -62,7 +62,10 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_spatial_functions(spark)
     register_accessor_functions(spark)
     register_measure_functions(spark)
+    from ..functions.polygon_hull import register_polygon_hull_functions
+
     register_inscribed_functions(spark)  # MIC (r14 continuation)
+    register_polygon_hull_functions(spark)  # ST_SimplifyPolygonHull (r15)
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -166,6 +169,13 @@ _CORNERS_CENTER_MPT = sql_concat(
     "')'",
 )
 
+_SPH_L = sql_concat(
+    "'POLYGON (('", CORNERS["bl"], "', '", _pt("minx + 3", "miny"),
+    "', '", _pt("minx + 3", "miny + 1"), "', '", _pt("minx + 1", "miny + 1"),
+    "', '", _pt("minx + 1", "miny + 3"), "', '", _pt("minx", "miny + 3"),
+    "', '", CORNERS["bl"], "'))'",
+)
+
 _FAMILIES = {
     "simple": f"CAST(st_issimple({_RING_LINE}) AS STRING)",
     "notsimple": f"CAST(st_issimple({_BOWTIE_LINE}) AS STRING)",
@@ -230,6 +240,16 @@ _FAMILIES = {
     "lec_r": _milli(f"st_largestemptyradius({_TRI_MPT})"),
     "lec_gate": (
         f"COALESCE(st_largestemptycircle({_COLLINEAR_MPT}), 'NULL(hull)')"
+    ),
+    # ST_SimplifyPolygonHull (r15, functions/polygon_hull.py): the
+    # 3x1-legged L has ONE reflex corner — outer frac 0 deletes it
+    # (= the convex hull), inner frac 0 shrinks to the deterministic
+    # min-index triangle; frac 1 echoes byte-exactly
+    "sph_outer": f"st_simplifypolygonhull({_SPH_L}, 0.0D, true)",
+    "sph_inner": f"st_simplifypolygonhull({_SPH_L}, 0.0D, false)",
+    "sph_echo": (
+        f"CASE WHEN st_simplifypolygonhull({_SPH_L}, 1.0D, true) = {_SPH_L}"
+        " THEN 'true' ELSE 'false' END"
     ),
 }
 
@@ -298,6 +318,16 @@ _ORACLE_VALS = {
     "lec_y": _milli("(miny + maxy) / 2.0"),
     "lec_r": _milli(f"sqrt({_W} * {_W} + {_H} * {_H}) / 2"),
     "lec_gate": "'NULL(hull)'",
+    "sph_outer": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", _pt("minx + 3", "miny"),
+        "', '", _pt("minx + 3", "miny + 1"), "', '", _pt("minx + 1", "miny + 3"),
+        "', '", _pt("minx", "miny + 3"), "', '", CORNERS["bl"], "'))'",
+    ),
+    "sph_inner": sql_concat(
+        "'POLYGON (('", CORNERS["bl"], "', '", _pt("minx + 1", "miny + 1"),
+        "', '", _pt("minx", "miny + 3"), "', '", CORNERS["bl"], "'))'",
+    ),
+    "sph_echo": "'true'",
 }
 
 _Q158_ORACLE = "\nUNION ALL\n".join(

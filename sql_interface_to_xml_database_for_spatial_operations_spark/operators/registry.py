@@ -451,6 +451,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # published PostGIS doc pair ±3) rides the EXPOSED q152 (lcd family,
 # packed single/parallel codes + the balanced double-cross −3); the
 # engine-registration drift is the same re-record class.
+# ST_SimplifyPolygonHull (functions/polygon_hull.py — the GEOS 3.11
+# corner-triangle ring hull: least-area reflex/convex corner deletion
+# behind the exact empty-corner-triangle safety test, holes taking the
+# opposite direction, deterministic area-then-index tie-break) rides
+# the EXPOSED q158 (sph_outer/sph_inner full-WKT closed forms +
+# sph_echo), with a 100-case star-polygon containment fuzz in
+# tests/test_polygon_hull.py; same engine-closure re-record class.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

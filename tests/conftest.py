@@ -139,6 +139,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_f
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossing import (  # noqa: E402
     register_crossing_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygon_hull import (  # noqa: E402
+    register_polygon_hull_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -195,6 +198,7 @@ def spark():
     register_cluster_window_functions(s)
     register_misc_functions(s)
     register_crossing_functions(s)
+    register_polygon_hull_functions(s)
     yield s
 
 

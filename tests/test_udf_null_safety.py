@@ -137,6 +137,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_f
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossing import (
     ALL_CROSSING_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygon_hull import (
+    ALL_POLYGON_HULL_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -183,6 +186,7 @@ _SWEPT = {
     **ALL_CLUSTER_WINDOW_FUNCTIONS,
     **ALL_MISC_FUNCTIONS,
     **ALL_CROSSING_FUNCTIONS,
+    **ALL_POLYGON_HULL_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -310,6 +314,7 @@ _NULL_ARGS = {
     "st_pointinsidecircle": f"{S}, {D}, {D}, {D}",
     "st_3dextent_all": "CAST(NULL AS ARRAY<STRING>)",
     "st_linecrossingdirection": f"{S}, {S}",
+    "st_simplifypolygonhull": f"{S}, {D}, CAST(NULL AS BOOLEAN)",
     "st_curvetoline": f"{S}, CAST(NULL AS INT)",
     "st_asmvtgeom": (
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
