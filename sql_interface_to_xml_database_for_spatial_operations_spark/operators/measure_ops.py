@@ -65,7 +65,10 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.polygon_hull import register_polygon_hull_functions
 
     register_inscribed_functions(spark)  # MIC (r14 continuation)
+    from ..functions.voronoi_lines import register_voronoi_line_functions
+
     register_polygon_hull_functions(spark)  # ST_SimplifyPolygonHull (r15)
+    register_voronoi_line_functions(spark)  # ST_VoronoiLines (r15)
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -251,6 +254,15 @@ _FAMILIES = {
         f"CASE WHEN st_simplifypolygonhull({_SPH_L}, 1.0D, true) = {_SPH_L}"
         " THEN 'true' ELSE 'false' END"
     ),
+    # ST_VoronoiLines (r15, functions/voronoi_lines.py): three collinear
+    # sites 4 apart -> two vertical bisectors spanning the padded box
+    # (pad = site extent = 8); single site -> MULTILINESTRING EMPTY
+    "vlines": (
+        "st_voronoilines('MULTIPOINT ((' || "
+        f"{_pt('minx', 'miny')} || '), (' || {_pt('minx + 4', 'miny')} ||"
+        f" '), (' || {_pt('minx + 8', 'miny')} || '))')"
+    ),
+    "vlines_single": f"st_voronoilines({_P['bl']})",
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
@@ -328,6 +340,12 @@ _ORACLE_VALS = {
         "', '", _pt("minx", "miny + 3"), "', '", CORNERS["bl"], "'))'",
     ),
     "sph_echo": "'true'",
+    "vlines": sql_concat(
+        "'MULTILINESTRING (('", _pt("minx + 2", "miny - 8"), "', '",
+        _pt("minx + 2", "miny + 8"), "'), ('", _pt("minx + 6", "miny - 8"),
+        "', '", _pt("minx + 6", "miny + 8"), "'))'",
+    ),
+    "vlines_single": "'MULTILINESTRING EMPTY'",
 }
 
 _Q158_ORACLE = "\nUNION ALL\n".join(

@@ -458,6 +458,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # the EXPOSED q158 (sph_outer/sph_inner full-WKT closed forms +
 # sph_echo), with a 100-case star-polygon containment fuzz in
 # tests/test_polygon_hull.py; same engine-closure re-record class.
+# ST_VoronoiLines (functions/voronoi_lines.py — shared cell edges of
+# the exact Fraction Voronoi via the count==2 edge idiom, canonical
+# sorted 2-point parts over the engine's own padded cell box) rides
+# q158 too (vlines closed-form bisectors + the single-site EMPTY).
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -142,6 +142,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossi
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygon_hull import (  # noqa: E402
     register_polygon_hull_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.voronoi_lines import (  # noqa: E402
+    register_voronoi_line_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -199,6 +202,7 @@ def spark():
     register_misc_functions(s)
     register_crossing_functions(s)
     register_polygon_hull_functions(s)
+    register_voronoi_line_functions(s)
     yield s
 
 

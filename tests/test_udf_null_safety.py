@@ -140,6 +140,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.crossi
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygon_hull import (
     ALL_POLYGON_HULL_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.voronoi_lines import (
+    ALL_VORONOI_LINE_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -187,6 +190,7 @@ _SWEPT = {
     **ALL_MISC_FUNCTIONS,
     **ALL_CROSSING_FUNCTIONS,
     **ALL_POLYGON_HULL_FUNCTIONS,
+    **ALL_VORONOI_LINE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
