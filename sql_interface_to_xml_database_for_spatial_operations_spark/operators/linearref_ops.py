@@ -75,7 +75,10 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.crossing import register_crossing_functions
 
     register_measure_m_functions(spark)  # M measures (r14 continuation)
+    from ..functions.effective_area import register_effective_area_functions
+
     register_crossing_functions(spark)  # ST_LineCrossingDirection (r15)
+    register_effective_area_functions(spark)  # ST_SetEffectiveArea (r15)
 
 
 _PT_BL = CORNERS["bl"]
@@ -269,6 +272,10 @@ _Q152_ORACLE = f"""
     UNION ALL
     SELECT 'lcd' AS fam, n_nationkey AS key,
            CAST(465 AS BIGINT) AS a, CAST(-3 AS BIGINT) AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'sea' AS fam, n_nationkey AS key,
+           CAST(1 AS BIGINT) AS a, CAST(1 AS BIGINT) AS b
     FROM boxes
 """
 
@@ -471,6 +478,24 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ', ' || {int_str('minx + 2')} || ' ' || {int_str('miny + 1')} ||"
         f" ', ' || {int_str('minx + 2')} || ' ' || {int_str('miny - 1')} || ')'"
     )
+    # ST_SetEffectiveArea (r15, functions/effective_area.py): the
+    # one-interior-vertex tent has effective area 2 exactly; endpoints
+    # carry PostGIS's FLT_MAX pin; non-lineal input is loud
+    _sea_in = (
+        f"'LINESTRING (' || {int_str('minx')} || ' ' || {int_str('miny')} ||"
+        f" ', ' || {int_str('minx + 2')} || ' ' || {int_str('miny + 1')} ||"
+        f" ', ' || {int_str('minx + 4')} || ' ' || {int_str('miny')} || ')'"
+    )
+    sea = fam(
+        "sea",
+        "CAST(CASE WHEN st_seteffectivearea('POINT (1 1)') IS NULL THEN 1"
+        " ELSE 0 END AS BIGINT)",
+        f"CAST(CASE WHEN st_seteffectivearea({_sea_in}) ="
+        f" 'LINESTRING M (' || {int_str('minx')} || ' ' || {int_str('miny')} ||"
+        f" ' 340282346638528859811704183484516925440, ' || {int_str('minx + 2')} || ' ' || {int_str('miny + 1')} ||"
+        f" ' 2, ' || {int_str('minx + 4')} || ' ' || {int_str('miny')} ||"
+        f" ' 340282346638528859811704183484516925440)' THEN 1 ELSE 0 END AS BIGINT)",
+    )
     lcd = fam(
         "lcd",
         f"CAST((st_linecrossingdirection({_lcd_a}, {_b_up}) + 5) * 100"
@@ -484,7 +509,7 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
         touch_vertex, mixed_member, addm_interp, lbtw_range, lip_pts,
         lip_single, lalong_m, zm_m, cpa_t, cpa_instant, cpa_bools,
-        cpa_valid, lcd,
+        cpa_valid, lcd, sea,
     ):
         out = out.unionByName(part)
     return out

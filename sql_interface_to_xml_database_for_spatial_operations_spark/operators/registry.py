@@ -462,6 +462,10 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # the exact Fraction Voronoi via the count==2 edge idiom, canonical
 # sorted 2-point parts over the engine's own padded cell box) rides
 # q158 too (vlines closed-form bisectors + the single-site EMPTY).
+# ST_SetEffectiveArea (functions/effective_area.py — VW effective
+# areas as M, monotone over deletion order, FLT_MAX endpoint pins;
+# the threshold-filter-reproduces-st_simplifyvw property is fuzzed)
+# rides q152 (sea family, tent closed form).
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -145,6 +145,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygo
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.voronoi_lines import (  # noqa: E402
     register_voronoi_line_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effective_area import (  # noqa: E402
+    register_effective_area_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -203,6 +206,7 @@ def spark():
     register_crossing_functions(s)
     register_polygon_hull_functions(s)
     register_voronoi_line_functions(s)
+    register_effective_area_functions(s)
     yield s
 
 

@@ -143,6 +143,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polygo
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.voronoi_lines import (
     ALL_VORONOI_LINE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effective_area import (
+    ALL_EFFECTIVE_AREA_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -191,6 +194,7 @@ _SWEPT = {
     **ALL_CROSSING_FUNCTIONS,
     **ALL_POLYGON_HULL_FUNCTIONS,
     **ALL_VORONOI_LINE_FUNCTIONS,
+    **ALL_EFFECTIVE_AREA_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
