@@ -25,6 +25,14 @@ closed-form scale a = 1 + k%4. Families:
   fixpoint echoes byte-exactly (its significand fits the kept bits)
   ·10 + the x0.123456 probe actually trims (output ≠ input) ·1
   (= 11); b = the quantized fixpoint POINT text.
+- ``ewkt``: the EWKT codec (functions/ewkt.py) — a =
+  ST_SRIDFromEWKT(ST_SetSRID(pt, 7k+1)) (= 7k+1: the prefix
+  round-trips), b = ST_AsEWKT of the plain corner point (= the
+  closed-form 'SRID=4326;POINT (x y)' — the engine's fixed-4326
+  stamp).
+- ``mkpt``: dimensional point constructors — a = ST_M(ST_PointZM(x,
+  y, a, k))·10 + (ST_GeomFromEWKT(ST_AsEWKT(ST_MakePoint(x, y))) ==
+  ST_MakePoint(x, y)) (= 10k+1), b = the ZM point's closed-form WKT.
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so editor_ops.py /
@@ -44,6 +52,8 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.accessors import register_accessor_functions
     from ..functions.editors_x import register_editors_x_functions
+    from ..functions.ewkt import register_ewkt_functions
+    from ..functions.measure_m import register_measure_m_functions
     from ..functions.misc_fns import register_misc_functions
     from ..functions.spatial import register_spatial_functions
 
@@ -51,6 +61,8 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_accessor_functions(spark)  # st_numgeometries / interior rings
     register_editors_x_functions(spark)
     register_misc_functions(spark)  # summary / nrings / hasarc / ext3d
+    register_ewkt_functions(spark)  # SRID=n; codec + point constructors
+    register_measure_m_functions(spark)  # st_m reads the ZM point back
 
 
 _K = "n_nationkey"
@@ -118,6 +130,12 @@ _WX_MP_EXPECT = (
 _QC_FIX = f"'POINT (' || {int_str('minx')} || '.5 ' || {int_str('miny')} || ')'"
 _QC_PROBE = f"'POINT (' || {int_str('minx')} || '.123456 ' || {int_str('miny')} || ')'"
 
+_PT = f"'POINT (' || {_xy('minx', 'miny')} || ')'"
+_ZM_EXPECT = (
+    f"'POINT ZM (' || {_xy('minx', 'miny')} || ' ' || {int_str(_A)} || ' ' || "
+    f"{int_str(_K)} || ')'"
+)
+
 _Q180_ORACLE = f"""
     WITH boxes AS ({NATION_BOXES_SQL})
     SELECT 'fc' AS fam, n_nationkey AS key,
@@ -162,6 +180,16 @@ _Q180_ORACLE = f"""
     UNION ALL
     SELECT 'qc' AS fam, n_nationkey AS key,
            CAST(11 AS BIGINT) AS a, {_QC_FIX} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'ewkt' AS fam, n_nationkey AS key,
+           CAST(7 * n_nationkey + 1 AS BIGINT) AS a,
+           'SRID=4326;' || {_PT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'mkpt' AS fam, n_nationkey AS key,
+           CAST(10 * n_nationkey + 1 AS BIGINT) AS a,
+           {_ZM_EXPECT} AS b
     FROM boxes
 """
 
@@ -254,6 +282,31 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + CASE WHEN st_quantizecoordinates({_QC_PROBE}, 4) <> {_QC_PROBE}"
             " THEN 1 ELSE 0 END",
             f"st_quantizecoordinates({_QC_FIX}, 2)",
+        )
+    )
+    # EWKT codec (functions/ewkt.py): the SRID=n; text form round-trips
+    # and st_asewkt stamps the engine's fixed 4326 on plain WKT
+    rows = rows.unionByName(
+        fam(
+            "ewkt",
+            f"st_sridfromewkt(st_setsrid({_PT}, CAST(7 * {_K} + 1 AS INT)))",
+            f"st_asewkt({_PT})",
+        )
+    )
+    # dimensional point constructors: ZM carries (z, m) = (a, key)
+    # readable back through st_m; the 2-arg shape round-trips via EWKT
+    zm_pt = (
+        f"st_pointzm(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
+        f" CAST({_A} AS DOUBLE), CAST({_K} AS DOUBLE))"
+    )
+    mk_pt = "st_makepoint(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE))"
+    rows = rows.unionByName(
+        fam(
+            "mkpt",
+            f"CAST(st_m({zm_pt}) AS BIGINT) * 10"
+            f" + CASE WHEN st_geomfromewkt(st_asewkt({mk_pt})) = {mk_pt}"
+            " THEN 1 ELSE 0 END",
+            zm_pt,
         )
     )
     return rows

@@ -465,7 +465,16 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # ST_SetEffectiveArea (functions/effective_area.py — VW effective
 # areas as M, monotone over deletion order, FLT_MAX endpoint pins;
 # the threshold-filter-reproduces-st_simplifyvw property is fuzzed)
-# rides q152 (sea family, tent closed form).
+# rides q152 (sea family, tent closed form). The EWKT codec +
+# dimensional point constructors (functions/ewkt.py: st_geomfromewkt /
+# st_asewkt / st_setsrid / st_sridfromewkt over the st_asewkb
+# acceptance surface, st_makepoint / st_pointz / st_pointm /
+# st_pointzm / st_makepointm) ride the EXPOSED q180 (ewkt / mkpt
+# families: prefix round-trip 7k+1, fixed-4326 stamp, ZM constructor
+# read back through st_m); the engine-registration closure drift
+# (ingest rows q99-q102/q108/q118/q121) was re-verified through the
+# driver recipe at sf0.01 (MISMATCHES: none) before the re-record —
+# the established every-round class.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -148,6 +148,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.vorono
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effective_area import (  # noqa: E402
     register_effective_area_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt import (  # noqa: E402
+    register_ewkt_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -207,6 +210,7 @@ def spark():
     register_polygon_hull_functions(s)
     register_voronoi_line_functions(s)
     register_effective_area_functions(s)
+    register_ewkt_functions(s)
     yield s
 
 

@@ -146,6 +146,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.vorono
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effective_area import (
     ALL_EFFECTIVE_AREA_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt import (
+    ALL_EWKT_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -195,6 +198,7 @@ _SWEPT = {
     **ALL_POLYGON_HULL_FUNCTIONS,
     **ALL_VORONOI_LINE_FUNCTIONS,
     **ALL_EFFECTIVE_AREA_FUNCTIONS,
+    **ALL_EWKT_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -328,6 +332,14 @@ _NULL_ARGS = {
         f"{S}, {S}, CAST(NULL AS INT), CAST(NULL AS INT),"
         " CAST(NULL AS BOOLEAN)"
     ),
+    # EWKT surface (r15): st_geomfromewkt / st_sridfromewkt / st_asewkt
+    # are unary WKT→value, covered by the default (S,) builders
+    "st_setsrid": f"{S}, CAST(NULL AS INT)",
+    "st_makepoint": f"{D}, {D}",
+    "st_pointz": f"{D}, {D}, {D}",
+    "st_pointm": f"{D}, {D}, {D}",
+    "st_makepointm": f"{D}, {D}, {D}",
+    "st_pointzm": f"{D}, {D}, {D}, {D}",
 }
 
 
