@@ -33,6 +33,18 @@ closed-form scale a = 1 + k%4. Families:
 - ``mkpt``: dimensional point constructors — a = ST_M(ST_PointZM(x,
   y, a, k))·10 + (ST_GeomFromEWKT(ST_AsEWKT(ST_MakePoint(x, y))) ==
   ST_MakePoint(x, y)) (= 10k+1), b = the ZM point's closed-form WKT.
+- ``clip``: ST_ClipByBox2D of the 2a-square by the corner a-box —
+  a = area (= a² exactly, the exact overlay kernel), b = the clip's
+  integer bbox string.
+- ``fbm``: ST_FilterByM over a 4-vertex LINESTRING M with m = 1..4 —
+  a = 10·npoints(range [2,3]) + (range [9,10] collapses to
+  LINESTRING EMPTY) (= 21), b = the filtered 2-vertex line.
+- ``oe``: ST_OrderingEquals strictness — identical polygon TRUE,
+  reversed line FALSE, 2-D vs Z point FALSE, packed (= 7); b =
+  ST_MakeBox2D's normalized 'BOX(minx miny, maxx maxy)'.
+- ``rot3``: ST_RotateX/Y/Z at θ = π (cos exactly −1; the ~1e-16 sin
+  residue is absorbed by micro-int rounding) — packed z/x flips
+  (= 7); b = ST_TransScale's exact-integer image.
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so editor_ops.py /
@@ -55,7 +67,9 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.ewkt import register_ewkt_functions
     from ..functions.measure_m import register_measure_m_functions
     from ..functions.misc_fns import register_misc_functions
+    from ..functions.misc_fns2 import register_misc2_functions
     from ..functions.spatial import register_spatial_functions
+    from ..functions.zcoord import register_zcoord_functions
 
     register_spatial_functions(spark)  # st_area / st_xmin / st_xmax / type
     register_accessor_functions(spark)  # st_numgeometries / interior rings
@@ -63,6 +77,8 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_misc_functions(spark)  # summary / nrings / hasarc / ext3d
     register_ewkt_functions(spark)  # SRID=n; codec + point constructors
     register_measure_m_functions(spark)  # st_m reads the ZM point back
+    register_misc2_functions(spark)  # orderingequals / clip / filterbym
+    register_zcoord_functions(spark)  # st_zmin probes the 3-D rotations
 
 
 _K = "n_nationkey"
@@ -136,6 +152,31 @@ _ZM_EXPECT = (
     f"{int_str(_K)} || ')'"
 )
 
+# misc batch 2 fixtures
+_PTZ = (
+    f"'POINT Z (' || {_xy('minx', 'miny')} || ' ' || {int_str(_A)} || ')'"
+)
+_LM4 = (
+    f"'LINESTRING M (' || {_xy('minx', 'miny')} || ' 1, ' || "
+    f"{_xy(f'minx + {_A}', 'miny')} || ' 2, ' || "
+    f"{_xy(f'minx + 2 * {_A}', 'miny')} || ' 3, ' || "
+    f"{_xy(f'minx + 3 * {_A}', 'miny')} || ' 4)'"
+)
+_FBM_EXPECT = (
+    f"'LINESTRING (' || {_xy(f'minx + {_A}', 'miny')} || ', ' || "
+    f"{_xy(f'minx + 2 * {_A}', 'miny')} || ')'"
+)
+_BOX_EXPECT = (
+    f"'BOX(' || {_xy('minx', 'miny')} || ', ' || {_xy('maxx', 'maxy')} || ')'"
+)
+_TS_EXPECT = (
+    f"'POINT (' || {_xy(f'2 * (minx + {_A})', f'3 * (miny + {_A})')} || ')'"
+)
+_CLIP_EXPECT = (
+    f"{int_str('minx')} || ' ' || {int_str('miny')} || ' ' || "
+    f"{int_str(f'minx + {_A}')} || ' ' || {int_str(f'miny + {_A}')}"
+)
+
 _Q180_ORACLE = f"""
     WITH boxes AS ({NATION_BOXES_SQL})
     SELECT 'fc' AS fam, n_nationkey AS key,
@@ -190,6 +231,22 @@ _Q180_ORACLE = f"""
     SELECT 'mkpt' AS fam, n_nationkey AS key,
            CAST(10 * n_nationkey + 1 AS BIGINT) AS a,
            {_ZM_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'clip' AS fam, n_nationkey AS key,
+           CAST({_A} * {_A} AS BIGINT) AS a, {_CLIP_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'fbm' AS fam, n_nationkey AS key,
+           CAST(21 AS BIGINT) AS a, {_FBM_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'oe' AS fam, n_nationkey AS key,
+           CAST(7 AS BIGINT) AS a, {_BOX_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'rot3' AS fam, n_nationkey AS key,
+           CAST(7 AS BIGINT) AS a, {_TS_EXPECT} AS b
     FROM boxes
 """
 
@@ -307,6 +364,65 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + CASE WHEN st_geomfromewkt(st_asewkt({mk_pt})) = {mk_pt}"
             " THEN 1 ELSE 0 END",
             zm_pt,
+        )
+    )
+    # misc batch 2 (functions/misc_fns2.py)
+    clip = (
+        f"st_clipbybox2d('POLYGON ' || {_sq('minx', 'miny', f'2 * {_A}')},"
+        f" st_makeenvelope(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
+        f" CAST(minx + {_A} AS DOUBLE), CAST(miny + {_A} AS DOUBLE)))"
+    )
+    rows = rows.unionByName(
+        fam(
+            "clip",
+            f"st_area({clip})",
+            f"{int_str(f'st_xmin({clip})')} || ' ' || "
+            f"{int_str(f'st_ymin({clip})')} || ' ' || "
+            f"{int_str(f'st_xmax({clip})')} || ' ' || "
+            f"{int_str(f'st_ymax({clip})')}",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "fbm",
+            f"10 * st_npoints(st_filterbym({_LM4}, 2.0D, 3.0D))"
+            f" + CASE WHEN st_filterbym({_LM4}, 9.0D, 10.0D)"
+            " = 'LINESTRING EMPTY' THEN 1 ELSE 0 END",
+            f"st_filterbym({_LM4}, 2.0D, 3.0D)",
+        )
+    )
+    sq = f"'POLYGON ' || {_sq('minx', 'miny', _A)}"
+    line = f"'LINESTRING (' || {_xy('minx', 'miny')} || ', ' || {_xy('maxx', 'maxy')} || ')'"
+    line_rev = f"'LINESTRING (' || {_xy('maxx', 'maxy')} || ', ' || {_xy('minx', 'miny')} || ')'"
+    rows = rows.unionByName(
+        fam(
+            "oe",
+            f"CASE WHEN st_orderingequals({sq}, {sq}) THEN 4 ELSE 0 END"
+            f" + CASE WHEN NOT st_orderingequals({line}, {line_rev})"
+            " THEN 2 ELSE 0 END"
+            f" + CASE WHEN NOT st_orderingequals({_PT},"
+            " st_pointz(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
+            f" CAST({_A} AS DOUBLE))) THEN 1 ELSE 0 END",
+            f"st_makebox2d('POINT (' || {_xy('maxx', 'maxy')} || ')',"
+            f" {_PT})",
+        )
+    )
+    # 3-D rotations probed at θ = π (cos exactly −1, sin ~1e-16 —
+    # micro-int rounding absorbs the residue) + exact-integer transscale
+    rows = rows.unionByName(
+        fam(
+            "rot3",
+            f"CASE WHEN CAST(floor(st_zmin(st_rotatex({_PTZ}, pi())) * 1e6"
+            f" + 0.5) AS BIGINT) = CAST(-{_A} * 1000000 AS BIGINT)"
+            " THEN 4 ELSE 0 END"
+            f" + CASE WHEN CAST(floor(st_zmin(st_rotatey({_PTZ}, pi())) * 1e6"
+            f" + 0.5) AS BIGINT) = CAST(-{_A} * 1000000 AS BIGINT)"
+            " THEN 2 ELSE 0 END"
+            f" + CASE WHEN CAST(floor(st_xmin(st_rotatez({_PT}, pi())) * 1e6"
+            " + 0.5) AS BIGINT) = CAST(-minx * 1000000 AS BIGINT)"
+            " THEN 1 ELSE 0 END",
+            f"st_transscale({_PT}, CAST({_A} AS DOUBLE), CAST({_A} AS DOUBLE),"
+            " 2.0D, 3.0D)",
         )
     )
     return rows

@@ -474,7 +474,14 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # read back through st_m); the engine-registration closure drift
 # (ingest rows q99-q102/q108/q118/q121) was re-verified through the
 # driver recipe at sf0.01 (MISMATCHES: none) before the re-record —
-# the established every-round class.
+# the established every-round class. The second misc batch
+# (functions/misc_fns2.py: st_orderingequals across the full codec
+# stack, st_clipbybox2d through the exact overlay kernel,
+# st_filterbym with PostGIS's returns_m=false shape, st_makebox2d,
+# st_rotatex/y/z with the 2-D z=0 rule, st_transscale) rides the
+# EXPOSED q180 too (clip / fbm / oe / rot3 families — exact-integer
+# or θ=π micro-int closed forms); same engine-closure re-record
+# class, same sf0.01 backing sweep.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

@@ -151,6 +151,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effect
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt import (  # noqa: E402
     register_ewkt_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns2 import (  # noqa: E402
+    register_misc2_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -211,6 +214,7 @@ def spark():
     register_voronoi_line_functions(s)
     register_effective_area_functions(s)
     register_ewkt_functions(s)
+    register_misc2_functions(s)
     yield s
 
 

@@ -149,6 +149,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.effect
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt import (
     ALL_EWKT_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns2 import (
+    ALL_MISC2_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -199,6 +202,7 @@ _SWEPT = {
     **ALL_VORONOI_LINE_FUNCTIONS,
     **ALL_EFFECTIVE_AREA_FUNCTIONS,
     **ALL_EWKT_FUNCTIONS,
+    **ALL_MISC2_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -340,6 +344,15 @@ _NULL_ARGS = {
     "st_pointm": f"{D}, {D}, {D}",
     "st_makepointm": f"{D}, {D}, {D}",
     "st_pointzm": f"{D}, {D}, {D}, {D}",
+    # misc batch 2 (r15)
+    "st_orderingequals": f"{S}, {S}",
+    "st_clipbybox2d": f"{S}, {S}",
+    "st_makebox2d": f"{S}, {S}",
+    "st_filterbym": f"{S}, {D}, {D}",
+    "st_rotatex": f"{S}, {D}",
+    "st_rotatey": f"{S}, {D}",
+    "st_rotatez": f"{S}, {D}",
+    "st_transscale": f"{S}, {D}, {D}, {D}, {D}",
 }
 
 
