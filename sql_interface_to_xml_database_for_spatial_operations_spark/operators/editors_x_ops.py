@@ -45,6 +45,9 @@ closed-form scale a = 1 + k%4. Families:
 - ``rot3``: ST_RotateX/Y/Z at θ = π (cos exactly −1; the ~1e-16 sin
   residue is absorbed by micro-int rounding) — packed z/x flips
   (= 7); b = ST_TransScale's exact-integer image.
+- ``epl``: the encoded-polyline codec — a = packed integer-coordinate
+  round-trips at precisions 5 and 0 (exact: scaled values are dyadic
+  doubles) (= 11); b = the spec's published example encoding.
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so editor_ops.py /
@@ -68,6 +71,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.measure_m import register_measure_m_functions
     from ..functions.misc_fns import register_misc_functions
     from ..functions.misc_fns2 import register_misc2_functions
+    from ..functions.polyline import register_polyline_functions
     from ..functions.spatial import register_spatial_functions
     from ..functions.zcoord import register_zcoord_functions
 
@@ -78,6 +82,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_ewkt_functions(spark)  # SRID=n; codec + point constructors
     register_measure_m_functions(spark)  # st_m reads the ZM point back
     register_misc2_functions(spark)  # orderingequals / clip / filterbym
+    register_polyline_functions(spark)  # encoded-polyline codec
     register_zcoord_functions(spark)  # st_zmin probes the 3-D rotations
 
 
@@ -247,6 +252,11 @@ _Q180_ORACLE = f"""
     UNION ALL
     SELECT 'rot3' AS fam, n_nationkey AS key,
            CAST(7 AS BIGINT) AS a, {_TS_EXPECT} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'epl' AS fam, n_nationkey AS key,
+           CAST(11 AS BIGINT) AS a,
+           '_p~iF~ps|U_ulLnnqC_mqNvxq`@' AS b
     FROM boxes
 """
 
@@ -423,6 +433,27 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END",
             f"st_transscale({_PT}, CAST({_A} AS DOUBLE), CAST({_A} AS DOUBLE),"
             " 2.0D, 3.0D)",
+        )
+    )
+    # encoded polyline (functions/polyline.py): integer-coordinate
+    # round-trips are exact at every precision; b pins the spec's own
+    # published example string
+    epl_line = (
+        f"'LINESTRING (' || {_xy('minx', 'miny')} || ', ' || "
+        f"{_xy('maxx', 'maxy')} || ', ' || "
+        f"{_xy(f'minx + {_A}', f'miny + {_A}')} || ')'"
+    )
+    rows = rows.unionByName(
+        fam(
+            "epl",
+            "CASE WHEN st_linefromencodedpolyline("
+            f"st_asencodedpolyline({epl_line}, 5), 5) = {epl_line}"
+            " THEN 10 ELSE 0 END"
+            " + CASE WHEN st_linefromencodedpolyline("
+            f"st_asencodedpolyline({epl_line}, 0), 0) = {epl_line}"
+            " THEN 1 ELSE 0 END",
+            "st_asencodedpolyline("
+            "'LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)', 5)",
         )
     )
     return rows

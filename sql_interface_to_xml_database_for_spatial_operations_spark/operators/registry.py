@@ -481,7 +481,13 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # st_rotatex/y/z with the 2-D z=0 rule, st_transscale) rides the
 # EXPOSED q180 too (clip / fbm / oe / rot3 families — exact-integer
 # or θ=π micro-int closed forms); same engine-closure re-record
-# class, same sf0.01 backing sweep.
+# class, same sf0.01 backing sweep. The encoded-polyline codec
+# (functions/polyline.py: st_asencodedpolyline /
+# st_linefromencodedpolyline, the published Google 5-bit-chunk
+# format with half-away rounding and the signed-32-bit envelope)
+# rides q180's epl family (integer round-trips exact at every
+# precision + the spec's own published example string); same
+# re-record class.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

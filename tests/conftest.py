@@ -154,6 +154,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt i
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns2 import (  # noqa: E402
     register_misc2_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyline import (  # noqa: E402
+    register_polyline_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -215,6 +218,7 @@ def spark():
     register_effective_area_functions(s)
     register_ewkt_functions(s)
     register_misc2_functions(s)
+    register_polyline_functions(s)
     yield s
 
 

@@ -152,6 +152,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.ewkt i
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_fns2 import (
     ALL_MISC2_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyline import (
+    ALL_POLYLINE_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -203,6 +206,7 @@ _SWEPT = {
     **ALL_EFFECTIVE_AREA_FUNCTIONS,
     **ALL_EWKT_FUNCTIONS,
     **ALL_MISC2_FUNCTIONS,
+    **ALL_POLYLINE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -353,6 +357,8 @@ _NULL_ARGS = {
     "st_rotatey": f"{S}, {D}",
     "st_rotatez": f"{S}, {D}",
     "st_transscale": f"{S}, {D}, {D}, {D}, {D}",
+    "st_asencodedpolyline": f"{S}, CAST(NULL AS INT)",
+    "st_linefromencodedpolyline": f"{S}, CAST(NULL AS INT)",
 }
 
 
