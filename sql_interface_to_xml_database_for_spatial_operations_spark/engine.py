@@ -66,6 +66,7 @@ from .functions.effective_area import register_effective_area_functions
 from .functions.ewkt import register_ewkt_functions
 from .functions.misc_fns2 import register_misc2_functions
 from .functions.polyline import register_polyline_functions
+from .functions.twkb import register_twkb_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -153,6 +154,7 @@ class SpatialSQLEngine:
         register_ewkt_functions(self.spark)
         register_misc2_functions(self.spark)
         register_polyline_functions(self.spark)
+        register_twkb_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

@@ -48,6 +48,10 @@ closed-form scale a = 1 + k%4. Families:
 - ``epl``: the encoded-polyline codec — a = packed integer-coordinate
   round-trips at precisions 5 and 0 (exact: scaled values are dyadic
   doubles) (= 11); b = the spec's published example encoding.
+- ``twkb``: the TWKB codec — a = packed integer round-trip at
+  precision 5 + the spec's own POINT(1 1) worked example hex
+  (= 11); b = the precision-0 round-tripped square (byte-exact ring
+  order: the codec never renormalizes).
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so editor_ops.py /
@@ -72,6 +76,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.misc_fns import register_misc_functions
     from ..functions.misc_fns2 import register_misc2_functions
     from ..functions.polyline import register_polyline_functions
+    from ..functions.twkb import register_twkb_functions
     from ..functions.spatial import register_spatial_functions
     from ..functions.zcoord import register_zcoord_functions
 
@@ -83,6 +88,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_measure_m_functions(spark)  # st_m reads the ZM point back
     register_misc2_functions(spark)  # orderingequals / clip / filterbym
     register_polyline_functions(spark)  # encoded-polyline codec
+    register_twkb_functions(spark)  # TWKB codec
     register_zcoord_functions(spark)  # st_zmin probes the 3-D rotations
 
 
@@ -257,6 +263,11 @@ _Q180_ORACLE = f"""
     SELECT 'epl' AS fam, n_nationkey AS key,
            CAST(11 AS BIGINT) AS a,
            '_p~iF~ps|U_ulLnnqC_mqNvxq`@' AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'twkb' AS fam, n_nationkey AS key,
+           CAST(11 AS BIGINT) AS a,
+           'POLYGON ' || {_sq('minx', 'miny', _A)} AS b
     FROM boxes
 """
 
@@ -454,6 +465,19 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END",
             "st_asencodedpolyline("
             "'LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)', 5)",
+        )
+    )
+    # TWKB (functions/twkb.py): integer round-trips are exact; the hex
+    # pin is the spec's own worked example
+    twkb_sq = f"'POLYGON ' || {_sq('minx', 'miny', _A)}"
+    rows = rows.unionByName(
+        fam(
+            "twkb",
+            f"CASE WHEN st_geomfromtwkb(st_astwkb({twkb_sq}, 5)) = {twkb_sq}"
+            " THEN 10 ELSE 0 END"
+            " + CASE WHEN hex(st_astwkb('POINT (1 1)', 0)) = '01000202'"
+            " THEN 1 ELSE 0 END",
+            f"st_geomfromtwkb(st_astwkb({twkb_sq}, 0))",
         )
     )
     return rows

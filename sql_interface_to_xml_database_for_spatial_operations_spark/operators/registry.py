@@ -487,7 +487,11 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # format with half-away rounding and the signed-32-bit envelope)
 # rides q180's epl family (integer round-trips exact at every
 # precision + the spec's own published example string); same
-# re-record class.
+# re-record class. The TWKB codec (functions/twkb.py: st_astwkb /
+# st_geomfromtwkb — zigzag-varint deltas, implied ring closure,
+# extended Z/M dims, reader-side bbox/size/idlist skip, spec worked
+# examples byte-exact) rides q180's twkb family; same re-record
+# class, same sf0.01 backing sweep.
 #
 # Round 16 rotation plan: fold the 50 r15 greens in, then expose the
 # remaining r12-green cohort (34 rows): q64-q73, q88, q90-q93,

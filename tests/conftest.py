@@ -157,6 +157,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_f
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyline import (  # noqa: E402
     register_polyline_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb import (  # noqa: E402
+    register_twkb_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -219,6 +222,7 @@ def spark():
     register_ewkt_functions(s)
     register_misc2_functions(s)
     register_polyline_functions(s)
+    register_twkb_functions(s)
     yield s
 
 

@@ -155,6 +155,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.misc_f
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyline import (
     ALL_POLYLINE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb import (
+    ALL_TWKB_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -207,6 +210,7 @@ _SWEPT = {
     **ALL_EWKT_FUNCTIONS,
     **ALL_MISC2_FUNCTIONS,
     **ALL_POLYLINE_FUNCTIONS,
+    **ALL_TWKB_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -359,6 +363,8 @@ _NULL_ARGS = {
     "st_transscale": f"{S}, {D}, {D}, {D}, {D}",
     "st_asencodedpolyline": f"{S}, CAST(NULL AS INT)",
     "st_linefromencodedpolyline": f"{S}, CAST(NULL AS INT)",
+    # st_geomfromtwkb is unary (binary), covered by the (S,) default
+    "st_astwkb": f"{S}, CAST(NULL AS INT)",
 }
 
 
