@@ -67,6 +67,7 @@ from .functions.ewkt import register_ewkt_functions
 from .functions.misc_fns2 import register_misc2_functions
 from .functions.polyline import register_polyline_functions
 from .functions.twkb import register_twkb_functions
+from .functions.extrude import register_extrude_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -155,6 +156,7 @@ class SpatialSQLEngine:
         register_misc2_functions(self.spark)
         register_polyline_functions(self.spark)
         register_twkb_functions(self.spark)
+        register_extrude_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

@@ -28,6 +28,14 @@ both engines build from the same integer coordinates:
   (true), skew pair (false), point-on-segment (true), 1e-9 near-miss
   settled by the EXACT path (false) — expects 1010; +
   ST_PatchN(tin, 1).
+- ``ext``: ST_Extrude of the 2a × a base rectangle by (0, 0, h) —
+  a = 10·ST_Volume + IsClosed (= 20a²h + 1: the constructed mesh is
+  consistently oriented and watertight); b = ST_PatchN(…, 2), the
+  translated top face, byte-identical to the box fixture's top patch.
+- ``tsl``: ST_Tesselate of the same base — a = 10·ST_3DArea +
+  ST_NumPatches (= 20a² + 2, the ear-clip triangulation); b =
+  ST_PatchN(…, 1), the ear clipper's first triangle (v3, v0, v1) as a
+  2-D TRIANGLE.
 
 Scale shape: map-only Arrow-batched pandas UDFs over the 25-row
 nation projection — no shuffle. New module so zcoord_ops.py /
@@ -45,11 +53,13 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
+    from ..functions.extrude import register_extrude_functions
     from ..functions.surface3d import register_surface3d_functions
     from ..functions.wkb import register_wkb_functions
 
     register_surface3d_functions(spark)
     register_wkb_functions(spark)  # the surface WKB round trip (wkb3d)
+    register_extrude_functions(spark)  # st_extrude / st_tesselate
 
 
 _K = "n_nationkey"
@@ -163,6 +173,25 @@ _TIN_CODE = f"CAST(10 * 2 * {_A} * {_A} + 2 AS BIGINT)"
 _TRI_AREA = f"CAST(6 * {_A} * {_A} AS BIGINT)"
 _WALL_AREA = f"CAST(5 * {_A} * {_H} AS BIGINT)"
 
+_BASE_2D = (
+    "'POLYGON ((' || "
+    + " || ', ' || ".join(
+        f"{int_str(x)} || ' ' || {int_str(y)}"
+        for x, y in [(_X0, _Y0), (_X1, _Y0), (_X1, _Y1), (_X0, _Y1), (_X0, _Y0)]
+    )
+    + " || '))'"
+)
+_B_TSL1 = (
+    "'TRIANGLE ((' || "
+    + " || ', ' || ".join(
+        f"{int_str(x)} || ' ' || {int_str(y)}"
+        for x, y in [(_X0, _Y1), (_X0, _Y0), (_X1, _Y0), (_X0, _Y1)]
+    )
+    + " || '))'"
+)
+_EXT_CODE = f"CAST(20 * {_A} * {_A} * {_H} + 1 AS BIGINT)"
+_TSL_CODE = f"CAST(20 * {_A} * {_A} + 2 AS BIGINT)"
+
 _Q178_ORACLE = f"""
     WITH boxes AS ({NATION_BOXES_SQL})
     SELECT 'vol' AS fam, n_nationkey AS key, {_VOL} AS a, {_B_TOP} AS b
@@ -189,6 +218,12 @@ _Q178_ORACLE = f"""
     UNION ALL
     SELECT 'x3d' AS fam, n_nationkey AS key,
            CAST(1010 AS BIGINT) AS a, {_B_TRI1} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'ext' AS fam, n_nationkey AS key, {_EXT_CODE} AS a, {_B_TOP} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'tsl' AS fam, n_nationkey AS key, {_TSL_CODE} AS a, {_B_TSL1} AS b
     FROM boxes
 """
 
@@ -251,6 +286,23 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + CASE WHEN st_3dintersects({_PT_ON}, {_SEG_A}) THEN 10 ELSE 0 END"
             f" + CASE WHEN st_3dintersects({_PT_NEAR}, {_SEG_A}) THEN 1 ELSE 0 END",
             f"st_patchn({_TIN}, 1)",
+        )
+    )
+    ext = f"st_extrude({_BASE_2D}, 0.0D, 0.0D, CAST({_H} AS DOUBLE))"
+    rows = rows.unionByName(
+        fam(
+            "ext",
+            f"10 * st_volume({ext})"
+            f" + CASE WHEN st_isclosed({ext}) THEN 1 ELSE 0 END",
+            f"st_patchn({ext}, 2)",
+        )
+    )
+    tsl = f"st_tesselate({_BASE_2D})"
+    rows = rows.unionByName(
+        fam(
+            "tsl",
+            f"10 * st_3darea({tsl}) + st_numpatches({tsl})",
+            f"st_patchn({tsl}, 1)",
         )
     )
     return rows

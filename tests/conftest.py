@@ -160,6 +160,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyli
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb import (  # noqa: E402
     register_twkb_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrude import (  # noqa: E402
+    register_extrude_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -223,6 +226,7 @@ def spark():
     register_misc2_functions(s)
     register_polyline_functions(s)
     register_twkb_functions(s)
+    register_extrude_functions(s)
     yield s
 
 

@@ -158,6 +158,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.polyli
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb import (
     ALL_TWKB_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrude import (
+    ALL_EXTRUDE_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -211,6 +214,7 @@ _SWEPT = {
     **ALL_MISC2_FUNCTIONS,
     **ALL_POLYLINE_FUNCTIONS,
     **ALL_TWKB_FUNCTIONS,
+    **ALL_EXTRUDE_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -365,6 +369,8 @@ _NULL_ARGS = {
     "st_linefromencodedpolyline": f"{S}, CAST(NULL AS INT)",
     # st_geomfromtwkb is unary (binary), covered by the (S,) default
     "st_astwkb": f"{S}, CAST(NULL AS INT)",
+    # st_tesselate / st_tessellate are unary, covered by the default
+    "st_extrude": f"{S}, {D}, {D}, {D}",
 }
 
 
