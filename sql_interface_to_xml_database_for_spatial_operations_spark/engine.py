@@ -68,6 +68,7 @@ from .functions.misc_fns2 import register_misc2_functions
 from .functions.polyline import register_polyline_functions
 from .functions.twkb import register_twkb_functions
 from .functions.extrude import register_extrude_functions
+from .functions.strsim import register_strsim_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -157,6 +158,7 @@ class SpatialSQLEngine:
         register_polyline_functions(self.spark)
         register_twkb_functions(self.spark)
         register_extrude_functions(self.spark)
+        register_strsim_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

@@ -62,3 +62,4 @@ def load_all() -> None:
     from . import surface3d_ops  # noqa: F401
     from . import substr_dedup_ops  # noqa: F401
     from . import editors_x_ops  # noqa: F401
+    from . import fuzzy_ops  # noqa: F401

@@ -604,6 +604,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
         "q59_st_geomfromgml_kml",
+        "q60_token_count",
         "q61_quality_score",
         "q62_language_id",
         "q63_fingerprint",

@@ -163,6 +163,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb i
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrude import (  # noqa: E402
     register_extrude_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.strsim import (  # noqa: E402
+    register_strsim_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -227,6 +230,7 @@ def spark():
     register_polyline_functions(s)
     register_twkb_functions(s)
     register_extrude_functions(s)
+    register_strsim_functions(s)
     yield s
 
 
