@@ -59,6 +59,13 @@ Oracle families (per nation box; exact unless noted):
   anchor line 54 972.271 m, a summed 2-segment length, and the
   near-antipodal window answered by the quadrature Karney solver
   (r15 — pinned to the paper's published worked example at mm).
+- ``svg_*`` — ST_AsSVG (svg_export.py): the absolute unit-square
+  subpath (closing vertex dropped, Z appended, y negated), the
+  relative form's constant delta tail ``l 0 -1 1 0 0 1 z``, and the
+  point attribute form ``cx=".." cy="-.."``.
+- ``llt`` — ST_AsLatLonText at 'D°M C': quarter/half-degree offsets
+  make minutes exact (15/45 by latitude sign, 30 for longitude) and
+  the cardinal flips with the sign; all integer-exact closed forms.
 - ``gh_*`` — geohash codec (r14 continuation): published anchors
   (geohash.org's u4pruydqqvj, Wikipedia's ezs42 cell), PostGIS
   auto-precision corner-common-prefix (straddling box → ''), exact
@@ -92,6 +99,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.grids import register_grid_functions
     from ..functions.simplify import register_simplify_functions
     from ..functions.spatial import register_spatial_functions
+    from ..functions.svg_export import register_svg_functions
 
     register_spatial_functions(spark)
     register_grid_functions(spark)
@@ -105,6 +113,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_curve_functions(spark)  # CIRCULARSTRING linearize (r14)
     register_measure_m_functions(spark)  # st_force2d (r14)
     register_mvt_functions(spark)  # ST_AsMVTGeom (r14)
+    register_svg_functions(spark)  # ST_AsSVG / ST_AsLatLonText (r15)
 
 
 def _micro(expr: str) -> str:
@@ -232,6 +241,40 @@ _QUARTER_BOX = sql_concat(
     _qpt("minx - 0.25", "maxy + 0.25"), "', '",
     _qpt("minx + 0.25", "miny - 0.25"),
     "'))'",
+)
+
+# ST_AsSVG / ST_AsLatLonText (svg_export.py, r15)
+_SVG_SQ = (
+    f"'POLYGON ((' || {int_str('minx')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx')} || ' ' || {int_str('miny + 1')} || ', ' || "
+    f"{int_str('minx + 1')} || ' ' || {int_str('miny + 1')} || ', ' || "
+    f"{int_str('minx + 1')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx')} || ' ' || {int_str('miny')} || '))'"
+)
+_SVG_EXPECT = (
+    f"'M ' || {int_str('minx')} || ' ' || {int_str('-miny')} || "
+    f"' L ' || {int_str('minx')} || ' ' || {int_str('-(miny + 1)')} || "
+    f"' ' || {int_str('minx + 1')} || ' ' || {int_str('-(miny + 1)')} || "
+    f"' ' || {int_str('minx + 1')} || ' ' || {int_str('-miny')} || ' Z'"
+)
+_SVG_REL_EXPECT = (
+    f"'M ' || {int_str('minx')} || ' ' || {int_str('-miny')} || "
+    f"' l 0 -1 1 0 0 1 z'"
+)
+_SVG_PT_EXPECT = (
+    '\'cx="\' || ' + f"{int_str('minx')} || '\" cy=\"' || "
+    f"{int_str('-miny')} || '\"'"
+)
+_LLT_PT = (
+    "'POINT (' || CAST(minx + 0.5 AS STRING) || ' ' || "
+    "CAST(miny + 0.25 AS STRING) || ')'"
+)
+_LLT_EXPECT = (
+    f"{int_str('floor(abs(miny + 0.25))')} || '°' || "
+    "CASE WHEN miny < 0 THEN '45' ELSE '15' END || ' ' || "
+    "CASE WHEN miny + 0.25 < 0 THEN 'S' ELSE 'N' END || ' ' || "
+    f"{int_str('floor(abs(minx + 0.5))')} || '°30 ' || "
+    "CASE WHEN minx + 0.5 < 0 THEN 'W' ELSE 'E' END"
 )
 
 _FAMILIES = {
@@ -591,7 +634,19 @@ _CHAIKIN_WKT = sql_concat(
     "'))'",
 )
 
+_FAMILIES["svg_poly"] = f"st_assvg({_SVG_SQ}, 0, 15)"
+_FAMILIES["svg_rel"] = f"st_assvg({_SVG_SQ}, 1, 15)"
+_FAMILIES["svg_pt"] = (
+    "st_assvg('POINT (' || " + int_str("minx") + " || ' ' || "
+    + int_str("miny") + " || ')', 0, 15)"
+)
+_FAMILIES["llt"] = f"st_aslatlontext({_LLT_PT}, 'D°M C')"
+
 _ORACLE_VALS = {
+    "svg_poly": _SVG_EXPECT,
+    "svg_rel": _SVG_REL_EXPECT,
+    "svg_pt": _SVG_PT_EXPECT,
+    "llt": _LLT_EXPECT,
     "sq_count": f"CAST({_SQ_NX} * {_SQ_NY} AS VARCHAR)",
     "sq_cell_area": "'100000000'",
     "sq_first": _SQ_FIRST,
@@ -811,7 +866,7 @@ _ORACLE_VALS = {
 # distances incl. the Karney window, GML/KML writers) move to their
 # own row q177_st_geodesy; q169 keeps the grid/editor/cell/curve/mvt
 # surface. Both rows stay unions of map-only UDF projections.
-_GEODESY_PREFIXES = ("gh", "sphd", "kml", "gml")
+_GEODESY_PREFIXES = ("gh", "sphd", "kml", "gml", "svg", "llt")
 
 
 def _is_geodesy(fam: str) -> bool:

@@ -166,6 +166,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrud
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.strsim import (  # noqa: E402
     register_strsim_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.svg_export import (  # noqa: E402
+    register_svg_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -231,6 +234,7 @@ def spark():
     register_twkb_functions(s)
     register_extrude_functions(s)
     register_strsim_functions(s)
+    register_svg_functions(s)
     yield s
 
 

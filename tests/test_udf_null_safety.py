@@ -161,6 +161,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.twkb i
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrude import (
     ALL_EXTRUDE_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.svg_export import (
+    ALL_SVG_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -215,6 +218,7 @@ _SWEPT = {
     **ALL_POLYLINE_FUNCTIONS,
     **ALL_TWKB_FUNCTIONS,
     **ALL_EXTRUDE_FUNCTIONS,
+    **ALL_SVG_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -371,6 +375,8 @@ _NULL_ARGS = {
     "st_astwkb": f"{S}, CAST(NULL AS INT)",
     # st_tesselate / st_tessellate are unary, covered by the default
     "st_extrude": f"{S}, {D}, {D}, {D}",
+    "st_assvg": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
+    "st_aslatlontext": f"{S}, {S}",
 }
 
 
