@@ -70,6 +70,7 @@ from .functions.twkb import register_twkb_functions
 from .functions.extrude import register_extrude_functions
 from .functions.strsim import register_strsim_functions
 from .functions.svg_export import register_svg_functions
+from .functions.minkowski import register_minkowski_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
 from .sources.tables import TABLES, load_tables
@@ -161,6 +162,7 @@ class SpatialSQLEngine:
         register_extrude_functions(self.spark)
         register_strsim_functions(self.spark)
         register_svg_functions(self.spark)
+        register_minkowski_functions(self.spark)
         register_bpe_functions(self.spark)
 
     # -- table registration (S1-S4 replacement) ---------------------------

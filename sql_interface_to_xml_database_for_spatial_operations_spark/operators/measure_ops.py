@@ -69,6 +69,9 @@ def _ensure_udfs(spark: SparkSession) -> None:
 
     register_polygon_hull_functions(spark)  # ST_SimplifyPolygonHull (r15)
     register_voronoi_line_functions(spark)  # ST_VoronoiLines (r15)
+    from ..functions.minkowski import register_minkowski_functions
+
+    register_minkowski_functions(spark)  # ST_MinkowskiSum (r15)
 
 
 def _pt(xe: str, ye: str) -> str:
@@ -263,11 +266,50 @@ _FAMILIES = {
         f" '), (' || {_pt('minx + 8', 'miny')} || '))')"
     ),
     "vlines_single": f"st_voronoilines({_P['bl']})",
+    # ST_MinkowskiSum (r15, functions/minkowski.py): box ⊕ origin
+    # 3-square grows each extent by 3 (exact dissolve of the triangle
+    # hulls); a POINT first argument is a rigid translation (byte-exact
+    # ring echo); a segment ⊕ 2-square is the grown rectangle; non-
+    # polygon second arguments and EMPTY inputs take the documented
+    # gates
+    "mks_area": (
+        "CAST(CAST(st_area(st_minkowskisum("
+        f"{_BOX}, 'POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))')) AS BIGINT)"
+        " AS STRING)"
+    ),
+    "mks_translate": (
+        f"st_minkowskisum('POINT (' || {_pt('minx', 'miny')} || ')',"
+        " 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')"
+    ),
+    "mks_seg": (
+        "CAST(CAST(st_area(st_minkowskisum("
+        f"'LINESTRING (' || {_pt('minx', 'miny')} || ', ' ||"
+        f" {_pt('maxx', 'miny')} || ')',"
+        " 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS BIGINT) AS STRING)"
+    ),
+    "mks_gate": (
+        f"COALESCE(st_minkowskisum({_BOX}, {_RING_LINE}), 'NULL(arg)')"
+        " || '/' || CASE WHEN st_minkowskisum('POINT EMPTY',"
+        " 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') = 'POLYGON EMPTY'"
+        " THEN 'empty' ELSE 'bad' END"
+    ),
 }
 
 _W, _H = "(maxx - minx)", "(maxy - miny)"
+
+_MKS_TRANSLATE_EXPECT = (
+    f"'POLYGON ((' || {_pt('minx', 'miny')} || ', ' || "
+    f"{_pt('minx + 1', 'miny')} || ', ' || "
+    f"{_pt('minx + 1', 'miny + 1')} || ', ' || "
+    f"{_pt('minx', 'miny + 1')} || ', ' || {_pt('minx', 'miny')} || '))'"
+)
+
 _ORACLE_VALS = {
     "simple": "'true'",
+    "mks_area": f"CAST(CAST(({_W} + 3) * ({_H} + 3) AS BIGINT) AS VARCHAR)",
+    "mks_translate": _MKS_TRANSLATE_EXPECT,
+    "mks_seg": f"CAST(CAST(({_W} + 2) * 2 AS BIGINT) AS VARCHAR)",
+    "mks_gate": "'NULL(arg)/empty'",
     "notsimple": "'false'",
     "pos_x": _micro(f"(minx + maxx) / 2.0"),
     "pos_y": _micro(f"(miny + maxy) / 2.0"),

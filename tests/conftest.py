@@ -169,6 +169,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.strsim
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.svg_export import (  # noqa: E402
     register_svg_functions,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.minkowski import (  # noqa: E402
+    register_minkowski_functions,
+)
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.offsetcurve import (  # noqa: E402
     register_offset_functions,
 )
@@ -235,6 +238,7 @@ def spark():
     register_extrude_functions(s)
     register_strsim_functions(s)
     register_svg_functions(s)
+    register_minkowski_functions(s)
     yield s
 
 

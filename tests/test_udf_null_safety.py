@@ -164,6 +164,9 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.extrud
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.svg_export import (
     ALL_SVG_FUNCTIONS,
 )
+from sql_interface_to_xml_database_for_spatial_operations_spark.functions.minkowski import (
+    ALL_MINKOWSKI_FUNCTIONS,
+)
 
 # Relation predicates (st_touches etc.) are binary WKT→bool like
 # st_within; the default (S, S) / junk-junk argument builders below cover
@@ -219,6 +222,7 @@ _SWEPT = {
     **ALL_TWKB_FUNCTIONS,
     **ALL_EXTRUDE_FUNCTIONS,
     **ALL_SVG_FUNCTIONS,
+    **ALL_MINKOWSKI_FUNCTIONS,
 }
 
 D = "CAST(NULL AS DOUBLE)"
@@ -377,6 +381,7 @@ _NULL_ARGS = {
     "st_extrude": f"{S}, {D}, {D}, {D}",
     "st_assvg": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_aslatlontext": f"{S}, {S}",
+    "st_minkowskisum": f"{S}, {S}",
 }
 
 
