@@ -73,6 +73,7 @@ from .functions.svg_export import register_svg_functions
 from .functions.minkowski import register_minkowski_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
+from .sources.shapefile import read_shapefile
 from .sources.tables import TABLES, load_tables
 from .sources.xml import read_xml
 
@@ -175,6 +176,9 @@ class SpatialSQLEngine:
 
     def register_xml(self, name: str, path: str, row_tag: str | None = None) -> None:
         read_xml(self.spark, path, row_tag=row_tag).createOrReplaceTempView(name)
+
+    def register_shapefile(self, name: str, path: str) -> None:
+        read_shapefile(self.spark, path).createOrReplaceTempView(name)
 
     def tables(self) -> list[str]:
         """S8: catalog listing (reference: db:list / listCollections)."""

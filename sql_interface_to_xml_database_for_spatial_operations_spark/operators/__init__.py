@@ -63,3 +63,4 @@ def load_all() -> None:
     from . import substr_dedup_ops  # noqa: F401
     from . import editors_x_ops  # noqa: F401
     from . import fuzzy_ops  # noqa: F401
+    from . import shapefile_ops  # noqa: F401

@@ -598,6 +598,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
+        "q53_buffer_contains",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
