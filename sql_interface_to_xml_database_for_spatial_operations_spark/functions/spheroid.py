@@ -357,6 +357,116 @@ def lengthspheroid_of(wkt, spheroid=None) -> float | None:
     return total
 
 
+def vincenty_direct(
+    lon1, lat1, s, alpha1_deg, a=_A, f=_F
+) -> tuple[float, float] | None:
+    """Vincenty's DIRECT problem (1975, the published companion of the
+    inverse above): destination (lon, lat) after travelling ``s``
+    metres from (lon1, lat1) on initial azimuth ``alpha1_deg``
+    (degrees clockwise from north). The σ fixed point converges
+    everywhere (the direct problem has no antipodal window)."""
+    b = a * (1.0 - f)
+    alpha1 = math.radians(alpha1_deg)
+    u1 = math.atan((1.0 - f) * math.tan(math.radians(lat1)))
+    sin_u1, cos_u1 = math.sin(u1), math.cos(u1)
+    sin_a1, cos_a1 = math.sin(alpha1), math.cos(alpha1)
+    sigma1 = math.atan2(math.tan(u1), cos_a1)
+    sin_alpha = cos_u1 * sin_a1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u_sq = cos2_alpha * (a * a - b * b) / (b * b)
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (
+        256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq))
+    )
+    sigma = s / (b * big_a)
+    for _ in range(_MAX_ITER):
+        two_sigma_m = 2.0 * sigma1 + sigma
+        cos_2sm = math.cos(two_sigma_m)
+        sin_sigma, cos_sigma = math.sin(sigma), math.cos(sigma)
+        delta = big_b * sin_sigma * (
+            cos_2sm
+            + big_b / 4.0 * (
+                cos_sigma * (-1.0 + 2.0 * cos_2sm * cos_2sm)
+                - big_b / 6.0 * cos_2sm
+                * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+                * (-3.0 + 4.0 * cos_2sm * cos_2sm)
+            )
+        )
+        prev = sigma
+        sigma = s / (b * big_a) + delta
+        if abs(sigma - prev) < _EPS:
+            break
+    else:
+        return None
+    sin_sigma, cos_sigma = math.sin(sigma), math.cos(sigma)
+    two_sigma_m = 2.0 * sigma1 + sigma
+    cos_2sm = math.cos(two_sigma_m)
+    tmp = sin_u1 * sin_sigma - cos_u1 * cos_sigma * cos_a1
+    lat2 = math.atan2(
+        sin_u1 * cos_sigma + cos_u1 * sin_sigma * cos_a1,
+        (1.0 - f) * math.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = math.atan2(
+        sin_sigma * sin_a1, cos_u1 * cos_sigma - sin_u1 * sin_sigma * cos_a1
+    )
+    c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    big_l = lam - (1.0 - c) * f * sin_alpha * (
+        sigma
+        + c * sin_sigma * (
+            cos_2sm + c * cos_sigma * (-1.0 + 2.0 * cos_2sm * cos_2sm)
+        )
+    )
+    lon2 = lon1 + math.degrees(big_l)
+    # wrap into [-180, 180)
+    lon2 = math.fmod(lon2 + 180.0, 360.0)
+    if lon2 < 0:
+        lon2 += 360.0
+    lon2 -= 180.0
+    return (lon2, math.degrees(lat2))
+
+
+def projectspheroid_of(wkt, dist, azimuth, spheroid=None) -> str | None:
+    """ST_Project's geography semantics on the engine's spheroid
+    surface: destination POINT from (point, distance m, azimuth
+    DEGREES clockwise from north). Negative distances travel the
+    reciprocal azimuth (the formula handles them directly)."""
+    sph = parse_spheroid(spheroid)
+    if sph is None:
+        return None
+    p = _lonlat(wkt)
+    if p is None:
+        return None
+    for v in (dist, azimuth):
+        if v is None:
+            return None
+        try:
+            if not math.isfinite(float(v)):
+                return None
+        except (TypeError, ValueError):
+            return None
+    out = vincenty_direct(p[0], p[1], float(dist), float(azimuth), *sph)
+    if out is None:
+        return None
+    return f"POINT ({G._fmt(out[0])} {G._fmt(out[1])})"
+
+
+@pandas_udf(StringType())
+def st_projectspheroid(
+    w: pd.Series, d: pd.Series, az: pd.Series, sph: pd.Series
+) -> pd.Series:
+    """The spheroid form of ST_Project (PostGIS's geography overload;
+    the engine's spheroid-family arity: explicit spheroid text)."""
+    out = []
+    for t in zip(w, d, az, sph):
+        try:
+            out.append(projectspheroid_of(*t))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
 @pandas_udf(DoubleType())
 def st_distancespheroid(a: pd.Series, b: pd.Series, sph: pd.Series) -> pd.Series:
     """PostGIS arity: ST_DistanceSpheroid(geom, geom, spheroid_text)."""
@@ -384,6 +494,7 @@ def st_lengthspheroid(wkt: pd.Series, sph: pd.Series) -> pd.Series:
 ALL_SPHEROID_FUNCTIONS = {
     "st_distancespheroid": st_distancespheroid,
     "st_lengthspheroid": st_lengthspheroid,
+    "st_projectspheroid": st_projectspheroid,
 }
 
 

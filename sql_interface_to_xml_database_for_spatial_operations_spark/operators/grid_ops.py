@@ -642,7 +642,28 @@ _FAMILIES["svg_pt"] = (
 )
 _FAMILIES["llt"] = f"st_aslatlontext({_LLT_PT}, 'D°M C')"
 
+# Vincenty DIRECT problem (st_projectspheroid, r15 continuation):
+# c1 = inverse(P, direct(P, s, az)) closes on s to 1 mm; c2 = the GDA
+# anchor's direct landing sits within 2 mm of published Buninyong
+_SPHP_PT = f"'POINT (' || {int_str('minx')} || ' ' || {int_str('miny')} || ')'"
+_SPHP_DIRECT = (
+    f"st_projectspheroid({_SPHP_PT}, CAST(100000 + n_nationkey * 1000"
+    " AS DOUBLE), CAST((n_nationkey * 13) % 360 AS DOUBLE),"
+    " CAST(NULL AS STRING))"
+)
+_FAMILIES["sphd_project"] = (
+    "CASE WHEN abs(st_distancespheroid("
+    f"{_SPHP_PT}, {_SPHP_DIRECT}, CAST(NULL AS STRING))"
+    " - (100000 + n_nationkey * 1000)) < 0.001 THEN '1' ELSE '0' END"
+    " || CASE WHEN st_distancespheroid("
+    "st_projectspheroid('POINT (144.42486789 -37.95103342)',"
+    " 54972.271D, 306.8681583333333D, CAST(NULL AS STRING)),"
+    " 'POINT (143.92649553 -37.65282114)', CAST(NULL AS STRING))"
+    " < 0.002 THEN '1' ELSE '0' END"
+)
+
 _ORACLE_VALS = {
+    "sphd_project": "'11'",
     "svg_poly": _SVG_EXPECT,
     "svg_rel": _SVG_REL_EXPECT,
     "svg_pt": _SVG_PT_EXPECT,

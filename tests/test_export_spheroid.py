@@ -170,3 +170,57 @@ def test_antipodal_window_karney_fallback():
     # st_lengthspheroid composes through the fallback too
     ln = S.lengthspheroid_of("LINESTRING (0 0, 179.5 0)")
     assert abs(ln - S.distancespheroid_of("POINT (0 0)", "POINT (179.5 0)")) < 1e-9
+
+
+# ---- Vincenty direct (st_projectspheroid, r15 continuation) -------------
+
+
+def test_direct_lands_on_published_anchor():
+    # Flinders Peak + published azimuth 306°52'05.37" + 54 972.271 m
+    # lands on Buninyong to ~1 mm (the azimuth itself is published to
+    # 0.01", ~0.3 mm of arc)
+    az = 306 + 52 / 60 + 5.37 / 3600
+    out = S.vincenty_direct(144.42486789, -37.95103342, 54972.271, az)
+    assert abs(out[0] - 143.92649553) < 2e-8
+    assert abs(out[1] - (-37.65282114)) < 2e-8
+
+
+def test_direct_inverse_roundtrip_fuzz():
+    import random
+
+    rng = random.Random(4)
+    for _ in range(150):
+        lon, lat = rng.uniform(-179, 179), rng.uniform(-85, 85)
+        s = rng.uniform(1, 15_000_000)
+        az = rng.uniform(0, 360)
+        out = S.vincenty_direct(lon, lat, s, az)
+        d = S._inverse(lon, lat, out[0], out[1])
+        assert abs(d - s) < 1e-6  # sub-micrometre closure
+
+
+def test_projectspheroid_semantics():
+    assert S.projectspheroid_of("POINT (0 0)", 0.0, 45.0, None) == "POINT (0 0)"
+    # negative distance travels the reciprocal azimuth
+    north = S.projectspheroid_of("POINT (0 0)", 10000.0, 0.0, None)
+    south = S.projectspheroid_of("POINT (0 0)", -10000.0, 0.0, None)
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        geometry as G,
+    )
+
+    yn = G.parse_wkt(north).coords[1]
+    ys = G.parse_wkt(south).coords[1]
+    assert abs(yn + ys) < 1e-12 and yn > 0
+    # gates
+    assert S.projectspheroid_of("LINESTRING (0 0, 1 1)", 1.0, 0.0, None) is None
+    assert S.projectspheroid_of("POINT (0 0)", float("nan"), 0.0, None) is None
+    assert S.projectspheroid_of("POINT (0 0)", 1.0, None, None) is None
+    assert S.projectspheroid_of("POINT (0 0)", 1.0, 0.0, "junk") is None
+    assert S.projectspheroid_of("junk", 1.0, 0.0, None) is None
+
+
+def test_direct_equatorial_closed_form():
+    # eastward along the equator: s = a·Δλ exactly in the limit
+    import math
+
+    out = S.vincenty_direct(10.0, 0.0, S._A * math.radians(5.0), 90.0)
+    assert abs(out[0] - 15.0) < 1e-9 and abs(out[1]) < 1e-12

@@ -502,3 +502,21 @@ def test_r15_continuation2_rows_plan_shape(spark):
     plan = formatted_plan(q("q179_substring_dedup")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # JVM higher-order fns only
+
+
+def test_r15_continuation3_rows_plan_shape(spark):
+    """q181 (fuzzy matching) must be the BLOCK-then-score shape: an
+    equi-join on the first-letter block key (hash or broadcast — never
+    a Cartesian product), built-in levenshtein JVM-side, similarity
+    kernels Arrow-batched (ArrowEvalPython, never BatchEvalPython).
+    q182 (shapefile source) decodes per file through mapInPandas with
+    no shuffle beyond the file-listing scan."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q("q181_fuzzy_match")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched only
+    assert "Join" in plan  # the blocking equi-join survived planning
+    plan = formatted_plan(q("q182_shapefile_roundtrip")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan, plan

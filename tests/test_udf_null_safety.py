@@ -382,6 +382,7 @@ _NULL_ARGS = {
     "st_assvg": f"{S}, CAST(NULL AS INT), CAST(NULL AS INT)",
     "st_aslatlontext": f"{S}, {S}",
     "st_minkowskisum": f"{S}, {S}",
+    "st_projectspheroid": f"{S}, {D}, {D}, {S}",
 }
 
 
