@@ -396,37 +396,50 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     )
     field_names = [n for n, *_ in fields]
 
-    # content decodes DISTRIBUTED: binaryFile gives one row per file
-    shp_df = spark.read.format("binaryFile").load(
-        [f"file://{os.path.abspath(p)}" for p in shp_paths]
+    # content decodes DISTRIBUTED: BOTH halves of each layer ship
+    # through Spark's binaryFile source (no executor-local filesystem
+    # assumption — on a real cluster the driver's paths aren't
+    # mounted), then co-group by layer stem: one group per layer, the
+    # only shuffle is the per-FILE stem exchange (one row per file)
+    load_paths = [f"file://{os.path.abspath(p)}" for p in shp_paths]
+    dbf_paths = [
+        f"file://{os.path.abspath(os.path.splitext(p)[0] + '.dbf')}"
+        for p in shp_paths
+        if os.path.exists(os.path.splitext(p)[0] + ".dbf")
+    ]
+    both = spark.read.format("binaryFile").load(load_paths + dbf_paths)
+    from pyspark.sql import functions as F
+
+    both = both.select(
+        F.regexp_replace(F.col("path"), r"\.(shp|dbf)$", "").alias("stem"),
+        F.col("path"),
+        F.col("content"),
     )
 
-    def decode_partition(iterator):
+    def decode_layer(pdf):
         import pandas as pd
 
-        for pdf in iterator:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                local = fpath[len("file:") :] if fpath.startswith("file:") else fpath
-                recs = shp_records(bytes(content))
-                dbf_path = os.path.splitext(local)[0] + ".dbf"
-                attrs = []
-                if field_names and os.path.exists(dbf_path):
-                    with open(dbf_path, "rb") as fh:
-                        _, attrs = dbf_records(fh.read())
-                for i, (recno, wkt) in enumerate(recs):
-                    row = {"gid": recno, "geometry": wkt}
-                    src = attrs[i] if i < len(attrs) else {}
-                    for n in field_names:
-                        row[n] = src.get(n)
-                    rows.append(row)
-            yield pd.DataFrame(
-                rows, columns=["gid", "geometry"] + field_names
-            )
+        shp_bytes = dbf_bytes = None
+        for p, c in zip(pdf["path"], pdf["content"]):
+            if p.lower().endswith(".shp"):
+                shp_bytes = bytes(c)
+            elif p.lower().endswith(".dbf"):
+                dbf_bytes = bytes(c)
+        rows = []
+        if shp_bytes is not None:
+            recs = shp_records(shp_bytes)
+            attrs = []
+            if field_names and dbf_bytes is not None:
+                _, attrs = dbf_records(dbf_bytes)
+            for i, (recno, wkt) in enumerate(recs):
+                row = {"gid": recno, "geometry": wkt}
+                src = attrs[i] if i < len(attrs) else {}
+                for n in field_names:
+                    row[n] = src.get(n)
+                rows.append(row)
+        return pd.DataFrame(rows, columns=["gid", "geometry"] + field_names)
 
-    return shp_df.select("path", "content").mapInPandas(
-        decode_partition, schema=schema
-    )
+    return both.groupBy("stem").applyInPandas(decode_layer, schema=schema)
 
 
 # -- writer (fixture generator / sink) ----------------------------------------

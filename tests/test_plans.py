@@ -509,8 +509,10 @@ def test_r15_continuation3_rows_plan_shape(spark):
     equi-join on the first-letter block key (hash or broadcast — never
     a Cartesian product), built-in levenshtein JVM-side, similarity
     kernels Arrow-batched (ArrowEvalPython, never BatchEvalPython).
-    q182 (shapefile source) decodes per file through mapInPandas with
-    no shuffle beyond the file-listing scan."""
+    q182 (shapefile source) co-groups each layer's .shp/.dbf halves by
+    stem — exactly ONE hash exchange whose rows are per-FILE (one row
+    per file half), then Arrow-grouped decode; never a Cartesian
+    product or a row-at-a-time Python UDF."""
     from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(q("q181_fuzzy_match")(spark, SF_DIR))
@@ -519,4 +521,5 @@ def test_r15_continuation3_rows_plan_shape(spark):
     assert "Join" in plan  # the blocking equi-join survived planning
     plan = formatted_plan(q("q182_shapefile_roundtrip")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(stem") <= 1, plan
