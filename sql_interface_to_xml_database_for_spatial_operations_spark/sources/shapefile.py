@@ -35,17 +35,18 @@ class). Malformed headers or truncated records raise (failfast, like
 read_xml's default).
 
 Scale shape: the DRIVER reads only the small .dbf headers to fix the
-schema; file CONTENT decodes distributed via Spark's binaryFile
-source — one task per layer file, the same per-file parallelism as
-read_xml. Shapefiles are capped at 2 GB by their own format, so
-per-file granularity is the right unit; a 100 TB ingest is thousands
-of layer files fanning out across executors, and the decoded rows
-land in parquet for everything downstream.
+schema; file CONTENT ships through Spark's binaryFile source for BOTH
+halves of every layer (no executor-local filesystem assumption) and
+co-groups by layer stem — applyInPandas with one group per layer, the
+only shuffle being the one-row-per-file stem exchange. Shapefiles are
+capped at 2 GB by their own format, so per-layer granularity is the
+right unit; a 100 TB ingest is thousands of layer files fanning out
+across executors, and the decoded rows land in parquet for
+everything downstream.
 """
 
 from __future__ import annotations
 
-import math
 import os
 import struct
 from datetime import date

@@ -103,10 +103,11 @@ from sql_interface_to_xml_database_for_spatial_operations_spark.functions.sphero
     ALL_SPHEROID_FUNCTIONS,
 )
 
-# functions/textnorm.py is deliberately NOT swept here: its text_*
-# UDFs take arbitrary TEXT, so "malformed WKT" is a perfectly valid
-# input that normalizes to itself rather than NULL; their NULL-input
-# behavior is pinned in tests/test_textnorm.py instead.
+# functions/textnorm.py and functions/strsim.py are deliberately NOT
+# swept here: their text_* UDFs take arbitrary TEXT, so "malformed
+# WKT" is a perfectly valid input that scores/normalizes rather than
+# NULLs; their NULL-input behavior is pinned in tests/test_textnorm.py
+# and tests/test_strsim.py instead.
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions.measure_m import (
     ALL_MEASURE_M_FUNCTIONS,
 )
