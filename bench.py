@@ -119,6 +119,8 @@ HEADLINE = [
     "q178_st_surface3d",
     "q179_substring_dedup",
     "q180_st_editors_x",
+    "q181_fuzzy_match",
+    "q182_shapefile_roundtrip",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT
     # benched: each runs a real Structured Streaming job (~13 s at
