@@ -191,6 +191,24 @@ def filter_by_m(wkt, m1, m2) -> str | None:
     return emit("MultiLineString", parts)
 
 
+# -- ST_LineFromMultiPoint ----------------------------------------------------
+
+
+def line_from_multipoint(wkt) -> str | None:
+    """PostGIS ST_LineFromMultiPoint: MULTIPOINT → LINESTRING in
+    member order; fewer than 2 members cannot form the engine's
+    LINESTRING (loud NULL); non-multipoint input → NULL."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if s.upper() == "MULTIPOINT EMPTY":
+        return None
+    g = G.parse_wkt(s)
+    if g is None or g.kind != "MultiPoint" or len(g.coords) < 2:
+        return None
+    return G.to_wkt(Geometry("LineString", list(g.coords)))
+
+
 # -- ST_MakeBox2D -----------------------------------------------------------
 
 
@@ -337,6 +355,13 @@ def st_filterbym(g: pd.Series, m1: pd.Series, m2: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def st_linefrommultipoint(w: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_safe(line_from_multipoint, x) for x in w], dtype="object"
+    )
+
+
+@pandas_udf(StringType())
 def st_makebox2d(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [_safe(make_box2d, x, y) for x, y in zip(a, b)], dtype="object"
@@ -379,6 +404,7 @@ ALL_MISC2_FUNCTIONS = {
     "st_clipbybox2d": st_clipbybox2d,
     "st_filterbym": st_filterbym,
     "st_makebox2d": st_makebox2d,
+    "st_linefrommultipoint": st_linefrommultipoint,
     "st_rotatex": st_rotatex,
     "st_rotatey": st_rotatey,
     "st_rotatez": st_rotatez,

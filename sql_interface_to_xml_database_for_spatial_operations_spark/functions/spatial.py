@@ -30,19 +30,31 @@ from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
 
 from . import geometry as G
 
-_POINT_EXTRACT = r"^\s*POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)\s*$"
+_POINT_EXTRACT = (
+    r"^\s*POINT\s*(ZM|Z|M)?\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)"
+    r"((?:\s+[-+0-9.eE]+)*)\s*\)\s*$"
+)
+_DIM_EXTRAS = {"Z": 1, "M": 1, "ZM": 2}
 
 
 def _point_xy(s: pd.Series):
     """Vectorized POINT coordinate extraction. Returns (x, y) float arrays
-    with NaN where the value is not a simple point.
+    with NaN where the value is not a point. Dimensional points
+    (POINT Z / M / ZM — r15, PostGIS ST_X/ST_Y answer on any point)
+    contribute their first two coordinates, with the trailing-count
+    checked against the tag so 'POINT Z (1 2)' stays junk.
 
     Parsing goes through numpy's strtod (correctly rounded) — NOT
     ``pd.to_numeric``, whose fast path (xstrtod) loses ulps on long
     decimal strings and would break exact WKT round-trips."""
     ext = s.astype("string").str.extract(_POINT_EXTRACT)
-    x = ext[0].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
-    y = ext[1].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
+    want = ext[0].map(_DIM_EXTRAS).fillna(0)
+    got = ext[3].fillna("").str.split().str.len()
+    bad = want.to_numpy(dtype=np.float64) != got.to_numpy(dtype=np.float64)
+    x = ext[1].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
+    y = ext[2].fillna("nan").to_numpy(dtype="U32").astype(np.float64)
+    x[bad] = np.nan
+    y[bad] = np.nan
     return x, y
 
 

@@ -427,6 +427,82 @@ def vincenty_direct(
     return (lon2, math.degrees(lat2))
 
 
+def vincenty_azimuth(lon1, lat1, lon2, lat2, a=_A, f=_F) -> float | None:
+    """Initial geodesic azimuth α1 in RADIANS, [0, 2π), clockwise from
+    north (the inverse problem's other output — same λ fixed point as
+    vincenty_inverse; coincident points and the non-convergent
+    antipodal window are loud NULLs: the direction is undefined /
+    unresolved there)."""
+    if lon1 == lon2 and lat1 == lat2:
+        return None  # PostGIS ST_Azimuth: undefined for equal points
+    u1 = math.atan((1.0 - f) * math.tan(math.radians(lat1)))
+    u2 = math.atan((1.0 - f) * math.tan(math.radians(lat2)))
+    big_l = math.radians(lon2 - lon1)
+    sin_u1, cos_u1 = math.sin(u1), math.cos(u1)
+    sin_u2, cos_u2 = math.sin(u2), math.cos(u2)
+    lam = big_l
+    for _ in range(_MAX_ITER):
+        sin_lam, cos_lam = math.sin(lam), math.cos(lam)
+        sin_sigma = math.sqrt(
+            (cos_u2 * sin_lam) ** 2
+            + (cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam) ** 2
+        )
+        if sin_sigma == 0.0:
+            return None  # coincident on the ellipsoid
+        cos_sigma = sin_u1 * sin_u2 + cos_u1 * cos_u2 * cos_lam
+        sigma = math.atan2(sin_sigma, cos_sigma)
+        sin_alpha = cos_u1 * cos_u2 * sin_lam / sin_sigma
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        if cos2_alpha == 0.0:
+            cos_2sigma_m = 0.0
+        else:
+            cos_2sigma_m = cos_sigma - 2.0 * sin_u1 * sin_u2 / cos2_alpha
+        c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_prev = lam
+        lam = big_l + (1.0 - c) * f * sin_alpha * (
+            sigma
+            + c * sin_sigma * (
+                cos_2sigma_m
+                + c * cos_sigma * (-1.0 + 2.0 * cos_2sigma_m * cos_2sigma_m)
+            )
+        )
+        if abs(lam - lam_prev) < _EPS:
+            break
+    else:
+        return None  # antipodal window: direction unresolved — loud
+    sin_lam, cos_lam = math.sin(lam), math.cos(lam)
+    alpha1 = math.atan2(
+        cos_u2 * sin_lam, cos_u1 * sin_u2 - sin_u1 * cos_u2 * cos_lam
+    )
+    return alpha1 % (2.0 * math.pi)
+
+
+def azimuthspheroid_of(a_wkt, b_wkt, spheroid=None) -> float | None:
+    sph = parse_spheroid(spheroid)
+    if sph is None:
+        return None
+    a, b = _lonlat(a_wkt), _lonlat(b_wkt)
+    if a is None or b is None:
+        return None
+    return vincenty_azimuth(a[0], a[1], b[0], b[1], *sph)
+
+
+@pandas_udf(DoubleType())
+def st_azimuthspheroid(
+    a: pd.Series, b: pd.Series, sph: pd.Series
+) -> pd.Series:
+    """The geodesic (ellipsoidal) initial azimuth — the spheroid form
+    of ST_Azimuth, radians clockwise from north (the engine's
+    spheroid-family arity: explicit spheroid text)."""
+    out = []
+    for t in zip(a, b, sph):
+        try:
+            out.append(azimuthspheroid_of(*t))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object").astype("float64")
+
+
 def projectspheroid_of(wkt, dist, azimuth, spheroid=None) -> str | None:
     """ST_Project's geography semantics on the engine's spheroid
     surface: destination POINT from (point, distance m, azimuth
@@ -495,6 +571,7 @@ ALL_SPHEROID_FUNCTIONS = {
     "st_distancespheroid": st_distancespheroid,
     "st_lengthspheroid": st_lengthspheroid,
     "st_projectspheroid": st_projectspheroid,
+    "st_azimuthspheroid": st_azimuthspheroid,
 }
 
 

@@ -57,7 +57,7 @@ import re
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
 
 from . import geometry as G
 from . import overlay as _ov
@@ -377,6 +377,106 @@ def force3d_wkt(wkt, z0=0.0) -> str | None:
     return to_z_wkt(
         g.kind, False, _map_pts(g.kind, g.coords, lambda p: (p[0], p[1], z))
     )
+
+
+def force3dm_wkt(wkt, m0=0.0) -> str | None:
+    """PostGIS ST_Force3DM: XYM mode. 2-D gains M = m0; M echoes;
+    Z drops z and gains M = m0; ZM drops z keeping its M; collections
+    are outside the codec's kinds → loud NULL (the force3d contract)."""
+    m = _num(m0)
+    if wkt is None or m is None:
+        return None
+    from . import measure_m as _mm
+
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, has_m, payload = pz
+        if has_m:
+            return _mm.to_m_wkt(
+                kind, _map_pts(kind, payload, lambda p: (p[0], p[1], p[3]))
+            )
+        return _mm.to_m_wkt(
+            kind, _map_pts(kind, payload, lambda p: (p[0], p[1], m))
+        )
+    pm = _mm.parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        return _mm.to_m_wkt(kind, payload)  # canonical echo
+    s = str(wkt).strip()
+    mt = _ov._EMPTY_RE.match(s.upper())
+    if mt:
+        kind = mt.group(1)
+        if kind not in _Z_KINDS:
+            return None
+        return f"{kind} M EMPTY"
+    g = G.parse_wkt(s)
+    if g is None or g.kind == "GeometryCollection":
+        return None
+    return _mm.to_m_wkt(
+        g.kind, _map_pts(g.kind, g.coords, lambda p: (p[0], p[1], m))
+    )
+
+
+def force4d_wkt(wkt, z0=0.0, m0=0.0) -> str | None:
+    """PostGIS ST_Force4D: XYZM mode. 2-D gains (z0, m0); Z gains
+    M = m0; M gains Z = z0; ZM echoes canonically."""
+    z, m = _num(z0), _num(m0)
+    if wkt is None or z is None or m is None:
+        return None
+    from . import measure_m as _mm
+
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, has_m, payload = pz
+        if has_m:
+            return to_z_wkt(kind, True, payload)
+        return to_z_wkt(
+            kind, True, _map_pts(kind, payload, lambda p: (*p, m))
+        )
+    pm = _mm.parse_m_wkt(wkt)
+    if pm is not None:
+        kind, payload = pm
+        return to_z_wkt(
+            kind, True,
+            _map_pts(kind, payload, lambda p: (p[0], p[1], z, p[2])),
+        )
+    s = str(wkt).strip()
+    mt = _ov._EMPTY_RE.match(s.upper())
+    if mt:
+        kind = mt.group(1)
+        if kind not in _Z_KINDS:
+            return None
+        return f"{kind} ZM EMPTY"
+    g = G.parse_wkt(s)
+    if g is None or g.kind == "GeometryCollection":
+        return None
+    return to_z_wkt(
+        g.kind, True,
+        _map_pts(g.kind, g.coords, lambda p: (p[0], p[1], z, m)),
+    )
+
+
+def ndims_of(wkt) -> int | None:
+    """PostGIS ST_NDims / ST_CoordDim: 2 (XY), 3 (XYZ or XYM), 4
+    (XYZM) — across the full codec stack incl. surfaces."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    pz = parse_z_wkt(s)
+    if pz is not None:
+        return 4 if pz[1] else 3
+    from . import measure_m as _mm
+
+    if _mm.parse_m_wkt(s) is not None:
+        return 3
+    from . import surface3d as _s3
+
+    ps = _s3.parse_surface_wkt(s)
+    if ps is not None:
+        return 3 if ps[1] else 2
+    if _ov._EMPTY_RE.match(s.upper()) or G.parse_wkt(s) is not None:
+        return 2
+    return None
 
 
 def force2d_z_wkt(wkt) -> str | None:
@@ -817,12 +917,34 @@ def st_3dperimeter(wkt: pd.Series) -> pd.Series:
     return pd.Series([_safe(perimeter3d_wkt, w) for w in wkt], dtype=object)
 
 
+@pandas_udf(StringType())
+def st_force3dm(wkt: pd.Series) -> pd.Series:
+    """ST_Force3DM with PostGIS's default m = 0 (fixed-arity name)."""
+    return pd.Series([_safe(force3dm_wkt, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(StringType())
+def st_force4d(wkt: pd.Series) -> pd.Series:
+    """ST_Force4D with PostGIS's defaults z = m = 0 (fixed-arity)."""
+    return pd.Series([_safe(force4d_wkt, w) for w in wkt], dtype=object)
+
+
+@pandas_udf(IntegerType())
+def st_ndims(wkt: pd.Series) -> pd.Series:
+    return pd.Series([_safe(ndims_of, w) for w in wkt], dtype="object")
+
+
 ALL_ZCOORD_FUNCTIONS = {
     "st_z": st_z,
     "st_zmin": st_zmin,
     "st_zmax": st_zmax,
     "st_force3d": st_force3d,
     "st_force3dz": st_force3dz,
+    "st_force3dm": st_force3dm,
+    "st_force4d": st_force4d,
+    "st_ndims": st_ndims,
+    # PostGIS documents ST_CoordDim as the SQL/MM alias of ST_NDims
+    "st_coorddim": st_ndims,
     "st_3dlength": st_3dlength,
     "st_3ddistance": st_3ddistance,
     "st_3ddwithin": st_3ddwithin,

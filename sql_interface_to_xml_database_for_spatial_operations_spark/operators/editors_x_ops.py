@@ -87,6 +87,7 @@ def _ensure_udfs(spark: SparkSession) -> None:
     register_ewkt_functions(spark)  # SRID=n; codec + point constructors
     register_measure_m_functions(spark)  # st_m reads the ZM point back
     register_misc2_functions(spark)  # orderingequals / clip / filterbym
+    # zcoord registration below also provides st_ndims/force3dm/force4d
     register_polyline_functions(spark)  # encoded-polyline codec
     register_twkb_functions(spark)  # TWKB codec
     register_zcoord_functions(spark)  # st_zmin probes the 3-D rotations
@@ -268,6 +269,11 @@ _Q180_ORACLE = f"""
     SELECT 'twkb' AS fam, n_nationkey AS key,
            CAST(11 AS BIGINT) AS a,
            'POLYGON ' || {_sq('minx', 'miny', _A)} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'dims' AS fam, n_nationkey AS key,
+           CAST(23441 AS BIGINT) AS a,
+           'POINT ZM (' || {_xy('minx', 'miny')} || ' 0 0)' AS b
     FROM boxes
 """
 
@@ -478,6 +484,27 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CASE WHEN hex(st_astwkb('POINT (1 1)', 0)) = '01000202'"
             " THEN 1 ELSE 0 END",
             f"st_geomfromtwkb(st_astwkb({twkb_sq}, 0))",
+        )
+    )
+    # dims / force-family completion (zcoord.py r15 continuation 2):
+    # a packs st_ndims over all four dimensionalities + the
+    # line-from-multipoint constructor; b = ST_Force4D's ZM image
+    zm_probe = (
+        f"st_pointzm(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
+        f" CAST({_A} AS DOUBLE), CAST({_K} AS DOUBLE))"
+    )
+    rows = rows.unionByName(
+        fam(
+            "dims",
+            f"st_ndims({_PT}) * 10000"
+            f" + st_coorddim(st_force3dm({_PT})) * 1000"
+            f" + st_ndims(st_force4d({_PT})) * 100"
+            f" + st_ndims({zm_probe}) * 10"
+            f" + CASE WHEN st_linefrommultipoint({_MP2})"
+            f" = 'LINESTRING (' || {_xy('minx', 'miny')} || ', ' ||"
+            f" {_xy(f'minx + {_A}', f'miny + {_A}')} || ')'"
+            " THEN 1 ELSE 0 END",
+            f"st_force4d({_PT})",
         )
     )
     return rows

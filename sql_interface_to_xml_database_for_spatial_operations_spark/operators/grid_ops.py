@@ -651,6 +651,24 @@ _SPHP_DIRECT = (
     " AS DOUBLE), CAST((n_nationkey * 13) % 360 AS DOUBLE),"
     " CAST(NULL AS STRING))"
 )
+# Q stays inside the lon/lat domain for every key (maxx can exceed
+# 180 on the widest boxes, which _lonlat rightly rejects)
+_SPHP_Q = (
+    f"'POINT (' || {int_str('minx + 20')} || ' ' || {int_str('maxy')} || ')'"
+)
+_FAMILIES["sphd_azimuth"] = (
+    "CASE WHEN abs(st_azimuthspheroid('POINT (0 0)', 'POINT (1 0)',"
+    " CAST(NULL AS STRING)) - pi() / 2) < 1e-12"
+    " AND st_azimuthspheroid('POINT (0 0)', 'POINT (0 1)',"
+    " CAST(NULL AS STRING)) = 0.0D"
+    " AND st_distancespheroid(st_projectspheroid("
+    f"{_SPHP_PT}, st_distancespheroid({_SPHP_PT}, {_SPHP_Q},"
+    " CAST(NULL AS STRING)),"
+    f" degrees(st_azimuthspheroid({_SPHP_PT}, {_SPHP_Q},"
+    " CAST(NULL AS STRING))), CAST(NULL AS STRING)),"
+    f" {_SPHP_Q}, CAST(NULL AS STRING)) < 0.001"
+    " THEN '1' ELSE '0' END"
+)
 _FAMILIES["sphd_project"] = (
     "CASE WHEN abs(st_distancespheroid("
     f"{_SPHP_PT}, {_SPHP_DIRECT}, CAST(NULL AS STRING))"
@@ -664,6 +682,7 @@ _FAMILIES["sphd_project"] = (
 
 _ORACLE_VALS = {
     "sphd_project": "'11'",
+    "sphd_azimuth": "'1'",
     "svg_poly": _SVG_EXPECT,
     "svg_rel": _SVG_REL_EXPECT,
     "svg_pt": _SVG_PT_EXPECT,

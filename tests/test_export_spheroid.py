@@ -224,3 +224,29 @@ def test_direct_equatorial_closed_form():
 
     out = S.vincenty_direct(10.0, 0.0, S._A * math.radians(5.0), 90.0)
     assert abs(out[0] - 15.0) < 1e-9 and abs(out[1]) < 1e-12
+
+
+def test_azimuth_spheroid():
+    import math
+
+    assert S.azimuthspheroid_of("POINT (0 0)", "POINT (0 1)", None) == 0.0
+    assert (
+        abs(S.azimuthspheroid_of("POINT (0 0)", "POINT (1 0)", None)
+            - math.pi / 2) < 1e-12
+    )
+    assert S.azimuthspheroid_of("POINT (0 0)", "POINT (0 0)", None) is None
+    assert S.azimuthspheroid_of("POINT (0 0)", "POINT (0 1)", "junk") is None
+    # azimuth ∘ direct lands back on the target (the inverse problem's
+    # two outputs are mutually consistent)
+    import random
+
+    rng = random.Random(9)
+    for _ in range(60):
+        lon1, lat1 = rng.uniform(-179, 179), rng.uniform(-85, 85)
+        lon2, lat2 = rng.uniform(-179, 179), rng.uniform(-85, 85)
+        az = S.vincenty_azimuth(lon1, lat1, lon2, lat2)
+        if az is None:
+            continue
+        d = S._inverse(lon1, lat1, lon2, lat2)
+        out = S.vincenty_direct(lon1, lat1, d, math.degrees(az))
+        assert S._inverse(out[0], out[1], lon2, lat2) < 1e-6

@@ -239,3 +239,19 @@ def test_sql_surface(spark):
     assert row["c"] == "LINESTRING (1 0, 2 0)"
     assert row["d"] == "BOX(1 2, 3 4)"
     assert row["e"] == "POINT (4 12)"
+
+
+def test_line_from_multipoint():
+    assert (
+        M.line_from_multipoint("MULTIPOINT (1 2, 3 4, 5 6)")
+        == "LINESTRING (1 2, 3 4, 5 6)"
+    )
+    assert (
+        M.line_from_multipoint("MULTIPOINT ((1 2), (3 4))")
+        == "LINESTRING (1 2, 3 4)"
+    )
+    assert M.line_from_multipoint("MULTIPOINT (1 2)") is None
+    assert M.line_from_multipoint("POINT (1 2)") is None
+    assert M.line_from_multipoint("MULTIPOINT EMPTY") is None
+    assert M.line_from_multipoint("junk") is None
+    assert M.line_from_multipoint(None) is None

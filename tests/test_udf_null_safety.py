@@ -384,6 +384,9 @@ _NULL_ARGS = {
     "st_aslatlontext": f"{S}, {S}",
     "st_minkowskisum": f"{S}, {S}",
     "st_projectspheroid": f"{S}, {D}, {D}, {S}",
+    "st_azimuthspheroid": f"{S}, {S}, {S}",
+    # st_force3dm / st_force4d / st_ndims / st_coorddim /
+    # st_linefrommultipoint are unary, covered by the (S,) default
 }
 
 

@@ -356,3 +356,66 @@ def test_closest_witness_consistency_fuzz():
         assert Z.shortestline3d_wkt(a, b) == Z.to_z_wkt(
             "LineString", False, [ca, cb]
         )
+
+
+# ---- force family completion (r15 continuation 2) ------------------------
+
+
+def test_force3dm_modes():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        zcoord as Z,
+    )
+
+    assert Z.force3dm_wkt("POINT (1 2)") == "POINT M (1 2 0)"
+    assert Z.force3dm_wkt("POINT Z (1 2 3)") == "POINT M (1 2 0)"
+    assert Z.force3dm_wkt("POINT ZM (1 2 3 4)") == "POINT M (1 2 4)"
+    assert Z.force3dm_wkt("POINT M (1 2 9)") == "POINT M (1 2 9)"
+    assert Z.force3dm_wkt("POINT EMPTY") == "POINT M EMPTY"
+    assert Z.force3dm_wkt("POINT Z EMPTY") == "POINT M EMPTY"
+    assert Z.force3dm_wkt("GEOMETRYCOLLECTION (POINT (1 2))") is None
+    assert Z.force3dm_wkt("junk") is None
+
+
+def test_force4d_modes():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        zcoord as Z,
+    )
+
+    assert Z.force4d_wkt("POINT (1 2)") == "POINT ZM (1 2 0 0)"
+    assert Z.force4d_wkt("POINT Z (1 2 3)") == "POINT ZM (1 2 3 0)"
+    assert Z.force4d_wkt("POINT M (1 2 9)") == "POINT ZM (1 2 0 9)"
+    assert (
+        Z.force4d_wkt("LINESTRING ZM (0 0 1 2, 3 4 5 6)")
+        == "LINESTRING ZM (0 0 1 2, 3 4 5 6)"
+    )
+    assert Z.force4d_wkt("MULTIPOINT EMPTY") == "MULTIPOINT ZM EMPTY"
+    assert Z.force4d_wkt("junk") is None
+
+
+def test_ndims_across_codecs():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        zcoord as Z,
+    )
+
+    assert Z.ndims_of("POINT (1 2)") == 2
+    assert Z.ndims_of("POINT Z (1 2 3)") == 3
+    assert Z.ndims_of("POINT M (1 2 3)") == 3
+    assert Z.ndims_of("POINT ZM (1 2 3 4)") == 4
+    assert Z.ndims_of("TIN (((0 0, 1 0, 0 1, 0 0)))") == 2
+    assert Z.ndims_of("TRIANGLE Z ((0 0 0, 1 0 0, 0 1 0, 0 0 0))") == 3
+    assert Z.ndims_of("POLYGON EMPTY") == 2
+    assert Z.ndims_of("junk") is None
+
+
+def test_xy_accessors_on_dimensional_points(spark):
+    row = spark.sql(
+        "SELECT st_x('POINT Z (1 2 3)') AS xz, st_y('POINT M (4 5 6)') AS ym,"
+        " st_x('POINT ZM (7 8 9 10)') AS xzm, st_x('POINT Z (1 2)') AS bad,"
+        " st_distance('POINT Z (0 0 5)', 'POINT Z (3 4 9)') AS d,"
+        " st_ndims('POINT ZM (1 2 3 4)') AS nd,"
+        " st_coorddim('POINT M (1 2 3)') AS cd"
+    ).collect()[0]
+    assert row["xz"] == 1.0 and row["ym"] == 5.0 and row["xzm"] == 7.0
+    assert row["bad"] is None or row["bad"] != row["bad"]  # NaN/NULL
+    assert row["d"] == 5.0  # PostGIS: 2-D distance on Z points
+    assert row["nd"] == 4 and row["cd"] == 3
