@@ -73,6 +73,7 @@ from .functions.svg_export import register_svg_functions
 from .functions.minkowski import register_minkowski_functions
 from .sources import sinks
 from .sources.geojson import read_geojson
+from .sources.gpx import read_gpx
 from .sources.shapefile import read_shapefile
 from .sources.tables import TABLES, load_tables
 from .sources.xml import read_xml
@@ -179,6 +180,9 @@ class SpatialSQLEngine:
 
     def register_shapefile(self, name: str, path: str) -> None:
         read_shapefile(self.spark, path).createOrReplaceTempView(name)
+
+    def register_gpx(self, name: str, path: str) -> None:
+        read_gpx(self.spark, path).createOrReplaceTempView(name)
 
     def tables(self) -> list[str]:
         """S8: catalog listing (reference: db:list / listCollections)."""
