@@ -499,6 +499,27 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # q162, q163, q164, q166, q168 (*q111 re-checked r15 via the r11
 # cohort) — oldest first until the window fills after whatever r16's
 # diff touches and any r15 reds.
+# r16 EXECUTED rotation: the 50 r15 greens fold in (CORRECTNESS_r15,
+# 50/50 green, plus the judge's independent full-registry sf0.01 sweep
+# at the same tree — MISMATCHES: none); exposure =
+# (a) the remaining r12-green cohort (34 rows, oldest in the ledger,
+# VERDICT r15 task 1): q64-q73, q88, q90-q93, q103-q107, q110, q111,
+# q115, q132, q134, q135, q146, q156, q157, q162, q163, q164, q166,
+# q168;
+# (b) 5 diff-touched re-exposures (r16's own plan, exposed BEFORE the
+# code lands so no fingerprint ever covers an unverified edit):
+# q130_st_transform (parameterized +proj= forms, VERDICT task 3),
+# q174_st_z + q140_wkb_roundtrip (GEOMETRYCOLLECTION Z/ZM + curved
+# WKB type codes 8-13, VERDICT task 4), q177_st_geodesy
+# (st_dwithinspheroid, VERDICT task 5), q182_shapefile_roundtrip
+# (ADVICE r15 deletion-flag/case/terminator fixes);
+# (c) q183_gpx_roundtrip — the GPX source's first driver row
+# (VERDICT r15 what's-missing item 1);
+# Window arithmetic, done FIRST this round per VERDICT r15 item 2:
+# 34 + 5 + 1 = 40 of 50; the 10 spare slots take r16's new rows as
+# they land (each noted below when registered). After this rotation
+# the oldest remaining verification in _DRIVER_VERIFIED is r13 — the
+# "nothing older than 4 rounds" bar holds with a round to spare.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
@@ -513,35 +534,31 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q100_engine_rowset",
         "q101_geojson_roundtrip",
         "q102_geojson_sink_roundtrip",
-        "q103_stratified_sample",
-        "q104_language_quota",
-        "q105_mixture_weights",
-        "q106_sequence_packing",
-        "q107_decontamination",
         "q108_kml_roundtrip",
         "q109_tfidf_top_terms",
         "q10_between_range",
-        "q110_repetition_metrics",
-        "q111_centroid_outliers",
         "q112_window_lag_lead",
         "q113_window_distribution",
-        "q115_ann_quantized_topk",
+        "q114_compat_flattened",
+        "q116_trailing_range_window",
         "q117_approx_percentiles",
         "q118_bucketed_join",
+        "q119_cohort_retention",
         "q11_join_inner_equi",
+        "q120_event_funnel",
         "q121_catalog_tables",
         "q122_st_relations",
         "q123_stream_tumbling_e2e",
         "q124_st_union_agg",
+        "q125_document_chunking",
         "q126_pii_redaction",
         "q127_url_domains",
         "q128_st_simplify",
         "q129_st_snaptogrid",
         "q12_join_theta",
-        "q130_st_transform",
-        "q132_audio_features",
-        "q134_hypertable_rollup",
-        "q135_cms_heavy_hitters",
+        "q131_st_azimuth",
+        "q133_resize_images",
+        "q136_image_dhash_neardup",
         "q137_stream_session_e2e",
         "q138_stream_interval_join_e2e",
         "q139_st_intersection",
@@ -551,31 +568,36 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q143_kmeans_assign",
         "q144_bloom_semijoin",
         "q145_inverted_index",
-        "q146_st_symdifference",
         "q147_stream_stateful_totals_e2e",
         "q148_st_affine",
         "q149_st_linework",
         "q14_join_right_outer",
         "q150_st_accessors",
         "q151_st_boundary",
+        "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
-        "q156_st_relate_isvalid",
-        "q157_st_makevalid",
+        "q155_st_buffer_lines_polys",
+        "q158_st_measures",
+        "q159_st_bounding",
         "q15_join_full_outer",
-        "q162_st_subdivide",
-        "q163_jpeg_pixels",
-        "q164_st_node_polygonize",
+        "q160_cluster_dbscan",
+        "q161_st_collect_dump",
         "q165_st_tessellate",
-        "q166_st_split",
         "q167_video_frames",
-        "q168_kmeans_converged",
+        "q169_st_grids",
         "q16_join_multiway",
         "q170_bm25_search",
         "q171_bigram_perplexity",
         "q172_bpe_tokenize",
         "q173_y4m_frames",
+        "q175_st_asmvt",
+        "q176_bpe_train",
+        "q178_st_surface3d",
+        "q179_substring_dedup",
         "q17_natural_join",
+        "q180_st_editors_x",
+        "q181_fuzzy_match",
         "q18_semi_join_in_subquery",
         "q19_anti_join_not_exists",
         "q20_lateral_explode",
@@ -590,11 +612,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q29_intersect",
         "q30_except",
         "q31_window_rank",
+        "q32_window_running_sum",
+        "q33_subquery_from",
+        "q34_scalar_subquery",
+        "q35_correlated_exists",
+        "q36_date_functions",
+        "q37_mod_function",
+        "q38_string_functions",
+        "q39_case_expression",
+        "q40_math_functions",
+        "q41_st_point_accessors",
+        "q42_st_astext",
+        "q43_st_distance_radius",
         "q44_spatial_join_within",
         "q45_spatial_join_intersects",
         "q46_st_area_props",
         "q47_dwithin_pairs",
         "q48_distance_sphere_count",
+        "q49_st_asgeojson",
         "q50_st_geomfromtext",
         "q51_st_geomfromgeojson",
         "q52_centroid_perimeter",
@@ -609,26 +644,23 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q61_quality_score",
         "q62_language_id",
         "q63_fingerprint",
-        "q64_dedup_exact",
-        "q65_dedup_ngram_jaccard",
-        "q66_minhash_lsh",
-        "q67_simhash",
-        "q68_simhash_pairs",
-        "q69_embedding_neardup",
-        "q70_ann_bruteforce_topk",
-        "q71_ann_lsh_buckets",
-        "q72_ann_lsh_topk",
-        "q73_ann_ivf_topk",
+        "q75_tumbling_window",
+        "q76_sliding_window",
+        "q77_sessionize",
+        "q78_keyed_dedup_first",
+        "q79_json_props",
+        "q80_multimodal_metadata",
+        "q81_multimodal_features",
+        "q82_frame_sample",
+        "q83_asof_join",
+        "q84_range_join_banded",
         "q85_st_extent_agg",
         "q86_skew_salted_join",
         "q87_percentiles",
-        "q88_levenshtein_neardup",
-        "q90_dedup_clusters",
-        "q91_training_pipeline",
-        "q92_hash_sample",
-        "q93_train_val_test_split",
+        "q89_gap_fill_spine",
         "q94_multipart_gml_ingest",
         "q95_st_collect_agg",
+        "q96_event_attribution",
         "q97_knn_within_radius",
         "q98_hull_envelope",
         "q99_xml_roundtrip",
