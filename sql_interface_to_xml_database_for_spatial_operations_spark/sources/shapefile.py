@@ -22,7 +22,11 @@ one layer = one .shp (+ .dbf) file pair:
   record size), 32-byte field descriptors to the 0x0D terminator,
   fixed-width latin-1 records with a deletion flag. Field types:
   C → string, N/F → bigint (decimals = 0) or double, L → boolean,
-  D → 'YYYYMMDD' string. Deleted rows are skipped.
+  D → 'YYYYMMDD' string. Deletion-flagged rows become positional
+  placeholders (all-None attributes): the shapefile convention (and
+  OGR) pairs .shp record i with .dbf record i — .shp cannot mark
+  deletions, so dropping a flagged row would shift every later
+  attribute row onto the wrong geometry (ADVICE r15).
 
 ``read_shapefile(spark, path)`` accepts a single ``.shp`` or a
 directory of them; each pairs with its sibling ``.dbf`` by stem (a
@@ -48,6 +52,7 @@ everything downstream.
 from __future__ import annotations
 
 import os
+import re
 import struct
 from datetime import date
 
@@ -278,12 +283,21 @@ def shp_records(content: bytes):
 
 
 def dbf_fields(content: bytes):
-    """[(name, type, length, decimals)] from a .dbf header."""
+    """[(name, type, length, decimals)] from a .dbf header. The field
+    area MUST end with the 0x0D terminator inside the buffer — an
+    end-of-buffer stop would silently truncate an over-long field list
+    (ADVICE r15), so a missing terminator raises instead."""
     if len(content) < 33:
         raise ValueError("dbf too short")
     fields = []
     pos = 32
-    while pos < len(content) and content[pos] != 0x0D:
+    while True:
+        if pos >= len(content):
+            raise ValueError(
+                "dbf field descriptor area missing its 0x0D terminator"
+            )
+        if content[pos] == 0x0D:
+            break
         if pos + 32 > len(content):
             raise ValueError("truncated dbf field descriptor")
         raw = content[pos : pos + 32]
@@ -299,7 +313,8 @@ def dbf_fields(content: bytes):
 
 
 def dbf_records(content: bytes):
-    """(fields, [row dict]) — deleted rows skipped."""
+    """(fields, [row dict]) — deletion-flagged rows kept as positional
+    all-None placeholders so row i always pairs with .shp record i."""
     fields = dbf_fields(content)
     nrec, = struct.unpack_from("<I", content, 4)
     hdr_size, rec_size = struct.unpack_from("<2H", content, 8)
@@ -310,7 +325,8 @@ def dbf_records(content: bytes):
         if len(rec) < rec_size:
             raise ValueError("truncated dbf record")
         if rec[0:1] == b"*":
-            continue  # deleted
+            rows.append({name: None for name, *_ in fields})
+            continue  # deleted: placeholder keeps positions aligned
         pos = 1
         row = {}
         for name, ftype, length, decimals in fields:
@@ -353,6 +369,9 @@ def _field_spark_type(ftype: str, decimals: int):
     return LongType()
 
 
+_EXT_RE = re.compile(r"\.(shp|dbf)$", re.IGNORECASE)
+
+
 def _layer_paths(path: str) -> list[str]:
     if os.path.isdir(path):
         out = sorted(
@@ -366,17 +385,39 @@ def _layer_paths(path: str) -> list[str]:
     return [path]
 
 
+def _sibling_dbf(shp_path: str) -> str | None:
+    """Case-insensitive sibling discovery: X.SHP pairs with X.DBF or
+    X.dbf (extension case-insensitive, stem exact — the stem grouping
+    below strips extensions the same way, ADVICE r15)."""
+    d = os.path.dirname(shp_path) or "."
+    base = _EXT_RE.sub("", os.path.basename(shp_path))
+    for f in sorted(os.listdir(d)):
+        if f.lower().endswith(".dbf") and _EXT_RE.sub("", f) == base:
+            return os.path.join(d, f)
+    return None
+
+
+def _dbf_header_bytes(dbf: str) -> bytes:
+    """Driver-side schema sniff sized from the header's OWN hdr_size
+    field, so an arbitrarily long field area is read whole and
+    dbf_fields sees its 0x0D terminator (ADVICE r15)."""
+    with open(dbf, "rb") as fh:
+        head = fh.read(32)
+        if len(head) < 32:
+            raise ValueError("dbf too short")
+        (hdr_size,) = struct.unpack_from("<H", head, 8)
+        return head + fh.read(max(hdr_size, 33) - 32)
+
+
 def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     shp_paths = _layer_paths(path)
     # schema from the small .dbf HEADERS of every layer (driver-side,
     # bytes not rows) — layouts must agree, never first-file sniffing
     layouts = {}
     for sp in shp_paths:
-        dbf = os.path.splitext(sp)[0] + ".dbf"
-        if os.path.exists(dbf):
-            with open(dbf, "rb") as fh:
-                head = fh.read(32 * 256 + 33)
-            layouts[sp] = tuple(dbf_fields(head))
+        dbf = _sibling_dbf(sp)
+        if dbf is not None:
+            layouts[sp] = tuple(dbf_fields(_dbf_header_bytes(dbf)))
         else:
             layouts[sp] = ()
     distinct = set(layouts.values())
@@ -404,15 +445,15 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     # only shuffle is the per-FILE stem exchange (one row per file)
     load_paths = [f"file://{os.path.abspath(p)}" for p in shp_paths]
     dbf_paths = [
-        f"file://{os.path.abspath(os.path.splitext(p)[0] + '.dbf')}"
+        f"file://{os.path.abspath(_sibling_dbf(p))}"
         for p in shp_paths
-        if os.path.exists(os.path.splitext(p)[0] + ".dbf")
+        if _sibling_dbf(p) is not None
     ]
     both = spark.read.format("binaryFile").load(load_paths + dbf_paths)
     from pyspark.sql import functions as F
 
     both = both.select(
-        F.regexp_replace(F.col("path"), r"\.(shp|dbf)$", "").alias("stem"),
+        F.regexp_replace(F.col("path"), r"(?i)\.(shp|dbf)$", "").alias("stem"),
         F.col("path"),
         F.col("content"),
     )

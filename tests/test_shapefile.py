@@ -129,17 +129,63 @@ def test_strict_rejections(tmp_path):
         )
 
 
-def test_deleted_dbf_rows_skipped(tmp_path):
+def test_deleted_dbf_row_is_positional_placeholder(tmp_path):
+    # ADVICE r15 (medium): a deleted .dbf row must NOT shift later
+    # attributes onto the wrong geometries — it stays as an all-None
+    # placeholder at its position.
     p = _write(
-        tmp_path, "del.shp", [("POINT (1 2)", 7, "a", 0.5, True)]
+        tmp_path,
+        "del.shp",
+        [
+            ("POINT (1 2)", 7, "a", 0.5, True),
+            ("POINT (3 4)", 8, "b", 1.5, False),
+            ("POINT (5 6)", 9, "c", 2.5, True),
+        ],
     )
     dbf = os.path.splitext(p)[0] + ".dbf"
     raw = bytearray(open(dbf, "rb").read())
-    hdr_size, _rec = struct.unpack_from("<2H", raw, 8)
-    raw[hdr_size] = 0x2A  # '*' deletion flag
+    hdr_size, rec_size = struct.unpack_from("<2H", raw, 8)
+    raw[hdr_size + rec_size] = 0x2A  # delete the MIDDLE record
     open(dbf, "wb").write(bytes(raw))
     _, attrs = SH.dbf_records(bytes(raw))
-    assert attrs == []
+    assert len(attrs) == 3
+    assert attrs[1] == {"KEY": None, "NAME": None, "SCORE": None, "FLAG": None}
+    assert attrs[0]["KEY"] == 7 and attrs[2]["KEY"] == 9  # no shift
+    assert attrs[2]["NAME"] == "c"
+
+
+def test_uppercase_extensions_pair(spark, tmp_path):
+    # ADVICE r15 (low): X.SHP must still find its .dbf sibling and
+    # group into one layer stem.
+    p = _write(tmp_path, "up.shp", [("POINT (1 2)", 7, "a", 0.5, True)])
+    dbf = os.path.splitext(p)[0] + ".dbf"
+    os.rename(p, os.path.join(str(tmp_path), "up.SHP"))
+    os.rename(dbf, os.path.join(str(tmp_path), "up.DBF"))
+    df = SH.read_shapefile(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["geometry"] == "POINT (1 2)" and rows[0]["KEY"] == 7
+
+
+def test_dbf_fields_requires_terminator(tmp_path):
+    # ADVICE r15 (low): a field area running to end-of-buffer without
+    # the 0x0D terminator is a loud decode error, not a truncated list.
+    p = _write(tmp_path, "t.shp", [("POINT (1 2)", 7, "a", 0.5, True)])
+    raw = open(os.path.splitext(p)[0] + ".dbf", "rb").read()
+    term = 32 + 32 * len(_FIELDS)
+    assert raw[term] == 0x0D
+    with pytest.raises(ValueError, match="terminator"):
+        SH.dbf_fields(raw[:term])  # cut exactly before the 0x0D
+
+
+def test_driver_sniff_sized_from_header(tmp_path):
+    # the schema sniff must honor hdr_size even when the field area is
+    # longer than any fixed guess — build a .dbf with 300 fields
+    fields = [(f"F{i:03d}", "C", 1, 0) for i in range(300)]
+    p = _write(tmp_path, "many.shp", [("POINT (1 2)", *["x"] * 300)], fields)
+    head = SH._dbf_header_bytes(os.path.splitext(p)[0] + ".dbf")
+    got = SH.dbf_fields(head)
+    assert len(got) == 300 and got[-1][0] == "F299"
 
 
 def test_spark_read_distributed(spark, tmp_path):
