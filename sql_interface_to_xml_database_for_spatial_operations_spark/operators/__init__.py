@@ -64,3 +64,4 @@ def load_all() -> None:
     from . import editors_x_ops  # noqa: F401
     from . import fuzzy_ops  # noqa: F401
     from . import shapefile_ops  # noqa: F401
+    from . import gpx_ops  # noqa: F401
