@@ -322,8 +322,9 @@ _GRS80_INV_F = 298.257222101
 
 
 class _LccCrs:
-    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f):
-        a = R  # GRS80/WGS84 share the semi-major axis
+    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f, a=R):
+        # default: GRS80/WGS84 share the semi-major axis; +proj= defs
+        # may carry another ellipsoid (r16)
         f = 1.0 / inv_f
         self.e = math.sqrt(f * (2.0 - f))
         self.a = a
@@ -387,8 +388,7 @@ class _LccCrs:
 
 
 class _LaeaCrs:
-    def __init__(self, phi0, lam0, e0, n0, inv_f):
-        a = R
+    def __init__(self, phi0, lam0, e0, n0, inv_f, a=R):
         f = 1.0 / inv_f
         self.a = a
         self.e = math.sqrt(f * (2.0 - f))
@@ -474,8 +474,7 @@ class _LaeaCrs:
 
 
 class _AeaCrs:
-    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f):
-        a = R
+    def __init__(self, phi1, phi2, phi0, lam0, e0, n0, inv_f, a=R):
         f = 1.0 / inv_f
         self.a = a
         self.e = math.sqrt(f * (2.0 - f))
@@ -551,17 +550,28 @@ class _AeaCrs:
 
 
 class _PsCrs:
-    def __init__(self, phi_f, lam0, e0, n0, inv_f):
+    def __init__(self, phi_f, lam0, e0, n0, inv_f, a=R, k0=None):
+        """Variant B (standard parallel ``phi_f``) by default; passing
+        ``k0`` selects EPSG variant A (scale factor at the pole, EPSG
+        GN 7-2 §3.2.4: ρ = 2 a k₀ t / √((1+e)^{1+e}(1−e)^{1−e})) —
+        ``phi_f`` then only carries the hemisphere sign (±90)."""
         f = 1.0 / inv_f
-        self.a = R
+        self.a = a
         self.e = math.sqrt(f * (2.0 - f))
         self.north = phi_f > 0.0
         self.lam0 = math.radians(lam0)
         self.e0, self.n0 = e0, n0
-        pf = math.radians(phi_f)
-        s = math.sin(pf)
-        self.mf = math.cos(pf) / math.sqrt(1.0 - self.e * self.e * s * s)
-        self.tf = self._t(pf)
+        if k0 is not None:
+            e = self.e
+            self.mf = 2.0 * k0 / math.sqrt(
+                (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)
+            )
+            self.tf = 1.0
+        else:
+            pf = math.radians(phi_f)
+            s = math.sin(pf)
+            self.mf = math.cos(pf) / math.sqrt(1.0 - self.e * self.e * s * s)
+            self.tf = self._t(pf)
         e2 = self.e * self.e
         # conformal → geodetic series coefficients (Snyder 3-5)
         self._c2 = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
@@ -725,9 +735,247 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
         "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, "
         "polar stereographic EPSG:3413/3031/3032, and national TM grids "
-        "EPSG:27700/2180; install proj and add a "
-        "dispatcher branch for other CRSs)"
+        "EPSG:27700/2180; pass an explicit '+proj=' parameter string "
+        "for any other tmerc/utm/lcc/aea/laea/stere CRS)"
     )
+
+
+# --- parameterized '+proj=' definitions (r16, VERDICT r15 task 3) --------
+#
+# PostGIS forwards ST_Transform(geom, from_proj, to_proj) text arguments
+# straight to proj (reference parity: src/index.ts:44-63 forwards
+# arbitrary ST_Transform calls to PostGIS). This runtime accepts the
+# same public proj-string grammar for the projection families whose
+# closed-form kernels already exist above — tmerc / utm / lcc (2SP) /
+# aea / laea / stere (polar, variants A and B) / longlat — so arbitrary
+# state-plane / national codes work without shipping proj: look up the
+# EPSG definition once, pass its parameters explicitly.
+#
+# Grammar subset: +proj= +lat_0= +lon_0= +lat_1= +lat_2= +lat_ts=
+# +k=/+k_0= +x_0= +y_0= +zone= +south +ellps= +a= +b= +rf= +datum=WGS84
+# +towgs84=tx,ty,tz[,rx,ry,rz,s] (position-vector: arcsec + ppm, the
+# EPSG/proj convention) +units=m +no_defs +type=crs. Anything else —
+# unknown projections, non-meter units, grid-file datums — raises
+# loudly: a silently ignored parameter would corrupt every coordinate.
+
+_ELLPS: dict[str, tuple[float, float]] = {
+    # published defining parameters (proj -le): (a, 1/f)
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982138982),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "WGS72": (6378135.0, 298.26),
+}
+
+_HANDLED_KEYS = {
+    "proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "k", "k_0",
+    "x_0", "y_0", "zone", "south", "ellps", "a", "b", "rf", "datum",
+    "towgs84", "units", "no_defs", "type", "wktext",
+}
+
+
+class _ProjDef:
+    """A parsed '+proj=' definition: a LOCAL projection kernel (one of
+    the closed-form classes above) plus the optional +towgs84 datum
+    leg. ``fwd``/``inv`` map WGS84 degrees <-> projected coordinates,
+    composing the Helmert legs exactly like the _TmCrs datum path."""
+
+    __slots__ = ("_fwd_local", "_inv_local", "_ab", "_helmert")
+
+    def __init__(self, fwd_local, inv_local, ab, helmert):
+        self._fwd_local = fwd_local
+        self._inv_local = inv_local
+        self._ab = ab
+        self._helmert = helmert
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        if self._helmert is not None:
+            lon, lat = _helmert_geodetic(
+                lon, lat, _WGS84_AB, self._ab, self._helmert, inverse=True
+            )
+        return self._fwd_local(lon, lat)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        lon, lat = self._inv_local(e, n)
+        if self._helmert is not None:
+            lon, lat = _helmert_geodetic(
+                lon, lat, self._ab, _WGS84_AB, self._helmert, inverse=False
+            )
+        return lon, lat
+
+
+def _parse_projdef(text: str) -> _ProjDef:
+    kv: dict[str, str] = {}
+    for tok in text.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"proj parameter must start with '+': {tok!r}")
+        key, _, val = tok[1:].partition("=")
+        if key not in _HANDLED_KEYS:
+            raise ValueError(
+                f"unsupported proj parameter +{key} (this runtime handles "
+                f"{sorted(_HANDLED_KEYS)})"
+            )
+        kv[key] = val
+    proj = kv.get("proj")
+    if not proj:
+        raise ValueError("proj string needs +proj=")
+    if kv.get("units", "m") != "m":
+        raise ValueError(
+            f"only +units=m is supported, got +units={kv['units']} "
+            "(feet-based state-plane variants must be converted)"
+        )
+    if "datum" in kv and kv["datum"] != "WGS84":
+        raise ValueError(
+            f"+datum={kv['datum']} needs grid files; spell the ellipsoid "
+            "and +towgs84 parameters explicitly"
+        )
+    # ellipsoid: +a (+rf / +b) overrides +ellps; default WGS84 like proj
+    if "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            inv_f = float(kv["rf"])
+        elif "b" in kv:
+            b = float(kv["b"])
+            if b >= a:
+                raise ValueError("+b must be < +a (spheres unsupported)")
+            inv_f = a / (a - b)
+        else:
+            raise ValueError("+a needs +rf or +b")
+    else:
+        name = kv.get("ellps", "WGS84")
+        if name not in _ELLPS:
+            raise ValueError(
+                f"unknown +ellps={name} (known: {sorted(_ELLPS)})"
+            )
+        a, inv_f = _ELLPS[name]
+    ab = (a, a * math.sqrt(1.0 - (1.0 / inv_f) * (2.0 - 1.0 / inv_f)))
+    # datum leg: position-vector 7-parameter (or 3-parameter) Helmert
+    helmert = None
+    if "towgs84" in kv:
+        parts = [float(x) for x in kv["towgs84"].split(",")]
+        if len(parts) == 3:
+            parts += [0.0, 0.0, 0.0, 0.0]
+        if len(parts) != 7:
+            raise ValueError("+towgs84 takes 3 or 7 comma-separated values")
+        tx, ty, tz, rx, ry, rz, s_ppm = parts
+        if any(p != 0.0 for p in parts) or ab != _WGS84_AB:
+            helmert = (
+                tx, ty, tz,
+                rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC, s_ppm,
+            )
+    # absent +towgs84: geodetic coordinates pass through on the def's
+    # OWN datum (classic proj behavior without datum info, and the same
+    # no-shift stance the GRS80 closed-table entries take — this is
+    # what makes '+proj=lcc ...EPSG:2154 params' EXACTLY equal the
+    # EPSG:2154 table path)
+
+    def num(key: str, default: float = 0.0) -> float:
+        return float(kv[key]) if kv.get(key) else default
+
+    lat0, lon0 = num("lat_0"), num("lon_0")
+    x0, y0 = num("x_0"), num("y_0")
+    k0 = float(kv["k"]) if kv.get("k") else (
+        float(kv["k_0"]) if kv.get("k_0") else 1.0
+    )
+    if proj in ("longlat", "latlong"):
+        ident = lambda x, y: (x, y)  # noqa: E731 — geographic: no projection
+        return _ProjDef(ident, ident, ab, helmert)
+    if proj == "utm":
+        if not kv.get("zone"):
+            raise ValueError("+proj=utm needs +zone=")
+        zone = int(kv["zone"])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone out of range: {zone}")
+        crs = _TmCrs(
+            a, inv_f, 0.0, zone * 6 - 183, 0.9996, _E0,
+            _N0_SOUTH if "south" in kv else 0.0,
+        )
+        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert)
+    if proj == "tmerc":
+        crs = _TmCrs(a, inv_f, lat0, lon0, k0, x0, y0)
+        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert)
+    if proj == "lcc":
+        if not kv.get("lat_1"):
+            raise ValueError("+proj=lcc needs +lat_1")
+        lat1 = num("lat_1")
+        lat2 = num("lat_2", lat1)
+        if lat1 == lat2:
+            raise ValueError(
+                "LCC 1SP (lat_1 == lat_2) is not supported; the 2SP "
+                "closed forms divide by ln t1 - ln t2"
+            )
+        crs = _LccCrs(lat1, lat2, lat0, lon0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    if proj == "aea":
+        if not (kv.get("lat_1") and kv.get("lat_2")):
+            raise ValueError("+proj=aea needs +lat_1 and +lat_2")
+        crs = _AeaCrs(num("lat_1"), num("lat_2"), lat0, lon0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    if proj == "laea":
+        crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    if proj == "stere":
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                "only POLAR stereographic (+lat_0=90 or -90) has a "
+                "closed-form kernel here; oblique stere is unsupported"
+            )
+        if kv.get("lat_ts") and abs(float(kv["lat_ts"])) != 90.0:
+            lat_ts = float(kv["lat_ts"])
+            if (lat_ts > 0) != (lat0 > 0):
+                raise ValueError("+lat_ts must be in the +lat_0 hemisphere")
+            crs = _PsCrs(lat_ts, lon0, x0, y0, inv_f, a=a)
+        else:  # variant A: scale at the pole (lat_ts absent or ±90)
+            crs = _PsCrs(lat0, lon0, x0, y0, inv_f, a=a, k0=k0)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    raise ValueError(
+        f"unsupported +proj={proj} (closed-form kernels exist for "
+        "tmerc/utm/lcc/aea/laea/stere/longlat)"
+    )
+
+
+_PROJDEF_CACHE: dict[str, _ProjDef] = {}
+
+
+def _projdef(text: str) -> _ProjDef:
+    d = _PROJDEF_CACHE.get(text)
+    if d is None:
+        if len(_PROJDEF_CACHE) > 512:  # bounded per-executor memo
+            _PROJDEF_CACHE.clear()
+        d = _PROJDEF_CACHE[text] = _parse_projdef(text)
+    return d
+
+
+def transform_any(g: Geometry, src, dst) -> Geometry:
+    """``transform`` over int SRIDs AND '+proj=' strings on either
+    side; mixed pairs route through the 4326 hub like the SRID
+    composites above."""
+    if isinstance(src, int) and isinstance(dst, int):
+        return transform(g, src, dst)
+    if isinstance(src, int):
+        g = transform(g, src, 4326)
+    else:
+        g = _map_coords(g, _projdef(src).inv)
+    if isinstance(dst, int):
+        return transform(g, 4326, dst)
+    return _map_coords(g, _projdef(dst).fwd)
+
+
+def _crs_arg(v):
+    """An st_transform CRS argument: an int SRID, an 'EPSG:n' string,
+    or a '+proj=' parameter string (r16 — the PostGIS from_proj/to_proj
+    text forms)."""
+    if isinstance(v, str):
+        s = v.strip()
+        if s.startswith("+"):
+            return s
+        if s.upper().startswith("EPSG:"):
+            return int(s[5:])
+        return int(s)  # a numeric string; non-numeric raises loudly
+    return int(v)
 
 
 @pandas_udf(StringType())
@@ -735,11 +983,16 @@ def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd
     """NULL/malformed/non-finite WKT → NULL (registry convention: a
     NaN/inf coordinate through a transcendental projection would emit
     a silently corrupt geometry — code-review r12); an UNSUPPORTED
-    SRID pair raises — a wrong CRS silently treated as a no-op would
-    corrupt every downstream coordinate."""
+    SRID pair, unknown +proj= parameter, or malformed CRS argument
+    raises — a wrong CRS silently treated as a no-op would corrupt
+    every downstream coordinate. CRS arguments are int SRIDs, 'EPSG:n'
+    strings, or '+proj=' parameter strings (tmerc/utm/lcc/aea/laea/
+    stere/longlat grammar subset — see _parse_projdef)."""
     out = []
     for w, sf, st_ in zip(wkt, srid_from, srid_to):
-        if w is None or sf is None or st_ is None or pd.isna(sf) or pd.isna(st_):
+        if w is None or sf is None or st_ is None or (
+            not isinstance(sf, str) and pd.isna(sf)
+        ) or (not isinstance(st_, str) and pd.isna(st_)):
             out.append(None)
             continue
         g = G.parse_wkt(w)
@@ -748,7 +1001,7 @@ def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd
         ):
             out.append(None)
             continue
-        out.append(G.to_wkt(transform(g, int(sf), int(st_))))
+        out.append(G.to_wkt(transform_any(g, _crs_arg(sf), _crs_arg(st_))))
     return pd.Series(out, dtype=object)
 
 

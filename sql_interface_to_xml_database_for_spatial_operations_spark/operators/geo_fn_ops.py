@@ -233,7 +233,15 @@ _Q130_ORACLE = f"""
            CAST(floor((CASE WHEN c_custkey % 2 = 0 THEN lat / 16 + 55
                             ELSE lat / 16 + 52 END) * 1000000 + 0.5) AS BIGINT)
              AS tm_rt_lat_micro,
-           TRUE AS tm_origin_ok
+           TRUE AS tm_origin_ok,
+           TRUE AS pd_anchor_ok,
+           TRUE AS pd_eq_ok,
+           CAST(floor((lon / 40 + 173) * 1000000 + 0.5) AS BIGINT)
+             AS pd_rt_lon_micro,
+           CAST(floor((lat / 2 - 20) * 1000000 + 0.5) AS BIGINT)
+             AS pd_rt_lat_micro,
+           CAST(332041675 AS BIGINT) AS pd_ups_e_cm,
+           CAST(63266843 AS BIGINT) AS pd_ups_n_cm
     FROM pts
 """
 
@@ -351,6 +359,96 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tm", F.call_function("st_transform", F.col("gtm"), F.lit(4326), F.col("tm_srid")))
         .withColumn("tm_back", F.call_function("st_transform", F.col("tm"), F.col("tm_srid"), F.lit(4326)))
         .withColumn("tm_origin", F.expr("st_transform('POINT (19 0)', 4326, 2180)"))
+        # Parameterized '+proj=' strings (r16, VERDICT r15 task 3):
+        # published EPSG parameter sets over the same kernels —
+        # NZTM2000 (EPSG:2193, LINZ definition) anchors at its false
+        # origin EXACTLY and round-trips the grid mapped into its
+        # domain; the per-row '+proj=utm +zone=N [+south]' string must
+        # be BYTE-IDENTICAL to the EPSG:326xx/327xx path (same kernel,
+        # same parameters); EPSG GN 7-2's variant-A UPS North worked
+        # example (73N 44E -> E 3320416.75, N 632668.43) pins the
+        # k0-at-pole form in centimeters; NAD83/California Albers
+        # (EPSG:3310) and the OSGB full-parameter string (incl. the
+        # EPSG:1314 +towgs84 Helmert leg) anchor/agree with the
+        # closed-table paths.
+        .withColumn(
+            "pd_nztm",
+            F.lit(
+                "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+                "+y_0=10000000 +ellps=GRS80 +units=m +no_defs"
+            ),
+        )
+        .withColumn(
+            "utm_def",
+            F.concat(
+                F.lit("+proj=utm +ellps=WGS84 +zone="),
+                F.col("zone").cast("string"),
+                F.when(F.col("lat") < 0, F.lit(" +south")).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn(
+            "utm_pd",
+            F.call_function("st_transform", F.col("g"), F.lit(4326), F.col("utm_def")),
+        )
+        .withColumn("gpd", F.expr("st_point(lon / 40 + 173, lat / 2 - 20)"))
+        .withColumn(
+            "pd_fwd",
+            F.call_function("st_transform", F.col("gpd"), F.lit(4326), F.col("pd_nztm")),
+        )
+        .withColumn(
+            "pd_back",
+            F.call_function("st_transform", F.col("pd_fwd"), F.col("pd_nztm"), F.lit(4326)),
+        )
+        .withColumn(
+            "pd_anchor",
+            F.call_function(
+                "st_transform",
+                F.lit("POINT (173 0)"),
+                F.lit(4326),
+                F.col("pd_nztm"),
+            ),
+        )
+        .withColumn(
+            "pd_ca_anchor",
+            F.call_function(
+                "st_transform",
+                F.lit("POINT (-120 0)"),
+                F.lit(4326),
+                F.lit(
+                    "+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 "
+                    "+x_0=0 +y_0=-4000000 +ellps=GRS80 +units=m"
+                ),
+            ),
+        )
+        .withColumn(
+            "pd_ups",
+            F.call_function(
+                "st_transform",
+                F.lit("POINT (44 73)"),
+                F.lit(4326),
+                F.lit(
+                    "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 "
+                    "+y_0=2000000 +ellps=WGS84"
+                ),
+            ),
+        )
+        .withColumn(
+            "pd_osgb",
+            F.call_function(
+                "st_transform",
+                F.lit("POINT (-0.1276 51.5072)"),
+                F.lit(4326),
+                F.lit(
+                    "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                    "+x_0=400000 +y_0=-100000 +ellps=airy "
+                    "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894"
+                ),
+            ),
+        )
+        .withColumn(
+            "pd_osgb_tbl",
+            F.expr("st_transform('POINT (-0.1276 51.5072)', 4326, 27700)"),
+        )
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -396,6 +494,18 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("st_x(tm_origin)") == F.lit(500_000.0))
             & (F.expr("st_y(tm_origin)") == F.lit(-5_300_000.0))
         ).alias("tm_origin_ok"),
+        (
+            (F.col("pd_anchor") == F.lit("POINT (1600000 10000000)"))
+            & (F.col("pd_ca_anchor") == F.lit("POINT (0 -4000000)"))
+        ).alias("pd_anchor_ok"),
+        (
+            (F.col("utm_pd") == F.col("utm"))
+            & (F.col("pd_osgb") == F.col("pd_osgb_tbl"))
+        ).alias("pd_eq_ok"),
+        micro(F.expr("st_x(pd_back)")).alias("pd_rt_lon_micro"),
+        micro(F.expr("st_y(pd_back)")).alias("pd_rt_lat_micro"),
+        F.floor(F.expr("st_x(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_e_cm"),
+        F.floor(F.expr("st_y(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_n_cm"),
     )
 
 

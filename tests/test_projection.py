@@ -567,3 +567,193 @@ def test_tm_pole_is_finite_not_crash(spark):
         "SELECT st_transform('POINT (19 90)', 4326, 2180) AS p"
     ).collect()[0]
     assert row["p"].startswith("POINT (500000 ")
+
+
+class TestProjParamStrings:
+    """'+proj=' parameter strings (r16, VERDICT r15 task 3): published
+    EPSG parameter sets over the existing closed-form kernels."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_nztm_anchor_and_roundtrip(self):
+        # NZGD2000 / NZTM2000 (EPSG:2193, LINZ published definition):
+        # tmerc lat_0=0 lon_0=173E k=0.9996 FE 1 600 km FN 10 000 km GRS80
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        nztm = (
+            "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+            "+y_0=10000000 +ellps=GRS80 +units=m +no_defs"
+        )
+        assert transform_any(self._pt(173.0, 0.0), 4326, nztm).coords == (
+            1_600_000.0,
+            10_000_000.0,
+        )
+        e, n = transform_any(self._pt(174.76, -36.85), 4326, nztm).coords
+        # Auckland lands in the published NZTM range
+        assert 1_740_000 < e < 1_780_000 and 5_900_000 < n < 5_940_000
+        lon, lat = transform_any(self._pt(e, n), nztm, 4326).coords
+        assert abs(lon - 174.76) < 1e-9 and abs(lat + 36.85) < 1e-8
+
+    def test_ups_north_gn72_worked_example(self):
+        # EPSG GN 7-2 §3.2.4 Polar Stereographic VARIANT A worked
+        # example (WGS84 / UPS North, EPSG:5041): k0=0.994,
+        # FE=FN=2 000 km; 73°N 44°E -> E 3 320 416.75, N 632 668.43
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        ups = (
+            "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 "
+            "+ellps=WGS84"
+        )
+        e, n = transform_any(self._pt(44.0, 73.0), 4326, ups).coords
+        assert round(e, 2) == 3_320_416.75 and round(n, 2) == 632_668.43
+        # the pole itself is the false origin, exactly
+        assert transform_any(self._pt(44.0, 90.0), 4326, ups).coords == (
+            2_000_000.0,
+            2_000_000.0,
+        )
+        lon, lat = transform_any(self._pt(e, n), ups, 4326).coords
+        assert abs(lon - 44.0) < 1e-9 and abs(lat - 73.0) < 1e-9
+
+    def test_param_paths_equal_table_paths_exactly(self):
+        # same parameters -> same kernel classes -> bitwise-equal
+        # results; pins that every parameter lands in the right slot
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform,
+            transform_any,
+        )
+
+        pairs = [
+            # UTM 59S vs EPSG:32759
+            ("+proj=utm +zone=59 +south +ellps=WGS84", 32759, (171.5, -41.3)),
+            # British National Grid full params incl. the EPSG:1314
+            # Helmert vs EPSG:27700
+            (
+                "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                "+x_0=400000 +y_0=-100000 +ellps=airy "
+                "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894",
+                27700,
+                (-0.1276, 51.5072),
+            ),
+            # Lambert-93 vs EPSG:2154
+            (
+                "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+                "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+                2154,
+                (2.35, 48.85),
+            ),
+            # LAEA Europe vs EPSG:3035
+            (
+                "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+                "+ellps=GRS80",
+                3035,
+                (10.5, 51.0),
+            ),
+            # Conus Albers vs EPSG:5070
+            (
+                "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+                "+x_0=0 +y_0=0 +ellps=GRS80",
+                5070,
+                (-96.5, 39.0),
+            ),
+            # Antarctic variant-B stere vs EPSG:3032
+            (
+                "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 "
+                "+x_0=6000000 +y_0=6000000 +ellps=WGS84",
+                3032,
+                (120.0, -75.0),
+            ),
+        ]
+        for text, srid, (lon, lat) in pairs:
+            a = transform_any(self._pt(lon, lat), 4326, text).coords
+            b = transform(self._pt(lon, lat), 4326, srid).coords
+            assert a == b, (text, srid, a, b)
+            # and the inverse direction
+            aa = transform_any(self._pt(*a), text, 4326).coords
+            bb = transform(self._pt(*b), srid, 4326).coords
+            assert aa == bb
+
+    def test_california_albers_3310(self):
+        # NAD83 / California Albers (EPSG:3310): aea 34/40.5, origin
+        # (0, -120), FN -4 000 km — a US state grid outside the closed
+        # table; origin anchor is exact
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        ca = (
+            "+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 "
+            "+x_0=0 +y_0=-4000000 +ellps=GRS80 +units=m"
+        )
+        assert transform_any(self._pt(-120.0, 0.0), 4326, ca).coords == (
+            0.0,
+            -4_000_000.0,
+        )
+        e, n = transform_any(self._pt(-118.24, 34.05), 4326, ca).coords
+        lon, lat = transform_any(self._pt(e, n), ca, 4326).coords
+        assert abs(lon + 118.24) < 1e-9 and abs(lat - 34.05) < 1e-7
+
+    def test_longlat_and_towgs84_only(self):
+        # a pure datum leg: longlat + OSGB Helmert must equal the
+        # geodetic part of the 27700 path (inverse-of-inverse identity)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        osgb_geo = (
+            "+proj=longlat +ellps=airy "
+            "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894"
+        )
+        lon, lat = transform_any(self._pt(-0.1276, 51.5072), 4326, osgb_geo).coords
+        # the shift moves London coordinates by order-of-arcseconds
+        assert 1e-5 < abs(lon + 0.1276) < 3e-3 and 1e-5 < abs(lat - 51.5072) < 3e-3
+        back = transform_any(self._pt(lon, lat), osgb_geo, 4326).coords
+        # 1e-8-degree class: the 2-D height-drop through the XYZ hop
+        # (same residue the 27700 path documents)
+        assert abs(back[0] + 0.1276) < 1e-7 and abs(back[1] - 51.5072) < 1e-7
+
+    def test_loud_rejections(self):
+        import pytest as _pytest
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        bads = [
+            "+proj=omerc +lat_0=4",           # unsupported projection
+            "+proj=lcc +lat_1=30 +lat_2=30",  # 1SP degeneracy
+            "+proj=stere +lat_0=52",          # oblique stere
+            "+proj=utm",                      # missing zone
+            "+proj=utm +zone=61",             # zone out of range
+            "+proj=tmerc +units=us-ft",       # non-meter units
+            "+proj=tmerc +foo=1",             # unknown parameter
+            "+proj=tmerc +ellps=venus",       # unknown ellipsoid
+            "+proj=tmerc +a=6378137",         # +a without +rf/+b
+            "+proj=tmerc +datum=NAD27",       # grid-file datum
+            "+proj=aea +lat_1=30",            # aea missing lat_2
+            "no_plus_prefix",                 # bad token
+            "+towgs84=1,2",                   # no +proj
+        ]
+        for text in bads:
+            with _pytest.raises(ValueError):
+                transform_any(self._pt(0.0, 0.0), 4326, text)
+
+    def test_sql_surface_with_proj_strings(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (173 0)', 4326,"
+            " '+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000"
+            " +y_0=10000000 +ellps=GRS80') AS nztm,"
+            " st_transform('POINT (19 0)', 'EPSG:4326', 'EPSG:2180') AS pl,"
+            " st_transform(NULL, 4326, '+proj=utm +zone=1') AS nul"
+        ).collect()[0]
+        assert row["nztm"] == "POINT (1600000 10000000)"
+        assert row["pl"] == "POINT (500000 -5300000)"
+        assert row["nul"] is None
