@@ -309,11 +309,14 @@ def mmax_of(wkt) -> float | None:
 
 def force2d_wkt(wkt) -> str | None:
     """PostGIS ST_Force2D: drop the M, Z, or ZM coordinates (Z via the
-    r15 zcoord codec); plain 2-D input echoes in canonical form."""
+    r15 zcoord codec; collections member-recursive since r16); plain
+    2-D input echoes in canonical form."""
     if wkt is None:
         return None
     from . import zcoord as _z
 
+    if _z.gc_parts(wkt) is not None:
+        return _z._gc_map(wkt, force2d_wkt, "")
     z2 = _z.force2d_z_wkt(wkt)
     if z2 is not None:
         return z2
@@ -360,6 +363,9 @@ def zmflag_of(wkt) -> int | None:
         return 3 if dims == "ZM" else 2
     if parse_m_wkt(wkt) is not None:
         return 1
+    gd = _z.gc_dims(wkt)
+    if gd is not None:  # collections report their members' union (r16)
+        return {"": 0, "M": 1, "Z": 2, "ZM": 3}[gd]
     s = str(wkt).strip()
     if _ov._EMPTY_RE.match(s.upper()):
         return 0

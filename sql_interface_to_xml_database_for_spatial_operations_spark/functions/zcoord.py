@@ -95,6 +95,99 @@ def _fmt(v: float) -> str:
     return G._fmt(v)
 
 
+# --- GEOMETRYCOLLECTION Z / M / ZM (r16, VERDICT r15 task 4) -------------
+#
+# Collections stay OUTSIDE the per-kind payload codec (every consumer
+# below switches on the six simple-feature kinds); instead the GC
+# layer works on the WKT STRING: split the top-level members, recurse
+# the member operation, reassemble with the collection's dim tag.
+# Members self-describe their dimensionality, so mixed/malformed
+# members fail loudly through the member kernels themselves.
+
+_GC_RE = re.compile(
+    r"^\s*GEOMETRYCOLLECTION(?:\s+(ZM|Z|M))?\s*(.*)$", re.I | re.S
+)
+_GC_MAX_DEPTH = 12  # adversarial nesting cap (the wkb.py stance)
+
+
+def gc_parts(wkt):
+    """(dim_tag, [member WKT strings]) for a GEOMETRYCOLLECTION of any
+    dimensionality ('' tag for plain 2-D; EMPTY → []); None when the
+    input is not a collection or the member list is malformed."""
+    if wkt is None:
+        return None
+    mt = _GC_RE.match(str(wkt))
+    if not mt:
+        return None
+    tag = (mt.group(1) or "").upper()
+    rest = mt.group(2).strip()
+    if rest.upper() == "EMPTY":
+        return tag, []
+    body = _strip_parens(rest)
+    if body is None:
+        return None
+    toks = _split_top(body)
+    if toks is None or any(not t for t in toks):
+        return None
+    return tag, toks
+
+
+def _gc_map(wkt, member_fn, tag: str) -> str | None:
+    """Reassembled 'GEOMETRYCOLLECTION <tag> (…)' with ``member_fn``
+    applied to every member (member_fn handles nested collections via
+    its own GC branch); None if any member refuses."""
+    gp = gc_parts(wkt)
+    if gp is None:
+        return None
+    _, toks = gp
+    head = f"GEOMETRYCOLLECTION {tag}".rstrip()
+    if not toks:
+        return f"{head} EMPTY"
+    out = []
+    for t in toks:
+        r = member_fn(t)
+        if r is None:
+            return None
+        out.append(r)
+    return f"{head} (" + ", ".join(out) + ")"
+
+
+def gc_dims(wkt, _depth: int = 0) -> str | None:
+    """'', 'Z', 'M', or 'ZM' for a GEOMETRYCOLLECTION WKT — from the
+    members' own tags (the collection tag is advisory); None when the
+    input is not a well-formed collection. Mixed members report the
+    union of dimensions present (PostGIS collections are uniform; a
+    hand-built mixed one still answers honestly)."""
+    if _depth > _GC_MAX_DEPTH:
+        return None
+    gp = gc_parts(wkt)
+    if gp is None:
+        return None
+    _, toks = gp
+    has_z = has_m = False
+    for t in toks:
+        sub = gc_dims(t, _depth + 1)
+        if sub is None:
+            pz = parse_z_wkt(t)
+            if pz is not None:
+                sub = "ZM" if pz[1] else "Z"
+            else:
+                from . import measure_m as _mm
+
+                if _mm.parse_m_wkt(t) is not None:
+                    sub = "M"
+                elif (
+                    _ov._EMPTY_RE.match(t.strip().upper())
+                    or G.parse_wkt(t) is not None
+                ):
+                    sub = ""
+                else:
+                    return None
+        has_z = has_z or "Z" in sub
+        has_m = has_m or "M" in sub
+    return ("Z" if has_z else "") + ("M" if has_m else "")
+
+
 def _tuple_of(tok: str, width: int):
     parts = tok.split()
     if len(parts) != width:
@@ -315,12 +408,24 @@ def m_of_zm_point(wkt) -> float | None:
     return None
 
 
-def _all_z(wkt) -> list | None:
-    pz = parse_z_wkt(wkt)
-    if pz is None:
+def _all_z(wkt, _depth: int = 0) -> list | None:
+    if _depth > _GC_MAX_DEPTH:
         return None
-    kind, _, payload = pz
-    return [p[2] for p in _iter_pts(kind, payload)]
+    pz = parse_z_wkt(wkt)
+    if pz is not None:
+        kind, _, payload = pz
+        return [p[2] for p in _iter_pts(kind, payload)]
+    gp = gc_parts(wkt)
+    if gp is None:
+        return None
+    # collection: concatenate members' Z values; Z-less members
+    # contribute nothing (PostGIS ST_ZMin over mixed collections)
+    zs: list = []
+    for t in gp[1]:
+        sub = _all_z(t, _depth + 1)
+        if sub is not None:
+            zs.extend(sub)
+    return zs
 
 
 def zmin_of(wkt) -> float | None:
@@ -343,13 +448,16 @@ def _map_pts(kind: str, payload, fn):
     return [[[fn(p) for p in ring] for ring in rings] for rings in payload]
 
 
-def force3d_wkt(wkt, z0=0.0) -> str | None:
+def force3d_wkt(wkt, z0=0.0, _depth: int = 0) -> str | None:
     """PostGIS ST_Force3DZ: XYZ mode. 2-D gains Z = z0; Z echoes;
-    ZM / M-only drop M (force_dims(hasz=1, hasm=0)); collections are
-    outside the codec's kinds → loud NULL."""
+    ZM / M-only drop M (force_dims(hasz=1, hasm=0)); collections
+    recurse member-wise into GEOMETRYCOLLECTION Z (r16 — the r15
+    loud-NULL tier retired)."""
     z = _num(z0)
-    if wkt is None or z is None:
+    if wkt is None or z is None or _depth > _GC_MAX_DEPTH:
         return None
+    if gc_parts(wkt) is not None:
+        return _gc_map(wkt, lambda w: force3d_wkt(w, z, _depth + 1), "Z")
     pz = parse_z_wkt(wkt)
     if pz is not None:
         kind, has_m, payload = pz
@@ -379,13 +487,15 @@ def force3d_wkt(wkt, z0=0.0) -> str | None:
     )
 
 
-def force3dm_wkt(wkt, m0=0.0) -> str | None:
+def force3dm_wkt(wkt, m0=0.0, _depth: int = 0) -> str | None:
     """PostGIS ST_Force3DM: XYM mode. 2-D gains M = m0; M echoes;
     Z drops z and gains M = m0; ZM drops z keeping its M; collections
-    are outside the codec's kinds → loud NULL (the force3d contract)."""
+    recurse member-wise into GEOMETRYCOLLECTION M (r16)."""
     m = _num(m0)
-    if wkt is None or m is None:
+    if wkt is None or m is None or _depth > _GC_MAX_DEPTH:
         return None
+    if gc_parts(wkt) is not None:
+        return _gc_map(wkt, lambda w: force3dm_wkt(w, m, _depth + 1), "M")
     from . import measure_m as _mm
 
     pz = parse_z_wkt(wkt)
@@ -417,12 +527,15 @@ def force3dm_wkt(wkt, m0=0.0) -> str | None:
     )
 
 
-def force4d_wkt(wkt, z0=0.0, m0=0.0) -> str | None:
+def force4d_wkt(wkt, z0=0.0, m0=0.0, _depth: int = 0) -> str | None:
     """PostGIS ST_Force4D: XYZM mode. 2-D gains (z0, m0); Z gains
-    M = m0; M gains Z = z0; ZM echoes canonically."""
+    M = m0; M gains Z = z0; ZM echoes canonically; collections recurse
+    member-wise into GEOMETRYCOLLECTION ZM (r16)."""
     z, m = _num(z0), _num(m0)
-    if wkt is None or z is None or m is None:
+    if wkt is None or z is None or m is None or _depth > _GC_MAX_DEPTH:
         return None
+    if gc_parts(wkt) is not None:
+        return _gc_map(wkt, lambda w: force4d_wkt(w, z, m, _depth + 1), "ZM")
     from . import measure_m as _mm
 
     pz = parse_z_wkt(wkt)
@@ -474,6 +587,9 @@ def ndims_of(wkt) -> int | None:
     ps = _s3.parse_surface_wkt(s)
     if ps is not None:
         return 3 if ps[1] else 2
+    gd = gc_dims(s)
+    if gd is not None:
+        return 2 + len(gd)  # '' 2, 'Z'/'M' 3, 'ZM' 4
     if _ov._EMPTY_RE.match(s.upper()) or G.parse_wkt(s) is not None:
         return 2
     return None
@@ -503,9 +619,24 @@ def force2d_z_wkt(wkt) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def _prims_3d(wkt):
+def _prims_3d(wkt, _depth: int = 0):
     """([points], [segments]) in XYZ (absent Z reads 0), or None for
-    non-puntal/lineal input. Segments are ((x,y,z), (x,y,z))."""
+    non-puntal/lineal input. Segments are ((x,y,z), (x,y,z)).
+    Collections concatenate their members' primitives (r16); any areal
+    member keeps the whole input loud-NULL."""
+    if _depth > _GC_MAX_DEPTH:
+        return None
+    gp = gc_parts(wkt)
+    if gp is not None:
+        pts: list = []
+        segs: list = []
+        for t in gp[1]:
+            sub = _prims_3d(t, _depth + 1)
+            if sub is None:
+                return None
+            pts.extend(sub[0])
+            segs.extend(sub[1])
+        return (pts, segs)
     pz = parse_z_wkt(wkt)
     if pz is not None:
         kind, _, payload = pz

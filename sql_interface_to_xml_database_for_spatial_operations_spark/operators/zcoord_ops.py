@@ -146,6 +146,17 @@ _DROP_LINE = (
     f"{_xyz('minx', 'miny', '0')} || ')'"
 )
 
+# r16: the GEOMETRYCOLLECTION Z fixtures (closed-form member strings)
+_GCZ = (
+    f"'GEOMETRYCOLLECTION Z (POINT Z (' || {_xyz('minx', 'miny', _K)} || '), "
+    f"LINESTRING Z (' || {_xyz('minx', 'miny', f'0 - {_K}')} || ', ' || "
+    f"{_xyz('minx + 1', 'miny + 1', _K)} || '))'"
+)
+_GC2D = f"'GEOMETRYCOLLECTION (POINT (' || {int_str('minx')} || ' ' || {int_str('miny')} || '))'"
+_GCZ_FORCED = (
+    f"'GEOMETRYCOLLECTION Z (POINT Z (' || {_xyz('minx', 'miny', _K)} || '))'"
+)
+
 _Q174_ORACLE = f"""
     WITH boxes AS ({NATION_BOXES_SQL})
     SELECT 'z_acc' AS fam, n_nationkey AS key,
@@ -201,6 +212,14 @@ _Q174_ORACLE = f"""
            CAST(30 * {_A} AS BIGINT) AS a,
            'POINT Z (' || {_xyz('minx', 'miny', '0')} || ')' AS b
     FROM boxes
+    UNION ALL
+    SELECT 'gcz' AS fam, n_nationkey AS key,
+           CAST(0 - {_K} AS BIGINT) AS a, {_GCZ_FORCED} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'gcz_rt' AS fam, n_nationkey AS key,
+           CAST(230 AS BIGINT) AS a, {_GCZ} AS b
+    FROM boxes
 """
 
 
@@ -255,7 +274,11 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND st_3dlength({_PZ}) IS NULL"
             f" AND st_3ddistance({_PZ}, {_POLYZ}) IS NULL"
             " AND st_zmin('POINT Z EMPTY') IS NULL"
-            " AND st_force3d('GEOMETRYCOLLECTION EMPTY') IS NULL"
+            # r16: collections joined the codec — the fence moves to a
+            # junk MEMBER (still loud) and the EMPTY echo is pinned
+            " AND st_force3d('GEOMETRYCOLLECTION (JUNK (1 2))') IS NULL"
+            " AND st_force3d('GEOMETRYCOLLECTION EMPTY')"
+            "     = 'GEOMETRYCOLLECTION Z EMPTY'"
             " THEN 1 ELSE 0 END",
             f"st_force2d({_POLYZ})",
         )
@@ -297,6 +320,24 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perim3d",
             f"st_3dperimeter({_WALL})",
             f"st_3dclosestpoint({_PZ0}, {_PZQ})",
+        )
+    )
+    # r16 (VERDICT r15 task 4): GEOMETRYCOLLECTION Z joins the codec —
+    # member-recursive force casts, accessors over members, zmflag /
+    # ndims, and the WKB ISO-1007 round trip
+    rows = rows.unionByName(
+        fam(
+            "gcz",
+            f"st_zmin({_GCZ})",
+            f"st_force3dz({_GC2D}, CAST({_K} AS DOUBLE))",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "gcz_rt",
+            f"st_zmflag({_GCZ}) * 100 + st_ndims({_GCZ}) * 10"
+            f" + st_zmflag(st_force2d({_GCZ}))",
+            f"st_geomfromwkb(st_asbinary({_GCZ}))",
         )
     )
     return rows

@@ -316,3 +316,161 @@ class TestSurfaceWkb:
         tri = "TRIANGLE ((0 0, 9 0, 0 9, 0 0))"
         b2 = W.wkt_to_ewkb(tri, 27700)
         assert W.ewkb_srid(b2) == 27700 and W.ewkb_to_wkt(b2) == tri
+
+
+class TestCurvedWkb:
+    """r16 (VERDICT r15 task 4): WKB type codes 8-12 decode and
+    linearize through curves.py (PostGIS quad_segs=32 default)."""
+
+    @staticmethod
+    def _cs(pts, order="<"):
+        import struct
+
+        head = struct.pack(order + "BII", 0 if order == ">" else 1, 8, len(pts))
+        return head + b"".join(struct.pack(order + "2d", *p) for p in pts)
+
+    @staticmethod
+    def _ls(pts):
+        import struct
+
+        return struct.pack("<BII", 1, 2, len(pts)) + b"".join(
+            struct.pack("<2d", *p) for p in pts
+        )
+
+    def test_circularstring_matches_curvetoline(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+            wkb as W,
+        )
+
+        out = W.wkb_to_wkt(self._cs([(0, 0), (1, 1), (2, 0)]))
+        assert out == C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", 32)
+        assert out.startswith("LINESTRING (0 0, ")
+        # big-endian decodes identically
+        assert W.wkb_to_wkt(self._cs([(0, 0), (1, 1), (2, 0)], ">")) == out
+
+    def test_compound_curvepolygon_multi(self):
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+            wkb as W,
+        )
+
+        cc = (
+            struct.pack("<BII", 1, 9, 2)
+            + self._cs([(0, 0), (1, 1), (2, 0)])
+            + self._ls([(2, 0), (4, 0)])
+        )
+        assert W.wkb_to_wkt(cc) == C.curvetoline_wkt(
+            "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0), (2 0, 4 0))", 32
+        )
+        ring = self._cs([(0, 0), (2, 2), (4, 0), (2, -2), (0, 0)])
+        cp = struct.pack("<BII", 1, 10, 1) + ring
+        assert W.wkb_to_wkt(cp) == C.curvetoline_wkt(
+            "CURVEPOLYGON (CIRCULARSTRING (0 0, 2 2, 4 0, 2 -2, 0 0))", 32
+        )
+        mc = (
+            struct.pack("<BII", 1, 11, 2)
+            + self._cs([(0, 0), (1, 1), (2, 0)])
+            + self._ls([(5, 5), (6, 6)])
+        )
+        out = W.wkb_to_wkt(mc)
+        assert out.startswith("MULTILINESTRING (")
+        ms = (
+            struct.pack("<BII", 1, 12, 2)
+            + cp
+            + struct.pack("<BII", 1, 3, 1)
+            + struct.pack("<I", 4)
+            + b"".join(
+                struct.pack("<2d", *p)
+                for p in [(10, 10), (11, 10), (11, 11), (10, 10)]
+            )
+        )
+        out = W.wkb_to_wkt(ms)
+        assert out.startswith("MULTIPOLYGON (") and "10 10" in out
+
+    def test_curved_rejections(self):
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        # even point count, dimensional curves, wrong member kinds
+        assert W.wkb_to_wkt(self._cs([(0, 0), (1, 1), (2, 0), (3, 3)])) is None
+        assert (
+            W.wkb_to_wkt(struct.pack("<BII", 1, 1008, 3) + b"\x00" * 72)
+            is None
+        )
+        # a CURVEPOLYGON inside a COMPOUNDCURVE is malformed
+        ring = self._cs([(0, 0), (2, 2), (4, 0), (2, -2), (0, 0)])
+        cp = struct.pack("<BII", 1, 10, 1) + ring
+        bad = struct.pack("<BII", 1, 9, 1) + cp
+        assert W.wkb_to_wkt(bad) is None
+
+    def test_gc_member_curve_linearizes(self):
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        gc = (
+            struct.pack("<BII", 1, 7, 2)
+            + self._cs([(0, 0), (1, 1), (2, 0)])
+            + self._ls([(9, 9), (10, 10)])
+        )
+        out = W.wkb_to_wkt(gc)
+        assert out.startswith("GEOMETRYCOLLECTION (LINESTRING (0 0, ")
+        assert "LINESTRING (9 9, 10 10)" in out
+
+
+class TestDimensionalCollectionWkb:
+    """r16: GEOMETRYCOLLECTION Z / M / ZM through WKB and EWKB."""
+
+    def test_roundtrips(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        import struct
+
+        for wkt, code in [
+            (
+                "GEOMETRYCOLLECTION Z (POINT Z (1 2 3), "
+                "LINESTRING Z (0 0 1, 2 2 5))",
+                1007,
+            ),
+            ("GEOMETRYCOLLECTION M (POINT M (1 2 9))", 2007),
+            ("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))", 3007),
+            ("GEOMETRYCOLLECTION Z EMPTY", 1007),
+            (
+                "GEOMETRYCOLLECTION Z (GEOMETRYCOLLECTION Z (POINT Z (1 2 3)))",
+                1007,
+            ),
+        ]:
+            b = W.wkt_to_wkb(wkt)
+            assert struct.unpack_from("<I", b, 1)[0] == code
+            assert W.wkb_to_wkt(b) == wkt
+        # EWKB carries the SRID over the ISO body
+        eb = W.wkt_to_ewkb("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))", 4326)
+        assert W.ewkb_srid(eb) == 4326
+        assert W.ewkb_to_wkt(eb) == "GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))"
+
+    def test_mixed_member_dims_refuse(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        assert (
+            W.wkt_to_wkb("GEOMETRYCOLLECTION Z (POINT Z (1 2 3), POINT (1 2))")
+            is None
+        )
+
+    def test_udf_roundtrip(self, spark):
+        row = spark.sql(
+            "SELECT st_geomfromwkb(st_asbinary("
+            "'GEOMETRYCOLLECTION Z (POINT Z (1 2 3))')) AS rt"
+        ).collect()[0]
+        assert row["rt"] == "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))"

@@ -119,8 +119,15 @@ class TestForce:
     def test_force3d_empty_and_refusals(self):
         assert Z.force3d_wkt("POLYGON EMPTY") == "POLYGON Z EMPTY"
         assert Z.force3d_wkt("POINT Z EMPTY") == "POINT Z EMPTY"
-        assert Z.force3d_wkt("GEOMETRYCOLLECTION (POINT (1 2))") is None
-        assert Z.force3d_wkt("GEOMETRYCOLLECTION EMPTY") is None
+        # GEOMETRYCOLLECTION recurses member-wise since r16
+        assert (
+            Z.force3d_wkt("GEOMETRYCOLLECTION (POINT (1 2))")
+            == "GEOMETRYCOLLECTION Z (POINT Z (1 2 0))"
+        )
+        assert Z.force3d_wkt("GEOMETRYCOLLECTION EMPTY") == (
+            "GEOMETRYCOLLECTION Z EMPTY"
+        )
+        assert Z.force3d_wkt("GEOMETRYCOLLECTION (JUNK (1 2))") is None
         assert Z.force3d_wkt("junk((") is None
         assert Z.force3d_wkt("POINT (1 2)", float("nan")) is None
 
@@ -372,7 +379,9 @@ def test_force3dm_modes():
     assert Z.force3dm_wkt("POINT M (1 2 9)") == "POINT M (1 2 9)"
     assert Z.force3dm_wkt("POINT EMPTY") == "POINT M EMPTY"
     assert Z.force3dm_wkt("POINT Z EMPTY") == "POINT M EMPTY"
-    assert Z.force3dm_wkt("GEOMETRYCOLLECTION (POINT (1 2))") is None
+    assert Z.force3dm_wkt("GEOMETRYCOLLECTION (POINT (1 2))") == (
+        "GEOMETRYCOLLECTION M (POINT M (1 2 0))"
+    )
     assert Z.force3dm_wkt("junk") is None
 
 
@@ -419,3 +428,89 @@ def test_xy_accessors_on_dimensional_points(spark):
     assert row["bad"] is None or row["bad"] != row["bad"]  # NaN/NULL
     assert row["d"] == 5.0  # PostGIS: 2-D distance on Z points
     assert row["nd"] == 4 and row["cd"] == 3
+
+
+class TestGeometryCollectionZ:
+    """r16 (VERDICT r15 task 4): the Z codec's GEOMETRYCOLLECTION
+    closure — member-recursive force family, accessors, 3-D kernels."""
+
+    GC = "GEOMETRYCOLLECTION Z (POINT Z (1 2 3), LINESTRING Z (0 0 1, 2 2 5))"
+
+    def test_force_family(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            measure_m as M,
+            zcoord as Z,
+        )
+
+        assert Z.force3d_wkt(self.GC) == self.GC  # canonical echo
+        assert Z.force3d_wkt(
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 2))", 7
+        ) == (
+            "GEOMETRYCOLLECTION Z (POINT Z (1 2 7), "
+            "LINESTRING Z (0 0 7, 2 2 7))"
+        )
+        assert Z.force3dm_wkt(self.GC, 9) == (
+            "GEOMETRYCOLLECTION M (POINT M (1 2 9), "
+            "LINESTRING M (0 0 9, 2 2 9))"
+        )
+        assert Z.force4d_wkt(self.GC, 0, 4) == (
+            "GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4), "
+            "LINESTRING ZM (0 0 1 4, 2 2 5 4))"
+        )
+        assert M.force2d_wkt(self.GC) == (
+            "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 2))"
+        )
+        # nesting recurses; junk members stay loud
+        assert Z.force3d_wkt(
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (3 4)))", 1
+        ) == "GEOMETRYCOLLECTION Z (GEOMETRYCOLLECTION Z (POINT Z (3 4 1)))"
+        assert Z.force3d_wkt("GEOMETRYCOLLECTION Z (JUNK (1 2))") is None
+        # adversarial nesting past the cap is a NULL, not a crash
+        deep = "GEOMETRYCOLLECTION (" * 40 + "POINT (1 2)" + ")" * 40
+        assert Z.force3d_wkt(deep) is None
+
+    def test_accessors(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            measure_m as M,
+            zcoord as Z,
+        )
+
+        assert Z.zmin_of(self.GC) == 1.0 and Z.zmax_of(self.GC) == 5.0
+        # mixed members: Z-less members contribute nothing
+        assert Z.zmin_of(
+            "GEOMETRYCOLLECTION (POINT (9 9), POINT Z (0 0 -5))"
+        ) == -5.0
+        assert Z.ndims_of(self.GC) == 3
+        assert Z.ndims_of("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))") == 4
+        assert Z.ndims_of("GEOMETRYCOLLECTION (POINT (1 2))") == 2
+        assert M.zmflag_of(self.GC) == 2
+        assert M.zmflag_of("GEOMETRYCOLLECTION M (POINT M (1 2 3))") == 1
+        assert M.zmflag_of("GEOMETRYCOLLECTION (POINT (1 2))") == 0
+
+    def test_3d_kernels(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        import math
+
+        # nearest feature is the segment end (2, 2, 5): d = sqrt(10)
+        d = Z.distance3d_wkt(self.GC, "POINT Z (1 2 8)")
+        assert abs(d - math.sqrt(10.0)) < 1e-12
+        # an areal member keeps the collection loud
+        gc_areal = (
+            "GEOMETRYCOLLECTION Z (POLYGON Z ((0 0 0, 1 0 0, 1 1 0, 0 0 0)))"
+        )
+        assert Z.distance3d_wkt(gc_areal, "POINT Z (0 0 0)") is None
+
+    def test_udf_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_force3d('GEOMETRYCOLLECTION (POINT (1 2))') AS f,"
+            " st_zmin('GEOMETRYCOLLECTION Z (POINT Z (1 2 3))') AS zmin,"
+            " st_ndims('GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))') AS nd,"
+            " st_force2d('GEOMETRYCOLLECTION Z (POINT Z (1 2 3))') AS f2"
+        ).collect()[0]
+        assert row["f"] == "GEOMETRYCOLLECTION Z (POINT Z (1 2 0))"
+        assert row["zmin"] == 3.0
+        assert row["nd"] == 4
+        assert row["f2"] == "GEOMETRYCOLLECTION (POINT (1 2))"
