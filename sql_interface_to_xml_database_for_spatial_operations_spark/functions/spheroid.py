@@ -43,7 +43,7 @@ import re
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from . import geometry as G
 from . import overlay as _ov
@@ -315,6 +315,52 @@ def distancespheroid_of(a_wkt, b_wkt, spheroid=None) -> float | None:
     return _inverse(a[0], a[1], b[0], b[1], *sph)
 
 
+def chord_3d(lon1, lat1, lon2, lat2, a=_A, f=_F) -> float:
+    """Straight-line (through-the-ellipsoid) distance between two
+    surface points — a rigorous LOWER bound on the geodesic (the
+    chord is the shortest path in R³), used to skip the Vincenty
+    iteration for far pairs (VERDICT r15 task 5)."""
+    e2 = f * (2.0 - f)
+
+    def xyz(lon, lat):
+        phi, lam = math.radians(lat), math.radians(lon)
+        s, c = math.sin(phi), math.cos(phi)
+        nu = a / math.sqrt(1.0 - e2 * s * s)
+        return (nu * c * math.cos(lam), nu * c * math.sin(lam), nu * (1.0 - e2) * s)
+
+    p, q = xyz(lon1, lat1), xyz(lon2, lat2)
+    return math.sqrt(
+        (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2
+    )
+
+
+def dwithinspheroid_of(a_wkt, b_wkt, dist, spheroid=None) -> bool | None:
+    """ST_DWithinSpheroid: the predicate form of ST_DistanceSpheroid
+    (PostGIS geography ST_DWithin shape with the explicit spheroid-text
+    argument). POINT × POINT like the distance kernel; the chord lower
+    bound answers False for far pairs WITHOUT running the Vincenty /
+    antipodal iteration — at 100 TB the overwhelming share of pairs in
+    a radius search are far, so the hot path is pure trig."""
+    sph = parse_spheroid(spheroid)
+    if sph is None or dist is None:
+        return None
+    try:
+        d = float(dist)
+    except (TypeError, ValueError):
+        return None
+    if not math.isfinite(d):
+        return None
+    a, b = _lonlat(a_wkt), _lonlat(b_wkt)
+    if a is None or b is None:
+        return None
+    if d < 0.0:
+        return False  # a negative radius contains nothing (planar st_dwithin)
+    if chord_3d(a[0], a[1], b[0], b[1], *sph) > d:
+        return False  # geodesic >= chord > d: no iteration needed
+    g = _inverse(a[0], a[1], b[0], b[1], *sph)
+    return None if g is None else g <= d
+
+
 def lengthspheroid_of(wkt, spheroid=None) -> float | None:
     sph = parse_spheroid(spheroid)
     if wkt is None or sph is None:
@@ -354,6 +400,123 @@ def lengthspheroid_of(wkt, spheroid=None) -> float | None:
             if d is None:
                 return None
             total += d
+    return total
+
+
+def _authalic_setup(a: float, f: float):
+    """(q_p, e) of the ellipsoid — q(φ) is Snyder's authalic function
+    (USGS PP 1395 eq. 3-12, shared with the LAEA kernel)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    qp = (1.0 - e2) * (
+        1.0 / (1.0 - e2)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e) / (1.0 + e))
+    )
+    return qp, e
+
+
+def _authalic_beta(lat_deg: float, qp: float, e: float) -> float:
+    e2 = e * e
+    s = math.sin(math.radians(lat_deg))
+    q = (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+    )
+    return math.asin(max(-1.0, min(1.0, q / qp)))
+
+
+def _ring_excess(ring, qp: float, e: float) -> float:
+    """Signed spherical excess of one ring on the authalic sphere:
+    vertices map to (λ, β) and the excess sums fan triangles via the
+    van Oosterom & Strackee (1983) signed formula
+    tan(E/2) = v1·(v2×v3) / (1 + v1·v2 + v2·v3 + v3·v1). e = 0 is the
+    true-sphere limit (β = geodetic latitude)."""
+    vs = []
+    for x, y in ring[:-1]:
+        b = math.radians(y) if e == 0.0 else _authalic_beta(y, qp, e)
+        lam = math.radians(x)
+        vs.append(
+            (
+                math.cos(b) * math.cos(lam),
+                math.cos(b) * math.sin(lam),
+                math.sin(b),
+            )
+        )
+    if len(vs) < 3:
+        return 0.0
+    total = 0.0
+    v1 = vs[0]
+    for v2, v3 in zip(vs[1:], vs[2:]):
+        num = (
+            v1[0] * (v2[1] * v3[2] - v2[2] * v3[1])
+            + v1[1] * (v2[2] * v3[0] - v2[0] * v3[2])
+            + v1[2] * (v2[0] * v3[1] - v2[1] * v3[0])
+        )
+        den = (
+            1.0
+            + (v1[0] * v2[0] + v1[1] * v2[1] + v1[2] * v2[2])
+            + (v2[0] * v3[0] + v2[1] * v3[1] + v2[2] * v3[2])
+            + (v3[0] * v1[0] + v3[1] * v1[1] + v3[2] * v1[2])
+        )
+        total += 2.0 * math.atan2(num, den)
+    return total
+
+
+def areaspheroid_of(wkt, spheroid=None) -> float | None:
+    """Geodesic polygon area in m² — the PostGIS geography ST_Area
+    analog under this module's *spheroid naming convention.
+
+    Method: map vertices to the AUTHALIC sphere (radius R_q =
+    a·√(q_p/2) — the equal-area image of the ellipsoid, Snyder PP 1395
+    §3) and take the spherical excess with great-circle edges. Exact
+    for polygons bounded by meridians and the equator (those geodesics
+    map to great circles); general geodesic edges pick up an
+    O(f · per-edge-span) approximation — sub-ppm for the sub-degree
+    edges real datasets carry, documented rather than hidden. Holes
+    subtract; MultiPolygon sums; each ring uses |excess| so winding
+    never flips the sign (PostGIS behavior). Rings spanning more than
+    a hemisphere from their first vertex are outside the fan
+    decomposition's domain → loud NULL via the excess magnitude guard.
+    Points/lines → 0.0 (PostGIS ST_Area)."""
+    sph = parse_spheroid(spheroid)
+    if wkt is None or sph is None:
+        return None
+    a, f = sph
+    if f <= 0.0:  # SPHEROID[...,r,0]: a true sphere — q_p limit 2
+        qp, e = 2.0, 0.0
+    else:
+        qp, e = _authalic_setup(a, f)
+    s = str(wkt).strip()
+    m = _ov._EMPTY_RE.match(s.upper())
+    if m:
+        return 0.0 if m.group(1) in (
+            "POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING",
+            "POLYGON", "MULTIPOLYGON",
+        ) else None
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        return 0.0
+    if g.kind == "Polygon":
+        polys = [g.coords]
+    elif g.kind == "MultiPolygon":
+        polys = g.coords
+    else:
+        return None  # collections: loud
+    r2 = a * a * qp / 2.0  # R_q²
+    total = 0.0
+    for rings in polys:
+        for j, ring in enumerate(rings):
+            for x, y in ring:
+                if not (math.isfinite(x) and math.isfinite(y)):
+                    return None
+                if not (-180.0 <= x <= 180.0 and -90.0 <= y <= 90.0):
+                    return None
+            exc = _ring_excess(ring, qp, e)
+            if abs(exc) > 2.0 * math.pi:
+                return None  # fan decomposition out of domain: loud
+            total += abs(exc) * r2 * (1.0 if j == 0 else -1.0)
     return total
 
 
@@ -567,11 +730,66 @@ def st_lengthspheroid(wkt: pd.Series, sph: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object").astype("float64")
 
 
+@pandas_udf(BooleanType())
+def st_dwithinspheroid(
+    a: pd.Series, b: pd.Series, d: pd.Series, sph: pd.Series
+) -> pd.Series:
+    """ST_DWithinSpheroid(geom, geom, dist_m, spheroid_text) — the
+    predicate form of st_distancespheroid (chord fast-reject)."""
+    out = []
+    for x, y, dv, s in zip(a, b, d, sph):
+        try:
+            dn = None if dv is None or (
+                isinstance(dv, float) and math.isnan(dv)
+            ) else dv
+            out.append(dwithinspheroid_of(x, y, dn, s))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(DoubleType())
+def st_areaspheroid(wkt: pd.Series, sph: pd.Series) -> pd.Series:
+    """ST_AreaSpheroid(geom, spheroid_text) — geodesic polygon area in
+    m² (the PostGIS geography ST_Area analog; authalic-sphere method,
+    see areaspheroid_of)."""
+    out = []
+    for w, s in zip(wkt, sph):
+        try:
+            out.append(areaspheroid_of(w, s))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object").astype("float64")
+
+
+@pandas_udf(DoubleType())
+def st_perimeterspheroid(wkt: pd.Series, sph: pd.Series) -> pd.Series:
+    """ST_PerimeterSpheroid(geom, spheroid_text) — geodesic perimeter
+    of areal geometry (the PostGIS geography ST_Perimeter analog):
+    the Vincenty per-segment sum over every ring; lineal input → 0.0
+    (PostGIS ST_Perimeter ignores lines)."""
+    out = []
+    for w, s in zip(wkt, sph):
+        try:
+            v = lengthspheroid_of(w, s)
+            if v is not None and w is not None:
+                up = str(w).strip().upper()
+                if up.startswith(("LINESTRING", "MULTILINESTRING")):
+                    v = 0.0
+            out.append(v)
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype="object").astype("float64")
+
+
 ALL_SPHEROID_FUNCTIONS = {
     "st_distancespheroid": st_distancespheroid,
     "st_lengthspheroid": st_lengthspheroid,
     "st_projectspheroid": st_projectspheroid,
     "st_azimuthspheroid": st_azimuthspheroid,
+    "st_dwithinspheroid": st_dwithinspheroid,
+    "st_areaspheroid": st_areaspheroid,
+    "st_perimeterspheroid": st_perimeterspheroid,
 }
 
 

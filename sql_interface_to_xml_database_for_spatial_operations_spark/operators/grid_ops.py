@@ -680,7 +680,107 @@ _FAMILIES["sphd_project"] = (
     " < 0.002 THEN '1' ELSE '0' END"
 )
 
+# st_dwithinspheroid (r16, VERDICT r15 task 5): the predicate form of
+# the Vincenty kernel — pairs straddling the EXACT equatorial arc
+# (s = a·Δλ) and the published quarter meridian; the far fast-reject
+# (chord lower bound), negative-radius False, coincident 0-radius
+# True, the malformed-spheroid loud NULL, and a key-dependent bracket
+# around the row's own st_distancespheroid value.
+_NULL_SPH = "CAST(NULL AS STRING)"
+_FAMILIES["sphd_dwithin"] = (
+    "CASE WHEN st_dwithinspheroid('POINT (0 0)', 'POINT (1 0)',"
+    f" 6378137.0 * radians(1.0) + 0.001, {_NULL_SPH})"
+    " AND NOT st_dwithinspheroid('POINT (0 0)', 'POINT (1 0)',"
+    f" 6378137.0 * radians(1.0) - 0.001, {_NULL_SPH})"
+    " THEN '1' ELSE '0' END"
+    " || CASE WHEN st_dwithinspheroid('POINT (0 0)', 'POINT (0 90)',"
+    f" 10001965.7393D, {_NULL_SPH})"
+    " AND NOT st_dwithinspheroid('POINT (0 0)', 'POINT (0 90)',"
+    f" 10001965.7193D, {_NULL_SPH})"
+    " THEN '1' ELSE '0' END"
+    " || CASE WHEN NOT st_dwithinspheroid('POINT (0 0)', 'POINT (90 0)',"
+    f" 1000.0D, {_NULL_SPH})"
+    " AND NOT st_dwithinspheroid('POINT (0 0)', 'POINT (1 0)',"
+    f" -5.0D, {_NULL_SPH})"
+    f" AND st_dwithinspheroid('POINT (5 5)', 'POINT (5 5)', 0.0D, {_NULL_SPH})"
+    " THEN '1' ELSE '0' END"
+    " || COALESCE(CAST(st_dwithinspheroid('POINT (0 0)', 'POINT (1 0)',"
+    " 1.0D, 'SPHEROID[oops]') AS STRING), 'N')"
+    f" || CASE WHEN st_dwithinspheroid({_SPHP_PT}, {_SPHP_Q},"
+    f" st_distancespheroid({_SPHP_PT}, {_SPHP_Q}, {_NULL_SPH}) + 0.001,"
+    f" {_NULL_SPH})"
+    f" AND NOT st_dwithinspheroid({_SPHP_PT}, {_SPHP_Q},"
+    f" st_distancespheroid({_SPHP_PT}, {_SPHP_Q}, {_NULL_SPH}) - 0.001,"
+    f" {_NULL_SPH}) THEN '1' ELSE '0' END"
+)
+
+# st_areaspheroid / st_perimeterspheroid (r16): geodesic polygon area
+# on the authalic sphere (van Oosterom–Strackee excess over authalic
+# latitudes — EXACT for meridian/equator-bounded polygons because
+# those geodesics map to great circles). The octant family pins the
+# closed form (π/2)·R_q² = (π/2)·a²·q_p/2 at the kilo-m² quantum (the
+# fixed WGS84 value's fraction sits far from the rounding boundary);
+# the key-dependent lune (two meridians Δλ = 1+k%30 apart, excess =
+# Δλ rad) and the perimeter anchor compare engine-vs-closed-form
+# INSIDE Spark SQL (the sphd_perim_ok pattern) so no cross-engine
+# float boundary exists; props packs winding independence, exact hole
+# subtraction, lineal/puntal zeros, the collection loud NULL, and the
+# sphere (rf = 0) octant closed form r²π/2.
+_QP_SQL = (
+    "((1.0 - 0.0066943799901413165) * (1.0 / (1.0 - 0.0066943799901413165)"
+    " - (1.0 / (2.0 * 0.0818191908426215)) *"
+    " ln((1.0 - 0.0818191908426215) / (1.0 + 0.0818191908426215))))"
+)
+_R2_SQL = f"(6378137.0 * 6378137.0 * {_QP_SQL} / 2.0)"
+_OCT = "'POLYGON ((0 0, 90 0, 0 90, 0 0))'"
+_LUNE_D = "(1 + n_nationkey % 30)"
+_LUNE = (
+    "'POLYGON ((0 0, ' || CAST(1 + n_nationkey % 30 AS STRING)"
+    " || ' 0, 0 90, 0 0))'"
+)
+_FAMILIES["spha_oct"] = (
+    "CAST(CAST(floor(st_areaspheroid("
+    f"{_OCT}, {_NULL_SPH}) / 1000.0 + 0.5) AS BIGINT) AS STRING)"
+)
+_FAMILIES["spha_lune_ok"] = (
+    f"CAST(abs(st_areaspheroid({_LUNE}, {_NULL_SPH})"
+    f" - {_R2_SQL} * radians(CAST({_LUNE_D} AS DOUBLE)))"
+    f" / ({_R2_SQL} * radians(CAST({_LUNE_D} AS DOUBLE))) < 1e-12 AS STRING)"
+)
+_FAMILIES["spha_perim_ok"] = (
+    f"CAST(abs(st_perimeterspheroid({_OCT}, {_NULL_SPH})"
+    " - (6378137.0 * pi() / 2 + 2 * 10001965.7293)) < 0.005 AS STRING)"
+)
+_FAMILIES["spha_props"] = (
+    "CASE WHEN st_areaspheroid('POLYGON ((0 0, 90 0, 0 90, 0 0))',"
+    f" {_NULL_SPH}) = st_areaspheroid('POLYGON ((0 0, 0 90, 90 0, 0 0))',"
+    f" {_NULL_SPH}) THEN '1' ELSE '0' END"
+    " || CASE WHEN abs(st_areaspheroid("
+    "'POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), (10 10, 20 10, 20 20, 10 20, 10 10))',"
+    f" {_NULL_SPH}) - (st_areaspheroid("
+    f"'POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))', {_NULL_SPH})"
+    " - st_areaspheroid('POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))',"
+    f" {_NULL_SPH}))) < 1.0 THEN '1' ELSE '0' END"
+    f" || CASE WHEN st_areaspheroid('LINESTRING (0 0, 1 1)', {_NULL_SPH}) = 0.0D"
+    f" AND st_areaspheroid('POINT (3 4)', {_NULL_SPH}) = 0.0D"
+    f" AND st_perimeterspheroid('LINESTRING (10 0, 11 0)', {_NULL_SPH}) = 0.0D"
+    " THEN '1' ELSE '0' END"
+    " || COALESCE(CAST(st_areaspheroid("
+    f"'GEOMETRYCOLLECTION (POINT (1 1))', {_NULL_SPH}) AS STRING), 'N')"
+    " || CASE WHEN abs(st_areaspheroid('POLYGON ((0 0, 90 0, 0 90, 0 0))',"
+    " 'SPHEROID[\"s\",6371000,0]')"
+    " - 6371000.0 * 6371000.0 * pi() / 2) < 1.0 THEN '1' ELSE '0' END"
+)
+
 _ORACLE_VALS = {
+    "sphd_dwithin": "'111N1'",
+    "spha_oct": (
+        f"CAST(CAST(floor({_R2_SQL} * pi() / 2.0 / 1000.0 + 0.5)"
+        " AS BIGINT) AS VARCHAR)"
+    ),
+    "spha_lune_ok": "'true'",
+    "spha_perim_ok": "'true'",
+    "spha_props": "'111N1'",
     "sphd_project": "'11'",
     "sphd_azimuth": "'1'",
     "svg_poly": _SVG_EXPECT,
@@ -912,7 +1012,7 @@ _ORACLE_VALS = {
 # map-only UDF projections and both are EXPOSED this round, so the
 # move costs nothing in window bookkeeping.
 _GEODESY_PREFIXES = (
-    "gh", "sphd", "kml", "gml", "svg", "llt",
+    "gh", "sphd", "spha", "kml", "gml", "svg", "llt",
     "ctl", "cc", "cp", "mc", "ms", "f2d",
 )
 

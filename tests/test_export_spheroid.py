@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import math
+import random
 
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geo_export as X
 from sql_interface_to_xml_database_for_spatial_operations_spark.functions import geometry as G
@@ -250,3 +251,159 @@ def test_azimuth_spheroid():
         d = S._inverse(lon1, lat1, lon2, lat2)
         out = S.vincenty_direct(lon1, lat1, d, math.degrees(az))
         assert S._inverse(out[0], out[1], lon2, lat2) < 1e-6
+
+
+class TestDWithinSpheroid:
+    """r16 (VERDICT r15 task 5): the predicate form of the Vincenty
+    kernel, with the chord lower bound as the far-pair fast path."""
+
+    EQ_1DEG = 6378137.0 * math.pi / 180.0  # equatorial arc: s = a·Δλ exactly
+    QUARTER_MERIDIAN = 10_001_965.7293  # WGS84, published
+
+    def test_equator_threshold(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            dwithinspheroid_of,
+        )
+
+        a, b = "POINT (0 0)", "POINT (1 0)"
+        assert dwithinspheroid_of(a, b, self.EQ_1DEG + 0.001) is True
+        assert dwithinspheroid_of(a, b, self.EQ_1DEG - 0.001) is False
+
+    def test_meridian_threshold(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            dwithinspheroid_of,
+        )
+
+        a, b = "POINT (0 0)", "POINT (0 90)"
+        assert dwithinspheroid_of(a, b, self.QUARTER_MERIDIAN + 0.01) is True
+        assert dwithinspheroid_of(a, b, self.QUARTER_MERIDIAN - 0.01) is False
+
+    def test_chord_fast_reject_agrees_with_kernel(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            chord_3d,
+            distancespheroid_of,
+            dwithinspheroid_of,
+        )
+
+        rng = random.Random(16)
+        for _ in range(200):
+            lon1, lat1 = rng.uniform(-180, 180), rng.uniform(-89, 89)
+            lon2, lat2 = rng.uniform(-180, 180), rng.uniform(-89, 89)
+            a, b = f"POINT ({lon1} {lat1})", f"POINT ({lon2} {lat2})"
+            g = distancespheroid_of(a, b)
+            if g is None:
+                continue
+            # the chord is a true lower bound
+            assert chord_3d(lon1, lat1, lon2, lat2) <= g + 1e-6
+            # predicate agrees with the distance on both sides
+            assert dwithinspheroid_of(a, b, g * 1.0000001) is True
+            assert dwithinspheroid_of(a, b, g * 0.9999) is False
+
+    def test_antipodal_window(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            dwithinspheroid_of,
+        )
+
+        # Karney (2013) worked example: 19 989 832.827 610 m
+        a, b = "POINT (0 -30)", "POINT (179.8 29.9)"
+        assert dwithinspheroid_of(a, b, 19_989_833.0) is True
+        assert dwithinspheroid_of(a, b, 19_989_832.0) is False
+
+    def test_null_and_refusals(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            dwithinspheroid_of,
+        )
+
+        assert dwithinspheroid_of(None, "POINT (0 0)", 1.0) is None
+        assert dwithinspheroid_of("POINT (0 0)", "LINESTRING (0 0, 1 1)", 1.0) is None
+        assert dwithinspheroid_of("POINT (200 0)", "POINT (0 0)", 1.0) is None
+        assert dwithinspheroid_of("POINT (0 0)", "POINT (1 0)", None) is None
+        assert dwithinspheroid_of("POINT (0 0)", "POINT (1 0)", float("nan")) is None
+        assert dwithinspheroid_of("POINT (0 0)", "POINT (1 0)", -5.0) is False
+        assert dwithinspheroid_of("POINT (0 0)", "POINT (0 0)", 0.0) is True
+        assert (
+            dwithinspheroid_of("POINT (0 0)", "POINT (1 0)", 1.0, "SPHEROID[junk")
+            is None
+        )
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_dwithinspheroid('POINT (0 0)', 'POINT (1 0)',"
+            " 111320.0D, NULL) AS near,"
+            " st_dwithinspheroid('POINT (0 0)', 'POINT (90 0)',"
+            " 1000.0D, NULL) AS far,"
+            " st_dwithinspheroid(NULL, 'POINT (0 0)', 1.0D, NULL) AS nul"
+        ).collect()[0]
+        assert row["near"] is True and row["far"] is False and row["nul"] is None
+
+
+class TestAreaSpheroid:
+    """r16: geodesic polygon area on the authalic sphere (van
+    Oosterom–Strackee excess over authalic latitudes)."""
+
+    def test_octant_and_lune_exact(self):
+        # meridian/equator-bounded polygons are EXACT (those geodesics
+        # map to great circles on the authalic sphere)
+        qp, e = S._authalic_setup(6378137.0, 1.0 / 298.257223563)
+        r2 = 6378137.0**2 * qp / 2.0
+        # the authalic mean radius itself is a published WGS84 constant
+        assert abs(math.sqrt(r2) - 6371007.1809) < 1e-3
+        a = S.areaspheroid_of("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+        assert a == r2 * math.pi / 2.0
+        for d in (1, 7, 30, 89):
+            lune = S.areaspheroid_of(f"POLYGON ((0 0, {d} 0, 0 90, 0 0))")
+            assert abs(lune - r2 * math.radians(d)) <= 1e-12 * lune
+
+    def test_winding_holes_and_multipolygon(self):
+        a1 = S.areaspheroid_of("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+        a2 = S.areaspheroid_of("POLYGON ((0 0, 0 90, 90 0, 0 0))")
+        assert a1 == a2  # winding-independent (abs per ring)
+        outer = S.areaspheroid_of("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))")
+        hole = S.areaspheroid_of("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+        holed = S.areaspheroid_of(
+            "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0),"
+            " (10 10, 20 10, 20 20, 10 20, 10 10))"
+        )
+        assert abs(holed - (outer - hole)) < 1e-6
+        two = S.areaspheroid_of(
+            "MULTIPOLYGON (((0 0, 40 0, 40 40, 0 40, 0 0)),"
+            " ((50 0, 60 0, 60 10, 50 10, 50 0)))"
+        )
+        small = S.areaspheroid_of("POLYGON ((50 0, 60 0, 60 10, 50 10, 50 0))")
+        assert abs(two - (outer + small)) < 1e-6
+
+    def test_small_square_matches_planar(self):
+        # a 0.1° square at the equator ≈ (Δλ·N·cosφ)·(Δφ·M) planar
+        a = S.areaspheroid_of("POLYGON ((0 0, 0.1 0, 0.1 0.1, 0 0.1, 0 0))")
+        assert abs(a / 1e6 - 123.09) < 0.05  # km², planar cross-check
+
+    def test_sphere_and_custom_spheroid(self):
+        a = S.areaspheroid_of(
+            "POLYGON ((0 0, 90 0, 0 90, 0 0))", 'SPHEROID["s",6371000,0]'
+        )
+        assert abs(a - 6371000.0**2 * math.pi / 2.0) < 1.0
+
+    def test_zeros_nulls_and_refusals(self):
+        assert S.areaspheroid_of("LINESTRING (0 0, 1 1)") == 0.0
+        assert S.areaspheroid_of("POINT (3 4)") == 0.0
+        assert S.areaspheroid_of("POLYGON EMPTY") == 0.0
+        assert S.areaspheroid_of("GEOMETRYCOLLECTION (POINT (1 1))") is None
+        assert S.areaspheroid_of("POLYGON ((0 0, 200 0, 0 90, 0 0))") is None
+        assert S.areaspheroid_of("junk((") is None
+        assert S.areaspheroid_of(None) is None
+        assert S.areaspheroid_of("POLYGON ((0 0, 1 0, 1 1, 0 0))", "SPHEROID[x") is None
+
+    def test_perimeterspheroid(self):
+        # octant perimeter = quarter equator + two quarter meridians
+        p = S.lengthspheroid_of("POLYGON ((0 0, 90 0, 0 90, 0 0))")
+        assert abs(p - (6378137.0 * math.pi / 2.0 + 2 * 10_001_965.7293)) < 0.005
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_areaspheroid('POLYGON ((0 0, 90 0, 0 90, 0 0))',"
+            " NULL) AS oct,"
+            " st_perimeterspheroid('LINESTRING (0 0, 1 1)', NULL) AS lin,"
+            " st_areaspheroid(NULL, NULL) AS nul"
+        ).collect()[0]
+        assert abs(row["oct"] - 6.3758202715511086e13) < 1e3
+        assert row["lin"] == 0.0 and row["nul"] is None

@@ -339,6 +339,9 @@ _NULL_ARGS = {
     ),
     "st_distancespheroid": f"{S}, {S}, {S}",  # r15: PostGIS arity
     "st_lengthspheroid": f"{S}, {S}",  # r15: PostGIS arity
+    "st_dwithinspheroid": f"{S}, {S}, {D}, {S}",  # r16: predicate form
+    "st_areaspheroid": f"{S}, {S}",  # r16: geography ST_Area analog
+    "st_perimeterspheroid": f"{S}, {S}",  # r16: geography ST_Perimeter
     "st_patchn": f"{S}, CAST(NULL AS INT)",  # r15: surface3d
     "st_3dintersects": f"{S}, {S}",
     "st_wrapx": f"{S}, {D}, {D}",  # r15: editors_x
