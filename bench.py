@@ -135,6 +135,9 @@ HEADLINE = [
     "q181_fuzzy_match",
     "q182_shapefile_roundtrip",
     "q183_gpx_roundtrip",
+    # r16: grid-partitioned write + partition-pruned bbox read — the
+    # timing includes the WRITE (that is the product path)
+    "q184_spatial_partition_pruning",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT in the min-of-n headline total: each runs a real
     # Structured Streaming job (~13 s at sf0.1, dominated by

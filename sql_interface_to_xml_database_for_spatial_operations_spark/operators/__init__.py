@@ -65,3 +65,4 @@ def load_all() -> None:
     from . import fuzzy_ops  # noqa: F401
     from . import shapefile_ops  # noqa: F401
     from . import gpx_ops  # noqa: F401
+    from . import spatial_store_ops  # noqa: F401

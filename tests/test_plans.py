@@ -523,3 +523,33 @@ def test_r15_continuation3_rows_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(stem") <= 1, plan
+
+
+def test_r16_spatial_partition_pruning_plan(spark):
+    """q184: the bbox read's grid-cell predicate must land in the
+    parquet scan's PartitionFilters (planning-time pruning — the
+    storage-side spatial index), with the exact lon/lat residual in
+    DataFilters/PushedFilters. 8 of the 32 written cells overlap the
+    fixture bbox, so prunedPartitions must show the reduction."""
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.spatial_store_ops import (
+        q184_spatial_partition_pruning,
+        read_spatial_bbox,
+    )
+
+    # materialize the store via the driver row, then plan a raw read
+    q184_spatial_partition_pruning(spark, SF_DIR).count()
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ingest", f"q184_store_{tag}", "pts"
+    )
+    df = read_spatial_bbox(spark, path, "lon", "lat", -60.0, -30.0, 60.0, 30.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cx" in scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lon" in scan.split("DataFilters:")[1]  # exact residual pushed
+    # pruning actually dropped cells: count distinct surviving dirs
+    rows = df.select("cx", "cy").distinct().collect()
+    assert 0 < len(rows) <= 8
