@@ -400,8 +400,205 @@ def st_curvetoline(wkt: pd.Series, quad_segs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# --- ST_LineToCurve: arc recognition, the linearizer's inverse (r16) ----
+#
+# PostGIS lwgeom "unstroking": find maximal runs of ≥ 5 consecutive
+# vertices on a common circle with a consistent turn direction and
+# replace each run with a 3-point CIRCULARSTRING (first, an interior
+# vertex, last — any interior point on the circle defines the same
+# arc). Runs that never materialize leave the chain as straight
+# segments; a mixed chain emits COMPOUNDCURVE, a pure arc emits
+# CIRCULARSTRING, rings emit CURVEPOLYGON, multis map member-wise
+# (MULTICURVE / MULTISURFACE). Collinear vertices (no circumcenter)
+# and circle deviations beyond a 1e-9 RELATIVE radius tolerance break
+# the run — exact lattice circles (3-4-5 style points) and linearizer
+# output both recognize cleanly. The 5-vertex minimum keeps TRIANGLE
+# rings (every triangle is cyclic) and lone quadrilateral chains out;
+# a cyclic 5-vertex figure (e.g. a closed square ring — byte-identical
+# to CurveToLine(circle, quad_segs=1)) DOES unstroke, which is the
+# inherent ambiguity of the contract, shared with PostGIS.
+
+_LTC_REL_TOL = 1e-9
+_LTC_MIN_RUN = 5  # vertices (4 segments)
+
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _arc_run_end(pts, i: int) -> tuple[int, tuple] | None:
+    """(j, center): the maximal run pts[i:j] on one circle with a
+    consistent turn direction, or None when no run of _LTC_MIN_RUN
+    starts at i."""
+    n = len(pts)
+    if i + _LTC_MIN_RUN > n:
+        return None
+    c = _circumcenter(pts[i], pts[i + 1], pts[i + 2])
+    if c is None:
+        return None
+    r = math.hypot(pts[i][0] - c[0], pts[i][1] - c[1])
+    if r == 0.0:
+        return None
+    turn = _cross(pts[i], pts[i + 1], pts[i + 2])
+    if turn == 0.0:
+        return None
+    j = i + 3
+    while j < n:
+        p = pts[j]
+        if abs(math.hypot(p[0] - c[0], p[1] - c[1]) - r) > _LTC_REL_TOL * r:
+            break
+        t2 = _cross(pts[j - 2], pts[j - 1], p)
+        if t2 == 0.0 or (t2 > 0) != (turn > 0):
+            break
+        j += 1
+    if j - i < _LTC_MIN_RUN:
+        return None
+    return j, c
+
+
+def _unstroke_chain(pts):
+    """[('L', [pts]) | ('A', (p0, p_mid, p1))] parts of one chain;
+    None-free. Returns None-shaped [] only for degenerate input."""
+    parts = []
+    line_run = [pts[0]]
+    i = 0
+    n = len(pts)
+    while i < n - 1:
+        hit = _arc_run_end(pts, i)
+        if hit is not None:
+            j, _c = hit
+            run = pts[i:j]
+            if len(line_run) > 1:
+                parts.append(("L", line_run))
+            if run[0] == run[-1]:
+                # a closed full circle: split into two arcs (the
+                # 3-point form needs distinct endpoints)
+                q = (len(run) - 1) // 2
+                h1, h2 = run[: q + 1], run[q:]
+                parts.append(("A", (h1[0], h1[len(h1) // 2], h1[-1])))
+                parts.append(("A", (h2[0], h2[len(h2) // 2], h2[-1])))
+            else:
+                parts.append(("A", (run[0], run[(len(run) - 1) // 2], run[-1])))
+            line_run = [run[-1]]
+            i = j - 1
+        else:
+            line_run.append(pts[i + 1])
+            i += 1
+    if len(line_run) > 1:
+        parts.append(("L", line_run))
+    return parts
+
+
+def _pt_txt(p) -> str:
+    return f"{G._fmt(p[0])} {G._fmt(p[1])}"
+
+
+def _chain_txt(parts, pure_line_kind: str) -> str:
+    """Curved text of one chain's parts: pure line → canonical
+    ``pure_line_kind`` body, pure arc → CIRCULARSTRING, mixed →
+    COMPOUNDCURVE."""
+    if all(k == "L" for k, _ in parts):
+        pts = parts[0][1] if parts else []
+        body = ", ".join(_pt_txt(p) for p in pts)
+        return f"{pure_line_kind} ({body})"
+    if len(parts) == 1 and parts[0][0] == "A":
+        a, m, b = parts[0][1]
+        return (
+            f"CIRCULARSTRING ({_pt_txt(a)}, {_pt_txt(m)}, {_pt_txt(b)})"
+        )
+    comps = []
+    for k, payload in parts:
+        if k == "L":
+            comps.append("(" + ", ".join(_pt_txt(p) for p in payload) + ")")
+        else:
+            a, m, b = payload
+            comps.append(
+                f"CIRCULARSTRING ({_pt_txt(a)}, {_pt_txt(m)}, {_pt_txt(b)})"
+            )
+    return "COMPOUNDCURVE (" + ", ".join(comps) + ")"
+
+
+def _ring_curved_txt(ring) -> tuple[str, bool]:
+    """(text form usable as a CURVEPOLYGON ring, had_arcs)."""
+    parts = _unstroke_chain(list(ring))
+    if all(k == "L" for k, _ in parts):
+        return "(" + ", ".join(_pt_txt(p) for p in ring) + ")", False
+    if len(parts) == 1 and parts[0][0] == "A":
+        a, m, b = parts[0][1]
+        return (
+            f"CIRCULARSTRING ({_pt_txt(a)}, {_pt_txt(m)}, {_pt_txt(b)})",
+            True,
+        )
+    return _chain_txt(parts, "LINESTRING"), True
+
+
+def linetocurve_wkt(wkt) -> str | None:
+    """ST_LineToCurve (module comment above): lineal input → curved
+    lineal text, areal input → CURVEPOLYGON/MULTISURFACE when any ring
+    carries an arc; inputs with nothing to unstroke echo canonically.
+    Puntal/collection input is a loud NULL (PostGIS accepts any type;
+    the engine's curved model is lineal/areal only — documented)."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    m = _EMPTY_LINEAL_RE.match(s)
+    if m:
+        return ("MULTI" if m.group(1) else "") + "LINESTRING EMPTY"
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    if g.kind == "LineString":
+        return _chain_txt(_unstroke_chain(list(g.coords)), "LINESTRING")
+    if g.kind == "MultiLineString":
+        members = [
+            _chain_txt(_unstroke_chain(list(ch)), "bare")
+            for ch in g.coords
+        ]
+        # bare chains inside MULTICURVE keep the SQL/MM member form
+        members = [
+            t[len("bare ") :] if t.startswith("bare (") else t
+            for t in members
+        ]
+        if all(t.startswith("(") for t in members):
+            return G.to_wkt(g)  # nothing unstroked: canonical echo
+        return "MULTICURVE (" + ", ".join(members) + ")"
+    if g.kind == "Polygon":
+        rings = [_ring_curved_txt(r) for r in g.coords]
+        if not any(h for _, h in rings):
+            return G.to_wkt(g)
+        return "CURVEPOLYGON (" + ", ".join(t for t, _ in rings) + ")"
+    if g.kind == "MultiPolygon":
+        out = []
+        any_arc = False
+        for rings in g.coords:
+            rr = [_ring_curved_txt(r) for r in rings]
+            any_arc = any_arc or any(h for _, h in rr)
+            if any(h for _, h in rr):
+                out.append(
+                    "CURVEPOLYGON (" + ", ".join(t for t, _ in rr) + ")"
+                )
+            else:
+                out.append("(" + ", ".join(t for t, _ in rr) + ")")
+        if not any_arc:
+            return G.to_wkt(g)
+        return "MULTISURFACE (" + ", ".join(out) + ")"
+    return None
+
+
+@pandas_udf(StringType())
+def st_linetocurve(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        try:
+            out.append(linetocurve_wkt(w))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_CURVE_FUNCTIONS = {
     "st_curvetoline": st_curvetoline,
+    "st_linetocurve": st_linetocurve,
 }
 
 

@@ -225,10 +225,36 @@ def st_geomfromgeohash(h: pd.Series, precision: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def box2dfromgeohash_txt(h, precision) -> str | None:
+    """PostGIS ST_Box2dFromGeoHash: the cell as BOX2D text
+    ('BOX(w s, e n)' — the ST_Extent output form)."""
+    bb = _cell_of(h, precision)
+    if bb is None:
+        return None
+    w, s, e, n = bb
+    return (
+        f"BOX({G._fmt(w)} {G._fmt(s)}, {G._fmt(e)} {G._fmt(n)})"
+    )
+
+
+@pandas_udf(StringType())
+def st_box2dfromgeohash(h: pd.Series, precision: pd.Series) -> pd.Series:
+    out = []
+    for s, p in zip(h, precision):
+        try:
+            out.append(
+                box2dfromgeohash_txt(s, None if p is None or pd.isna(p) else p)
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_GEOHASH_FUNCTIONS = {
     "st_geohash": st_geohash,
     "st_pointfromgeohash": st_pointfromgeohash,
     "st_geomfromgeohash": st_geomfromgeohash,
+    "st_box2dfromgeohash": st_box2dfromgeohash,
 }
 
 

@@ -470,6 +470,8 @@ ALL_FUNCTIONS = {
     "st_bufferstyle": st_bufferstyle,
     "st_distance": st_distance,
     "st_distance_sphere": st_distance_sphere,
+    # the modern PostGIS spelling (2.2+ ST_DistanceSphere) — same UDF
+    "st_distancesphere": st_distance_sphere,
     "st_within": st_within,
     "st_contains": st_contains,
     "st_coveredby": st_coveredby,

@@ -368,6 +368,18 @@ _FAMILIES = {
     "gh_range": "COALESCE(st_geohash('POINT (190 0)', 5), 'NULL(range)')",
     "gh_center": "st_pointfromgeohash('ezs42', 0)",
     "gh_cell": "st_geomfromgeohash('ezs42', 3)",
+    # ST_Box2dFromGeoHash (r16): the dyadic-exact ezs42 cell as BOX2D
+    # text, plus a consistency digit against the POLYGON cell's bbox
+    "gh_box": (
+        "st_box2dfromgeohash('ezs42', CAST(NULL AS INT))"
+        " || CASE WHEN st_box2dfromgeohash('ezs42', CAST(NULL AS INT))"
+        " = concat('BOX(',"
+        " st_xmin(st_geomfromgeohash('ezs42', 0)), ' ',"
+        " st_ymin(st_geomfromgeohash('ezs42', 0)), ', ',"
+        " st_xmax(st_geomfromgeohash('ezs42', 0)), ' ',"
+        " st_ymax(st_geomfromgeohash('ezs42', 0)), ')')"
+        " THEN '|1' ELSE '|0' END"
+    ),
     "gh_round": "st_geohash(st_pointfromgeohash('u4pruydqqvj', 0), 11)",
     "gh_key_cov": (
         f"CAST(st_coveredby('POINT (' || {CORNERS['bl']} || ')',"
@@ -772,7 +784,42 @@ _FAMILIES["spha_props"] = (
     " - 6371000.0 * 6371000.0 * pi() / 2) < 1.0 THEN '1' ELSE '0' END"
 )
 
+# st_linetocurve (r16): arc recognition over the key-anchored 3-4-5
+# lattice circle (center (minx, miny), r = 5 — all seven vertices
+# exact integers on the circle), byte-exact CIRCULARSTRING oracle;
+# plus the COMPOUNDCURVE mixed form, the below-minimum echo, the
+# triangle-ring non-conversion (every triangle is cyclic — must NOT
+# unstroke), and the re-linearization consistency digit.
+_LTC_CIRCLE = (
+    "'LINESTRING (' || "
+    f"{int_str('minx + 5')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx + 4')} || ' ' || {int_str('miny + 3')} || ', ' || "
+    f"{int_str('minx + 3')} || ' ' || {int_str('miny + 4')} || ', ' || "
+    f"{int_str('minx')} || ' ' || {int_str('miny + 5')} || ', ' || "
+    f"{int_str('minx - 3')} || ' ' || {int_str('miny + 4')} || ', ' || "
+    f"{int_str('minx - 4')} || ' ' || {int_str('miny + 3')} || ', ' || "
+    f"{int_str('minx - 5')} || ' ' || {int_str('miny')} || ')'"
+)
+_LTC_EXPECT = (
+    "'CIRCULARSTRING (' || "
+    f"{int_str('minx + 5')} || ' ' || {int_str('miny')} || ', ' || "
+    f"{int_str('minx')} || ' ' || {int_str('miny + 5')} || ', ' || "
+    f"{int_str('minx - 5')} || ' ' || {int_str('miny')} || ')'"
+)
+_FAMILIES["ltc_arc"] = f"st_linetocurve({_LTC_CIRCLE})"
+_FAMILIES["ltc_props"] = (
+    f"CASE WHEN st_curvetoline(st_linetocurve({_LTC_CIRCLE}), 3)"
+    f" = st_curvetoline({_LTC_EXPECT}, 3) THEN '1' ELSE '0' END"
+    " || CASE WHEN st_linetocurve('LINESTRING (0 0, 1 0, 2 1)')"
+    " = 'LINESTRING (0 0, 1 0, 2 1)' THEN '1' ELSE '0' END"
+    " || CASE WHEN st_linetocurve('POLYGON ((20 20, 21 20, 21 21, 20 20))')"
+    " = 'POLYGON ((20 20, 21 20, 21 21, 20 20))' THEN '1' ELSE '0' END"
+    " || COALESCE(st_linetocurve('POINT (1 2)'), 'N')"
+)
+
 _ORACLE_VALS = {
+    "ltc_arc": _LTC_EXPECT,
+    "ltc_props": "'111N'",
     "sphd_dwithin": "'111N1'",
     "spha_oct": (
         f"CAST(CAST(floor({_R2_SQL} * pi() / 2.0 / 1000.0 + 0.5)"
@@ -903,6 +950,9 @@ _ORACLE_VALS = {
     "gh_straddle": "''",
     "gh_range": "'NULL(range)'",
     "gh_center": "'POINT (-5.60302734375 42.60498046875)'",
+    "gh_box": (
+        "'BOX(-5.625 42.5830078125, -5.5810546875 42.626953125)|1'"
+    ),
     "gh_cell": (
         "'POLYGON ((-5.625 42.1875, -4.21875 42.1875,"
         " -4.21875 43.59375, -5.625 43.59375, -5.625 42.1875))'"
@@ -1013,7 +1063,7 @@ _ORACLE_VALS = {
 # move costs nothing in window bookkeeping.
 _GEODESY_PREFIXES = (
     "gh", "sphd", "spha", "kml", "gml", "svg", "llt",
-    "ctl", "cc", "cp", "mc", "ms", "f2d",
+    "ctl", "cc", "cp", "mc", "ms", "f2d", "ltc",
 )
 
 

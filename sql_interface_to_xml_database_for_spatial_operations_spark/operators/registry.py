@@ -520,6 +520,22 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # they land (each noted below when registered). After this rotation
 # the oldest remaining verification in _DRIVER_VERIFIED is r13 — the
 # "nothing older than 4 rounds" bar holds with a round to spare.
+#
+# r16 slot usage beyond the plan: q184_spatial_partition_pruning (the
+# grid-cell parquet layout + partition-pruned bbox read,
+# operators/spatial_store_ops.py) takes one spare slot — window 41 of
+# 50. New FUNCTION surface landed on EXPOSED rows at zero window
+# cost: '+proj=' parameter strings + EPSG GN7-2 UPS variant-A pins on
+# q130 (pd_* families); GEOMETRYCOLLECTION Z/M/ZM + the curved-WKB
+# (codes 8-12) linearizing decode on q174 (gcz/gcz_rt) and q140
+# (curved/curved_cp/gcz_wkb); st_dwithinspheroid (sphd_dwithin),
+# st_areaspheroid/st_perimeterspheroid (spha_*), st_box2dfromgeohash
+# (gh_box), st_linetocurve (ltc_*) on q177; st_distancesphere is a
+# registration alias of st_distance_sphere (modern PostGIS spelling).
+# The spatial.py/curves.py/geohash.py closure drift over verified
+# rows is the deliberate re-record class, backed by this round's
+# full-registry sf0.01 engine-vs-DuckDB sweep (MISMATCHES: none) on
+# the settled tree.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",

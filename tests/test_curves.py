@@ -233,3 +233,99 @@ def test_curvepolygon_rings():
         "CURVEPOLYGON (COMPOUNDCURVE ((0 0, 4 0), (4 0, 4 4)))", 1
     ) is None  # open compound ring
     assert C.curvetoline_wkt("CURVEPOLYGON (junk)", 1) is None
+
+
+class TestLineToCurve:
+    """r16: arc recognition (the linearizer's inverse)."""
+
+    def test_lattice_circle(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+        )
+
+        # 3-4-5 lattice points on the r=5 circle: exact recognition
+        assert C.linetocurve_wkt(
+            "LINESTRING (5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0)"
+        ) == "CIRCULARSTRING (5 0, 0 5, -5 0)"
+        # straight tail → COMPOUNDCURVE
+        assert C.linetocurve_wkt(
+            "LINESTRING (9 0, 5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0)"
+        ) == "COMPOUNDCURVE ((9 0, 5 0), CIRCULARSTRING (5 0, 0 5, -5 0))"
+
+    def test_roundtrip_through_linearizer(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+        )
+
+        for qs in (2, 8, 32):
+            lin = C.curvetoline_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)", qs)
+            ltc = C.linetocurve_wkt(lin)
+            assert ltc.startswith("CIRCULARSTRING ("), (qs, ltc)
+            assert C.curvetoline_wkt(ltc, qs) == lin, qs
+
+    def test_minimum_run_and_triangle_ring(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+        )
+
+        # every triangle is cyclic: a triangle ring must NOT unstroke
+        assert C.linetocurve_wkt(
+            "POLYGON ((20 20, 21 20, 21 21, 20 20))"
+        ) == "POLYGON ((20 20, 21 20, 21 21, 20 20))"
+        # 4 vertices are below the run minimum
+        assert C.linetocurve_wkt(
+            "LINESTRING (5 0, 4 3, 3 4, 0 5)"
+        ) == "LINESTRING (5 0, 4 3, 3 4, 0 5)"
+        # nothing circular: canonical echo
+        assert C.linetocurve_wkt(
+            "LINESTRING (0 0, 1 0, 2 1)"
+        ) == "LINESTRING (0 0, 1 0, 2 1)"
+
+    def test_closed_ring_full_circle_and_multis(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+        )
+
+        ring12 = (
+            "POLYGON ((5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0, -4 -3,"
+            " -3 -4, 0 -5, 3 -4, 4 -3, 5 0))"
+        )
+        cp = C.linetocurve_wkt(ring12)
+        assert cp == (
+            "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (5 0, 0 5, -5 0),"
+            " CIRCULARSTRING (-5 0, 0 -5, 5 0)))"
+        )
+        # the curved output re-linearizes through the same kernel
+        assert C.curvetoline_wkt(cp, 4).startswith("POLYGON ((5 0, ")
+        mc = C.linetocurve_wkt(
+            "MULTILINESTRING ((5 0, 4 3, 3 4, 0 5, -3 4), (0 0, 1 1))"
+        )
+        assert mc == (
+            "MULTICURVE (CIRCULARSTRING (5 0, 3 4, -3 4), (0 0, 1 1))"
+        )
+        assert C.curvetoline_wkt(mc, 4).startswith("MULTILINESTRING ((5 0, ")
+        ms = C.linetocurve_wkt(
+            "MULTIPOLYGON (((5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0, -4 -3,"
+            " -3 -4, 0 -5, 3 -4, 4 -3, 5 0)), ((20 20, 21 20, 21 21, 20 20)))"
+        )
+        assert ms.startswith("MULTISURFACE (CURVEPOLYGON (")
+        assert "((20 20, 21 20, 21 21, 20 20))" in ms
+
+    def test_nulls_and_refusals(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+        )
+
+        assert C.linetocurve_wkt(None) is None
+        assert C.linetocurve_wkt("POINT (1 2)") is None
+        assert C.linetocurve_wkt("junk((") is None
+        assert C.linetocurve_wkt("LINESTRING EMPTY") == "LINESTRING EMPTY"
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_linetocurve("
+            "'LINESTRING (5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0)') AS c,"
+            " st_linetocurve(NULL) AS n"
+        ).collect()[0]
+        assert row["c"] == "CIRCULARSTRING (5 0, 0 5, -5 0)"
+        assert row["n"] is None

@@ -309,6 +309,8 @@ _NULL_ARGS = {
     "st_geohash": f"{S}, CAST(NULL AS INT)",
     "st_pointfromgeohash": f"{S}, CAST(NULL AS INT)",
     "st_geomfromgeohash": f"{S}, CAST(NULL AS INT)",
+    "st_box2dfromgeohash": f"{S}, CAST(NULL AS INT)",  # r16
+    "st_distancesphere": f"{S}, {S}",  # r16: modern spelling alias
     "st_offsetcurve": f"{S}, {D}",
     "st_offsetcurvestyle": f"{S}, {D}, {S}",
     "st_square": f"{D}, CAST(NULL AS INT), CAST(NULL AS INT)",
