@@ -835,15 +835,21 @@ def _parse_projdef(text: str) -> _ProjDef:
     # ellipsoid: +a (+rf / +b) overrides +ellps; default WGS84 like proj
     if "a" in kv:
         a = float(kv["a"])
+        if not (math.isfinite(a) and a > 0.0):
+            raise ValueError(f"+a must be a positive finite axis, got {a}")
         if "rf" in kv:
             inv_f = float(kv["rf"])
         elif "b" in kv:
             b = float(kv["b"])
-            if b >= a:
-                raise ValueError("+b must be < +a (spheres unsupported)")
+            if not math.isfinite(b) or b >= a or b <= 0.0:
+                raise ValueError("+b must be in (0, +a) (spheres unsupported)")
             inv_f = a / (a - b)
         else:
             raise ValueError("+a needs +rf or +b")
+        if not (math.isfinite(inv_f) and inv_f > 1.0):
+            raise ValueError(
+                f"inverse flattening must be finite and > 1, got {inv_f}"
+            )
     else:
         name = kv.get("ellps", "WGS84")
         if name not in _ELLPS:
@@ -880,6 +886,18 @@ def _parse_projdef(text: str) -> _ProjDef:
     k0 = float(kv["k"]) if kv.get("k") else (
         float(kv["k_0"]) if kv.get("k_0") else 1.0
     )
+    # a zero/NaN scale or a non-finite origin SILENTLY corrupts every
+    # coordinate (k=0 collapses the forward to the false origin while
+    # the inverse divides by zero) — reject at parse, loudly
+    for name, v in (
+        ("lat_0", lat0), ("lon_0", lon0), ("x_0", x0), ("y_0", y0)
+    ):
+        if not math.isfinite(v):
+            raise ValueError(f"+{name} must be finite, got {v}")
+    if not (math.isfinite(k0) and k0 > 0.0):
+        raise ValueError(f"+k must be a positive finite scale, got {k0}")
+    if not -90.0 <= lat0 <= 90.0:
+        raise ValueError(f"+lat_0 out of range: {lat0}")
     if proj in ("longlat", "latlong"):
         ident = lambda x, y: (x, y)  # noqa: E731 — geographic: no projection
         return _ProjDef(ident, ident, ab, helmert)
@@ -915,6 +933,15 @@ def _parse_projdef(text: str) -> _ProjDef:
         crs = _AeaCrs(num("lat_1"), num("lat_2"), lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     if proj == "laea":
+        if abs(lat0) > 89.0:
+            # the oblique-aspect forms degenerate at the pole (cos β₀
+            # underflows to ~6e-17 and the output is silently wrong,
+            # not a crash) — the polar aspect needs its own Snyder
+            # forms; refuse loudly until they exist
+            raise ValueError(
+                "polar LAEA aspect (+lat_0 near ±90) is unsupported; "
+                "only the oblique closed forms are implemented"
+            )
         crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     if proj == "stere":

@@ -444,10 +444,9 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     # mounted), then co-group by layer stem: one group per layer, the
     # only shuffle is the per-FILE stem exchange (one row per file)
     load_paths = [f"file://{os.path.abspath(p)}" for p in shp_paths]
+    siblings = (_sibling_dbf(p) for p in shp_paths)
     dbf_paths = [
-        f"file://{os.path.abspath(_sibling_dbf(p))}"
-        for p in shp_paths
-        if _sibling_dbf(p) is not None
+        f"file://{os.path.abspath(d)}" for d in siblings if d is not None
     ]
     both = spark.read.format("binaryFile").load(load_paths + dbf_paths)
     from pyspark.sql import functions as F

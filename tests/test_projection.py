@@ -757,3 +757,33 @@ class TestProjParamStrings:
         assert row["nztm"] == "POINT (1600000 10000000)"
         assert row["pl"] == "POINT (500000 -5300000)"
         assert row["nul"] is None
+
+
+def test_projdef_silent_corruption_guards():
+    # r16 self-review: parameters that previously produced silently
+    # WRONG output (not a crash) must refuse loudly at parse
+    import pytest as _pytest
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+        Geometry,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+        transform_any,
+    )
+
+    pt = Geometry("Point", (1.0, 2.0))
+    for text in [
+        "+proj=tmerc +k=0",            # forward collapses to origin
+        "+proj=tmerc +k=nan",
+        "+proj=laea +lat_0=90",        # polar aspect: garbage output
+        "+proj=laea +lat_0=-89.5",
+        "+proj=tmerc +a=nan +rf=298",  # NaN axis → NaN coordinates
+        "+proj=tmerc +a=6378137 +rf=0.5",
+        "+proj=tmerc +a=6378137 +b=7000000",  # b >= a
+        "+proj=tmerc +lat_0=95",
+        "+proj=tmerc +x_0=inf",
+    ]:
+        with _pytest.raises(ValueError):
+            transform_any(pt, 4326, text)
+    # the guards must not reject legitimate defs
+    assert transform_any(pt, 4326, "+proj=laea +lat_0=52 +lon_0=10").coords
