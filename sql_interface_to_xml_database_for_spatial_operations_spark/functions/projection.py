@@ -456,6 +456,72 @@ class _LaeaCrs:
         return math.degrees(lam), math.degrees(phi)
 
 
+class _LaeaPolarCrs:
+    """Polar-aspect LAEA (Snyder, USGS PP 1395 pp. 188-190, eqs.
+    24-23/24-25 and the 24-31/24-32 inverses): ρ = a·√(q_p ∓ q(φ)),
+    E = FE + ρ sin(λ−λ₀), N = FN ∓ ρ cos(λ−λ₀) (upper signs north).
+    The pole itself is EXACT (q(±90°) = ±q_p → ρ = 0 → the false
+    origin). Used by the '+proj=laea +lat_0=±90' parameter path —
+    the EPSG:3574/3575/3576 Arctic/Antarctic grids (r16)."""
+
+    def __init__(self, north: bool, lam0, e0, n0, inv_f, a=R):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.e2 = self.e * self.e
+        self.north = north
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        self.qp = self._q(math.pi / 2.0)
+
+    def _q(self, phi):
+        s = math.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * math.log((1.0 - self.e * s) / (1.0 + self.e * s))
+        )
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        q = self._q(math.radians(lat))
+        rad = self.qp - q if self.north else self.qp + q
+        rho = self.a * math.sqrt(max(0.0, rad))
+        dl = math.radians(lon) - self.lam0
+        e = self.e0 + rho * math.sin(dl)
+        if self.north:
+            return e, self.n0 - rho * math.cos(dl)
+        return e, self.n0 + rho * math.cos(dl)
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        de, dn = e - self.e0, n - self.n0
+        rho = math.hypot(de, dn)
+        q = self.qp - (rho / self.a) ** 2
+        if not self.north:
+            q = -q
+        if rho == 0.0:
+            lam = self.lam0  # the pole: longitude is the CRS's own λ₀
+        elif self.north:
+            lam = self.lam0 + math.atan2(de, -dn)
+        else:
+            lam = self.lam0 + math.atan2(de, dn)
+        bp = math.asin(max(-1.0, min(1.0, q / self.qp)))
+        e2 = self.e2
+        phi = (
+            bp
+            + (e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0)
+            * math.sin(2.0 * bp)
+            + (23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0)
+            * math.sin(4.0 * bp)
+            + (761.0 * e2**3 / 45360.0) * math.sin(6.0 * bp)
+        )
+        lon = math.degrees(lam)
+        if lon <= -180.0:
+            lon += 360.0
+        elif lon > 180.0:
+            lon -= 360.0
+        return lon, math.degrees(phi)
+
+
 # --- Albers equal-area conic 2SP ↔ WGS84 (r13) ---------------------------
 #
 # The continental statistical grids (US NAD83/Conus Albers EPSG:5070,
@@ -933,14 +999,17 @@ def _parse_projdef(text: str) -> _ProjDef:
         crs = _AeaCrs(num("lat_1"), num("lat_2"), lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     if proj == "laea":
+        if lat0 in (90.0, -90.0):
+            # polar aspect (EPSG:3574/3575/3576 class): its own Snyder
+            # closed forms — the oblique ones degenerate at the pole
+            crs = _LaeaPolarCrs(lat0 > 0, lon0, x0, y0, inv_f, a=a)
+            return _ProjDef(crs.fwd, crs.inv, ab, helmert)
         if abs(lat0) > 89.0:
-            # the oblique-aspect forms degenerate at the pole (cos β₀
-            # underflows to ~6e-17 and the output is silently wrong,
-            # not a crash) — the polar aspect needs its own Snyder
-            # forms; refuse loudly until they exist
+            # NEAR-polar oblique: cos β₀ underflows and the output is
+            # silently wrong, not a crash — refuse loudly
             raise ValueError(
-                "polar LAEA aspect (+lat_0 near ±90) is unsupported; "
-                "only the oblique closed forms are implemented"
+                "near-polar oblique LAEA (+lat_0 within 1 degree of the "
+                "pole but not exactly ±90) is outside the closed forms"
             )
         crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)

@@ -497,6 +497,14 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("pd_anchor") == F.lit("POINT (1600000 10000000)"))
             & (F.col("pd_ca_anchor") == F.lit("POINT (0 -4000000)"))
+            # polar LAEA (r16): the pole is the false origin, exactly
+            & (
+                F.expr(
+                    "st_transform('POINT (77 90)', 4326,"
+                    " '+proj=laea +lat_0=90 +lon_0=10 +ellps=WGS84')"
+                )
+                == F.lit("POINT (0 0)")
+            )
         ).alias("pd_anchor_ok"),
         (
             (F.col("utm_pd") == F.col("utm"))

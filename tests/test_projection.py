@@ -775,7 +775,7 @@ def test_projdef_silent_corruption_guards():
     for text in [
         "+proj=tmerc +k=0",            # forward collapses to origin
         "+proj=tmerc +k=nan",
-        "+proj=laea +lat_0=90",        # polar aspect: garbage output
+        "+proj=laea +lat_0=89.5",      # near-polar oblique: garbage
         "+proj=laea +lat_0=-89.5",
         "+proj=tmerc +a=nan +rf=298",  # NaN axis → NaN coordinates
         "+proj=tmerc +a=6378137 +rf=0.5",
@@ -787,3 +787,64 @@ def test_projdef_silent_corruption_guards():
             transform_any(pt, 4326, text)
     # the guards must not reject legitimate defs
     assert transform_any(pt, 4326, "+proj=laea +lat_0=52 +lon_0=10").coords
+
+
+class TestPolarLaea:
+    """r16: the polar LAEA aspect (Snyder PP 1395 pp. 188-190) — the
+    EPSG:3574/3575/3576 Arctic/Antarctic grid class."""
+
+    N = "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0 +ellps=WGS84"
+    S = "+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84"
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_pole_exact_and_roundtrips(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        assert transform_any(self._pt(123.0, 90.0), 4326, self.N).coords == (
+            0.0,
+            0.0,
+        )
+        for lon, lat in [(10, 80), (0, 60), (-45, 75), (170, 55), (10, 0)]:
+            e, n = transform_any(self._pt(lon, lat), 4326, self.N).coords
+            lo, la = transform_any(self._pt(e, n), self.N, 4326).coords
+            assert abs(lo - lon) < 1e-8 and abs(la - lat) < 1e-8, (lon, lat)
+        e, n = transform_any(self._pt(13.0, -70.0), 4326, self.S).coords
+        lo, la = transform_any(self._pt(e, n), self.S, 4326).coords
+        assert abs(lo - 13.0) < 1e-8 and abs(la + 70.0) < 1e-8
+
+    def test_equator_radius_is_authalic_hemisphere(self):
+        # ρ at the equator = a·√(q_p) EXACTLY (q(0) = 0): a strong
+        # internal pin tying the polar kernel to the authalic setup
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.spheroid import (
+            _authalic_setup,
+        )
+
+        qp, _e = _authalic_setup(6378137.0, 1.0 / 298.257223563)
+        e, n = transform_any(self._pt(10.0, 0.0), 4326, self.N).coords
+        assert math.hypot(e, n) == 6378137.0 * math.sqrt(qp)
+
+    def test_central_meridian_axis(self):
+        # along λ = λ₀ the easting is exactly 0 (sin 0 = 0) and points
+        # march straight down the -N axis (north aspect)
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        last = 0.0
+        for lat in (89, 80, 60, 30, 0):
+            e, n = transform_any(self._pt(10.0, lat), 4326, self.N).coords
+            assert e == 0.0 and n <= last
+            last = n
