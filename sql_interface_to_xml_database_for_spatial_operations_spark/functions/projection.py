@@ -456,6 +456,60 @@ class _LaeaCrs:
         return math.degrees(lam), math.degrees(phi)
 
 
+class _MercCrs:
+    """Ellipsoidal Mercator, EPSG variants A (+k scale) and B
+    (+lat_ts standard parallel): Snyder PP 1395 pp. 41-44 —
+    N = a·k₀·(atanh(sin φ) − e·atanh(e·sin φ)), E = a·k₀·(λ−λ₀);
+    variant B's k₀ = cos φ_ts / √(1 − e² sin² φ_ts). The inverse runs
+    the conformal-to-geodetic series (Snyder 3-5, the polar-stereo
+    coefficients). EPSG:3395 (WGS84 / World Mercator) is the named
+    instance in the SRID table (r16)."""
+
+    def __init__(self, lam0, e0, n0, inv_f, a=R, k0=1.0, lat_ts=None):
+        f = 1.0 / inv_f
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.lam0 = math.radians(lam0)
+        self.e0, self.n0 = e0, n0
+        if lat_ts is not None:
+            s = math.sin(math.radians(lat_ts))
+            self.k0 = math.cos(math.radians(lat_ts)) / math.sqrt(
+                1.0 - self.e * self.e * s * s
+            )
+        else:
+            self.k0 = k0
+        e2 = self.e * self.e
+        self._c2 = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+        self._c4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+        self._c6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+        self._c8 = 4279.0 * e2**4 / 161280.0
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        lat = max(-89.9999, min(89.9999, lat))  # the poles are at ±∞
+        s = math.sin(math.radians(lat))
+        n = self.a * self.k0 * (
+            math.atanh(s) - self.e * math.atanh(self.e * s)
+        )
+        return (
+            self.e0 + self.a * self.k0 * (math.radians(lon) - self.lam0),
+            self.n0 + n,
+        )
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        lam = (e - self.e0) / (self.a * self.k0) + self.lam0
+        t = math.exp(-(n - self.n0) / (self.a * self.k0))
+        chi = math.pi / 2.0 - 2.0 * math.atan(t)
+        phi = (
+            chi
+            + self._c2 * math.sin(2.0 * chi)
+            + self._c4 * math.sin(4.0 * chi)
+            + self._c6 * math.sin(6.0 * chi)
+            + self._c8 * math.sin(8.0 * chi)
+        )
+        return math.degrees(lam), math.degrees(phi)
+
+
+
 class _LaeaPolarCrs:
     """Polar-aspect LAEA (Snyder, USGS PP 1395 pp. 188-190, eqs.
     24-23/24-25 and the 24-31/24-32 inverses): ρ = a·√(q_p ∓ q(φ)),
@@ -693,6 +747,12 @@ class _PsCrs:
 
 _WGS84_INV_F = 298.257223563
 
+
+_MERC: dict[int, _MercCrs] = {
+    # WGS84 / World Mercator: natural origin (0, 0), k0 = 1, FE/FN 0
+    3395: _MercCrs(0.0, 0.0, 0.0, _WGS84_INV_F),
+}
+
 _PS: dict[int, _PsCrs] = {
     # NSIDC Sea Ice Polar Stereographic North: SP 70°N, λ₀ 45°W, FE/FN 0
     3413: _PsCrs(70.0, -45.0, 0.0, 0.0, _WGS84_INV_F),
@@ -778,6 +838,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _TM[srid_to].fwd)
     if srid_from in _TM and srid_to == 4326:
         return _map_coords(g, _TM[srid_from].inv)
+    if srid_from == 4326 and srid_to in _MERC:
+        return _map_coords(g, _MERC[srid_to].fwd)
+    if srid_from in _MERC and srid_to == 4326:
+        return _map_coords(g, _MERC[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
@@ -792,6 +856,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         or srid_to in _PS
         or srid_from in _TM
         or srid_to in _TM
+        or srid_from in _MERC
+        or srid_to in _MERC
     ):
         # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
@@ -800,9 +866,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         f"no transform {srid_from}->{srid_to} in this runtime (closed forms "
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
         "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, "
-        "polar stereographic EPSG:3413/3031/3032, and national TM grids "
-        "EPSG:27700/2180; pass an explicit '+proj=' parameter string "
-        "for any other tmerc/utm/lcc/aea/laea/stere CRS)"
+        "polar stereographic EPSG:3413/3031/3032, national TM grids "
+        "EPSG:27700/2180, and World Mercator EPSG:3395; pass an explicit "
+        "'+proj=' parameter string for any other "
+        "tmerc/utm/lcc/aea/laea/stere/merc CRS)"
     )
 
 
@@ -1013,6 +1080,14 @@ def _parse_projdef(text: str) -> _ProjDef:
             )
         crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    if proj == "merc":
+        if lat0 != 0.0:
+            raise ValueError("+proj=merc requires +lat_0=0 (EPSG forms)")
+        lat_ts = float(kv["lat_ts"]) if kv.get("lat_ts") else None
+        if lat_ts is not None and not -89.0 <= lat_ts <= 89.0:
+            raise ValueError(f"+lat_ts out of range for merc: {lat_ts}")
+        crs = _MercCrs(lon0, x0, y0, inv_f, a=a, k0=k0, lat_ts=lat_ts)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     if proj == "stere":
         if abs(lat0) != 90.0:
             raise ValueError(
@@ -1029,7 +1104,7 @@ def _parse_projdef(text: str) -> _ProjDef:
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     raise ValueError(
         f"unsupported +proj={proj} (closed-form kernels exist for "
-        "tmerc/utm/lcc/aea/laea/stere/longlat)"
+        "tmerc/utm/lcc/aea/laea/stere/merc/longlat)"
     )
 
 

@@ -241,7 +241,17 @@ _Q130_ORACLE = f"""
            CAST(floor((lat / 2 - 20) * 1000000 + 0.5) AS BIGINT)
              AS pd_rt_lat_micro,
            CAST(332041675 AS BIGINT) AS pd_ups_e_cm,
-           CAST(63266843 AS BIGINT) AS pd_ups_n_cm
+           CAST(63266843 AS BIGINT) AS pd_ups_n_cm,
+           CAST(floor(6378137.0 * (
+                 0.5 * ln((1.0 + sin(lat * pi() / 180.0))
+                        / (1.0 - sin(lat * pi() / 180.0)))
+                 - 0.0818191908426215 * 0.5
+                   * ln((1.0 + 0.0818191908426215 * sin(lat * pi() / 180.0))
+                      / (1.0 - 0.0818191908426215 * sin(lat * pi() / 180.0)))
+               ) * 1000 + 0.5) AS BIGINT) AS m3395_y_mm,
+           TRUE AS m3395_x_eq,
+           CAST(500972658 AS BIGINT) AS mks_e_cm,
+           CAST(56915082 AS BIGINT) AS mks_n_cm
     FROM pts
 """
 
@@ -449,6 +459,20 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pd_osgb_tbl",
             F.expr("st_transform('POINT (-0.1276 51.5072)', 4326, 27700)"),
         )
+        # Ellipsoidal Mercator (r16): EPSG:3395 shares x with 3857
+        # (both a·λ) while y carries the ellipsoidal correction —
+        # oracled in closed form via atanh = ½ln((1+x)/(1−x)); plus
+        # the EPSG GN 7-2 Makassar/NEIEZ variant-A worked example
+        # (Bessel 1841, cm-pinned)
+        .withColumn("merc2", F.expr("st_transform(g, 4326, 3395)"))
+        .withColumn(
+            "mks",
+            F.expr(
+                "st_transform('POINT (120 -3)', 4326,"
+                " '+proj=merc +lon_0=110 +k=0.997 +x_0=3900000"
+                " +y_0=900000 +ellps=bessel')"
+            ),
+        )
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -514,6 +538,10 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(F.expr("st_y(pd_back)")).alias("pd_rt_lat_micro"),
         F.floor(F.expr("st_x(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_e_cm"),
         F.floor(F.expr("st_y(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_n_cm"),
+        F.floor(F.expr("st_y(merc2)") * 1000 + F.lit(0.5)).cast("bigint").alias("m3395_y_mm"),
+        (F.expr("st_x(merc2)") == F.expr("st_x(merc)")).alias("m3395_x_eq"),
+        F.floor(F.expr("st_x(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_e_cm"),
+        F.floor(F.expr("st_y(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_n_cm"),
     )
 
 

@@ -848,3 +848,83 @@ class TestPolarLaea:
             e, n = transform_any(self._pt(10.0, lat), 4326, self.N).coords
             assert e == 0.0 and n <= last
             last = n
+
+
+class TestMercatorEllipsoidal:
+    """r16: ellipsoidal Mercator — EPSG:3395 (World Mercator) in the
+    SRID table, '+proj=merc' variants A (+k) and B (+lat_ts)."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_gn72_makassar_worked_example(self):
+        # EPSG GN 7-2 Mercator (variant A) worked example — Makassar /
+        # NEIEZ (EPSG:3002, Bessel 1841): 3°S 120°E ->
+        # E 5 009 726.58, N 569 150.82
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        m = (
+            "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 "
+            "+ellps=bessel"
+        )
+        e, n = transform_any(self._pt(120.0, -3.0), 4326, m).coords
+        assert round(e, 2) == 5_009_726.58 and round(n, 2) == 569_150.82
+        lo, la = transform_any(self._pt(e, n), m, 4326).coords
+        assert abs(lo - 120.0) < 1e-9 and abs(la + 3.0) < 1e-9
+
+    def test_world_mercator_3395(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform,
+        )
+
+        # the equator is exact, and x matches spherical 3857 exactly
+        # (both are a·λ) while y differs by the ellipsoidal correction
+        eq = transform(self._pt(13.0, 0.0), 4326, 3395).coords
+        assert eq[1] == 0.0
+        a = transform(self._pt(10.0, 50.0), 4326, 3395).coords
+        b = transform(self._pt(10.0, 50.0), 4326, 3857).coords
+        assert a[0] == b[0]
+        assert 30_000 < b[1] - a[1] < 36_000  # the known ~33 km gap
+        for lon, lat in [(13, 52), (-70, -33), (179, 84), (0, -80)]:
+            e, n = transform(self._pt(lon, lat), 4326, 3395).coords
+            lo, la = transform(self._pt(e, n), 3395, 4326).coords
+            assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-8
+
+    def test_variant_b_lat_ts(self):
+        # +lat_ts=0 is variant A with k0=1; a nonzero standard parallel
+        # scales both axes by cos(φts)/√(1−e²sin²φts)
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        a0 = transform_any(self._pt(10.0, 30.0), 4326, "+proj=merc").coords
+        b0 = transform_any(
+            self._pt(10.0, 30.0), 4326, "+proj=merc +lat_ts=0"
+        ).coords
+        assert a0 == b0
+        c = transform_any(
+            self._pt(10.0, 30.0), 4326, "+proj=merc +lat_ts=45"
+        ).coords
+        e2 = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+        s = math.sin(math.radians(45.0))
+        k = math.cos(math.radians(45.0)) / math.sqrt(1.0 - e2 * s * s)
+        assert abs(c[0] - a0[0] * k) < 1e-6 and abs(c[1] - a0[1] * k) < 1e-6
+
+    def test_merc_rejections(self):
+        import pytest as _pytest
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        for text in ["+proj=merc +lat_0=5", "+proj=merc +lat_ts=90"]:
+            with _pytest.raises(ValueError):
+                transform_any(self._pt(0.0, 0.0), 4326, text)
