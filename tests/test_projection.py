@@ -70,7 +70,7 @@ def test_same_srid_is_identity():
 
 def test_unsupported_pair_raises():
     with pytest.raises(ValueError, match="no transform"):
-        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 21781)  # Swiss LV03
+        P.transform(G.parse_wkt("POINT (0 0)"), 4326, 5514)  # Czech Krovak
 
 
 def test_sql_surface(spark):
@@ -163,7 +163,7 @@ class TestUTM:
         import pytest as _pt
 
         with _pt.raises(ValueError):
-            P.transform(g, 4326, 21781)  # Swiss oblique Mercator: unsupported, loud
+            P.transform(g, 4326, 5514)  # Krovak oblique conic: unsupported, loud
 
 
 class TestLambertConformalConic:
@@ -928,3 +928,68 @@ class TestMercatorEllipsoidal:
         for text in ["+proj=merc +lat_0=5", "+proj=merc +lat_ts=90"]:
             with _pytest.raises(ValueError):
                 transform_any(self._pt(0.0, 0.0), 4326, text)
+
+
+class TestSwissGrids:
+    """r16: CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95 (EPSG:2056)
+    via the swisstopo rigorous double projection."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_swisstopo_published_test_point(self):
+        # swisstopo's own WGS84 example: 8°43'49.79" E, 46°02'38.87" N
+        # -> LV03 (700 000 / 100 000); the single-Helmert leg lands
+        # within the documented ~5 cm of the grid truth
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform,
+        )
+
+        lon = 8 + 43 / 60 + 49.79 / 3600
+        lat = 46 + 2 / 60 + 38.87 / 3600
+        e, n = transform(self._pt(lon, lat), 4326, 21781).coords
+        assert abs(e - 700_000.0) < 0.05 and abs(n - 100_000.0) < 0.05
+        # LV95 is the same projection shifted by (+2 000 000, +1 000 000)
+        e95, n95 = transform(self._pt(lon, lat), 4326, 2056).coords
+        # equal up to the larger false origin's float granularity
+        assert abs(e95 - (e + 2_000_000.0)) < 1e-6
+        assert abs(n95 - (n + 1_000_000.0)) < 1e-6
+
+    def test_fundamental_point_is_false_origin(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _SWISS,
+        )
+
+        phi0 = 46 + 57 / 60 + 8.66 / 3600
+        lam0 = 7 + 26 / 60 + 22.50 / 3600
+        y, x = _SWISS[21781]._fwd_local(lam0, phi0)
+        assert abs(y - 600_000.0) < 1e-6 and abs(x - 200_000.0) < 1e-6
+
+    def test_roundtrip_over_switzerland(self):
+        import random
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform,
+        )
+
+        rng = random.Random(2056)
+        for _ in range(120):
+            lon, lat = rng.uniform(5.9, 10.5), rng.uniform(45.8, 47.8)
+            e, n = transform(self._pt(lon, lat), 4326, 21781).coords
+            assert 480_000 < e < 850_000 and 70_000 < n < 300_000
+            lo, la = transform(self._pt(e, n), 21781, 4326).coords
+            assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_transform('POINT (7.43958333333 46.9524055556)',"
+            " 4326, 21781) AS bern"
+        ).collect()[0]
+        # Bern's WGS84 coordinates sit ~100-200 m from the CH1903
+        # fundamental point's numbers (the datum shift) — magnitude pin
+        x, y = map(float, row["bern"][7:-1].split())
+        assert abs(x - 600_000) < 500 and abs(y - 200_000) < 500
