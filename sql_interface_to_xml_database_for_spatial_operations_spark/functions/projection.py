@@ -768,21 +768,25 @@ class _SwissCrs:
     (8°43′49.79″ E, 46°02′38.87″ N → 700 000 / 100 000, matched to
     ~4 cm — the single-Helmert-vs-grid residue class)."""
 
-    _A = 6377397.155
-    _INV_F = 299.1528128
-
-    def __init__(self, e0: float, n0: float):
-        a = self._A
-        f = 1.0 / self._INV_F
+    def __init__(
+        self, lat0, lon0, k0, e0, n0,
+        inv_f=299.1528128, a=6377397.155, helmert=None,
+    ):
+        """Generalized: the proj '+proj=somerc' parameterization
+        (natural origin φ₀/λ₀, scale k₀ multiplying the conformal
+        sphere radius, false origin, any ellipsoid, optional datum
+        leg). The Swiss table entries below instantiate it with the
+        Bern constants + the CH1903 shift."""
+        f = 1.0 / inv_f
         e2 = f * (2.0 - f)
         self.e = math.sqrt(e2)
         self.e0, self.n0 = e0, n0
-        phi0 = math.radians(46.0 + 57.0 / 60.0 + 8.66 / 3600.0)
-        self.lam0 = math.radians(7.0 + 26.0 / 60.0 + 22.50 / 3600.0)
+        phi0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
         sp = math.sin(phi0)
         m0 = a * (1.0 - e2) / (1.0 - e2 * sp * sp) ** 1.5
         n0r = a / math.sqrt(1.0 - e2 * sp * sp)
-        self.r = math.sqrt(m0 * n0r)
+        self.r = k0 * math.sqrt(m0 * n0r)
         self.alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.cos(phi0) ** 4)
         self.b0 = math.asin(sp / self.alpha)
         self.k = (
@@ -792,9 +796,7 @@ class _SwissCrs:
             * math.log((1.0 + self.e * sp) / (1.0 - self.e * sp))
         )
         self.ab = (a, a * math.sqrt(1.0 - e2))
-        # CH1903 -> WGS84 (position-vector, rotations 0): swisstopo's
-        # published geocentric shift
-        self.helmert = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+        self.helmert = helmert
 
     def _fwd_local(self, lon: float, lat: float) -> tuple[float, float]:
         phi, lam = math.radians(lat), math.radians(lon)
@@ -856,21 +858,38 @@ class _SwissCrs:
         return math.degrees(lam), math.degrees(phi)
 
     def fwd(self, lon: float, lat: float) -> tuple[float, float]:
-        lon, lat = _helmert_geodetic(
-            lon, lat, _WGS84_AB, self.ab, self.helmert, inverse=True
-        )
+        if self.helmert is not None:
+            lon, lat = _helmert_geodetic(
+                lon, lat, _WGS84_AB, self.ab, self.helmert, inverse=True
+            )
         return self._fwd_local(lon, lat)
 
     def inv(self, y: float, x: float) -> tuple[float, float]:
         lon, lat = self._inv_local(y, x)
+        if self.helmert is None:
+            return lon, lat
         return _helmert_geodetic(
             lon, lat, self.ab, _WGS84_AB, self.helmert, inverse=False
         )
 
 
+_BERN_LAT = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_BERN_LON = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+# CH1903 -> WGS84 (position-vector, rotations 0): swisstopo's
+# published geocentric shift
+_CH1903_HELMERT = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
 _SWISS: dict[int, _SwissCrs] = {
-    21781: _SwissCrs(600_000.0, 200_000.0),      # CH1903 / LV03
-    2056: _SwissCrs(2_600_000.0, 1_200_000.0),   # CH1903+ / LV95
+    # CH1903 / LV03
+    21781: _SwissCrs(
+        _BERN_LAT, _BERN_LON, 1.0, 600_000.0, 200_000.0,
+        helmert=_CH1903_HELMERT,
+    ),
+    # CH1903+ / LV95
+    2056: _SwissCrs(
+        _BERN_LAT, _BERN_LON, 1.0, 2_600_000.0, 1_200_000.0,
+        helmert=_CH1903_HELMERT,
+    ),
 }
 
 _PS: dict[int, _PsCrs] = {
@@ -1206,6 +1225,14 @@ def _parse_projdef(text: str) -> _ProjDef:
             )
         crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+    if proj == "somerc":
+        # the Swiss-style oblique Mercator on the conformal sphere
+        # (proj's somerc keyword — EPSG "Hotine Oblique Mercator
+        # (variant B)" with the 90° azimuth Swiss specialization)
+        if abs(lat0) >= 89.0:
+            raise ValueError("+proj=somerc needs a non-polar +lat_0")
+        crs = _SwissCrs(lat0, lon0, k0, x0, y0, inv_f=inv_f, a=a)
+        return _ProjDef(crs._fwd_local, crs._inv_local, ab, helmert)
     if proj == "merc":
         if lat0 != 0.0:
             raise ValueError("+proj=merc requires +lat_0=0 (EPSG forms)")
@@ -1230,7 +1257,7 @@ def _parse_projdef(text: str) -> _ProjDef:
         return _ProjDef(crs.fwd, crs.inv, ab, helmert)
     raise ValueError(
         f"unsupported +proj={proj} (closed-form kernels exist for "
-        "tmerc/utm/lcc/aea/laea/stere/merc/longlat)"
+        "tmerc/utm/lcc/aea/laea/stere/merc/somerc/longlat)"
     )
 
 

@@ -993,3 +993,31 @@ class TestSwissGrids:
         # fundamental point's numbers (the datum shift) — magnitude pin
         x, y = map(float, row["bern"][7:-1].split())
         assert abs(x - 600_000) < 500 and abs(y - 200_000) < 500
+
+
+def test_somerc_param_string_matches_swiss_table():
+    # the full proj string for EPSG:21781 (+towgs84 = the CH1903
+    # shift) must match the table path bitwise — pins the somerc
+    # parser wiring end to end
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+        Geometry,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+        transform,
+        transform_any,
+    )
+
+    text = (
+        "+proj=somerc +lat_0=46.952405555555554 "
+        "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+        "+ellps=bessel +towgs84=674.374,15.056,405.346 +units=m +no_defs"
+    )
+    for lon, lat in [(8.0, 46.5), (7.44, 46.95), (9.83, 46.5), (6.14, 46.2)]:
+        a = transform_any(Geometry("Point", (lon, lat)), 4326, text).coords
+        b = transform(Geometry("Point", (lon, lat)), 4326, 21781).coords
+        # the decimal +lat_0/+lon_0 literals differ from the table's
+        # DMS fractions at the last ulp → sub-µm, not bitwise
+        assert abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6, (lon, lat)
+        aa = transform_any(Geometry("Point", a), text, 4326).coords
+        bb = transform(Geometry("Point", b), 21781, 4326).coords
+        assert abs(aa[0] - bb[0]) < 1e-12 and abs(aa[1] - bb[1]) < 1e-12
