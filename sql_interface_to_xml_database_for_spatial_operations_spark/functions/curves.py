@@ -400,6 +400,118 @@ def st_curvetoline(wkt: pd.Series, quad_segs: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+# --- structural curved parse (r16): the WKB encoder's view ---------------
+#
+# The linearizer above CONSUMES curved text; the WKB codec also needs
+# the raw structure (rings/components as trees, not chains) to encode
+# SQL/MM type codes 8-12. Validation delegates to the linearizer: a
+# structure it cannot read back (discontinuous compound, unclosed
+# ring) must not encode either.
+
+
+def _node_of(tok: str):
+    """('CircularString'|'LineString'|'CompoundCurve', payload) of one
+    member/ring token; None when malformed or EMPTY-in-member."""
+    up = tok.upper()
+    if up.startswith("CIRCULARSTRING"):
+        pts = parse_circularstring(tok)
+        return ("CircularString", pts) if pts else None
+    if up.startswith("COMPOUNDCURVE"):
+        m = _CC_RE.match(tok)
+        if not m or m.group(1).upper() == "EMPTY":
+            return None
+        toks = _split_top(m.group(1)[1:-1])
+        if toks is None or not toks:
+            return None
+        comps = []
+        for t in toks:
+            if t.upper().startswith("CIRCULARSTRING"):
+                pts = parse_circularstring(t)
+                if not pts:
+                    return None
+                comps.append(("CircularString", pts))
+            else:
+                pts = _bare_chain(t)
+                if pts is None:
+                    return None
+                comps.append(("LineString", pts))
+        return ("CompoundCurve", comps)
+    pts = _bare_chain(tok)
+    return None if pts is None else ("LineString", pts)
+
+
+def parse_curved(wkt):
+    """(kind, payload) structural tree of a curved WKT (module comment
+    above), or None for non-curved/malformed input. Non-empty
+    structures additionally validate through the linearizer so only
+    readable geometry encodes."""
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    up = s.upper()
+    out = None
+    if up.startswith("CIRCULARSTRING"):
+        pts = parse_circularstring(s)
+        if pts is None:
+            return None
+        out = ("CircularString", pts)
+    elif _CC_RE.match(s):
+        body = _CC_RE.match(s).group(1)
+        if body.upper() == "EMPTY":
+            return ("CompoundCurve", [])
+        out = _node_of(s)
+    elif _CP_RE.match(s):
+        body = _CP_RE.match(s).group(1)
+        if body.upper() == "EMPTY":
+            return ("CurvePolygon", [])
+        toks = _split_top(body[1:-1])
+        if toks is None or not toks:
+            return None
+        rings = [_node_of(t) for t in toks]
+        if any(r is None for r in rings):
+            return None
+        out = ("CurvePolygon", rings)
+    elif _MC_RE.match(s):
+        body = _MC_RE.match(s).group(1)
+        if body.upper() == "EMPTY":
+            return ("MultiCurve", [])
+        toks = _split_top(body[1:-1])
+        if toks is None or not toks:
+            return None
+        members = [_node_of(t) for t in toks]
+        if any(m is None for m in members):
+            return None
+        out = ("MultiCurve", members)
+    elif _MS_RE.match(s):
+        body = _MS_RE.match(s).group(1)
+        if body.upper() == "EMPTY":
+            return ("MultiSurface", [])
+        toks = _split_top(body[1:-1])
+        if toks is None or not toks:
+            return None
+        members = []
+        for t in toks:
+            tu = t.upper()
+            if tu.startswith("CURVEPOLYGON"):
+                sub = parse_curved(t)
+                if sub is None or not sub[1]:
+                    return None
+                members.append(sub)
+            else:
+                g = G.parse_wkt(
+                    t if tu.startswith("POLYGON") else "POLYGON " + t
+                )
+                if g is None or g.kind != "Polygon" or not g.coords:
+                    return None
+                members.append(("Polygon", g.coords))
+        out = ("MultiSurface", members)
+    if out is None:
+        return None
+    if out[1] and curvetoline_wkt(s, 1) is None:
+        return None  # discontinuous/unclosed: the linearizer's verdict
+    return out
+
+
 # --- ST_LineToCurve: arc recognition, the linearizer's inverse (r16) ----
 #
 # PostGIS lwgeom "unstroking": find maximal runs of ≥ 5 consecutive

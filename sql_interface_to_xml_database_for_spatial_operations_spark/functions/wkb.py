@@ -500,6 +500,9 @@ def wkt_to_wkb(wkt) -> bytes | None:
     if ps is not None:
         kind, has_z, patches = ps
         return _surface_to_wkb(kind, has_z, patches)
+    cv = _curved_parse(s)
+    if cv is not None:
+        return _curved_to_wkb(*cv)
     gp = _zc.gc_parts(s)
     if gp is not None:
         declared, toks = gp
@@ -525,6 +528,52 @@ def wkt_to_wkb(wkt) -> bytes | None:
         # plain 2-D collection: the Geometry path below
     g = G.parse_wkt(s)
     return None if g is None else geom_to_wkb(g)
+
+
+_CURVED_CODE = {
+    "CircularString": 8,
+    "CompoundCurve": 9,
+    "CurvePolygon": 10,
+    "MultiCurve": 11,
+    "MultiSurface": 12,
+}
+
+
+def _curved_parse(s):
+    from . import curves as _cv
+
+    up = str(s).lstrip().upper()
+    if not up.startswith(
+        ("CIRCULARSTRING", "COMPOUNDCURVE", "CURVEPOLYGON",
+         "MULTICURVE", "MULTISURFACE")
+    ):
+        return None  # cheap gate before the structural parse
+    return _cv.parse_curved(s)
+
+
+def _curved_to_wkb(kind: str, payload) -> bytes:
+    """Little-endian WKB of one curved node (r16 — the encode side of
+    the type-8-12 reader; st_linetocurve output round-trips through
+    st_asbinary → st_geomfromwkb to its linearized form)."""
+    if kind == "LineString":
+        return struct.pack("<BII", 1, 2, len(payload)) + b"".join(
+            struct.pack("<2d", *p) for p in payload
+        )
+    if kind == "Polygon":
+        out = struct.pack("<BII", 1, 3, len(payload))
+        for ring in payload:
+            out += struct.pack("<I", len(ring)) + b"".join(
+                struct.pack("<2d", *p) for p in ring
+            )
+        return out
+    if kind == "CircularString":
+        return struct.pack("<BII", 1, 8, len(payload)) + b"".join(
+            struct.pack("<2d", *p) for p in payload
+        )
+    code = _CURVED_CODE[kind]
+    return struct.pack("<BII", 1, code, len(payload)) + b"".join(
+        _curved_to_wkb(mk, mp) for mk, mp in payload
+    )
 
 
 def _wkt_dims_tag(s) -> str | None:
@@ -671,6 +720,14 @@ def wkt_to_ewkb(wkt, srid) -> bytes | None:
         return (
             struct.pack("<BIi", 1, code | _EWKB_SRID, srid) + body[5:]
         )
+    cv = _curved_parse(s)
+    if cv is not None:
+        # curved geometry: SRID flag over the plain body (r16)
+        body = _curved_to_wkb(*cv)
+        if not srid:
+            return body
+        code = struct.unpack_from("<I", body, 1)[0]
+        return struct.pack("<BIi", 1, code | _EWKB_SRID, srid) + body[5:]
     gp = _zc.gc_parts(s)
     if gp is not None and (gp[0] or _zc.gc_dims(s)):
         # dimensional collection: SRID flag over the ISO body, the

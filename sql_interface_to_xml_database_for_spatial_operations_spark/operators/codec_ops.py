@@ -107,6 +107,13 @@ _Q140_ORACLE = f"""
            CAST(0 AS INT) AS srid
     FROM boxes
     UNION ALL
+    SELECT 'curved_enc' AS fam, n_nationkey AS key,
+           CAST(57 AS BIGINT) AS wkb_len,
+           '0108000000' AS head_hex,
+           'MATCH' AS rt_wkt,
+           CAST(0 AS INT) AS srid
+    FROM boxes
+    UNION ALL
     SELECT 'gcz_wkb' AS fam, n_nationkey AS key,
            CAST(38 AS BIGINT) AS wkb_len,
            '01ef030000' AS head_hex,
@@ -237,6 +244,27 @@ def q140_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = rows.unionByName(curved_fam("curved", "cs_wkb", "cs_wkt"))
     rows = rows.unionByName(curved_fam("curved_cp", "cp_wkb", "cp_wkt"))
+    # r16 continuation: the ENCODE side — st_asbinary now emits type
+    # code 8 for curved text (the st_linetocurve output class), and
+    # the reader linearizes it back; byte length and header pinned.
+    # Rides the `cur` fixture frame so the expected linearization is
+    # computed from the SAME cs_wkt column the encoder consumes.
+    rows = rows.unionByName(
+        cur.select(
+            F.lit("curved_enc").alias("fam"),
+            F.col("key"),
+            F.length(F.expr("st_asbinary(cs_wkt)")).cast("bigint").alias("wkb_len"),
+            F.lower(
+                F.hex(F.expr("substring(st_asbinary(cs_wkt), 1, 5)"))
+            ).alias("head_hex"),
+            F.expr(
+                "CASE WHEN st_geomfromwkb(st_asbinary(cs_wkt))"
+                " = st_curvetoline(cs_wkt, 32) THEN 'MATCH'"
+                " ELSE 'DIFF' END"
+            ).alias("rt_wkt"),
+            F.expr("st_sridfromewkb(st_asbinary(cs_wkt))").cast("int").alias("srid"),
+        )
+    )
     # GEOMETRYCOLLECTION Z through WKB (ISO 1007), the ewkb_z
     # integer-coordinate idiom
     rows = rows.unionByName(

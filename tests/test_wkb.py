@@ -474,3 +474,68 @@ class TestDimensionalCollectionWkb:
             "'GEOMETRYCOLLECTION Z (POINT Z (1 2 3))')) AS rt"
         ).collect()[0]
         assert row["rt"] == "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))"
+
+
+class TestCurvedWkbEncode:
+    """r16 continuation: the ENCODE side of the type-8-12 codec —
+    st_asbinary accepts curved text (the st_linetocurve output class)
+    and the reader linearizes it back."""
+
+    def test_all_kinds_roundtrip_to_linearized(self):
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+            wkb as W,
+        )
+
+        cases = {
+            "CIRCULARSTRING (5 0, 0 5, -5 0)": 8,
+            "COMPOUNDCURVE ((9 0, 5 0), CIRCULARSTRING (5 0, 0 5, -5 0))": 9,
+            "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (5 0, 0 5, -5 0),"
+            " CIRCULARSTRING (-5 0, 0 -5, 5 0)))": 10,
+            "MULTICURVE (CIRCULARSTRING (5 0, 3 4, -3 4), (0 0, 1 1))": 11,
+            "MULTISURFACE (CURVEPOLYGON (CIRCULARSTRING (0 0, 2 2, 4 0,"
+            " 2 -2, 0 0)), ((20 20, 21 20, 21 21, 20 20)))": 12,
+            "CIRCULARSTRING EMPTY": 8,
+        }
+        for wkt, code in cases.items():
+            b = W.wkt_to_wkb(wkt)
+            assert struct.unpack_from("<I", b, 1)[0] == code, wkt
+            assert W.wkb_to_wkt(b) == C.curvetoline_wkt(wkt, 32), wkt
+
+    def test_linetocurve_through_binary(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            curves as C,
+            wkb as W,
+        )
+
+        ltc = C.linetocurve_wkt(
+            "LINESTRING (9 0, 5 0, 4 3, 3 4, 0 5, -3 4, -4 3, -5 0)"
+        )
+        assert ltc.startswith("COMPOUNDCURVE (")
+        b = W.wkt_to_wkb(ltc)
+        assert W.wkb_to_wkt(b) == C.curvetoline_wkt(ltc, 32)
+
+    def test_ewkb_and_refusals(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        eb = W.wkt_to_ewkb("CIRCULARSTRING (0 0, 1 1, 2 0)", 4326)
+        assert W.ewkb_srid(eb) == 4326
+        assert W.ewkb_to_wkt(eb).startswith("LINESTRING (0 0, ")
+        # discontinuous compound / unclosed ring must not encode
+        assert W.wkt_to_wkb(
+            "COMPOUNDCURVE ((0 0, 1 1), CIRCULARSTRING (5 5, 6 6, 7 5))"
+        ) is None
+        assert W.wkt_to_wkb(
+            "CURVEPOLYGON (CIRCULARSTRING (0 0, 1 1, 2 0))"
+        ) is None
+
+    def test_sql_surface(self, spark):
+        row = spark.sql(
+            "SELECT st_geomfromwkb(st_asbinary("
+            "'CIRCULARSTRING (5 0, 0 5, -5 0)')) AS rt"
+        ).collect()[0]
+        assert row["rt"].startswith("LINESTRING (5 0, ")
