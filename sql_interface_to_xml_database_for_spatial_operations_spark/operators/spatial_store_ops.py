@@ -48,15 +48,51 @@ _CELL = 45.0  # degrees; 8×4 world grid for the fixture
 
 
 def write_spatial_partitioned(
-    df: DataFrame, path: str, xcol: str, ycol: str, cell: float = _CELL
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    cell: float = _CELL,
+    order_by_geohash: bool = True,
 ) -> None:
     """Write ``df`` as parquet partitioned by grid cell of ``cell``
-    degrees. Adds BIGINT ``cx``/``cy`` partition columns."""
+    degrees. Adds BIGINT ``cx``/``cy`` partition columns.
+
+    ``order_by_geohash`` sorts rows WITHIN each task by their geohash
+    (a Z-order space-filling curve) before writing — the same
+    technique as Delta's OPTIMIZE ZORDER: spatially nearby rows land in
+    the same parquet row groups, so the row groups' lon/lat min/max
+    statistics become tight and the reader's residual bbox predicate
+    skips row groups INSIDE the surviving cells too (partition
+    pruning drops cells; statistics pruning drops row groups). Costs
+    one in-task sort at write time; no extra shuffle."""
     out = df.withColumn(
         "cx", F.floor(F.col(xcol) / F.lit(float(cell))).cast("bigint")
     ).withColumn(
         "cy", F.floor(F.col(ycol) / F.lit(float(cell))).cast("bigint")
     )
+    if order_by_geohash:
+        from ..functions.geohash import register_geohash_functions
+
+        register_geohash_functions(df.sparkSession)
+        out = (
+            out.withColumn(
+                "_gh",
+                F.call_function(
+                    "st_geohash",
+                    F.concat(
+                        F.lit("POINT ("),
+                        F.col(xcol).cast("string"),
+                        F.lit(" "),
+                        F.col(ycol).cast("string"),
+                        F.lit(")"),
+                    ),
+                    F.lit(9),
+                ),
+            )
+            .sortWithinPartitions("cx", "cy", "_gh")
+            .drop("_gh")
+        )
     out.write.mode("overwrite").partitionBy("cx", "cy").parquet(path)
 
 

@@ -553,3 +553,49 @@ def test_r16_spatial_partition_pruning_plan(spark):
     # pruning actually dropped cells: count distinct surviving dirs
     rows = df.select("cx", "cy").distinct().collect()
     assert 0 < len(rows) <= 8
+
+
+def test_r16_store_geohash_ordering(spark, tmp_path):
+    """The z-order write option: rows inside each written file are
+    geohash-sorted (tight row-group lon/lat statistics), and the
+    ordered store returns the same SET as an unordered one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geohash import (
+        encode_point,
+    )
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.spatial_store_ops import (
+        read_spatial_bbox,
+        write_spatial_partitioned,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 80 - 40 + 0.5).cast("double").alias("x"),
+        ((F.col("id") * 53) % 60 - 30 + 0.25).cast("double").alias("y"),
+    )
+    p1 = os.path.join(str(tmp_path), "ordered")
+    p2 = os.path.join(str(tmp_path), "plain")
+    write_spatial_partitioned(df, p1, "x", "y", cell=45.0, order_by_geohash=True)
+    write_spatial_partitioned(df, p2, "x", "y", cell=45.0, order_by_geohash=False)
+    a = read_spatial_bbox(spark, p1, "x", "y", -20.0, -10.0, 20.0, 10.0)
+    b = read_spatial_bbox(spark, p2, "x", "y", -20.0, -10.0, 20.0, 10.0)
+    assert sorted(r["k"] for r in a.collect()) == sorted(
+        r["k"] for r in b.collect()
+    )
+    # per-file ordering: every parquet file's rows are geohash-sorted
+    import glob
+
+    import pandas as pd
+
+    checked = 0
+    for f in glob.glob(os.path.join(p1, "cx=*", "cy=*", "*.parquet")):
+        pdf = pd.read_parquet(f)
+        if len(pdf) < 2:
+            continue
+        ghs = [encode_point(x, y, 9) for x, y in zip(pdf["x"], pdf["y"])]
+        assert ghs == sorted(ghs), f
+        checked += 1
+    assert checked > 0
