@@ -54,6 +54,7 @@ def write_spatial_partitioned(
     ycol: str,
     cell: float = _CELL,
     order_by_geohash: bool = True,
+    salt: int = 0,
 ) -> None:
     """Write ``df`` as parquet partitioned by grid cell of ``cell``
     degrees. Adds BIGINT ``cx``/``cy`` partition columns.
@@ -71,6 +72,14 @@ def write_spatial_partitioned(
     ).withColumn(
         "cy", F.floor(F.col(ycol) / F.lit(float(cell))).cast("bigint")
     )
+    if salt > 1:
+        # hot-cell (skew) mitigation: an extra hash subpartition splits
+        # a city-sized cell across `salt` directories; bbox reads
+        # filter only cx/cy, so every salt shard of a surviving cell
+        # is read and pruning is unaffected
+        out = out.withColumn(
+            "sp", F.pmod(F.hash(F.col(xcol), F.col(ycol)), F.lit(salt))
+        )
     if order_by_geohash:
         from ..functions.geohash import register_geohash_functions
 
@@ -93,7 +102,8 @@ def write_spatial_partitioned(
             .sortWithinPartitions("cx", "cy", "_gh")
             .drop("_gh")
         )
-    out.write.mode("overwrite").partitionBy("cx", "cy").parquet(path)
+    keys = ["cx", "cy"] + (["sp"] if salt > 1 else [])
+    out.write.mode("overwrite").partitionBy(*keys).parquet(path)
 
 
 def read_spatial_bbox(

@@ -599,3 +599,38 @@ def test_r16_store_geohash_ordering(spark, tmp_path):
         assert ghs == sorted(ghs), f
         checked += 1
     assert checked > 0
+
+
+def test_r16_store_salted_hot_cells(spark, tmp_path):
+    """The skew-salt option: a salted store splits cells into `sp`
+    shards, keeps cx/cy partition pruning, and returns the same SET."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.spatial_store_ops import (
+        read_spatial_bbox,
+        write_spatial_partitioned,
+    )
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 80 - 40 + 0.5).cast("double").alias("x"),
+        ((F.col("id") * 53) % 60 - 30 + 0.25).cast("double").alias("y"),
+    )
+    p = os.path.join(str(tmp_path), "salted")
+    write_spatial_partitioned(
+        df, p, "x", "y", cell=45.0, order_by_geohash=False, salt=3
+    )
+    assert glob.glob(os.path.join(p, "cx=*", "cy=*", "sp=*"))
+    got = read_spatial_bbox(spark, p, "x", "y", -20.0, -10.0, 20.0, 10.0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cx" in scan.split("PartitionFilters:")[1].split("]")[0]
+    expect = df.filter(
+        F.col("x").between(-20.0, 20.0) & F.col("y").between(-10.0, 10.0)
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
