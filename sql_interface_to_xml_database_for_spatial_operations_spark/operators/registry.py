@@ -536,6 +536,15 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # rows is the deliberate re-record class, backed by this round's
 # full-registry sf0.01 engine-vs-DuckDB sweep (MISMATCHES: none) on
 # the settled tree.
+#
+# Round 17 rotation plan: fold the 50 r16 greens in, then derive the
+# STALE PIN from the per-round CORRECTNESS artifacts (the r15
+# mechanism — never the hand-kept cohort labels): the oldest
+# still-resting verifications after this fold are the r13-green rows
+# (CORRECTNESS_r13 keys) MINUS everything re-verified since (r14/r15/
+# r16 windows and the r16 exposure). Expose that remainder FIRST,
+# oldest artifact first, then whatever r17's diff touches, then any
+# r16 reds. Window arithmetic before any new rows, as always.
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
