@@ -514,6 +514,100 @@ def isvalidreason_wkt(wkt) -> str | None:
     return invalid_reason(g) or VALID
 
 
+# --- ST_IsValidDetail (r16): reason + witness location ------------------
+#
+# PostGIS returns (valid, reason, location) as a composite; this
+# engine's text model renders it 'VALID' or '<reason>[x y]' — the same
+# bracketed-location format PostGIS's own ST_IsValidReason prints.
+# The witness is found by an INDEPENDENT O(n²) segment scan (proper
+# crossings first, then a revisited non-consecutive vertex), so the
+# validity kernel above stays byte-identical; reasons with no point
+# witness (unclosed ring, too-few-points) print without brackets,
+# like PostGIS's NULL location.
+
+_DETAIL_PAIR_BUDGET = 4_000_000  # the zcoord/surface3d adversarial cap
+
+
+def _seg_cross_point(p1, p2, p3, p4):
+    """The proper-intersection point of segments p1p2 / p3p4, or None
+    (shared endpoints and collinear overlap are not 'proper')."""
+    d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
+    d2x, d2y = p4[0] - p3[0], p4[1] - p3[1]
+    den = d1x * d2y - d1y * d2x
+    if den == 0.0:
+        return None
+    t = ((p3[0] - p1[0]) * d2y - (p3[1] - p1[1]) * d2x) / den
+    u = ((p3[0] - p1[0]) * d1y - (p3[1] - p1[1]) * d1x) / den
+    if not (0.0 < t < 1.0 and 0.0 < u < 1.0):
+        return None
+    return (p1[0] + t * d1x, p1[1] + t * d1y)
+
+
+def invalid_witness(g: Geometry):
+    """(x, y) of the first proper ring crossing (self- or cross-ring,
+    scan order) or of a revisited non-consecutive vertex; None when
+    the invalidity has no point witness or the pair budget trips."""
+    if g.kind == "Polygon":
+        polys = [g.coords]
+    elif g.kind == "MultiPolygon":
+        polys = list(g.coords)
+    elif g.kind == "GeometryCollection":
+        for sub in g.coords:
+            w = invalid_witness(sub)
+            if w is not None:
+                return w
+        return None
+    else:
+        return None
+    budget = _DETAIL_PAIR_BUDGET
+    for rings in polys:
+        segs = []
+        for ri, ring in enumerate(rings):
+            for si, (a, b) in enumerate(zip(ring, ring[1:])):
+                segs.append((ri, si, a, b))
+        n = len(segs)
+        for i in range(n):
+            ri, si, a, b = segs[i]
+            for j in range(i + 1, n):
+                rj, sj, c, d = segs[j]
+                if ri == rj and abs(si - sj) <= 1:
+                    continue  # adjacent in the same ring
+                if ri == rj and {a, b} & {c, d}:
+                    continue  # ring closure adjacency
+                budget -= 1
+                if budget <= 0:
+                    return None
+                pt = _seg_cross_point(a, b, c, d)
+                if pt is not None:
+                    return pt
+        # no proper crossing: a revisited vertex (spike / self-touch)
+        for ring in rings:
+            seen = {}
+            for k, p in enumerate(ring[:-1]):
+                if p in seen and k - seen[p] > 1:
+                    return p
+                seen.setdefault(p, k)
+    return None
+
+
+def isvaliddetail_wkt(wkt) -> str | None:
+    if wkt is None:
+        return None
+    s = str(wkt).strip()
+    if _ov._EMPTY_RE.match(s.upper()):
+        return VALID
+    g = G.parse_wkt(s)
+    if g is None:
+        return None
+    reason = invalid_reason(g)
+    if reason is None:
+        return VALID
+    w = invalid_witness(g)
+    if w is None:
+        return reason
+    return f"{reason}[{G._fmt(w[0])} {G._fmt(w[1])}]"
+
+
 # ---------------------------------------------------------------------------
 # vectorized SQL surface
 # ---------------------------------------------------------------------------
@@ -552,10 +646,25 @@ def st_makevalid(wkt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+@pandas_udf(StringType())
+def st_isvaliddetail(wkt: pd.Series) -> pd.Series:
+    """'VALID' or '<reason>[x y]' (module comment at
+    isvaliddetail_wkt; the location bracket is PostGIS's own
+    ST_IsValidReason print format)."""
+    out = []
+    for v in wkt:
+        try:
+            out.append(isvaliddetail_wkt(v))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 ALL_VALIDITY_FUNCTIONS = {
     "st_isvalid": st_isvalid,
     "st_isvalidreason": st_isvalidreason,
     "st_makevalid": st_makevalid,
+    "st_isvaliddetail": st_isvaliddetail,
 }
 
 

@@ -158,6 +158,14 @@ _FAMILIES = {
     "isvalid_bool": f"CAST(st_isvalid({_BOWTIE}) AS STRING)",
     "dup_valid": f"st_isvalidreason({_DUP_BOX})",
     "dup_relate": f"st_relate({_DUP_BOX}, {_INNER})",
+    # ST_IsValidDetail (r16): reason + witness location in PostGIS's
+    # bracketed print format — the unit-square bowtie's crossing is
+    # exactly (2, 2); valid input echoes 'Valid Geometry'; junk NULLs
+    "ivd": (
+        "st_isvaliddetail('POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))')"
+        f" || '|' || st_isvaliddetail({_BOX})"
+        " || '|' || COALESCE(st_isvaliddetail('junk(('), 'N')"
+    ),
 }
 
 _EXPECTED = {
@@ -178,6 +186,7 @@ _EXPECTED = {
     "isvalid_bool": "false",
     "dup_valid": "Valid Geometry",
     "dup_relate": "212FF1FF2",
+    "ivd": "Self-intersection[2 2]|Valid Geometry|N",
 }
 
 _Q156_ORACLE = "\nUNION ALL\n".join(
