@@ -545,6 +545,33 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # r16 windows and the r16 exposure). Expose that remainder FIRST,
 # oldest artifact first, then whatever r17's diff touches, then any
 # r16 reds. Window arithmetic before any new rows, as always.
+#
+# r17 EXECUTED rotation: fold the 50 r16 greens in (CORRECTNESS_r16,
+# 50/50 green, 0 errs — plus the judge's independent full-registry
+# sf0.01 sweep, 183/183 MISMATCHES: none). Stale pin derived from the
+# CORRECTNESS artifacts per the plan above (never hand labels):
+# r13-green keys MINUS (r14 | r15 | r16 keys) = 44 rows whose most
+# recent driver verification is r13 — the join/setop/window core
+# (q11-q16/q18/q19/q30/q112), the ingest family (q99-q102/q108/q118),
+# the spatial-function mid-band (q46-q48/q50-q52/q59/q85/q94/q95/
+# q97/q98/q124/q148-q151), the streaming e2e rows (q123/q137/q138/
+# q142/q147), and q143/q144/q145/q167/q170/q171. All 44 exposed,
+# oldest-artifact-first by construction.
+# Diff-touched re-exposures for r17's plan (exposed BEFORE the code
+# lands, the r16 precedent): q130_st_transform (+units/+to_meter,
+# omerc/sterea obliques, ADVICE r16 pole-clamp + empty-param fixes —
+# VERDICT r17 tasks 2/3 + ADVICE), q178_st_surface3d (M/ZM surface
+# codec closure, VERDICT task 4), q184_spatial_partition_pruning
+# (ADVICE r16 hot-cell salt fix: row-unique hash key).
+# Window arithmetic FIRST, as always: 44 + 3 = 47 of 50; 3 spare
+# slots for r17's new rows as they land (each noted here when
+# registered). measure_m.py's ADVICE depth-cap fix rides with the
+# q178 exposure (its other carriers q169/q174/q177 are r16-green on
+# family SQL that never nests GCs past the cap — result-invariant
+# there, deliberate re-record class backed by the round-end
+# full-registry sf0.01 sweep on the settled tree; same class as the
+# projection.py-import drift over q114/q121/q128/q129/q131/q152/
+# q154/q158/q165/q169/q180).
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
@@ -556,75 +583,68 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q07_not_in_list",
         "q08_null_predicates",
         "q09_where_bool_literal",
-        "q100_engine_rowset",
-        "q101_geojson_roundtrip",
-        "q102_geojson_sink_roundtrip",
-        "q108_kml_roundtrip",
+        "q103_stratified_sample",
+        "q104_language_quota",
+        "q105_mixture_weights",
+        "q106_sequence_packing",
+        "q107_decontamination",
         "q109_tfidf_top_terms",
         "q10_between_range",
-        "q112_window_lag_lead",
+        "q110_repetition_metrics",
+        "q111_centroid_outliers",
         "q113_window_distribution",
         "q114_compat_flattened",
+        "q115_ann_quantized_topk",
         "q116_trailing_range_window",
         "q117_approx_percentiles",
-        "q118_bucketed_join",
         "q119_cohort_retention",
-        "q11_join_inner_equi",
         "q120_event_funnel",
         "q121_catalog_tables",
         "q122_st_relations",
-        "q123_stream_tumbling_e2e",
-        "q124_st_union_agg",
         "q125_document_chunking",
         "q126_pii_redaction",
         "q127_url_domains",
         "q128_st_simplify",
         "q129_st_snaptogrid",
-        "q12_join_theta",
         "q131_st_azimuth",
+        "q132_audio_features",
         "q133_resize_images",
+        "q134_hypertable_rollup",
+        "q135_cms_heavy_hitters",
         "q136_image_dhash_neardup",
-        "q137_stream_session_e2e",
-        "q138_stream_interval_join_e2e",
         "q139_st_intersection",
-        "q13_join_left_outer",
+        "q140_wkb_roundtrip",
         "q141_boilerplate_removal",
-        "q142_stream_dedup_e2e",
-        "q143_kmeans_assign",
-        "q144_bloom_semijoin",
-        "q145_inverted_index",
-        "q147_stream_stateful_totals_e2e",
-        "q148_st_affine",
-        "q149_st_linework",
-        "q14_join_right_outer",
-        "q150_st_accessors",
-        "q151_st_boundary",
+        "q146_st_symdifference",
         "q152_st_linear_referencing",
         "q153_st_editors",
         "q154_st_constructors",
         "q155_st_buffer_lines_polys",
+        "q156_st_relate_isvalid",
+        "q157_st_makevalid",
         "q158_st_measures",
         "q159_st_bounding",
-        "q15_join_full_outer",
         "q160_cluster_dbscan",
         "q161_st_collect_dump",
+        "q162_st_subdivide",
+        "q163_jpeg_pixels",
+        "q164_st_node_polygonize",
         "q165_st_tessellate",
-        "q167_video_frames",
+        "q166_st_split",
+        "q168_kmeans_converged",
         "q169_st_grids",
-        "q16_join_multiway",
-        "q170_bm25_search",
-        "q171_bigram_perplexity",
         "q172_bpe_tokenize",
         "q173_y4m_frames",
+        "q174_st_z",
         "q175_st_asmvt",
         "q176_bpe_train",
-        "q178_st_surface3d",
+        "q177_st_geodesy",
         "q179_substring_dedup",
         "q17_natural_join",
         "q180_st_editors_x",
         "q181_fuzzy_match",
-        "q18_semi_join_in_subquery",
-        "q19_anti_join_not_exists",
+        "q182_shapefile_roundtrip",
+        "q183_gpx_roundtrip",
         "q20_lateral_explode",
         "q21_count_groupby",
         "q22_agg_global",
@@ -635,7 +655,6 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q27_orderby_limit_topk",
         "q28_union_all",
         "q29_intersect",
-        "q30_except",
         "q31_window_rank",
         "q32_window_running_sum",
         "q33_subquery_from",
@@ -651,24 +670,27 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q43_st_distance_radius",
         "q44_spatial_join_within",
         "q45_spatial_join_intersects",
-        "q46_st_area_props",
-        "q47_dwithin_pairs",
-        "q48_distance_sphere_count",
         "q49_st_asgeojson",
-        "q50_st_geomfromtext",
-        "q51_st_geomfromgeojson",
-        "q52_centroid_perimeter",
         "q53_buffer_contains",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
-        "q59_st_geomfromgml_kml",
         "q60_token_count",
         "q61_quality_score",
         "q62_language_id",
         "q63_fingerprint",
+        "q64_dedup_exact",
+        "q65_dedup_ngram_jaccard",
+        "q66_minhash_lsh",
+        "q67_simhash",
+        "q68_simhash_pairs",
+        "q69_embedding_neardup",
+        "q70_ann_bruteforce_topk",
+        "q71_ann_lsh_buckets",
+        "q72_ann_lsh_topk",
+        "q73_ann_ivf_topk",
         "q75_tumbling_window",
         "q76_sliding_window",
         "q77_sessionize",
@@ -679,16 +701,15 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q82_frame_sample",
         "q83_asof_join",
         "q84_range_join_banded",
-        "q85_st_extent_agg",
         "q86_skew_salted_join",
         "q87_percentiles",
+        "q88_levenshtein_neardup",
         "q89_gap_fill_spine",
-        "q94_multipart_gml_ingest",
-        "q95_st_collect_agg",
+        "q90_dedup_clusters",
+        "q91_training_pipeline",
+        "q92_hash_sample",
+        "q93_train_val_test_split",
         "q96_event_attribution",
-        "q97_knn_within_radius",
-        "q98_hull_envelope",
-        "q99_xml_roundtrip",
     }
 )
 
