@@ -240,10 +240,28 @@ def main() -> None:
     # wall clock includes micro-batch scheduling by design (that IS
     # the latency a streaming user sees). Off-total, stderr-only.
     streaming_sec: dict[str, float] = {}
+    streaming_batches: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        from sql_interface_to_xml_database_for_spatial_operations_spark.operators import (
+            streaming_ops as _sops,
+        )
+
         for name in STREAMING:
             try:
                 streaming_sec[name] = round(timed(name), 3)
+                # micro-batch attribution (r17, VERDICT r16 task 5):
+                # batch count + per-trigger ms so an outlier row (q138)
+                # is explainable as count vs per-batch cost. The
+                # harness keys progress by the short row name ("q138").
+                prog = _sops.LAST_RUN_PROGRESS.get(name.split("_")[0], [])
+                trig = [p.get("triggerMs") for p in prog]
+                streaming_batches[name] = {
+                    "batches": len(prog),
+                    "trigger_ms": trig,
+                    "state_ops": max(
+                        (p.get("stateOps", 0) for p in prog), default=0
+                    ),
+                }
             except Exception as ex:  # a broken streaming row must not
                 streaming_sec[name] = -1.0  # kill the whole bench line
                 print(f"bench: streaming row {name} failed: {ex}", file=sys.stderr)
@@ -251,6 +269,7 @@ def main() -> None:
     detail = {
         "query_sec": timings,  # full-precision copy (stdout may shed)
         "streaming_sec": streaming_sec,  # e2e micro-batch wall clock
+        "streaming_batches": streaming_batches,  # count + trigger ms (r17)
         "timing": (
             f"per query: min over {n_runs} interleaved full passes "
             "after 1 warm pass; sentinel_sec = same cheap query timed "

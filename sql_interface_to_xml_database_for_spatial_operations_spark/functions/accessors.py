@@ -196,7 +196,9 @@ def is_closed(wkt) -> bool | None:
 
         ps = _s3.parse_surface_wkt(wkt)
         if ps is not None:
-            return _s3.surface_is_closed(ps[2]) if ps[2] else None
+            if not ps[2]:
+                return None
+            return _s3.surface_is_closed(ps[2], "Z" in ps[1])
     g, empty = _parse(wkt)
     if empty is not None:
         return False

@@ -307,16 +307,19 @@ def mmax_of(wkt) -> float | None:
     return max(ms) if ms else None
 
 
-def force2d_wkt(wkt) -> str | None:
+def force2d_wkt(wkt, _depth: int = 0) -> str | None:
     """PostGIS ST_Force2D: drop the M, Z, or ZM coordinates (Z via the
-    r15 zcoord codec; collections member-recursive since r16); plain
-    2-D input echoes in canonical form."""
+    r15 zcoord codec; collections member-recursive since r16, capped at
+    _GC_MAX_DEPTH like the force3d* siblings — ADVICE r16); plain 2-D
+    input echoes in canonical form."""
     if wkt is None:
         return None
     from . import zcoord as _z
 
+    if _depth > _z._GC_MAX_DEPTH:
+        return None
     if _z.gc_parts(wkt) is not None:
-        return _z._gc_map(wkt, force2d_wkt, "")
+        return _z._gc_map(wkt, lambda t: force2d_wkt(t, _depth + 1), "")
     z2 = _z.force2d_z_wkt(wkt)
     if z2 is not None:
         return z2
@@ -366,6 +369,11 @@ def zmflag_of(wkt) -> int | None:
     gd = _z.gc_dims(wkt)
     if gd is not None:  # collections report their members' union (r16)
         return {"": 0, "M": 1, "Z": 2, "ZM": 3}[gd]
+    from . import surface3d as _s3
+
+    ps = _s3.parse_surface_wkt(wkt)
+    if ps is not None:  # surfaces carry the dims tag directly (r17)
+        return {"": 0, "M": 1, "Z": 2, "ZM": 3}[ps[1]]
     s = str(wkt).strip()
     if _ov._EMPTY_RE.match(s.upper()):
         return 0

@@ -48,7 +48,7 @@ import math
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, StringType
+from pyspark.sql.types import BooleanType, IntegerType, StringType
 
 from . import geometry as G
 from . import measure_m as _mm
@@ -78,13 +78,55 @@ def _norm_any(wkt):
     s = str(wkt).strip()
     ps = _s3.parse_surface_wkt(s)
     if ps is not None:
-        kind, has_z, patches = ps
-        return (kind, has_z, False, _plain(patches))
+        kind, dims, patches = ps
+        return (kind, "Z" in dims, "M" in dims, _plain(patches))
     parsed = _wkb._parse_any(s)
     if parsed is None:
         return None
     kind, z, m, payload = parsed
     return (kind, z, m, _plain(payload))
+
+
+_COLLECTION_KINDS = frozenset(
+    {
+        "MultiPoint", "MultiLineString", "MultiPolygon",
+        "GeometryCollection",
+        # liblwgeom lwtype_is_collection: surfaces are patch
+        # collections; a single TRIANGLE is not
+        "PolyhedralSurface", "Tin",
+    }
+)
+
+
+def iscollection_of(wkt) -> bool | None:
+    """ST_IsCollection (r17): TRUE for every container kind — MULTI*,
+    GEOMETRYCOLLECTION (including EMPTY and single-member), surfaces
+    (POLYHEDRALSURFACE / TIN, the liblwgeom rule), and the curved
+    containers MULTICURVE / MULTISURFACE. FALSE for single kinds in
+    any dims form; unparseable input → NULL."""
+    na = _norm_any(wkt)
+    if na is not None:
+        return na[0] in _COLLECTION_KINDS
+    if wkt is not None:
+        # dimensional GEOMETRYCOLLECTION (Z/M/ZM — the gc codec's
+        # kinds sit outside _parse_any)
+        if _zc.gc_parts(wkt) is not None and _zc.gc_dims(wkt) is not None:
+            return True
+        cv = _wkb._curved_parse(wkt)
+        if cv is not None:
+            return cv[0].upper() in ("MULTICURVE", "MULTISURFACE")
+    return None
+
+
+def memsize_of(wkt) -> int | None:
+    """ST_MemSize analog (r17): the byte size of the ENGINE's serialized
+    form — the ISO WKB encoding (the same bytes st_asbinary returns).
+    PostGIS reports its own in-memory serialization, which differs by
+    that engine's header overhead; the NUMBER is engine-specific by
+    definition, the contract (size of the serialized geometry) is the
+    same. Unencodable input → NULL."""
+    b = _wkb.wkt_to_wkb(wkt)
+    return None if b is None else len(b)
 
 
 def ordering_equals(wa, wb) -> bool | None:
@@ -399,8 +441,23 @@ def st_transscale(
     )
 
 
+@pandas_udf(BooleanType())
+def st_iscollection(w: pd.Series) -> pd.Series:
+    """ST_IsCollection across every codec (2-D/Z/M/ZM, surfaces,
+    curved, dimensional collections) — r17."""
+    return pd.Series([_safe(iscollection_of, x) for x in w], dtype=object)
+
+
+@pandas_udf(IntegerType())
+def st_memsize(w: pd.Series) -> pd.Series:
+    """ST_MemSize analog: serialized (ISO WKB) byte size — r17."""
+    return pd.Series([_safe(memsize_of, x) for x in w], dtype=object)
+
+
 ALL_MISC2_FUNCTIONS = {
     "st_orderingequals": st_orderingequals,
+    "st_iscollection": st_iscollection,
+    "st_memsize": st_memsize,
     "st_clipbybox2d": st_clipbybox2d,
     "st_filterbym": st_filterbym,
     "st_makebox2d": st_makebox2d,

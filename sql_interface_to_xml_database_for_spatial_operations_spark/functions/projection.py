@@ -1,25 +1,43 @@
-"""ST_Transform — closed-form reprojection for EPSG:4326 ↔ 3857, UTM
-326xx/327xx, Lambert conformal conic 2SP (2154/3034), Lambert azimuthal
-equal-area (3035), and Albers equal-area conic (5070/3577) (F12).
+"""ST_Transform — closed-form reprojection (F12): a named-SRID table
+plus a parameterized '+proj=' grammar over the same kernels.
 
 PostGIS users reach ``ST_Transform(geom, srid)`` through the forwarding
 surface (reference src/index.ts:44-63). A general CRS engine needs proj
-(not in this runtime); the closed-form pairs implemented here cover the
-web-map workflows the reference's demo serves (WGS84 ↔ spherical Web
-Mercator) plus the UTM zones PostGIS users reach for next
-(EPSG:326xx/327xx ↔ 4326, VERDICT r6 item 4 — third-order Krüger
-series, see the UTM section below). Pairs among {4326, 3857, UTM}
-compose through 4326. The Mercator forms are public (EPSG guidance note
-7-2 / the standard spherical-Mercator derivation):
+(not in this runtime); this module instead implements the published
+closed forms for the projection FAMILIES those CRSs instantiate, and
+accepts BOTH spellings:
+
+- **Named SRIDs**: 4326 ↔ 3857 (spherical Web Mercator), UTM
+  EPSG:326xx/327xx (third-order Krüger series), LCC 2SP (2154/3034),
+  LAEA (3035), Albers (5070/3577), polar stereographic
+  (3413/3031/3032), national TM grids (27700/2180), World Mercator
+  (3395), the Swiss grids (21781/2056). Pairs compose through 4326.
+- **'+proj=' parameter strings** (the PostGIS from_proj/to_proj text
+  forms, r16+): tmerc / utm / lcc(2SP) / aea / laea / stere(polar) /
+  merc / somerc / omerc (Hotine) / sterea (oblique stereographic) /
+  krovak (Czech S-JTSK) / longlat, with +ellps/+a/+rf/+b, +towgs84 Helmert datum legs,
+  +datum=WGS84|NAD83, and projected +units=m|us-ft|ft or +to_meter=
+  (r17 — US state-plane strings in survey feet work as published;
+  +x_0/+y_0 stay in meters, the proj convention). Anything outside
+  the grammar — unknown projections or parameters, malformed or
+  degenerate values (+k=0, empty '+key=', near-polar oblique LAEA,
+  omerc azimuths at 0/90°) — raises a loud ValueError at parse time:
+  a silently ignored or defaulted parameter would corrupt every
+  coordinate.
+
+The spherical Web-Mercator forms (EPSG guidance note 7-2 / the
+standard derivation):
 
     x = R·λ·π/180          λ = x/R · 180/π
     y = R·ln(tan(π/4 + φ·π/360))    φ = (2·atan(exp(y/R)) − π/2)·180/π
 
 with R = 6378137 (the WGS84 semi-major axis — spherical Mercator by
-definition uses it for both axes). Latitudes are clamped to ±85.051129°
-(the Mercator square's edge), matching the web-mapping convention.
-Other SRID pairs raise a loud ValueError rather than silently passing
-coordinates through — adding proj swaps one dispatcher branch.
+definition uses it for both axes). 3857 latitudes are clamped to
+±85.051129° (the Mercator square's edge), matching the web-mapping
+convention; the ELLIPSOIDAL Mercators instead send the poles to ±inf
+honestly and st_transform maps the row to NULL (ADVICE r16).
+Unsupported named-SRID pairs raise a loud ValueError rather than
+silently passing coordinates through.
 
 Scale shape: map-only vectorized pandas UDF over WKT, no shuffle, same
 batch-level parse memoization pattern as the rest of the registry. The
@@ -485,7 +503,15 @@ class _MercCrs:
         self._c8 = 4279.0 * e2**4 / 161280.0
 
     def fwd(self, lon: float, lat: float) -> tuple[float, float]:
-        lat = max(-89.9999, min(89.9999, lat))  # the poles are at ±∞
+        if abs(lat) >= 90.0:
+            # the poles are at ±∞ on any Mercator — emit the infinity
+            # honestly instead of clamping to a plausible finite
+            # northing (ADVICE r16); st_transform's output-finiteness
+            # gate maps the row to NULL (the loud-NULL convention)
+            return (
+                self.e0 + self.a * self.k0 * (math.radians(lon) - self.lam0),
+                math.copysign(math.inf, lat),
+            )
         s = math.sin(math.radians(lat))
         n = self.a * self.k0 * (
             math.atanh(s) - self.e * math.atanh(self.e * s)
@@ -873,6 +899,432 @@ class _SwissCrs:
         )
 
 
+class _HomCrs:
+    """Hotine Oblique Mercator (EPSG 9812 variant A / 9815 variant B;
+    '+proj=omerc'): EPSG Guidance Note 7-2 closed forms — the aposphere
+    construction (B, A, t₀, D, F, H, G, γ₀, λ₀) then the (u, v) skew
+    coordinates rotated by the rectified grid angle γc. Covers the
+    national grids the somerc specialization (azimuth = 90°) cannot:
+    Borneo RSO (Timbalai 1948 — the GN 7-2 worked example pinned in
+    tests: 5°23'14.1129"N 115°48'19.8196"E → 679245.73 / 596562.78 m,
+    variant B), Alaska zone 1, Malaysia BRSO. Variant B subtracts the
+    center-point offset u_c (proj default); +no_uoff selects variant A.
+    The inverse runs the conformal-to-geodetic series (the _MercCrs
+    coefficients). Degenerate azimuths (0°, ±90°, 180° — where the
+    aposphere construction loses its meaning or somerc applies) refuse
+    at parse time (r17)."""
+
+    def __init__(self, lat0, lonc, alpha, gamma, k0, e0, n0, inv_f, a=R,
+                 no_uoff=False):
+        f = 1.0 / inv_f
+        e2 = f * (2.0 - f)
+        self.e = e = math.sqrt(e2)
+        self.e0, self.n0 = e0, n0
+        phi0 = math.radians(lat0)
+        lamc = math.radians(lonc)
+        alphac = math.radians(alpha)
+        self.gammac = math.radians(gamma)
+        sp = math.sin(phi0)
+        cp = math.cos(phi0)
+        self.B = B = math.sqrt(1.0 + e2 * cp**4 / (1.0 - e2))
+        self.A = A = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+        t0 = math.tan(math.pi / 4.0 - phi0 / 2.0) / (
+            (1.0 - e * sp) / (1.0 + e * sp)
+        ) ** (e / 2.0)
+        D = B * math.sqrt(1.0 - e2) / (cp * math.sqrt(1.0 - e2 * sp * sp))
+        D2 = max(D * D, 1.0)
+        F = D + math.copysign(math.sqrt(D2 - 1.0), phi0)
+        self.H = F * t0**B
+        G = (F - 1.0 / F) / 2.0
+        self.gamma0 = math.asin(math.sin(alphac) / D)
+        self.lam0 = lamc - math.asin(G * math.tan(self.gamma0)) / B
+        # variant B's center-point offset along the u axis
+        self.uc = 0.0
+        if not no_uoff:
+            self.uc = math.copysign(
+                (A / B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(alphac)),
+                phi0,
+            )
+        # conformal-to-geodetic series (Snyder 3-5)
+        self._c2 = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+        self._c4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+        self._c6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+        self._c8 = 4279.0 * e2**4 / 161280.0
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        if abs(lat) >= 90.0:
+            return (math.nan, math.nan)  # poles: outside the aposphere map
+        e, B, A = self.e, self.B, self.A
+        s = math.sin(math.radians(lat))
+        t = math.tan(math.pi / 4.0 - math.radians(lat) / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+        Q = self.H / t**B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = B * (math.radians(lon) - self.lam0)
+        V = math.sin(dl)
+        U = (-V * math.cos(self.gamma0) + S * math.sin(self.gamma0)) / T
+        v = A * math.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (
+            A
+            * math.atan2(
+                S * math.cos(self.gamma0) + V * math.sin(self.gamma0),
+                math.cos(dl),
+            )
+            / B
+            - self.uc
+        )
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        return (self.e0 + v * cg + u * sg, self.n0 + u * cg - v * sg)
+
+    def inv(self, E: float, N: float) -> tuple[float, float]:
+        e, B, A = self.e, self.B, self.A
+        cg, sg = math.cos(self.gammac), math.sin(self.gammac)
+        dE, dN = E - self.e0, N - self.n0
+        vp = dE * cg - dN * sg
+        up = dN * cg + dE * sg + self.uc
+        Qp = math.exp(-B * vp / A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = math.sin(B * up / A)
+        Up = (Vp * math.cos(self.gamma0) + Sp * math.sin(self.gamma0)) / Tp
+        tp = (self.H / math.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+        chi = math.pi / 2.0 - 2.0 * math.atan(tp)
+        phi = (
+            chi
+            + self._c2 * math.sin(2.0 * chi)
+            + self._c4 * math.sin(4.0 * chi)
+            + self._c6 * math.sin(6.0 * chi)
+            + self._c8 * math.sin(8.0 * chi)
+        )
+        lam = self.lam0 - math.atan2(
+            Sp * math.cos(self.gamma0) - Vp * math.sin(self.gamma0),
+            math.cos(B * up / A),
+        ) / B
+        return math.degrees(lam), math.degrees(phi)
+
+
+class _MeridianArc:
+    """Meridian arc length M(φ) and its inverse via the rectifying
+    latitude (Snyder PP 1395 eqs. 3-21 / 3-26 — the published n-series;
+    the same coefficient family the Krüger TM kernel uses). Shared by
+    the Equidistant Cylindrical and Cassini-Soldner kernels (r17)."""
+
+    def __init__(self, a, inv_f):
+        f = 1.0 / inv_f
+        n = f / (2.0 - f)
+        self.acap = (a / (1.0 + n)) * (1.0 + n * n / 4.0 + n**4 / 64.0)
+        # φ → μ (3-21, rewritten in n)
+        self._to_mu = (
+            -(3.0 * n / 2.0 - 9.0 * n**3 / 16.0),
+            15.0 * n**2 / 16.0 - 15.0 * n**4 / 32.0,
+            -(35.0 * n**3 / 48.0),
+            315.0 * n**4 / 512.0,
+        )
+        # μ → φ (3-26)
+        self._to_phi = (
+            3.0 * n / 2.0 - 27.0 * n**3 / 32.0,
+            21.0 * n**2 / 16.0 - 55.0 * n**4 / 32.0,
+            151.0 * n**3 / 96.0,
+            1097.0 * n**4 / 512.0,
+        )
+
+    def m(self, phi: float) -> float:
+        mu = phi
+        for j, c in enumerate(self._to_mu, start=1):
+            mu += c * math.sin(2.0 * j * phi)
+        return self.acap * mu
+
+    def phi(self, m: float) -> float:
+        mu = m / self.acap
+        p = mu
+        for j, c in enumerate(self._to_phi, start=1):
+            p += c * math.sin(2.0 * j * mu)
+        return p
+
+
+class _EqcCrs:
+    """Equidistant Cylindrical (EPSG 1028; '+proj=eqc') — WGS84 World
+    Equidistant Cylindrical EPSG:4087 and the Plate Carrée family:
+    E = FE + ν₁ cos φ₁ (λ − λ₀), N = FN + M(φ) with φ₁ = +lat_ts
+    (default 0). Exact closed forms either way (the inverse runs the
+    rectifying series). r17."""
+
+    def __init__(self, lat_ts, lon0, e0, n0, inv_f, a=R):
+        f = 1.0 / inv_f
+        e2 = f * (2.0 - f)
+        phi1 = math.radians(lat_ts)
+        s1 = math.sin(phi1)
+        self.nu1cos = a * math.cos(phi1) / math.sqrt(1.0 - e2 * s1 * s1)
+        self.lam0 = math.radians(lon0)
+        self.e0, self.n0 = e0, n0
+        self.arc = _MeridianArc(a, inv_f)
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        return (
+            self.e0 + self.nu1cos * (math.radians(lon) - self.lam0),
+            self.n0 + self.arc.m(math.radians(lat)),
+        )
+
+    def inv(self, e: float, n: float) -> tuple[float, float]:
+        return (
+            math.degrees(self.lam0 + (e - self.e0) / self.nu1cos),
+            math.degrees(self.arc.phi(n - self.n0)),
+        )
+
+
+class _CassCrs:
+    """Cassini-Soldner (EPSG 9806; '+proj=cass') — the Trinidad 1903
+    and old cadastral grids. EPSG GN 7-2 closed forms: A = Δλ cos φ,
+    T = tan²φ, C = e²cos²φ/(1−e²), ν = a/√(1−e²sin²φ);
+    E = FE + ν[A − T A³/6 − (8 − T + 8C) T A⁵/120],
+    N = FN + M − M₀ + ν tan φ [A²/2 + (5 − T + 6C) A⁴/24].
+    The inverse recovers φ₁ from the rectifying series then applies
+    the GN 7-2 D-polynomials. Accurate within the method's own design
+    band (Δλ a few degrees — Cassini is a cadastral, not a zone-wide,
+    projection). r17."""
+
+    def __init__(self, lat0, lon0, e0, n0, inv_f, a=R):
+        f = 1.0 / inv_f
+        self.e2 = f * (2.0 - f)
+        self.a = a
+        self.lam0 = math.radians(lon0)
+        self.e0, self.n0 = e0, n0
+        self.arc = _MeridianArc(a, inv_f)
+        self.m0 = self.arc.m(math.radians(lat0))
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        e2, a = self.e2, self.a
+        phi = math.radians(lat)
+        s, c = math.sin(phi), math.cos(phi)
+        A = (math.radians(lon) - self.lam0) * c
+        T = math.tan(phi) ** 2
+        C = e2 * c * c / (1.0 - e2)
+        nu = a / math.sqrt(1.0 - e2 * s * s)
+        E = self.e0 + nu * (
+            A - T * A**3 / 6.0 - (8.0 - T + 8.0 * C) * T * A**5 / 120.0
+        )
+        N = self.n0 + self.arc.m(phi) - self.m0 + nu * math.tan(phi) * (
+            A * A / 2.0 + (5.0 - T + 6.0 * C) * A**4 / 24.0
+        )
+        return E, N
+
+    def inv(self, E: float, N: float) -> tuple[float, float]:
+        e2, a = self.e2, self.a
+        phi1 = self.arc.phi(self.m0 + (N - self.n0))
+        s1, c1 = math.sin(phi1), math.cos(phi1)
+        T1 = math.tan(phi1) ** 2
+        nu1 = a / math.sqrt(1.0 - e2 * s1 * s1)
+        rho1 = a * (1.0 - e2) / (1.0 - e2 * s1 * s1) ** 1.5
+        D = (E - self.e0) / nu1
+        phi = phi1 - (nu1 * math.tan(phi1) / rho1) * (
+            D * D / 2.0 - (1.0 + 3.0 * T1) * D**4 / 24.0
+        )
+        lam = self.lam0 + (
+            D - T1 * D**3 / 3.0 + (1.0 + 3.0 * T1) * T1 * D**5 / 15.0
+        ) / c1
+        return math.degrees(lam), math.degrees(phi)
+
+
+class _KrovakCrs:
+    """Krovak oblique conformal conic (EPSG 9819; '+proj=krovak') —
+    the Czech/Slovak S-JTSK grid. EPSG Guidance Note 7-2 closed forms:
+    Bessel 1841 → conformal sphere (B, γ₀, t₀ at the projection
+    center), rotate to the oblique pole (azimuth αc), then a conformal
+    conic at the pseudo standard parallel φp = 78°30' (fixed in the
+    method, like proj). Natural output is SOUTHING/WESTING; the
+    default axes here are Krovak East North (EPSG:5514: E = −westing,
+    N = −southing — negative on Czech territory); '+czech' selects
+    the positive southing/westing form (EPSG:5513 axis order aside).
+    The GN 7-2 worked example (50°12'32.4416"N 16°50'59.1790"E →
+    southing 1 050 538.64, westing 568 991.00) is pinned in tests.
+    The inverse iterates the conformal latitude (quadratic, 12
+    rounds)."""
+
+    PHI_P = math.radians(78.5)  # pseudo standard parallel (method-fixed)
+
+    def __init__(self, lat0, lon0, alpha, k0, e0, n0, inv_f, a=R,
+                 czech=False):
+        f = 1.0 / inv_f
+        e2 = f * (2.0 - f)
+        self.e = e = math.sqrt(e2)
+        self.e0, self.n0 = e0, n0
+        self.czech = czech
+        phic = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.alphac = math.radians(alpha)
+        sp = math.sin(phic)
+        self.A = a * math.sqrt(1.0 - e2) / (1.0 - e2 * sp * sp)
+        self.B = B = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+        self.gamma0 = math.asin(sp / B)
+        self.t0 = (
+            math.tan(math.pi / 4.0 + self.gamma0 / 2.0)
+            * ((1.0 + e * sp) / (1.0 - e * sp)) ** (e * B / 2.0)
+            / math.tan(math.pi / 4.0 + phic / 2.0) ** B
+        )
+        self.n = math.sin(self.PHI_P)
+        self.r0 = k0 * self.A / math.tan(self.PHI_P)
+        self._tppc = math.tan(math.pi / 4.0 + self.PHI_P / 2.0)
+
+    def _fwd_sw(self, lon: float, lat: float) -> tuple[float, float]:
+        """(southing, westing) of a geodetic point on the def's datum."""
+        e, B = self.e, self.B
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        U = 2.0 * (
+            math.atan(
+                self.t0
+                * math.tan(phi / 2.0 + math.pi / 4.0) ** B
+                / ((1.0 + e * s) / (1.0 - e * s)) ** (e * B / 2.0)
+            )
+            - math.pi / 4.0
+        )
+        V = B * (self.lam0 - lam)
+        T = math.asin(
+            math.cos(self.alphac) * math.sin(U)
+            + math.sin(self.alphac) * math.cos(U) * math.cos(V)
+        )
+        D = math.asin(math.cos(U) * math.sin(V) / math.cos(T))
+        theta = self.n * D
+        r = (
+            self.r0
+            * self._tppc**self.n
+            / math.tan(T / 2.0 + math.pi / 4.0) ** self.n
+        )
+        return r * math.cos(theta), r * math.sin(theta)
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        X, Y = self._fwd_sw(lon, lat)
+        if self.czech:
+            return self.e0 + X, self.n0 + Y  # southing, westing
+        return self.e0 - Y, self.n0 - X  # Krovak East North (5514)
+
+    def inv(self, E: float, N: float) -> tuple[float, float]:
+        if self.czech:
+            X, Y = E - self.e0, N - self.n0
+        else:
+            X, Y = -(N - self.n0), -(E - self.e0)
+        e, B = self.e, self.B
+        r = math.hypot(X, Y)
+        theta = math.atan2(Y, X)
+        D = theta / self.n
+        T = 2.0 * (
+            math.atan((self.r0 / r) ** (1.0 / self.n) * self._tppc)
+            - math.pi / 4.0
+        )
+        U = math.asin(
+            math.cos(self.alphac) * math.sin(T)
+            - math.sin(self.alphac) * math.cos(T) * math.cos(D)
+        )
+        V = math.asin(math.cos(T) * math.sin(D) / math.cos(U))
+        lam = self.lam0 - V / B
+        # invert the conformal-latitude map by fixed point (rate ~e²)
+        base = math.tan(U / 2.0 + math.pi / 4.0) / self.t0
+        phi = U
+        for _ in range(12):
+            s = math.sin(phi)
+            phi = 2.0 * (
+                math.atan(
+                    base ** (1.0 / B)
+                    * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+                )
+                - math.pi / 4.0
+            )
+        return math.degrees(lam), math.degrees(phi)
+
+
+class _ObliqueStereoCrs:
+    """Oblique Stereographic (EPSG 9809; '+proj=sterea'): the EPSG
+    Guidance Note 7-2 double-projection closed forms — Gauss conformal
+    sphere of radius R = √(ρ₀ν₀) at the origin (constants n, c, χ₀),
+    then the spherical oblique stereographic. This is the Netherlands
+    RD grid (Amersfoort / RD New, EPSG:28992 — the GN 7-2 worked
+    example pinned in tests: 53°N 6°E → 196105.283 / 557057.739 m) and
+    the Romanian/Polish stereographic grids. The inverse recovers χ/Λ
+    with the GN 7-2 g/h/i/j construction, then Newton-iterates the
+    ellipsoidal isometric latitude (quadratic; 8 rounds reach 1e-14
+    rad). Polar origins belong to '+proj=stere' and refuse at parse
+    time (r17)."""
+
+    def __init__(self, lat0, lon0, k0, e0, n0, inv_f, a=R):
+        f = 1.0 / inv_f
+        e2 = f * (2.0 - f)
+        self.e = e = math.sqrt(e2)
+        self.e0, self.n0 = e0, n0
+        self.lam0 = math.radians(lon0)
+        phi0 = math.radians(lat0)
+        sp = math.sin(phi0)
+        rho0 = a * (1.0 - e2) / (1.0 - e2 * sp * sp) ** 1.5
+        nu0 = a / math.sqrt(1.0 - e2 * sp * sp)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = n = math.sqrt(1.0 + e2 * math.cos(phi0) ** 4 / (1.0 - e2))
+        s1 = (1.0 + sp) / (1.0 - sp)
+        s2 = (1.0 - e * sp) / (1.0 + e * sp)
+        w1 = (s1 * s2**e) ** n
+        sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+        self.c = c = (
+            (n + sp) * (1.0 - sin_chi0) / ((n - sp) * (1.0 + sin_chi0))
+        )
+        w2 = c * w1
+        self.chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+        self.k0 = k0
+
+    def fwd(self, lon: float, lat: float) -> tuple[float, float]:
+        if abs(lat) >= 90.0:
+            # the conformal-sphere w blows up at the poles
+            return (math.nan, math.nan)
+        e, n = self.e, self.n
+        phi, lam = math.radians(lat), math.radians(lon)
+        Lam_d = n * (lam - self.lam0)  # Λ − Λ₀
+        s = math.sin(phi)
+        sa = (1.0 + s) / (1.0 - s)
+        sb = (1.0 - e * s) / (1.0 + e * s)
+        w = self.c * (sa * sb**e) ** n
+        chi = math.asin((w - 1.0) / (w + 1.0))
+        B = (
+            1.0
+            + math.sin(chi) * math.sin(self.chi0)
+            + math.cos(chi) * math.cos(self.chi0) * math.cos(Lam_d)
+        )
+        rk2 = 2.0 * self.R * self.k0
+        return (
+            self.e0 + rk2 * math.cos(chi) * math.sin(Lam_d) / B,
+            self.n0
+            + rk2
+            * (
+                math.sin(chi) * math.cos(self.chi0)
+                - math.cos(chi) * math.sin(self.chi0) * math.cos(Lam_d)
+            )
+            / B,
+        )
+
+    def inv(self, E: float, N: float) -> tuple[float, float]:
+        e, n = self.e, self.n
+        rk2 = 2.0 * self.R * self.k0
+        g = rk2 * math.tan(math.pi / 4.0 - self.chi0 / 2.0)
+        h = 2.0 * rk2 * math.tan(self.chi0) + g
+        dE, dN = E - self.e0, N - self.n0
+        i = math.atan2(dE, h + dN)
+        j = math.atan2(dE, g - dN) - i
+        chi = self.chi0 + 2.0 * math.atan((dN - dE * math.tan(j / 2.0)) / rk2)
+        Lam_d = j + 2.0 * i  # Λ − Λ₀
+        lam = Lam_d / n + self.lam0
+        # ellipsoidal isometric latitude from the conformal-sphere χ:
+        # e^{2ψ} = [(1+sinφ)/(1−sinφ)]·[(1−e sinφ)/(1+e sinφ)]^e
+        #        = (w/c)^{1/n} with w = (1+sinχ)/(1−sinχ)
+        psi = (math.atanh(math.sin(chi)) - 0.5 * math.log(self.c)) / n
+        phi = 2.0 * math.atan(math.exp(psi)) - math.pi / 2.0  # first guess
+        for _ in range(8):
+            s = math.sin(phi)
+            psi_i = math.atanh(s) - e * math.atanh(e * s)
+            # Newton: dψ/dφ = (1 − e²)/(cos φ (1 − e² sin²φ))
+            phi -= (psi_i - psi) * math.cos(phi) * (1.0 - e * e * s * s) / (
+                1.0 - e * e
+            )
+        return math.degrees(lam), math.degrees(phi)
+
+
 _BERN_LAT = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
 _BERN_LON = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
 # CH1903 -> WGS84 (position-vector, rotations 0): swisstopo's
@@ -1025,16 +1477,21 @@ def transform(g: Geometry, srid_from: int, srid_to: int) -> Geometry:
 # arbitrary ST_Transform calls to PostGIS). This runtime accepts the
 # same public proj-string grammar for the projection families whose
 # closed-form kernels already exist above — tmerc / utm / lcc (2SP) /
-# aea / laea / stere (polar, variants A and B) / longlat — so arbitrary
-# state-plane / national codes work without shipping proj: look up the
-# EPSG definition once, pass its parameters explicitly.
+# aea / laea / stere (polar, variants A and B) / merc / somerc /
+# omerc (Hotine, r17) / sterea (oblique stereographic, r17) /
+# krovak (r17) / longlat — so arbitrary state-plane / national codes work without
+# shipping proj: look up the EPSG definition once, pass its
+# parameters explicitly.
 #
-# Grammar subset: +proj= +lat_0= +lon_0= +lat_1= +lat_2= +lat_ts=
-# +k=/+k_0= +x_0= +y_0= +zone= +south +ellps= +a= +b= +rf= +datum=WGS84
+# Grammar subset: +proj= +lat_0= +lon_0= +lonc= +lat_1= +lat_2=
+# +lat_ts= +alpha= +gamma= +no_uoff +k=/+k_0= +x_0= +y_0= +zone=
+# +south +ellps= +a= +b= +rf= +datum=WGS84|NAD83
 # +towgs84=tx,ty,tz[,rx,ry,rz,s] (position-vector: arcsec + ppm, the
-# EPSG/proj convention) +units=m +no_defs +type=crs. Anything else —
-# unknown projections, non-meter units, grid-file datums — raises
-# loudly: a silently ignored parameter would corrupt every coordinate.
+# EPSG/proj convention) +units=m|us-ft|ft / +to_meter= (r17 — the
+# output-unit scale; +x_0/+y_0 stay in meters like proj) +no_defs
+# +type=crs. Anything else — unknown projections or units, grid-file
+# datums, empty '+key=' values — raises loudly: a silently ignored
+# parameter would corrupt every coordinate.
 
 _ELLPS: dict[str, tuple[float, float]] = {
     # published defining parameters (proj -le): (a, 1/f)
@@ -1046,12 +1503,45 @@ _ELLPS: dict[str, tuple[float, float]] = {
     "bessel": (6377397.155, 299.1528128),
     "krass": (6378245.0, 298.3),
     "WGS72": (6378135.0, 298.26),
+    # Everest 1830 (1967 definition) — Borneo RSO grids (proj -le)
+    "evrstSS": (6377298.556, 300.8017),
 }
 
 _HANDLED_KEYS = {
     "proj", "lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "k", "k_0",
     "x_0", "y_0", "zone", "south", "ellps", "a", "b", "rf", "datum",
     "towgs84", "units", "no_defs", "type", "wktext",
+    "to_meter", "lonc", "alpha", "gamma", "no_uoff", "czech", "pm",
+}
+
+# proj's named prime meridians (proj -lm) — +pm= shifts every
+# longitude-type parameter: a +lon_0 relative to Paris sits at
+# lon_0 + 2.337... east of Greenwich (the NTF legacy-grid class).
+_PRIME_MERIDIANS: dict[str, float] = {
+    "greenwich": 0.0,
+    "paris": 2.0 + 20.0 / 60.0 + 14.025 / 3600.0,
+    "ferro": -(17.0 + 40.0 / 60.0),
+    "lisbon": -(9.0 + 7.0 / 60.0 + 54.862 / 3600.0),
+    "bogota": -(74.0 + 4.0 / 60.0 + 51.3 / 3600.0),
+    "madrid": -(3.0 + 41.0 / 60.0 + 16.58 / 3600.0),
+    "rome": 12.0 + 27.0 / 60.0 + 8.4 / 3600.0,
+    "bern": 7.0 + 26.0 / 60.0 + 22.5 / 3600.0,
+    "jakarta": 106.0 + 48.0 / 60.0 + 27.79 / 3600.0,
+    "brussels": 4.0 + 22.0 / 60.0 + 4.71 / 3600.0,
+    "stockholm": 18.0 + 3.0 / 60.0 + 29.8 / 3600.0,
+    "athens": 23.0 + 42.0 / 60.0 + 58.815 / 3600.0,
+    "oslo": 10.0 + 43.0 / 60.0 + 22.5 / 3600.0,
+}
+
+# proj's published linear-unit table entries this runtime accepts for
+# projected output (+units=); +to_meter= takes any positive factor.
+# +x_0/+y_0 stay in METERS regardless (the proj convention — e.g.
+# EPSG:2263's string carries +x_0=300000.0000000001 m for a false
+# easting published as 984250 ftUS).
+_UNITS: dict[str, float] = {
+    "m": 1.0,
+    "us-ft": 1200.0 / 3937.0,  # US survey foot (exact ratio)
+    "ft": 0.3048,              # international foot (exact)
 }
 
 
@@ -1061,22 +1551,28 @@ class _ProjDef:
     leg. ``fwd``/``inv`` map WGS84 degrees <-> projected coordinates,
     composing the Helmert legs exactly like the _TmCrs datum path."""
 
-    __slots__ = ("_fwd_local", "_inv_local", "_ab", "_helmert")
+    __slots__ = ("_fwd_local", "_inv_local", "_ab", "_helmert", "_unit")
 
-    def __init__(self, fwd_local, inv_local, ab, helmert):
+    def __init__(self, fwd_local, inv_local, ab, helmert, unit=1.0):
         self._fwd_local = fwd_local
         self._inv_local = inv_local
         self._ab = ab
         self._helmert = helmert
+        self._unit = unit  # meters per output unit (+units=/+to_meter=)
 
     def fwd(self, lon: float, lat: float) -> tuple[float, float]:
         if self._helmert is not None:
             lon, lat = _helmert_geodetic(
                 lon, lat, _WGS84_AB, self._ab, self._helmert, inverse=True
             )
-        return self._fwd_local(lon, lat)
+        x, y = self._fwd_local(lon, lat)
+        if self._unit != 1.0:
+            return x / self._unit, y / self._unit
+        return x, y
 
     def inv(self, e: float, n: float) -> tuple[float, float]:
+        if self._unit != 1.0:
+            e, n = e * self._unit, n * self._unit
         lon, lat = self._inv_local(e, n)
         if self._helmert is not None:
             lon, lat = _helmert_geodetic(
@@ -1090,26 +1586,52 @@ def _parse_projdef(text: str) -> _ProjDef:
     for tok in text.split():
         if not tok.startswith("+"):
             raise ValueError(f"proj parameter must start with '+': {tok!r}")
-        key, _, val = tok[1:].partition("=")
+        key, eq, val = tok[1:].partition("=")
         if key not in _HANDLED_KEYS:
             raise ValueError(
                 f"unsupported proj parameter +{key} (this runtime handles "
                 f"{sorted(_HANDLED_KEYS)})"
             )
+        if eq and not val:
+            # '+lat_0=' with nothing after the '=' is a malformed
+            # token, not 'parameter absent' — silently defaulting it
+            # would corrupt every coordinate (ADVICE r16)
+            raise ValueError(f"+{key}= has an empty value")
         kv[key] = val
     proj = kv.get("proj")
     if not proj:
         raise ValueError("proj string needs +proj=")
-    if kv.get("units", "m") != "m":
-        raise ValueError(
-            f"only +units=m is supported, got +units={kv['units']} "
-            "(feet-based state-plane variants must be converted)"
-        )
-    if "datum" in kv and kv["datum"] != "WGS84":
-        raise ValueError(
-            f"+datum={kv['datum']} needs grid files; spell the ellipsoid "
-            "and +towgs84 parameters explicitly"
-        )
+    # projected linear units: +units= from the published table, or an
+    # explicit +to_meter= factor (the two are alternatives, like proj)
+    if "units" in kv and "to_meter" in kv:
+        raise ValueError("+units and +to_meter are mutually exclusive")
+    if "units" in kv:
+        if kv["units"] not in _UNITS:
+            raise ValueError(
+                f"unknown +units={kv['units']} (known: {sorted(_UNITS)}; "
+                "use +to_meter= for any other factor)"
+            )
+        unit = _UNITS[kv["units"]]
+    elif "to_meter" in kv:
+        unit = float(kv["to_meter"])
+        if not (math.isfinite(unit) and unit > 0.0):
+            raise ValueError(
+                f"+to_meter must be a positive finite factor, got {unit}"
+            )
+    else:
+        unit = 1.0
+    default_ellps = "WGS84"
+    if "datum" in kv:
+        if kv["datum"] == "NAD83":
+            # NAD83 is GRS80 with a null shift to WGS84 at the accuracy
+            # class of this runtime (proj's own non-grid behavior) —
+            # this is what pasted US state-plane strings carry
+            default_ellps = "GRS80"
+        elif kv["datum"] != "WGS84":
+            raise ValueError(
+                f"+datum={kv['datum']} needs grid files; spell the "
+                "ellipsoid and +towgs84 parameters explicitly"
+            )
     # ellipsoid: +a (+rf / +b) overrides +ellps; default WGS84 like proj
     if "a" in kv:
         a = float(kv["a"])
@@ -1129,7 +1651,7 @@ def _parse_projdef(text: str) -> _ProjDef:
                 f"inverse flattening must be finite and > 1, got {inv_f}"
             )
     else:
-        name = kv.get("ellps", "WGS84")
+        name = kv.get("ellps", default_ellps)
         if name not in _ELLPS:
             raise ValueError(
                 f"unknown +ellps={name} (known: {sorted(_ELLPS)})"
@@ -1159,7 +1681,26 @@ def _parse_projdef(text: str) -> _ProjDef:
     def num(key: str, default: float = 0.0) -> float:
         return float(kv[key]) if kv.get(key) else default
 
-    lat0, lon0 = num("lat_0"), num("lon_0")
+    # prime meridian (r17): +pm= shifts every longitude-type parameter
+    # to its Greenwich equivalent BEFORE the kernels see it (geodetic
+    # I/O stays Greenwich-referenced, the proj convention)
+    pm = 0.0
+    if "pm" in kv:
+        name = kv["pm"].lower()
+        if name in _PRIME_MERIDIANS:
+            pm = _PRIME_MERIDIANS[name]
+        else:
+            try:
+                pm = float(kv["pm"])
+            except ValueError:
+                raise ValueError(
+                    f"unknown +pm={kv['pm']} (named: "
+                    f"{sorted(_PRIME_MERIDIANS)}; or decimal degrees)"
+                ) from None
+            if not (math.isfinite(pm) and -180.0 <= pm <= 180.0):
+                raise ValueError(f"+pm out of range: {pm}")
+
+    lat0, lon0 = num("lat_0"), num("lon_0") + pm
     x0, y0 = num("x_0"), num("y_0")
     k0 = float(kv["k"]) if kv.get("k") else (
         float(kv["k_0"]) if kv.get("k_0") else 1.0
@@ -1177,8 +1718,18 @@ def _parse_projdef(text: str) -> _ProjDef:
     if not -90.0 <= lat0 <= 90.0:
         raise ValueError(f"+lat_0 out of range: {lat0}")
     if proj in ("longlat", "latlong"):
+        if unit != 1.0:
+            raise ValueError(
+                "+units/+to_meter do not apply to geographic "
+                "(+proj=longlat) definitions — coordinates are degrees"
+            )
+        if pm != 0.0:
+            # geographic output referenced to the def's own meridian
+            fwd_ll = lambda x, y: (x - pm, y)  # noqa: E731
+            inv_ll = lambda x, y: (x + pm, y)  # noqa: E731
+            return _ProjDef(fwd_ll, inv_ll, ab, helmert, unit)
         ident = lambda x, y: (x, y)  # noqa: E731 — geographic: no projection
-        return _ProjDef(ident, ident, ab, helmert)
+        return _ProjDef(ident, ident, ab, helmert, unit)
     if proj == "utm":
         if not kv.get("zone"):
             raise ValueError("+proj=utm needs +zone=")
@@ -1189,10 +1740,10 @@ def _parse_projdef(text: str) -> _ProjDef:
             a, inv_f, 0.0, zone * 6 - 183, 0.9996, _E0,
             _N0_SOUTH if "south" in kv else 0.0,
         )
-        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert)
+        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert, unit)
     if proj == "tmerc":
         crs = _TmCrs(a, inv_f, lat0, lon0, k0, x0, y0)
-        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert)
+        return _ProjDef(crs.fwd_local, crs.inv_local, ab, helmert, unit)
     if proj == "lcc":
         if not kv.get("lat_1"):
             raise ValueError("+proj=lcc needs +lat_1")
@@ -1204,18 +1755,18 @@ def _parse_projdef(text: str) -> _ProjDef:
                 "closed forms divide by ln t1 - ln t2"
             )
         crs = _LccCrs(lat1, lat2, lat0, lon0, x0, y0, inv_f, a=a)
-        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
     if proj == "aea":
         if not (kv.get("lat_1") and kv.get("lat_2")):
             raise ValueError("+proj=aea needs +lat_1 and +lat_2")
         crs = _AeaCrs(num("lat_1"), num("lat_2"), lat0, lon0, x0, y0, inv_f, a=a)
-        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
     if proj == "laea":
         if lat0 in (90.0, -90.0):
             # polar aspect (EPSG:3574/3575/3576 class): its own Snyder
             # closed forms — the oblique ones degenerate at the pole
             crs = _LaeaPolarCrs(lat0 > 0, lon0, x0, y0, inv_f, a=a)
-            return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+            return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
         if abs(lat0) > 89.0:
             # NEAR-polar oblique: cos β₀ underflows and the output is
             # silently wrong, not a crash — refuse loudly
@@ -1224,7 +1775,7 @@ def _parse_projdef(text: str) -> _ProjDef:
                 "pole but not exactly ±90) is outside the closed forms"
             )
         crs = _LaeaCrs(lat0, lon0, x0, y0, inv_f, a=a)
-        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
     if proj == "somerc":
         # the Swiss-style oblique Mercator on the conformal sphere
         # (proj's somerc keyword — EPSG "Hotine Oblique Mercator
@@ -1232,7 +1783,7 @@ def _parse_projdef(text: str) -> _ProjDef:
         if abs(lat0) >= 89.0:
             raise ValueError("+proj=somerc needs a non-polar +lat_0")
         crs = _SwissCrs(lat0, lon0, k0, x0, y0, inv_f=inv_f, a=a)
-        return _ProjDef(crs._fwd_local, crs._inv_local, ab, helmert)
+        return _ProjDef(crs._fwd_local, crs._inv_local, ab, helmert, unit)
     if proj == "merc":
         if lat0 != 0.0:
             raise ValueError("+proj=merc requires +lat_0=0 (EPSG forms)")
@@ -1240,7 +1791,7 @@ def _parse_projdef(text: str) -> _ProjDef:
         if lat_ts is not None and not -89.0 <= lat_ts <= 89.0:
             raise ValueError(f"+lat_ts out of range for merc: {lat_ts}")
         crs = _MercCrs(lon0, x0, y0, inv_f, a=a, k0=k0, lat_ts=lat_ts)
-        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
     if proj == "stere":
         if abs(lat0) != 90.0:
             raise ValueError(
@@ -1254,10 +1805,103 @@ def _parse_projdef(text: str) -> _ProjDef:
             crs = _PsCrs(lat_ts, lon0, x0, y0, inv_f, a=a)
         else:  # variant A: scale at the pole (lat_ts absent or ±90)
             crs = _PsCrs(lat0, lon0, x0, y0, inv_f, a=a, k0=k0)
-        return _ProjDef(crs.fwd, crs.inv, ab, helmert)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
+    if proj == "omerc":
+        # Hotine Oblique Mercator (EPSG 9812/9815) — Borneo RSO,
+        # Alaska zone 1, Malaysia BRSO (r17, VERDICT r16 task 3)
+        if not kv.get("lonc"):
+            raise ValueError("+proj=omerc needs +lonc= (the center longitude)")
+        if kv.get("lon_0"):
+            raise ValueError(
+                "+proj=omerc takes +lonc, not +lon_0 — a silently "
+                "ignored center longitude would corrupt every coordinate"
+            )
+        if kv.get("lat_1") or kv.get("lat_2"):
+            raise ValueError(
+                "the two-point omerc form (+lat_1/+lon_1/+lat_2/+lon_2) "
+                "is not supported; use +alpha (the azimuth form)"
+            )
+        if not kv.get("alpha"):
+            raise ValueError("+proj=omerc needs +alpha= (the azimuth)")
+        alpha = num("alpha")
+        gamma = num("gamma", alpha)
+        if not 0.1 <= abs(alpha) <= 89.9:
+            raise ValueError(
+                f"+alpha={alpha} is outside (0.1, 89.9) in absolute "
+                "value — near 0 the aposphere construction degenerates "
+                "and at 90 the projection is '+proj=somerc'"
+            )
+        if not 0.1 <= abs(lat0) <= 89.0:
+            raise ValueError(
+                "+proj=omerc needs a non-polar, non-equatorial +lat_0 "
+                "(every published RSO grid has one; the equatorial "
+                "aspect is '+proj=merc')"
+            )
+        crs = _HomCrs(
+            lat0, num("lonc") + pm, alpha, gamma, k0, x0, y0, inv_f, a=a,
+            no_uoff="no_uoff" in kv,
+        )
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
+    if proj in ("eqc", "eqc_sph"):
+        # Equidistant Cylindrical (EPSG 1028; EPSG:4087 class) — r17
+        if proj == "eqc_sph":
+            raise ValueError("spherical eqc: pass +proj=eqc with +a/+rf")
+        if lat0 != 0.0:
+            raise ValueError(
+                "+proj=eqc takes +lat_ts (the standard parallel); "
+                "+lat_0 must be 0 (EPSG 1028 origins sit on the equator)"
+            )
+        lat_ts = num("lat_ts")
+        if not -89.0 <= lat_ts <= 89.0:
+            raise ValueError(f"+lat_ts out of range for eqc: {lat_ts}")
+        crs = _EqcCrs(lat_ts, lon0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
+    if proj == "cass":
+        # Cassini-Soldner (EPSG 9806) — Trinidad 1903 and the old
+        # cadastral grids; pairs naturally with +to_meter= (Clarke's
+        # links) — r17
+        if abs(lat0) > 89.0:
+            raise ValueError("+proj=cass needs a non-polar +lat_0")
+        crs = _CassCrs(lat0, lon0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
+    if proj == "krovak":
+        # Krovak oblique conformal conic (EPSG 9819) — S-JTSK, the
+        # Czech/Slovak grid (r17). proj defaults: lat_0 49.5,
+        # lon_0 24°50' E Greenwich (42°30' E Ferro), alpha
+        # 30°17'17.3031", k 0.9999; the pseudo standard parallel is
+        # method-fixed at 78°30' (proj hardcodes it too).
+        lat0_k = num("lat_0", 49.5)
+        # the krovak default λ₀ is Greenwich-referenced (24°50'E =
+        # 42°30' east of Ferro); an explicit +lon_0 composes with +pm
+        lon0_k = (num("lon_0") + pm) if kv.get("lon_0") else (24.0 + 50.0 / 60.0)
+        alpha_k = num("alpha", 30.28813972222222)  # proj: 30d17'17.303"
+        k0_k = k0 if (kv.get("k") or kv.get("k_0")) else 0.9999
+        if not 30.0 <= lat0_k <= 60.0:
+            raise ValueError(
+                "+proj=krovak +lat_0 outside the method's domain "
+                "(the conformal-sphere center must stay mid-latitude)"
+            )
+        if not 0.0 < alpha_k < 89.0:
+            raise ValueError(f"+proj=krovak +alpha out of range: {alpha_k}")
+        crs = _KrovakCrs(
+            lat0_k, lon0_k, alpha_k, k0_k, x0, y0, inv_f, a=a,
+            czech="czech" in kv,
+        )
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
+    if proj == "sterea":
+        # Oblique Stereographic (EPSG 9809) — Netherlands RD,
+        # Romania/Poland stereographic grids (r17, VERDICT r16 task 3)
+        if abs(lat0) >= 89.0:
+            raise ValueError(
+                "+proj=sterea is the OBLIQUE stereographic — polar "
+                "origins are '+proj=stere'"
+            )
+        crs = _ObliqueStereoCrs(lat0, lon0, k0, x0, y0, inv_f, a=a)
+        return _ProjDef(crs.fwd, crs.inv, ab, helmert, unit)
     raise ValueError(
         f"unsupported +proj={proj} (closed-form kernels exist for "
-        "tmerc/utm/lcc/aea/laea/stere/merc/somerc/longlat)"
+        "tmerc/utm/lcc/aea/laea/stere/merc/somerc/omerc/sterea/krovak/"
+        "eqc/cass/longlat)"
     )
 
 
@@ -1325,7 +1969,16 @@ def st_transform(wkt: pd.Series, srid_from: pd.Series, srid_to: pd.Series) -> pd
         ):
             out.append(None)
             continue
-        out.append(G.to_wkt(transform_any(g, _crs_arg(sf), _crs_arg(st_))))
+        t = transform_any(g, _crs_arg(sf), _crs_arg(st_))
+        if not all(
+            math.isfinite(x) and math.isfinite(y) for x, y in G._points(t)
+        ):
+            # out-of-domain input (e.g. a pole through ellipsoidal
+            # Mercator maps to ±inf northing, ADVICE r16): loud NULL,
+            # never a silently clamped finite coordinate
+            out.append(None)
+            continue
+        out.append(G.to_wkt(t))
     return pd.Series(out, dtype=object)
 
 

@@ -10,11 +10,16 @@ and the Z simple-feature codec stay untouched.
 
 Semantics (PostGIS/SFCGAL-matching unless noted):
 
-- ``POLYHEDRALSURFACE [Z] (((…)), …)`` — patches are polygons (outer
-  ring + optional holes, closed, ≥ 4 vertices). ``TIN [Z] (((…)), …)``
-  — patches are triangles (exactly one 4-vertex closed ring).
-  ``TRIANGLE [Z] ((…))`` — a single triangle patch. 2-D and Z forms;
-  M / ZM surfaces are outside the codec → documented loud NULL.
+- ``POLYHEDRALSURFACE [Z|M|ZM] (((…)), …)`` — patches are polygons
+  (outer ring + optional holes, closed, ≥ 4 vertices).
+  ``TIN [Z|M|ZM] (((…)), …)`` — patches are triangles (exactly one
+  4-vertex closed ring). ``TRIANGLE [Z|M|ZM] ((…))`` — a single
+  triangle patch. All four dimensional forms round-trip (r17,
+  VERDICT r16 task 4 — the zcoord dims template); the parse result's
+  second element is the dims TAG ('' | 'Z' | 'M' | 'ZM'), and
+  measure values ride through the codec untouched. Geometric kernels
+  (area, volume, mesh closure) use (x, y, z) with z = 0 for M-only
+  surfaces — the PostGIS convention that M never affects geometry.
 - ``st_numpatches(g)`` / ``st_patchn(g, n)`` — patch count / the
   1-based n-th patch (POLYGON [Z] for a surface patch, TRIANGLE [Z]
   for a TIN patch — PostGIS returns the patch in its own type).
@@ -104,10 +109,26 @@ def _parse_patch_rings(tok: str, width: int, triangle: bool):
     return rings
 
 
+def _dims_tag(dims) -> str:
+    """Normalize a dims argument: legacy bool (True = Z) or one of
+    '' / 'Z' / 'M' / 'ZM'."""
+    if dims is True:
+        return "Z"
+    if dims is False or dims is None:
+        return ""
+    return str(dims).upper()
+
+
+def _dims_width(dims) -> int:
+    return 2 + len(_dims_tag(dims))  # '' 2, 'Z'/'M' 3, 'ZM' 4
+
+
 def parse_surface_wkt(wkt):
-    """('PolyhedralSurface'|'Tin'|'Triangle', has_z, patches) or None.
-    ``patches`` is a list of [rings]; a TRIANGLE is one patch. M / ZM
-    surfaces and malformed bodies → None (loud)."""
+    """('PolyhedralSurface'|'Tin'|'Triangle', dims, patches) or None.
+    ``dims`` is '' | 'Z' | 'M' | 'ZM' (r17 — all four forms parse;
+    '' and 'Z' match the pre-r17 False/True truthiness). ``patches``
+    is a list of [rings]; a TRIANGLE is one patch. Malformed bodies →
+    None (loud)."""
     if wkt is None:
         return None
     mt = _HEAD_RE.match(str(wkt))
@@ -116,20 +137,17 @@ def parse_surface_wkt(wkt):
     kind = {"POLYHEDRALSURFACE": "PolyhedralSurface", "TIN": "Tin", "TRIANGLE": "Triangle"}[
         mt.group(1).upper()
     ]
-    tag = (mt.group(2) or "").upper()
-    if tag in ("M", "ZM"):
-        return None  # outside the codec — documented loud NULL
-    has_z = tag == "Z"
-    width = 3 if has_z else 2
+    dims = (mt.group(2) or "").upper()
+    width = _dims_width(dims)
     rest = mt.group(3).strip()
     if rest.upper() == "EMPTY":
-        return (kind, has_z, [])
+        return (kind, dims, [])
     body = Z._strip_parens(rest)
     if body is None:
         return None
     if kind == "Triangle":
         rings = _parse_patch_rings("(" + body + ")", width, triangle=True)
-        return None if rings is None else (kind, has_z, [rings])
+        return None if rings is None else (kind, dims, [rings])
     toks = Z._split_top(body)
     if toks is None:
         return None
@@ -139,15 +157,16 @@ def parse_surface_wkt(wkt):
         if rings is None:
             return None
         patches.append(rings)
-    return (kind, has_z, patches)
+    return (kind, dims, patches)
 
 
 def _ring_txt(ring) -> str:
     return "(" + ", ".join(" ".join(Z._fmt(v) for v in p) for p in ring) + ")"
 
 
-def to_surface_wkt(kind: str, has_z: bool, patches) -> str:
-    tag = " Z" if has_z else ""
+def to_surface_wkt(kind: str, dims, patches) -> str:
+    d = _dims_tag(dims)
+    tag = f" {d}" if d else ""
     head = {"PolyhedralSurface": "POLYHEDRALSURFACE", "Tin": "TIN", "Triangle": "TRIANGLE"}[kind]
     if not patches:
         return f"{head}{tag} EMPTY"
@@ -160,42 +179,47 @@ def to_surface_wkt(kind: str, has_z: bool, patches) -> str:
     )
 
 
-def patch_wkt(kind: str, has_z: bool, rings) -> str:
+def patch_wkt(kind: str, dims, rings) -> str:
     """A single patch in its own type: TIN / TRIANGLE → TRIANGLE,
     else POLYGON."""
-    tag = " Z" if has_z else ""
+    d = _dims_tag(dims)
+    tag = f" {d}" if d else ""
     if kind in ("Tin", "Triangle"):
         return f"TRIANGLE{tag} (" + _ring_txt(rings[0]) + ")"
     return f"POLYGON{tag} (" + ", ".join(_ring_txt(r) for r in rings) + ")"
 
 
-def _xyz(p):
-    return (p[0], p[1], p[2] if len(p) > 2 else 0.0)
+def _xyz(p, use_z: bool = True):
+    """(x, y, z) of a 2/3/4-wide vertex; ``use_z=False`` marks an
+    M-only width-3 vertex whose third slot is the MEASURE, not z —
+    geometry uses z = 0 there (M never affects geometry)."""
+    return (p[0], p[1], p[2] if use_z and len(p) > 2 else 0.0)
 
 
-def _newell_area(ring) -> float:
+def _newell_area(ring, use_z: bool = True) -> float:
     """|½ Σ vᵢ × vᵢ₊₁| — the planar area of a closed 3-D ring."""
     nx = ny = nz = 0.0
     for p, q in zip(ring, ring[1:]):
-        ax, ay, az = _xyz(p)
-        bx, by, bz = _xyz(q)
+        ax, ay, az = _xyz(p, use_z)
+        bx, by, bz = _xyz(q, use_z)
         nx += ay * bz - az * by
         ny += az * bx - ax * bz
         nz += ax * by - ay * bx
     return 0.5 * math.sqrt(nx * nx + ny * ny + nz * nz)
 
 
-def _patch_area(rings) -> float:
-    outer = _newell_area(rings[0])
-    return outer - sum(_newell_area(r) for r in rings[1:])
+def _patch_area(rings, use_z: bool = True) -> float:
+    outer = _newell_area(rings[0], use_z)
+    return outer - sum(_newell_area(r, use_z) for r in rings[1:])
 
 
 def area3d_wkt(wkt) -> float | None:
     """ST_3DArea: surfaces, 3-D polygons, and 2-D areal WKT (Z = 0)."""
     ps = parse_surface_wkt(wkt)
     if ps is not None:
-        _, _, patches = ps
-        return float(sum(_patch_area(rings) for rings in patches))
+        _, dims, patches = ps
+        use_z = "Z" in dims
+        return float(sum(_patch_area(rings, use_z) for rings in patches))
     pz = Z.parse_z_wkt(wkt)
     if pz is not None:
         kind, _, payload = pz
@@ -229,19 +253,19 @@ def patch_n(wkt, n) -> str | None:
         i = int(n)
     except (TypeError, ValueError):
         return None
-    kind, has_z, patches = ps
+    kind, dims, patches = ps
     if i < 1 or i > len(patches):
         return None
-    return patch_wkt(kind, has_z, patches[i - 1])
+    return patch_wkt(kind, dims, patches[i - 1])
 
 
-def _edge_counts(patches):
+def _edge_counts(patches, use_z: bool = True):
     """Undirected-edge multiset over every patch ring."""
     counts: dict[tuple, int] = {}
     for rings in patches:
         for ring in rings:
             for p, q in zip(ring, ring[1:]):
-                a, b = _xyz(p), _xyz(q)
+                a, b = _xyz(p, use_z), _xyz(q, use_z)
                 if a == b:
                     continue  # repeated vertex — not a mesh edge
                 key = (a, b) if a <= b else (b, a)
@@ -249,13 +273,13 @@ def _edge_counts(patches):
     return counts
 
 
-def surface_is_closed(patches) -> bool:
+def surface_is_closed(patches, use_z: bool = True) -> bool:
     """lwpsurface_is_closed: every edge shared by exactly 2 rings."""
-    counts = _edge_counts(patches)
+    counts = _edge_counts(patches, use_z)
     return bool(counts) and all(c == 2 for c in counts.values())
 
 
-def _oriented_closed(patches) -> bool:
+def _oriented_closed(patches, use_z: bool = True) -> bool:
     """The STRICTER volume precondition: every DIRECTED edge appears
     exactly once and its reverse exactly once (a consistently oriented
     watertight 2-manifold). A mesh that is merely edge-watertight but
@@ -265,7 +289,7 @@ def _oriented_closed(patches) -> bool:
     for rings in patches:
         for ring in rings:
             for p, q in zip(ring, ring[1:]):
-                a, b = _xyz(p), _xyz(q)
+                a, b = _xyz(p, use_z), _xyz(q, use_z)
                 if a == b:
                     continue
                 counts[(a, b)] = counts.get((a, b), 0) + 1
@@ -281,10 +305,10 @@ def is_closed_any(wkt) -> bool | None:
     2-D kernel (accessors.is_closed) — one name, both contracts."""
     ps = parse_surface_wkt(wkt)
     if ps is not None:
-        kind, _, patches = ps
+        kind, dims, patches = ps
         if not patches:
             return None
-        return surface_is_closed(patches)
+        return surface_is_closed(patches, "Z" in dims)
     return _acc.is_closed(wkt)
 
 
@@ -296,15 +320,16 @@ def volume_wkt(wkt) -> float | None:
     ps = parse_surface_wkt(wkt)
     if ps is None:
         return None
-    _, _, patches = ps
-    if not patches or not _oriented_closed(patches):
+    _, dims, patches = ps
+    use_z = "Z" in dims
+    if not patches or not _oriented_closed(patches, use_z):
         return None
     vol = 0.0
     for rings in patches:
         for ring in rings:
-            v0 = _xyz(ring[0])
+            v0 = _xyz(ring[0], use_z)
             for p, q in zip(ring[1:-2], ring[2:-1]):
-                a, b = _xyz(p), _xyz(q)
+                a, b = _xyz(p, use_z), _xyz(q, use_z)
                 # det(v0, a, b) — the signed fan-tetrahedron volume ×6
                 vol += (
                     v0[0] * (a[1] * b[2] - a[2] * b[1])

@@ -91,14 +91,19 @@ _CODE_CURVED = {
 _CURVE_QUAD_SEGS = 32  # PostGIS ST_CurveToLine default
 
 
-def _surface_to_wkb(kind: str, z: bool, patches) -> bytes:
+def _surface_to_wkb(kind: str, dims, patches) -> bytes:
     """Little-endian ISO WKB of a surface3d codec payload: TRIANGLE
     bodies are ring lists (the POLYGON layout under code 17);
     POLYHEDRALSURFACE / TIN bodies are counts of nested full patch
-    WKBs (POLYGON patches for a surface, TRIANGLE for a TIN)."""
-    code = _SURFACE_CODE[kind] + (1000 if z else 0)
+    WKBs (POLYGON patches for a surface, TRIANGLE for a TIN).
+    ``dims`` is the surface3d tag '' | 'Z' | 'M' | 'ZM' (legacy bool
+    accepted) — ISO offsets 1000/2000/3000 (codes like 2015 / 3016,
+    r17 M/ZM closure)."""
+    d = _s3._dims_tag(dims)
+    z, m = "Z" in d, "M" in d
+    code = _SURFACE_CODE[kind] + (1000 if z else 0) + (2000 if m else 0)
     head = struct.pack("<BI", 1, code)
-    width = 3 if z else 2
+    width = 2 + len(d)
     fmt = f"<{width}d"
     if kind == "Triangle":
         rings = patches[0] if patches else []
@@ -111,9 +116,9 @@ def _surface_to_wkb(kind: str, z: bool, patches) -> bytes:
     members = []
     for rings in patches:
         if patch_kind == "Triangle":
-            members.append(_surface_to_wkb("Triangle", z, [rings]))
-        elif z:
-            members.append(_zm_to_wkb("Polygon", True, False, rings))
+            members.append(_surface_to_wkb("Triangle", d, [rings]))
+        elif z or m:
+            members.append(_zm_to_wkb("Polygon", z, m, rings))
         else:
             members.append(geom_to_wkb(Geometry("Polygon", rings)))
     return head + struct.pack("<I", len(members)) + b"".join(members)
@@ -208,7 +213,12 @@ _EWKB_M = 0x40000000
 _EWKB_SRID = 0x20000000
 
 
-def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
+def _read_geom(
+    r: _Reader,
+    depth: int = 0,
+    srid_out: list | None = None,
+    allow_m_areal: bool = False,
+):
     """→ (kind, z, m, payload). 2-D payloads mirror Geometry coords
     (GeometryCollection members come back as Geometry objects); Z/M/ZM
     payloads mirror the zcoord / measure_m codec shapes. A top-level
@@ -252,12 +262,11 @@ def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
             base -= 1000
     if base in _CODE_SURFACE:
         # SQL/MM surfaces: TRIANGLE is ring-structured like POLYGON;
-        # POLYHEDRALSURFACE / TIN carry nested full patch WKBs. M /
-        # ZM surfaces are outside the WKT codec → loud.
-        if m:
-            raise ValueError("M-dimensional surface unsupported")
+        # POLYHEDRALSURFACE / TIN carry nested full patch WKBs. All
+        # four dims forms decode (r17 — codes 15-17 plus the ISO
+        # 1000/2000/3000 offsets, e.g. 2015 / 3016).
         skind = _CODE_SURFACE[base]
-        swidth = 3 if z else 2
+        swidth = 2 + (1 if z else 0) + (1 if m else 0)
         sfmt = e + f"{swidth}d"
 
         def scount() -> int:
@@ -282,7 +291,9 @@ def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
         want_patch = "Triangle" if skind == "Tin" else "Polygon"
         patches = []
         for _ in range(scount()):
-            pk, pz, pm2, pp = _read_geom(r, depth + 1)
+            # surface patches may be POLYGON M (r17) — the standalone
+            # measure codec's areal gate does not apply inside a surface
+            pk, pz, pm2, pp = _read_geom(r, depth + 1, allow_m_areal=True)
             if (pz, pm2) != (z, m):
                 raise ValueError("patch dimensionality differs from surface")
             if pk != want_patch:
@@ -298,7 +309,7 @@ def _read_geom(r: _Reader, depth: int = 0, srid_out: list | None = None):
     kind = _CODE_KIND.get(base)
     if kind is None:
         raise ValueError(f"unsupported geometry type {code}")
-    if m and not z and kind in ("Polygon", "MultiPolygon"):
+    if m and not z and not allow_m_areal and kind in ("Polygon", "MultiPolygon"):
         raise ValueError("POLYGON M unsupported")
     width = 2 + (1 if z else 0) + (1 if m else 0)
     fmt = e + f"{width}d"
@@ -498,8 +509,8 @@ def wkt_to_wkb(wkt) -> bytes | None:
         return _zm_to_wkb(kind, False, True, payload)
     ps = _s3.parse_surface_wkt(s)
     if ps is not None:
-        kind, has_z, patches = ps
-        return _surface_to_wkb(kind, has_z, patches)
+        kind, dims, patches = ps
+        return _surface_to_wkb(kind, dims, patches)
     cv = _curved_parse(s)
     if cv is not None:
         return _curved_to_wkb(*cv)
@@ -792,7 +803,8 @@ def _dims_to_wkt(kind, z, m, payload) -> str | None:
         # re-parse to enforce the codec's ring contracts (closure,
         # triangle 4-vertex rings, finite coordinates) — a buffer the
         # WKT surface would reject must not round-trip through WKB
-        txt = _s3.to_surface_wkt(kind, z, payload)
+        sdims = "ZM" if z and m else ("Z" if z else ("M" if m else ""))
+        txt = _s3.to_surface_wkt(kind, sdims, payload)
         return txt if _s3.parse_surface_wkt(txt) is not None else None
     if z or m:
         if kind == "Point" and _nan_pt(payload):

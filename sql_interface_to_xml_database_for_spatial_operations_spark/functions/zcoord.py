@@ -586,7 +586,7 @@ def ndims_of(wkt) -> int | None:
 
     ps = _s3.parse_surface_wkt(s)
     if ps is not None:
-        return 3 if ps[1] else 2
+        return 2 + len(ps[1])  # dims tag: '' 2, 'Z'/'M' 3, 'ZM' 4 (r17)
     gd = gc_dims(s)
     if gd is not None:
         return 2 + len(gd)  # '' 2, 'Z'/'M' 3, 'ZM' 4
@@ -836,6 +836,128 @@ def shortestline3d_wkt(a_wkt, b_wkt) -> str | None:
     return to_z_wkt("LineString", False, [out[1], out[2]])
 
 
+def locatebetweenelevations_wkt(wkt, z_lo, z_hi) -> str | None:
+    """ST_LocateBetweenElevations (r17): the sub-geometry whose Z lies
+    in [z_lo, z_hi], over the Z / ZM codec — the measure_m
+    locatebetween_wkt kernel transposed to ordinate index 2, with the
+    same output conventions (spans → MULTILINESTRING, zero-length
+    contacts → MULTIPOINT parts, mixed → GEOMETRYCOLLECTION — the
+    ADVICE r14 contact rules; exact endpoints at t = 0/1; clip in
+    ELEVATION space so a clamped-out segment never fabricates a
+    contact). ZM input interpolates the measure along with x/y and
+    keeps the ZM tag. 2-D / M-only input → loud NULL (PostGIS requires
+    a Z ordinate)."""
+    lo, hi = _num(z_lo), _num(z_hi)
+    if wkt is None or lo is None or hi is None or hi < lo:
+        return None
+    pz = parse_z_wkt(wkt)
+    if pz is None:
+        return None
+    kind, has_m, payload = pz
+    if kind == "Point":
+        hits = [payload] if payload and lo <= payload[2] <= hi else []
+        return to_z_wkt("MultiPoint", has_m, hits)
+    if kind == "MultiPoint":
+        return to_z_wkt(
+            "MultiPoint", has_m, [p for p in payload if lo <= p[2] <= hi]
+        )
+    if kind not in ("LineString", "MultiLineString"):
+        return None  # areal clip-by-elevation is outside this kernel
+    chains = [payload] if kind == "LineString" else payload
+    spans, cur, contacts = [], [], []
+    for ch in chains:
+        for a, b in zip(ch, ch[1:]):
+            az, bz = a[2], b[2]
+
+            def at(t, a=a, b=b):
+                if t == 0.0:
+                    return a
+                if t == 1.0:
+                    return b
+                return tuple(av + t * (bv - av) for av, bv in zip(a, b))
+
+            if az == bz:
+                if lo <= az <= hi:
+                    t0, t1 = 0.0, 1.0
+                else:
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+            else:
+                zlo, zhi = (az, bz) if az < bz else (bz, az)
+                ilo, ihi = max(lo, zlo), min(hi, zhi)
+                if ilo > ihi:
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+                if ilo == ihi:
+                    contacts.append(at((ilo - az) / (bz - az)))
+                    if cur:
+                        spans.append(cur)
+                        cur = []
+                    continue
+                ta = (ilo - az) / (bz - az)
+                tb = (ihi - az) / (bz - az)
+                t0, t1 = (ta, tb) if ta <= tb else (tb, ta)
+
+            entry, exit_ = at(t0), at(t1)
+            if cur and cur[-1] == entry:
+                cur.append(exit_)
+            else:
+                if cur:
+                    spans.append(cur)
+                cur = [entry, exit_]
+        if cur:
+            spans.append(cur)
+            cur = []
+    span_pts = {p for s in spans for p in (s[0], s[-1])}
+    pts = []
+    for c in contacts:
+        if c not in span_pts and c not in pts:
+            pts.append(c)
+    if spans and pts:
+        return (
+            f"GEOMETRYCOLLECTION {'ZM' if has_m else 'Z'} ("
+            + ", ".join(
+                [to_z_wkt("LineString", has_m, s) for s in spans]
+                + [to_z_wkt("Point", has_m, p) for p in pts]
+            )
+            + ")"
+        )
+    if pts:
+        return to_z_wkt("MultiPoint", has_m, pts)
+    return to_z_wkt("MultiLineString", has_m, spans)
+
+
+def longestline3d_wkt(a_wkt, b_wkt) -> str | None:
+    """ST_3DLongestLine as LINESTRING Z (r17): |p − q| is convex along
+    each segment, so the maximum is attained at a VERTEX pair — the
+    argmax of the st_3dmaxdistance scan, first-found on ties (the scan
+    order is the deterministic WKT vertex order)."""
+    if a_wkt is None or b_wkt is None:
+        return None
+    pa = _prims_3d(a_wkt)
+    pb = _prims_3d(b_wkt)
+    if pa is None or pb is None:
+        return None
+    va = pa[0] + [p for s in pa[1] for p in s]
+    vb = pb[0] + [p for s in pb[1] for p in s]
+    if not va or not vb:
+        return None
+    if len(va) * len(vb) > _MAX_PAIR_WORK:
+        return None
+    best = None
+    best_d = -1.0
+    for p in va:
+        for q in vb:
+            d = _d3(p, q)
+            if d > best_d:
+                best_d, best = d, (p, q)
+    return to_z_wkt("LineString", False, [best[0], best[1]])
+
+
 def maxdistance3d_wkt(a_wkt, b_wkt) -> float | None:
     """ST_3DMaxDistance: |p − q| is convex along each segment, so the
     maximum over two bounded segment sets is attained at VERTEX pairs
@@ -1049,6 +1171,29 @@ def st_3dperimeter(wkt: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def st_3dlongestline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_3DLongestLine as LINESTRING Z (the st_3dmaxdistance argmax
+    vertex pair, r17)."""
+    return pd.Series(
+        [_safe(longestline3d_wkt, x, y) for x, y in zip(a, b)], dtype=object
+    )
+
+
+@pandas_udf(StringType())
+def st_locatebetweenelevations(
+    wkt: pd.Series, z1: pd.Series, z2: pd.Series
+) -> pd.Series:
+    """ST_LocateBetweenElevations over the Z / ZM codec (r17)."""
+    return pd.Series(
+        [
+            _safe(locatebetweenelevations_wkt, w, a, b)
+            for w, a, b in zip(wkt, z1, z2)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(StringType())
 def st_force3dm(wkt: pd.Series) -> pd.Series:
     """ST_Force3DM with PostGIS's default m = 0 (fixed-arity name)."""
     return pd.Series([_safe(force3dm_wkt, w) for w in wkt], dtype=object)
@@ -1084,6 +1229,8 @@ ALL_ZCOORD_FUNCTIONS = {
     "st_3dshortestline": st_3dshortestline,
     "st_3dlineinterpolatepoint": st_3dlineinterpolatepoint,
     "st_3dperimeter": st_3dperimeter,
+    "st_3dlongestline": st_3dlongestline,
+    "st_locatebetweenelevations": st_locatebetweenelevations,
 }
 
 

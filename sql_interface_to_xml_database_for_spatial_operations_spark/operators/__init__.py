@@ -66,3 +66,4 @@ def load_all() -> None:
     from . import shapefile_ops  # noqa: F401
     from . import gpx_ops  # noqa: F401
     from . import spatial_store_ops  # noqa: F401
+    from . import inspect_ops  # noqa: F401

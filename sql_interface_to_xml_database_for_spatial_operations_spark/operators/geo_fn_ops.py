@@ -253,7 +253,22 @@ _Q130_ORACLE = f"""
            CAST(500972658 AS BIGINT) AS mks_e_cm,
            CAST(56915082 AS BIGINT) AS mks_n_cm,
            CAST(70000002 AS BIGINT) AS ch_e_cm,
-           CAST(10000004 AS BIGINT) AS ch_n_cm
+           CAST(10000004 AS BIGINT) AS ch_n_cm,
+           CAST(296350391 AS BIGINT) AS spcs_e_cftus,
+           CAST(25475980 AS BIGINT) AS spcs_n_cftus,
+           TRUE AS pd_unit_ok,
+           CAST(67924573 AS BIGINT) AS rso_e_cm,
+           CAST(59656278 AS BIGINT) AS rso_n_cm,
+           CAST(196105283 AS BIGINT) AS rd_e_mm,
+           CAST(557057739 AS BIGINT) AS rd_n_mm,
+           CAST(-56899100 AS BIGINT) AS kro_e_cm,
+           CAST(-105053865 AS BIGINT) AS kro_n_cm,
+           TRUE AS kro_czech_ok,
+           TRUE AS eqc_x_eq,
+           CAST(6097230313 AS BIGINT) AS eqc_n_mm,
+           CAST(6664494 AS BIGINT) AS cass_e_clk,
+           CAST(8253622 AS BIGINT) AS cass_n_clk,
+           TRUE AS pm_ok
     FROM pts
 """
 
@@ -485,6 +500,151 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " 46.044130555555554)', 4326, 21781)"
             ),
         )
+        # Projected units (r17, VERDICT r16 task 2): the EPSG GN 7-2
+        # LCC-2SP worked example IS feet-based — NAD27 / Texas South
+        # Central (Clarke 1866, FE 2 000 000 ftUS = 609 601.2192024384
+        # m): 28°30'N 96°W -> E 2 963 503.91 / N 254 759.80 ftUS,
+        # pinned at centi-ftUS; '+to_meter=' with the exact us-ft
+        # double must match the '+units=us-ft' path BITWISE (same
+        # scale constant, same divide)
+        .withColumn(
+            "spcs",
+            F.expr(
+                "st_transform('POINT (-96 28.5)', 4326,"
+                " '+proj=lcc +lat_1=28.383333333333333"
+                " +lat_2=30.283333333333333 +lat_0=27.833333333333332"
+                " +lon_0=-99 +x_0=609601.2192024384 +y_0=0"
+                " +ellps=clrk66 +units=us-ft')"
+            ),
+        )
+        .withColumn(
+            "spcs_tm",
+            F.expr(
+                "st_transform('POINT (-96 28.5)', 4326,"
+                " '+proj=lcc +lat_1=28.383333333333333"
+                " +lat_2=30.283333333333333 +lat_0=27.833333333333332"
+                " +lon_0=-99 +x_0=609601.2192024384 +y_0=0"
+                " +ellps=clrk66 +to_meter=0.3048006096012192')"
+            ),
+        )
+        # ADVICE r16 pole fix rides the same family: a pole through
+        # ellipsoidal Mercator is loud-NULL, never a clamped northing
+        .withColumn("pole", F.expr("st_transform('POINT (10 90)', 4326, 3395)"))
+        # Hotine oblique Mercator (r17, VERDICT r16 task 3): the GN 7-2
+        # Timbalai 1948 / RSO Borneo variant-B worked example
+        # (5°23'14.1129"N 115°48'19.8196"E -> 679 245.73 / 596 562.78),
+        # pinned at centimeters
+        .withColumn(
+            "rso",
+            F.expr(
+                "st_transform('POINT (115.80550544444444"
+                " 5.387253583333334)', 4326,"
+                " '+proj=omerc +lat_0=4 +lonc=115"
+                " +alpha=53.31582047222222 +gamma=53.13010236111111"
+                " +k=0.99984 +x_0=590476.87 +y_0=442857.65"
+                " +ellps=evrstSS')"
+            ),
+        )
+        # Oblique stereographic (r17): the GN 7-2 Amersfoort / RD New
+        # worked example (53°N 6°E -> 196 105.283 / 557 057.739),
+        # pinned at millimeters
+        .withColumn(
+            "rd",
+            F.expr(
+                "st_transform('POINT (6 53)', 4326,"
+                " '+proj=sterea +lat_0=52.15616055555556"
+                " +lon_0=5.387638888888889 +k=0.9999079"
+                " +x_0=155000 +y_0=463000 +ellps=bessel')"
+            ),
+        )
+        # Krovak (r17): the GN 7-2 S-JTSK worked example on the proj
+        # defaults (Krovak East North axes — negative on Czech
+        # territory), pinned at centimeters; '+czech' must be the
+        # exact southing/westing axis swap
+        .withColumn(
+            "kro",
+            F.expr(
+                "st_transform('POINT (16.849771944444445"
+                " 50.209011555555556)', 4326,"
+                " '+proj=krovak +ellps=bessel')"
+            ),
+        )
+        .withColumn(
+            "kro_cz",
+            F.expr(
+                "st_transform('POINT (16.849771944444445"
+                " 50.209011555555556)', 4326,"
+                " '+proj=krovak +czech +ellps=bessel')"
+            ),
+        )
+        # Equidistant cylindrical (r17, EPSG 1028 / EPSG:4087 class):
+        # E at lat_ts=0 is the SAME closed form as spherical-Mercator
+        # x (a·λrad) — bitwise-equal per row; N is the meridian arc,
+        # pinned at mm against the Snyder 3-21 series value that the
+        # tests verify against numeric integration
+        .withColumn(
+            "eqcp",
+            F.call_function(
+                "st_transform", F.col("g"), F.lit(4326),
+                F.lit("+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"),
+            ),
+        )
+        .withColumn(
+            "eqc_arc",
+            F.expr(
+                "st_transform('POINT (10 55)', 4326,"
+                " '+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84')"
+            ),
+        )
+        # Cassini-Soldner (r17): the GN 7-2 Trinidad 1903 worked
+        # example IN CLARKE'S LINKS (+to_meter=0.201166195164):
+        # 10°N 62°W -> E 66 644.94 / N 82 536.22 links, pinned at
+        # centi-links
+        .withColumn(
+            "kas",
+            F.expr(
+                "st_transform('POINT (-62 10)', 4326,"
+                " '+proj=cass +lat_0=10.441666666666666"
+                " +lon_0=-61.333333333333336"
+                " +x_0=86501.46392052001 +y_0=65379.0134283"
+                " +a=6378293.645208759 +b=6356617.987679838"
+                " +to_meter=0.201166195164')"
+            ),
+        )
+        # Prime meridians (r17): the legacy NTF Lambert zone II string
+        # (+pm=paris) must equal the explicit Greenwich-λ₀ spelling
+        # bitwise, and the historical Ferro-referenced Krovak λ₀
+        # (42°30' east of Ferro) lands within float noise of the
+        # Greenwich default
+        .withColumn(
+            "ntf_pm",
+            F.expr(
+                "st_transform('POINT (2.3522 48.8566)', 4326,"
+                " '+proj=lcc +lat_1=45.89891888888889"
+                " +lat_2=47.69601444444444 +lat_0=46.8 +lon_0=0"
+                " +x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515"
+                " +towgs84=-168,-60,320,0,0,0,0 +pm=paris')"
+            ),
+        )
+        .withColumn(
+            "ntf_gw",
+            F.expr(
+                "st_transform('POINT (2.3522 48.8566)', 4326,"
+                " '+proj=lcc +lat_1=45.89891888888889"
+                " +lat_2=47.69601444444444 +lat_0=46.8"
+                " +lon_0=2.337229166666667 +x_0=600000 +y_0=2200000"
+                " +a=6378249.2 +b=6356515"
+                " +towgs84=-168,-60,320,0,0,0,0')"
+            ),
+        )
+        .withColumn(
+            "kro_ferro",
+            F.expr(
+                "st_transform('POINT (16.849771944444445"
+                " 50.209011555555556)', 4326,"
+                " '+proj=krovak +lon_0=42.5 +pm=ferro +ellps=bessel')"
+            ),
+        )
     )
     micro = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return df.select(
@@ -556,6 +716,30 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.expr("st_y(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_n_cm"),
         F.floor(F.expr("st_x(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_e_cm"),
         F.floor(F.expr("st_y(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_n_cm"),
+        F.floor(F.expr("st_x(spcs)") * 100 + F.lit(0.5)).cast("bigint").alias("spcs_e_cftus"),
+        F.floor(F.expr("st_y(spcs)") * 100 + F.lit(0.5)).cast("bigint").alias("spcs_n_cftus"),
+        (
+            (F.col("spcs") == F.col("spcs_tm")) & F.col("pole").isNull()
+        ).alias("pd_unit_ok"),
+        F.floor(F.expr("st_x(rso)") * 100 + F.lit(0.5)).cast("bigint").alias("rso_e_cm"),
+        F.floor(F.expr("st_y(rso)") * 100 + F.lit(0.5)).cast("bigint").alias("rso_n_cm"),
+        F.floor(F.expr("st_x(rd)") * 1000 + F.lit(0.5)).cast("bigint").alias("rd_e_mm"),
+        F.floor(F.expr("st_y(rd)") * 1000 + F.lit(0.5)).cast("bigint").alias("rd_n_mm"),
+        F.floor(F.expr("st_x(kro)") * 100 + F.lit(0.5)).cast("bigint").alias("kro_e_cm"),
+        F.floor(F.expr("st_y(kro)") * 100 + F.lit(0.5)).cast("bigint").alias("kro_n_cm"),
+        (
+            (F.expr("st_x(kro_cz)") == -F.expr("st_y(kro)"))
+            & (F.expr("st_y(kro_cz)") == -F.expr("st_x(kro)"))
+        ).alias("kro_czech_ok"),
+        (F.expr("st_x(eqcp)") == F.expr("st_x(merc)")).alias("eqc_x_eq"),
+        F.floor(F.expr("st_y(eqc_arc)") * 1000 + F.lit(0.5)).cast("bigint").alias("eqc_n_mm"),
+        F.floor(F.expr("st_x(kas)") * 100 + F.lit(0.5)).cast("bigint").alias("cass_e_clk"),
+        F.floor(F.expr("st_y(kas)") * 100 + F.lit(0.5)).cast("bigint").alias("cass_n_clk"),
+        (
+            (F.col("ntf_pm") == F.col("ntf_gw"))
+            & (F.abs(F.expr("st_x(kro_ferro)") - F.expr("st_x(kro)")) < F.lit(1e-5))
+            & (F.abs(F.expr("st_y(kro_ferro)") - F.expr("st_y(kro)")) < F.lit(1e-5))
+        ).alias("pm_ok"),
     )
 
 

@@ -565,7 +565,16 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # (ADVICE r16 hot-cell salt fix: row-unique hash key).
 # Window arithmetic FIRST, as always: 44 + 3 = 47 of 50; 3 spare
 # slots for r17's new rows as they land (each noted here when
-# registered). measure_m.py's ADVICE depth-cap fix rides with the
+# registered).
+# r17 slot usage: q185_st_inspection (operators/inspect_ops.py —
+# st_iscollection / st_memsize / st_locatebetweenelevations /
+# st_3dlongestline, the dict-union gap sweep's finds) takes one spare
+# slot — window 48 of 50. New FUNCTION surface on EXPOSED rows at
+# zero window cost: '+proj=' +units/+to_meter + omerc + sterea +
+# NAD83 datum + GN 7-2 ftUS/RSO/RD worked-example pins on q130
+# (spcs/pd_unit/rso/rd families); M/ZM surface codec closure on q178
+# (mtin/zmps/mwkb families, WKB ISO 2015/3015-class).
+# measure_m.py's ADVICE depth-cap fix rides with the
 # q178 exposure (its other carriers q169/q174/q177 are r16-green on
 # family SQL that never nests GCs past the cap — result-invariant
 # there, deliberate re-record class backed by the round-end

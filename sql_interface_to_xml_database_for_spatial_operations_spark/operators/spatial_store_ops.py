@@ -55,6 +55,7 @@ def write_spatial_partitioned(
     cell: float = _CELL,
     order_by_geohash: bool = True,
     salt: int = 0,
+    salt_col: str | None = None,
 ) -> None:
     """Write ``df`` as parquet partitioned by grid cell of ``cell``
     degrees. Adds BIGINT ``cx``/``cy`` partition columns.
@@ -76,10 +77,18 @@ def write_spatial_partitioned(
         # hot-cell (skew) mitigation: an extra hash subpartition splits
         # a city-sized cell across `salt` directories; bbox reads
         # filter only cx/cy, so every salt shard of a surviving cell
-        # is read and pruning is unaffected
-        out = out.withColumn(
-            "sp", F.pmod(F.hash(F.col(xcol), F.col(ycol)), F.lit(salt))
+        # is read and pruning is unaffected. The hash must be
+        # ROW-unique, not coordinate-derived — the common skew class is
+        # many rows at ONE hot location, and hash(x, y) would send all
+        # of them to a single shard (ADVICE r16): hash ``salt_col``
+        # (an id column) when given, else a row-unique surrogate id
+        # (spread is uniform either way; only the id-column form is
+        # stable across rewrites, which a storage salt does not need).
+        shard_src = (
+            F.col(salt_col) if salt_col is not None
+            else F.monotonically_increasing_id()
         )
+        out = out.withColumn("sp", F.pmod(F.hash(shard_src), F.lit(salt)))
     if order_by_geohash:
         from ..functions.geohash import register_geohash_functions
 

@@ -59,6 +59,12 @@ from .registry import query
 
 _RUN_IDS = count()
 
+# Per-row micro-batch progress of the LAST _run_staged_stream call
+# (r17, VERDICT r16 task 5): bench.py's streaming lane reads this to
+# attribute e2e wall-clock to batch count vs per-batch cost — bench
+# instrumentation only, never part of a query's result.
+LAST_RUN_PROGRESS: dict[str, list[dict]] = {}
+
 _Q123_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -140,6 +146,20 @@ def _run_staged_stream(
         if handle.isActive:  # pragma: no cover - hung stream safety valve
             handle.stop()
             raise RuntimeError(f"{name} stream did not finish within 300s")
+        try:
+            LAST_RUN_PROGRESS[name] = [
+                {
+                    "batchId": p.get("batchId"),
+                    "numInputRows": p.get("numInputRows", 0),
+                    "triggerMs": (p.get("durationMs") or {}).get(
+                        "triggerExecution"
+                    ),
+                    "stateOps": len(p.get("stateOperators") or []),
+                }
+                for p in (handle.recentProgress or [])
+            ]
+        except Exception:  # progress introspection must never fail a row
+            LAST_RUN_PROGRESS[name] = []
         # Memory-sink rows live on the driver already; materialize them
         # and DROP the per-run temp view before returning (ADVICE r6:
         # the unique queryName per run would otherwise accumulate a view

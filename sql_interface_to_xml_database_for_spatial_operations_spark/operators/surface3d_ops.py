@@ -54,12 +54,16 @@ from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
 def _ensure_udfs(spark: SparkSession) -> None:
     from ..functions.extrude import register_extrude_functions
+    from ..functions.measure_m import register_measure_m_functions
     from ..functions.surface3d import register_surface3d_functions
     from ..functions.wkb import register_wkb_functions
+    from ..functions.zcoord import register_zcoord_functions
 
     register_surface3d_functions(spark)
     register_wkb_functions(spark)  # the surface WKB round trip (wkb3d)
     register_extrude_functions(spark)  # st_extrude / st_tesselate
+    register_measure_m_functions(spark)  # st_zmflag (r17 M/ZM families)
+    register_zcoord_functions(spark)  # st_ndims (r17 mwkb family)
 
 
 _K = "n_nationkey"
@@ -167,6 +171,40 @@ _B_LEFT = f"'POLYGON Z (' || {_ring(_PATCHES[5])} || ')'"
 _B_TRI1 = f"'TRIANGLE Z (' || {_ring(_T1)} || ')'"
 _B_TRI2 = f"'TRIANGLE Z (' || {_ring(_T2)} || ')'"
 
+# M / ZM surface families (r17, VERDICT r16 task 4): the SAME box /
+# TIN shapes with a measure slot — M width-3 points reuse the z-slot
+# text under the M tag (geometry must then use z = 0), ZM appends the
+# key-derived measure to every vertex
+_M = f"({_K} % 7)"
+
+
+def _xyzm(x: str, y: str, z: str) -> str:
+    return f"{_xyz(x, y, z)} || ' ' || {int_str(_M)}"
+
+
+def _ring4(pts) -> str:
+    return "'(' || " + " || ', ' || ".join(_xyzm(*p) for p in pts) + " || ')'"
+
+
+def _patch4(pts) -> str:
+    return "'(' || " + _ring4(pts) + " || ')'"
+
+
+_TIN_M = f"'TIN M (' || {_patch(_T1)} || ', ' || {_patch(_T2)} || ')'"
+_BOX_ZM = (
+    "'POLYHEDRALSURFACE ZM (' || "
+    + " || ', ' || ".join(_patch4(p) for p in _PATCHES)
+    + " || ')'"
+)
+_B_TRI2_M = f"'TRIANGLE M (' || {_ring(_T2)} || ')'"
+_B_BOTTOM_ZM = f"'POLYGON ZM (' || {_ring4(_PATCHES[0])} || ')'"
+# mtin: 10·area(z=0) + zmflag(M) = 10·2a² + 1
+_MTIN_CODE = f"CAST(10 * 2 * {_A} * {_A} + 1 AS BIGINT)"
+# zmps: 10·volume + zmflag(ZM) = 10·2a²h + 3
+_ZMPS_CODE = f"CAST(10 * 2 * {_A} * {_A} * {_H} + 3 AS BIGINT)"
+# mwkb: 1000·ndims(ZM rt) + 100·zmflag(ZM rt) + 10·ndims(M rt) + zmflag(M rt)
+_MWKB_CODE = "CAST(4331 AS BIGINT)"
+
 _VOL = f"CAST(2 * {_A} * {_A} * {_H} AS BIGINT)"
 _AREA = f"CAST(4 * {_A} * {_A} + 6 * {_A} * {_H} AS BIGINT)"
 _TIN_CODE = f"CAST(10 * 2 * {_A} * {_A} + 2 AS BIGINT)"
@@ -224,6 +262,18 @@ _Q178_ORACLE = f"""
     FROM boxes
     UNION ALL
     SELECT 'tsl' AS fam, n_nationkey AS key, {_TSL_CODE} AS a, {_B_TSL1} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'mtin' AS fam, n_nationkey AS key, {_MTIN_CODE} AS a,
+           {_B_TRI2_M} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'zmps' AS fam, n_nationkey AS key, {_ZMPS_CODE} AS a,
+           {_B_BOTTOM_ZM} AS b
+    FROM boxes
+    UNION ALL
+    SELECT 'mwkb' AS fam, n_nationkey AS key, {_MWKB_CODE} AS a,
+           {_B_BOTTOM_ZM} AS b
     FROM boxes
 """
 
@@ -303,6 +353,36 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tsl",
             f"10 * st_3darea({tsl}) + st_numpatches({tsl})",
             f"st_patchn({tsl}, 1)",
+        )
+    )
+    # M / ZM closure (r17, VERDICT r16 task 4): M geometry runs at
+    # z = 0 (area equals the 2-D TIN), ZM volume uses the REAL z and
+    # carries the measure through untouched; WKB round-trips both
+    # (ISO 2015/3015-class codes, pinned in tests/test_surface3d.py)
+    rows = rows.unionByName(
+        fam(
+            "mtin",
+            f"10 * st_3darea({_TIN_M}) + st_zmflag({_TIN_M})",
+            f"st_patchn({_TIN_M}, 2)",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "zmps",
+            f"10 * st_volume({_BOX_ZM}) + st_zmflag({_BOX_ZM})",
+            f"st_patchn({_BOX_ZM}, 1)",
+        )
+    )
+    m_rt = f"st_geomfromwkb(st_asbinary({_TIN_M}))"
+    zm_rt = f"st_geomfromwkb(st_asbinary({_BOX_ZM}))"
+    rows = rows.unionByName(
+        fam(
+            "mwkb",
+            f"1000 * st_ndims({zm_rt}) + 100 * st_zmflag({zm_rt})"
+            f" + 10 * st_ndims({m_rt}) + st_zmflag({m_rt})",
+            # the full ZM box echo overflows DuckDB's ||-chain binder
+            # depth (128) — compare its first patch instead
+            f"st_patchn({zm_rt}, 1)",
         )
     )
     return rows

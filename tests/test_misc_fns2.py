@@ -255,3 +255,61 @@ def test_line_from_multipoint():
     assert M.line_from_multipoint("MULTIPOINT EMPTY") is None
     assert M.line_from_multipoint("junk") is None
     assert M.line_from_multipoint(None) is None
+
+
+def test_iscollection_matrix():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        misc_fns2 as M,
+    )
+
+    yes = [
+        "MULTIPOINT ((1 2))",
+        "MULTILINESTRING M ((0 0 1, 1 1 2))",
+        "MULTIPOLYGON EMPTY",
+        "GEOMETRYCOLLECTION (POINT (1 2))",
+        "GEOMETRYCOLLECTION EMPTY",
+        "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))",
+        "POLYHEDRALSURFACE Z (((0 0 0, 1 0 0, 1 1 0, 0 0 0)))",
+        "TIN M (((0 0 1, 1 0 2, 0 1 3, 0 0 1)))",
+        "MULTICURVE (CIRCULARSTRING (0 0, 1 1, 2 0))",
+    ]
+    no = [
+        "POINT (1 2)",
+        "POINT EMPTY",
+        "LINESTRING Z (0 0 0, 1 1 1)",
+        "TRIANGLE ((0 0, 4 0, 0 3, 0 0))",
+        "CIRCULARSTRING (0 0, 1 1, 2 0)",
+    ]
+    for w in yes:
+        assert M.iscollection_of(w) is True, w
+    for w in no:
+        assert M.iscollection_of(w) is False, w
+    assert M.iscollection_of("junk") is None
+    assert M.iscollection_of(None) is None
+
+
+def test_memsize_wkb_arithmetic():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        misc_fns2 as M,
+    )
+
+    assert M.memsize_of("POINT (1 2)") == 21            # 1+4+16
+    assert M.memsize_of("POINT Z (1 2 3)") == 29        # 1+4+24
+    assert M.memsize_of("LINESTRING (0 0, 1 1, 2 2)") == 9 + 3 * 16
+    assert M.memsize_of("MULTIPOINT ((1 2), (3 4))") == 9 + 2 * 21
+    # POLYGON: 9 + ring-count*4? -> 1+4+4 + (4 + 4*16)
+    assert M.memsize_of("POLYGON ((0 0, 1 0, 1 1, 0 0))") == 9 + 4 + 4 * 16
+    assert M.memsize_of("junk") is None
+    assert M.memsize_of(None) is None
+
+
+def test_iscollection_memsize_sql(spark):
+    row = spark.sql(
+        "SELECT st_iscollection('MULTIPOINT ((1 2))') AS a,"
+        " st_iscollection('POINT (1 2)') AS b,"
+        " st_iscollection(NULL) AS c,"
+        " st_memsize('POINT (1 2)') AS d,"
+        " st_memsize(NULL) AS e"
+    ).collect()[0]
+    assert row["a"] is True and row["b"] is False and row["c"] is None
+    assert row["d"] == 21 and row["e"] is None

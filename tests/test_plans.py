@@ -634,3 +634,33 @@ def test_r16_store_salted_hot_cells(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in expect.collect()
     )
+
+
+def test_r17_salt_spreads_duplicate_points(spark, tmp_path):
+    """ADVICE r16: the hot-cell salt must be row-unique — 300 rows at
+    the SAME coordinate (the most common skew class) must spread
+    across shards, with or without an id column."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sql_interface_to_xml_database_for_spatial_operations_spark.operators.spatial_store_ops import (
+        read_spatial_bbox,
+        write_spatial_partitioned,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.lit(10.5).alias("x"),  # one hot location
+        F.lit(20.25).alias("y"),
+    )
+    for name, kw in [("by_id", {"salt_col": "k"}), ("surrogate", {})]:
+        p = os.path.join(str(tmp_path), name)
+        write_spatial_partitioned(
+            df, p, "x", "y", cell=45.0, order_by_geohash=False, salt=4, **kw
+        )
+        shards = glob.glob(os.path.join(p, "cx=*", "cy=*", "sp=*"))
+        assert len(shards) >= 3, (name, shards)  # duplicates DO spread
+        got = read_spatial_bbox(spark, p, "x", "y", 0.0, 0.0, 45.0, 45.0)
+        assert sorted(r["k"] for r in got.collect()) == list(range(300))

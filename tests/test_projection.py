@@ -728,17 +728,28 @@ class TestProjParamStrings:
         )
 
         bads = [
-            "+proj=omerc +lat_0=4",           # unsupported projection
+            "+proj=robin +lon_0=0",           # unsupported projection
             "+proj=lcc +lat_1=30 +lat_2=30",  # 1SP degeneracy
-            "+proj=stere +lat_0=52",          # oblique stere
+            "+proj=stere +lat_0=52",          # oblique stere -> sterea
             "+proj=utm",                      # missing zone
             "+proj=utm +zone=61",             # zone out of range
-            "+proj=tmerc +units=us-ft",       # non-meter units
+            "+proj=tmerc +units=km",          # unknown unit (r17)
+            "+proj=tmerc +units=m +to_meter=1",  # both unit forms (r17)
+            "+proj=tmerc +to_meter=0",        # degenerate factor (r17)
+            "+proj=longlat +units=us-ft",     # units on geographic (r17)
+            "+proj=tmerc +lat_0=",            # empty value (ADVICE r16)
             "+proj=tmerc +foo=1",             # unknown parameter
             "+proj=tmerc +ellps=venus",       # unknown ellipsoid
             "+proj=tmerc +a=6378137",         # +a without +rf/+b
             "+proj=tmerc +datum=NAD27",       # grid-file datum
             "+proj=aea +lat_1=30",            # aea missing lat_2
+            "+proj=omerc +lat_0=4 +alpha=53",            # omerc no lonc
+            "+proj=omerc +lat_0=4 +lonc=115 +alpha=90",  # somerc's azimuth
+            "+proj=omerc +lat_0=4 +lonc=115 +alpha=0",   # degenerate azimuth
+            "+proj=omerc +lat_0=0 +lonc=115 +alpha=53",  # equatorial omerc
+            "+proj=omerc +lat_0=4 +lonc=115 +lon_0=1 +alpha=53",  # lon_0
+            "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +lat_1=5",  # 2-point
+            "+proj=sterea +lat_0=90",         # polar sterea -> stere
             "no_plus_prefix",                 # bad token
             "+towgs84=1,2",                   # no +proj
         ]
@@ -1021,3 +1032,447 @@ def test_somerc_param_string_matches_swiss_table():
         aa = transform_any(Geometry("Point", a), text, 4326).coords
         bb = transform(Geometry("Point", b), 21781, 4326).coords
         assert abs(aa[0] - bb[0]) < 1e-12 and abs(aa[1] - bb[1]) < 1e-12
+
+
+class TestProjUnits:
+    """+units= / +to_meter= (r17, VERDICT r16 task 2): projected output
+    units as a linear scale over the existing kernels — +x_0/+y_0 stay
+    in meters, the proj convention."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    # EPSG GN 7-2 §3.2.1 Lambert Conic Conformal (2SP) worked example:
+    # NAD27 / Texas South Central in US survey feet (Clarke 1866,
+    # SP 28°23' / 30°17', origin 27°50'N 99°W, FE 2 000 000 ftUS
+    # = 609 601.2192024384 m)
+    TX = (
+        "+proj=lcc +lat_1=28.383333333333333 +lat_2=30.283333333333333 "
+        "+lat_0=27.833333333333332 +lon_0=-99 +x_0=609601.2192024384 "
+        "+y_0=0 +ellps=clrk66 +units=us-ft"
+    )
+
+    def test_gn72_texas_south_central_ftus(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        # published: 28°30'N 96°W -> E 2 963 503.91, N 254 759.80 ftUS
+        e, n = transform_any(self._pt(-96.0, 28.5), 4326, self.TX).coords
+        assert round(e, 2) == 2_963_503.91 and round(n, 2) == 254_759.80
+        lon, lat = transform_any(self._pt(e, n), self.TX, 4326).coords
+        assert abs(lon + 96.0) < 1e-9 and abs(lat - 28.5) < 1e-7
+
+    def test_to_meter_matches_units_bitwise(self):
+        # +to_meter= with the exact us-ft double (1200/3937) must take
+        # the SAME code path scale -> bitwise-equal output
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        tm = self.TX.replace("+units=us-ft", f"+to_meter={1200.0 / 3937.0!r}")
+        for lon, lat in [(-96.0, 28.5), (-99.0, 29.0), (-97.5, 30.0)]:
+            a = transform_any(self._pt(lon, lat), 4326, self.TX).coords
+            b = transform_any(self._pt(lon, lat), 4326, tm).coords
+            assert a == b, (lon, lat)
+
+    def test_unit_roundtrips_against_meter_form_exactly(self):
+        # the meter form x must equal the ftUS form x times the factor
+        # (one IEEE divide then multiply: within 1 ulp), and the
+        # inverse must recover the input to the kernel's own precision
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        m = self.TX.replace(" +units=us-ft", "")
+        u = 1200.0 / 3937.0
+        for lon, lat in [(-96.0, 28.5), (-98.0, 28.0), (-100.0, 31.0)]:
+            xm, ym = transform_any(self._pt(lon, lat), 4326, m).coords
+            xf, yf = transform_any(self._pt(lon, lat), 4326, self.TX).coords
+            assert abs(xf * u - xm) <= abs(xm) * 1e-15
+            assert abs(yf * u - ym) <= max(abs(ym) * 1e-15, 1e-9)
+            lo, la = transform_any(self._pt(xf, yf), self.TX, 4326).coords
+            assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-7
+
+    def test_nad83_datum_and_intl_foot(self):
+        # a pasted EPSG:2263 string (NY Long Island, +datum=NAD83,
+        # ftUS): Manhattan lands in the published coordinate range
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        ny = (
+            "+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
+            "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000.0000000001 "
+            "+y_0=0 +ellps=GRS80 +datum=NAD83 +units=us-ft +no_defs"
+        )
+        e, n = transform_any(self._pt(-73.98, 40.75), 4326, ny).coords
+        assert 975_000 < e < 1_005_000 and 195_000 < n < 230_000
+        lon, lat = transform_any(self._pt(e, n), ny, 4326).coords
+        assert abs(lon + 73.98) < 1e-9 and abs(lat - 40.75) < 1e-7
+        # international foot differs from us-ft by 2 ppm — visibly
+        # different at the ~1M-ft magnitudes but same kernel
+        ift = ny.replace("+units=us-ft", "+units=ft")
+        e2, _n2 = transform_any(self._pt(-73.98, 40.75), 4326, ift).coords
+        assert abs(e2 - e) > 1.0 and abs(e2 - e) < 10.0
+
+
+class TestHotineObliqueMercator:
+    """'+proj=omerc' (r17, VERDICT r16 task 3): EPSG GN 7-2 Hotine
+    Oblique Mercator closed forms, variants A/B."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    # Timbalai 1948 / RSO Borneo (m) — the GN 7-2 §3.2.6 worked
+    # example (Everest 1830 1967, φc 4°N λc 115°E,
+    # αc 53°18'56.9537" γc 53°07'48.3685" kc 0.99984,
+    # Ec 590 476.87 Nc 442 857.65 — variant B)
+    RSO = (
+        "+proj=omerc +lat_0=4 +lonc=115 "
+        "+alpha=53.31582047222222 +gamma=53.13010236111111 "
+        "+k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=evrstSS"
+    )
+
+    def test_gn72_timbalai_worked_example(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        # published test point: 5°23'14.1129"N 115°48'19.8196"E
+        # -> E 679 245.73, N 596 562.78
+        lon = 115.0 + 48.0 / 60.0 + 19.8196 / 3600.0
+        lat = 5.0 + 23.0 / 60.0 + 14.1129 / 3600.0
+        e, n = transform_any(self._pt(lon, lat), 4326, self.RSO).coords
+        assert round(e, 2) == 679_245.73 and round(n, 2) == 596_562.78
+        lo, la = transform_any(self._pt(e, n), self.RSO, 4326).coords
+        assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-7
+
+    def test_variant_a_no_uoff_offset(self):
+        # variant A differs from B by exactly the (u_c sin/cos γc)
+        # offset — a rigid translation of the grid
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        b = _parse_projdef(self.RSO)
+        a = _parse_projdef(self.RSO + " +no_uoff")
+        pts = [(115.5, 5.0), (114.0, 4.5), (116.5, 6.0)]
+        deltas = set()
+        for lon, lat in pts:
+            eb, nb = b.fwd(lon, lat)
+            ea, na = a.fwd(lon, lat)
+            deltas.add((round(ea - eb, 6), round(na - nb, 6)))
+        assert len(deltas) == 1  # constant shift
+        de, dn = deltas.pop()
+        assert math.hypot(de, dn) > 100_000  # u_c is ~738 km for RSO
+
+    def test_alaska_zone_1_negative_azimuth(self):
+        # NAD27 / Alaska zone 1 (EPSG:26731 parameter set, meters form):
+        # αc = -36°52'11.6315", γc defaults to αc; Juneau round-trips
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        ak = (
+            "+proj=omerc +lat_0=57 +lonc=-133.6666666666667 "
+            "+alpha=-36.86989764583333 +k=0.9999 "
+            "+x_0=5000000 +y_0=-5000000 +ellps=clrk66"
+        )
+        e, n = transform_any(self._pt(-134.42, 58.3), 4326, ak).coords
+        lo, la = transform_any(self._pt(e, n), ak, 4326).coords
+        assert abs(lo + 134.42) < 1e-9 and abs(la - 58.3) < 1e-7
+
+    def test_pole_is_null_domain(self):
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        e, n = _parse_projdef(self.RSO).fwd(115.0, 90.0)
+        assert math.isnan(e) and math.isnan(n)
+
+
+class TestObliqueStereographic:
+    """'+proj=sterea' (r17, VERDICT r16 task 3): EPSG GN 7-2 oblique
+    stereographic (double projection via the Gauss conformal sphere)."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    # Amersfoort / RD New (EPSG:28992 parameter set, no datum leg):
+    # Bessel 1841, origin 52°09'22.178"N 5°23'15.500"E, k0 0.9999079,
+    # FE 155 000, FN 463 000
+    RD = (
+        "+proj=sterea +lat_0=52.15616055555556 "
+        "+lon_0=5.387638888888889 +k=0.9999079 "
+        "+x_0=155000 +y_0=463000 +ellps=bessel"
+    )
+
+    def test_gn72_rd_new_worked_example(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        # published: 53°N 6°E -> E 196 105.283, N 557 057.739
+        e, n = transform_any(self._pt(6.0, 53.0), 4326, self.RD).coords
+        assert round(e, 3) == 196_105.283 and round(n, 3) == 557_057.739
+        lo, la = transform_any(self._pt(e, n), self.RD, 4326).coords
+        assert abs(lo - 6.0) < 1e-12 and abs(la - 53.0) < 1e-12
+
+    def test_origin_is_false_origin(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        e, n = transform_any(
+            self._pt(5.387638888888889, 52.15616055555556), 4326, self.RD
+        ).coords
+        # χ(φ0) = χ0 and Λ = Λ0 -> E,N = FE,FN up to one trig rounding
+        assert abs(e - 155_000.0) < 1e-6 and abs(n - 463_000.0) < 1e-6
+
+    def test_roundtrip_over_netherlands(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        for lon, lat in [(4.9, 52.37), (6.57, 53.22), (5.12, 51.44), (3.61, 51.5)]:
+            e, n = transform_any(self._pt(lon, lat), 4326, self.RD).coords
+            lo, la = transform_any(self._pt(e, n), self.RD, 4326).coords
+            assert abs(lo - lon) < 1e-11 and abs(la - lat) < 1e-11, (lon, lat)
+
+
+def test_ellipsoidal_mercator_pole_is_null(spark):
+    # ADVICE r16: a pole through ellipsoidal Mercator must NOT clamp to
+    # a plausible finite northing — the UDF returns NULL (±inf gate)
+    row = spark.sql(
+        "SELECT st_transform('POINT (10 90)', 4326, 3395) AS p,"
+        " st_transform('POINT (10 -90)', 4326,"
+        " '+proj=merc +lon_0=0 +ellps=WGS84') AS s,"
+        " st_transform('POINT (10 89.9)', 4326, 3395) AS near"
+    ).collect()[0]
+    assert row["p"] is None and row["s"] is None
+    assert row["near"] is not None  # in-domain stays finite
+
+
+class TestKrovak:
+    """'+proj=krovak' (r17): EPSG 9819 oblique conformal conic — the
+    Czech/Slovak S-JTSK grid, GN 7-2 worked example pinned."""
+
+    # EPSG:5514 parameter set WITHOUT the datum leg (the worked
+    # example's input coordinates are Bessel geodetic already)
+    KR = (
+        "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel"
+    )
+    LON = 16.0 + 50.0 / 60.0 + 59.1790 / 3600.0
+    LAT = 50.0 + 12.0 / 60.0 + 32.4416 / 3600.0
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_gn72_worked_example(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        # published: southing 1 050 538.64, westing 568 991.00 ->
+        # Krovak East North: E -568 991.00, N -1 050 538.64/.65
+        e, n = transform_any(self._pt(self.LON, self.LAT), 4326, self.KR).coords
+        assert abs(e + 568_991.00) < 0.01 and abs(n + 1_050_538.646) < 0.01
+        lo, la = transform_any(self._pt(e, n), self.KR, 4326).coords
+        assert abs(lo - self.LON) < 1e-9 and abs(la - self.LAT) < 1e-9
+
+    def test_czech_flag_is_southing_westing(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        en = _parse_projdef(self.KR)
+        sw = _parse_projdef(self.KR.replace("+proj=krovak", "+proj=krovak +czech"))
+        for lon, lat in [(self.LON, self.LAT), (14.42, 50.09), (17.1, 48.15)]:
+            e, n = en.fwd(lon, lat)
+            x, y = sw.fwd(lon, lat)
+            assert (x, y) == (-n, -e), (lon, lat)
+            lo, la = sw.inv(x, y)
+            assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+
+    def test_defaults_match_explicit(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        d = _parse_projdef("+proj=krovak +ellps=bessel")
+        x = _parse_projdef(self.KR)
+        # the DMS defaults reproduce the explicit decimal parameters
+        # to float precision
+        a = d.fwd(self.LON, self.LAT)
+        b = x.fwd(self.LON, self.LAT)
+        assert abs(a[0] - b[0]) < 1e-4 and abs(a[1] - b[1]) < 1e-4
+
+    def test_degenerate_refusals(self):
+        import pytest as _pytest
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        for bad in [
+            "+proj=krovak +lat_0=5",     # out of the method's domain
+            "+proj=krovak +lat_0=75",
+            "+proj=krovak +alpha=0",     # degenerate rotation
+            "+proj=krovak +alpha=90",
+            "+proj=krovak +k=0",         # zero scale (shared guard)
+        ]:
+            with _pytest.raises(ValueError):
+                _parse_projdef(bad)
+
+
+class TestEqcCassPm:
+    """'+proj=eqc', '+proj=cass', and '+pm=' (r17)."""
+
+    def _pt(self, x, y):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.geometry import (
+            Geometry,
+        )
+
+        return Geometry("Point", (x, y))
+
+    def test_eqc_closed_form_and_meridian_arc(self):
+        import math
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        eq = "+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+        e, n = transform_any(self._pt(10.0, 55.0), 4326, eq).coords
+        assert e == 6378137.0 * math.radians(10.0)  # exact closed form
+        # N equals the numerically integrated WGS84 meridian arc
+        a, f = 6378137.0, 1.0 / 298.257223563
+        e2 = f * (2 - f)
+
+        def mp(phi):
+            return a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+
+        phi1 = math.radians(55.0)
+        steps = 20000
+        h = phi1 / steps
+        s = mp(0) + mp(phi1)
+        for k in range(1, steps):
+            s += (4 if k % 2 else 2) * mp(k * h)
+        assert abs(n - s * h / 3) < 1e-6
+        lo, la = transform_any(self._pt(e, n), eq, 4326).coords
+        assert abs(lo - 10.0) < 1e-12 and abs(la - 55.0) < 1e-9
+        # lat_ts shrinks E by cos(φ1)-with-ellipsoidal-correction
+        eq30 = eq.replace("+lat_ts=0", "+lat_ts=30")
+        e30, _ = transform_any(self._pt(10.0, 55.0), 4326, eq30).coords
+        assert e30 < e
+
+    def test_cass_gn72_trinidad_links(self):
+        # EPSG GN 7-2 §3.2.2 Cassini-Soldner worked example: Trinidad
+        # 1903, Clarke 1858, FE 430 000 / FN 325 000 Clarke's links
+        # (1 link = 0.201166195164 m): 10°N 62°W ->
+        # E 66 644.94, N 82 536.22 links
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            transform_any,
+        )
+
+        ca = (
+            "+proj=cass +lat_0=10.441666666666666 "
+            "+lon_0=-61.333333333333336 "
+            "+x_0=86501.46392052001 +y_0=65379.0134283 "
+            "+a=6378293.645208759 +b=6356617.987679838 "
+            "+to_meter=0.201166195164"
+        )
+        e, n = transform_any(self._pt(-62.0, 10.0), 4326, ca).coords
+        assert round(e, 2) == 66_644.94 and round(n, 2) == 82_536.22
+        # the natural origin is the false origin, exactly-ish
+        e0, n0 = transform_any(
+            self._pt(-61.333333333333336, 10.441666666666666), 4326, ca
+        ).coords
+        assert abs(e0 - 430_000.0) < 1e-6 and abs(n0 - 325_000.0) < 1e-6
+        lo, la = transform_any(self._pt(e, n), ca, 4326).coords
+        assert abs(lo + 62.0) < 1e-9 and abs(la - 10.0) < 1e-9
+
+    def test_pm_paris_equals_explicit_greenwich_lon0(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        pmv = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+        ntf = (
+            "+proj=lcc +lat_1=45.89891888888889 +lat_2=47.69601444444444 "
+            "+lat_0=46.8 +lon_0=0 +x_0=600000 +y_0=2200000 "
+            "+a=6378249.2 +b=6356515 +towgs84=-168,-60,320,0,0,0,0"
+        )
+        with_pm = _parse_projdef(ntf + " +pm=paris")
+        explicit = _parse_projdef(ntf.replace("+lon_0=0", f"+lon_0={pmv!r}"))
+        for lon, lat in [(2.3522, 48.8566), (5.37, 43.3), (-1.55, 47.22)]:
+            a = with_pm.fwd(lon, lat)
+            b = explicit.fwd(lon, lat)
+            assert a == b, (lon, lat)  # same double for λ₀ -> bitwise
+        # numeric +pm accepted too
+        numeric = _parse_projdef(ntf + f" +pm={pmv!r}")
+        assert numeric.fwd(2.3522, 48.8566) == with_pm.fwd(2.3522, 48.8566)
+
+    def test_pm_ferro_krovak(self):
+        # the historical Krovak λ₀ is 42°30' east of FERRO; via +pm it
+        # must land within float noise of the Greenwich default
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        d = _parse_projdef("+proj=krovak +ellps=bessel")
+        f = _parse_projdef("+proj=krovak +lon_0=42.5 +pm=ferro +ellps=bessel")
+        a = d.fwd(16.85, 50.21)
+        b = f.fwd(16.85, 50.21)
+        assert abs(a[0] - b[0]) < 1e-5 and abs(a[1] - b[1]) < 1e-5
+
+    def test_pm_longlat_shift(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        pmv = 2.0 + 20.0 / 60.0 + 14.025 / 3600.0
+        ll = _parse_projdef("+proj=longlat +ellps=WGS84 +pm=paris")
+        lon, lat = ll.fwd(2.3372291666666666, 48.0)
+        assert abs(lon - (2.3372291666666666 - pmv)) < 1e-15 and lat == 48.0
+        back = ll.inv(lon, lat)
+        assert abs(back[0] - 2.3372291666666666) < 1e-12
+
+    def test_loud_rejections_r17(self):
+        import pytest as _pytest
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions.projection import (
+            _parse_projdef,
+        )
+
+        for bad in [
+            "+proj=eqc +lat_0=10",       # eqc origin off the equator
+            "+proj=eqc +lat_ts=90",      # degenerate parallel
+            "+proj=cass +lat_0=90",      # polar cassini
+            "+proj=tmerc +pm=mars",      # unknown named meridian
+            "+proj=tmerc +pm=200",       # out-of-range numeric
+        ]:
+            with _pytest.raises(ValueError):
+                _parse_projdef(bad)

@@ -52,8 +52,10 @@ class TestCodec:
         for w in [
             None,
             "POLYGON ((0 0, 1 0, 1 1, 0 0))",  # core parser's type
-            "POLYHEDRALSURFACE M (((0 0 1, 1 0 1, 1 1 1, 0 0 1)))",  # M out
-            "POLYHEDRALSURFACE ZM (((0 0 0 1, 1 0 0 1, 1 1 0 1, 0 0 0 1)))",
+            # M / ZM with the WRONG width still reject (r17: the forms
+            # themselves are in-codec now, VERDICT r16 task 4)
+            "POLYHEDRALSURFACE M (((0 0, 1 0, 1 1, 0 0)))",
+            "POLYHEDRALSURFACE ZM (((0 0 1, 1 0 1, 1 1 1, 0 0 1)))",
             "TIN Z (((0 0 0, 1 0 0, 0 1 0, 1 1 0, 0 0 0)))",  # 5-pt patch
             "TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0), (0 0 0, 1 0 0, 0 1 0, 0 0 0)))",
             "TRIANGLE Z (0 0 0, 3 0 0, 0 4 0, 0 0 0)",  # single parens
@@ -268,3 +270,107 @@ class TestVolumeOrientationGate:
         assert S.is_closed_any(w) is True  # undirected edges still pair
         assert S.volume_wkt(w) is None  # mixed winding — loud
         assert S.volume_wkt(CUBE) == 1.0  # the consistent mesh still answers
+
+
+class TestDimsClosureMZm:
+    """M / ZM surfaces (r17, VERDICT r16 task 4): the last dimensional
+    loud-NULL tier retired — parse/echo, WKB ISO 2015/3015-class codes,
+    zmflag/ndims, and geometry-with-z=0-for-M semantics."""
+
+    CASES = [
+        ("TIN M (((0 0 1, 1 0 2, 0 1 3, 0 0 1)))", 2016, 1, 3),
+        ("TIN ZM (((0 0 5 1, 1 0 5 2, 0 1 5 3, 0 0 5 1)))", 3016, 3, 4),
+        ("POLYHEDRALSURFACE M (((0 0 7, 1 0 7, 1 1 7, 0 1 7, 0 0 7)))", 2015, 1, 3),
+        (
+            "POLYHEDRALSURFACE ZM (((0 0 0 7, 1 0 0 7, 1 1 0 7, 0 1 0 7, 0 0 0 7)))",
+            3015, 3, 4,
+        ),
+        ("TRIANGLE M ((0 0 1, 4 0 2, 0 3 3, 0 0 1))", 2017, 1, 3),
+        ("TRIANGLE ZM ((0 0 9 1, 4 0 9 2, 0 3 9 3, 0 0 9 1))", 3017, 3, 4),
+    ]
+
+    def test_roundtrip_and_wkb_codes(self):
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        for w, code, _zf, _nd in self.CASES:
+            ps = S.parse_surface_wkt(w)
+            assert ps is not None and S.to_surface_wkt(*ps) == w
+            b = W.wkt_to_wkb(w)
+            assert struct.unpack_from("<I", b, 1)[0] == code
+            assert W.wkb_to_wkt(b) == w
+            # EWKB carries the SRID over the same body
+            eb = W.wkt_to_ewkb(w, 4326)
+            assert W.ewkb_srid(eb) == 4326
+
+    def test_zmflag_and_ndims(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            measure_m as M,
+        )
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        for w, _code, zf, nd in self.CASES:
+            assert M.zmflag_of(w) == zf, w
+            assert Z.ndims_of(w) == nd, w
+        assert M.zmflag_of("TRIANGLE ((0 0, 4 0, 0 3, 0 0))") == 0
+        assert M.zmflag_of("TRIANGLE Z ((0 0 1, 4 0 1, 0 3 1, 0 0 1))") == 2
+
+    def test_m_geometry_uses_z_zero(self):
+        # M is a measure, not a height: the M triangle's area is its
+        # 2-D area even though the third slot varies
+        assert S.area3d_wkt("TRIANGLE M ((0 0 1, 4 0 200, 0 3 -7, 0 0 1))") == 6.0
+        # ZM uses the REAL z (slot 3): a tilted triangle's area grows
+        zm = S.area3d_wkt("TRIANGLE ZM ((0 0 0 1, 4 0 0 2, 0 3 3 3, 0 0 0 1))")
+        assert zm > 6.0
+        # an M "pillow" (two coplanar squares, opposite winding) is a
+        # closed degenerate mesh of volume 0 — M never fakes a height
+        sq = "(0 0 1, 1 0 1, 1 1 1, 0 1 1, 0 0 1)"
+        rq = "(0 0 9, 0 1 9, 1 1 9, 1 0 9, 0 0 9)"
+        pillow = f"POLYHEDRALSURFACE M (({sq}), ({rq}))"
+        assert S.is_closed_any(pillow) is True
+        assert S.volume_wkt(pillow) == 0.0
+
+    def test_patchn_keeps_dims(self):
+        w = "TIN ZM (((0 0 5 1, 1 0 5 2, 0 1 5 3, 0 0 5 1)), (((0 0 5 1, 1 0 5 2, 1 1 5 3, 0 0 5 1))))"
+        # malformed (extra parens in patch 2) -> parse None, patch_n None
+        assert S.patch_n(w, 1) is None
+        w2 = (
+            "TIN ZM (((0 0 5 1, 1 0 5 2, 0 1 5 3, 0 0 5 1)), "
+            "((0 0 5 1, 1 0 5 2, 1 1 5 3, 0 0 5 1)))"
+        )
+        assert S.patch_n(w2, 2) == "TRIANGLE ZM ((0 0 5 1, 1 0 5 2, 1 1 5 3, 0 0 5 1))"
+        m = "POLYHEDRALSURFACE M (((0 0 7, 1 0 7, 1 1 7, 0 1 7, 0 0 7)))"
+        assert S.patch_n(m, 1) == "POLYGON M ((0 0 7, 1 0 7, 1 1 7, 0 1 7, 0 0 7))"
+        assert S.num_patches(m) == 1
+
+    def test_mixed_dims_wkb_patch_rejects(self):
+        # a TIN Z buffer whose nested patch claims ZM must not decode
+        import struct
+
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            wkb as W,
+        )
+
+        b = W.wkt_to_wkb("TIN Z (((0 0 0, 1 0 0, 0 1 0, 0 0 0)))")
+        # flip the OUTER header to ZM (3016) while the patch stays Z
+        bad = b[:1] + struct.pack("<I", 3016) + b[5:]
+        assert W.wkb_to_wkt(bad) is None
+
+    def test_force2d_gc_depth_cap(self):
+        # ADVICE r16: adversarially deep GC nesting stops at the cap
+        # instead of hitting RecursionError
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            measure_m as M,
+        )
+
+        deep = "POINT M (1 2 3)"
+        for _ in range(40):
+            deep = f"GEOMETRYCOLLECTION M ({deep})"
+        assert M.force2d_wkt(deep) is None
+        shallow = "GEOMETRYCOLLECTION M (POINT M (1 2 3))"
+        assert M.force2d_wkt(shallow) == "GEOMETRYCOLLECTION (POINT (1 2))"

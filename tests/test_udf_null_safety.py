@@ -334,6 +334,8 @@ _NULL_ARGS = {
     "st_3dclosestpoint": f"{S}, {S}",
     "st_3dshortestline": f"{S}, {S}",
     "st_3dlineinterpolatepoint": f"{S}, {D}",
+    "st_3dlongestline": f"{S}, {S}",  # r17
+    "st_locatebetweenelevations": f"{S}, {D}, {D}",  # r17
     "st_asmvt": (
         "CAST(NULL AS ARRAY<STRUCT<geom: STRING, id: BIGINT,"
         " attrs: MAP<STRING, STRING>, nattrs: MAP<STRING, BIGINT>>>),"

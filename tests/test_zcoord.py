@@ -514,3 +514,99 @@ class TestGeometryCollectionZ:
         assert row["zmin"] == 3.0
         assert row["nd"] == 4
         assert row["f2"] == "GEOMETRYCOLLECTION (POINT (1 2))"
+
+
+class TestLocateBetweenElevations:
+    """ST_LocateBetweenElevations (r17) — the measure locatebetween
+    kernel transposed to the Z ordinate."""
+
+    def test_basic_clip(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        # z spans == x spans, so interpolation is exact integers
+        w = "LINESTRING Z (0 0 0, 10 0 10)"
+        assert Z.locatebetweenelevations_wkt(w, 2, 5) == (
+            "MULTILINESTRING Z ((2 0 2, 5 0 5))"
+        )
+        # full cover
+        assert Z.locatebetweenelevations_wkt(w, 0, 10) == (
+            "MULTILINESTRING Z ((0 0 0, 10 0 10))"
+        )
+        # disjoint window
+        assert Z.locatebetweenelevations_wkt(w, 11, 12) == (
+            "MULTILINESTRING Z EMPTY"
+        )
+
+    def test_descending_and_multi(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        # descending z leg still clips, chain split across the window
+        w = "LINESTRING Z (0 0 10, 10 0 0)"
+        assert Z.locatebetweenelevations_wkt(w, 2, 5) == (
+            "MULTILINESTRING Z ((5 0 5, 8 0 2))"
+        )
+        w2 = "MULTILINESTRING Z ((0 0 0, 4 0 4), (0 1 6, 4 1 10))"
+        assert Z.locatebetweenelevations_wkt(w2, 3, 7) == (
+            "MULTILINESTRING Z ((3 0 3, 4 0 4), (0 1 6, 1 1 7))"
+        )
+
+    def test_contacts_and_points(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        # the window touches the segment at exactly one elevation
+        w = "LINESTRING Z (0 0 0, 10 0 10)"
+        assert Z.locatebetweenelevations_wkt(w, 10, 12) == (
+            "MULTIPOINT Z ((10 0 10))"
+        )
+        assert Z.locatebetweenelevations_wkt("POINT Z (1 2 3)", 0, 5) == (
+            "MULTIPOINT Z ((1 2 3))"
+        )
+        assert Z.locatebetweenelevations_wkt("POINT Z (1 2 9)", 0, 5) == (
+            "MULTIPOINT Z EMPTY"
+        )
+
+    def test_zm_keeps_measure(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        w = "LINESTRING ZM (0 0 0 100, 10 0 10 200)"
+        assert Z.locatebetweenelevations_wkt(w, 2, 4) == (
+            "MULTILINESTRING ZM ((2 0 2 120, 4 0 4 140))"
+        )
+
+    def test_loud_nulls(self):
+        from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+            zcoord as Z,
+        )
+
+        assert Z.locatebetweenelevations_wkt("LINESTRING (0 0, 1 1)", 0, 5) is None
+        assert Z.locatebetweenelevations_wkt("POINT M (1 2 3)", 0, 5) is None
+        assert Z.locatebetweenelevations_wkt("LINESTRING Z (0 0 0, 1 0 1)", 5, 2) is None
+        assert Z.locatebetweenelevations_wkt(None, 0, 1) is None
+        assert Z.locatebetweenelevations_wkt("junk", 0, 1) is None
+
+
+def test_3dlongestline():
+    from sql_interface_to_xml_database_for_spatial_operations_spark.functions import (
+        zcoord as Z,
+    )
+
+    a = "POINT Z (0 0 0)"
+    b = "LINESTRING Z (1 0 1, 20 20 7)"
+    assert Z.longestline3d_wkt(a, b) == "LINESTRING Z (0 0 0, 20 20 7)"
+    # symmetric in roles (a-vertex first)
+    assert Z.longestline3d_wkt(b, a) == "LINESTRING Z (20 20 7, 0 0 0)"
+    # consistency with the max distance
+    import math
+
+    d = Z.maxdistance3d_wkt(a, b)
+    assert abs(d - math.sqrt(20 * 20 + 20 * 20 + 49)) < 1e-12
+    assert Z.longestline3d_wkt("junk", b) is None
+    assert Z.longestline3d_wkt(None, b) is None
