@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
+from .spatial_ops import NATION_BOXES_SQL
 
 
 def _ensure_udfs(spark: SparkSession) -> None:
@@ -240,8 +241,6 @@ _Q130_ORACLE = f"""
              AS pd_rt_lon_micro,
            CAST(floor((lat / 2 - 20) * 1000000 + 0.5) AS BIGINT)
              AS pd_rt_lat_micro,
-           CAST(332041675 AS BIGINT) AS pd_ups_e_cm,
-           CAST(63266843 AS BIGINT) AS pd_ups_n_cm,
            CAST(floor(6378137.0 * (
                  0.5 * ln((1.0 + sin(lat * pi() / 180.0))
                         / (1.0 - sin(lat * pi() / 180.0)))
@@ -250,25 +249,7 @@ _Q130_ORACLE = f"""
                       / (1.0 - 0.0818191908426215 * sin(lat * pi() / 180.0)))
                ) * 1000 + 0.5) AS BIGINT) AS m3395_y_mm,
            TRUE AS m3395_x_eq,
-           CAST(500972658 AS BIGINT) AS mks_e_cm,
-           CAST(56915082 AS BIGINT) AS mks_n_cm,
-           CAST(70000002 AS BIGINT) AS ch_e_cm,
-           CAST(10000004 AS BIGINT) AS ch_n_cm,
-           CAST(296350391 AS BIGINT) AS spcs_e_cftus,
-           CAST(25475980 AS BIGINT) AS spcs_n_cftus,
-           TRUE AS pd_unit_ok,
-           CAST(67924573 AS BIGINT) AS rso_e_cm,
-           CAST(59656278 AS BIGINT) AS rso_n_cm,
-           CAST(196105283 AS BIGINT) AS rd_e_mm,
-           CAST(557057739 AS BIGINT) AS rd_n_mm,
-           CAST(-56899100 AS BIGINT) AS kro_e_cm,
-           CAST(-105053865 AS BIGINT) AS kro_n_cm,
-           TRUE AS kro_czech_ok,
-           TRUE AS eqc_x_eq,
-           CAST(6097230313 AS BIGINT) AS eqc_n_mm,
-           CAST(6664494 AS BIGINT) AS cass_e_clk,
-           CAST(8253622 AS BIGINT) AS cass_n_clk,
-           TRUE AS pm_ok
+           TRUE AS eqc_x_eq
     FROM pts
 """
 
@@ -448,18 +429,6 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
-            "pd_ups",
-            F.call_function(
-                "st_transform",
-                F.lit("POINT (44 73)"),
-                F.lit(4326),
-                F.lit(
-                    "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 "
-                    "+y_0=2000000 +ellps=WGS84"
-                ),
-            ),
-        )
-        .withColumn(
             "pd_osgb",
             F.call_function(
                 "st_transform",
@@ -476,107 +445,11 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pd_osgb_tbl",
             F.expr("st_transform('POINT (-0.1276 51.5072)', 4326, 27700)"),
         )
+
         # Ellipsoidal Mercator (r16): EPSG:3395 shares x with 3857
         # (both a·λ) while y carries the ellipsoidal correction —
-        # oracled in closed form via atanh = ½ln((1+x)/(1−x)); plus
-        # the EPSG GN 7-2 Makassar/NEIEZ variant-A worked example
-        # (Bessel 1841, cm-pinned)
+        # oracled in closed form via atanh = ½ln((1+x)/(1−x))
         .withColumn("merc2", F.expr("st_transform(g, 4326, 3395)"))
-        .withColumn(
-            "mks",
-            F.expr(
-                "st_transform('POINT (120 -3)', 4326,"
-                " '+proj=merc +lon_0=110 +k=0.997 +x_0=3900000"
-                " +y_0=900000 +ellps=bessel')"
-            ),
-        )
-        # Swiss double projection (r16): swisstopo's own WGS84 test
-        # point lands on LV03 (700 000 / 100 000) within the
-        # single-Helmert residue (~2-4 cm), pinned at centimeters
-        .withColumn(
-            "chp",
-            F.expr(
-                "st_transform('POINT (8.730497222222223"
-                " 46.044130555555554)', 4326, 21781)"
-            ),
-        )
-        # Projected units (r17, VERDICT r16 task 2): the EPSG GN 7-2
-        # LCC-2SP worked example IS feet-based — NAD27 / Texas South
-        # Central (Clarke 1866, FE 2 000 000 ftUS = 609 601.2192024384
-        # m): 28°30'N 96°W -> E 2 963 503.91 / N 254 759.80 ftUS,
-        # pinned at centi-ftUS; '+to_meter=' with the exact us-ft
-        # double must match the '+units=us-ft' path BITWISE (same
-        # scale constant, same divide)
-        .withColumn(
-            "spcs",
-            F.expr(
-                "st_transform('POINT (-96 28.5)', 4326,"
-                " '+proj=lcc +lat_1=28.383333333333333"
-                " +lat_2=30.283333333333333 +lat_0=27.833333333333332"
-                " +lon_0=-99 +x_0=609601.2192024384 +y_0=0"
-                " +ellps=clrk66 +units=us-ft')"
-            ),
-        )
-        .withColumn(
-            "spcs_tm",
-            F.expr(
-                "st_transform('POINT (-96 28.5)', 4326,"
-                " '+proj=lcc +lat_1=28.383333333333333"
-                " +lat_2=30.283333333333333 +lat_0=27.833333333333332"
-                " +lon_0=-99 +x_0=609601.2192024384 +y_0=0"
-                " +ellps=clrk66 +to_meter=0.3048006096012192')"
-            ),
-        )
-        # ADVICE r16 pole fix rides the same family: a pole through
-        # ellipsoidal Mercator is loud-NULL, never a clamped northing
-        .withColumn("pole", F.expr("st_transform('POINT (10 90)', 4326, 3395)"))
-        # Hotine oblique Mercator (r17, VERDICT r16 task 3): the GN 7-2
-        # Timbalai 1948 / RSO Borneo variant-B worked example
-        # (5°23'14.1129"N 115°48'19.8196"E -> 679 245.73 / 596 562.78),
-        # pinned at centimeters
-        .withColumn(
-            "rso",
-            F.expr(
-                "st_transform('POINT (115.80550544444444"
-                " 5.387253583333334)', 4326,"
-                " '+proj=omerc +lat_0=4 +lonc=115"
-                " +alpha=53.31582047222222 +gamma=53.13010236111111"
-                " +k=0.99984 +x_0=590476.87 +y_0=442857.65"
-                " +ellps=evrstSS')"
-            ),
-        )
-        # Oblique stereographic (r17): the GN 7-2 Amersfoort / RD New
-        # worked example (53°N 6°E -> 196 105.283 / 557 057.739),
-        # pinned at millimeters
-        .withColumn(
-            "rd",
-            F.expr(
-                "st_transform('POINT (6 53)', 4326,"
-                " '+proj=sterea +lat_0=52.15616055555556"
-                " +lon_0=5.387638888888889 +k=0.9999079"
-                " +x_0=155000 +y_0=463000 +ellps=bessel')"
-            ),
-        )
-        # Krovak (r17): the GN 7-2 S-JTSK worked example on the proj
-        # defaults (Krovak East North axes — negative on Czech
-        # territory), pinned at centimeters; '+czech' must be the
-        # exact southing/westing axis swap
-        .withColumn(
-            "kro",
-            F.expr(
-                "st_transform('POINT (16.849771944444445"
-                " 50.209011555555556)', 4326,"
-                " '+proj=krovak +ellps=bessel')"
-            ),
-        )
-        .withColumn(
-            "kro_cz",
-            F.expr(
-                "st_transform('POINT (16.849771944444445"
-                " 50.209011555555556)', 4326,"
-                " '+proj=krovak +czech +ellps=bessel')"
-            ),
-        )
         # Equidistant cylindrical (r17, EPSG 1028 / EPSG:4087 class):
         # E at lat_ts=0 is the SAME closed form as spherical-Mercator
         # x (a·λrad) — bitwise-equal per row; N is the meridian arc,
@@ -587,62 +460,6 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.call_function(
                 "st_transform", F.col("g"), F.lit(4326),
                 F.lit("+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"),
-            ),
-        )
-        .withColumn(
-            "eqc_arc",
-            F.expr(
-                "st_transform('POINT (10 55)', 4326,"
-                " '+proj=eqc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84')"
-            ),
-        )
-        # Cassini-Soldner (r17): the GN 7-2 Trinidad 1903 worked
-        # example IN CLARKE'S LINKS (+to_meter=0.201166195164):
-        # 10°N 62°W -> E 66 644.94 / N 82 536.22 links, pinned at
-        # centi-links
-        .withColumn(
-            "kas",
-            F.expr(
-                "st_transform('POINT (-62 10)', 4326,"
-                " '+proj=cass +lat_0=10.441666666666666"
-                " +lon_0=-61.333333333333336"
-                " +x_0=86501.46392052001 +y_0=65379.0134283"
-                " +a=6378293.645208759 +b=6356617.987679838"
-                " +to_meter=0.201166195164')"
-            ),
-        )
-        # Prime meridians (r17): the legacy NTF Lambert zone II string
-        # (+pm=paris) must equal the explicit Greenwich-λ₀ spelling
-        # bitwise, and the historical Ferro-referenced Krovak λ₀
-        # (42°30' east of Ferro) lands within float noise of the
-        # Greenwich default
-        .withColumn(
-            "ntf_pm",
-            F.expr(
-                "st_transform('POINT (2.3522 48.8566)', 4326,"
-                " '+proj=lcc +lat_1=45.89891888888889"
-                " +lat_2=47.69601444444444 +lat_0=46.8 +lon_0=0"
-                " +x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515"
-                " +towgs84=-168,-60,320,0,0,0,0 +pm=paris')"
-            ),
-        )
-        .withColumn(
-            "ntf_gw",
-            F.expr(
-                "st_transform('POINT (2.3522 48.8566)', 4326,"
-                " '+proj=lcc +lat_1=45.89891888888889"
-                " +lat_2=47.69601444444444 +lat_0=46.8"
-                " +lon_0=2.337229166666667 +x_0=600000 +y_0=2200000"
-                " +a=6378249.2 +b=6356515"
-                " +towgs84=-168,-60,320,0,0,0,0')"
-            ),
-        )
-        .withColumn(
-            "kro_ferro",
-            F.expr(
-                "st_transform('POINT (16.849771944444445"
-                " 50.209011555555556)', 4326,"
-                " '+proj=krovak +lon_0=42.5 +pm=ferro +ellps=bessel')"
             ),
         )
     )
@@ -708,38 +525,9 @@ def q130_st_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pd_eq_ok"),
         micro(F.expr("st_x(pd_back)")).alias("pd_rt_lon_micro"),
         micro(F.expr("st_y(pd_back)")).alias("pd_rt_lat_micro"),
-        F.floor(F.expr("st_x(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_e_cm"),
-        F.floor(F.expr("st_y(pd_ups)") * 100 + F.lit(0.5)).cast("bigint").alias("pd_ups_n_cm"),
         F.floor(F.expr("st_y(merc2)") * 1000 + F.lit(0.5)).cast("bigint").alias("m3395_y_mm"),
         (F.expr("st_x(merc2)") == F.expr("st_x(merc)")).alias("m3395_x_eq"),
-        F.floor(F.expr("st_x(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_e_cm"),
-        F.floor(F.expr("st_y(mks)") * 100 + F.lit(0.5)).cast("bigint").alias("mks_n_cm"),
-        F.floor(F.expr("st_x(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_e_cm"),
-        F.floor(F.expr("st_y(chp)") * 100 + F.lit(0.5)).cast("bigint").alias("ch_n_cm"),
-        F.floor(F.expr("st_x(spcs)") * 100 + F.lit(0.5)).cast("bigint").alias("spcs_e_cftus"),
-        F.floor(F.expr("st_y(spcs)") * 100 + F.lit(0.5)).cast("bigint").alias("spcs_n_cftus"),
-        (
-            (F.col("spcs") == F.col("spcs_tm")) & F.col("pole").isNull()
-        ).alias("pd_unit_ok"),
-        F.floor(F.expr("st_x(rso)") * 100 + F.lit(0.5)).cast("bigint").alias("rso_e_cm"),
-        F.floor(F.expr("st_y(rso)") * 100 + F.lit(0.5)).cast("bigint").alias("rso_n_cm"),
-        F.floor(F.expr("st_x(rd)") * 1000 + F.lit(0.5)).cast("bigint").alias("rd_e_mm"),
-        F.floor(F.expr("st_y(rd)") * 1000 + F.lit(0.5)).cast("bigint").alias("rd_n_mm"),
-        F.floor(F.expr("st_x(kro)") * 100 + F.lit(0.5)).cast("bigint").alias("kro_e_cm"),
-        F.floor(F.expr("st_y(kro)") * 100 + F.lit(0.5)).cast("bigint").alias("kro_n_cm"),
-        (
-            (F.expr("st_x(kro_cz)") == -F.expr("st_y(kro)"))
-            & (F.expr("st_y(kro_cz)") == -F.expr("st_x(kro)"))
-        ).alias("kro_czech_ok"),
         (F.expr("st_x(eqcp)") == F.expr("st_x(merc)")).alias("eqc_x_eq"),
-        F.floor(F.expr("st_y(eqc_arc)") * 1000 + F.lit(0.5)).cast("bigint").alias("eqc_n_mm"),
-        F.floor(F.expr("st_x(kas)") * 100 + F.lit(0.5)).cast("bigint").alias("cass_e_clk"),
-        F.floor(F.expr("st_y(kas)") * 100 + F.lit(0.5)).cast("bigint").alias("cass_n_clk"),
-        (
-            (F.col("ntf_pm") == F.col("ntf_gw"))
-            & (F.abs(F.expr("st_x(kro_ferro)") - F.expr("st_x(kro)")) < F.lit(1e-5))
-            & (F.abs(F.expr("st_y(kro_ferro)") - F.expr("st_y(kro)")) < F.lit(1e-5))
-        ).alias("pm_ok"),
     )
 
 
@@ -789,3 +577,209 @@ def q131_st_azimuth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.floor(az * 1000000 + F.lit(0.5)).cast("bigint").alias("az_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186: published worked-example pins (r17) — CRS + dims-codec constants
+# ---------------------------------------------------------------------------
+#
+# Every family here is a CONSTANT published pin (an EPSG GN 7-2 / NEIEZ
+# / swisstopo worked example, or the M/ZM codec code pack) evaluated
+# per nation row. These lived on q130/q178 through r16-r17 and moved
+# here (r17) for row-cost budgeting: 25 nation rows instead of q130's
+# 250-customer fixture — the VERDICT r16 "land family growth on a
+# different exposed row" rule. a carries the primary BIGINT pin,
+# b the secondary pin as a STRING (or the WKT patch echo for the
+# surface families).
+
+_PIN = {
+    # EPSG GN 7-2 UPS North variant A: 73N 44E (cm)
+    "ups": ("st_transform('POINT (44 73)', 4326, '+proj=stere +lat_0=90"
+            " +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84')",
+            100, 332041675, 63266843),
+    # EPSG GN 7-2 Mercator variant A — Makassar / NEIEZ (Bessel, cm)
+    "mks": ("st_transform('POINT (120 -3)', 4326, '+proj=merc +lon_0=110"
+            " +k=0.997 +x_0=3900000 +y_0=900000 +ellps=bessel')",
+            100, 500972658, 56915082),
+    # swisstopo LV03 WGS84 test point (single-Helmert residue, cm)
+    "ch": ("st_transform('POINT (8.730497222222223 46.044130555555554)',"
+           " 4326, 21781)", 100, 70000002, 10000004),
+    # EPSG GN 7-2 LCC 2SP — NAD27 / Texas South Central in ftUS (c-ftUS)
+    "spcs": ("st_transform('POINT (-96 28.5)', 4326, '+proj=lcc"
+             " +lat_1=28.383333333333333 +lat_2=30.283333333333333"
+             " +lat_0=27.833333333333332 +lon_0=-99"
+             " +x_0=609601.2192024384 +y_0=0 +ellps=clrk66"
+             " +units=us-ft')", 100, 296350391, 25475980),
+    # EPSG GN 7-2 Hotine oblique Mercator variant B — Timbalai RSO (cm)
+    "rso": ("st_transform('POINT (115.80550544444444 5.387253583333334)',"
+            " 4326, '+proj=omerc +lat_0=4 +lonc=115"
+            " +alpha=53.31582047222222 +gamma=53.13010236111111"
+            " +k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=evrstSS')",
+            100, 67924573, 59656278),
+    # EPSG GN 7-2 oblique stereographic — Amersfoort / RD New (mm)
+    "rd": ("st_transform('POINT (6 53)', 4326, '+proj=sterea"
+           " +lat_0=52.15616055555556 +lon_0=5.387638888888889"
+           " +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel')",
+           1000, 196105283, 557057739),
+    # EPSG GN 7-2 Krovak — S-JTSK on the proj defaults (cm, East North
+    # axes: negative on Czech territory)
+    "kro": ("st_transform('POINT (16.849771944444445 50.209011555555556)',"
+            " 4326, '+proj=krovak +ellps=bessel')",
+            100, -56899100, -105053865),
+    # Equidistant cylindrical EPSG:4087 class: E is the exact closed
+    # form a·λrad (mm), N the meridian arc the tests integrate (mm)
+    "eqc": ("st_transform('POINT (10 55)', 4326, '+proj=eqc +lat_ts=0"
+            " +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84')",
+            1000, 1113194908, 6097230313),
+    # EPSG GN 7-2 Cassini-Soldner — Trinidad 1903 in Clarke's links
+    # (centi-links, +to_meter=0.201166195164)
+    "cass": ("st_transform('POINT (-62 10)', 4326, '+proj=cass"
+             " +lat_0=10.441666666666666 +lon_0=-61.333333333333336"
+             " +x_0=86501.46392052001 +y_0=65379.0134283"
+             " +a=6378293.645208759 +b=6356617.987679838"
+             " +to_meter=0.201166195164')", 100, 6664494, 8253622),
+}
+
+_SPCS_TM = (
+    "st_transform('POINT (-96 28.5)', 4326, '+proj=lcc"
+    " +lat_1=28.383333333333333 +lat_2=30.283333333333333"
+    " +lat_0=27.833333333333332 +lon_0=-99 +x_0=609601.2192024384"
+    " +y_0=0 +ellps=clrk66 +to_meter=0.3048006096012192')"
+)
+_NTF = (
+    "'+proj=lcc +lat_1=45.89891888888889 +lat_2=47.69601444444444"
+    " +lat_0=46.8 +lon_0={L} +x_0=600000 +y_0=2200000 +a=6378249.2"
+    " +b=6356515 +towgs84=-168,-60,320,0,0,0,0{PM}'"
+)
+_KRO_D = "st_transform('POINT (16.849771944444445 50.209011555555556)', 4326, '+proj=krovak{X} +ellps=bessel')"
+
+_Q186_ORACLE = f"""
+    WITH keys AS (SELECT n_nationkey FROM nation)
+    SELECT fam, n_nationkey AS key, a, b FROM keys, (
+      VALUES {", ".join(f"('{k}', CAST({a} AS BIGINT), CAST('{b}' AS VARCHAR))" for k, (_e, _s, a, b) in _PIN.items())},
+             ('unit', CAST(1 AS BIGINT), CAST('1' AS VARCHAR)),
+             ('kroz', CAST(1 AS BIGINT), CAST('1' AS VARCHAR)),
+             ('pm', CAST(1 AS BIGINT), CAST('1' AS VARCHAR))
+    ) AS pins(fam, a, b)
+    UNION ALL
+    SELECT 'mtin' AS fam, n_nationkey AS key, {{MTIN}} AS a, {{TRIM}} AS b
+    FROM ({{BOXES}}) boxes
+    UNION ALL
+    SELECT 'zmps' AS fam, n_nationkey AS key, {{ZMPS}} AS a, {{BZM}} AS b
+    FROM ({{BOXES}}) boxes
+    UNION ALL
+    SELECT 'mwkb' AS fam, n_nationkey AS key, {{MWKB}} AS a, {{BZM}} AS b
+    FROM ({{BOXES}}) boxes
+"""
+
+
+def _q186_oracle() -> str:
+    from . import surface3d_ops as S3
+
+    return _Q186_ORACLE.format(
+        MTIN=S3._MTIN_CODE,
+        ZMPS=S3._ZMPS_CODE,
+        MWKB=S3._MWKB_CODE,
+        TRIM=S3._B_TRI2_M,
+        BZM=S3._B_BOTTOM_ZM,
+        BOXES=NATION_BOXES_SQL,
+    )
+
+
+@query("q186_st_worked_examples", oracle=_q186_oracle())
+def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published worked-example pin battery (r17): the GN 7-2 /
+    swisstopo CRS constants (module comment above) plus the M/ZM
+    surface codec packs, on the 25-row nation fixture."""
+    from . import surface3d_ops as S3
+    from .spatial_ops import nation_boxes
+
+    _ensure_udfs(spark)
+    S3._ensure_udfs(spark)
+    boxes = nation_boxes(spark, sf_dir)
+
+    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
+        return boxes.select(
+            F.lit(name).alias("fam"),
+            F.col("n_nationkey").alias("key"),
+            F.expr(a_expr).cast("bigint").alias("a"),
+            F.expr(b_expr).cast("string").alias("b"),
+        )
+
+    rows = None
+    for name, (expr, scale, _a, _b) in _PIN.items():
+        f_ = fam(
+            name,
+            f"CAST(floor(st_x({expr}) * {scale} + 0.5) AS BIGINT)",
+            f"CAST(CAST(floor(st_y({expr}) * {scale} + 0.5) AS BIGINT) AS STRING)",
+        )
+        rows = f_ if rows is None else rows.unionByName(f_)
+    # unit: '+to_meter=' with the exact us-ft double matches the
+    # '+units=us-ft' path BITWISE, and a pole through ellipsoidal
+    # Mercator is loud-NULL (ADVICE r16)
+    spcs = _PIN["spcs"][0]
+    rows = rows.unionByName(
+        fam(
+            "unit",
+            f"CASE WHEN {spcs} = {_SPCS_TM}"
+            " AND st_transform('POINT (10 90)', 4326, 3395) IS NULL"
+            " THEN 1 ELSE 0 END",
+            "'1'",
+        )
+    )
+    # kroz: '+czech' is the exact southing/westing axis swap
+    kro = _KRO_D.format(X="")
+    kro_cz = _KRO_D.format(X=" +czech")
+    rows = rows.unionByName(
+        fam(
+            "kroz",
+            f"CASE WHEN st_x({kro_cz}) = -st_y({kro})"
+            f" AND st_y({kro_cz}) = -st_x({kro}) THEN 1 ELSE 0 END",
+            "'1'",
+        )
+    )
+    # pm: the legacy NTF Lambert II '+pm=paris' string equals the
+    # explicit Greenwich-λ₀ spelling bitwise; the Ferro-referenced
+    # Krovak λ₀ lands within float noise of the Greenwich default
+    ntf_pm = _NTF.format(L="0", PM=" +pm=paris")
+    ntf_gw = _NTF.format(L="2.337229166666667", PM="")
+    kro_f = _KRO_D.format(X=" +lon_0=42.5 +pm=ferro")
+    rows = rows.unionByName(
+        fam(
+            "pm",
+            f"CASE WHEN st_transform('POINT (2.3522 48.8566)', 4326, {ntf_pm})"
+            f" = st_transform('POINT (2.3522 48.8566)', 4326, {ntf_gw})"
+            f" AND abs(st_x({kro_f}) - st_x({kro})) < 1e-5"
+            f" AND abs(st_y({kro_f}) - st_y({kro})) < 1e-5"
+            " THEN 1 ELSE 0 END",
+            "'1'",
+        )
+    )
+    # M / ZM surface codec (moved from q178, r17): M geometry runs at
+    # z = 0, ZM volume uses the REAL z, WKB round-trips both (ISO
+    # 2015/3015-class codes, pinned in tests/test_surface3d.py)
+    rows = rows.unionByName(
+        fam(
+            "mtin",
+            f"10 * st_3darea({S3._TIN_M}) + st_zmflag({S3._TIN_M})",
+            f"st_patchn({S3._TIN_M}, 2)",
+        )
+    )
+    rows = rows.unionByName(
+        fam(
+            "zmps",
+            f"10 * st_volume({S3._BOX_ZM}) + st_zmflag({S3._BOX_ZM})",
+            f"st_patchn({S3._BOX_ZM}, 1)",
+        )
+    )
+    m_rt = f"st_geomfromwkb(st_asbinary({S3._TIN_M}))"
+    zm_rt = f"st_geomfromwkb(st_asbinary({S3._BOX_ZM}))"
+    rows = rows.unionByName(
+        fam(
+            "mwkb",
+            f"1000 * st_ndims({zm_rt}) + 100 * st_zmflag({zm_rt})"
+            f" + 10 * st_ndims({m_rt}) + st_zmflag({m_rt})",
+            f"st_patchn({zm_rt}, 1)",
+        )
+    )
+    return rows

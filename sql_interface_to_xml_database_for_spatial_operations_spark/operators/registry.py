@@ -571,9 +571,19 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # st_3dlongestline, the dict-union gap sweep's finds) takes one spare
 # slot — window 48 of 50. New FUNCTION surface on EXPOSED rows at
 # zero window cost: '+proj=' +units/+to_meter + omerc + sterea +
-# NAD83 datum + GN 7-2 ftUS/RSO/RD worked-example pins on q130
-# (spcs/pd_unit/rso/rd families); M/ZM surface codec closure on q178
-# (mtin/zmps/mwkb families, WKB ISO 2015/3015-class).
+# krovak + eqc + cass + '+pm=' + NAD83 datum with GN 7-2 worked-
+# example pins on q130; M/ZM surface codec closure (WKB ISO
+# 2015/3015-class) first landed on q178.
+# r17 row-cost rebalance (the VERDICT r16 q140-budget rule): the
+# CONSTANT worked-example pin families (r16's ups/mks/ch + all the
+# r17 CRS pins, plus q178's new mtin/zmps/mwkb codec packs) moved off
+# the 250-row q130 / 25-row-heavyweight q178 onto the new
+# q186_st_worked_examples (geo_fn_ops.py, 25-row nation fixture) —
+# second spare slot, window 49 of 50. Idle A/B vs the r16 tree at
+# sf0.1: q130 2.7 -> ~1.9 s, q178 3.6 -> ~2.1 s (back to their r16
+# costs); q140 measured UNCHANGED vs the r16 tree in the same session
+# (3.04 vs 3.05 s under load — its absolute number is box-state, not
+# growth).
 # measure_m.py's ADVICE depth-cap fix rides with the
 # q178 exposure (its other carriers q169/q174/q177 are r16-green on
 # family SQL that never nests GCs past the cap — result-invariant

@@ -171,10 +171,12 @@ _B_LEFT = f"'POLYGON Z (' || {_ring(_PATCHES[5])} || ')'"
 _B_TRI1 = f"'TRIANGLE Z (' || {_ring(_T1)} || ')'"
 _B_TRI2 = f"'TRIANGLE Z (' || {_ring(_T2)} || ')'"
 
-# M / ZM surface families (r17, VERDICT r16 task 4): the SAME box /
+# M / ZM surface FIXTURES (r17, VERDICT r16 task 4): the SAME box /
 # TIN shapes with a measure slot — M width-3 points reuse the z-slot
 # text under the M tag (geometry must then use z = 0), ZM appends the
-# key-derived measure to every vertex
+# key-derived measure to every vertex. The FAMILIES that consume these
+# live on q186_st_worked_examples (geo_fn_ops.py) for row-cost
+# budgeting; the codec itself is pinned in tests/test_surface3d.py
 _M = f"({_K} % 7)"
 
 
@@ -263,18 +265,6 @@ _Q178_ORACLE = f"""
     UNION ALL
     SELECT 'tsl' AS fam, n_nationkey AS key, {_TSL_CODE} AS a, {_B_TSL1} AS b
     FROM boxes
-    UNION ALL
-    SELECT 'mtin' AS fam, n_nationkey AS key, {_MTIN_CODE} AS a,
-           {_B_TRI2_M} AS b
-    FROM boxes
-    UNION ALL
-    SELECT 'zmps' AS fam, n_nationkey AS key, {_ZMPS_CODE} AS a,
-           {_B_BOTTOM_ZM} AS b
-    FROM boxes
-    UNION ALL
-    SELECT 'mwkb' AS fam, n_nationkey AS key, {_MWKB_CODE} AS a,
-           {_B_BOTTOM_ZM} AS b
-    FROM boxes
 """
 
 
@@ -353,36 +343,6 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tsl",
             f"10 * st_3darea({tsl}) + st_numpatches({tsl})",
             f"st_patchn({tsl}, 1)",
-        )
-    )
-    # M / ZM closure (r17, VERDICT r16 task 4): M geometry runs at
-    # z = 0 (area equals the 2-D TIN), ZM volume uses the REAL z and
-    # carries the measure through untouched; WKB round-trips both
-    # (ISO 2015/3015-class codes, pinned in tests/test_surface3d.py)
-    rows = rows.unionByName(
-        fam(
-            "mtin",
-            f"10 * st_3darea({_TIN_M}) + st_zmflag({_TIN_M})",
-            f"st_patchn({_TIN_M}, 2)",
-        )
-    )
-    rows = rows.unionByName(
-        fam(
-            "zmps",
-            f"10 * st_volume({_BOX_ZM}) + st_zmflag({_BOX_ZM})",
-            f"st_patchn({_BOX_ZM}, 1)",
-        )
-    )
-    m_rt = f"st_geomfromwkb(st_asbinary({_TIN_M}))"
-    zm_rt = f"st_geomfromwkb(st_asbinary({_BOX_ZM}))"
-    rows = rows.unionByName(
-        fam(
-            "mwkb",
-            f"1000 * st_ndims({zm_rt}) + 100 * st_zmflag({zm_rt})"
-            f" + 10 * st_ndims({m_rt}) + st_zmflag({m_rt})",
-            # the full ZM box echo overflows DuckDB's ||-chain binder
-            # depth (128) — compare its first patch instead
-            f"st_patchn({zm_rt}, 1)",
         )
     )
     return rows
