@@ -50,6 +50,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, IntegerType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -351,6 +352,7 @@ ALL_ACCESSOR_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_accessor_functions(spark: SparkSession) -> None:
     for name, fn in ALL_ACCESSOR_FUNCTIONS.items():
         spark.udf.register(name, fn)

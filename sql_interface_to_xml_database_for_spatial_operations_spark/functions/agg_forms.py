@@ -42,6 +42,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .collection_fns import _operand
@@ -161,6 +162,7 @@ ALL_AGG_FORM_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_agg_form_functions(spark: SparkSession) -> None:
     for name, fn in ALL_AGG_FORM_FUNCTIONS.items():
         spark.udf.register(name, fn)

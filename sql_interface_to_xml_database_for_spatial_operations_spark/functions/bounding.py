@@ -39,6 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
@@ -228,6 +229,7 @@ ALL_BOUNDING_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_bounding_functions(spark: SparkSession) -> None:
     for name, fn in ALL_BOUNDING_FUNCTIONS.items():
         spark.udf.register(name, fn)

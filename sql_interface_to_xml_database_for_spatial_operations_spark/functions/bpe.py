@@ -47,6 +47,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
+from ._register_once import once_per_session
+
 # A row's text is untrusted: bound the per-word merge loop (each merge
 # pass is O(word bytes); a word can need at most len(word)-1 merges,
 # so the natural bound is the word length itself — no budget constant
@@ -202,6 +204,7 @@ ALL_BPE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_bpe_functions(spark: SparkSession) -> None:
     for name, fn in ALL_BPE_FUNCTIONS.items():
         spark.udf.register(name, fn)

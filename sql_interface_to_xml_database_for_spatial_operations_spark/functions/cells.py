@@ -33,6 +33,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -203,6 +204,7 @@ ALL_CELL_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_cell_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CELL_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -153,6 +154,7 @@ ALL_CLUSTER_GEO_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_cluster_geo_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CLUSTER_GEO_FUNCTIONS.items():
         spark.udf.register(name, fn)

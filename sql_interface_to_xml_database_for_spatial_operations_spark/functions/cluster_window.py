@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
+from ._register_once import once_per_session
 from . import geometry as G
 
 _MAX_MEMBERS = 2048  # n² pair budget ≈ 4.2M — the linearref idiom
@@ -198,6 +199,7 @@ ALL_CLUSTER_WINDOW_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_cluster_window_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CLUSTER_WINDOW_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -134,6 +135,7 @@ ALL_CONSTRUCTOR_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_constructor_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CONSTRUCTOR_FUNCTIONS.items():
         spark.udf.register(name, fn)

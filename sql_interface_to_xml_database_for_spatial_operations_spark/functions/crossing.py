@@ -53,6 +53,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
+from ._register_once import once_per_session
 from . import geometry as G
 
 _MAX_PAIR_WORK = 4_000_000  # segment-pair budget (linearref idiom)
@@ -250,6 +251,7 @@ ALL_CROSSING_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_crossing_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CROSSING_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -47,6 +47,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .buffer import _MAX_QUAD_SEGS
 from .cells import _int_arg
@@ -714,6 +715,7 @@ ALL_CURVE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_curve_functions(spark: SparkSession) -> None:
     for name, fn in ALL_CURVE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -51,6 +51,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -407,6 +408,7 @@ ALL_EDITOR_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_editor_functions(spark: SparkSession) -> None:
     for name, fn in ALL_EDITOR_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -34,6 +34,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import measure_m as _mm
 from .simplify import _tri_area2
@@ -118,6 +119,7 @@ ALL_EFFECTIVE_AREA_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_effective_area_functions(spark: SparkSession) -> None:
     for name, fn in ALL_EFFECTIVE_AREA_FUNCTIONS.items():
         spark.udf.register(name, fn)

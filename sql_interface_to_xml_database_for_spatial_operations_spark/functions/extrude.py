@@ -38,6 +38,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import surface3d as _s3
 from .geometry import Geometry
@@ -167,6 +168,7 @@ ALL_EXTRUDE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_extrude_functions(spark: SparkSession) -> None:
     for name, fn in ALL_EXTRUDE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -38,6 +38,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 
@@ -258,6 +259,7 @@ ALL_GEOHASH_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_geohash_functions(spark: SparkSession) -> None:
     for name, fn in ALL_GEOHASH_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -53,6 +53,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -515,6 +516,7 @@ ALL_GRID_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_grid_functions(spark: SparkSession) -> None:
     for name, fn in ALL_GRID_FUNCTIONS.items():
         spark.udf.register(name, fn)

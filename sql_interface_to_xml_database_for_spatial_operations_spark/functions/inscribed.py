@@ -44,6 +44,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -381,6 +382,7 @@ ALL_INSCRIBED_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_inscribed_functions(spark: SparkSession) -> None:
     for name, fn in ALL_INSCRIBED_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -375,6 +376,7 @@ ALL_LINEARREF_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_linearref_functions(spark: SparkSession) -> None:
     for name, fn in ALL_LINEARREF_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 from .overlay import _merge_contiguous_lines
@@ -108,6 +109,7 @@ ALL_LINEWORK_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_linework_functions(spark: SparkSession) -> None:
     for name, fn in ALL_LINEWORK_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -53,6 +53,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
@@ -601,6 +602,7 @@ ALL_MEASURE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_measure_functions(spark: SparkSession) -> None:
     for name, fn in ALL_MEASURE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -43,6 +43,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -147,6 +148,7 @@ ALL_MINKOWSKI_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_minkowski_functions(spark: SparkSession) -> None:
     for name, fn in ALL_MINKOWSKI_FUNCTIONS.items():
         spark.udf.register(name, fn)

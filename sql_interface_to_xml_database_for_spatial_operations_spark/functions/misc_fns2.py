@@ -50,6 +50,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, IntegerType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import measure_m as _mm
 from . import overlay as _ov
@@ -469,6 +470,7 @@ ALL_MISC2_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_misc2_functions(spark: SparkSession) -> None:
     for name, fn in ALL_MISC2_FUNCTIONS.items():
         spark.udf.register(name, fn)

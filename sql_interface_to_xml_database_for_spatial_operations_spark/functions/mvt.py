@@ -39,6 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .cells import _int_arg
@@ -193,6 +194,7 @@ ALL_MVT_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_mvt_functions(spark: SparkSession) -> None:
     for name, fn in ALL_MVT_FUNCTIONS.items():
         spark.udf.register(name, fn)

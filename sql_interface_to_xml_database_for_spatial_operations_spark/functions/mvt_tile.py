@@ -54,6 +54,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
+from ._register_once import once_per_session
 from . import geometry as G
 
 _MAX_FEATURES = 65_536  # per-tile sanity budget (loud NULL)
@@ -268,6 +269,7 @@ ALL_MVT_TILE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_mvt_tile_functions(spark: SparkSession) -> None:
     for name, fn in ALL_MVT_TILE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -50,6 +50,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .buffer import _JOIN_ALIAS, _MAX_QUAD_SEGS, DEFAULT_MITRE_LIMIT, _unit
@@ -367,6 +368,7 @@ ALL_OFFSET_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_offset_functions(spark: SparkSession) -> None:
     for name, fn in ALL_OFFSET_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -92,6 +92,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 from .union_ops import (
@@ -1330,6 +1331,7 @@ ALL_OVERLAY_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_overlay_functions(spark: SparkSession) -> None:
     for name, fn in ALL_OVERLAY_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -39,6 +39,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, _orient
@@ -205,6 +206,7 @@ ALL_POLYGON_HULL_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_polygon_hull_functions(spark: SparkSession) -> None:
     for name, fn in ALL_POLYGON_HULL_FUNCTIONS.items():
         spark.udf.register(name, fn)

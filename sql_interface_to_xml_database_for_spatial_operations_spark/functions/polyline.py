@@ -44,6 +44,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 
 _MAX_PRECISION = 8
@@ -165,6 +166,7 @@ ALL_POLYLINE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_polyline_functions(spark: SparkSession) -> None:
     for name, fn in ALL_POLYLINE_FUNCTIONS.items():
         spark.udf.register(name, fn)

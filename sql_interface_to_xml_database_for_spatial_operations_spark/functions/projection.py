@@ -60,6 +60,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -2006,6 +2007,7 @@ def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
 ALL_PROJECTION_FUNCTIONS = {"st_transform": st_transform, "st_azimuth": st_azimuth}
 
 
+@once_per_session
 def register_projection_functions(spark: SparkSession) -> None:
     for name, fn in ALL_PROJECTION_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -46,6 +46,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry, Point
 from .spatial import _binary_fallback
@@ -493,6 +494,7 @@ ALL_RELATION_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_relation_functions(spark: SparkSession) -> None:
     """Register the relation predicates for spark.sql strings, alongside
     ``register_spatial_functions`` (engine.py wires both)."""

@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -436,6 +437,7 @@ ALL_SIMPLIFY_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_simplify_functions(spark: SparkSession) -> None:
     for name, fn in ALL_SIMPLIFY_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 
 _POINT_EXTRACT = (
@@ -481,6 +482,7 @@ ALL_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_spatial_functions(spark: SparkSession) -> None:
     """Register every st_* function for use in spark.sql strings — the
     engine-side analog of the reference's per-driver capability tables

@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 
@@ -793,6 +794,7 @@ ALL_SPHEROID_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_spheroid_functions(spark: SparkSession) -> None:
     for name, fn in ALL_SPHEROID_FUNCTIONS.items():
         spark.udf.register(name, fn)

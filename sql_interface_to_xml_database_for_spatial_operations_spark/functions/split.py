@@ -49,6 +49,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
@@ -476,6 +477,7 @@ ALL_SPLIT_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_split_functions(spark: SparkSession) -> None:
     for name, fn in ALL_SPLIT_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -39,6 +39,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
 
+from ._register_once import once_per_session
+
 _MAX_LEN = 10_000  # quadratic-kernel budget: longer inputs are loud
 
 
@@ -186,6 +188,7 @@ ALL_STRSIM_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_strsim_functions(spark: SparkSession) -> None:
     for name, fn in ALL_STRSIM_FUNCTIONS.items():
         spark.udf.register(name, fn)

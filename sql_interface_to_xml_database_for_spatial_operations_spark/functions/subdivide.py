@@ -46,6 +46,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -197,6 +198,7 @@ ALL_SUBDIVIDE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_subdivide_functions(spark: SparkSession) -> None:
     for name, fn in ALL_SUBDIVIDE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -69,6 +69,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, LongType, StringType
 
+from ._register_once import once_per_session
 from . import accessors as _acc
 from . import zcoord as Z
 
@@ -499,6 +500,7 @@ ALL_SURFACE3D_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_surface3d_functions(spark: SparkSession) -> None:
     for name, fn in ALL_SURFACE3D_FUNCTIONS.items():
         spark.udf.register(name, fn)

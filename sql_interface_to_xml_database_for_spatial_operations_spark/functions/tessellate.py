@@ -49,6 +49,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
@@ -590,6 +591,7 @@ ALL_TESSELLATE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_tessellate_functions(spark: SparkSession) -> None:
     for name, fn in ALL_TESSELLATE_FUNCTIONS.items():
         spark.udf.register(name, fn)

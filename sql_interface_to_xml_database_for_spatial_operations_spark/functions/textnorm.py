@@ -29,6 +29,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
+
 
 def nfc(s) -> str | None:
     if s is None:
@@ -78,6 +80,7 @@ ALL_TEXTNORM_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_textnorm_functions(spark: SparkSession) -> None:
     for name, fn in ALL_TEXTNORM_FUNCTIONS.items():
         spark.udf.register(name, fn)

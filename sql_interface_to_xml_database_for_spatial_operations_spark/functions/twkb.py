@@ -51,6 +51,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import wkb as _wkb
 from .geometry import Geometry
@@ -395,6 +396,7 @@ ALL_TWKB_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_twkb_functions(spark: SparkSession) -> None:
     for name, fn in ALL_TWKB_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -67,6 +67,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 
@@ -684,6 +685,7 @@ ALL_UNION_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_union_functions(spark: SparkSession) -> None:
     for name, fn in ALL_UNION_FUNCTIONS.items():
         spark.udf.register(name, fn)

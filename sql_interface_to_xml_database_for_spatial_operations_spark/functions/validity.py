@@ -54,6 +54,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry, Point
@@ -668,6 +669,7 @@ ALL_VALIDITY_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_validity_functions(spark: SparkSession) -> None:
     for name, fn in ALL_VALIDITY_FUNCTIONS.items():
         spark.udf.register(name, fn)

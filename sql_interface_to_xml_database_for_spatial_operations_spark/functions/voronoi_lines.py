@@ -25,6 +25,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from .geometry import Geometry
 from .tessellate import voronoi_cells
@@ -72,6 +73,7 @@ ALL_VORONOI_LINE_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_voronoi_line_functions(spark: SparkSession) -> None:
     for name, fn in ALL_VORONOI_LINE_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -46,6 +46,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType, IntegerType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import measure_m as _mm
 from . import surface3d as _s3
@@ -875,6 +876,7 @@ ALL_WKB_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_wkb_functions(spark: SparkSession) -> None:
     for name, fn in ALL_WKB_FUNCTIONS.items():
         spark.udf.register(name, fn)

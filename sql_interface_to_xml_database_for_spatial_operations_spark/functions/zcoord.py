@@ -59,6 +59,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, IntegerType, StringType
 
+from ._register_once import once_per_session
 from . import geometry as G
 from . import overlay as _ov
 from .geometry import Geometry
@@ -1234,6 +1235,7 @@ ALL_ZCOORD_FUNCTIONS = {
 }
 
 
+@once_per_session
 def register_zcoord_functions(spark: SparkSession) -> None:
     for name, fn in ALL_ZCOORD_FUNCTIONS.items():
         spark.udf.register(name, fn)

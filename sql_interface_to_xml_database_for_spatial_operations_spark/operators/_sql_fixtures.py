@@ -46,21 +46,51 @@ HOLE_RING = sql_concat(
 )
 
 
+_FAMILY_FIXTURE_VIEW = "_graft_family_fixture"
+
+
+def sql_union_rows(fixture, branches: list[str]):
+    """One-shot SQL UNION ALL of per-family projections over a fixture
+    DataFrame (r17 optimization; see ``family_rows`` for why): each
+    ``branches`` element is the select-item list of one branch (the text
+    between SELECT and FROM). Analyzes the whole union once instead of
+    once per fold step, and persists the fixture so the N branches read
+    one cached block instead of N parquet scans."""
+    from ..caching import tracked_persist
+
+    spark = fixture.sparkSession
+    fixture = tracked_persist(fixture)
+    fixture.createOrReplaceTempView(_FAMILY_FIXTURE_VIEW)
+    sql = "\nUNION ALL\n".join(
+        f"SELECT {body} FROM {_FAMILY_FIXTURE_VIEW}" for body in branches
+    )
+    return spark.sql(sql)
+
+
 def family_rows(boxes, families: dict[str, str]):
     """The shared driver-row scaffold: one (fam, key, val) projection per
-    family expression over the nation-box DataFrame, folded with
-    unionByName — replaces the per-module fam()/fold copies."""
-    from pyspark.sql import functions as F
+    family expression over the nation-box DataFrame, unioned.
 
-    out = None
-    for name, expr in families.items():
-        part = boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(expr).alias("val"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    r17 (optimization round, guide §7.3 "planning time itself can become
+    the bottleneck" + §3.3 "very wide unions"): the original
+    ``unionByName`` fold analyzed a GROWING plan once per family —
+    O(n²) driver-side analysis, measured 2.5 s of the 52-family q169's
+    2.6 s wall — because every Dataset transformation analyzes eagerly.
+    Building the identical union as ONE ``spark.sql`` string analyzes
+    the n-child union once (0.37 s for the same 52 families). The SQL
+    text is exactly the old fold: same branch order, same column order,
+    same pairwise left-associative UNION ALL type coercion, so the
+    result (rows AND schema) is unchanged. The fixture DataFrame rides
+    along as a temp view; the view is resolved/inlined at ``spark.sql``
+    analysis time, so a later overwrite of the view name cannot retarget
+    an already-built plan."""
+    return sql_union_rows(
+        boxes,
+        [
+            f"'{name}' AS fam, n_nationkey AS key, {expr} AS val"
+            for name, expr in families.items()
+        ],
+    )
 
 
 def pt_sql(dx: int, dy: int) -> str:

@@ -286,32 +286,35 @@ def q168_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's random embeddings keep wandering, so the row pins the
     exact integer state after round R168 plus the stability flag — both
     engines bit-exact by construction, module comment)."""
-    pts = (
-        _vectors(spark, sf_dir)
-        .select(
+    from ..caching import tracked_persist
+
+    # tracked_persist, not persist + finally-unpersist (r17
+    # optimization): the returned plan's final assignment pass re-reads
+    # ``pts``, and the old eager unpersist dropped the cache BEFORE the
+    # caller ever ran an action, forcing one full re-quantization scan
+    # per run. The tracked cache lives until the next registered-query
+    # entry (caching.py), exactly the lifetime the result needs.
+    pts = tracked_persist(
+        _vectors(spark, sf_dir).select(
             "vec_id",
             F.expr(
                 "transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
             ).alias("pv"),
         )
-        .persist()
     )
-    try:
-        assigned, cent, stable = kmeans_rounds(spark, pts, K168, R168)
-        # the final update's centroids (c{R}) + the final assignment
-        cent_first = {c: cent[c][0] for c in range(K168)}
-        c0_df = spark.createDataFrame(
-            [(c, v) for c, v in cent_first.items()], "cid int, c0 long"
+    assigned, cent, stable = kmeans_rounds(spark, pts, K168, R168)
+    # the final update's centroids (c{R}) + the final assignment
+    cent_first = {c: cent[c][0] for c in range(K168)}
+    c0_df = spark.createDataFrame(
+        [(c, v) for c, v in cent_first.items()], "cid int, c0 long"
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("d2").alias("sum_d2"),
         )
-        return (
-            assigned.groupBy("cid")
-            .agg(
-                F.count("*").alias("n_members"),
-                F.sum("d2").alias("sum_d2"),
-            )
-            .join(F.broadcast(c0_df), "cid")
-            .withColumn("stable", F.lit(stable))
-            .select("cid", "n_members", "sum_d2", "c0", "stable")
-        )
-    finally:
-        pts.unpersist()
+        .join(F.broadcast(c0_df), "cid")
+        .withColumn("stable", F.lit(stable))
+        .select("cid", "n_members", "sum_d2", "c0", "stable")
+    )

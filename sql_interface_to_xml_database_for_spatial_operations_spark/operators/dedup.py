@@ -680,12 +680,17 @@ def connected_components_star(
         # neighborhood; m = min(neighborhood ∪ self); re-hang every
         # strictly-larger neighbor v on m. Keeps (x, y<x) orientation.
         sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # NO dedup here (r17 optimization): duplicate (u, m) rows cannot
+        # change the small-star window MIN below, and new_E's distinct
+        # collapses them before the fixpoint check — dropping the
+        # intermediate .distinct() removes one full shuffle of the edge
+        # set per round (guide §2.4). Row growth is bounded: |ls| ≤
+        # |sym| = 2|E| with or without the dedup.
         ls = (
             sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # SMALL-STAR: edges are already keyed by their larger endpoint,
         # so each u's rows list exactly its smaller neighbors; connect

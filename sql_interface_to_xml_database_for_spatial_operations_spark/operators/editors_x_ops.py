@@ -63,7 +63,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._sql_fixtures import int_str
+from ._sql_fixtures import int_str, sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -285,27 +285,29 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).cast("bigint").alias("a"),
-            F.expr(b_expr).alias("b"),
+    # r17 optimization: each fam() is one branch of a single-analysis
+    # SQL UNION ALL (_sql_fixtures.sql_union_rows) instead of a
+    # per-branch unionByName fold — same rows/columns/branch order, one
+    # plan analysis and one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"CAST({a_expr} AS BIGINT) AS a, {b_expr} AS b"
         )
 
-    rows = fam(
+    rows = [fam(
         "fc",
         f"st_numgeometries(st_forcecollection({_MP2}))",
         f"st_forcecollection({_MP2})",
-    )
-    rows = rows.unionByName(
+    )]
+    rows.append(
         fam(
             "uu",
             f"st_area(st_unaryunion({_UU_IN}))",
             f"st_unaryunion({_UU_IN})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "ba",
             f"st_area(st_buildarea({_BA_IN}))",
@@ -314,7 +316,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wx_poly = f"st_wrapx({_WX_POLY}, CAST(minx + {_A} AS DOUBLE), CAST(10 * {_A} AS DOUBLE))"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "wx",
             f"st_area({wx_poly}) * 100 + st_xmax({wx_poly}) - st_xmin({wx_poly})",
@@ -325,14 +327,14 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-circle strictness, curved-type detection, the exact 2-D
     # aliases, ST_ForceRHR, and the BOX3D aggregate extent
     ba = f"st_buildarea({_BA_IN})"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "summ",
             f"st_nrings({ba})",
             f"st_summary({ba})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "misc",
             f"CASE WHEN st_pointinsidecircle({_QC_FIX}, CAST(minx AS DOUBLE),"
@@ -349,7 +351,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_forcerhr('POLYGON ' || {_sq('minx', 'miny', f'2 * {_A}')})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "ext3",
             "1",
@@ -358,7 +360,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"'POINT (' || {_xy(f'minx + 2 * {_A}', f'miny + {_A}')} || ')'))",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "qc",
             f"CASE WHEN st_quantizecoordinates({_QC_FIX}, 2) = {_QC_FIX}"
@@ -370,7 +372,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # EWKT codec (functions/ewkt.py): the SRID=n; text form round-trips
     # and st_asewkt stamps the engine's fixed 4326 on plain WKT
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "ewkt",
             f"st_sridfromewkt(st_setsrid({_PT}, CAST(7 * {_K} + 1 AS INT)))",
@@ -384,7 +386,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" CAST({_A} AS DOUBLE), CAST({_K} AS DOUBLE))"
     )
     mk_pt = "st_makepoint(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE))"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "mkpt",
             f"CAST(st_m({zm_pt}) AS BIGINT) * 10"
@@ -399,7 +401,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" st_makeenvelope(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
         f" CAST(minx + {_A} AS DOUBLE), CAST(miny + {_A} AS DOUBLE)))"
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "clip",
             f"st_area({clip})",
@@ -409,7 +411,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{int_str(f'st_ymax({clip})')}",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "fbm",
             f"10 * st_npoints(st_filterbym({_LM4}, 2.0D, 3.0D))"
@@ -421,7 +423,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = f"'POLYGON ' || {_sq('minx', 'miny', _A)}"
     line = f"'LINESTRING (' || {_xy('minx', 'miny')} || ', ' || {_xy('maxx', 'maxy')} || ')'"
     line_rev = f"'LINESTRING (' || {_xy('maxx', 'maxy')} || ', ' || {_xy('minx', 'miny')} || ')'"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "oe",
             f"CASE WHEN st_orderingequals({sq}, {sq}) THEN 4 ELSE 0 END"
@@ -436,7 +438,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3-D rotations probed at θ = π (cos exactly −1, sin ~1e-16 —
     # micro-int rounding absorbs the residue) + exact-integer transscale
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "rot3",
             f"CASE WHEN CAST(floor(st_zmin(st_rotatex({_PTZ}, pi())) * 1e6"
@@ -460,7 +462,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_xy('maxx', 'maxy')} || ', ' || "
         f"{_xy(f'minx + {_A}', f'miny + {_A}')} || ')'"
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "epl",
             "CASE WHEN st_linefromencodedpolyline("
@@ -476,7 +478,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TWKB (functions/twkb.py): integer round-trips are exact; the hex
     # pin is the spec's own worked example
     twkb_sq = f"'POLYGON ' || {_sq('minx', 'miny', _A)}"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "twkb",
             f"CASE WHEN st_geomfromtwkb(st_astwkb({twkb_sq}, 5)) = {twkb_sq}"
@@ -493,7 +495,7 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"st_pointzm(CAST(minx AS DOUBLE), CAST(miny AS DOUBLE),"
         f" CAST({_A} AS DOUBLE), CAST({_K} AS DOUBLE))"
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "dims",
             f"st_ndims({_PT}) * 10000"
@@ -507,4 +509,4 @@ def q180_st_editors_x(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_force4d({_PT})",
         )
     )
-    return rows
+    return sql_union_rows(boxes, rows)

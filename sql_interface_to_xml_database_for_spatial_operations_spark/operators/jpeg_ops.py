@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 _SCHEMA = StructType(
@@ -160,7 +160,7 @@ def q163_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline JFIF (DCT, all-ones quantization, Annex-K Huffman, byte
     stuffing) → full Huffman/IDCT decode → decoded-byte aggregation
     pinned to the DuckDB closed form (module docstring)."""
-    d = (
+    d = fan_out(
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 5 == 0)

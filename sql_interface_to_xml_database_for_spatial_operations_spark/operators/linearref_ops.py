@@ -58,7 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._sql_fixtures import CORNERS, int_str
+from ._sql_fixtures import CORNERS, int_str, sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -289,12 +289,14 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).alias("a"),
-            F.expr(b_expr).alias("b"),
+    # r17 optimization: each fam() is one branch of a single-analysis
+    # SQL UNION ALL (see _sql_fixtures.sql_union_rows) instead of a
+    # per-branch unionByName fold — same rows, same columns, same
+    # branch order, one plan analysis and one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"{a_expr} AS a, {b_expr} AS b"
         )
 
     interp_mid = fam(
@@ -503,13 +505,11 @@ def q152_st_linear_referencing(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + (st_linecrossingdirection({_lcd_a}, {_b_par}) + 5) AS BIGINT)",
         f"CAST(st_linecrossingdirection({_lcd_a}, {_b_updown}) AS BIGINT)",
     )
-    out = interp_mid
-    for part in (
+    return sql_union_rows(boxes, [
+        interp_mid,
         interp_up, interp_ends, locate, substr, closest, shortline,
         areal_closest, poly_pair, longline, inside_zero, overlap_vertex,
         touch_vertex, mixed_member, addm_interp, lbtw_range, lip_pts,
         lip_single, lalong_m, zm_m, cpa_t, cpa_instant, cpa_bools,
         cpa_valid, lcd, sea,
-    ):
-        out = out.unionByName(part)
-    return out
+    ])

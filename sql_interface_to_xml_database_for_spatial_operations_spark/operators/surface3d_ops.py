@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._sql_fixtures import int_str
+from ._sql_fixtures import int_str, sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -277,19 +277,21 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).cast("bigint").alias("a"),
-            F.expr(b_expr).alias("b"),
+    # r17 optimization: each fam() is one branch of a single-analysis
+    # SQL UNION ALL (_sql_fixtures.sql_union_rows) instead of a
+    # per-branch unionByName fold — same rows/columns/branch order, one
+    # plan analysis and one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"CAST({a_expr} AS BIGINT) AS a, {b_expr} AS b"
         )
 
-    rows = fam("vol", f"st_volume({_BOX})", f"st_patchn({_BOX}, 2)")
-    rows = rows.unionByName(
+    rows = [fam("vol", f"st_volume({_BOX})", f"st_patchn({_BOX}, 2)")]
+    rows.append(
         fam("area", f"st_3darea({_BOX})", f"st_patchn({_BOX}, 1)")
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "closed",
             f"CASE WHEN st_isclosed({_BOX}) THEN 100 ELSE 0 END"
@@ -298,27 +300,27 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_patchn({_OPEN}, 5)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "tin",
             f"10 * st_3darea({_TIN}) + st_numpatches({_TIN})",
             f"st_patchn({_TIN}, 2)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam("tri", f"st_3darea({_TRI})", f"st_patchn({_OPEN}, 5)")
     )
-    rows = rows.unionByName(
+    rows.append(
         fam("wall", f"st_3darea({_WALL})", f"st_patchn({_BOX}, 6)")
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "wkb3d",
             f"st_volume(st_geomfromwkb(st_asbinary({_BOX})))",
             f"st_geomfromwkb(st_asbinary({_TIN}))",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "x3d",
             f"CASE WHEN st_3dintersects({_SEG_A}, {_SEG_B1}) THEN 1000 ELSE 0 END"
@@ -329,7 +331,7 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ext = f"st_extrude({_BASE_2D}, 0.0D, 0.0D, CAST({_H} AS DOUBLE))"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "ext",
             f"10 * st_volume({ext})"
@@ -338,11 +340,11 @@ def q178_st_surface3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tsl = f"st_tesselate({_BASE_2D})"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "tsl",
             f"10 * st_3darea({tsl}) + st_numpatches({tsl})",
             f"st_patchn({tsl}, 1)",
         )
     )
-    return rows
+    return sql_union_rows(boxes, rows)

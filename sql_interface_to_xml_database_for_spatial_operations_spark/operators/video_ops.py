@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 AVI_MEDIA_TYPE = "video/x-msvideo"
@@ -277,4 +277,4 @@ def q167_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 7 == 0)
         .select("doc_id")
     )
-    return docs.mapInPandas(_run_q167, schema=_FRAME_SCHEMA)
+    return fan_out(docs).mapInPandas(_run_q167, schema=_FRAME_SCHEMA)

@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._sql_fixtures import int_str
+from ._sql_fixtures import int_str, sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -231,34 +231,36 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).cast("bigint").alias("a"),
-            F.expr(b_expr).alias("b"),
+    # r17 optimization: each fam() is one branch of a single-analysis
+    # SQL UNION ALL (_sql_fixtures.sql_union_rows) instead of a
+    # per-branch unionByName fold — same rows/columns/branch order, one
+    # plan analysis and one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"CAST({a_expr} AS BIGINT) AS a, {b_expr} AS b"
         )
 
-    rows = fam("z_acc", f"st_z({_PZ})", f"st_force3d({_P2D})")
-    rows = rows.unionByName(
+    rows = [fam("z_acc", f"st_z({_PZ})", f"st_force3d({_P2D})")]
+    rows.append(
         fam("zrange", f"st_zmax({_LZ})", f"st_force3dz({_P2D}, CAST({_K} AS DOUBLE))")
     )
-    rows = rows.unionByName(fam("len3d", f"st_3dlength({_LZ})", f"st_force2d({_LZ})"))
-    rows = rows.unionByName(
+    rows.append(fam("len3d", f"st_3dlength({_LZ})", f"st_force2d({_LZ})"))
+    rows.append(
         fam(
             "d3d_pt",
             f"st_3ddistance({_PZ0}, {_PZQ})",
             f"st_geomfromwkb(st_asbinary({_PZM}))",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "d3d_seg",
             f"st_3ddistance({_PABOVE}, {_SEG0})",
             f"st_geomfromwkb(st_asbinary({_POLYZ}))",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "zm",
             f"st_zmflag({_PZ}) * 1000 + st_zmflag({_PZM}) * 100 "
@@ -266,8 +268,8 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_force3d({_PZM})",
         )
     )
-    rows = rows.unionByName(fam("zm_m", f"st_m({_PZM})", _TOUCH))
-    rows = rows.unionByName(
+    rows.append(fam("zm_m", f"st_m({_PZM})", _TOUCH))
+    rows.append(
         fam(
             "z_null",
             f"CASE WHEN st_z({_P2D}) IS NULL"
@@ -283,7 +285,7 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_force2d({_POLYZ})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "zmin_neg",
             f"st_zmin({_LZNEG})",
@@ -292,7 +294,7 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r15 continuation: the predicate/witness/interpolation/perimeter
     # forms of the 3-D kernel (module docstring fixtures)
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "d3d_within",
             f"CASE WHEN st_3ddwithin({_PZ0}, {_PZQ}, CAST(3 * {_S} AS DOUBLE))"
@@ -301,21 +303,21 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_3dclosestpoint({_SEG0}, {_PABOVE})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "d3d_max",
             f"st_3dmaxdistance({_PZ0}, {_LZ})",
             f"st_3dshortestline({_PABOVE}, {_SEG0})",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "interp3d",
             f"st_z(st_3dlineinterpolatepoint({_LZ2}, 0.5))",
             f"st_3dlineinterpolatepoint({_LZ2}, 0.5)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "perim3d",
             f"st_3dperimeter({_WALL})",
@@ -325,14 +327,14 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 (VERDICT r15 task 4): GEOMETRYCOLLECTION Z joins the codec —
     # member-recursive force casts, accessors over members, zmflag /
     # ndims, and the WKB ISO-1007 round trip
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "gcz",
             f"st_zmin({_GCZ})",
             f"st_force3dz({_GC2D}, CAST({_K} AS DOUBLE))",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "gcz_rt",
             f"st_zmflag({_GCZ}) * 100 + st_ndims({_GCZ}) * 10"
@@ -340,4 +342,4 @@ def q174_st_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_geomfromwkb(st_asbinary({_GCZ}))",
         )
     )
-    return rows
+    return sql_union_rows(boxes, rows)

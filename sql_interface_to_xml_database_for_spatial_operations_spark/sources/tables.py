@@ -74,6 +74,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a Python-heavy map stage's input across the session's
+    cores (r17 optimization round, guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The fixture tables are single parquet files that Spark scans as ONE
+    partition, so a mapInPandas/pandas-UDF stage downstream ran its
+    whole per-row Python compute on one core (measured: q163's JPEG
+    encode+decode 2.4 s single-task → 0.7 s fanned out on local[32]).
+
+    Scale-adaptive, not a local constant: when the input already has at
+    least ``defaultParallelism`` partitions (any real at-scale table),
+    this is a NO-OP — no shuffle is added; only an under-partitioned
+    input pays one round-robin exchange of the (narrow, pre-projected)
+    rows. ``defaultParallelism`` is the session's own core count on
+    local[N] and the cluster total on a real deployment."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

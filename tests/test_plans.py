@@ -413,13 +413,22 @@ def test_r11_rows_plan_shapes(spark):
     assert "Exchange" in plan and plan.count("Exchange") <= 2, plan
     assert "Join" not in plan
     assert "HashAggregate" in plan  # partial agg before the shuffle
+    # r17 optimization: the single-file fixture scan is fanned out
+    # (sources.tables.fan_out) before the Python-heavy codec stage, so
+    # the plan carries EXACTLY ONE round-robin Exchange of the narrow
+    # doc_id input and still no join; the mapInPandas stage itself
+    # remains map-only. On an already-partitioned input fan_out is a
+    # no-op and the Exchange disappears again.
     plan = formatted_plan(q("q163_jpeg_pixels")(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # tree line + detail block
     assert "Join" not in plan
-    # q167 (r12): AVI walk + per-frame JPEG decode is the same single
-    # map-only mapInPandas shape — no shuffle, no join
+    # q167 (r12): AVI walk + per-frame JPEG decode is the same
+    # fanned-out map-only mapInPandas shape — one round-robin exchange
+    # of doc_id, no join
     plan = formatted_plan(q("q167_video_frames")(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
     assert "Join" not in plan
 
 
