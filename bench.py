@@ -138,6 +138,11 @@ HEADLINE = [
     # r16: grid-partitioned write + partition-pruned bbox read — the
     # timing includes the WRITE (that is the product path)
     "q184_spatial_partition_pruning",
+    # r17: the two rows the r17 build added get tracked numbers from
+    # day one (ADDED entries only — no existing row was renamed or
+    # removed, so BENCH_r16 comparisons stay key-for-key valid)
+    "q185_st_inspection",
+    "q186_st_worked_examples",
     # The streaming e2e rows (q123/q137/q138, and r8's q142/q147) are
     # deliberately NOT in the min-of-n headline total: each runs a real
     # Structured Streaming job (~13 s at sf0.1, dominated by

@@ -170,27 +170,30 @@ def kmeans_rounds(
     prev_cent = None
     stable = False
     for _ in range(max_rounds):
-        # Centroid matrix rides as broadcast DATA (one-row
-        # array<array<bigint>>), so the physical plan — and its
-        # whole-stage-codegen compilation — is IDENTICAL every round;
-        # assignment is PURE MAP: per-centroid integer distances via
-        # transform/zip_with folds, argmin as
-        # array_position(d2s, array_min(d2s)) (first index =
+        # Centroids ride as LITERAL integer arrays in the expression
+        # (k×dim longs ≈ a few KB of plan text — bounded by the model
+        # size, never the data): assignment is PURE MAP, per-centroid
+        # integer distances as independent zip_with/aggregate folds,
+        # argmin as array_position(d2s, array_min(d2s)) (first index =
         # lowest-cid tiebreak, matching the oracle's (d2, cid) order).
         # No per-vector shuffle; the only shuffle per round is the
-        # bounded (cid, pos) update aggregation. (Tried and rejected:
-        # broadcast-join + struct-min = a second shuffle per round;
-        # literal centroids in the plan = a fresh janino compile of the
-        # 8x64 fold every round — both measured slower.)
-        cent_df = spark.createDataFrame([(cent,)], "cents array<array<bigint>>")
-        d2s = (
-            "transform(cents, c -> "
-            "aggregate(zip_with(pv, c, (x, y) -> (x - y) * (x - y)), "
-            "0L, (acc, x) -> acc + x))"
+        # bounded (cid, pos) update aggregation.
+        # r17 re-measurement (guide §1): the previous broadcast-DATA
+        # form (one-row array<array<bigint>> crossJoin(broadcast))
+        # existed to keep codegen identical across rounds, but on
+        # Spark 4.1 the higher-order folds are INTERPRETED (never
+        # janino-compiled), so there is nothing to recompile — and the
+        # per-round BroadcastExchange + its job cost ~0.5 s of each
+        # round's ~0.85 s. Literal centroids: 0.85 -> 0.29 s per fresh
+        # round plan at sf0.1 (interleaved A/B, same session).
+        folds = ", ".join(
+            "aggregate(zip_with(pv, array("
+            + ", ".join(f"{x}L" for x in c)
+            + "), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+            for c in cent
         )
         assigned = (
-            pts.crossJoin(F.broadcast(cent_df))
-            .selectExpr("vec_id", "pv", f"{d2s} AS d2s")
+            pts.selectExpr("vec_id", "pv", f"array({folds}) AS d2s")
             .selectExpr(
                 "vec_id",
                 "pv",

@@ -132,47 +132,51 @@ def q140_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (nation boxes)."""
     _ensure_udfs(spark)
 
+    # r17 optimization: the per-branch unionByName fold re-analyzed a
+    # growing plan per family; the same branches now build ONE SQL
+    # UNION ALL string (single analysis — the _sql_fixtures.
+    # sql_union_rows idea, generalized to this row's three fixture
+    # views). Same branch order, same columns, same coercion.
     def fam(
-        df: DataFrame,
+        view: str,
         name: str,
         key: str,
         buf_sql: str,
         decode_sql: str = "st_geomfromwkb(wkb)",
-    ) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("fam"),
-            F.col(key).alias("key"),
-            F.expr(buf_sql).alias("wkb"),
-        ).select(
-            "fam",
-            "key",
-            F.length("wkb").cast("bigint").alias("wkb_len"),
-            F.lower(F.hex(F.expr("substring(wkb, 1, 5)"))).alias("head_hex"),
-            F.expr(decode_sql).alias("rt_wkt"),
-            F.expr("st_sridfromewkb(wkb)").cast("int").alias("srid"),
+    ) -> str:
+        return (
+            f"SELECT fam, key, CAST(length(wkb) AS BIGINT) AS wkb_len,"
+            f" lower(hex(substring(wkb, 1, 5))) AS head_hex,"
+            f" {decode_sql} AS rt_wkt,"
+            f" CAST(st_sridfromewkb(wkb) AS INT) AS srid"
+            f" FROM (SELECT '{name}' AS fam, {key} AS key,"
+            f" {buf_sql} AS wkb FROM {view})"
         )
 
     pts = customer_points(spark, sf_dir).withColumn("geom", F.expr("st_point(lon, lat)"))
     boxes = nation_boxes(spark, sf_dir).withColumn(
         "geom", F.expr("st_makeenvelope(minx, miny, maxx, maxy)")
     )
-    rows = fam(pts, "pt", "c_custkey", "st_asbinary(geom)").unionByName(
-        fam(boxes, "box", "n_nationkey", "st_asbinary(geom)")
-    )
+    pts.createOrReplaceTempView("_graft_q140_pts")
+    boxes.createOrReplaceTempView("_graft_q140_boxes")
+    rows = [
+        fam("_graft_q140_pts", "pt", "c_custkey", "st_asbinary(geom)"),
+        fam("_graft_q140_boxes", "box", "n_nationkey", "st_asbinary(geom)"),
+    ]
     # EWKB (r15): SRID-flagged buffers round-trip through the ewkb
     # reader; the PLAIN reader's rejection of the flag stays pinned
-    rows = rows.unionByName(
+    rows.append(
         fam(
-            boxes,
+            "_graft_q140_boxes",
             "ewkb_pt",
             "n_nationkey",
             "st_asewkb(st_point(minx, miny), 4000 + n_nationkey % 100)",
             "st_geomfromewkb(wkb)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
-            boxes,
+            "_graft_q140_boxes",
             "ewkb_z",
             "n_nationkey",
             "st_asewkb('POINT Z (' || CAST(CAST(minx AS BIGINT) AS STRING)"
@@ -181,9 +185,9 @@ def q140_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "st_geomfromewkb(wkb)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
-            boxes,
+            "_graft_q140_boxes",
             "wkb_srid_rejected",
             "n_nationkey",
             "st_asewkb(st_point(minx, miny), 4326)",
@@ -227,49 +231,42 @@ def q140_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = spark.createDataFrame(
         fix, "key bigint, cs_wkb binary, cs_wkt string, cp_wkb binary, cp_wkt string"
     )
+    cur.createOrReplaceTempView("_graft_q140_cur")
 
-    def curved_fam(name: str, wkb_col: str, wkt_col: str) -> DataFrame:
-        return cur.select(
-            F.lit(name).alias("fam"),
-            F.col("key"),
-            F.length(wkb_col).cast("bigint").alias("wkb_len"),
-            F.lower(F.hex(F.expr(f"substring({wkb_col}, 1, 5)"))).alias("head_hex"),
-            F.expr(
-                f"CASE WHEN st_geomfromwkb({wkb_col})"
-                f" = st_curvetoline({wkt_col}, 32) THEN 'MATCH'"
-                f" ELSE COALESCE(st_geomfromwkb({wkb_col}), 'NULL') END"
-            ).alias("rt_wkt"),
-            F.expr(f"st_sridfromewkb({wkb_col})").cast("int").alias("srid"),
+    def curved_fam(name: str, wkb_col: str, wkt_col: str) -> str:
+        return (
+            f"SELECT '{name}' AS fam, key,"
+            f" CAST(length({wkb_col}) AS BIGINT) AS wkb_len,"
+            f" lower(hex(substring({wkb_col}, 1, 5))) AS head_hex,"
+            f" CASE WHEN st_geomfromwkb({wkb_col})"
+            f" = st_curvetoline({wkt_col}, 32) THEN 'MATCH'"
+            f" ELSE COALESCE(st_geomfromwkb({wkb_col}), 'NULL') END AS rt_wkt,"
+            f" CAST(st_sridfromewkb({wkb_col}) AS INT) AS srid"
+            f" FROM _graft_q140_cur"
         )
 
-    rows = rows.unionByName(curved_fam("curved", "cs_wkb", "cs_wkt"))
-    rows = rows.unionByName(curved_fam("curved_cp", "cp_wkb", "cp_wkt"))
+    rows.append(curved_fam("curved", "cs_wkb", "cs_wkt"))
+    rows.append(curved_fam("curved_cp", "cp_wkb", "cp_wkt"))
     # r16 continuation: the ENCODE side — st_asbinary now emits type
     # code 8 for curved text (the st_linetocurve output class), and
     # the reader linearizes it back; byte length and header pinned.
     # Rides the `cur` fixture frame so the expected linearization is
     # computed from the SAME cs_wkt column the encoder consumes.
-    rows = rows.unionByName(
-        cur.select(
-            F.lit("curved_enc").alias("fam"),
-            F.col("key"),
-            F.length(F.expr("st_asbinary(cs_wkt)")).cast("bigint").alias("wkb_len"),
-            F.lower(
-                F.hex(F.expr("substring(st_asbinary(cs_wkt), 1, 5)"))
-            ).alias("head_hex"),
-            F.expr(
-                "CASE WHEN st_geomfromwkb(st_asbinary(cs_wkt))"
-                " = st_curvetoline(cs_wkt, 32) THEN 'MATCH'"
-                " ELSE 'DIFF' END"
-            ).alias("rt_wkt"),
-            F.expr("st_sridfromewkb(st_asbinary(cs_wkt))").cast("int").alias("srid"),
-        )
+    rows.append(
+        "SELECT 'curved_enc' AS fam, key,"
+        " CAST(length(st_asbinary(cs_wkt)) AS BIGINT) AS wkb_len,"
+        " lower(hex(substring(st_asbinary(cs_wkt), 1, 5))) AS head_hex,"
+        " CASE WHEN st_geomfromwkb(st_asbinary(cs_wkt))"
+        " = st_curvetoline(cs_wkt, 32) THEN 'MATCH'"
+        " ELSE 'DIFF' END AS rt_wkt,"
+        " CAST(st_sridfromewkb(st_asbinary(cs_wkt)) AS INT) AS srid"
+        " FROM _graft_q140_cur"
     )
     # GEOMETRYCOLLECTION Z through WKB (ISO 1007), the ewkb_z
     # integer-coordinate idiom
-    rows = rows.unionByName(
+    rows.append(
         fam(
-            boxes,
+            "_graft_q140_boxes",
             "gcz_wkb",
             "n_nationkey",
             "st_asbinary('GEOMETRYCOLLECTION Z (POINT Z ('"
@@ -278,4 +275,4 @@ def q140_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " || CAST(n_nationkey AS STRING) || '))')",
         )
     )
-    return rows
+    return spark.sql("\nUNION ALL\n".join(rows))

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._sql_fixtures import sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL
 
@@ -698,27 +699,28 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     S3._ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).cast("bigint").alias("a"),
-            F.expr(b_expr).cast("string").alias("b"),
+    # r17 optimization: branch strings into one SQL UNION ALL
+    # (_sql_fixtures.sql_union_rows) instead of a per-branch
+    # unionByName fold — same rows/columns/branch order, one analysis,
+    # one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"CAST({a_expr} AS BIGINT) AS a, CAST({b_expr} AS STRING) AS b"
         )
 
-    rows = None
+    rows = []
     for name, (expr, scale, _a, _b) in _PIN.items():
-        f_ = fam(
+        rows.append(fam(
             name,
             f"CAST(floor(st_x({expr}) * {scale} + 0.5) AS BIGINT)",
             f"CAST(CAST(floor(st_y({expr}) * {scale} + 0.5) AS BIGINT) AS STRING)",
-        )
-        rows = f_ if rows is None else rows.unionByName(f_)
+        ))
     # unit: '+to_meter=' with the exact us-ft double matches the
     # '+units=us-ft' path BITWISE, and a pole through ellipsoidal
     # Mercator is loud-NULL (ADVICE r16)
     spcs = _PIN["spcs"][0]
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "unit",
             f"CASE WHEN {spcs} = {_SPCS_TM}"
@@ -730,7 +732,7 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kroz: '+czech' is the exact southing/westing axis swap
     kro = _KRO_D.format(X="")
     kro_cz = _KRO_D.format(X=" +czech")
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "kroz",
             f"CASE WHEN st_x({kro_cz}) = -st_y({kro})"
@@ -744,7 +746,7 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntf_pm = _NTF.format(L="0", PM=" +pm=paris")
     ntf_gw = _NTF.format(L="2.337229166666667", PM="")
     kro_f = _KRO_D.format(X=" +lon_0=42.5 +pm=ferro")
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "pm",
             f"CASE WHEN st_transform('POINT (2.3522 48.8566)', 4326, {ntf_pm})"
@@ -758,14 +760,14 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M / ZM surface codec (moved from q178, r17): M geometry runs at
     # z = 0, ZM volume uses the REAL z, WKB round-trips both (ISO
     # 2015/3015-class codes, pinned in tests/test_surface3d.py)
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "mtin",
             f"10 * st_3darea({S3._TIN_M}) + st_zmflag({S3._TIN_M})",
             f"st_patchn({S3._TIN_M}, 2)",
         )
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "zmps",
             f"10 * st_volume({S3._BOX_ZM}) + st_zmflag({S3._BOX_ZM})",
@@ -774,7 +776,7 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_rt = f"st_geomfromwkb(st_asbinary({S3._TIN_M}))"
     zm_rt = f"st_geomfromwkb(st_asbinary({S3._BOX_ZM}))"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "mwkb",
             f"1000 * st_ndims({zm_rt}) + 100 * st_zmflag({zm_rt})"
@@ -782,4 +784,4 @@ def q186_st_worked_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"st_patchn({zm_rt}, 1)",
         )
     )
-    return rows
+    return sql_union_rows(boxes, rows)

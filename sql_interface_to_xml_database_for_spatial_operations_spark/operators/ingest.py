@@ -379,20 +379,30 @@ def q118_bucketed_join(spark, sf_dir):
     fact-join shuffle into a one-time write. The write happens inside
     the query so the driver exercises write + bucketed read + join;
     results are layout-independent, so the oracle is the plain join."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..sources.layout import bucketed_join, write_bucketed
 
-    write_bucketed(
-        load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey"),
-        "q118_orders_b",
-        "custkey",
-        buckets=8,
-    )
-    write_bucketed(
-        load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey"),
-        "q118_customer_b",
-        "custkey",
-        buckets=8,
-    )
+    # The two bucketed writes are independent jobs — submit them from a
+    # small thread pool so the second one back-fills executors the
+    # first one's tail leaves idle (guide §2.6 "overlap independent
+    # jobs"; actions are only sequential because driver code calls
+    # them sequentially). Each write targets its own table, so there
+    # is no shared state beyond the session.
+    def _write(args):
+        name, table = args
+        write_bucketed(
+            load_table(spark, sf_dir, name).withColumnRenamed(
+                "o_custkey" if name == "orders" else "c_custkey", "custkey"
+            ),
+            table,
+            "custkey",
+            buckets=8,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write, [("orders", "q118_orders_b"),
+                               ("customer", "q118_customer_b")]))
     j = bucketed_join(spark, "q118_orders_b", "q118_customer_b", ["custkey"])
     return j.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._sql_fixtures import int_str
+from ._sql_fixtures import sql_union_rows
 from .registry import query
 from .spatial_ops import NATION_BOXES_SQL, nation_boxes
 
@@ -122,17 +123,19 @@ def q185_st_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_udfs(spark)
     boxes = nation_boxes(spark, sf_dir)
 
-    def fam(name: str, a_expr: str, b_expr: str) -> DataFrame:
-        return boxes.select(
-            F.lit(name).alias("fam"),
-            F.col("n_nationkey").alias("key"),
-            F.expr(a_expr).cast("bigint").alias("a"),
-            F.expr(b_expr).alias("b"),
+    # r17 optimization: branch strings into one SQL UNION ALL
+    # (_sql_fixtures.sql_union_rows) instead of a per-branch
+    # unionByName fold — same rows/columns/branch order, one analysis,
+    # one fixture scan.
+    def fam(name: str, a_expr: str, b_expr: str) -> str:
+        return (
+            f"'{name}' AS fam, n_nationkey AS key, "
+            f"CAST({a_expr} AS BIGINT) AS a, {b_expr} AS b"
         )
 
     # coll: containers score 1 in their decade, singles score 1 by
     # being FALSE, junk scores 1 by being NULL -> 11101 everywhere
-    rows = fam(
+    rows = [fam(
         "coll",
         f"CASE WHEN st_iscollection({_MP}) THEN 10000 ELSE 0 END"
         f" + CASE WHEN NOT st_iscollection({_PT}) THEN 1000 ELSE 0 END"
@@ -140,7 +143,7 @@ def q185_st_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + CASE WHEN st_iscollection({_TINM}) THEN 10 ELSE 0 END"
         f" + CASE WHEN st_iscollection('junk') IS NULL THEN 1 ELSE 0 END",
         _MP,
-    )
+    )]
     # msz: exact ISO WKB sizes (POINT Z 29; 2-member MULTIPOINT 51;
     # LINESTRING 9 + 16·n with a key-varying n)
     npt = f"{_K} % 3 + 2"
@@ -149,7 +152,7 @@ def q185_st_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat(cast(cast(minx + i as bigint) as string), ' ', "
         f"cast(cast(miny as bigint) as string))))"
     )
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "msz",
             f"10000 * st_memsize('POINT Z (1 2 3)')"
@@ -161,7 +164,7 @@ def q185_st_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lbe: the clip output is byte-identical text in both engines; a =
     # the z-window bounds read back off the clipped endpoints
     lbe = f"st_locatebetweenelevations({_LBE_LINE}, {_LO}, {_HI})"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "lbe",
             f"CAST(st_zmin({lbe}) AS BIGINT) * 10 + CAST(st_zmax({lbe}) AS BIGINT)",
@@ -171,11 +174,11 @@ def q185_st_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lll: longest line from the lone a-vertex to the far b-vertex;
     # a = 0 iff the returned line's endpoints echo the inputs exactly
     lll = f"st_3dlongestline({_A3}, {_B3})"
-    rows = rows.unionByName(
+    rows.append(
         fam(
             "lll",
             f"CASE WHEN {lll} = {_LLL_OUT} THEN 0 ELSE 1 END",
             lll,
         )
     )
-    return rows
+    return sql_union_rows(boxes, rows)

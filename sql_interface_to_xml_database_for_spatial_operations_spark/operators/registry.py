@@ -591,6 +591,18 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # full-registry sf0.01 sweep on the settled tree; same class as the
 # projection.py-import drift over q114/q121/q128/q129/q131/q152/
 # q154/q158/q165/q169/q180).
+#
+# r17 OPTIMIZATION pass (OPTIMIZATION_r17.md): the round's diff is
+# result-invariant by design (plan/driver-overhead restructures —
+# register-once UDF groups, one-shot SQL unions, fan_out, literal
+# k-means centroids, JVM Morton sort key) and touches shared helpers
+# (_sql_fixtures.py, sources/tables.py, every functions/ module's
+# register_*), so EVERY verified fingerprint drifts. Exposure order is
+# unchanged (the executed r17 rotation above); the drift is the
+# deliberate re-record class, backed by full-registry engine-vs-DuckDB
+# sf0.01 sweeps run after each change batch this round (185/185,
+# MISMATCHES: none — see OPTIMIZATION_r17.md "Inherited state" and
+# "Numbers").
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",

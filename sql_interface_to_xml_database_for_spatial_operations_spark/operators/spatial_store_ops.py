@@ -90,26 +90,45 @@ def write_spatial_partitioned(
         )
         out = out.withColumn("sp", F.pmod(F.hash(shard_src), F.lit(salt)))
     if order_by_geohash:
-        from ..functions.geohash import register_geohash_functions
-
-        register_geohash_functions(df.sparkSession)
+        # r17 optimization (guide §4.1): the sort key used to be the
+        # st_geohash pandas UDF (a Python round trip per write task —
+        # ~0.7 s of the q184 write at sf0.1). A geohash-9 string sorts
+        # exactly like its 45-bit lon/lat bit-interleave (the base32
+        # alphabet is value-ordered), so the key is now that Morton
+        # integer computed with JVM expressions: lon bits at even
+        # positions (23 bits), lat at odd (22) — verified equal to
+        # encode_point(…, 9) ordering on 35k probes incl. both test
+        # fixtures. Pure sort key: row contents and the read-back set
+        # are unchanged.
+        ix = F.least(
+            F.lit((1 << 23) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(xcol) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << 23))),
+            ),
+        ).cast("bigint")
+        iy = F.least(
+            F.lit((1 << 22) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(ycol) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << 22))),
+            ),
+        ).cast("bigint")
         out = (
-            out.withColumn(
+            out.withColumn("_ix", ix)
+            .withColumn("_iy", iy)
+            .withColumn(
                 "_gh",
-                F.call_function(
-                    "st_geohash",
-                    F.concat(
-                        F.lit("POINT ("),
-                        F.col(xcol).cast("string"),
-                        F.lit(" "),
-                        F.col(ycol).cast("string"),
-                        F.lit(")"),
-                    ),
-                    F.lit(9),
+                F.expr(
+                    "aggregate(sequence(0, 22), 0L, (acc, i) -> acc"
+                    " + shiftleft(shiftright(_ix, i) & 1, 2 * i)"
+                    " + CASE WHEN i < 22 THEN"
+                    "   shiftleft(shiftright(_iy, i) & 1, 2 * i + 1)"
+                    "   ELSE 0L END)"
                 ),
             )
             .sortWithinPartitions("cx", "cy", "_gh")
-            .drop("_gh")
+            .drop("_gh", "_ix", "_iy")
         )
     keys = ["cx", "cy"] + (["sp"] if salt > 1 else [])
     out.write.mode("overwrite").partitionBy(*keys).parquet(path)
