@@ -47,6 +47,10 @@ HOLE_RING = sql_concat(
 
 
 _FAMILY_FIXTURE_VIEW = "_graft_family_fixture"
+_VIEW_SEQ = 0  # per-call unique suffix (ADVICE r17: a shared view name
+# made concurrent query CONSTRUCTION in one session a latent race once
+# in-query threading existed; spark.sql still inlines the view at
+# analysis time, so this only removes the construction-time hazard)
 
 
 def sql_union_rows(fixture, branches: list[str]):
@@ -58,13 +62,18 @@ def sql_union_rows(fixture, branches: list[str]):
     one cached block instead of N parquet scans."""
     from ..caching import tracked_persist
 
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    view = f"{_FAMILY_FIXTURE_VIEW}_{_VIEW_SEQ}"
     spark = fixture.sparkSession
     fixture = tracked_persist(fixture)
-    fixture.createOrReplaceTempView(_FAMILY_FIXTURE_VIEW)
+    fixture.createOrReplaceTempView(view)
     sql = "\nUNION ALL\n".join(
-        f"SELECT {body} FROM {_FAMILY_FIXTURE_VIEW}" for body in branches
+        f"SELECT {body} FROM {view}" for body in branches
     )
-    return spark.sql(sql)
+    out = spark.sql(sql)  # analyzes eagerly — the view is inlined here
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def family_rows(boxes, families: dict[str, str]):

@@ -306,10 +306,19 @@ def q168_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assigned, cent, stable = kmeans_rounds(spark, pts, K168, R168)
-    # the final update's centroids (c{R}) + the final assignment
+    # the final update's centroids (c{R}) + the final assignment.
+    # r18: c0 attaches as a LITERAL map lookup (k entries — the same
+    # bounded model class as the literal centroids) instead of a
+    # broadcast join: the join's BroadcastExchange cost a job, and its
+    # inner-join null check pushed `isnotnull(cid)` down into the
+    # cached-points scan, where it re-evaluated the full k×dim literal
+    # distance folds 2 extra times per row (plans/r17 vs r18 diff).
+    # Every cid 0..k-1 is present in the map, so element_at never
+    # returns NULL and the rows are identical. Interleaved A/B at
+    # sf0.1: 2.57 -> 2.16 s.
     cent_first = {c: cent[c][0] for c in range(K168)}
-    c0_df = spark.createDataFrame(
-        [(c, v) for c, v in cent_first.items()], "cid int, c0 long"
+    c0_map = F.create_map(
+        *[F.lit(x) for cv in cent_first.items() for x in cv]
     )
     return (
         assigned.groupBy("cid")
@@ -317,7 +326,7 @@ def q168_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
             F.sum("d2").alias("sum_d2"),
         )
-        .join(F.broadcast(c0_df), "cid")
+        .withColumn("c0", F.element_at(c0_map, F.col("cid")))
         .withColumn("stable", F.lit(stable))
         .select("cid", "n_members", "sum_d2", "c0", "stable")
     )

@@ -50,8 +50,18 @@ def _word_shingles(
 ) -> DataFrame:
     """Distinct word-k-gram shingles per document (JVM: slice+transform).
     ``docs`` overrides the source (must carry doc_id, lang, text) so
-    pipeline stages shingle only their surviving subset."""
+    pipeline stages shingle only their surviving subset.
+
+    fan_out (r18): the fixture corpus is one parquet file = one scan
+    partition, so the interpreted slice/concat/array_distinct shingle
+    kernel ran serially for every consumer (guide §2.5 — repartition an
+    unsplittable input right after the read; no-op on inputs already
+    >= defaultParallelism files). Interleaved A/B at sf0.1: the q65
+    pair plan 2.24 s -> 1.54 s with the fan + grouped pair enumeration."""
+    from ..sources.tables import fan_out
+
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    d = fan_out(d)
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     # duplicate shingles only occur WITHIN a document (doc_id/lang ride
     # along every row), so array_distinct before the explode gives the
@@ -119,31 +129,63 @@ def jaccard_pairs(spark, sf_dir, docs: DataFrame | None = None):
     and the q90 clustering stage); ``docs`` restricts the corpus (q91
     shingles only its quality+exact-dedup survivors).
 
-    The shingle set feeds three consumers (sizes + both join sides), so
-    it persists (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding
-    the corpus per consumer — at 100 TB use DISK_ONLY or a materialized
-    shingle table, same plan shape.
+    r18 restructure (guide §2.3/§2.4 — shuffle the shingle set ONCE,
+    never self-join it): group by (sh, lang) and keep the sorted member
+    list; the candidate pairs are enumerated IN-ROW from the member
+    array (the q66 bucket idiom; each doc is distinct per (sh, lang) by
+    construction, so combinations with doc1 < doc2 reproduce the old
+    a⋈b / lang1==lang2 / doc1<doc2 join rows exactly, group for group).
+    Per-doc sizes re-derive from the exploded member lists — bare
+    bigint rows whose count partial-aggregates map-side, instead of a
+    second full shuffle of shingle strings. Net: 4 shingle-string
+    shuffles + a self-join → 1 shingle-string shuffle (plan diff in
+    plans/r18/q65_*). Worst-case per-group enumeration stays capped at
+    MAX_SHINGLE_DF²/2 (VERDICT r2 #4) — the same bound the self-join
+    had AFTER its anti-join, now enforced before any pair exists.
 
-    Viral shingles (document frequency > MAX_SHINGLE_DF per language)
-    are dropped before the self-join: the df aggregate is map-side
-    combinable, the surviving-key removal is a broadcast anti-join (the
-    viral set is tiny by construction — boilerplate n-grams — so the big
-    shingle set is never reshuffled for the cap). Caps the worst-case
-    per-shingle pair enumeration at MAX_SHINGLE_DF²/2 (VERDICT r2 #4)."""
-    sh0 = tracked_persist(_word_shingles(spark, sf_dir, 5, docs=docs))
-    viral = (
-        sh0.groupBy("sh", "lang")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("sh", "lang")
+    The viral cap (df > MAX_SHINGLE_DF per language) is a WINDOW count
+    over (sh, lang) feeding a filter — it shares the group-by's
+    exchange (window and aggregation are keyed identically, guide
+    §2.4), and a viral key's rows pass through WindowExec's
+    spill-to-disk buffer, never through an in-memory collect_list: the
+    grouped member arrays are provably ≤ MAX_SHINGLE_DF elements
+    because the filter runs BEFORE the collect. Same hot-key-safety
+    contract the old broadcast anti-join gave, one full pass cheaper
+    (interleaved A/B at sf0.1: cap-then-group via anti-join 2.19 s,
+    window cap 1.80 s, both vs the old self-join's 2.24 s).
+
+    The grouped shingle table feeds two consumers (sizes + pairs), so
+    it persists (MEMORY_AND_DISK, LRU-evicted) — at 100 TB use
+    DISK_ONLY or a materialized shingle table, same plan shape."""
+    from pyspark.sql.window import Window
+
+    sh0 = _word_shingles(spark, sf_dir, 5, docs=docs)
+    w_df = Window.partitionBy("sh", "lang")
+    members = tracked_persist(
+        sh0.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .groupBy("sh", "lang")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select("ds")
     )
-    sh = sh0.join(F.broadcast(viral), ["sh", "lang"], "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc1"), F.col("lang").alias("lang1"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), "sh")
+    sizes = (
+        members.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc1"), y.alias("doc2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, ["sh"])
-        .filter((F.col("lang1") == F.col("lang2")) & (F.col("doc1") < F.col("doc2")))
+        members.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc1", "p.doc2")
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
@@ -223,8 +265,15 @@ def q66_minhash_lsh(spark, sf_dir):
     size(array_intersect(...)) in-row per candidate pair — the oracle
     mirrors with list_intersect, so even a 32-bit min collision (a
     zero-overlap candidate) yields identical jaccard=0 rows in both
-    engines."""
-    d = load_table(spark, sf_dir, "documents")
+    engines.
+
+    fan_out (r18): the shingle + two-md5-per-shingle signature kernel
+    is the row's dominant compute and ran in ONE task off the
+    single-file fixture scan (guide §2.5) — the repartition is a no-op
+    on any input already >= defaultParallelism files."""
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.filter(F.split("text", " "), lambda x: x != "")
     k = 5
     arr = (
@@ -574,7 +623,13 @@ def connected_components(
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
         if i % check_every == 0 or i == max_iters:
-            new_labels = new_labels.localCheckpoint(eager=True)  # materialize + cut lineage
+            # LAZY checkpoint (r18, guide §1.2 fewer jobs): the agg /
+            # count action right below materializes the checkpoint AND
+            # computes the convergence check in ONE job, where
+            # eager=True paid a separate materialization job per round.
+            # Safe here because exactly one consumer branch touches
+            # new_labels before it is (checkpointed) reused next round.
+            new_labels = new_labels.localCheckpoint(eager=False)
             if id_is_numeric:
                 row = new_labels.agg(label_sum, F.count(F.lit(1)).alias("n")).collect()[0]
                 cur_sum = row["s"]
@@ -657,18 +712,23 @@ def connected_components_star(
     # every id mentioned in ANY pair gets an output row — including ids
     # seen only in self-loop pairs, matching connected_components (which
     # mirrors the unfiltered pair list into its label table)
+    # LAZY checkpoints (r18, guide §1.2 fewer jobs): nodes has exactly
+    # one consumer (the final anti-join) and E's first consumer is the
+    # count right below, so each materializes inside the job that
+    # already needs it instead of paying a separate eager job. The
+    # expensive `raw` plan is still evaluated once per checkpoint.
     nodes = (
         raw.select(F.col("a").alias("id"))
         .union(raw.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # canonical child→parent orientation: (u, v) with v < u
     E = (
         raw.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = E.count()
     if n_edges == 0:
@@ -709,7 +769,9 @@ def connected_components_star(
             .select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the count below materializes the checkpoint in the
+            # same job (r18) — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         # exact fixpoint: same row count and no row of E' outside E
         # (both deduplicated, so set equality); the previous count is

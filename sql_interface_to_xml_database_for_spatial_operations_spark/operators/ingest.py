@@ -388,7 +388,11 @@ def q118_bucketed_join(spark, sf_dir):
     # first one's tail leaves idle (guide §2.6 "overlap independent
     # jobs"; actions are only sequential because driver code calls
     # them sequentially). Each write targets its own table, so there
-    # is no shared state beyond the session.
+    # is no shared state beyond the session. ASSUMPTION (ADVICE r17):
+    # concurrent same-session catalog mutations (DROP TABLE + rmtree +
+    # saveAsTable per write) are safe here because this deployment uses
+    # Spark's in-memory catalog; on a Hive/Derby metastore, serialize
+    # the two DROP/rmtree DDL steps and parallelize only the write jobs.
     def _write(args):
         name, table = args
         write_bucketed(

@@ -376,7 +376,16 @@ def q107_decontamination(spark, sf_dir):
     shuffle at any scale, and because the bench side is distinct, each
     corpus shingle row matches at most one bench row (no pair blowup,
     unlike the q65 self-join — no df cap needed). Same shingle helper as
-    the dedup family (dedup._word_shingles)."""
+    the dedup family (dedup._word_shingles).
+
+    r18 restructure (guide §2.4 — remove a shuffle and a duplicated
+    subtree): the old shape aggregated the corpus TWICE (tot and hits,
+    two shuffles re-evaluating the shingle explode each) and joined the
+    two aggregates back. A LEFT join against the broadcast bench side
+    (safe: bench is distinct, so no fan-out) lets ONE aggregation count
+    both totals (count(*)) and matches (count(hit)) per doc; docs with
+    zero shared shingles are then dropped by the n_shared >= 1 filter —
+    exactly the rows the old inner hits-join excluded."""
     from .dedup import _word_shingles
 
     sh = _word_shingles(spark, sf_dir, 5).select("doc_id", "sh")
@@ -384,14 +393,14 @@ def q107_decontamination(spark, sf_dir):
     h = sh.withColumn("nib", nib)
     bench = h.filter(F.col("nib") == 15).select("sh").distinct()
     corpus = h.filter(F.col("nib") < 15).select("doc_id", "sh")
-    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     return (
-        hits.join(tot, "doc_id")
+        corpus.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             "n_shingles",

@@ -603,6 +603,28 @@ QUERIES: dict[str, RegisteredQuery] = {}
 # sf0.01 sweeps run after each change batch this round (185/185,
 # MISMATCHES: none — see OPTIMIZATION_r17.md "Inherited state" and
 # "Numbers").
+#
+# r18 EXECUTED rotation (OPTIMIZATION round 2): fold the 50 r17 greens
+# in (CORRECTNESS_r17, 50/50 green, 0 errs). Exposure follows VERDICT
+# r17 "Next round" item 2 — every r17-optimizer-touched row whose
+# physical plan changed carries only builder sweeps, so ALL of them
+# enter the window FIRST: q140, q152-q161, q163-q166, q168, q169,
+# q174, q177, q180 (the #2/#3/#4 mechanisms) plus q90 (the #7 star-CC
+# distinct removal rides connected_components_star). Then the r18
+# optimization diff's own touched rows, exposed BEFORE the code lands
+# (the r16/r17 precedent): the dedup family q64-q69/q90/q91 (jaccard
+# group-enumerate restructure + shingle fan_out, window df cap, lazy
+# CC checkpoints — dedup.py), q107 (single-pass decontamination agg),
+# q144 (one-scan bloom bits), q168 (literal c0 map), q172/q176
+# (registered bpe_adjacent_pairs trainer), q162/q134 (profiled this
+# round; exposed pre-emptively in case the profile motivates an edit).
+# Window arithmetic: 34 exposed + 16 verified-head fill = the 50-row
+# driver sample; 151 rows stay verified on re-recorded fingerprints
+# (the r18 diff touches shared modules — sources/tables.py fan_out
+# probe, functions/bpe.py, operators/dedup.py — so untouched-path
+# rows like q143/q73/q70 drift fingerprints; deliberate re-record
+# class, backed by the full-registry sf0.01 engine-vs-DuckDB sweeps
+# run after every r18 change batch, MISMATCHES: none).
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "q01_filter_pushdown",
@@ -614,68 +636,77 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q07_not_in_list",
         "q08_null_predicates",
         "q09_where_bool_literal",
+        "q100_engine_rowset",
+        "q101_geojson_roundtrip",
+        "q102_geojson_sink_roundtrip",
         "q103_stratified_sample",
         "q104_language_quota",
         "q105_mixture_weights",
         "q106_sequence_packing",
-        "q107_decontamination",
+        "q108_kml_roundtrip",
         "q109_tfidf_top_terms",
         "q10_between_range",
         "q110_repetition_metrics",
         "q111_centroid_outliers",
+        "q112_window_lag_lead",
         "q113_window_distribution",
         "q114_compat_flattened",
         "q115_ann_quantized_topk",
         "q116_trailing_range_window",
         "q117_approx_percentiles",
+        "q118_bucketed_join",
         "q119_cohort_retention",
+        "q11_join_inner_equi",
         "q120_event_funnel",
         "q121_catalog_tables",
         "q122_st_relations",
+        "q123_stream_tumbling_e2e",
+        "q124_st_union_agg",
         "q125_document_chunking",
         "q126_pii_redaction",
         "q127_url_domains",
         "q128_st_simplify",
         "q129_st_snaptogrid",
+        "q12_join_theta",
+        "q130_st_transform",
         "q131_st_azimuth",
         "q132_audio_features",
         "q133_resize_images",
-        "q134_hypertable_rollup",
         "q135_cms_heavy_hitters",
         "q136_image_dhash_neardup",
+        "q137_stream_session_e2e",
+        "q138_stream_interval_join_e2e",
         "q139_st_intersection",
-        "q140_wkb_roundtrip",
+        "q13_join_left_outer",
         "q141_boilerplate_removal",
+        "q142_stream_dedup_e2e",
+        "q143_kmeans_assign",
+        "q145_inverted_index",
         "q146_st_symdifference",
-        "q152_st_linear_referencing",
-        "q153_st_editors",
-        "q154_st_constructors",
-        "q155_st_buffer_lines_polys",
-        "q156_st_relate_isvalid",
-        "q157_st_makevalid",
-        "q158_st_measures",
-        "q159_st_bounding",
-        "q160_cluster_dbscan",
-        "q161_st_collect_dump",
-        "q162_st_subdivide",
-        "q163_jpeg_pixels",
-        "q164_st_node_polygonize",
-        "q165_st_tessellate",
-        "q166_st_split",
-        "q168_kmeans_converged",
-        "q169_st_grids",
-        "q172_bpe_tokenize",
+        "q147_stream_stateful_totals_e2e",
+        "q148_st_affine",
+        "q149_st_linework",
+        "q14_join_right_outer",
+        "q150_st_accessors",
+        "q151_st_boundary",
+        "q15_join_full_outer",
+        "q167_video_frames",
+        "q16_join_multiway",
+        "q170_bm25_search",
+        "q171_bigram_perplexity",
         "q173_y4m_frames",
-        "q174_st_z",
         "q175_st_asmvt",
-        "q176_bpe_train",
-        "q177_st_geodesy",
+        "q178_st_surface3d",
         "q179_substring_dedup",
         "q17_natural_join",
-        "q180_st_editors_x",
         "q181_fuzzy_match",
         "q182_shapefile_roundtrip",
         "q183_gpx_roundtrip",
+        "q184_spatial_partition_pruning",
+        "q185_st_inspection",
+        "q186_st_worked_examples",
+        "q18_semi_join_in_subquery",
+        "q19_anti_join_not_exists",
         "q20_lateral_explode",
         "q21_count_groupby",
         "q22_agg_global",
@@ -686,6 +717,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q27_orderby_limit_topk",
         "q28_union_all",
         "q29_intersect",
+        "q30_except",
         "q31_window_rank",
         "q32_window_running_sum",
         "q33_subquery_from",
@@ -701,23 +733,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q43_st_distance_radius",
         "q44_spatial_join_within",
         "q45_spatial_join_intersects",
+        "q46_st_area_props",
+        "q47_dwithin_pairs",
+        "q48_distance_sphere_count",
         "q49_st_asgeojson",
+        "q50_st_geomfromtext",
+        "q51_st_geomfromgeojson",
+        "q52_centroid_perimeter",
         "q53_buffer_contains",
         "q54_cube",
         "q55_grouping_sets",
         "q56_pivot",
         "q57_count_distinct_multi",
         "q58_approx_count_distinct",
+        "q59_st_geomfromgml_kml",
         "q60_token_count",
         "q61_quality_score",
         "q62_language_id",
         "q63_fingerprint",
-        "q64_dedup_exact",
-        "q65_dedup_ngram_jaccard",
-        "q66_minhash_lsh",
-        "q67_simhash",
-        "q68_simhash_pairs",
-        "q69_embedding_neardup",
         "q70_ann_bruteforce_topk",
         "q71_ann_lsh_buckets",
         "q72_ann_lsh_topk",
@@ -732,15 +765,19 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q82_frame_sample",
         "q83_asof_join",
         "q84_range_join_banded",
+        "q85_st_extent_agg",
         "q86_skew_salted_join",
         "q87_percentiles",
         "q88_levenshtein_neardup",
         "q89_gap_fill_spine",
-        "q90_dedup_clusters",
-        "q91_training_pipeline",
         "q92_hash_sample",
         "q93_train_val_test_split",
+        "q94_multipart_gml_ingest",
+        "q95_st_collect_agg",
         "q96_event_attribution",
+        "q97_knn_within_radius",
+        "q98_hull_envelope",
+        "q99_xml_roundtrip",
     }
 )
 

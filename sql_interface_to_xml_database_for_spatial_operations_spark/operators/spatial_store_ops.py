@@ -96,10 +96,15 @@ def write_spatial_partitioned(
         # exactly like its 45-bit lon/lat bit-interleave (the base32
         # alphabet is value-ordered), so the key is now that Morton
         # integer computed with JVM expressions: lon bits at even
-        # positions (23 bits), lat at odd (22) — verified equal to
-        # encode_point(…, 9) ordering on 35k probes incl. both test
-        # fixtures. Pure sort key: row contents and the read-back set
-        # are unchanged.
+        # positions (23 bits), lat at odd (22) — order-checked against
+        # encode_point(…, 9) on 35k probes incl. both test fixtures.
+        # Caveat (ADVICE r17): floor((x+180)/360*2^23) can disagree
+        # with the UDF's iterated-bisection bits for values within ~1
+        # ulp of a cell boundary, which probes cannot rule out —
+        # correctness relies on the key being ORDER-ONLY (it only
+        # arranges rows within a partition file), never on exact
+        # geohash equivalence. Pure sort key: row contents and the
+        # read-back set are unchanged.
         ix = F.least(
             F.lit((1 << 23) - 1),
             F.greatest(

@@ -45,12 +45,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from .registry import query
 from ..functions import bpe as B
@@ -85,36 +79,28 @@ def bpe_train(
             f"n_merges {n_merges} outside [0, {_MAX_TRAIN_MERGES}]"
         )
     merges: list[tuple[str, str]] = []
-    pair_schema = StructType(
-        [
-            StructField("left", StringType()),
-            StructField("right", StringType()),
-        ]
-    )
-
+    # r18 (the q168 literal-model lesson, guide §4): the per-round pair
+    # statistic is the REGISTERED ``bpe_adjacent_pairs`` UDF with the
+    # learned merges riding as a LITERAL spec argument — the old shape
+    # re-created (and re-pickled) a fresh closure pandas UDF every
+    # round, paying UDF-command serialization + a brand-new expression
+    # per round. The registered function parses the spec through the
+    # same per-batch _cached_merges the encode path uses, and
+    # registration is once_per_session (free on repeat calls). Same
+    # tokens round for round: parse_merges(_serialize_merges(m)) is the
+    # rank map the closure captured (escape round-trip, code-review
+    # r14).
+    B.register_bpe_functions(df.sparkSession)
     for _ in range(n_merges):
-        ranks = {p: i for i, p in enumerate(merges)}
-
-        @F.pandas_udf(ArrayType(pair_schema))
-        def _pairs(texts):  # noqa: B023 — ranks rebinds per round on purpose
-            import pandas as pd
-
-            out = []
-            for t in texts:
-                if t is None:
-                    out.append(None)
-                    continue
-                row = []
-                for word in str(t).split():
-                    toks = B.encode_word(word.encode("utf-8"), ranks)
-                    row.extend(
-                        {"left": a, "right": b} for a, b in zip(toks, toks[1:])
-                    )
-                out.append(row)
-            return pd.Series(out, dtype=object)
-
+        spec = _serialize_merges(merges)
         top = (
-            df.select(F.explode(_pairs(F.col(col))).alias("p"))
+            df.select(
+                F.explode(
+                    F.call_function(
+                        "bpe_adjacent_pairs", F.col(col), F.lit(spec)
+                    )
+                ).alias("p")
+            )
             .groupBy("p.left", "p.right")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("left").asc(), F.col("right").asc())

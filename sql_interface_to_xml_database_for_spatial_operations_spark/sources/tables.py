@@ -84,15 +84,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     whole per-row Python compute on one core (measured: q163's JPEG
     encode+decode 2.4 s single-task → 0.7 s fanned out on local[32]).
 
-    Scale-adaptive, not a local constant: when the input already has at
-    least ``defaultParallelism`` partitions (any real at-scale table),
+    Scale-adaptive, not a local constant: when the input already reads
+    at least ``defaultParallelism`` files (any real at-scale table),
     this is a NO-OP — no shuffle is added; only an under-partitioned
     input pays one round-robin exchange of the (narrow, pre-projected)
     rows. ``defaultParallelism`` is the session's own core count on
-    local[N] and the cluster total on a real deployment."""
+    local[N] and the cluster total on a real deployment.
+
+    The probe is ``inputFiles()`` (leaf-scan metadata, driver-cheap),
+    not ``df.rdd.getNumPartitions()`` — the ``.rdd`` conversion forced
+    a full physical-plan translation per call (ADVICE r17). File count
+    under-estimates the scan partitions of one huge SPLITTABLE file, in
+    which case the repartition is redundant but harmless (one narrow
+    exchange); every current call site feeds small single-file
+    fixtures, and at 100 TB real tables carry >= cores files."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # exotic sources without file metadata
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 
