@@ -69,8 +69,14 @@ def q162_st_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced a split (module docstring)."""
     from pyspark.sql import functions as F
 
+    from ..sources.tables import fan_out
+
     _ensure_udfs(spark)
-    pieces = nation_boxes(spark, sf_dir).selectExpr(
+    # fan_out (r18, guide §2.5): the exact-Fraction subdivide kernel ran
+    # all 25 boxes in the single-file fixture's one scan task;
+    # interleaved A/B at sf0.1: med 1.01 -> 0.79 s. No-op on inputs
+    # already >= defaultParallelism files.
+    pieces = fan_out(nation_boxes(spark, sf_dir)).selectExpr(
         "n_nationkey AS key",
         f"explode(st_subdivide({_DENSE_BOX}, 12)) AS piece",
     )

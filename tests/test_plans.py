@@ -415,10 +415,18 @@ def test_r11_rows_plan_shapes(spark):
     no shuffle at all."""
     from sql_interface_to_xml_database_for_spatial_operations_spark.plans.explain import formatted_plan
 
+    # r18: q162's 25-row fixture is fanned out before the exact-Fraction
+    # subdivide kernel (sources.tables.fan_out — A/B med 1.01 -> 0.79 s),
+    # so a wide session adds ONE round-robin exchange to the groupBy's
+    # hash exchange; on a narrow session / multi-file input fan_out is a
+    # no-op and only the aggregate exchange remains. Formatted plans
+    # list each node twice (tree line + detail block), hence the x2.
+    fanned_162 = spark.sparkContext.defaultParallelism > 1
     plan = formatted_plan(q("q162_st_subdivide")(spark, SF_DIR))
-    # ONE Exchange node (the groupBy) — formatted plans list each node
-    # twice (tree line + detail block), hence the <= 2 on the string
-    assert "Exchange" in plan and plan.count("Exchange") <= 2, plan
+    max_exchanges = 4 if fanned_162 else 2
+    assert "Exchange" in plan and plan.count("Exchange") <= max_exchanges, plan
+    if fanned_162:
+        assert "RoundRobinPartitioning" in plan, plan
     assert "Join" not in plan
     assert "HashAggregate" in plan  # partial agg before the shuffle
     # r17 optimization: the single-file fixture scan is fanned out
